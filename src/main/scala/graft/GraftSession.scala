@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the graft engine.
+  *
+  * Settings chosen for a 1000-executor 100 TB deployment first, local[32]
+  * second:
+  *   - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  *     and dynamic broadcast conversion replace hand-tuned partition counts
+  *     at scale.
+  *   - UTC session time zone: deterministic timestamp semantics across the
+  *     cluster and vs. the DuckDB oracle.
+  *   - shuffle.partitions is only the AQE *initial* value; local runs pass
+  *     the core count, cluster deployments would size it to ~2-3x total
+  *     cores.
+  */
+object GraftSession {
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
