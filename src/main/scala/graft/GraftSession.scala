@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The driver's events.parquet uses TIMESTAMP(NANOS), which Spark 4
+      // otherwise refuses; LongType ns keeps full precision (SURVEY §7.4-2).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
