@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline
+  * (BASELINE.json north star): tokenization, n-gram shingling, quality
+  * ratios, language-ID scoring, and deterministic 60-bit string hashing.
+  *
+  * Everything here is a pure Column expression (whole-stage codegen'd, no
+  * UDFs) and is engine-portable: the same formulas are expressible in the
+  * DuckDB oracle. Ratios are exact scaled integers (`x * 1e6 // y`) so
+  * results hash identically across engines.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text (empty string → single empty token,
+    * filtered out). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles: join of each n consecutive tokens. */
+  def wordShingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))
+    )
+
+  /** Deterministic 60-bit non-negative hash: first 15 hex digits of md5.
+    * Portable: DuckDB `CAST('0x' || substr(md5(s),1,15) AS UBIGINT)`. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic 48-bit hash (12 hex digits) — headroom for bit shifts. */
+  def hash48(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
+  /** Count of characters matching a regex character class. */
+  def charClassCount(text: Column, charClassRe: String): Column =
+    length(text) - length(regexp_replace(text, charClassRe, ""))
+
+  /** Exact integral division (Go/SQL `div` semantics, truncation): used for
+    * scaled-integer ratios so results hash identically across engines. */
+  def intDiv(num: Column, den: Column): Column =
+    call_function("div", num, den)
+
+  /** Bit shifts with a Column shift amount (the `functions._` variants only
+    * take Int literals). */
+  def shl(e: Column, n: Column): Column = call_function("shiftleft", e, n)
+  def shr(e: Column, n: Column): Column = call_function("shiftright", e, n)
+
+  /** Exact ppm ratio (num * 1e6 integral-div den), 0 when den = 0. */
+  def ppm(num: Column, den: Column): Column =
+    when(den === 0, 0L).otherwise(intDiv(num * 1000000L, den))
+
+  /** Number of tokens contained in a fixed vocabulary (multiset count). */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(vocab.toArray), t)))
+
+  /** Minimal per-language stopword lists for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "en")
+  )
+
+  /** CJK-codepoint presence — the zh branch of language-ID. */
+  def hasCjk(text: Column): Column =
+    charClassCount(text, "[\\x{4e00}-\\x{9fff}]") > 0
+
+  /** Document fingerprint (winnowing-lite): the minimum md5 over character
+    * 8-grams — robust to small edits, portable to the oracle. */
+  def fingerprint(text: Column): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - 7, lit(1))),
+      i => text.substr(i, lit(8))
+    )
+    array_min(transform(grams, g => md5(g)))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions.{hash60, shl}
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Determinism policy: embeddings are quantized to exact integer micro-units
+  * (`round(x * 1e6)::long`), so dot products are exact int64 arithmetic and
+  * cosine = dot / (sqrt(n1) * sqrt(n2)) is a fixed IEEE op sequence —
+  * bit-identical in any engine, which makes top-k ranking (and the DuckDB
+  * oracle hash) stable. 64-dim × 1e6 quantization keeps dots ≤ ~6.4e13,
+  * far inside int64.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact top-k per query against all candidates —
+  *    the correctness baseline; O(|Q|·|C|), fine for small query sets.
+  *  - [[lshTopK]]: random-hyperplane LSH — each vector gets a sign-bit
+  *    signature from `nPlanes` deterministic integer hyperplanes; only
+  *    same-bucket pairs are scored. The 100 TB path: candidate generation
+  *    is an equi-join on the signature, no cross product.
+  */
+object Similarity {
+
+  /** Adds `qvec` (quantized int64 vector) and `qnorm2` (exact squared norm). */
+  def quantized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("qvec", transform(col(vecCol), x => round(x.cast("double") * 1000000.0d).cast("long")))
+      .withColumn("qnorm2", aggregate(col("qvec"), lit(0L), (acc, x) => acc + x * x))
+
+  /** Exact int64 dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic cosine from exact integers (single IEEE op sequence). */
+  def qcos(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  /** Exact cosine top-k: for each query vector (filtered by `isQuery`),
+    * the k nearest candidates by quantized cosine, ties broken by id. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     isQuery: Column, k: Int): DataFrame = {
+    val q = quantized(df, vecCol)
+    val queries = q.filter(isQuery)
+      .select(col(idCol).as("query_id"), col("qvec").as("qv"), col("qnorm2").as("qn"))
+    val cands = q.select(col(idCol).as("cand_id"), col("qvec").as("cv"), col("qnorm2").as("cn"))
+    val scored = queries
+      .crossJoin(cands)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("dot", qdot(col("qv"), col("cv")))
+      .withColumn("cos", qcos(col("dot"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("dot"),
+        floor(col("cos") * 1000000.0d).cast("long").as("cos_ppm"))
+  }
+
+  /** Deterministic integer hyperplane coefficient for (plane, dim):
+    * md5-derived value in [-1000, 1000]. Portable to the oracle. */
+  def planeCoef(plane: Column, dim: Column): Column =
+    hash60(concat(lit("plane"), plane, lit("_"), dim)) % 2001L - 1000L
+
+  /** Random-hyperplane LSH signatures + bucketed top-k.
+    *
+    * Signature: bit p = (qvec · plane_p >= 0). Same-signature join yields
+    * candidates; exact quantized cosine ranks them. Recall < 1 by design —
+    * the scale path trades recall for a shuffle-join candidate set.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              isQuery: Column, k: Int, nPlanes: Int, dims: Int): DataFrame = {
+    val q = quantized(df, vecCol)
+    val sig = q.withColumn(
+      "sig",
+      aggregate(
+        transform(
+          sequence(lit(0), lit(nPlanes - 1)),
+          p =>
+            when(
+              aggregate(
+                zip_with(col("qvec"), sequence(lit(0), lit(dims - 1)), (x, i) => x * planeCoef(p, i)),
+                lit(0L), (acc, x) => acc + x
+              ) >= 0L,
+              shl(lit(1L), p)
+            ).otherwise(0L)
+        ),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)
+      )
+    )
+    val queries = sig.filter(isQuery)
+      .select(col(idCol).as("query_id"), col("qvec").as("qv"), col("qnorm2").as("qn"), col("sig"))
+    val cands = sig.select(col(idCol).as("cand_id"), col("qvec").as("cv"), col("qnorm2").as("cn"), col("sig"))
+    val scored = queries
+      .join(cands, Seq("sig"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("dot", qdot(col("qv"), col("cv")))
+      .withColumn("cos", qcos(col("dot"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("sig"), col("cand_id"), col("rank"),
+        floor(col("cos") * 1000000.0d).cast("long").as("cos_ppm"))
+  }
+}

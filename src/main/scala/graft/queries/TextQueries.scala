@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication queries over the `documents` table —
+  * the training-data-pipeline surface (BASELINE.json north star), each
+  * with a DuckDB oracle built from the same md5-derived hashing and
+  * scaled-integer ratios.
+  */
+object TextQueries {
+
+  // ---------------------------------------------------------------- q20
+  /** Token statistics per document (token counting for data pipelines). */
+  def q20TextStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("toks", tokens($"text"))
+      .select(
+        $"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct_tokens"),
+        length($"text").cast("long").as("len_chars"),
+        (length($"text") === $"n_chars").as("chars_match"),
+        ppm(aggregate($"toks", lit(0L), (acc, t) => acc + length(t)), size($"toks").cast("long"))
+          .as("mean_tok_len_ppm")
+      )
+  }
+
+  // ---------------------------------------------------------------- q21
+  /** Quality scoring: exact scaled-integer character-class and stopword
+    * ratios plus a composite keep/drop flag. */
+  def q21QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("alpha_ppm", ppm(charClassCount($"text", "[a-z]"), length($"text").cast("long")))
+      .withColumn("space_ppm", ppm(charClassCount($"text", "[ ]"), length($"text").cast("long")))
+      .withColumn("digit_ppm", ppm(charClassCount($"text", "[0-9]"), length($"text").cast("long")))
+      .withColumn("stopword_ppm", ppm(vocabHits($"toks", stopwords("en")), $"n_tokens"))
+      .withColumn("quality_ok",
+        $"alpha_ppm" >= 500000L && $"n_tokens" >= 5L && $"digit_ppm" <= 100000L)
+      .select($"doc_id", $"n_tokens", $"alpha_ppm", $"space_ppm", $"digit_ppm",
+        $"stopword_ppm", $"quality_ok")
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** Language-ID heuristic: CJK-codepoint check, then stopword-hit argmax
+    * with fixed precedence (en > de > fr > es). */
+  def q22LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("toks", tokens($"text"))
+      .withColumn("hits_en", vocabHits($"toks", stopwords("en")).cast("long"))
+      .withColumn("hits_de", vocabHits($"toks", stopwords("de")).cast("long"))
+      .withColumn("hits_fr", vocabHits($"toks", stopwords("fr")).cast("long"))
+      .withColumn("hits_es", vocabHits($"toks", stopwords("es")).cast("long"))
+      .withColumn("pred_lang",
+        when(hasCjk($"text"), "zh")
+          .when($"hits_en" >= $"hits_de" && $"hits_en" >= $"hits_fr" && $"hits_en" >= $"hits_es" && $"hits_en" > 0, "en")
+          .when($"hits_de" >= $"hits_fr" && $"hits_de" >= $"hits_es" && $"hits_de" > 0, "de")
+          .when($"hits_fr" >= $"hits_es" && $"hits_fr" > 0, "fr")
+          .when($"hits_es" > 0, "es")
+          .otherwise("unknown"))
+      .select($"doc_id", $"lang", $"pred_lang", $"hits_en", $"hits_de", $"hits_fr", $"hits_es")
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Exact content dedup by md5 hash-groupBy. */
+  def q23ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables(spark, dir).documents, "doc_id", "text")
+
+  // ---------------------------------------------------------------- q24
+  /** N-gram Jaccard near-dup pairs (word 3-grams, >= 0.8). */
+  def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "doc_id", "text",
+      n = 3, minJaccardPpm = 800000L)
+
+  // ---------------------------------------------------------------- q25
+  /** MinHash+LSH near-dup pairs (16 hashes, 4-row bands, verified). */
+  def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables(spark, dir).documents, "doc_id", "text",
+      n = 3, k = 16, bandSize = 4, minJaccardPpm = 800000L)
+
+  // ---------------------------------------------------------------- q26
+  /** SimHash near-dup pairs (48-bit, 12-bit bands, Hamming <= 8). */
+  def q26Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables(spark, dir).documents, "doc_id", "text", maxHamming = 8)
+
+  // ---------------------------------------------------------------- q30
+  /** Document fingerprinting: min-md5 over character 8-grams
+    * (winnowing-lite), grouped by source to spot template reuse. */
+  def q30Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("fp", fingerprint($"text"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_distinct_fp"),
+        min($"fp").as("min_fp")
+      )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_text_stats"    -> q20TextStats _,
+    "q21_quality_score" -> q21QualityScore _,
+    "q22_lang_id"       -> q22LangId _,
+    "q23_exact_dedup"   -> q23ExactDedup _,
+    "q24_ngram_jaccard" -> q24NgramJaccard _,
+    "q25_minhash_lsh"   -> q25MinhashLsh _,
+    "q26_simhash"       -> q26Simhash _,
+    "q30_fingerprint"   -> q30Fingerprint _
+  )
+
+  private val toksSql = """list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"""
+  private def vocabSql(lang: String): String =
+    stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(length(text) AS BIGINT) AS len_chars,
+         |  (length(text) = n_chars) AS chars_match,
+         |  CASE WHEN len(toks) = 0 THEN 0
+         |       ELSE CAST(list_sum(list_transform(toks, t -> length(t))) * 1000000 // len(toks) AS BIGINT)
+         |  END AS mean_tok_len_ppm
+         |FROM (SELECT doc_id, text, n_chars, $toksSql AS toks FROM documents)""".stripMargin,
+    "q21_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_t,
+         |  CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |  CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS n_space,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("en")}, x))) AS BIGINT) AS sw
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(CASE WHEN n_chars_t = 0 THEN 0 ELSE n_alpha * 1000000 // n_chars_t END AS BIGINT) AS alpha_ppm,
+         |  CAST(CASE WHEN n_chars_t = 0 THEN 0 ELSE n_space * 1000000 // n_chars_t END AS BIGINT) AS space_ppm,
+         |  CAST(CASE WHEN n_chars_t = 0 THEN 0 ELSE n_digit * 1000000 // n_chars_t END AS BIGINT) AS digit_ppm,
+         |  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE sw * 1000000 // n_tokens END AS BIGINT) AS stopword_ppm,
+         |  (CASE WHEN n_chars_t = 0 THEN 0 ELSE n_alpha * 1000000 // n_chars_t END >= 500000
+         |   AND n_tokens >= 5
+         |   AND CASE WHEN n_chars_t = 0 THEN 0 ELSE n_digit * 1000000 // n_chars_t END <= 100000) AS quality_ok
+         |FROM m""".stripMargin,
+    "q22_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, lang, text,
+         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("en")}, x))) AS BIGINT) AS hits_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("de")}, x))) AS BIGINT) AS hits_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("fr")}, x))) AS BIGINT) AS hits_fr,
+         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("es")}, x))) AS BIGINT) AS hits_es
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+         |       WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+         |       WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+         |       WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+         |       WHEN hits_es > 0 THEN 'es'
+         |       ELSE 'unknown' END AS pred_lang,
+         |  hits_en, hits_de, hits_fr, hits_es
+         |FROM h""".stripMargin,
+    "q23_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q24_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles FROM tok),
+         |ex AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n, unnest(shingles) AS s FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
+         |    any_value(a.n) AS n1, any_value(b.n) AS n2
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, shared, CAST(shared * 1000000 // (n1 + n2 - shared) AS BIGINT) AS jaccard_ppm
+         |FROM pairs WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin,
+    "q25_minhash_lsh" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles FROM tok
+         |  ),
+         |sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |sig AS (SELECT doc_id, shingles,
+         |  list_transform(generate_series(0, 15), i ->
+         |    list_min(list_transform(shingles, s ->
+         |      CAST(CAST(concat('0x', substr(md5(concat(s, '#', CAST(i AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)))) AS mh
+         |  FROM sh2),
+         |bands AS (SELECT doc_id, shingles, b.band_idx, md5(concat_ws('|',
+         |    CAST(mh[b.band_idx*4+1] AS VARCHAR), CAST(mh[b.band_idx*4+2] AS VARCHAR),
+         |    CAST(mh[b.band_idx*4+3] AS VARCHAR), CAST(mh[b.band_idx*4+4] AS VARCHAR))) AS band_hash
+         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_bands,
+         |    any_value(a.shingles) AS sh1, any_value(b.shingles) AS sh2
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |v AS (SELECT d1, d2, n_shared_bands,
+         |    CAST(len(list_intersect(sh1, sh2)) AS BIGINT) AS shared,
+         |    CAST(len(sh1) AS BIGINT) AS n1, CAST(len(sh2) AS BIGINT) AS n2
+         |  FROM cand)
+         |SELECT d1, d2, n_shared_bands, shared,
+         |  CAST(shared * 1000000 // (n1 + n2 - shared) AS BIGINT) AS jaccard_ppm
+         |FROM v WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin,
+    "q26_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |hs AS (SELECT doc_id,
+         |  list_transform(toks, t ->
+         |    CAST(CAST(concat('0x', substr(md5(t), 1, 12)) AS UBIGINT) AS BIGINT)) AS hashes
+         |  FROM tok),
+         |sg AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
+         |    CASE WHEN list_sum(list_transform(hashes, h ->
+         |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM hs),
+         |bands AS (SELECT doc_id, sig, b.band_idx, (sig >> (b.band_idx*12)) & 4095 AS band_val
+         |  FROM sg, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    any_value(a.sig) AS sig1, any_value(b.sig) AS sig2
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, sig1, sig2, CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sig1, sig2)) <= 8""".stripMargin,
+    "q30_fingerprint" ->
+      """WITH fp AS (SELECT source,
+        |  list_min(list_transform(generate_series(1, greatest(length(text)-7, 1)),
+        |            i -> md5(substr(text, i, 8)))) AS fp
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp, min(fp) AS min_fp
+        |FROM fp GROUP BY source""".stripMargin
+  )
+}

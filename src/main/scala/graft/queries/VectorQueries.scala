@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Similarity
+
+/** Similarity-search queries over the `embeddings` table (64-dim float
+  * vectors). Quantized-integer arithmetic (see [[Similarity]]) makes
+  * the cosine scores — and thus rankings — bit-identical to the DuckDB
+  * oracle.
+  */
+object VectorQueries {
+
+  /** Shared quantization SQL for the oracles. */
+  private val qvecSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+
+  // ---------------------------------------------------------------- q27
+  /** Brute-force exact cosine top-5 for the first 20 vectors as queries —
+    * the ANN correctness baseline. */
+  def q27CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.bruteForceTopK(
+      Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isQuery = $"vec_id" < 20, k = 5)
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** Random-hyperplane LSH ANN (8 planes → 256 buckets): the 100 TB scale
+    * path — candidates come from a signature equi-join, not a cross
+    * product. */
+  def q28LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.lshTopK(
+      Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isQuery = $"vec_id" < 20, k = 5, nPlanes = 8, dims = 64)
+  }
+
+  // ---------------------------------------------------------------- q29
+  /** Per-label embedding statistics on exact quantized norms. */
+  def q29EmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.quantized(Tables(spark, dir).embeddings, "embedding")
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum($"qnorm2").as("sum_qnorm2"),
+        min($"qnorm2").as("min_qnorm2"),
+        max($"qnorm2").as("max_qnorm2")
+      )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_cosine_topk"     -> q27CosineTopK _,
+    "q28_lsh_ann"         -> q28LshAnn _,
+    "q29_embedding_stats" -> q29EmbeddingStats _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q27_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+         |n AS (SELECT vec_id, qvec,
+         |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
+         |    a.qnorm2 AS qn, b.qnorm2 AS cn
+         |  FROM n a, n b WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT query_id, cand_id, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+         |  FROM pairs),
+         |r AS (SELECT query_id, cand_id, dot, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, cand_id, rank, dot, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rank <= 5""".stripMargin,
+    "q28_lsh_ann" ->
+      s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+         |n AS (SELECT vec_id, qvec,
+         |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q),
+         |sg AS (SELECT vec_id, qvec, qnorm2,
+         |  CAST(list_sum(list_transform(generate_series(0, 7), p ->
+         |    CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64), i ->
+         |           qvec[i] * (CAST(CAST(concat('0x', substr(md5(concat('plane', CAST(p AS VARCHAR), '_', CAST(i-1 AS VARCHAR))), 1, 15)) AS UBIGINT) % 2001 AS BIGINT) - 1000))) AS BIGINT) >= 0
+         |         THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM n),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, a.sig AS sig, b.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
+         |    a.qnorm2 AS qn, b.qnorm2 AS cn
+         |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20),
+         |scored AS (SELECT query_id, sig, cand_id, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+         |  FROM pairs),
+         |r AS (SELECT query_id, sig, cand_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, sig, cand_id, rank, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rank <= 5""".stripMargin,
+    "q29_embedding_stats" ->
+      s"""WITH q AS (SELECT label, $qvecSql AS qvec FROM embeddings),
+         |n AS (SELECT label, CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q)
+         |SELECT label, count(*) AS n_vectors,
+         |  CAST(sum(qnorm2) AS BIGINT) AS sum_qnorm2,
+         |  min(qnorm2) AS min_qnorm2, max(qnorm2) AS max_qnorm2
+         |FROM n GROUP BY label""".stripMargin
+  )
+}
