@@ -1,0 +1,226 @@
+package graft.cometbft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import graft.cometbft.ProtoWire._
+
+/** Deterministic synthetic 4-node CometBFT log fixtures, shaped per
+  * `types/raws.go` and the reference's `example-logs/` scenario layout
+  * (FIXTURES.md §1): each node file opens with `P2P Node ID` and
+  * `This node is a validator`, then emits consensus rounds with step
+  * transitions, votes (send + receive with proto wire bytes), block parts,
+  * timeouts, and committed blocks. Node 0 is the "slow node"
+  * (`example-logs/node0-has-long-duration-config/diff.diff`): its step
+  * latencies are 10x the others — the acceptance scenario is finding it.
+  *
+  * Deterministic: fixed seed derived per (node, height, round); no wall
+  * clock.
+  */
+object Fixtures {
+
+  private val nodeIds = Seq(
+    "aaaa000000000000000000000000000000000001",
+    "bbbb000000000000000000000000000000000002",
+    "cccc000000000000000000000000000000000003",
+    "dddd000000000000000000000000000000000004")
+  private val valAddrs = Seq(
+    "1111111111111111111111111111111111111111",
+    "2222222222222222222222222222222222222222",
+    "3333333333333333333333333333333333333333",
+    "4444444444444444444444444444444444444444")
+
+  private val t0Nanos = Instant.parse("2025-06-08T01:00:00Z").getEpochSecond * 1000000000L
+
+  private def fmtTs(ns: Long): String = {
+    val i = Instant.ofEpochSecond(ns / 1000000000L, ns % 1000000000L)
+    // RFC3339Nano with µs precision like CometBFT logs
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(i)
+  }
+
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c    => c.toString
+    }
+
+  private def line(msg: String, ts: Long, fields: (String, Any)*): String = {
+    val kv = (Seq("_msg" -> msg, "ts" -> fmtTs(ts), "module" -> "consensus",
+      "level" -> "debug") ++ fields).map {
+      case (k, v: String)  => s""""$k":"${jsonEsc(v)}""""
+      case (k, v: Long)    => s""""$k":$v"""
+      case (k, v: Int)     => s""""$k":$v"""
+      case (k, v: Boolean) => s""""$k":$v"""
+      case (k, v)          => s""""$k":"${jsonEsc(v.toString)}""""
+    }
+    kv.mkString("{", ",", "}")
+  }
+
+  private def hexStr(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+  private def b64(b: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(b)
+
+  private def blockHash(h: Long): String = f"B${h}%038d".take(40)
+  private def psHash(h: Long): String = f"C${h}%038d".take(40)
+
+  // Deterministic wire payloads — IDENTICAL bytes on the sender's Send line
+  // and every receiver's Received-bytes line, so raw-hash matching (J4) and
+  // key pairing (J1-J3) line up across node files like real gossip traffic.
+  private def voteMsg(tpe: Int, h: Long, sender: Int): Array[Byte] =
+    encodeConsensusMessage(Vote(tpe, h, 0,
+      BlockID(blockHash(h).getBytes, PartSetHeader(1, psHash(h).getBytes)),
+      t0Nanos + h * 1000000000L + sender * 1000000L + tpe,
+      valAddrs(sender).getBytes, sender, Array[Byte](7, 7)))
+  private def proposalMsg(h: Long): Array[Byte] =
+    encodeConsensusMessage(Proposal(32, h, 0, -1,
+      BlockID(blockHash(h).getBytes, PartSetHeader(1, psHash(h).getBytes)),
+      t0Nanos + h * 1000000000L, Array[Byte](9, 9, 9)))
+  private def blockPartMsg(h: Long): Array[Byte] =
+    encodeConsensusMessage(BlockPart(h, 0, 0, Array[Byte](1, 2, 3, 4)))
+
+  /** One node's log lines for `heights` consensus heights. */
+  def nodeLog(node: Int, heights: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val slow = if (node == 0) 10L else 1L // node0 is the slow node
+    val me = nodeIds(node)
+    out += line("P2P Node ID", t0Nanos + node * 1000L, "ID" -> me, "file" -> s"node$node/key.json")
+    out += line("This node is a validator", t0Nanos + node * 1000L + 500L,
+      "addr" -> valAddrs(node), "pubKey" -> s"PUB${node}==")
+
+    var ts = t0Nanos + 1000000000L + node * 2000000L
+    for (h <- 1L to heights.toLong) {
+      val round = 0L
+      val proposer = valAddrs((h % 4).toInt)
+      val stepGap = 50000000L * slow // 50ms (500ms for node0)
+      out += line("Entering new round", ts, "current" -> s"$h/0/RoundStepNewHeight",
+        "previous" -> s"${h - 1}/0/RoundStepCommit", "proposer" -> proposer,
+        "height" -> h, "round" -> round)
+      ts += stepGap
+      val ourTurn = (h % 4).toInt == node
+      out += line(
+        if (ourTurn) "Propose step; our turn to propose" else "Propose step; not our turn to propose",
+        ts, "height" -> h, "round" -> round, "proposer" -> proposer)
+      ts += stepGap
+      // proposal + block-part broadcast from the proposer; receipt elsewhere
+      if (ourTurn) {
+        for (peer <- 0 until 4 if peer != node) {
+          out += line("Send", ts, "channel" -> 0x21L, "conn" -> "MConn{pipe}",
+            "msgBytes" -> hexStr(proposalMsg(h)),
+            "peer" -> s"${nodeIds(peer)}@10.0.0.$peer:26656")
+          ts += 1000000L
+          out += line("Send", ts, "channel" -> 0x21L, "conn" -> "MConn{pipe}",
+            "msgBytes" -> hexStr(blockPartMsg(h)),
+            "peer" -> s"${nodeIds(peer)}@10.0.0.$peer:26656")
+          ts += 1000000L
+        }
+      } else {
+        val proposerNode = (h % 4).toInt
+        out += line("Received proposal", ts,
+          "proposal" -> s"Proposal{$h/$round (${blockHash(h)}:1:${psHash(h)}, -1) 090909 @ ${fmtTs(ts)}}",
+          "proposer" -> proposer)
+        ts += 1000000L
+        out += line("Received bytes", ts, "chID" -> 0x21L,
+          "msgBytes" -> b64(proposalMsg(h)),
+          "peer" -> s"${nodeIds(proposerNode)}@10.0.0.$proposerNode:26656")
+        ts += 1000000L
+        out += line("Received bytes", ts, "chID" -> 0x21L,
+          "msgBytes" -> b64(blockPartMsg(h)),
+          "peer" -> s"${nodeIds(proposerNode)}@10.0.0.$proposerNode:26656")
+        ts += 1000000L
+        out += line("Received complete proposal block", ts, "hash" -> blockHash(h), "height" -> h)
+      }
+      ts += stepGap
+      out += line("Entering prevote step", ts, "current" -> s"$h/0/RoundStepPropose",
+        "height" -> h, "round" -> round)
+      ts += stepGap
+      // send my prevote to all peers; receive peers' prevotes
+      for (peer <- 0 until 4 if peer != node) {
+        out += line("Send", ts, "channel" -> 0x22L, "conn" -> "MConn{pipe}",
+          "msgBytes" -> hexStr(voteMsg(1, h, node)),
+          "peer" -> s"${nodeIds(peer)}@10.0.0.$peer:26656")
+        ts += 500000L
+      }
+      for (peer <- 0 until 4 if peer != node) {
+        out += line("Received bytes", ts, "chID" -> 0x22L,
+          "msgBytes" -> b64(voteMsg(1, h, peer)),
+          "peer" -> s"${nodeIds(peer)}@10.0.0.$peer:26656")
+        ts += 700000L
+      }
+      ts += stepGap
+      out += line("Entering precommit step", ts, "current" -> s"$h/0/RoundStepPrevote",
+        "height" -> h, "round" -> round)
+      ts += stepGap
+      for (peer <- 0 until 4 if peer != node) {
+        out += line("Send", ts, "channel" -> 0x22L, "conn" -> "MConn{pipe}",
+          "msgBytes" -> hexStr(voteMsg(2, h, node)),
+          "peer" -> s"${nodeIds(peer)}@10.0.0.$peer:26656")
+        ts += 500000L
+      }
+      for (peer <- 0 until 4 if peer != node) {
+        out += line("Received bytes", ts, "chID" -> 0x22L,
+          "msgBytes" -> b64(voteMsg(2, h, peer)),
+          "peer" -> s"${nodeIds(peer)}@10.0.0.$peer:26656")
+        ts += 700000L
+      }
+      // an occasional timeout (every 3rd height; node0 every height)
+      if (h % 3 == 0 || node == 0) {
+        out += line("Scheduled timeout", ts, "dur" -> (if (node == 0) "3s" else "1s"),
+          "height" -> h, "round" -> round, "step" -> "prevote")
+        ts += 2000000L
+      }
+      ts += stepGap
+      out += line("Entering commit step", ts, "current" -> s"$h/0/RoundStepPrecommit",
+        "height" -> h, "round" -> round)
+      ts += stepGap
+      val block =
+        s"""Block{
+           |  Header{
+           |    Version:        {11 0}
+           |    ChainID:        graft-test
+           |    Height:         $h
+           |    Time:           ${fmtTs(ts)}
+           |    LastBlockID:    ${blockHash(h - 1)}:1:${psHash(h - 1)}
+           |    LastCommit:     AA11
+           |    Data:           BB22
+           |    Validators:     CC33
+           |    NextValidators: DD44
+           |    App:            EE55
+           |    Consensus:      FF66
+           |    Results:        AB12
+           |    Evidence:       CD34
+           |    Proposer:       $proposer
+           |  }#${blockHash(h)}
+           |  Data{
+           |    0102030405 (5 bytes)
+           |  }#BB22
+           |  EvidenceData{
+           |  }#CD34
+           |  Commit{
+           |    Height:     $h
+           |    Round:      0
+           |    BlockID:    ${blockHash(h)}:1:${psHash(h)}
+           |    Signatures:
+           |      CommitSig{ABCD by ${valAddrs(0)} on 2 @ ${fmtTs(ts)}}
+           |      CommitSig{absent}
+           |  }#AA11
+           |}#${blockHash(h)}""".stripMargin
+      out += line("Committed block", ts, "block" -> block, "height" -> h)
+      ts += stepGap
+    }
+    out.toSeq
+  }
+
+  /** Write a 4-node fixture directory; returns the dir path. */
+  def writeScenario(dir: String, heights: Int = 5): String = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    for (n <- 0 until 4) {
+      Files.write(p.resolve(s"node${n}_cometbft.log"),
+        nodeLog(n, heights).mkString("\n").getBytes("UTF-8"))
+    }
+    dir
+  }
+}

@@ -1,0 +1,121 @@
+package graft.cometbft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CometBFT NDJSON log ingestion (SURVEY.md §2.1 S1-S6, §2.2 P1-P3, P7).
+  *
+  * `spark.read.text` over the dir's `.log` glob replaces the per-file scanner
+  * loop (`internal/app/app.go:25-66`) — the text source has no 64 MB line
+  * limit and parallelizes by file split. The `_msg` peek + case-insensitive
+  * dispatch (`internal/parser/dispatcher.go:69-97`) becomes a
+  * `get_json_object` + `lower()` + one permissive `from_json` over the
+  * union schema of all 22 raw message shapes (`types/raws.go`) — Catalyst
+  * prunes unused fields per downstream query.
+  */
+object LogIngest {
+
+  /** Union schema of the raw typed structs (`types/raws.go:7-283`).
+    * `chID` (ReceivedBytes) is fetched via case-sensitive
+    * `get_json_object` because it collides case-insensitively with
+    * `chId` (Receive). */
+  val rawUnionSchema: StructType = StructType(Seq(
+    StructField("ts", StringType),
+    StructField("module", StringType),
+    StructField("level", StringType),
+    StructField("addr", StringType),
+    StructField("pubKey", StringType),
+    StructField("current", StringType),
+    StructField("previous", StringType),
+    StructField("proposer", StringType),
+    StructField("height", LongType),
+    StructField("round", LongType),
+    StructField("hash", StringType),
+    StructField("cs_height", LongType),
+    StructField("extLen", LongType),
+    StructField("extSigLen", LongType),
+    StructField("val_index", LongType),
+    StructField("vote_height", LongType),
+    StructField("vote_type", StringType),
+    StructField("vote", StringType),
+    StructField("prevotes", StringType),
+    StructField("data", StringType),
+    StructField("validator", StringType),
+    StructField("vote_timestamp", StringType),
+    StructField("last_commit", StringType),
+    StructField("src", StringType),
+    StructField("msgBytes", StringType),
+    StructField("peer", StringType),
+    StructField("conn", StringType),
+    StructField("packet", StructType(Seq(
+      StructField("channel_id", LongType),
+      StructField("eof", BooleanType),
+      StructField("data", StringType)))),
+    StructField("channel", LongType),
+    StructField("count", LongType),
+    StructField("from", StringType),
+    StructField("index", LongType),
+    StructField("total", LongType),
+    StructField("dur", StringType),
+    StructField("step", StringType),
+    StructField("proposal", StringType),
+    StructField("num_txs", LongType),
+    StructField("root", StringType),
+    StructField("block", StringType)
+  ))
+
+  /** Raw parsed lines: one row per dispatchable log line, with
+    * `src_file`, `msg_lc` (lowercased `_msg`), `ch_id` and `node_id_raw` /
+    * `validator_addr_raw` side-channel fields, and the union-schema
+    * `r` struct.
+    *
+    * Filters applied exactly as the reference dispatcher:
+    *   P1 drop lines without `_msg` (`dispatcher.go:71-77`)
+    *   P2 drop "with invalid args" (`dispatcher.go:80-83`)
+    */
+  def readRaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read
+      .textFile(s"$dir/*.log")
+      .select(
+        input_file_name().as("src_file"),
+        col("value")
+      )
+      .withColumn("msg_raw", get_json_object($"value", "$._msg"))
+      .filter($"msg_raw".isNotNull)
+      .withColumn("msg_lc", lower($"msg_raw"))
+      .filter(!$"msg_lc".contains("with invalid args"))
+      .withColumn("r", from_json($"value", rawUnionSchema))
+      .withColumn("ch_id", get_json_object($"value", "$.chID").cast("long"))
+      .withColumn("node_id_raw",
+        when($"msg_lc" === "p2p node id", get_json_object($"value", "$.ID")))
+      .withColumn("validator_addr_raw",
+        when($"msg_lc" === "this node is a validator", get_json_object($"value", "$.addr")))
+  }
+
+  /** P7 metadata attach (`app.go:77-86,103-108`): per-file nodeID and
+    * validatorAddress broadcast-joined onto every row of that file;
+    * files missing either value fail fast with the file name
+    * (the reference aborts the whole run, `app.go:97-99`). */
+  def attachMetadata(raw: DataFrame): DataFrame = {
+    val meta = raw
+      .groupBy(col("src_file"))
+      .agg(
+        min(col("node_id_raw")).as("node_id"),
+        min(col("validator_addr_raw")).as("validator_address")
+      )
+    val bad = meta
+      .filter(col("node_id").isNull || col("validator_address").isNull)
+      .select(col("src_file"))
+      .limit(1)
+      .collect()
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"node ID or validator address not found in ${bad.head.getString(0)}")
+    raw.join(broadcast(meta), Seq("src_file"))
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    attachMetadata(readRaw(spark, dir))
+}

@@ -1,0 +1,50 @@
+package graft.cometbft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end CometBFT ETL pipeline — the Spark-native equivalent of the
+  * reference's `main()` (§3.1): read log dir → normalize → write `events` →
+  * run enabled analytics → write each result table under the simulation's
+  * warehouse prefix (the reference's db-per-simulation, S9,
+  * `internal/storage/mongo.go:40-50`).
+  *
+  * The events table is materialized ONCE (parquet) and each analytic reads
+  * from it — mirroring the reference's "store events, then dispatch to
+  * plugins" boundary while letting each analytic job prune columns and push
+  * filters into its own scan.
+  */
+object Pipeline {
+
+  def run(spark: SparkSession, logDir: String, warehouse: String,
+          analytics: Seq[Analytic] = Analytics.all): Map[String, Long] = {
+    val raw    = LogIngest.read(spark, logDir)
+    val events = Normalize.normalize(raw)
+
+    val eventsPath = s"$warehouse/events"
+    events
+      .orderBy(col("ts_ns")) // O1: global event-time order for the stored stream
+      .write.mode("overwrite").parquet(eventsPath)
+
+    val stored = spark.read.parquet(eventsPath)
+    val counts = scala.collection.mutable.Map[String, Long](
+      "events" -> stored.count())
+    analytics.foreach { a =>
+      a.run(stored).foreach { case (table, df) =>
+        val path = s"$warehouse/$table"
+        df.write.mode("overwrite").parquet(path)
+        counts(table) = spark.read.parquet(path).count()
+      }
+    }
+    counts.toMap
+  }
+
+  /** CLI: graft.cometbft.Pipeline <logDir> <warehouseDir> */
+  def main(args: Array[String]): Unit = {
+    val Array(logDir, out) = args.take(2)
+    val spark = graft.GraftSession.get()
+    val counts = Pipeline.run(spark, logDir, out)
+    counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"$t: $n rows") }
+    spark.stop()
+  }
+}

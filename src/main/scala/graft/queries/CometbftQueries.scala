@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cometbft.{Fixtures, Pipeline}
+
+/** CometBFT pipeline exposure for the driver's Verify harness.
+  *
+  * The log-ETL surface (ingest -> normalize -> 9 analytics) has no
+  * DuckDB-SQL equivalent — its inputs are NDJSON logs with protobuf
+  * payloads, not the sf parquet tables — so these entries are deliberately
+  * oracle-less: the driver records rows-only checks, and the real
+  * correctness gate is the ScalaTest suite (ParsersSpec + PipelineSpec,
+  * incl. the slow-node acceptance scenario).
+  */
+object CometbftQueries {
+
+  /** One fixture warehouse per JVM, built on first access, shared by all
+    * entries (Verify calls each query once). */
+  private val lock = new Object
+  @volatile private var built: Option[String] = None
+
+  private def builtWarehouse(spark: SparkSession): String = lock.synchronized {
+    built.getOrElse {
+      val logDir = java.nio.file.Files.createTempDirectory("graft-cometbft-logs").toString
+      val wh     = java.nio.file.Files.createTempDirectory("graft-cometbft-wh").toString
+      Fixtures.writeScenario(logDir, heights = 4)
+      Pipeline.run(spark, logDir, wh)
+      built = Some(wh)
+      wh
+    }
+  }
+
+  def q40ConsensusTiming(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${builtWarehouse(spark)}/consensus_timing")
+      .select("node_id", "height", "round", "total_round_time_ms")
+
+  def q41VoteLatencies(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${builtWarehouse(spark)}/vote_latencies")
+      .select("height", "round", "val_idx", "sender", "receiver", "latency_ms")
+
+  def q42NetworkLatency(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${builtWarehouse(spark)}/network_latency_nodepair_summary")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cometbft_consensus_timing" -> q40ConsensusTiming _,
+    "q41_cometbft_vote_latencies"   -> q41VoteLatencies _,
+    "q42_cometbft_network_latency"  -> q42NetworkLatency _
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

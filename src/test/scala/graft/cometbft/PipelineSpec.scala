@@ -1,0 +1,114 @@
+package graft.cometbft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end: fixture logs → ingest → normalize → all 9 analytics.
+  * The acceptance scenario mirrors the reference's example-logs: node0 is
+  * configured slow (10x step latencies) and the consensus_timing output
+  * must expose it. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val warehouse: String = {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-logs").toString
+    val wh     = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    Fixtures.writeScenario(logDir, heights = 5)
+    Pipeline.run(spark, logDir, wh)
+    wh
+  }
+
+  private def t(name: String) = spark.read.parquet(s"$warehouse/$name")
+
+  test("events are produced for every family") {
+    val byType = t("events").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.keySet.contains("entering_new_round"))
+    assert(byType.keySet.contains("entering_prevote_step"))
+    assert(byType.keySet.contains("propose_step"))
+    assert(byType.keySet.contains("send_vote"))
+    assert(byType.keySet.contains("receive_packet_vote"))
+    assert(byType.keySet.contains("receive_packet_block_part"))
+    assert(byType.keySet.contains("send_proposal"))
+    assert(byType.keySet.contains("committed_block"))
+    assert(byType.keySet.contains("scheduled_timeout"))
+    assert(byType.keySet.contains("received_proposal"))
+    // 4 nodes x 5 heights
+    assert(byType("entering_new_round") == 20L)
+    assert(byType("committed_block") == 20L)
+    // each node sends prevote+precommit to 3 peers per height
+    assert(byType("send_vote") == 4L * 5 * 6)
+  }
+
+  test("metadata attach: every event carries node_id and validator_address") {
+    assert(t("events").filter(col("node_id").isNull || col("validator_address").isNull).count() == 0L)
+  }
+
+  test("vote latency pairing produces confirmed pairs with positive latency") {
+    val vl = t("vote_latencies")
+    assert(vl.count() > 0)
+    assert(vl.filter(col("latency_ms") < 0).count() == 0L)
+  }
+
+  test("p2p message confirmation covers votes") {
+    val p2p = t("p2p_messages")
+    assert(p2p.filter(col("msg_family") === "vote").count() > 0)
+  }
+
+  test("consensus timing exposes the slow node (acceptance scenario)") {
+    val avgByNode = t("consensus_timing")
+      .groupBy("node_id").agg(avg(col("total_round_time_ms")).as("avg_ms"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val slow   = avgByNode.keys.find(_.startsWith("aaaa")).get
+    val others = avgByNode.filter(!_._1.startsWith("aaaa")).values
+    assert(avgByNode(slow) > others.max * 3,
+      s"slow node not detected: $avgByNode")
+  }
+
+  test("consensus timing has step durations in canonical order") {
+    val row = t("consensus_timing").filter(col("height") === 2L).limit(1).collect().head
+    val durs = row.getMap[String, Long](row.fieldIndex("step_durations_ms"))
+    assert(durs.nonEmpty)
+    assert(durs.keys.exists(_.contains("_to_")))
+  }
+
+  test("timeout analysis: node0 has timeouts every height and clusters") {
+    val ta = t("timeout_analysis")
+    val node0 = ta.filter(col("node_id").startsWith("aaaa")).collect().head
+    assert(node0.getLong(node0.fieldIndex("total_timeouts")) == 5L)
+    assert(t("timeout_clusters").count() >= 1)
+  }
+
+  test("network latency: measurements and five tables exist") {
+    assert(t("network_latency_measurements").count() > 0)
+    assert(t("network_latency_node_stats").count() == 4L)
+    assert(t("network_latency_global_stats").count() == 1L)
+    val hist = t("network_latency_nodepair_summary")
+    assert(hist.filter(col("msg_type") === "overall").count() > 0)
+  }
+
+  test("validator participation: all four validators participate") {
+    val vp = t("validator_participation")
+    assert(vp.select(countDistinct(col("validator_address"))).collect().head.getLong(0) == 4L)
+    assert(vp.filter(col("participated_prevote") && col("participated_precommit")).count() > 0)
+  }
+
+  test("tracer events: union of consensus + p2p, time-ordered") {
+    val te = t("tracer_events")
+    assert(te.filter(col("stream") === "consensus").count() > 0)
+    assert(te.filter(col("stream") === "p2p").count() > 0)
+  }
+
+  test("block parser results flow into committed_block events") {
+    val cb = t("events").filter(col("event_type") === "committed_block")
+      .select(col("block.chainId"), col("block.txsHex"))
+    assert(cb.filter(col("chainId") === "graft-test").count() == 20L)
+  }
+}
