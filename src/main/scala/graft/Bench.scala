@@ -1,25 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR at local[N] and prints ONE JSON line.
+  *
+  * Headline set = the relational + operator + training-data queries that
+  * scale with the sf tables. The CometBFT fixture pipeline is excluded —
+  * it benchmarks fixture generation, not engine throughput (it has its own
+  * E2E suite).
+  */
 object Bench {
+
+  /** Queries whose cost scales with the sf tables. */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q2_filter_project", "q3_shipping_priority",
+    "q4_region_rollup", "q5_order_sequence", "q6_top_customers",
+    "q7_distinct_agg", "q8_union_parties", "q9_customers_no_orders",
+    "q10_priority_buckets",
+    "q11_fifo_pairing", "q12_sessions", "q13_exact_percentiles",
+    "q14_step_transitions", "q15_dup_keys", "q16_recovery_flag",
+    "q17_json_props", "q18_last_send_first_receive",
+    "q20_text_stats", "q21_quality_score", "q22_lang_id", "q23_exact_dedup",
+    "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q30_fingerprint",
+    "q27_cosine_topk", "q28_lsh_ann", "q29_embedding_stats")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val all = SparkEntry.queries
+    // JVM + codegen warmup on a cheap query so the first timed entry isn't
+    // charged for session bring-up.
+    try all("q1_pricing_summary")(spark, sfDir).count()
+    catch { case _: Throwable => }
+
+    val results = headline.flatMap { name =>
+      all.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -28,6 +28,28 @@ object Dedup {
   def withShingles(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.withColumn("shingles", array_distinct(wordShingles(tokens(col(textCol)), n)))
 
+  /** Relational shingle table: one row per DISTINCT (id, shingle), plus the
+    * doc's distinct-shingle count. posexplode + window `lead`s instead of a
+    * higher-order transform chain: HOFs run interpreted (no codegen) and
+    * profile ~6x slower per row; the window formulation stays inside
+    * whole-stage codegen and its shuffle on `id` is reused by the
+    * downstream per-doc aggregations. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc").orderBy("pos")
+    val withLeads = (1 until n).foldLeft(toks) { case (d, i) =>
+      d.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    }
+    val shingle = concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)
+    withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc"), shingle.as("s"))
+      .distinct()
+      .withColumn("n_shingles",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc")))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join: explode
     * shingles, self-join on shingle (candidate generation bounded by
     * co-occurrence), then exact set Jaccard in scaled-integer ppm.
@@ -37,10 +59,7 @@ object Dedup {
     * (a stop-shingle list); not needed at bench scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, minJaccardPpm: Long): DataFrame = {
-    val sh = withShingles(df, textCol, n)
-      .select(col(idCol).as("doc"), col("shingles"))
-      .withColumn("n_shingles", size(col("shingles")).cast("long"))
-    val ex = sh.select(col("doc"), col("n_shingles"), explode(col("shingles")).as("s"))
+    val ex = shingleTable(df, idCol, textCol, n)
     val a  = ex.select(col("doc").as("d1"), col("n_shingles").as("n1"), col("s"))
     val b  = ex.select(col("doc").as("d2"), col("n_shingles").as("n2"), col("s"))
     a.join(b, Seq("s"))
@@ -52,42 +71,62 @@ object Dedup {
       .select(col("d1"), col("d2"), col("shared"), col("jaccard_ppm"))
   }
 
-  /** MinHash signature column: `k` 60-bit min-hashes over the distinct
-    * shingle set, using salted md5 as the hash family (portable, no
-    * mod-multiply overflow). Input must have a `shingles` column. */
-  def withMinhashSignature(df: DataFrame, k: Int): DataFrame =
-    df.withColumn(
-      "minhash",
-      transform(
-        sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(col("shingles"), s => hash60(concat(s, lit("#"), i))))
+  /** Universal-hash MinHash family: ONE md5 per shingle (31-bit base hash),
+    * then `k` cheap integer permutations `(a_i*h + b_i) mod (2^31-1)`.
+    * Constants are deterministic so the DuckDB oracle can inline them. */
+  val MinhashP: Long = 2147483647L // 2^31 - 1
+  def minhashA(i: Int): Long = ((2L * i + 1) * 2654435761L % MinhashP) | 1L
+  def minhashB(i: Int): Long = (i + 1L) * 40503L * 65537L % MinhashP
+
+  /** 31-bit md5-derived base hash (8 hex digits, sign bit cleared). */
+  def hash31(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long").bitwiseAND(lit(0x7fffffffL))
+
+  /** MinHash signature column: `k` min-hashes over the distinct shingle
+    * set. One fold over the base-hash array (md5 per shingle computed
+    * exactly once — the array is referenced a single time, so projection
+    * collapse can't re-inline it k times). */
+  def withMinhashSignature(df: DataFrame, k: Int): DataFrame = {
+    val as = typedlit((0 until k).map(minhashA))
+    val bs = typedlit((0 until k).map(minhashB))
+    df.withColumn("base_hashes", transform(col("shingles"), s => hash31(s)))
+      .withColumn(
+        "minhash",
+        aggregate(
+          col("base_hashes"),
+          array_repeat(lit(Long.MaxValue), k),
+          (acc, h) =>
+            zip_with(acc, sequence(lit(0), lit(k - 1)),
+              (m, i) => least(m, (element_at(as, i + 1) * h + element_at(bs, i + 1)) % MinhashP))
+        )
       )
-    )
+      .drop("base_hashes")
+  }
 
   /** MinHash + LSH near-dup candidates: signatures are cut into
     * `k / bandSize` bands; docs sharing any band hash become candidates;
     * candidates are verified with exact Jaccard (no false positives
-    * survive). The band join is the only wide operation and its key space
-    * (band idx, band hash) is uniform by construction.
+    * survive). Fully relational single pass: the k min-hashes are k plain
+    * `min()` aggregates over the exploded shingle table (codegen'd,
+    * map-side combined) — no per-row lambda folds — and the shingle set
+    * for verification is collected in the same aggregation.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bandSize: Int, minJaccardPpm: Long): DataFrame = {
-    val sh  = withShingles(df, textCol, n)
-      .select(col(idCol).as("doc"), col("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val sig = withMinhashSignature(sh, k)
+    val ex = shingleTable(df, idCol, textCol, n)
+      .withColumn("h31", hash31(col("s")))
+    val sig = ex.groupBy(col("doc"))
+      .agg(
+        collect_set(col("s")).as("shingles"),
+        (0 until k).map(i =>
+          min((lit(minhashA(i)) * col("h31") + lit(minhashB(i))) % MinhashP).as(s"mh$i")): _*)
+    val bandCols = (0 until k / bandSize).map { bIdx =>
+      md5(concat_ws("|",
+        (0 until bandSize).map(j => col(s"mh${bIdx * bandSize + j}").cast("string")): _*))
+    }
     val bands = sig.select(
-      col("doc"),
-      col("shingles"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(k / bandSize - 1)),
-          b =>
-            md5(concat_ws("|",
-              transform(slice(col("minhash"), b * bandSize + 1, lit(bandSize)), v => v.cast("string"))))
-        )
-      ).as(Seq("band_idx", "band_hash"))
-    )
+      col("doc"), col("shingles"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc").as("d1"), col("shingles").as("sh1"))
     val b = bands.select(col("band_idx"), col("band_hash"), col("doc").as("d2"), col("shingles").as("sh2"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
@@ -105,15 +144,17 @@ object Dedup {
 
   /** SimHash (48-bit) over the token multiset: per bit, tokens vote
     * +1/−1 by their hash bit; the sign of the vote sets the bit.
-    * Computed bit-parallel as a single Column expression (aggregate over
-    * the token array — no row explosion, codegen-friendly). */
+    * One fold over the token-hash array accumulating all 48 bit counters —
+    * md5 per token is computed exactly once (a per-bit formulation would
+    * re-inline the hash array into 48 aggregates and recompute md5 48x). */
   def simhash48(toks: Column): Column = {
     val hashes = transform(toks, t => hash48(t))
-    val bitSums = transform(
-      sequence(lit(0), lit(47)),
-      b =>
-        aggregate(hashes, lit(0L),
-          (acc, h) => acc + when(shr(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0L), 48),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(47)),
+          (a, b) => a + when(shr(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
     )
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(47)), (s, b) => when(s > 0, shl(lit(1L), b)).otherwise(0L)),
@@ -123,10 +164,22 @@ object Dedup {
   }
 
   /** SimHash LSH near-dup pairs: 48-bit simhash, bucketed on 4 12-bit
-    * bands (any equal band → candidate), verified by Hamming distance. */
+    * bands (any equal band → candidate), verified by Hamming distance.
+    * Relational signature: explode the token multiset, hash once per
+    * token, then 48 plain conditional-sum aggregates per doc (codegen'd,
+    * map-side combined) — same math as [[simhash48]], none of the
+    * interpreted lambda-fold overhead. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("doc"), simhash48(tokens(col(textCol))).as("sig"))
+    val toks = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", hash48(col("tok")))
+    val bitAggs = (0 until 48).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    val sums = toks.groupBy("doc").agg(bitAggs.head, bitAggs.tail: _*)
+    val sigExpr = (0 until 48)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _) // bits are disjoint: sum == bitwise OR
+    val sigs = sums.select(col("doc"), sigExpr.as("sig"))
     val bands = sigs.select(
       col("doc"), col("sig"),
       posexplode(

@@ -190,11 +190,16 @@ object TextQueries {
          |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles FROM tok
          |  ),
          |sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |hb AS (SELECT doc_id, shingles,
+         |  list_transform(shingles, s ->
+         |    CAST(CAST(concat('0x', substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) & 2147483647) AS h31
+         |  FROM sh2),
          |sig AS (SELECT doc_id, shingles,
          |  list_transform(generate_series(0, 15), i ->
-         |    list_min(list_transform(shingles, s ->
-         |      CAST(CAST(concat('0x', substr(md5(concat(s, '#', CAST(i AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)))) AS mh
-         |  FROM sh2),
+         |    list_min(list_transform(h31, h ->
+         |      (${(0 until 16).map(graft.operators.Dedup.minhashA).mkString("[", ", ", "]")}[i+1] * h +
+         |       ${(0 until 16).map(graft.operators.Dedup.minhashB).mkString("[", ", ", "]")}[i+1]) % 2147483647))) AS mh
+         |  FROM hb),
          |bands AS (SELECT doc_id, shingles, b.band_idx, md5(concat_ws('|',
          |    CAST(mh[b.band_idx*4+1] AS VARCHAR), CAST(mh[b.band_idx*4+2] AS VARCHAR),
          |    CAST(mh[b.band_idx*4+3] AS VARCHAR), CAST(mh[b.band_idx*4+4] AS VARCHAR))) AS band_hash

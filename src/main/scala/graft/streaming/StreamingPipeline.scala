@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.cometbft.{LogIngest, Normalize}
+
+/** Streaming mode (SURVEY.md §2.9): the reference is batch, but its plugin
+  * state machines are stateful streaming operators in disguise. This module
+  * is the faithful streaming extension: file-source `readStream` over a log
+  * directory → the same parse/normalize chain → stateful pairing via
+  * `flatMapGroupsWithState` (the keyed-state analog of the vote-latency
+  * map, with processing-time timeout replacing end-of-input flush) and a
+  * watermarked windowed aggregation.
+  *
+  * Per-file metadata attach (P7) is stream-static: node metadata is read
+  * once in batch from the same directory (metadata lines lead each file)
+  * and broadcast-joined onto the stream.
+  */
+object StreamingPipeline {
+
+  /** Streaming normalized events from a log dir. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$dir/*.log")
+      .select(input_file_name().as("src_file"), col("value"))
+      .withColumn("msg_raw", get_json_object($"value", "$._msg"))
+      .filter($"msg_raw".isNotNull)
+      .withColumn("msg_lc", lower($"msg_raw"))
+      .filter(!$"msg_lc".contains("with invalid args"))
+      .withColumn("r", from_json($"value", LogIngest.rawUnionSchema))
+      .withColumn("ch_id", get_json_object($"value", "$.chID").cast("long"))
+      .withColumn("node_id_raw", lit(null: String))
+      .withColumn("validator_addr_raw", lit(null: String))
+    // stream-static metadata join (P7): batch scan of the same dir
+    val meta = LogIngest.readRaw(spark, dir)
+      .groupBy(col("src_file"))
+      .agg(min(col("node_id_raw")).as("node_id"),
+        min(col("validator_addr_raw")).as("validator_address"))
+    Normalize.normalize(lines.join(broadcast(meta), Seq("src_file")))
+  }
+
+  final case class VoteSide(height: Long, round: Long, valIdx: Long,
+                            sender: String, receiver: String,
+                            side: String, tsNs: Long)
+  final case class ConfirmedVote(height: Long, round: Long, valIdx: Long,
+                                 sender: String, receiver: String,
+                                 sentNs: Long, receivedNs: Long, latencyMs: Long)
+  final case class PairState(sentNs: Option[Long], receivedNs: Option[Long])
+
+  /** Streaming J1: keyed vote pairing with explicit state — send then
+    * receive (either arrival order) emits a confirmed record.
+    *
+    * `stateTimeout` (e.g. "10 minutes") bounds state for unmatched keys in
+    * production (replacing the reference's end-of-input flush). Default is
+    * no timeout: processing-time timeouts make the engine schedule
+    * timeout-check batches forever, which never drains for closed-input
+    * `processAllAvailable` runs. */
+  def voteLatencyStream(spark: SparkSession, ev: DataFrame,
+                        stateTimeout: Option[String] = None): Dataset[ConfirmedVote] = {
+    import spark.implicits._
+    val sides = ev
+      .filter(col("event_type").isin("send_vote", "receive_packet_vote"))
+      .select(
+        col("vote.height").as("height"), col("vote.round").as("round"),
+        col("vote.validatorIndex").as("valIdx"),
+        when(col("event_type") === "send_vote", col("node_id"))
+          .otherwise(col("source_peer_id")).as("sender"),
+        when(col("event_type") === "send_vote", col("recipient_peer_id"))
+          .otherwise(col("node_id")).as("receiver"),
+        when(col("event_type") === "send_vote", "send").otherwise("receive").as("side"),
+        col("ts_ns").as("tsNs"))
+      .as[VoteSide]
+
+    val timeoutConf =
+      if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    sides
+      .groupByKey(v => (v.height, v.round, v.valIdx, v.sender, v.receiver))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: (Long, Long, Long, String, String), rows: Iterator[VoteSide],
+         state: GroupState[PairState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(PairState(None, None))
+            val out = scala.collection.mutable.ArrayBuffer.empty[ConfirmedVote]
+            rows.foreach { v =>
+              st = if (v.side == "send") st.copy(sentNs = Some(v.tsNs))
+                   else st.copy(receivedNs = Some(v.tsNs))
+              (st.sentNs, st.receivedNs) match {
+                case (Some(s), Some(r)) =>
+                  out += ConfirmedVote(key._1, key._2, key._3, key._4, key._5,
+                    s, r, (r - s) / 1000000L)
+                  st = PairState(None, None)
+                case _ =>
+              }
+            }
+            state.update(st)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
+
+  /** Watermarked event-time windowed aggregation: events per (type, 10 s
+    * window) with a 30 s late-data watermark. */
+  def eventRateStream(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "30 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+}

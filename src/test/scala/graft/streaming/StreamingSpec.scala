@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cometbft.Fixtures
+
+/** Streaming mode parity: the streaming pipeline over a closed fixture set
+  * must confirm vote pairs like the batch pipeline does (SURVEY §2.9 —
+  * parity on final results for a closed input set). */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming vote latency confirms pairs on a closed input set") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-stream-logs").toString
+    Fixtures.writeScenario(logDir, heights = 3)
+    val ev = StreamingPipeline.events(spark, logDir)
+    assert(ev.isStreaming)
+    val q = StreamingPipeline.voteLatencyStream(spark, ev)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("confirmed_votes")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("select count(*) from confirmed_votes").collect().head.getLong(0)
+      assert(n > 0, "no confirmed vote pairs from the stream")
+      val neg = spark.sql("select count(*) from confirmed_votes where latencyMs < -1000000").collect().head.getLong(0)
+      assert(neg == 0L)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation runs") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-stream-logs2").toString
+    Fixtures.writeScenario(logDir, heights = 2)
+    val ev = StreamingPipeline.events(spark, logDir)
+    val q = StreamingPipeline.eventRateStream(ev)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("event_rates")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits closed windows; with a closed input set the
+      // final watermark closes all but the last window
+      assert(spark.sql("select * from event_rates").columns.contains("n_events"))
+    } finally q.stop()
+  }
+}
