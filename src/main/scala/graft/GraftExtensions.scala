@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VectorExprs.DotLongArrays
+
+/** Session extensions: registers graft's native expressions for SQL users.
+  *
+  * Activate with `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`), then:
+  * {{{ SELECT dot_q(qvec_a, qvec_b) FROM pairs }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotLongArrays].getName, "dot_q"),
+      (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))))
+  }
+}

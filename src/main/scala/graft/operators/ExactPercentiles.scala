@@ -31,7 +31,19 @@ import org.apache.spark.sql.functions._
   */
 object ExactPercentiles {
 
-  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
+  /** Single-pass scalable form (default): the custom
+    * [[graft.agg.ExactIntHistogramAgg]] aggregate — buffer bounded by
+    * distinct values per group, not rows; identical output to
+    * [[histogramViaCollect]] (property-tested + oracle-checked). */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.agg.ExactIntHistogramAgg.column(valueCol).as("h"))
+      .select((groupCols.map(col) :+ col("h.*")): _*)
+
+  /** Built-ins-only formulation (sort_array + element_at + higher-order
+    * aggregate): exact same results, memory O(rows-per-group) — kept as the
+    * cross-check reference for the custom aggregate. */
+  def histogramViaCollect(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
     val g = df
       .groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(valueCol)).as("vals"))

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.TextFunctions.{hash60, shl}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -27,11 +26,12 @@ object Similarity {
   /** Adds `qvec` (quantized int64 vector) and `qnorm2` (exact squared norm). */
   def quantized(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("qvec", transform(col(vecCol), x => round(x.cast("double") * 1000000.0d).cast("long")))
-      .withColumn("qnorm2", aggregate(col("qvec"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("qnorm2", qdot(col("qvec"), col("qvec")))
 
-  /** Exact int64 dot product of two quantized vectors. */
+  /** Exact int64 dot product of two quantized vectors — native codegen'd
+    * expression ([[graft.functions.VectorExprs.DotLongArrays]]). */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dotQ(a, b)
 
   /** Deterministic cosine from exact integers (single IEEE op sequence). */
   def qcos(dot: Column, n1: Column, n2: Column): Column =
@@ -59,36 +59,31 @@ object Similarity {
   }
 
   /** Deterministic integer hyperplane coefficient for (plane, dim):
-    * md5-derived value in [-1000, 1000]. Portable to the oracle. */
-  def planeCoef(plane: Column, dim: Column): Column =
-    hash60(concat(lit("plane"), plane, lit("_"), dim)) % 2001L - 1000L
+    * md5-derived value in [-1000, 1000] — computed driver-side with the
+    * same md5 math the DuckDB oracle uses, then embedded as a literal
+    * matrix (no per-row hashing). */
+  def planeCoefValue(plane: Int, dim: Int): Long = {
+    val md  = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane${plane}_$dim".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L - 1000L
+  }
 
   /** Random-hyperplane LSH signatures + bucketed top-k.
     *
-    * Signature: bit p = (qvec · plane_p >= 0). Same-signature join yields
+    * Signature: bit p = (qvec · plane_p >= 0), planes a broadcast literal
+    * matrix, dots via the codegen'd expression. Same-signature join yields
     * candidates; exact quantized cosine ranks them. Recall < 1 by design —
     * the scale path trades recall for a shuffle-join candidate set.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               isQuery: Column, k: Int, nPlanes: Int, dims: Int): DataFrame = {
     val q = quantized(df, vecCol)
-    val sig = q.withColumn(
-      "sig",
-      aggregate(
-        transform(
-          sequence(lit(0), lit(nPlanes - 1)),
-          p =>
-            when(
-              aggregate(
-                zip_with(col("qvec"), sequence(lit(0), lit(dims - 1)), (x, i) => x * planeCoef(p, i)),
-                lit(0L), (acc, x) => acc + x
-              ) >= 0L,
-              shl(lit(1L), p)
-            ).otherwise(0L)
-        ),
-        lit(0L), (acc, x) => acc.bitwiseOR(x)
-      )
-    )
+    val planes = typedlit(
+      (0 until nPlanes).map(p => (0 until dims).map(i => planeCoefValue(p, i))))
+    val sigExpr = (0 until nPlanes)
+      .map(p => when(qdot(col("qvec"), element_at(planes, p + 1)) >= 0L, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _) // disjoint bits: sum == OR
+    val sig = q.withColumn("sig", sigExpr)
     val queries = sig.filter(isQuery)
       .select(col(idCol).as("query_id"), col("qvec").as("qv"), col("qnorm2").as("qn"), col("sig"))
     val cands = sig.select(col(idCol).as("cand_id"), col("qvec").as("cv"), col("qnorm2").as("cn"), col("sig"))

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorExprs
+
+/** Cross-checks for the Catalyst-native fast paths: they must produce
+  * exactly the results of the built-ins-only formulations they replace. */
+class CatalystNativeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("DotLongArrays == zip_with/aggregate formulation (codegen + interpreted)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextLong() % 1000000L), Seq.fill(64)(rnd.nextLong() % 1000000L))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+      VectorExprs.dotQ($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("ref"))
+    assert(both.filter($"fast" =!= $"ref").count() == 0L)
+  }
+
+  test("DotLongArrays handles nulls and length mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L))),
+      (None, Some(Seq(1L)))
+    ).toDF("a", "b")
+    val r = df.select(VectorExprs.dotQ($"a", $"b").as("d")).collect()
+    assert(r(0).getLong(0) == 1L * 4 + 2L * 5)
+    assert(r(1).isNullAt(0))
+  }
+
+  test("ExactIntHistogramAgg == collect_list formulation on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- 0 until 13
+      _ <- 0 until (5 + rnd.nextInt(400))
+    } yield (s"g$g", rnd.nextInt(500).toLong)
+    val df = rows.toDF("g", "v")
+    val fast = ExactPercentiles.histogram(df, Seq("g"), $"v")
+    val ref  = ExactPercentiles.histogramViaCollect(df, Seq("g"), $"v")
+    val cols = fast.columns.sorted
+    assert(ref.columns.sorted.toSeq == cols.toSeq)
+    val f = fast.select(cols.map(col): _*).orderBy("g").collect().map(_.toSeq)
+    val r = ref.select(cols.map(col): _*).orderBy("g").collect().map(_.toSeq)
+    assert(f.toSeq == r.toSeq)
+  }
+
+  test("dot_q is available from SQL via GraftExtensions") {
+    // getOrCreate reuses the suite session (built without extensions), so
+    // force a fresh SparkSession over the shared SparkContext.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT dot_q(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").collect().head
+      assert(r.getLong(0) == 32L)
+    } finally {
+      prior.foreach { s => SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s) }
+    }
+  }
+
+  test("plane coefficients match the SQL md5 derivation") {
+    import spark.implicits._
+    val sqlCoefs = spark.range(1).select(
+      (0 until 4).flatMap(p => (0 until 4).map(i =>
+        (conv(substring(md5(lit(s"plane${p}_$i")), 1, 15), 16, 10).cast("long") % 2001L - 1000L)
+          .as(s"c_${p}_$i"))): _*).collect().head
+    var k = 0
+    for (p <- 0 until 4; i <- 0 until 4) {
+      assert(sqlCoefs.getLong(k) == Similarity.planeCoefValue(p, i), s"plane $p dim $i")
+      k += 1
+    }
+  }
+}
