@@ -144,6 +144,17 @@ object Normalize {
       acc || (msgType === t && channel === ch)
     }
 
+  /** F18 channel-name lookup (`types/channels.go:18-47`). */
+  val channelNames: Map[Long, String] = Map(
+    0x00L -> "pex", 0x40L -> "blocksync", 0x23L -> "vote_set_bits",
+    0x38L -> "evidence", 0x30L -> "mempool", 0x60L -> "snapshot",
+    0x61L -> "chunk", 0x21L -> "data", 0x22L -> "vote", 0x20L -> "state")
+
+  def channelName(channel: Column): Column =
+    channelNames.foldLeft(when(lit(false), lit(null: String))) {
+      case (acc, (id, name)) => acc.when(channel === id, name)
+    }.otherwise("unknown")
+
   /** F3 as a when-chain over the 8 known step names (finite domain). */
   def formatStepCol(c: Column): Column = {
     val m = Seq(
@@ -255,6 +266,7 @@ object Normalize {
     val sends = base
       .filter(col("msg_lc").isin("send", "trysend"))
       .withColumn("channel", col("r.channel"))
+      .withColumn("channel_name", channelName(col("r.channel")))
       .withColumn("msg_bytes", unhex(col("r.msgBytes")))
       .withColumn("decoded", decodeU(col("msg_bytes")))
       .filter(col("decoded").isNotNull)
@@ -268,6 +280,7 @@ object Normalize {
     val recvs = base
       .filter(col("msg_lc") === "received bytes")
       .withColumn("channel", col("ch_id"))
+      .withColumn("channel_name", channelName(col("ch_id")))
       .withColumn("msg_bytes", unbase64(col("r.msgBytes")))
       .withColumn("decoded", decodeU(col("msg_bytes")))
       .filter(col("decoded").isNotNull)

@@ -181,7 +181,17 @@ object CoreQueries {
       )
   }
 
+  // ---------------------------------------------------------------- q31
+  /** ROLLUP grouping sets: subtotal rows per (status), grand total row. */
+  def q31Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("total_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_rollup" -> q31Rollup _,
     "q1_pricing_summary"   -> q1PricingSummary _,
     "q2_filter_project"    -> q2FilterProject _,
     "q3_shipping_priority" -> q3ShippingPriority _,
@@ -195,6 +205,10 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q31_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -168,8 +168,21 @@ object EventQueries {
       .select($"user_id", $"send_id", $"recv_id", ($"recv_us" - $"send_us").as("latency_us"))
   }
 
+  // ---------------------------------------------------------------- q19
+  /** Tumbling event-time windows (the batch shape of the streaming
+    * windowed aggregation, §2.9): events per (1-hour window, type). */
+  def q19TumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ev(spark, dir)
+      .withColumn("ts_t", timestamp_micros($"ts_us"))
+      .groupBy(window($"ts_t", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(cents($"value")).as("sum_v_c"))
+      .select(unix_micros($"window.start").as("window_start_us"), $"event_type", $"n", $"sum_v_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_last_send_first_receive" -> q18LastSendFirstReceive _,
+    "q19_tumbling_window"         -> q19TumblingWindow _,
     "q11_fifo_pairing"      -> q11FifoPairing _,
     "q12_sessions"          -> q12Sessions _,
     "q13_exact_percentiles" -> q13ExactPercentiles _,
@@ -180,6 +193,11 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q19_tumbling_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q18_last_send_first_receive" ->
       """WITH sends AS (
         |  SELECT user_id, epoch_us(ts) AS send_us, event_id AS send_id,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** State-machine semantics of the pairing operators against hand-built
+  * event tables (SURVEY.md §2.5 / §7.4-3). */
+class PairingJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("fifo: nth send pairs with nth receive per key, either arrival order") {
+    val sends = Seq(("k", 10L, "s1"), ("k", 20L, "s2"), ("k", 30L, "s3"))
+      .toDF("key", "send_ts", "send_id")
+    val recvs = Seq(("k", 5L, "r1"), ("k", 25L, "r2"))
+      .toDF("key", "recv_ts", "recv_id")
+    val out = PairingJoin.fifo(sends, recvs, Seq("key"), Seq("send_ts"), Seq("recv_ts"))
+      .orderBy("pair_seq")
+      .select("send_id", "recv_id").as[(String, String)].collect()
+    // FIFO: s1↔r1 (receive BEFORE send still pairs — J3 order-insensitivity),
+    // s2↔r2; s3 unmatched drops on inner join.
+    assert(out.toSeq == Seq(("s1", "r1"), ("s2", "r2")))
+  }
+
+  test("fifo full_outer keeps unmatched leftovers (J4 end-of-input flush)") {
+    val sends = Seq(("k", 10L, "s1"), ("k", 20L, "s2")).toDF("key", "send_ts", "send_id")
+    val recvs = Seq(("k", 15L, "r1")).toDF("key", "recv_ts", "recv_id")
+    val out = PairingJoin.fifo(sends, recvs, Seq("key"), Seq("send_ts"), Seq("recv_ts"), "full_outer")
+    assert(out.count() == 2)
+    assert(out.filter($"recv_id".isNull).select("send_id").as[String].collect().toSeq == Seq("s2"))
+  }
+
+  test("lastSendFirstReceive: a later send clobbers the pending one (J1 quirk)") {
+    // vote-latency/processor.go:52-53 — the send overwrites unconditionally,
+    // so only the LAST send can confirm, and only in send-before-receive order.
+    val sends = Seq(("k", 10L, "sA"), ("k", 40L, "sB")).toDF("key", "sent_ns", "sid")
+    val recvs = Seq(("k", 50L, "rX"), ("k", 60L, "rY")).toDF("key", "recv_ns", "rid")
+    val out = PairingJoin.lastSendFirstReceive(
+      sends, recvs, Seq("key"), "sent_ns", "recv_ns", Seq("sid"), Seq("rid"))
+      .select("sid", "rid").as[(String, String)].collect()
+    assert(out.toSeq == Seq(("sB", "rX")))
+  }
+
+  test("lastSendFirstReceive: receive-before-send does NOT confirm") {
+    val sends = Seq(("k", 100L, "s")).toDF("key", "sent_ns", "sid")
+    val recvs = Seq(("k", 90L, "r")).toDF("key", "recv_ns", "rid")
+    val out = PairingJoin.lastSendFirstReceive(
+      sends, recvs, Seq("key"), "sent_ns", "recv_ns", Seq("sid"), Seq("rid"))
+    assert(out.count() == 0)
+  }
+
+  test("sessionize: dual-predicate break (time gap AND height delta, A10)") {
+    val df = Seq(
+      ("n", 1L, 0L), ("n", 2L, 10L), ("n", 3L, 20L),   // cluster 1
+      ("n", 20L, 25L),                                  // height jump > 5 → new session
+      ("n", 21L, 100L), ("n", 22L, 110L)                // gap > 40 from 25 → new session
+    ).toDF("node", "height", "ts")
+    val tagged = Sessionize.assign(df, Seq("node"), Seq("ts"),
+      prev => (col("ts") - prev("ts") > 40L) || (col("height") - prev("height") > 5L))
+    val sessions = tagged.groupBy("session_id").count()
+      .orderBy("session_id").as[(Long, Long)].collect()
+    assert(sessions.toSeq == Seq((1L, 3L), (2L, 1L), (3L, 2L)))
+    val rolled = Sessionize.rollup(tagged, Seq("node"), "ts", minEvents = 2L)
+    assert(rolled.count() == 2) // the singleton session is dropped
+  }
+}
