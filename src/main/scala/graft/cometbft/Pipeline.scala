@@ -23,8 +23,12 @@ object Pipeline {
 
     val eventsPath = s"$warehouse/events"
     events
-      .orderBy(col("ts_ns")) // O1: global event-time order for the stored stream
-      .write.mode("overwrite").parquet(eventsPath)
+      // O1: event-time order within each partition; partitioning by
+      // event_type turns every analytic's type filter into partition
+      // pruning (each job scans only its event families).
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("ts_ns"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(eventsPath)
 
     val stored = spark.read.parquet(eventsPath)
     val counts = scala.collection.mutable.Map[String, Long](

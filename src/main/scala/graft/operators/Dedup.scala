@@ -169,7 +169,10 @@ object Dedup {
     * token, then 48 plain conditional-sum aggregates per doc (codegen'd,
     * map-side combined) — same math as [[simhash48]], none of the
     * interpreted lambda-fold overhead. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+  /** Relational 48-bit simhash per id — same math as [[simhash48]]
+    * (cross-checked in CatalystNativeSpec), executed as 48 codegen'd
+    * conditional-sum aggregates over the exploded token multiset. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", hash48(col("tok")))
     val bitAggs = (0 until 48).map { b =>
@@ -179,7 +182,11 @@ object Dedup {
     val sigExpr = (0 until 48)
       .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _) // bits are disjoint: sum == bitwise OR
-    val sigs = sums.select(col("doc"), sigExpr.as("sig"))
+    sums.select(col("doc"), sigExpr.as("sig"))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val sigs = simhashTable(df, idCol, textCol)
     val bands = sigs.select(
       col("doc"), col("sig"),
       posexplode(

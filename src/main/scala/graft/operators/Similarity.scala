@@ -58,6 +58,20 @@ object Similarity {
         floor(col("cos") * 1000000.0d).cast("long").as("cos_ppm"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup variant of ANN):
+    * candidates from same-signature LSH buckets, kept when quantized
+    * cosine >= `minCosPpm` / 1e6. Candidate generation is the bucket
+    * equi-join — never an all-pairs product. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            minCosPpm: Long, nPlanes: Int, dims: Int): DataFrame = {
+    val scored = lshTopK(df, idCol, vecCol, isQuery = lit(true), k = Int.MaxValue,
+      nPlanes = nPlanes, dims = dims)
+    scored
+      .filter(col("query_id") < col("cand_id"))
+      .filter(col("cos_ppm") >= minCosPpm)
+      .select(col("query_id").as("id1"), col("cand_id").as("id2"), col("cos_ppm"))
+  }
+
   /** Deterministic integer hyperplane coefficient for (plane, dim):
     * md5-derived value in [-1000, 1000] — computed driver-side with the
     * same md5 math the DuckDB oracle uses, then embedded as a literal

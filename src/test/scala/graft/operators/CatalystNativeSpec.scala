@@ -75,6 +75,49 @@ class CatalystNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("relational simhash == column-expression simhash48") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val relational = Dedup.simhashTable(docs, "doc_id", "text")
+    val columnar = docs.select($"doc_id".as("doc"), Dedup.simhash48(tokens($"text")).as("sig2"))
+    assert(relational.join(columnar, "doc").filter($"sig" =!= $"sig2").count() == 0L)
+  }
+
+  test("relational minhash mins == column-expression withMinhashSignature") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val sh = Dedup.withShingles(docs, "text", 3)
+      .select($"doc_id".as("doc"), $"shingles").filter(size($"shingles") > 0)
+    val columnar = Dedup.withMinhashSignature(sh, 8)
+      .select($"doc", $"minhash")
+    val ex = Dedup.shingleTable(docs, "doc_id", "text", 3)
+      .withColumn("h31", Dedup.hash31($"s"))
+    val relational = ex.groupBy($"doc").agg(
+      array((0 until 8).map(i =>
+        min((lit(Dedup.minhashA(i)) * $"h31" + lit(Dedup.minhashB(i))) % Dedup.MinhashP)): _*).as("mh"))
+    assert(columnar.join(relational, "doc").filter($"minhash" =!= $"mh").count() == 0L)
+  }
+
+  test("embeddingNearDupPairs finds planted near-duplicate vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    // plant near-dups: ids 100+i are tiny perturbations of ids 0..4
+    val dups = (0 until 5).map { i =>
+      (100L + i, base(i)._2.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding",
+      minCosPpm = 990000L, nPlanes = 6, dims = 64)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // near-identical vectors land in the same LSH bucket and pass the
+    // cosine threshold
+    assert((0 until 5).forall(i => pairs.contains((i.toLong, 100L + i))), s"got $pairs")
+    assert(pairs.forall { case (a, b) => b - a == 100L })
+  }
+
   test("plane coefficients match the SQL md5 derivation") {
     import spark.implicits._
     val sqlCoefs = spark.range(1).select(
