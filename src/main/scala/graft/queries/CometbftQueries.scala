@@ -41,10 +41,20 @@ object CometbftQueries {
   def q42NetworkLatency(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${builtWarehouse(spark)}/network_latency_nodepair_summary")
 
+  /** Multimodal plumbing over the documents table (stubbed codec; the
+    * Spark-side schema/partition/batch shape is the thing under test). */
+  def q43MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.Multimodal
+      .extractFeatures(spark, graft.operators.Multimodal.assetsFromDocuments(docs))
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cometbft_consensus_timing" -> q40ConsensusTiming _,
     "q41_cometbft_vote_latencies"   -> q41VoteLatencies _,
-    "q42_cometbft_network_latency"  -> q42NetworkLatency _
+    "q42_cometbft_network_latency"  -> q42NetworkLatency _,
+    "q43_multimodal_features"       -> q43MultimodalFeatures _
   )
 
   val oracleSql: Map[String, String] = Map.empty
