@@ -112,4 +112,12 @@ object StreamingPipeline {
     ev.withWatermark("ts", "30 seconds")
       .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming exact dedup (the training-data-pipeline operator in
+    * streaming form): first occurrence of each content hash passes; state
+    * for seen hashes is GC'd once the watermark passes their event time. */
+  def dedupStream(df: DataFrame, tsCol: String, contentCol: String, watermark: String): DataFrame =
+    df.withColumn("content_hash", md5(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

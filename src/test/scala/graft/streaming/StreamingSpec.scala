@@ -35,6 +35,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first occurrence per content hash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    val lines = Seq(
+      """{"ts":"2025-01-01T00:00:01Z","text":"alpha"}""",
+      """{"ts":"2025-01-01T00:00:02Z","text":"beta"}""",
+      """{"ts":"2025-01-01T00:00:03Z","text":"alpha"}""",
+      """{"ts":"2025-01-01T00:00:04Z","text":"gamma"}""",
+      """{"ts":"2025-01-01T00:00:05Z","text":"beta"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
+      lines.mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).json(dir)
+    val q = StreamingPipeline.dedupStream(stream, "ts", "text", "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      val texts = spark.sql("select text from deduped").collect().map(_.getString(0)).sorted
+      assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation runs") {
     val logDir = java.nio.file.Files.createTempDirectory("graft-stream-logs2").toString
     Fixtures.writeScenario(logDir, heights = 2)
