@@ -17,7 +17,7 @@ object Bench {
     "q1_pricing_summary", "q2_filter_project", "q3_shipping_priority",
     "q4_region_rollup", "q5_order_sequence", "q6_top_customers",
     "q7_distinct_agg", "q8_union_parties", "q9_customers_no_orders",
-    "q10_priority_buckets", "q31_rollup",
+    "q10_priority_buckets", "q31_rollup", "q32_set_ops",
     "q11_fifo_pairing", "q12_sessions", "q13_exact_percentiles",
     "q19_tumbling_window",
     "q14_step_transitions", "q15_dup_keys", "q16_recovery_flag",

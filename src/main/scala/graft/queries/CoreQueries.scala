@@ -190,8 +190,21 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("total_c"))
   }
 
+  // ---------------------------------------------------------------- q32
+  /** INTERSECT / EXCEPT set operations: customers who ordered urgent but
+    * never low-priority, via distinct set algebra on the key domain. */
+  def q32SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir).orders
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val high   = o.filter($"o_orderpriority" === "2-HIGH").select($"o_custkey")
+    val low    = o.filter($"o_orderpriority" === "5-LOW").select($"o_custkey")
+    urgent.intersect(high).except(low)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_rollup" -> q31Rollup _,
+    "q32_set_ops" -> q32SetOps _,
     "q1_pricing_summary"   -> q1PricingSummary _,
     "q2_filter_project"    -> q2FilterProject _,
     "q3_shipping_priority" -> q3ShippingPriority _,
@@ -205,6 +218,12 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q32_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
     "q31_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
