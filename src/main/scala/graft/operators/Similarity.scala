@@ -61,15 +61,56 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (the dedup variant of ANN):
     * candidates from same-signature LSH buckets, kept when quantized
     * cosine >= `minCosPpm` / 1e6. Candidate generation is the bucket
-    * equi-join — never an all-pairs product. */
+    * equi-join — never an all-pairs product, and no per-query ranking
+    * window: pair emission is a pure filter, so the only wide ops are
+    * the signature bucket shuffle (reused on both join sides). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCosPpm: Long, nPlanes: Int, dims: Int): DataFrame = {
-    val scored = lshTopK(df, idCol, vecCol, isQuery = lit(true), k = Int.MaxValue,
-      nPlanes = nPlanes, dims = dims)
-    scored
-      .filter(col("query_id") < col("cand_id"))
+    val sig = withSignature(df, idCol, vecCol, nPlanes, dims)
+    val a = sig.select(col("sig"), col("id").as("id1"), col("qvec").as("qv"), col("qnorm2").as("qn"))
+    val b = sig.select(col("sig"), col("id").as("id2"), col("qvec").as("cv"), col("qnorm2").as("cn"))
+    a.join(b, Seq("sig"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", qcos(qdot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("cos_ppm", floor(col("cos") * 1000000.0d).cast("long"))
       .filter(col("cos_ppm") >= minCosPpm)
-      .select(col("query_id").as("id1"), col("cand_id").as("id2"), col("cos_ppm"))
+      .select(col("id1"), col("id2"), col("cos_ppm"))
+  }
+
+  /** IVF-style ANN (inverted-file index, nprobe=1): a small deterministic
+    * centroid set partitions the corpus into cells; each vector is assigned
+    * to its nearest centroid (exact quantized cosine, ties to the lower
+    * centroid id); queries search only their own cell. The centroid
+    * "training" step is stubbed as `isCentroid` selection — production
+    * k-means would feed the same assignment join. Centroids are a tiny
+    * dimension side → broadcast cross join for assignment; candidate
+    * generation is then an equi-join on `cell`, never all-pairs. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              isCentroid: Column, isQuery: Column, k: Int): DataFrame = {
+    val q = quantized(df, vecCol)
+    val cents = q.filter(isCentroid)
+      .select(col(idCol).as("c_id"), col("qvec").as("centv"), col("qnorm2").as("centn"))
+    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("c_id").asc)
+    val assigned = q
+      .select(col(idCol), col("qvec"), col("qnorm2"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", qcos(qdot(col("qvec"), col("centv")), col("qnorm2"), col("centn")))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+    val queries = assigned.filter(isQuery)
+      .select(col(idCol).as("query_id"), col("c_id").as("cell"),
+        col("qvec").as("qv"), col("qnorm2").as("qn"))
+    val cands = assigned.select(col(idCol).as("cand_id"), col("c_id").as("cell"),
+      col("qvec").as("cv"), col("qnorm2").as("cn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    queries
+      .join(cands, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", qcos(qdot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"), col("cand_id"), col("rank"),
+        floor(col("cos") * 1000000.0d).cast("long").as("cos_ppm"))
   }
 
   /** Deterministic integer hyperplane coefficient for (plane, dim):
@@ -89,15 +130,22 @@ object Similarity {
     * candidates; exact quantized cosine ranks them. Recall < 1 by design —
     * the scale path trades recall for a shuffle-join candidate set.
     */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              isQuery: Column, k: Int, nPlanes: Int, dims: Int): DataFrame = {
+  /** Quantized vectors + LSH sign-bit signature, normalized id column:
+    * output columns (id, qvec, qnorm2, sig) plus the original ones. */
+  def withSignature(df: DataFrame, idCol: String, vecCol: String,
+                    nPlanes: Int, dims: Int): DataFrame = {
     val q = quantized(df, vecCol)
     val planes = typedlit(
       (0 until nPlanes).map(p => (0 until dims).map(i => planeCoefValue(p, i))))
     val sigExpr = (0 until nPlanes)
       .map(p => when(qdot(col("qvec"), element_at(planes, p + 1)) >= 0L, lit(1L << p)).otherwise(0L))
       .reduce(_ + _) // disjoint bits: sum == OR
-    val sig = q.withColumn("sig", sigExpr)
+    q.withColumn("id", col(idCol)).withColumn("sig", sigExpr)
+  }
+
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              isQuery: Column, k: Int, nPlanes: Int, dims: Int): DataFrame = {
+    val sig = withSignature(df, idCol, vecCol, nPlanes, dims)
     val queries = sig.filter(isQuery)
       .select(col(idCol).as("query_id"), col("qvec").as("qv"), col("qnorm2").as("qn"), col("sig"))
     val cands = sig.select(col(idCol).as("cand_id"), col("qvec").as("cv"), col("qnorm2").as("cn"), col("sig"))

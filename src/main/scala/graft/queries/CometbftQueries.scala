@@ -60,12 +60,42 @@ object CometbftQueries {
         round(element_at(col("embedding"), 8) * 1000000).cast("long").as("emb7_ppm"))
   }
 
+  /** Multimodal transform plumbing with a full value oracle: the resize
+    * stub is deterministic byte slicing, and the documents corpus is pure
+    * ASCII (verified octet_length == length for every row), so byte math
+    * and md5 line up exactly with DuckDB's varchar functions. */
+  def q44MultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val assets = graft.operators.Multimodal.assetsFromDocuments(docs)
+    graft.operators.Multimodal.resizeStub(assets, maxBytes = 100)
+      .select(
+        col("assetId").as("asset_id"),
+        col("kind"),
+        length(col("bytes")).cast("long").as("byte_len"),
+        md5(col("bytes")).as("content_hash"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.format").as("format"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cometbft_consensus_timing" -> q40ConsensusTiming _,
     "q41_cometbft_vote_latencies"   -> q41VoteLatencies _,
     "q42_cometbft_network_latency"  -> q42NetworkLatency _,
-    "q43_multimodal_features"       -> q43MultimodalFeatures _
+    "q43_multimodal_features"       -> q43MultimodalFeatures _,
+    "q44_multimodal_resize"         -> q44MultimodalResize _
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "q44_multimodal_resize" ->
+      """SELECT doc_id AS asset_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |  LEAST(length(text), 100) AS byte_len,
+        |  md5(substr(text, 1, 100)) AS content_hash,
+        |  LEAST(n_chars % 640, 100) AS width,
+        |  LEAST(n_chars % 480, 100) AS height,
+        |  'stub-resized' AS format
+        |FROM documents""".stripMargin
+  )
 }

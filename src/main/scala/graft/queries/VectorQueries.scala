@@ -51,10 +51,33 @@ object VectorQueries {
       )
   }
 
+  // ---------------------------------------------------------------- q33
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates, kept at
+    * quantized cosine >= 0.30 (this corpus has no planted near-dups, so the
+    * threshold sits in the upper tail of the bucket-pair distribution —
+    * ~14 pairs at sf0.01). */
+  def q33EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(
+      Tables(spark, dir).embeddings, "vec_id", "embedding",
+      minCosPpm = 300000L, nPlanes = 8, dims = 64)
+
+  // ---------------------------------------------------------------- q34
+  /** IVF-style ANN, nprobe=1: first 8 vectors act as the (stub-trained)
+    * coarse centroids; every vector is assigned to its nearest centroid by
+    * exact quantized cosine; queries scan only their own cell. */
+  def q34IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ivfTopK(
+      Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isQuery = $"vec_id" < 20, k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q27_cosine_topk"     -> q27CosineTopK _,
-    "q28_lsh_ann"         -> q28LshAnn _,
-    "q29_embedding_stats" -> q29EmbeddingStats _
+    "q27_cosine_topk"      -> q27CosineTopK _,
+    "q28_lsh_ann"          -> q28LshAnn _,
+    "q29_embedding_stats"  -> q29EmbeddingStats _,
+    "q33_embedding_neardup" -> q33EmbeddingNearDup _,
+    "q34_ivf_ann"          -> q34IvfAnn _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -105,6 +128,55 @@ object VectorQueries {
          |SELECT label, count(*) AS n_vectors,
          |  CAST(sum(qnorm2) AS BIGINT) AS sum_qnorm2,
          |  min(qnorm2) AS min_qnorm2, max(qnorm2) AS max_qnorm2
-         |FROM n GROUP BY label""".stripMargin
+         |FROM n GROUP BY label""".stripMargin,
+    "q33_embedding_neardup" ->
+      s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+         |n AS (SELECT vec_id, qvec,
+         |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q),
+         |sg AS (SELECT vec_id, qvec, qnorm2,
+         |  CAST(list_sum(list_transform(generate_series(0, 7), p ->
+         |    CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64), i ->
+         |           qvec[i] * (CAST(CAST(concat('0x', substr(md5(concat('plane', CAST(p AS VARCHAR), '_', CAST(i-1 AS VARCHAR))), 1, 15)) AS UBIGINT) % 2001 AS BIGINT) - 1000))) AS BIGINT) >= 0
+         |         THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM n),
+         |pairs AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
+         |    a.qnorm2 AS qn, b.qnorm2 AS cn
+         |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+         |scored AS (SELECT id1, id2,
+         |    CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) * 1000000.0) AS BIGINT) AS cos_ppm
+         |  FROM pairs)
+         |SELECT id1, id2, cos_ppm FROM scored WHERE cos_ppm >= 300000""".stripMargin,
+    "q34_ivf_ann" ->
+      s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+         |n AS (SELECT vec_id, qvec,
+         |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q),
+         |c AS (SELECT vec_id AS c_id, qvec AS centv, qnorm2 AS centn FROM n WHERE vec_id < 8),
+         |asg0 AS (
+         |  SELECT n.vec_id, n.qvec, n.qnorm2, c.c_id, c.centn,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> n.qvec[i] * c.centv[i])) AS BIGINT) AS cdot
+         |  FROM n, c),
+         |asg1 AS (
+         |  SELECT vec_id, qvec, qnorm2, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      CAST(cdot AS DOUBLE) / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(centn AS DOUBLE))) DESC,
+         |      c_id ASC) AS arank
+         |  FROM asg0),
+         |asg AS (SELECT vec_id, qvec, qnorm2, c_id AS cell FROM asg1 WHERE arank = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, a.cell, b.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
+         |    a.qnorm2 AS qn, b.qnorm2 AS cn
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20),
+         |scored AS (SELECT query_id, cell, cand_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+         |  FROM pairs),
+         |r AS (SELECT query_id, cell, cand_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, cell, cand_id, rank, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rank <= 5""".stripMargin
   )
 }
