@@ -50,22 +50,70 @@ object Dedup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc")))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join: explode
-    * shingles, self-join on shingle (candidate generation bounded by
-    * co-occurrence), then exact set Jaccard in scaled-integer ppm.
+  /** Raw (doc, shingle) rows — NOT deduplicated — via posexplode + window
+    * leads (codegen'd; see [[shingleTable]] for why not HOFs). One shuffle
+    * on doc (the window), reused by any downstream per-doc aggregation. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc").orderBy("pos")
+    val withLeads = (1 until n).foldLeft(toks) { case (d, i) =>
+      d.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    }
+    val shingle = concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)
+    withLeads.filter(col(s"t${n - 1}").isNotNull).select(col("doc"), shingle.as("s"))
+  }
+
+  /** Per-doc distinct shingle sets, hash-ordered: (doc, sh:
+    * array<struct<h,s>> sorted by (h, s), ns). Single aggregation pass —
+    * the collect_set dedups, sort_array is a native (non-lambda) sort,
+    * and md5 runs once per raw shingle row. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRows(df, idCol, textCol, n)
+      .withColumn("hs", struct(hash60(col("s")).as("h"), col("s").as("s")))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_set(col("hs"))).as("sh"))
+      .withColumn("ns", size(col("sh")).cast("long"))
+
+  /** Exact n-gram Jaccard near-dup pairs with AllPairs prefix filtering
+    * (Bayardo et al.): each doc's distinct shingles carry a deterministic
+    * global order (md5 hash, then the string); only the first
+    * `n - ceil(t*n) + 1` are indexed for the candidate self-join — if two
+    * sets' prefixes are disjoint their overlap is provably below the
+    * Jaccard-t requirement, so the prune is LOSSLESS. Candidates are then
+    * verified exactly against the full shingle-set arrays. Compared to a
+    * full inverted index this cuts the index ~(1-t)x and the candidate
+    * pairs quadratically; every step is an equi-join or a per-doc
+    * aggregation, so the plan shape survives 100 TB.
     *
-    * One shuffle on shingle for candidates + one on the pair key for the
-    * rollup. Hot shingles should be frequency-capped at extreme scale
-    * (a stop-shingle list); not needed at bench scale.
-    */
+    * A length-ratio band (J >= t forces |S1|/|S2| in [t, 1/t]) prunes
+    * candidates before the distinct. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, minJaccardPpm: Long): DataFrame = {
-    val ex = shingleTable(df, idCol, textCol, n)
-    val a  = ex.select(col("doc").as("d1"), col("n_shingles").as("n1"), col("s"))
-    val b  = ex.select(col("doc").as("d2"), col("n_shingles").as("n2"), col("s"))
-    a.join(b, Seq("s"))
+    val sets = shingleSets(df, idCol, textCol, n)
+    // ceil(t*ns) in exact integer ppm math
+    val prefLen = col("ns") - intDiv(col("ns") * minJaccardPpm + 999999L, lit(1000000L)) + 1L
+    val pref = sets
+      .select(col("doc"), col("ns"), explode(slice(col("sh"), lit(1), prefLen)).as("e"))
+      .select(col("doc"), col("ns"), col("e.h").as("h"))
+    val a = pref.select(col("doc").as("d1"), col("ns").as("pn1"), col("h"))
+    val b = pref.select(col("doc").as("d2"), col("ns").as("pn2"), col("h"))
+    // Candidacy on the 60-bit hash alone: a collision can only ADD a
+    // candidate, and every candidate is exactly verified below — lossless.
+    val cand = a.join(b, Seq("h"))
       .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("shared"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+      .filter(col("pn1") * 1000000L >= col("pn2") * minJaccardPpm &&
+              col("pn2") * 1000000L >= col("pn1") * minJaccardPpm)
+      .select(col("d1"), col("d2")).distinct()
+    // Verify against the 60-bit hash LONG arrays (`sh.h` field
+    // extraction): array_intersect has a hash-set fast path for atomic
+    // element types but falls back to brute-force pairwise struct
+    // equality otherwise (~20x slower here), and long probes beat string
+    // probes. Distinct shingles map 1:1 to distinct h values for any
+    // realistic corpus (md5-60 collision odds ~1e-10 across this join).
+    cand
+      .join(sets.select(col("doc").as("d1"), col("sh.h").as("sh1"), col("ns").as("n1")), Seq("d1"))
+      .join(sets.select(col("doc").as("d2"), col("sh.h").as("sh2"), col("ns").as("n2")), Seq("d2"))
+      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn("jaccard_ppm", intDiv(col("shared") * 1000000L, col("n1") + col("n2") - col("shared")))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
       .select(col("d1"), col("d2"), col("shared"), col("jaccard_ppm"))
@@ -113,7 +161,10 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bandSize: Int, minJaccardPpm: Long): DataFrame = {
-    val ex = shingleTable(df, idCol, textCol, n)
+    // Raw (not distinct) shingle rows: min() is duplicate-insensitive and
+    // collect_set dedups, so the pre-aggregation distinct pass (an extra
+    // shuffle) is unnecessary.
+    val ex = shingleRows(df, idCol, textCol, n)
       .withColumn("h31", hash31(col("s")))
     val sig = ex.groupBy(col("doc"))
       .agg(
@@ -131,6 +182,11 @@ object Dedup {
     val b = bands.select(col("band_idx"), col("band_hash"), col("doc").as("d2"), col("shingles").as("sh2"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("d1") < col("d2"))
+      // Same exact length-ratio prune as ngramJaccardPairs — applied before
+      // the pair rollup so out-of-band pairs don't drag their shingle
+      // arrays through the shuffle.
+      .filter(size(col("sh1")).cast("long") * 1000000L >= size(col("sh2")).cast("long") * minJaccardPpm &&
+              size(col("sh2")).cast("long") * 1000000L >= size(col("sh1")).cast("long") * minJaccardPpm)
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_shared_bands"), first(col("sh1")).as("sh1"), first(col("sh2")).as("sh2"))
     cand
