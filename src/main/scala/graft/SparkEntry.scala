@@ -24,5 +24,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++ VectorQueries.oracleSql
+    CoreQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++
+      VectorQueries.oracleSql ++ CometbftQueries.oracleSql
 }
