@@ -241,6 +241,43 @@ object Dedup {
     sums.select(col("doc"), sigExpr.as("sig"))
   }
 
+  /** Connected components over an undirected pair graph — the cluster
+    * step of near-dup resolution (every doc in a component keeps one
+    * canonical representative: the min id). Iterative min-label
+    * propagation: each round every vertex takes the min of its own label
+    * and its neighbors' labels; converges in O(component diameter)
+    * rounds (near-dup clusters are shallow — a handful of rounds).
+    * Each round is one equi-join + one aggregation, both distributed;
+    * `localCheckpoint` truncates the growing lineage so Catalyst
+    * re-plans per round instead of re-analyzing the whole history. At
+    * extreme scale swap the propagation for the large-star/small-star
+    * rounds of Kiveris et al. — same DataFrame shape, fewer rounds. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(edges("dst").as("nid"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     val sigs = simhashTable(df, idCol, textCol)
     val bands = sigs.select(

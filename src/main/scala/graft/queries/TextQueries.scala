@@ -106,6 +106,20 @@ object TextQueries {
       )
   }
 
+  // ---------------------------------------------------------------- q35
+  /** Near-dup cluster resolution: connected components over the
+    * MinHash+LSH pair graph (q25's exact-verified pairs), labeling every
+    * clustered doc with its canonical (min-id) representative and the
+    * cluster size — the "which copy do we keep" step of corpus dedup. */
+  def q35DedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.minhashLshPairs(Tables(spark, dir).documents, "doc_id", "text",
+      n = 3, k = 16, bandSize = 4, minJaccardPpm = 800000L)
+    Dedup.connectedComponents(pairs, "d1", "d2")
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"comp")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_text_stats"    -> q20TextStats _,
     "q21_quality_score" -> q21QualityScore _,
@@ -114,12 +128,49 @@ object TextQueries {
     "q24_ngram_jaccard" -> q24NgramJaccard _,
     "q25_minhash_lsh"   -> q25MinhashLsh _,
     "q26_simhash"       -> q26Simhash _,
-    "q30_fingerprint"   -> q30Fingerprint _
+    "q30_fingerprint"   -> q30Fingerprint _,
+    "q35_dedup_groups"  -> q35DedupGroups _
   )
 
   private val toksSql = """list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"""
   private def vocabSql(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** q25's oracle, shared: q35's recursive-CTE oracle clusters its pairs. */
+  private lazy val q25Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+       |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles FROM tok
+       |  ),
+       |sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+       |hb AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, s ->
+       |    CAST(CAST(concat('0x', substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) & 2147483647) AS h31
+       |  FROM sh2),
+       |sig AS (SELECT doc_id, shingles,
+       |  list_transform(generate_series(0, 15), i ->
+       |    list_min(list_transform(h31, h ->
+       |      (${(0 until 16).map(graft.operators.Dedup.minhashA).mkString("[", ", ", "]")}[i+1] * h +
+       |       ${(0 until 16).map(graft.operators.Dedup.minhashB).mkString("[", ", ", "]")}[i+1]) % 2147483647))) AS mh
+       |  FROM hb),
+       |bands AS (SELECT doc_id, shingles, b.band_idx, md5(concat_ws('|',
+       |    CAST(mh[b.band_idx*4+1] AS VARCHAR), CAST(mh[b.band_idx*4+2] AS VARCHAR),
+       |    CAST(mh[b.band_idx*4+3] AS VARCHAR), CAST(mh[b.band_idx*4+4] AS VARCHAR))) AS band_hash
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_bands,
+       |    any_value(a.shingles) AS sh1, any_value(b.shingles) AS sh2
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |v AS (SELECT d1, d2, n_shared_bands,
+       |    CAST(len(list_intersect(sh1, sh2)) AS BIGINT) AS shared,
+       |    CAST(len(sh1) AS BIGINT) AS n1, CAST(len(sh2) AS BIGINT) AS n2
+       |  FROM cand)
+       |SELECT d1, d2, n_shared_bands, shared,
+       |  CAST(shared * 1000000 // (n1 + n2 - shared) AS BIGINT) AS jaccard_ppm
+       |FROM v WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q20_text_stats" ->
@@ -183,40 +234,19 @@ object TextQueries {
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT d1, d2, shared, CAST(shared * 1000000 // (n1 + n2 - shared) AS BIGINT) AS jaccard_ppm
          |FROM pairs WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin,
-    "q25_minhash_lsh" ->
-      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |sh AS (SELECT doc_id,
-         |  list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
-         |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles FROM tok
-         |  ),
-         |sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
-         |hb AS (SELECT doc_id, shingles,
-         |  list_transform(shingles, s ->
-         |    CAST(CAST(concat('0x', substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) & 2147483647) AS h31
-         |  FROM sh2),
-         |sig AS (SELECT doc_id, shingles,
-         |  list_transform(generate_series(0, 15), i ->
-         |    list_min(list_transform(h31, h ->
-         |      (${(0 until 16).map(graft.operators.Dedup.minhashA).mkString("[", ", ", "]")}[i+1] * h +
-         |       ${(0 until 16).map(graft.operators.Dedup.minhashB).mkString("[", ", ", "]")}[i+1]) % 2147483647))) AS mh
-         |  FROM hb),
-         |bands AS (SELECT doc_id, shingles, b.band_idx, md5(concat_ws('|',
-         |    CAST(mh[b.band_idx*4+1] AS VARCHAR), CAST(mh[b.band_idx*4+2] AS VARCHAR),
-         |    CAST(mh[b.band_idx*4+3] AS VARCHAR), CAST(mh[b.band_idx*4+4] AS VARCHAR))) AS band_hash
-         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
-         |cand AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_bands,
-         |    any_value(a.shingles) AS sh1, any_value(b.shingles) AS sh2
-         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |    AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |v AS (SELECT d1, d2, n_shared_bands,
-         |    CAST(len(list_intersect(sh1, sh2)) AS BIGINT) AS shared,
-         |    CAST(len(sh1) AS BIGINT) AS n1, CAST(len(sh2) AS BIGINT) AS n2
-         |  FROM cand)
-         |SELECT d1, d2, n_shared_bands, shared,
-         |  CAST(shared * 1000000 // (n1 + n2 - shared) AS BIGINT) AS jaccard_ppm
-         |FROM v WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin,
+    "q25_minhash_lsh" -> q25Sql,
+    "q35_dedup_groups" ->
+      s"""WITH RECURSIVE pairs AS ($q25Sql),
+         |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |verts AS (SELECT DISTINCT a AS id FROM e),
+         |cc AS (
+         |  SELECT id, id AS comp FROM verts
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN e ON cc.id = e.a
+         |),
+         |lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+         |SELECT l.id, l.comp, CAST(c.n AS BIGINT) AS n_members
+         |FROM lab l JOIN (SELECT comp, count(*) AS n FROM lab GROUP BY comp) c USING (comp)""".stripMargin,
     "q26_simhash" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |hs AS (SELECT doc_id,

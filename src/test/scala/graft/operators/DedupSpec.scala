@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operator semantics: connected-component clustering and the
+  * lossless-ness of the AllPairs prefix filter. */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("connectedComponents labels every vertex with its component min id") {
+    import spark.implicits._
+    // two chains and an isolated pair: {1,2,3,4} via 1-2,2-3,3-4; {7,9}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (9L, 7L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("prefix-filtered jaccard equals brute-force jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "a completely different sentence with nothing shared at all here"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"),
+      (5L, "some other text that shares the quick brown fox only briefly")
+    ).toDF("doc_id", "text")
+
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccardPpm = 500000L)
+      .select("d1", "d2", "jaccard_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute force over all pairs
+    import graft.functions.TextFunctions._
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val m = docs.collect().map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    val want = (for {
+      a <- m.keys; b <- m.keys if a < b
+      inter = (m(a) & m(b)).size
+      j = inter.toLong * 1000000L / (m(a).size + m(b).size - inter)
+      if j >= 500000L
+    } yield (a, b, j)).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the fixture must actually exercise the path
+  }
+}
