@@ -21,7 +21,7 @@ object Bench {
     "q11_fifo_pairing", "q12_sessions", "q13_exact_percentiles",
     "q19_tumbling_window",
     "q14_step_transitions", "q15_dup_keys", "q16_recovery_flag",
-    "q17_json_props", "q18_last_send_first_receive",
+    "q17_json_props", "q18_last_send_first_receive", "q36_salted_join",
     "q20_text_stats", "q21_quality_score", "q22_lang_id", "q23_exact_dedup",
     "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q30_fingerprint",
     "q35_dedup_groups",

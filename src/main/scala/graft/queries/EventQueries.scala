@@ -180,9 +180,27 @@ object EventQueries {
       .select(unix_micros($"window.start").as("window_start_us"), $"event_type", $"n", $"sum_v_c")
   }
 
+  // ---------------------------------------------------------------- q36
+  /** Skew-salted dimension join: every event enriched with its type's
+    * totals. `event_type` has only 5 values (each key = 20% of the fact
+    * side — maximal skew), so the plain shuffle join would put each key
+    * on one reducer; [[graft.operators.SkewJoin.salted]] spreads each key
+    * over 8 salt buckets. The oracle is the UNsalted join — proving the
+    * rewrite is result-identical. */
+  def q36SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir).select($"event_id", $"event_type", cents($"value").as("value_cents"))
+    val dim = e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_type"), sum($"value_cents").as("type_sum_cents"))
+    graft.operators.SkewJoin.salted(e, dim, Seq("event_type"), $"event_id", buckets = 8)
+      .filter($"event_id" % 37 === 0)
+      .select($"event_id", $"event_type", $"n_type", $"value_cents", $"type_sum_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_last_send_first_receive" -> q18LastSendFirstReceive _,
     "q19_tumbling_window"         -> q19TumblingWindow _,
+    "q36_salted_join"             -> q36SaltedJoin _,
     "q11_fifo_pairing"      -> q11FifoPairing _,
     "q12_sessions"          -> q12Sessions _,
     "q13_exact_percentiles" -> q13ExactPercentiles _,
@@ -193,6 +211,13 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q36_salted_join" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents FROM events),
+        |d AS (SELECT event_type, count(*) AS n_type,
+        |  CAST(sum(value_cents) AS BIGINT) AS type_sum_cents FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, d.n_type, e.value_cents, d.type_sum_cents
+        |FROM e JOIN d USING (event_type)
+        |WHERE e.event_id % 37 = 0""".stripMargin,
     "q19_tumbling_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
         |  event_type, count(*) AS n,
