@@ -120,4 +120,23 @@ object StreamingPipeline {
     df.withColumn("content_hash", md5(col(contentCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming sessionization (the time-gap half of A10, §2.7): native
+    * `session_window` merges a key's events into variable-length sessions
+    * closed by `gap` of silence; the watermark both bounds state and
+    * decides when a session is final (append mode emits only closed
+    * sessions). The batch operator ([[graft.operators.Sessionize]]) also
+    * chains on the height delta — the reference's second condition —
+    * which `session_window` cannot express; a streaming caller needing it
+    * drops to flatMapGroupsWithState (see [[voteLatencyStream]] for the
+    * state pattern). */
+  def sessionStream(df: DataFrame, tsCol: String, keyCol: String,
+                    watermark: String, gap: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

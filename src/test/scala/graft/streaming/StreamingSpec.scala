@@ -59,6 +59,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window closes sessions at the gap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-session-stream").toString
+    // user u1: two sessions (3 events, then 1 after a >30s gap); the late
+    // z-event only advances the watermark so both sessions finalize.
+    val lines = Seq(
+      """{"ts":"2025-01-01T00:00:01Z","user":"u1"}""",
+      """{"ts":"2025-01-01T00:00:05Z","user":"u1"}""",
+      """{"ts":"2025-01-01T00:00:09Z","user":"u1"}""",
+      """{"ts":"2025-01-01T00:01:00Z","user":"u1"}""",
+      """{"ts":"2025-01-01T01:00:00Z","user":"zz"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s.json"),
+      lines.mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).json(dir)
+    val q = StreamingPipeline.sessionStream(stream, "ts", "user", "10 seconds", "30 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select user, n_events from sessions where user = 'u1' order by session_start")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("u1", 3L), ("u1", 1L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation runs") {
     val logDir = java.nio.file.Files.createTempDirectory("graft-stream-logs2").toString
     Fixtures.writeScenario(logDir, heights = 2)
