@@ -249,9 +249,11 @@ object Dedup {
     * rounds (near-dup clusters are shallow — a handful of rounds).
     * Each round is one equi-join + one aggregation, both distributed;
     * `localCheckpoint` truncates the growing lineage so Catalyst
-    * re-plans per round instead of re-analyzing the whole history. At
-    * extreme scale swap the propagation for the large-star/small-star
-    * rounds of Kiveris et al. — same DataFrame shape, fewer rounds. */
+    * re-plans per round instead of re-analyzing the whole history (on a
+    * real cluster prefer `checkpoint` to reliable storage — executor
+    * loss under localCheckpoint forfeits the partiality). At extreme
+    * scale swap the propagation for the large-star/small-star rounds of
+    * Kiveris et al. — same DataFrame shape, fewer rounds. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
