@@ -33,15 +33,21 @@ object Prof {
     val prefLen = col("ns") - graft.functions.TextFunctions.intDiv(col("ns") * 800000L + 999999L, lit(1000000L)) + 1L
     val pref = sets
       .select(col("doc"), col("ns"), explode(slice(col("sh"), lit(1), prefLen)).as("e"))
-      .select(col("doc"), col("ns"), col("e.h").as("h"), col("e.s").as("s"))
+      .select(col("doc"), col("ns"), col("e.h").as("h"))
     time("q24 prefix rows") { pref.count() }
-    val pa = pref.select(col("doc").as("d1"), col("ns").as("pn1"), col("h"), col("s"))
-    val pb = pref.select(col("doc").as("d2"), col("ns").as("pn2"), col("h"), col("s"))
-    val cand = pa.join(pb, Seq("h", "s")).filter(col("d1") < col("d2"))
+    val pa = pref.select(col("doc").as("d1"), col("ns").as("pn1"), col("h"))
+    val pb = pref.select(col("doc").as("d2"), col("ns").as("pn2"), col("h"))
+    val cand = pa.join(pb, Seq("h")).filter(col("d1") < col("d2"))
+      .filter(col("pn1") * 1000000L >= col("pn2") * 800000L &&
+              col("pn2") * 1000000L >= col("pn1") * 800000L)
       .select(col("d1"), col("d2")).distinct()
     time("q24 candidates") { cand.count() }
     time("q24 full") {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 800000L).count()
+    }
+    time("q35 full") {
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 800000L), "d1", "d2").count()
     }
 
     val ex = Dedup.shingleTable(docs, "doc_id", "text", 3)
