@@ -89,7 +89,14 @@ object Dedup {
     * A length-ratio band (J >= t forces |S1|/|S2| in [t, 1/t]) prunes
     * candidates before the distinct. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, minJaccardPpm: Long): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    // The per-doc set table feeds FOUR plan branches (both prefix-join
+    // sides + both verify joins); without materialization Catalyst
+    // re-executes the explode+window+aggregate pipeline per branch
+    // (exchange reuse can't apply — each branch projects differently
+    // above the aggregate). One localCheckpoint = one compute. At
+    // cluster scale this is the materialize-the-sketch-table pattern
+    // (persist to reliable storage there).
+    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
     // ceil(t*ns) in exact integer ppm math
     val prefLen = col("ns") - intDiv(col("ns") * minJaccardPpm + 999999L, lit(1000000L)) + 1L
     val pref = sets
@@ -166,11 +173,15 @@ object Dedup {
     // shuffle) is unnecessary.
     val ex = shingleRows(df, idCol, textCol, n)
       .withColumn("h31", hash31(col("s")))
+    // Materialized once: the signature table feeds both band-join sides
+    // (and carries the verification shingle sets), and Catalyst would
+    // otherwise recompute the shingle+aggregate pipeline per side.
     val sig = ex.groupBy(col("doc"))
       .agg(
         collect_set(col("s")).as("shingles"),
         (0 until k).map(i =>
           min((lit(minhashA(i)) * col("h31") + lit(minhashB(i))) % MinhashP).as(s"mh$i")): _*)
+      .localCheckpoint()
     val bandCols = (0 until k / bandSize).map { bIdx =>
       md5(concat_ws("|",
         (0 until bandSize).map(j => col(s"mh${bIdx * bandSize + j}").cast("string")): _*))
@@ -289,7 +300,8 @@ object Dedup {
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sigs = simhashTable(df, idCol, textCol)
+    // Materialized once — consumed by both band-join sides (see q25).
+    val sigs = simhashTable(df, idCol, textCol).localCheckpoint()
     val bands = sigs.select(
       col("doc"), col("sig"),
       posexplode(
