@@ -23,6 +23,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nV = 30 + trial * 10
+      val pairs = Seq.fill(40)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(pairs.toDF("d1", "d2"), "d1", "d2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val roots = verts.map(v => v -> find(v)).toMap
+      val minOfRoot = verts.groupBy(roots).map { case (r, vs) => r -> vs.min }
+      val want = verts.map(v => v -> minOfRoot(roots(v))).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("prefix-filtered jaccard equals brute-force jaccard") {
     import spark.implicits._
     val docs = Seq(
