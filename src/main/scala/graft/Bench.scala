@@ -26,7 +26,7 @@ object Bench {
     "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q30_fingerprint",
     "q35_dedup_groups",
     "q27_cosine_topk", "q28_lsh_ann", "q29_embedding_stats",
-    "q33_embedding_neardup", "q34_ivf_ann", "q44_multimodal_resize")
+    "q33_embedding_neardup", "q34_ivf_ann", "q37_sql_api", "q44_multimodal_resize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,6 +35,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -72,7 +72,24 @@ object VectorQueries {
       isCentroid = $"vec_id" < 8, isQuery = $"vec_id" < 20, k = 5)
   }
 
+  // ---------------------------------------------------------------- q37
+  /** Pure-SQL entry path: a SQL user's query over a temp view, using the
+    * natively-injected `dot_q` expression (GraftExtensions) — exercises
+    * the `spark.sql.extensions` registration plus SQL lambda transforms,
+    * not just the DataFrame API. */
+  def q37SqlApi(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).embeddings.createOrReplaceTempView("embeddings_v")
+    spark.sql(
+      """WITH q AS (SELECT vec_id,
+        |  transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)) AS qvec
+        |  FROM embeddings_v)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2, dot_q(a.qvec, b.qvec) AS dot
+        |FROM q a JOIN q b ON a.vec_id + 1 = b.vec_id
+        |WHERE a.vec_id < 50""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_sql_api"          -> q37SqlApi _,
     "q27_cosine_topk"      -> q27CosineTopK _,
     "q28_lsh_ann"          -> q28LshAnn _,
     "q29_embedding_stats"  -> q29EmbeddingStats _,
@@ -129,6 +146,12 @@ object VectorQueries {
          |  CAST(sum(qnorm2) AS BIGINT) AS sum_qnorm2,
          |  min(qnorm2) AS min_qnorm2, max(qnorm2) AS max_qnorm2
          |FROM n GROUP BY label""".stripMargin,
+    "q37_sql_api" ->
+      s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot
+         |FROM q a JOIN q b ON a.vec_id + 1 = b.vec_id
+         |WHERE a.vec_id < 50""".stripMargin,
     "q33_embedding_neardup" ->
       s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
          |n AS (SELECT vec_id, qvec,
