@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards: the properties the 100 TB design hinges on
+  * must survive refactors — filters reaching the scan, pruned read
+  * schemas, broadcast dimension joins, and sketch-table materialization.
+  * (These assert on plan text, not timings, so they are load-independent.)
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  test("q2 pushes all predicates into the parquet scan and prunes columns") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    // pruned read schema: no l_comment / l_tax in the scan
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("l_comment") && !read.contains("l_tax"), read)
+  }
+
+  test("q3 joins dimensions by broadcast, not shuffle") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast dim joins")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("q34 pushes the query/centroid filters into the scans and broadcasts centroids") {
+    val p = plan("q34_ivf_ann")
+    assert(p.contains("LessThan(vec_id,20)"), "query-side filter not pushed")
+    assert(p.contains("LessThan(vec_id,8)"), "centroid filter not pushed")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q24 materializes the shingle-set table once") {
+    val p = plan("q24_ngram_jaccard")
+    // after localCheckpoint the four consumers read the materialized RDD:
+    // no parquet scan of documents may remain in the plan
+    assert(!p.contains("Scan parquet"), "sketch table recomputed from scan")
+  }
+}
