@@ -525,4 +525,14 @@ object Analytics {
   val all: Seq[Analytic] = Seq(
     ConsensusSteps, VoteLatency, BlockParts, P2pMessages, ConsensusTiming,
     ValidatorParticipation, NetworkLatency, TimeoutAnalysis, TracerEvents)
+
+  /** Plugin enablement by name — the reference's YAML plugin list
+    * (`internal/config/config.go:48-63`); an empty selection enables the
+    * default set like `config.go:67-83`, and unknown names fail fast. */
+  def byNames(names: Seq[String]): Seq[Analytic] =
+    if (names.isEmpty) all
+    else names.map { n =>
+      all.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"unknown analytic '$n'; known: ${all.map(_.name).mkString(", ")}"))
+    }
 }

@@ -43,11 +43,15 @@ object Pipeline {
     counts.toMap
   }
 
-  /** CLI: graft.cometbft.Pipeline <logDir> <warehouseDir> */
+  /** CLI: graft.cometbft.Pipeline <logDir> <warehouseDir> [analytics-csv]
+    * — the optional third arg mirrors the reference's YAML plugin list
+    * (omitted = all analytics enabled). */
   def main(args: Array[String]): Unit = {
     val Array(logDir, out) = args.take(2)
+    val enabled = Analytics.byNames(
+      args.drop(2).headOption.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
     val spark = graft.GraftSession.get()
-    val counts = Pipeline.run(spark, logDir, out)
+    val counts = Pipeline.run(spark, logDir, out, enabled)
     counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"$t: $n rows") }
     spark.stop()
   }

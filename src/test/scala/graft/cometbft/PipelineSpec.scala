@@ -111,4 +111,13 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("block.chainId"), col("block.txsHex"))
     assert(cb.filter(col("chainId") === "graft-test").count() == 20L)
   }
+
+  test("analytics selection by name mirrors the reference plugin list") {
+    assert(graft.cometbft.Analytics.byNames(Nil).size == 9)
+    assert(graft.cometbft.Analytics.byNames(Seq("vote_latency", "tracer_events")).map(_.name) ==
+      Seq("vote_latency", "tracer_events"))
+    intercept[IllegalArgumentException] {
+      graft.cometbft.Analytics.byNames(Seq("nope"))
+    }
+  }
 }
