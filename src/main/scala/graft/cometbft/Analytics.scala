@@ -45,10 +45,12 @@ object Analytics {
 
   /** vote_latencies (J1, `ossplugins/vote-latency/processor.go:26-65`):
     * send_vote / receive_packet_vote pairing on (height, round, valIdx,
-    * sender, receiver). Deterministic rationalization of the reference's
-    * overwrite-on-send machine: LAST send pairs with FIRST receive at or
-    * after it (confirms only send-before-receive order, as the reference
-    * does). */
+    * sender, receiver) via the faithful overwrite-on-send machine
+    * ([[PairingJoin.confirmOnReceive]]): every receive after the first
+    * event at its key confirms against the last send before it; a
+    * receive-created entry confirms later receives with NULL sent time
+    * (reference computes latency from Go's zero time there — documented
+    * rationalization). */
   object VoteLatency extends Analytic {
     val name = "vote_latency"
     def run(events: DataFrame): Seq[(String, DataFrame)] = {
@@ -62,16 +64,17 @@ object Analytics {
         col("vote.validatorIndex").as("val_idx"),
         col("source_peer_id").as("sender"), col("node_id").as("receiver"),
         col("ts_ns").as("received_ns"))
-      val confirmed = PairingJoin.lastSendFirstReceive(
+      val confirmed = PairingJoin.confirmOnReceive(
         sends, recvs, Seq("height", "round", "val_idx", "sender", "receiver"),
-        "sent_ns", "received_ns", Seq.empty, Seq.empty)
+        "sent_ns", "received_ns", Seq("vote"))
         .withColumn("latency_ms", expr("(received_ns - sent_ns) div 1000000"))
       Seq("vote_latencies" -> confirmed)
     }
   }
 
   /** block_part_latencies (J2, `ossplugins/block-parts/processor.go:43-90`):
-    * identical machine keyed by (height, round, partIndex, sender, receiver). */
+    * the identical machine keyed by (height, round, partIndex, sender,
+    * receiver) — same faithful confirm-on-receive semantics. */
   object BlockParts extends Analytic {
     val name = "block_parts"
     def run(events: DataFrame): Seq[(String, DataFrame)] = {
@@ -85,9 +88,9 @@ object Analytics {
         col("decoded.partIndex").as("part_index"),
         col("source_peer_id").as("sender"), col("node_id").as("receiver"),
         col("ts_ns").as("received_ns"))
-      val confirmed = PairingJoin.lastSendFirstReceive(
+      val confirmed = PairingJoin.confirmOnReceive(
         sends, recvs, Seq("height", "round", "part_index", "sender", "receiver"),
-        "sent_ns", "received_ns", Seq.empty, Seq.empty)
+        "sent_ns", "received_ns")
         .withColumn("latency_ms", expr("(received_ns - sent_ns) div 1000000"))
       Seq("block_part_latencies" -> confirmed)
     }

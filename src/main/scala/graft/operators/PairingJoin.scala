@@ -47,6 +47,62 @@ object PairingJoin {
     l.join(r, keys :+ "pair_seq", joinType)
   }
 
+  /** The faithful send/receive confirmation machine of the vote-latency
+    * and block-parts processors (`vote-latency/processor.go:26-65`,
+    * `block-parts/processor.go:43-73`), re-expressed as ONE window over
+    * the per-key event stream:
+    *
+    *  - a send OVERWRITES the key's entry (`processor.go:52-53`);
+    *  - a receive with NO prior event at the key creates the entry
+    *    silently (status Received, nothing emitted);
+    *  - every LATER receive emits a confirmation whose sent time is the
+    *    entry's — i.e. the last send before it. If the entry chain began
+    *    with a receive and no send has occurred, the reference computes
+    *    latency from Go's zero time; we emit a NULL sent time instead
+    *    (documented rationalization, SURVEY §7.4-3).
+    *
+    * Ties at equal timestamp process sends before receives — the
+    * reference's global sort is unstable (`sort.Slice`), so this is the
+    * deterministic choice. `sendCarry` columns ride along from the last
+    * send (the entry's payload, e.g. the Vote struct).
+    *
+    * Relationally: union both sides, one window partitioned by key ordered
+    * by (ts, side) with an unbounded-preceding-to-previous-row frame
+    * supplies both "any prior event?" and "last send ts/payload" — a
+    * single shuffle on the key, no join at all.
+    */
+  def confirmOnReceive(
+      sends: DataFrame,
+      receives: DataFrame,
+      keys: Seq[String],
+      sendTs: String,
+      recvTs: String,
+      sendCarry: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val s = sends.select(
+      (keys.map(col) :+ col(sendTs).as("__ts") :+ lit(0).as("__side")) ++
+        sendCarry.map(col): _*)
+    val r = receives.select(
+      (keys.map(col) :+ col(recvTs).as("__ts") :+ lit(1).as("__side")) ++
+        sendCarry.map(c => lit(null).as(c)): _*)
+    val stream = s.unionByName(r)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sentOfSide = when(col("__side") === 0, col("__ts"))
+    val withState = stream
+      .withColumn("__prior", count(lit(1)).over(w))
+      .withColumn("__last_send", last(sentOfSide, ignoreNulls = true).over(w))
+    val carried = sendCarry.foldLeft(withState) { (d, c) =>
+      d.withColumn(c, last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1 && col("__prior") >= 1)
+      .withColumn(sendTs, col("__last_send"))
+      .withColumn(recvTs, col("__ts"))
+      .drop("__ts", "__side", "__prior", "__last_send")
+  }
+
   /** Last-send / first-receive pairing — the vote-latency quirk
     * (`vote-latency/processor.go:52-53`): a later send overwrites the
     * pending entry, so only the LAST send per key pairs, and it pairs with

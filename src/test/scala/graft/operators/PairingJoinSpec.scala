@@ -69,4 +69,32 @@ class PairingJoinSpec extends AnyFunSuite {
     val rolled = Sessionize.rollup(tagged, Seq("node"), "ts", minEvents = 2L)
     assert(rolled.count() == 2) // the singleton session is dropped
   }
+
+  test("confirmOnReceive reproduces the reference overwrite machine exactly") {
+    def run(sends: Seq[(String, Long)], recvs: Seq[(String, Long)]) =
+      PairingJoin.confirmOnReceive(
+          sends.toDF("key", "sent_ns"), recvs.toDF("key", "recv_ns"),
+          Seq("key"), "sent_ns", "recv_ns")
+        .orderBy("recv_ns")
+        .select("sent_ns", "recv_ns")
+        .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getLong(1))).toSeq
+
+    // S R -> one confirmation
+    assert(run(Seq(("k", 10L)), Seq(("k", 20L))) == Seq((Some(10L), 20L)))
+    // S R R -> BOTH receives confirm against the same send
+    assert(run(Seq(("k", 10L)), Seq(("k", 20L), ("k", 30L))) ==
+      Seq((Some(10L), 20L), (Some(10L), 30L)))
+    // S S R -> last send wins (overwrite, processor.go:52-53)
+    assert(run(Seq(("k", 10L), ("k", 15L)), Seq(("k", 20L))) == Seq((Some(15L), 20L)))
+    // R R -> first receive creates the entry silently; second confirms with
+    // no sent time (reference: Go zero time; rationalized to NULL)
+    assert(run(Seq.empty, Seq(("k", 20L), ("k", 30L))) == Seq((None, 30L)))
+    // R S R -> send overwrites the receive-created entry; later receive
+    // confirms against it
+    assert(run(Seq(("k", 25L)), Seq(("k", 20L), ("k", 30L))) == Seq((Some(25L), 30L)))
+    // lone R -> nothing
+    assert(run(Seq.empty, Seq(("k", 20L))).isEmpty)
+    // equal timestamps: send processes first, so the receive confirms
+    assert(run(Seq(("k", 20L)), Seq(("k", 20L))) == Seq((Some(20L), 20L)))
+  }
 }
