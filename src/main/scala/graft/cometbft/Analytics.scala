@@ -97,11 +97,12 @@ object Analytics {
   }
 
   /** p2p_messages (J3, `ossplugins/p2p-messages/processor.go:39-341`):
-    * confirmation for 8 message families, order-insensitive (receive-then-
-    * send also confirms; latency always recv − send). A relational FIFO
-    * rank-pairing per family key is automatically order-insensitive and
-    * deterministic under duplicates. Key builders mirror
-    * `processor.go:343-366`. */
+    * confirmation for 8 message families in either arrival order via the
+    * faithful machine ([[PairingJoin.confirmEitherOrder]]): receives
+    * confirm against the last send before them, the first send confirms a
+    * pending first receive (negative latency), repeat receives re-confirm
+    * — exactly the reference's per-key entry semantics. Key builders
+    * mirror `processor.go:343-366`. */
   object P2pMessages extends Analytic {
     val name = "p2p_messages"
 
@@ -142,12 +143,12 @@ object Analytics {
           .select(f.keys.map { case (n, c) => c.cast("string").as(n) } ++ Seq(
             col("source_peer_id").as("sender"), col("node_id").as("receiver"),
             col("ts_ns").as("received_ns")): _*)
-        PairingJoin.fifo(sends, recvs,
-            keyNames ++ Seq("sender", "receiver"), Seq("sent_ns"), Seq("received_ns"))
+        PairingJoin.confirmEitherOrder(sends, recvs,
+            keyNames ++ Seq("sender", "receiver"), "sent_ns", "received_ns")
           .withColumn("msg_family", lit(f.family))
           .withColumn("latency_ms", expr("(received_ns - sent_ns) div 1000000"))
           .select("msg_family", "sender", "receiver", "height",
-            "sent_ns", "received_ns", "latency_ms", "pair_seq")
+            "sent_ns", "received_ns", "latency_ms")
       }
       Seq("p2p_messages" -> confirmed.reduce(_.unionByName(_)))
     }

@@ -103,6 +103,50 @@ object PairingJoin {
       .drop("__ts", "__side", "__prior", "__last_send")
   }
 
+  /** The faithful either-order confirmation machine of the p2p-messages
+    * processor (`p2p-messages/processor.go:78-110` per family): like
+    * [[confirmOnReceive]], but a SEND can also confirm — when the key's
+    * entry is in Received state (a receive arrived first), the send emits
+    * a confirmation against the entry-creating FIRST receive (latency
+    * negative). State analysis of the reference machine gives the closed
+    * form:
+    *
+    *  - every receive with >= 1 prior send confirms against the LAST send
+    *    before it (send overwrites entry unless it is in Received state);
+    *  - the FIRST send at a key confirms against the FIRST receive if any
+    *    receive precedes it (Received-state entry);
+    *  - a receive whose priors are only receives hits a nil-interface
+    *    type assertion in the reference (`processor.go:102` — it would
+    *    panic); rationalized here to a NULL sent time confirmation;
+    *  - ties at equal timestamp process sends first.
+    */
+  def confirmEitherOrder(
+      sends: DataFrame,
+      receives: DataFrame,
+      keys: Seq[String],
+      sendTs: String,
+      recvTs: String
+  ): DataFrame = {
+    val s = sends.select(keys.map(col) :+ col(sendTs).as("__ts") :+ lit(0).as("__side"): _*)
+    val r = receives.select(keys.map(col) :+ col(recvTs).as("__ts") :+ lit(1).as("__side"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val st = s.unionByName(r)
+      .withColumn("__prior_s", count(when(col("__side") === 0, 1)).over(w))
+      .withColumn("__prior_r", count(when(col("__side") === 1, 1)).over(w))
+      .withColumn("__last_send", last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .withColumn("__first_recv", min(when(col("__side") === 1, col("__ts"))).over(w))
+    val recvConfirm = st.filter(col("__side") === 1 && (col("__prior_s") >= 1 || col("__prior_r") >= 1))
+      .withColumn(sendTs, col("__last_send")) // NULL when no prior send (reference panic, rationalized)
+      .withColumn(recvTs, col("__ts"))
+    val sendConfirm = st.filter(col("__side") === 0 && col("__prior_s") === 0 && col("__prior_r") >= 1)
+      .withColumn(sendTs, col("__ts"))
+      .withColumn(recvTs, col("__first_recv"))
+    recvConfirm.unionByName(sendConfirm)
+      .drop("__ts", "__side", "__prior_s", "__prior_r", "__last_send", "__first_recv")
+  }
+
   /** Last-send / first-receive pairing — the vote-latency quirk
     * (`vote-latency/processor.go:52-53`): a later send overwrites the
     * pending entry, so only the LAST send per key pairs, and it pairs with

@@ -97,4 +97,33 @@ class PairingJoinSpec extends AnyFunSuite {
     // equal timestamps: send processes first, so the receive confirms
     assert(run(Seq(("k", 20L)), Seq(("k", 20L))) == Seq((Some(20L), 20L)))
   }
+
+  test("confirmEitherOrder reproduces the p2p per-key entry machine") {
+    def run(sends: Seq[(String, Long)], recvs: Seq[(String, Long)]) =
+      PairingJoin.confirmEitherOrder(
+          sends.toDF("key", "sent_ns"), recvs.toDF("key", "recv_ns"),
+          Seq("key"), "sent_ns", "recv_ns")
+        .select("sent_ns", "recv_ns")
+        .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getLong(1)))
+        .sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq
+
+    // S R -> receive confirms
+    assert(run(Seq(("k", 10L)), Seq(("k", 20L))) == Seq((Some(10L), 20L)))
+    // R S -> SEND confirms against the pending first receive (negative latency)
+    assert(run(Seq(("k", 30L)), Seq(("k", 20L))) == Seq((Some(30L), 20L)))
+    // S S R -> overwrite: last send wins, one confirmation
+    assert(run(Seq(("k", 10L), ("k", 15L)), Seq(("k", 20L))) == Seq((Some(15L), 20L)))
+    // S R R -> repeat receive re-confirms against the same send
+    assert(run(Seq(("k", 10L)), Seq(("k", 20L), ("k", 30L))) ==
+      Seq((Some(10L), 20L), (Some(10L), 30L)))
+    // R S R -> send-confirm (S,R1) then receive-confirm (S,R2)
+    assert(run(Seq(("k", 25L)), Seq(("k", 20L), ("k", 30L))) ==
+      Seq((Some(25L), 20L), (Some(25L), 30L)))
+    // S R S R -> two cycles: (S1,R1), (S2,R2); S2 only overwrites
+    assert(run(Seq(("k", 10L), ("k", 25L)), Seq(("k", 20L), ("k", 30L))) ==
+      Seq((Some(10L), 20L), (Some(25L), 30L)))
+    // R R -> reference panics on the nil SentTime assertion; rationalized
+    // to a NULL-sent confirmation for the second receive
+    assert(run(Seq.empty, Seq(("k", 20L), ("k", 30L))) == Seq((None, 30L)))
+  }
 }
