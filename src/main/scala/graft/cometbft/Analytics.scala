@@ -193,10 +193,15 @@ object Analytics {
           col("height"), col("round"), lit("committed_block").as("step_name"),
           col("ts_ns"))
 
-      // First observation of each step per round (re-entry keeps first).
+      // LAST observation of each step per round — the reference's
+      // transitions map overwrites on repeat (`processor.go:84`), so its
+      // final state holds the latest timestamp per step. (A re-entered
+      // (node, height, round) key is merged into one row here; the
+      // reference flushes the previous epoch on re-entry —
+      // order-dependent, rationalized as documented in SURVEY §7.4-3.)
       val all = steps.unionByName(commits)
         .groupBy("node_id", "height", "round", "step_name")
-        .agg(min(col("ts_ns")).as("ts_ns"),
+        .agg(max(col("ts_ns")).as("ts_ns"),
           max(col("validator_address")).as("validator_address"))
 
       val idxExpr = canonical.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
