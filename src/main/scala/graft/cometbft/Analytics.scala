@@ -244,6 +244,18 @@ object Analytics {
     * step-start, integer-division averages, participation + on-time flags
     * (<= 1000 ms, `:100,:108`; flag of the LAST vote in event order — here
     * max ts, deterministic). */
+  /** Rationalized deviations from the reference machine (audited round 2,
+    * `validator-participation/processor.go`): the reference keys its
+    * step-start map by (height, round) WITHOUT node — votes measure
+    * against whichever node's step event wrote last; a send of a relayed
+    * vote (signer != node) misses its lookup key and RE-INITS (clobbers)
+    * the node's entry; and the first commit event of ANY node finalizes
+    * every validator's entry for that round, splitting later sends into
+    * extra rows. All three are order-dependent artifacts of shared
+    * mutable state; this formulation uses per-node step starts and one
+    * row per (height, round, validator). The deterministic core —
+    * latency per send vs own step start, on-time = last send's latency
+    * <= 1 s, int-division averages — matches the reference exactly. */
   object ValidatorParticipation extends Analytic {
     val name = "validator_participation"
     def run(events: DataFrame): Seq[(String, DataFrame)] = {
