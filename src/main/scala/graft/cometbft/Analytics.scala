@@ -345,9 +345,14 @@ object Analytics {
         .select(col("sender"), col("receiver"), col("raw_hash"),
           col("recv_msg_type"), col("received_ns"))
 
-      // Pass 2: hash-only FIFO fallback for residuals (:295-328).
+      // Pass 2: hash-only FIFO fallback for residuals (:295-328). The
+      // reference's fallback pool (`pendingSendsByRaw`) holds ONLY sends
+      // without a recipient peer (TrySend); composite-keyed sends that
+      // found no receive are never fallback-matched (round-2 audit).
+      val fallbackSends = unSends.filter(col("receiver").isNull)
+      val directUnmatchedSends = unSends.filter(col("receiver").isNotNull)
       val m2 = PairingJoin.fifo(
-        unSends.withColumnRenamed("sender", "send_sender").withColumnRenamed("receiver", "send_receiver"),
+        fallbackSends.withColumnRenamed("sender", "send_sender").withColumnRenamed("receiver", "send_receiver"),
         unRecvs.withColumnRenamed("sender", "recv_sender").withColumnRenamed("receiver", "recv_receiver"),
         Seq("raw_hash"), Seq("sent_ns"), Seq("received_ns"), "full_outer")
       val matched2 = m2.filter(col("sent_ns").isNotNull && col("received_ns").isNotNull)
@@ -356,6 +361,8 @@ object Analytics {
         .withColumn("match_type", lit("hash_fallback"))
       val unmatchedSends = m2.filter(col("received_ns").isNull)
         .select(col("send_sender").as("node_id"), col("send_msg_type").as("msg_type"))
+        .unionByName(directUnmatchedSends
+          .select(col("sender").as("node_id"), col("send_msg_type").as("msg_type")))
       val unmatchedRecvs = m2.filter(col("sent_ns").isNull)
         .select(col("recv_receiver").as("node_id"), col("recv_msg_type").as("msg_type"))
 
@@ -364,7 +371,11 @@ object Analytics {
         .unionByName(matched2.select("sender", "receiver", "raw_hash", "send_msg_type",
           "sent_ns", "received_ns", "match_type"))
         .withColumn("msg_type", col("send_msg_type")).drop("send_msg_type")
-        .withColumn("latency_ms", expr("(received_ns - sent_ns) div 1000000"))
+        // The reference records a POSITIVE magnitude either way: recv-send
+        // for in-order matches, send-recv for the out-of-order path
+        // (`:166`, `:283`) — events process in global time order, so the
+        // later timestamp is always the minuend (round-2 audit).
+        .withColumn("latency_ms", expr("abs(received_ns - sent_ns) div 1000000"))
 
       // A3: per-(normalized pair, msg_type) exact-percentile histograms.
       val paired = measurements
