@@ -126,4 +126,73 @@ class PairingJoinSpec extends AnyFunSuite {
     // to a NULL-sent confirmation for the second receive
     assert(run(Seq.empty, Seq(("k", 20L), ("k", 30L))) == Seq((None, 30L)))
   }
+
+  test("confirm machines match a sequential simulation on random event streams") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      // random interleaving of sends/receives over a few keys, distinct ts;
+      // guarantee no double-receive-before-send per key (the reference
+      // panics there; the rationalized NULL path is specced separately)
+      val keys = Seq("a", "b", "c")
+      var ts = 0L
+      val events = scala.collection.mutable.ArrayBuffer[(String, Long, Boolean)]() // (key, ts, isSend)
+      val state = scala.collection.mutable.Map[String, Int]() // pending receives per key
+      for (_ <- 1 to 40) {
+        val k = keys(rnd.nextInt(keys.size))
+        ts += 1 + rnd.nextInt(5)
+        val canRecv = state.getOrElse(k, 0) == 0
+        val isSend = rnd.nextBoolean() || !canRecv
+        if (isSend) state(k) = 0 else state(k) = state.getOrElse(k, 0) + 1
+        events += ((k, ts, isSend))
+      }
+      val sends = events.filter(_._3).map(e => (e._1, e._2))
+      val recvs = events.filterNot(_._3).map(e => (e._1, e._2))
+
+      // sequential simulation of vote-latency (confirm-on-receive) machine
+      case class Entry(var sent: Option[Long], var created: Boolean)
+      val m1 = scala.collection.mutable.Map[String, Entry]()
+      val want1 = scala.collection.mutable.ArrayBuffer[(Option[Long], Long)]()
+      // sequential simulation of p2p (either-order) machine
+      sealed trait St
+      case class Sent(ts: Long) extends St
+      case class Received(ts: Long) extends St
+      case class Confirmed(sent: Long) extends St
+      val m2 = scala.collection.mutable.Map[String, St]()
+      val want2 = scala.collection.mutable.ArrayBuffer[(Option[Long], Long)]()
+      events.sortBy(e => (e._2, if (e._3) 0 else 1)).foreach { case (k, t, isSend) =>
+        if (isSend) {
+          m1(k) = Entry(Some(t), created = true)
+          m2.get(k) match {
+            case Some(Received(rts)) => want2 += ((Some(t), rts)); m2(k) = Confirmed(t)
+            case _                   => m2(k) = Sent(t)
+          }
+        } else {
+          m1.get(k) match {
+            case None    => m1(k) = Entry(None, created = true)
+            case Some(e) => want1 += ((e.sent, t))
+          }
+          m2.get(k) match {
+            case None               => m2(k) = Received(t)
+            case Some(Sent(sts))    => want2 += ((Some(sts), t)); m2(k) = Confirmed(sts)
+            case Some(Confirmed(s)) => want2 += ((Some(s), t))
+            case Some(Received(_))  => fail("double pending receive should not be generated")
+          }
+        }
+      }
+
+      import spark.implicits._
+      val sDF = sends.toSeq.toDF("key", "sent_ns")
+      val rDF = recvs.toSeq.toDF("key", "recv_ns")
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.select("sent_ns", "recv_ns").collect()
+          .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getLong(1)))
+          .sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq
+
+      val got1 = collect(PairingJoin.confirmOnReceive(sDF, rDF, Seq("key"), "sent_ns", "recv_ns"))
+      val got2 = collect(PairingJoin.confirmEitherOrder(sDF, rDF, Seq("key"), "sent_ns", "recv_ns"))
+      assert(got1 == want1.sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq, s"trial $trial confirmOnReceive")
+      assert(got2 == want2.sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq, s"trial $trial confirmEitherOrder")
+      assert(want1.nonEmpty && want2.nonEmpty)
+    }
+  }
 }
