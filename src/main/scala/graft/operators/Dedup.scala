@@ -310,10 +310,19 @@ object Dedup {
     )
     val a = bands.select(col("band_idx"), col("band_val"), col("doc").as("d1"), col("sig").as("sig1"))
     val b = bands.select(col("band_idx"), col("band_val"), col("doc").as("d2"), col("sig").as("sig2"))
+    // First-matching-band dedup: a pair is emitted only from the lowest
+    // band index where the signatures agree — every earlier band must
+    // differ. Replaces the per-pair groupBy rollup (a 200k+-group shuffle
+    // at sf0.1) with a codegen'd integer filter on the join output.
+    def bandOf(sig: Column, j: Int): Column = shr(sig, lit(j * 12)).bitwiseAND(lit(0xfffL))
+    val firstMatch = (0 until 4).map { i =>
+      (col("band_idx") === i) && (0 until i)
+        .map(j => bandOf(col("sig1"), j) =!= bandOf(col("sig2"), j))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))
+      .filter(firstMatch)
       .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("sig1"), col("sig2"), col("hamming"))
