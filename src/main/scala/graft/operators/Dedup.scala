@@ -174,37 +174,40 @@ object Dedup {
     val ex = shingleRows(df, idCol, textCol, n)
       .withColumn("h31", hash31(col("s")))
     // Materialized once: the signature table feeds both band-join sides
-    // (and carries the verification shingle sets), and Catalyst would
-    // otherwise recompute the shingle+aggregate pipeline per side.
+    // and both verify joins; Catalyst would otherwise recompute the
+    // shingle+aggregate pipeline per branch.
     val sig = ex.groupBy(col("doc"))
       .agg(
         collect_set(col("s")).as("shingles"),
         (0 until k).map(i =>
           min((lit(minhashA(i)) * col("h31") + lit(minhashB(i))) % MinhashP).as(s"mh$i")): _*)
+      .withColumn("ns", size(col("shingles")).cast("long"))
       .localCheckpoint()
     val bandCols = (0 until k / bandSize).map { bIdx =>
       md5(concat_ws("|",
         (0 until bandSize).map(j => col(s"mh${bIdx * bandSize + j}").cast("string")): _*))
     }
+    // Band rows carry only (doc, ns) ints — the shingle arrays attach
+    // AFTER the rollup, once per surviving candidate pair, instead of
+    // riding every band-collision row through the count shuffle.
     val bands = sig.select(
-      col("doc"), col("shingles"),
+      col("doc"), col("ns"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-    val a = bands.select(col("band_idx"), col("band_hash"), col("doc").as("d1"), col("shingles").as("sh1"))
-    val b = bands.select(col("band_idx"), col("band_hash"), col("doc").as("d2"), col("shingles").as("sh2"))
+    val a = bands.select(col("band_idx"), col("band_hash"), col("doc").as("d1"), col("ns").as("n1"))
+    val b = bands.select(col("band_idx"), col("band_hash"), col("doc").as("d2"), col("ns").as("n2"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("d1") < col("d2"))
-      // Same exact length-ratio prune as ngramJaccardPairs — applied before
-      // the pair rollup so out-of-band pairs don't drag their shingle
-      // arrays through the shuffle.
-      .filter(size(col("sh1")).cast("long") * 1000000L >= size(col("sh2")).cast("long") * minJaccardPpm &&
-              size(col("sh2")).cast("long") * 1000000L >= size(col("sh1")).cast("long") * minJaccardPpm)
+      // Exact length-ratio prune (J >= t forces |S1|/|S2| in [t, 1/t]).
+      .filter(col("n1") * 1000000L >= col("n2") * minJaccardPpm &&
+              col("n2") * 1000000L >= col("n1") * minJaccardPpm)
       .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_shared_bands"), first(col("sh1")).as("sh1"), first(col("sh2")).as("sh2"))
+      .agg(count(lit(1)).as("n_shared_bands"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
     cand
+      .join(sig.select(col("doc").as("d1"), col("shingles").as("sh1")), Seq("d1"))
+      .join(sig.select(col("doc").as("d2"), col("shingles").as("sh2")), Seq("d2"))
       .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn("jaccard_ppm",
-        intDiv(col("shared") * 1000000L,
-               size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - col("shared")))
+        intDiv(col("shared") * 1000000L, col("n1") + col("n2") - col("shared")))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
       .select(col("d1"), col("d2"), col("n_shared_bands"), col("shared"), col("jaccard_ppm"))
   }
