@@ -24,7 +24,7 @@ object Bench {
     "q17_json_props", "q18_last_send_first_receive", "q36_salted_join",
     "q20_text_stats", "q21_quality_score", "q22_lang_id", "q23_exact_dedup",
     "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q30_fingerprint",
-    "q35_dedup_groups",
+    "q35_dedup_groups", "q38_corpus_clean",
     "q27_cosine_topk", "q28_lsh_ann", "q29_embedding_stats",
     "q33_embedding_neardup", "q34_ivf_ann", "q37_sql_api", "q44_multimodal_resize")
 

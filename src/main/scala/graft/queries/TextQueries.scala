@@ -120,7 +120,26 @@ object TextQueries {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"comp")))
   }
 
+  // ---------------------------------------------------------------- q38
+  /** Composed corpus-cleaning pipeline — the end-to-end filter a
+    * training-data user actually runs: exact-dedup survivors (canonical
+    * min-id per content hash) that pass the quality gate and are
+    * language-identified as English. Pure composition of q21/q22/q23's
+    * operators; at scale each input is one aggregation over the same
+    * documents scan and the joins are on doc_id. */
+  def q38CorpusClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quality = q21QualityScore(spark, dir)
+      .select($"doc_id", $"n_tokens", $"stopword_ppm", $"quality_ok")
+    val lang  = q22LangId(spark, dir).select($"doc_id", $"pred_lang")
+    val keeps = q23ExactDedup(spark, dir).select($"keep_id".as("doc_id"))
+    quality.join(lang, "doc_id").join(keeps, "doc_id")
+      .filter($"quality_ok" && $"pred_lang" === "en")
+      .select($"doc_id", $"n_tokens", $"stopword_ppm", $"pred_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_corpus_clean"  -> q38CorpusClean _,
     "q20_text_stats"    -> q20TextStats _,
     "q21_quality_score" -> q21QualityScore _,
     "q22_lang_id"       -> q22LangId _,
@@ -135,6 +154,43 @@ object TextQueries {
   private val toksSql = """list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"""
   private def vocabSql(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private lazy val q21Sql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |m AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_t,
+       |  CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |  CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS n_space,
+       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("en")}, x))) AS BIGINT) AS sw
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST(CASE WHEN n_chars_t = 0 THEN 0 ELSE n_alpha * 1000000 // n_chars_t END AS BIGINT) AS alpha_ppm,
+       |  CAST(CASE WHEN n_chars_t = 0 THEN 0 ELSE n_space * 1000000 // n_chars_t END AS BIGINT) AS space_ppm,
+       |  CAST(CASE WHEN n_chars_t = 0 THEN 0 ELSE n_digit * 1000000 // n_chars_t END AS BIGINT) AS digit_ppm,
+       |  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE sw * 1000000 // n_tokens END AS BIGINT) AS stopword_ppm,
+       |  (CASE WHEN n_chars_t = 0 THEN 0 ELSE n_alpha * 1000000 // n_chars_t END >= 500000
+       |   AND n_tokens >= 5
+       |   AND CASE WHEN n_chars_t = 0 THEN 0 ELSE n_digit * 1000000 // n_chars_t END <= 100000) AS quality_ok
+       |FROM m""".stripMargin
+
+  private lazy val q22Sql: String =
+    s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+       |h AS (SELECT doc_id, lang, text,
+       |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("en")}, x))) AS BIGINT) AS hits_en,
+       |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("de")}, x))) AS BIGINT) AS hits_de,
+       |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("fr")}, x))) AS BIGINT) AS hits_fr,
+       |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("es")}, x))) AS BIGINT) AS hits_es
+       |  FROM t)
+       |SELECT doc_id, lang,
+       |  CASE WHEN length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+       |       WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+       |       WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+       |       WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+       |       WHEN hits_es > 0 THEN 'es'
+       |       ELSE 'unknown' END AS pred_lang,
+       |  hits_en, hits_de, hits_fr, hits_es
+       |FROM h""".stripMargin
 
   /** q25's oracle, shared: q35's recursive-CTE oracle clusters its pairs. */
   private lazy val q25Sql: String =
@@ -183,41 +239,15 @@ object TextQueries {
          |       ELSE CAST(list_sum(list_transform(toks, t -> length(t))) * 1000000 // len(toks) AS BIGINT)
          |  END AS mean_tok_len_ppm
          |FROM (SELECT doc_id, text, n_chars, $toksSql AS toks FROM documents)""".stripMargin,
-    "q21_quality_score" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |m AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(length(text) AS BIGINT) AS n_chars_t,
-         |  CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS n_alpha,
-         |  CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS n_space,
-         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
-         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("en")}, x))) AS BIGINT) AS sw
-         |  FROM t)
-         |SELECT doc_id, n_tokens,
-         |  CAST(CASE WHEN n_chars_t = 0 THEN 0 ELSE n_alpha * 1000000 // n_chars_t END AS BIGINT) AS alpha_ppm,
-         |  CAST(CASE WHEN n_chars_t = 0 THEN 0 ELSE n_space * 1000000 // n_chars_t END AS BIGINT) AS space_ppm,
-         |  CAST(CASE WHEN n_chars_t = 0 THEN 0 ELSE n_digit * 1000000 // n_chars_t END AS BIGINT) AS digit_ppm,
-         |  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE sw * 1000000 // n_tokens END AS BIGINT) AS stopword_ppm,
-         |  (CASE WHEN n_chars_t = 0 THEN 0 ELSE n_alpha * 1000000 // n_chars_t END >= 500000
-         |   AND n_tokens >= 5
-         |   AND CASE WHEN n_chars_t = 0 THEN 0 ELSE n_digit * 1000000 // n_chars_t END <= 100000) AS quality_ok
-         |FROM m""".stripMargin,
-    "q22_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
-         |h AS (SELECT doc_id, lang, text,
-         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("en")}, x))) AS BIGINT) AS hits_en,
-         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("de")}, x))) AS BIGINT) AS hits_de,
-         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("fr")}, x))) AS BIGINT) AS hits_fr,
-         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("es")}, x))) AS BIGINT) AS hits_es
-         |  FROM t)
-         |SELECT doc_id, lang,
-         |  CASE WHEN length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
-         |       WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
-         |       WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
-         |       WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
-         |       WHEN hits_es > 0 THEN 'es'
-         |       ELSE 'unknown' END AS pred_lang,
-         |  hits_en, hits_de, hits_fr, hits_es
-         |FROM h""".stripMargin,
+    "q21_quality_score" -> q21Sql,
+    "q38_corpus_clean" ->
+      s"""WITH q21 AS ($q21Sql),
+         |q22 AS ($q22Sql),
+         |keeps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT q21.doc_id, q21.n_tokens, q21.stopword_ppm, q22.pred_lang
+         |FROM q21 JOIN q22 USING (doc_id) JOIN keeps USING (doc_id)
+         |WHERE q21.quality_ok AND q22.pred_lang = 'en'""".stripMargin,
+    "q22_lang_id" -> q22Sql,
     "q23_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
