@@ -19,11 +19,16 @@ import graft.cometbft.{LogIngest, Normalize}
   */
 object StreamingPipeline {
 
-  /** Streaming normalized events from a log dir. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming normalized events from a log dir. `maxFilesPerTrigger`
+    * chunks the source into micro-batches (None = one batch — use for
+    * closed-input parity runs, where global time order must hold across
+    * the whole input; stateful operators only sort within a batch). */
+  def events(spark: SparkSession, dir: String,
+             maxFilesPerTrigger: Option[Int] = Some(1)): DataFrame = {
     import spark.implicits._
-    val lines = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val lines = reader
       .text(s"$dir/*.log")
       .select(input_file_name().as("src_file"), col("value"))
       .withColumn("msg_raw", get_json_object($"value", "$._msg"))
@@ -47,11 +52,18 @@ object StreamingPipeline {
                             side: String, tsNs: Long)
   final case class ConfirmedVote(height: Long, round: Long, valIdx: Long,
                                  sender: String, receiver: String,
-                                 sentNs: Long, receivedNs: Long, latencyMs: Long)
-  final case class PairState(sentNs: Option[Long], receivedNs: Option[Long])
+                                 sentNs: Option[Long], receivedNs: Long,
+                                 latencyMs: Option[Long])
+  final case class PairState(created: Boolean, sentNs: Option[Long])
 
-  /** Streaming J1: keyed vote pairing with explicit state — send then
-    * receive (either arrival order) emits a confirmed record.
+  /** Streaming J1: keyed vote pairing with explicit state — the SAME
+    * overwrite-on-send machine as the batch analytic
+    * ([[graft.operators.PairingJoin.confirmOnReceive]]): a send overwrites
+    * the entry, every receive after the first event at its key emits a
+    * confirmation against the last send (NULL sent time when the entry
+    * chain began with a receive). Rows are time-ordered within each
+    * micro-batch; cross-batch order is arrival order (streaming reality —
+    * closed-input runs match batch exactly).
     *
     * `stateTimeout` (e.g. "10 minutes") bounds state for unmatched keys in
     * production (replacing the reference's end-of-input flush). Default is
@@ -86,17 +98,17 @@ object StreamingPipeline {
             state.remove()
             Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(PairState(None, None))
+            var st = state.getOption.getOrElse(PairState(created = false, None))
             val out = scala.collection.mutable.ArrayBuffer.empty[ConfirmedVote]
-            rows.foreach { v =>
-              st = if (v.side == "send") st.copy(sentNs = Some(v.tsNs))
-                   else st.copy(receivedNs = Some(v.tsNs))
-              (st.sentNs, st.receivedNs) match {
-                case (Some(s), Some(r)) =>
-                  out += ConfirmedVote(key._1, key._2, key._3, key._4, key._5,
-                    s, r, (r - s) / 1000000L)
-                  st = PairState(None, None)
-                case _ =>
+            val ordered = rows.toSeq.sortBy(v => (v.tsNs, if (v.side == "send") 0 else 1))
+            ordered.foreach { v =>
+              if (v.side == "send") {
+                st = PairState(created = true, Some(v.tsNs))
+              } else if (!st.created) {
+                st = PairState(created = true, None)
+              } else {
+                out += ConfirmedVote(key._1, key._2, key._3, key._4, key._5,
+                  st.sentNs, v.tsNs, st.sentNs.map(sv => (v.tsNs - sv) / 1000000L))
               }
             }
             state.update(st)

@@ -17,10 +17,12 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("streaming vote latency confirms pairs on a closed input set") {
+  test("streaming vote latency matches the batch machine on a closed input set") {
     val logDir = java.nio.file.Files.createTempDirectory("graft-stream-logs").toString
     Fixtures.writeScenario(logDir, heights = 3)
-    val ev = StreamingPipeline.events(spark, logDir)
+    // one batch: the confirm machine sorts within a micro-batch, so a
+    // single batch reproduces the batch pipeline's global time order
+    val ev = StreamingPipeline.events(spark, logDir, maxFilesPerTrigger = None)
     assert(ev.isStreaming)
     val q = StreamingPipeline.voteLatencyStream(spark, ev)
       .writeStream.outputMode("append")
@@ -28,10 +30,21 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      val n = spark.sql("select count(*) from confirmed_votes").collect().head.getLong(0)
-      assert(n > 0, "no confirmed vote pairs from the stream")
-      val neg = spark.sql("select count(*) from confirmed_votes where latencyMs < -1000000").collect().head.getLong(0)
-      assert(neg == 0L)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+          Option(r.get(5)).map(_.asInstanceOf[Long]), r.getLong(6))
+      val streamed = spark.sql(
+        "select height, round, valIdx, sender, receiver, sentNs, receivedNs from confirmed_votes")
+        .collect().map(key).sorted
+      assert(streamed.nonEmpty, "no confirmed vote pairs from the stream")
+      // closed-input parity: identical confirmation multiset to the batch
+      // analytic over the same logs
+      val batchEvents = graft.cometbft.Normalize.normalize(
+        graft.cometbft.LogIngest.read(spark, logDir))
+      val batch = graft.cometbft.Analytics.VoteLatency.run(batchEvents).head._2
+        .select("height", "round", "val_idx", "sender", "receiver", "sent_ns", "received_ns")
+        .collect().map(key).sorted
+      assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
 
