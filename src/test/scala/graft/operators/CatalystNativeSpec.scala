@@ -130,4 +130,31 @@ class CatalystNativeSpec extends AnyFunSuite {
       k += 1
     }
   }
+
+  test("log-bucket sketch quantiles bound relative error vs exact") {
+    import spark.implicits._
+    import graft.agg.{ExactIntHistogramAgg, LogBucketHistogramAgg}
+    val rnd = new scala.util.Random(11)
+    // skewed latency-like distribution over 5 groups
+    val rows = (1 to 20000).map { _ =>
+      val g = rnd.nextInt(5)
+      val v = math.max(0L, (math.exp(rnd.nextGaussian() * 1.5 + 4)).toLong)
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val exact  = df.groupBy($"g").agg(ExactIntHistogramAgg.column($"v").as("h"))
+      .select($"g", $"h.cnt", $"h.mean_v", $"h.median_v", $"h.p95_v").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val approx = df.groupBy($"g").agg(LogBucketHistogramAgg.column($"v").as("h"))
+      .select($"g", $"h.cnt", $"h.mean_v", $"h.p50_est", $"h.p95_est").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    exact.foreach { case (g, (n, mean, med, p95)) =>
+      val (an, amean, ap50, ap95) = approx(g)
+      assert(an == n && amean == mean, s"group $g count/mean must be exact")
+      // log2 half-octave buckets: estimate within ~50% relative error
+      def close(est: Long, ex: Long) = ex == 0 || (est.toDouble / ex > 0.5 && est.toDouble / ex < 2.0)
+      assert(close(ap50, med), s"g=$g p50 est $ap50 vs exact $med")
+      assert(close(ap95, p95), s"g=$g p95 est $ap95 vs exact $p95")
+    }
+  }
 }
