@@ -80,6 +80,22 @@ object Fixtures {
       t0Nanos + h * 1000000000L, Array[Byte](9, 9, 9)))
   private def blockPartMsg(h: Long): Array[Byte] =
     encodeConsensusMessage(BlockPart(h, 0, 0, Array[Byte](1, 2, 3, 4)))
+  // State/vote-set-bits channel payloads: one deterministic message per
+  // family per height, so every one of the 8 p2p confirmation families
+  // (J3) and every wire shape (F14-F16) is exercised end-to-end.
+  private def newRoundStepMsg(h: Long): Array[Byte] =
+    encodeConsensusMessage(NewRoundStep(h, 0, 1, h * 2, -1))
+  private def hasVoteMsg(h: Long): Array[Byte] =
+    encodeConsensusMessage(HasVote(h, 0, 1, 2))
+  private def voteSetMaj23Msg(h: Long): Array[Byte] =
+    encodeConsensusMessage(VoteSetMaj23(h, 0, 2,
+      BlockID(blockHash(h).getBytes, PartSetHeader(1, psHash(h).getBytes))))
+  private def proposalPolMsg(h: Long): Array[Byte] =
+    encodeConsensusMessage(ProposalPOL(h, 0, BitArray(4, Seq(0xbL))))
+  private def voteSetBitsMsg(h: Long): Array[Byte] =
+    encodeConsensusMessage(VoteSetBits(h, 0, 2,
+      BlockID(blockHash(h).getBytes, PartSetHeader(1, psHash(h).getBytes)),
+      BitArray(4, Seq(0x7L))))
 
   /** One node's log lines for `heights` consensus heights. */
   def nodeLog(node: Int, heights: Int): Seq[String] = {
@@ -115,6 +131,17 @@ object Fixtures {
             "msgBytes" -> hexStr(blockPartMsg(h)),
             "peer" -> s"${nodeIds(peer)}@10.0.0.$peer:26656")
           ts += 1000000L
+          // state-channel + vote-set-bits gossip: the remaining 5 p2p
+          // confirmation families, one message each per height
+          for ((bytes, ch) <- Seq(
+              newRoundStepMsg(h) -> 0x20L, hasVoteMsg(h) -> 0x20L,
+              voteSetMaj23Msg(h) -> 0x20L, proposalPolMsg(h) -> 0x20L,
+              voteSetBitsMsg(h) -> 0x23L)) {
+            out += line("Send", ts, "channel" -> ch, "conn" -> "MConn{pipe}",
+              "msgBytes" -> hexStr(bytes),
+              "peer" -> s"${nodeIds(peer)}@10.0.0.$peer:26656")
+            ts += 1000000L
+          }
         }
       } else {
         val proposerNode = (h % 4).toInt
@@ -130,6 +157,15 @@ object Fixtures {
           "msgBytes" -> b64(blockPartMsg(h)),
           "peer" -> s"${nodeIds(proposerNode)}@10.0.0.$proposerNode:26656")
         ts += 1000000L
+        for ((bytes, ch) <- Seq(
+            newRoundStepMsg(h) -> 0x20L, hasVoteMsg(h) -> 0x20L,
+            voteSetMaj23Msg(h) -> 0x20L, proposalPolMsg(h) -> 0x20L,
+            voteSetBitsMsg(h) -> 0x23L)) {
+          out += line("Received bytes", ts, "chID" -> ch,
+            "msgBytes" -> b64(bytes),
+            "peer" -> s"${nodeIds(proposerNode)}@10.0.0.$proposerNode:26656")
+          ts += 1000000L
+        }
         out += line("Received complete proposal block", ts, "hash" -> blockHash(h), "height" -> h)
       }
       ts += stepGap
