@@ -120,4 +120,28 @@ class PipelineSpec extends AnyFunSuite {
       graft.cometbft.Analytics.byNames(Seq("nope"))
     }
   }
+
+  test("malformed lines drop silently like the reference dispatcher") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-malformed").toString
+    val good = graft.cometbft.Fixtures.nodeLog(0, 1)
+    val garbage = Seq(
+      "not json at all {{{",
+      """{"no_msg_field": 1}""",
+      """{"_msg":"Totally Unknown Message","ts":"2025-06-08T01:00:00.000000001Z"}""",
+      """{"_msg":"Entering prevote step with invalid args","ts":"2025-06-08T01:00:00.000000001Z","current":"9/0/RoundStepPropose","height":9,"round":0}""",
+      """{"_msg":"Received bytes","ts":"2025-06-08T01:00:00.000000001Z","chID":34,"msgBytes":"AAAA////","peer":"bbbb000000000000000000000000000000000002@10.0.0.1:26656"}""")
+    // interleave garbage into a copy of a valid node log
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/node0_cometbft.log"),
+      (good.take(5) ++ garbage ++ good.drop(5)).mkString("\n").getBytes("UTF-8"))
+    val events = graft.cometbft.Normalize.normalize(
+      graft.cometbft.LogIngest.read(spark, dir))
+    val withGarbage = events.count()
+    // the same log without garbage yields the same event count
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir2/node0_cometbft.log"),
+      good.mkString("\n").getBytes("UTF-8"))
+    val clean = graft.cometbft.Normalize.normalize(
+      graft.cometbft.LogIngest.read(spark, dir2)).count()
+    assert(withGarbage == clean, "garbage lines must drop silently without affecting valid events")
+  }
 }
