@@ -64,7 +64,11 @@ object Bench {
       val fn = all(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // drop this query's localCheckpoint blocks so dead RDDs from one
+      // query don't occupy the block manager during the next
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      t
     }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
