@@ -26,7 +26,8 @@ object Bench {
     "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q30_fingerprint",
     "q35_dedup_groups", "q38_corpus_clean",
     "q27_cosine_topk", "q28_lsh_ann", "q29_embedding_stats",
-    "q33_embedding_neardup", "q34_ivf_ann", "q37_sql_api", "q44_multimodal_resize")
+    "q33_embedding_neardup", "q34_ivf_ann", "q37_sql_api", "q44_multimodal_resize",
+    "q54_multimodal_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -76,6 +76,18 @@ object Multimodal {
     }
   }
 
+  /** STUB frame sampler: every `stride` bytes, take a `frameLen`-byte
+    * "frame" (up to `maxFrames`) — the video-frame-extraction shape
+    * (binary in → array<binary> out + per-frame positions), computed
+    * partition-local with no shuffle. Real decoders swap in behind the
+    * same signature. */
+  def frameSampleStub(assets: DataFrame, frameLen: Int, stride: Int, maxFrames: Int): DataFrame =
+    assets.withColumn("frames",
+      expr(s"""transform(
+        sequence(0, greatest(least(int((length(bytes) - $frameLen) / $stride), ${maxFrames - 1}), 0)),
+        i -> substring(bytes, 1 + i * $stride, $frameLen))"""))
+      .withColumn("n_frames", size(col("frames")).cast("long"))
+
   /** STUB transform: "resize"/"frame-sample" as deterministic byte slicing —
     * real plumbing (binary in, binary out, metadata updated). */
   def resizeStub(assets: DataFrame, maxBytes: Int): DataFrame =
