@@ -22,7 +22,7 @@ object Bench {
     "q19_tumbling_window",
     "q14_step_transitions", "q15_dup_keys", "q16_recovery_flag",
     "q17_json_props", "q18_last_send_first_receive", "q36_salted_join",
-    "q20_text_stats", "q21_quality_score", "q22_lang_id", "q23_exact_dedup",
+    "q39_bpe_tokens", "q20_text_stats", "q21_quality_score", "q22_lang_id", "q23_exact_dedup",
     "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q30_fingerprint",
     "q35_dedup_groups", "q38_corpus_clean",
     "q27_cosine_topk", "q28_lsh_ann", "q29_embedding_stats",

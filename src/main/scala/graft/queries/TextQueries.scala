@@ -138,7 +138,24 @@ object TextQueries {
       .select($"doc_id", $"n_tokens", $"stopword_ppm", $"pred_lang")
   }
 
+  // ---------------------------------------------------------------- q39
+  /** BPE-ish subword token counting: a GPT-2-style pretokenizer regex
+    * (contractions, space-prefixed letter/digit runs, punctuation runs —
+    * simplified to the RE2-portable subset, no lookahead) counted
+    * identically by Spark's and DuckDB's regex engines. The
+    * tokens-per-whitespace-word ratio is the usual fertility metric. */
+  def q39BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bpeRe = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+    Tables(spark, dir).documents
+      .withColumn("n_ws_tokens", size(tokens($"text")).cast("long"))
+      .withColumn("n_bpe_tokens", size(regexp_extract_all($"text", lit(bpeRe), lit(0))).cast("long"))
+      .withColumn("fertility_ppm", ppm($"n_bpe_tokens", $"n_ws_tokens"))
+      .select($"doc_id", $"n_ws_tokens", $"n_bpe_tokens", $"fertility_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_bpe_tokens"    -> q39BpeTokens _,
     "q38_corpus_clean"  -> q38CorpusClean _,
     "q20_text_stats"    -> q20TextStats _,
     "q21_quality_score" -> q21QualityScore _,
@@ -239,6 +256,14 @@ object TextQueries {
          |       ELSE CAST(list_sum(list_transform(toks, t -> length(t))) * 1000000 // len(toks) AS BIGINT)
          |  END AS mean_tok_len_ppm
          |FROM (SELECT doc_id, text, n_chars, $toksSql AS toks FROM documents)""".stripMargin,
+    "q39_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(CASE WHEN len($toksSql) = 0 THEN 0
+         |       ELSE CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS BIGINT) * 1000000 // len($toksSql)
+         |  END AS BIGINT) AS fertility_ppm
+         |FROM documents""".stripMargin,
     "q21_quality_score" -> q21Sql,
     "q38_corpus_clean" ->
       s"""WITH q21 AS ($q21Sql),
