@@ -76,8 +76,12 @@ object LogIngest {
     */
   def readRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // pathGlobFilter instead of a glob-in-path: same non-recursive
+    // *.log selection (S1), but avoids the FileStreamSink metadata probe
+    // that logs a FileNotFoundException stack trace for glob paths.
     spark.read
-      .textFile(s"$dir/*.log")
+      .option("pathGlobFilter", "*.log")
+      .textFile(dir)
       .select(
         input_file_name().as("src_file"),
         col("value")

@@ -29,7 +29,8 @@ object StreamingPipeline {
     val reader = spark.readStream
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     val lines = reader
-      .text(s"$dir/*.log")
+      .option("pathGlobFilter", "*.log")
+      .text(dir)
       .select(input_file_name().as("src_file"), col("value"))
       .withColumn("msg_raw", get_json_object($"value", "$._msg"))
       .filter($"msg_raw".isNotNull)
