@@ -347,10 +347,12 @@ object Analytics {
 
       // Pass 2: hash-only FIFO fallback for residuals (:295-328). The
       // reference's fallback pool (`pendingSendsByRaw`) holds ONLY sends
-      // without a recipient peer (TrySend); composite-keyed sends that
-      // found no receive are never fallback-matched (round-2 audit).
-      val fallbackSends = unSends.filter(col("receiver").isNull)
-      val directUnmatchedSends = unSends.filter(col("receiver").isNotNull)
+      // without a recipient peer (TrySend logs `peer: ""` — extractPeerID
+      // returns empty, so composite keying is skipped); composite-keyed
+      // sends that found no receive are never fallback-matched (audit).
+      val noPeer = col("receiver").isNull || col("receiver") === ""
+      val fallbackSends = unSends.filter(noPeer)
+      val directUnmatchedSends = unSends.filter(!noPeer)
       val m2 = PairingJoin.fifo(
         fallbackSends.withColumnRenamed("sender", "send_sender").withColumnRenamed("receiver", "send_receiver"),
         unRecvs.withColumnRenamed("sender", "recv_sender").withColumnRenamed("receiver", "recv_receiver"),

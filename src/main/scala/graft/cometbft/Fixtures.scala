@@ -96,6 +96,11 @@ object Fixtures {
     encodeConsensusMessage(VoteSetBits(h, 0, 2,
       BlockID(blockHash(h).getBytes, PartSetHeader(1, psHash(h).getBytes)),
       BitArray(4, Seq(0x7L))))
+  // TrySend payload (peer unknown in the log line): only raw-hash
+  // fallback matching (J4 pass 2) can pair it with its receives.
+  private def newValidBlockMsg(h: Long): Array[Byte] =
+    encodeConsensusMessage(NewValidBlock(h, 0,
+      PartSetHeader(1, psHash(h).getBytes), BitArray(1, Seq(1L)), isCommit = false))
 
   /** One node's log lines for `heights` consensus heights. */
   def nodeLog(node: Int, heights: Int): Seq[String] = {
@@ -143,6 +148,11 @@ object Fixtures {
             ts += 1000000L
           }
         }
+        // TrySend without a peer id: exercises the raw-hash fallback
+        // matching path (J4 pass 2) on every receiver
+        out += line("TrySend", ts, "channel" -> 0x20L, "conn" -> "MConn{pipe}",
+          "msgBytes" -> hexStr(newValidBlockMsg(h)), "peer" -> "")
+        ts += 1000000L
       } else {
         val proposerNode = (h % 4).toInt
         out += line("Received proposal", ts,
@@ -160,7 +170,8 @@ object Fixtures {
         for ((bytes, ch) <- Seq(
             newRoundStepMsg(h) -> 0x20L, hasVoteMsg(h) -> 0x20L,
             voteSetMaj23Msg(h) -> 0x20L, proposalPolMsg(h) -> 0x20L,
-            voteSetBitsMsg(h) -> 0x23L)) {
+            voteSetBitsMsg(h) -> 0x23L,
+            newValidBlockMsg(h) -> 0x20L)) {
           out += line("Received bytes", ts, "chID" -> ch,
             "msgBytes" -> b64(bytes),
             "peer" -> s"${nodeIds(proposerNode)}@10.0.0.$proposerNode:26656")
