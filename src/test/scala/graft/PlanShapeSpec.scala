@@ -47,6 +47,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q36 shuffles on the salted key, not the bare hot key") {
+    val p = plan("q36_salted_join")
+    assert(p.contains("__salt"), "salt column missing from the physical plan")
+  }
+
   test("q24 materializes the shingle-set table once") {
     val p = plan("q24_ngram_jaccard")
     // after localCheckpoint the four consumers read the materialized RDD:
