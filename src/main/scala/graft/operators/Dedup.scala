@@ -293,8 +293,13 @@ object Dedup {
           col("l.comp") === col("cid"))
         .select(col("l.id").as("id"), least(col("l.comp"), col("ccomp")).as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") =!= col("prev")).count()
+      // Round 1 always changes labels when edges exist (labels start as
+      // self-ids and any edge lowers one side), so skip its convergence
+      // check — one fewer join+count job.
+      val changed =
+        if (iter == 0) 1L
+        else next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+          .filter(col("comp") =!= col("prev")).count()
       labels = next
       converged = changed == 0
       iter += 1
