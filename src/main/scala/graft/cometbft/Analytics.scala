@@ -24,6 +24,12 @@ trait Analytic {
 
 object Analytics {
 
+  // entering_{prevote,precommit}_wait_step never occur: the reference's
+  // first-match step inference (`parsers.go:94-128`) collapses wait lines
+  // into the non-wait types, and Normalize replicates that. The wait
+  // entries are retained here for parity with the reference's own dead
+  // switch cases (`convereter.go:179-190`) and dead stepOrder slots
+  // (`consensus-timing/processor.go:109`).
   private val lifecycleTypes = Seq(
     "entering_new_round", "entering_prevote_step", "entering_prevote_wait_step",
     "entering_precommit_step", "entering_precommit_wait_step",
@@ -159,7 +165,13 @@ object Analytics {
     * consecutive OBSERVED steps in canonical order (`:108-130`), total
     * round time. committed_block (no round in the event) closes
     * `max(round)` for (node, height) — the deterministic replacement for
-    * the reference's Go-map-iteration pick (SURVEY §7.4-3 J5). */
+    * the reference's Go-map-iteration pick (SURVEY §7.4-3 J5).
+    *
+    * The wait slots in `canonical` mirror the reference's own stepOrder
+    * (`processor.go:109`) but are dead: wait-step lines arrive as
+    * entering_prevote/precommit (S5 first-match inference, replicated in
+    * Normalize) and so OVERWRITE those slots' timestamps, exactly as the
+    * reference's last-one-wins transitions map does. */
   object ConsensusTiming extends Analytic {
     val name = "consensus_timing"
     private val canonical = Seq("new_round", "propose", "entering_prevote",

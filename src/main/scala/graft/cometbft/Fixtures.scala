@@ -196,6 +196,15 @@ object Fixtures {
           "peer" -> s"${nodeIds(peer)}@10.0.0.$peer:26656")
         ts += 700000L
       }
+      // Wait-step line: the reference's first-match inference collapses it
+      // into entering_prevote_step (`parsers.go:94-128`) and its timestamp
+      // overwrites the prevote slot in consensus-timing — the goldens pin
+      // that replicated behavior (SURVEY §7.4-3 S5).
+      if (h % 3 == 0 || node == 0) {
+        out += line("Entering prevote wait step", ts,
+          "current" -> s"$h/0/RoundStepPrevote", "height" -> h, "round" -> round)
+        ts += 1000000L
+      }
       ts += stepGap
       out += line("Entering precommit step", ts, "current" -> s"$h/0/RoundStepPrevote",
         "height" -> h, "round" -> round)
@@ -217,6 +226,10 @@ object Fixtures {
         out += line("Scheduled timeout", ts, "dur" -> (if (node == 0) "3s" else "1s"),
           "height" -> h, "round" -> round, "step" -> "prevote")
         ts += 2000000L
+        // precommit-wait line, collapsed to entering_precommit_step (S5)
+        out += line("Entering precommit wait step", ts,
+          "current" -> s"$h/0/RoundStepPrecommit", "height" -> h, "round" -> round)
+        ts += 1000000L
       }
       ts += stepGap
       out += line("Entering commit step", ts, "current" -> s"$h/0/RoundStepPrecommit",

@@ -12,9 +12,10 @@ import graft.cometbft.Parsers._
   * constants live in an un-vendored external module; documented deviation).
   *
   * Families produced (mirroring `Convert`, `convereter.go:102-133`):
-  *   - entering_new_round, entering_{prevote,prevote_wait,precommit,
-  *     precommit_wait,commit}_step (propose dropped per P3,
-  *     `convereter.go:107-110`)
+  *   - entering_new_round, entering_{prevote,precommit,commit}_step
+  *     (propose dropped per P3, `convereter.go:107-110`; wait-step lines
+  *     collapse into prevote/precommit per the reference's first-match
+  *     inference, `parsers.go:94-128` — see stepNames below)
   *   - propose_step (is_our_turn from the two ProposeStep messages)
   *   - received_proposal (F4 string grammar), received_complete_proposal_block
   *   - committed_block (F6 block grammar), scheduled_timeout (F17 duration)
@@ -29,7 +30,11 @@ object Normalize {
   private val proposalU    = udf((s: String) => parseProposalString(s))
   private val blockU       = udf((s: String) => parseBlockString(s))
   private val durationMsU  = udf((s: String) => Option(parseGoDurationMs(s)).map(_.toLong))
-  private val peerIdU      = udf((s: String) => Option(extractPeerIdOnly(s)))
+  // F11 ExtractPeerIdOnly: `substring_index(peer, "@", 1)` matches the
+  // grammar exactly (no '@' => whole string, null => null) and stays
+  // inside whole-stage codegen on the hot send/receive path — the
+  // Scala `Parsers.extractPeerIdOnly` remains as the spec'd scalar form.
+  private def peerIdCol(c: Column): Column = substring_index(c, "@", 1)
 
   /** Decoded consensus message as a flat-ish struct (SURVEY §2.3 F14-F16). */
   final case class DecodedMsg(
@@ -200,11 +205,25 @@ object Normalize {
       lit("entering_new_round"))
 
     // --- entering_*_step (convereter.go:156-230; S5 step inference from _msg)
+    //
+    // REPLICATED REFERENCE BEHAVIOR (`parsers.go:94-128`): the reference
+    // infers targetStep by first-match substring scan over the ordered list
+    // [propose, prevote, prevote_wait, precommit, precommit_wait, commit]
+    // and BREAKS on the first hit — "entering prevote wait step" contains
+    // "prevote", so targetStep = "prevote"; likewise precommit wait →
+    // "precommit". The prevote_wait / precommit_wait cases of
+    // ConvertToSpecificStepEvent (`convereter.go:179-190`) are therefore
+    // dead code: the reference binary NEVER emits wait-step events, and in
+    // consensus-timing the wait line's timestamp OVERWRITES the
+    // prevote/precommit slot (last-one-wins map, `processor.go:84`). We
+    // replicate that exactly — wait-step log lines are tagged with the
+    // non-wait event type (SURVEY §7.4-3). The event's curr_* fields still
+    // come from the line's own `current` round-info, as in the reference.
     val stepNames = Seq(
       "entering prevote step"        -> "entering_prevote_step",
-      "entering prevote wait step"   -> "entering_prevote_wait_step",
+      "entering prevote wait step"   -> "entering_prevote_step",
       "entering precommit step"      -> "entering_precommit_step",
-      "entering precommit wait step" -> "entering_precommit_wait_step",
+      "entering precommit wait step" -> "entering_precommit_step",
       "entering commit step"         -> "entering_commit_step")
     val stepTag = stepNames.foldLeft(when(lit(false), lit(null: String))) {
       case (acc, (m, t)) => acc.when(col("msg_lc") === m, t)
@@ -272,7 +291,7 @@ object Normalize {
       .filter(col("decoded").isNotNull)
       .filter(channelValid(col("decoded.msgType"), col("channel")))
       .withColumn("recipient_peer", col("r.peer"))
-      .withColumn("recipient_peer_id", peerIdU(col("r.peer")))
+      .withColumn("recipient_peer_id", peerIdCol(col("r.peer")))
       .withColumn("vote", col("decoded.vote"))
       .withColumn("proposal", col("decoded.proposal"))
     val sendsTagged = withBase(sends, concat(lit("send_"), col("decoded.msgType")))
@@ -286,7 +305,7 @@ object Normalize {
       .filter(col("decoded").isNotNull)
       .filter(channelValid(col("decoded.msgType"), col("channel")))
       .withColumn("source_peer", col("r.peer"))
-      .withColumn("source_peer_id", peerIdU(col("r.peer")))
+      .withColumn("source_peer_id", peerIdCol(col("r.peer")))
       .withColumn("vote", col("decoded.vote"))
       .withColumn("proposal", col("decoded.proposal"))
     val recvsTagged = withBase(recvs, concat(lit("receive_packet_"), col("decoded.msgType")))

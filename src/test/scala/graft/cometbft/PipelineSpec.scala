@@ -121,6 +121,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("S5 first-match inference: wait-step lines collapse into prevote/precommit (parsers.go:94-128)") {
+    // The reference scans [propose, prevote, prevote_wait, precommit,
+    // precommit_wait, commit] and breaks on the first substring hit, so
+    // "entering prevote wait step" => targetStep "prevote" and
+    // "entering precommit wait step" => "precommit"; the wait cases in
+    // ConvertToSpecificStepEvent (convereter.go:179-190) are dead code.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wait").toString
+    val meta = graft.cometbft.Fixtures.nodeLog(1, 1).take(2) // node-id + validator lines
+    val lines = meta ++ Seq(
+      """{"_msg":"Entering prevote wait step","ts":"2025-06-08T01:00:00.000000001Z","current":"7/0/RoundStepPrevote","height":7,"round":0}""",
+      """{"_msg":"Entering precommit wait step","ts":"2025-06-08T01:00:00.000000002Z","current":"7/0/RoundStepPrecommit","height":7,"round":0}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/node1_cometbft.log"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val events = graft.cometbft.Normalize.normalize(
+      graft.cometbft.LogIngest.read(spark, dir))
+    val byType = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.get("entering_prevote_step").contains(1L), s"got $byType")
+    assert(byType.get("entering_precommit_step").contains(1L), s"got $byType")
+    assert(!byType.keySet.exists(_.contains("wait")), s"wait event leaked: $byType")
+    // curr_step still reflects the line's own round-info, as in the reference
+    val steps = events.orderBy("ts_ns").select("step").collect().map(_.getString(0))
+    assert(steps.toSeq == Seq("prevote", "precommit"))
+  }
+
   test("malformed lines drop silently like the reference dispatcher") {
     val dir = java.nio.file.Files.createTempDirectory("graft-malformed").toString
     val good = graft.cometbft.Fixtures.nodeLog(0, 1)
