@@ -56,7 +56,8 @@ object Analytics {
     * event at its key confirms against the last send before it; a
     * receive-created entry confirms later receives with NULL sent time
     * (reference computes latency from Go's zero time there — documented
-    * rationalization). */
+    * rationalization) but DOES emit the entry-creating first receive's
+    * Vote payload, as the reference does (`processor.go:37`). */
   object VoteLatency extends Analytic {
     val name = "vote_latency"
     def run(events: DataFrame): Seq[(String, DataFrame)] = {
@@ -69,7 +70,7 @@ object Analytics {
         col("vote.height").as("height"), col("vote.round").as("round"),
         col("vote.validatorIndex").as("val_idx"),
         col("source_peer_id").as("sender"), col("node_id").as("receiver"),
-        col("ts_ns").as("received_ns"))
+        col("ts_ns").as("received_ns"), col("vote").as("vote"))
       val confirmed = PairingJoin.confirmOnReceive(
         sends, recvs, Seq("height", "round", "val_idx", "sender", "receiver"),
         "sent_ns", "received_ns", Seq("vote"))

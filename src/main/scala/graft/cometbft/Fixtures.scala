@@ -283,4 +283,58 @@ object Fixtures {
     }
     dir
   }
+
+  /** Two-node adversarial vote-gossip scenario exercising every edge order
+    * of the J1 confirmation machine (`vote-latency/processor.go:26-65`):
+    * plain confirm, send-overwrite, repeat receive, receive-only chain,
+    * cross-type overwrite (VoteKey has NO vote-type field, so a precommit
+    * send clobbers a prevote entry), and receive-send-receive. The q55
+    * oracle for this scenario is HAND-DERIVED from the reference machine
+    * on paper (CometbftQueries.q55 — NOT a gen_golden.py pin), so it
+    * independently checks the machine rather than enshrining our output.
+    *
+    * All timestamps are explicit ns offsets from T = t0 + 5 s so the
+    * expected rows can be written down directly. Node A (index 0) sends,
+    * node B (index 1) receives.
+    */
+  def writeAdversarialVoteScenario(dir: String): String = {
+    val T  = t0Nanos + 5000000000L
+    val ms = 1000000L
+    val a  = nodeIds(0); val b = nodeIds(1)
+    def send(h: Long, tpe: Int, at: Long) =
+      line("Send", at, "channel" -> 0x22L, "conn" -> "MConn{pipe}",
+        "msgBytes" -> hexStr(voteMsg(tpe, h, 0)), "peer" -> s"$b@10.0.0.1:26656")
+    def recv(h: Long, tpe: Int, at: Long) =
+      line("Received bytes", at, "chID" -> 0x22L,
+        "msgBytes" -> b64(voteMsg(tpe, h, 0)), "peer" -> s"$a@10.0.0.0:26656")
+
+    val aLog = Seq(
+      line("P2P Node ID", T, "ID" -> a, "file" -> "nodeA/key.json"),
+      line("This node is a validator", T + 500L, "addr" -> valAddrs(0), "pubKey" -> "PUBA=="),
+      send(101L, 1, T + 10 * ms),             // plain confirm
+      send(102L, 1, T + 20 * ms),             // overwritten by...
+      send(102L, 1, T + 22 * ms),             // ...this one
+      send(103L, 1, T + 30 * ms),             // confirmed twice
+      send(105L, 1, T + 50 * ms),             // prevote, clobbered by...
+      send(105L, 2, T + 52 * ms),             // ...precommit (same VoteKey!)
+      send(106L, 1, T + 62 * ms))             // lands between B's receives
+    val bLog = Seq(
+      line("P2P Node ID", T + 1000L, "ID" -> b, "file" -> "nodeB/key.json"),
+      line("This node is a validator", T + 1500L, "addr" -> valAddrs(1), "pubKey" -> "PUBB=="),
+      recv(101L, 1, T + 15 * ms),
+      recv(102L, 1, T + 25 * ms),
+      recv(103L, 1, T + 33 * ms),
+      recv(103L, 1, T + 36 * ms),             // repeat receive re-confirms
+      recv(104L, 1, T + 40 * ms),             // receive-only chain: creates entry
+      recv(104L, 2, T + 43 * ms),             // confirms w/ NULL sent, prevote payload
+      recv(106L, 1, T + 60 * ms),             // entry created by receive...
+      recv(105L, 1, T + 55 * ms),
+      recv(106L, 1, T + 65 * ms))             // ...send overwrote; this confirms
+
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    Files.write(p.resolve("nodeA_cometbft.log"), aLog.mkString("\n").getBytes("UTF-8"))
+    Files.write(p.resolve("nodeB_cometbft.log"), bLog.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
 }

@@ -63,13 +63,19 @@ object PairingJoin {
     *
     * Ties at equal timestamp process sends before receives — the
     * reference's global sort is unstable (`sort.Slice`), so this is the
-    * deterministic choice. `sendCarry` columns ride along from the last
-    * send (the entry's payload, e.g. the Vote struct).
+    * deterministic choice.
+    *
+    * `carry` columns (present in BOTH frames) ride along from the event
+    * that CREATED the key's current entry: the last send if any, else the
+    * FIRST receive — exactly the reference's `vl.Vote` (entry creation
+    * sets it, `processor.go:37,52`; a confirming receive never replaces
+    * it), so receive-only chains emit the first receive's payload, not
+    * NULL.
     *
     * Relationally: union both sides, one window partitioned by key ordered
     * by (ts, side) with an unbounded-preceding-to-previous-row frame
-    * supplies both "any prior event?" and "last send ts/payload" — a
-    * single shuffle on the key, no join at all.
+    * supplies "any prior event?", "last send ts" and the entry payload —
+    * a single shuffle on the key, no join at all.
     */
   def confirmOnReceive(
       sends: DataFrame,
@@ -77,14 +83,14 @@ object PairingJoin {
       keys: Seq[String],
       sendTs: String,
       recvTs: String,
-      sendCarry: Seq[String] = Seq.empty
+      carry: Seq[String] = Seq.empty
   ): DataFrame = {
     val s = sends.select(
       (keys.map(col) :+ col(sendTs).as("__ts") :+ lit(0).as("__side")) ++
-        sendCarry.map(col): _*)
+        carry.map(col): _*)
     val r = receives.select(
       (keys.map(col) :+ col(recvTs).as("__ts") :+ lit(1).as("__side")) ++
-        sendCarry.map(c => lit(null).as(c)): _*)
+        carry.map(col): _*)
     val stream = s.unionByName(r)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
@@ -93,8 +99,10 @@ object PairingJoin {
     val withState = stream
       .withColumn("__prior", count(lit(1)).over(w))
       .withColumn("__last_send", last(sentOfSide, ignoreNulls = true).over(w))
-    val carried = sendCarry.foldLeft(withState) { (d, c) =>
-      d.withColumn(c, last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    val carried = carry.foldLeft(withState) { (d, c) =>
+      d.withColumn(c, coalesce(
+        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w),
+        first(when(col("__side") === 1, col(c)), ignoreNulls = true).over(w)))
     }
     carried
       .filter(col("__side") === 1 && col("__prior") >= 1)

@@ -98,6 +98,28 @@ class PairingJoinSpec extends AnyFunSuite {
     assert(run(Seq(("k", 20L)), Seq(("k", 20L))) == Seq((Some(20L), 20L)))
   }
 
+  test("confirmOnReceive carries the entry-creating event's payload (vl.Vote semantics)") {
+    // processor.go:37,52 — entry payload is set at creation (send overwrite
+    // or first receive) and a confirming receive never replaces it.
+    def run(sends: Seq[(String, Long, String)], recvs: Seq[(String, Long, String)]) =
+      PairingJoin.confirmOnReceive(
+          sends.toDF("key", "sent_ns", "payload"), recvs.toDF("key", "recv_ns", "payload"),
+          Seq("key"), "sent_ns", "recv_ns", Seq("payload"))
+        .orderBy("recv_ns")
+        .select("payload", "recv_ns").as[(String, Long)].collect().toSeq
+
+    // S(vB) R(vX) -> confirmation carries the send's payload
+    assert(run(Seq(("k", 10L, "vB")), Seq(("k", 20L, "vX"))) == Seq(("vB", 20L)))
+    // R(vA) R(vB) -> entry created by FIRST receive; second confirms with vA
+    assert(run(Seq.empty, Seq(("k", 20L, "vA"), ("k", 30L, "vB"))) == Seq(("vA", 30L)))
+    // R(vA) S(vC) R(vB) -> send overwrites the entry; confirmation carries vC
+    assert(run(Seq(("k", 25L, "vC")), Seq(("k", 20L, "vA"), ("k", 30L, "vB"))) ==
+      Seq(("vC", 30L)))
+    // R(vA) R(vB) R(vC) -> entry still the first receive's: vA both times
+    assert(run(Seq.empty, Seq(("k", 20L, "vA"), ("k", 30L, "vB"), ("k", 40L, "vC"))) ==
+      Seq(("vA", 30L), ("vA", 40L)))
+  }
+
   test("confirmEitherOrder reproduces the p2p per-key entry machine") {
     def run(sends: Seq[(String, Long)], recvs: Seq[(String, Long)]) =
       PairingJoin.confirmEitherOrder(
@@ -148,10 +170,11 @@ class PairingJoinSpec extends AnyFunSuite {
       val sends = events.filter(_._3).map(e => (e._1, e._2))
       val recvs = events.filterNot(_._3).map(e => (e._1, e._2))
 
-      // sequential simulation of vote-latency (confirm-on-receive) machine
-      case class Entry(var sent: Option[Long], var created: Boolean)
+      // sequential simulation of vote-latency (confirm-on-receive) machine,
+      // payload = entry-creating event's tag (vl.Vote semantics)
+      case class Entry(var sent: Option[Long], payload: String)
       val m1 = scala.collection.mutable.Map[String, Entry]()
-      val want1 = scala.collection.mutable.ArrayBuffer[(Option[Long], Long)]()
+      val want1 = scala.collection.mutable.ArrayBuffer[(Option[Long], Long, String)]()
       // sequential simulation of p2p (either-order) machine
       sealed trait St
       case class Sent(ts: Long) extends St
@@ -161,15 +184,15 @@ class PairingJoinSpec extends AnyFunSuite {
       val want2 = scala.collection.mutable.ArrayBuffer[(Option[Long], Long)]()
       events.sortBy(e => (e._2, if (e._3) 0 else 1)).foreach { case (k, t, isSend) =>
         if (isSend) {
-          m1(k) = Entry(Some(t), created = true)
+          m1(k) = Entry(Some(t), s"p$t")
           m2.get(k) match {
             case Some(Received(rts)) => want2 += ((Some(t), rts)); m2(k) = Confirmed(t)
             case _                   => m2(k) = Sent(t)
           }
         } else {
           m1.get(k) match {
-            case None    => m1(k) = Entry(None, created = true)
-            case Some(e) => want1 += ((e.sent, t))
+            case None    => m1(k) = Entry(None, s"p$t")
+            case Some(e) => want1 += ((e.sent, t, e.payload))
           }
           m2.get(k) match {
             case None               => m2(k) = Received(t)
@@ -181,15 +204,19 @@ class PairingJoinSpec extends AnyFunSuite {
       }
 
       import spark.implicits._
-      val sDF = sends.toSeq.toDF("key", "sent_ns")
-      val rDF = recvs.toSeq.toDF("key", "recv_ns")
+      val sDF = sends.toSeq.map(e => (e._1, e._2, s"p${e._2}")).toDF("key", "sent_ns", "payload")
+      val rDF = recvs.toSeq.map(e => (e._1, e._2, s"p${e._2}")).toDF("key", "recv_ns", "payload")
       def collect(df: org.apache.spark.sql.DataFrame) =
         df.select("sent_ns", "recv_ns").collect()
           .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getLong(1)))
           .sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq
 
-      val got1 = collect(PairingJoin.confirmOnReceive(sDF, rDF, Seq("key"), "sent_ns", "recv_ns"))
-      val got2 = collect(PairingJoin.confirmEitherOrder(sDF, rDF, Seq("key"), "sent_ns", "recv_ns"))
+      val got1 = PairingJoin.confirmOnReceive(sDF, rDF, Seq("key"), "sent_ns", "recv_ns", Seq("payload"))
+        .select("sent_ns", "recv_ns", "payload").collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getLong(1), r.getString(2)))
+        .sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq
+      val got2 = collect(PairingJoin.confirmEitherOrder(
+        sDF.drop("payload"), rDF.drop("payload"), Seq("key"), "sent_ns", "recv_ns"))
       assert(got1 == want1.sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq, s"trial $trial confirmOnReceive")
       assert(got2 == want2.sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq, s"trial $trial confirmEitherOrder")
       assert(want1.nonEmpty && want2.nonEmpty)
