@@ -61,22 +61,35 @@ object Bench {
     // Two timed iterations, min per query: single-shot numbers on a shared
     // box carry up to 2-3x scheduler/GC noise (observed round 1); the min
     // of two runs is the standard steady-state estimator.
-    def timeOnce(name: String): Double = {
+    // A failing query must NOT be timed as a near-zero success (min-of-two
+    // would then report the fast failure): failures are recorded explicitly
+    // and surface as -1 with a "failed" list in the JSON.
+    def timeOnce(name: String): (Double, Boolean) = {
       val fn = all(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
       val t = (System.nanoTime() - t0) / 1e9
       // drop this query's localCheckpoint blocks so dead RDDs from one
       // query don't occupy the block manager during the next
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      t
+      (t, ok)
     }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
-    val results = present.map(n => n -> math.min(run1(n), timeOnce(n)))
+    val results = present.map { n =>
+      val (t1, ok1) = run1(n)
+      val (t2, ok2) = timeOnce(n)
+      n -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
+    }
+    val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

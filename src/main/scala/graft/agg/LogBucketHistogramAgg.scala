@@ -35,8 +35,14 @@ object LogBucketHistogramAgg
     math.min(NumBuckets - 1, 1 + octave * 2 + half)
   }
 
-  /** Midpoint of a bucket's value range (estimate returned for quantiles). */
-  def bucketMid(idx: Int): Long = {
+  /** Midpoint of a bucket's value range (estimate returned for quantiles).
+    * Index 127 saturates to bucket 126's midpoint: `bucketOf` never emits
+    * 127 for a positive long (max octave 62 → index 126), and computing
+    * its literal midpoint would need `1L << 63`, which overflows to
+    * Long.MinValue — saturation keeps every reachable and fallback path
+    * (the NumBuckets-1 references in bucketOf/quantileEst) positive. */
+  def bucketMid(rawIdx: Int): Long = {
+    val idx = math.min(rawIdx, NumBuckets - 2)
     if (idx == 0) return 0L
     val octave = (idx - 1) / 2
     val half   = (idx - 1) % 2

@@ -100,24 +100,29 @@ object LogIngest {
 
   /** P7 metadata attach (`app.go:77-86,103-108`): per-file nodeID and
     * validatorAddress broadcast-joined onto every row of that file;
-    * files missing either value fail fast with the file name
-    * (the reference aborts the whole run, `app.go:97-99`). */
+    * files missing either value fail the job with the file name (the
+    * reference aborts the whole run, `app.go:97-99`).
+    *
+    * Scale shape: the metadata aggregation is pre-filtered to the two
+    * metadata `_msg` lines, so the broadcast build side carries a handful
+    * of rows per file instead of every parsed line, and the
+    * missing-metadata check rides the main join (left join + raise_error
+    * on a null side) instead of a separate driver-side collect pass over
+    * the data — no third scan of the log text. */
   def attachMetadata(raw: DataFrame): DataFrame = {
     val meta = raw
+      .filter(col("msg_lc").isin("p2p node id", "this node is a validator"))
       .groupBy(col("src_file"))
       .agg(
         min(col("node_id_raw")).as("node_id"),
         min(col("validator_addr_raw")).as("validator_address")
       )
-    val bad = meta
-      .filter(col("node_id").isNull || col("validator_address").isNull)
-      .select(col("src_file"))
-      .limit(1)
-      .collect()
-    if (bad.nonEmpty)
-      throw new IllegalStateException(
-        s"node ID or validator address not found in ${bad.head.getString(0)}")
-    raw.join(broadcast(meta), Seq("src_file"))
+    def required(c: Column): Column = coalesce(c,
+      raise_error(concat(lit("node ID or validator address not found in "),
+        col("src_file"))).cast("string"))
+    raw.join(broadcast(meta), Seq("src_file"), "left")
+      .withColumn("node_id", required(col("node_id")))
+      .withColumn("validator_address", required(col("validator_address")))
   }
 
   def read(spark: SparkSession, dir: String): DataFrame =

@@ -199,7 +199,17 @@ object ProtoWire {
 
   /** Decode a `cometbft.consensus.v1.Message` (oneof wrapper). Returns None
     * for empty/undecodable input — callers drop the row, mirroring the
-    * reference's error-return path. */
+    * reference's error-return path.
+    *
+    * v1 / v1beta1 equivalence (`decoder.go:27-51`): the reference tries
+    * consensus v1 and falls back to v1beta1. Both schemas assign the SAME
+    * oneof field numbers to the same 10 message shapes and the same field
+    * numbers within each shape (v1beta1 only wraps Proposal/Vote/
+    * ProposalPOL/VoteSetBits payloads at identical positions), so decoding
+    * by field number alone — as this reader does — accepts both wire
+    * formats indistinguishably: the v1beta1 fallback branch needs no
+    * separate code path. Pinned by the "v1beta1" round-trip case in
+    * RoundTripPropertySpec. */
   def decodeConsensusMessage(bytes: Array[Byte]): Option[ConsensusMsg] = {
     if (bytes == null || bytes.isEmpty) return None
     try {

@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Explicit whitespace class used in every tokenizer regex, spelled out
+    * because `\s` differs across engines: Java regex includes `\x0B`
+    * (vertical tab), RE2 (DuckDB) excludes it. The oracle SQL uses the
+    * identical class, so a document containing a vertical tab tokenizes
+    * the same in both engines. */
+  val WsClass = "[ \\t\\n\\r\\f\\x0B]"
+
   /** Whitespace tokens of trimmed text (empty string → single empty token,
     * filtered out). */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+    filter(split(trim(text), s"$WsClass+"), t => t =!= "")
 
   /** Word n-gram shingles: join of each n consecutive tokens. */
   def wordShingles(toks: Column, n: Int): Column =

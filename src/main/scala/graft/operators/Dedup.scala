@@ -281,25 +281,33 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(edges("dst").as("nid"))
         .agg(min(col("comp")).as("nbr_comp"))
+      // prev rides along so convergence needs no re-join against the old
+      // labels; comp1 is the post-propagation label.
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp1"))
       // Pointer-jumping shortcut (comp := comp's comp): labels always point
       // at real vertex ids, so one extra self-join halves the remaining
       // propagation distance — O(log diameter) rounds total instead of
       // O(diameter).
-      val next = propagated.as("l")
-        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("l.comp") === col("cid"))
-        .select(col("l.id").as("id"), least(col("l.comp"), col("ccomp")).as("comp"))
-        .localCheckpoint()
-      // Round 1 always changes labels when edges exist (labels start as
-      // self-ids and any edge lowers one side), so skip its convergence
-      // check — one fewer join+count job.
+      val nextWithPrev = propagated.as("l")
+        .join(propagated.select(col("id").as("cid"), col("comp1").as("ccomp")),
+          col("l.comp1") === col("cid"))
+        .select(col("l.id").as("id"), col("prev"),
+          least(col("l.comp1"), col("ccomp")).as("comp"))
+      // Convergence detection rides the checkpoint-materialization job
+      // itself (CollectMetrics accumulators via observe()) — no separate
+      // join+count job per round. Round 1 always changes labels when
+      // edges exist, so its metric is not even read.
+      val observed = nextWithPrev.observe(s"cc_iter_$iter",
+        sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+        .drop("prev")
+      val next = observed.localCheckpoint()
       val changed =
         if (iter == 0) 1L
-        else next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-          .filter(col("comp") =!= col("prev")).count()
+        else observed.queryExecution.observedMetrics.get(s"cc_iter_$iter")
+          .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+          .getOrElse(0L)
       labels = next
       converged = changed == 0
       iter += 1

@@ -38,14 +38,27 @@ object Similarity {
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
 
   /** Exact cosine top-k: for each query vector (filtered by `isQuery`),
-    * the k nearest candidates by quantized cosine, ties broken by id. */
+    * the k nearest candidates by quantized cosine, ties broken by id.
+    *
+    * This is the deliberate O(|Q|·|C|) exactness BASELINE — the product
+    * is gated: the query side must hold at most `maxQueries` rows
+    * (checked with a bounded `limit(n+1).count()`, so the check itself
+    * never scans more than n+1 rows) and is then BROADCAST, making the
+    * "cross join" a map-side nested loop over the corpus: no corpus
+    * shuffle, scale-bounded by maxQueries. Large query sets must use
+    * [[lshTopK]] or [[ivfTopK]] — this fails loudly instead of silently
+    * exploding. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-                     isQuery: Column, k: Int): DataFrame = {
+                     isQuery: Column, k: Int, maxQueries: Int = 10000): DataFrame = {
     val q = quantized(df, vecCol)
     val queries = q.filter(isQuery)
       .select(col(idCol).as("query_id"), col("qvec").as("qv"), col("qnorm2").as("qn"))
+    val nQueries = queries.limit(maxQueries + 1).count()
+    require(nQueries <= maxQueries,
+      s"bruteForceTopK is the O(|Q|*|C|) exact baseline: query side exceeds " +
+        s"maxQueries=$maxQueries rows - use lshTopK or ivfTopK for large query sets")
     val cands = q.select(col(idCol).as("cand_id"), col("qvec").as("cv"), col("qnorm2").as("cn"))
-    val scored = queries
+    val scored = broadcast(queries)
       .crossJoin(cands)
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("dot", qdot(col("qv"), col("cv")))

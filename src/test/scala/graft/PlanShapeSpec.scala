@@ -52,6 +52,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "salt column missing from the physical plan")
   }
 
+  test("q27 brute-force baseline broadcasts the bounded query side and rejects unbounded ones") {
+    val p = plan("q27_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side not broadcast")
+    // the gate: a query side over maxQueries fails loudly instead of exploding
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", lit(true), k = 5, maxQueries = 10).count()
+    }
+    assert(ex.getMessage.contains("maxQueries"))
+  }
+
   test("q24 materializes the shingle-set table once") {
     val p = plan("q24_ngram_jaccard")
     // after localCheckpoint the four consumers read the materialized RDD:

@@ -121,6 +121,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("P7 fail-fast: a file without metadata lines fails with its name (app.go:97-99)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nometa").toString
+    // valid consensus line, but neither "P2P Node ID" nor validator line
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/orphan_cometbft.log"),
+      """{"_msg":"Entering prevote step","ts":"2025-06-08T01:00:00.000000001Z","current":"3/0/RoundStepPropose","height":3,"round":0}"""
+        .getBytes("UTF-8"))
+    val ex = intercept[Throwable] {
+      graft.cometbft.LogIngest.read(spark, dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("node ID or validator address not found") && m.contains("orphan_cometbft")),
+      s"unexpected failure: $ex")
+  }
+
   test("S5 first-match inference: wait-step lines collapse into prevote/precommit (parsers.go:94-128)") {
     // The reference scans [propose, prevote, prevote_wait, precommit,
     // precommit_wait, commit] and breaks on the first substring hit, so
