@@ -1,6 +1,6 @@
 package graft.cometbft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -65,20 +65,12 @@ object LogIngest {
     StructField("block", StringType)
   ))
 
-  /** Raw parsed lines: one row per dispatchable log line, with
-    * `src_file`, `msg_lc` (lowercased `_msg`), `ch_id` and `node_id_raw` /
-    * `validator_addr_raw` side-channel fields, and the union-schema
-    * `r` struct.
+  /** All lines of the dir's `.log` files, tagged with their source file.
     *
-    * Filters applied exactly as the reference dispatcher:
-    *   P1 drop lines without `_msg` (`dispatcher.go:71-77`)
-    *   P2 drop "with invalid args" (`dispatcher.go:80-83`)
-    */
-  def readRaw(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // pathGlobFilter instead of a glob-in-path: same non-recursive
-    // *.log selection (S1), but avoids the FileStreamSink metadata probe
-    // that logs a FileNotFoundException stack trace for glob paths.
+    * pathGlobFilter instead of a glob-in-path: same non-recursive
+    * *.log selection (S1), but avoids the FileStreamSink metadata probe
+    * that logs a FileNotFoundException stack trace for glob paths. */
+  def readLines(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .option("pathGlobFilter", "*.log")
       .textFile(dir)
@@ -86,45 +78,70 @@ object LogIngest {
         input_file_name().as("src_file"),
         col("value")
       )
-      .withColumn("msg_raw", get_json_object($"value", "$._msg"))
-      .filter($"msg_raw".isNotNull)
-      .withColumn("msg_lc", lower($"msg_raw"))
-      .filter(!$"msg_lc".contains("with invalid args"))
-      .withColumn("r", from_json($"value", rawUnionSchema))
-      .withColumn("ch_id", get_json_object($"value", "$.chID").cast("long"))
-      .withColumn("node_id_raw",
-        when($"msg_lc" === "p2p node id", get_json_object($"value", "$.ID")))
-      .withColumn("validator_addr_raw",
-        when($"msg_lc" === "this node is a validator", get_json_object($"value", "$.addr")))
-  }
 
-  /** P7 metadata attach (`app.go:77-86,103-108`): per-file nodeID and
-    * validatorAddress broadcast-joined onto every row of that file;
-    * files missing either value fail the job with the file name (the
-    * reference aborts the whole run, `app.go:97-99`).
+  /** The dispatcher's line filters + union-schema parse over any
+    * `(src_file, value)` frame (batch or streaming):
+    *   P1 drop lines without `_msg` (`dispatcher.go:71-77`)
+    *   P2 drop "with invalid args" (`dispatcher.go:80-83`)
+    * plus `msg_lc`, `ch_id` and the `node_id_raw`/`validator_addr_raw`
+    * metadata side-channels. */
+  def dispatch(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("msg_raw", get_json_object(col("value"), "$._msg"))
+      .filter(col("msg_raw").isNotNull)
+      .withColumn("msg_lc", lower(col("msg_raw")))
+      .filter(!col("msg_lc").contains("with invalid args"))
+      .withColumn("r", from_json(col("value"), rawUnionSchema))
+      .withColumn("ch_id", get_json_object(col("value"), "$.chID").cast("long"))
+      .withColumn("node_id_raw",
+        when(col("msg_lc") === "p2p node id", get_json_object(col("value"), "$.ID")))
+      .withColumn("validator_addr_raw",
+        when(col("msg_lc") === "this node is a validator",
+          get_json_object(col("value"), "$.addr")))
+
+  /** Raw parsed lines: one row per dispatchable log line. */
+  def readRaw(spark: SparkSession, dir: String): DataFrame =
+    dispatch(readLines(spark, dir))
+
+  /** P7 per-file metadata (`app.go:77-86,103-108`): one row per file with
+    * its nodeID and validatorAddress; any file missing either value fails
+    * the job with the file name (the reference aborts the whole run,
+    * `app.go:97-99`).
     *
-    * Scale shape: the metadata aggregation is pre-filtered to the two
-    * metadata `_msg` lines, so the broadcast build side carries a handful
-    * of rows per file instead of every parsed line, and the
-    * missing-metadata check rides the main join (left join + raise_error
-    * on a null side) instead of a separate driver-side collect pass over
-    * the data — no third scan of the log text. */
-  def attachMetadata(raw: DataFrame): DataFrame = {
-    val meta = raw
-      .filter(col("msg_lc").isin("p2p node id", "this node is a validator"))
+    * Fail-fast shape: the check is a `filter` on this tiny per-file
+    * aggregate, not a projected column on the joined output — Catalyst's
+    * ColumnPruning removes unread projections (a `raise_error` hidden in
+    * `withColumn` silently disappears under `count()`), but a filter
+    * condition must evaluate for every build-side row of the inner
+    * broadcast join in [[read]], whatever columns the consumer reads.
+    * The aggregate runs over ALL lines (metadata extraction is a cheap
+    * `when` per row and partial-agg state is one entry per file), so a
+    * file whose every line fails the P1/P2 drops still shows up here with
+    * null metadata and aborts, exactly like the reference. Residual
+    * divergence, documented: a zero-line file produces no rows at the text
+    * source and escapes the check (the reference would abort). */
+  def metadata(lines: DataFrame): DataFrame = {
+    val msgLc = lower(get_json_object(col("value"), "$._msg"))
+    lines
       .groupBy(col("src_file"))
       .agg(
-        min(col("node_id_raw")).as("node_id"),
-        min(col("validator_addr_raw")).as("validator_address")
+        min(when(msgLc === "p2p node id",
+          get_json_object(col("value"), "$.ID"))).as("node_id"),
+        min(when(msgLc === "this node is a validator",
+          get_json_object(col("value"), "$.addr"))).as("validator_address")
       )
-    def required(c: Column): Column = coalesce(c,
-      raise_error(concat(lit("node ID or validator address not found in "),
-        col("src_file"))).cast("string"))
-    raw.join(broadcast(meta), Seq("src_file"), "left")
-      .withColumn("node_id", required(col("node_id")))
-      .withColumn("validator_address", required(col("validator_address")))
+      .filter(
+        when(col("node_id").isNull || col("validator_address").isNull,
+          raise_error(concat(lit("node ID or validator address not found in "),
+            col("src_file"))).cast("boolean"))
+          .otherwise(lit(true)))
   }
 
-  def read(spark: SparkSession, dir: String): DataFrame =
-    attachMetadata(readRaw(spark, dir))
+  /** Ingest with P7 metadata attach: per-file nodeID/validatorAddress
+    * broadcast-joined onto every row of that file. Inner join — every file
+    * is present in [[metadata]] or the job has already failed. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val lines = readLines(spark, dir)
+    dispatch(lines).join(broadcast(metadata(lines)), Seq("src_file"))
+  }
 }

@@ -28,23 +28,13 @@ object StreamingPipeline {
     import spark.implicits._
     val reader = spark.readStream
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    val lines = reader
+    val lines = LogIngest.dispatch(reader
       .option("pathGlobFilter", "*.log")
       .text(dir)
-      .select(input_file_name().as("src_file"), col("value"))
-      .withColumn("msg_raw", get_json_object($"value", "$._msg"))
-      .filter($"msg_raw".isNotNull)
-      .withColumn("msg_lc", lower($"msg_raw"))
-      .filter(!$"msg_lc".contains("with invalid args"))
-      .withColumn("r", from_json($"value", LogIngest.rawUnionSchema))
-      .withColumn("ch_id", get_json_object($"value", "$.chID").cast("long"))
-      .withColumn("node_id_raw", lit(null: String))
-      .withColumn("validator_addr_raw", lit(null: String))
-    // stream-static metadata join (P7): batch scan of the same dir
-    val meta = LogIngest.readRaw(spark, dir)
-      .groupBy(col("src_file"))
-      .agg(min(col("node_id_raw")).as("node_id"),
-        min(col("validator_addr_raw")).as("validator_address"))
+      .select(input_file_name().as("src_file"), col("value")))
+    // stream-static metadata join (P7): batch scan of the same dir, with
+    // the same fail-fast filter as the batch path
+    val meta = LogIngest.metadata(LogIngest.readLines(spark, dir))
     Normalize.normalize(lines.join(broadcast(meta), Seq("src_file")))
   }
 
