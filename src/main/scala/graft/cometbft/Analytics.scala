@@ -57,7 +57,10 @@ object Analytics {
     * receive-created entry confirms later receives with NULL sent time
     * (reference computes latency from Go's zero time there — documented
     * rationalization) but DOES emit the entry-creating first receive's
-    * Vote payload, as the reference does (`processor.go:37`). */
+    * Vote payload, as the reference does (`processor.go:37`). The
+    * reference's pointer aliasing (`processor.go:43-45`) is replicated:
+    * an entry confirmed k times between sends yields k identical rows
+    * carrying the last confirming receive's ts/latency. */
   object VoteLatency extends Analytic {
     val name = "vote_latency"
     def run(events: DataFrame): Seq[(String, DataFrame)] = {

@@ -59,7 +59,15 @@ object PairingJoin {
     *    entry's — i.e. the last send before it. If the entry chain began
     *    with a receive and no send has occurred, the reference computes
     *    latency from Go's zero time; we emit a NULL sent time instead
-    *    (documented rationalization, SURVEY §7.4-3).
+    *    (documented rationalization, SURVEY §7.4-3);
+    *  - ALIASING (`processor.go:43-45`): each confirming receive appends
+    *    the entry POINTER to the results and leaves it in the map, and a
+    *    later confirming receive MUTATES that same struct before appending
+    *    it again — so an entry confirmed k times between sends yields k
+    *    IDENTICAL rows, all carrying the ts/latency of the LAST confirming
+    *    receive of that entry's lifetime (an "epoch": from the entry-
+    *    creating event to the next overwriting send, which freezes the
+    *    struct).
     *
     * Ties at equal timestamp process sends before receives — the
     * reference's global sort is unstable (`sort.Slice`), so this is the
@@ -73,9 +81,12 @@ object PairingJoin {
     * NULL.
     *
     * Relationally: union both sides, one window partitioned by key ordered
-    * by (ts, side) with an unbounded-preceding-to-previous-row frame
-    * supplies "any prior event?", "last send ts" and the entry payload —
-    * a single shuffle on the key, no join at all.
+    * by (ts, side) supplies "any prior event?", "last send ts" and the
+    * entry payload; a running count of sends assigns each event its epoch,
+    * and a second window over (key, epoch) — same shuffle key (hash
+    * partitioning on the key subset satisfies the clustering, so only an
+    * extra sort, no exchange) — replaces each confirming receive's ts with
+    * the epoch-final one. A single shuffle on the key, no join at all.
     */
   def confirmOnReceive(
       sends: DataFrame,
@@ -95,20 +106,32 @@ object PairingJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sentOfSide = when(col("__side") === 0, col("__ts"))
     val withState = stream
       .withColumn("__prior", count(lit(1)).over(w))
       .withColumn("__last_send", last(sentOfSide, ignoreNulls = true).over(w))
+      .withColumn("__epoch",
+        sum(when(col("__side") === 0, 1).otherwise(0)).over(wCum))
     val carried = carry.foldLeft(withState) { (d, c) =>
       d.withColumn(c, coalesce(
         last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w),
         first(when(col("__side") === 1, col(c)), ignoreNulls = true).over(w)))
     }
+    // The reference's aliasing: every appended row of an entry ends up with
+    // the values of the LAST mutation — the final confirming receive of the
+    // entry's epoch (whole-partition frame; no orderBy, so the frame spans
+    // the full (key, epoch) group).
+    val wEpoch = Window.partitionBy((keys :+ "__epoch").map(col): _*)
     carried
+      .withColumn("__final_recv",
+        max(when(col("__side") === 1 && col("__prior") >= 1, col("__ts"))).over(wEpoch))
       .filter(col("__side") === 1 && col("__prior") >= 1)
       .withColumn(sendTs, col("__last_send"))
-      .withColumn(recvTs, col("__ts"))
-      .drop("__ts", "__side", "__prior", "__last_send")
+      .withColumn(recvTs, col("__final_recv"))
+      .drop("__ts", "__side", "__prior", "__last_send", "__epoch", "__final_recv")
   }
 
   /** The faithful either-order confirmation machine of the p2p-messages

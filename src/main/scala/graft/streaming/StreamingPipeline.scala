@@ -50,11 +50,17 @@ object StreamingPipeline {
   /** Streaming J1: keyed vote pairing with explicit state — the SAME
     * overwrite-on-send machine as the batch analytic
     * ([[graft.operators.PairingJoin.confirmOnReceive]]): a send overwrites
-    * the entry, every receive after the first event at its key emits a
+    * the entry, every receive after the first event at its key yields a
     * confirmation against the last send (NULL sent time when the entry
-    * chain began with a receive). Rows are time-ordered within each
-    * micro-batch; cross-batch order is arrival order (streaming reality —
-    * closed-input runs match batch exactly).
+    * chain began with a receive), and the reference's pointer aliasing is
+    * replicated by buffering an epoch's confirmations and emitting them —
+    * duplicated, all with the LAST confirming receive's ts/latency — when
+    * the next send closes the epoch. Open epochs flush at the end of each
+    * micro-batch invocation (per-batch approximation of the reference's
+    * end-of-input flush: a later batch extending an epoch cannot retract
+    * already-emitted rows). Rows are time-ordered within each micro-batch;
+    * cross-batch order is arrival order (streaming reality — closed-input
+    * single-batch runs match batch exactly).
     *
     * `stateTimeout` (e.g. "10 minutes") bounds state for unmatched keys in
     * production (replacing the reference's end-of-input flush). Default is
@@ -92,16 +98,29 @@ object StreamingPipeline {
             var st = state.getOption.getOrElse(PairState(created = false, None))
             val out = scala.collection.mutable.ArrayBuffer.empty[ConfirmedVote]
             val ordered = rows.toSeq.sortBy(v => (v.tsNs, if (v.side == "send") 0 else 1))
+            var pending  = 0
+            var lastRecv = 0L
+            def flushEpoch(): Unit = {
+              if (pending > 0) {
+                val cv = ConfirmedVote(key._1, key._2, key._3, key._4, key._5,
+                  st.sentNs, lastRecv, st.sentNs.map(sv => (lastRecv - sv) / 1000000L))
+                var i = 0
+                while (i < pending) { out += cv; i += 1 }
+                pending = 0
+              }
+            }
             ordered.foreach { v =>
               if (v.side == "send") {
+                flushEpoch()
                 st = PairState(created = true, Some(v.tsNs))
               } else if (!st.created) {
                 st = PairState(created = true, None)
               } else {
-                out += ConfirmedVote(key._1, key._2, key._3, key._4, key._5,
-                  st.sentNs, v.tsNs, st.sentNs.map(sv => (v.tsNs - sv) / 1000000L))
+                pending += 1
+                lastRecv = v.tsNs
               }
             }
+            flushEpoch()
             state.update(st)
             stateTimeout.foreach(state.setTimeoutDuration)
             out.iterator

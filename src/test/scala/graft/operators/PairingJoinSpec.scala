@@ -81,9 +81,11 @@ class PairingJoinSpec extends AnyFunSuite {
 
     // S R -> one confirmation
     assert(run(Seq(("k", 10L)), Seq(("k", 20L))) == Seq((Some(10L), 20L)))
-    // S R R -> BOTH receives confirm against the same send
+    // S R R -> BOTH receives confirm against the same send, and the
+    // pointer aliasing (processor.go:43-45) makes both appended rows carry
+    // the LAST receive's ts: two identical (10, 30) rows
     assert(run(Seq(("k", 10L)), Seq(("k", 20L), ("k", 30L))) ==
-      Seq((Some(10L), 20L), (Some(10L), 30L)))
+      Seq((Some(10L), 30L), (Some(10L), 30L)))
     // S S R -> last send wins (overwrite, processor.go:52-53)
     assert(run(Seq(("k", 10L), ("k", 15L)), Seq(("k", 20L))) == Seq((Some(15L), 20L)))
     // R R -> first receive creates the entry silently; second confirms with
@@ -115,9 +117,10 @@ class PairingJoinSpec extends AnyFunSuite {
     // R(vA) S(vC) R(vB) -> send overwrites the entry; confirmation carries vC
     assert(run(Seq(("k", 25L, "vC")), Seq(("k", 20L, "vA"), ("k", 30L, "vB"))) ==
       Seq(("vC", 30L)))
-    // R(vA) R(vB) R(vC) -> entry still the first receive's: vA both times
+    // R(vA) R(vB) R(vC) -> entry still the first receive's: vA both times,
+    // and aliasing gives both rows the final receive's ts (40)
     assert(run(Seq.empty, Seq(("k", 20L, "vA"), ("k", 30L, "vB"), ("k", 40L, "vC"))) ==
-      Seq(("vA", 30L), ("vA", 40L)))
+      Seq(("vA", 40L), ("vA", 40L)))
   }
 
   test("confirmEitherOrder reproduces the p2p per-key entry machine") {
@@ -171,10 +174,13 @@ class PairingJoinSpec extends AnyFunSuite {
       val recvs = events.filterNot(_._3).map(e => (e._1, e._2))
 
       // sequential simulation of vote-latency (confirm-on-receive) machine,
-      // payload = entry-creating event's tag (vl.Vote semantics)
-      case class Entry(var sent: Option[Long], payload: String)
+      // payload = entry-creating event's tag (vl.Vote semantics). The
+      // appended REFERENCE is kept (processor.go:43-45 pointer aliasing):
+      // rows materialize only after the stream ends, from the entry's
+      // final mutated state.
+      class Entry(var sent: Option[Long], val payload: String) { var recvFinal = 0L }
       val m1 = scala.collection.mutable.Map[String, Entry]()
-      val want1 = scala.collection.mutable.ArrayBuffer[(Option[Long], Long, String)]()
+      val appended1 = scala.collection.mutable.ArrayBuffer[Entry]()
       // sequential simulation of p2p (either-order) machine
       sealed trait St
       case class Sent(ts: Long) extends St
@@ -184,15 +190,15 @@ class PairingJoinSpec extends AnyFunSuite {
       val want2 = scala.collection.mutable.ArrayBuffer[(Option[Long], Long)]()
       events.sortBy(e => (e._2, if (e._3) 0 else 1)).foreach { case (k, t, isSend) =>
         if (isSend) {
-          m1(k) = Entry(Some(t), s"p$t")
+          m1(k) = new Entry(Some(t), s"p$t")
           m2.get(k) match {
             case Some(Received(rts)) => want2 += ((Some(t), rts)); m2(k) = Confirmed(t)
             case _                   => m2(k) = Sent(t)
           }
         } else {
           m1.get(k) match {
-            case None    => m1(k) = Entry(None, s"p$t")
-            case Some(e) => want1 += ((e.sent, t, e.payload))
+            case None    => m1(k) = new Entry(None, s"p$t")
+            case Some(e) => e.recvFinal = t; appended1 += e
           }
           m2.get(k) match {
             case None               => m2(k) = Received(t)
@@ -217,6 +223,7 @@ class PairingJoinSpec extends AnyFunSuite {
         .sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq
       val got2 = collect(PairingJoin.confirmEitherOrder(
         sDF.drop("payload"), rDF.drop("payload"), Seq("key"), "sent_ns", "recv_ns"))
+      val want1 = appended1.map(e => (e.sent, e.recvFinal, e.payload))
       assert(got1 == want1.sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq, s"trial $trial confirmOnReceive")
       assert(got2 == want2.sortBy(p => (p._2, p._1.getOrElse(Long.MinValue))).toSeq, s"trial $trial confirmEitherOrder")
       assert(want1.nonEmpty && want2.nonEmpty)
