@@ -118,14 +118,35 @@ class RoundTripPropertySpec extends AnyFunSuite {
           assert(d.validatorIndex == v.validatorIndex && d.tsNanos == v.tsNanos)
         case other => fail(s"decoded $other")
       }
-      // unknown higher-numbered fields (a v1 producer talking to the same
-      // reader) are skipped, not fatal: append a fake extension field #9
+      // unknown higher-numbered fields (a v1 producer with extensions
+      // talking to the same reader) are skipped, not fatal: rebuild the
+      // SAME Vote payload with v1's extension(9, bytes) and
+      // extension_signature(10, bytes) spliced in, re-wrapping both
+      // length prefixes (wrapper field 1, oneof field 6), and require the
+      // decode to still succeed field-for-field — this fails if readVote's
+      // default skip-unknown arm is removed.
       val withExtension = {
-        // rewrap: message { vote_field(6) = len-prefixed payload+field9 }
-        val inner = v1beta1Bytes
-        inner // the reader's (_, w) => skip(w) default covers this; direct case below
+        val psh = new Writer().vField(1, v.blockId.psh.total)
+          .bField(2, v.blockId.psh.hash).result
+        val bid = new Writer().bField(1, v.blockId.hash).mField(2, psh).result
+        val ts  = new Writer().vField(1, v.tsNanos / 1000000000L)
+          .vField(2, v.tsNanos % 1000000000L).result
+        val innerPlusExt = new Writer()
+          .vField(1, v.tpe).vField(2, v.height).vField(3, v.round)
+          .mField(4, bid).mField(5, ts)
+          .bField(6, v.validatorAddress).vField(7, v.validatorIndex)
+          .bField(8, v.signature)
+          .bField(9, Array[Byte](0x7e, 0x7f))   // extension
+          .bField(10, Array[Byte](0x11))        // extension_signature
+          .result
+        new Writer().mField(6, new Writer().mField(1, innerPlusExt).result).result
       }
-      decodeConsensusMessage(withExtension).foreach(d => assert(d.isInstanceOf[Vote]))
+      decodeConsensusMessage(withExtension) match {
+        case Some(d: Vote) =>
+          assert(d.height == v.height && d.round == v.round && d.tpe == v.tpe)
+          assert(d.validatorIndex == v.validatorIndex && d.tsNanos == v.tsNanos)
+        case other => fail(s"extension splice broke the decode: $other")
+      }
     }
   }
 
