@@ -337,4 +337,73 @@ object Fixtures {
     Files.write(p.resolve("nodeB_cometbft.log"), bLog.mkString("\n").getBytes("UTF-8"))
     dir
   }
+
+  /** Two-node adversarial p2p-gossip scenario exercising the J3
+    * either-order confirmation machine's nastier edges
+    * (`p2p-messages/processor.go:39-341`): first-send-confirms-pending-
+    * receive (negative latency), double-receive-before-send (the reference
+    * would panic on the nil SentTime assertion — rationalized to a
+    * NULL-sent confirmation), repeat receives re-confirming a Confirmed
+    * entry as SEPARATE snapshot rows (the p2p machine allocates a fresh
+    * confirmed event each time — no J1-style pointer aliasing),
+    * send-overwrite, a full send-receive-send-receive cycle, and key
+    * isolation both across families (has_vote vs new_round_step at the
+    * same height) and within a family (different HasVote index). The q56
+    * oracle for this scenario is HAND-DERIVED on paper
+    * (CometbftQueries.oracleSql — NOT a gen_golden.py pin).
+    *
+    * All timestamps are explicit ms offsets from T = t0 + 6 s. Node A
+    * (index 0) sends, node B (index 1) receives; both message shapes ride
+    * the state channel 0x20 as in real CometBFT gossip.
+    */
+  def writeAdversarialP2pScenario(dir: String): String = {
+    val T  = t0Nanos + 6000000000L
+    val ms = 1000000L
+    val a  = nodeIds(0); val b = nodeIds(1)
+    def hv(h: Long, idx: Int): Array[Byte] =
+      encodeConsensusMessage(HasVote(h, 0, 1, idx))
+    def nrs(h: Long): Array[Byte] =
+      encodeConsensusMessage(NewRoundStep(h, 0, 1, h * 2, -1))
+    def send(msg: Array[Byte], at: Long) =
+      line("Send", at, "channel" -> 0x20L, "conn" -> "MConn{pipe}",
+        "msgBytes" -> hexStr(msg), "peer" -> s"$b@10.0.0.1:26656")
+    def recv(msg: Array[Byte], at: Long) =
+      line("Received bytes", at, "chID" -> 0x20L,
+        "msgBytes" -> b64(msg), "peer" -> s"$a@10.0.0.0:26656")
+
+    val aLog = Seq(
+      line("P2P Node ID", T, "ID" -> a, "file" -> "nodeA/key.json"),
+      line("This node is a validator", T + 500L, "addr" -> valAddrs(0), "pubKey" -> "PUBA=="),
+      send(hv(201L, 2), T + 20 * ms),  // confirms B's pending receive (negative latency)
+      send(hv(202L, 2), T + 30 * ms),  // first send after the double receive
+      send(hv(203L, 2), T + 35 * ms),  // confirmed twice by separate receives
+      send(hv(204L, 2), T + 50 * ms),  // overwritten by...
+      send(hv(204L, 2), T + 52 * ms),  // ...this one
+      send(hv(205L, 2), T + 60 * ms),  // cycle 1 send
+      send(hv(205L, 2), T + 64 * ms),  // cycle 2 send (entry was Confirmed)
+      send(hv(206L, 2), T + 70 * ms),  // never received: no row, and must
+                                       // NOT confirm the new_round_step
+                                       // receive at the same height
+      send(hv(207L, 2), T + 80 * ms),  // idx 2...
+      send(nrs(206L), T + 75 * ms))    // confirms B's pending nrs receive
+    val bLog = Seq(
+      line("P2P Node ID", T + 1000L, "ID" -> b, "file" -> "nodeB/key.json"),
+      line("This node is a validator", T + 1500L, "addr" -> valAddrs(1), "pubKey" -> "PUBB=="),
+      recv(hv(201L, 2), T + 15 * ms),  // receive BEFORE the send
+      recv(hv(202L, 2), T + 25 * ms),  // double receive: creates entry...
+      recv(hv(202L, 2), T + 28 * ms),  // ...then the reference would panic
+      recv(hv(203L, 2), T + 40 * ms),
+      recv(hv(203L, 2), T + 43 * ms),  // separate snapshot row, NOT aliased
+      recv(hv(204L, 2), T + 55 * ms),
+      recv(hv(205L, 2), T + 62 * ms),  // cycle 1 receive
+      recv(hv(205L, 2), T + 66 * ms),  // cycle 2 receive
+      recv(hv(207L, 3), T + 82 * ms),  // idx 3: different key, no pair
+      recv(nrs(206L), T + 72 * ms))    // pending until A's nrs send
+
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    Files.write(p.resolve("nodeA_cometbft.log"), aLog.mkString("\n").getBytes("UTF-8"))
+    Files.write(p.resolve("nodeB_cometbft.log"), bLog.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
 }
