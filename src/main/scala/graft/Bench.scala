@@ -81,11 +81,31 @@ object Bench {
     }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
-    val results = present.map { n =>
+    val run2 = present.map { n =>
       val (t1, ok1) = run1(n)
       val (t2, ok2) = timeOnce(n)
       n -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
     }
+    // q35 reports cluster-only time (the pair graph is materialized once
+    // per dir, so min-of-two always hits the cached graph). The build is a
+    // real cost at any scale — time it as its OWN entry, min-of-two with
+    // the cache dropped in between, so neither number hides the other.
+    val pairBuild = {
+      def once(): (Double, Boolean) = {
+        graft.queries.TextQueries.invalidatePairGraph(sfDir)
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.queries.TextQueries.buildPairGraph(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q35_pair_graph_build FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (b1, ok1) = once(); val (b2, ok2) = once()
+      if (ok1 && ok2) math.min(b1, b2) else -1.0
+    }
+    val results = run2 :+ ("q35_pair_graph_build" -> pairBuild)
     val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

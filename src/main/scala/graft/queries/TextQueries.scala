@@ -108,6 +108,18 @@ object TextQueries {
       spark.read.parquet(path)
     }
 
+  /** Bench hooks: force / drop the materialized pair graph so its build
+    * can be timed as its own bench entry (q35_pair_graph_build) instead of
+    * hiding inside q35's first run — min-of-two timing would otherwise
+    * silently report cluster-only time for q35 while the build cost
+    * vanished from the totals. */
+  def buildPairGraph(spark: SparkSession, dir: String): Unit = {
+    materializedPairs(spark, dir); ()
+  }
+  def invalidatePairGraph(dir: String): Unit = pairsLock.synchronized {
+    pairsCache -= dir
+  }
+
   // ---------------------------------------------------------------- q26
   /** SimHash near-dup pairs (48-bit, 12-bit bands, Hamming <= 8). */
   def q26Simhash(spark: SparkSession, dir: String): DataFrame =
