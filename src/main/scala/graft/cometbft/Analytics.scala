@@ -331,6 +331,89 @@ object Analytics {
     * (`processor.go:753-821`). */
   object NetworkLatency extends Analytic {
     val name = "network_latency"
+
+    /** The J4 two-pass matcher, factored for the random-stream parity spec.
+      *
+      * Pass 1 — composite key (sender, receiver, raw_hash): the reference
+      * machine is BIDIRECTIONAL (a receive pops the oldest pending send,
+      * `processor.go:278-285`; an out-of-order send pops the single pending
+      * receive, `:155-176`), which is exactly rank-FIFO pairing: the i-th
+      * send meets the i-th receive whatever the interleaving. The reference
+      * panics when a send finds >=2 pending receives (`:166`); the rank
+      * join pairs them in order instead (documented rationalization).
+      *
+      * Pass 2 — hash-only fallback for pass-1 residuals (`:295-328`): the
+      * pool (`pendingSendsByRaw`) holds ONLY sends without a recipient peer
+      * (TrySend logs `peer: ""`), and the fallback is ONE-DIRECTIONAL AND
+      * AT-ARRIVAL-ONLY: a receive pops the oldest pending raw send at its
+      * own arrival, and if the pool is empty then, it is never matched —
+      * a later TrySend does not look back at pending receives. That is
+      * [[PairingJoin.fifoAtArrival]], not rank-FIFO.
+      *
+      * Unmatched accounting (`finalizeStats`, `:449-476`): a fallback-
+      * matched receive is never removed from `pendingReceives`, so the
+      * reference counts it BOTH as a measurement and as an unmatched
+      * receive. Faithfully: unmatched receives = ALL pass-1 residual
+      * receives, whether or not pass 2 matched them. Unmatched sends =
+      * pass-2 residual no-peer sends + composite-keyed sends that found no
+      * receive (those never enter the fallback pool).
+      *
+      * Documented rationalization: a receive that fallback-matches and is
+      * LATER claimed by an out-of-order composite-key send double-counts in
+      * the reference (two measurements from one receive; reachable only
+      * when a TrySend and a direct send share raw bytes). Here a receive
+      * yields at most one measurement — the composite-key match wins.
+      *
+      * @return (measurements, unmatchedSends(node_id, msg_type),
+      *         unmatchedRecvs(node_id, msg_type))
+      */
+    private[graft] def fifoMatch(sends: DataFrame, recvs: DataFrame)
+        : (DataFrame, DataFrame, DataFrame) = {
+      val keys = Seq("sender", "receiver", "raw_hash")
+      val m1 = PairingJoin.fifo(
+        sends.withColumnRenamed("msg_type", "send_msg_type"),
+        recvs.withColumnRenamed("msg_type", "recv_msg_type"),
+        keys, Seq("sent_ns"), Seq("received_ns"), "full_outer")
+      val matched1 = m1.filter(col("sent_ns").isNotNull && col("received_ns").isNotNull)
+        .withColumn("match_type", lit("exact"))
+      val unSends = m1.filter(col("received_ns").isNull)
+        .select(col("sender"), col("receiver"), col("raw_hash"),
+          col("send_msg_type"), col("sent_ns"))
+      val unRecvs = m1.filter(col("sent_ns").isNull)
+        .select(col("sender"), col("receiver"), col("raw_hash"),
+          col("recv_msg_type"), col("received_ns"))
+
+      val noPeer = col("receiver").isNull || col("receiver") === ""
+      val fallbackSends = unSends.filter(noPeer)
+      val directUnmatchedSends = unSends.filter(!noPeer)
+      val m2 = PairingJoin.fifoAtArrival(
+        fallbackSends.withColumnRenamed("sender", "send_sender").withColumnRenamed("receiver", "send_receiver"),
+        unRecvs.withColumnRenamed("sender", "recv_sender").withColumnRenamed("receiver", "recv_receiver"),
+        Seq("raw_hash"), "sent_ns", "received_ns")
+      val matched2 = m2.filter(col("sent_ns").isNotNull && col("received_ns").isNotNull)
+        .withColumn("sender", coalesce(col("send_sender"), col("recv_sender")))
+        .withColumn("receiver", coalesce(col("recv_receiver"), col("send_receiver")))
+        .withColumn("match_type", lit("hash_fallback"))
+      val unmatchedSends = m2.filter(col("received_ns").isNull)
+        .select(col("send_sender").as("node_id"), col("send_msg_type").as("msg_type"))
+        .unionByName(directUnmatchedSends
+          .select(col("sender").as("node_id"), col("send_msg_type").as("msg_type")))
+      val unmatchedRecvs = unRecvs
+        .select(col("receiver").as("node_id"), col("recv_msg_type").as("msg_type"))
+
+      val measurements = matched1
+        .select("sender", "receiver", "raw_hash", "send_msg_type", "sent_ns", "received_ns", "match_type")
+        .unionByName(matched2.select("sender", "receiver", "raw_hash", "send_msg_type",
+          "sent_ns", "received_ns", "match_type"))
+        .withColumn("msg_type", col("send_msg_type")).drop("send_msg_type")
+        // The reference records a POSITIVE magnitude either way: recv-send
+        // for in-order matches, send-recv for the out-of-order path
+        // (`:166`, `:283`) — events process in global time order, so the
+        // later timestamp is always the minuend (round-2 audit).
+        .withColumn("latency_ms", expr("abs(received_ns - sent_ns) div 1000000"))
+      (measurements, unmatchedSends, unmatchedRecvs)
+    }
+
     def run(events: DataFrame): Seq[(String, DataFrame)] = {
       val sends = events.filter(col("event_type").startsWith("send_"))
         .select(
@@ -346,54 +429,7 @@ object Analytics {
           regexp_replace(col("event_type"), "^receive_packet_", "").as("msg_type"),
           col("ts_ns").as("received_ns"))
 
-      // Pass 1: FIFO match on the full composite key.
-      val keys = Seq("sender", "receiver", "raw_hash")
-      val m1 = PairingJoin.fifo(
-        sends.withColumnRenamed("msg_type", "send_msg_type"),
-        recvs.withColumnRenamed("msg_type", "recv_msg_type"),
-        keys, Seq("sent_ns"), Seq("received_ns"), "full_outer")
-      val matched1 = m1.filter(col("sent_ns").isNotNull && col("received_ns").isNotNull)
-        .withColumn("match_type", lit("exact"))
-      val unSends = m1.filter(col("received_ns").isNull)
-        .select(col("sender"), col("receiver"), col("raw_hash"),
-          col("send_msg_type"), col("sent_ns"))
-      val unRecvs = m1.filter(col("sent_ns").isNull)
-        .select(col("sender"), col("receiver"), col("raw_hash"),
-          col("recv_msg_type"), col("received_ns"))
-
-      // Pass 2: hash-only FIFO fallback for residuals (:295-328). The
-      // reference's fallback pool (`pendingSendsByRaw`) holds ONLY sends
-      // without a recipient peer (TrySend logs `peer: ""` — extractPeerID
-      // returns empty, so composite keying is skipped); composite-keyed
-      // sends that found no receive are never fallback-matched (audit).
-      val noPeer = col("receiver").isNull || col("receiver") === ""
-      val fallbackSends = unSends.filter(noPeer)
-      val directUnmatchedSends = unSends.filter(!noPeer)
-      val m2 = PairingJoin.fifo(
-        fallbackSends.withColumnRenamed("sender", "send_sender").withColumnRenamed("receiver", "send_receiver"),
-        unRecvs.withColumnRenamed("sender", "recv_sender").withColumnRenamed("receiver", "recv_receiver"),
-        Seq("raw_hash"), Seq("sent_ns"), Seq("received_ns"), "full_outer")
-      val matched2 = m2.filter(col("sent_ns").isNotNull && col("received_ns").isNotNull)
-        .withColumn("sender", coalesce(col("send_sender"), col("recv_sender")))
-        .withColumn("receiver", coalesce(col("recv_receiver"), col("send_receiver")))
-        .withColumn("match_type", lit("hash_fallback"))
-      val unmatchedSends = m2.filter(col("received_ns").isNull)
-        .select(col("send_sender").as("node_id"), col("send_msg_type").as("msg_type"))
-        .unionByName(directUnmatchedSends
-          .select(col("sender").as("node_id"), col("send_msg_type").as("msg_type")))
-      val unmatchedRecvs = m2.filter(col("sent_ns").isNull)
-        .select(col("recv_receiver").as("node_id"), col("recv_msg_type").as("msg_type"))
-
-      val measurements = matched1
-        .select("sender", "receiver", "raw_hash", "send_msg_type", "sent_ns", "received_ns", "match_type")
-        .unionByName(matched2.select("sender", "receiver", "raw_hash", "send_msg_type",
-          "sent_ns", "received_ns", "match_type"))
-        .withColumn("msg_type", col("send_msg_type")).drop("send_msg_type")
-        // The reference records a POSITIVE magnitude either way: recv-send
-        // for in-order matches, send-recv for the out-of-order path
-        // (`:166`, `:283`) — events process in global time order, so the
-        // later timestamp is always the minuend (round-2 audit).
-        .withColumn("latency_ms", expr("abs(received_ns - sent_ns) div 1000000"))
+      val (measurements, unmatchedSends, unmatchedRecvs) = fifoMatch(sends, recvs)
 
       // A3: per-(normalized pair, msg_type) exact-percentile histograms.
       val paired = measurements

@@ -178,6 +178,70 @@ object PairingJoin {
       .drop("__ts", "__side", "__prior_s", "__prior_r", "__last_send", "__first_recv")
   }
 
+  /** One-directional FIFO queue matching with discard-at-empty — the
+    * raw-hash fallback pool of the network-latency processor
+    * (`network-latency/processor.go:295-328`): left rows (no-peer sends)
+    * enqueue per key in time order; each right row (receive) pops the
+    * OLDEST pending left row AT ITS ARRIVAL, and a right row arriving when
+    * the queue is empty is never matched — the fallback is tried exactly
+    * once, at the receive's own arrival, so a later-arriving send cannot
+    * claim it (unlike [[fifo]]'s bidirectional rank pairing, where both
+    * sides enqueue and the i-th left always meets the i-th right).
+    *
+    * Relationally: per key, a running sum S (+1 left, -1 right, ties
+    * left-first) reflected at zero via the prefix-minimum identity
+    * L = S - min(0, min S) gives the queue depth; a right row matches iff
+    * the pre-arrival depth is positive. The j-th matching right row pops
+    * the j-th left row (queue FIFO), so a second windowed counter pass
+    * assigns pop ordinals and an equi-join on (key, ordinal) pairs them.
+    * Three window passes + one join, all shuffled on the same key.
+    *
+    * Output: matched pairs (all left + right columns), unmatched left rows
+    * (right columns NULL) and unmatched right rows (left columns NULL) —
+    * [[fifo]]'s "full_outer" shape. Left and right column names must be
+    * disjoint apart from `keys`.
+    */
+  def fifoAtArrival(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String
+  ): DataFrame = {
+    val leftCols  = left.columns.filterNot(keys.contains).toSeq
+    val rightCols = right.columns.filterNot(keys.contains).toSeq
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
+    val r = right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(1))
+    val stream = l.unionByName(r, allowMissingColumns = true)
+    val wCum = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withS = stream
+      .withColumn("__s", sum(when(col("__side") === 0, 1).otherwise(-1)).over(wCum))
+    val withDepth = withS
+      .withColumn("__s_prev", coalesce(last(col("__s")).over(wPrev), lit(0)))
+      .withColumn("__min_prev", least(coalesce(min(col("__s")).over(wPrev), lit(0)), lit(0)))
+      .withColumn("__matched",
+        col("__side") === 1 && (col("__s_prev") - col("__min_prev")) > 0)
+    // separate ordinals: the j-th matching right row pops the j-th left row
+    val withSeq = withDepth
+      .withColumn("__lseq", sum(when(col("__side") === 0, 1).otherwise(0)).over(wCum))
+      .withColumn("__rseq", sum(when(col("__matched"), 1).otherwise(0)).over(wCum))
+    val lOut = withSeq.filter(col("__side") === 0)
+      .withColumn("__seq", col("__lseq"))
+      .select((keys ++ leftCols :+ "__seq").map(col): _*)
+    val rMatched = withSeq.filter(col("__side") === 1 && col("__matched"))
+      .withColumn("__seq", col("__rseq"))
+      .select((keys ++ rightCols :+ "__seq").map(col): _*)
+    val rUnmatched = withSeq.filter(col("__side") === 1 && !col("__matched"))
+      .select((keys ++ rightCols).map(col): _*)
+    val paired = lOut.join(rMatched, keys :+ "__seq", "left_outer").drop("__seq")
+    paired.unionByName(rUnmatched, allowMissingColumns = true)
+  }
+
   /** Last-send / first-receive pairing — the vote-latency quirk
     * (`vote-latency/processor.go:52-53`): a later send overwrites the
     * pending entry, so only the LAST send per key pairs, and it pairs with
