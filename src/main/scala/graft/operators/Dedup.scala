@@ -303,11 +303,19 @@ object Dedup {
         sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
         .drop("prev")
       val next = observed.localCheckpoint()
+      // A missing metric KEY must fail loudly, not read as converged —
+      // defaulting to 0 would silently terminate with wrong labels if the
+      // observe() plumbing ever broke. A present key with a NULL value is
+      // different: sum() over zero rows, i.e. an empty label frame, which
+      // genuinely is convergence.
       val changed =
         if (iter == 0) 1L
-        else observed.queryExecution.observedMetrics.get(s"cc_iter_$iter")
-          .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-          .getOrElse(0L)
+        else {
+          val row = observed.queryExecution.observedMetrics.getOrElse(s"cc_iter_$iter",
+            throw new IllegalStateException(
+              s"connectedComponents: observed metric cc_iter_$iter missing after materialization"))
+          Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        }
       labels = next
       converged = changed == 0
       iter += 1
