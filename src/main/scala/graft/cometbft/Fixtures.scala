@@ -153,6 +153,32 @@ object Fixtures {
         out += line("TrySend", ts, "channel" -> 0x20L, "conn" -> "MConn{pipe}",
           "msgBytes" -> hexStr(newValidBlockMsg(h)), "peer" -> "")
         ts += 1000000L
+        // Non-consensus channel traffic: decoded by the channel dispatcher
+        // (`decoder.go:79-107`) then REJECTED at channel-validity exactly
+        // like the reference converter (`convereter.go:46-58`) — these
+        // lines must NEVER surface as events. Emitted at sub-millisecond
+        // offsets WITHOUT advancing `ts`, so the consensus timeline — and
+        // with it every pinned golden — is byte-identical with or without
+        // them: the unchanged goldens ARE the drop-parity proof
+        // (NonConsensusDecodeSpec + PipelineSpec pin it directly too).
+        val gossipPeer = s"${nodeIds((node + 1) % 4)}@10.0.0.${(node + 1) % 4}:26656"
+        out += line("Send", ts + 1000L, "channel" -> 0x30L, "conn" -> "MConn{pipe}",
+          "msgBytes" -> hexStr(encodeNonConsensusMessage(MpTxs(Seq(s"tx$h".getBytes("UTF-8"))))),
+          "peer" -> gossipPeer)
+        out += line("Send", ts + 2000L, "channel" -> 0x40L, "conn" -> "MConn{pipe}",
+          "msgBytes" -> hexStr(encodeNonConsensusMessage(BsStatusResponse(h, 1))),
+          "peer" -> gossipPeer)
+        out += line("Received bytes", ts + 3000L, "chID" -> 0x00L,
+          "msgBytes" -> b64(encodeNonConsensusMessage(PexAddrs(Seq("tcp://peer@10.0.0.9:26656")))),
+          "peer" -> gossipPeer)
+        out += line("Received bytes", ts + 4000L, "chID" -> 0x60L,
+          "msgBytes" -> b64(encodeNonConsensusMessage(SsChunkRequest(h, 1, 0))),
+          "peer" -> gossipPeer)
+        // Evidence channel: the reference's decoder returns an error
+        // (`decoder.go:108-110`) — dropped at decode, not at validity.
+        out += line("Received bytes", ts + 5000L, "chID" -> 0x38L,
+          "msgBytes" -> b64(Array[Byte](0x0a, 0x00)),
+          "peer" -> gossipPeer)
       } else {
         val proposerNode = (h % 4).toInt
         out += line("Received proposal", ts,

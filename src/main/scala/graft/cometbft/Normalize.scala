@@ -72,8 +72,22 @@ object Normalize {
   private def hex(b: Array[Byte]): String =
     b.map("%02X".format(_)).mkString
 
-  private[cometbft] def decodeToStruct(bytes: Array[Byte]): Option[DecodedMsg] =
-    ProtoWire.decodeConsensusMessage(bytes).map {
+  /** The channel-dispatched decode (`decoder.go:17-113`): consensus
+    * channels project into the full struct; blocksync/mempool/pex/statesync
+    * decode into a type tag alone — every one of those is then rejected by
+    * [[channelValid]] exactly as the reference's converter rejects them
+    * (`convereter.go:46-58`), so they contribute drops, never events.
+    * Evidence/unknown channels decode to None (the reference errors). */
+  private[cometbft] def decodeToStruct(channel: Long, bytes: Array[Byte]): Option[DecodedMsg] =
+    ProtoWire.decodeChannelMessage(channel, bytes).map {
+      case Right(cm)  => consensusStruct(cm)
+      case Left(ncm)  =>
+        DecodedMsg(ncm.typeName, None, None, None, None, None, None, None, None,
+          None, None, None, None, None, None, None, None, None)
+    }
+
+  private def consensusStruct(msg: ProtoWire.ConsensusMsg): DecodedMsg =
+    msg match {
       case m: ProtoWire.NewRoundStep =>
         DecodedMsg("new_round_step", Some(m.height), Some(m.round.toLong),
           Some(stepIntToString(m.step)), None, Some(m.secondsSinceStartTime),
@@ -127,7 +141,8 @@ object Normalize {
           None, None, None, None, None, None)
     }
 
-  private val decodeU = udf((bytes: Array[Byte]) => decodeToStruct(bytes))
+  private val decodeU =
+    udf((channel: Long, bytes: Array[Byte]) => decodeToStruct(channel, bytes))
 
   /** P4 channel-validity predicate (`convereter.go:19-100`): the decoded
     * message type must match its P2P channel. */
@@ -287,7 +302,7 @@ object Normalize {
       .withColumn("channel", col("r.channel"))
       .withColumn("channel_name", channelName(col("r.channel")))
       .withColumn("msg_bytes", unhex(col("r.msgBytes")))
-      .withColumn("decoded", decodeU(col("msg_bytes")))
+      .withColumn("decoded", decodeU(col("channel").cast("long"), col("msg_bytes")))
       .filter(col("decoded").isNotNull)
       .filter(channelValid(col("decoded.msgType"), col("channel")))
       .withColumn("recipient_peer", col("r.peer"))
@@ -301,7 +316,7 @@ object Normalize {
       .withColumn("channel", col("ch_id"))
       .withColumn("channel_name", channelName(col("ch_id")))
       .withColumn("msg_bytes", unbase64(col("r.msgBytes")))
-      .withColumn("decoded", decodeU(col("msg_bytes")))
+      .withColumn("decoded", decodeU(col("channel").cast("long"), col("msg_bytes")))
       .filter(col("decoded").isNotNull)
       .filter(channelValid(col("decoded.msgType"), col("channel")))
       .withColumn("source_peer", col("r.peer"))

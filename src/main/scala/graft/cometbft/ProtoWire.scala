@@ -65,6 +65,71 @@ object ProtoWire {
     val typeName = "has_proposal_block_part"
   }
 
+  // ------------------------------------------------- non-consensus model
+  // The reference decodes four more channel families before its converter
+  // rejects them at channel-validity (`decoder.go:79-107`,
+  // `convereter.go:46-58`): blocksync, mempool, pex, statesync. Shapes and
+  // field numbers follow the public CometBFT API protos
+  // (blocksync/v1/types.proto, mempool/v1/types.proto, p2p/v1/pex.proto,
+  // statesync/v1/types.proto). The evidence channel is NOT decoded — the
+  // reference returns an error there too (`decoder.go:108-110`).
+  sealed trait NonConsensusMsg { def typeName: String }
+  final case class BsBlockRequest(height: Long) extends NonConsensusMsg {
+    val typeName = "blocksync_block_request"
+  }
+  final case class BsNoBlockResponse(height: Long) extends NonConsensusMsg {
+    val typeName = "blocksync_no_block_response"
+  }
+  /** Block/ext-commit payloads stay opaque: the reference returns the whole
+    * wrapper (`decoder.go:80-85`) and nothing downstream reads into it. */
+  final case class BsBlockResponse(blockBytes: Array[Byte], extCommitBytes: Array[Byte])
+      extends NonConsensusMsg {
+    val typeName = "blocksync_block_response"
+  }
+  case object BsStatusRequest extends NonConsensusMsg {
+    val typeName = "blocksync_status_request"
+  }
+  final case class BsStatusResponse(height: Long, base: Long) extends NonConsensusMsg {
+    val typeName = "blocksync_status_response"
+  }
+  final case class MpTxs(txs: Seq[Array[Byte]]) extends NonConsensusMsg {
+    val typeName = "mempool_txs"
+  }
+  case object PexRequest extends NonConsensusMsg {
+    val typeName = "pex_request"
+  }
+  final case class PexAddrs(urls: Seq[String]) extends NonConsensusMsg {
+    val typeName = "pex_addrs"
+  }
+  case object SsSnapshotsRequest extends NonConsensusMsg {
+    val typeName = "statesync_snapshots_request"
+  }
+  final case class SsSnapshotsResponse(height: Long, format: Int, chunks: Long,
+      hash: Array[Byte], metadata: Array[Byte]) extends NonConsensusMsg {
+    val typeName = "statesync_snapshots_response"
+  }
+  final case class SsChunkRequest(height: Long, format: Int, index: Int) extends NonConsensusMsg {
+    val typeName = "statesync_chunk_request"
+  }
+  final case class SsChunkResponse(height: Long, format: Int, index: Int,
+      chunk: Array[Byte], missing: Boolean) extends NonConsensusMsg {
+    val typeName = "statesync_chunk_response"
+  }
+
+  /** P2P channel IDs (`types/channels.go:5-15`). */
+  object Channels {
+    val Pex         = 0x00L
+    val State       = 0x20L
+    val Data        = 0x21L
+    val Vote        = 0x22L
+    val VoteSetBits = 0x23L
+    val Mempool     = 0x30L
+    val Evidence    = 0x38L
+    val Blocksync   = 0x40L
+    val Snapshot    = 0x60L
+    val Chunk       = 0x61L
+  }
+
   // ------------------------------------------------------------------ reader
   private final class Reader(buf: Array[Byte]) {
     var pos: Int = 0
@@ -332,6 +397,155 @@ object ProtoWire {
     }
   }
 
+  // ------------------------------------------- non-consensus decoders
+  private def decodeOneOf[T](bytes: Array[Byte])(
+      f: PartialFunction[(Int, Reader), T]): Option[T] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val r = new Reader(bytes)
+      var result: Option[T] = None
+      while (r.hasMore) {
+        val (field, wire) = r.readTag()
+        if (wire == 2 && f.isDefinedAt((field, null))) {
+          result = Some(f((field, new Reader(r.readBytes()))))
+        } else r.skip(wire)
+      }
+      result
+    } catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** `cometbft.blocksync.v1.Message` (oneof: 1 BlockRequest,
+    * 2 NoBlockResponse, 3 BlockResponse, 4 StatusRequest,
+    * 5 StatusResponse). */
+  def decodeBlocksyncMessage(bytes: Array[Byte]): Option[NonConsensusMsg] =
+    decodeOneOf[NonConsensusMsg](bytes) {
+      case (1, b) =>
+        var h = 0L
+        while (b.hasMore) b.readTag() match {
+          case (1, 0) => h = b.readVarint()
+          case (_, w) => b.skip(w)
+        }
+        BsBlockRequest(h)
+      case (2, b) =>
+        var h = 0L
+        while (b.hasMore) b.readTag() match {
+          case (1, 0) => h = b.readVarint()
+          case (_, w) => b.skip(w)
+        }
+        BsNoBlockResponse(h)
+      case (3, b) =>
+        var blk = Array.emptyByteArray; var ext = Array.emptyByteArray
+        while (b.hasMore) b.readTag() match {
+          case (1, 2) => blk = b.readBytes()
+          case (2, 2) => ext = b.readBytes()
+          case (_, w) => b.skip(w)
+        }
+        BsBlockResponse(blk, ext)
+      case (4, _) => BsStatusRequest
+      case (5, b) =>
+        var h = 0L; var base = 0L
+        while (b.hasMore) b.readTag() match {
+          case (1, 0) => h = b.readVarint()
+          case (2, 0) => base = b.readVarint()
+          case (_, w) => b.skip(w)
+        }
+        BsStatusResponse(h, base)
+    }
+
+  /** `cometbft.mempool.v1.Message` (oneof: 1 Txs{repeated bytes txs=1}). */
+  def decodeMempoolMessage(bytes: Array[Byte]): Option[NonConsensusMsg] =
+    decodeOneOf[NonConsensusMsg](bytes) {
+      case (1, b) =>
+        val txs = mutable.ArrayBuffer.empty[Array[Byte]]
+        while (b.hasMore) b.readTag() match {
+          case (1, 2) => txs += b.readBytes()
+          case (_, w) => b.skip(w)
+        }
+        MpTxs(txs.toSeq)
+    }
+
+  /** `cometbft.p2p.v1.Message` from pex.proto (oneof: 1 PexRequest,
+    * 2 PexAddrs{repeated PexAddress addrs=1; PexAddress{string url=1}}). */
+  def decodePexMessage(bytes: Array[Byte]): Option[NonConsensusMsg] =
+    decodeOneOf[NonConsensusMsg](bytes) {
+      case (1, _) => PexRequest
+      case (2, b) =>
+        val urls = mutable.ArrayBuffer.empty[String]
+        while (b.hasMore) b.readTag() match {
+          case (1, 2) =>
+            val addr = new Reader(b.readBytes())
+            while (addr.hasMore) addr.readTag() match {
+              case (1, 2) => urls += new String(addr.readBytes(), "UTF-8")
+              case (_, w) => addr.skip(w)
+            }
+          case (_, w) => b.skip(w)
+        }
+        PexAddrs(urls.toSeq)
+    }
+
+  /** `cometbft.statesync.v1.Message` (oneof: 1 SnapshotsRequest,
+    * 2 SnapshotsResponse, 3 ChunkRequest, 4 ChunkResponse). */
+  def decodeStatesyncMessage(bytes: Array[Byte]): Option[NonConsensusMsg] =
+    decodeOneOf[NonConsensusMsg](bytes) {
+      case (1, _) => SsSnapshotsRequest
+      case (2, b) =>
+        var h = 0L; var fmt = 0; var chunks = 0L
+        var hash = Array.emptyByteArray; var meta = Array.emptyByteArray
+        while (b.hasMore) b.readTag() match {
+          case (1, 0) => h = b.readVarint()
+          case (2, 0) => fmt = b.readVarint().toInt
+          case (3, 0) => chunks = b.readVarint()
+          case (4, 2) => hash = b.readBytes()
+          case (5, 2) => meta = b.readBytes()
+          case (_, w) => b.skip(w)
+        }
+        SsSnapshotsResponse(h, fmt, chunks, hash, meta)
+      case (3, b) =>
+        var h = 0L; var fmt = 0; var idx = 0
+        while (b.hasMore) b.readTag() match {
+          case (1, 0) => h = b.readVarint()
+          case (2, 0) => fmt = b.readVarint().toInt
+          case (3, 0) => idx = b.readVarint().toInt
+          case (_, w) => b.skip(w)
+        }
+        SsChunkRequest(h, fmt, idx)
+      case (4, b) =>
+        var h = 0L; var fmt = 0; var idx = 0
+        var chunk = Array.emptyByteArray; var missing = false
+        while (b.hasMore) b.readTag() match {
+          case (1, 0) => h = b.readVarint()
+          case (2, 0) => fmt = b.readVarint().toInt
+          case (3, 0) => idx = b.readVarint().toInt
+          case (4, 2) => chunk = b.readBytes()
+          case (5, 0) => missing = b.readVarint() != 0
+          case (_, w) => b.skip(w)
+        }
+        SsChunkResponse(h, fmt, idx, chunk, missing)
+    }
+
+  /** The channel-dispatched decoder, `DecodeMsgBytes` (`decoder.go:17-113`):
+    * consensus channels try the consensus schema (v1-then-v1beta1 is one
+    * field-number read here, see [[decodeConsensusMessage]]); blocksync /
+    * mempool / pex / statesync decode their own wrappers; the evidence
+    * channel and unknown channels return an error in the reference and
+    * None here. Every non-consensus decode is subsequently REJECTED by the
+    * converter's channel-validity (`convereter.go:46-58` returns false for
+    * those channels) — so decode-success followed by validity-drop is the
+    * reference-faithful fate of this branch, pinned by
+    * NonConsensusDecodeSpec. */
+  def decodeChannelMessage(channelId: Long, bytes: Array[Byte])
+      : Option[Either[NonConsensusMsg, ConsensusMsg]] = channelId match {
+    case Channels.State | Channels.Data | Channels.Vote | Channels.VoteSetBits =>
+      decodeConsensusMessage(bytes).map(Right(_))
+    case Channels.Blocksync          => decodeBlocksyncMessage(bytes).map(Left(_))
+    case Channels.Mempool            => decodeMempoolMessage(bytes).map(Left(_))
+    case Channels.Pex                => decodePexMessage(bytes).map(Left(_))
+    case Channels.Snapshot | Channels.Chunk => decodeStatesyncMessage(bytes).map(Left(_))
+    case _                           => None
+  }
+
   // ------------------------------------------------------------------ writer
   final class Writer {
     private val out = mutable.ArrayBuffer.empty[Byte]
@@ -399,6 +613,43 @@ object ProtoWire {
           .mField(4, writeBlockID(m.blockId)).mField(5, writeBitArray(m.votes)).result)
       case m: HasProposalBlockPart =>
         w.mField(10, new Writer().vField(1, m.height).vField(2, m.round).vField(3, m.index).result)
+    }
+    w.result
+  }
+
+  /** Writer half for the non-consensus families — exists so the round-trip
+    * property and fixture logs can carry real wire bytes, mirroring
+    * [[encodeConsensusMessage]]. */
+  def encodeNonConsensusMessage(msg: NonConsensusMsg): Array[Byte] = {
+    val w = new Writer()
+    msg match {
+      case m: BsBlockRequest    => w.mField(1, new Writer().vField(1, m.height).result)
+      case m: BsNoBlockResponse => w.mField(2, new Writer().vField(1, m.height).result)
+      case m: BsBlockResponse =>
+        w.mField(3, new Writer().bField(1, m.blockBytes).bField(2, m.extCommitBytes).result)
+      case BsStatusRequest      => w.mField(4, Array.emptyByteArray)
+      case m: BsStatusResponse  =>
+        w.mField(5, new Writer().vField(1, m.height).vField(2, m.base).result)
+      case m: MpTxs =>
+        val inner = new Writer()
+        m.txs.foreach(t => inner.mField(1, t))
+        w.mField(1, inner.result)
+      case PexRequest           => w.mField(1, Array.emptyByteArray)
+      case m: PexAddrs =>
+        val inner = new Writer()
+        m.urls.foreach(u => inner.mField(1, new Writer().bField(1, u.getBytes("UTF-8")).result))
+        w.mField(2, inner.result)
+      case SsSnapshotsRequest   => w.mField(1, Array.emptyByteArray)
+      case m: SsSnapshotsResponse =>
+        w.mField(2, new Writer().vField(1, m.height).vField(2, m.format.toLong)
+          .vField(3, m.chunks).bField(4, m.hash).bField(5, m.metadata).result)
+      case m: SsChunkRequest =>
+        w.mField(3, new Writer().vField(1, m.height).vField(2, m.format.toLong)
+          .vField(3, m.index.toLong).result)
+      case m: SsChunkResponse =>
+        w.mField(4, new Writer().vField(1, m.height).vField(2, m.format.toLong)
+          .vField(3, m.index.toLong).bField(4, m.chunk)
+          .vField(5, if (m.missing) 1 else 0).result)
     }
     w.result
   }

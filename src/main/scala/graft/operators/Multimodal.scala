@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is REAL — schema, per-partition batched
   * processing (`mapPartitions` over a typed Dataset, the Scala analog of
   * `mapInPandas` batches), partitioning discipline, feature schema. The
-  * codec step is a clearly marked DETERMINISTIC STUB (`decodeStub`): the
-  * sandbox has no image/audio libraries, so "decoding" derives fake but
-  * reproducible features from the raw bytes. Swapping in a real codec
-  * changes one function, nothing else.
+  * codec step is an adapter ([[MediaCodec]]) whose shipped implementation
+  * is a clearly marked DETERMINISTIC STUB ([[StubCodec]]): the sandbox has
+  * no image/audio libraries, so "decoding" derives fake but reproducible
+  * features from the raw bytes. Swapping in a real codec implements one
+  * trait, nothing else — `MultimodalCodecContractSpec` pins the
+  * codec-independence of everything around the seam.
   *
   * Scale notes: assets are processed in their scan partitions (no shuffle);
   * feature extraction is embarrassingly parallel; binary payloads never
@@ -29,21 +31,43 @@ object Multimodal {
       assetId: Long, kind: String, byteLen: Long,
       meanByte: Double, contentHash: String, embedding: Seq[Float])
 
-  /** STUB codec — deterministic fake features from raw bytes. Replace with
-    * a real decoder (JPEG/PNG/WAV) in production; the signature is the
-    * contract. */
-  def decodeStub(bytes: Array[Byte]): (Double, Seq[Float]) = {
-    if (bytes == null || bytes.isEmpty) return (0.0, Seq.fill(8)(0.0f))
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-    val mean = sum.toDouble / bytes.length
-    // 8 "embedding" dims: banded byte histograms, normalized. Deterministic.
-    val hist = new Array[Long](8)
-    i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) / 32) += 1; i += 1 }
-    (mean, hist.map(h => h.toFloat / bytes.length).toSeq)
+  /** The codec adapter — the ONE seam a real decoder (JPEG/PNG/WAV/ffmpeg)
+    * plugs into. Implementations must be deterministic pure functions of
+    * the bytes, serializable (the instance ships inside the task closure),
+    * and emit exactly `dims` embedding values for every input including
+    * null/empty. Everything around the seam — schema, partition-wise
+    * batching, hashing, metadata — is codec-independent, and
+    * `MultimodalCodecContractSpec` asserts exactly that against a second
+    * toy codec. */
+  trait MediaCodec extends Serializable {
+    def name: String
+    /** Embedding width; constant per codec. */
+    def dims: Int
+    /** bytes → (mean signal level, `dims`-wide embedding). */
+    def decode(bytes: Array[Byte]): (Double, Seq[Float])
   }
+
+  /** STUB codec — deterministic fake features from raw bytes (the sandbox
+    * has no media libraries). 8 "embedding" dims: banded byte histograms,
+    * normalized. */
+  object StubCodec extends MediaCodec {
+    val name = "stub"
+    val dims = 8
+    def decode(bytes: Array[Byte]): (Double, Seq[Float]) = {
+      if (bytes == null || bytes.isEmpty) return (0.0, Seq.fill(dims)(0.0f))
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+      val mean = sum.toDouble / bytes.length
+      val hist = new Array[Long](dims)
+      i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xff) / 32) += 1; i += 1 }
+      (mean, hist.map(h => h.toFloat / bytes.length).toSeq)
+    }
+  }
+
+  /** Kept for source compatibility; the seam is [[MediaCodec]]. */
+  def decodeStub(bytes: Array[Byte]): (Double, Seq[Float]) = StubCodec.decode(bytes)
 
   /** Synthesize a multimodal asset table from any (id, text) table — the
     * driver testdata has no binary columns, so fixture assets carry the
@@ -62,12 +86,13 @@ object Multimodal {
 
   /** Partition-wise feature extraction: one decode per asset, batched by
     * partition, no shuffle. */
-  def extractFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeatures] = {
+  def extractFeatures(spark: SparkSession, assets: DataFrame,
+                      codec: MediaCodec = StubCodec): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.as[Asset].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
-        val (mean, emb) = decodeStub(a.bytes)
+        val (mean, emb) = codec.decode(a.bytes)
         md.reset()
         val hash = md.digest(a.bytes).map("%02x".format(_)).mkString
         AssetFeatures(a.assetId, a.kind,

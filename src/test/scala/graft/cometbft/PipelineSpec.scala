@@ -47,6 +47,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(byType("send_vote") == 4L * 5 * 6)
   }
 
+  test("non-consensus channel traffic decodes but never surfaces as events") {
+    // the fixture gossips mempool/blocksync/pex/statesync/evidence lines
+    // every proposer turn; the reference decodes the first four then
+    // rejects all of them at channel-validity (convereter.go:46-58)
+    val types = t("events").select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    val leaked = types.filter(t => t.contains("mempool") || t.contains("blocksync") ||
+      t.contains("pex") || t.contains("statesync") || t.contains("evidence"))
+    assert(leaked.isEmpty, s"non-consensus events leaked: $leaked")
+  }
+
   test("metadata attach: every event carries node_id and validator_address") {
     assert(t("events").filter(col("node_id").isNull || col("validator_address").isNull).count() == 0L)
   }
