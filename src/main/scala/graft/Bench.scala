@@ -27,7 +27,10 @@ object Bench {
     "q35_dedup_groups", "q38_corpus_clean",
     "q27_cosine_topk", "q28_lsh_ann", "q29_embedding_stats",
     "q33_embedding_neardup", "q34_ivf_ann", "q37_sql_api", "q44_multimodal_resize",
-    "q54_multimodal_frames")
+    "q54_multimodal_frames",
+    // round 4: corpus-assembly operators (packing, split, repetition, dedup apply)
+    "q57_sequence_packing", "q58_stratified_split", "q59_repetition",
+    "q60_dedup_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

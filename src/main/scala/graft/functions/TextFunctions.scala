@@ -26,12 +26,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(text), s"$WsClass+"), t => t =!= "")
 
-  /** Word n-gram shingles: join of each n consecutive tokens. */
+  /** Word n-gram shingles: join of each n consecutive tokens. Documents
+    * with fewer than n tokens yield an EMPTY array — guarded explicitly
+    * because Spark's `sequence(1, 0)` is the descending [1, 0] (unlike
+    * DuckDB's empty `generate_series(1, 0)`), which would feed `slice` an
+    * illegal 0 start. */
   def wordShingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))
-    )
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Deterministic 60-bit non-negative hash: first 15 hex digits of md5.
     * Portable: DuckDB `CAST('0x' || substr(md5(s),1,15) AS UBIGINT)`. */

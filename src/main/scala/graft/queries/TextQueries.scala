@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{CorpusOps, Dedup}
 
 /** Text-analysis + deduplication queries over the `documents` table —
   * the training-data-pipeline surface (BASELINE.json north star), each
@@ -189,7 +189,47 @@ object TextQueries {
       .select($"doc_id", $"n_ws_tokens", $"n_bpe_tokens", $"fertility_ppm")
   }
 
+  // ---------------------------------------------------------------- q57
+  /** GPT-style sequence packing: whitespace-token streams laid head-to-tail
+    * per shard and chunked at a 2048-token budget (CorpusOps.packSequences).
+    * 8 shards here; the parameter scales with the cluster. */
+  def q57SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.packSequences(Tables(spark, dir).documents, "doc_id",
+      size(tokens($"text")).cast("long"), budget = 2048L, nShards = 8)
+  }
+
+  // ---------------------------------------------------------------- q58
+  /** Deterministic md5-keyed stratified train/val/test split (80/10/10),
+    * stratified by source — reproducible membership, no RNG. */
+  def q58StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.stratifiedSplit(Tables(spark, dir).documents, "doc_id",
+      $"source", salt = "graft", trainPm = 800, valPm = 100)
+  }
+
+  // ---------------------------------------------------------------- q59
+  /** Intra-document repetition: repeated word-3-gram fraction in exact ppm
+    * — the boilerplate/degenerate-text pretraining filter. */
+  def q59Repetition(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.repetitionScore(Tables(spark, dir).documents, "doc_id", "text", n = 3)
+
+  // ---------------------------------------------------------------- q60
+  /** Dedup materialization: every document labeled with its near-dup
+    * cluster canonical (q35's connected components over the q25 pair
+    * graph) and a kept flag — the actual corpus-shrinking step. */
+  def q60DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.connectedComponents(materializedPairs(spark, dir), "d1", "d2")
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+    CorpusOps.dedupApply(Tables(spark, dir).documents, "doc_id", labels)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_sequence_packing" -> q57SequencePacking _,
+    "q58_stratified_split" -> q58StratifiedSplit _,
+    "q59_repetition"       -> q59Repetition _,
+    "q60_dedup_apply"      -> q60DedupApply _,
     "q39_bpe_tokens"    -> q39BpeTokens _,
     "q38_corpus_clean"  -> q38CorpusClean _,
     "q20_text_stats"    -> q20TextStats _,
@@ -365,6 +405,50 @@ object TextQueries {
         |            i -> md5(substr(text, i, 8)))) AS fp
         |  FROM documents)
         |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp, min(fp) AS min_fp
-        |FROM fp GROUP BY source""".stripMargin
+        |FROM fp GROUP BY source""".stripMargin,
+    "q57_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |w AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens, start_offset,
+         |  CAST(start_offset // 2048 AS BIGINT) AS first_pack,
+         |  CAST(greatest(start_offset + n_tokens - 1, start_offset) // 2048 AS BIGINT) AS last_pack,
+         |  (greatest(start_offset + n_tokens - 1, start_offset) // 2048 > start_offset // 2048) AS spans_boundary
+         |FROM w""".stripMargin,
+    "q58_stratified_split" ->
+      """SELECT doc_id, source AS stratum,
+        |  CAST(CAST(concat('0x', substr(md5(concat('graft:', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) % 1000 AS BIGINT) AS bucket_pm,
+        |  CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('graft:', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) % 1000 AS BIGINT) < 800 THEN 'train'
+        |       WHEN CAST(CAST(concat('0x', substr(md5(concat('graft:', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) % 1000 AS BIGINT) < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q59_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |  i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS grams FROM t)
+         |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
+         |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams,
+         |  CAST(CASE WHEN len(grams) = 0 THEN 0
+         |    ELSE (len(grams) - len(list_distinct(grams))) * 1000000 // len(grams) END AS BIGINT) AS rep_ppm
+         |FROM g""".stripMargin,
+    "q60_dedup_apply" ->
+      s"""WITH RECURSIVE pairs AS ($q25Sql),
+         |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |verts AS (SELECT DISTINCT a AS id FROM e),
+         |cc AS (
+         |  SELECT id, id AS comp FROM verts
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN e ON cc.id = e.a
+         |),
+         |lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         |sized AS (SELECT l.id, l.comp, CAST(c.n AS BIGINT) AS n_members
+         |  FROM lab l JOIN (SELECT comp, count(*) AS n FROM lab GROUP BY comp) c USING (comp))
+         |SELECT d.doc_id, COALESCE(s.comp, d.doc_id) AS canonical_id,
+         |  COALESCE(s.n_members, CAST(1 AS BIGINT)) AS cluster_size,
+         |  (COALESCE(s.comp, d.doc_id) = d.doc_id) AS kept
+         |FROM documents d LEFT JOIN sized s ON s.id = d.doc_id""".stripMargin
   )
 }

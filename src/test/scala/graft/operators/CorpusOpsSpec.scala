@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge cases for the corpus-assembly operators that the sf documents
+  * tables don't exercise: empty documents inside a pack stream, documents
+  * larger than the pack budget, split-boundary buckets, single-doc
+  * "clusters", and shard-local offset isolation.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("packSequences: offsets, boundary spans, empty and oversize docs") {
+    import spark.implicits._
+    // one shard (nShards=1) so the stream is fully deterministic here:
+    // tokens 3, 0, 10, 2  with budget 4
+    val docs = Seq((0L, 3L), (1L, 0L), (2L, 10L), (3L, 2L)).toDF("doc_id", "n")
+    val out = CorpusOps.packSequences(docs, "doc_id", $"n", budget = 4L, nShards = 1)
+      .orderBy("doc_id")
+      .select("n_tokens", "start_offset", "first_pack", "last_pack", "spans_boundary")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out(0) == ((3L, 0L, 0L, 0L, false)))   // tokens [0,2] in pack 0
+    assert(out(1) == ((0L, 3L, 0L, 0L, false)))   // empty doc occupies no tokens
+    assert(out(2) == ((10L, 3L, 0L, 3L, true)))   // [3,12]: spans packs 0..3
+    assert(out(3) == ((2L, 13L, 3L, 3L, false)))  // [13,14] in pack 3
+  }
+
+  test("packSequences: shards have independent token streams") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, 5L)).toDF("doc_id", "n")
+    val out = CorpusOps.packSequences(docs, "doc_id", $"n", budget = 100L, nShards = 4)
+    // each shard holds 5 docs of 5 tokens: per-shard offsets are 0,5,..,20
+    val offsets = out.groupBy("shard").agg(max("start_offset").as("m"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(offsets == Seq(20L, 20L, 20L, 20L))
+    // global offset never exceeds the per-shard stream length
+    assert(out.agg(max($"start_offset" + $"n_tokens")).head().getLong(0) == 25L)
+  }
+
+  test("stratifiedSplit: deterministic, stratum-preserving, boundary-exact") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = CorpusOps.stratifiedSplit(docs, "doc_id", $"source", "salt1", 800, 100)
+    val again = CorpusOps.stratifiedSplit(docs, "doc_id", $"source", "salt1", 800, 100)
+    assert(out.collect().toSet == again.collect().toSet) // pure function of (salt, id)
+    // split follows the bucket exactly
+    assert(out.filter(
+      ($"bucket_pm" < 800 && $"split" =!= "train") ||
+      ($"bucket_pm" >= 800 && $"bucket_pm" < 900 && $"split" =!= "val") ||
+      ($"bucket_pm" >= 900 && $"split" =!= "test")).count() == 0)
+    // roughly 80/10/10 overall (md5-uniform; generous band for n=1000)
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit("train") > 700 && bySplit("train") < 900)
+    // a different salt reshuffles membership
+    val resalted = CorpusOps.stratifiedSplit(docs, "doc_id", $"source", "salt2", 800, 100)
+    assert(out.select("doc_id", "split").collect().toSet !=
+      resalted.select("doc_id", "split").collect().toSet)
+  }
+
+  test("repetitionScore: fully repeated vs fully distinct vs short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // 7 grams, 3 distinct (abc bca cab cycle)
+      (2L, "one two three four"), // 2 grams, both distinct
+      (3L, "tiny doc"),           // < n tokens: zero grams
+      (4L, "")                    // empty
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionScore(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((7L, 3L, 4L * 1000000L / 7L)))
+    assert(out(1) == ((2L, 2L, 0L)))
+    assert(out(2) == ((0L, 0L, 0L)))
+    assert(out(3) == ((0L, 0L, 0L)))
+  }
+
+  test("dedupApply: clustered docs keep only the canonical, rest pass through") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val labels = Seq((2L, 2L, 3L), (3L, 2L, 3L), (4L, 2L, 3L)).toDF("id", "comp", "n_members")
+    val out = CorpusOps.dedupApply(docs, "doc_id", labels)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, true),  // unclustered: canonical self, kept
+      (2L, 2L, 3L, true),  // cluster canonical
+      (3L, 2L, 3L, false), // cluster member, dropped
+      (4L, 2L, 3L, false),
+      (5L, 5L, 1L, true)))
+  }
+}
