@@ -71,4 +71,21 @@ class PlanShapeSpec extends AnyFunSuite {
     // no parquet scan of documents may remain in the plan
     assert(!p.contains("Scan parquet"), "sketch table recomputed from scan")
   }
+
+  test("q58 stratified split is a pure narrow projection - no exchange at all") {
+    val p = plan("q58_stratified_split")
+    assert(!p.contains("Exchange"), "split assignment must not shuffle")
+  }
+
+  test("q57 packing shuffles exactly once, on the shard key") {
+    val p = plan("q57_sequence_packing")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1, s"expected 1 shard exchange, saw $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(shard"), "window not partitioned by shard")
+  }
+
+  test("q59 repetition is narrow per-row work - no exchange") {
+    val p = plan("q59_repetition")
+    assert(!p.contains("Exchange hashpartitioning"), "repetition score must not shuffle")
+  }
 }
