@@ -21,16 +21,20 @@ import org.apache.spark.sql.functions.col
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, per-bucket-sorted managed table.
+  /** Write `df` as a bucketed, per-bucket-sorted table — managed (under
+    * the session warehouse) by default, external at `path` when given.
     * `repartition(n, key)` first, so each bucket is ONE file — Spark's
     * reader only trusts the per-bucket sort order for single-file buckets,
     * and one writer task per bucket avoids the many-small-files problem at
     * write time. */
-  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
-    df.repartition(nBuckets, col(key))
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int,
+                    path: Option[String] = None): Unit = {
+    val w = df.repartition(nBuckets, col(key))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
-      .saveAsTable(table)
+    path.foreach(p => w.option("path", p))
+    w.saveAsTable(table)
+  }
 
   /** Co-located equi-join of two tables bucketed on `key` with equal
     * bucket counts: plans as a join with NO exchange on either side. */

@@ -128,6 +128,105 @@ object StreamingPipeline {
         })
   }
 
+  final case class NlSide(rawHash: String, sender: String, receiver: String,
+                          side: String, msgType: String, tsNs: Long)
+  final case class NlMeasurement(rawHash: String, sender: String, receiver: String,
+                                 sentNs: Long, receivedNs: Long, matchType: String,
+                                 msgType: String, latencyMs: Long)
+  /** Per-raw-hash matcher state: composite-key send queues, the no-peer
+    * raw fallback pool, and pending receives — all for ONE hash, since the
+    * stream is keyed by rawHash (the composite key embeds the hash, so
+    * every queue the machine needs lives inside one group). */
+  final case class NlQueues(sends: Seq[(String, String, Long, String)],
+                            rawPool: Seq[(String, Long, String)],
+                            recvs: Seq[(String, String, Long)])
+
+  /** Streaming J4: the network-latency two-pass matcher
+    * (`network-latency/processor.go:122-328`) as ONE stateful operator.
+    * Keying by `rawHash` makes both passes group-local — the composite key
+    * (sender, receiver, rawHash) refines the group, and the raw-hash
+    * fallback pool IS the group — so the sequential reference machine
+    * replays directly against keyed state: a receive pops the oldest
+    * composite-matching send; an out-of-order send pops the oldest pending
+    * receive at its key; a receive with no composite match enters the
+    * pending list permanently and tries the no-peer raw pool ONCE, at its
+    * own arrival (discard-at-empty, [[graft.operators.PairingJoin.fifoAtArrival]]).
+    *
+    * Emits measurements (append). Unmatched accounting is an end-of-input
+    * notion (`finalizeStats`) — on an open stream it lives in the state;
+    * closed-input runs get it from the batch path. Divergence note, same
+    * rationalization as the batch `fifoMatch`: a receive that
+    * fallback-matches and would LATER be claimed by an out-of-order
+    * composite send double-counts in the reference; here the fallback
+    * emission already happened (append mode cannot retract), which matches
+    * the reference exactly and differs from batch only in that
+    * hash-shared-between-TrySend-and-direct-send corner (the batch side
+    * documents the same corner). Rows are time-ordered within each
+    * micro-batch; a closed single-batch run reproduces batch order. */
+  def networkLatencyStream(spark: SparkSession, ev: DataFrame,
+                           stateTimeout: Option[String] = None): Dataset[NlMeasurement] = {
+    import spark.implicits._
+    val sides = ev
+      .filter(col("event_type").startsWith("send_") ||
+        (col("event_type").startsWith("receive_packet_") &&
+          col("source_peer_id") =!= col("node_id"))) // P6 self-communication filter
+      .select(
+        sha2(col("msg_bytes"), 256).as("rawHash"),
+        when(col("event_type").startsWith("send_"), col("node_id"))
+          .otherwise(col("source_peer_id")).as("sender"),
+        when(col("event_type").startsWith("send_"), coalesce(col("recipient_peer_id"), lit("")))
+          .otherwise(col("node_id")).as("receiver"),
+        when(col("event_type").startsWith("send_"), "send").otherwise("recv").as("side"),
+        regexp_replace(col("event_type"), "^(send_|receive_packet_)", "").as("msgType"),
+        col("ts_ns").as("tsNs"))
+      .as[NlSide]
+
+    val timeoutConf =
+      if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    sides
+      .groupByKey(_.rawHash)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (hash: String, rows: Iterator[NlSide], state: GroupState[NlQueues]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(NlQueues(Nil, Nil, Nil))
+            val out = scala.collection.mutable.ArrayBuffer.empty[NlMeasurement]
+            val ordered = rows.toSeq.sortBy(v => (v.tsNs, if (v.side == "send") 0 else 1))
+            def latencyMs(a: Long, b: Long): Long = math.abs(a - b) / 1000000L
+            ordered.foreach {
+              case NlSide(_, s, r, "send", mt, t) if r.nonEmpty => // composite send
+                val pendingIdx = st.recvs.indexWhere(p => p._1 == s && p._2 == r)
+                if (pendingIdx >= 0) { // out-of-order: send pops the oldest receive
+                  val (_, _, rt) = st.recvs(pendingIdx)
+                  st = st.copy(recvs = st.recvs.patch(pendingIdx, Nil, 1))
+                  out += NlMeasurement(hash, s, r, t, rt, "exact", mt, latencyMs(t, rt))
+                } else st = st.copy(sends = st.sends :+ ((s, r, t, mt)))
+              case NlSide(_, s, _, "send", mt, t) => // TrySend: no peer → raw pool
+                st = st.copy(rawPool = st.rawPool :+ ((s, t, mt)))
+              case NlSide(_, s, r, _, mt, t) => // receive (sender = source peer)
+                val sendIdx = st.sends.indexWhere(p => p._1 == s && p._2 == r)
+                if (sendIdx >= 0) { // in-order: pop the oldest composite send
+                  val (_, _, stime, smt) = st.sends(sendIdx)
+                  st = st.copy(sends = st.sends.patch(sendIdx, Nil, 1))
+                  out += NlMeasurement(hash, s, r, stime, t, "exact", smt, latencyMs(t, stime))
+                } else {
+                  // pending forever (finalizeStats counts it unmatched even
+                  // if the fallback below matches), then the at-arrival pool
+                  st = st.copy(recvs = st.recvs :+ ((s, r, t)))
+                  st.rawPool.headOption.foreach { case (ps, pt, pmt) =>
+                    st = st.copy(rawPool = st.rawPool.tail)
+                    out += NlMeasurement(hash, ps, r, pt, t, "hash_fallback", pmt, latencyMs(t, pt))
+                  }
+                }
+            }
+            state.update(st)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
+
   /** Watermarked event-time windowed aggregation: events per (type, 10 s
     * window) with a 30 s late-data watermark. */
   def eventRateStream(ev: DataFrame): DataFrame =

@@ -72,6 +72,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming network latency matches the batch two-pass matcher on a closed input set") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-nl-stream-logs").toString
+    Fixtures.writeScenario(logDir, heights = 3)
+    val ev = StreamingPipeline.events(spark, logDir, maxFilesPerTrigger = None)
+    val q = StreamingPipeline.networkLatencyStream(spark, ev)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nl_measurements")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getString(5), r.getLong(6))
+      val streamed = spark.sql(
+        """select rawHash, sender, receiver, sentNs, receivedNs, matchType, latencyMs
+          |from nl_measurements""".stripMargin)
+        .collect().map(key).sorted
+      assert(streamed.nonEmpty, "no measurements from the stream")
+      assert(streamed.exists(_._6 == "hash_fallback"),
+        "fixture TrySends should exercise the raw-hash fallback")
+      val batchEvents = graft.cometbft.Normalize.normalize(
+        graft.cometbft.LogIngest.read(spark, logDir))
+      val batch = graft.cometbft.Analytics.NetworkLatency.run(batchEvents)
+        .find(_._1 == "network_latency_measurements").get._2
+        .select("raw_hash", "sender", "receiver", "sent_ns", "received_ns",
+          "match_type", "latency_ms")
+        .collect().map(key).sorted
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming session_window closes sessions at the gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-session-stream").toString
