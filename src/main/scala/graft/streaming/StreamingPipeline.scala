@@ -128,6 +128,91 @@ object StreamingPipeline {
         })
   }
 
+  final case class P2pSide(family: String, keyStr: String, sender: String,
+                           receiver: String, height: Long, side: String, tsNs: Long)
+  final case class P2pConfirmed(msgFamily: String, sender: String, receiver: String,
+                                height: Long, sentNs: Option[Long], receivedNs: Long,
+                                latencyMs: Option[Long])
+  final case class P2pState(nSends: Long, lastSend: Option[Long],
+                            firstRecv: Option[Long], anyRecv: Boolean)
+
+  /** Streaming J3: the either-order confirmation machine of the p2p
+    * processor (`p2p-messages/processor.go:78-110`), all 8 families in one
+    * stateful operator keyed by (family, type-specific key, sender,
+    * receiver) — the state analysis behind
+    * [[graft.operators.PairingJoin.confirmEitherOrder]] replayed as keyed
+    * state: every receive with a prior send confirms against the LAST send
+    * before it; a receive whose priors are only receives confirms with a
+    * NULL sent time (the reference's rationalized nil-assertion panic);
+    * the FIRST send confirms a pending first receive (negative latency).
+    * Ties at one timestamp process sends first (batch `__side` order). */
+  def p2pConfirmStream(spark: SparkSession, ev: DataFrame,
+                       stateTimeout: Option[String] = None): Dataset[P2pConfirmed] = {
+    import spark.implicits._
+    val families: Seq[(String, Seq[org.apache.spark.sql.Column])] = Seq(
+      "vote" -> Seq(col("vote.height"), col("vote.round"),
+        col("vote.voteType"), col("vote.validatorIndex")),
+      "block_part" -> Seq(col("decoded.height"), col("decoded.round"),
+        sha2(col("decoded.partBytesHex"), 256)),
+      "proposal" -> Seq(col("proposal.height"), col("proposal.round"),
+        col("proposal.blockHash")),
+      "proposal_pol" -> Seq(col("decoded.height"), col("decoded.proposalPolRound")),
+      "new_round_step" -> Seq(col("decoded.height"), col("decoded.round"), col("decoded.step")),
+      "has_vote" -> Seq(col("decoded.height"), col("decoded.round"),
+        col("decoded.step"), col("decoded.index")),
+      "vote_set_maj23" -> Seq(col("decoded.height"), col("decoded.round"),
+        col("decoded.step"), col("decoded.blockIdHash")),
+      "vote_set_bits" -> Seq(col("decoded.height"), col("decoded.round"),
+        col("decoded.step"), col("decoded.blockIdHash")))
+    val height = Seq("vote" -> col("vote.height"), "proposal" -> col("proposal.height"))
+      .toMap.withDefaultValue(col("decoded.height"))
+    val sides = families.map { case (fam, keyCols) =>
+      val keyStr = concat_ws("|", keyCols.map(_.cast("string")): _*)
+      ev.filter(col("event_type").isin(s"send_$fam", s"receive_packet_$fam"))
+        .select(
+          lit(fam).as("family"), keyStr.as("keyStr"),
+          when(col("event_type") === s"send_$fam", col("node_id"))
+            .otherwise(col("source_peer_id")).as("sender"),
+          when(col("event_type") === s"send_$fam", col("recipient_peer_id"))
+            .otherwise(col("node_id")).as("receiver"),
+          height(fam).cast("long").as("height"),
+          when(col("event_type") === s"send_$fam", "send").otherwise("recv").as("side"),
+          col("ts_ns").as("tsNs"))
+    }.reduce(_.unionByName(_)).as[P2pSide]
+
+    val timeoutConf =
+      if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    sides
+      .groupByKey(v => (v.family, v.keyStr, v.sender, v.receiver, v.height))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: (String, String, String, String, Long), rows: Iterator[P2pSide],
+         state: GroupState[P2pState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(P2pState(0L, None, None, anyRecv = false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[P2pConfirmed]
+            def confirm(sent: Option[Long], recv: Long): Unit =
+              out += P2pConfirmed(key._1, key._3, key._4, key._5, sent, recv,
+                sent.map(s => (recv - s) / 1000000L))
+            rows.toSeq.sortBy(v => (v.tsNs, if (v.side == "send") 0 else 1)).foreach { v =>
+              if (v.side == "send") {
+                if (st.nSends == 0 && st.anyRecv) confirm(Some(v.tsNs), st.firstRecv.get)
+                st = st.copy(nSends = st.nSends + 1, lastSend = Some(v.tsNs))
+              } else {
+                if (st.nSends >= 1) confirm(st.lastSend, v.tsNs)
+                else if (st.anyRecv) confirm(None, v.tsNs)
+                st = st.copy(anyRecv = true,
+                  firstRecv = st.firstRecv.orElse(Some(v.tsNs)))
+              }
+            }
+            state.update(st)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
+
   final case class NlSide(rawHash: String, sender: String, receiver: String,
                           side: String, msgType: String, tsNs: Long)
   final case class NlMeasurement(rawHash: String, sender: String, receiver: String,

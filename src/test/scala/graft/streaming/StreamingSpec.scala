@@ -72,6 +72,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming p2p confirmation matches the batch either-order machine on all 8 families") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-p2p-stream-logs").toString
+    Fixtures.writeScenario(logDir, heights = 3)
+    val ev = StreamingPipeline.events(spark, logDir, maxFilesPerTrigger = None)
+    val q = StreamingPipeline.p2pConfirmStream(spark, ev)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("p2p_confirmed")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5),
+          Option(r.get(6)).map(_.asInstanceOf[Long]))
+      val streamed = spark.sql(
+        """select msgFamily, sender, receiver, height, sentNs, receivedNs, latencyMs
+          |from p2p_confirmed""".stripMargin)
+        .collect().map(key).sorted
+      assert(streamed.nonEmpty, "no p2p confirmations from the stream")
+      assert(streamed.map(_._1).distinct.size == 8, "expected all 8 families confirmed")
+      val batchEvents = graft.cometbft.Normalize.normalize(
+        graft.cometbft.LogIngest.read(spark, logDir))
+      val batch = graft.cometbft.Analytics.P2pMessages.run(batchEvents).head._2
+        .select(col("msg_family"), col("sender"), col("receiver"),
+          col("height").cast("long"), // batch stringifies its key columns
+          col("sent_ns"), col("received_ns"), col("latency_ms"))
+        .collect().map(key).sorted
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming network latency matches the batch two-pass matcher on a closed input set") {
     val logDir = java.nio.file.Files.createTempDirectory("graft-nl-stream-logs").toString
     Fixtures.writeScenario(logDir, heights = 3)
