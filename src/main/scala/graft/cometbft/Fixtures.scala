@@ -364,6 +364,60 @@ object Fixtures {
     dir
   }
 
+  /** Two-node adversarial block-part scenario for the J2 machine
+    * (`block-parts/processor.go:43-90` — the identical pointer-aliasing
+    * overwrite-on-send machine as J1, keyed by (height, round, partIndex,
+    * sender, receiver)): plain confirm, send-overwrite, double-confirm
+    * aliasing (two IDENTICAL rows with the LAST receive's ts), a
+    * receive-created entry confirming NULL-sent, part-INDEX key isolation
+    * (same height, different index: separate entries), and a send
+    * overwriting a receive-created entry mid-chain. The q61 oracle rows
+    * are HAND-DERIVED on paper from the reference machine — NOT a
+    * gen_golden.py pin (never add q61 to its GOLDEN list). */
+  def writeAdversarialBlockPartScenario(dir: String): String = {
+    val T  = t0Nanos + 8000000000L
+    val ms = 1000000L
+    val a  = nodeIds(0); val b = nodeIds(1)
+    def bp(h: Long, idx: Long): Array[Byte] =
+      encodeConsensusMessage(BlockPart(h, 0, idx, Array[Byte](h.toByte, idx.toByte, 5)))
+    def send(h: Long, idx: Long, at: Long) =
+      line("Send", at, "channel" -> 0x21L, "conn" -> "MConn{pipe}",
+        "msgBytes" -> hexStr(bp(h, idx)), "peer" -> s"$b@10.0.0.1:26656")
+    def recv(h: Long, idx: Long, at: Long) =
+      line("Received bytes", at, "chID" -> 0x21L,
+        "msgBytes" -> b64(bp(h, idx)), "peer" -> s"$a@10.0.0.0:26656")
+
+    val aLog = Seq(
+      line("P2P Node ID", T, "ID" -> a, "file" -> "nodeA/key.json"),
+      line("This node is a validator", T + 500L, "addr" -> valAddrs(0), "pubKey" -> "PUBA=="),
+      send(201L, 0, T + 10 * ms),             // plain confirm
+      send(202L, 0, T + 20 * ms),             // overwritten by...
+      send(202L, 0, T + 22 * ms),             // ...this one
+      send(203L, 0, T + 30 * ms),             // confirmed twice (aliasing)
+      send(205L, 0, T + 50 * ms),             // index-0 entry; index-1 is separate
+      send(206L, 0, T + 62 * ms))             // overwrites B's receive-created entry
+    val bLog = Seq(
+      line("P2P Node ID", T + 1000L, "ID" -> b, "file" -> "nodeB/key.json"),
+      line("This node is a validator", T + 1500L, "addr" -> valAddrs(1), "pubKey" -> "PUBB=="),
+      recv(201L, 0, T + 15 * ms),
+      recv(202L, 0, T + 25 * ms),
+      recv(203L, 0, T + 33 * ms),
+      recv(203L, 0, T + 36 * ms),             // repeat receive: aliased duplicate rows
+      recv(204L, 0, T + 40 * ms),             // receive-only chain: creates entry
+      recv(204L, 0, T + 43 * ms),             // confirms w/ NULL sent
+      recv(205L, 1, T + 52 * ms),             // DIFFERENT part index: own entry
+      recv(205L, 0, T + 54 * ms),             // confirms the index-0 send
+      recv(205L, 1, T + 56 * ms),             // NULL-sent confirm on the index-1 entry
+      recv(206L, 0, T + 60 * ms),             // entry created by receive...
+      recv(206L, 0, T + 65 * ms))             // ...send overwrote; confirms 62->65
+
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    Files.write(p.resolve("nodeA_cometbft.log"), aLog.mkString("\n").getBytes("UTF-8"))
+    Files.write(p.resolve("nodeB_cometbft.log"), bLog.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
   /** Two-node adversarial p2p-gossip scenario exercising the J3
     * either-order confirmation machine's nastier edges
     * (`p2p-messages/processor.go:39-341`): first-send-confirms-pending-
