@@ -158,6 +158,50 @@ class RoundTripPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("proto wire: encode-then-decode == id for random non-consensus messages") {
+    val r = rnd(11)
+    def bytes(n: Int) = Array.fill(1 + r.nextInt(n))(r.nextInt(256).toByte)
+    def h = 1L + r.nextInt(1 << 20)
+    for (_ <- 1 to 60) {
+      val msgs: Seq[(NonConsensusMsg, Array[Byte] => Option[NonConsensusMsg])] = Seq(
+        (BsBlockRequest(h), decodeBlocksyncMessage _),
+        (BsNoBlockResponse(h), decodeBlocksyncMessage _),
+        (BsBlockResponse(bytes(32), bytes(16)), decodeBlocksyncMessage _),
+        (BsStatusRequest, decodeBlocksyncMessage _),
+        (BsStatusResponse(h, r.nextInt(1000)), decodeBlocksyncMessage _),
+        (MpTxs(Seq.fill(r.nextInt(4))(bytes(24))), decodeMempoolMessage _),
+        (PexRequest, decodePexMessage _),
+        (PexAddrs(Seq.fill(r.nextInt(3))(s"tcp://n${r.nextInt(99)}@10.0.0.${r.nextInt(255)}:26656")),
+          decodePexMessage _),
+        (SsSnapshotsRequest, decodeStatesyncMessage _),
+        (SsSnapshotsResponse(h, r.nextInt(8), r.nextInt(64), bytes(20), bytes(8)),
+          decodeStatesyncMessage _),
+        (SsChunkRequest(h, r.nextInt(8), r.nextInt(64)), decodeStatesyncMessage _),
+        (SsChunkResponse(h, r.nextInt(8), r.nextInt(64), bytes(40), r.nextBoolean()),
+          decodeStatesyncMessage _))
+      msgs.foreach { case (m, dec) =>
+        val wire = encodeNonConsensusMessage(m)
+        val back = dec(wire)
+        assert(back.exists(_.typeName == m.typeName), s"${m.typeName} failed to decode")
+        assert(back.exists(b => encodeNonConsensusMessage(b).sameElements(wire)),
+          s"${m.typeName} re-encode mismatch")
+      }
+    }
+  }
+
+  test("proto wire: random garbage never throws on any non-consensus decoder") {
+    val r = rnd(12)
+    val decoders = Seq(decodeBlocksyncMessage _, decodeMempoolMessage _,
+      decodePexMessage _, decodeStatesyncMessage _)
+    for (_ <- 1 to 300; dec <- decoders) {
+      dec(Array.fill(r.nextInt(48))(r.nextInt(256).toByte)) // must not throw
+    }
+    // every channel id, including evidence and out-of-range, on garbage
+    for (_ <- 1 to 100; ch <- Seq(0x00L, 0x20L, 0x21L, 0x22L, 0x23L, 0x30L, 0x38L, 0x40L, 0x60L, 0x61L, 0x99L)) {
+      decodeChannelMessage(ch, Array.fill(r.nextInt(32))(r.nextInt(256).toByte))
+    }
+  }
+
   test("block string: print-then-parse == id over random blocks (parse_test.go:47-121 style)") {
     val r = rnd(7)
     for (_ <- 1 to 50) {
