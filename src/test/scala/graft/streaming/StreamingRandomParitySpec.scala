@@ -12,16 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * epoch-buffered aliasing flushes open epochs at batch end, a documented
   * per-batch approximation tested on single-batch closed inputs instead.)
   */
-class StreamingRandomParitySpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-
-  // the event columns the streaming operators reference (nested structs
-  // carry only the fields the family projections read)
+// The event columns the streaming operators reference (nested structs carry
+// only the fields the family projections read). Top-level: Spark cannot
+// generate encoders for case classes nested inside a test class instance.
+object StreamingRandomParitySpec {
   case class VoteS(height: Long, round: Long, voteType: String, validatorIndex: Long)
   case class PropS(height: Long, round: Long, blockHash: String)
   case class DecS(height: Long, round: Long, step: String, index: Long,
@@ -29,6 +23,16 @@ class StreamingRandomParitySpec extends AnyFunSuite {
   case class Ev(event_type: String, node_id: String, source_peer_id: String,
                 recipient_peer_id: String, msg_bytes: Array[Byte], ts_ns: Long,
                 vote: VoteS, proposal: PropS, decoded: DecS)
+}
+
+class StreamingRandomParitySpec extends AnyFunSuite {
+  import StreamingRandomParitySpec._
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
 
   private def mkEv(et: String, node: String, src: String, rcpt: String,
                    bytes: String, ts: Long, h: Long, step: String): Ev =
