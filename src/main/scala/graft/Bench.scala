@@ -30,7 +30,11 @@ object Bench {
     "q54_multimodal_frames",
     // round 4: corpus-assembly operators (packing, split, repetition, dedup apply)
     "q57_sequence_packing", "q58_stratified_split", "q59_repetition",
-    "q60_dedup_apply")
+    "q60_dedup_apply",
+    // round 5: decontamination, k-means IVF training, int8 quantization,
+    // training order, domain mixing
+    "q62_decontaminate", "q63_kmeans_train", "q64_int8_quant",
+    "q65_train_order", "q66_domain_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

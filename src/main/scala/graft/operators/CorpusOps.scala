@@ -82,6 +82,100 @@ object CorpusOps {
       .select(col(idCol), col("n_ngrams"), col("n_distinct_ngrams"), col("rep_ppm"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `n`-gram with a benchmark/eval set — the standard "did the training
+    * set leak the test set" filter run before every pretraining job.
+    * `isBenchmark` splits the input: benchmark docs contribute their
+    * distinct shingles to the contamination index; every NON-benchmark
+    * document is scored by how many of its distinct shingles appear in
+    * that index.
+    *
+    * Scale: the benchmark side is small by construction (eval sets are
+    * thousands of docs, not billions), so its distinct-shingle index is a
+    * broadcast-able dimension; the corpus side is one explode + one
+    * aggregation — an inverted-index semi-join, never all-pairs. Short
+    * documents (< n tokens) have zero shingles and score 0.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isBenchmark: Column, n: Int): DataFrame = {
+    val sh = docs
+      .withColumn("shingles", array_distinct(wordShingles(tokens(col(textCol)), n)))
+      .withColumn("is_bench", isBenchmark)
+    val benchIndex = sh.filter(col("is_bench"))
+      .select(explode(col("shingles")).as("s")).distinct()
+    val corpus = sh.filter(!col("is_bench"))
+      .select(col(idCol), col("shingles"), size(col("shingles")).cast("long").as("n_ngrams"))
+    val hits = corpus
+      .select(col(idCol), explode(col("shingles")).as("s"))
+      .join(broadcast(benchIndex), Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+    corpus
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contam_ppm", ppm(col("n_contaminated"), col("n_ngrams")))
+      .withColumn("contaminated", col("n_contaminated") > 0L)
+      .select(col(idCol), col("n_ngrams"), col("n_contaminated"),
+        col("contam_ppm"), col("contaminated"))
+  }
+
+  /** Deterministic global training order: every document gets a
+    * reproducible (shard, position) from an md5-keyed shuffle — the
+    * "shuffle once, read in order forever" layout of a training corpus.
+    * The shard is the hash's residue, the position a dense rank within
+    * the shard by (hash, id) — no RNG, identical on any engine/cluster.
+    *
+    * Scale: one narrow projection plus one per-shard window; shards are
+    * hash-uniform so the windows parallelize evenly, and nShards scales
+    * with the cluster (a single global row_number would serialize). */
+  def trainOrder(docs: DataFrame, idCol: String, salt: String, nShards: Int): DataFrame = {
+    val h = hash60(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col(idCol).asc)
+    docs
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Temperature-based domain mixing (alpha = 0.5): per-domain sampling
+    * rates that flatten the corpus toward balanced domains — kept mass per
+    * domain ~ sqrt(n_d), the standard up/down-sampling used to keep huge
+    * crawl domains from drowning small curated ones. The per-doc keep
+    * decision is md5-bucketed (reproducible, no RNG); the smallest domain
+    * is kept whole (rate = 1), larger domains at sqrt(min_n / n_d).
+    *
+    * Determinism: rates are floor(1e6 * sqrt(min_n / n_d)) — one double
+    * division + sqrt + multiply + floor over exact ints, a fixed IEEE op
+    * sequence, bit-identical across engines.
+    *
+    * Scale: the domain-count aggregate is tiny (domains are few);
+    * broadcast back over the corpus for the per-doc bucket test, then one
+    * aggregation — two narrow shuffles total. */
+  def domainMix(docs: DataFrame, idCol: String, domain: Column, salt: String): DataFrame = {
+    val counts = docs
+      .withColumn("domain", domain)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("min_n", min(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("keep_ppm",
+        floor(lit(1000000.0d) * sqrt(col("min_n").cast("double") / col("n_docs").cast("double")))
+          .cast("long"))
+      .select(col("domain"), col("n_docs"), col("keep_ppm"))
+    docs
+      .withColumn("domain", domain)
+      .join(broadcast(counts), Seq("domain"))
+      .withColumn("bucket_ppm",
+        pmod(hash60(concat(lit(salt + ":"), col(idCol).cast("string"))), lit(1000000L)))
+      .withColumn("sampled", col("bucket_ppm") < col("keep_ppm"))
+      .groupBy(col("domain"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        max(col("keep_ppm")).as("keep_ppm"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("domain"), col("n_docs"), col("keep_ppm"), col("n_sampled"))
+  }
+
   /** The keep/drop materialization of near-dup clustering: every document
     * labeled with its canonical representative (its cluster's min id, or
     * itself when unclustered) and whether it survives dedup. `labels` is

@@ -126,6 +126,115 @@ object Similarity {
         floor(col("cos") * 1000000.0d).cast("long").as("cos_ppm"))
   }
 
+  /** Lloyd k-means over quantized embeddings — the real "train the IVF
+    * coarse quantizer" step that [[ivfTopK]]'s `isCentroid` stub stands in
+    * for. Exact-integer determinism throughout: assignment is quantized
+    * cosine (ties to the lower cell id), the centroid update is the
+    * truncating integer mean `sum div count` per dimension (identical to
+    * DuckDB's `//`), so every iteration — and therefore the final
+    * assignment — is bit-reproducible on any engine or cluster layout.
+    *
+    * Output after `iters` update rounds: one row per surviving cell with
+    * its member count, the centroid's exact squared norm, and the exact
+    * sum of member cosines in ppm (the inertia-style convergence metric).
+    *
+    * Scale: the per-iteration driver collect is the k×dims centroid
+    * MATRIX (model state, same as Spark MLlib's KMeans), never data rows.
+    * Assignment is a narrow codegen'd argmax against a literal centroid
+    * array — no join, no shuffle; the update is one posexplode +
+    * (cell, dim) aggregation, map-side combined. One shuffle per
+    * iteration at any corpus size. Cells that lose all members (or
+    * truncate to a zero centroid) drop out deterministically.
+    */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
+                  isSeed: Column, iters: Int): DataFrame = {
+    val q = quantized(df, vecCol)
+      .select(col(idCol).as("id"), col("qvec"), col("qnorm2"))
+
+    def norm2(v: Seq[Long]): Long = v.map(x => x * x).sum
+
+    // assignment frame: best (cell, cos) per vector via a codegen'd
+    // lexicographic max over struct(cos, -cell) — NaN-free because
+    // zero-norm centroids are dropped before the literal is built
+    def assigned(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+      val best = array_max(array(cents.map { case (cid, cv) =>
+        val cos = qcos(qdot(col("qvec"), typedlit(cv)), col("qnorm2"), lit(norm2(cv)))
+        struct(cos.as("cos"), lit(-cid).as("negc"))
+      }: _*))
+      q.filter(col("qnorm2") > 0L)
+        .withColumn("best", best)
+        .withColumn("cell", -col("best.negc"))
+        .withColumn("cos", col("best.cos"))
+        .select(col("id"), col("qvec"), col("cell"), col("cos"))
+    }
+
+    // seed centroids: the designated rows' quantized vectors (model init)
+    var cents: Seq[(Long, Seq[Long])] = q.filter(isSeed)
+      .select(col("id"), col("qvec"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toSeq.sortBy(_._1).filter(c => norm2(c._2) > 0L)
+
+    for (_ <- 1 to iters) {
+      // truncating integer mean per (cell, dim); collect is k×dims longs
+      val next = assigned(cents)
+        .select(col("cell"), posexplode(col("qvec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(graft.functions.TextFunctions.intDiv(sum(col("x")), count(lit(1))).as("m"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
+        .toSeq.sortBy(_._1).filter(c => norm2(c._2) > 0L)
+      cents = next
+    }
+
+    val normMap = typedlit(cents.map { case (cid, cv) => cid -> norm2(cv) }.toMap)
+    assigned(cents)
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(floor(col("cos") * 1000000.0d).cast("long")).as("sum_cos_ppm"))
+      .withColumn("cent_norm2", element_at(normMap, col("cell")))
+      .select(col("cell"), col("n_vectors"), col("cent_norm2"), col("sum_cos_ppm"))
+  }
+
+  /** Int8 scalar quantization of an embedding column — the compression
+    * step before shipping vectors to an ANN index: per-dimension min/max
+    * over the corpus define a 0..255 code grid; each value is coded,
+    * reconstructed, and scored for reconstruction error. All arithmetic
+    * is exact int64 on the micro-unit grid (truncating division matches
+    * DuckDB `//`), so codes and error sums hash identically cross-engine.
+    *
+    * Output per vector: the code-sum checksum and the summed/max absolute
+    * reconstruction error in micro-units.
+    *
+    * Scale: the per-dimension stats table is `dims` rows (one map-side
+    * combined aggregation), broadcast back over the corpus; coding is
+    * narrow; one final per-vector aggregation. Constant dims ⇒ both
+    * shuffles carry rows ∝ corpus size, no blowup. */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.TextFunctions.intDiv
+    val ex = quantized(df, vecCol)
+      .select(col(idCol), posexplode(col("qvec")).as(Seq("pos", "x")))
+    val stats = ex.groupBy(col("pos"))
+      .agg(min(col("x")).as("qmin"), max(col("x")).as("qmax"))
+    ex.join(broadcast(stats), Seq("pos"))
+      .withColumn("rng", col("qmax") - col("qmin"))
+      .withColumn("code",
+        when(col("rng") === 0L, 0L)
+          .otherwise(intDiv((col("x") - col("qmin")) * 255L, col("rng"))))
+      .withColumn("recon",
+        col("qmin") + when(col("rng") === 0L, 0L)
+          .otherwise(intDiv(col("code") * col("rng"), lit(255L))))
+      .withColumn("err", abs(col("x") - col("recon")))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("code")).as("sum_codes"),
+        sum(col("err")).as("sum_abs_err"),
+        max(col("err")).as("max_abs_err"))
+  }
+
   /** Deterministic integer hyperplane coefficient for (plane, dim):
     * md5-derived value in [-1000, 1000] — computed driver-side with the
     * same md5 math the DuckDB oracle uses, then embedded as a literal

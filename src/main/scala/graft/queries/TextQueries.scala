@@ -225,7 +225,39 @@ object TextQueries {
     CorpusOps.dedupApply(Tables(spark, dir).documents, "doc_id", labels)
   }
 
+  // ---------------------------------------------------------------- q62
+  /** Benchmark decontamination: every 50th document acts as the eval set;
+    * each corpus document is scored by how many of its distinct word
+    * 3-grams appear in the eval set's shingle index — the "did the
+    * training set leak the benchmark" filter. */
+  def q62Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.decontaminate(Tables(spark, dir).documents, "doc_id", "text",
+      isBenchmark = $"doc_id" % 50 === 0, n = 3)
+  }
+
+  // ---------------------------------------------------------------- q65
+  /** Deterministic training order: md5-keyed global shuffle into 8 shards
+    * with a dense in-shard position — the reproducible "shuffle once, read
+    * in order" corpus layout. */
+  def q65TrainOrder(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.trainOrder(Tables(spark, dir).documents, "doc_id",
+      salt = "ord", nShards = 8)
+
+  // ---------------------------------------------------------------- q66
+  /** Temperature-based domain mixing (alpha = 0.5): per-source sampling
+    * rates that flatten the corpus toward balanced domains, md5-bucketed
+    * keep decisions, aggregated per domain. */
+  def q66DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.domainMix(Tables(spark, dir).documents, "doc_id", $"source",
+      salt = "mix")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_decontaminate"    -> q62Decontaminate _,
+    "q65_train_order"      -> q65TrainOrder _,
+    "q66_domain_mix"       -> q66DomainMix _,
     "q57_sequence_packing" -> q57SequencePacking _,
     "q58_stratified_split" -> q58StratifiedSplit _,
     "q59_repetition"       -> q59Repetition _,
@@ -434,6 +466,43 @@ object TextQueries {
          |  CAST(CASE WHEN len(grams) = 0 THEN 0
          |    ELSE (len(grams) - len(list_distinct(grams))) * 1000000 // len(grams) END AS BIGINT) AS rep_ppm
          |FROM g""".stripMargin,
+    "q62_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles FROM tok),
+         |bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT doc_id, shingles, CAST(len(shingles) AS BIGINT) AS n_ngrams
+         |  FROM sh WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_cont
+         |  FROM (SELECT doc_id, unnest(shingles) AS s FROM corpus) c
+         |  JOIN bench USING (s) GROUP BY c.doc_id)
+         |SELECT corpus.doc_id, n_ngrams,
+         |  CAST(COALESCE(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+         |  CAST(CASE WHEN n_ngrams = 0 THEN 0
+         |       ELSE COALESCE(h.n_cont, 0) * 1000000 // n_ngrams END AS BIGINT) AS contam_ppm,
+         |  (COALESCE(h.n_cont, 0) > 0) AS contaminated
+         |FROM corpus LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q65_train_order" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(CAST(concat('0x', substr(md5(concat('ord:', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, h, CAST(h % 8 AS BIGINT) AS shard FROM t)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
+    "q66_domain_mix" ->
+      """WITH c AS (SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT domain, n_docs,
+        |  CAST(floor(1000000.0 * sqrt(CAST((SELECT min(n_docs) FROM c) AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS BIGINT) AS keep_ppm
+        |  FROM c),
+        |d AS (SELECT doc_id, source AS domain,
+        |  CAST(CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) % 1000000 AS BIGINT) AS bucket_ppm
+        |  FROM documents)
+        |SELECT r.domain, r.n_docs, r.keep_ppm,
+        |  CAST(SUM(CASE WHEN d.bucket_ppm < r.keep_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM d JOIN r USING (domain) GROUP BY r.domain, r.n_docs, r.keep_ppm""".stripMargin,
     "q60_dedup_apply" ->
       s"""WITH RECURSIVE pairs AS ($q25Sql),
          |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),

@@ -88,7 +88,25 @@ object VectorQueries {
         |WHERE a.vec_id < 50""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q63
+  /** IVF coarse-quantizer training: 2 Lloyd iterations of exact-integer
+    * k-means (k = 8 seeds, truncating integer centroid means, quantized
+    * cosine assignment) — the real training step behind q34's stub. */
+  def q63KmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.kmeansTrain(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isSeed = $"vec_id" < 8, iters = 2)
+  }
+
+  // ---------------------------------------------------------------- q64
+  /** Int8 scalar quantization: per-dimension min/max code grid, exact
+    * integer codes and reconstruction errors per vector. */
+  def q64Int8Quant(spark: SparkSession, dir: String): DataFrame =
+    Similarity.scalarQuantize(Tables(spark, dir).embeddings, "vec_id", "embedding")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_kmeans_train"     -> q63KmeansTrain _,
+    "q64_int8_quant"       -> q64Int8Quant _,
     "q37_sql_api"          -> q37SqlApi _,
     "q27_cosine_topk"      -> q27CosineTopK _,
     "q28_lsh_ann"          -> q28LshAnn _,
@@ -97,7 +115,64 @@ object VectorQueries {
     "q34_ivf_ann"          -> q34IvfAnn _
   )
 
+  /** One k-means assignment round against centroid CTE `$c` (cell, cv, cn),
+    * emitting (vec_id, qvec, qnorm2, cell[, cos]) of the best cell per
+    * vector — cos DESC, cell ASC, matching the Spark struct-argmax. */
+  private def asgSql(c: String, out: String, withCos: Boolean): String = {
+    val cosExpr = "CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))"
+    s"""${out}_d AS (
+       |  SELECT nv.vec_id, nv.qvec, nv.qnorm2, c.cell, c.cn,
+       |    CAST(list_sum(list_transform(generate_series(1, 64), i -> nv.qvec[i] * c.cv[i])) AS BIGINT) AS dot
+       |  FROM nv, $c c),
+       |${out}_r AS (
+       |  SELECT vec_id, qvec, qnorm2, cell${if (withCos) s", $cosExpr AS cos" else ""},
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY $cosExpr DESC, cell ASC) AS rk
+       |  FROM ${out}_d),
+       |$out AS (SELECT * FROM ${out}_r WHERE rk = 1)""".stripMargin
+  }
+
+  /** Truncating-integer-mean centroid update from assignment CTE `$g`. */
+  private def updSql(g: String, out: String): String =
+    s"""${out}_u AS (
+       |  SELECT cell, d.i, CAST(SUM(qvec[d.i]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM $g, (SELECT unnest(generate_series(1, 64)) AS i) d GROUP BY cell, d.i),
+       |${out}_l AS (SELECT cell, list(m ORDER BY i) AS cv FROM ${out}_u GROUP BY cell),
+       |$out AS (SELECT cell, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
+       |  FROM ${out}_l
+       |  WHERE CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) > 0)""".stripMargin
+
+  private lazy val q63Sql: String =
+    s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+       |n AS (SELECT vec_id, qvec,
+       |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q),
+       |nv AS (SELECT * FROM n WHERE qnorm2 > 0),
+       |c0 AS (SELECT vec_id AS cell, qvec AS cv, qnorm2 AS cn FROM nv WHERE vec_id < 8),
+       |${asgSql("c0", "g0", withCos = false)},
+       |${updSql("g0", "c1")},
+       |${asgSql("c1", "g1", withCos = false)},
+       |${updSql("g1", "c2")},
+       |${asgSql("c2", "g2", withCos = true)}
+       |SELECT g2.cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  any_value(c2.cn) AS cent_norm2,
+       |  CAST(SUM(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_cos_ppm
+       |FROM g2 JOIN c2 ON g2.cell = c2.cell GROUP BY g2.cell""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q63_kmeans_train" -> q63Sql,
+    "q64_int8_quant" ->
+      s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+         |ex AS (SELECT vec_id, d.i, qvec[d.i] AS x
+         |  FROM q, (SELECT unnest(generate_series(1, 64)) AS i) d),
+         |st AS (SELECT i, min(x) AS qmin, max(x) AS qmax FROM ex GROUP BY i),
+         |c AS (SELECT vec_id, x, qmin, qmax, qmax - qmin AS rng,
+         |  CASE WHEN qmax = qmin THEN 0 ELSE ((x - qmin) * 255) // (qmax - qmin) END AS code
+         |  FROM ex JOIN st USING (i)),
+         |r AS (SELECT vec_id, code,
+         |  abs(x - (qmin + CASE WHEN rng = 0 THEN 0 ELSE (code * rng) // 255 END)) AS err
+         |  FROM c)
+         |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS sum_codes,
+         |  CAST(SUM(err) AS BIGINT) AS sum_abs_err, CAST(MAX(err) AS BIGINT) AS max_abs_err
+         |FROM r GROUP BY vec_id""".stripMargin,
     "q27_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
          |n AS (SELECT vec_id, qvec,
