@@ -38,6 +38,14 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Decontamination canonicalization: lowercase, every run of
+    * non-alphanumeric/non-whitespace characters collapsed to one space —
+    * so case and punctuation edits can't hide a leaked eval document.
+    * Oracle-portable: the same class + `'g'` flag in DuckDB
+    * `regexp_replace(lower(text), ...)`. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(text), s"[^a-z0-9 \\t\\n\\r\\f\\x0B]+", " ")
+
   /** Deterministic 60-bit non-negative hash: first 15 hex digits of md5.
     * Portable: DuckDB `CAST('0x' || substr(md5(s),1,15) AS UBIGINT)`. */
   def hash60(s: Column): Column =

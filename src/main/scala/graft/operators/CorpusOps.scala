@@ -95,11 +95,28 @@ object CorpusOps {
     * broadcast-able dimension; the corpus side is one explode + one
     * aggregation — an inverted-index semi-join, never all-pairs. Short
     * documents (< n tokens) have zero shingles and score 0.
+    *
+    * "Small by construction" is ENFORCED: a benchmark side over
+    * `maxBenchDocs` rows fails loudly (bounded `limit(n+1).count()`, so
+    * the check never scans far past the ceiling) instead of broadcasting
+    * a mislabeled corpus into every executor.
+    *
+    * `normalize = true` applies the standard decontamination
+    * canonicalization before shingling — lowercase, every
+    * non-alphanumeric run collapsed to one space — so cosmetic edits
+    * (case, punctuation) don't hide a leaked benchmark document.
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
-                    isBenchmark: Column, n: Int): DataFrame = {
+                    isBenchmark: Column, n: Int,
+                    normalize: Boolean = false, maxBenchDocs: Int = 1000000): DataFrame = {
+    val nBench = docs.filter(isBenchmark).limit(maxBenchDocs + 1).count()
+    require(nBench <= maxBenchDocs,
+      s"decontaminate: benchmark side exceeds maxBenchDocs=$maxBenchDocs rows - its " +
+        "shingle index is broadcast; a benchmark this large suggests a mislabeled " +
+        "isBenchmark predicate")
+    val txt = if (normalize) normalizeText(col(textCol)) else col(textCol)
     val sh = docs
-      .withColumn("shingles", array_distinct(wordShingles(tokens(col(textCol)), n)))
+      .withColumn("shingles", array_distinct(wordShingles(tokens(txt), n)))
       .withColumn("is_bench", isBenchmark)
     val benchIndex = sh.filter(col("is_bench"))
       .select(explode(col("shingles")).as("s")).distinct()
@@ -127,7 +144,12 @@ object CorpusOps {
     *
     * Scale: one narrow projection plus one per-shard window; shards are
     * hash-uniform so the windows parallelize evenly, and nShards scales
-    * with the cluster (a single global row_number would serialize). */
+    * with the cluster (a single global row_number would serialize). The
+    * dense `pos` makes each shard ONE window partition — a shard is a
+    * sequential unit by construction — so at 100 TB nShards must be set
+    * >= the cluster's task parallelism (thousands), or the window stage
+    * runs fewer tasks than cores. One exchange total, on the shard key
+    * (plan-shape-guarded). */
   def trainOrder(docs: DataFrame, idCol: String, salt: String, nShards: Int): DataFrame = {
     val h = hash60(concat(lit(salt + ":"), col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col(idCol).asc)

@@ -140,27 +140,57 @@ object Similarity {
     *
     * Scale: the per-iteration driver collect is the k×dims centroid
     * MATRIX (model state, same as Spark MLlib's KMeans), never data rows.
-    * Assignment is a narrow codegen'd argmax against a literal centroid
-    * array — no join, no shuffle; the update is one posexplode +
+    * Assignment is a narrow argmax against the broadcast-literal centroid
+    * matrix — no join, no shuffle; the update is one posexplode +
     * (cell, dim) aggregation, map-side combined. One shuffle per
     * iteration at any corpus size. Cells that lose all members (or
     * truncate to a zero centroid) drop out deterministically.
+    *
+    * Two assignment paths, identical semantics: up to `codegenMaxK`
+    * centroids the argmax is an unrolled `array_max` over per-centroid
+    * struct expressions (whole-stage codegen'd); above it, unrolling k
+    * expressions would blow past the JVM method-size ceiling, so the
+    * centroids become ONE literal array and the argmax a single
+    * `aggregate` fold over it — still narrow and shuffle-free (unlike a
+    * broadcast-join argmax, which would shuffle the corpus on id every
+    * iteration for the tie-break window).
+    *
+    * The seed collect is bounded: more than `maxSeeds` seed rows fail
+    * loudly instead of collecting a corpus onto the driver (k-means k is
+    * model state — IVF-realistic k is ~sqrt(N), thousands, not millions).
     */
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
-                  isSeed: Column, iters: Int): DataFrame = {
+                  isSeed: Column, iters: Int,
+                  maxSeeds: Int = 4096, codegenMaxK: Int = 64): DataFrame = {
     val q = quantized(df, vecCol)
-      .select(col(idCol).as("id"), col("qvec"), col("qnorm2"))
+      .select(col(idCol).cast("long").as("id"), col("qvec"), col("qnorm2"))
 
     def norm2(v: Seq[Long]): Long = v.map(x => x * x).sum
 
-    // assignment frame: best (cell, cos) per vector via a codegen'd
-    // lexicographic max over struct(cos, -cell) — NaN-free because
-    // zero-norm centroids are dropped before the literal is built
+    // assignment frame: best (cell, cos) per vector via a lexicographic
+    // max over struct(cos, -cell) — NaN-free because zero-norm centroids
+    // are dropped before the literal is built
     def assigned(cents: Seq[(Long, Seq[Long])]): DataFrame = {
-      val best = array_max(array(cents.map { case (cid, cv) =>
-        val cos = qcos(qdot(col("qvec"), typedlit(cv)), col("qnorm2"), lit(norm2(cv)))
-        struct(cos.as("cos"), lit(-cid).as("negc"))
-      }: _*))
+      val best =
+        if (cents.size <= codegenMaxK) {
+          // unrolled per-centroid expressions: tight whole-stage codegen
+          array_max(array(cents.map { case (cid, cv) =>
+            val cos = qcos(qdot(col("qvec"), typedlit(cv)), col("qnorm2"), lit(norm2(cv)))
+            struct(cos.as("cos"), lit(-cid).as("negc"))
+          }: _*))
+        } else {
+          // large k: one literal centroid matrix + a single fold — no
+          // unrolled codegen (method-size safe), still narrow/no-shuffle
+          val mat = typedlit(cents.map { case (cid, cv) => (cid, cv, norm2(cv)) })
+          aggregate(
+            mat,
+            struct(lit(-2.0d).as("cos"), lit(Long.MinValue).as("negc")),
+            (acc, c) => {
+              val cos = qcos(qdot(col("qvec"), c.getField("_2")), col("qnorm2"), c.getField("_3"))
+              val cand = struct(cos.as("cos"), (-c.getField("_1")).as("negc"))
+              when(cand > acc, cand).otherwise(acc)
+            })
+        }
       q.filter(col("qnorm2") > 0L)
         .withColumn("best", best)
         .withColumn("cell", -col("best.negc"))
@@ -168,12 +198,22 @@ object Similarity {
         .select(col("id"), col("qvec"), col("cell"), col("cos"))
     }
 
-    // seed centroids: the designated rows' quantized vectors (model init)
-    var cents: Seq[(Long, Seq[Long])] = q.filter(isSeed)
+    // seed centroids: the designated rows' quantized vectors (model init);
+    // the limit bounds the collect itself, so the gate never scans far
+    // past the ceiling
+    val seedRows = q.filter(isSeed)
       .select(col("id"), col("qvec"))
+      .limit(maxSeeds + 1)
       .collect()
+    require(seedRows.length <= maxSeeds,
+      s"kmeansTrain: isSeed selects more than maxSeeds=$maxSeeds rows - seeds are " +
+        "collected to the driver as model state; a seed set this large suggests a " +
+        "mislabeled predicate")
+    var cents: Seq[(Long, Seq[Long])] = seedRows
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
       .toSeq.sortBy(_._1).filter(c => norm2(c._2) > 0L)
+    require(cents.nonEmpty,
+      "kmeansTrain: no usable seeds (isSeed matched nothing, or every seed has zero norm)")
 
     for (_ <- 1 to iters) {
       // truncating integer mean per (cell, dim); collect is k×dims longs
@@ -186,6 +226,8 @@ object Similarity {
         .groupBy(_._1)
         .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
         .toSeq.sortBy(_._1).filter(c => norm2(c._2) > 0L)
+      require(next.nonEmpty,
+        "kmeansTrain: every centroid truncated to zero norm in an update round")
       cents = next
     }
 

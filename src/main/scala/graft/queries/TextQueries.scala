@@ -236,6 +236,16 @@ object TextQueries {
       isBenchmark = $"doc_id" % 50 === 0, n = 3)
   }
 
+  // ---------------------------------------------------------------- q68
+  /** Decontamination with canonicalization: same eval-set split as q62 but
+    * shingling lowercase/punctuation-stripped text, so cosmetic edits in a
+    * leaked benchmark document still register as contamination. */
+  def q68DecontaminateNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.decontaminate(Tables(spark, dir).documents, "doc_id", "text",
+      isBenchmark = $"doc_id" % 50 === 0, n = 3, normalize = true)
+  }
+
   // ---------------------------------------------------------------- q65
   /** Deterministic training order: md5-keyed global shuffle into 8 shards
     * with a dense in-shard position — the reproducible "shuffle once, read
@@ -256,6 +266,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_decontaminate"    -> q62Decontaminate _,
+    "q68_decontaminate_norm" -> q68DecontaminateNorm _,
     "q65_train_order"      -> q65TrainOrder _,
     "q66_domain_mix"       -> q66DomainMix _,
     "q57_sequence_packing" -> q57SequencePacking _,
@@ -276,6 +287,11 @@ object TextQueries {
   )
 
   private val toksSql = """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
+  /** q68's canonicalized tokenizer: DuckDB mirror of
+    * [[graft.functions.TextFunctions.normalizeText]] feeding the same
+    * whitespace split. */
+  private val normToksSql =
+    """list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 \t\n\r\f\x0B]+', ' ', 'g')), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
   private def vocabSql(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -468,6 +484,23 @@ object TextQueries {
          |FROM g""".stripMargin,
     "q62_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles FROM tok),
+         |bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT doc_id, shingles, CAST(len(shingles) AS BIGINT) AS n_ngrams
+         |  FROM sh WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_cont
+         |  FROM (SELECT doc_id, unnest(shingles) AS s FROM corpus) c
+         |  JOIN bench USING (s) GROUP BY c.doc_id)
+         |SELECT corpus.doc_id, n_ngrams,
+         |  CAST(COALESCE(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+         |  CAST(CASE WHEN n_ngrams = 0 THEN 0
+         |       ELSE COALESCE(h.n_cont, 0) * 1000000 // n_ngrams END AS BIGINT) AS contam_ppm,
+         |  (COALESCE(h.n_cont, 0) > 0) AS contaminated
+         |FROM corpus LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q68_decontaminate_norm" ->
+      s"""WITH tok AS (SELECT doc_id, $normToksSql AS t FROM documents),
          |sh AS (SELECT doc_id,
          |  list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
          |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles FROM tok),

@@ -12,6 +12,12 @@ import graft.operators.Similarity
   */
 object VectorQueries {
 
+  /** Embedding dimensionality of the `embeddings` table — the single
+    * constant every vector oracle's `generate_series(1, Dims)` and every
+    * Spark-side `dims =` parameter interpolate, so a dims change can't
+    * silently desync the oracles from the operators. */
+  private val Dims = 64
+
   /** Shared quantization SQL for the oracles. */
   private val qvecSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
@@ -34,7 +40,7 @@ object VectorQueries {
     import spark.implicits._
     Similarity.lshTopK(
       Tables(spark, dir).embeddings, "vec_id", "embedding",
-      isQuery = $"vec_id" < 20, k = 5, nPlanes = 8, dims = 64)
+      isQuery = $"vec_id" < 20, k = 5, nPlanes = 8, dims = Dims)
   }
 
   // ---------------------------------------------------------------- q29
@@ -59,7 +65,7 @@ object VectorQueries {
   def q33EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(
       Tables(spark, dir).embeddings, "vec_id", "embedding",
-      minCosPpm = 300000L, nPlanes = 8, dims = 64)
+      minCosPpm = 300000L, nPlanes = 8, dims = Dims)
 
   // ---------------------------------------------------------------- q34
   /** IVF-style ANN, nprobe=1: first 8 vectors act as the (stub-trained)
@@ -122,7 +128,7 @@ object VectorQueries {
     val cosExpr = "CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))"
     s"""${out}_d AS (
        |  SELECT nv.vec_id, nv.qvec, nv.qnorm2, c.cell, c.cn,
-       |    CAST(list_sum(list_transform(generate_series(1, 64), i -> nv.qvec[i] * c.cv[i])) AS BIGINT) AS dot
+       |    CAST(list_sum(list_transform(generate_series(1, $Dims), i -> nv.qvec[i] * c.cv[i])) AS BIGINT) AS dot
        |  FROM nv, $c c),
        |${out}_r AS (
        |  SELECT vec_id, qvec, qnorm2, cell${if (withCos) s", $cosExpr AS cos" else ""},
@@ -135,7 +141,7 @@ object VectorQueries {
   private def updSql(g: String, out: String): String =
     s"""${out}_u AS (
        |  SELECT cell, d.i, CAST(SUM(qvec[d.i]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
-       |  FROM $g, (SELECT unnest(generate_series(1, 64)) AS i) d GROUP BY cell, d.i),
+       |  FROM $g, (SELECT unnest(generate_series(1, $Dims)) AS i) d GROUP BY cell, d.i),
        |${out}_l AS (SELECT cell, list(m ORDER BY i) AS cv FROM ${out}_u GROUP BY cell),
        |$out AS (SELECT cell, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
        |  FROM ${out}_l
@@ -162,7 +168,7 @@ object VectorQueries {
     "q64_int8_quant" ->
       s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
          |ex AS (SELECT vec_id, d.i, qvec[d.i] AS x
-         |  FROM q, (SELECT unnest(generate_series(1, 64)) AS i) d),
+         |  FROM q, (SELECT unnest(generate_series(1, $Dims)) AS i) d),
          |st AS (SELECT i, min(x) AS qmin, max(x) AS qmax FROM ex GROUP BY i),
          |c AS (SELECT vec_id, x, qmin, qmax, qmax - qmin AS rng,
          |  CASE WHEN qmax = qmin THEN 0 ELSE ((x - qmin) * 255) // (qmax - qmin) END AS code
@@ -179,7 +185,7 @@ object VectorQueries {
          |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q),
          |pairs AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(generate_series(1, $Dims), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
          |    a.qnorm2 AS qn, b.qnorm2 AS cn
          |  FROM n a, n b WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
          |scored AS (SELECT query_id, cand_id, dot,
@@ -196,13 +202,13 @@ object VectorQueries {
          |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q),
          |sg AS (SELECT vec_id, qvec, qnorm2,
          |  CAST(list_sum(list_transform(generate_series(0, 7), p ->
-         |    CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64), i ->
+         |    CASE WHEN CAST(list_sum(list_transform(generate_series(1, $Dims), i ->
          |           qvec[i] * (CAST(CAST(concat('0x', substr(md5(concat('plane', CAST(p AS VARCHAR), '_', CAST(i-1 AS VARCHAR))), 1, 15)) AS UBIGINT) % 2001 AS BIGINT) - 1000))) AS BIGINT) >= 0
          |         THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS sig
          |  FROM n),
          |pairs AS (
          |  SELECT a.vec_id AS query_id, a.sig AS sig, b.vec_id AS cand_id,
-         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(generate_series(1, $Dims), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
          |    a.qnorm2 AS qn, b.qnorm2 AS cn
          |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id <> b.vec_id
          |  WHERE a.vec_id < 20),
@@ -224,7 +230,7 @@ object VectorQueries {
     "q37_sql_api" ->
       s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings)
          |SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |  CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot
+         |  CAST(list_sum(list_transform(generate_series(1, $Dims), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot
          |FROM q a JOIN q b ON a.vec_id + 1 = b.vec_id
          |WHERE a.vec_id < 50""".stripMargin,
     "q33_embedding_neardup" ->
@@ -233,13 +239,13 @@ object VectorQueries {
          |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q),
          |sg AS (SELECT vec_id, qvec, qnorm2,
          |  CAST(list_sum(list_transform(generate_series(0, 7), p ->
-         |    CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64), i ->
+         |    CASE WHEN CAST(list_sum(list_transform(generate_series(1, $Dims), i ->
          |           qvec[i] * (CAST(CAST(concat('0x', substr(md5(concat('plane', CAST(p AS VARCHAR), '_', CAST(i-1 AS VARCHAR))), 1, 15)) AS UBIGINT) % 2001 AS BIGINT) - 1000))) AS BIGINT) >= 0
          |         THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS sig
          |  FROM n),
          |pairs AS (
          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(generate_series(1, $Dims), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
          |    a.qnorm2 AS qn, b.qnorm2 AS cn
          |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id < b.vec_id),
          |scored AS (SELECT id1, id2,
@@ -253,7 +259,7 @@ object VectorQueries {
          |c AS (SELECT vec_id AS c_id, qvec AS centv, qnorm2 AS centn FROM n WHERE vec_id < 8),
          |asg0 AS (
          |  SELECT n.vec_id, n.qvec, n.qnorm2, c.c_id, c.centn,
-         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> n.qvec[i] * c.centv[i])) AS BIGINT) AS cdot
+         |    CAST(list_sum(list_transform(generate_series(1, $Dims), i -> n.qvec[i] * c.centv[i])) AS BIGINT) AS cdot
          |  FROM n, c),
          |asg1 AS (
          |  SELECT vec_id, qvec, qnorm2, c_id,
@@ -264,7 +270,7 @@ object VectorQueries {
          |asg AS (SELECT vec_id, qvec, qnorm2, c_id AS cell FROM asg1 WHERE arank = 1),
          |pairs AS (
          |  SELECT a.vec_id AS query_id, a.cell, b.vec_id AS cand_id,
-         |    CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(generate_series(1, $Dims), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot,
          |    a.qnorm2 AS qn, b.qnorm2 AS cn
          |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
          |  WHERE a.vec_id < 20),

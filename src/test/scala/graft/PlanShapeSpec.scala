@@ -84,6 +84,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(shard"), "window not partitioned by shard")
   }
 
+  test("q65 train order shuffles exactly once, on the shard key") {
+    // each shard is ONE window partition (dense pos), so nShards must
+    // scale >= cluster parallelism; the plan must not add a second
+    // exchange on top of the shard one
+    val p = plan("q65_train_order")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1, s"expected 1 shard exchange, saw $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(shard"), "window not partitioned by shard")
+  }
+
   test("q59 repetition is narrow per-row work - no exchange") {
     val p = plan("q59_repetition")
     assert(!p.contains("Exchange hashpartitioning"), "repetition score must not shuffle")

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the operators that touch driver memory or broadcast state:
+  * kmeansTrain's bounded seed collect and non-empty centroid invariants,
+  * the equivalence of its two assignment paths (unrolled codegen vs the
+  * large-k literal-matrix fold), and decontaminate's benchmark-side
+  * broadcast gate + canonicalization toggle.
+  */
+class OperatorGuardSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def embeddings = spark.read.parquet(s"$dir/embeddings.parquet")
+  private def documents = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("kmeansTrain: large-k fold path returns exactly the unrolled path's result") {
+    import spark.implicits._
+    // k = 100 seeds: far past any sane unroll (the literal path would emit
+    // 100 inline dot+struct expressions); force BOTH paths over the same
+    // seeds and compare full outputs
+    val unrolled = Similarity.kmeansTrain(embeddings, "vec_id", "embedding",
+      isSeed = $"vec_id" < 100, iters = 1, codegenMaxK = 1000).collect().toSet
+    val folded = Similarity.kmeansTrain(embeddings, "vec_id", "embedding",
+      isSeed = $"vec_id" < 100, iters = 1, codegenMaxK = 0).collect().toSet
+    assert(unrolled.nonEmpty)
+    assert(folded == unrolled)
+  }
+
+  test("kmeansTrain: seed sets over maxSeeds fail loudly, never a bulk collect") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(embeddings, "vec_id", "embedding",
+        isSeed = lit(true), iters = 1, maxSeeds = 10)
+    }
+    assert(ex.getMessage.contains("maxSeeds"))
+  }
+
+  test("kmeansTrain: an empty / all-zero-norm seed set is an error, not a null plan") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(embeddings, "vec_id", "embedding",
+        isSeed = lit(false), iters = 1)
+    }
+    assert(ex.getMessage.contains("no usable seeds"))
+    // zero-norm seeds are dropped before they can poison the assignment
+    val zeros = Seq((1L, Seq.fill(4)(0.0f)), (2L, Seq.fill(4)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(zeros, "vec_id", "embedding",
+        isSeed = lit(true), iters = 1)
+    }
+    assert(ex2.getMessage.contains("no usable seeds"))
+  }
+
+  test("kmeansTrain: non-long id columns are cast, not ClassCastException") {
+    import spark.implicits._
+    val ints = Seq((1, Seq(1.0f, 0.0f)), (2, Seq(0.0f, 1.0f)), (3, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansTrain(ints, "vec_id", "embedding",
+      isSeed = $"vec_id" <= 2, iters = 1).collect()
+    assert(out.map(_.getLong(1)).sum == 3L) // all 3 vectors assigned
+  }
+
+  test("decontaminate: benchmark sides over maxBenchDocs fail loudly before broadcast") {
+    val ex = intercept[IllegalArgumentException] {
+      CorpusOps.decontaminate(documents, "doc_id", "text",
+        isBenchmark = lit(true), n = 3, maxBenchDocs = 10)
+    }
+    assert(ex.getMessage.contains("maxBenchDocs"))
+  }
+
+  test("decontaminate: normalization catches case/punctuation-disguised leaks") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "The Quick Brown Fox!"),   // benchmark doc
+      (1L, "the quick brown fox"),    // leaked, cosmetically edited
+      (2L, "an unrelated document entirely")
+    ).toDF("doc_id", "text")
+    val bench = $"doc_id" === 0L
+    val raw = CorpusOps.decontaminate(docs, "doc_id", "text", bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(raw == Map(1L -> false, 2L -> false)) // raw shingles miss the edit
+    val norm = CorpusOps.decontaminate(docs, "doc_id", "text", bench, n = 3,
+      normalize = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(norm == Map(1L -> true, 2L -> false))
+  }
+}
