@@ -418,6 +418,87 @@ object Fixtures {
     dir
   }
 
+  /** Two-node adversarial scenario for the J4 network-latency two-pass
+    * matcher (`network-latency/processor.go:122-328`) — the machine whose
+    * other CORRECTNESS rows (q11/q52) are pipeline-pinned goldens. Covers,
+    * per height (all payloads HasVote on the state channel; distinct h =>
+    * distinct raw bytes, so each case is its own composite/raw key):
+    *
+    *  - h=301 plain composite match;
+    *  - h=302 FIFO multiset: two identical sends, two receives — the
+    *    first receive pops the OLDEST send (`:278-285`);
+    *  - h=303 receive-before-send matched ON THE SEND side
+    *    (`:151-177`): the send finds the single pending receive, latency
+    *    = send - receive;
+    *  - h=304 raw-hash fallback (`:272-328`): a TrySend (no peer) can
+    *    only pair via the raw pool; the matching receive was ALREADY
+    *    appended to pendingReceives and is never removed, so at finalize
+    *    (`:449-476`) it STILL counts as an unmatched receive — one
+    *    receive, one measurement, and one unmatched tick;
+    *  - h=305 discard-at-empty: the fallback is tried once, AT THE
+    *    RECEIVE'S ARRIVAL — a TrySend arriving later never looks back,
+    *    so both sides end unmatched;
+    *  - h=306 fallback pool FIFO: two identical TrySends, one receive —
+    *    the OLDEST pops; the second TrySend ends unmatched;
+    *  - h=307 composite send never received: unmatched send;
+    *  - h=308 self-communication receive (`:222-225`): dropped entirely
+    *    (P6) — the paired send stays unmatched, and the receive counts
+    *    NOWHERE (not even total_receives).
+    *
+    * The q67/q69/q70 oracles over this scenario are HAND-DERIVED on paper
+    * from the reference machine — NOT gen_golden.py pins (never add them
+    * to its GOLDEN list). */
+  def writeAdversarialNetLatScenario(dir: String): String = {
+    val T  = t0Nanos + 9000000000L
+    val ms = 1000000L
+    val a  = nodeIds(0); val b = nodeIds(1)
+    def hv(h: Long): Array[Byte] =
+      encodeConsensusMessage(HasVote(h, 0, 1, 2))
+    def send(h: Long, at: Long) =
+      line("Send", at, "channel" -> 0x20L, "conn" -> "MConn{pipe}",
+        "msgBytes" -> hexStr(hv(h)), "peer" -> s"$b@10.0.0.1:26656")
+    def trySend(h: Long, at: Long) =
+      line("TrySend", at, "channel" -> 0x20L, "conn" -> "MConn{pipe}",
+        "msgBytes" -> hexStr(hv(h)), "peer" -> "")
+    def recv(h: Long, at: Long, from: String = "") = {
+      val src = if (from.isEmpty) a else from
+      val ip  = if (src == a) "10.0.0.0" else "10.0.0.1"
+      line("Received bytes", at, "chID" -> 0x20L,
+        "msgBytes" -> b64(hv(h)), "peer" -> s"$src@$ip:26656")
+    }
+
+    val aLog = Seq(
+      line("P2P Node ID", T, "ID" -> a, "file" -> "nodeA/key.json"),
+      line("This node is a validator", T + 500L, "addr" -> valAddrs(0), "pubKey" -> "PUBA=="),
+      send(301L, T + 10 * ms),     // plain confirm
+      send(302L, T + 20 * ms),     // FIFO pair 1 (identical bytes)
+      send(302L, T + 22 * ms),     // FIFO pair 2
+      send(303L, T + 34 * ms),     // arrives AFTER B's receive: send-side match
+      trySend(304L, T + 40 * ms),  // raw pool; fallback-popped by B's receive
+      trySend(305L, T + 54 * ms),  // raw pool AFTER B's receive: never matched
+      trySend(306L, T + 60 * ms),  // pool FIFO: this one pops...
+      trySend(306L, T + 62 * ms),  // ...this one ends unmatched
+      send(307L, T + 70 * ms),     // never received: unmatched composite send
+      send(308L, T + 78 * ms))     // B's only "receive" is self-comm: unmatched
+    val bLog = Seq(
+      line("P2P Node ID", T + 1000L, "ID" -> b, "file" -> "nodeB/key.json"),
+      line("This node is a validator", T + 1500L, "addr" -> valAddrs(1), "pubKey" -> "PUBB=="),
+      recv(301L, T + 15 * ms),
+      recv(302L, T + 25 * ms),     // pops the T+20 send
+      recv(302L, T + 28 * ms),     // pops the T+22 send
+      recv(303L, T + 30 * ms),     // BEFORE the send: pending receive
+      recv(304L, T + 44 * ms),     // fallback-matches the TrySend AND stays pending
+      recv(305L, T + 50 * ms),     // raw pool empty NOW: discarded, never matched
+      recv(306L, T + 66 * ms),     // pops the OLDEST TrySend (T+60)
+      recv(308L, T + 80 * ms, from = b)) // self-communication: dropped (P6)
+
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    Files.write(p.resolve("nodeA_cometbft.log"), aLog.mkString("\n").getBytes("UTF-8"))
+    Files.write(p.resolve("nodeB_cometbft.log"), bLog.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
   /** Two-node adversarial p2p-gossip scenario exercising the J3
     * either-order confirmation machine's nastier edges
     * (`p2p-messages/processor.go:39-341`): first-send-confirms-pending-
