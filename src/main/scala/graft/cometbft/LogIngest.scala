@@ -117,9 +117,12 @@ object LogIngest {
     * The aggregate runs over ALL lines (metadata extraction is a cheap
     * `when` per row and partial-agg state is one entry per file), so a
     * file whose every line fails the P1/P2 drops still shows up here with
-    * null metadata and aborts, exactly like the reference. Residual
-    * divergence, documented: a zero-line file produces no rows at the text
-    * source and escapes the check (the reference would abort). */
+    * null metadata and aborts, exactly like the reference. The one case
+    * this aggregate cannot see — a ZERO-LINE file, which produces no
+    * text-source rows at all — is caught by [[read]]'s driver-side
+    * listing check instead (a zero-line file is exactly a zero-byte file:
+    * any file with content, even a lone newline, yields at least one row
+    * here). */
   def metadata(lines: DataFrame): DataFrame = {
     val msgLc = lower(get_json_object(col("value"), "$._msg"))
     lines
@@ -139,8 +142,21 @@ object LogIngest {
 
   /** Ingest with P7 metadata attach: per-file nodeID/validatorAddress
     * broadcast-joined onto every row of that file. Inner join — every file
-    * is present in [[metadata]] or the job has already failed. */
+    * is present in [[metadata]] or the job has already failed.
+    *
+    * The driver-side listing check closes the zero-line gap: an empty
+    * `.log` file yields no text-source rows, so [[metadata]] never sees
+    * it — but the reference still aborts on it (`app.go:97-99`, the
+    * missing-ID check after scanning zero lines). File statuses come from
+    * the same listing the scan uses (O(#files) driver metadata, no data
+    * scan), so this adds no job and keeps the frame fully lazy. */
   def read(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val empties = fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".log") && s.getLen == 0)
+    require(empties.isEmpty,
+      s"node ID or validator address not found in ${empties.map(_.getPath.getName).mkString(", ")}")
     val lines = readLines(spark, dir)
     dispatch(lines).join(broadcast(metadata(lines)), Seq("src_file"))
   }

@@ -148,6 +148,22 @@ class PipelineSpec extends AnyFunSuite {
       s"unexpected failure: $ex")
   }
 
+  test("P7 fail-fast: a ZERO-line .log file fails with its name (app.go:97-99)") {
+    // an empty file yields no text-source rows, so the metadata aggregate
+    // alone cannot see it — the driver-side listing check must catch it
+    val dir = java.nio.file.Files.createTempDirectory("graft-zeroline").toString
+    val meta = graft.cometbft.Fixtures.nodeLog(1, 1) // one fully valid file
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/good_cometbft.log"),
+      meta.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/empty_cometbft.log"),
+      Array.empty[Byte])
+    val ex = intercept[IllegalArgumentException] {
+      graft.cometbft.LogIngest.read(spark, dir).count()
+    }
+    assert(ex.getMessage.contains("node ID or validator address not found") &&
+      ex.getMessage.contains("empty_cometbft"), s"unexpected failure: $ex")
+  }
+
   test("S5 first-match inference: wait-step lines collapse into prevote/precommit (parsers.go:94-128)") {
     // The reference scans [propose, prevote, prevote_wait, precommit,
     // precommit_wait, commit] and breaks on the first substring hit, so

@@ -73,4 +73,60 @@ class StreamingRecoverySpec extends AnyFunSuite {
     // a state-losing restart would drop or duplicate them
     assert(b == a, s"restarted run diverged: ${b.size} vs ${a.size} rows")
   }
+
+  /** The q55-pattern restart harness shared by the J3/J4 machines: run A
+    * uninterrupted over all four logs; run B processes two logs, stops,
+    * and restarts from the SAME checkpoint for the other two. */
+  private def restartParity(prefix: String,
+      machine: (SparkSession, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.Dataset[_],
+      resultCols: Seq[String]): Unit = {
+    def runStream(logDir: String, out: String, cp: String): Unit = {
+      val q = machine(spark, StreamingPipeline.events(spark, logDir, maxFilesPerTrigger = Some(1)))
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def result(out: String): Seq[String] =
+      spark.read.parquet(out)
+        .select(resultCols.head, resultCols.tail: _*)
+        .collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+
+    val dirA = tmp(s"$prefix-a"); val outA = tmp(s"$prefix-a-out")
+    writeNodeFiles(dirA, 0 until 4, heights = 3)
+    runStream(dirA, outA, tmp(s"$prefix-a-cp"))
+
+    val dirB = tmp(s"$prefix-b"); val outB = tmp(s"$prefix-b-out")
+    val cpB = tmp(s"$prefix-b-cp")
+    writeNodeFiles(dirB, 0 until 2, heights = 3)
+    runStream(dirB, outB, cpB)
+    writeNodeFiles(dirB, 2 until 4, heights = 3)
+    runStream(dirB, outB, cpB)
+
+    val a = result(outA)
+    val b = result(outB)
+    assert(a.nonEmpty)
+    assert(b == a, s"restarted run diverged: ${b.size} vs ${a.size} rows")
+  }
+
+  test("p2p machine restarted from checkpoint equals the uninterrupted run") {
+    // all 8 families' entries are keyed state; the second half of the logs
+    // carries the receives that confirm first-half sends
+    restartParity("graft-recovery-p2p",
+      (s, ev) => StreamingPipeline.p2pConfirmStream(s, ev),
+      Seq("msgFamily", "sender", "receiver", "height", "sentNs", "receivedNs", "latencyMs"))
+  }
+
+  test("network-latency machine restarted from checkpoint equals the uninterrupted run") {
+    // the epoch-buffered send queues + raw fallback pool are exactly the
+    // state most at risk across a restart
+    restartParity("graft-recovery-nl",
+      (s, ev) => StreamingPipeline.networkLatencyStream(s, ev),
+      Seq("rawHash", "sender", "receiver", "sentNs", "receivedNs", "matchType",
+        "msgType", "latencyMs"))
+  }
 }
