@@ -112,6 +112,25 @@ object Bench {
       val (b1, ok1) = once(); val (b2, ok2) = once()
       if (ok1 && ok2) math.min(b1, b2) else -1.0
     }
+    // Same honesty split for the connected-components LABEL build (q35 and
+    // q60 read the materialized label table; the CC iteration itself is
+    // timed here, with the pair graph already built so it measures
+    // labeling only).
+    val labelBuild = {
+      def once(): (Double, Boolean) = {
+        graft.queries.TextQueries.invalidateDedupLabels(sfDir)
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.queries.TextQueries.buildDedupLabels(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q35_cc_label_build FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (b1, ok1) = once(); val (b2, ok2) = once()
+      if (ok1 && ok2) math.min(b1, b2) else -1.0
+    }
     // CometBFT end-to-end: the fixture pipeline (q40-q53) is otherwise
     // invisible to BENCH, so an Analytics-suite performance regression
     // would never show up. Fixture GENERATION happens once outside the
@@ -135,6 +154,7 @@ object Bench {
       if (ok1 && ok2) math.min(b1, b2) else -1.0
     }
     val results = run2 :+ ("q35_pair_graph_build" -> pairBuild) :+
+      ("q35_cc_label_build" -> labelBuild) :+
       ("cometbft_e2e_pipeline" -> cometbftE2e)
     val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

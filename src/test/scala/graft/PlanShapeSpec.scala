@@ -98,4 +98,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q59_repetition")
     assert(!p.contains("Exchange hashpartitioning"), "repetition score must not shuffle")
   }
+
+  test("q62 decontamination joins the benchmark shingle index by broadcast") {
+    val p = plan("q62_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark index not broadcast")
+  }
+
+  test("q66 domain mixing broadcasts the domain-counts dimension") {
+    val p = plan("q66_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), "domain counts not broadcast")
+  }
 }

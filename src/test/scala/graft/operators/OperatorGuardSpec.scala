@@ -36,6 +36,22 @@ class OperatorGuardSpec extends AnyFunSuite {
     assert(folded == unrolled)
   }
 
+  test("kmeansTrain: both assignment paths stay narrow - exactly the one update shuffle") {
+    import org.apache.spark.sql.execution.FormattedMode
+    import spark.implicits._
+    // whatever the path, the output plan is scan -> narrow argmax ->
+    // partial agg -> ONE exchange -> final agg; a join or window sneaking
+    // into the assignment would add exchanges
+    for (ck <- Seq(0, 1000)) {
+      val p = Similarity.kmeansTrain(embeddings, "vec_id", "embedding",
+        isSeed = $"vec_id" < 100, iters = 1, codegenMaxK = ck)
+        .queryExecution.explainString(FormattedMode)
+      val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+      assert(exchanges == 1, s"codegenMaxK=$ck: expected 1 exchange, saw $exchanges:\n$p")
+      assert(!p.contains("Join"), s"codegenMaxK=$ck: assignment must not join")
+    }
+  }
+
   test("kmeansTrain: seed sets over maxSeeds fail loudly, never a bulk collect") {
     import spark.implicits._
     val ex = intercept[IllegalArgumentException] {
