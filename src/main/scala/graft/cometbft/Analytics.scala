@@ -20,6 +20,15 @@ import graft.operators.{ExactPercentiles, PairingJoin, Sessionize}
 trait Analytic {
   def name: String
   def run(events: DataFrame): Seq[(String, DataFrame)]
+
+  /** Like [[run]], but may REUSE result tables already materialized by
+    * earlier analytics of the same pipeline run (keyed by table name) —
+    * the "store once, read downstream" boundary extended to derived
+    * tables. Default: ignore them (every analytic is self-contained, as
+    * in the reference's independent plugins); composites like
+    * TracerEvents override to avoid recomputing a sibling's machine. */
+  def runFrom(events: DataFrame, stored: Map[String, DataFrame]): Seq[(String, DataFrame)] =
+    run(events)
 }
 
 object Analytics {
@@ -603,11 +612,18 @@ object Analytics {
     * re-sorted by timestamp. */
   object TracerEvents extends Analytic {
     val name = "tracer_events"
-    def run(events: DataFrame): Seq[(String, DataFrame)] = {
-      val consensus = ConsensusSteps.run(events).head._2
+    def run(events: DataFrame): Seq[(String, DataFrame)] =
+      runFrom(events, Map.empty)
+    /** The consensus and p2p sides come from the sibling analytics'
+      * STORED tables when the pipeline already wrote them (the round-6
+      * profile had the full 8-family p2p machine running twice per
+      * pipeline); standalone runs fall back to computing them. */
+    override def runFrom(events: DataFrame, stored: Map[String, DataFrame])
+        : Seq[(String, DataFrame)] = {
+      val consensus = stored.getOrElse("consensus_steps", ConsensusSteps.run(events).head._2)
         .withColumn("stream", lit("consensus"))
         .withColumn("sort_ns", col("ts_ns"))
-      val p2p = P2pMessages.run(events).head._2
+      val p2p = stored.getOrElse("p2p_messages", P2pMessages.run(events).head._2)
         .withColumn("stream", lit("p2p"))
         .withColumn("event_type", concat(lit("p2p_"), col("msg_family")))
         .withColumn("sort_ns", col("received_ns"))

@@ -33,11 +33,17 @@ object Pipeline {
     val stored = spark.read.parquet(eventsPath)
     val counts = scala.collection.mutable.Map[String, Long](
       "events" -> stored.count())
+    // later analytics may read the tables earlier ones wrote (runFrom) —
+    // e.g. the tracer unions the stored consensus + p2p tables instead of
+    // re-running both machines
+    var written = Map.empty[String, DataFrame]
     analytics.foreach { a =>
-      a.run(stored).foreach { case (table, df) =>
+      a.runFrom(stored, written).foreach { case (table, df) =>
         val path = s"$warehouse/$table"
         df.write.mode("overwrite").parquet(path)
-        counts(table) = spark.read.parquet(path).count()
+        val back = spark.read.parquet(path)
+        counts(table) = back.count()
+        written += table -> back
       }
     }
     counts.toMap
