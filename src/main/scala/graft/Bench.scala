@@ -34,7 +34,10 @@ object Bench {
     // round 5: decontamination, k-means IVF training, int8 quantization,
     // training order, domain mixing
     "q62_decontaminate", "q63_kmeans_train", "q64_int8_quant",
-    "q65_train_order", "q66_domain_mix")
+    "q65_train_order", "q66_domain_mix",
+    // round 6: normalized decontamination, tokenizer-training pair counts,
+    // integer tf-idf keywords
+    "q68_decontaminate_norm", "q71_bpe_merges", "q72_tfidf_keywords")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -273,6 +273,19 @@ object TextQueries {
       isBenchmark = $"doc_id" % 50 === 0, n = 3, normalize = true)
   }
 
+  // ---------------------------------------------------------------- q71
+  /** Tokenizer training, first merge round: top-20 adjacent character
+    * pairs inside words, weighted by word frequency — the argmax is BPE's
+    * first merge rule. */
+  def q71BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VocabOps.bpePairCounts(Tables(spark, dir).documents, "text", topK = 20)
+
+  // ---------------------------------------------------------------- q72
+  /** Integer TF-IDF keywords: each document's top-3 tokens by
+    * `tf * 1e6 // df`, ties on the token string. */
+  def q72TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VocabOps.tfidfKeywords(Tables(spark, dir).documents, "doc_id", "text", k = 3)
+
   // ---------------------------------------------------------------- q65
   /** Deterministic training order: md5-keyed global shuffle into 8 shards
     * with a dense in-shard position — the reproducible "shuffle once, read
@@ -294,6 +307,8 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_decontaminate"    -> q62Decontaminate _,
     "q68_decontaminate_norm" -> q68DecontaminateNorm _,
+    "q71_bpe_merges"       -> q71BpeMerges _,
+    "q72_tfidf_keywords"   -> q72TfidfKeywords _,
     "q65_train_order"      -> q65TrainOrder _,
     "q66_domain_mix"       -> q66DomainMix _,
     "q57_sequence_packing" -> q57SequencePacking _,
@@ -543,6 +558,26 @@ object TextQueries {
          |       ELSE COALESCE(h.n_cont, 0) * 1000000 // n_ngrams END AS BIGINT) AS contam_ppm,
          |  (COALESCE(h.n_cont, 0) > 0) AS contaminated
          |FROM corpus LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q71_bpe_merges" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_occ FROM w GROUP BY w),
+         |p AS (SELECT unnest(list_transform(generate_series(1, length(w)-1),
+         |                i -> substr(w, i, 2))) AS pair, n_occ
+         |  FROM wc WHERE length(w) >= 2),
+         |pc AS (SELECT pair, CAST(SUM(n_occ) AS BIGINT) AS cnt FROM p GROUP BY pair),
+         |r AS (SELECT pair, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank FROM pc)
+         |SELECT pair, cnt, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20""".stripMargin,
+    "q72_tfidf_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |s AS (SELECT doc_id, tok, tf, df, CAST(tf * 1000000 // df AS BIGINT) AS score_ppm
+         |  FROM tf JOIN df USING (tok)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, tok ASC) AS rank
+         |  FROM s)
+         |SELECT doc_id, tok, tf, df, score_ppm, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
     "q65_train_order" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CAST(concat('0x', substr(md5(concat('ord:', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT) AS h

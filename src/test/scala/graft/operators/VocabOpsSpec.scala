@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-checked cases for the vocabulary operators: pair weighting by
+  * word frequency, single-char word exclusion, rank tie-breaks, and the
+  * integer tf-idf ordering. */
+class VocabOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bpePairCounts: frequency-weighted pairs, 1-char words excluded, ties by pair") {
+    import spark.implicits._
+    // "ab" x3 (docs 1,1,2), "abc" x1, "a" x2 (never pairs)
+    val docs = Seq((1L, "ab ab a"), (2L, "ab abc a")).toDF("doc_id", "text")
+    val out = VocabOps.bpePairCounts(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq.sortBy(_._3)
+    // pairs: ab: 3(from "ab") + 1(from "abc") = 4; bc: 1
+    assert(out == Seq(("ab", 4L, 1), ("bc", 1L, 2)))
+  }
+
+  test("bpePairCounts: overlapping pairs inside one word all count") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val out = VocabOps.bpePairCounts(docs, "text", topK = 5).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("aa", 2L)))
+  }
+
+  test("tfidfKeywords: rare tokens outrank frequent corpus-wide tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared rare1"),   // "shared" df=3; rare1 df=1
+      (2L, "shared rare2 rare2"),
+      (3L, "shared")
+    ).toDF("doc_id", "text")
+    val out = VocabOps.tfidfKeywords(docs, "doc_id", "text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSeq.sortBy(_._1)
+    // doc1: shared tf2/df3 = 666666 vs rare1 1e6 -> rare1 wins
+    // doc2: rare2 tf2/df1 = 2e6 wins; doc3 only has shared (333333)
+    assert(out == Seq((1L, "rare1", 1000000L), (2L, "rare2", 2000000L),
+      (3L, "shared", 333333L)))
+  }
+
+  test("tfidfKeywords: score ties break on the token string") {
+    import spark.implicits._
+    val docs = Seq((1L, "bbb aaa"), (2L, "bbb aaa")).toDF("doc_id", "text")
+    // both tokens: tf=1, df=2 -> same score; "aaa" < "bbb"
+    val out = VocabOps.tfidfKeywords(docs, "doc_id", "text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(out == Seq((1L, "aaa"), (2L, "aaa")))
+  }
+}
