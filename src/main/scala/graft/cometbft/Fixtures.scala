@@ -418,6 +418,92 @@ object Fixtures {
     dir
   }
 
+  /** Two-node adversarial scenario for the consensus-timing analytic
+    * (A1 sessionization + J5 commit lookup,
+    * `consensus-timing/processor.go:33-160`), with every edge in the
+    * deterministic agreement zone of the machine (events in timestamp
+    * order = canonical step order; repeats adjacent), so the q73 oracle
+    * derives exactly from the reference:
+    *
+    *  - h=401 full canonical round: every consecutive-step duration;
+    *  - h=402 missing steps: durations skip to the nearest PRIOR step
+    *    present (`calculateStepDuration`'s backward scan, `:110-133`);
+    *  - h=403 no new-round, never committed: the round is CREATED by a
+    *    step transition (start = that step), flushed at end-of-input
+    *    with end = max transition (`completeRound`, `:135-151`);
+    *  - h=404 TWO open rounds, one commit: the commit closes the
+    *    max-round entry (the reference iterates a Go map —
+    *    nondeterministic; max(round) is the repo's documented
+    *    deterministic choice, SURVEY §7.4) and round 0 flushes
+    *    uncommitted;
+    *  - h=405 repeated step: last observation wins (map overwrite,
+    *    `:84`), so the repeat's ts feeds both surrounding durations;
+    *  - h=406 on node B: (node, height, round) key isolation.
+    *
+    * The q73 oracle rows are HAND-DERIVED on paper — NOT a gen_golden.py
+    * pin (never add q73 to its GOLDEN list). */
+  def writeAdversarialTimingScenario(dir: String): String = {
+    val T  = t0Nanos + 11000000000L
+    val ms = 1000000L
+    val a  = nodeIds(0); val b = nodeIds(1)
+    def newRound(h: Long, r: Long, at: Long) =
+      line("Entering new round", at, "current" -> s"$h/$r/RoundStepNewHeight",
+        "previous" -> s"${h - 1}/0/RoundStepCommit", "proposer" -> valAddrs(0),
+        "height" -> h, "round" -> r)
+    def propose(h: Long, r: Long, at: Long) =
+      line("Propose step; not our turn to propose", at,
+        "height" -> h, "round" -> r, "proposer" -> valAddrs(0))
+    def step(msg: String, h: Long, r: Long, prev: String, at: Long) =
+      line(msg, at, "current" -> s"$h/$r/$prev", "height" -> h, "round" -> r)
+    def committed(h: Long, at: Long) =
+      line("Committed block", at, "height" -> h,
+        "block" -> s"Block{\n  Header{\n    Height: $h\n  }#${blockHash(h)}\n}#${blockHash(h)}")
+
+    val aLog = Seq(
+      line("P2P Node ID", T, "ID" -> a, "file" -> "nodeA/key.json"),
+      line("This node is a validator", T + 500L, "addr" -> valAddrs(0), "pubKey" -> "PUBA=="),
+      // h=401: full canonical chain
+      newRound(401L, 0L, T + 10 * ms),
+      propose(401L, 0L, T + 12 * ms),
+      step("Entering prevote step", 401L, 0L, "RoundStepPropose", T + 15 * ms),
+      step("Entering precommit step", 401L, 0L, "RoundStepPrevote", T + 19 * ms),
+      step("Entering commit step", 401L, 0L, "RoundStepPrecommit", T + 24 * ms),
+      committed(401L, T + 30 * ms),
+      // h=402: propose and precommit never observed
+      newRound(402L, 0L, T + 40 * ms),
+      step("Entering prevote step", 402L, 0L, "RoundStepPropose", T + 43 * ms),
+      step("Entering commit step", 402L, 0L, "RoundStepPrecommit", T + 47 * ms),
+      committed(402L, T + 52 * ms),
+      // h=403: created by the propose step, never committed
+      propose(403L, 0L, T + 60 * ms),
+      step("Entering prevote step", 403L, 0L, "RoundStepPropose", T + 63 * ms),
+      step("Entering precommit step", 403L, 0L, "RoundStepPrevote", T + 67 * ms),
+      // h=404: rounds 0 and 1 both open; the commit closes round 1
+      newRound(404L, 0L, T + 80 * ms),
+      step("Entering prevote step", 404L, 0L, "RoundStepPropose", T + 82 * ms),
+      newRound(404L, 1L, T + 85 * ms),
+      step("Entering prevote step", 404L, 1L, "RoundStepPropose", T + 88 * ms),
+      committed(404L, T + 95 * ms),
+      // h=405: propose observed twice; the later ts wins both durations
+      newRound(405L, 0L, T + 100 * ms),
+      propose(405L, 0L, T + 102 * ms),
+      propose(405L, 0L, T + 104 * ms),
+      step("Entering prevote step", 405L, 0L, "RoundStepPropose", T + 107 * ms),
+      committed(405L, T + 112 * ms))
+    val bLog = Seq(
+      line("P2P Node ID", T + 1000L, "ID" -> b, "file" -> "nodeB/key.json"),
+      line("This node is a validator", T + 1500L, "addr" -> valAddrs(1), "pubKey" -> "PUBB=="),
+      newRound(406L, 0L, T + 120 * ms),
+      step("Entering prevote step", 406L, 0L, "RoundStepPropose", T + 124 * ms),
+      committed(406L, T + 130 * ms))
+
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    Files.write(p.resolve("nodeA_cometbft.log"), aLog.mkString("\n").getBytes("UTF-8"))
+    Files.write(p.resolve("nodeB_cometbft.log"), bLog.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
   /** Two-node adversarial scenario for the J4 network-latency two-pass
     * matcher (`network-latency/processor.go:122-328`) — the machine whose
     * other CORRECTNESS rows (q11/q52) are pipeline-pinned goldens. Covers,
