@@ -504,6 +504,79 @@ object Fixtures {
     dir
   }
 
+  /** Two-node adversarial scenario for the timeout-analysis machine
+    * (J6 step-start join + A8 aggregate + A9 recovery flag + A10 dual-
+    * predicate clusters, `timeout-analysis/processor.go:101-247`), inside
+    * the machine's deterministic agreement zone (events in ts order,
+    * heights non-decreasing per node — a height DROP wraps the unsigned
+    * delta in the reference and breaks the cluster, an order artifact the
+    * repo's signed delta rationalizes away):
+    *
+    *  - J6: a timeout with its step's start present gets TimeInStep;
+    *    a missing step start (h501 r0, h502+) leaves it NULL; the join is
+    *    per (height, round, step) — r1's start never serves r0;
+    *  - A9: recovery iff >= 2 STRICTLY-EARLIER timeouts in rounds
+    *    [r-2, r] of the SAME height (`isRecoveryTimeout`, `:201-208`) —
+    *    covered: exactly-2 threshold, window lower edge (r6 sees nothing
+    *    in [4,6]), height isolation, and round-0 underflow;
+    *  - A10: one cluster chained across heights 500-502 (gaps small,
+    *    deltas <= 5), broken by a height jump to 510 (delta 8), a second
+    *    3-event cluster 510-512, then a 35 s gap leaving a trailing
+    *    singleton that is discarded (< 3 events);
+    *  - A8: per-node totals incl. integer-div average duration and the
+    *    exact-double timeouts-per-round (12/2), with node B's single
+    *    timeout pinning key isolation and the total_rounds=0 NULL.
+    *
+    * The q74/q75/q76 oracle rows are HAND-DERIVED on paper — NOT
+    * gen_golden.py pins (never add them to its GOLDEN list). */
+  def writeAdversarialTimeoutScenario(dir: String): String = {
+    val T  = t0Nanos + 13000000000L
+    val ms = 1000000L
+    val a  = nodeIds(0); val b = nodeIds(1)
+    def newRound(h: Long, r: Long, at: Long) =
+      line("Entering new round", at, "current" -> s"$h/$r/RoundStepNewHeight",
+        "previous" -> s"${h - 1}/0/RoundStepCommit", "proposer" -> valAddrs(0),
+        "height" -> h, "round" -> r)
+    def propose(h: Long, r: Long, at: Long) =
+      line("Propose step; not our turn to propose", at,
+        "height" -> h, "round" -> r, "proposer" -> valAddrs(0))
+    def step(msg: String, h: Long, r: Long, prev: String, at: Long) =
+      line(msg, at, "current" -> s"$h/$r/$prev", "height" -> h, "round" -> r)
+    def timeout(h: Long, r: Long, st: String, dur: String, at: Long) =
+      line("Scheduled timeout", at, "dur" -> dur, "height" -> h, "round" -> r, "step" -> st)
+
+    val aLog = Seq(
+      line("P2P Node ID", T, "ID" -> a, "file" -> "nodeA/key.json"),
+      line("This node is a validator", T + 500L, "addr" -> valAddrs(0), "pubKey" -> "PUBA=="),
+      newRound(500L, 0L, T + 8 * ms),
+      propose(500L, 0L, T + 10 * ms),
+      step("Entering prevote step", 500L, 0L, "RoundStepPropose", T + 14 * ms),
+      timeout(500L, 0L, "prevote", "1s", T + 20 * ms),     // step start @14 -> 6ms
+      timeout(500L, 0L, "precommit", "500ms", T + 22 * ms),// no precommit start -> NULL
+      newRound(501L, 0L, T + 38 * ms),
+      timeout(501L, 0L, "prevote", "1s", T + 40 * ms),     // r0 has no prevote start
+      step("Entering prevote step", 501L, 1L, "RoundStepPropose", T + 42 * ms),
+      timeout(501L, 1L, "prevote", "2s", T + 44 * ms),     // r1 start @42 -> 2ms
+      timeout(501L, 2L, "prevote", "1s", T + 48 * ms),     // priors r0,r1 -> RECOVERY
+      timeout(501L, 3L, "precommit", "3s", T + 52 * ms),   // priors r1,r2 -> RECOVERY
+      timeout(501L, 6L, "propose", "1s", T + 56 * ms),     // window [4,6]: none
+      timeout(502L, 0L, "prevote", "1s", T + 80 * ms),     // height isolation
+      timeout(510L, 0L, "prevote", "1s", T + 85 * ms),     // delta 8 breaks cluster 1
+      timeout(511L, 0L, "precommit", "2s", T + 87 * ms),
+      timeout(512L, 0L, "prevote", "1s", T + 89 * ms),
+      timeout(512L, 1L, "propose", "4s", T + 35000 * ms))  // 35 s gap: trailing singleton
+    val bLog = Seq(
+      line("P2P Node ID", T + 1000L, "ID" -> b, "file" -> "nodeB/key.json"),
+      line("This node is a validator", T + 1500L, "addr" -> valAddrs(1), "pubKey" -> "PUBB=="),
+      timeout(500L, 0L, "prevote", "1500ms", T + 100 * ms))
+
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    Files.write(p.resolve("nodeA_cometbft.log"), aLog.mkString("\n").getBytes("UTF-8"))
+    Files.write(p.resolve("nodeB_cometbft.log"), bLog.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
   /** Two-node adversarial scenario for the J4 network-latency two-pass
     * matcher (`network-latency/processor.go:122-328`) — the machine whose
     * other CORRECTNESS rows (q11/q52) are pipeline-pinned goldens. Covers,
