@@ -577,6 +577,74 @@ object Fixtures {
     dir
   }
 
+  /** Two-node adversarial scenario for the validator-participation
+    * machine (A2+J7, `validator-participation/processor.go:10-180`),
+    * self-signed votes only (relayed votes hit the reference's
+    * shared-state key-mismatch bug — rationalized per SURVEY §7.4):
+    *
+    *  - h=601 the full shape: both step starts, two prevotes + one
+    *    precommit, all latencies present;
+    *  - h=602 votes with NO step start: participated without latency,
+    *    on-time FALSE (never measured);
+    *  - h=603 the on-time boundary AND last-vote semantics: latencies
+    *    exactly 1000 (on time, `<=`) then 1005 — the flag follows the
+    *    LAST vote, so it flips false while the average keeps both;
+    *  - h=604 round keying: a round-1 vote measures against the round-1
+    *    step start; the round-0 vote of the same height has none;
+    *  - h=605 type isolation: a precommit in a prevote-only round;
+    *  - node B votes against ITS OWN prevote start (@20, latency 6) —
+    *    per-node step starts, the repo's documented rationalization of
+    *    the reference's node-less shared map (q77 pins it).
+    *
+    * The q77 oracle rows are HAND-DERIVED on paper — NOT a gen_golden.py
+    * pin (never add q77 to its GOLDEN list). */
+  def writeAdversarialParticipationScenario(dir: String): String = {
+    val T  = t0Nanos + 15000000000L
+    val ms = 1000000L
+    val a  = nodeIds(0); val b = nodeIds(1)
+    def vMsg(tpe: Int, h: Long, r: Long, signer: Int): Array[Byte] =
+      encodeConsensusMessage(Vote(tpe, h, r.toInt,
+        BlockID(blockHash(h).getBytes, PartSetHeader(1, psHash(h).getBytes)),
+        t0Nanos + h * 1000000L + tpe, valAddrs(signer).getBytes, signer, Array[Byte](7, 7)))
+    def sendVote(from: Int, tpe: Int, h: Long, r: Long, at: Long) = {
+      val peer = if (from == 0) b else a
+      val ip   = if (from == 0) "10.0.0.1" else "10.0.0.0"
+      line("Send", at, "channel" -> 0x22L, "conn" -> "MConn{pipe}",
+        "msgBytes" -> hexStr(vMsg(tpe, h, r, from)), "peer" -> s"$peer@$ip:26656")
+    }
+    def step(msg: String, h: Long, r: Long, prev: String, at: Long) =
+      line(msg, at, "current" -> s"$h/$r/$prev", "height" -> h, "round" -> r)
+
+    val aLog = Seq(
+      line("P2P Node ID", T, "ID" -> a, "file" -> "nodeA/key.json"),
+      line("This node is a validator", T + 500L, "addr" -> valAddrs(0), "pubKey" -> "PUBA=="),
+      step("Entering prevote step", 601L, 0L, "RoundStepPropose", T + 10 * ms),
+      sendVote(0, 1, 601L, 0L, T + 12 * ms),    // prevote latency 2
+      step("Entering precommit step", 601L, 0L, "RoundStepPrevote", T + 14 * ms),
+      sendVote(0, 1, 601L, 0L, T + 16 * ms),    // prevote latency 6
+      sendVote(0, 2, 601L, 0L, T + 18 * ms),    // precommit latency 4
+      sendVote(0, 1, 602L, 0L, T + 30 * ms),    // no step start: no latency
+      step("Entering prevote step", 603L, 0L, "RoundStepPropose", T + 40 * ms),
+      step("Entering prevote step", 604L, 1L, "RoundStepPropose", T + 60 * ms),
+      sendVote(0, 1, 604L, 1L, T + 63 * ms),    // round-1 latency 3
+      sendVote(0, 1, 604L, 0L, T + 65 * ms),    // round 0 has no start
+      step("Entering prevote step", 605L, 0L, "RoundStepPropose", T + 80 * ms),
+      sendVote(0, 2, 605L, 0L, T + 85 * ms),    // precommit in prevote-only round
+      sendVote(0, 1, 603L, 0L, T + 1040 * ms),  // latency exactly 1000: on time
+      sendVote(0, 1, 603L, 0L, T + 1045 * ms))  // latency 1005: LAST vote late
+    val bLog = Seq(
+      line("P2P Node ID", T + 1000L, "ID" -> b, "file" -> "nodeB/key.json"),
+      line("This node is a validator", T + 1500L, "addr" -> valAddrs(1), "pubKey" -> "PUBB=="),
+      step("Entering prevote step", 601L, 0L, "RoundStepPropose", T + 20 * ms),
+      sendVote(1, 1, 601L, 0L, T + 26 * ms))    // vs B's OWN start: latency 6
+
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    Files.write(p.resolve("nodeA_cometbft.log"), aLog.mkString("\n").getBytes("UTF-8"))
+    Files.write(p.resolve("nodeB_cometbft.log"), bLog.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
   /** Two-node adversarial scenario for the J4 network-latency two-pass
     * matcher (`network-latency/processor.go:122-328`) — the machine whose
     * other CORRECTNESS rows (q11/q52) are pipeline-pinned goldens. Covers,
