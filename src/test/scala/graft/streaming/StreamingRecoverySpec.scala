@@ -25,13 +25,19 @@ class StreamingRecoverySpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(prefix).toString
 
   /** Write each node's log into `dir` one file at a time via the callback
-    * so the test controls which files exist at each phase. */
+    * so the test controls which files exist at each phase. Modification
+    * times are pinned strictly increasing per node index: the file source
+    * orders same-batch files by mtime, and the pairing machines' arrival
+    * semantics are order semantics — an mtime TIE would let runs A and B
+    * process files in different orders and legitimately diverge (observed
+    * flake on the network-latency machine under suite load). */
   private def writeNodeFiles(dir: String, nodes: Range, heights: Int): Unit =
     nodes.foreach { n =>
       val lines = Fixtures.nodeLog(n, heights)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$dir/node$n.log"),
-        lines.mkString("\n").getBytes("UTF-8"))
+      val p = java.nio.file.Paths.get(s"$dir/node$n.log")
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + n * 1000L))
     }
 
   test("vote machine restarted from checkpoint equals the uninterrupted run") {
