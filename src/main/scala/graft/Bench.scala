@@ -36,8 +36,11 @@ object Bench {
     "q62_decontaminate", "q63_kmeans_train", "q64_int8_quant",
     "q65_train_order", "q66_domain_mix",
     // round 6: normalized decontamination, tokenizer-training pair counts,
-    // integer tf-idf keywords
-    "q68_decontaminate_norm", "q71_bpe_merges", "q72_tfidf_keywords")
+    // integer tf-idf keywords, boilerplate detection, repeated-span
+    // coverage, importance weighting
+    "q68_decontaminate_norm", "q71_bpe_merges", "q72_tfidf_keywords",
+    "q78_boilerplate_ngrams", "q79_repeated_spans", "q80_importance_weights",
+    "q81_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

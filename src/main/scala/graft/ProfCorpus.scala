@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Scratch stage-level profiler for the round-6 corpus-hygiene queries
+  * (not part of the driver contract; safe to delete). */
+object ProfCorpus {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(label: String)(f: => Long): Unit = {
+      f; f
+      val t0 = System.nanoTime(); val n = f
+      println(f"$label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s   rows=$n")
+    }
+
+    val docs = Tables(spark, dir).documents
+
+    time("tokens explode") {
+      docs.select(explode(tokens(col("text"))).as("t")).count()
+    }
+    time("3-gram explode") {
+      docs.select(explode(wordShingles(tokens(col("text")), 3)).as("g")).count()
+    }
+    time("5-gram explode") {
+      docs.select(explode(wordShingles(tokens(col("text")), 5)).as("g")).count()
+    }
+    time("3-gram shingleRows (relational)") {
+      graft.operators.Dedup.shingleRows(docs, "doc_id", "text", 3).count()
+    }
+    time("5-gram shingleRows + hash60") {
+      graft.operators.Dedup.shingleRows(docs, "doc_id", "text", 5)
+        .select(hash60(col("s"))).count()
+    }
+    time("q78 full") {
+      graft.queries.TextQueries.q78BoilerplateNgrams(spark, dir).count()
+    }
+    time("q79 full") {
+      val n = graft.queries.TextQueries.q79RepeatedSpans(spark, dir).count()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      n
+    }
+    time("q80 full") {
+      graft.queries.TextQueries.q80ImportanceWeights(spark, dir).count()
+    }
+    spark.stop()
+  }
+}

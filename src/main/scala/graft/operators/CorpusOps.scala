@@ -198,6 +198,134 @@ object CorpusOps {
       .select(col("domain"), col("n_docs"), col("keep_ppm"), col("n_sampled"))
   }
 
+  /** Corpus-wide boilerplate detection: the top-`k` word `n`-grams by
+    * total occurrence count (ties broken by n-gram text ascending), with
+    * the number of distinct documents each appears in. Navigation chrome,
+    * cookie banners, and template spam surface as n-grams whose doc
+    * frequency rivals the corpus size — the C4/RefinedWeb-style signal
+    * for "this span is site furniture, not content".
+    *
+    * Scale: spans come from the codegen'd relational shingle builder
+    * ([[Dedup.shingleRows]] — posexplode + window leads; the higher-order
+    * `transform` runs interpreted and is 10x slower), then a two-level
+    * aggregation — (gram, doc) partial counts, then per-gram totals —
+    * which gives the distinct-doc count without Spark's expand
+    * duplication, both levels map-side combined. The top-k is
+    * `orderBy(...).limit(k)`, which Spark executes as
+    * TakeOrderedAndProject — per-partition heaps of k rows, never a
+    * global sort of the n-gram table. */
+  def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame =
+    Dedup.shingleRows(docs, idCol, textCol, n)
+      .select(col("doc"), col("s").as("gram"))
+      .groupBy(col("gram"), col("doc"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("gram"))
+      .agg(sum(col("c")).as("occurrences"),
+        count(lit(1)).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("gram").asc)
+      .limit(k)
+
+  /** Repeated-span coverage — the memorization-risk diagnostic from the
+    * "Deduplicating Training Data Makes Language Models Better" line of
+    * work: for each document, how many of its word `n`-gram positions are
+    * covered by a span that occurs MORE THAN ONCE corpus-wide (counting
+    * multiplicity, so a span repeated within one document counts too).
+    * High coverage marks documents that are mostly duplicated text even
+    * when no single whole-document near-dup exists.
+    *
+    * Scale: spans come from the codegen'd relational shingle builder
+    * ([[Dedup.shingleRows]]) and travel the per-span shuffle as 60-bit
+    * hashes, never strings (collisions can only overcount repeats —
+    * acceptable for a diagnostic, and reproduced exactly by the oracle
+    * which uses the same hash). One aggregation per span hash (map-side
+    * combined), one join back to the exploded spans on that same hash
+    * partitioning (exchange reused), one per-document aggregation. No
+    * all-pairs anywhere. */
+  def repeatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    // The span table feeds two branches (the frequency aggregate and the
+    // join side); one localCheckpoint = one compute of the explode+hash
+    // pipeline (the Dedup sketch-table pattern — persist to reliable
+    // storage at cluster scale).
+    val spans = Dedup.shingleRows(docs, idCol, textCol, n)
+      .select(col("doc"), hash60(col("s")).as("h"))
+      .localCheckpoint()
+    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val perDoc = spans
+      .join(freq, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") > 1L, 1L).otherwise(0L)).as("n_repeated"))
+    docs
+      .select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        ppm(coalesce(col("n_repeated"), lit(0L)), coalesce(col("n_spans"), lit(0L)))
+          .as("repeated_ppm"))
+  }
+
+  /** DSIR-style importance weighting (hashed-feature variant): score every
+    * non-target document by how much its hashed unigram distribution looks
+    * like the `isTarget` slice — the standard "select web data that
+    * resembles the curated set" step before pretraining. Features are
+    * tokens hashed into `buckets` bins; each bin gets a Laplace-smoothed
+    * affinity ratio in exact ppm:
+    *
+    *   affinity(f) = floor(1e6 * ((tgt(f)+1) / (TGT_TOTAL+buckets))
+    *                           / ((raw(f)+1) / (RAW_TOTAL+buckets)))
+    *
+    * (> 1e6 means the feature is over-represented in the target). A
+    * document's score is the truncating integer mean affinity over its
+    * token positions.
+    *
+    * Determinism: counts are exact i64; the probability ratio is a FIXED
+    * IEEE double op sequence (two divisions, one multiply, floor — the
+    * [[domainMix]] pattern), bit-identical across engines. Doubles
+    * represent every count exactly up to 2^53 (~9e15), so the formula
+    * never overflows at any realistic corpus size — the naive all-integer
+    * cross-product `(tgt+1)*(RAW_TOTAL+buckets)` would blow past int64 at
+    * ~1e13 corpus tokens.
+    *
+    * Scale: the feature table is bounded by `buckets` (default 2^18) rows
+    * regardless of corpus size — that is the point of hashing — so it
+    * broadcasts; token scoring is explode + broadcast-join + one
+    * per-document aggregation (map-side combined). The two corpus-total
+    * counts ride the same feature aggregate (no extra pass). */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 1 << 18): DataFrame = {
+    val toks = docs
+      .withColumn("is_target", isTarget)
+      .select(col(idCol).as("doc"), col("is_target"),
+        explode(tokens(col(textCol))).as("tok"))
+      .withColumn("f", pmod(hash60(col("tok")), lit(buckets.toLong)))
+    // The feature table is bounded (<= buckets rows) and feeds two
+    // branches (the totals aggregate and the scoring join): materialize
+    // it once. The corpus-sized token explode is NOT checkpointed — it
+    // is recomputed for the scoring join (one extra narrow scan), which
+    // at 100 TB is far cheaper than materializing every token row.
+    val feat = toks
+      .groupBy(col("f"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("raw"))
+      .localCheckpoint()
+    val totals = feat.agg(sum(col("tgt")).as("tgt_total"), sum(col("raw")).as("raw_total"))
+    toks.filter(!col("is_target"))
+      .join(broadcast(feat), Seq("f"))
+      .crossJoin(broadcast(totals))
+      .withColumn("affinity_ppm",
+        floor(lit(1000000.0d) *
+          ((col("tgt") + 1L).cast("double") / (col("tgt_total") + buckets.toLong).cast("double")) /
+          ((col("raw") + 1L).cast("double") / (col("raw_total") + buckets.toLong).cast("double")))
+          .cast("long"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        intDiv(sum(col("affinity_ppm")), count(lit(1))).as("score_ppm"))
+      .select(col("doc").as(idCol), col("n_tokens"), col("score_ppm"))
+  }
+
   /** The keep/drop materialization of near-dup clustering: every document
     * labeled with its canonical representative (its cluster's min id, or
     * itself when unclustered) and whether it survives dedup. `labels` is

@@ -52,8 +52,10 @@ object Dedup {
 
   /** Raw (doc, shingle) rows — NOT deduplicated — via posexplode + window
     * leads (codegen'd; see [[shingleTable]] for why not HOFs). One shuffle
-    * on doc (the window), reused by any downstream per-doc aggregation. */
-  private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    * on doc (the window), reused by any downstream per-doc aggregation.
+    * Shared with the corpus-hygiene operators (boilerplate detection,
+    * repeated-span coverage), which need the same multiset of spans. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc").orderBy("pos")

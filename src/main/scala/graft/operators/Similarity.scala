@@ -126,6 +126,53 @@ object Similarity {
         floor(col("cos") * 1000000.0d).cast("long").as("cos_ppm"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
+    * the corpus into cells via a small centroid set, then mark a vector a
+    * semantic duplicate when ANOTHER member of ITS OWN cell with a lower
+    * id has quantized cosine >= `minCosPpm`/1e6 — "near-identical
+    * meaning, keep the first". Output per vector: its cell, the count of
+    * lower-id near neighbors, and the keep flag.
+    *
+    * Scale: this is exactly the paper's reason for clustering first — the
+    * pairwise check runs WITHIN cells only (an equi-join on `cell`),
+    * never corpus-wide. With k centroids ~ sqrt(N), cells average
+    * sqrt(N) members, so candidate pairs are O(N * sqrt(N) / 1) per cell
+    * — bounded, and k is a knob: raise it and cells (and the join
+    * fan-out) shrink. Centroids broadcast; assignment costs one window
+    * shuffle on id; the assigned cell index is materialized once
+    * (localCheckpoint — it feeds both self-join sides and the final
+    * projection; at cluster scale persist it, it IS the IVF index). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               isCentroid: Column, minCosPpm: Long): DataFrame = {
+    val q = quantized(df, vecCol)
+    val cents = q.filter(isCentroid)
+      .select(col(idCol).as("c_id"), col("qvec").as("centv"), col("qnorm2").as("centn"))
+    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("c_id").asc)
+    val assigned = q
+      .select(col(idCol), col("qvec"), col("qnorm2"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", qcos(qdot(col("qvec"), col("centv")), col("qnorm2"), col("centn")))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col(idCol).as("id"), col("c_id").as("cell"), col("qvec"), col("qnorm2"))
+      .localCheckpoint()
+    val a = assigned.select(col("cell"), col("id"), col("qvec").as("qv"), col("qnorm2").as("qn"))
+    val b = assigned.select(col("cell"), col("id").as("id2"), col("qvec").as("cv"), col("qnorm2").as("cn"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id2") < col("id"))
+      .withColumn("cos_ppm",
+        floor(qcos(qdot(col("qv"), col("cv")), col("qn"), col("cn")) * 1000000.0d).cast("long"))
+      .filter(col("cos_ppm") >= minCosPpm)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_near"))
+    assigned
+      .select(col("id"), col("cell"))
+      .join(dups, Seq("id"), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .withColumn("kept", col("n_near") === 0L)
+      .select(col("id").as(idCol), col("cell"), col("n_near"), col("kept"))
+  }
+
   /** Lloyd k-means over quantized embeddings — the real "train the IVF
     * coarse quantizer" step that [[ivfTopK]]'s `isCentroid` stub stands in
     * for. Exact-integer determinism throughout: assignment is quantized

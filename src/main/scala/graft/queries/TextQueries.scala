@@ -304,7 +304,35 @@ object TextQueries {
       salt = "mix")
   }
 
+  // ---------------------------------------------------------------- q78
+  /** Corpus-wide boilerplate detection: top-25 word 3-grams by occurrence
+    * count (ties on the gram text) with their document frequency. */
+  def q78BoilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.boilerplateNgrams(Tables(spark, dir).documents, "doc_id", "text",
+      n = 3, k = 25)
+
+  // ---------------------------------------------------------------- q79
+  /** Repeated-span coverage: per document, the word-5-gram positions
+    * covered by a span occurring more than once corpus-wide (counting
+    * multiplicity), in exact ppm. */
+  def q79RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.repeatedSpanCoverage(Tables(spark, dir).documents, "doc_id", "text",
+      n = 5)
+
+  // ---------------------------------------------------------------- q80
+  /** DSIR-style importance weights: every non-src0 document scored by the
+    * Laplace-smoothed hashed-unigram affinity of its tokens to the src0
+    * slice, exact integer ppm. */
+  def q80ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.importanceWeights(Tables(spark, dir).documents, "doc_id", "text",
+      isTarget = $"source" === "src0")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_boilerplate_ngrams" -> q78BoilerplateNgrams _,
+    "q79_repeated_spans"   -> q79RepeatedSpans _,
+    "q80_importance_weights" -> q80ImportanceWeights _,
     "q62_decontaminate"    -> q62Decontaminate _,
     "q68_decontaminate_norm" -> q68DecontaminateNorm _,
     "q71_bpe_merges"       -> q71BpeMerges _,
@@ -411,6 +439,50 @@ object TextQueries {
        |FROM v WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q78_boilerplate_ngrams" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram FROM tok)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS occurrences,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |FROM g GROUP BY gram
+         |ORDER BY occurrences DESC, gram ASC LIMIT 25""".stripMargin,
+    "q79_repeated_spans" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-4, 0)),
+         |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gram FROM tok),
+         |h AS (SELECT doc_id,
+         |  CAST(CAST(concat('0x', substr(md5(gram), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM g),
+         |freq AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY h),
+         |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+         |  FROM h JOIN freq USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+         |  CAST(CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0
+         |    ELSE COALESCE(p.n_repeated, 0) * 1000000 // p.n_spans END AS BIGINT) AS repeated_ppm
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
+    "q80_importance_weights" ->
+      s"""WITH tok AS (SELECT doc_id, (source = 'src0') AS is_target, unnest($toksSql) AS tok
+         |  FROM documents),
+         |ft AS (SELECT doc_id, is_target,
+         |  CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) % 262144 AS BIGINT) AS f
+         |  FROM tok),
+         |feat AS (SELECT f,
+         |  CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tgt,
+         |  CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS raw
+         |  FROM ft GROUP BY f),
+         |tot AS (SELECT CAST(sum(tgt) AS BIGINT) AS tgt_total,
+         |  CAST(sum(raw) AS BIGINT) AS raw_total FROM feat),
+         |sc AS (SELECT ft.doc_id,
+         |  CAST(floor(1000000.0
+         |    * (CAST(feat.tgt + 1 AS DOUBLE) / CAST(tot.tgt_total + 262144 AS DOUBLE))
+         |    / (CAST(feat.raw + 1 AS DOUBLE) / CAST(tot.raw_total + 262144 AS DOUBLE))) AS BIGINT) AS affinity_ppm
+         |  FROM ft JOIN feat USING (f) CROSS JOIN tot WHERE NOT ft.is_target)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(affinity_ppm) // count(*) AS BIGINT) AS score_ppm
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "q20_text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -110,7 +110,18 @@ object VectorQueries {
   def q64Int8Quant(spark: SparkSession, dir: String): DataFrame =
     Similarity.scalarQuantize(Tables(spark, dir).embeddings, "vec_id", "embedding")
 
+  // ---------------------------------------------------------------- q81
+  /** SemDeDup: 8-cell clustering (q34's stub centroids), within-cell
+    * cosine >= 0.30 against lower-id members marks a vector dropped —
+    * keep-the-first semantic dedup. */
+  def q81SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.semDedup(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, minCosPpm = 300000L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_semdedup"         -> q81SemDedup _,
     "q63_kmeans_train"     -> q63KmeansTrain _,
     "q64_int8_quant"       -> q64Int8Quant _,
     "q37_sql_api"          -> q37SqlApi _,
@@ -252,6 +263,34 @@ object VectorQueries {
          |    CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) * 1000000.0) AS BIGINT) AS cos_ppm
          |  FROM pairs)
          |SELECT id1, id2, cos_ppm FROM scored WHERE cos_ppm >= 300000""".stripMargin,
+    "q81_semdedup" ->
+      s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+         |n AS (SELECT vec_id, qvec,
+         |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q),
+         |c AS (SELECT vec_id AS c_id, qvec AS centv, qnorm2 AS centn FROM n WHERE vec_id < 8),
+         |asg0 AS (
+         |  SELECT n.vec_id, n.qvec, n.qnorm2, c.c_id, c.centn,
+         |    CAST(list_sum(list_transform(generate_series(1, $Dims), i -> n.qvec[i] * c.centv[i])) AS BIGINT) AS cdot
+         |  FROM n, c),
+         |asg1 AS (
+         |  SELECT vec_id, qvec, qnorm2, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      CAST(cdot AS DOUBLE) / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(centn AS DOUBLE))) DESC,
+         |      c_id ASC) AS arank
+         |  FROM asg0),
+         |asg AS (SELECT vec_id, qvec, qnorm2, c_id AS cell FROM asg1 WHERE arank = 1),
+         |dups AS (
+         |  SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_near
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE CAST(floor(
+         |      CAST(CAST(list_sum(list_transform(generate_series(1, $Dims), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(a.qnorm2 AS DOUBLE)) * sqrt(CAST(b.qnorm2 AS DOUBLE)))
+         |      * 1000000.0) AS BIGINT) >= 300000
+         |  GROUP BY a.vec_id)
+         |SELECT asg.vec_id, asg.cell,
+         |  CAST(COALESCE(d.n_near, 0) AS BIGINT) AS n_near,
+         |  (COALESCE(d.n_near, 0) = 0) AS kept
+         |FROM asg LEFT JOIN dups d USING (vec_id)""".stripMargin,
     "q34_ivf_ann" ->
       s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
          |n AS (SELECT vec_id, qvec,

@@ -108,4 +108,37 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q66_domain_mix")
     assert(p.contains("BroadcastHashJoin"), "domain counts not broadcast")
   }
+
+  test("q78 boilerplate top-k is a bounded heap, not a global sort") {
+    val p = plan("q78_boilerplate_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k degraded to a global Sort of the n-gram table")
+  }
+
+  test("q79 repeated spans materialize the span table once") {
+    val p = plan("q79_repeated_spans")
+    // the frequency aggregate and the join side must both read the
+    // localCheckpoint, so exactly one documents scan (the left-join back
+    // onto doc ids) may remain. FormattedMode prints each node twice
+    // (tree + detail header); count the detail headers "(n) Scan parquet".
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans <= 1, s"span table recomputed from scan ($scans parquet scans):\n$p")
+  }
+
+  test("q80 importance weights join the bounded feature table by broadcast") {
+    val p = plan("q80_importance_weights")
+    assert(p.contains("BroadcastHashJoin"), "feature table not broadcast")
+  }
+
+  test("q81 semdedup: pairwise check reads the materialized cell index, never a cartesian product") {
+    val p = plan("q81_semdedup")
+    // the broadcast-centroid assignment runs once inside the eager
+    // localCheckpoint; the visible plan must consume ONLY that cell index
+    // (no parquet re-scan) and join within cells, never all-pairs
+    assert(p.contains("Scan ExistingRDD"), "cell index not materialized")
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Scan parquet\s*""")),
+      "cell index recomputed from scan")
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pair check degraded to a corpus-wide cartesian product")
+  }
 }

@@ -96,4 +96,58 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, 2L, 3L, false),
       (5L, 5L, 1L, true)))
   }
+
+  test("boilerplateNgrams: counts occurrences with multiplicity, doc freq distinct, ties on gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x"), // 2-grams: "x y","y x","x y","y x"
+      (2L, "x y z"),     // "x y","y z"
+      (3L, "a b")        // "a b"
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.boilerplateNgrams(docs, "doc_id", "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "x y" 3 occurrences in 2 docs; "y x" 2 in 1; count-1 tie broken by
+    // gram text: "a b" < "y z"
+    assert(out.toSeq == Seq(("x y", 3L, 2L), ("y x", 2L, 1L), ("a b", 1L, 1L)))
+  }
+
+  test("repeatedSpanCoverage: multiplicity counts, zero-span docs kept at 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x"), // spans: x y, y x, x y, y x — all repeated corpus-wide
+      (2L, "x y z"),     // x y (repeated via doc 1), y z (unique)
+      (3L, "a b"),       // a b (unique)
+      (4L, "solo")       // < n tokens: zero spans
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repeatedSpanCoverage(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 4L, 1000000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L),
+      (4L, 0L, 0L, 0L)))
+  }
+
+  test("importanceWeights: Laplace-smoothed integer affinity, target/empty docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa bb", true),  // target
+      (2L, "aa cc", true),     // target
+      (3L, "aa bb", false),
+      (4L, "cc cc dd", false),
+      (5L, "", false)          // zero tokens: not scored
+    ).toDF("doc_id", "text", "is_tgt")
+    // tgt counts: aa 3, bb 1, cc 1 (total 5); raw: aa 1, bb 1, cc 2, dd 1
+    // (total 5). Totals equal, so the smoothed probability ratio reduces
+    // to (tgt+1)/(raw+1) (the shared denominator cancels exactly in IEEE
+    // doubles up to a sub-ulp that floor absorbs here):
+    // aa 2000000, bb 1000000, cc 666666, dd 500000.
+    val out = CorpusOps.importanceWeights(docs, "doc_id", "text", col("is_tgt"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (3L, 2L, (2000000L + 1000000L) / 2L),
+      (4L, 3L, (666666L + 666666L + 500000L) / 3L)))
+  }
 }

@@ -87,6 +87,32 @@ class OperatorGuardSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum == 3L) // all 3 vectors assigned
   }
 
+  test("semDedup: keep-the-first within cells, cross-cell twins untouched") {
+    import spark.implicits._
+    // 2-dim vectors, centroids 0 -> (1,0) and 1 -> (0,1); threshold 0.95:
+    // 10 duplicates centroid-member 0 exactly; 11/12 sit at cos 0.8 from
+    // everything in their cells; 13 duplicates member 1
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (10L, Seq(1.0f, 0.0f)),  // cell 0, twin of 0 -> dropped
+      (11L, Seq(0.8f, 0.6f)),  // cell 0 (cos 0.8 vs c0), no >=0.95 neighbor
+      (12L, Seq(0.6f, 0.8f)),  // cell 1, no >=0.95 neighbor
+      (13L, Seq(0.0f, 1.0f))   // cell 1, twin of 1 -> dropped
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 2, minCosPpm = 950000L)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, true),
+      (1L, 1L, 0L, true),
+      (10L, 0L, 1L, false),  // one lower-id near neighbor (vec 0)
+      (11L, 0L, 0L, true),
+      (12L, 1L, 0L, true),
+      (13L, 1L, 1L, false))) // vec 1 is a twin; vec 12 at 0.8 is not
+  }
+
   test("decontaminate: benchmark sides over maxBenchDocs fail loudly before broadcast") {
     val ex = intercept[IllegalArgumentException] {
       CorpusOps.decontaminate(documents, "doc_id", "text",
