@@ -326,6 +326,112 @@ object CorpusOps {
       .select(col("doc").as(idCol), col("n_tokens"), col("score_ppm"))
   }
 
+  /** Span-level decontamination: instead of flagging whole documents (see
+    * [[decontaminate]]), measure HOW MUCH of each document is covered by
+    * benchmark text — the PaLM/Llama-style "cut the leaked span, keep the
+    * rest" accounting. Every corpus word `n`-gram whose text appears in
+    * the benchmark shingle index marks its n token positions; the output
+    * is the exact token count and ppm fraction covered by the UNION of
+    * those intervals, per document.
+    *
+    * The interval union is computed without materializing intervals: with
+    * matching start positions sorted per document, each match contributes
+    * `min(n, pos - prev_pos)` new covered tokens (`n` for the first) — a
+    * single window pass.
+    *
+    * Scale: identical plan skeleton to [[decontaminate]] (bench index
+    * broadcast, gated by `maxBenchDocs`) plus one per-document window on
+    * the MATCHING positions only — a frame bounded by contamination
+    * volume, not corpus size. Clean documents pass through the left join
+    * with zero covered tokens. */
+  def spanDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                        isBenchmark: Column, n: Int,
+                        maxBenchDocs: Int = 1000000): DataFrame = {
+    val nBench = docs.filter(isBenchmark).limit(maxBenchDocs + 1).count()
+    require(nBench <= maxBenchDocs,
+      s"spanDecontaminate: benchmark side exceeds maxBenchDocs=$maxBenchDocs rows - " +
+        "its shingle index is broadcast; a benchmark this large suggests a " +
+        "mislabeled isBenchmark predicate")
+    val toks = docs
+      .withColumn("is_bench", isBenchmark)
+      .select(col(idCol).as("doc"), col("is_bench"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val withLeads = (1 until n).foldLeft(toks) { case (d, i) =>
+      d.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    }
+    val shingle = concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)
+    val sh = withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc"), col("is_bench"), col("pos"), shingle.as("s"))
+    val benchIndex = sh.filter(col("is_bench")).select(col("s")).distinct()
+    // every non-benchmark doc passes through (incl. empty/short ones) with
+    // a NARROW token count — no aggregation needed for the base frame
+    val base = docs.withColumn("is_bench", isBenchmark).filter(!col("is_bench"))
+      .select(col(idCol).as("doc"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val wPos = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val covered = sh.filter(!col("is_bench"))
+      .join(broadcast(benchIndex), Seq("s"))
+      .withColumn("prev", lag(col("pos"), 1).over(wPos))
+      .withColumn("add",
+        when(col("prev").isNull, lit(n.toLong))
+          .otherwise(least(lit(n.toLong), (col("pos") - col("prev")).cast("long"))))
+      .groupBy(col("doc"))
+      .agg(sum(col("add")).as("n_covered"))
+    base
+      .join(covered, Seq("doc"), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("covered_ppm", ppm(col("n_covered"), col("n_tokens")))
+      .select(col("doc").as(idCol), col("n_tokens"), col("n_covered"), col("covered_ppm"))
+  }
+
+  /** Cross-source contamination matrix: for every pair of corpus sources,
+    * the number of distinct word `n`-gram shingles they share and the
+    * shingle-set Jaccard in exact ppm — the "how much does crawl slice A
+    * duplicate slice B" provenance diagnostic run before mixing corpora.
+    * Only pairs with at least one shared shingle are emitted.
+    *
+    * Scale: shingles are built relationally (the [[Dedup.shingleRows]]
+    * shape, with the source carried through the per-doc window) and
+    * immediately collapse to distinct (src, 60-bit hash) rows — shingles
+    * never travel as strings, and the distinct set is bounded by
+    * |sources| × shingle vocabulary, not by corpus rows. That set is
+    * checkpointed once (it feeds the totals aggregate and both self-join
+    * sides); pair candidates come from the per-shingle equi-join — a
+    * shingle shared by m sources contributes m(m-1)/2 pairs, never an
+    * all-pairs product over documents. Per-source totals are a
+    * |sources|-row dimension, broadcast twice. */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    source: Column, n: Int): DataFrame = {
+    val toks = docs
+      .withColumn("src", source)
+      .select(col(idCol).as("doc"), col("src"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val withLeads = (1 until n).foldLeft(toks) { case (d, i) =>
+      d.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    }
+    val shingle = concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)
+    val sh = withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("src"), hash60(shingle).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val totals = sh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col("src").as("src_a"), col("h"))
+      .join(sh.select(col("src").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(totals.select(col("src").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("src").as("src_b"), col("n_sh").as("n_b"))), Seq("src_b"))
+      .withColumn("jaccard_ppm", ppm(col("n_shared"), col("n_a") + col("n_b") - col("n_shared")))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        col("jaccard_ppm"))
+  }
+
   /** The keep/drop materialization of near-dup clustering: every document
     * labeled with its canonical representative (its cluster's min id, or
     * itself when unclustered) and whether it survives dedup. `labels` is

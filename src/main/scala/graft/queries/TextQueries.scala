@@ -329,7 +329,28 @@ object TextQueries {
       isTarget = $"source" === "src0")
   }
 
+  // ---------------------------------------------------------------- q82
+  /** Cross-source contamination matrix: shared distinct 3-gram shingles
+    * and shingle-set Jaccard (ppm) for every overlapping source pair. */
+  def q82SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.sourceOverlap(Tables(spark, dir).documents, "doc_id", "text",
+      source = $"source", n = 3)
+  }
+
+  // ---------------------------------------------------------------- q83
+  /** Span-level decontamination: same eval split as q62, but measuring the
+    * exact token coverage of benchmark-matching 3-gram spans (interval
+    * union) per document — the cut-the-span accounting. */
+  def q83SpanDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.spanDecontaminate(Tables(spark, dir).documents, "doc_id", "text",
+      isBenchmark = $"doc_id" % 50 === 0, n = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_span_decontaminate" -> q83SpanDecontaminate _,
+    "q82_source_overlap"   -> q82SourceOverlap _,
     "q78_boilerplate_ngrams" -> q78BoilerplateNgrams _,
     "q79_repeated_spans"   -> q79RepeatedSpans _,
     "q80_importance_weights" -> q80ImportanceWeights _,
@@ -439,6 +460,40 @@ object TextQueries {
        |FROM v WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q83_span_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g0 AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |    i -> {'pos': i, 's': concat_ws(' ', t[i], t[i+1], t[i+2])})) AS e FROM tok),
+         |g AS (SELECT doc_id, e.pos AS pos, e.s AS s FROM g0),
+         |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0),
+         |m AS (SELECT g.doc_id, g.pos FROM g JOIN bench USING (s) WHERE g.doc_id % 50 <> 0),
+         |c AS (SELECT doc_id, pos,
+         |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+         |cov AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN prev IS NULL THEN 3 ELSE least(3, pos - prev) END) AS BIGINT) AS n_covered
+         |  FROM c GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok WHERE doc_id % 50 <> 0)
+         |SELECT nt.doc_id, n_tokens,
+         |  CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+         |  CAST(CASE WHEN n_tokens = 0 THEN 0
+         |    ELSE COALESCE(cov.n_covered, 0) * 1000000 // n_tokens END AS BIGINT) AS covered_ppm
+         |FROM nt LEFT JOIN cov USING (doc_id)""".stripMargin,
+    "q82_source_overlap" ->
+      s"""WITH tok AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |g AS (SELECT source, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram FROM tok),
+         |sh AS (SELECT DISTINCT source AS src,
+         |  CAST(CAST(concat('0x', substr(md5(gram), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM g),
+         |tot AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY src),
+         |shared AS (SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+         |  GROUP BY a.src, b.src)
+         |SELECT src_a, src_b, n_shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
+         |  CAST(n_shared * 1000000 // (ta.n_sh + tb.n_sh - n_shared) AS BIGINT) AS jaccard_ppm
+         |FROM shared
+         |JOIN tot ta ON ta.src = shared.src_a
+         |JOIN tot tb ON tb.src = shared.src_b""".stripMargin,
     "q78_boilerplate_ngrams" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),

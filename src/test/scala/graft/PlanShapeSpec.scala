@@ -130,6 +130,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "feature table not broadcast")
   }
 
+  test("q82 source overlap reads the materialized shingle set and broadcasts totals") {
+    val p = plan("q82_source_overlap")
+    // the distinct (src, hash) set is checkpointed once; no parquet
+    // re-scan may remain, and the per-source totals join by broadcast
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Scan parquet\s*""")),
+      "shingle set recomputed from scan")
+    assert(p.contains("BroadcastHashJoin"), "per-source totals not broadcast")
+  }
+
   test("q81 semdedup: pairwise check reads the materialized cell index, never a cartesian product") {
     val p = plan("q81_semdedup")
     // the broadcast-centroid assignment runs once inside the eager

@@ -129,6 +129,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0L)))
   }
 
+  test("spanDecontaminate: interval-union coverage, overlaps merged, clean/empty docs at 0") {
+    import spark.implicits._
+    // bench doc 0 contributes shingles {a b c, b c d}
+    val docs = Seq(
+      (0L, "a b c d", true),
+      (1L, "a b c a b c x a b c", false), // matches at 0,3,7 -> 3+3+3 = 9 of 10
+      (2L, "a b c d x", false),           // matches at 0,1 (overlap) -> 3+1 = 4 of 5
+      (3L, "z z", false),                 // no grams
+      (4L, "", false)                     // empty
+    ).toDF("doc_id", "text", "is_bench")
+    val out = CorpusOps.spanDecontaminate(docs, "doc_id", "text", col("is_bench"), n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 9L, 900000L),
+      (2L, 5L, 4L, 800000L),
+      (3L, 2L, 0L, 0L),
+      (4L, 0L, 0L, 0L)))
+  }
+
+  test("sourceOverlap: shared-shingle counts and Jaccard, disjoint pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "s1"), // shingles {abc, bcd}
+      (2L, "a b c x", "s2"), // shingles {abc, bcx}
+      (3L, "p q r", "s3")    // shingles {pqr}
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceOverlap(docs, "doc_id", "text", col("source"), n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // only (s1, s2) overlap: 1 shared of 2+2 -> jaccard 1/3
+    assert(out.toSeq == Seq(("s1", "s2", 1L, 2L, 2L, 333333L)))
+  }
+
   test("importanceWeights: Laplace-smoothed integer affinity, target/empty docs excluded") {
     import spark.implicits._
     val docs = Seq(

@@ -135,6 +135,155 @@ class CorpusRandomParitySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def gramsOf(s: String, n: Int): Seq[String] = {
+    val t = toks(s)
+    if (t.size < n) Seq.empty else t.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  test("boilerplateNgrams == direct multiset count + distinct doc freq, tie-broken top-k") {
+    import spark.implicits._
+    for (seed <- Seq(10L, 11L)) {
+      val docs = randomDocs(seed)
+      val all = docs.flatMap { case (id, t) => gramsOf(t, 2).map(g => (g, id)) }
+      val expected = all.groupBy(_._1)
+        .map { case (g, rows) => (g, rows.size.toLong, rows.map(_._2).distinct.size.toLong) }
+        .toSeq.sortBy { case (g, c, _) => (-c, g) }.take(15).toSet
+      val got = CorpusOps.boilerplateNgrams(docs.toDF("doc_id", "text"), "doc_id", "text",
+          n = 2, k = 15)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("repeatedSpanCoverage == direct corpus-wide multiset membership") {
+    import spark.implicits._
+    for (seed <- Seq(12L, 13L)) {
+      val docs = randomDocs(seed)
+      val counts = docs.flatMap(d => gramsOf(d._2, 2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = docs.map { case (id, t) =>
+        val g = gramsOf(t, 2)
+        val rep = g.count(counts(_) > 1).toLong
+        val ppm = if (g.isEmpty) 0L else rep * 1000000L / g.size
+        (id, g.size.toLong, rep, ppm)
+      }.toSet
+      val got = CorpusOps.repeatedSpanCoverage(docs.toDF("doc_id", "text"), "doc_id", "text", n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("importanceWeights == direct smoothed-ratio scoring (same IEEE op order)") {
+    import spark.implicits._
+    for (seed <- Seq(14L, 15L)) {
+      val docs = randomDocs(seed)
+      val B = 1 << 18
+      val featOf = (t: String) => hash60(t) % B
+      val isTgt = (id: Long) => id % 7 == 0
+      val tokFeats = docs.flatMap { case (id, t) => toks(t).map(tok => (id, featOf(tok))) }
+      val tgtCnt = tokFeats.filter(r => isTgt(r._1)).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val rawCnt = tokFeats.filterNot(r => isTgt(r._1)).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val tgtTotal = tokFeats.count(r => isTgt(r._1)).toLong
+      val rawTotal = tokFeats.size.toLong - tgtTotal
+      def affinity(f: Long): Long =
+        math.floor(1000000.0d *
+          ((tgtCnt.getOrElse(f, 0L) + 1L).toDouble / (tgtTotal + B).toDouble) /
+          ((rawCnt.getOrElse(f, 0L) + 1L).toDouble / (rawTotal + B).toDouble)).toLong
+      val expected = tokFeats.filterNot(r => isTgt(r._1)).groupBy(_._1).map { case (id, fs) =>
+        (id, fs.size.toLong, fs.map(r => affinity(r._2)).sum / fs.size)
+      }.toSet
+      val got = CorpusOps.importanceWeights(docs.toDF("doc_id", "text"), "doc_id", "text",
+          isTarget = $"doc_id" % 7 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("sourceOverlap == direct per-source distinct set intersections") {
+    import spark.implicits._
+    for (seed <- Seq(16L, 17L)) {
+      val docs = randomDocs(seed)
+      val srcOf = (id: Long) => s"s${id % 5}"
+      val sets = docs.groupBy(d => srcOf(d._1)).view
+        .mapValues(_.flatMap(d => gramsOf(d._2, 2)).toSet).toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        shared = (sets(a) intersect sets(b)).size.toLong if shared > 0
+      } yield {
+        val na = sets(a).size.toLong; val nb = sets(b).size.toLong
+        (a, b, shared, na, nb, shared * 1000000L / (na + nb - shared))
+      }).toSet
+      val got = CorpusOps.sourceOverlap(docs.toDF("doc_id", "text"), "doc_id", "text",
+          source = concat(lit("s"), pmod($"doc_id", lit(5L))), n = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("spanDecontaminate == direct covered-position SET size (independent of the lag formula)") {
+    import spark.implicits._
+    for (seed <- Seq(18L, 19L)) {
+      val docs = randomDocs(seed)
+      val n = 2
+      val bench = docs.filter(_._1 % 10 == 0).flatMap(d => gramsOf(d._2, n)).toSet
+      val expected = docs.filterNot(_._1 % 10 == 0).map { case (id, t) =>
+        val g = gramsOf(t, n)
+        // union of covered token indices, materialized as an actual set —
+        // a different computation than the operator's single lag window
+        val covered = g.zipWithIndex.collect { case (gr, i) if bench.contains(gr) =>
+          i until (i + n)
+        }.flatten.toSet.size.toLong
+        val nTok = toks(t).size.toLong
+        val ppm = if (nTok == 0) 0L else covered * 1000000L / nTok
+        (id, nTok, covered, ppm)
+      }.toSet
+      val got = CorpusOps.spanDecontaminate(docs.toDF("doc_id", "text"), "doc_id", "text",
+          isBenchmark = $"doc_id" % 10 === 0, n = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("semDedup == direct argmax assignment + within-cell pairwise check") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20L)
+    val dims = 6
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 60L).map { i =>
+      i -> Seq.fill(dims)((rnd.nextInt(2001) - 1000) / 1000.0f)
+    }
+    val q = vecs.map { case (id, v) =>
+      (id, v.map(x => math.round(x.toDouble * 1000000.0d)))
+    }
+    def dot(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Long], b: Seq[Long]): Double =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    val cents = q.filter(_._1 < 4)
+    val assigned = q.map { case (id, v) =>
+      val best = cents.map { case (cid, cv) => (cos(v, cv), cid) }
+        .min(Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
+      (id, best._2, v)
+    }
+    val minCosPpm = 300000L
+    val expected = assigned.map { case (id, cell, v) =>
+      val nNear = assigned.count { case (id2, cell2, v2) =>
+        cell2 == cell && id2 < id &&
+          math.floor(cos(v, v2) * 1000000.0d).toLong >= minCosPpm
+      }.toLong
+      (id, cell, nNear, nNear == 0L)
+    }.toSet
+    val got = Similarity.semDedup(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        isCentroid = $"vec_id" < 4, minCosPpm = minCosPpm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == expected)
+  }
+
   test("trainOrder: reproducible, dense per-shard positions, salt-sensitive") {
     import spark.implicits._
     val df = randomDocs(9L).toDF("doc_id", "text")
