@@ -54,6 +54,24 @@ object ProfCorpus {
     time("q80 full") {
       graft.queries.TextQueries.q80ImportanceWeights(spark, dir).count()
     }
+    time("q82 full (bitmask path)") {
+      val n = graft.queries.TextQueries.q82SourceOverlap(spark, dir).count()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      n
+    }
+    time("q82 generic join path") {
+      val n = graft.operators.CorpusOps.sourceOverlap(
+        graft.sources.Tables(spark, dir).documents, "doc_id", "text",
+        col("source"), n = 3, maxMaskSources = 0).count()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      n
+    }
+    time("q83 full") {
+      graft.queries.TextQueries.q83SpanDecontaminate(spark, dir).count()
+    }
+    time("q84 full") {
+      graft.queries.TextQueries.q84SourceQuality(spark, dir).count()
+    }
     spark.stop()
   }
 }

@@ -397,13 +397,25 @@ object CorpusOps {
     * immediately collapse to distinct (src, 60-bit hash) rows — shingles
     * never travel as strings, and the distinct set is bounded by
     * |sources| × shingle vocabulary, not by corpus rows. That set is
-    * checkpointed once (it feeds the totals aggregate and both self-join
-    * sides); pair candidates come from the per-shingle equi-join — a
-    * shingle shared by m sources contributes m(m-1)/2 pairs, never an
-    * all-pairs product over documents. Per-source totals are a
-    * |sources|-row dimension, broadcast twice. */
+    * checkpointed once. Per-source totals are a |sources|-row dimension,
+    * broadcast twice.
+    *
+    * Two pair-counting paths, identical output:
+    *  - **Bitmask rollup** (<= `maxMaskSources` sources, the realistic
+    *    provenance case): each shingle's source set becomes one long via
+    *    `bit_or(1 << bit)`; shingles collapse to (mask, n_h) — a table
+    *    bounded by distinct masks, usually tiny — and pair counts are a
+    *    broadcast join of that table against the |pairs| literal with two
+    *    codegen'd bit tests. A shingle shared by m sources costs ONE mask
+    *    row instead of m(m-1)/2 join rows, which is the difference on
+    *    overlap-dense corpora.
+    *  - **Per-shingle self-equi-join** (more sources than fit a long):
+    *    a shingle shared by m sources contributes m(m-1)/2 pairs — still
+    *    never an all-pairs product over documents.
+    * The source-id collect is model state (provenance slices, not data
+    * rows) and only happens under the <= maxMaskSources bound. */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
-                    source: Column, n: Int): DataFrame = {
+                    source: Column, n: Int, maxMaskSources: Int = 64): DataFrame = {
     val toks = docs
       .withColumn("src", source)
       .select(col(idCol).as("doc"), col("src"),
@@ -419,11 +431,39 @@ object CorpusOps {
       .distinct()
       .localCheckpoint()
     val totals = sh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
-    val shared = sh.select(col("src").as("src_a"), col("h"))
-      .join(sh.select(col("src").as("src_b"), col("h")), Seq("h"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    // bounded probe: are there few enough sources for the bitmask path?
+    val srcIds = sh.select(col("src")).distinct()
+      .limit(maxMaskSources + 1).collect().map(_.getString(0)).sorted
+    val shared =
+      if (srcIds.length <= maxMaskSources && maxMaskSources <= 64 && srcIds.length >= 2) {
+        val bitOf = srcIds.zipWithIndex.toMap
+        val bitMap = typedlit(bitOf.map { case (s, i) => s -> i.toLong })
+        val masks = sh
+          .withColumn("bit", element_at(bitMap, col("src")))
+          .groupBy(col("h"))
+          // (src, h) rows are distinct, so each bit appears once per h:
+          // the sum of distinct powers of two IS the bitwise OR
+          .agg(sum(shl(lit(1L), col("bit").cast("int"))).as("mask"))
+          .groupBy(col("mask"))
+          .agg(count(lit(1)).as("n_h"))
+        val pairRows = for {
+          a <- srcIds; b <- srcIds if a < b
+        } yield (a, b, bitOf(a).toLong, bitOf(b).toLong)
+        val pairs = docs.sparkSession.createDataFrame(pairRows)
+          .toDF("src_a", "src_b", "bit_a", "bit_b")
+        masks
+          .crossJoin(broadcast(pairs))
+          .filter((shr(col("mask"), col("bit_a").cast("int")) % 2 === 1L) &&
+            (shr(col("mask"), col("bit_b").cast("int")) % 2 === 1L))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(sum(col("n_h")).as("n_shared"))
+      } else {
+        sh.select(col("src").as("src_a"), col("h"))
+          .join(sh.select(col("src").as("src_b"), col("h")), Seq("h"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+      }
     shared
       .join(broadcast(totals.select(col("src").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))
       .join(broadcast(totals.select(col("src").as("src_b"), col("n_sh").as("n_b"))), Seq("src_b"))

@@ -348,7 +348,31 @@ object TextQueries {
       isBenchmark = $"doc_id" % 50 === 0, n = 3)
   }
 
+  // ---------------------------------------------------------------- q84
+  /** Per-source quality report: the q21 scoring rolled up by provenance —
+    * "which crawl slices are garbage" in one table (doc counts, token
+    * mass, quality-pass share, mean alpha ratio; all exact integers). */
+  def q84SourceQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("alpha_ppm", ppm(charClassCount($"text", "[a-z]"), length($"text").cast("long")))
+      .withColumn("digit_ppm", ppm(charClassCount($"text", "[0-9]"), length($"text").cast("long")))
+      .withColumn("quality_ok",
+        $"alpha_ppm" >= 500000L && $"n_tokens" >= 5L && $"digit_ppm" <= 100000L)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        intDiv(sum($"n_tokens"), count(lit(1))).as("mean_tokens"),
+        sum(when($"quality_ok", 1L).otherwise(0L)).as("n_quality_ok"),
+        ppm(sum(when($"quality_ok", 1L).otherwise(0L)), count(lit(1))).as("quality_ok_ppm"),
+        intDiv(sum($"alpha_ppm"), count(lit(1))).as("mean_alpha_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_source_quality"   -> q84SourceQuality _,
     "q83_span_decontaminate" -> q83SpanDecontaminate _,
     "q82_source_overlap"   -> q82SourceOverlap _,
     "q78_boilerplate_ngrams" -> q78BoilerplateNgrams _,
@@ -460,6 +484,25 @@ object TextQueries {
        |FROM v WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q84_source_quality" ->
+      s"""WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN length(text) = 0 THEN 0
+         |    ELSE (length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) * 1000000 // length(text)
+         |    END AS BIGINT) AS alpha_ppm,
+         |  CAST(CASE WHEN length(text) = 0 THEN 0
+         |    ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000000 // length(text)
+         |    END AS BIGINT) AS digit_ppm
+         |  FROM t),
+         |q AS (SELECT source, n_tokens, alpha_ppm,
+         |  (alpha_ppm >= 500000 AND n_tokens >= 5 AND digit_ppm <= 100000) AS ok FROM m)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens,
+         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS quality_ok_ppm,
+         |  CAST(sum(alpha_ppm) // count(*) AS BIGINT) AS mean_alpha_ppm
+         |FROM q GROUP BY source""".stripMargin,
     "q83_span_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |g0 AS (SELECT doc_id,

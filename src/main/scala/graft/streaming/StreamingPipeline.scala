@@ -327,6 +327,22 @@ object StreamingPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming boilerplate detection ([[graft.operators.CorpusOps
+    * .boilerplateNgrams]] in streaming form): running word n-gram
+    * occurrence counts over an unbounded document stream — a plain
+    * streaming aggregation whose per-gram counts live in the keyed state
+    * store and merge map-side per micro-batch; Complete/Update mode
+    * exposes the running counts (the top-k is the reader's ORDER BY).
+    * Shingling uses the per-row HOF here: window leads are unsupported on
+    * streams, and the interpreted transform only ever touches one
+    * micro-batch of documents at a time — bounded by the trigger, not the
+    * corpus. */
+  def ngramCountStream(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(explode(graft.functions.TextFunctions.wordShingles(
+        graft.functions.TextFunctions.tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("occurrences"))
+
   /** Streaming sessionization (the time-gap half of A10, §2.7): native
     * `session_window` merges a key's events into variable-length sessions
     * closed by `gap` of silence; the watermark both bounds state and

@@ -219,11 +219,17 @@ class CorpusRandomParitySpec extends AnyFunSuite {
         val na = sets(a).size.toLong; val nb = sets(b).size.toLong
         (a, b, shared, na, nb, shared * 1000000L / (na + nb - shared))
       }).toSet
-      val got = CorpusOps.sourceOverlap(docs.toDF("doc_id", "text"), "doc_id", "text",
-          source = concat(lit("s"), pmod($"doc_id", lit(5L))), n = 2)
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
-      assert(got == expected, s"seed $seed")
+      // both pair-counting paths must agree with the direct computation:
+      // the bitmask rollup (default; 5 sources fit a long) and the
+      // per-shingle self-join fallback (forced via maxMaskSources = 0)
+      for (maxMask <- Seq(64, 0)) {
+        val got = CorpusOps.sourceOverlap(docs.toDF("doc_id", "text"), "doc_id", "text",
+            source = concat(lit("s"), pmod($"doc_id", lit(5L))), n = 2,
+            maxMaskSources = maxMask)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        assert(got == expected, s"seed $seed maxMaskSources=$maxMask")
+      }
     }
   }
 

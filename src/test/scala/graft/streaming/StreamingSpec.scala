@@ -72,6 +72,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming n-gram counts equal the batch boilerplate counts on closed input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ngram-stream").toString
+    val lines = Seq(
+      """{"doc_id":1,"text":"x y x y x"}""",
+      """{"doc_id":2,"text":"x y z"}""",
+      """{"doc_id":3,"text":"a b"}""")
+    // two files -> two micro-batches merging into the same keyed state
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d1.json"),
+      lines.take(2).mkString("\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d2.json"),
+      lines.drop(2).mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+    val q = StreamingPipeline.ngramCountStream(stream, "text", n = 2)
+      .writeStream.outputMode("complete").format("memory").queryName("ngram_counts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("select gram, occurrences from ngram_counts")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(streamed.toSeq == Seq(("a b", 1L), ("x y", 3L), ("y x", 2L), ("y z", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming p2p confirmation matches the batch either-order machine on all 8 families") {
     val logDir = java.nio.file.Files.createTempDirectory("graft-p2p-stream-logs").toString
     Fixtures.writeScenario(logDir, heights = 3)
