@@ -289,30 +289,35 @@ object CorpusOps {
     * cross-product `(tgt+1)*(RAW_TOTAL+buckets)` would blow past int64 at
     * ~1e13 corpus tokens.
     *
-    * Scale: the feature table is bounded by `buckets` (default 2^18) rows
-    * regardless of corpus size — that is the point of hashing — so it
-    * broadcasts; token scoring is explode + broadcast-join + one
-    * per-document aggregation (map-side combined). The two corpus-total
-    * counts ride the same feature aggregate (no extra pass). */
+    * Scale: the corpus is exploded ONCE into a per-document hashed
+    * feature-count table (doc, f, cnt) — the standard DSIR feature-cache
+    * artifact, bounded by docs × distinct-features-per-doc, far smaller
+    * than token rows — which is materialized and feeds both the global
+    * feature aggregate and the scoring join. The feature table itself is
+    * bounded by `buckets` (default 2^18) rows regardless of corpus size —
+    * that is the point of hashing — so it broadcasts; scoring is a
+    * broadcast-join + one per-document aggregation (map-side combined).
+    * The two corpus-total counts ride the feature aggregate (no extra
+    * pass). */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, buckets: Int = 1 << 18): DataFrame = {
-    val toks = docs
+    // per-doc hashed feature counts: one explode, one map-side-combined
+    // aggregation; checkpointed once for its two consumers (at cluster
+    // scale persist it — it IS the DSIR feature cache)
+    val featCounts = docs
       .withColumn("is_target", isTarget)
       .select(col(idCol).as("doc"), col("is_target"),
         explode(tokens(col(textCol))).as("tok"))
       .withColumn("f", pmod(hash60(col("tok")), lit(buckets.toLong)))
-    // The feature table is bounded (<= buckets rows) and feeds two
-    // branches (the totals aggregate and the scoring join): materialize
-    // it once. The corpus-sized token explode is NOT checkpointed — it
-    // is recomputed for the scoring join (one extra narrow scan), which
-    // at 100 TB is far cheaper than materializing every token row.
-    val feat = toks
-      .groupBy(col("f"))
-      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt"),
-        sum(when(col("is_target"), 0L).otherwise(1L)).as("raw"))
+      .groupBy(col("doc"), col("is_target"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    val feat = featCounts
+      .groupBy(col("f"))
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("tgt"),
+        sum(when(col("is_target"), 0L).otherwise(col("cnt"))).as("raw"))
     val totals = feat.agg(sum(col("tgt")).as("tgt_total"), sum(col("raw")).as("raw_total"))
-    toks.filter(!col("is_target"))
+    featCounts.filter(!col("is_target"))
       .join(broadcast(feat), Seq("f"))
       .crossJoin(broadcast(totals))
       .withColumn("affinity_ppm",
@@ -321,8 +326,8 @@ object CorpusOps {
           ((col("raw") + 1L).cast("double") / (col("raw_total") + buckets.toLong).cast("double")))
           .cast("long"))
       .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_tokens"),
-        intDiv(sum(col("affinity_ppm")), count(lit(1))).as("score_ppm"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        intDiv(sum(col("cnt") * col("affinity_ppm")), sum(col("cnt"))).as("score_ppm"))
       .select(col("doc").as(idCol), col("n_tokens"), col("score_ppm"))
   }
 

@@ -47,6 +47,71 @@ object VocabOps {
       .select(col("pair"), col("cnt"), col("rank"))
   }
 
+  /** FULL iterative BPE merge training — `nMerges` rounds of
+    * count-adjacent-pairs → pick the argmax pair (weighted count desc,
+    * then (a, b) asc) → apply the merge leftmost-non-overlapping across
+    * the vocabulary → recount. Output: the merge table, one row per
+    * round — the actual artifact a BPE tokenizer ships.
+    *
+    * The merge application is an `aggregate` fold over each word's symbol
+    * array with a pending-symbol state (emit merged and clear, or commit
+    * pending and carry), which is exactly greedy leftmost
+    * non-overlapping: `a a a a a` under (a,a) becomes `aa aa a`, and a
+    * merged symbol never re-merges within its round because `a+b != a`.
+    *
+    * Scale: every round runs on the DISTINCT-WORD frequency table —
+    * vocabulary-sized, not corpus-sized — so the interpreted fold is off
+    * the corpus hot path by construction; the corpus is touched exactly
+    * once (the word-count aggregation, map-side combined). The chosen
+    * pair is one driver row per round (model state, the kmeans pattern);
+    * the rewritten vocabulary is checkpointed per round to truncate
+    * lineage. Words containing the '|' reserved delimiter are excluded
+    * up front (both here and in the oracle) so the cross-engine fold
+    * encoding is unambiguous. */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(!col("word").contains("|"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (r <- 1 to nMerges) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, s"bpeTrain: no adjacent pairs left at round $r")
+      val (a, b, total) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val merged = a + b
+      rows += ((r, a, b, merged, total))
+      val zero = struct(array().cast("array<string>").as("out"), lit("").as("pend"))
+      val step = (acc: Column, s: Column) =>
+        when(acc.getField("pend") === "",
+          struct(acc.getField("out").as("out"), s.as("pend")))
+          .when(acc.getField("pend") === a && s === b,
+            struct(concat(acc.getField("out"), array(lit(merged))).as("out"), lit("").as("pend")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(acc.getField("pend"))).as("out"), s.as("pend")))
+      val fin = (acc: Column) =>
+        when(acc.getField("pend") === "", acc.getField("out"))
+          .otherwise(concat(acc.getField("out"), array(acc.getField("pend"))))
+      words = words
+        .select(col("cnt"), aggregate(col("syms"), zero, step, fin).as("syms"))
+        .localCheckpoint()
+    }
+    docs.sparkSession.createDataFrame(rows.toSeq)
+      .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
   /** Integer TF-IDF keyword extraction: each document's top-`k` tokens by
     * `tf * 1e6 // df` (term frequency scaled by inverse document
     * frequency — the exact-integer surrogate for tf·idf, monotone in the

@@ -371,7 +371,15 @@ object TextQueries {
         intDiv(sum($"alpha_ppm"), count(lit(1))).as("mean_alpha_ppm"))
   }
 
+  // ---------------------------------------------------------------- q85
+  /** Full iterative BPE training, 3 merge rounds: adjacent-pair argmax →
+    * leftmost-non-overlapping merge → recount, emitting the merge table
+    * (the artifact a BPE tokenizer ships). */
+  def q85BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VocabOps.bpeTrain(Tables(spark, dir).documents, "text", nMerges = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_bpe_train"        -> q85BpeTrain _,
     "q84_source_quality"   -> q84SourceQuality _,
     "q83_span_decontaminate" -> q83SpanDecontaminate _,
     "q82_source_overlap"   -> q82SourceOverlap _,
@@ -483,7 +491,42 @@ object TextQueries {
        |  CAST(shared * 1000000 // (n1 + n2 - shared) AS BIGINT) AS jaccard_ppm
        |FROM v WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin
 
+  /** Unrolled DuckDB replication of [[graft.operators.VocabOps.bpeTrain]]:
+    * per round, pair counts off the previous symbol table, the argmax
+    * merge, and the leftmost-non-overlapping rewrite as a `list_reduce`
+    * string fold (the '|' delimiter is excluded from words on both
+    * engines; the retroactive rewrite-last-token fold is equivalent to
+    * the operator's pending-symbol fold because a merged symbol `a+b`
+    * can never equal `a`). */
+  private def bpeOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS (SELECT t.e.a AS a, t.e.b AS b, CAST(sum(t.cnt) AS BIGINT) AS total
+         |  FROM (SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |    i -> {'a': syms[i], 'b': syms[i+1]})) AS e
+         |    FROM s${r - 1} WHERE len(syms) >= 2) t
+         |  GROUP BY t.e.a, t.e.b),
+         |m$r AS (SELECT a, b, a || b AS merged, total FROM p$r
+         |  ORDER BY total DESC, a ASC, b ASC LIMIT 1),
+         |s$r AS (SELECT s.cnt, string_split(list_reduce(s.syms, (acc, x) -> CASE
+         |    WHEN string_split(acc, '|')[-1] = m.a AND x = m.b
+         |    THEN substr(acc, 1, length(acc) - length(string_split(acc, '|')[-1])) || m.merged
+         |    ELSE acc || '|' || x END), '|') AS syms
+         |  FROM s${r - 1} s CROSS JOIN m$r m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS round, a AS sym_a, b AS sym_b, merged, total AS pair_count FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS (SELECT unnest($toksSql) AS word FROM documents),
+       |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok
+       |  WHERE word NOT LIKE '%|%' GROUP BY word),
+       |s0 AS (SELECT cnt, list_transform(generate_series(1, length(word)),
+       |  i -> substr(word, i, 1)) AS syms FROM w0),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q85_bpe_train" -> bpeOracle(3),
     "q84_source_quality" ->
       s"""WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
          |m AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -290,6 +290,39 @@ class CorpusRandomParitySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bpeTrain == direct sequential merge training (leftmost non-overlapping)") {
+    import spark.implicits._
+    def mergeLeftmost(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    for (seed <- Seq(21L, 22L)) {
+      val docs = randomDocs(seed)
+      var ws: Seq[(Vector[String], Long)] = docs.flatMap(d => toks(d._2))
+        .filterNot(_.contains("|"))
+        .groupBy(identity).toSeq
+        .map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+      val expected = (1 to 3).map { r =>
+        val pairCounts = ws.flatMap { case (s, c) =>
+          s.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)) -> c)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        val ((a, b), total) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        ws = ws.map { case (s, c) => (mergeLeftmost(s, a, b), c) }
+        (r, a, b, a + b, total)
+      }
+      val got = VocabOps.bpeTrain(docs.toDF("doc_id", "text"), "text", nMerges = 3)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("trainOrder: reproducible, dense per-shard positions, salt-sensitive") {
     import spark.implicits._
     val df = randomDocs(9L).toDF("doc_id", "text")
