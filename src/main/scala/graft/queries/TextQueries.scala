@@ -378,7 +378,26 @@ object TextQueries {
   def q85BpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.VocabOps.bpeTrain(Tables(spark, dir).documents, "text", nMerges = 3)
 
+  // ---------------------------------------------------------------- q86
+  /** Near-dup provenance matrix: q25's verified near-dup pairs attributed
+    * to (source, source) — intra-source rows measure internal duplication,
+    * cross rows measure mirroring between slices. Reads the materialized
+    * pair graph (build timed separately as q35_pair_graph_build) and joins
+    * the column-pruned (doc_id, source) map twice on doc id. */
+  def q86DupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docsrc = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+    materializedPairs(spark, dir)
+      .select(col("d1"), col("d2"))
+      .join(docsrc.select(col("doc_id").as("d1"), col("source").as("s1")), Seq("d1"))
+      .join(docsrc.select(col("doc_id").as("d2"), col("source").as("s2")), Seq("d2"))
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_dup_source_matrix" -> q86DupSourceMatrix _,
     "q85_bpe_train"        -> q85BpeTrain _,
     "q84_source_quality"   -> q84SourceQuality _,
     "q83_span_decontaminate" -> q83SpanDecontaminate _,
@@ -526,6 +545,16 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q86_dup_source_matrix" ->
+      s"""WITH pairs AS ($q25Sql),
+         |ds AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS src_a,
+         |  greatest(a.source, b.source) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs
+         |JOIN ds a ON pairs.d1 = a.doc_id
+         |JOIN ds b ON pairs.d2 = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "q85_bpe_train" -> bpeOracle(3),
     "q84_source_quality" ->
       s"""WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
