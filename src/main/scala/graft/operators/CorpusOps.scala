@@ -357,9 +357,21 @@ object CorpusOps {
       s"spanDecontaminate: benchmark side exceeds maxBenchDocs=$maxBenchDocs rows - " +
         "its shingle index is broadcast; a benchmark this large suggests a " +
         "mislabeled isBenchmark predicate")
+    // benchmark shingles come from the SMALL bench side via the per-row
+    // HOF (the decontaminate pattern — off the corpus hot path); building
+    // them from the corpus-wide window pipeline would recompute that
+    // window a second time, because an is_bench filter cannot push below
+    // a window partitioned by doc
+    val benchIndex = docs.filter(isBenchmark)
+      .select(explode(array_distinct(wordShingles(tokens(col(textCol)), n))).as("s"))
+      .distinct()
+    // corpus spans WITH positions: the relational shingle shape
+    // (posexplode + window leads), computed once for the coverage join,
+    // over NON-benchmark docs only — the filter sits on the base relation
+    // (pushable to the scan), not above the window
     val toks = docs
-      .withColumn("is_bench", isBenchmark)
-      .select(col(idCol).as("doc"), col("is_bench"),
+      .withColumn("is_bench", isBenchmark).filter(!col("is_bench"))
+      .select(col(idCol).as("doc"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
     val withLeads = (1 until n).foldLeft(toks) { case (d, i) =>
@@ -368,15 +380,14 @@ object CorpusOps {
     val shingle = concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)
     val sh = withLeads
       .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc"), col("is_bench"), col("pos"), shingle.as("s"))
-    val benchIndex = sh.filter(col("is_bench")).select(col("s")).distinct()
+      .select(col("doc"), col("pos"), shingle.as("s"))
     // every non-benchmark doc passes through (incl. empty/short ones) with
     // a NARROW token count — no aggregation needed for the base frame
     val base = docs.withColumn("is_bench", isBenchmark).filter(!col("is_bench"))
       .select(col(idCol).as("doc"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
     val wPos = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    val covered = sh.filter(!col("is_bench"))
+    val covered = sh
       .join(broadcast(benchIndex), Seq("s"))
       .withColumn("prev", lag(col("pos"), 1).over(wPos))
       .withColumn("add",
