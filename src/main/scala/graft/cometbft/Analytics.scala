@@ -29,6 +29,13 @@ trait Analytic {
     * TracerEvents override to avoid recomputing a sibling's machine. */
   def runFrom(events: DataFrame, stored: Map[String, DataFrame]): Seq[(String, DataFrame)] =
     run(events)
+
+  /** Release any intermediate state the analytic cached for its own
+    * sinks' plans. Called by the pipeline AFTER this analytic's tables
+    * are written — without it, per-run `persist`s (e.g. the
+    * network-latency matched sets) pin events-sized blocks for the life
+    * of the Spark session. */
+  def cleanup(): Unit = ()
 }
 
 object Analytics {
@@ -341,6 +348,15 @@ object Analytics {
   object NetworkLatency extends Analytic {
     val name = "network_latency"
 
+    // matched-set frames persisted by fifoMatch for the five sinks of the
+    // CURRENT run; drained by cleanup() so repeated Pipeline.runs in one
+    // session don't pin events-sized blocks forever
+    private val persistedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    override def cleanup(): Unit = persistedFrames.synchronized {
+      persistedFrames.foreach(_.unpersist(blocking = false))
+      persistedFrames.clear()
+    }
+
     /** The J4 two-pass matcher, factored for the random-stream parity spec.
       *
       * Pass 1 — composite key (sender, receiver, raw_hash): the reference
@@ -390,6 +406,7 @@ object Analytics {
         recvs.withColumnRenamed("msg_type", "recv_msg_type"),
         keys, Seq("sent_ns"), Seq("received_ns"), "full_outer")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedFrames.synchronized { persistedFrames += m1 }
       val matched1 = m1.filter(col("sent_ns").isNotNull && col("received_ns").isNotNull)
         .withColumn("match_type", lit("exact"))
       val unSends = m1.filter(col("received_ns").isNull)
@@ -407,6 +424,7 @@ object Analytics {
         unRecvs.withColumnRenamed("sender", "recv_sender").withColumnRenamed("receiver", "recv_receiver"),
         Seq("raw_hash"), "sent_ns", "received_ns")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedFrames.synchronized { persistedFrames += m2 }
       val matched2 = m2.filter(col("sent_ns").isNotNull && col("received_ns").isNotNull)
         .withColumn("sender", coalesce(col("send_sender"), col("recv_sender")))
         .withColumn("receiver", coalesce(col("recv_receiver"), col("send_receiver")))

@@ -45,6 +45,9 @@ object Pipeline {
         counts(table) = back.count()
         written += table -> back
       }
+      // all of a's tables are on disk: release its cached intermediates
+      // (repeated runs in one session must not pin events-sized blocks)
+      a.cleanup()
     }
     counts.toMap
   }

@@ -284,10 +284,14 @@ object CorpusOps {
     * Determinism: counts are exact i64; the probability ratio is a FIXED
     * IEEE double op sequence (two divisions, one multiply, floor — the
     * [[domainMix]] pattern), bit-identical across engines. Doubles
-    * represent every count exactly up to 2^53 (~9e15), so the formula
+    * represent every count exactly up to 2^53 (~9e15), so the ratio
     * never overflows at any realistic corpus size — the naive all-integer
     * cross-product `(tgt+1)*(RAW_TOTAL+buckets)` would blow past int64 at
-    * ~1e13 corpus tokens.
+    * ~1e13 corpus tokens. The per-feature affinity is additionally capped
+    * at 1e12 ppm (a 1e6x over-representation — far beyond any meaningful
+    * signal) so the downstream int64 `sum(cnt * affinity)` cannot wrap
+    * either: the per-document sum is bounded by 1e12 x doc tokens, safe
+    * to ~9e6 tokens per document.
     *
     * Scale: the corpus is exploded ONCE into a per-document hashed
     * feature-count table (doc, f, cnt) — the standard DSIR feature-cache
@@ -321,10 +325,11 @@ object CorpusOps {
       .join(broadcast(feat), Seq("f"))
       .crossJoin(broadcast(totals))
       .withColumn("affinity_ppm",
-        floor(lit(1000000.0d) *
-          ((col("tgt") + 1L).cast("double") / (col("tgt_total") + buckets.toLong).cast("double")) /
-          ((col("raw") + 1L).cast("double") / (col("raw_total") + buckets.toLong).cast("double")))
-          .cast("long"))
+        least(lit(1000000000000L),
+          floor(lit(1000000.0d) *
+            ((col("tgt") + 1L).cast("double") / (col("tgt_total") + buckets.toLong).cast("double")) /
+            ((col("raw") + 1L).cast("double") / (col("raw_total") + buckets.toLong).cast("double")))
+            .cast("long")))
       .groupBy(col("doc"))
       .agg(sum(col("cnt")).as("n_tokens"),
         intDiv(sum(col("cnt") * col("affinity_ppm")), sum(col("cnt"))).as("score_ppm"))
@@ -365,22 +370,12 @@ object CorpusOps {
     val benchIndex = docs.filter(isBenchmark)
       .select(explode(array_distinct(wordShingles(tokens(col(textCol)), n))).as("s"))
       .distinct()
-    // corpus spans WITH positions: the relational shingle shape
-    // (posexplode + window leads), computed once for the coverage join,
+    // corpus spans WITH positions (the shared relational shingle shape),
     // over NON-benchmark docs only — the filter sits on the base relation
     // (pushable to the scan), not above the window
-    val toks = docs
-      .withColumn("is_bench", isBenchmark).filter(!col("is_bench"))
-      .select(col(idCol).as("doc"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    val withLeads = (1 until n).foldLeft(toks) { case (d, i) =>
-      d.withColumn(s"t$i", lead(col("tok"), i).over(w))
-    }
-    val shingle = concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)
-    val sh = withLeads
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc"), col("pos"), shingle.as("s"))
+    val sh = Dedup.shingleRows(
+      docs.withColumn("is_bench", isBenchmark).filter(!col("is_bench")),
+      idCol, textCol, n, keepPos = true)
     // every non-benchmark doc passes through (incl. empty/short ones) with
     // a NARROW token count — no aggregation needed for the base frame
     val base = docs.withColumn("is_bench", isBenchmark).filter(!col("is_bench"))
@@ -432,18 +427,14 @@ object CorpusOps {
     * rows) and only happens under the <= maxMaskSources bound. */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
                     source: Column, n: Int, maxMaskSources: Int = 64): DataFrame = {
-    val toks = docs
-      .withColumn("src", source)
-      .select(col(idCol).as("doc"), col("src"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    val withLeads = (1 until n).foldLeft(toks) { case (d, i) =>
-      d.withColumn(s"t$i", lead(col("tok"), i).over(w))
-    }
-    val shingle = concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)
-    val sh = withLeads
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("src"), hash60(shingle).as("h"))
+    // null-source documents have no provenance to attribute and are
+    // excluded up front (the filter sits on the base relation); without
+    // this the two pair paths would disagree (a bare null crashes the
+    // driver-side probe's sort, while null fails src_a < src_b silently)
+    val sh = Dedup.shingleRows(
+      docs.withColumn("src", source).filter(col("src").isNotNull),
+      idCol, textCol, n, carry = Seq("src"))
+      .select(col("src"), hash60(col("s")).as("h"))
       .distinct()
       .localCheckpoint()
     val totals = sh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
@@ -469,8 +460,10 @@ object CorpusOps {
           .toDF("src_a", "src_b", "bit_a", "bit_b")
         masks
           .crossJoin(broadcast(pairs))
-          .filter((shr(col("mask"), col("bit_a").cast("int")) % 2 === 1L) &&
-            (shr(col("mask"), col("bit_b").cast("int")) % 2 === 1L))
+          // bit test via AND, not % 2: shiftright sign-extends, so a mask
+          // with bit 63 set (a 64th source) makes `shr % 2` yield -1
+          .filter((shr(col("mask"), col("bit_a").cast("int")).bitwiseAND(lit(1L)) === 1L) &&
+            (shr(col("mask"), col("bit_b").cast("int")).bitwiseAND(lit(1L)) === 1L))
           .groupBy(col("src_a"), col("src_b"))
           .agg(sum(col("n_h")).as("n_shared"))
       } else {

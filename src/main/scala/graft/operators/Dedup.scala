@@ -50,20 +50,27 @@ object Dedup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc")))
   }
 
-  /** Raw (doc, shingle) rows — NOT deduplicated — via posexplode + window
-    * leads (codegen'd; see [[shingleTable]] for why not HOFs). One shuffle
-    * on doc (the window), reused by any downstream per-doc aggregation.
-    * Shared with the corpus-hygiene operators (boilerplate detection,
-    * repeated-span coverage), which need the same multiset of spans. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+  /** Raw (doc[, carry...][, pos], s) shingle rows — NOT deduplicated — via
+    * posexplode + window leads (codegen'd; see [[shingleTable]] for why
+    * not HOFs). One shuffle on doc (the window), reused by any downstream
+    * per-doc aggregation. Shared with the corpus-hygiene operators
+    * (boilerplate detection, repeated-span coverage, span-level
+    * decontamination, source overlap) — `keepPos` keeps the 0-based start
+    * position, `carry` threads extra per-document columns of `df` through
+    * the window (they must be functionally determined by the document). */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  keepPos: Boolean = false, carry: Seq[String] = Nil): DataFrame = {
+    val toks = df.select(
+      (col(idCol).as("doc") +: carry.map(col)) :+
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")): _*)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc").orderBy("pos")
     val withLeads = (1 until n).foldLeft(toks) { case (d, i) =>
       d.withColumn(s"t$i", lead(col("tok"), i).over(w))
     }
     val shingle = concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)
-    withLeads.filter(col(s"t${n - 1}").isNotNull).select(col("doc"), shingle.as("s"))
+    val keep = (col("doc") +: carry.map(col)) ++
+      (if (keepPos) Seq(col("pos")) else Nil) :+ shingle.as("s")
+    withLeads.filter(col(s"t${n - 1}").isNotNull).select(keep: _*)
   }
 
   /** Per-doc distinct shingle sets, hash-ordered: (doc, sh:

@@ -131,7 +131,8 @@ object Similarity {
     * semantic duplicate when ANOTHER member of ITS OWN cell with a lower
     * id has quantized cosine >= `minCosPpm`/1e6 — "near-identical
     * meaning, keep the first". Output per vector: its cell, the count of
-    * lower-id near neighbors, and the keep flag.
+    * lower-id near neighbors, and the keep flag. Zero-norm vectors (no
+    * cosine) are excluded from both sides and from the output.
     *
     * Scale: this is exactly the paper's reason for clustering first — the
     * pairwise check runs WITHIN cells only (an equi-join on `cell`),
@@ -143,10 +144,23 @@ object Similarity {
     * (localCheckpoint — it feeds both self-join sides and the final
     * projection; at cluster scale persist it, it IS the IVF index). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-               isCentroid: Column, minCosPpm: Long): DataFrame = {
-    val q = quantized(df, vecCol)
+               isCentroid: Column, minCosPpm: Long,
+               maxCentroids: Int = 1 << 16): DataFrame = {
+    // zero-norm vectors have no cosine (NaN, which Spark sorts ABOVE every
+    // double — one zero-norm centroid would swallow the whole corpus into
+    // its cell and turn the within-cell check into a corpus self-join);
+    // they are dropped on both sides, as in kmeansTrain
+    val q = quantized(df, vecCol).filter(col("qnorm2") > 0L)
     val cents = q.filter(isCentroid)
       .select(col(idCol).as("c_id"), col("qvec").as("centv"), col("qnorm2").as("centn"))
+    // centroids are broadcast model state: a mislabeled predicate must
+    // fail loudly, not ship the corpus to every executor (the
+    // maxSeeds/maxBenchDocs pattern; bounded probe)
+    val nCents = cents.limit(maxCentroids + 1).count()
+    require(nCents <= maxCentroids,
+      s"semDedup: isCentroid selects more than maxCentroids=$maxCentroids rows - " +
+        "centroids are broadcast; a centroid set this large suggests a mislabeled " +
+        "predicate")
     val wAssign = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("c_id").asc)
     val assigned = q
       .select(col(idCol), col("qvec"), col("qnorm2"))

@@ -595,7 +595,8 @@ object TextQueries {
          |    ELSE COALESCE(cov.n_covered, 0) * 1000000 // n_tokens END AS BIGINT) AS covered_ppm
          |FROM nt LEFT JOIN cov USING (doc_id)""".stripMargin,
     "q82_source_overlap" ->
-      s"""WITH tok AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+      s"""WITH tok AS (SELECT doc_id, source, $toksSql AS t FROM documents
+         |  WHERE source IS NOT NULL),
          |g AS (SELECT source, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
          |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram FROM tok),
          |sh AS (SELECT DISTINCT source AS src,
@@ -646,9 +647,9 @@ object TextQueries {
          |tot AS (SELECT CAST(sum(tgt) AS BIGINT) AS tgt_total,
          |  CAST(sum(raw) AS BIGINT) AS raw_total FROM feat),
          |sc AS (SELECT ft.doc_id,
-         |  CAST(floor(1000000.0
+         |  least(1000000000000, CAST(floor(1000000.0
          |    * (CAST(feat.tgt + 1 AS DOUBLE) / CAST(tot.tgt_total + 262144 AS DOUBLE))
-         |    / (CAST(feat.raw + 1 AS DOUBLE) / CAST(tot.raw_total + 262144 AS DOUBLE))) AS BIGINT) AS affinity_ppm
+         |    / (CAST(feat.raw + 1 AS DOUBLE) / CAST(tot.raw_total + 262144 AS DOUBLE))) AS BIGINT)) AS affinity_ppm
          |  FROM ft JOIN feat USING (f) CROSS JOIN tot WHERE NOT ft.is_target)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |  CAST(sum(affinity_ppm) // count(*) AS BIGINT) AS score_ppm

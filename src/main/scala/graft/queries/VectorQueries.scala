@@ -265,8 +265,9 @@ object VectorQueries {
          |SELECT id1, id2, cos_ppm FROM scored WHERE cos_ppm >= 300000""".stripMargin,
     "q81_semdedup" ->
       s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
-         |n AS (SELECT vec_id, qvec,
+         |n0 AS (SELECT vec_id, qvec,
          |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM q),
+         |n AS (SELECT * FROM n0 WHERE qnorm2 > 0),
          |c AS (SELECT vec_id AS c_id, qvec AS centv, qnorm2 AS centn FROM n WHERE vec_id < 8),
          |asg0 AS (
          |  SELECT n.vec_id, n.qvec, n.qnorm2, c.c_id, c.centn,

@@ -163,6 +163,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("s1", "s2", 1L, 2L, 2L, 333333L)))
   }
 
+  test("sourceOverlap: bitmask path correct at exactly 64 sources (bit 63 is the sign bit)") {
+    import spark.implicits._
+    // 64 single-doc sources sharing identical text: every shingle's mask
+    // has ALL bits set including bit 63 -> a sign-extending shift would
+    // silently drop every pair (regression: shr % 2 vs bitwiseAND)
+    val docs = (0 until 64).map(i => (i.toLong, "x y z w", f"s$i%02d"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceOverlap(docs, "doc_id", "text", col("source"), n = 3)
+    assert(out.count() == 64L * 63 / 2)
+    assert(out.filter(col("n_shared") =!= 2L || col("jaccard_ppm") =!= 1000000L).count() == 0)
+  }
+
   test("importanceWeights: Laplace-smoothed integer affinity, target/empty docs excluded") {
     import spark.implicits._
     val docs = Seq(

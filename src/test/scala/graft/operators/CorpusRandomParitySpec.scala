@@ -192,9 +192,10 @@ class CorpusRandomParitySpec extends AnyFunSuite {
       val tgtTotal = tokFeats.count(r => isTgt(r._1)).toLong
       val rawTotal = tokFeats.size.toLong - tgtTotal
       def affinity(f: Long): Long =
-        math.floor(1000000.0d *
-          ((tgtCnt.getOrElse(f, 0L) + 1L).toDouble / (tgtTotal + B).toDouble) /
-          ((rawCnt.getOrElse(f, 0L) + 1L).toDouble / (rawTotal + B).toDouble)).toLong
+        math.min(1000000000000L,
+          math.floor(1000000.0d *
+            ((tgtCnt.getOrElse(f, 0L) + 1L).toDouble / (tgtTotal + B).toDouble) /
+            ((rawCnt.getOrElse(f, 0L) + 1L).toDouble / (rawTotal + B).toDouble)).toLong)
       val expected = tokFeats.filterNot(r => isTgt(r._1)).groupBy(_._1).map { case (id, fs) =>
         (id, fs.size.toLong, fs.map(r => affinity(r._2)).sum / fs.size)
       }.toSet

@@ -113,6 +113,31 @@ class OperatorGuardSpec extends AnyFunSuite {
       (13L, 1L, 1L, false))) // vec 1 is a twin; vec 12 at 0.8 is not
   }
 
+  test("semDedup: zero-norm vectors and centroids are excluded, not NaN-collapsed") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)),  // zero-norm centroid candidate - dropped
+      (1L, Seq(1.0f, 0.0f)),  // real centroid
+      (10L, Seq(0.0f, 0.0f)), // zero-norm corpus vector - dropped
+      (11L, Seq(1.0f, 0.0f))  // twin of 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 2, minCosPpm = 950000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    // a NaN cosine from vec 0 would have swallowed everything into cell 0;
+    // instead cell 1 survives and the zero-norm rows are absent
+    assert(out == Set((1L, 1L, 0L, true), (11L, 1L, 1L, false)))
+  }
+
+  test("semDedup: centroid sets over maxCentroids fail loudly before broadcast") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedup(embeddings, "vec_id", "embedding",
+        isCentroid = lit(true), minCosPpm = 0L, maxCentroids = 10)
+    }
+    assert(ex.getMessage.contains("maxCentroids"))
+  }
+
   test("decontaminate: benchmark sides over maxBenchDocs fail loudly before broadcast") {
     val ex = intercept[IllegalArgumentException] {
       CorpusOps.decontaminate(documents, "doc_id", "text",
