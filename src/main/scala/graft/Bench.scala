@@ -41,7 +41,10 @@ object Bench {
     "q68_decontaminate_norm", "q71_bpe_merges", "q72_tfidf_keywords",
     "q78_boilerplate_ngrams", "q79_repeated_spans", "q80_importance_weights",
     "q81_semdedup", "q82_source_overlap", "q83_span_decontaminate",
-    "q84_source_quality", "q85_bpe_train", "q86_dup_source_matrix")
+    "q84_source_quality", "q85_bpe_train", "q86_dup_source_matrix",
+    // round 7: driver-local BPE merge loop (1 job regardless of merge count),
+    // streaming decontamination parity
+    "q87_bpe_train_local")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -104,9 +104,98 @@ object VocabOps {
       val fin = (acc: Column) =>
         when(acc.getField("pend") === "", acc.getField("out"))
           .otherwise(concat(acc.getField("out"), array(acc.getField("pend"))))
-      words = words
+      val next = words
         .select(col("cnt"), aggregate(col("syms"), zero, step, fin).as("syms"))
         .localCheckpoint()
+      // the prior round's checkpoint blocks are dead the moment the next
+      // round materializes — free them, or they accumulate linearly in
+      // nMerges for the life of the session
+      Checkpoints.free(words)
+      words = next
+    }
+    Checkpoints.free(words)
+    docs.sparkSession.createDataFrame(rows.toSeq)
+      .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** [[bpeTrain]] with the merge loop run driver-locally — the production
+    * shape for real merge counts. A tokenizer ships 30k–50k merges, and
+    * the distributed loop pays 2 Spark jobs per merge (an argmax collect
+    * + a checkpointed vocabulary rewrite): ~100k driver-coordinated jobs
+    * for one artifact. But the state the loop iterates on is the
+    * DISTINCT-WORD frequency table — vocabulary-sized model state, the
+    * same class as the kmeans centroid matrix — so after the ONE
+    * corpus-sized pass (the word-count aggregation, map-side combined)
+    * the whole loop runs on the driver: 1 Spark job total, independent
+    * of nMerges.
+    *
+    * The collect is gated by `maxVocabWords` (the maxSeeds /
+    * maxBenchDocs / maxCentroids pattern): a vocabulary over the gate
+    * fails loudly before anything ships to the driver, because an
+    * unbounded word table (e.g. tokenizing noise) is exactly the input
+    * that must stay distributed — use [[bpeTrain]] there.
+    *
+    * Identical output to [[bpeTrain]] by construction: same pair
+    * weighting (every adjacent position counts, weighted by word
+    * frequency), same argmax tie-break (count desc, then (a, b) asc —
+    * NOTE: driver-side string order is UTF-16 code-unit order vs Spark's
+    * UTF-8 byte order; identical on the BMP, where all real tokenizer
+    * alphabets live), same greedy leftmost-non-overlapping merge. Words
+    * split into Unicode code points, matching `substr(i, 1)` semantics.
+    * Parity is spec-pinned against the distributed path. */
+  def bpeTrainLocal(docs: DataFrame, textCol: String, nMerges: Int,
+                    maxVocabWords: Int = 4000000): DataFrame = {
+    val wordRows = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(!col("word").contains("|"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .limit(maxVocabWords + 1)
+      .collect()
+    require(wordRows.length <= maxVocabWords,
+      s"bpeTrainLocal: distinct-word table exceeds maxVocabWords=$maxVocabWords - " +
+        "the merge loop holds the vocabulary in driver memory (it is model state, " +
+        "like the kmeans centroid matrix); raise the gate only with driver memory " +
+        "to match, or use bpeTrain")
+    def codePoints(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    var vocab: Array[(Array[String], Long)] =
+      wordRows.map(r => (codePoints(r.getString(0)), r.getLong(1)))
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (r <- 1 to nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      require(counts.nonEmpty, s"bpeTrainLocal: no adjacent pairs left at round $r")
+      val ((a, b), total) = counts.minBy { case ((x, y), t) => (-t, x, y) }
+      val merged = a + b
+      rows += ((r, a, b, merged, total))
+      vocab = vocab.map { case (syms, cnt) =>
+        if (syms.length < 2) (syms, cnt)
+        else {
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, cnt)
+        }
+      }
     }
     docs.sparkSession.createDataFrame(rows.toSeq)
       .toDF("round", "sym_a", "sym_b", "merged", "pair_count")

@@ -378,6 +378,15 @@ object TextQueries {
   def q85BpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.VocabOps.bpeTrain(Tables(spark, dir).documents, "text", nMerges = 3)
 
+  // ---------------------------------------------------------------- q87
+  /** Driver-local BPE training, 8 merge rounds: identical semantics to
+    * q85's distributed loop, but the merge iteration runs on the
+    * gate-collected distinct-word frequency table (model state) — 1 Spark
+    * job regardless of merge count, the production shape for the 30k-merge
+    * artifacts real tokenizers ship. */
+  def q87BpeTrainLocal(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VocabOps.bpeTrainLocal(Tables(spark, dir).documents, "text", nMerges = 8)
+
   // ---------------------------------------------------------------- q86
   /** Near-dup provenance matrix: q25's verified near-dup pairs attributed
     * to (source, source) — intra-source rows measure internal duplication,
@@ -397,6 +406,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_bpe_train_local"  -> q87BpeTrainLocal _,
     "q86_dup_source_matrix" -> q86DupSourceMatrix _,
     "q85_bpe_train"        -> q85BpeTrain _,
     "q84_source_quality"   -> q84SourceQuality _,
@@ -556,6 +566,7 @@ object TextQueries {
          |JOIN ds b ON pairs.d2 = b.doc_id
          |GROUP BY 1, 2""".stripMargin,
     "q85_bpe_train" -> bpeOracle(3),
+    "q87_bpe_train_local" -> bpeOracle(8),
     "q84_source_quality" ->
       s"""WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
          |m AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -46,6 +46,41 @@ class VocabOpsSpec extends AnyFunSuite {
       (3L, "shared", 333333L)))
   }
 
+  test("bpeTrainLocal: identical merge table to the distributed path") {
+    import spark.implicits._
+    // random-ish corpus with overlap-heavy words, ties, and 1-char words
+    val rnd = new scala.util.Random(42)
+    val words = Seq("aaa", "abab", "banana", "a", "bb", "cabbage", "baa", "abc")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val dist = VocabOps.bpeTrain(docs, "text", nMerges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val local = VocabOps.bpeTrainLocal(docs, "text", nMerges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(local == dist)
+    assert(local.size == 6)
+  }
+
+  test("bpeTrain: per-round checkpoint blocks are freed, not accumulated") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab abc"), (2L, "banana band")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    VocabOps.bpeTrain(docs, "text", nMerges = 4).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"bpeTrain leaked checkpoint RDDs: ${(after -- before).mkString(",")}")
+  }
+
+  test("bpeTrainLocal: vocabularies over maxVocabWords fail loudly, never a bulk collect") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, s"w$i x$i y$i")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      VocabOps.bpeTrainLocal(docs, "text", nMerges = 1, maxVocabWords = 10)
+    }
+    assert(ex.getMessage.contains("maxVocabWords"))
+  }
+
   test("tfidfKeywords: score ties break on the token string") {
     import spark.implicits._
     val docs = Seq((1L, "bbb aaa"), (2L, "bbb aaa")).toDF("doc_id", "text")
