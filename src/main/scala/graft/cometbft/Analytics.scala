@@ -17,9 +17,35 @@ import graft.operators.{ExactPercentiles, PairingJoin, Sessionize}
   * machines are rationalized to deterministic relational semantics and
   * documented per analytic (SURVEY §7.4-3).
   */
+/** Per-run registry for frames an analytic `persist()`s while building
+  * its sinks' plans (e.g. the network-latency matched sets). One tracker
+  * per analytic per pipeline run, released by the CALLER after that
+  * analytic's tables are written — scoping the persisted-frame lifetime
+  * to the run, so two concurrent `Pipeline.run`s in one JVM can never
+  * unpersist each other's frames mid-query. */
+final class FrameTracker {
+  private val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  def track(df: DataFrame): DataFrame = synchronized { frames += df; df }
+  def release(): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking = false))
+    frames.clear()
+  }
+}
+
 trait Analytic {
   def name: String
+
+  /** Standalone entry: any frames persisted for the sinks' plans stay
+    * cached for the session (callers that care pass a [[FrameTracker]]
+    * via the overload and release it themselves). */
   def run(events: DataFrame): Seq[(String, DataFrame)]
+
+  /** [[run]] with per-run persist tracking: frames the analytic persists
+    * are registered on `tracker`, and the caller releases them once the
+    * sinks are written. Default delegates to [[run]] — self-contained
+    * analytics persist nothing. */
+  def run(events: DataFrame, tracker: FrameTracker): Seq[(String, DataFrame)] =
+    run(events)
 
   /** Like [[run]], but may REUSE result tables already materialized by
     * earlier analytics of the same pipeline run (keyed by table name) —
@@ -27,15 +53,9 @@ trait Analytic {
     * tables. Default: ignore them (every analytic is self-contained, as
     * in the reference's independent plugins); composites like
     * TracerEvents override to avoid recomputing a sibling's machine. */
-  def runFrom(events: DataFrame, stored: Map[String, DataFrame]): Seq[(String, DataFrame)] =
-    run(events)
-
-  /** Release any intermediate state the analytic cached for its own
-    * sinks' plans. Called by the pipeline AFTER this analytic's tables
-    * are written — without it, per-run `persist`s (e.g. the
-    * network-latency matched sets) pin events-sized blocks for the life
-    * of the Spark session. */
-  def cleanup(): Unit = ()
+  def runFrom(events: DataFrame, stored: Map[String, DataFrame],
+              tracker: FrameTracker): Seq[(String, DataFrame)] =
+    run(events, tracker)
 }
 
 object Analytics {
@@ -348,15 +368,6 @@ object Analytics {
   object NetworkLatency extends Analytic {
     val name = "network_latency"
 
-    // matched-set frames persisted by fifoMatch for the five sinks of the
-    // CURRENT run; drained by cleanup() so repeated Pipeline.runs in one
-    // session don't pin events-sized blocks forever
-    private val persistedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    override def cleanup(): Unit = persistedFrames.synchronized {
-      persistedFrames.foreach(_.unpersist(blocking = false))
-      persistedFrames.clear()
-    }
-
     /** The J4 two-pass matcher, factored for the random-stream parity spec.
       *
       * Pass 1 — composite key (sender, receiver, raw_hash): the reference
@@ -392,7 +403,8 @@ object Analytics {
       * @return (measurements, unmatchedSends(node_id, msg_type),
       *         unmatchedRecvs(node_id, msg_type))
       */
-    private[graft] def fifoMatch(sends: DataFrame, recvs: DataFrame)
+    private[graft] def fifoMatch(sends: DataFrame, recvs: DataFrame,
+                                 tracker: FrameTracker = new FrameTracker)
         : (DataFrame, DataFrame, DataFrame) = {
       val keys = Seq("sender", "receiver", "raw_hash")
       // Both pairing products feed FIVE output tables (measurements, two
@@ -406,7 +418,7 @@ object Analytics {
         recvs.withColumnRenamed("msg_type", "recv_msg_type"),
         keys, Seq("sent_ns"), Seq("received_ns"), "full_outer")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persistedFrames.synchronized { persistedFrames += m1 }
+      tracker.track(m1)
       val matched1 = m1.filter(col("sent_ns").isNotNull && col("received_ns").isNotNull)
         .withColumn("match_type", lit("exact"))
       val unSends = m1.filter(col("received_ns").isNull)
@@ -424,7 +436,7 @@ object Analytics {
         unRecvs.withColumnRenamed("sender", "recv_sender").withColumnRenamed("receiver", "recv_receiver"),
         Seq("raw_hash"), "sent_ns", "received_ns")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persistedFrames.synchronized { persistedFrames += m2 }
+      tracker.track(m2)
       val matched2 = m2.filter(col("sent_ns").isNotNull && col("received_ns").isNotNull)
         .withColumn("sender", coalesce(col("send_sender"), col("recv_sender")))
         .withColumn("receiver", coalesce(col("recv_receiver"), col("send_receiver")))
@@ -449,7 +461,10 @@ object Analytics {
       (measurements, unmatchedSends, unmatchedRecvs)
     }
 
-    def run(events: DataFrame): Seq[(String, DataFrame)] = {
+    def run(events: DataFrame): Seq[(String, DataFrame)] =
+      run(events, new FrameTracker)
+
+    override def run(events: DataFrame, tracker: FrameTracker): Seq[(String, DataFrame)] = {
       val sends = events.filter(col("event_type").startsWith("send_"))
         .select(
           col("node_id").as("sender"), col("recipient_peer_id").as("receiver"),
@@ -464,7 +479,7 @@ object Analytics {
           regexp_replace(col("event_type"), "^receive_packet_", "").as("msg_type"),
           col("ts_ns").as("received_ns"))
 
-      val (measurements, unmatchedSends, unmatchedRecvs) = fifoMatch(sends, recvs)
+      val (measurements, unmatchedSends, unmatchedRecvs) = fifoMatch(sends, recvs, tracker)
 
       // A3: per-(normalized pair, msg_type) exact-percentile histograms.
       val paired = measurements
@@ -631,13 +646,13 @@ object Analytics {
   object TracerEvents extends Analytic {
     val name = "tracer_events"
     def run(events: DataFrame): Seq[(String, DataFrame)] =
-      runFrom(events, Map.empty)
+      runFrom(events, Map.empty, new FrameTracker)
     /** The consensus and p2p sides come from the sibling analytics'
       * STORED tables when the pipeline already wrote them (the round-6
       * profile had the full 8-family p2p machine running twice per
       * pipeline); standalone runs fall back to computing them. */
-    override def runFrom(events: DataFrame, stored: Map[String, DataFrame])
-        : Seq[(String, DataFrame)] = {
+    override def runFrom(events: DataFrame, stored: Map[String, DataFrame],
+                         tracker: FrameTracker): Seq[(String, DataFrame)] = {
       val consensus = stored.getOrElse("consensus_steps", ConsensusSteps.run(events).head._2)
         .withColumn("stream", lit("consensus"))
         .withColumn("sort_ns", col("ts_ns"))

@@ -38,16 +38,19 @@ object Pipeline {
     // re-running both machines
     var written = Map.empty[String, DataFrame]
     analytics.foreach { a =>
-      a.runFrom(stored, written).foreach { case (table, df) =>
+      // per-run tracker: the analytic registers any frames it persists
+      // for its sinks' plans; released once all its tables are on disk
+      // (repeated or CONCURRENT runs in one session must neither pin
+      // events-sized blocks nor unpersist each other's)
+      val tracker = new FrameTracker
+      a.runFrom(stored, written, tracker).foreach { case (table, df) =>
         val path = s"$warehouse/$table"
         df.write.mode("overwrite").parquet(path)
         val back = spark.read.parquet(path)
         counts(table) = back.count()
         written += table -> back
       }
-      // all of a's tables are on disk: release its cached intermediates
-      // (repeated runs in one session must not pin events-sized blocks)
-      a.cleanup()
+      tracker.release()
     }
     counts.toMap
   }

@@ -105,6 +105,9 @@ object CorpusOps {
     * canonicalization before shingling — lowercase, every
     * non-alphanumeric run collapsed to one space — so cosmetic edits
     * (case, punctuation) don't hide a leaked benchmark document.
+    *
+    * A NULL `isBenchmark` reads as false: the document is scored as
+    * corpus, never silently dropped (and never joins the bench index).
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     isBenchmark: Column, n: Int,
@@ -117,7 +120,7 @@ object CorpusOps {
     val txt = if (normalize) normalizeText(col(textCol)) else col(textCol)
     val sh = docs
       .withColumn("shingles", array_distinct(wordShingles(tokens(txt), n)))
-      .withColumn("is_bench", isBenchmark)
+      .withColumn("is_bench", coalesce(isBenchmark, lit(false)))
     val benchIndex = sh.filter(col("is_bench"))
       .select(explode(col("shingles")).as("s")).distinct()
     val corpus = sh.filter(!col("is_bench"))
@@ -353,7 +356,10 @@ object CorpusOps {
     * broadcast, gated by `maxBenchDocs`) plus one per-document window on
     * the MATCHING positions only — a frame bounded by contamination
     * volume, not corpus size. Clean documents pass through the left join
-    * with zero covered tokens. */
+    * with zero covered tokens.
+    *
+    * A NULL `isBenchmark` reads as false (the [[decontaminate]] rule):
+    * the document is measured as corpus, never silently dropped. */
   def spanDecontaminate(docs: DataFrame, idCol: String, textCol: String,
                         isBenchmark: Column, n: Int,
                         maxBenchDocs: Int = 1000000): DataFrame = {
@@ -373,12 +379,13 @@ object CorpusOps {
     // corpus spans WITH positions (the shared relational shingle shape),
     // over NON-benchmark docs only — the filter sits on the base relation
     // (pushable to the scan), not above the window
+    val isBench = coalesce(isBenchmark, lit(false))
     val sh = Dedup.shingleRows(
-      docs.withColumn("is_bench", isBenchmark).filter(!col("is_bench")),
+      docs.withColumn("is_bench", isBench).filter(!col("is_bench")),
       idCol, textCol, n, keepPos = true)
     // every non-benchmark doc passes through (incl. empty/short ones) with
     // a NARROW token count — no aggregation needed for the base frame
-    val base = docs.withColumn("is_bench", isBenchmark).filter(!col("is_bench"))
+    val base = docs.withColumn("is_bench", isBench).filter(!col("is_bench"))
       .select(col(idCol).as("doc"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
     val wPos = Window.partitionBy(col("doc")).orderBy(col("pos"))
@@ -430,9 +437,13 @@ object CorpusOps {
     // null-source documents have no provenance to attribute and are
     // excluded up front (the filter sits on the base relation); without
     // this the two pair paths would disagree (a bare null crashes the
-    // driver-side probe's sort, while null fails src_a < src_b silently)
+    // driver-side probe's sort, while null fails src_a < src_b silently).
+    // The source is cast to string so a non-string provenance column (an
+    // int partition id, say) takes the same two paths with the same
+    // lexicographic pair order instead of ClassCastException-ing the
+    // driver probe on the bitmask path.
     val sh = Dedup.shingleRows(
-      docs.withColumn("src", source).filter(col("src").isNotNull),
+      docs.withColumn("src", source.cast("string")).filter(col("src").isNotNull),
       idCol, textCol, n, carry = Seq("src"))
       .select(col("src"), hash60(col("s")).as("h"))
       .distinct()

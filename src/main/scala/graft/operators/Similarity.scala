@@ -145,7 +145,8 @@ object Similarity {
     * projection; at cluster scale persist it, it IS the IVF index). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                isCentroid: Column, minCosPpm: Long,
-               maxCentroids: Int = 1 << 16): DataFrame = {
+               maxCentroids: Int = 1 << 16,
+               maxCellSize: Long = 1L << 20): DataFrame = {
     // zero-norm vectors have no cosine (NaN, which Spark sorts ABOVE every
     // double — one zero-norm centroid would swallow the whole corpus into
     // its cell and turn the within-cell check into a corpus self-join);
@@ -170,6 +171,22 @@ object Similarity {
       .filter(col("arank") === 1)
       .select(col(idCol).as("id"), col("c_id").as("cell"), col("qvec"), col("qnorm2"))
       .localCheckpoint()
+    // cell-skew audit: the within-cell join is quadratic PER CELL, so its
+    // safety rests on the centroids spreading the corpus — a pathological
+    // (but nonzero-norm) centroid set can still concentrate everything
+    // into one cell. Audit the biggest cell off the just-materialized
+    // index (map-side combined to <= nCents rows per partition, one cheap
+    // job) and fail loudly before the join, the gate pattern.
+    val biggestCell = {
+      val r = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head()
+      Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+    require(biggestCell <= maxCellSize,
+      s"semDedup: largest cell has $biggestCell members > maxCellSize=$maxCellSize - " +
+        "the within-cell pair check is quadratic per cell; supply more (or " +
+        "better-spread) centroids, or raise maxCellSize if the quadratic cost " +
+        "is truly intended")
     val a = assigned.select(col("cell"), col("id"), col("qvec").as("qv"), col("qnorm2").as("qn"))
     val b = assigned.select(col("cell"), col("id").as("id2"), col("qvec").as("cv"), col("qnorm2").as("cn"))
     val dups = a.join(b, Seq("cell"))

@@ -175,6 +175,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.filter(col("n_shared") =!= 2L || col("jaccard_ppm") =!= 1000000L).count() == 0)
   }
 
+  test("sourceOverlap: non-string source columns are cast, not ClassCastException") {
+    import spark.implicits._
+    // int provenance ids; the bitmask path's driver probe must not assume
+    // string rows, and the output pairs come back as strings
+    val docs = Seq(
+      (1L, "a b c d", 10), // shingles {abc, bcd}
+      (2L, "a b c x", 2)   // shingles {abc, bcx}
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceOverlap(docs, "doc_id", "text", col("source"), n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // lexicographic on the CAST strings: "10" < "2"
+    assert(out.toSeq == Seq(("10", "2", 1L)))
+  }
+
+  test("decontaminate and spanDecontaminate: NULL isBenchmark reads as corpus, not dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox", Some(true)),  // benchmark
+      (1L, "the quick brown fox", None),        // null predicate: scored as corpus
+      (2L, "an unrelated doc here", Some(false))
+    ).toDF("doc_id", "text", "bench")
+    val doc = CorpusOps.decontaminate(docs, "doc_id", "text", col("bench"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(doc == Map(1L -> true, 2L -> false))
+    val span = CorpusOps.spanDecontaminate(docs, "doc_id", "text", col("bench"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(span == Map(1L -> 4L, 2L -> 0L)) // doc 1 fully covered (4 tokens)
+  }
+
   test("importanceWeights: Laplace-smoothed integer affinity, target/empty docs excluded") {
     import spark.implicits._
     val docs = Seq(

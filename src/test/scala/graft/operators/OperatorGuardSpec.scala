@@ -138,6 +138,17 @@ class OperatorGuardSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxCentroids"))
   }
 
+  test("semDedup: a corpus-swallowing cell fails loudly before the quadratic join") {
+    import spark.implicits._
+    // one real centroid -> every vector lands in its cell; with the skew
+    // gate at 100 the within-cell self-join must never be attempted
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedup(embeddings, "vec_id", "embedding",
+        isCentroid = $"vec_id" === 0L, minCosPpm = 0L, maxCellSize = 100L)
+    }
+    assert(ex.getMessage.contains("maxCellSize"))
+  }
+
   test("decontaminate: benchmark sides over maxBenchDocs fail loudly before broadcast") {
     val ex = intercept[IllegalArgumentException] {
       CorpusOps.decontaminate(documents, "doc_id", "text",
