@@ -96,6 +96,25 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (t, ok)
     }
+    // The MinHash sketch table is materialized once per dir and consumed
+    // by q25's band+verify AND the pair-graph build. Time ITS build first
+    // (min-of-two, cache dropped in between) so the timed q25 runs below
+    // measure consumption only and neither number hides the other.
+    val sigBuild = {
+      def once(): (Double, Boolean) = {
+        graft.queries.TextQueries.invalidateSigTable(sfDir)
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.queries.TextQueries.buildSigTable(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q25_sig_build FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (b1, ok1) = once(); val (b2, ok2) = once()
+      if (ok1 && ok2) math.min(b1, b2) else -1.0
+    }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
     val run2 = present.map { n =>
@@ -163,7 +182,8 @@ object Bench {
       val (b1, ok1) = once(); val (b2, ok2) = once()
       if (ok1 && ok2) math.min(b1, b2) else -1.0
     }
-    val results = run2 :+ ("q35_pair_graph_build" -> pairBuild) :+
+    val results = run2 :+ ("q25_sig_build" -> sigBuild) :+
+      ("q35_pair_graph_build" -> pairBuild) :+
       ("q35_cc_label_build" -> labelBuild) :+
       ("cometbft_e2e_pipeline" -> cometbftE2e)
     val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }

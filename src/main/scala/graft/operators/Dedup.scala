@@ -176,22 +176,42 @@ object Dedup {
     * for verification is collected in the same aggregation.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      n: Int, k: Int, bandSize: Int, minJaccardPpm: Long): DataFrame = {
+                      n: Int, k: Int, bandSize: Int, minJaccardPpm: Long): DataFrame =
+    minhashLshPairsFromSig(
+      // Materialized once: the signature table feeds both band-join sides
+      // and both verify joins; Catalyst would otherwise recompute the
+      // shingle+aggregate pipeline per branch.
+      minhashSigTable(df, idCol, textCol, n, k).localCheckpoint(),
+      k, bandSize, minJaccardPpm)
+
+  /** The MinHash sketch table behind [[minhashLshPairs]]: one row per doc
+    * with its distinct shingle set and the `k` min-hashes —
+    * `(doc, shingles, mh0..mh{k-1}, ns)`. Split out so the sketch can be
+    * materialized ONCE per corpus (it is the IVF-index analogue for
+    * near-dup work: q25's pair finding, the q35/q60/q86 pair graph, and
+    * any future band tuning all consume the same table instead of
+    * re-running the shingle+aggregate pipeline per consumer). */
+  def minhashSigTable(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int): DataFrame = {
     // Raw (not distinct) shingle rows: min() is duplicate-insensitive and
     // collect_set dedups, so the pre-aggregation distinct pass (an extra
     // shuffle) is unnecessary.
-    val ex = shingleRows(df, idCol, textCol, n)
+    shingleRows(df, idCol, textCol, n)
       .withColumn("h31", hash31(col("s")))
-    // Materialized once: the signature table feeds both band-join sides
-    // and both verify joins; Catalyst would otherwise recompute the
-    // shingle+aggregate pipeline per branch.
-    val sig = ex.groupBy(col("doc"))
+      .groupBy(col("doc"))
       .agg(
         collect_set(col("s")).as("shingles"),
         (0 until k).map(i =>
           min((lit(minhashA(i)) * col("h31") + lit(minhashB(i))) % MinhashP).as(s"mh$i")): _*)
       .withColumn("ns", size(col("shingles")).cast("long"))
-      .localCheckpoint()
+  }
+
+  /** Band + verify over a pre-built [[minhashSigTable]] frame (already
+    * materialized by the caller — checkpointed or read back from storage).
+    * Output is order-insensitive in the sketch's shingle-array order, so a
+    * parquet round-trip of the sketch changes nothing. */
+  def minhashLshPairsFromSig(sig: DataFrame, k: Int, bandSize: Int,
+                             minJaccardPpm: Long): DataFrame = {
     val bandCols = (0 until k / bandSize).map { bIdx =>
       md5(concat_ws("|",
         (0 until bandSize).map(j => col(s"mh${bIdx * bandSize + j}").cast("string")): _*))

@@ -50,6 +50,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashLshPairs over a parquet-round-tripped sketch equals the direct path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "a completely different sentence with nothing shared at all here"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"),
+      (5L, "some other text that shares the quick brown fox only briefly")
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val direct = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 16, bandSize = 4, minJaccardPpm = 500000L).collect().map(key).toSet
+    val out = java.nio.file.Files.createTempDirectory("dedup-sig-rt").resolve("sigs").toString
+    Dedup.minhashSigTable(docs, "doc_id", "text", n = 3, k = 16)
+      .write.mode("overwrite").parquet(out)
+    val fromSig = Dedup.minhashLshPairsFromSig(spark.read.parquet(out),
+      k = 16, bandSize = 4, minJaccardPpm = 500000L).collect().map(key).toSet
+    assert(direct.nonEmpty)
+    assert(fromSig == direct)
+  }
+
   test("prefix-filtered jaccard equals brute-force jaccard") {
     import spark.implicits._
     val docs = Seq(
