@@ -168,6 +168,15 @@ object Bench {
     val cometbftE2e = {
       val logDir = java.nio.file.Files.createTempDirectory("graft-bench-cbft-logs").toString
       graft.cometbft.Fixtures.writeScenario(logDir, heights = 5)
+      // same steady-state treatment as the headline queries (which warm
+      // on sf0.001 before timing): one untimed pipeline run fills the
+      // Catalyst/codegen/JIT caches for the 9 analytic plans — the entry
+      // is fixed-overhead dominated, and a cold first run would otherwise
+      // make min-of-two report half-warmed compilation time.
+      try {
+        val warmWh = java.nio.file.Files.createTempDirectory("graft-bench-cbft-warm").toString
+        graft.cometbft.Pipeline.run(spark, logDir, warmWh)
+      } catch { case _: Throwable => }
       def once(): (Double, Boolean) = {
         val wh = java.nio.file.Files.createTempDirectory("graft-bench-cbft-wh").toString
         val t0 = System.nanoTime()

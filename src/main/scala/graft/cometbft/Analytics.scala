@@ -479,7 +479,13 @@ object Analytics {
           regexp_replace(col("event_type"), "^receive_packet_", "").as("msg_type"),
           col("ts_ns").as("received_ns"))
 
-      val (measurements, unmatchedSends, unmatchedRecvs) = fifoMatch(sends, recvs, tracker)
+      val (rawMeasurements, unmatchedSends, unmatchedRecvs) = fifoMatch(sends, recvs, tracker)
+      // The matched measurement set feeds FOUR consumers (its own sink,
+      // both percentile rollups, the global totals) — materialize it once
+      // on top of the already-persisted m1/m2 so each sink's job starts
+      // at the cached rows instead of re-running the union+latency chain.
+      val measurements = tracker.track(
+        rawMeasurements.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
       // A3: per-(normalized pair, msg_type) exact-percentile histograms.
       val paired = measurements
@@ -493,24 +499,32 @@ object Analytics {
       val nodepairSummary = pairHists.unionByName(pairOverall)
 
       // A5: per-node stats incl. connected peers and unmatched counts.
-      val sendStats = sends.groupBy(col("sender").as("node_id"))
-        .agg(count(lit(1)).as("total_sends"), collect_set(col("receiver")).as("send_peers"))
-      val recvStats = recvs.groupBy(col("receiver").as("node_id"))
-        .agg(count(lit(1)).as("total_receives"), collect_set(col("sender")).as("recv_peers"))
-      val unmatchedSendCnt = unmatchedSends.groupBy("node_id").agg(count(lit(1)).as("unmatched_sends"))
-      val unmatchedRecvCnt = unmatchedRecvs.groupBy("node_id").agg(count(lit(1)).as("unmatched_receives"))
-      val nodeStats = sendStats
-        .join(recvStats, Seq("node_id"), "full_outer")
-        .join(unmatchedSendCnt, Seq("node_id"), "left")
-        .join(unmatchedRecvCnt, Seq("node_id"), "left")
+      // ONE union + ONE groupBy instead of four per-side aggregations
+      // stitched by three full_outer/left joins: every branch is a narrow
+      // tagged projection, so the whole table costs a single shuffle on
+      // node_id (conditional aggregates; collect_set skips the nulls the
+      // when()s produce) — the same rows either way, one exchange instead
+      // of seven at any scale.
+      val nodeEvents = sends
+        .select(col("sender").as("node_id"), col("receiver").as("peer"), lit("send").as("kind"))
+        .unionByName(recvs
+          .select(col("receiver").as("node_id"), col("sender").as("peer"), lit("recv").as("kind")))
+        .unionByName(unmatchedSends
+          .select(col("node_id"), lit(null).cast("string").as("peer"), lit("us").as("kind")))
+        .unionByName(unmatchedRecvs
+          .select(col("node_id"), lit(null).cast("string").as("peer"), lit("ur").as("kind")))
+      val nodeStats = nodeEvents
+        .groupBy("node_id")
+        .agg(
+          sum(when(col("kind") === "send", 1L).otherwise(0L)).as("total_sends"),
+          collect_set(when(col("kind") === "send", col("peer"))).as("send_peers"),
+          sum(when(col("kind") === "recv", 1L).otherwise(0L)).as("total_receives"),
+          collect_set(when(col("kind") === "recv", col("peer"))).as("recv_peers"),
+          sum(when(col("kind") === "us", 1L).otherwise(0L)).as("unmatched_sends"),
+          sum(when(col("kind") === "ur", 1L).otherwise(0L)).as("unmatched_receives"))
         .withColumn("connected_peers",
-          array_sort(array_union(coalesce(col("send_peers"), array()),
-            coalesce(col("recv_peers"), array()))))
+          array_sort(array_union(col("send_peers"), col("recv_peers"))))
         .withColumn("connected_peer_count", size(col("connected_peers")).cast("long"))
-        .withColumn("total_sends", coalesce(col("total_sends"), lit(0L)))
-        .withColumn("total_receives", coalesce(col("total_receives"), lit(0L)))
-        .withColumn("unmatched_sends", coalesce(col("unmatched_sends"), lit(0L)))
-        .withColumn("unmatched_receives", coalesce(col("unmatched_receives"), lit(0L)))
         .drop("send_peers", "recv_peers")
 
       // A6: single global row.
@@ -547,7 +561,9 @@ object Analytics {
     * clusters (A10 `:180-199`, gap <= 30 s AND height delta <= 5, >= 3). */
   object TimeoutAnalysis extends Analytic {
     val name = "timeout_analysis"
-    def run(events: DataFrame): Seq[(String, DataFrame)] = {
+    def run(events: DataFrame): Seq[(String, DataFrame)] =
+      run(events, new FrameTracker)
+    override def run(events: DataFrame, tracker: FrameTracker): Seq[(String, DataFrame)] = {
       val timeouts = events.filter(col("event_type") === "scheduled_timeout")
         .select(col("node_id"), col("validator_address"), col("height"),
           col("round"), col("timeout_step").as("step"), col("duration_ms"),
@@ -588,6 +604,10 @@ object Analytics {
           col("t.time_in_step_ms").as("time_in_step_ms"))
         .agg(count(col("p.p_ts_ns")).as("prior_timeouts"))
         .withColumn("is_recovery_timeout", col("prior_timeouts") >= 2)
+        // feeds BOTH the enriched-events sink and the per-node analysis
+        // rollup — materialize the join+window chain once per run
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tracker.track(recovery)
 
       // A10: clusters per node (time gap AND height delta predicate).
       val tagged = Sessionize.assign(

@@ -22,17 +22,32 @@ object Pipeline {
     val events = Normalize.normalize(raw)
 
     val eventsPath = s"$warehouse/events"
-    events
-      // O1: event-time order within each partition; partitioning by
-      // event_type turns every analytic's type filter into partition
-      // pruning (each job scans only its event families).
-      .repartition(col("event_type"))
-      .sortWithinPartitions(col("ts_ns"))
-      .write.mode("overwrite").partitionBy("event_type").parquet(eventsPath)
+    // Row counts ride the WRITE job itself (CollectMetrics accumulators
+    // via observe()) instead of a read-back count() per sink — the
+    // fixture e2e profile showed 14 pure-counting jobs of its 129, all
+    // fixed overhead at any data size.
+    def writeCounted(df: DataFrame, path: String, metric: String,
+                     partitionCols: Seq[String] = Nil): Long = {
+      val observed = df.observe(metric, count(lit(1)).as("rows"))
+      val w = observed.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      val row = observed.queryExecution.observedMetrics.getOrElse(metric,
+        throw new IllegalStateException(
+          s"Pipeline: observed metric $metric missing after write"))
+      Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
 
+    val nEvents = writeCounted(
+      events
+        // O1: event-time order within each partition; partitioning by
+        // event_type turns every analytic's type filter into partition
+        // pruning (each job scans only its event families).
+        .repartition(col("event_type"))
+        .sortWithinPartitions(col("ts_ns")),
+      eventsPath, "graft_rows_events", partitionCols = Seq("event_type"))
     val stored = spark.read.parquet(eventsPath)
     val counts = scala.collection.mutable.Map[String, Long](
-      "events" -> stored.count())
+      "events" -> nEvents)
     // later analytics may read the tables earlier ones wrote (runFrom) —
     // e.g. the tracer unions the stored consensus + p2p tables instead of
     // re-running both machines
@@ -45,10 +60,11 @@ object Pipeline {
       val tracker = new FrameTracker
       a.runFrom(stored, written, tracker).foreach { case (table, df) =>
         val path = s"$warehouse/$table"
-        df.write.mode("overwrite").parquet(path)
-        val back = spark.read.parquet(path)
-        counts(table) = back.count()
-        written += table -> back
+        counts(table) = writeCounted(df, path, s"graft_rows_$table")
+        // the read-back is LAZY (schema comes from the footer, no job) —
+        // downstream consumers via `written` plan against the stored
+        // table, not this analytic's live DAG
+        written += table -> spark.read.parquet(path)
       }
       tracker.release()
     }
