@@ -343,6 +343,65 @@ object StreamingPipeline {
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("occurrences"))
 
+  /** Streaming benchmark decontamination
+    * ([[graft.operators.CorpusOps.decontaminate]] in streaming form) —
+    * the production shape for continuous corpus ingestion: the benchmark
+    * shingle index is STATIC (eval sets change rarely; build it once in
+    * batch with [[benchShingleIndex]] and persist it), the corpus
+    * streams through one shingle explode, a stream-static broadcast join
+    * against the index (stateless — the static side ships to executors
+    * per micro-batch), and a watermarked per-document rollup. Each
+    * document arrives whole in one row, so the per-doc aggregation state
+    * is evicted as the watermark passes its event time — bounded by the
+    * watermark horizon, never by corpus size.
+    *
+    * Output per document (append as the watermark closes it): the batch
+    * operator's exact columns — n_ngrams, n_contaminated (distinct
+    * shingles shared with the index), contam_ppm, contaminated. */
+  def decontaminateStream(corpus: DataFrame, benchIndex: DataFrame,
+                          idCol: String, textCol: String, tsCol: String,
+                          n: Int, watermark: String,
+                          normalize: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions._
+    val txt = if (normalize) normalizeText(col(textCol)) else col(textCol)
+    val sh = corpus
+      .select(col(idCol), col(tsCol),
+        array_distinct(wordShingles(tokens(txt), n)).as("shingles"))
+      .withColumn("n_ngrams", size(col("shingles")).cast("long"))
+      // explode_outer: zero-shingle docs keep their row (s = null joins
+      // to nothing) and still emit an n_contaminated = 0 result
+      .select(col(idCol), col(tsCol), col("n_ngrams"),
+        explode_outer(col("shingles")).as("s"))
+    val hits = sh.join(
+      broadcast(benchIndex.select(col("s"), lit(1L).as("hit"))), Seq("s"), "left")
+    hits
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(idCol), col(tsCol), col("n_ngrams"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contam_ppm", ppm(col("n_contaminated"), col("n_ngrams")))
+      .withColumn("contaminated", col("n_contaminated") > 0L)
+      .select(col(idCol), col("n_ngrams"), col("n_contaminated"),
+        col("contam_ppm"), col("contaminated"))
+  }
+
+  /** The static side of [[decontaminateStream]]: the benchmark's distinct
+    * shingle index, built in batch (the [[graft.operators.CorpusOps
+    * .decontaminate]] bench side, same `maxBenchDocs` broadcast gate). */
+  def benchShingleIndex(benchDocs: DataFrame, textCol: String, n: Int,
+                        normalize: Boolean = false,
+                        maxBenchDocs: Int = 1000000): DataFrame = {
+    import graft.functions.TextFunctions._
+    val nBench = benchDocs.limit(maxBenchDocs + 1).count()
+    require(nBench <= maxBenchDocs,
+      s"benchShingleIndex: benchmark side exceeds maxBenchDocs=$maxBenchDocs rows - " +
+        "the index is broadcast to the stream; a benchmark this large suggests " +
+        "the wrong side was passed")
+    val txt = if (normalize) normalizeText(col(textCol)) else col(textCol)
+    benchDocs
+      .select(explode(array_distinct(wordShingles(tokens(txt), n))).as("s"))
+      .distinct()
+  }
+
   /** Streaming sessionization (the time-gap half of A10, §2.7): native
     * `session_window` merges a key's events into variable-length sessions
     * closed by `gap` of silence; the watermark both bounds state and

@@ -159,6 +159,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination equals the batch operator on a closed corpus") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // random corpus with heavy bench overlap + a short zero-shingle doc
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    def mkText() = (0 until 5 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0L until 60L).map(i => (i, if (i == 7L) "too short" else mkText()))
+    val benchDf = docs.filter(_._1 % 10 == 0).toDF("doc_id", "text")
+    val index = StreamingPipeline.benchShingleIndex(benchDf, "text", n = 3)
+    val corpus = docs.filter(_._1 % 10 != 0)
+      .map { case (i, t) => (i, java.sql.Timestamp.valueOf(f"2025-01-01 00:00:${i % 60}%02d"), t) }
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingPipeline.decontaminateStream(stream, index,
+      "doc_id", "text", "ts", n = 3, watermark = "10 seconds")
+    // complete mode: closed-input parity needs every doc's row, not just
+    // the ones the watermark has finalized
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("decon_stream").start()
+    try {
+      // three micro-batches: the stream-static broadcast join is stateless
+      // per batch; the per-doc rollup carries across batches in keyed state
+      corpus.grouped(20).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      val streamed = spark.sql(
+        "select doc_id, n_ngrams, n_contaminated, contam_ppm, contaminated from decon_stream")
+        .collect().map(key).sorted
+      val batch = graft.operators.CorpusOps.decontaminate(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        isBenchmark = $"doc_id" % 10 === 0, n = 3)
+        .collect().map(key).sorted
+      assert(streamed.nonEmpty && streamed.exists(_._5), "fixture must exercise real contamination")
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("benchShingleIndex: oversized benchmark sides fail loudly before broadcast") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingPipeline.benchShingleIndex(docs, "text", n = 3, maxBenchDocs = 10)
+    }
+    assert(ex.getMessage.contains("maxBenchDocs"))
+  }
+
   test("streaming session_window closes sessions at the gap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-session-stream").toString
