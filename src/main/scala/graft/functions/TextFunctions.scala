@@ -69,9 +69,21 @@ object TextFunctions {
   def shl(e: Column, n: Column): Column = call_function("shiftleft", e, n)
   def shr(e: Column, n: Column): Column = call_function("shiftright", e, n)
 
-  /** Exact ppm ratio (num * 1e6 integral-div den), 0 when den = 0. */
+  /** Exact ppm ratio (num * 1e6 integral-div den), 0 when den = 0.
+    * int64-safe for numerators up to ~9.2e12 — fine for every PER-DOC
+    * count; use [[ppmExact]] when the numerator is corpus-scale. */
   def ppm(num: Column, den: Column): Column =
     when(den === 0, 0L).otherwise(intDiv(num * 1000000L, den))
+
+  /** [[ppm]] for corpus-scale numerators: the multiply-divide runs in
+    * DECIMAL(38,0) (exact, 38 digits), so a numerator beyond ~9.2e12 —
+    * where `num * 1e6` wraps int64 — still yields the exact ratio. A
+    * ppm of a fraction <= 1 always fits the long result. Same value as
+    * [[ppm]] everywhere the int64 path is safe (spec-pinned). */
+  def ppmExact(num: Column, den: Column): Column =
+    when(den === 0, 0L).otherwise(
+      intDiv(num.cast("decimal(38,0)") * lit(1000000L).cast("decimal(38,0)"),
+        den.cast("decimal(38,0)")).cast("long"))
 
   /** Number of tokens contained in a fixed vocabulary (multiset count). */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =

@@ -23,7 +23,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Adds `qvec` (quantized int64 vector) and `qnorm2` (exact squared norm). */
+  /** Adds `qvec` (quantized int64 vector) and `qnorm2` (exact squared norm).
+    * Value-range bound (round-7 audit, PLANS.md): the int64 dot/norm sums
+    * dims × (1e6·|x|)² — safe to |x| <= ~47 at 4096 dims; unit-normalized
+    * embeddings (|x| <= 1) have three orders of magnitude of headroom. */
   def quantized(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("qvec", transform(col(vecCol), x => round(x.cast("double") * 1000000.0d).cast("long")))
       .withColumn("qnorm2", qdot(col("qvec"), col("qvec")))
@@ -236,7 +239,12 @@ object Similarity {
     * The seed collect is bounded: more than `maxSeeds` seed rows fail
     * loudly instead of collecting a corpus onto the driver (k-means k is
     * model state — IVF-realistic k is ~sqrt(N), thousands, not millions).
-    */
+    *
+    * Value-range bound (round-7 audit, PLANS.md): the update's per-(cell,
+    * dim) int64 sum is members × max|qvec| — safe to ~9e11 members per
+    * cell for |x| <= 10; the per-cell `sum_cos_ppm` to ~9e12 members.
+    * This is the same cell sum every engine's k-means computes, so the
+    * bound is documented rather than gated. */
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
                   isSeed: Column, iters: Int,
                   maxSeeds: Int = 4096, codegenMaxK: Int = 64): DataFrame = {

@@ -15,6 +15,30 @@ class CatalystNativeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("ppmExact survives corpus-scale numerators where int64 ppm wraps, equal in-range") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{ppm, ppmExact}
+    // 9e12 shared shingles of 1.2e13: num*1e6 = 9e18 < Long.Max barely;
+    // push to 9.3e12 where it wraps. Expected values via BigInt.
+    val rows = Seq(
+      (9300000000000L, 12400000000000L),  // wraps the int64 path
+      (5000000000000L, 18000000000000L),  // wraps
+      (123456L, 789012L),                 // in-range: both paths equal
+      (0L, 5L), (5L, 0L))                 // zero num / zero den
+    val df = rows.toDF("num", "den")
+    val got = df.select($"num", $"den", ppmExact($"num", $"den").as("x")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (n, d) =>
+      val want = if (d == 0) 0L else (BigInt(n) * 1000000 / BigInt(d)).toLong
+      assert(got((n, d)) == want, s"ppmExact($n, $d)")
+    }
+    // parity with the int64 path across random in-range values
+    val rnd = new scala.util.Random(11)
+    val inRange = (1 to 200).map(_ => (math.abs(rnd.nextLong()) % 9000000000000L,
+      1L + math.abs(rnd.nextLong()) % 9000000000000L)).toDF("num", "den")
+    assert(inRange.filter(ppm($"num", $"den") =!= ppmExact($"num", $"den")).count() == 0L)
+  }
+
   test("DotLongArrays == zip_with/aggregate formulation (codegen + interpreted)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
