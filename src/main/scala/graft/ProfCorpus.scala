@@ -72,6 +72,22 @@ object ProfCorpus {
     time("q84 full") {
       graft.queries.TextQueries.q84SourceQuality(spark, dir).count()
     }
+
+    // round 7: measure the kmeans assignment crossover (unrolled codegen
+    // vs the large-k literal-matrix fold) so codegenMaxK is a measured
+    // number, not a guess — both paths at each k, 1 training iteration
+    val emb = Tables(spark, dir).embeddings
+    import spark.implicits._
+    for (k <- Seq(16, 64, 128, 256)) {
+      time(s"kmeans k=$k unrolled") {
+        graft.operators.Similarity.kmeansTrain(emb, "vec_id", "embedding",
+          isSeed = $"vec_id" < k, iters = 1, codegenMaxK = 1024).count()
+      }
+      time(s"kmeans k=$k fold") {
+        graft.operators.Similarity.kmeansTrain(emb, "vec_id", "embedding",
+          isSeed = $"vec_id" < k, iters = 1, codegenMaxK = 0).count()
+      }
+    }
     spark.stop()
   }
 }

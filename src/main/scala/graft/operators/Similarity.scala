@@ -227,14 +227,19 @@ object Similarity {
     * iteration at any corpus size. Cells that lose all members (or
     * truncate to a zero centroid) drop out deterministically.
     *
-    * Two assignment paths, identical semantics: up to `codegenMaxK`
-    * centroids the argmax is an unrolled `array_max` over per-centroid
-    * struct expressions (whole-stage codegen'd); above it, unrolling k
-    * expressions would blow past the JVM method-size ceiling, so the
-    * centroids become ONE literal array and the argmax a single
-    * `aggregate` fold over it — still narrow and shuffle-free (unlike a
+    * Two assignment paths, identical semantics (random-parity-spec'd):
+    * above `codegenMaxK` centroids — and by DEFAULT, at any k — the
+    * centroids become ONE literal matrix and the argmax a single
+    * `aggregate` fold over it, narrow and shuffle-free (unlike a
     * broadcast-join argmax, which would shuffle the corpus on id every
-    * iteration for the tie-break window).
+    * iteration for the tie-break window). The unrolled per-centroid
+    * `array_max` variant (k inline dot+struct expressions, engaged by
+    * raising `codegenMaxK`) was presumed the codegen fast path but
+    * MEASURED SLOWER at every k at sf0.1 — 0.77 vs 0.56 s at k=16, 3.9
+    * vs 0.97 s at k=128 (ProfCorpus; the k-fold generated method grows
+    * past the whole-stage-codegen method ceiling while the fold keeps
+    * one tight DotLongArrays loop) — so the fold is the default and the
+    * unrolled path is retained for A/B and the parity spec.
     *
     * The seed collect is bounded: more than `maxSeeds` seed rows fail
     * loudly instead of collecting a corpus onto the driver (k-means k is
@@ -247,7 +252,7 @@ object Similarity {
     * bound is documented rather than gated. */
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
                   isSeed: Column, iters: Int,
-                  maxSeeds: Int = 4096, codegenMaxK: Int = 64): DataFrame = {
+                  maxSeeds: Int = 4096, codegenMaxK: Int = 0): DataFrame = {
     val q = quantized(df, vecCol)
       .select(col(idCol).cast("long").as("id"), col("qvec"), col("qnorm2"))
 
