@@ -50,6 +50,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents runs ONE job per round - convergence rides the checkpoint") {
+    import spark.implicits._
+    // single edge: round 1 propagates (metric unread by design), round 2
+    // observes zero changes and converges -> exactly 2 setup jobs (edges +
+    // initial labels checkpoints) + 2 round jobs. A separate convergence
+    // count job per round (the pre-observe() design) would make it >= 6.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // 1 action = 1 job
+    // broadcast builds run as their own jobs and would pollute the count
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val labels = Dedup.connectedComponents(Seq((2L, 1L)).toDF("d1", "d2"), "d1", "d2")
+      // listener events are posted asynchronously: poll until the count
+      // is quiet (all CC jobs have already finished at this point)
+      var last = -1
+      var waited = 0
+      while (jobs.get != last && waited < 5000) {
+        last = jobs.get; Thread.sleep(200); waited += 200
+      }
+      val during = jobs.get
+      assert(during == 4, s"expected 4 jobs (2 setup + 2 rounds), saw $during")
+      assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 1L, 2L -> 1L))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBjt)
+    }
+  }
+
   test("minhashLshPairs over a parquet-round-tripped sketch equals the direct path") {
     import spark.implicits._
     val docs = Seq(
