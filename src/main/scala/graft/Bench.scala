@@ -43,8 +43,8 @@ object Bench {
     "q81_semdedup", "q82_source_overlap", "q83_span_decontaminate",
     "q84_source_quality", "q85_bpe_train", "q86_dup_source_matrix",
     // round 7: driver-local BPE merge loop (1 job regardless of merge count),
-    // streaming decontamination parity
-    "q87_bpe_train_local")
+    // BPE encoding over the distinct-word table
+    "q87_bpe_train_local", "q88_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

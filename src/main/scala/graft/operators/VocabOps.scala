@@ -93,19 +93,8 @@ object VocabOps {
       val (a, b, total) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       val merged = a + b
       rows += ((r, a, b, merged, total))
-      val zero = struct(array().cast("array<string>").as("out"), lit("").as("pend"))
-      val step = (acc: Column, s: Column) =>
-        when(acc.getField("pend") === "",
-          struct(acc.getField("out").as("out"), s.as("pend")))
-          .when(acc.getField("pend") === a && s === b,
-            struct(concat(acc.getField("out"), array(lit(merged))).as("out"), lit("").as("pend")))
-          .otherwise(
-            struct(concat(acc.getField("out"), array(acc.getField("pend"))).as("out"), s.as("pend")))
-      val fin = (acc: Column) =>
-        when(acc.getField("pend") === "", acc.getField("out"))
-          .otherwise(concat(acc.getField("out"), array(acc.getField("pend"))))
       val next = words
-        .select(col("cnt"), aggregate(col("syms"), zero, step, fin).as("syms"))
+        .select(col("cnt"), applyMerge(col("syms"), a, b, merged).as("syms"))
         .localCheckpoint()
       // the prior round's checkpoint blocks are dead the moment the next
       // round materializes — free them, or they accumulate linearly in
@@ -116,6 +105,27 @@ object VocabOps {
     Checkpoints.free(words)
     docs.sparkSession.createDataFrame(rows.toSeq)
       .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** Greedy leftmost-non-overlapping application of ONE merge rule to a
+    * symbol array — the pending-symbol fold shared by [[bpeTrain]]'s
+    * per-round vocabulary rewrite and [[bpeEncode]]: emit `merged` and
+    * clear when (pend, s) = (a, b), else commit pending and carry.
+    * `a a a a a` under (a,a) becomes `aa aa a`; a merged symbol never
+    * re-merges within its round because `a+b != a`. */
+  private def applyMerge(syms: Column, a: String, b: String, merged: String): Column = {
+    val zero = struct(array().cast("array<string>").as("out"), lit("").as("pend"))
+    val step = (acc: Column, s: Column) =>
+      when(acc.getField("pend") === "",
+        struct(acc.getField("out").as("out"), s.as("pend")))
+        .when(acc.getField("pend") === a && s === b,
+          struct(concat(acc.getField("out"), array(lit(merged))).as("out"), lit("").as("pend")))
+        .otherwise(
+          struct(concat(acc.getField("out"), array(acc.getField("pend"))).as("out"), s.as("pend")))
+    val fin = (acc: Column) =>
+      when(acc.getField("pend") === "", acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend"))))
+    aggregate(syms, zero, step, fin)
   }
 
   /** [[bpeTrain]] with the merge loop run driver-locally — the production
@@ -199,6 +209,59 @@ object VocabOps {
     }
     docs.sparkSession.createDataFrame(rows.toSeq)
       .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** BPE ENCODING — apply a trained merge table to the corpus and report
+    * per-document subword statistics (token count under the tokenizer and
+    * the subwords-per-word fertility ratio, the standard "how efficiently
+    * does this tokenizer cover my corpus" signal). Completes the
+    * tokenizer lifecycle: [[bpeTrain]]/[[bpeTrainLocal]] produce the
+    * merge table, this applies it.
+    *
+    * Merges apply in RANK ORDER, each greedy leftmost-non-overlapping
+    * over the whole vocabulary — exactly the segmentation
+    * [[bpeTrain]]'s training loop left in its vocabulary after round
+    * `merges.size` (the same [[applyMerge]] fold), extended to unseen
+    * words by construction. (The priority-queue formulation that
+    * re-tries earlier merges on later merge OUTPUTS can differ on words
+    * where a later merge creates a new earlier-merge pair; training-
+    * consistent sequential application is the deterministic choice here
+    * and is what the cross-engine oracle replicates.)
+    *
+    * Scale: the merge folds run on the DISTINCT-WORD table — vocabulary-
+    * sized, the [[bpeTrain]] argument — never on corpus token rows. One
+    * corpus pass builds the (doc, word, n_occ) table (map-side combined,
+    * materialized once for its two consumers); the word table derives
+    * from it, gets encoded through `merges.size` narrow folds, and joins
+    * back on the high-cardinality word key; the rollup to documents is
+    * one more aggregation. Words containing the reserved '|' delimiter
+    * are excluded from the statistics on both engines, as in training.
+    * Every document passes through (zero-word docs report zeros). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("word"))
+      .filter(!col("word").contains("|"))
+      .groupBy(col("doc"), col("word")).agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    val encoded = merges.foldLeft(
+      tok.select(col("word")).distinct()
+        .select(col("word"),
+          transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))).as("syms"))) {
+      case (w, (a, b)) => w.select(col("word"), applyMerge(col("syms"), a, b, a + b).as("syms"))
+    }.select(col("word"), size(col("syms")).cast("long").as("n_subwords_per"))
+    val perDoc = tok
+      .join(encoded, Seq("word"))
+      .groupBy(col("doc"))
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("n_subwords_per")).as("n_subwords"))
+    docs.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .withColumn("n_words", coalesce(col("n_words"), lit(0L)))
+      .withColumn("n_subwords", coalesce(col("n_subwords"), lit(0L)))
+      .withColumn("fertility_ppm", ppm(col("n_subwords"), col("n_words")))
+      .select(col("doc").as(idCol), col("n_words"), col("n_subwords"), col("fertility_ppm"))
   }
 
   /** Integer TF-IDF keyword extraction: each document's top-`k` tokens by

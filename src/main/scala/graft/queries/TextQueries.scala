@@ -418,6 +418,18 @@ object TextQueries {
   def q87BpeTrainLocal(spark: SparkSession, dir: String): DataFrame =
     graft.operators.VocabOps.bpeTrainLocal(Tables(spark, dir).documents, "text", nMerges = 8)
 
+  // ---------------------------------------------------------------- q88
+  /** BPE encoding: train 8 merges driver-locally (q87's path), apply the
+    * merge table to the corpus on the distinct-word table, and report
+    * per-document subword counts + fertility — the full
+    * train-then-tokenize lifecycle in two jobs. */
+  def q88BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val merges = graft.operators.VocabOps.bpeTrainLocal(docs, "text", nMerges = 8)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.VocabOps.bpeEncode(docs, "doc_id", "text", merges)
+  }
+
   // ---------------------------------------------------------------- q86
   /** Near-dup provenance matrix: q25's verified near-dup pairs attributed
     * to (source, source) — intra-source rows measure internal duplication,
@@ -437,6 +449,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_bpe_encode"       -> q88BpeEncode _,
     "q87_bpe_train_local"  -> q87BpeTrainLocal _,
     "q86_dup_source_matrix" -> q86DupSourceMatrix _,
     "q85_bpe_train"        -> q85BpeTrain _,
@@ -558,8 +571,23 @@ object TextQueries {
     * engines; the retroactive rewrite-last-token fold is equivalent to
     * the operator's pending-symbol fold because a merged symbol `a+b`
     * can never equal `a`). */
-  private def bpeOracle(nMerges: Int): String = {
-    val rounds = (1 to nMerges).map { r =>
+  /** The greedy leftmost-non-overlapping merge application as a DuckDB
+    * `list_reduce` string fold (the '|' delimiter is excluded from words
+    * on both engines; the retroactive rewrite-last-token fold is
+    * equivalent to the operator's pending-symbol fold because a merged
+    * symbol `a+b` can never equal `a`). `src` is the CTE holding `syms`,
+    * `m` the single-row merge CTE. */
+  private def bpeApplyFold(srcAlias: String): String =
+    s"""string_split(list_reduce($srcAlias.syms, (acc, x) -> CASE
+       |    WHEN string_split(acc, '|')[-1] = m.a AND x = m.b
+       |    THEN substr(acc, 1, length(acc) - length(string_split(acc, '|')[-1])) || m.merged
+       |    ELSE acc || '|' || x END), '|')""".stripMargin
+
+  /** The training CTE chain p1/m1/s1 .. p{n}/m{n}/s{n}: per round, pair
+    * counts off the previous symbol table, the argmax merge, and the
+    * merge applied across the vocabulary. Requires `s0 (cnt, syms)`. */
+  private def bpeTrainingCtes(nMerges: Int): String =
+    (1 to nMerges).map { r =>
       s"""p$r AS (SELECT t.e.a AS a, t.e.b AS b, CAST(sum(t.cnt) AS BIGINT) AS total
          |  FROM (SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
          |    i -> {'a': syms[i], 'b': syms[i+1]})) AS e
@@ -567,12 +595,12 @@ object TextQueries {
          |  GROUP BY t.e.a, t.e.b),
          |m$r AS (SELECT a, b, a || b AS merged, total FROM p$r
          |  ORDER BY total DESC, a ASC, b ASC LIMIT 1),
-         |s$r AS (SELECT s.cnt, string_split(list_reduce(s.syms, (acc, x) -> CASE
-         |    WHEN string_split(acc, '|')[-1] = m.a AND x = m.b
-         |    THEN substr(acc, 1, length(acc) - length(string_split(acc, '|')[-1])) || m.merged
-         |    ELSE acc || '|' || x END), '|') AS syms
+         |s$r AS (SELECT s.cnt, ${bpeApplyFold("s")} AS syms
          |  FROM s${r - 1} s CROSS JOIN m$r m)""".stripMargin
     }.mkString(",\n")
+
+  /** Unrolled DuckDB replication of [[graft.operators.VocabOps.bpeTrain]]. */
+  private def bpeOracle(nMerges: Int): String = {
     val out = (1 to nMerges).map(r =>
       s"SELECT CAST($r AS INTEGER) AS round, a AS sym_a, b AS sym_b, merged, total AS pair_count FROM m$r")
       .mkString("\nUNION ALL\n")
@@ -581,8 +609,39 @@ object TextQueries {
        |  WHERE word NOT LIKE '%|%' GROUP BY word),
        |s0 AS (SELECT cnt, list_transform(generate_series(1, length(word)),
        |  i -> substr(word, i, 1)) AS syms FROM w0),
-       |$rounds
+       |${bpeTrainingCtes(nMerges)}
        |$out""".stripMargin
+  }
+
+  /** DuckDB replication of q88: train `nMerges` rounds (identical CTEs to
+    * [[bpeOracle]]), then ENCODE — apply each merge in rank order to the
+    * distinct-word table, join subword counts back to per-doc word
+    * occurrences, roll up with zero-word documents preserved. */
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val encodeRounds = (1 to nMerges).map { r =>
+      s"""e$r AS (SELECT e.word, ${bpeApplyFold("e")} AS syms
+         |  FROM e${r - 1} e CROSS JOIN m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+       |tw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n_occ FROM t0
+       |  WHERE word NOT LIKE '%|%' GROUP BY doc_id, word),
+       |w0 AS (SELECT word, CAST(sum(n_occ) AS BIGINT) AS cnt FROM tw GROUP BY word),
+       |s0 AS (SELECT cnt, list_transform(generate_series(1, length(word)),
+       |  i -> substr(word, i, 1)) AS syms FROM w0),
+       |${bpeTrainingCtes(nMerges)},
+       |e0 AS (SELECT word, list_transform(generate_series(1, length(word)),
+       |  i -> substr(word, i, 1)) AS syms FROM w0),
+       |$encodeRounds,
+       |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub FROM e$nMerges),
+       |agg AS (SELECT tw.doc_id, CAST(sum(tw.n_occ) AS BIGINT) AS n_words,
+       |  CAST(sum(tw.n_occ * enc.n_sub) AS BIGINT) AS n_subwords
+       |  FROM tw JOIN enc USING (word) GROUP BY tw.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(agg.n_subwords, 0) AS BIGINT) AS n_subwords,
+       |  CAST(CASE WHEN COALESCE(agg.n_words, 0) = 0 THEN 0
+       |    ELSE agg.n_subwords * 1000000 // agg.n_words END AS BIGINT) AS fertility_ppm
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -598,6 +657,7 @@ object TextQueries {
          |GROUP BY 1, 2""".stripMargin,
     "q85_bpe_train" -> bpeOracle(3),
     "q87_bpe_train_local" -> bpeOracle(8),
+    "q88_bpe_encode" -> bpeEncodeOracle(8),
     "q84_source_quality" ->
       s"""WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
          |m AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,

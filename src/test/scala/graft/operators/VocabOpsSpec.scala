@@ -31,6 +31,57 @@ class VocabOpsSpec extends AnyFunSuite {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("aa", 2L)))
   }
 
+  test("bpeEncode: sequential rank-order application, zero-word docs preserved") {
+    import spark.implicits._
+    // merges: (a,b)->ab then (ab,c)->abc. "abc" -> [abc] (1), "abab" ->
+    // [ab, ab] (2), "cab" -> [c, ab] (2), "x" -> [x] (1); doc 3 has no words
+    val docs = Seq(
+      (1L, "abc abab"),
+      (2L, "cab x abc"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = VocabOps.bpeEncode(docs, "doc_id", "text",
+        merges = Seq(("a", "b"), ("ab", "c")))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, 1500000L),  // abc(1) + abab(2) over 2 words
+      (2L, 3L, 4L, 1333333L),  // cab(2) + x(1) + abc(1) over 3 words
+      (3L, 0L, 0L, 0L)))
+  }
+
+  test("bpeEncode: training-consistent - encoding equals the trained vocabulary's segmentation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val words = Seq("aaa", "abab", "banana", "bb", "cabbage", "baa")
+    val docs = (0 until 25).map { i =>
+      (i.toLong, (0 until 10).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = VocabOps.bpeTrainLocal(docs, "text", nMerges = 5)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = VocabOps.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // driver reference: apply the same merges to each doc's words
+    def applyAll(w: String): Int = {
+      var syms = w.map(_.toString).toArray
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      syms.length
+    }
+    val want = docs.collect().map { r =>
+      r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).map(applyAll(_).toLong).sum
+    }.toMap
+    assert(enc == want)
+  }
+
   test("tfidfKeywords: rare tokens outrank frequent corpus-wide tokens") {
     import spark.implicits._
     val docs = Seq(
