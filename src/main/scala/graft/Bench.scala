@@ -44,7 +44,8 @@ object Bench {
     "q84_source_quality", "q85_bpe_train", "q86_dup_source_matrix",
     // round 7: driver-local BPE merge loop (1 job regardless of merge count),
     // BPE encoding over the distinct-word table
-    "q87_bpe_train_local", "q88_bpe_encode")
+    "q87_bpe_train_local", "q88_bpe_encode", "q89_chunk_windows",
+    "q90_oov_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -45,6 +45,45 @@ object CorpusOps {
         col("first_pack"), col("last_pack"), col("spans_boundary"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * overlapping windows of `window` tokens advancing by `stride` — the
+    * standard long-document → training-examples preparation (HF
+    * `return_overflowing_tokens` shape). Chunk `k` covers token positions
+    * `[k*stride, min(k*stride + window, n))`; the last chunk may be
+    * short; a document yields `1 + ceil(max(n - window, 0) / stride)`
+    * chunks (zero-token documents yield none). One row per chunk with
+    * its reassembled text.
+    *
+    * Scale: embarrassingly parallel — tokens, chunk indices, and slices
+    * are all narrow per-row array ops (sequence/posexplode/slice,
+    * whole-stage codegen'd); no shuffle, no state. Output size is
+    * `~n/stride` rows per document — the operator's product, not
+    * overhead. */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= window,
+      s"chunkWindows: need 1 <= stride <= window, got stride=$stride window=$window")
+    val nChunks = when(col("n_tokens") === 0L, 0L)
+      .otherwise(lit(1L) + intDiv(
+        greatest(col("n_tokens") - window.toLong, lit(0L)) + (stride.toLong - 1L),
+        lit(stride.toLong)))
+    docs
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // sequence(0, -1) DESCENDS rather than being empty: zero-token docs
+      // must take the empty-array branch, which explode() then drops
+      .withColumn("k", explode(when(nChunks > 0L,
+        sequence(lit(0L), nChunks - 1L)).otherwise(array().cast("array<bigint>"))))
+      .withColumn("chunk_start", col("k") * stride.toLong)
+      .withColumn("chunk_len",
+        least(lit(window.toLong), col("n_tokens") - col("chunk_start")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("toks"), (col("chunk_start") + 1L).cast("int"),
+          col("chunk_len").cast("int"))))
+      .select(col(idCol), col("k").as("chunk_idx"), col("chunk_start"),
+        col("chunk_len"), col("chunk_text"))
+  }
+
   /** Deterministic stratified train/val/test split: assignment is a pure
     * function of (salt, id) via md5, so membership is reproducible across
     * runs, engines, and cluster sizes — no RNG state, no sampling drift.

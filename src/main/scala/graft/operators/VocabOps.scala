@@ -264,6 +264,40 @@ object VocabOps {
       .select(col("doc").as(idCol), col("n_words"), col("n_subwords"), col("fertility_ppm"))
   }
 
+  /** Out-of-vocabulary rate under a frequency-truncated vocabulary: build
+    * the top-`vocabSize` words by corpus frequency (ties by word asc —
+    * a total order, reproducible cross-engine) and report each document's
+    * token count, OOV token count, and OOV ppm — the "how much of my
+    * corpus does a V-word vocabulary cover" signal behind vocabulary-size
+    * decisions and tokenizer audits.
+    *
+    * Scale: one corpus pass for word frequencies (map-side combined);
+    * the top-V cut is `orderBy.limit` = TakeOrderedAndProject (bounded
+    * per-partition heaps, never a global sort); the vocabulary is
+    * model-sized and broadcast into the per-token left join; the rollup
+    * to documents is one aggregation on the high-cardinality doc key.
+    * Every document passes through (zero-token docs report zeros). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(vocabSize)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    val perDoc = tok
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_ppm", ppm(col("n_oov"), col("n_tokens")))
+      .select(col("doc").as(idCol), col("n_tokens"), col("n_oov"), col("oov_ppm"))
+  }
+
   /** Integer TF-IDF keyword extraction: each document's top-`k` tokens by
     * `tf * 1e6 // df` (term frequency scaled by inverse document
     * frequency — the exact-integer surrogate for tf·idf, monotone in the

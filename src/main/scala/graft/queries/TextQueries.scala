@@ -430,6 +430,20 @@ object TextQueries {
     graft.operators.VocabOps.bpeEncode(docs, "doc_id", "text", merges)
   }
 
+  // ---------------------------------------------------------------- q89
+  /** Context-window chunking: 50-token windows advancing by 25 (50%
+    * overlap) — one row per training example with its reassembled text. */
+  def q89ChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.chunkWindows(Tables(spark, dir).documents, "doc_id", "text",
+      window = 50, stride = 25)
+
+  // ---------------------------------------------------------------- q90
+  /** OOV rate under a 1000-word frequency-truncated vocabulary: per-doc
+    * token coverage of the corpus's own top-1k words. */
+  def q90OovRate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VocabOps.oovRate(Tables(spark, dir).documents, "doc_id", "text",
+      vocabSize = 1000)
+
   // ---------------------------------------------------------------- q86
   /** Near-dup provenance matrix: q25's verified near-dup pairs attributed
     * to (source, source) — intra-source rows measure internal duplication,
@@ -449,6 +463,8 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_oov_rate"         -> q90OovRate _,
+    "q89_chunk_windows"    -> q89ChunkWindows _,
     "q88_bpe_encode"       -> q88BpeEncode _,
     "q87_bpe_train_local"  -> q87BpeTrainLocal _,
     "q86_dup_source_matrix" -> q86DupSourceMatrix _,
@@ -658,6 +674,31 @@ object TextQueries {
     "q85_bpe_train" -> bpeOracle(3),
     "q87_bpe_train_local" -> bpeOracle(8),
     "q88_bpe_encode" -> bpeEncodeOracle(8),
+    "q89_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         |c AS (SELECT doc_id, toks, n,
+         |  unnest(generate_series(0, CAST(CASE WHEN n = 0 THEN 0
+         |    ELSE 1 + (greatest(n - 50, 0) + 24) // 25 END AS BIGINT) - 1)) AS k
+         |  FROM m)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+         |  CAST(k * 25 AS BIGINT) AS chunk_start,
+         |  CAST(least(50, n - k * 25) AS BIGINT) AS chunk_len,
+         |  array_to_string(list_slice(toks, k * 25 + 1, k * 25 + least(50, n - k * 25)), ' ') AS chunk_text
+         |FROM c""".stripMargin,
+    "q90_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |v AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY w)
+         |  ORDER BY cnt DESC, w ASC LIMIT 1000),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM tok LEFT JOIN v ON tok.w = v.w GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(pd.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CAST(CASE WHEN COALESCE(pd.n_tokens, 0) = 0 THEN 0
+         |    ELSE pd.n_oov * 1000000 // pd.n_tokens END AS BIGINT) AS oov_ppm
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin,
     "q84_source_quality" ->
       s"""WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
          |m AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -65,6 +65,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxQueries"))
   }
 
+  test("q89 chunking is narrow: zero exchanges, chunks never shuffle") {
+    val p = plan("q89_chunk_windows")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 0, s"chunking must be embarrassingly parallel, saw $exchanges exchanges:\n$p")
+    assert(!p.contains("Join"), "chunking must not join")
+  }
+
+  test("q90 broadcasts the top-V vocabulary, never shuffles the token stream for the join") {
+    val p = plan("q90_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), "vocabulary join must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V cut must be a bounded heap, not a global sort")
+  }
+
   test("q24 materializes the shingle-set table once") {
     val p = plan("q24_ngram_jaccard")
     // after localCheckpoint the four consumers read the materialized RDD:

@@ -149,6 +149,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0L)))
   }
 
+  test("chunkWindows: overlap, short-tail chunk, sub-window and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, w=8 s=4 -> [0,8),[4,10)
+      (2L, "a b c"),                                  // shorter than window -> 1 chunk
+      (3L, "")                                        // zero tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkWindows(docs, "doc_id", "text", window = 8, stride = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 8L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 1L, 4L, 6L, (5 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, 0L, 0L, 3L, "a b c")))
+  }
+
+  test("chunkWindows: invalid stride fails loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      CorpusOps.chunkWindows(docs, "doc_id", "text", window = 4, stride = 5)
+    }
+    assert(ex.getMessage.contains("stride"))
+  }
+
   test("sourceOverlap: shared-shingle counts and Jaccard, disjoint pairs absent") {
     import spark.implicits._
     val docs = Seq(

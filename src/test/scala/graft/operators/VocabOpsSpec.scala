@@ -132,6 +132,26 @@ class VocabOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxVocabWords"))
   }
 
+  test("oovRate: top-V cut with total-order ties, empty docs preserved") {
+    import spark.implicits._
+    // frequencies: aa 4, bb 3, cc 2, dd 2, ee 1 -> V=3 keeps {aa, bb, cc}
+    // (cc beats dd on the tie by word asc)
+    val docs = Seq(
+      (1L, "aa aa bb cc"),
+      (2L, "aa bb dd dd"),
+      (3L, "aa bb cc ee"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = VocabOps.oovRate(docs, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 0L, 0L),
+      (2L, 4L, 2L, 500000L),  // dd dd are OOV
+      (3L, 4L, 1L, 250000L),  // ee is OOV
+      (4L, 0L, 0L, 0L)))
+  }
+
   test("tfidfKeywords: score ties break on the token string") {
     import spark.implicits._
     val docs = Seq((1L, "bbb aaa"), (2L, "bbb aaa")).toDF("doc_id", "text")
