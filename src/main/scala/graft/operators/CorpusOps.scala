@@ -289,7 +289,11 @@ object CorpusOps {
     // The span table feeds two branches (the frequency aggregate and the
     // join side); one localCheckpoint = one compute of the explode+hash
     // pipeline (the Dedup sketch-table pattern — persist to reliable
-    // storage at cluster scale).
+    // storage at cluster scale). Its blocks BACK the returned lazy frame,
+    // so they cannot be freed here; long-lived callers drop them after
+    // consuming the result (Bench/ProfCorpus drain via
+    // sparkContext.getPersistentRDDs). Same lifetime note for the
+    // importanceWeights feature cache and the sourceOverlap shingle set.
     val spans = Dedup.shingleRows(docs, idCol, textCol, n)
       .select(col("doc"), hash60(col("s")).as("h"))
       .localCheckpoint()

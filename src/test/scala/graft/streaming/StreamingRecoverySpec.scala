@@ -135,4 +135,82 @@ class StreamingRecoverySpec extends AnyFunSuite {
       Seq("rawHash", "sender", "receiver", "sentNs", "receivedNs", "matchType",
         "msgType", "latencyMs"))
   }
+
+  test("streaming decontamination restarted from checkpoint equals batch on the same corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // bench set is STATIC; the corpus streams as json files; a far-future
+    // "pusher" doc advances the watermark so append mode finalizes every
+    // real doc's aggregation row
+    val bench = Seq(
+      (101L, "the quick brown fox jumps"),
+      (102L, "pack my box with five dozen jugs")
+    ).toDF("doc_id", "text")
+    val index = StreamingPipeline.benchShingleIndex(bench, "text", n = 3)
+    val corpusDocs = (1L to 30L).map { i =>
+      val t = if (i % 3 == 0) "the quick brown fox jumps high today"
+              else if (i % 3 == 1) s"clean document number $i with original words"
+              else "" // zero-shingle docs must survive the stream too
+      (i, f"2025-01-01T00:00:${i % 60}%02dZ", t)
+    }
+    val pusher = Seq((999L, "2025-01-01T02:00:00Z", "watermark pusher"))
+    def writeFile(dir: String, name: String, docs: Seq[(Long, String, String)], mtime: Long): Unit = {
+      val lines = docs.map { case (id, ts, t) =>
+        s"""{"doc_id":$id,"ts":"$ts","text":"$t"}"""
+      }
+      val p = java.nio.file.Paths.get(s"$dir/$name")
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def runStream(dir: String, out: String, cp: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir)
+      val q = StreamingPipeline.decontaminateStream(stream, index,
+          "doc_id", "text", "ts", n = 3, watermark = "10 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def result(out: String) =
+      spark.read.parquet(out).filter(col("doc_id") =!= 999L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .sorted.toSeq
+
+    // Run A: uninterrupted
+    val dirA = tmp("graft-recovery-decon-a"); val outA = tmp("graft-recovery-decon-a-out")
+    writeFile(dirA, "f1.json", corpusDocs.take(15), 1700000000000L)
+    writeFile(dirA, "f2.json", corpusDocs.drop(15), 1700000001000L)
+    writeFile(dirA, "f3.json", pusher, 1700000002000L)
+    runStream(dirA, outA, tmp("graft-recovery-decon-a-cp"))
+
+    // Run B: first half, stop, second half + pusher from the SAME checkpoint
+    val dirB = tmp("graft-recovery-decon-b"); val outB = tmp("graft-recovery-decon-b-out")
+    val cpB = tmp("graft-recovery-decon-b-cp")
+    writeFile(dirB, "f1.json", corpusDocs.take(15), 1700000000000L)
+    runStream(dirB, outB, cpB)
+    writeFile(dirB, "f2.json", corpusDocs.drop(15), 1700000001000L)
+    writeFile(dirB, "f3.json", pusher, 1700000002000L)
+    runStream(dirB, outB, cpB)
+
+    val a = result(outA)
+    val b = result(outB)
+    assert(a.size == 30, s"append mode must finalize every corpus doc, saw ${a.size}")
+    assert(b == a, s"restarted run diverged: ${b.size} vs ${a.size} rows")
+    // both equal the batch operator over the same bench + corpus split
+    val batch = graft.operators.CorpusOps.decontaminate(
+        bench.unionByName(corpusDocs.map(d => (d._1, d._3)).toDF("doc_id", "text")),
+        "doc_id", "text", isBenchmark = col("doc_id") >= 100L, n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sorted.toSeq
+    assert(a == batch)
+  }
 }
