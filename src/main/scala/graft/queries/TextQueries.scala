@@ -430,6 +430,32 @@ object TextQueries {
     graft.operators.VocabOps.bpeEncode(docs, "doc_id", "text", merges)
   }
 
+  // ---------------------------------------------------------------- q91
+  /** Tokenized sequence packing: q57's per-shard concat-and-chunk layout,
+    * but budgeted by the REAL tokenizer's subword counts (q88's encoder)
+    * instead of whitespace words — pack boundaries land where the model's
+    * context window actually fills. */
+  def q91TokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val merges = graft.operators.VocabOps.bpeTrainLocal(docs, "text", nMerges = 8)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = graft.operators.VocabOps.bpeEncode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_subwords"))
+    CorpusOps.packSequences(docs.join(enc, Seq("doc_id")), "doc_id",
+      col("n_subwords"), budget = 512L, nShards = 8)
+  }
+
+  // ---------------------------------------------------------------- q92
+  /** Per-source document-length distribution: the exact-percentile
+    * histogram (reference index formulas, q13's machinery) over token
+    * counts grouped by provenance — the curation dashboard's "what do
+    * documents from this slice look like" table. */
+  def q92LengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ExactPercentiles.histogram(
+      Tables(spark, dir).documents
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens")),
+      Seq("source"), col("n_tokens"))
+
   // ---------------------------------------------------------------- q89
   /** Context-window chunking: 50-token windows advancing by 25 (50%
     * overlap) — one row per training example with its reassembled text. */
@@ -463,6 +489,8 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_length_percentiles" -> q92LengthPercentiles _,
+    "q91_token_packing"    -> q91TokenPacking _,
     "q90_oov_rate"         -> q90OovRate _,
     "q89_chunk_windows"    -> q89ChunkWindows _,
     "q88_bpe_encode"       -> q88BpeEncode _,
@@ -633,12 +661,15 @@ object TextQueries {
     * [[bpeOracle]]), then ENCODE — apply each merge in rank order to the
     * distinct-word table, join subword counts back to per-doc word
     * occurrences, roll up with zero-word documents preserved. */
-  private def bpeEncodeOracle(nMerges: Int): String = {
+  /** The shared CTE chain behind q88 and q91: training rounds + the
+    * rank-order encode chain, ending at `agg (doc_id, n_words,
+    * n_subwords)`. */
+  private def bpeEncodeCtes(nMerges: Int): String = {
     val encodeRounds = (1 to nMerges).map { r =>
       s"""e$r AS (SELECT e.word, ${bpeApplyFold("e")} AS syms
          |  FROM e${r - 1} e CROSS JOIN m$r m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH t0 AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+    s"""t0 AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
        |tw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n_occ FROM t0
        |  WHERE word NOT LIKE '%|%' GROUP BY doc_id, word),
        |w0 AS (SELECT word, CAST(sum(n_occ) AS BIGINT) AS cnt FROM tw GROUP BY word),
@@ -651,7 +682,11 @@ object TextQueries {
        |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub FROM e$nMerges),
        |agg AS (SELECT tw.doc_id, CAST(sum(tw.n_occ) AS BIGINT) AS n_words,
        |  CAST(sum(tw.n_occ * enc.n_sub) AS BIGINT) AS n_subwords
-       |  FROM tw JOIN enc USING (word) GROUP BY tw.doc_id)
+       |  FROM tw JOIN enc USING (word) GROUP BY tw.doc_id)""".stripMargin
+  }
+
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    s"""WITH ${bpeEncodeCtes(nMerges)}
        |SELECT d.doc_id,
        |  CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
        |  CAST(COALESCE(agg.n_subwords, 0) AS BIGINT) AS n_subwords,
@@ -674,6 +709,44 @@ object TextQueries {
     "q85_bpe_train" -> bpeOracle(3),
     "q87_bpe_train_local" -> bpeOracle(8),
     "q88_bpe_encode" -> bpeEncodeOracle(8),
+    "q91_token_packing" ->
+      s"""WITH ${bpeEncodeCtes(8)},
+         |pk AS (SELECT d.doc_id, CAST(d.doc_id % 8 AS BIGINT) AS shard,
+         |  CAST(COALESCE(agg.n_subwords, 0) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)),
+         |w AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM pk)
+         |SELECT doc_id, shard, n_tokens, start_offset,
+         |  CAST(start_offset // 512 AS BIGINT) AS first_pack,
+         |  CAST(greatest(start_offset + n_tokens - 1, start_offset) // 512 AS BIGINT) AS last_pack,
+         |  (greatest(start_offset + n_tokens - 1, start_offset) // 512 > start_offset // 512) AS spans_boundary
+         |FROM w""".stripMargin,
+    "q92_length_percentiles" ->
+      s"""WITH g AS (
+         |  SELECT source,
+         |    list(v ORDER BY v) AS vals, count(*) AS cnt,
+         |    CAST(sum(v) AS BIGINT) AS sum_v,
+         |    min(v) AS min_v, max(v) AS max_v
+         |  FROM (SELECT source, CAST(len($toksSql) AS BIGINT) AS v FROM documents)
+         |  GROUP BY source),
+         |p AS (
+         |  SELECT source, cnt, min_v, max_v,
+         |    CAST(sum_v // cnt AS BIGINT) AS mean_v,
+         |    CAST(CASE WHEN cnt % 2 = 0
+         |      THEN (vals[CAST(cnt//2 AS INT)] + vals[CAST(cnt//2 + 1 AS INT)]) // 2
+         |      ELSE vals[CAST(cnt//2 + 1 AS INT)] END AS BIGINT) AS median_v,
+         |    vals[CAST(floor(cnt * CAST(0.95 AS DOUBLE)) AS INT) + 1] AS p95_v,
+         |    vals[CAST(floor(cnt * CAST(0.99 AS DOUBLE)) AS INT) + 1] AS p99_v,
+         |    vals
+         |  FROM g)
+         |SELECT source, cnt, min_v, max_v, mean_v, median_v, p95_v, p99_v,
+         |  CAST(len(list_filter(vals, x -> x < median_v)) AS BIGINT) AS below_p50,
+         |  CAST(len(list_filter(vals, x -> x >= median_v AND x < p95_v)) AS BIGINT) AS p50_to_p95,
+         |  CAST(len(list_filter(vals, x -> x >= p95_v AND x < p99_v)) AS BIGINT) AS p95_to_p99,
+         |  CAST(len(list_filter(vals, x -> x >= p99_v)) AS BIGINT) AS above_p99
+         |FROM p""".stripMargin,
     "q89_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |m AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
