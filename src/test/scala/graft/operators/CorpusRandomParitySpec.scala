@@ -324,6 +324,93 @@ class CorpusRandomParitySpec extends AnyFunSuite {
     }
   }
 
+  test("chunkWindows == direct sliding-window slicing") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 12L); (w, s) <- Seq((8, 4), (5, 5), (6, 1))) {
+      val docs = randomDocs(seed)
+      val expected = docs.flatMap { case (id, text) =>
+        val t = toks(text)
+        if (t.isEmpty) Seq.empty
+        else {
+          val nChunks = 1 + math.ceil(math.max(t.size - w, 0).toDouble / s).toInt
+          (0 until nChunks).map { k =>
+            val start = k * s
+            val len = math.min(w, t.size - start)
+            (id, k.toLong, start.toLong, len.toLong, t.slice(start, start + len).mkString(" "))
+          }
+        }
+      }.toSet
+      val got = CorpusOps.chunkWindows(docs.toDF("doc_id", "text"), "doc_id", "text",
+          window = w, stride = s)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      assert(got == expected, s"seed $seed window $w stride $s")
+    }
+  }
+
+  test("oovRate == direct top-V frequency cut") {
+    import spark.implicits._
+    for (seed <- Seq(21L, 22L); v <- Seq(3, 5)) {
+      val docs = randomDocs(seed)
+      val freq = docs.flatMap(d => toks(d._2)).groupBy(identity).view.mapValues(_.size).toMap
+      val vocab = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(v).map(_._1).toSet
+      val expected = docs.map { case (id, text) =>
+        val t = toks(text)
+        val oov = t.count(!vocab.contains(_)).toLong
+        val ppm = if (t.isEmpty) 0L else oov * 1000000L / t.size
+        (id, t.size.toLong, oov, ppm)
+      }.toSet
+      val got = VocabOps.oovRate(docs.toDF("doc_id", "text"), "doc_id", "text", vocabSize = v)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"seed $seed V=$v")
+    }
+  }
+
+  test("bpeEncode == direct rank-order merge application over random merge tables") {
+    import spark.implicits._
+    for (seed <- Seq(31L, 32L)) {
+      val docs = randomDocs(seed)
+      // random but valid merge tables: successive merges may chain (ab + c)
+      val rnd = new scala.util.Random(seed)
+      val chars = "abgdezxy".map(_.toString)
+      var symbols = chars.toVector
+      val merges = (1 to 5).map { _ =>
+        val a = symbols(rnd.nextInt(symbols.size))
+        val b = symbols(rnd.nextInt(symbols.size))
+        symbols :+= (a + b)
+        (a, b)
+      }
+      def encode(word: String): Int = {
+        var syms = word.map(_.toString).toArray
+        merges.foreach { case (a, b) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+        }
+        syms.length
+      }
+      val expected = docs.map { case (id, text) =>
+        val t = toks(text).filterNot(_.contains("|"))
+        val subs = t.map(encode(_).toLong).sum
+        val ppm = if (t.isEmpty) 0L else subs * 1000000L / t.size
+        (id, t.size.toLong, subs, ppm)
+      }.toSet
+      val got = VocabOps.bpeEncode(docs.toDF("doc_id", "text"), "doc_id", "text", merges)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"seed $seed merges $merges")
+    }
+  }
+
   test("trainOrder: reproducible, dense per-shard positions, salt-sensitive") {
     import spark.implicits._
     val df = randomDocs(9L).toDF("doc_id", "text")

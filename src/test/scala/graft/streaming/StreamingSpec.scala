@@ -200,6 +200,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunkWindows is stream-compatible: stateless narrow ops chunk a document stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk-stream").toString
+    val lines = Seq(
+      """{"doc_id":1,"text":"a b c d e f g h i j"}""",
+      """{"doc_id":2,"text":"x y"}""",
+      """{"doc_id":3,"text":""}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
+      lines.mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).json(dir)
+    val q = graft.operators.CorpusOps.chunkWindows(stream, "doc_id", "text",
+        window = 8, stride = 4)
+      .writeStream.outputMode("append").format("memory").queryName("chunks").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, chunk_idx, chunk_len, chunk_text from chunks")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(r => (r._1, r._2))
+      assert(rows.toSeq == Seq(
+        (1L, 0L, 8L, "a b c d e f g h"),
+        (1L, 1L, 6L, "e f g h i j"),
+        (2L, 0L, 2L, "x y")))
+    } finally q.stop()
+  }
+
   test("benchShingleIndex: oversized benchmark sides fail loudly before broadcast") {
     import spark.implicits._
     val docs = (0L until 30L).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
