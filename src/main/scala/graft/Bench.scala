@@ -45,7 +45,8 @@ object Bench {
     // round 7: driver-local BPE merge loop (1 job regardless of merge count),
     // BPE encoding over the distinct-word table
     "q87_bpe_train_local", "q88_bpe_encode", "q89_chunk_windows",
-    "q90_oov_rate", "q91_token_packing", "q92_length_percentiles")
+    "q90_oov_rate", "q91_token_packing", "q92_length_percentiles",
+    "q93_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -206,22 +206,28 @@ object Dedup {
       .withColumn("ns", size(col("shingles")).cast("long"))
   }
 
+  /** The LSH band rows of a [[minhashSigTable]] frame:
+    * (doc, ns, band_idx, band_hash). Band rows carry only (doc, ns) ints —
+    * the shingle arrays attach AFTER any rollup, once per surviving
+    * candidate pair, instead of riding every band-collision row through
+    * the count shuffle. */
+  def sigBands(sig: DataFrame, k: Int, bandSize: Int): DataFrame = {
+    val bandCols = (0 until k / bandSize).map { bIdx =>
+      md5(concat_ws("|",
+        (0 until bandSize).map(j => col(s"mh${bIdx * bandSize + j}").cast("string")): _*))
+    }
+    sig.select(
+      col("doc"), col("ns"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
   /** Band + verify over a pre-built [[minhashSigTable]] frame (already
     * materialized by the caller — checkpointed or read back from storage).
     * Output is order-insensitive in the sketch's shingle-array order, so a
     * parquet round-trip of the sketch changes nothing. */
   def minhashLshPairsFromSig(sig: DataFrame, k: Int, bandSize: Int,
                              minJaccardPpm: Long): DataFrame = {
-    val bandCols = (0 until k / bandSize).map { bIdx =>
-      md5(concat_ws("|",
-        (0 until bandSize).map(j => col(s"mh${bIdx * bandSize + j}").cast("string")): _*))
-    }
-    // Band rows carry only (doc, ns) ints — the shingle arrays attach
-    // AFTER the rollup, once per surviving candidate pair, instead of
-    // riding every band-collision row through the count shuffle.
-    val bands = sig.select(
-      col("doc"), col("ns"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val bands = sigBands(sig, k, bandSize)
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc").as("d1"), col("ns").as("n1"))
     val b = bands.select(col("band_idx"), col("band_hash"), col("doc").as("d2"), col("ns").as("n2"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
@@ -239,6 +245,42 @@ object Dedup {
         intDiv(col("shared") * 1000000L, col("n1") + col("n2") - col("shared")))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
       .select(col("d1"), col("d2"), col("n_shared_bands"), col("shared"), col("jaccard_ppm"))
+  }
+
+  /** INCREMENTAL near-dup matching — the production shape for continuous
+    * ingestion: match a NEW batch's sketch table against the STORED corpus
+    * sketch ([[minhashSigTable]], the table a 100 TB pipeline keeps next
+    * to the corpus) without recomputing or re-pairing the existing corpus.
+    * "Which of today's crawl is already in the corpus" costs one band
+    * equi-join of batch-bands × corpus-bands — candidate volume scales
+    * with the BATCH, never corpus², and the corpus side is touched only
+    * through its stored sketch.
+    *
+    * Output: every (new doc, existing doc) pair sharing >= 1 LSH band
+    * whose exact verified Jaccard clears `minJaccardPpm` —
+    * (d_new, d_old, n_shared_bands, shared, jaccard_ppm). Within-batch
+    * duplicates are [[minhashLshPairsFromSig]] on the batch sketch alone;
+    * the two compose into the full incremental-dedup decision. */
+  def minhashMatchesAgainst(newSig: DataFrame, existingSig: DataFrame,
+                            k: Int, bandSize: Int, minJaccardPpm: Long): DataFrame = {
+    val a = sigBands(newSig, k, bandSize)
+      .select(col("band_idx"), col("band_hash"), col("doc").as("d_new"), col("ns").as("n1"))
+    val b = sigBands(existingSig, k, bandSize)
+      .select(col("band_idx"), col("band_hash"), col("doc").as("d_old"), col("ns").as("n2"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      // Exact length-ratio prune (J >= t forces |S1|/|S2| in [t, 1/t]).
+      .filter(col("n1") * 1000000L >= col("n2") * minJaccardPpm &&
+              col("n2") * 1000000L >= col("n1") * minJaccardPpm)
+      .groupBy(col("d_new"), col("d_old"))
+      .agg(count(lit(1)).as("n_shared_bands"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+    cand
+      .join(newSig.select(col("doc").as("d_new"), col("shingles").as("sh1")), Seq("d_new"))
+      .join(existingSig.select(col("doc").as("d_old"), col("shingles").as("sh2")), Seq("d_old"))
+      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("jaccard_ppm",
+        intDiv(col("shared") * 1000000L, col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select(col("d_new"), col("d_old"), col("n_shared_bands"), col("shared"), col("jaccard_ppm"))
   }
 
   /** SimHash (48-bit) over the token multiset: per bit, tokens vote

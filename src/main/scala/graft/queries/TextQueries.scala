@@ -456,6 +456,20 @@ object TextQueries {
         .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens")),
       Seq("source"), col("n_tokens"))
 
+  // ---------------------------------------------------------------- q93
+  /** Incremental near-dup matching: the doc_id%5==0 slice plays "today's
+    * batch", the rest the stored corpus; both sides read the one
+    * materialized sketch table (slice filters push into its scan) and the
+    * batch bands join the corpus bands — candidate volume scales with the
+    * batch, the corpus is touched only through its stored sketch. */
+  def q93IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = materializedSigs(spark, dir)
+    Dedup.minhashMatchesAgainst(
+      sigs.filter(col("doc") % 5 === 0),
+      sigs.filter(col("doc") % 5 =!= 0),
+      k = 16, bandSize = 4, minJaccardPpm = 800000L)
+  }
+
   // ---------------------------------------------------------------- q89
   /** Context-window chunking: 50-token windows advancing by 25 (50%
     * overlap) — one row per training example with its reassembled text. */
@@ -489,6 +503,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_incremental_dedup" -> q93IncrementalDedup _,
     "q92_length_percentiles" -> q92LengthPercentiles _,
     "q91_token_packing"    -> q91TokenPacking _,
     "q90_oov_rate"         -> q90OovRate _,
@@ -572,9 +587,10 @@ object TextQueries {
        |  hits_en, hits_de, hits_fr, hits_es
        |FROM h""".stripMargin
 
-  /** q25's oracle, shared: q35's recursive-CTE oracle clusters its pairs. */
-  private lazy val q25Sql: String =
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+  /** The shared minhash CTE prefix (tok → sh → sig → bands) behind the
+    * q25 and q93 oracles. */
+  private lazy val minhashBandsCtes: String =
+    s"""tok AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (SELECT doc_id,
        |  list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
        |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles FROM tok
@@ -593,7 +609,11 @@ object TextQueries {
        |bands AS (SELECT doc_id, shingles, b.band_idx, md5(concat_ws('|',
        |    CAST(mh[b.band_idx*4+1] AS VARCHAR), CAST(mh[b.band_idx*4+2] AS VARCHAR),
        |    CAST(mh[b.band_idx*4+3] AS VARCHAR), CAST(mh[b.band_idx*4+4] AS VARCHAR))) AS band_hash
-       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx) b)""".stripMargin
+
+  /** q25's oracle, shared: q35's recursive-CTE oracle clusters its pairs. */
+  private lazy val q25Sql: String =
+    s"""WITH $minhashBandsCtes,
        |cand AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_bands,
        |    any_value(a.shingles) AS sh1, any_value(b.shingles) AS sh2
@@ -605,6 +625,24 @@ object TextQueries {
        |    CAST(len(sh1) AS BIGINT) AS n1, CAST(len(sh2) AS BIGINT) AS n2
        |  FROM cand)
        |SELECT d1, d2, n_shared_bands, shared,
+       |  CAST(shared * 1000000 // (n1 + n2 - shared) AS BIGINT) AS jaccard_ppm
+       |FROM v WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin
+
+  /** q93's oracle: the same band chain, joined NEW-slice × EXISTING-slice
+    * (no d1<d2 — the pairing is cross-set). */
+  private lazy val q93Sql: String =
+    s"""WITH $minhashBandsCtes,
+       |cand AS (
+       |  SELECT a.doc_id AS d_new, b.doc_id AS d_old, count(*) AS n_shared_bands,
+       |    any_value(a.shingles) AS sh1, any_value(b.shingles) AS sh2
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |  GROUP BY a.doc_id, b.doc_id),
+       |v AS (SELECT d_new, d_old, n_shared_bands,
+       |    CAST(len(list_intersect(sh1, sh2)) AS BIGINT) AS shared,
+       |    CAST(len(sh1) AS BIGINT) AS n1, CAST(len(sh2) AS BIGINT) AS n2
+       |  FROM cand)
+       |SELECT d_new, d_old, n_shared_bands, shared,
        |  CAST(shared * 1000000 // (n1 + n2 - shared) AS BIGINT) AS jaccard_ppm
        |FROM v WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin
 
@@ -709,6 +747,7 @@ object TextQueries {
     "q85_bpe_train" -> bpeOracle(3),
     "q87_bpe_train_local" -> bpeOracle(8),
     "q88_bpe_encode" -> bpeEncodeOracle(8),
+    "q93_incremental_dedup" -> q93Sql,
     "q91_token_packing" ->
       s"""WITH ${bpeEncodeCtes(8)},
          |pk AS (SELECT d.doc_id, CAST(d.doc_id % 8 AS BIGINT) AS shard,

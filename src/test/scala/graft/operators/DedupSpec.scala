@@ -110,6 +110,41 @@ class DedupSpec extends AnyFunSuite {
     assert(fromSig == direct)
   }
 
+  test("incremental matching == the cross-set slice of full-corpus pairing") {
+    import spark.implicits._
+    // batch ∪ corpus pairing decomposes exactly: full pairs = within-batch
+    // pairs + within-corpus pairs + cross matches; the incremental
+    // operator must produce precisely the cross slice
+    val rnd = new scala.util.Random(5)
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a completely different sentence with nothing shared at all here",
+      "pack my box with five dozen liquor jugs right now please")
+    val docs = (0L until 40L).map { i =>
+      val t = base(rnd.nextInt(3))
+      (i, if (rnd.nextBoolean()) t else t + s" tail${rnd.nextInt(2)}")
+    }.toDF("doc_id", "text")
+    val sig = Dedup.minhashSigTable(docs, "doc_id", "text", n = 3, k = 16)
+      .localCheckpoint()
+    val newSig = sig.filter($"doc" % 5 === 0)
+    val oldSig = sig.filter($"doc" % 5 =!= 0)
+    val got = Dedup.minhashMatchesAgainst(newSig, oldSig,
+        k = 16, bandSize = 4, minJaccardPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val full = Dedup.minhashLshPairsFromSig(sig, k = 16, bandSize = 4,
+        minJaccardPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = full.flatMap { case (d1, d2, nb, sh, j) =>
+      // orient each cross pair as (new, old) regardless of id order
+      if (d1 % 5 == 0 && d2 % 5 != 0) Some((d1, d2, nb, sh, j))
+      else if (d2 % 5 == 0 && d1 % 5 != 0) Some((d2, d1, nb, sh, j))
+      else None
+    }.toSet
+    assert(want.nonEmpty, "fixture must produce cross-set near-dups")
+    assert(got == want)
+  }
+
   test("prefix-filtered jaccard equals brute-force jaccard") {
     import spark.implicits._
     val docs = Seq(
