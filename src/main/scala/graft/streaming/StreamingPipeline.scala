@@ -402,6 +402,62 @@ object StreamingPipeline {
       .distinct()
   }
 
+  /** Streaming incremental near-dup matching — the continuous-ingestion
+    * form of [[graft.operators.Dedup.minhashMatchesAgainst]]: documents
+    * stream in, their MinHash signatures are computed PER ROW (each doc
+    * arrives whole, so no streaming aggregation is needed — the
+    * interpreted per-row folds touch one micro-batch at a time, the
+    * [[ngramCountStream]] rationale), their LSH bands stream-static join
+    * the STORED corpus sketch table, and verified matches emit in append
+    * mode. Band-collision duplicates collapse via
+    * `dropDuplicatesWithinWatermark` on the pair key, so the dedup state
+    * is bounded by the watermark horizon, never the corpus.
+    *
+    * Output per verified match: (d_new, d_old, jaccard_ppm) — the
+    * "today's crawl doc is already in the corpus" decision stream.
+    * `existingSig` is a bounded-churn stored table ([[graft.operators
+    * .Dedup.minhashSigTable]] persisted next to the corpus); Spark
+    * re-plans the static side per micro-batch, picking broadcast or
+    * shuffle join from its size. */
+  def incrementalDedupStream(corpus: DataFrame, existingSig: DataFrame,
+                             idCol: String, textCol: String, tsCol: String,
+                             n: Int, k: Int, bandSize: Int,
+                             minJaccardPpm: Long, watermark: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.operators.Dedup._
+    val shingled = corpus
+      .select(col(idCol).as("d_new"), col(tsCol),
+        array_distinct(wordShingles(tokens(col(textCol)), n)).as("sh1"))
+      .filter(size(col("sh1")) > 0)
+      .withColumn("base", transform(col("sh1"), s => hash31(s)))
+    val mhCols = (0 until k).map(i =>
+      array_min(transform(col("base"),
+        h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashP)).as(s"mh$i"))
+    val sig = shingled.select(
+      (Seq(col("d_new"), col(tsCol), col("sh1"), size(col("sh1")).cast("long").as("n1")) ++ mhCols): _*)
+    val bandCols = (0 until k / bandSize).map { bIdx =>
+      md5(concat_ws("|",
+        (0 until bandSize).map(j => col(s"mh${bIdx * bandSize + j}").cast("string")): _*))
+    }
+    val newBands = sig.select(
+      col("d_new"), col(tsCol), col("sh1"), col("n1"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val oldBands = sigBands(existingSig, k, bandSize)
+      .select(col("band_idx"), col("band_hash"), col("doc").as("d_old"), col("ns").as("n2"))
+    newBands
+      .join(oldBands, Seq("band_idx", "band_hash"))
+      .filter(col("n1") * 1000000L >= col("n2") * minJaccardPpm &&
+              col("n2") * 1000000L >= col("n1") * minJaccardPpm)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("d_new", "d_old")
+      .join(existingSig.select(col("doc").as("d_old"), col("shingles").as("sh2")), Seq("d_old"))
+      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("jaccard_ppm",
+        intDiv(col("shared") * 1000000L, col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select(col("d_new"), col("d_old"), col("jaccard_ppm"))
+  }
+
   /** Streaming sessionization (the time-gap half of A10, §2.7): native
     * `session_window` merges a key's events into variable-length sessions
     * closed by `gap` of silence; the watermark both bounds state and

@@ -200,6 +200,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup equals the batch matcher against the stored sketch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a completely different sentence with nothing shared at all here",
+      "pack my box with five dozen liquor jugs right now please")
+    val docs = (0L until 40L).map { i =>
+      val t = base(rnd.nextInt(3))
+      (i, if (rnd.nextBoolean()) t else t + s" tail${rnd.nextInt(2)}")
+    }
+    val corpusDocs = docs.filter(_._1 % 5 != 0).toDF("doc_id", "text")
+    val newDocs = docs.filter(_._1 % 5 == 0)
+    // the stored corpus sketch, parquet-materialized as in production
+    val sigPath = java.nio.file.Files.createTempDirectory("inc-dedup-sig").resolve("sigs").toString
+    graft.operators.Dedup.minhashSigTable(corpusDocs, "doc_id", "text", n = 3, k = 16)
+      .write.mode("overwrite").parquet(sigPath)
+    val storedSig = spark.read.parquet(sigPath)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingPipeline.incrementalDedupStream(stream, storedSig,
+      "doc_id", "text", "ts", n = 3, k = 16, bandSize = 4,
+      minJaccardPpm = 500000L, watermark = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("inc_dedup").start()
+    try {
+      val batches = newDocs.map { case (i, t) =>
+        (i, java.sql.Timestamp.valueOf(f"2025-01-01 00:00:${i % 60}%02d"), t)
+      }
+      batches.grouped(3).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("select d_new, d_old, jaccard_ppm from inc_dedup")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Dedup.minhashMatchesAgainst(
+          graft.operators.Dedup.minhashSigTable(
+            newDocs.toDF("doc_id", "text"), "doc_id", "text", n = 3, k = 16),
+          storedSig, k = 16, bandSize = 4, minJaccardPpm = 500000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      assert(batch.nonEmpty, "fixture must produce cross-set matches")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("chunkWindows is stream-compatible: stateless narrow ops chunk a document stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-chunk-stream").toString
     val lines = Seq(
