@@ -25,50 +25,77 @@ object Pipeline {
     // Row counts ride the WRITE job itself (CollectMetrics accumulators
     // via observe()) instead of a read-back count() per sink — the
     // fixture e2e profile showed 14 pure-counting jobs of its 129, all
-    // fixed overhead at any data size.
+    // fixed overhead at any data size. A batch write runs under its OWN
+    // QueryExecution (the insert command wraps the plan), so the metric
+    // must be captured through a QueryExecutionListener — Spark's
+    // documented batch-observe pattern; reading
+    // `observed.queryExecution.observedMetrics` would consult the
+    // never-executed analysis-time plan and silently return null
+    // (caught by the PipelineSpec counts test).
+    val capturedMetrics = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val metricListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => capturedMetrics.put(k, v); () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(metricListener)
+
     def writeCounted(df: DataFrame, path: String, metric: String,
                      partitionCols: Seq[String] = Nil): Long = {
       val observed = df.observe(metric, count(lit(1)).as("rows"))
       val w = observed.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-      val row = observed.queryExecution.observedMetrics.getOrElse(metric,
-        throw new IllegalStateException(
-          s"Pipeline: observed metric $metric missing after write"))
+      // the listener bus delivers asynchronously after the (synchronous)
+      // write returns — poll briefly, fail loudly rather than report 0
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var row = capturedMetrics.get(metric)
+      while (row == null && System.nanoTime() < deadline) {
+        Thread.sleep(10)
+        row = capturedMetrics.get(metric)
+      }
+      if (row == null) throw new IllegalStateException(
+        s"Pipeline: observed metric $metric not delivered within 30s of the write")
       Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     }
 
-    val nEvents = writeCounted(
-      events
-        // O1: event-time order within each partition; partitioning by
-        // event_type turns every analytic's type filter into partition
-        // pruning (each job scans only its event families).
-        .repartition(col("event_type"))
-        .sortWithinPartitions(col("ts_ns")),
-      eventsPath, "graft_rows_events", partitionCols = Seq("event_type"))
-    val stored = spark.read.parquet(eventsPath)
-    val counts = scala.collection.mutable.Map[String, Long](
-      "events" -> nEvents)
-    // later analytics may read the tables earlier ones wrote (runFrom) —
-    // e.g. the tracer unions the stored consensus + p2p tables instead of
-    // re-running both machines
-    var written = Map.empty[String, DataFrame]
-    analytics.foreach { a =>
-      // per-run tracker: the analytic registers any frames it persists
-      // for its sinks' plans; released once all its tables are on disk
-      // (repeated or CONCURRENT runs in one session must neither pin
-      // events-sized blocks nor unpersist each other's)
-      val tracker = new FrameTracker
-      a.runFrom(stored, written, tracker).foreach { case (table, df) =>
-        val path = s"$warehouse/$table"
-        counts(table) = writeCounted(df, path, s"graft_rows_$table")
-        // the read-back is LAZY (schema comes from the footer, no job) —
-        // downstream consumers via `written` plan against the stored
-        // table, not this analytic's live DAG
-        written += table -> spark.read.parquet(path)
+    try {
+      val nEvents = writeCounted(
+        events
+          // O1: event-time order within each partition; partitioning by
+          // event_type turns every analytic's type filter into partition
+          // pruning (each job scans only its event families).
+          .repartition(col("event_type"))
+          .sortWithinPartitions(col("ts_ns")),
+        eventsPath, "graft_rows_events", partitionCols = Seq("event_type"))
+      val stored = spark.read.parquet(eventsPath)
+      val counts = scala.collection.mutable.Map[String, Long](
+        "events" -> nEvents)
+      // later analytics may read the tables earlier ones wrote (runFrom) —
+      // e.g. the tracer unions the stored consensus + p2p tables instead of
+      // re-running both machines
+      var written = Map.empty[String, DataFrame]
+      analytics.foreach { a =>
+        // per-run tracker: the analytic registers any frames it persists
+        // for its sinks' plans; released once all its tables are on disk
+        // (repeated or CONCURRENT runs in one session must neither pin
+        // events-sized blocks nor unpersist each other's)
+        val tracker = new FrameTracker
+        a.runFrom(stored, written, tracker).foreach { case (table, df) =>
+          val path = s"$warehouse/$table"
+          counts(table) = writeCounted(df, path, s"graft_rows_$table")
+          // the read-back is LAZY (schema comes from the footer, no job) —
+          // downstream consumers via `written` plan against the stored
+          // table, not this analytic's live DAG
+          written += table -> spark.read.parquet(path)
+        }
+        tracker.release()
       }
-      tracker.release()
-    }
-    counts.toMap
+      counts.toMap
+    } finally spark.listenerManager.unregister(metricListener)
   }
 
   /** CLI: graft.cometbft.Pipeline <logDir> <warehouseDir> [analytics-csv]

@@ -27,6 +27,21 @@ class PipelineSpec extends AnyFunSuite {
 
   private def t(name: String) = spark.read.parquet(s"$warehouse/$name")
 
+  test("Pipeline.run returns the written row counts (observe-counted sinks)") {
+    // fresh small run so the returned map is in hand; every count must
+    // equal the actual stored table - the counts ride the WRITE jobs via
+    // observe(), and a silently-unpopulated metric would read as zero
+    val logDir = java.nio.file.Files.createTempDirectory("graft-cnt-logs").toString
+    val wh     = java.nio.file.Files.createTempDirectory("graft-cnt-wh").toString
+    Fixtures.writeScenario(logDir, heights = 2)
+    val counts = Pipeline.run(spark, logDir, wh)
+    assert(counts("events") > 0L, "events count must be populated, not zero")
+    counts.foreach { case (tbl, n) =>
+      val stored = spark.read.parquet(s"$wh/$tbl").count()
+      assert(n == stored, s"$tbl: returned $n, stored $stored")
+    }
+  }
+
   test("events are produced for every family") {
     val byType = t("events").groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
