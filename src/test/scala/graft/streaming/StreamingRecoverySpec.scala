@@ -136,6 +136,77 @@ class StreamingRecoverySpec extends AnyFunSuite {
         "msgType", "latencyMs"))
   }
 
+  test("streaming incremental dedup restarted from checkpoint equals the batch matcher") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a completely different sentence with nothing shared at all here",
+      "pack my box with five dozen liquor jugs right now please")
+    val docs = (0L until 40L).map { i =>
+      val t = base(rnd.nextInt(3))
+      (i, if (rnd.nextBoolean()) t else t + s" tail${rnd.nextInt(2)}")
+    }
+    val corpusDocs = docs.filter(_._1 % 5 != 0).toDF("doc_id", "text")
+    val newDocs = docs.filter(_._1 % 5 == 0)
+    val sigPath = tmp("inc-rec-sig") + "/sigs"
+    graft.operators.Dedup.minhashSigTable(corpusDocs, "doc_id", "text", n = 3, k = 16)
+      .write.mode("overwrite").parquet(sigPath)
+    val storedSig = spark.read.parquet(sigPath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def writeBatch(dir: String, name: String, part: Seq[(Long, String)], mtime: Long): Unit = {
+      val lines = part.map { case (i, t) =>
+        s"""{"doc_id":$i,"ts":"2025-01-01T00:00:${"%02d".format(i % 60)}Z","text":"$t"}"""
+      }
+      val p = java.nio.file.Paths.get(s"$dir/$name")
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def runStream(dir: String, out: String, cp: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir)
+      val q = StreamingPipeline.incrementalDedupStream(stream, storedSig,
+          "doc_id", "text", "ts", n = 3, k = 16, bandSize = 4,
+          minJaccardPpm = 500000L, watermark = "10 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def result(out: String) =
+      spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+    val dirA = tmp("inc-rec-a"); val outA = tmp("inc-rec-a-out")
+    writeBatch(dirA, "f1.json", newDocs.take(4), 1700000000000L)
+    writeBatch(dirA, "f2.json", newDocs.drop(4), 1700000001000L)
+    runStream(dirA, outA, tmp("inc-rec-a-cp"))
+
+    val dirB = tmp("inc-rec-b"); val outB = tmp("inc-rec-b-out")
+    val cpB = tmp("inc-rec-b-cp")
+    writeBatch(dirB, "f1.json", newDocs.take(4), 1700000000000L)
+    runStream(dirB, outB, cpB)
+    writeBatch(dirB, "f2.json", newDocs.drop(4), 1700000001000L)
+    runStream(dirB, outB, cpB)
+
+    val a = result(outA)
+    val b = result(outB)
+    assert(a.nonEmpty, "fixture must produce matches")
+    assert(b == a, s"restarted run diverged: ${b.size} vs ${a.size} rows")
+    val batch = graft.operators.Dedup.minhashMatchesAgainst(
+        graft.operators.Dedup.minhashSigTable(
+          newDocs.toDF("doc_id", "text"), "doc_id", "text", n = 3, k = 16),
+        storedSig, k = 16, bandSize = 4, minJaccardPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).sorted.toSeq
+    assert(a == batch)
+  }
+
   test("streaming decontamination restarted from checkpoint equals batch on the same corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
