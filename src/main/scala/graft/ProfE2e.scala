@@ -77,6 +77,24 @@ object ProfE2e {
     e2e("warm3")
     jobs.set(0)
     breakdown("warm4")
+
+    // data-volume scaling: same 9-analytic pipeline over a 10x-height
+    // fixture (50 heights). The warm 5-height run is fixed-overhead
+    // dominated, so a healthy data-scaling ratio is far below 10x — and
+    // anything ABOVE 10x would flag a superlinear stage.
+    val logDir50 = java.nio.file.Files.createTempDirectory("prof-e2e-logs50").toString
+    Fixtures.writeScenario(logDir50, heights = 50)
+    def e2e50(label: String): Unit = {
+      val wh = java.nio.file.Files.createTempDirectory("prof-e2e-wh50").toString
+      val j0 = jobs.get
+      val t0 = System.nanoTime()
+      Pipeline.run(spark, logDir50, wh)
+      println(f"[$label] Pipeline.run(h=50) ${(System.nanoTime() - t0) / 1e9}%6.2f s  jobs=${jobs.get - j0}")
+    }
+    jobs.set(0)
+    e2e50("h50-warm1")
+    jobs.set(0)
+    e2e50("h50-warm2")
     spark.stop()
   }
 }
