@@ -332,6 +332,142 @@ object Similarity {
       .select(col("cell"), col("n_vectors"), col("cent_norm2"), col("sum_cos_ppm"))
   }
 
+  /** Per-subspace product-quantization codebooks from designated code
+    * rows: for each of the `m` subspaces, the (code_id, sub-vector,
+    * sub-norm²) entries — collected driver-side as model state (the
+    * kmeans-seed pattern: a PQ codebook is k×dims longs, never data). */
+  private def pqCodebooks(q: DataFrame, idCol: String, m: Int, dims: Int,
+                          maxCodes: Int): IndexedSeq[Seq[(Long, Seq[Long], Long)]] = {
+    require(dims % m == 0, s"pq: dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val codeRows = q.select(col(idCol).cast("long").as("id"), col("qvec"))
+      .limit(maxCodes + 1)
+      .collect()
+    require(codeRows.length <= maxCodes,
+      s"pq: isCode selects more than maxCodes=$maxCodes rows - PQ codebooks are " +
+        "driver-side model state (k entries per subspace); a code set this large " +
+        "suggests a mislabeled predicate")
+    require(codeRows.nonEmpty, "pq: isCode matched no rows - no codebook to train")
+    val entries = codeRows
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .sortBy(_._1)
+    (0 until m).map { s =>
+      entries.toSeq.map { case (cid, v) =>
+        val cv = v.slice(s * sub, (s + 1) * sub)
+        (cid, cv, cv.map(x => x * x).sum)
+      }
+    }
+  }
+
+  /** Argmin fold for one subspace: best (err2, code) of the quantized
+    * sub-vector `qsub` (with exact sub-norm² `qsn`) against the literal
+    * codebook — d² = |q|² + |c|² - 2·q·c in exact int64, ties to the
+    * lower code id. Narrow and shuffle-free: the codebook is a literal
+    * matrix and the fold keeps one tight DotLongArrays loop (the
+    * measured-fast kmeans assignment shape, PLANS.md round-7). */
+  private def pqBest(qsub: Column, qsn: Column,
+                     book: Seq[(Long, Seq[Long], Long)]): Column = {
+    val mat = typedlit(book)
+    aggregate(
+      mat,
+      struct(lit(Long.MaxValue).as("err2"), lit(Long.MaxValue).as("code")),
+      (acc, c) => {
+        val d2 = qsn + c.getField("_3") - lit(2L) * qdot(qsub, c.getField("_2"))
+        val cand = struct(d2.as("err2"), c.getField("_1").as("code"))
+        when(cand < acc, cand).otherwise(acc)
+      })
+  }
+
+  /** Product quantization encode (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * `dims`-dim quantized vector is split into `m` orthogonal subspaces;
+    * each sub-vector is coded as its nearest codebook entry by exact
+    * int64 squared L2 (ties to the lower code id). Output: one row per
+    * (vector, subspace) with the chosen code and the exact quantization
+    * error d² — the m-byte-per-vector compressed representation behind
+    * billion-scale ANN indexes (IVF-PQ).
+    *
+    * Codebooks here come from designated rows (`isCode`, the q34
+    * stub-centroid pattern); production trains them with per-subspace
+    * k-means — [[kmeansTrain]] on the sliced column is that step.
+    *
+    * Scale: codebooks are driver-collected model state (gated by
+    * `maxCodes`, the maxSeeds pattern); encoding is a narrow per-row
+    * fold over m literal matrices — zero joins, zero shuffles, so the
+    * encode pass streams the corpus once at any size. Value ranges:
+    * per-subspace d² <= subdims × (2e6·|x|)² ~ 3.2e13 for unit vectors
+    * at 64/8 dims — int64-safe with five orders of headroom. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, isCode: Column,
+               m: Int, dims: Int, maxCodes: Int = 4096): DataFrame = {
+    val q = quantized(df, vecCol)
+    val books = pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes)
+    val sub = dims / m
+    val withSubs = (0 until m).foldLeft(
+      q.select(col(idCol).cast("long").as("id"), col("qvec"))) { case (d, s) =>
+      d.withColumn(s"qsub$s", slice(col("qvec"), s * sub + 1, sub))
+        .withColumn(s"qsn$s", qdot(col(s"qsub$s"), col(s"qsub$s")))
+    }
+    val perS = (0 until m).map { s =>
+      val best = pqBest(col(s"qsub$s"), col(s"qsn$s"), books(s))
+      struct(lit(s).cast("long").as("s"),
+        best.getField("code").as("code"),
+        best.getField("err2").as("err2"))
+    }
+    withSubs
+      .select(col("id").as(idCol), explode(array(perS: _*)).as("e"))
+      .select(col(idCol), col("e.s").as("s"), col("e.code").as("code"),
+        col("e.err2").as("err2"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: queries keep their exact
+    * quantized vectors; candidates are represented ONLY by their m PQ
+    * codes, and the approximate distance is the sum over subspaces of
+    * the exact d² between the query sub-vector and the candidate's
+    * codebook entry — the memory-bandwidth win of PQ (m longs scanned
+    * per candidate instead of `dims`). Ranking: adist2 ASC, then
+    * cand_id ASC. Approximate by construction (distances quantize to
+    * the codebook grid); [[bruteForceTopK]] is the exactness baseline.
+    *
+    * Scale: the encode side is the narrow [[pqEncode]] fold; the query
+    * side is gated (`maxQueries`, the bruteForce pattern) and BROADCAST,
+    * so the scan is a map-side loop over the code table — no corpus
+    * shuffle. At cluster scale this composes with IVF cells ([[ivfTopK]])
+    * to cut the scanned candidates per query, exactly IVF-PQ. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             isCode: Column, isQuery: Column, m: Int, dims: Int, k: Int,
+             maxCodes: Int = 4096, maxQueries: Int = 10000): DataFrame = {
+    val q = quantized(df, vecCol)
+    val books = pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes)
+    val sub = dims / m
+    val codes = (0 until m).foldLeft(
+      q.select(col(idCol).cast("long").as("cand_id"), col("qvec"))) { case (d, s) =>
+      val qsub = slice(col("qvec"), s * sub + 1, sub)
+      d.withColumn(s"code$s", pqBest(qsub, qdot(qsub, qsub), books(s)).getField("code"))
+    }.select(col("cand_id") +: (0 until m).map(s => col(s"code$s")): _*)
+    val queries = q.filter(isQuery)
+      .select(col(idCol).cast("long").as("query_id"), col("qvec").as("qv"))
+    val nQueries = queries.limit(maxQueries + 1).count()
+    require(nQueries <= maxQueries,
+      s"pqTopK: query side exceeds maxQueries=$maxQueries rows - queries are " +
+        "broadcast against the code table; large query sets should pre-bucket " +
+        "with IVF cells (ivfTopK) before PQ scoring")
+    val adist2 = (0 until m).map { s =>
+      val qsub = slice(col("qv"), s * sub + 1, sub)
+      val cvMap = typedlit(books(s).map { case (cid, cv, _) => cid -> cv }.toMap)
+      val cnMap = typedlit(books(s).map { case (cid, _, cn) => cid -> cn }.toMap)
+      qdot(qsub, qsub) + element_at(cnMap, col(s"code$s")) -
+        lit(2L) * qdot(qsub, element_at(cvMap, col(s"code$s")))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist2").asc, col("cand_id").asc)
+    broadcast(queries)
+      .crossJoin(codes)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adist2", adist2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("adist2"))
+  }
+
   /** Int8 scalar quantization of an embedding column — the compression
     * step before shipping vectors to an ANN index: per-dimension min/max
     * over the corpus define a 0..255 code grid; each value is coded,

@@ -18,6 +18,11 @@ object VectorQueries {
     * silently desync the oracles from the operators. */
   private val Dims = 64
 
+  /** PQ subspace count for q94/q95 — `Dims / PqM` dims per subspace; the
+    * oracle SQL interpolates both so the split can't silently desync. */
+  private val PqM = 8
+  private val PqSub = Dims / PqM
+
   /** Shared quantization SQL for the oracles. */
   private val qvecSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
@@ -120,8 +125,33 @@ object VectorQueries {
       isCentroid = $"vec_id" < 8, minCosPpm = 300000L)
   }
 
+  // ---------------------------------------------------------------- q94
+  /** Product-quantization encode: 8 subspaces × 8 dims, codebooks from the
+    * first 16 vectors (the q34 stub-centroid pattern; production trains
+    * them per-subspace with q63's k-means). One row per (vector,
+    * subspace): nearest code by exact int64 L2², ties to the lower code
+    * id, plus the exact quantization error. */
+  def q94PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.pqEncode(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isCode = $"vec_id" < 16, m = PqM, dims = Dims)
+  }
+
+  // ---------------------------------------------------------------- q95
+  /** PQ asymmetric-distance (ADC) top-5 for the first 20 vectors:
+    * candidates carry only their 8 codes; distance is the sum of exact
+    * per-subspace d² to the codebook entries. */
+  def q95PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.pqTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = PqM, dims = Dims, k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_semdedup"         -> q81SemDedup _,
+    "q94_pq_encode"        -> q94PqEncode _,
+    "q95_pq_ann"           -> q95PqAnn _,
     "q63_kmeans_train"     -> q63KmeansTrain _,
     "q64_int8_quant"       -> q64Int8Quant _,
     "q37_sql_api"          -> q37SqlApi _,
@@ -174,8 +204,44 @@ object VectorQueries {
        |  CAST(SUM(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_cos_ppm
        |FROM g2 JOIN c2 ON g2.cell = c2.cell GROUP BY g2.cell""".stripMargin
 
+  /** Shared PQ CTE prefix for the q94/q95 oracles: quantize, slice into
+    * subspaces, codebooks from vec_id < 16, per-(vector, subspace)
+    * nearest code by exact L2² (ties to the lower code id). */
+  private lazy val pqCtes: String =
+    s"""q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+       |ss AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
+       |cb AS (SELECT s, vec_id AS cid,
+       |  list_slice(qvec, s*$PqSub+1, s*$PqSub+$PqSub) AS cv FROM q, ss WHERE vec_id < 16),
+       |cbn AS (SELECT s, cid, cv,
+       |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn FROM cb),
+       |sub AS (SELECT vec_id, s, list_slice(qvec, s*$PqSub+1, s*$PqSub+$PqSub) AS qv FROM q, ss),
+       |subn AS (SELECT vec_id, s, qv,
+       |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qn FROM sub),
+       |d AS (SELECT sn.vec_id, sn.s, c.cid,
+       |  sn.qn + c.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> sn.qv[i]*c.cv[i])) AS BIGINT) AS d2
+       |  FROM subn sn JOIN cbn c ON sn.s = c.s),
+       |r AS (SELECT vec_id, s, cid, d2,
+       |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rk FROM d)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q63_kmeans_train" -> q63Sql,
+    "q94_pq_encode" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, CAST(s AS BIGINT) AS s, cid AS code, d2 AS err2
+         |FROM r WHERE rk = 1""".stripMargin,
+    "q95_pq_ann" ->
+      s"""WITH $pqCtes,
+         |enc AS (SELECT vec_id AS cand_id, s, cid AS code FROM r WHERE rk = 1),
+         |qs AS (SELECT vec_id AS query_id, s, qv, qn FROM subn WHERE vec_id < 20),
+         |pair AS (SELECT qs.query_id, e.cand_id,
+         |  CAST(SUM(qs.qn + c.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> qs.qv[i]*c.cv[i])) AS BIGINT)) AS BIGINT) AS adist2
+         |  FROM qs JOIN enc e ON qs.s = e.s JOIN cbn c ON c.s = e.s AND c.cid = e.code
+         |  WHERE qs.query_id <> e.cand_id
+         |  GROUP BY qs.query_id, e.cand_id),
+         |rr AS (SELECT query_id, cand_id, adist2,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
+         |  FROM pair)
+         |SELECT query_id, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin,
     "q64_int8_quant" ->
       s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
          |ex AS (SELECT vec_id, d.i, qvec[d.i] AS x

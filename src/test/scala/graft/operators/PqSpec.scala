@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization operator: hand-derived codes/errors on a tiny
+  * 2-subspace corpus (including the tie-to-lower-code case), hand-derived
+  * ADC rankings, the model-state gates, the narrow-encode plan shape, and
+  * a full driver-side parity recompute on the real embeddings table.
+  */
+class PqSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def embeddings = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // 4 dims, 2 subspaces; ids 0 and 1 are the codebook.
+  //   code 0: [1, 0 | 0, 1]   code 1: [0, 1 | 1, 0]
+  private def tiny = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)),
+      (1L, Seq(0f, 1f, 1f, 0f)),
+      (2L, Seq(1f, 0f, 1f, 0f)),
+      (3L, Seq(0.5f, 0.5f, 0.25f, 0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("pqEncode: hand-derived codes and exact errors, ties to the lower code id") {
+    import spark.implicits._
+    val got = Similarity.pqEncode(tiny, "vec_id", "embedding",
+        isCode = $"vec_id" < 2, m = 2, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // id 3 subspace 0 = [5e5, 5e5]: equidistant (d² = 5e11) from both codes
+    // -> the tie goes to code 0; subspace 1 = [2.5e5, 0]: code 1 at
+    // (2.5e5 - 1e6)² = 5.625e11
+    val expected = Set(
+      (0L, 0L, 0L, 0L), (0L, 1L, 0L, 0L),
+      (1L, 0L, 1L, 0L), (1L, 1L, 1L, 0L),
+      (2L, 0L, 0L, 0L), (2L, 1L, 1L, 0L),
+      (3L, 0L, 0L, 500000000000L), (3L, 1L, 1L, 562500000000L))
+    assert(got == expected)
+  }
+
+  test("pqTopK: hand-derived ADC distances and tie-broken ranking") {
+    import spark.implicits._
+    val got = Similarity.pqTopK(tiny, "vec_id", "embedding",
+        isCode = $"vec_id" < 2, isQuery = $"vec_id" >= 2, m = 2, dims = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // query 2 reconstructs exactly as candidate 3's codes (adist² = 0);
+    // candidates 0 and 1 tie at 2e12 -> rank by cand_id. Query 3: cands 1
+    // and 2 tie at 1.0625e12 -> cand 1 first.
+    val expected = Set(
+      (2L, 3L, 1, 0L), (2L, 0L, 2, 2000000000000L), (2L, 1L, 3, 2000000000000L),
+      (3L, 1L, 1, 1062500000000L), (3L, 2L, 2, 1062500000000L),
+      (3L, 0L, 3, 1562500000000L))
+    assert(got == expected)
+  }
+
+  test("pq gates: oversized codebook, oversized query set, and bad split fail loudly") {
+    import spark.implicits._
+    val exCodes = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(embeddings, "vec_id", "embedding",
+        isCode = lit(true), m = 8, dims = 64, maxCodes = 10)
+    }
+    assert(exCodes.getMessage.contains("maxCodes"))
+    val exQueries = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(embeddings, "vec_id", "embedding",
+        isCode = $"vec_id" < 16, isQuery = lit(true), m = 8, dims = 64, k = 5,
+        maxQueries = 10)
+    }
+    assert(exQueries.getMessage.contains("maxQueries"))
+    val exSplit = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(embeddings, "vec_id", "embedding",
+        isCode = $"vec_id" < 16, m = 7, dims = 64)
+    }
+    assert(exSplit.getMessage.contains("not divisible"))
+    val exEmpty = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(embeddings, "vec_id", "embedding",
+        isCode = lit(false), m = 8, dims = 64)
+    }
+    assert(exEmpty.getMessage.contains("no codebook"))
+  }
+
+  test("pqEncode plan: narrow and shuffle-free - zero exchanges, no join") {
+    import org.apache.spark.sql.execution.FormattedMode
+    import spark.implicits._
+    val p = Similarity.pqEncode(embeddings, "vec_id", "embedding",
+        isCode = $"vec_id" < 16, m = 8, dims = 64)
+      .queryExecution.explainString(FormattedMode)
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 0, s"expected a narrow encode, saw $exchanges exchanges:\n$p")
+    assert(!p.contains("Join"), "encode must not join - codebooks are literal model state")
+  }
+
+  test("pqTopK plan: queries broadcast against the code table, corpus never shuffled pre-join") {
+    import org.apache.spark.sql.execution.FormattedMode
+    import spark.implicits._
+    val p = Similarity.pqTopK(embeddings, "vec_id", "embedding",
+        isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20, m = 8, dims = 64, k = 5)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the gated broadcast scan shape:\n$p")
+    assert(!p.contains("SortMergeJoin"), "the code scan must not shuffle-join")
+  }
+
+  /** Driver-side reference implementation over the real table: quantize
+    * (HALF_UP like Spark's round), build the 16-entry codebooks, encode,
+    * ADC-score, and rank — full parity with both operators. */
+  test("pq parity on sf0.01 embeddings: distributed == sequential recompute") {
+    val m = 8; val dims = 64; val sub = dims / m
+    val rows = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1000000.0d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .sortBy(_._1)
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val books = (0 until m).map { s =>
+      rows.filter(_._1 < 16).map { case (cid, v) =>
+        cid -> v.slice(s * sub, (s + 1) * sub)
+      }
+    }
+    def codesOf(v: Seq[Long]): Seq[(Long, Long)] = (0 until m).map { s =>
+      books(s).map { case (cid, cv) => (l2(v.slice(s * sub, (s + 1) * sub), cv), cid) }
+        .min match { case (d, cid) => (cid, d) }
+    }
+    val expectedEnc = rows.flatMap { case (id, v) =>
+      codesOf(v).zipWithIndex.map { case ((cid, d), s) => (id, s.toLong, cid, d) }
+    }.toSet
+    import spark.implicits._
+    val gotEnc = Similarity.pqEncode(embeddings, "vec_id", "embedding",
+        isCode = $"vec_id" < 16, m = m, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotEnc == expectedEnc)
+
+    val allCodes = rows.map { case (id, v) => id -> codesOf(v).map(_._1) }
+    val expectedTopK = rows.filter(_._1 < 20).flatMap { case (qid, qv) =>
+      allCodes.filter(_._1 != qid).map { case (cid, cs) =>
+        val d = (0 until m).map { s =>
+          val entry = books(s).find(_._1 == cs(s)).get._2
+          l2(qv.slice(s * sub, (s + 1) * sub), entry)
+        }.sum
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }
+        .take(5).zipWithIndex
+        .map { case ((cid, d), i) => (qid, cid, i + 1, d) }
+    }.toSet
+    val gotTopK = Similarity.pqTopK(embeddings, "vec_id", "embedding",
+        isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20, m = m, dims = dims, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(gotTopK == expectedTopK)
+  }
+}
