@@ -298,6 +298,53 @@ object VocabOps {
       .select(col("doc").as(idCol), col("n_tokens"), col("n_oov"), col("oov_ppm"))
   }
 
+  /** N-gram language-model familiarity score — the exact-integer analog of
+    * the CCNet/KenLM perplexity quality filter: score each document by how
+    * CORPUS-TYPICAL its word n-grams are. The corpus itself is the LM:
+    * each n-gram's document frequency over the whole corpus, as a ppm of
+    * total documents, is its "probability" surrogate (monotone in df;
+    * log-prob would break cross-engine hash parity), and a document's
+    * familiarity is the truncating mean of its n-gram instances' df-ppm.
+    * Low familiarity = mostly never-seen-elsewhere n-grams (gibberish,
+    * boilerplate-free noise, wrong-language fragments); high = stock
+    * phrasing. Output per document: n-gram instance count, the mean
+    * familiarity ppm, and the min/max instance df-ppm (the outlier band).
+    * Documents with < n tokens pass through with zeros.
+    *
+    * Scale: n-gram instances come from the codegen'd relational shingle
+    * builder ([[Dedup.shingleRows]] — one window shuffle on doc); the
+    * df table is one distinct + one aggregation on the high-cardinality
+    * n-gram key; the score join is on that same key (broadcast candidate
+    * when the n-gram vocabulary fits, shuffle join otherwise — the tf-idf
+    * shape); the rollup to documents is one aggregation. Total-document
+    * count is a 1×1 aggregate attach. Value ranges (PLANS.md round-7
+    * sweep): df·1e6 <= n_docs·1e6 ~ 1e18 at 1e12 docs — int64-safe;
+    * per-doc sum(df_ppm) <= 1e8 instances × 1e6 = 1e14 — safe. */
+  def lmFamiliarity(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val inst = Dedup.shingleRows(docs, idCol, textCol, n)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfPpm = inst.distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("s"), ppm(col("df"), col("n_docs")).as("df_ppm"))
+    val perDoc = inst
+      .join(dfPpm, Seq("s"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(col("df_ppm")).as("sum_df_ppm"),
+        min(col("df_ppm")).as("min_df_ppm"),
+        max(col("df_ppm")).as("max_df_ppm"))
+    docs.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .withColumn("n_ngrams", coalesce(col("n_ngrams"), lit(0L)))
+      .withColumn("familiarity_ppm",
+        when(col("n_ngrams") === 0L, 0L)
+          .otherwise(intDiv(col("sum_df_ppm"), col("n_ngrams"))))
+      .select(col("doc").as(idCol), col("n_ngrams"), col("familiarity_ppm"),
+        coalesce(col("min_df_ppm"), lit(0L)).as("min_df_ppm"),
+        coalesce(col("max_df_ppm"), lit(0L)).as("max_df_ppm"))
+  }
+
   /** Integer TF-IDF keyword extraction: each document's top-`k` tokens by
     * `tf * 1e6 // df` (term frequency scaled by inverse document
     * frequency — the exact-integer surrogate for tf·idf, monotone in the

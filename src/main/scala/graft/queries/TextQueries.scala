@@ -502,7 +502,17 @@ object TextQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  // ---------------------------------------------------------------- q96
+  /** Bigram LM familiarity: each document scored by the truncating mean
+    * corpus document-frequency (ppm) of its word-bigram instances — the
+    * exact-integer analog of the CCNet/KenLM perplexity quality filter
+    * (low familiarity = never-seen-elsewhere phrasing = noise candidate). */
+  def q96LmFamiliarity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VocabOps.lmFamiliarity(Tables(spark, dir).documents,
+      "doc_id", "text", n = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_lm_familiarity"   -> q96LmFamiliarity _,
     "q93_incremental_dedup" -> q93IncrementalDedup _,
     "q92_length_percentiles" -> q92LengthPercentiles _,
     "q91_token_packing"    -> q91TokenPacking _,
@@ -865,6 +875,23 @@ object TextQueries {
          |FROM shared
          |JOIN tot ta ON ta.src = shared.src_a
          |JOIN tot tb ON tb.src = shared.src_b""".stripMargin,
+    "q96_lm_familiarity" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
+         |  i -> concat_ws(' ', t[i], t[i+1]))) AS s FROM tok),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |dfq AS (SELECT s, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM g GROUP BY s),
+         |dfp AS (SELECT s, CAST(CASE WHEN n_docs = 0 THEN 0 ELSE df * 1000000 // n_docs END AS BIGINT) AS df_ppm
+         |  FROM dfq, nd),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  CAST(SUM(df_ppm) AS BIGINT) AS sdf, MIN(df_ppm) AS mn, MAX(df_ppm) AS mx
+         |  FROM g JOIN dfp USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+         |  CAST(CASE WHEN COALESCE(p.n_ngrams, 0) = 0 THEN 0 ELSE p.sdf // p.n_ngrams END AS BIGINT) AS familiarity_ppm,
+         |  CAST(COALESCE(p.mn, 0) AS BIGINT) AS min_df_ppm,
+         |  CAST(COALESCE(p.mx, 0) AS BIGINT) AS max_df_ppm
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
     "q78_boilerplate_ngrams" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),

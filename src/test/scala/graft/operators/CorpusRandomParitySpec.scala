@@ -369,6 +369,30 @@ class CorpusRandomParitySpec extends AnyFunSuite {
     }
   }
 
+  test("lmFamiliarity == direct bigram document-frequency scoring") {
+    import spark.implicits._
+    for (seed <- Seq(41L, 42L)) {
+      val docs = randomDocs(seed)
+      val nDocs = docs.size.toLong
+      def bigrams(t: String): Seq[String] = {
+        val tk = toks(t)
+        if (tk.size < 2) Seq.empty else tk.sliding(2).map(_.mkString(" ")).toSeq
+      }
+      val dfPpm = docs.flatMap { case (id, t) => bigrams(t).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size * 1000000L / nDocs }
+      val expected = docs.map { case (id, t) =>
+        val ps = bigrams(t).map(dfPpm)
+        if (ps.isEmpty) (id, 0L, 0L, 0L, 0L)
+        else (id, ps.size.toLong, ps.sum / ps.size, ps.min, ps.max)
+      }.toSet
+      val got = VocabOps.lmFamiliarity(docs.toDF("doc_id", "text"), "doc_id", "text", n = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("bpeEncode == direct rank-order merge application over random merge tables") {
     import spark.implicits._
     for (seed <- Seq(31L, 32L)) {

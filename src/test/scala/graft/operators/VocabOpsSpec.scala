@@ -160,4 +160,34 @@ class VocabOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
     assert(out == Seq((1L, "aaa"), (2L, "aaa")))
   }
+
+  test("lmFamiliarity: hand-derived bigram df-ppm means, short docs report zeros") {
+    import spark.implicits._
+    // 3 docs: "a b" appears in docs 1 and 2 (df_ppm = 2e6 // 3 = 666666);
+    // "b c" and "b d" in one doc each (333333). Doc 3 has no bigram.
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x")).toDF("doc_id", "text")
+    val out = VocabOps.lmFamiliarity(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 499999L, 333333L, 666666L), // (666666 + 333333) // 2
+      (2L, 2L, 499999L, 333333L, 666666L),
+      (3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("lmFamiliarity: repeated instances weight the mean (multiset, not set)") {
+    import spark.implicits._
+    // doc 1 repeats "a b" 3x and has "b z" once: df("a b") covers both
+    // docs (1e6 ppm with 2 docs... 2//2), df("b z") = 1 of 2 (500000).
+    val docs = Seq((1L, "a b a b a b z"), (2L, "a b")).toDF("doc_id", "text")
+    // doc1 bigrams: "a b","b a","a b","b a","a b","b z" -> 6 instances
+    // df_ppm: "a b" = 2*1e6//2 = 1000000; "b a" = 500000; "b z" = 500000
+    // mean = (1000000*3 + 500000*2 + 500000) // 6 = 4500000 // 6 = 750000
+    val out = VocabOps.lmFamiliarity(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 750000L, 500000L, 1000000L),
+      (2L, 1L, 1000000L, 1000000L, 1000000L)))
+  }
 }
