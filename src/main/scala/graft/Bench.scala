@@ -47,9 +47,9 @@ object Bench {
     "q87_bpe_train_local", "q88_bpe_encode", "q89_chunk_windows",
     "q90_oov_rate", "q91_token_packing", "q92_length_percentiles",
     "q93_incremental_dedup",
-    // round 7 (late): product quantization (encode + ADC search), bigram
-    // LM familiarity scoring
-    "q94_pq_encode", "q95_pq_ann", "q96_lm_familiarity")
+    // round 7 (late): product quantization (encode + ADC search + IVF-PQ),
+    // bigram LM familiarity scoring
+    "q94_pq_encode", "q95_pq_ann", "q96_lm_familiarity", "q97_ivfpq_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

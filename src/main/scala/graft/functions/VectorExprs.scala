@@ -66,4 +66,190 @@ object VectorExprs {
   /** Column form of [[DotLongArrays]]. */
   def dotQ(a: Column, b: Column): Column =
     GraftBridge.column(DotLongArrays(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Product-quantization encoder: all `m` per-subspace argmins in ONE
+    * compiled pass over the row's quantized vector. `books` is the
+    * flattened codebook — row `s*k + j` holds subspace `s`'s entry `j`
+    * (each `sub` longs), embedded as a reference object so the generated
+    * code runs tight primitive loops over it. Output: array of 2m longs —
+    * positions [0, m) hold the chosen code POSITION per subspace (argmin
+    * of exact squared L2, ties to the lower position), positions [m, 2m)
+    * the corresponding exact d².
+    *
+    * Why not `aggregate` folds over literal matrices: higher-order
+    * functions run interpreted per element — measured ~1.2 ms/row for
+    * the m=8, k=16 shape (PLANS.md round-7 ADC note), which is the whole
+    * per-row budget at corpus scale. This expression is the same
+    * arithmetic inside whole-stage codegen. */
+  case class PqCodesLongArray(child: Expression, books: Array[Array[Long]],
+                              m: Int, sub: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    private val k = books.length / m
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>, got $t")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "pq_codes_long_array"
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val out = new Array[Long](2 * m)
+      var s = 0
+      while (s < m) {
+        var bestJ = 0L
+        var bestD = Long.MaxValue
+        var j = 0
+        while (j < k) {
+          val cv = books(s * k + j)
+          var d = 0L
+          var i = 0
+          val base = s * sub
+          val len = math.max(0, math.min(sub, a.numElements() - base))
+          while (i < len) {
+            val t = a.getLong(base + i) - cv(i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; bestJ = j }
+          j += 1
+        }
+        out(s) = bestJ
+        out(m + s) = bestD
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val b = ctx.addReferenceObj("pqBooks", books, "long[][]")
+        val out = ctx.freshName("out")
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        val t = ctx.freshName("t")
+        val cv = ctx.freshName("cv")
+        val base = ctx.freshName("base")
+        val len = ctx.freshName("len")
+        val bestJ = ctx.freshName("bestJ")
+        val bestD = ctx.freshName("bestD")
+        s"""
+           |long[] $out = new long[${2 * m}];
+           |for (int $s = 0; $s < $m; $s++) {
+           |  long $bestJ = 0L; long $bestD = Long.MAX_VALUE;
+           |  int $base = $s * $sub;
+           |  int $len = java.lang.Math.max(0, java.lang.Math.min($sub, $v.numElements() - $base));
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    long[] $cv = $b[$s * $k + $j];
+           |    long $d = 0L;
+           |    for (int $i = 0; $i < $len; $i++) {
+           |      long $t = $v.getLong($base + $i) - $cv[$i];
+           |      $d += $t * $t;
+           |    }
+           |    if ($d < $bestD) { $bestD = $d; $bestJ = $j; }
+           |  }
+           |  $out[$s] = $bestJ;
+           |  $out[$m + $s] = $bestD;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column form of [[PqCodesLongArray]]: `posBooks` indexed by subspace,
+    * each entry (position, sub-vector, sub-norm²) in position order. */
+  def pqCodes(vec: Column, posBooks: IndexedSeq[Seq[(Long, Seq[Long], Long)]],
+              m: Int, sub: Int): Column = {
+    val flat = posBooks.flatMap(_.map(_._2.toArray)).toArray
+    GraftBridge.column(PqCodesLongArray(GraftBridge.expression(vec), flat, m, sub))
+  }
+
+  /** Nearest-cell assignment: argmax of exact-quantized cosine against a
+    * reference-object centroid matrix in one compiled pass — the same
+    * (cos DESC, cid ASC) order as the window/fold formulations (strict >
+    * over cid-ascending entries keeps the lowest cid on ties). Inputs
+    * must have nonzero norms (no NaN cosines — callers enforce the
+    * semDedup zero-norm rule). */
+  case class NearestCellLongArrays(left: Expression, right: Expression,
+                                   cids: Array[Long], cvs: Array[Array[Long]],
+                                   cns: Array[Long])
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, bigint), got ($l, $r)")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "nearest_cell_long_arrays"
+
+    override def nullSafeEval(v: Any, n: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val qs = math.sqrt(n.asInstanceOf[Long].toDouble)
+      var best = 0.0
+      var bc = 0L
+      var first = true
+      var j = 0
+      while (j < cids.length) {
+        val cv = cvs(j)
+        val len = math.min(a.numElements(), cv.length)
+        var d = 0L
+        var i = 0
+        while (i < len) { d += a.getLong(i) * cv(i); i += 1 }
+        val cos = d.toDouble / (qs * math.sqrt(cns(j).toDouble))
+        if (first || cos > best) { best = cos; bc = cids(j); first = false }
+        j += 1
+      }
+      bc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, n) => {
+        val cidsRef = ctx.addReferenceObj("cellIds", cids, "long[]")
+        val cvsRef = ctx.addReferenceObj("cellVecs", cvs, "long[][]")
+        val cnsRef = ctx.addReferenceObj("cellNorms", cns, "long[]")
+        val qs = ctx.freshName("qs")
+        val best = ctx.freshName("best")
+        val bc = ctx.freshName("bc")
+        val first = ctx.freshName("first")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        val cv = ctx.freshName("cv")
+        val len = ctx.freshName("len")
+        val cos = ctx.freshName("cos")
+        s"""
+           |double $qs = java.lang.Math.sqrt((double) $n);
+           |double $best = 0.0d; long $bc = 0L; boolean $first = true;
+           |for (int $j = 0; $j < $cidsRef.length; $j++) {
+           |  long[] $cv = $cvsRef[$j];
+           |  int $len = java.lang.Math.min($v.numElements(), $cv.length);
+           |  long $d = 0L;
+           |  for (int $i = 0; $i < $len; $i++) { $d += $v.getLong($i) * $cv[$i]; }
+           |  double $cos = ((double) $d) / ($qs * java.lang.Math.sqrt((double) $cnsRef[$j]));
+           |  if ($first || $cos > $best) { $best = $cos; $bc = $cidsRef[$j]; $first = false; }
+           |}
+           |${ev.value} = $bc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column form of [[NearestCellLongArrays]]: `cents` as (cid, vector,
+    * norm²) in cid-ascending order. */
+  def nearestCell(vec: Column, norm2: Column,
+                  cents: Seq[(Long, Seq[Long], Long)]): Column =
+    GraftBridge.column(NearestCellLongArrays(
+      GraftBridge.expression(vec), GraftBridge.expression(norm2),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, cents.map(_._3).toArray))
 }

@@ -359,24 +359,15 @@ object Similarity {
     }
   }
 
-  /** Argmin fold for one subspace: best (err2, code) of the quantized
-    * sub-vector `qsub` (with exact sub-norm² `qsn`) against the literal
-    * codebook — d² = |q|² + |c|² - 2·q·c in exact int64, ties to the
-    * lower code id. Narrow and shuffle-free: the codebook is a literal
-    * matrix and the fold keeps one tight DotLongArrays loop (the
-    * measured-fast kmeans assignment shape, PLANS.md round-7). */
-  private def pqBest(qsub: Column, qsn: Column,
-                     book: Seq[(Long, Seq[Long], Long)]): Column = {
-    val mat = typedlit(book)
-    aggregate(
-      mat,
-      struct(lit(Long.MaxValue).as("err2"), lit(Long.MaxValue).as("code")),
-      (acc, c) => {
-        val d2 = qsn + c.getField("_3") - lit(2L) * qdot(qsub, c.getField("_2"))
-        val cand = struct(d2.as("err2"), c.getField("_1").as("code"))
-        when(cand < acc, cand).otherwise(acc)
-      })
-  }
+  /** All m per-subspace argmin codes + errors in one codegen'd pass
+    * ([[graft.functions.VectorExprs.PqCodesLongArray]]): array of 2m
+    * longs — code POSITIONS in [0, m), exact d² in [m, 2m). An
+    * `aggregate`-fold formulation was measured at ~1.2 ms/row (HOFs run
+    * interpreted; PLANS.md round-7 ADC note) — the native expression is
+    * the same arithmetic inside whole-stage codegen. */
+  private def pqCodesCol(posBooks: IndexedSeq[Seq[(Long, Seq[Long], Long)]],
+                         m: Int, sub: Int): Column =
+    graft.functions.VectorExprs.pqCodes(col("qvec"), posBooks, m, sub)
 
   /** Product quantization encode (Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the
@@ -402,22 +393,51 @@ object Similarity {
     val q = quantized(df, vecCol)
     val books = pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes)
     val sub = dims / m
-    val withSubs = (0 until m).foldLeft(
-      q.select(col(idCol).cast("long").as("id"), col("qvec"))) { case (d, s) =>
-      d.withColumn(s"qsub$s", slice(col("qvec"), s * sub + 1, sub))
-        .withColumn(s"qsn$s", qdot(col(s"qsub$s"), col(s"qsub$s")))
-    }
+    // the native encoder emits code POSITIONS; map back to codebook-entry
+    // ids via the cid-sorted literal (argmin ties to the lower position
+    // == the lower cid, so the mapping preserves tie semantics)
     val perS = (0 until m).map { s =>
-      val best = pqBest(col(s"qsub$s"), col(s"qsn$s"), books(s))
+      val cidLit = typedlit(books(s).map(_._1))
       struct(lit(s).cast("long").as("s"),
-        best.getField("code").as("code"),
-        best.getField("err2").as("err2"))
+        element_at(cidLit, (element_at(col("ce"), s + 1) + 1L).cast("int")).as("code"),
+        element_at(col("ce"), m + s + 1).as("err2"))
     }
-    withSubs
+    q.select(col(idCol).cast("long").as("id"), col("qvec"))
+      .withColumn("ce", pqCodesCol(toPosBooks(books), m, sub))
       .select(col("id").as(idCol), explode(array(perS: _*)).as("e"))
       .select(col(idCol), col("e.s").as("s"), col("e.code").as("code"),
         col("e.err2").as("err2"))
   }
+
+  /** Dense-position codebooks: the same entries as [[pqCodebooks]]' cid
+    * keying, re-keyed by position in the cid-sorted book — argmin ties to
+    * the lower cid ⇔ lower position, so [[pqBest]] over these yields the
+    * same entry; positions make the ADC distance table an O(1) array
+    * index instead of a keyed lookup. */
+  private def toPosBooks(books: IndexedSeq[Seq[(Long, Seq[Long], Long)]])
+  : IndexedSeq[Seq[(Long, Seq[Long], Long)]] =
+    books.map(_.zipWithIndex.map { case ((_, cv, cn), p) => (p.toLong, cv, cn) })
+
+  /** Per-query ADC distance tables: for each subspace, an array column of
+    * exact d² from the query's sub-vector to EVERY codebook entry (in
+    * position order) — the classic ADC precomputation (Jégou et al. §V),
+    * built once per query row, narrow. Downstream, a candidate's distance
+    * is m array indexes + m-1 adds — never a re-slice or re-dot. */
+  private def withAdcTables(queries: DataFrame, vecCol: String, m: Int, sub: Int,
+                            posBooks: IndexedSeq[Seq[(Long, Seq[Long], Long)]]): DataFrame =
+    (0 until m).foldLeft(queries) { case (d, s) =>
+      val qsub = slice(col(vecCol), s * sub + 1, sub)
+      val qsn = qdot(qsub, qsub)
+      val bookLit = typedlit(posBooks(s).map { case (_, cv, cn) => (cv, cn) })
+      d.withColumn(s"dt$s",
+        transform(bookLit, c => qsn + c.getField("_2") - lit(2L) * qdot(qsub, c.getField("_1"))))
+    }
+
+  /** Σs dt_s[code_s] — the ADC sum over precomputed per-query tables. */
+  private def adcDistance(m: Int): Column =
+    (0 until m).map { s =>
+      element_at(col(s"dt$s"), (col(s"code$s") + 1L).cast("int"))
+    }.reduce(_ + _)
 
   /** PQ asymmetric-distance (ADC) top-k: queries keep their exact
     * quantized vectors; candidates are represented ONLY by their m PQ
@@ -429,43 +449,105 @@ object Similarity {
     * the codebook grid); [[bruteForceTopK]] is the exactness baseline.
     *
     * Scale: the encode side is the narrow [[pqEncode]] fold; the query
-    * side is gated (`maxQueries`, the bruteForce pattern) and BROADCAST,
-    * so the scan is a map-side loop over the code table — no corpus
-    * shuffle. At cluster scale this composes with IVF cells ([[ivfTopK]])
-    * to cut the scanned candidates per query, exactly IVF-PQ. */
+    * side is gated (`maxQueries`, the bruteForce pattern), carries its
+    * per-subspace ADC distance TABLES precomputed (one k-entry array per
+    * subspace, built once per query — the Jégou §V formulation: scoring
+    * a candidate is m array indexes, never a dot product), and is
+    * BROADCAST, so the scan is a map-side loop over the code table — no
+    * corpus shuffle. At cluster scale this composes with IVF cells
+    * ([[ivfTopK]]) to cut the scanned candidates per query — [[ivfPqTopK]]
+    * is that composition. */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
              isCode: Column, isQuery: Column, m: Int, dims: Int, k: Int,
              maxCodes: Int = 4096, maxQueries: Int = 10000): DataFrame = {
     val q = quantized(df, vecCol)
-    val books = pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes)
+    val posBooks = toPosBooks(pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes))
     val sub = dims / m
-    val codes = (0 until m).foldLeft(
-      q.select(col(idCol).cast("long").as("cand_id"), col("qvec"))) { case (d, s) =>
-      val qsub = slice(col("qvec"), s * sub + 1, sub)
-      d.withColumn(s"code$s", pqBest(qsub, qdot(qsub, qsub), books(s)).getField("code"))
-    }.select(col("cand_id") +: (0 until m).map(s => col(s"code$s")): _*)
+    val codes = q
+      .select(col(idCol).cast("long").as("cand_id"), col("qvec"))
+      .withColumn("ce", pqCodesCol(posBooks, m, sub))
+      .select(col("cand_id") +:
+        (0 until m).map(s => element_at(col("ce"), s + 1).as(s"code$s")): _*)
     val queries = q.filter(isQuery)
       .select(col(idCol).cast("long").as("query_id"), col("qvec").as("qv"))
     val nQueries = queries.limit(maxQueries + 1).count()
     require(nQueries <= maxQueries,
       s"pqTopK: query side exceeds maxQueries=$maxQueries rows - queries are " +
         "broadcast against the code table; large query sets should pre-bucket " +
-        "with IVF cells (ivfTopK) before PQ scoring")
-    val adist2 = (0 until m).map { s =>
-      val qsub = slice(col("qv"), s * sub + 1, sub)
-      val cvMap = typedlit(books(s).map { case (cid, cv, _) => cid -> cv }.toMap)
-      val cnMap = typedlit(books(s).map { case (cid, _, cn) => cid -> cn }.toMap)
-      qdot(qsub, qsub) + element_at(cnMap, col(s"code$s")) -
-        lit(2L) * qdot(qsub, element_at(cvMap, col(s"code$s")))
-    }.reduce(_ + _)
+        "with IVF cells (ivfPqTopK) before PQ scoring")
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist2").asc, col("cand_id").asc)
-    broadcast(queries)
+    broadcast(withAdcTables(queries, "qv", m, sub, posBooks).drop("qv"))
       .crossJoin(codes)
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("adist2", adist2)
+      .withColumn("adist2", adcDistance(m))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank"), col("adist2"))
+  }
+
+  /** IVF-PQ ANN — the composition the two building blocks exist for
+    * (Jégou et al. 2011, §IV): a coarse centroid set partitions the
+    * corpus into cells ([[ivfTopK]]'s inverted file), every vector is
+    * PQ-coded ([[pqEncode]]), and a query scans ONLY its own cell,
+    * scored by asymmetric distance over the m codes. This is the
+    * billion-scale layout: candidates cut by the cell equi-join,
+    * per-candidate cost cut to m table lookups.
+    *
+    * Cell assignment uses the literal-centroid-matrix fold (the
+    * MEASURED-fast kmeans assignment shape — narrow and shuffle-free,
+    * unlike [[ivfTopK]]'s window formulation which shuffles the corpus
+    * on id): best cell by exact quantized cosine, ties to the lower
+    * centroid id, identical semantics to q34. Zero-norm vectors have no
+    * cosine and are dropped from both sides (the semDedup rule).
+    *
+    * Scale: centroids and codebooks are gated driver-side model state;
+    * assignment + encoding are one narrow projection over the corpus;
+    * the gated query side broadcasts and the candidate join is an
+    * EQUI-join on `cell` — never a cross product, no corpus shuffle. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                isCentroid: Column, isCode: Column, isQuery: Column,
+                m: Int, dims: Int, k: Int,
+                maxCentroids: Int = 4096, maxCodes: Int = 4096,
+                maxQueries: Int = 10000): DataFrame = {
+    val q = quantized(df, vecCol).filter(col("qnorm2") > 0L)
+    val posBooks = toPosBooks(pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes))
+    val sub = dims / m
+    val centRows = q.filter(isCentroid)
+      .select(col(idCol).cast("long").as("id"), col("qvec"), col("qnorm2"))
+      .limit(maxCentroids + 1)
+      .collect()
+    require(centRows.length <= maxCentroids,
+      s"ivfPqTopK: isCentroid selects more than maxCentroids=$maxCentroids rows - " +
+        "the coarse quantizer is driver-side model state; a centroid set this " +
+        "large suggests a mislabeled predicate")
+    require(centRows.nonEmpty, "ivfPqTopK: isCentroid matched nothing - no cells")
+    val cents = centRows
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // narrow codegen'd cosine argmax against the reference-object
+    // centroid matrix (cos DESC, cid ASC — the q34 order); keep the
+    // original columns through assignment: isQuery references them
+    val cellExpr =
+      graft.functions.VectorExprs.nearestCell(col("qvec"), col("qnorm2"), cents)
+    val assigned = q.withColumn("cell", cellExpr)
+    val codes = assigned
+      .withColumn("ce", pqCodesCol(posBooks, m, sub))
+      .select(col(idCol).cast("long").as("cand_id") +: col("cell") +:
+        (0 until m).map(s => element_at(col("ce"), s + 1).as(s"code$s")): _*)
+    val queries = assigned.filter(isQuery)
+      .select(col(idCol).cast("long").as("query_id"), col("cell"), col("qvec").as("qv"))
+    val nQueries = queries.limit(maxQueries + 1).count()
+    require(nQueries <= maxQueries,
+      s"ivfPqTopK: query side exceeds maxQueries=$maxQueries rows - queries are " +
+        "broadcast against the cell-partitioned code table")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist2").asc, col("cand_id").asc)
+    broadcast(withAdcTables(queries, "qv", m, sub, posBooks).drop("qv"))
+      .join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adist2", adcDistance(m))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"), col("cand_id"), col("rank"), col("adist2"))
   }
 
   /** Int8 scalar quantization of an embedding column — the compression

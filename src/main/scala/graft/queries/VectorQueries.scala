@@ -148,10 +148,23 @@ object VectorQueries {
       m = PqM, dims = Dims, k = 5)
   }
 
+  // ---------------------------------------------------------------- q97
+  /** IVF-PQ: the q34 coarse cells (first 8 vectors) combined with the
+    * q94 codebooks (first 16) — each query scans only its own cell,
+    * scored by asymmetric distance over the candidate's 8 codes. The
+    * billion-scale ANN layout (cell equi-join × m-lookup scoring). */
+  def q97IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ivfPqTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = PqM, dims = Dims, k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_semdedup"         -> q81SemDedup _,
     "q94_pq_encode"        -> q94PqEncode _,
     "q95_pq_ann"           -> q95PqAnn _,
+    "q97_ivfpq_ann"        -> q97IvfPqAnn _,
     "q63_kmeans_train"     -> q63KmeansTrain _,
     "q64_int8_quant"       -> q64Int8Quant _,
     "q37_sql_api"          -> q37SqlApi _,
@@ -242,6 +255,48 @@ object VectorQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
          |  FROM pair)
          |SELECT query_id, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin,
+    "q97_ivfpq_ann" ->
+      s"""WITH qq AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+         |n0 AS (SELECT vec_id, qvec,
+         |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM qq),
+         |n AS (SELECT * FROM n0 WHERE qnorm2 > 0),
+         |c AS (SELECT vec_id AS c_id, qvec AS centv, qnorm2 AS centn FROM n WHERE vec_id < 8),
+         |a0 AS (SELECT n.vec_id, n.qvec, n.qnorm2, c.c_id, c.centn,
+         |  CAST(list_sum(list_transform(generate_series(1, $Dims), i -> n.qvec[i] * c.centv[i])) AS BIGINT) AS cdot
+         |  FROM n, c),
+         |a1 AS (SELECT vec_id, c_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    CAST(cdot AS DOUBLE) / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(centn AS DOUBLE))) DESC,
+         |    c_id ASC) AS arank
+         |  FROM a0),
+         |asg AS (SELECT vec_id, c_id AS cell FROM a1 WHERE arank = 1),
+         |ss AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
+         |cb AS (SELECT s, vec_id AS cid,
+         |  list_slice(qvec, s*$PqSub+1, s*$PqSub+$PqSub) AS cv FROM n, ss WHERE vec_id < 16),
+         |cbn AS (SELECT s, cid, cv,
+         |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn FROM cb),
+         |sub AS (SELECT vec_id, s, list_slice(qvec, s*$PqSub+1, s*$PqSub+$PqSub) AS qv FROM n, ss),
+         |subn AS (SELECT vec_id, s, qv,
+         |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qn FROM sub),
+         |d AS (SELECT sn.vec_id, sn.s, c2.cid,
+         |  sn.qn + c2.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> sn.qv[i]*c2.cv[i])) AS BIGINT) AS d2
+         |  FROM subn sn JOIN cbn c2 ON sn.s = c2.s),
+         |r AS (SELECT vec_id, s, cid, d2,
+         |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rk FROM d),
+         |enc AS (SELECT vec_id AS cand_id, s, cid AS code FROM r WHERE rk = 1),
+         |qs AS (SELECT sn.vec_id AS query_id, a.cell, sn.s, sn.qv, sn.qn
+         |  FROM subn sn JOIN asg a ON a.vec_id = sn.vec_id WHERE sn.vec_id < 20),
+         |pair AS (SELECT qs.query_id, qs.cell, e.cand_id,
+         |  CAST(SUM(qs.qn + c2.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> qs.qv[i]*c2.cv[i])) AS BIGINT)) AS BIGINT) AS adist2
+         |  FROM qs JOIN enc e ON e.s = qs.s
+         |  JOIN asg ca ON ca.vec_id = e.cand_id AND ca.cell = qs.cell
+         |  JOIN cbn c2 ON c2.s = e.s AND c2.cid = e.code
+         |  WHERE e.cand_id <> qs.query_id
+         |  GROUP BY qs.query_id, qs.cell, e.cand_id),
+         |rr AS (SELECT query_id, cell, cand_id, adist2,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
+         |  FROM pair)
+         |SELECT query_id, cell, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin,
     "q64_int8_quant" ->
       s"""WITH q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
          |ex AS (SELECT vec_id, d.i, qvec[d.i] AS x

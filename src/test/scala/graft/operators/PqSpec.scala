@@ -111,6 +111,103 @@ class PqSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "the code scan must not shuffle-join")
   }
 
+  test("ivfPqTopK: hand-derived cells restrict candidates, ADC scores them") {
+    import spark.implicits._
+    // cells by quantized cosine against centroids 0/1: v2 ties (0.5 both
+    // ways) -> lower centroid id -> cell 0 with v0; v3 is closer to c1 ->
+    // cell 1 with v1. Each query sees ONLY its cell-mate.
+    val got = Similarity.ivfPqTopK(tiny, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 2, isCode = $"vec_id" < 2, isQuery = $"vec_id" >= 2,
+        m = 2, dims = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toSet
+    val expected = Set(
+      (2L, 0L, 0L, 1, 2000000000000L),
+      (3L, 1L, 1L, 1, 1062500000000L))
+    assert(got == expected)
+  }
+
+  test("ivfPqTopK: cell join is an equi-join, never a cross product; centroid gate fires") {
+    import org.apache.spark.sql.execution.FormattedMode
+    import spark.implicits._
+    val p = Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+        m = 8, dims = 64, k = 5)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast EQUI-join on cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the IVF cell must bound candidates - no cross product")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+        isCentroid = lit(true), isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+        m = 8, dims = 64, k = 5, maxCentroids = 10)
+    }
+    assert(ex.getMessage.contains("maxCentroids"))
+  }
+
+  test("ivfPq parity on sf0.01 embeddings: distributed == sequential recompute") {
+    val m = 8; val dims = 64; val sub = dims / m
+    val rows = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1000000.0d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .sortBy(_._1)
+      .filter { case (_, v) => v.map(x => x * x).sum > 0L }
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = rows.filter(_._1 < 8)
+    def cellOf(v: Seq[Long]): Long = {
+      val n = v.map(x => x * x).sum
+      cents.map { case (cid, cv) =>
+        val cos = dot(v, cv).toDouble / (math.sqrt(n.toDouble) * math.sqrt(dot(cv, cv).toDouble))
+        (cos, -cid)
+      }.zip(cents.map(_._1)).maxBy(_._1)._2
+    }
+    val books = (0 until m).map { s =>
+      rows.filter(_._1 < 16).map { case (cid, v) => cid -> v.slice(s * sub, (s + 1) * sub) }
+    }
+    def codesOf(v: Seq[Long]): Seq[Long] = (0 until m).map { s =>
+      books(s).map { case (cid, cv) => (l2(v.slice(s * sub, (s + 1) * sub), cv), cid) }.min._2
+    }
+    val assigned = rows.map { case (id, v) => (id, v, cellOf(v), codesOf(v)) }
+    val expected = assigned.filter(_._1 < 20).flatMap { case (qid, qv, qcell, _) =>
+      assigned.filter(c => c._1 != qid && c._3 == qcell).map { case (cid, _, _, cs) =>
+        val d = (0 until m).map { s =>
+          l2(qv.slice(s * sub, (s + 1) * sub), books(s).find(_._1 == cs(s)).get._2)
+        }.sum
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }
+        .take(5).zipWithIndex
+        .map { case ((cid, d), i) => (qid, qcell, cid, i + 1, d) }
+    }.toSet
+    import spark.implicits._
+    val got = Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+        m = m, dims = dims, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("pq native expressions actually compile - no silent interpreted fallback") {
+    import spark.implicits._
+    // the first PqCodesLongArray codegen referenced UnsafeArrayData under
+    // catalyst.util (it lives in catalyst.expressions): Janino failed and
+    // Spark silently fell back to interpreted eval — every value test
+    // stayed green while the hot path ran uncompiled. fallback=false
+    // turns a codegen compile error into a query failure.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(Similarity.pqEncode(embeddings, "vec_id", "embedding",
+        isCode = $"vec_id" < 16, m = 8, dims = 64).count() > 0)
+      assert(Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+        m = 8, dims = 64, k = 5).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   /** Driver-side reference implementation over the real table: quantize
     * (HALF_UP like Spark's round), build the 16-entry codebooks, encode,
     * ADC-score, and rank — full parity with both operators. */
