@@ -252,4 +252,213 @@ object VectorExprs {
     GraftBridge.column(NearestCellLongArrays(
       GraftBridge.expression(vec), GraftBridge.expression(norm2),
       cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, cents.map(_._3).toArray))
+
+  /** Top-`p` cell probe: the `p` nearest centroid ids by exact-quantized
+    * cosine, ordered (cos DESC, cid ASC) — [[NearestCellLongArrays]]'
+    * multiprobe generalization (IVF nprobe > 1). One compiled
+    * insertion-select pass; output length min(p, #centroids). */
+  case class NearestCellsLongArrays(left: Expression, right: Expression,
+                                    cids: Array[Long], cvs: Array[Array[Long]],
+                                    cns: Array[Long], p: Int)
+      extends BinaryExpression {
+
+    private val outLen = math.min(p, cids.length)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, bigint), got ($l, $r)")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "nearest_cells_long_arrays"
+
+    override def nullSafeEval(v: Any, n: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val qs = math.sqrt(n.asInstanceOf[Long].toDouble)
+      val bestCos = Array.fill(outLen)(Double.NegativeInfinity)
+      val bestCid = new Array[Long](outLen)
+      var j = 0
+      while (j < cids.length) {
+        val cv = cvs(j)
+        val len = math.min(a.numElements(), cv.length)
+        var d = 0L
+        var i = 0
+        while (i < len) { d += a.getLong(i) * cv(i); i += 1 }
+        val cos = d.toDouble / (qs * math.sqrt(cns(j).toDouble))
+        // strict > over cid-ascending entries: ties keep the lower cid
+        var pos = outLen
+        while (pos > 0 && cos > bestCos(pos - 1)) pos -= 1
+        if (pos < outLen) {
+          var t = outLen - 1
+          while (t > pos) { bestCos(t) = bestCos(t - 1); bestCid(t) = bestCid(t - 1); t -= 1 }
+          bestCos(pos) = cos; bestCid(pos) = cids(j)
+        }
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(bestCid)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, n) => {
+        val cidsRef = ctx.addReferenceObj("cellIds", cids, "long[]")
+        val cvsRef = ctx.addReferenceObj("cellVecs", cvs, "long[][]")
+        val cnsRef = ctx.addReferenceObj("cellNorms", cns, "long[]")
+        val qs = ctx.freshName("qs")
+        val bc = ctx.freshName("bestCos")
+        val bi = ctx.freshName("bestCid")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        val cv = ctx.freshName("cv")
+        val len = ctx.freshName("len")
+        val cos = ctx.freshName("cos")
+        val pos = ctx.freshName("pos")
+        val t = ctx.freshName("t")
+        s"""
+           |double $qs = java.lang.Math.sqrt((double) $n);
+           |double[] $bc = new double[$outLen];
+           |long[] $bi = new long[$outLen];
+           |java.util.Arrays.fill($bc, Double.NEGATIVE_INFINITY);
+           |for (int $j = 0; $j < $cidsRef.length; $j++) {
+           |  long[] $cv = $cvsRef[$j];
+           |  int $len = java.lang.Math.min($v.numElements(), $cv.length);
+           |  long $d = 0L;
+           |  for (int $i = 0; $i < $len; $i++) { $d += $v.getLong($i) * $cv[$i]; }
+           |  double $cos = ((double) $d) / ($qs * java.lang.Math.sqrt((double) $cnsRef[$j]));
+           |  int $pos = $outLen;
+           |  while ($pos > 0 && $cos > $bc[$pos - 1]) $pos--;
+           |  if ($pos < $outLen) {
+           |    for (int $t = $outLen - 1; $t > $pos; $t--) { $bc[$t] = $bc[$t - 1]; $bi[$t] = $bi[$t - 1]; }
+           |    $bc[$pos] = $cos; $bi[$pos] = $cidsRef[$j];
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($bi);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column form of [[NearestCellsLongArrays]]. */
+  def nearestCells(vec: Column, norm2: Column,
+                   cents: Seq[(Long, Seq[Long], Long)], p: Int): Column =
+    GraftBridge.column(NearestCellsLongArrays(
+      GraftBridge.expression(vec), GraftBridge.expression(norm2),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, cents.map(_._3).toArray, p))
+
+  /** [[PqCodesLongArray]] over the RESIDUAL `vec - centroid(cell)` — the
+    * FAISS IVF-PQ layout: codes quantize what the coarse cell did not
+    * explain. `cell` selects the centroid via binary search over the
+    * cid-sorted reference arrays; a cell id not in the table fails
+    * loudly (it would silently encode the raw vector otherwise). */
+  case class PqResidualCodesLongArray(left: Expression, right: Expression,
+                                      books: Array[Array[Long]], m: Int, sub: Int,
+                                      centIds: Array[Long], centVecs: Array[Array[Long]])
+      extends BinaryExpression {
+
+    private val k = books.length / m
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, bigint), got ($l, $r)")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "pq_residual_codes_long_array"
+
+    override def nullSafeEval(v: Any, cellAny: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val ci = java.util.Arrays.binarySearch(centIds, cellAny.asInstanceOf[Long])
+      require(ci >= 0, s"$prettyName: cell ${cellAny} not in the centroid table")
+      val cent = centVecs(ci)
+      val out = new Array[Long](2 * m)
+      var s = 0
+      while (s < m) {
+        var bestJ = 0L
+        var bestD = Long.MaxValue
+        val base = s * sub
+        val len = math.max(0, math.min(sub, math.min(a.numElements(), cent.length) - base))
+        var j = 0
+        while (j < k) {
+          val cv = books(s * k + j)
+          var d = 0L
+          var i = 0
+          while (i < len) {
+            val t = a.getLong(base + i) - cent(base + i) - cv(i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; bestJ = j }
+          j += 1
+        }
+        out(s) = bestJ
+        out(m + s) = bestD
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, cell) => {
+        val b = ctx.addReferenceObj("pqBooks", books, "long[][]")
+        val idsRef = ctx.addReferenceObj("centIds", centIds, "long[]")
+        val vecsRef = ctx.addReferenceObj("centVecs", centVecs, "long[][]")
+        val ci = ctx.freshName("ci")
+        val cent = ctx.freshName("cent")
+        val out = ctx.freshName("out")
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        val t = ctx.freshName("t")
+        val cv = ctx.freshName("cv")
+        val base = ctx.freshName("base")
+        val len = ctx.freshName("len")
+        val bestJ = ctx.freshName("bestJ")
+        val bestD = ctx.freshName("bestD")
+        s"""
+           |int $ci = java.util.Arrays.binarySearch($idsRef, $cell);
+           |if ($ci < 0) throw new IllegalArgumentException(
+           |  "pq_residual_codes_long_array: cell " + $cell + " not in the centroid table");
+           |long[] $cent = $vecsRef[$ci];
+           |long[] $out = new long[${2 * m}];
+           |for (int $s = 0; $s < $m; $s++) {
+           |  long $bestJ = 0L; long $bestD = Long.MAX_VALUE;
+           |  int $base = $s * $sub;
+           |  int $len = java.lang.Math.max(0, java.lang.Math.min($sub,
+           |    java.lang.Math.min($v.numElements(), $cent.length) - $base));
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    long[] $cv = $b[$s * $k + $j];
+           |    long $d = 0L;
+           |    for (int $i = 0; $i < $len; $i++) {
+           |      long $t = $v.getLong($base + $i) - $cent[$base + $i] - $cv[$i];
+           |      $d += $t * $t;
+           |    }
+           |    if ($d < $bestD) { $bestD = $d; $bestJ = $j; }
+           |  }
+           |  $out[$s] = $bestJ;
+           |  $out[$m + $s] = $bestD;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column form of [[PqResidualCodesLongArray]]: `posBooks` as in
+    * [[pqCodes]], `cents` (cid, vector, _) cid-ascending. */
+  def pqResidualCodes(vec: Column, cell: Column,
+                      posBooks: IndexedSeq[Seq[(Long, Seq[Long], Long)]],
+                      m: Int, sub: Int,
+                      cents: Seq[(Long, Seq[Long], Long)]): Column = {
+    val flat = posBooks.flatMap(_.map(_._2.toArray)).toArray
+    GraftBridge.column(PqResidualCodesLongArray(
+      GraftBridge.expression(vec), GraftBridge.expression(cell),
+      flat, m, sub, cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
+  }
 }

@@ -409,6 +409,24 @@ object Similarity {
         col("e.err2").as("err2"))
   }
 
+  /** Gated driver-side coarse-quantizer collect: (cid, vector, norm²)
+    * cid-ascending — the maxSeeds pattern for centroid model state. */
+  private def collectCents(q: DataFrame, idCol: String, isCentroid: Column,
+                           maxCentroids: Int, opName: String): Seq[(Long, Seq[Long], Long)] = {
+    val centRows = q.filter(isCentroid)
+      .select(col(idCol).cast("long").as("id"), col("qvec"), col("qnorm2"))
+      .limit(maxCentroids + 1)
+      .collect()
+    require(centRows.length <= maxCentroids,
+      s"$opName: isCentroid selects more than maxCentroids=$maxCentroids rows - " +
+        "the coarse quantizer is driver-side model state; a centroid set this " +
+        "large suggests a mislabeled predicate")
+    require(centRows.nonEmpty, s"$opName: isCentroid matched nothing - no cells")
+    centRows
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+  }
+
   /** Dense-position codebooks: the same entries as [[pqCodebooks]]' cid
     * keying, re-keyed by position in the cid-sorted book — argmin ties to
     * the lower cid ⇔ lower position, so [[pqBest]] over these yields the
@@ -512,18 +530,7 @@ object Similarity {
     val q = quantized(df, vecCol).filter(col("qnorm2") > 0L)
     val posBooks = toPosBooks(pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes))
     val sub = dims / m
-    val centRows = q.filter(isCentroid)
-      .select(col(idCol).cast("long").as("id"), col("qvec"), col("qnorm2"))
-      .limit(maxCentroids + 1)
-      .collect()
-    require(centRows.length <= maxCentroids,
-      s"ivfPqTopK: isCentroid selects more than maxCentroids=$maxCentroids rows - " +
-        "the coarse quantizer is driver-side model state; a centroid set this " +
-        "large suggests a mislabeled predicate")
-    require(centRows.nonEmpty, "ivfPqTopK: isCentroid matched nothing - no cells")
-    val cents = centRows
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-      .sortBy(_._1).toSeq
+    val cents = collectCents(q, idCol, isCentroid, maxCentroids, "ivfPqTopK")
     // narrow codegen'd cosine argmax against the reference-object
     // centroid matrix (cos DESC, cid ASC — the q34 order); keep the
     // original columns through assignment: isQuery references them
@@ -542,6 +549,108 @@ object Similarity {
         "broadcast against the cell-partitioned code table")
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist2").asc, col("cand_id").asc)
     broadcast(withAdcTables(queries, "qv", m, sub, posBooks).drop("qv"))
+      .join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adist2", adcDistance(m))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"), col("cand_id"), col("rank"), col("adist2"))
+  }
+
+  /** Residual IVF-PQ with multiprobe — the full FAISS `IVFx,PQy` layout
+    * (Jégou et al. 2011, §IV.B): every vector is assigned to its nearest
+    * coarse cell and its RESIDUAL (vector − centroid) is PQ-coded, so
+    * the codes spend their bits on what the cell didn't explain (far
+    * tighter quantization than raw-vector PQ when cells are meaningful);
+    * a query probes its `nprobe` nearest cells, recomputing its residual
+    * — and therefore its ADC distance tables — against EACH probed
+    * centroid, and scans only those cells' candidates.
+    *
+    * PQ codebooks are trained on the designated code rows' residuals
+    * w.r.t. their own cells (computed driver-side from the collected
+    * model state, matching the native expressions' arithmetic exactly).
+    * Ranking is global per query across all probed cells: adist2 ASC,
+    * cand_id ASC.
+    *
+    * Scale: everything [[ivfPqTopK]] says, plus — the candidate-side
+    * residual encode is one compiled pass (`PqResidualCodesLongArray`,
+    * centroid looked up by binary search per row); the query side
+    * explodes ×nprobe BEFORE the broadcast (query rows stay gated ×
+    * nprobe); the per-probe distance tables are rebuilt per (query,
+    * cell) because residuals differ per probed centroid — that is the
+    * FAISS cost model too (nprobe table builds per query, each k×m). */
+  def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
+                        isCentroid: Column, isCode: Column, isQuery: Column,
+                        m: Int, dims: Int, k: Int, nprobe: Int = 2,
+                        maxCentroids: Int = 4096, maxCodes: Int = 4096,
+                        maxQueries: Int = 10000): DataFrame = {
+    require(dims % m == 0, s"pq: dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val q = quantized(df, vecCol).filter(col("qnorm2") > 0L)
+    val cents = collectCents(q, idCol, isCentroid, maxCentroids, "ivfPqResidualTopK")
+    // codebooks from the code rows' RESIDUALS w.r.t. their own cells —
+    // driver-side replica of NearestCellLongArrays' argmax (cid-ascending
+    // scan, strict >, identical double op sequence)
+    val codeRows = q.filter(isCode)
+      .select(col(idCol).cast("long").as("id"), col("qvec"))
+      .limit(maxCodes + 1)
+      .collect()
+    require(codeRows.length <= maxCodes,
+      s"ivfPqResidualTopK: isCode selects more than maxCodes=$maxCodes rows - " +
+        "PQ codebooks are driver-side model state")
+    require(codeRows.nonEmpty, "ivfPqResidualTopK: isCode matched no rows")
+    def cellOf(v: Seq[Long]): Seq[Long] = {
+      val qn = v.map(x => x * x).sum
+      val qs = math.sqrt(qn.toDouble)
+      var best = 0.0d; var bc: Seq[Long] = null; var first = true
+      cents.foreach { case (_, cv, cn) =>
+        val d = v.zip(cv).map { case (x, y) => x * y }.sum
+        val cos = d.toDouble / (qs * math.sqrt(cn.toDouble))
+        if (first || cos > best) { best = cos; bc = cv; first = false }
+      }
+      bc
+    }
+    val books: IndexedSeq[Seq[(Long, Seq[Long], Long)]] = {
+      val residuals = codeRows
+        .map { r =>
+          val v = r.getSeq[Long](1)
+          val cent = cellOf(v)
+          r.getLong(0) -> v.zip(cent).map { case (x, c) => x - c }
+        }
+        .sortBy(_._1)
+      (0 until m).map { s =>
+        residuals.toSeq.map { case (cid, rv) =>
+          val cv = rv.slice(s * sub, (s + 1) * sub)
+          (cid, cv, cv.map(x => x * x).sum)
+        }
+      }
+    }
+    val posBooks = toPosBooks(books)
+    import graft.functions.VectorExprs.{nearestCells, pqResidualCodes}
+    val assigned = q.withColumn("cell",
+      graft.functions.VectorExprs.nearestCell(col("qvec"), col("qnorm2"), cents))
+    val codes = assigned
+      .withColumn("ce", pqResidualCodes(col("qvec"), col("cell"), posBooks, m, sub, cents))
+      .select(col(idCol).cast("long").as("cand_id") +: col("cell") +:
+        (0 until m).map(s => element_at(col("ce"), s + 1).as(s"code$s")): _*)
+    val queries0 = q.filter(isQuery)
+      .select(col(idCol).cast("long").as("query_id"), col("qvec").as("qv"),
+        nearestCells(col("qvec"), col("qnorm2"), cents, nprobe).as("probes"))
+    val nQueries = queries0.limit(maxQueries + 1).count()
+    require(nQueries <= maxQueries,
+      s"ivfPqResidualTopK: query side exceeds maxQueries=$maxQueries rows - " +
+        "queries are broadcast against the cell-partitioned code table")
+    // per probed cell: the query's residual against THAT centroid, then
+    // its ADC tables off the residual (tiny side: gated rows × nprobe)
+    val centMap = typedlit(cents.map { case (cid, cv, _) => cid -> cv }.toMap)
+    val queries = withAdcTables(
+      queries0
+        .select(col("query_id"), col("qv"), explode(col("probes")).as("cell"))
+        .withColumn("rq", zip_with(col("qv"), element_at(centMap, col("cell")), (x, c) => x - c)),
+      "rq", m, sub, posBooks)
+      .drop("qv", "rq")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist2").asc, col("cand_id").asc)
+    broadcast(queries)
       .join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adist2", adcDistance(m))

@@ -160,11 +160,24 @@ object VectorQueries {
       m = PqM, dims = Dims, k = 5)
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Residual IVF-PQ with 2-cell multiprobe — the FAISS layout: codes
+    * quantize each vector's residual against its coarse cell; queries
+    * probe their 2 nearest cells, rebuilding their ADC tables against
+    * each probed centroid's residual. */
+  def q98IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ivfPqResidualTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = PqM, dims = Dims, k = 5, nprobe = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_semdedup"         -> q81SemDedup _,
     "q94_pq_encode"        -> q94PqEncode _,
     "q95_pq_ann"           -> q95PqAnn _,
     "q97_ivfpq_ann"        -> q97IvfPqAnn _,
+    "q98_ivfpq_residual"   -> q98IvfPqResidual _,
     "q63_kmeans_train"     -> q63KmeansTrain _,
     "q64_int8_quant"       -> q64Int8Quant _,
     "q37_sql_api"          -> q37SqlApi _,
@@ -293,6 +306,59 @@ object VectorQueries {
          |  JOIN cbn c2 ON c2.s = e.s AND c2.cid = e.code
          |  WHERE e.cand_id <> qs.query_id
          |  GROUP BY qs.query_id, qs.cell, e.cand_id),
+         |rr AS (SELECT query_id, cell, cand_id, adist2,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
+         |  FROM pair)
+         |SELECT query_id, cell, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin,
+    "q98_ivfpq_residual" ->
+      s"""WITH qq AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+         |n0 AS (SELECT vec_id, qvec,
+         |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM qq),
+         |n AS (SELECT * FROM n0 WHERE qnorm2 > 0),
+         |c AS (SELECT vec_id AS c_id, qvec AS centv, qnorm2 AS centn FROM n WHERE vec_id < 8),
+         |a0 AS (SELECT n.vec_id, n.qnorm2, c.c_id, c.centn,
+         |  CAST(list_sum(list_transform(generate_series(1, $Dims), i -> n.qvec[i] * c.centv[i])) AS BIGINT) AS cdot
+         |  FROM n, c),
+         |a1 AS (SELECT vec_id, c_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    CAST(cdot AS DOUBLE) / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(centn AS DOUBLE))) DESC,
+         |    c_id ASC) AS arank
+         |  FROM a0),
+         |asg AS (SELECT vec_id, c_id AS cell FROM a1 WHERE arank = 1),
+         |cent AS (SELECT vec_id AS cell, qvec AS centv FROM n WHERE vec_id < 8),
+         |res AS (SELECT n.vec_id,
+         |  list_transform(generate_series(1, $Dims), i -> n.qvec[i] - ct.centv[i]) AS rv
+         |  FROM n JOIN asg a ON a.vec_id = n.vec_id JOIN cent ct ON ct.cell = a.cell),
+         |ss AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
+         |cb AS (SELECT s, vec_id AS cid,
+         |  list_slice(rv, s*$PqSub+1, s*$PqSub+$PqSub) AS cv FROM res, ss WHERE vec_id < 16),
+         |cbn AS (SELECT s, cid, cv,
+         |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn FROM cb),
+         |sub AS (SELECT vec_id, s, list_slice(rv, s*$PqSub+1, s*$PqSub+$PqSub) AS qv FROM res, ss),
+         |subn AS (SELECT vec_id, s, qv,
+         |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qn FROM sub),
+         |d AS (SELECT sn.vec_id, sn.s, c2.cid,
+         |  sn.qn + c2.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> sn.qv[i]*c2.cv[i])) AS BIGINT) AS d2
+         |  FROM subn sn JOIN cbn c2 ON sn.s = c2.s),
+         |r AS (SELECT vec_id, s, cid, d2,
+         |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rk FROM d),
+         |enc AS (SELECT vec_id AS cand_id, s, cid AS code FROM r WHERE rk = 1),
+         |probe AS (SELECT vec_id AS query_id, c_id AS pcell FROM a1
+         |  WHERE arank <= 2 AND vec_id < 20),
+         |qres AS (SELECT p.query_id, p.pcell,
+         |  list_transform(generate_series(1, $Dims), i -> n.qvec[i] - ct.centv[i]) AS rv
+         |  FROM probe p JOIN n ON n.vec_id = p.query_id JOIN cent ct ON ct.cell = p.pcell),
+         |qsub AS (SELECT query_id, pcell, s, list_slice(rv, s*$PqSub+1, s*$PqSub+$PqSub) AS qv
+         |  FROM qres, ss),
+         |qsubn AS (SELECT query_id, pcell, s, qv,
+         |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qn FROM qsub),
+         |pair AS (SELECT qs.query_id, qs.pcell AS cell, e.cand_id,
+         |  CAST(SUM(qs.qn + c2.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> qs.qv[i]*c2.cv[i])) AS BIGINT)) AS BIGINT) AS adist2
+         |  FROM qsubn qs JOIN enc e ON e.s = qs.s
+         |  JOIN asg ca ON ca.vec_id = e.cand_id AND ca.cell = qs.pcell
+         |  JOIN cbn c2 ON c2.s = e.s AND c2.cid = e.code
+         |  WHERE e.cand_id <> qs.query_id
+         |  GROUP BY qs.query_id, qs.pcell, e.cand_id),
          |rr AS (SELECT query_id, cell, cand_id, adist2,
          |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
          |  FROM pair)

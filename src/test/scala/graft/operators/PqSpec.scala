@@ -205,7 +205,92 @@ class PqSpec extends AnyFunSuite {
       assert(Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
         isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
         m = 8, dims = 64, k = 5).count() > 0)
+      assert(Similarity.ivfPqResidualTopK(embeddings, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+        m = 8, dims = 64, k = 5, nprobe = 2).count() > 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("ivfPqResidualTopK: hand-derived residual codes, multiprobe reaches both cells") {
+    import spark.implicits._
+    // cells: v0,v2 -> 0; v1,v3 -> 1. Codebooks are the CODE rows'
+    // residuals vs their own cells — v0 and v1 sit ON their centroids, so
+    // both entries are zero vectors and every distance reduces to the
+    // candidate-independent |query residual|² per probed cell (ties
+    // everywhere -> cand_id order). v2 probes (0,1): all three candidates
+    // land at 2e12. v3 probes (1,0): cell-1's v1 at 1.0625e12, then
+    // cell-0's v0/v2 at 1.5625e12.
+    val got = Similarity.ivfPqResidualTopK(tiny, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 2, isCode = $"vec_id" < 2, isQuery = $"vec_id" >= 2,
+        m = 2, dims = 4, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toSet
+    val expected = Set(
+      (2L, 0L, 0L, 1, 2000000000000L),
+      (2L, 1L, 1L, 2, 2000000000000L),
+      (2L, 1L, 3L, 3, 2000000000000L),
+      (3L, 1L, 1L, 1, 1062500000000L),
+      (3L, 0L, 0L, 2, 1562500000000L),
+      (3L, 0L, 2L, 3, 1562500000000L))
+    assert(got == expected)
+  }
+
+  test("ivfPqResidual parity on sf0.01 embeddings: distributed == sequential recompute") {
+    val m = 8; val dims = 64; val sub = dims / m; val nprobe = 2
+    val rows = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1000000.0d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .sortBy(_._1)
+      .filter { case (_, v) => v.map(x => x * x).sum > 0L }
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = rows.filter(_._1 < 8)
+    def probesOf(v: Seq[Long], p: Int): Seq[Long] = {
+      val qs = math.sqrt(v.map(x => x * x).sum.toDouble)
+      cents.map { case (cid, cv) =>
+        (dot(v, cv).toDouble / (qs * math.sqrt(dot(cv, cv).toDouble)), cid)
+      }.sortBy { case (cos, cid) => (-cos, cid) }.take(p).map(_._2).toSeq
+    }
+    def residual(v: Seq[Long], cell: Long): Seq[Long] = {
+      val cv = cents.find(_._1 == cell).get._2
+      v.zip(cv).map { case (x, c) => x - c }
+    }
+    val books = (0 until m).map { s =>
+      rows.filter(_._1 < 16).map { case (cid, v) =>
+        cid -> residual(v, probesOf(v, 1).head).slice(s * sub, (s + 1) * sub)
+      }
+    }
+    def codesOf(rv: Seq[Long]): Seq[Long] = (0 until m).map { s =>
+      books(s).zipWithIndex
+        .map { case ((_, cv), p) => (l2(rv.slice(s * sub, (s + 1) * sub), cv), p.toLong) }
+        .min._2
+    }
+    val assigned = rows.map { case (id, v) =>
+      val cell = probesOf(v, 1).head
+      (id, v, cell, codesOf(residual(v, cell)))
+    }
+    val expected = assigned.filter(_._1 < 20).flatMap { case (qid, qv, _, _) =>
+      probesOf(qv, nprobe).flatMap { pcell =>
+        val rq = residual(qv, pcell)
+        assigned.filter(c => c._1 != qid && c._3 == pcell).map { case (cid, _, _, cs) =>
+          val d = (0 until m).map { s =>
+            l2(rq.slice(s * sub, (s + 1) * sub), books(s)(cs(s).toInt)._2)
+          }.sum
+          (pcell, cid, d)
+        }
+      }.sortBy { case (_, cid, d) => (d, cid) }
+        .take(5).zipWithIndex
+        .map { case ((pcell, cid, d), i) => (qid, pcell, cid, i + 1, d) }
+    }.toSet
+    import spark.implicits._
+    val got = Similarity.ivfPqResidualTopK(embeddings, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+        m = m, dims = dims, k = 5, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toSet
+    assert(got == expected)
   }
 
   /** Driver-side reference implementation over the real table: quantize
