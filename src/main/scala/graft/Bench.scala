@@ -50,7 +50,9 @@ object Bench {
     // round 7 (late): product quantization (encode + ADC search + IVF-PQ),
     // bigram LM familiarity scoring
     "q94_pq_encode", "q95_pq_ann", "q96_lm_familiarity", "q97_ivfpq_ann",
-    "q98_ivfpq_residual")
+    "q98_ivfpq_residual",
+    // round 7 (late): the composed corpus-curation decision table
+    "q99_curation_decisions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

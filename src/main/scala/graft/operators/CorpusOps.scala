@@ -538,6 +538,93 @@ object CorpusOps {
         col("jaccard_ppm"))
   }
 
+  /** The end-of-pipeline CURATION DECISION TABLE — the composed keep/drop
+    * verdict a production corpus filter actually materializes, one row
+    * per document with every gate's flag and the first-failing reason
+    * code:
+    *
+    *   1. `benchmark`     — eval-set documents never enter training data
+    *   2. `exact_dup`     — not the canonical (min-id) copy of its content
+    *   3. `low_quality`   — fails the q21 heuristics (alpha ratio >= 0.5,
+    *                        >= 5 tokens, digit ratio <= 0.1)
+    *   4. `lang_mismatch` — the stopword/CJK language-ID disagrees with
+    *                        the declared language
+    *   5. `contaminated`  — shares an n-gram with the benchmark slice
+    *   6. `unfamiliar`    — bigram LM familiarity below the threshold
+    *                        (the CCNet-style perplexity gate; docs too
+    *                        short for a bigram score 0 and fail here)
+    *   7. `keep`
+    *
+    * Every flag reuses the EXACT formulation of its standalone operator
+    * (q21/q22/q23-style canonical window/q62/q96), so the decision table
+    * provably agrees with the per-gate queries — spec-pinned by joining
+    * it against each component on the real corpus.
+    *
+    * Scale: the quality/language flags are narrow codegen'd Columns; the
+    * canonical check is one window over the content hash (the q23
+    * shuffle); contamination rides [[decontaminate]]'s broadcast-gated
+    * bench index; familiarity rides [[VocabOps.lmFamiliarity]]'s bigram
+    * join; the final assembly is three equi-joins on the high-cardinality
+    * doc id. No new shuffle shapes — the composition inherits each
+    * component's audited plan. */
+  def curationDecisions(docs: DataFrame, idCol: String, textCol: String,
+                        declaredLang: Column, isBenchmark: Column,
+                        n: Int = 3, minFamiliarityPpm: Long = 100000L): DataFrame = {
+    val base = docs
+      .withColumn("is_bench", coalesce(isBenchmark, lit(false)))
+      .withColumn("lang_decl", declaredLang)
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("alpha_ppm",
+        ppm(charClassCount(col(textCol), "[a-z]"), length(col(textCol)).cast("long")))
+      .withColumn("digit_ppm",
+        ppm(charClassCount(col(textCol), "[0-9]"), length(col(textCol)).cast("long")))
+      .withColumn("quality_ok",
+        col("alpha_ppm") >= 500000L && col("n_tokens") >= 5L && col("digit_ppm") <= 100000L)
+      .withColumn("hits_en", vocabHits(col("toks"), stopwords("en")).cast("long"))
+      .withColumn("hits_de", vocabHits(col("toks"), stopwords("de")).cast("long"))
+      .withColumn("hits_fr", vocabHits(col("toks"), stopwords("fr")).cast("long"))
+      .withColumn("hits_es", vocabHits(col("toks"), stopwords("es")).cast("long"))
+      .withColumn("pred_lang",
+        when(hasCjk(col(textCol)), "zh")
+          .when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr") &&
+            col("hits_en") >= col("hits_es") && col("hits_en") > 0, "en")
+          .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es") &&
+            col("hits_de") > 0, "de")
+          .when(col("hits_fr") >= col("hits_es") && col("hits_fr") > 0, "fr")
+          .when(col("hits_es") > 0, "es")
+          .otherwise("unknown"))
+      .withColumn("lang_ok", col("pred_lang") === col("lang_decl"))
+      .withColumn("canonical",
+        col(idCol) === min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
+      .select(col(idCol), col("is_bench"), col("n_tokens"), col("quality_ok"),
+        col("lang_ok"), col("canonical"))
+    val contam = decontaminate(docs, idCol, textCol, isBenchmark, n)
+      .select(col(idCol), col("contaminated"))
+    val familiar = graft.operators.VocabOps.lmFamiliarity(docs, idCol, textCol, 2)
+      .select(col(idCol), col("familiarity_ppm"))
+    base
+      .join(contam, Seq(idCol), "left")
+      .join(familiar, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("familiarity_ppm", coalesce(col("familiarity_ppm"), lit(0L)))
+      .withColumn("familiar_ok", col("familiarity_ppm") >= minFamiliarityPpm)
+      .withColumn("keep",
+        !col("is_bench") && col("canonical") && col("quality_ok") &&
+          col("lang_ok") && !col("contaminated") && col("familiar_ok"))
+      .withColumn("reason",
+        when(col("is_bench"), "benchmark")
+          .when(!col("canonical"), "exact_dup")
+          .when(!col("quality_ok"), "low_quality")
+          .when(!col("lang_ok"), "lang_mismatch")
+          .when(col("contaminated"), "contaminated")
+          .when(!col("familiar_ok"), "unfamiliar")
+          .otherwise("keep"))
+      .select(col(idCol), col("n_tokens"), col("quality_ok"), col("lang_ok"),
+        col("canonical"), col("contaminated"), col("familiarity_ppm"),
+        col("keep"), col("reason"))
+  }
+
   /** The keep/drop materialization of near-dup clustering: every document
     * labeled with its canonical representative (its cluster's min id, or
     * itself when unclustered) and whether it survives dedup. `labels` is

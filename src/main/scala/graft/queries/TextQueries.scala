@@ -511,7 +511,22 @@ object TextQueries {
     graft.operators.VocabOps.lmFamiliarity(Tables(spark, dir).documents,
       "doc_id", "text", n = 2)
 
+  // ---------------------------------------------------------------- q99
+  /** The composed corpus-curation decision table: per document, every
+    * gate's flag (quality, language agreement, exact-dup canonicality,
+    * benchmark contamination, bigram familiarity) and the first-failing
+    * reason code — the keep/drop table a production filter materializes.
+    * Each flag reuses its standalone operator's exact formulation
+    * (spec-pinned against q21/q22/q62/q96 on this corpus). */
+  def q99CurationDecisions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.curationDecisions(Tables(spark, dir).documents, "doc_id", "text",
+      declaredLang = $"lang", isBenchmark = $"doc_id" % 50 === 0,
+      n = 3, minFamiliarityPpm = 100000L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_curation_decisions" -> q99CurationDecisions _,
     "q96_lm_familiarity"   -> q96LmFamiliarity _,
     "q93_incremental_dedup" -> q93IncrementalDedup _,
     "q92_length_percentiles" -> q92LengthPercentiles _,
@@ -875,6 +890,69 @@ object TextQueries {
          |FROM shared
          |JOIN tot ta ON ta.src = shared.src_a
          |JOIN tot tb ON tb.src = shared.src_b""".stripMargin,
+    "q99_curation_decisions" ->
+      s"""WITH tok AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+         |flags AS (SELECT doc_id, lang, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN length(text) = 0 THEN 0
+         |    ELSE (length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) * 1000000 // length(text) END AS BIGINT) AS alpha_ppm,
+         |  CAST(CASE WHEN length(text) = 0 THEN 0
+         |    ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000000 // length(text) END AS BIGINT) AS digit_ppm,
+         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("en")}, x))) AS BIGINT) AS hits_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("de")}, x))) AS BIGINT) AS hits_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("fr")}, x))) AS BIGINT) AS hits_fr,
+         |  CAST(len(list_filter(toks, x -> list_contains(${vocabSql("es")}, x))) AS BIGINT) AS hits_es
+         |  FROM tok),
+         |lp AS (SELECT doc_id, lang, n_tokens,
+         |  (alpha_ppm >= 500000 AND n_tokens >= 5 AND digit_ppm <= 100000) AS quality_ok,
+         |  CASE WHEN length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+         |       WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+         |       WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+         |       WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+         |       WHEN hits_es > 0 THEN 'es'
+         |       ELSE 'unknown' END AS pred_lang
+         |  FROM flags),
+         |canon AS (SELECT doc_id,
+         |  (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS canonical FROM documents),
+         |sh3 AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+         |bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh3 WHERE doc_id % 50 = 0),
+         |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_cont
+         |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh3 WHERE doc_id % 50 <> 0) c
+         |  JOIN bench USING (s) GROUP BY c.doc_id),
+         |contam AS (SELECT doc_id, (COALESCE(n_cont, 0) > 0) AS contaminated
+         |  FROM sh3 LEFT JOIN hits USING (doc_id) WHERE doc_id % 50 <> 0),
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
+         |  i -> concat_ws(' ', t[i], t[i+1]))) AS s
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |dfq AS (SELECT s, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM g GROUP BY s),
+         |dfp AS (SELECT s, CAST(CASE WHEN n_docs = 0 THEN 0 ELSE df * 1000000 // n_docs END AS BIGINT) AS df_ppm
+         |  FROM dfq, nd),
+         |fam AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  CAST(CAST(SUM(df_ppm) AS BIGINT) // count(*) AS BIGINT) AS familiarity_ppm
+         |  FROM g JOIN dfp USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id, lp.n_tokens, lp.quality_ok,
+         |  (lp.pred_lang = lp.lang) AS lang_ok, c.canonical,
+         |  COALESCE(ct.contaminated, FALSE) AS contaminated,
+         |  CAST(COALESCE(f.familiarity_ppm, 0) AS BIGINT) AS familiarity_ppm,
+         |  (NOT (d.doc_id % 50 = 0) AND c.canonical AND lp.quality_ok
+         |    AND lp.pred_lang = lp.lang AND NOT COALESCE(ct.contaminated, FALSE)
+         |    AND COALESCE(f.familiarity_ppm, 0) >= 100000) AS keep,
+         |  CASE WHEN d.doc_id % 50 = 0 THEN 'benchmark'
+         |       WHEN NOT c.canonical THEN 'exact_dup'
+         |       WHEN NOT lp.quality_ok THEN 'low_quality'
+         |       WHEN lp.pred_lang <> lp.lang THEN 'lang_mismatch'
+         |       WHEN COALESCE(ct.contaminated, FALSE) THEN 'contaminated'
+         |       WHEN COALESCE(f.familiarity_ppm, 0) < 100000 THEN 'unfamiliar'
+         |       ELSE 'keep' END AS reason
+         |FROM documents d
+         |JOIN lp USING (doc_id)
+         |JOIN canon c USING (doc_id)
+         |LEFT JOIN contam ct USING (doc_id)
+         |LEFT JOIN fam f USING (doc_id)""".stripMargin,
     "q96_lm_familiarity" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
