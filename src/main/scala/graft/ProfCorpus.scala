@@ -81,11 +81,17 @@ object ProfCorpus {
     for (k <- Seq(16, 64, 128, 256)) {
       time(s"kmeans k=$k unrolled") {
         graft.operators.Similarity.kmeansTrain(emb, "vec_id", "embedding",
-          isSeed = $"vec_id" < k, iters = 1, codegenMaxK = 1024).count()
+          isSeed = $"vec_id" < k, iters = 1, codegenMaxK = 1024,
+          nativeAssign = false).count()
       }
       time(s"kmeans k=$k fold") {
         graft.operators.Similarity.kmeansTrain(emb, "vec_id", "embedding",
-          isSeed = $"vec_id" < k, iters = 1, codegenMaxK = 0).count()
+          isSeed = $"vec_id" < k, iters = 1, codegenMaxK = 0,
+          nativeAssign = false).count()
+      }
+      time(s"kmeans k=$k native") {
+        graft.operators.Similarity.kmeansTrain(emb, "vec_id", "embedding",
+          isSeed = $"vec_id" < k, iters = 1).count()
       }
     }
     spark.stop()

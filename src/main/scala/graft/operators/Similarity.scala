@@ -227,7 +227,12 @@ object Similarity {
     * iteration at any corpus size. Cells that lose all members (or
     * truncate to a zero centroid) drop out deterministically.
     *
-    * Two assignment paths, identical semantics (random-parity-spec'd):
+    * Three assignment paths, identical semantics (parity-spec'd). The
+    * DEFAULT (round 7 late) is the native codegen'd
+    * `NearestCellLongArrays` argmax — one compiled loop per row over the
+    * reference-object centroid matrix, with cos recomputed via one dot
+    * against the chosen centroid (pruned away in update rounds). The two
+    * Column-DSL paths below remain for A/B via `nativeAssign = false`:
     * above `codegenMaxK` centroids — and by DEFAULT, at any k — the
     * centroids become ONE literal matrix and the argmax a single
     * `aggregate` fold over it, narrow and shuffle-free (unlike a
@@ -252,16 +257,38 @@ object Similarity {
     * bound is documented rather than gated. */
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
                   isSeed: Column, iters: Int,
-                  maxSeeds: Int = 4096, codegenMaxK: Int = 0): DataFrame = {
+                  maxSeeds: Int = 4096, codegenMaxK: Int = 0,
+                  nativeAssign: Boolean = true): DataFrame = {
     val q = quantized(df, vecCol)
       .select(col(idCol).cast("long").as("id"), col("qvec"), col("qnorm2"))
 
     def norm2(v: Seq[Long]): Long = v.map(x => x * x).sum
 
-    // assignment frame: best (cell, cos) per vector via a lexicographic
-    // max over struct(cos, -cell) — NaN-free because zero-norm centroids
-    // are dropped before the literal is built
-    def assigned(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    // assignment frame: best (cell, cos) per vector. Default path (round
+    // 7 late): the codegen'd NearestCellLongArrays argmax — one compiled
+    // loop per row — then cos recomputed with ONE dot against the chosen
+    // centroid (literal maps; same IEEE sequence, so values are
+    // identical; Catalyst prunes the cos column in the update rounds,
+    // which only read `cell`). The fold/unrolled formulations are kept
+    // for A/B (`nativeAssign = false`; parity spec-pinned): the fold
+    // runs the interpreted-HOF k-entry loop per row — the PQ lesson's
+    // ~1 ms/row class of cost at corpus scale.
+    def assignedNative(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+      val trip = cents.map { case (cid, cv) => (cid, cv, norm2(cv)) }
+      val vecMap = typedlit(cents.toMap)
+      val normMap = typedlit(trip.map { case (cid, _, cn) => cid -> cn }.toMap)
+      q.filter(col("qnorm2") > 0L)
+        .withColumn("cell",
+          graft.functions.VectorExprs.nearestCell(col("qvec"), col("qnorm2"), trip))
+        .withColumn("cos",
+          qcos(qdot(col("qvec"), element_at(vecMap, col("cell"))),
+            col("qnorm2"), element_at(normMap, col("cell"))))
+        .select(col("id"), col("qvec"), col("cell"), col("cos"))
+    }
+
+    // lexicographic max over struct(cos, -cell) — NaN-free because
+    // zero-norm centroids are dropped before the literal is built
+    def assignedFold(cents: Seq[(Long, Seq[Long])]): DataFrame = {
       val best =
         if (cents.size <= codegenMaxK) {
           // unrolled per-centroid expressions: tight whole-stage codegen
@@ -288,6 +315,9 @@ object Similarity {
         .withColumn("cos", col("best.cos"))
         .select(col("id"), col("qvec"), col("cell"), col("cos"))
     }
+
+    def assigned(cents: Seq[(Long, Seq[Long])]): DataFrame =
+      if (nativeAssign) assignedNative(cents) else assignedFold(cents)
 
     // seed centroids: the designated rows' quantized vectors (model init);
     // the limit bounds the collect itself, so the gate never scans far

@@ -23,32 +23,40 @@ class OperatorGuardSpec extends AnyFunSuite {
   private def embeddings = spark.read.parquet(s"$dir/embeddings.parquet")
   private def documents = spark.read.parquet(s"$dir/documents.parquet")
 
-  test("kmeansTrain: large-k fold path returns exactly the unrolled path's result") {
+  test("kmeansTrain: all three assignment paths return exactly the same result") {
     import spark.implicits._
     // k = 100 seeds: far past any sane unroll (the literal path would emit
-    // 100 inline dot+struct expressions); force BOTH paths over the same
-    // seeds and compare full outputs
+    // 100 inline dot+struct expressions); force all THREE paths over the
+    // same seeds and compare full outputs — the default native codegen'd
+    // argmax must match the fold and unrolled Column-DSL formulations
+    val native = Similarity.kmeansTrain(embeddings, "vec_id", "embedding",
+      isSeed = $"vec_id" < 100, iters = 1).collect().toSet
     val unrolled = Similarity.kmeansTrain(embeddings, "vec_id", "embedding",
-      isSeed = $"vec_id" < 100, iters = 1, codegenMaxK = 1000).collect().toSet
+      isSeed = $"vec_id" < 100, iters = 1, codegenMaxK = 1000,
+      nativeAssign = false).collect().toSet
     val folded = Similarity.kmeansTrain(embeddings, "vec_id", "embedding",
-      isSeed = $"vec_id" < 100, iters = 1, codegenMaxK = 0).collect().toSet
-    assert(unrolled.nonEmpty)
+      isSeed = $"vec_id" < 100, iters = 1, codegenMaxK = 0,
+      nativeAssign = false).collect().toSet
+    assert(native.nonEmpty)
     assert(folded == unrolled)
+    assert(native == folded)
   }
 
-  test("kmeansTrain: both assignment paths stay narrow - exactly the one update shuffle") {
+  test("kmeansTrain: every assignment path stays narrow - exactly the one update shuffle") {
     import org.apache.spark.sql.execution.FormattedMode
     import spark.implicits._
     // whatever the path, the output plan is scan -> narrow argmax ->
     // partial agg -> ONE exchange -> final agg; a join or window sneaking
     // into the assignment would add exchanges
-    for (ck <- Seq(0, 1000)) {
+    for ((ck, native) <- Seq((0, true), (0, false), (1000, false))) {
       val p = Similarity.kmeansTrain(embeddings, "vec_id", "embedding",
-        isSeed = $"vec_id" < 100, iters = 1, codegenMaxK = ck)
+        isSeed = $"vec_id" < 100, iters = 1, codegenMaxK = ck,
+        nativeAssign = native)
         .queryExecution.explainString(FormattedMode)
       val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
-      assert(exchanges == 1, s"codegenMaxK=$ck: expected 1 exchange, saw $exchanges:\n$p")
-      assert(!p.contains("Join"), s"codegenMaxK=$ck: assignment must not join")
+      assert(exchanges == 1,
+        s"codegenMaxK=$ck native=$native: expected 1 exchange, saw $exchanges:\n$p")
+      assert(!p.contains("Join"), s"codegenMaxK=$ck native=$native: assignment must not join")
     }
   }
 
