@@ -384,6 +384,115 @@ object StreamingPipeline {
         col("contam_ppm"), col("contaminated"))
   }
 
+  /** Streaming corpus curation — the continuous-ingestion form of
+    * [[graft.operators.CorpusOps.curationDecisions]]: documents stream in
+    * whole; the stateless gates (quality heuristics, language-ID
+    * agreement) evaluate per row; the contamination gate joins the
+    * static broadcast bench index ([[benchShingleIndex]]); the
+    * familiarity gate scores against a STATIC bigram document-frequency
+    * index trained in batch on the historical corpus
+    * ([[bigramDfIndex]]) — the production shape: the LM is fixed model
+    * state, the stream is scored against it.
+    *
+    * Both per-doc rollups ride ONE streaming aggregation: the exploded
+    * 3-gram (contamination) and bigram (familiarity) units union into a
+    * single kind-tagged stream, left-join one kind-tagged static lookup,
+    * and aggregate once per (doc, ts) — one keyed state store, closed by
+    * the watermark.
+    *
+    * The exact-dup gate is deliberately NOT in this query: streaming
+    * canonicality is arrival-order state with its own lifecycle
+    * ([[dedupStream]]), chained as its own stage in production; and
+    * benchmark documents never enter the ingestion stream, so reasons
+    * here run low_quality → lang_mismatch → contaminated → unfamiliar →
+    * keep. */
+  def curationStream(corpus: DataFrame, benchIndex: DataFrame, bigramDf: DataFrame,
+                     idCol: String, textCol: String, tsCol: String, langCol: String,
+                     n: Int, watermark: String,
+                     minFamiliarityPpm: Long): DataFrame = {
+    import graft.functions.TextFunctions._
+    val base = corpus
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("alpha_ppm",
+        ppm(charClassCount(col(textCol), "[a-z]"), length(col(textCol)).cast("long")))
+      .withColumn("digit_ppm",
+        ppm(charClassCount(col(textCol), "[0-9]"), length(col(textCol)).cast("long")))
+      .withColumn("quality_ok",
+        col("alpha_ppm") >= 500000L && col("n_tokens") >= 5L && col("digit_ppm") <= 100000L)
+      .withColumn("hits_en", vocabHits(col("toks"), stopwords("en")).cast("long"))
+      .withColumn("hits_de", vocabHits(col("toks"), stopwords("de")).cast("long"))
+      .withColumn("hits_fr", vocabHits(col("toks"), stopwords("fr")).cast("long"))
+      .withColumn("hits_es", vocabHits(col("toks"), stopwords("es")).cast("long"))
+      .withColumn("lang_ok",
+        when(hasCjk(col(textCol)), "zh")
+          .when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr") &&
+            col("hits_en") >= col("hits_es") && col("hits_en") > 0, "en")
+          .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es") &&
+            col("hits_de") > 0, "de")
+          .when(col("hits_fr") >= col("hits_es") && col("hits_fr") > 0, "fr")
+          .when(col("hits_es") > 0, "es")
+          .otherwise("unknown") === col(langCol))
+    val keys = Seq(col(idCol), col(tsCol), col("n_tokens"), col("quality_ok"), col("lang_ok"))
+    // kind 3 = distinct contamination shingles; kind 2 = bigram INSTANCES
+    // (the multiset the familiarity mean weights); explode_outer keeps
+    // zero-n-gram docs alive on both branches
+    val sh3 = base.select(keys :+
+      explode_outer(array_distinct(wordShingles(col("toks"), n))).as("s"): _*)
+      .withColumn("kind", lit(3))
+    val bi = base.select(keys :+
+      explode_outer(wordShingles(col("toks"), 2)).as("s"): _*)
+      .withColumn("kind", lit(2))
+    val lookup = benchIndex
+      .select(lit(3).as("kind"), col("s"), lit(1L).as("hit"), lit(0L).as("df_ppm"))
+      .union(bigramDf.select(lit(2).as("kind"), col("s"), lit(0L).as("hit"), col("df_ppm")))
+    sh3.union(bi)
+      .join(broadcast(lookup), Seq("kind", "s"), "left")
+      .withWatermark(tsCol, watermark)
+      .groupBy(keys: _*)
+      .agg(
+        sum(when(col("kind") === 3 && col("s").isNotNull, 1L).otherwise(0L)).as("n_ngrams"),
+        sum(when(col("kind") === 3, coalesce(col("hit"), lit(0L))).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("kind") === 2 && col("s").isNotNull, 1L).otherwise(0L)).as("n_bigrams"),
+        sum(when(col("kind") === 2, coalesce(col("df_ppm"), lit(0L))).otherwise(0L)).as("sum_df_ppm"))
+      .withColumn("contaminated", col("n_contaminated") > 0L)
+      .withColumn("familiarity_ppm",
+        when(col("n_bigrams") === 0L, 0L)
+          .otherwise(intDiv(col("sum_df_ppm"), col("n_bigrams"))))
+      .withColumn("familiar_ok", col("familiarity_ppm") >= minFamiliarityPpm)
+      .withColumn("keep",
+        col("quality_ok") && col("lang_ok") && !col("contaminated") && col("familiar_ok"))
+      .withColumn("reason",
+        when(!col("quality_ok"), "low_quality")
+          .when(!col("lang_ok"), "lang_mismatch")
+          .when(col("contaminated"), "contaminated")
+          .when(!col("familiar_ok"), "unfamiliar")
+          .otherwise("keep"))
+      .select(col(idCol), col("n_tokens"), col("quality_ok"), col("lang_ok"),
+        col("contaminated"), col("familiarity_ppm"), col("keep"), col("reason"))
+  }
+
+  /** The static side of [[curationStream]]'s familiarity gate: the
+    * historical corpus's bigram document-frequency index, ppm of total
+    * documents — trained in batch, broadcast to the stream (a text LM as
+    * model state). Gated like every broadcast side. */
+  def bigramDfIndex(histDocs: DataFrame, idCol: String, textCol: String,
+                    maxIndexNgrams: Int = 10000000): DataFrame = {
+    import graft.functions.TextFunctions._
+    val inst = graft.operators.Dedup.shingleRows(histDocs, idCol, textCol, 2)
+    val nDocs = histDocs.agg(count(lit(1)).as("n_docs"))
+    val idx = inst.distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("s"), ppm(col("df"), col("n_docs")).as("df_ppm"))
+    val nIdx = idx.limit(maxIndexNgrams + 1).count()
+    require(nIdx <= maxIndexNgrams,
+      s"bigramDfIndex: index exceeds maxIndexNgrams=$maxIndexNgrams distinct bigrams - " +
+        "it is broadcast to the stream; frequency-cap the historical corpus or " +
+        "raise the gate with executor memory to match")
+    idx
+  }
+
   /** The static side of [[decontaminateStream]]: the benchmark's distinct
     * shingle index, built in batch (the [[graft.operators.CorpusOps
     * .decontaminate]] bench side, same `maxBenchDocs` broadcast gate). */

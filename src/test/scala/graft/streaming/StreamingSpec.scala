@@ -200,6 +200,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation equals the batch decision table on a closed corpus") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // texts mix language-stopword prefixes with random filler + a unique
+    // tail token (no exact dups -> the batch canonical gate never fires,
+    // so reasons are comparable); labels sometimes lie -> lang_mismatch;
+    // digit docs -> low_quality; small vocab -> real bench contamination
+    val rnd = new scala.util.Random(23)
+    val filler = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val langs = Seq("en" -> Seq("the", "a", "of"), "de" -> Seq("der", "die", "und"))
+    val docs = (0L until 80L).map { i =>
+      val (lang, sw) = langs(rnd.nextInt(2))
+      val label = if (rnd.nextInt(5) == 0) langs((langs.indexWhere(_._1 == lang) + 1) % 2)._1 else lang
+      val body =
+        if (rnd.nextInt(10) == 0) s"11 22 33 44 55 66 u$i"
+        else (sw ++ (0 until 4 + rnd.nextInt(5)).map(_ => filler(rnd.nextInt(filler.size))))
+          .mkString(" ") + s" u$i"
+      (i, body, label)
+    }
+    val all = docs.toDF("doc_id", "text", "lang")
+    val bench = all.filter($"doc_id" % 10 === 0)
+    val index = StreamingPipeline.benchShingleIndex(bench, "text", n = 3)
+    // the familiarity LM trains on the FULL closed corpus, so streamed
+    // scores must equal the batch operator's corpus-relative df exactly
+    val dfIdx = StreamingPipeline.bigramDfIndex(all, "doc_id", "text")
+    val minFam = 300000L
+    val corpus = docs.filter(_._1 % 10 != 0)
+      .map { case (i, t, l) => (i, java.sql.Timestamp.valueOf(f"2025-01-01 00:00:${i % 60}%02d"), t, l) }
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text", "lang")
+    val out = StreamingPipeline.curationStream(stream, index, dfIdx,
+      "doc_id", "text", "ts", "lang", n = 3, watermark = "10 seconds",
+      minFamiliarityPpm = minFam)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("curation_stream").start()
+    try {
+      corpus.grouped(30).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getLong(4), r.getBoolean(5), r.getString(6))
+      val streamed = spark.sql(
+        """select doc_id, quality_ok, lang_ok, contaminated, familiarity_ppm,
+          |keep, reason from curation_stream""".stripMargin)
+        .collect().map(key).sortBy(_._1)
+      val batch = graft.operators.CorpusOps.curationDecisions(all, "doc_id", "text",
+          declaredLang = $"lang", isBenchmark = $"doc_id" % 10 === 0,
+          n = 3, minFamiliarityPpm = minFam)
+        .filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id", $"quality_ok", $"lang_ok", $"contaminated",
+          $"familiarity_ppm", $"keep", $"reason")
+        .collect().map(key).sortBy(_._1)
+      assert(streamed.map(_._7).toSet.size >= 3,
+        "fixture must exercise several distinct reasons")
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup equals the batch matcher against the stored sketch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
