@@ -30,12 +30,12 @@ object ProfScale {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val docs1 = Tables(spark, dir).documents.select("doc_id", "text", "source")
+    val docs1 = Tables(spark, dir).documents.select("doc_id", "text", "source", "lang")
     val docs10 = (0 until 10).map { c =>
       docs1.select(
         (col("doc_id") + lit(c.toLong * 1000000000L)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"$$1_c$c").as("text"),
-        col("source"))
+        col("source"), col("lang"))
     }.reduce(_.unionByName(_)).localCheckpoint()
     println(s"rows 1x=${docs1.count()} 10x=${docs10.count()}")
 
@@ -88,6 +88,14 @@ object ProfScale {
     }
     time("boilerplate ngrams (q78)") { d =>
       CorpusOps.boilerplateNgrams(d, "doc_id", "text", 3, 25).count()
+    }
+    time("lm familiarity (q96)") { d =>
+      VocabOps.lmFamiliarity(d, "doc_id", "text", 2).count()
+    }
+    time("curation decisions (q99)") { d =>
+      CorpusOps.curationDecisions(d, "doc_id", "text",
+        declaredLang = col("lang"), isBenchmark = col("doc_id") % 50 === 0,
+        n = 3, minFamiliarityPpm = 100000L).count()
     }
     spark.stop()
   }
