@@ -293,6 +293,49 @@ class PqSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ANN approximation quality: recall@5 vs exact L2 well above chance, residual beats raw PQ") {
+    import spark.implicits._
+    // quality gate, not correctness: with 16 stub codes on synthetic
+    // embeddings, measured recall@5 is ~0.17 (PQ-ADC, IVF-PQ) and ~0.22
+    // (residual IVF-PQ) against ~0.005 chance (5 of ~1000). Floors sit
+    // at half the measured values so a broken ranking (which collapses
+    // to chance) fails loudly while legitimate parameter tweaks pass;
+    // the residual >= raw ordering is the FAISS claim reproduced.
+    val rows = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1000000.0d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .sortBy(_._1)
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = rows.filter(_._1 < 20)
+    val exact = queries.map { case (qid, qv) =>
+      qid -> rows.filter(_._1 != qid)
+        .map { case (cid, cv) => (l2(qv, cv), cid) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id"), col("cand_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      exact.map { case (q, s) => got.getOrElse(q, Set.empty).count(s).toDouble / 5 }
+        .sum / exact.size
+    }
+    val pq = recall(Similarity.pqTopK(embeddings, "vec_id", "embedding",
+      isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20, m = 8, dims = 64, k = 5))
+    val ivfpq = recall(Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = 8, dims = 64, k = 5))
+    val residual = recall(Similarity.ivfPqResidualTopK(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = 8, dims = 64, k = 5, nprobe = 2))
+    assert(pq >= 0.08, s"PQ-ADC recall@5 collapsed: $pq")
+    assert(ivfpq >= 0.08, s"IVF-PQ recall@5 collapsed: $ivfpq")
+    assert(residual >= 0.10, s"residual IVF-PQ recall@5 collapsed: $residual")
+    assert(residual >= pq - 1e-9,
+      s"residual coding ($residual) should not lose to raw-vector PQ ($pq)")
+  }
+
   /** Driver-side reference implementation over the real table: quantize
     * (HALF_UP like Spark's round), build the 16-entry codebooks, encode,
     * ADC-score, and rank — full parity with both operators. */
