@@ -566,7 +566,12 @@ object CorpusOps {
     * bench index; familiarity rides [[VocabOps.lmFamiliarity]]'s bigram
     * join; the final assembly is three equi-joins on the high-cardinality
     * doc id. No new shuffle shapes — the composition inherits each
-    * component's audited plan. */
+    * component's audited plan. The corpus is deliberately SCANNED once
+    * per component rather than cached: at 100 TB a columnar parquet
+    * re-scan (each branch pruning its own columns) is cheap, while
+    * caching the raw corpus doubles storage — materialize-once is
+    * reserved for DERIVED tables (sketches, labels), never the source.
+    * 10x-scaling smoke: 1.1x (ProfScale, PLANS.md). */
   def curationDecisions(docs: DataFrame, idCol: String, textCol: String,
                         declaredLang: Column, isBenchmark: Column,
                         n: Int = 3, minFamiliarityPpm: Long = 100000L): DataFrame = {

@@ -207,6 +207,82 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(a == batch)
   }
 
+  test("streaming curation restarted from checkpoint equals the uninterrupted run") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the one keyed aggregation behind the curation table must survive a
+    // checkpoint restart: run A uninterrupted, run B stopped mid-corpus
+    // and resumed from the same checkpoint, identical final tables
+    val bench = Seq(
+      (201L, "the quick brown fox jumps", "en")
+    ).toDF("doc_id", "text", "lang")
+    val index = StreamingPipeline.benchShingleIndex(bench, "text", n = 3)
+    val corpusDocs = (1L to 24L).map { i =>
+      val t =
+        if (i % 4 == 0) "the quick brown fox jumps far"            // contaminated
+        else if (i % 4 == 1) s"the a of clean document number${i} word" // keep-ish
+        else if (i % 4 == 2) "11 22 33 44 55 66"                   // low_quality
+        else s"the a of fine document number${i} word"
+      val lang = if (i % 5 == 0) "de" else "en"                    // some mismatches
+      (i, f"2025-01-01T00:00:${i % 60}%02dZ", t, lang)
+    }
+    val dfIdx = StreamingPipeline.bigramDfIndex(
+      corpusDocs.map(d => (d._1, d._3)).toDF("doc_id", "text"), "doc_id", "text")
+    val pusher = Seq((999L, "2025-01-01T02:00:00Z", "watermark pusher", "en"))
+    def writeFile(dir: String, name: String, docs: Seq[(Long, String, String, String)], mtime: Long): Unit = {
+      val lines = docs.map { case (id, ts, t, l) =>
+        s"""{"doc_id":$id,"ts":"$ts","text":"$t","lang":"$l"}"""
+      }
+      val p = java.nio.file.Paths.get(s"$dir/$name")
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+    def runStream(dir: String, out: String, cp: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir)
+      val q = StreamingPipeline.curationStream(stream, index, dfIdx,
+          "doc_id", "text", "ts", "lang", n = 3, watermark = "10 seconds",
+          minFamiliarityPpm = 100000L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def result(out: String) =
+      spark.read.parquet(out).filter(col("doc_id") =!= 999L)
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getLong(5), r.getBoolean(6), r.getString(7)))
+        .sortBy(_._1).toSeq
+
+    val dirA = tmp("graft-recovery-cur-a"); val outA = tmp("graft-recovery-cur-a-out")
+    writeFile(dirA, "f1.json", corpusDocs.take(12), 1700000000000L)
+    writeFile(dirA, "f2.json", corpusDocs.drop(12), 1700000001000L)
+    writeFile(dirA, "f3.json", pusher, 1700000002000L)
+    runStream(dirA, outA, tmp("graft-recovery-cur-a-cp"))
+
+    val dirB = tmp("graft-recovery-cur-b"); val outB = tmp("graft-recovery-cur-b-out")
+    val cpB = tmp("graft-recovery-cur-b-cp")
+    writeFile(dirB, "f1.json", corpusDocs.take(12), 1700000000000L)
+    runStream(dirB, outB, cpB)
+    writeFile(dirB, "f2.json", corpusDocs.drop(12), 1700000001000L)
+    writeFile(dirB, "f3.json", pusher, 1700000002000L)
+    runStream(dirB, outB, cpB)
+
+    val a = result(outA)
+    val b = result(outB)
+    assert(a.size == 24, s"append mode must finalize every corpus doc, saw ${a.size}")
+    assert(a.map(_._7).toSet.size >= 3, "fixture must exercise several reasons")
+    assert(b == a, s"restarted curation run diverged: ${b.size} vs ${a.size} rows")
+  }
+
   test("streaming decontamination restarted from checkpoint equals batch on the same corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
