@@ -160,4 +160,57 @@ class StreamingRandomParitySpec extends AnyFunSuite {
       .collect().map(key).sorted.toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("curation stream over random corpora equals the batch table for any batch slicing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    for (seed <- Seq(51L, 52L, 53L)) {
+      val rnd = new scala.util.Random(seed)
+      val filler = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      val langs = Seq("en" -> Seq("the", "a", "of"), "de" -> Seq("der", "die", "und"))
+      val docs = (0L until 60L).map { i =>
+        val (lang, sw) = langs(rnd.nextInt(2))
+        val label = if (rnd.nextInt(4) == 0) langs((langs.indexWhere(_._1 == lang) + 1) % 2)._1 else lang
+        val body =
+          if (rnd.nextInt(8) == 0) s"11 22 33 44 55 66 u$i"
+          else (sw ++ (0 until 3 + rnd.nextInt(6)).map(_ => filler(rnd.nextInt(filler.size))))
+            .mkString(" ") + s" u$i"
+        (i, body, label)
+      }
+      val all = docs.toDF("doc_id", "text", "lang")
+      val index = StreamingPipeline.benchShingleIndex(
+        all.filter($"doc_id" % 10 === 0), "text", n = 3)
+      val dfIdx = StreamingPipeline.bigramDfIndex(all, "doc_id", "text")
+      val corpus = docs.filter(_._1 % 10 != 0)
+        .map { case (i, t, l) => (i, java.sql.Timestamp.valueOf(f"2025-01-01 00:00:${i % 60}%02d"), t, l) }
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+      val out = StreamingPipeline.curationStream(
+        mem.toDF().toDF("doc_id", "ts", "text", "lang"), index, dfIdx,
+        "doc_id", "text", "ts", "lang", n = 3, watermark = "10 seconds",
+        minFamiliarityPpm = 300000L)
+      val qn = s"curation_rand_$seed"
+      val q = out.writeStream.outputMode("complete").format("memory").queryName(qn).start()
+      try {
+        val nChunks = 1 + rnd.nextInt(5)
+        val size = math.max(1, (corpus.size + nChunks - 1) / nChunks)
+        corpus.grouped(size).foreach { c => mem.addData(c); q.processAllAvailable() }
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+            r.getLong(4), r.getBoolean(5), r.getString(6))
+        val streamed = spark.sql(
+          s"""select doc_id, quality_ok, lang_ok, contaminated, familiarity_ppm,
+             |keep, reason from $qn""".stripMargin)
+          .collect().map(key).sortBy(_._1).toSeq
+        val batch = graft.operators.CorpusOps.curationDecisions(all, "doc_id", "text",
+            declaredLang = $"lang", isBenchmark = $"doc_id" % 10 === 0,
+            n = 3, minFamiliarityPpm = 300000L)
+          .filter($"doc_id" % 10 =!= 0)
+          .select($"doc_id", $"quality_ok", $"lang_ok", $"contaminated",
+            $"familiarity_ppm", $"keep", $"reason")
+          .collect().map(key).sortBy(_._1).toSeq
+        assert(streamed.nonEmpty && streamed == batch, s"seed $seed chunks $nChunks")
+      } finally q.stop()
+    }
+  }
 }
