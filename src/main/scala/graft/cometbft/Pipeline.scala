@@ -32,6 +32,10 @@ object Pipeline {
     // `observed.queryExecution.observedMetrics` would consult the
     // never-executed analysis-time plan and silently return null
     // (caught by the PipelineSpec counts test).
+    // per-run unique metric suffix: the listener is session-global, so two
+    // CONCURRENT runs in one JVM would otherwise each capture the other's
+    // same-named metric and report the wrong row count (round-7 ADVICE)
+    val runToken = java.util.UUID.randomUUID().toString.replace("-", "")
     val capturedMetrics = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
     val metricListener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -44,8 +48,9 @@ object Pipeline {
     }
     spark.listenerManager.register(metricListener)
 
-    def writeCounted(df: DataFrame, path: String, metric: String,
+    def writeCounted(df: DataFrame, path: String, metricBase: String,
                      partitionCols: Seq[String] = Nil): Long = {
+      val metric = s"${metricBase}_$runToken"
       val observed = df.observe(metric, count(lit(1)).as("rows"))
       val w = observed.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)

@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 object VectorExprs {
 
+  import java.util.Arrays.{equals => aEq, hashCode => aHash, deepEquals, deepHashCode}
+  private def refs(a: Array[Array[Long]]): Array[AnyRef] = a.asInstanceOf[Array[AnyRef]]
+
   /** Exact int64 dot product of two ArrayType(LongType) columns
     * (shorter length wins; null if either side is null). */
   case class DotLongArrays(left: Expression, right: Expression)
@@ -86,6 +89,18 @@ object VectorExprs {
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
     private val k = books.length / m
+
+    // array params compare by reference in the synthesized case-class
+    // equals, which defeats canonicalization / CSE (round-7 ADVICE) —
+    // compare model-state CONTENTS
+    override def equals(o: Any): Boolean = o match {
+      case that: PqCodesLongArray =>
+        child == that.child && m == that.m && sub == that.sub &&
+          deepEquals(refs(books), refs(that.books))
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(child, Int.box(m), Int.box(sub), Int.box(deepHashCode(refs(books))))
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -182,6 +197,16 @@ object VectorExprs {
                                    cns: Array[Long])
       extends BinaryExpression {
 
+    override def equals(o: Any): Boolean = o match {
+      case that: NearestCellLongArrays =>
+        left == that.left && right == that.right && aEq(cids, that.cids) &&
+          deepEquals(refs(cvs), refs(that.cvs)) && aEq(cns, that.cns)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(left, right, Int.box(aHash(cids)),
+        Int.box(deepHashCode(refs(cvs))), Int.box(aHash(cns)))
+
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
         case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
@@ -246,12 +271,17 @@ object VectorExprs {
   }
 
   /** Column form of [[NearestCellLongArrays]]: `cents` as (cid, vector,
-    * norm²) in cid-ascending order. */
+    * norm²). The expression's tie-break (strict > over a cid-ascending
+    * scan keeps the LOWER cid) requires sorted entries — sorted here, so
+    * an unsorted caller gets correct ties instead of silently wrong ones
+    * (round-7 ADVICE). */
   def nearestCell(vec: Column, norm2: Column,
-                  cents: Seq[(Long, Seq[Long], Long)]): Column =
+                  cents: Seq[(Long, Seq[Long], Long)]): Column = {
+    val s = cents.sortBy(_._1)
     GraftBridge.column(NearestCellLongArrays(
       GraftBridge.expression(vec), GraftBridge.expression(norm2),
-      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, cents.map(_._3).toArray))
+      s.map(_._1).toArray, s.map(_._2.toArray).toArray, s.map(_._3).toArray))
+  }
 
   /** Top-`p` cell probe: the `p` nearest centroid ids by exact-quantized
     * cosine, ordered (cos DESC, cid ASC) — [[NearestCellLongArrays]]'
@@ -263,6 +293,16 @@ object VectorExprs {
       extends BinaryExpression {
 
     private val outLen = math.min(p, cids.length)
+
+    override def equals(o: Any): Boolean = o match {
+      case that: NearestCellsLongArrays =>
+        left == that.left && right == that.right && p == that.p && aEq(cids, that.cids) &&
+          deepEquals(refs(cvs), refs(that.cvs)) && aEq(cns, that.cns)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(left, right, Int.box(p), Int.box(aHash(cids)),
+        Int.box(deepHashCode(refs(cvs))), Int.box(aHash(cns)))
 
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
@@ -341,12 +381,15 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Column form of [[NearestCellsLongArrays]]. */
+  /** Column form of [[NearestCellsLongArrays]] — sorts `cents` by cid for
+    * the same tie-break reason as [[nearestCell]]. */
   def nearestCells(vec: Column, norm2: Column,
-                   cents: Seq[(Long, Seq[Long], Long)], p: Int): Column =
+                   cents: Seq[(Long, Seq[Long], Long)], p: Int): Column = {
+    val s = cents.sortBy(_._1)
     GraftBridge.column(NearestCellsLongArrays(
       GraftBridge.expression(vec), GraftBridge.expression(norm2),
-      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, cents.map(_._3).toArray, p))
+      s.map(_._1).toArray, s.map(_._2.toArray).toArray, s.map(_._3).toArray, p))
+  }
 
   /** [[PqCodesLongArray]] over the RESIDUAL `vec - centroid(cell)` — the
     * FAISS IVF-PQ layout: codes quantize what the coarse cell did not
@@ -359,6 +402,18 @@ object VectorExprs {
       extends BinaryExpression {
 
     private val k = books.length / m
+
+    override def equals(o: Any): Boolean = o match {
+      case that: PqResidualCodesLongArray =>
+        left == that.left && right == that.right && m == that.m && sub == that.sub &&
+          deepEquals(refs(books), refs(that.books)) && aEq(centIds, that.centIds) &&
+          deepEquals(refs(centVecs), refs(that.centVecs))
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(left, right, Int.box(m), Int.box(sub),
+        Int.box(deepHashCode(refs(books))), Int.box(aHash(centIds)),
+        Int.box(deepHashCode(refs(centVecs))))
 
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
@@ -451,14 +506,16 @@ object VectorExprs {
   }
 
   /** Column form of [[PqResidualCodesLongArray]]: `posBooks` as in
-    * [[pqCodes]], `cents` (cid, vector, _) cid-ascending. */
+    * [[pqCodes]]. `cents` sorted by cid here — the expression's binary
+    * search requires ascending ids (round-7 ADVICE). */
   def pqResidualCodes(vec: Column, cell: Column,
                       posBooks: IndexedSeq[Seq[(Long, Seq[Long], Long)]],
                       m: Int, sub: Int,
                       cents: Seq[(Long, Seq[Long], Long)]): Column = {
     val flat = posBooks.flatMap(_.map(_._2.toArray)).toArray
+    val s = cents.sortBy(_._1)
     GraftBridge.column(PqResidualCodesLongArray(
       GraftBridge.expression(vec), GraftBridge.expression(cell),
-      flat, m, sub, cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
+      flat, m, sub, s.map(_._1).toArray, s.map(_._2.toArray).toArray))
   }
 }

@@ -97,14 +97,55 @@ object TextQueries {
   private val sigsLock = new Object
   private var sigsCache: Map[String, String] = Map.empty
 
+  /** Cheap fingerprint of the documents parquet under `dir` (part file
+    * names, lengths, mtimes): the per-JVM materialization caches key on
+    * (dir, fingerprint), so regenerating the data in place invalidates
+    * them automatically instead of silently serving a stale sketch
+    * (round-7 ADVICE). One directory listing — no data scan. */
+  private def docsFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val h = java.security.MessageDigest.getInstance("MD5")
+    walk(new java.io.File(dir, "documents.parquet")).foreach { f =>
+      h.update(s"${f.getPath}:${f.length}:${f.lastModified}|".getBytes("UTF-8"))
+    }
+    h.digest().map("%02x".format(_)).mkString
+  }
+
+  private def cacheKey(dir: String): String = s"$dir|${docsFingerprint(dir)}"
+
+  /** Temp dirs backing the per-JVM materializations, removed on JVM exit
+    * (round-7 ADVICE: they were never cleaned up). */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { p =>
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+          f.delete(); ()
+        }
+        del(p.toFile)
+      }
+    }))
+  }
+
+  private def newTempDir(prefix: String): java.nio.file.Path = {
+    cleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p
+  }
+
   private def materializedSigs(spark: SparkSession, dir: String): DataFrame =
     sigsLock.synchronized {
-      val path = sigsCache.getOrElse(dir, {
-        val out = java.nio.file.Files.createTempDirectory("graft-minhash-sigs")
-          .resolve("sigs").toString
+      val key = cacheKey(dir)
+      val path = sigsCache.getOrElse(key, {
+        val out = newTempDir("graft-minhash-sigs").resolve("sigs").toString
         Dedup.minhashSigTable(Tables(spark, dir).documents, "doc_id", "text",
           n = 3, k = 16).write.mode("overwrite").parquet(out)
-        sigsCache += dir -> out
+        sigsCache += key -> out
         out
       })
       spark.read.parquet(path)
@@ -114,7 +155,7 @@ object TextQueries {
     materializedSigs(spark, dir); ()
   }
   def invalidateSigTable(dir: String): Unit = sigsLock.synchronized {
-    sigsCache -= dir
+    sigsCache = sigsCache.filterNot(_._1.startsWith(s"$dir|"))
   }
 
   /** Per-JVM, per-dir materialization of q25's pair graph for consumers
@@ -129,11 +170,11 @@ object TextQueries {
 
   private def materializedPairs(spark: SparkSession, dir: String): DataFrame =
     pairsLock.synchronized {
-      val path = pairsCache.getOrElse(dir, {
-        val out = java.nio.file.Files.createTempDirectory("graft-minhash-pairs")
-          .resolve("pairs").toString
+      val key = cacheKey(dir)
+      val path = pairsCache.getOrElse(key, {
+        val out = newTempDir("graft-minhash-pairs").resolve("pairs").toString
         q25MinhashLsh(spark, dir).write.mode("overwrite").parquet(out)
-        pairsCache += dir -> out
+        pairsCache += key -> out
         out
       })
       spark.read.parquet(path)
@@ -148,7 +189,7 @@ object TextQueries {
     materializedPairs(spark, dir); ()
   }
   def invalidatePairGraph(dir: String): Unit = pairsLock.synchronized {
-    pairsCache -= dir
+    pairsCache = pairsCache.filterNot(_._1.startsWith(s"$dir|"))
   }
 
   /** Per-JVM, per-dir materialization of the connected-components LABELS
@@ -166,14 +207,14 @@ object TextQueries {
 
   private def materializedLabels(spark: SparkSession, dir: String): DataFrame =
     labelsLock.synchronized {
-      val path = labelsCache.getOrElse(dir, {
-        val out = java.nio.file.Files.createTempDirectory("graft-cc-labels")
-          .resolve("labels").toString
+      val key = cacheKey(dir)
+      val path = labelsCache.getOrElse(key, {
+        val out = newTempDir("graft-cc-labels").resolve("labels").toString
         Dedup.connectedComponents(materializedPairs(spark, dir), "d1", "d2")
           .withColumn("n_members",
             count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
           .write.mode("overwrite").parquet(out)
-        labelsCache += dir -> out
+        labelsCache += key -> out
         out
       })
       spark.read.parquet(path)
@@ -183,7 +224,7 @@ object TextQueries {
     materializedLabels(spark, dir); ()
   }
   def invalidateDedupLabels(dir: String): Unit = labelsLock.synchronized {
-    labelsCache -= dir
+    labelsCache = labelsCache.filterNot(_._1.startsWith(s"$dir|"))
   }
 
   // ---------------------------------------------------------------- q26
