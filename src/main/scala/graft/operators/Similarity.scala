@@ -389,6 +389,76 @@ object Similarity {
     }
   }
 
+  /** Per-subspace Lloyd k-means refinement of PQ codebooks — the step
+    * Jégou et al. 2011 (§II-C) actually prescribe ("the codebooks are
+    * learned by k-means in each subspace"); the designated-row books are
+    * only its init. Exact-integer determinism throughout, mirroring
+    * [[kmeansTrain]]: assignment is the codegen'd all-subspace argmin
+    * ([[pqCodesCol]], exact L2², ties to the lower code position ⇔ lower
+    * init cid), the update the truncating integer mean `sum div count`
+    * per (subspace, code, dim) — bit-reproducible on any engine.
+    *
+    * ONE Spark job per iteration covers ALL m subspaces: the encode pass
+    * is narrow (literal codebooks, no join), the update one
+    * (s, code, dim) aggregation — map-side combined to ≤ m·k·sub rows,
+    * and the collect is the codebook MATRIX (model state, the kmeans
+    * pattern), never data rows. Codebook entries keep their init cid as
+    * identity across iterations; entries that lose every member drop out
+    * deterministically (positions re-pack in cid order). */
+  private def trainBooks(qvecs: DataFrame,
+                         books0: IndexedSeq[Seq[(Long, Seq[Long], Long)]],
+                         m: Int, sub: Int, iters: Int): IndexedSeq[Seq[(Long, Seq[Long], Long)]] = {
+    import graft.functions.TextFunctions.intDiv
+    var books = books0
+    for (_ <- 1 to iters) {
+      val updated = qvecs
+        .withColumn("ce", pqCodesCol(toPosBooks(books), m, sub))
+        .select(col("ce"), posexplode(col("qvec")).as(Seq("pos", "x")))
+        .withColumn("s", floor(col("pos") / sub).cast("int"))
+        .withColumn("p", col("ce")(col("s")))
+        .withColumn("dim", pmod(col("pos"), lit(sub)))
+        .groupBy(col("s"), col("p"), col("dim"))
+        .agg(intDiv(sum(col("x")), count(lit(1))).as("mean"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), (r.getInt(2), r.getLong(3))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sortBy(_._1).map(_._2).toSeq).toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.flatMap { case ((cid, _, _), p) =>
+          updated.get((s, p.toLong)).map { v => (cid, v, v.map(x => x * x).sum) }
+        }
+      }
+      require(books.forall(_.nonEmpty),
+        "pq train: a subspace lost every codebook entry in an update round - " +
+          "degenerate init (all vectors identical to one entry?)")
+    }
+    books
+  }
+
+  /** PQ codebook TRAINING report: run [[trainBooks]] for `iters` Lloyd
+    * rounds from the `isInit` rows' sub-vectors, then one final encode
+    * pass; output per surviving (subspace, code): member count and total
+    * exact quantization error Σd² — the per-cluster inertia table that
+    * pins the trained books (any book drift changes sum_err2). */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, isInit: Column,
+              m: Int, dims: Int, iters: Int, maxCodes: Int = 4096): DataFrame = {
+    val q = quantized(df, vecCol)
+    val sub = dims / m
+    val books0 = pqCodebooks(q.filter(isInit), idCol, m, dims, maxCodes)
+    val books = trainBooks(q.select(col("qvec")), books0, m, sub, iters)
+    val perS = (0 until m).map { s =>
+      val cidLit = typedlit(books(s).map(_._1))
+      struct(lit(s).cast("long").as("s"),
+        element_at(cidLit, (element_at(col("ce"), s + 1) + 1L).cast("int")).as("code"),
+        element_at(col("ce"), m + s + 1).as("err2"))
+    }
+    q.select(col("qvec"))
+      .withColumn("ce", pqCodesCol(toPosBooks(books), m, sub))
+      .select(explode(array(perS: _*)).as("e"))
+      .groupBy(col("e.s").as("s"), col("e.code").as("code"))
+      .agg(count(lit(1)).as("n_members"), sum(col("e.err2")).as("sum_err2"))
+  }
+
   /** All m per-subspace argmin codes + errors in one codegen'd pass
     * ([[graft.functions.VectorExprs.PqCodesLongArray]]): array of 2m
     * longs — code POSITIONS in [0, m), exact d² in [m, 2m). An
@@ -419,10 +489,14 @@ object Similarity {
     * per-subspace d² <= subdims × (2e6·|x|)² ~ 3.2e13 for unit vectors
     * at 64/8 dims — int64-safe with five orders of headroom. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, isCode: Column,
-               m: Int, dims: Int, maxCodes: Int = 4096): DataFrame = {
+               m: Int, dims: Int, maxCodes: Int = 4096,
+               trainIters: Int = 0): DataFrame = {
     val q = quantized(df, vecCol)
-    val books = pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes)
     val sub = dims / m
+    val books0 = pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes)
+    val books =
+      if (trainIters > 0) trainBooks(q.select(col("qvec")), books0, m, sub, trainIters)
+      else books0
     // the native encoder emits code POSITIONS; map back to codebook-entry
     // ids via the cid-sorted literal (argmin ties to the lower position
     // == the lower cid, so the mapping preserves tie semantics)
@@ -507,10 +581,14 @@ object Similarity {
     * is that composition. */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
              isCode: Column, isQuery: Column, m: Int, dims: Int, k: Int,
-             maxCodes: Int = 4096, maxQueries: Int = 10000): DataFrame = {
+             maxCodes: Int = 4096, maxQueries: Int = 10000,
+             trainIters: Int = 0): DataFrame = {
     val q = quantized(df, vecCol)
-    val posBooks = toPosBooks(pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes))
     val sub = dims / m
+    val books0 = pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes)
+    val posBooks = toPosBooks(
+      if (trainIters > 0) trainBooks(q.select(col("qvec")), books0, m, sub, trainIters)
+      else books0)
     val codes = q
       .select(col(idCol).cast("long").as("cand_id"), col("qvec"))
       .withColumn("ce", pqCodesCol(posBooks, m, sub))
@@ -556,10 +634,13 @@ object Similarity {
                 isCentroid: Column, isCode: Column, isQuery: Column,
                 m: Int, dims: Int, k: Int,
                 maxCentroids: Int = 4096, maxCodes: Int = 4096,
-                maxQueries: Int = 10000): DataFrame = {
+                maxQueries: Int = 10000, trainIters: Int = 0): DataFrame = {
     val q = quantized(df, vecCol).filter(col("qnorm2") > 0L)
-    val posBooks = toPosBooks(pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes))
     val sub = dims / m
+    val books0 = pqCodebooks(q.filter(isCode), idCol, m, dims, maxCodes)
+    val posBooks = toPosBooks(
+      if (trainIters > 0) trainBooks(q.select(col("qvec")), books0, m, sub, trainIters)
+      else books0)
     val cents = collectCents(q, idCol, isCentroid, maxCentroids, "ivfPqTopK")
     // narrow codegen'd cosine argmax against the reference-object
     // centroid matrix (cos DESC, cid ASC — the q34 order); keep the

@@ -172,7 +172,30 @@ object VectorQueries {
       m = PqM, dims = Dims, k = 5, nprobe = 2)
   }
 
+  // --------------------------------------------------------------- q100
+  /** PQ codebook TRAINING (Jégou §II-C): 2 Lloyd rounds of per-subspace
+    * exact-integer k-means from the q94 init rows; output per surviving
+    * (subspace, code): member count and total quantization error — the
+    * inertia table that pins the trained books bit-for-bit. */
+  def q100PqTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.pqTrain(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isInit = $"vec_id" < 16, m = PqM, dims = Dims, iters = 2)
+  }
+
+  // --------------------------------------------------------------- q101
+  /** ADC top-5 over TRAINED codebooks — q95's machinery fed by q100's
+    * 2-round k-means books instead of raw designated rows. */
+  def q101PqAnnTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.pqTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = PqM, dims = Dims, k = 5, trainIters = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_pq_train"        -> q100PqTrain _,
+    "q101_pq_ann_trained"  -> q101PqAnnTrained _,
     "q81_semdedup"         -> q81SemDedup _,
     "q94_pq_encode"        -> q94PqEncode _,
     "q95_pq_ann"           -> q95PqAnn _,
@@ -249,7 +272,68 @@ object VectorQueries {
        |r AS (SELECT vec_id, s, cid, d2,
        |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rk FROM d)""".stripMargin
 
+  /** One PQ-k-means assignment round against codebook CTE `$cb` (s, cid,
+    * cv, cn): per (vector, subspace) the nearest entry by exact L2²
+    * (d² = qn + cn − 2·dot), ties to the lower cid — matching the Spark
+    * argmin's tie-to-lower-position over cid-sorted books. */
+  private def pqTrainAsg(cb: String, out: String): String =
+    s"""${out}_d AS (SELECT sn.vec_id, sn.s, c.cid,
+       |  sn.qn + c.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> sn.qv[i]*c.cv[i])) AS BIGINT) AS d2
+       |  FROM subn sn JOIN $cb c ON sn.s = c.s),
+       |${out}_r AS (SELECT vec_id, s, cid, d2,
+       |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rk FROM ${out}_d),
+       |$out AS (SELECT vec_id, s, cid, d2 FROM ${out}_r WHERE rk = 1)""".stripMargin
+
+  /** Truncating-integer-mean codebook update from assignment CTE `$asg`:
+    * per (subspace, code, dim) `sum // count` over the members' raw
+    * sub-vectors — entries with no members drop out (no rows). */
+  private def pqTrainUpd(asg: String, out: String): String =
+    s"""${out}_u AS (SELECT a.s, a.cid, d.i,
+       |  CAST(SUM(sb.qv[d.i]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mn
+       |  FROM $asg a JOIN sub sb ON sb.vec_id = a.vec_id AND sb.s = a.s,
+       |    (SELECT unnest(generate_series(1, $PqSub)) AS i) d
+       |  GROUP BY a.s, a.cid, d.i),
+       |${out}_l AS (SELECT s, cid, list(mn ORDER BY i) AS cv FROM ${out}_u GROUP BY s, cid),
+       |$out AS (SELECT s, cid, cv,
+       |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn FROM ${out}_l)""".stripMargin
+
+  /** Shared prefix for the trained-codebook oracles: quantize, slice,
+    * init books from vec_id < 16, then 2 Lloyd rounds (assign → update)
+    * and the final assignment `af` against the trained books `cb2`. */
+  private lazy val pqTrainCtes: String =
+    s"""q AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+       |ss AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
+       |sub AS (SELECT vec_id, s, list_slice(qvec, s*$PqSub+1, s*$PqSub+$PqSub) AS qv FROM q, ss),
+       |subn AS (SELECT vec_id, s, qv,
+       |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qn FROM sub),
+       |cb0l AS (SELECT s, vec_id AS cid, qv AS cv FROM sub WHERE vec_id < 16),
+       |cb0 AS (SELECT s, cid, cv,
+       |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn FROM cb0l),
+       |${pqTrainAsg("cb0", "a0")},
+       |${pqTrainUpd("a0", "cb1")},
+       |${pqTrainAsg("cb1", "a1")},
+       |${pqTrainUpd("a1", "cb2")},
+       |${pqTrainAsg("cb2", "af")}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q100_pq_train" ->
+      s"""WITH $pqTrainCtes
+         |SELECT s, cid AS code, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(d2) AS BIGINT) AS sum_err2
+         |FROM af GROUP BY s, cid""".stripMargin,
+    "q101_pq_ann_trained" ->
+      s"""WITH $pqTrainCtes,
+         |enc AS (SELECT vec_id AS cand_id, s, cid AS code FROM af),
+         |qs AS (SELECT vec_id AS query_id, s, qv, qn FROM subn WHERE vec_id < 20),
+         |pair AS (SELECT qs.query_id, e.cand_id,
+         |  CAST(SUM(qs.qn + c.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> qs.qv[i]*c.cv[i])) AS BIGINT)) AS BIGINT) AS adist2
+         |  FROM qs JOIN enc e ON qs.s = e.s JOIN cb2 c ON c.s = e.s AND c.cid = e.code
+         |  WHERE qs.query_id <> e.cand_id
+         |  GROUP BY qs.query_id, e.cand_id),
+         |rr AS (SELECT query_id, cand_id, adist2,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
+         |  FROM pair)
+         |SELECT query_id, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin,
     "q63_kmeans_train" -> q63Sql,
     "q94_pq_encode" ->
       s"""WITH $pqCtes

@@ -336,6 +336,44 @@ class PqSpec extends AnyFunSuite {
       s"residual coding ($residual) should not lose to raw-vector PQ ($pq)")
   }
 
+  test("trained codebooks beat designated-row codebooks on recall@5 (Jégou §II-C)") {
+    import spark.implicits._
+    // the VERDICT-r7 gate: 2 Lloyd rounds of per-subspace k-means must
+    // IMPROVE recall over the raw designated-row init on the same fixture
+    // — the reason codebook training exists. Floors set from measured
+    // values (see assertion messages for the current numbers).
+    val rows = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1000000.0d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .sortBy(_._1)
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = rows.filter(_._1 < 20).map { case (qid, qv) =>
+      qid -> rows.filter(_._1 != qid)
+        .map { case (cid, cv) => (l2(qv, cv), cid) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id"), col("cand_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      exact.map { case (q, s) => got.getOrElse(q, Set.empty).count(s).toDouble / 5 }
+        .sum / exact.size
+    }
+    val designated = recall(Similarity.pqTopK(embeddings, "vec_id", "embedding",
+      isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20, m = 8, dims = 64, k = 5))
+    val trained = recall(Similarity.pqTopK(embeddings, "vec_id", "embedding",
+      isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20, m = 8, dims = 64, k = 5,
+      trainIters = 2))
+    info(s"recall@5: designated=$designated trained=$trained")
+    // measured: designated ~0.17, trained ~0.29 (1.7x) — floor at half
+    // the measured trained value (the suite's collapse-guard convention)
+    assert(trained > designated,
+      s"k-means training must improve recall@5: designated=$designated trained=$trained")
+    assert(trained >= 0.14, s"trained-codebook recall@5 collapsed: $trained")
+  }
+
   /** Driver-side reference implementation over the real table: quantize
     * (HALF_UP like Spark's round), build the 16-entry codebooks, encode,
     * ADC-score, and rank — full parity with both operators. */
