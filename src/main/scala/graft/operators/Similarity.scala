@@ -632,7 +632,7 @@ object Similarity {
     * EQUI-join on `cell` — never a cross product, no corpus shuffle. */
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
                 isCentroid: Column, isCode: Column, isQuery: Column,
-                m: Int, dims: Int, k: Int,
+                m: Int, dims: Int, k: Int, nprobe: Int = 1,
                 maxCentroids: Int = 4096, maxCodes: Int = 4096,
                 maxQueries: Int = 10000, trainIters: Int = 0): DataFrame = {
     val q = quantized(df, vecCol).filter(col("qnorm2") > 0L)
@@ -652,14 +652,24 @@ object Similarity {
       .withColumn("ce", pqCodesCol(posBooks, m, sub))
       .select(col(idCol).cast("long").as("cand_id") +: col("cell") +:
         (0 until m).map(s => element_at(col("ce"), s + 1).as(s"code$s")): _*)
-    val queries = assigned.filter(isQuery)
-      .select(col(idCol).cast("long").as("query_id"), col("cell"), col("qvec").as("qv"))
-    val nQueries = queries.limit(maxQueries + 1).count()
+    // multiprobe: each query scans its nprobe nearest cells. Unlike the
+    // residual layout, raw-vector ADC tables do NOT depend on the probed
+    // centroid, so they are built ONCE per query and the probe explode
+    // (gated rows × nprobe, still tiny) happens after.
+    val queries0 = q.filter(isQuery)
+      .select(col(idCol).cast("long").as("query_id"), col("qvec").as("qv"),
+        graft.functions.VectorExprs
+          .nearestCells(col("qvec"), col("qnorm2"), cents, nprobe).as("probes"))
+    val nQueries = queries0.limit(maxQueries + 1).count()
     require(nQueries <= maxQueries,
       s"ivfPqTopK: query side exceeds maxQueries=$maxQueries rows - queries are " +
         "broadcast against the cell-partitioned code table")
+    val queries = withAdcTables(queries0, "qv", m, sub, posBooks)
+      .drop("qv")
+      .withColumn("cell", explode(col("probes")))
+      .drop("probes")
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist2").asc, col("cand_id").asc)
-    broadcast(withAdcTables(queries, "qv", m, sub, posBooks).drop("qv"))
+    broadcast(queries)
       .join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adist2", adcDistance(m))

@@ -193,9 +193,22 @@ object VectorQueries {
       m = PqM, dims = Dims, k = 5, trainIters = 2)
   }
 
+  // --------------------------------------------------------------- q102
+  /** Multiprobe on the NON-residual IVF-PQ layout: q97 with each query
+    * scanning its 2 nearest cells — the recall/cost knob on both
+    * layouts. Raw-vector ADC tables are probe-independent, so they are
+    * built once per query (unlike q98's per-probe rebuild). */
+  def q102IvfPqMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ivfPqTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = PqM, dims = Dims, k = 5, nprobe = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_pq_train"        -> q100PqTrain _,
     "q101_pq_ann_trained"  -> q101PqAnnTrained _,
+    "q102_ivfpq_multiprobe" -> q102IvfPqMultiprobe _,
     "q81_semdedup"         -> q81SemDedup _,
     "q94_pq_encode"        -> q94PqEncode _,
     "q95_pq_ann"           -> q95PqAnn _,
@@ -315,6 +328,56 @@ object VectorQueries {
        |${pqTrainUpd("a1", "cb2")},
        |${pqTrainAsg("cb2", "af")}""".stripMargin
 
+  /** Non-residual IVF-PQ oracle, parameterized on the probe count: cells
+    * by exact quantized cosine (ties to lower centroid id), raw-vector
+    * PQ codes, each query scoring the candidates of its `nprobe`
+    * nearest cells by summed per-subspace ADC distance. nprobe=1 is the
+    * q97 shape; nprobe=2 the q102 multiprobe variant. */
+  private def ivfPqAnnSql(nprobe: Int): String =
+    s"""WITH qq AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+       |n0 AS (SELECT vec_id, qvec,
+       |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM qq),
+       |n AS (SELECT * FROM n0 WHERE qnorm2 > 0),
+       |c AS (SELECT vec_id AS c_id, qvec AS centv, qnorm2 AS centn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, n.qvec, n.qnorm2, c.c_id, c.centn,
+       |  CAST(list_sum(list_transform(generate_series(1, $Dims), i -> n.qvec[i] * c.centv[i])) AS BIGINT) AS cdot
+       |  FROM n, c),
+       |a1 AS (SELECT vec_id, c_id,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    CAST(cdot AS DOUBLE) / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(centn AS DOUBLE))) DESC,
+       |    c_id ASC) AS arank
+       |  FROM a0),
+       |asg AS (SELECT vec_id, c_id AS cell FROM a1 WHERE arank = 1),
+       |ss AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
+       |cb AS (SELECT s, vec_id AS cid,
+       |  list_slice(qvec, s*$PqSub+1, s*$PqSub+$PqSub) AS cv FROM n, ss WHERE vec_id < 16),
+       |cbn AS (SELECT s, cid, cv,
+       |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn FROM cb),
+       |sub AS (SELECT vec_id, s, list_slice(qvec, s*$PqSub+1, s*$PqSub+$PqSub) AS qv FROM n, ss),
+       |subn AS (SELECT vec_id, s, qv,
+       |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qn FROM sub),
+       |d AS (SELECT sn.vec_id, sn.s, c2.cid,
+       |  sn.qn + c2.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> sn.qv[i]*c2.cv[i])) AS BIGINT) AS d2
+       |  FROM subn sn JOIN cbn c2 ON sn.s = c2.s),
+       |r AS (SELECT vec_id, s, cid, d2,
+       |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rk FROM d),
+       |enc AS (SELECT vec_id AS cand_id, s, cid AS code FROM r WHERE rk = 1),
+       |probe AS (SELECT vec_id AS query_id, c_id AS pcell FROM a1
+       |  WHERE arank <= $nprobe AND vec_id < 20),
+       |qs AS (SELECT p.query_id, p.pcell AS cell, sn.s, sn.qv, sn.qn
+       |  FROM subn sn JOIN probe p ON p.query_id = sn.vec_id),
+       |pair AS (SELECT qs.query_id, qs.cell, e.cand_id,
+       |  CAST(SUM(qs.qn + c2.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> qs.qv[i]*c2.cv[i])) AS BIGINT)) AS BIGINT) AS adist2
+       |  FROM qs JOIN enc e ON e.s = qs.s
+       |  JOIN asg ca ON ca.vec_id = e.cand_id AND ca.cell = qs.cell
+       |  JOIN cbn c2 ON c2.s = e.s AND c2.cid = e.code
+       |  WHERE e.cand_id <> qs.query_id
+       |  GROUP BY qs.query_id, qs.cell, e.cand_id),
+       |rr AS (SELECT query_id, cell, cand_id, adist2,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
+       |  FROM pair)
+       |SELECT query_id, cell, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q100_pq_train" ->
       s"""WITH $pqTrainCtes
@@ -352,48 +415,8 @@ object VectorQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
          |  FROM pair)
          |SELECT query_id, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin,
-    "q97_ivfpq_ann" ->
-      s"""WITH qq AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
-         |n0 AS (SELECT vec_id, qvec,
-         |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM qq),
-         |n AS (SELECT * FROM n0 WHERE qnorm2 > 0),
-         |c AS (SELECT vec_id AS c_id, qvec AS centv, qnorm2 AS centn FROM n WHERE vec_id < 8),
-         |a0 AS (SELECT n.vec_id, n.qvec, n.qnorm2, c.c_id, c.centn,
-         |  CAST(list_sum(list_transform(generate_series(1, $Dims), i -> n.qvec[i] * c.centv[i])) AS BIGINT) AS cdot
-         |  FROM n, c),
-         |a1 AS (SELECT vec_id, c_id,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY
-         |    CAST(cdot AS DOUBLE) / (sqrt(CAST(qnorm2 AS DOUBLE)) * sqrt(CAST(centn AS DOUBLE))) DESC,
-         |    c_id ASC) AS arank
-         |  FROM a0),
-         |asg AS (SELECT vec_id, c_id AS cell FROM a1 WHERE arank = 1),
-         |ss AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
-         |cb AS (SELECT s, vec_id AS cid,
-         |  list_slice(qvec, s*$PqSub+1, s*$PqSub+$PqSub) AS cv FROM n, ss WHERE vec_id < 16),
-         |cbn AS (SELECT s, cid, cv,
-         |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn FROM cb),
-         |sub AS (SELECT vec_id, s, list_slice(qvec, s*$PqSub+1, s*$PqSub+$PqSub) AS qv FROM n, ss),
-         |subn AS (SELECT vec_id, s, qv,
-         |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qn FROM sub),
-         |d AS (SELECT sn.vec_id, sn.s, c2.cid,
-         |  sn.qn + c2.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> sn.qv[i]*c2.cv[i])) AS BIGINT) AS d2
-         |  FROM subn sn JOIN cbn c2 ON sn.s = c2.s),
-         |r AS (SELECT vec_id, s, cid, d2,
-         |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rk FROM d),
-         |enc AS (SELECT vec_id AS cand_id, s, cid AS code FROM r WHERE rk = 1),
-         |qs AS (SELECT sn.vec_id AS query_id, a.cell, sn.s, sn.qv, sn.qn
-         |  FROM subn sn JOIN asg a ON a.vec_id = sn.vec_id WHERE sn.vec_id < 20),
-         |pair AS (SELECT qs.query_id, qs.cell, e.cand_id,
-         |  CAST(SUM(qs.qn + c2.cn - 2 * CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> qs.qv[i]*c2.cv[i])) AS BIGINT)) AS BIGINT) AS adist2
-         |  FROM qs JOIN enc e ON e.s = qs.s
-         |  JOIN asg ca ON ca.vec_id = e.cand_id AND ca.cell = qs.cell
-         |  JOIN cbn c2 ON c2.s = e.s AND c2.cid = e.code
-         |  WHERE e.cand_id <> qs.query_id
-         |  GROUP BY qs.query_id, qs.cell, e.cand_id),
-         |rr AS (SELECT query_id, cell, cand_id, adist2,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
-         |  FROM pair)
-         |SELECT query_id, cell, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin,
+    "q97_ivfpq_ann" -> ivfPqAnnSql(nprobe = 1),
+    "q102_ivfpq_multiprobe" -> ivfPqAnnSql(nprobe = 2),
     "q98_ivfpq_residual" ->
       s"""WITH qq AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
          |n0 AS (SELECT vec_id, qvec,

@@ -126,6 +126,27 @@ class PqSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ivfPqTopK multiprobe: nprobe=2 reaches both cells, hand-derived ranking") {
+    import spark.implicits._
+    // cells: v0,v2 -> 0; v1,v3 -> 1. With nprobe=2 every query scans BOTH
+    // cells, so the candidate set equals plain PQ's and the ADC distances
+    // match the pqTopK tiny expectations; `cell` reports the probed cell
+    // the candidate was found in. q2: v3 at 0, then v0/v1 tie at 2e12 ->
+    // cand_id order. q3: v1/v2 tie at 1.0625e12 -> v1 first.
+    val got = Similarity.ivfPqTopK(tiny, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 2, isCode = $"vec_id" < 2, isQuery = $"vec_id" >= 2,
+        m = 2, dims = 4, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toSet
+    val expected = Set(
+      (2L, 1L, 3L, 1, 0L),
+      (2L, 0L, 0L, 2, 2000000000000L),
+      (2L, 1L, 1L, 3, 2000000000000L),
+      (3L, 1L, 1L, 1, 1062500000000L),
+      (3L, 0L, 2L, 2, 1062500000000L),
+      (3L, 0L, 0L, 3, 1562500000000L))
+    assert(got == expected)
+  }
+
   test("ivfPqTopK: cell join is an equi-join, never a cross product; centroid gate fires") {
     import org.apache.spark.sql.execution.FormattedMode
     import spark.implicits._
@@ -329,8 +350,15 @@ class PqSpec extends AnyFunSuite {
     val residual = recall(Similarity.ivfPqResidualTopK(embeddings, "vec_id", "embedding",
       isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
       m = 8, dims = 64, k = 5, nprobe = 2))
+    val ivfpq2 = recall(Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = 8, dims = 64, k = 5, nprobe = 2))
+    info(s"recall@5: pq=$pq ivfpq=$ivfpq ivfpq_nprobe2=$ivfpq2 residual=$residual")
     assert(pq >= 0.08, s"PQ-ADC recall@5 collapsed: $pq")
     assert(ivfpq >= 0.08, s"IVF-PQ recall@5 collapsed: $ivfpq")
+    assert(ivfpq2 >= ivfpq - 1e-9,
+      s"multiprobe nprobe=2 ($ivfpq2) should not lose to nprobe=1 ($ivfpq): " +
+        "probing more cells can only widen the candidate set")
     assert(residual >= 0.10, s"residual IVF-PQ recall@5 collapsed: $residual")
     assert(residual >= pq - 1e-9,
       s"residual coding ($residual) should not lose to raw-vector PQ ($pq)")
