@@ -366,7 +366,7 @@ object Similarity {
     * rows: for each of the `m` subspaces, the (code_id, sub-vector,
     * sub-norm²) entries — collected driver-side as model state (the
     * kmeans-seed pattern: a PQ codebook is k×dims longs, never data). */
-  private def pqCodebooks(q: DataFrame, idCol: String, m: Int, dims: Int,
+  private[operators] def pqCodebooks(q: DataFrame, idCol: String, m: Int, dims: Int,
                           maxCodes: Int): IndexedSeq[Seq[(Long, Seq[Long], Long)]] = {
     require(dims % m == 0, s"pq: dims=$dims not divisible by m=$m subspaces")
     val sub = dims / m
@@ -405,7 +405,7 @@ object Similarity {
     * pattern), never data rows. Codebook entries keep their init cid as
     * identity across iterations; entries that lose every member drop out
     * deterministically (positions re-pack in cid order). */
-  private def trainBooks(qvecs: DataFrame,
+  private[operators] def trainBooks(qvecs: DataFrame,
                          books0: IndexedSeq[Seq[(Long, Seq[Long], Long)]],
                          m: Int, sub: Int, iters: Int): IndexedSeq[Seq[(Long, Seq[Long], Long)]] = {
     import graft.functions.TextFunctions.intDiv
@@ -465,7 +465,7 @@ object Similarity {
     * `aggregate`-fold formulation was measured at ~1.2 ms/row (HOFs run
     * interpreted; PLANS.md round-7 ADC note) — the native expression is
     * the same arithmetic inside whole-stage codegen. */
-  private def pqCodesCol(posBooks: IndexedSeq[Seq[(Long, Seq[Long], Long)]],
+  private[operators] def pqCodesCol(posBooks: IndexedSeq[Seq[(Long, Seq[Long], Long)]],
                          m: Int, sub: Int): Column =
     graft.functions.VectorExprs.pqCodes(col("qvec"), posBooks, m, sub)
 
@@ -515,7 +515,7 @@ object Similarity {
 
   /** Gated driver-side coarse-quantizer collect: (cid, vector, norm²)
     * cid-ascending — the maxSeeds pattern for centroid model state. */
-  private def collectCents(q: DataFrame, idCol: String, isCentroid: Column,
+  private[operators] def collectCents(q: DataFrame, idCol: String, isCentroid: Column,
                            maxCentroids: Int, opName: String): Seq[(Long, Seq[Long], Long)] = {
     val centRows = q.filter(isCentroid)
       .select(col(idCol).cast("long").as("id"), col("qvec"), col("qnorm2"))
@@ -536,7 +536,7 @@ object Similarity {
     * the lower cid ⇔ lower position, so [[pqBest]] over these yields the
     * same entry; positions make the ADC distance table an O(1) array
     * index instead of a keyed lookup. */
-  private def toPosBooks(books: IndexedSeq[Seq[(Long, Seq[Long], Long)]])
+  private[operators] def toPosBooks(books: IndexedSeq[Seq[(Long, Seq[Long], Long)]])
   : IndexedSeq[Seq[(Long, Seq[Long], Long)]] =
     books.map(_.zipWithIndex.map { case ((_, cv, cn), p) => (p.toLong, cv, cn) })
 
@@ -545,7 +545,7 @@ object Similarity {
     * position order) — the classic ADC precomputation (Jégou et al. §V),
     * built once per query row, narrow. Downstream, a candidate's distance
     * is m array indexes + m-1 adds — never a re-slice or re-dot. */
-  private def withAdcTables(queries: DataFrame, vecCol: String, m: Int, sub: Int,
+  private[operators] def withAdcTables(queries: DataFrame, vecCol: String, m: Int, sub: Int,
                             posBooks: IndexedSeq[Seq[(Long, Seq[Long], Long)]]): DataFrame =
     (0 until m).foldLeft(queries) { case (d, s) =>
       val qsub = slice(col(vecCol), s * sub + 1, sub)
@@ -556,7 +556,7 @@ object Similarity {
     }
 
   /** Σs dt_s[code_s] — the ADC sum over precomputed per-query tables. */
-  private def adcDistance(m: Int): Column =
+  private[operators] def adcDistance(m: Int): Column =
     (0 until m).map { s =>
       element_at(col(s"dt$s"), (col(s"code$s") + 1L).cast("int"))
     }.reduce(_ + _)

@@ -131,7 +131,7 @@ object TextQueries {
     }))
   }
 
-  private def newTempDir(prefix: String): java.nio.file.Path = {
+  private[queries] def newTempDir(prefix: String): java.nio.file.Path = {
     cleanupHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
     tempDirs.add(p)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Similarity
+import graft.operators.{AnnIndex, Similarity}
 
 /** Similarity-search queries over the `embeddings` table (64-dim float
   * vectors). Quantized-integer arithmetic (see [[Similarity]]) makes
@@ -205,10 +205,91 @@ object VectorQueries {
       m = PqM, dims = Dims, k = 5, nprobe = 2)
   }
 
+  // ------------------------------------------------------- stored index
+  /** Per-JVM, per-dir materialized IVF-PQ index ([[graft.operators
+    * .AnnIndex]]): the q25 signature-table pattern for ANN. Two
+    * variants — `full` (one build over the whole table) and `incr`
+    * (build on vec_id < 250, then [[AnnIndex.add]] the rest against the
+    * stored model). Cache keys on the embeddings parquet fingerprint so
+    * in-place regeneration invalidates; temp dirs are removed on JVM
+    * exit (both per the round-7 ADVICE conventions). */
+  private val idxLock = new Object
+  private var idxCache: Map[String, String] = Map.empty
+
+  private def embFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val h = java.security.MessageDigest.getInstance("MD5")
+    walk(new java.io.File(dir, "embeddings.parquet")).foreach { f =>
+      h.update(s"${f.getPath}:${f.length}:${f.lastModified}|".getBytes("UTF-8"))
+    }
+    h.digest().map("%02x".format(_)).mkString
+  }
+
+  private def materializedIndex(spark: SparkSession, dir: String,
+                                variant: String): String = idxLock.synchronized {
+    import spark.implicits._
+    val key = s"$dir|$variant|${embFingerprint(dir)}"
+    idxCache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-ann-index").resolve(variant).toString
+      val emb = Tables(spark, dir).embeddings
+      variant match {
+        case "full" =>
+          AnnIndex.build(emb, "vec_id", "embedding",
+            isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16,
+            m = PqM, dims = Dims, indexDir = out)
+        case "incr" =>
+          AnnIndex.build(emb.filter($"vec_id" < 250), "vec_id", "embedding",
+            isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16,
+            m = PqM, dims = Dims, indexDir = out)
+          AnnIndex.add(emb.filter($"vec_id" >= 250), "vec_id", "embedding", out)
+      }
+      idxCache += key -> out
+      out
+    })
+  }
+
+  def buildAnnIndex(spark: SparkSession, dir: String): Unit = {
+    materializedIndex(spark, dir, "full"); ()
+  }
+  def buildAnnIndexIncr(spark: SparkSession, dir: String): Unit = {
+    materializedIndex(spark, dir, "incr"); ()
+  }
+  def invalidateAnnIndex(dir: String): Unit = idxLock.synchronized {
+    idxCache = idxCache.filterNot(_._1.startsWith(s"$dir|"))
+  }
+
+  // --------------------------------------------------------------- q103
+  /** Query the STORED full-corpus index: must equal q102's inline
+    * multiprobe answer bit-for-bit (same oracle) — the stored-vs-inline
+    * parity that makes the persisted lifecycle trustworthy. */
+  def q103IvfPqStored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    AnnIndex.topK(Tables(spark, dir).embeddings.filter($"vec_id" < 20),
+      "vec_id", "embedding", materializedIndex(spark, dir, "full"),
+      k = 5, nprobe = 2)
+  }
+
+  // --------------------------------------------------------------- q104
+  /** Query the INCREMENTALLY-built index (build on the first half, add
+    * the rest against the frozen stored model): equals the full build —
+    * encoding depends only on the model, never on other corpus rows —
+    * so the same oracle pins the add path. */
+  def q104IvfPqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    AnnIndex.topK(Tables(spark, dir).embeddings.filter($"vec_id" < 20),
+      "vec_id", "embedding", materializedIndex(spark, dir, "incr"),
+      k = 5, nprobe = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_pq_train"        -> q100PqTrain _,
     "q101_pq_ann_trained"  -> q101PqAnnTrained _,
     "q102_ivfpq_multiprobe" -> q102IvfPqMultiprobe _,
+    "q103_ivfpq_stored"    -> q103IvfPqStored _,
+    "q104_ivfpq_incremental" -> q104IvfPqIncremental _,
     "q81_semdedup"         -> q81SemDedup _,
     "q94_pq_encode"        -> q94PqEncode _,
     "q95_pq_ann"           -> q95PqAnn _,
@@ -417,6 +498,10 @@ object VectorQueries {
          |SELECT query_id, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin,
     "q97_ivfpq_ann" -> ivfPqAnnSql(nprobe = 1),
     "q102_ivfpq_multiprobe" -> ivfPqAnnSql(nprobe = 2),
+    // stored-index (q103) and incremental-add (q104) paths must equal the
+    // inline multiprobe computation — same oracle, different machinery
+    "q103_ivfpq_stored" -> ivfPqAnnSql(nprobe = 2),
+    "q104_ivfpq_incremental" -> ivfPqAnnSql(nprobe = 2),
     "q98_ivfpq_residual" ->
       s"""WITH qq AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
          |n0 AS (SELECT vec_id, qvec,

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted IVF-PQ index lifecycle: stored-vs-inline parity, the
+  * incremental-add contract (frozen model ⇒ bit-identical codes), load
+  * guards on mangled index dirs, and the trained-codebook build path.
+  * The streaming probe is covered in
+  * [[graft.streaming]] (StreamingAnnSpec). */
+class AnnIndexSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def embeddings = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def collectTopK(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+      .toSet
+
+  test("stored index answers equal inline ivfPqTopK (nprobe=1 and 2)") {
+    import spark.implicits._
+    val idx = tmp("ann-idx-full")
+    AnnIndex.build(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = idx)
+    for (np <- Seq(1, 2)) {
+      val stored = collectTopK(AnnIndex.topK(
+        embeddings.filter($"vec_id" < 20), "vec_id", "embedding", idx,
+        k = 5, nprobe = np))
+      val inline = collectTopK(Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+        m = 8, dims = 64, k = 5, nprobe = np))
+      assert(stored == inline, s"stored/inline diverged at nprobe=$np")
+    }
+  }
+
+  test("incremental add against the frozen model equals the full build") {
+    import spark.implicits._
+    val full = tmp("ann-idx-full2"); val incr = tmp("ann-idx-incr")
+    AnnIndex.build(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = full)
+    AnnIndex.build(embeddings.filter($"vec_id" < 250), "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = incr)
+    AnnIndex.add(embeddings.filter($"vec_id" >= 250), "vec_id", "embedding", incr)
+    // the codes tables are row-for-row identical (order aside): encoding
+    // depends only on the stored model, never on other corpus rows
+    def codes(p: String) = spark.read.parquet(s"$p/codes").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(codes(incr) == codes(full))
+    val a = collectTopK(AnnIndex.topK(embeddings.filter($"vec_id" < 20),
+      "vec_id", "embedding", incr, k = 5, nprobe = 2))
+    val b = collectTopK(AnnIndex.topK(embeddings.filter($"vec_id" < 20),
+      "vec_id", "embedding", full, k = 5, nprobe = 2))
+    assert(a == b)
+  }
+
+  test("trained-codebook build flows through the stored path") {
+    import spark.implicits._
+    val idx = tmp("ann-idx-trained")
+    AnnIndex.build(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = idx, trainIters = 2)
+    val stored = collectTopK(AnnIndex.topK(
+      embeddings.filter($"vec_id" < 20), "vec_id", "embedding", idx,
+      k = 5, nprobe = 2))
+    val inline = collectTopK(Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = 8, dims = 64, k = 5, nprobe = 2, trainIters = 2))
+    assert(stored == inline)
+    // trained books genuinely differ from the designated-row ones
+    val raw = tmp("ann-idx-raw")
+    AnnIndex.build(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = raw)
+    def books(p: String) = spark.read.parquet(s"$p/codebooks").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(books(idx) != books(raw))
+  }
+
+  test("load guards: mangled index dirs fail loudly") {
+    import spark.implicits._
+    val idx = tmp("ann-idx-mangled")
+    AnnIndex.build(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = idx)
+    // missing subspace: drop s=3 from the codebooks table
+    val cb = spark.read.parquet(s"$idx/codebooks").filter($"s" =!= 3).collect()
+    val cbDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cb.toIndexedSeq),
+      spark.read.parquet(s"$idx/codebooks").schema)
+    cbDf.write.mode("overwrite").parquet(s"$idx/codebooks2")
+    // swap in the mangled table via a fresh dir assembled from parts
+    val bad = tmp("ann-idx-bad")
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$bad/centroids")
+    cbDf.write.parquet(s"$bad/codebooks")
+    spark.read.parquet(s"$idx/codes").write.parquet(s"$bad/codes")
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.topK(embeddings.filter($"vec_id" < 20), "vec_id", "embedding",
+        bad, k = 5, nprobe = 2).collect()
+    }
+    assert(ex.getMessage.contains("missing subspaces"))
+  }
+}
