@@ -409,7 +409,19 @@ object StreamingPipeline {
   def curationStream(corpus: DataFrame, benchIndex: DataFrame, bigramDf: DataFrame,
                      idCol: String, textCol: String, tsCol: String, langCol: String,
                      n: Int, watermark: String,
-                     minFamiliarityPpm: Long): DataFrame = {
+                     minFamiliarityPpm: Long): DataFrame =
+    curationStreamImpl(corpus, benchIndex, bigramDf, idCol, textCol, tsCol, langCol,
+      n, Some(watermark), minFamiliarityPpm)
+
+  /** `watermark = None` ⇒ the input stream already carries its
+    * event-time watermark (the [[curationChainStream]] case: Spark 4
+    * multi-stateful mode forbids redefining it downstream of another
+    * stateful operator — the aggregation inherits the chain's one
+    * watermark). */
+  private def curationStreamImpl(corpus: DataFrame, benchIndex: DataFrame, bigramDf: DataFrame,
+                                 idCol: String, textCol: String, tsCol: String, langCol: String,
+                                 n: Int, watermark: Option[String],
+                                 minFamiliarityPpm: Long): DataFrame = {
     import graft.functions.TextFunctions._
     val base = corpus
       .withColumn("toks", tokens(col(textCol)))
@@ -446,9 +458,9 @@ object StreamingPipeline {
     val lookup = benchIndex
       .select(lit(3).as("kind"), col("s"), lit(1L).as("hit"), lit(0L).as("df_ppm"))
       .union(bigramDf.select(lit(2).as("kind"), col("s"), lit(0L).as("hit"), col("df_ppm")))
-    sh3.union(bi)
+    val joined = sh3.union(bi)
       .join(broadcast(lookup), Seq("kind", "s"), "left")
-      .withWatermark(tsCol, watermark)
+    watermark.fold(joined)(joined.withWatermark(tsCol, _))
       .groupBy(keys: _*)
       .agg(
         sum(when(col("kind") === 3 && col("s").isNotNull, 1L).otherwise(0L)).as("n_ngrams"),
@@ -470,6 +482,30 @@ object StreamingPipeline {
           .otherwise("keep"))
       .select(col(idCol), col("n_tokens"), col("quality_ok"), col("lang_ok"),
         col("contaminated"), col("familiarity_ppm"), col("keep"), col("reason"))
+  }
+
+  /** The composed production topology: the exact-dedup stage feeding the
+    * curation stage as ONE streaming query — [[dedupStream]]'s
+    * arrival-order survivor stream flows straight into
+    * [[curationStream]]'s gates, so a duplicate never pays the
+    * contamination/familiarity joins and the decision table contains
+    * only canonical documents. Two chained stateful operators (the
+    * within-watermark dedup state, then the per-doc keyed aggregation)
+    * under one watermark — Spark 4 multi-stateful append mode; a restart
+    * recovers BOTH states from the one checkpoint.
+    *
+    * Closed-input parity (spec-pinned): when arrival order matches id
+    * order, the survivor set equals the batch
+    * [[graft.operators.CorpusOps.curationDecisions]] canonical rows
+    * (first arrival ⇔ min id), and every emitted decision matches the
+    * batch table bit-for-bit. */
+  def curationChainStream(corpus: DataFrame, benchIndex: DataFrame, bigramDf: DataFrame,
+                          idCol: String, textCol: String, tsCol: String, langCol: String,
+                          n: Int, watermark: String,
+                          minFamiliarityPpm: Long): DataFrame = {
+    val survivors = dedupStream(corpus, tsCol, textCol, watermark).drop("content_hash")
+    curationStreamImpl(survivors, benchIndex, bigramDf, idCol, textCol, tsCol, langCol,
+      n, None, minFamiliarityPpm)
   }
 
   /** The static side of [[curationStream]]'s familiarity gate: the
