@@ -54,17 +54,7 @@ object Pipeline {
       val observed = df.observe(metric, count(lit(1)).as("rows"))
       val w = observed.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-      // the listener bus delivers asynchronously after the (synchronous)
-      // write returns — poll briefly, fail loudly rather than report 0
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var row = capturedMetrics.get(metric)
-      while (row == null && System.nanoTime() < deadline) {
-        Thread.sleep(10)
-        row = capturedMetrics.get(metric)
-      }
-      if (row == null) throw new IllegalStateException(
-        s"Pipeline: observed metric $metric not delivered within 30s of the write")
-      Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      awaitObservedMetric(capturedMetrics, metric)
     }
 
     try {
@@ -101,6 +91,26 @@ object Pipeline {
       }
       counts.toMap
     } finally spark.listenerManager.unregister(metricListener)
+  }
+
+  /** Wait for a sink's observed row-count metric to arrive on the
+    * listener bus (delivery is asynchronous after the synchronous write
+    * returns). A metric that never arrives — the observe() plumbing
+    * broke, the listener got unregistered, a rename desynced the name —
+    * must FAIL LOUDLY, never report 0 rows as if the sink were empty
+    * (negative-tested in PipelineSpec). */
+  private[cometbft] def awaitObservedMetric(
+      captured: java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row],
+      metric: String, timeoutNs: Long = 30L * 1000 * 1000 * 1000): Long = {
+    val deadline = System.nanoTime() + timeoutNs
+    var row = captured.get(metric)
+    while (row == null && System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      row = captured.get(metric)
+    }
+    if (row == null) throw new IllegalStateException(
+      s"Pipeline: observed metric $metric not delivered within ${timeoutNs / 1000000000L}s of the write")
+    Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   /** CLI: graft.cometbft.Pipeline <logDir> <warehouseDir> [analytics-csv]

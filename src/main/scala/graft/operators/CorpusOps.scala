@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
+import Checkpoints.CheckpointOps
 
 /** Corpus-assembly operators for the training-data pipeline: the steps
   * that come AFTER cleaning/dedup — turning a filtered document set into
@@ -296,7 +297,7 @@ object CorpusOps {
     // importanceWeights feature cache and the sourceOverlap shingle set.
     val spans = Dedup.shingleRows(docs, idCol, textCol, n)
       .select(col("doc"), hash60(col("s")).as("h"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
     val perDoc = spans
       .join(freq, Seq("h"))
@@ -361,7 +362,7 @@ object CorpusOps {
       .withColumn("f", pmod(hash60(col("tok")), lit(buckets.toLong)))
       .groupBy(col("doc"), col("is_target"), col("f"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val feat = featCounts
       .groupBy(col("f"))
       .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("tgt"),
@@ -490,7 +491,7 @@ object CorpusOps {
       idCol, textCol, n, carry = Seq("src"))
       .select(col("src"), hash60(col("s")).as("h"))
       .distinct()
-      .localCheckpoint()
+      .stageCheckpoint()
     val totals = sh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
     // bounded probe: are there few enough sources for the bitmask path?
     val srcIds = sh.select(col("src")).distinct()

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import Checkpoints.CheckpointOps
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -105,7 +106,7 @@ object Dedup {
     // above the aggregate). One localCheckpoint = one compute. At
     // cluster scale this is the materialize-the-sketch-table pattern
     // (persist to reliable storage there).
-    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
+    val sets = shingleSets(df, idCol, textCol, n).stageCheckpoint()
     // ceil(t*ns) in exact integer ppm math
     val prefLen = col("ns") - intDiv(col("ns") * minJaccardPpm + 999999L, lit(1000000L)) + 1L
     val pref = sets
@@ -181,7 +182,7 @@ object Dedup {
       // Materialized once: the signature table feeds both band-join sides
       // and both verify joins; Catalyst would otherwise recompute the
       // shingle+aggregate pipeline per branch.
-      minhashSigTable(df, idCol, textCol, n, k).localCheckpoint(),
+      minhashSigTable(df, idCol, textCol, n, k).stageCheckpoint(),
       k, bandSize, minJaccardPpm)
 
   /** The MinHash sketch table behind [[minhashLshPairs]]: one row per doc
@@ -333,19 +334,21 @@ object Dedup {
     * and its neighbors' labels; converges in O(component diameter)
     * rounds (near-dup clusters are shallow — a handful of rounds).
     * Each round is one equi-join + one aggregation, both distributed;
-    * `localCheckpoint` truncates the growing lineage so Catalyst
-    * re-plans per round instead of re-analyzing the whole history (on a
-    * real cluster prefer `checkpoint` to reliable storage — executor
-    * loss under localCheckpoint forfeits the partiality). At extreme
+    * the per-round checkpoint ([[Checkpoints.stage]]) truncates the
+    * growing lineage so Catalyst re-plans per round instead of
+    * re-analyzing the whole history (on a real cluster flip
+    * `graft.checkpoint.reliable=true` to route it to reliable storage —
+    * executor loss under localCheckpoint forfeits the partiality). At
+    * extreme
     * scale swap the propagation for the large-star/small-star rounds of
     * Kiveris et al. — same DataFrame shape, fewer rounds. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
+      .stageCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .withColumn("comp", col("id")).stageCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -373,7 +376,7 @@ object Dedup {
       val observed = nextWithPrev.observe(s"cc_iter_$iter",
         sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
         .drop("prev")
-      val next = observed.localCheckpoint()
+      val next = observed.stageCheckpoint()
       // A missing metric KEY must fail loudly, not read as converged —
       // defaulting to 0 would silently terminate with wrong labels if the
       // observe() plumbing ever broke. A present key with a NULL value is
@@ -396,7 +399,7 @@ object Dedup {
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     // Materialized once — consumed by both band-join sides (see q25).
-    val sigs = simhashTable(df, idCol, textCol).localCheckpoint()
+    val sigs = simhashTable(df, idCol, textCol).stageCheckpoint()
     val bands = sigs.select(
       col("doc"), col("sig"),
       posexplode(

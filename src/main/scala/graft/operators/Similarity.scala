@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import Checkpoints.CheckpointOps
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -173,7 +174,7 @@ object Similarity {
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
       .select(col(idCol).as("id"), col("c_id").as("cell"), col("qvec"), col("qnorm2"))
-      .localCheckpoint()
+      .stageCheckpoint()
     // cell-skew audit: the within-cell join is quadratic PER CELL, so its
     // safety rests on the centroids spreading the corpus — a pathological
     // (but nonzero-norm) centroid set can still concentrate everything

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
+import Checkpoints.CheckpointOps
 
 /** Vocabulary-construction operators for the training-data pipeline: the
   * corpus-statistics passes behind tokenizer training and keyword-based
@@ -76,7 +77,7 @@ object VocabOps {
       .select(col("cnt"),
         transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))).as("syms"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val rows = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     for (r <- 1 to nMerges) {
       val top = words
@@ -95,7 +96,7 @@ object VocabOps {
       rows += ((r, a, b, merged, total))
       val next = words
         .select(col("cnt"), applyMerge(col("syms"), a, b, merged).as("syms"))
-        .localCheckpoint()
+        .stageCheckpoint()
       // the prior round's checkpoint blocks are dead the moment the next
       // round materializes — free them, or they accumulate linearly in
       // nMerges for the life of the session
@@ -243,7 +244,7 @@ object VocabOps {
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("word"))
       .filter(!col("word").contains("|"))
       .groupBy(col("doc"), col("word")).agg(count(lit(1)).as("n_occ"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val encoded = merges.foldLeft(
       tok.select(col("word")).distinct()
         .select(col("word"),
@@ -318,15 +319,18 @@ object VocabOps {
     * when the n-gram vocabulary fits, shuffle join otherwise — the tf-idf
     * shape); the rollup to documents is one aggregation. Total-document
     * count is a 1×1 aggregate attach. Value ranges (PLANS.md round-7
-    * sweep): df·1e6 <= n_docs·1e6 ~ 1e18 at 1e12 docs — int64-safe;
-    * per-doc sum(df_ppm) <= 1e8 instances × 1e6 = 1e14 — safe. */
+    * sweep): df·1e6 wraps int64 past ~9.2e12 docs — inside the target
+    * scale's order of magnitude, so the df rollup runs in [[ppmExact]]
+    * (DECIMAL(38,0) on the vocab-sized table only; the corpus-sized
+    * per-doc path stays int64 codegen — sum(df_ppm) <= 1e8 instances
+    * × 1e6 = 1e14, safe). */
   def lmFamiliarity(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val inst = Dedup.shingleRows(docs, idCol, textCol, n)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dfPpm = inst.distinct()
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .select(col("s"), ppm(col("df"), col("n_docs")).as("df_ppm"))
+      .select(col("s"), ppmExact(col("df"), col("n_docs")).as("df_ppm"))
     val perDoc = inst
       .join(dfPpm, Seq("s"))
       .groupBy(col("doc"))

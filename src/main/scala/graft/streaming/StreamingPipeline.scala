@@ -520,7 +520,7 @@ object StreamingPipeline {
     val idx = inst.distinct()
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .select(col("s"), ppm(col("df"), col("n_docs")).as("df_ppm"))
+      .select(col("s"), ppmExact(col("df"), col("n_docs")).as("df_ppm"))
     val nIdx = idx.limit(maxIndexNgrams + 1).count()
     require(nIdx <= maxIndexNgrams,
       s"bigramDfIndex: index exceeds maxIndexNgrams=$maxIndexNgrams distinct bigrams - " +

@@ -227,4 +227,23 @@ class PipelineSpec extends AnyFunSuite {
       graft.cometbft.LogIngest.read(spark, dir2)).count()
     assert(withGarbage == clean, "garbage lines must drop silently without affecting valid events")
   }
+
+  // Negative test of the sink-count mechanism: each sink's row count rides
+  // the write job via observe() + a QueryExecutionListener; if the metric
+  // never reaches the listener map (broken observe plumbing, unregistered
+  // listener, desynced name) the pipeline must throw — not report 0 rows.
+  test("a sink-count metric that never arrives fails loudly, never reads as 0 rows") {
+    val captured = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val ex = intercept[IllegalStateException] {
+      graft.cometbft.Pipeline.awaitObservedMetric(captured, "graft_rows_never",
+        timeoutNs = 100L * 1000 * 1000)
+    }
+    assert(ex.getMessage.contains("graft_rows_never"))
+    // and the happy path reads the delivered value, mapping a NULL count
+    // (zero-row sink) to 0 explicitly rather than by accident
+    import spark.implicits._
+    val row = Seq(Tuple1(42L)).toDF("rows").collect()(0)
+    captured.put("graft_rows_events", row)
+    assert(graft.cometbft.Pipeline.awaitObservedMetric(captured, "graft_rows_events") == 42L)
+  }
 }
