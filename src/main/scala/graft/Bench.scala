@@ -57,7 +57,10 @@ object Bench {
     // index serving + incremental-add paths (index build timed separately
     // as q103_index_build, the q25_sig_build pattern)
     "q100_pq_train", "q101_pq_ann_trained", "q102_ivfpq_multiprobe",
-    "q103_ivfpq_stored", "q104_ivfpq_incremental")
+    "q103_ivfpq_stored", "q104_ivfpq_incremental",
+    // round 8: DSIR importance resampling and target-proportion mixing —
+    // the sampling steps that turn scores/recipes into the kept corpus
+    "q105_importance_resample", "q106_mix_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

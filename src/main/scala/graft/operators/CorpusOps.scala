@@ -383,6 +383,115 @@ object CorpusOps {
       .select(col("doc").as(idCol), col("n_tokens"), col("score_ppm"))
   }
 
+  /** The SAMPLING step of DSIR (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): turn
+    * [[importanceWeights]]' per-document scores into a deterministic
+    * keep/drop decision calibrated to a target kept-TOKEN budget. One
+    * global scale factor makes the EXPECTED kept token mass equal
+    * `budgetTokens`:
+    * {{{
+    *   scale_ppt = budget * 1e18 / sum(n_tokens * score_ppm)
+    *   keep_ppm  = min(1e6, score_ppm * scale_ppt / 1e12)
+    * }}}
+    * and the keep test is the salted md5 bucket (reproducible, no RNG —
+    * the [[domainMix]] pattern), so a document's fate never depends on
+    * partitioning, row order, or a seed state.
+    *
+    * Ranges (PLANS.md sweep): the importance mass reaches ~1e19 at 1e13
+    * tokens — past int64 — so the 1x1 totals row and the per-doc keep_ppm
+    * multiply run exact in DECIMAL(38,0) (document-count-sized frames,
+    * never the token stream — the q82 rule; DuckDB side uses HUGEINT).
+    * `budget >= mass` saturates scale at 1e18 — every nonzero-score doc
+    * kept — which doubles as the overflow guard on the integral divide.
+    *
+    * Scale: one aggregate over the weights table, a broadcast 1x1 scale
+    * row, one narrow projection — no shuffles beyond
+    * [[importanceWeights]] itself. */
+  def importanceResample(docs: DataFrame, idCol: String, textCol: String,
+                         isTarget: Column, budgetTokens: Long, salt: String,
+                         buckets: Int = 1 << 18): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val weights = importanceWeights(docs, idCol, textCol, isTarget, buckets)
+    val scale = weights
+      .agg(sum(dec(col("n_tokens")) * dec(col("score_ppm"))).as("mass"))
+      .select(
+        when(col("mass").isNull || dec(lit(budgetTokens)) >= col("mass"),
+          lit(1000000000000000000L))
+          .otherwise(intDiv(dec(lit(budgetTokens)) * dec(lit(1000000000000000000L)),
+            col("mass")))
+          .as("scale_ppt"))
+    weights
+      .crossJoin(broadcast(scale))
+      .withColumn("keep_ppm",
+        least(lit(1000000L),
+          intDiv(dec(col("score_ppm")) * dec(col("scale_ppt")), dec(lit(1000000000000L)))))
+      .withColumn("sampled",
+        pmod(hash60(concat(lit(salt + ":"), col(idCol).cast("string"))), lit(1000000L))
+          < col("keep_ppm"))
+      .select(col(idCol), col("n_tokens"), col("score_ppm"), col("keep_ppm"),
+        col("sampled"))
+  }
+
+  /** Target-proportion data mixing — the "hit this recipe" counterpart of
+    * [[domainMix]]'s automatic temperature flattening: given explicit
+    * target corpus shares per domain (ppm of the kept token budget — the
+    * published-mix shape: X% web, Y% code, Z% books), compute each
+    * domain's deterministic per-doc keep rate and the realized sample.
+    * {{{
+    *   keep_ppm_d = min(1e6, budget * share_ppm_d / tokens_d)
+    * }}}
+    * A domain absent from `targetSharesPpm` gets share 0 (dropped); a
+    * domain too small for its share saturates at keep-everything (the
+    * plan row exposes this — realized tokens fall short of target, the
+    * signal to re-balance the recipe). Per-doc keep test: salted md5
+    * bucket, no RNG.
+    *
+    * Ranges: budget * share_ppm reaches 1e19 at a 1e13-token budget —
+    * the per-domain rate math runs in DECIMAL(38,0) on the domain-count
+    * table (tiny); the corpus path is one token-count projection.
+    *
+    * Scale: one corpus aggregation to the per-domain token totals
+    * (map-side combined), rates on the broadcast-sized domain table, one
+    * broadcast join back, one final per-domain rollup — two narrow
+    * shuffles total, independent of corpus size. */
+  def mixPlan(docs: DataFrame, idCol: String, textCol: String, domain: Column,
+              targetSharesPpm: Seq[(String, Long)], budgetTokens: Long,
+              salt: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shares = targetSharesPpm.toDF("domain", "share_ppm")
+    val perDoc = docs
+      .withColumn("domain", domain)
+      .withColumn("n_tok", size(tokens(col(textCol))).cast("long"))
+    val plan = perDoc
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .join(broadcast(shares), Seq("domain"), "left")
+      .withColumn("share_ppm", coalesce(col("share_ppm"), lit(0L)))
+      .withColumn("keep_ppm",
+        when(col("n_tokens") === 0L, 0L).otherwise(
+          least(lit(1000000L),
+            intDiv(dec(lit(budgetTokens)) * dec(col("share_ppm")), dec(col("n_tokens"))))))
+      .select(col("domain"), col("n_docs"), col("n_tokens"), col("share_ppm"),
+        col("keep_ppm"))
+    perDoc
+      .join(broadcast(plan), Seq("domain"))
+      .withColumn("sampled",
+        pmod(hash60(concat(lit(salt + ":"), col(idCol).cast("string"))), lit(1000000L))
+          < col("keep_ppm"))
+      .groupBy(col("domain"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("share_ppm")).as("share_ppm"),
+        max(col("keep_ppm")).as("keep_ppm"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("n_tok")).otherwise(0L)).as("sampled_tokens"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"), col("share_ppm"),
+        col("keep_ppm"), col("n_sampled"), col("sampled_tokens"))
+  }
+
   /** Span-level decontamination: instead of flagging whole documents (see
     * [[decontaminate]]), measure HOW MUCH of each document is covered by
     * benchmark text — the PaLM/Llama-style "cut the leaked span, keep the

@@ -401,6 +401,31 @@ object TextQueries {
       isTarget = $"source" === "src0")
   }
 
+  // ---------------------------------------------------------------- q105
+  /** DSIR importance RESAMPLING: q80's weights turned into deterministic
+    * keep/drop decisions calibrated so the expected kept token mass is
+    * 8 000 tokens — the sampling step that actually builds the selected
+    * corpus. */
+  def q105ImportanceResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.importanceResample(Tables(spark, dir).documents, "doc_id", "text",
+      isTarget = $"source" === "src0", budgetTokens = 8000L, salt = "dsir")
+  }
+
+  // ---------------------------------------------------------------- q106
+  /** Target-proportion data mixing: an explicit six-source recipe (ppm of
+    * an 3 000-token budget), per-domain deterministic keep rates, realized
+    * sample sizes. Sources outside the recipe are dropped (share 0). */
+  val q106Shares: Seq[(String, Long)] = Seq(
+    "src1" -> 300000L, "src2" -> 250000L, "src3" -> 200000L,
+    "src4" -> 150000L, "src5" -> 60000L, "src6" -> 40000L)
+  def q106MixPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.mixPlan(Tables(spark, dir).documents, "doc_id", "text",
+      domain = $"source", targetSharesPpm = q106Shares,
+      budgetTokens = 3000L, salt = "mixp")
+  }
+
   // ---------------------------------------------------------------- q82
   /** Cross-source contamination matrix: shared distinct 3-gram shingles
     * and shingle-set Jaccard (ppm) for every overlapping source pair. */
@@ -584,6 +609,8 @@ object TextQueries {
     "q78_boilerplate_ngrams" -> q78BoilerplateNgrams _,
     "q79_repeated_spans"   -> q79RepeatedSpans _,
     "q80_importance_weights" -> q80ImportanceWeights _,
+    "q105_importance_resample" -> q105ImportanceResample _,
+    "q106_mix_plan"        -> q106MixPlan _,
     "q62_decontaminate"    -> q62Decontaminate _,
     "q68_decontaminate_norm" -> q68DecontaminateNorm _,
     "q71_bpe_merges"       -> q71BpeMerges _,
@@ -615,6 +642,28 @@ object TextQueries {
     """list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 \t\n\r\f\x0B]+', ' ', 'g')), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
   private def vocabSql(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** q80's full oracle, factored so q105 can reuse it as a CTE. */
+  private lazy val q80Sql: String =
+    s"""WITH tok AS (SELECT doc_id, (source = 'src0') AS is_target, unnest($toksSql) AS tok
+       |  FROM documents),
+       |ft AS (SELECT doc_id, is_target,
+       |  CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) % 262144 AS BIGINT) AS f
+       |  FROM tok),
+       |feat AS (SELECT f,
+       |  CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tgt,
+       |  CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS raw
+       |  FROM ft GROUP BY f),
+       |tot AS (SELECT CAST(sum(tgt) AS BIGINT) AS tgt_total,
+       |  CAST(sum(raw) AS BIGINT) AS raw_total FROM feat),
+       |sc AS (SELECT ft.doc_id,
+       |  least(1000000000000, CAST(floor(1000000.0
+       |    * (CAST(feat.tgt + 1 AS DOUBLE) / CAST(tot.tgt_total + 262144 AS DOUBLE))
+       |    / (CAST(feat.raw + 1 AS DOUBLE) / CAST(tot.raw_total + 262144 AS DOUBLE))) AS BIGINT)) AS affinity_ppm
+       |  FROM ft JOIN feat USING (f) CROSS JOIN tot WHERE NOT ft.is_target)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(affinity_ppm) // count(*) AS BIGINT) AS score_ppm
+       |FROM sc GROUP BY doc_id""".stripMargin
 
   private lazy val q21Sql: String =
     s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
@@ -1035,26 +1084,39 @@ object TextQueries {
          |  CAST(CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0
          |    ELSE COALESCE(p.n_repeated, 0) * 1000000 // p.n_spans END AS BIGINT) AS repeated_ppm
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
-    "q80_importance_weights" ->
-      s"""WITH tok AS (SELECT doc_id, (source = 'src0') AS is_target, unnest($toksSql) AS tok
-         |  FROM documents),
-         |ft AS (SELECT doc_id, is_target,
-         |  CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) % 262144 AS BIGINT) AS f
-         |  FROM tok),
-         |feat AS (SELECT f,
-         |  CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tgt,
-         |  CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS raw
-         |  FROM ft GROUP BY f),
-         |tot AS (SELECT CAST(sum(tgt) AS BIGINT) AS tgt_total,
-         |  CAST(sum(raw) AS BIGINT) AS raw_total FROM feat),
-         |sc AS (SELECT ft.doc_id,
-         |  least(1000000000000, CAST(floor(1000000.0
-         |    * (CAST(feat.tgt + 1 AS DOUBLE) / CAST(tot.tgt_total + 262144 AS DOUBLE))
-         |    / (CAST(feat.raw + 1 AS DOUBLE) / CAST(tot.raw_total + 262144 AS DOUBLE))) AS BIGINT)) AS affinity_ppm
-         |  FROM ft JOIN feat USING (f) CROSS JOIN tot WHERE NOT ft.is_target)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |  CAST(sum(affinity_ppm) // count(*) AS BIGINT) AS score_ppm
-         |FROM sc GROUP BY doc_id""".stripMargin,
+    "q80_importance_weights" -> q80Sql,
+    "q105_importance_resample" ->
+      s"""WITH w AS ($q80Sql),
+         |tot AS (SELECT sum(CAST(n_tokens AS HUGEINT) * CAST(score_ppm AS HUGEINT)) AS mass FROM w),
+         |sc AS (SELECT CASE
+         |    WHEN mass IS NULL OR CAST(8000 AS HUGEINT) >= mass THEN CAST(1000000000000000000 AS BIGINT)
+         |    ELSE CAST(CAST(8000 AS HUGEINT) * CAST(1000000000000000000 AS HUGEINT) // mass AS BIGINT)
+         |  END AS scale_ppt FROM tot)
+         |SELECT w.doc_id, w.n_tokens, w.score_ppm,
+         |  least(1000000, CAST(CAST(w.score_ppm AS HUGEINT) * CAST(sc.scale_ppt AS HUGEINT) // 1000000000000 AS BIGINT)) AS keep_ppm,
+         |  (CAST(CAST(concat('0x', substr(md5(concat('dsir:', CAST(w.doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) % 1000000 AS BIGINT)
+         |    < least(1000000, CAST(CAST(w.score_ppm AS HUGEINT) * CAST(sc.scale_ppt AS HUGEINT) // 1000000000000 AS BIGINT))) AS sampled
+         |FROM w CROSS JOIN sc""".stripMargin,
+    "q106_mix_plan" ->
+      s"""WITH shares(domain, share_ppm) AS (VALUES
+         |  ('src1', CAST(300000 AS BIGINT)), ('src2', CAST(250000 AS BIGINT)),
+         |  ('src3', CAST(200000 AS BIGINT)), ('src4', CAST(150000 AS BIGINT)),
+         |  ('src5', CAST(60000 AS BIGINT)), ('src6', CAST(40000 AS BIGINT))),
+         |per_doc AS (SELECT doc_id, source AS domain,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+         |plan AS (SELECT p.domain,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(min(s.share_ppm), 0) AS BIGINT) AS share_ppm,
+         |  CASE WHEN sum(n_tok) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE least(1000000, CAST(CAST(3000 AS HUGEINT) * CAST(COALESCE(min(s.share_ppm), 0) AS HUGEINT) // CAST(sum(n_tok) AS HUGEINT) AS BIGINT))
+         |  END AS keep_ppm
+         |  FROM per_doc p LEFT JOIN shares s USING (domain) GROUP BY p.domain)
+         |SELECT pl.domain, pl.n_docs, pl.n_tokens, pl.share_ppm, pl.keep_ppm,
+         |  CAST(sum(CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('mixp:', CAST(p.doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) % 1000000 AS BIGINT) < pl.keep_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('mixp:', CAST(p.doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) % 1000000 AS BIGINT) < pl.keep_ppm THEN p.n_tok ELSE 0 END) AS BIGINT) AS sampled_tokens
+         |FROM per_doc p JOIN plan pl USING (domain)
+         |GROUP BY pl.domain, pl.n_docs, pl.n_tokens, pl.share_ppm, pl.keep_ppm""".stripMargin,
     "q20_text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,

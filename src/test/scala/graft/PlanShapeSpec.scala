@@ -144,6 +144,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "feature table not broadcast")
   }
 
+  test("q105 resampling: the 1x1 scale row joins by broadcast, never a shuffle") {
+    val p = plan("q105_importance_resample")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "scale row not broadcast")
+    assert(!p.contains("CartesianProduct"), "scale attach degraded to a cartesian product")
+  }
+
+  test("q106 mix plan broadcasts the per-domain rate table") {
+    val p = plan("q106_mix_plan")
+    assert(p.contains("BroadcastHashJoin"), "domain rate table not broadcast")
+    assert(!p.contains("CartesianProduct"), "plan attach degraded to a cartesian product")
+  }
+
   test("q82 source overlap reads the materialized shingle set and broadcasts totals") {
     val p = plan("q82_source_overlap")
     // the distinct (src, hash) set is checkpointed once; no parquet

@@ -250,4 +250,72 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, 2L, (2000000L + 1000000L) / 2L),
       (4L, 3L, (666666L + 666666L + 500000L) / 3L)))
   }
+
+  // A corpus where half the docs share the target slice's vocabulary and
+  // half are disjoint noise: resampling must prefer the on-target half.
+  private def dsirFixture = {
+    import spark.implicits._
+    val target = (0L until 10L).map(i => (i, "tgt", "alpha beta gamma delta epsilon " * 4))
+    val near = (10L until 40L).map(i => (i, "raw", s"alpha beta gamma delta epsilon zeta$i " * 3))
+    val noise = (40L until 70L).map(i => (i, "raw", s"xq$i yq$i zq$i wq$i vq$i uq$i " * 3))
+    (target ++ near ++ noise).toDF("doc_id", "source", "text")
+  }
+
+  test("importanceResample: budget calibration, score preference, determinism") {
+    import spark.implicits._
+    val docs = dsirFixture
+    val out = CorpusOps.importanceResample(docs, "doc_id", "text",
+      isTarget = $"source" === "tgt", budgetTokens = 300L, salt = "s")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 60)  // only non-target docs scored
+    val byId = rows.map(r => r._1 -> r).toMap
+    // on-target docs must carry strictly higher keep rates than noise docs
+    val nearKeep = (10L until 40L).map(byId(_)._4)
+    val noiseKeep = (40L until 70L).map(byId(_)._4)
+    assert(nearKeep.min > noiseKeep.max,
+      s"on-target keep_ppm ${nearKeep.min} must exceed noise ${noiseKeep.max}")
+    // expected kept tokens ~ budget (md5-bucket noise, generous band)
+    val kept = rows.filter(_._5).map(_._2).sum
+    assert(kept > 100L && kept < 600L, s"kept $kept tokens vs budget 300")
+    // bit-for-bit deterministic: same input, same decisions
+    val again = CorpusOps.importanceResample(docs, "doc_id", "text",
+      isTarget = $"source" === "tgt", budgetTokens = 300L, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    assert(rows.forall(r => again(r._1) == r._5))
+  }
+
+  test("importanceResample: budget >= mass saturates; zero-score docs never sampled") {
+    import spark.implicits._
+    val docs = dsirFixture
+    val out = CorpusOps.importanceResample(docs, "doc_id", "text",
+      isTarget = $"source" === "tgt", budgetTokens = Long.MaxValue / 4, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    out.foreach { case (id, score, keepPpm, sampled) =>
+      if (score > 0L) assert(keepPpm == 1000000L && sampled, s"doc $id must saturate")
+      else assert(keepPpm == 0L && !sampled, s"zero-score doc $id must never be kept")
+    }
+  }
+
+  test("mixPlan: recipe rates, absent-domain drop, tiny-domain saturation") {
+    import spark.implicits._
+    // webbig: 100 docs x 10 tokens; code: 10 x 10; books absent from corpus
+    // is fine; 'junk' is in the corpus but not the recipe -> dropped.
+    val docs = (
+      (0L until 100L).map(i => (i, "webbig", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")) ++
+      (100L until 110L).map(i => (i, "code", "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")) ++
+      (110L until 120L).map(i => (i, "junk", "j1 j2 j3 j4 j5 j6 j7 j8 j9 j10"))
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusOps.mixPlan(docs, "doc_id", "text", domain = $"source",
+      targetSharesPpm = Seq("webbig" -> 500000L, "code" -> 500000L),
+      budgetTokens = 400L, salt = "s")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // webbig: target 200 of 1000 tokens -> keep_ppm 200000
+    assert(out("webbig")._4 == 200000L)
+    // code: target 200 of 100 tokens -> saturates at keep-everything
+    assert(out("code")._4 == 1000000L && out("code")._5 == 10L && out("code")._6 == 100L)
+    // junk: no recipe entry -> share 0, nothing sampled
+    assert(out("junk")._3 == 0L && out("junk")._4 == 0L && out("junk")._5 == 0L)
+  }
 }
