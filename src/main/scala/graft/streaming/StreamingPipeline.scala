@@ -603,6 +603,107 @@ object StreamingPipeline {
       .select(col("d_new"), col("d_old"), col("jaccard_ppm"))
   }
 
+  /** The SELF-MAINTAINING near-dup index — the continuous-ingestion
+    * topology where the corpus sketch table both SERVES and GROWS: each
+    * micro-batch is matched against every previously seen document's
+    * stored MinHash signature, within-batch duplicates collapse by
+    * connected components (min-id canonical), and the whole batch's
+    * signatures are appended to the sketch so the NEXT batch sees them.
+    * No static index needs to exist up front — batch 0 bootstraps it.
+    *
+    * Semantics (arrival-order first-seen-wins, the near-dup
+    * generalization of [[dedupStream]]): a document is kept iff it has
+    * no verified near-dup among all previously seen documents AND it is
+    * the min-id canonical of its within-batch near-dup component
+    * (components with any previously-seen match drop whole — exact CC
+    * over batch edges + stored matches). Matches are computed against
+    * ALL stored signatures (kept and dropped), so transitive chains
+    * a~b~c across batches dedup even when a !~ c. The one divergence
+    * from global batch CC: a late document bridging two already-emitted
+    * survivors cannot retroactively merge them (spec-pinned).
+    * Sub-`n`-token documents have no shingles — kept (reason
+    * `too_short`), never indexed.
+    *
+    * Fault tolerance: decisions write with dynamic partition-overwrite
+    * on `batch_id` (replay-idempotent), the sketch append is guarded by
+    * a batch-id probe, and matching always filters the sketch to
+    * STRICTLY EARLIER batches — a replayed batch recomputes identical
+    * decisions even if it crashed mid-write (checkpoint-restart
+    * spec-pinned).
+    *
+    * Scale: per-batch cost is the q93 stream-static shape — band
+    * equi-join of batch-bands x stored-bands (candidates scale with the
+    * batch, never corpus²), batch-sized CC, one append. The stored side
+    * is touched only through its sketch; Spark re-plans it per batch,
+    * picking broadcast vs shuffle from its actual size. */
+  def selfMaintainingDedupSink(corpus: DataFrame, idCol: String, textCol: String,
+                               n: Int, k: Int, bandSize: Int, minJaccardPpm: Long,
+                               sketchPath: String, decisionsPath: String,
+                               checkpointLocation: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    corpus.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDedupIndexBatch(batch, batchId, idCol, textCol, n, k, bandSize,
+          minJaccardPpm, sketchPath, decisionsPath)
+      }
+      .start()
+
+  private[streaming] def processDedupIndexBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, n: Int, k: Int, bandSize: Int,
+      minJaccardPpm: Long, sketchPath: String, decisionsPath: String): Unit = {
+    import graft.operators.{Checkpoints, Dedup}
+    val spark = batch.sparkSession
+    val sketchHadoopPath = new org.apache.hadoop.fs.Path(sketchPath)
+    val fs = sketchHadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored: Option[DataFrame] =
+      if (fs.exists(sketchHadoopPath)) Some(spark.read.parquet(sketchPath)) else None
+    val replayed = stored.exists(df => !df.filter(col("batch_id") === batchId).isEmpty)
+    val prior = stored.map(_.filter(col("batch_id") < batchId))
+    val sig = Checkpoints.stage(
+      Dedup.minhashSigTable(batch, idCol, textCol, n, k))
+    // previously-seen matches: batch sketch vs ALL earlier signatures
+    val storedHits = prior.map(p =>
+      Dedup.minhashMatchesAgainst(sig, p, k, bandSize, minJaccardPpm)
+        .select(col("d_new").as("id")).distinct())
+    // within-batch components over verified near-dup pairs
+    val within = Dedup.minhashLshPairsFromSig(sig, k, bandSize, minJaccardPpm)
+    val comp = Dedup.connectedComponents(within, "d1", "d2")
+    val ids = batch.select(col(idCol).as("id")).distinct()
+    val labeled = ids
+      .join(comp, Seq("id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+      .join(sig.select(col("doc").as("id"), lit(true).as("has_sig")), Seq("id"), "left")
+      .join(storedHits.getOrElse(ids.limit(0)).withColumn("stored_dup", lit(true)),
+        Seq("id"), "left")
+    val compDropped = labeled.filter(col("stored_dup")).select(col("comp")).distinct()
+      .withColumn("comp_dropped", lit(true))
+    val canon = labeled.groupBy(col("comp")).agg(min(col("id")).as("canon_id"))
+    val decisions = labeled
+      .join(broadcast(compDropped), Seq("comp"), "left")
+      .join(canon, Seq("comp"))
+      .withColumn("reason",
+        when(col("has_sig").isNull, "too_short")
+          .when(coalesce(col("comp_dropped"), lit(false)), "stored_dup")
+          .when(col("id") =!= col("canon_id"), "batch_dup")
+          .otherwise("kept"))
+      .select(col("id").as(idCol), lit(batchId).as("batch_id"),
+        (col("reason") === "kept" || col("reason") === "too_short").as("kept"),
+        col("reason"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      decisions.write.mode("overwrite").partitionBy("batch_id").parquet(decisionsPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    if (!replayed)
+      sig.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(sketchPath)
+    Checkpoints.free(sig)
+  }
+
   /** Streaming sessionization (the time-gap half of A10, §2.7): native
     * `session_window` merges a key's events into variable-length sessions
     * closed by `gap` of silence; the watermark both bounds state and

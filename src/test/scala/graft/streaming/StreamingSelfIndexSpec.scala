@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The self-maintaining near-dup index
+  * ([[StreamingPipeline.selfMaintainingDedupSink]]): the sketch table is
+  * bootstrapped by the stream itself, serves every later batch, and the
+  * decisions match the batch pipeline on closed bridge-free input.
+  */
+class StreamingSelfIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val base = (1 to 20).map(i => s"w$i").mkString(" ")
+  private val distinctText = (c: String) => (1 to 20).map(i => s"$c$i").mkString(" ")
+  // f1: three singletons; f2: cross-batch dup of 1, within-batch pair 6/7,
+  // a too-short doc; f3: a dup of the DROPPED 7 (chain through the index)
+  // and one fresh doc. No late bridges: every cluster's min id arrives
+  // before any other member.
+  private val f1 = Seq(1L -> base, 2L -> distinctText("a"), 3L -> distinctText("b"))
+  private val f2 = Seq(4L -> (base + " extra"), 5L -> distinctText("c"),
+    6L -> distinctText("d"), 7L -> (distinctText("d") + " tail"), 8L -> "a b")
+  private val f3 = Seq(9L -> (distinctText("d") + " tail more"), 10L -> distinctText("e"))
+  private val all = f1 ++ f2 ++ f3
+
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+  private def writeFile(dir: String, name: String, part: Seq[(Long, String)], mtime: Long): Unit = {
+    val p = java.nio.file.Paths.get(s"$dir/$name")
+    java.nio.file.Files.write(p,
+      part.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+  }
+
+  private def runStream(in: String, sketch: String, decisions: String, cp: String): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    val q = StreamingPipeline.selfMaintainingDedupSink(stream, "doc_id", "text",
+      n = 3, k = 16, bandSize = 4, minJaccardPpm = 600000L,
+      sketchPath = sketch, decisionsPath = decisions, checkpointLocation = cp)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def readDecisions(decisions: String): Map[Long, (Boolean, String)] =
+    spark.read.parquet(decisions).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("kept"), r.getAs[String]("reason")))).toMap
+
+  test("index bootstraps, serves later batches, and chains through dropped docs") {
+    val in = tmp("sidx-in"); val sketch = s"${tmp("sidx")}/sketch"
+    val decisions = s"${tmp("sidx")}/decisions"
+    writeFile(in, "f1.json", f1, 1700000000000L)
+    writeFile(in, "f2.json", f2, 1700000001000L)
+    writeFile(in, "f3.json", f3, 1700000002000L)
+    runStream(in, sketch, decisions, tmp("sidx-cp"))
+    val got = readDecisions(decisions)
+    assert(got(1L) == ((true, "kept")) && got(2L) == ((true, "kept")) && got(3L) == ((true, "kept")))
+    assert(got(4L) == ((false, "stored_dup")), "cross-batch near-dup must hit the grown index")
+    assert(got(6L) == ((true, "kept")) && got(7L) == ((false, "batch_dup")),
+      "within-batch pair: min id canonical")
+    assert(got(8L) == ((true, "too_short")))
+    assert(got(9L) == ((false, "stored_dup")),
+      "doc 9 dups the DROPPED doc 7 - dropped docs must still be indexed")
+    assert(got(10L) == ((true, "kept")))
+    // the sketch indexes every shingled doc, batch-stamped
+    val sk = spark.read.parquet(sketch)
+      .select(col("doc"), col("batch_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L, 10L), "8 has no shingles")
+    assert(sk(1L) < sk(4L) && sk(4L) < sk(9L), "batch stamps must follow arrival")
+  }
+
+  test("survivors equal the batch pipeline's canonical set on bridge-free input") {
+    import spark.implicits._
+    val in = tmp("sidx-par-in"); val sketch = s"${tmp("sidx-par")}/sketch"
+    val decisions = s"${tmp("sidx-par")}/decisions"
+    writeFile(in, "f1.json", f1, 1700000000000L)
+    writeFile(in, "f2.json", f2, 1700000001000L)
+    writeFile(in, "f3.json", f3, 1700000002000L)
+    runStream(in, sketch, decisions, tmp("sidx-par-cp"))
+    val streamKept = readDecisions(decisions).filter(_._2._1).keySet
+    val docs = all.toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 16, bandSize = 4, minJaccardPpm = 600000L)
+    val labels = graft.operators.Dedup.connectedComponents(pairs, "d1", "d2")
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+    val batchKept = graft.operators.CorpusOps.dedupApply(docs, "doc_id", labels)
+      .filter($"kept").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamKept == batchKept)
+  }
+
+  test("restart mid-stream and batch replay are idempotent") {
+    val in = tmp("sidx-r-in"); val root = tmp("sidx-r")
+    val sketch = s"$root/sketch"; val decisions = s"$root/decisions"
+    val cp = tmp("sidx-r-cp")
+    writeFile(in, "f1.json", f1, 1700000000000L)
+    writeFile(in, "f2.json", f2, 1700000001000L)
+    runStream(in, sketch, decisions, cp)
+    // stop, then new files arrive; restart from the same checkpoint
+    writeFile(in, "f3.json", f3, 1700000002000L)
+    runStream(in, sketch, decisions, cp)
+    val got = readDecisions(decisions)
+    assert(got(4L) == ((false, "stored_dup")) && got(9L) == ((false, "stored_dup")))
+    assert(got.size == all.size)
+    // replay the LAST batch verbatim (the crash-before-commit case): same
+    // decisions, and the sketch must not grow duplicate rows
+    val lastBatchId = spark.read.parquet(sketch).agg(max(col("batch_id"))).collect()(0).getLong(0)
+    val nBefore = spark.read.parquet(sketch).count()
+    StreamingPipeline.processDedupIndexBatch(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        f3.map(d => org.apache.spark.sql.Row(d._1, d._2))), schema),
+      lastBatchId, "doc_id", "text", n = 3, k = 16, bandSize = 4,
+      minJaccardPpm = 600000L, sketchPath = sketch, decisionsPath = decisions)
+    assert(spark.read.parquet(sketch).count() == nBefore, "replayed batch must not re-append")
+    assert(readDecisions(decisions) == got, "replayed decisions must be identical")
+  }
+}
