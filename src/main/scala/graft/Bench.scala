@@ -60,7 +60,10 @@ object Bench {
     "q103_ivfpq_stored", "q104_ivfpq_incremental",
     // round 8: DSIR importance resampling and target-proportion mixing —
     // the sampling steps that turn scores/recipes into the kept corpus
-    "q105_importance_resample", "q106_mix_plan")
+    "q105_importance_resample", "q106_mix_plan",
+    // round 8: exact-substring dedup apply (cut cross-doc repeated spans,
+    // rebuild text)
+    "q107_cut_repeated_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

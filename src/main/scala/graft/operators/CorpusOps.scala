@@ -314,6 +314,54 @@ object CorpusOps {
           .as("repeated_ppm"))
   }
 
+  /** Cross-document repeated-span CUT — the APPLY step of exact-substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", 2021): every word `n`-gram span occurring in at
+    * least `minDocs` DISTINCT documents is cut from every document, and
+    * the survivor text is rebuilt from the uncovered tokens.
+    * [[repeatedSpanCoverage]] measures the phenomenon; this removes it.
+    * Output per document: token count, exact cut-token count (the union
+    * of the matching spans' `[pos, pos+n)` intervals), cut ppm, and the
+    * cleaned text (empty when fully cut).
+    *
+    * Scale: the position-kept span table is built relationally once and
+    * checkpointed (feeds the doc-frequency aggregate and the match join);
+    * span doc-frequency is an n-gram-vocabulary-sized table; matches come
+    * from one equi-join on the 60-bit span hash. The rebuild is the one
+    * genuinely position-level stage — covered positions explode from
+    * MATCHED spans only (n x match volume, the price of producing text
+    * rather than a coverage number; use [[repeatedSpanCoverage]] when a
+    * measure suffices), then one anti-join and one per-doc
+    * order-pinned re-aggregation. */
+  def cutRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDocs: Long): DataFrame = {
+    val spans = Dedup.shingleRows(docs, idCol, textCol, n, keepPos = true)
+      .select(col("doc"), col("pos"), hash60(col("s")).as("h"))
+      .stageCheckpoint()
+    val repeated = spans.select(col("doc"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+    val covered = spans.join(repeated, Seq("h"))
+      .withColumn("p", explode(sequence(col("pos"), col("pos") + (n - 1))))
+      .select(col("doc"), col("p")).distinct()
+    val nCut = covered.groupBy(col("doc")).agg(count(lit(1)).as("n_cut"))
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(tokens(col(textCol))).as(Seq("p", "tok")))
+    val rebuilt = toks.join(covered, Seq("doc", "p"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          e => e.getField("tok")), " ").as("text_clean"))
+    docs
+      .select(col(idCol).as("doc"), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(nCut, Seq("doc"), "left")
+      .join(rebuilt, Seq("doc"), "left")
+      .withColumn("n_cut", coalesce(col("n_cut"), lit(0L)))
+      .select(col("doc").as(idCol), col("n_tokens"), col("n_cut"),
+        ppm(col("n_cut"), col("n_tokens")).as("cut_ppm"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** DSIR-style importance weighting (hashed-feature variant): score every
     * non-target document by how much its hashed unigram distribution looks
     * like the `isTarget` slice — the standard "select web data that

@@ -426,6 +426,15 @@ object TextQueries {
       budgetTokens = 3000L, salt = "mixp")
   }
 
+  // ---------------------------------------------------------------- q107
+  /** Exact-substring dedup APPLY: every word 3-gram span appearing in >= 2
+    * distinct documents is cut everywhere, text rebuilt from the
+    * surviving tokens — the Lee et al. removal step on top of q79's
+    * measurement. */
+  def q107CutRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.cutRepeatedSpans(Tables(spark, dir).documents, "doc_id", "text",
+      n = 3, minDocs = 2L)
+
   // ---------------------------------------------------------------- q82
   /** Cross-source contamination matrix: shared distinct 3-gram shingles
     * and shingle-set Jaccard (ppm) for every overlapping source pair. */
@@ -611,6 +620,7 @@ object TextQueries {
     "q80_importance_weights" -> q80ImportanceWeights _,
     "q105_importance_resample" -> q105ImportanceResample _,
     "q106_mix_plan"        -> q106MixPlan _,
+    "q107_cut_repeated_spans" -> q107CutRepeatedSpans _,
     "q62_decontaminate"    -> q62Decontaminate _,
     "q68_decontaminate_norm" -> q68DecontaminateNorm _,
     "q71_bpe_merges"       -> q71BpeMerges _,
@@ -945,6 +955,33 @@ object TextQueries {
          |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS quality_ok_ppm,
          |  CAST(sum(alpha_ppm) // count(*) AS BIGINT) AS mean_alpha_ppm
          |FROM q GROUP BY source""".stripMargin,
+    "q107_cut_repeated_spans" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g0 AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |    i -> {'pos': i, 's': concat_ws(' ', t[i], t[i+1], t[i+2])})) AS e FROM tok),
+         |g AS (SELECT doc_id, e.pos AS pos,
+         |  CAST(CAST(concat('0x', substr(md5(e.s), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM g0),
+         |rep AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+         |  WHERE nd >= 2),
+         |cov AS (SELECT DISTINCT doc_id, pos + i AS p
+         |  FROM (SELECT g.doc_id, g.pos FROM g JOIN rep USING (h)) m,
+         |  (SELECT unnest(generate_series(0, 2)) AS i) off),
+         |tk AS (SELECT doc_id, e.p AS p, e.tok AS tok FROM (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(t)),
+         |    i -> {'p': i, 'tok': t[i]})) AS e FROM tok) t0),
+         |kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+         |  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p
+         |  WHERE cov.p IS NULL),
+         |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean
+         |  FROM kept GROUP BY doc_id),
+         |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut FROM cov GROUP BY doc_id)
+         |SELECT tok.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(nc.n_cut, 0) AS BIGINT) AS n_cut,
+         |  CAST(CASE WHEN len(t) = 0 THEN 0
+         |    ELSE COALESCE(nc.n_cut, 0) * 1000000 // len(t) END AS BIGINT) AS cut_ppm,
+         |  COALESCE(reb.text_clean, '') AS text_clean
+         |FROM tok LEFT JOIN nc USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin,
     "q83_span_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |g0 AS (SELECT doc_id,

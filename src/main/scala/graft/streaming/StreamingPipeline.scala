@@ -704,6 +704,36 @@ object StreamingPipeline {
     Checkpoints.free(sig)
   }
 
+  /** Maintenance for [[selfMaintainingDedupSink]]'s sketch table: per-batch
+    * appends accumulate one small file set per micro-batch — the classic
+    * small-files problem; at production batch rates the sketch dir
+    * degrades every later batch's scan. Rewrites the table into
+    * `targetFiles` right-sized files, preserving every row and the
+    * `batch_id` stamps (replay idempotency keeps working).
+    *
+    * Stop-the-world by design: run it between streaming restarts — the
+    * foreachBatch loop re-reads the dir every batch, and a swap under a
+    * live query is undefined on stores without atomic rename. Crash-safe
+    * swap order: write tmp → rename live to backup → rename tmp to live
+    * → delete backup; a crash at any point leaves a complete copy under
+    * either the live or the backup name (never delete-before-rename). */
+  def compactSketch(spark: SparkSession, sketchPath: String, targetFiles: Int): Unit = {
+    val live = new org.apache.hadoop.fs.Path(sketchPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(live), s"compactSketch: no sketch table at $sketchPath")
+    val tmp = new org.apache.hadoop.fs.Path(sketchPath + ".compact-tmp")
+    val backup = new org.apache.hadoop.fs.Path(sketchPath + ".compact-backup")
+    require(!fs.exists(backup),
+      s"compactSketch: leftover $backup from an interrupted compaction - recover it first")
+    spark.read.parquet(sketchPath)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(live, backup), s"compactSketch: could not move $live aside")
+    require(fs.rename(tmp, live), s"compactSketch: could not promote $tmp")
+    fs.delete(backup, true)
+    ()
+  }
+
   /** Streaming sessionization (the time-gap half of A10, §2.7): native
     * `session_window` merges a key's events into variable-length sessions
     * closed by `gap` of silence; the watermark both bounds state and

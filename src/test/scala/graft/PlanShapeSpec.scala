@@ -157,6 +157,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "plan attach degraded to a cartesian product")
   }
 
+  test("q107 span cut materializes the position-kept span table once") {
+    val p = plan("q107_cut_repeated_spans")
+    // doc-frequency aggregate and match join must both read the
+    // checkpoint; the token explode + final stats each scan documents ->
+    // at most 2 parquet scans may remain, never a span-pipeline recompute
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans <= 2, s"span table recomputed from scan ($scans parquet scans):\n$p")
+  }
+
   test("q82 source overlap reads the materialized shingle set and broadcasts totals") {
     val p = plan("q82_source_overlap")
     // the distinct (src, hash) set is checkpointed once; no parquet

@@ -297,6 +297,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cutRepeatedSpans: interval union, full cut, short docs, singleton spans kept") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1 and 2 share the span "a b c" (and its overlapping extension
+      // "b c d" in 1 only — that one is NOT repeated, stays unless covered)
+      (1L, "a b c d e f g"),
+      (2L, "x y a b c z w"),
+      // 3 is entirely one repeated span shared with 4 -> fully cut
+      (3L, "r s t"),
+      (4L, "r s t u v w q"),
+      // 5 is shorter than n -> no spans, nothing cut, tokens survive
+      (5L, "p q"),
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.cutRepeatedSpans(docs, "doc_id", "text", n = 3, minDocs = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    // doc 1: "a b c" cut covers positions 0-2; d e f g survive
+    assert(out(1L) == ((7L, 3L, "d e f g")))
+    // doc 2: positions 2-4 cut; x y z w survive in order
+    assert(out(2L) == ((7L, 3L, "x y z w")))
+    assert(out(3L) == ((3L, 3L, "")), "doc equal to a repeated span is fully cut")
+    // doc 4: "r s t" covers 0-2; u v w q survive
+    assert(out(4L) == ((7L, 3L, "u v w q")))
+    assert(out(5L) == ((2L, 0L, "p q")), "sub-n docs pass through untouched")
+  }
+
+  test("cutRepeatedSpans: overlapping repeated spans union, never double-count") {
+    import spark.implicits._
+    // "a b c d" in both docs: spans "a b c" and "b c d" are both repeated,
+    // their intervals [0,3) and [1,4) union to 4 tokens, not 6
+    val docs = Seq((1L, "a b c d x"), (2L, "y a b c d")).toDF("doc_id", "text")
+    val out = CorpusOps.cutRepeatedSpans(docs, "doc_id", "text", n = 3, minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) == ((4L, "x")))
+    assert(out(2L) == ((4L, "y")))
+  }
+
   test("mixPlan: recipe rates, absent-domain drop, tiny-domain saturation") {
     import spark.implicits._
     // webbig: 100 docs x 10 tokens; code: 10 x 10; books absent from corpus

@@ -128,4 +128,27 @@ class StreamingSelfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(sketch).count() == nBefore, "replayed batch must not re-append")
     assert(readDecisions(decisions) == got, "replayed decisions must be identical")
   }
+
+  test("compaction shrinks the sketch's file count without changing any decision") {
+    val in = tmp("sidx-c-in"); val root = tmp("sidx-c")
+    val sketch = s"$root/sketch"; val decisions = s"$root/decisions"
+    val cp = tmp("sidx-c-cp")
+    writeFile(in, "f1.json", f1, 1700000000000L)
+    writeFile(in, "f2.json", f2, 1700000001000L)
+    runStream(in, sketch, decisions, cp)
+    def dataFiles() = new java.io.File(sketch).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(sketch).collect().map(_.toString).sorted.toSeq
+    assert(dataFiles() > 1, "fixture must produce a multi-file sketch")
+    StreamingPipeline.compactSketch(spark, sketch, targetFiles = 1)
+    assert(dataFiles() == 1, "compaction must rewrite to the target file count")
+    assert(spark.read.parquet(sketch).collect().map(_.toString).sorted.toSeq == before,
+      "compaction must preserve every row")
+    assert(!new java.io.File(sketch + ".compact-backup").exists, "backup must be cleaned")
+    // the compacted index still serves: f3's dups are caught on restart
+    writeFile(in, "f3.json", f3, 1700000002000L)
+    runStream(in, sketch, decisions, cp)
+    val got = readDecisions(decisions)
+    assert(got(9L) == ((false, "stored_dup")) && got(10L) == ((true, "kept")))
+  }
 }
