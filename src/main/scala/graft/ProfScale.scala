@@ -97,6 +97,19 @@ object ProfScale {
         declaredLang = col("lang"), isBenchmark = col("doc_id") % 50 === 0,
         n = 3, minFamiliarityPpm = 100000L).count()
     }
+    time("importance resample (q105)") { d =>
+      CorpusOps.importanceResample(d, "doc_id", "text",
+        isTarget = col("source") === "src0", budgetTokens = 8000L, salt = "dsir").count()
+    }
+    time("mix plan (q106)") { d =>
+      CorpusOps.mixPlan(d, "doc_id", "text", domain = col("source"),
+        targetSharesPpm = Seq("src1" -> 300000L, "src2" -> 250000L,
+          "src3" -> 200000L, "src4" -> 150000L, "src5" -> 60000L, "src6" -> 40000L),
+        budgetTokens = 3000L, salt = "mixp").count()
+    }
+    time("cut repeated spans (q107)") { d =>
+      CorpusOps.cutRepeatedSpans(d, "doc_id", "text", n = 3, minDocs = 2L).count()
+    }
     spark.stop()
   }
 }

@@ -448,4 +448,95 @@ class CorpusRandomParitySpec extends AnyFunSuite {
       assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq)
     }
   }
+
+  test("importanceResample == direct BigInt scale + md5-bucket decisions") {
+    import spark.implicits._
+    for (seed <- Seq(20L, 21L)) {
+      val docs = randomDocs(seed)
+      val B = 1 << 18
+      val isTgt = (id: Long) => id % 7 == 0
+      val tokFeats = docs.flatMap { case (id, t) => toks(t).map(tok => (id, hash60(tok) % B)) }
+      val tgtCnt = tokFeats.filter(r => isTgt(r._1)).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val rawCnt = tokFeats.filterNot(r => isTgt(r._1)).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val tgtTotal = tokFeats.count(r => isTgt(r._1)).toLong
+      val rawTotal = tokFeats.size.toLong - tgtTotal
+      def affinity(f: Long): Long =
+        math.min(1000000000000L,
+          math.floor(1000000.0d *
+            ((tgtCnt.getOrElse(f, 0L) + 1L).toDouble / (tgtTotal + B).toDouble) /
+            ((rawCnt.getOrElse(f, 0L) + 1L).toDouble / (rawTotal + B).toDouble)).toLong)
+      val weights = tokFeats.filterNot(r => isTgt(r._1)).groupBy(_._1).map { case (id, fs) =>
+        (id, fs.size.toLong, fs.map(r => affinity(r._2)).sum / fs.size)
+      }.toSeq
+      val budget = 60L
+      val mass = weights.map(w => BigInt(w._2) * BigInt(w._3)).sum
+      val scale =
+        if (mass == 0 || BigInt(budget) >= mass) 1000000000000000000L
+        else (BigInt(budget) * BigInt("1000000000000000000") / mass).toLong
+      val expected = weights.map { case (id, nTok, score) =>
+        val keep = math.min(1000000L, (BigInt(score) * BigInt(scale) / BigInt(1000000000000L)).toLong)
+        (id, nTok, score, keep, hash60(s"s:$id") % 1000000L < keep)
+      }.toSet
+      val got = CorpusOps.importanceResample(docs.toDF("doc_id", "text"), "doc_id", "text",
+          isTarget = $"doc_id" % 7 === 0, budgetTokens = budget, salt = "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("mixPlan == direct per-domain BigInt rates + md5-bucket sampling") {
+    import spark.implicits._
+    for (seed <- Seq(22L, 23L)) {
+      val docs = randomDocs(seed)
+      val srcOf = (id: Long) => s"s${id % 5}"
+      val shares = Map("s0" -> 400000L, "s1" -> 300000L, "s2" -> 200000L) // s3/s4 dropped
+      val budget = 100L
+      val byDom = docs.groupBy(d => srcOf(d._1))
+      val expected = byDom.map { case (dom, ds) =>
+        val nTokens = ds.map(d => toks(d._2).size.toLong).sum
+        val share = shares.getOrElse(dom, 0L)
+        val keep =
+          if (nTokens == 0L) 0L
+          else math.min(1000000L, (BigInt(budget) * BigInt(share) / BigInt(nTokens)).toLong)
+        val sampled = ds.filter(d => hash60(s"m:${d._1}") % 1000000L < keep)
+        (dom, ds.size.toLong, nTokens, share, keep,
+          sampled.size.toLong, sampled.map(d => toks(d._2).size.toLong).sum)
+      }.toSet
+      val got = CorpusOps.mixPlan(docs.toDF("doc_id", "text"), "doc_id", "text",
+          domain = concat(lit("s"), pmod($"doc_id", lit(5L))),
+          targetSharesPpm = shares.toSeq, budgetTokens = budget, salt = "m")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("cutRepeatedSpans == direct df-count + interval union + token rebuild") {
+    import spark.implicits._
+    for (seed <- Seq(24L, 25L)) {
+      val docs = randomDocs(seed)
+      val n = 2
+      val withPos = docs.map { case (id, t) =>
+        val tk = toks(t)
+        (id, tk, if (tk.size < n) Seq.empty[(Int, String)]
+          else tk.sliding(n).zipWithIndex.map { case (g, i) => (i, g.mkString(" ")) }.toSeq)
+      }
+      val df = withPos.flatMap { case (id, _, gs) => gs.map(g => (g._2, id)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = withPos.map { case (id, tk, gs) =>
+        val covered = gs.filter(g => df(g._2) >= 2)
+          .flatMap(g => g._1 until g._1 + n).toSet
+        val rebuilt = tk.zipWithIndex.collect { case (t, i) if !covered(i) => t }.mkString(" ")
+        val nTok = tk.size.toLong
+        (id, nTok, covered.size.toLong,
+          if (nTok == 0L) 0L else covered.size.toLong * 1000000L / nTok, rebuilt)
+      }.toSet
+      val got = CorpusOps.cutRepeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+          n = n, minDocs = 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
 }
