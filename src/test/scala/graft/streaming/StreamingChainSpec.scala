@@ -160,4 +160,47 @@ class StreamingChainSpec extends AnyFunSuite {
     assert(a.nonEmpty)
     assert(b == a, s"restarted chain diverged: ${b.size} vs ${a.size} rows")
   }
+
+  test("composed chain equals the batch canonical table for ANY batch slicing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val batch = graft.operators.CorpusOps.curationDecisions(all, "doc_id", "text",
+        declaredLang = $"lang", isBenchmark = $"doc_id" % 10 === 0,
+        n = 3, minFamiliarityPpm = minFam)
+      .filter($"doc_id" % 10 =!= 0 && $"canonical")
+      .select($"doc_id", $"n_tokens", $"quality_ok", $"lang_ok",
+        $"contaminated", $"familiarity_ppm", $"keep", $"reason")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getLong(5), r.getBoolean(6), r.getString(7)))
+      .sortBy(_._1).toSeq
+    for (seed <- Seq(61L, 62L, 63L)) {
+      val rnd = new scala.util.Random(seed)
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+      val out = StreamingPipeline.curationChainStream(
+        mem.toDF().toDF("doc_id", "ts", "text", "lang"), benchIndex, dfIdx,
+        "doc_id", "text", "ts", "lang", n = 3, watermark = "2 minutes",
+        minFamiliarityPpm = minFam)
+      val qn = s"chain_rand_$seed"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
+      try {
+        val rows = corpus.map { case (i, _, t, l) =>
+          (i, java.sql.Timestamp.valueOf(f"2025-01-01 00:0${i / 60}%d:${i % 60}%02d"), t, l)
+        } :+ ((999L, java.sql.Timestamp.valueOf("2025-01-01 02:00:00"),
+          "watermark pusher", "en"))
+        val nChunks = 1 + rnd.nextInt(5)
+        val size = math.max(1, (rows.size + nChunks - 1) / nChunks)
+        rows.grouped(size).foreach { c => mem.addData(c); q.processAllAvailable() }
+        val streamed = spark.sql(
+          s"""select doc_id, n_tokens, quality_ok, lang_ok, contaminated,
+             |familiarity_ppm, keep, reason from $qn where doc_id <> 999""".stripMargin)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+            r.getBoolean(4), r.getLong(5), r.getBoolean(6), r.getString(7)))
+          .sortBy(_._1).toSeq
+        assert(streamed == batch, s"seed $seed chunks $nChunks")
+      } finally q.stop()
+    }
+  }
 }

@@ -129,6 +129,51 @@ class StreamingSelfIndexSpec extends AnyFunSuite {
     assert(readDecisions(decisions) == got, "replayed decisions must be identical")
   }
 
+  test("survivor set is slicing-invariant on bridge-free random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    for (seed <- Seq(31L, 32L)) {
+      val rnd = new scala.util.Random(seed)
+      // clusters with fully disjoint vocabularies: members are mutual
+      // near-dups (J >= 0.9), cross-cluster similarity is exactly zero,
+      // so no late bridge can make arrival-order semantics diverge from
+      // global batch CC
+      val docs = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        var id = 0L
+        for (c <- 0 until 12) {
+          val base = (1 to 20).map(j => s"c${c}t$j")
+          for (m <- 0 until 1 + rnd.nextInt(3)) {
+            buf += ((id, (base ++ (if (m == 0) Nil else Seq(s"m$m"))).mkString(" ")))
+            id += 1
+          }
+        }
+        buf.toSeq
+      }
+      val ddf = docs.toDF("doc_id", "text")
+      val pairs = graft.operators.Dedup.minhashLshPairs(ddf, "doc_id", "text",
+        n = 3, k = 16, bandSize = 4, minJaccardPpm = 600000L)
+      val labels = graft.operators.Dedup.connectedComponents(pairs, "d1", "d2")
+      val batchKept = docs.map(_._1).toSet --
+        labels.filter(col("id") =!= col("comp")).collect().map(_.getLong(0)).toSet
+      val root = tmp(s"sidx-rand-$seed")
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingPipeline.selfMaintainingDedupSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, k = 16, bandSize = 4, minJaccardPpm = 600000L,
+        sketchPath = s"$root/sketch", decisionsPath = s"$root/decisions",
+        checkpointLocation = tmp(s"sidx-rand-cp-$seed"))
+      try {
+        val nChunks = 1 + rnd.nextInt(5)
+        val size = math.max(1, (docs.size + nChunks - 1) / nChunks)
+        docs.grouped(size).foreach { c => mem.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val streamKept = readDecisions(s"$root/decisions").filter(_._2._1).keySet
+      assert(streamKept == batchKept, s"seed $seed")
+    }
+  }
+
   test("compaction shrinks the sketch's file count without changing any decision") {
     val in = tmp("sidx-c-in"); val root = tmp("sidx-c")
     val sketch = s"$root/sketch"; val decisions = s"$root/decisions"
