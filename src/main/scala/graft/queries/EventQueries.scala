@@ -18,17 +18,12 @@ object EventQueries {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** Events with an exact integer-µs event-time column. The driver's
-    * events.parquet carries TIMESTAMP(NANOS), which Spark only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (→ LongType ns); truncating
-    * ns→µs matches DuckDB's `epoch_us` for positive epochs. */
+  /** Events with an exact integer-µs event-time column, tolerant of the
+    * three type flavors the driver's events.parquet has resolved as
+    * (LongType ns / TIMESTAMP / TIMESTAMP_NTZ) — see [[Tables.tsToMicros]]. */
   private def ev(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val raw = Tables(spark, dir).events
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw.withColumn("ts_us", expr("ts div 1000"))
-      case _                                   => raw.withColumn("ts_us", unix_micros($"ts"))
-    }
+    raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts"))
   }
 
   // ---------------------------------------------------------------- q11
