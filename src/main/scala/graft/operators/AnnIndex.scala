@@ -33,11 +33,12 @@ import org.apache.spark.sql.functions._
   * depends only on the stored model, never on other corpus rows.
   *
   * Scale: model tables are tiny and collected driver-side at load (the
-  * kmeans-seed pattern, loudly size-checked); `codes` is read as a
-  * normal parquet scan — on a cluster it would be written partitioned/
-  * bucketed by `cell` so a probe touches only its cells' files. Queries
-  * broadcast (gated) exactly as in [[Similarity.ivfPqTopK]]; the stream
-  * side keeps per-query state bounded by the probed cells × watermark.
+  * kmeans-seed pattern, loudly size-checked); `codes` is WRITTEN
+  * PARTITIONED BY `cell`, and [[topK]] prunes it with the literal probed
+  * cell set — a probe reads nprobe/ncells of the index files, not all of
+  * them (the main serving-latency lever at 1e9 codes). Queries broadcast
+  * (gated) exactly as in [[Similarity.ivfPqTopK]]; the stream side keeps
+  * per-query state bounded at k entries by [[graft.agg.BoundedTopKAgg]].
   */
 object AnnIndex {
 
@@ -86,7 +87,21 @@ object AnnIndex {
       .toDF("s", "pos", "cv", "cn")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
     encoded(q, idCol, cents, posBooks, m, sub)
-      .write.mode("overwrite").parquet(s"$indexDir/codes")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** The stored `codes` table, read with `cell` pinned to LongType.
+    * `cell` is a PARTITION column (directory-encoded), so Spark's
+    * partition-value inference would narrow 0..4095 to IntegerType and
+    * silently change the serve output schema; supplying the schema
+    * (footer read only — no data scan) keeps it the LongType the encode
+    * side wrote and keeps the join key cast-free (pruning-eligible). */
+  private def codesTable(spark: SparkSession, indexDir: String): DataFrame = {
+    val path     = s"$indexDir/codes"
+    val inferred = spark.read.parquet(path).schema
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "cell") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    spark.read.schema(pinned).parquet(path)
   }
 
   /** Re-collect the stored model state driver-side: cid-ascending
@@ -128,7 +143,7 @@ object AnnIndex {
     val (cents, posBooks, m, sub) = loadModel(df.sparkSession, indexDir)
     val q = Similarity.quantized(df, vecCol).filter(col("qnorm2") > 0L)
     encoded(q, idCol, cents, posBooks, m, sub)
-      .write.mode("append").parquet(s"$indexDir/codes")
+      .write.partitionBy("cell").mode("append").parquet(s"$indexDir/codes")
   }
 
   /** Serve a query batch from the stored index: probe the `nprobe`
@@ -139,7 +154,6 @@ object AnnIndex {
   def topK(queries: DataFrame, idCol: String, vecCol: String, indexDir: String,
            k: Int, nprobe: Int = 1, maxQueries: Int = 10000): DataFrame = {
     val (cents, posBooks, m, sub) = loadModel(queries.sparkSession, indexDir)
-    val codes = queries.sparkSession.read.parquet(s"$indexDir/codes")
     val q = Similarity.quantized(queries, vecCol).filter(col("qnorm2") > 0L)
     val queries0 = q
       .select(col(idCol).cast("long").as("query_id"), col("qvec").as("qv"),
@@ -149,6 +163,16 @@ object AnnIndex {
     require(nQueries <= maxQueries,
       s"AnnIndex.topK: query side exceeds maxQueries=$maxQueries rows - queries " +
         "are broadcast against the stored code table")
+    // The probed cell set is KNOWN at query time (≤ nprobe × nQueries,
+    // capped by the centroid count), so prune the cell-partitioned codes
+    // table with a literal IN — static partition pruning, visible as
+    // PartitionFilters in the scan, deterministic where DPP is heuristic.
+    // A probe then reads nprobe/ncells of the index, not all of it.
+    val probedCells: Array[Long] = queries0
+      .select(explode(col("probes")).as("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val codes = codesTable(queries.sparkSession, indexDir)
+      .filter(col("cell").isin(probedCells.map(Long.box): _*))
     val qdf = Similarity.withAdcTables(queries0, "qv", m, sub, posBooks)
       .drop("qv")
       .withColumn("cell", explode(col("probes")))
@@ -171,18 +195,25 @@ object AnnIndex {
     * per-query top-k once the watermark closes the query's window.
     *
     * Top-k on a stream can't use a rank window; instead the candidates
-    * aggregate per (window, query) into a sorted-struct min-k —
-    * `struct(adist2, cand_id, cell)` sorts exactly in the batch rank
-    * order, so emitted rows are bit-identical to [[topK]] on the same
-    * closed input. State per query is its candidate top-k buffer,
-    * bounded by the probed cells and dropped at the watermark. */
+    * aggregate per (window, query) through [[graft.agg.BoundedTopKAgg]],
+    * whose `TopKEntry` ordering is exactly the batch rank order
+    * (adist2 ASC, cand_id ASC), so emitted rows are bit-identical to
+    * [[topK]] on the same closed input. State per (window, query) is the
+    * aggregate's buffer — AT MOST k entries (eviction on insert), never
+    * the full candidate list — and is dropped at the watermark. */
   def probeStream(queryStream: DataFrame, idCol: String, vecCol: String,
                   tsCol: String, indexDir: String, k: Int, nprobe: Int = 1,
                   watermark: String = "10 seconds",
                   windowDur: String = "1 minute"): DataFrame = {
     val spark = queryStream.sparkSession
     val (cents, posBooks, m, sub) = loadModel(spark, indexDir)
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    // Stream side: the probed cells differ per micro-batch, so no static
+    // IN-list is possible here; the cell-partitioned layout still lets the
+    // per-batch re-planned static side skip non-probed cells via runtime
+    // partition pruning when available (a production server would probe
+    // per-batch inside foreachBatch with the topK path to get the same
+    // literal pruning).
+    val codes = codesTable(spark, indexDir)
     val q = Similarity.quantized(queryStream, vecCol).filter(col("qnorm2") > 0L)
     val queries0 = q
       .select(col(idCol).cast("long").as("query_id"), col(tsCol), col("qvec").as("qv"),
@@ -198,9 +229,9 @@ object AnnIndex {
       .withColumn("adist2", Similarity.adcDistance(m))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur), col("query_id"))
-      .agg(slice(sort_array(collect_list(
-        struct(col("adist2"), col("cand_id"), col("cell")))), 1, k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
+      .agg(graft.agg.BoundedTopKAgg
+        .column(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
       .select(col("query_id"), col("e.cell").as("cell"), col("e.cand_id").as("cand_id"),
         (col("r0") + 1).cast("int").as("rank"), col("e.adist2").as("adist2"))
   }

@@ -91,6 +91,48 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(books(idx) != books(raw))
   }
 
+  test("serve plan prunes the cell-partitioned codes table to the probed cells") {
+    import spark.implicits._
+    val idx = tmp("ann-idx-pruned")
+    AnnIndex.build(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = idx)
+    // a small query batch so the probed set is a strict subset of the
+    // 8 cells (20 queries × nprobe=2 would touch every cell)
+    val served = AnnIndex.topK(embeddings.filter($"vec_id" < 2),
+      "vec_id", "embedding", idx, k = 5, nprobe = 1)
+    // the codes scan must carry a PartitionFilter on `cell` (the literal
+    // probed-cell IN list) — the nprobe/ncells file-pruning contract
+    val plan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val partFilterLines = plan.linesIterator
+      .filter(_.trim.startsWith("PartitionFilters:")).toSeq
+    assert(partFilterLines.nonEmpty, s"no partitioned scan in plan:\n$plan")
+    assert(partFilterLines.exists(l => l.contains("cell") && l.contains("IN")),
+      s"codes scan not pruned by probed cells:\n${partFilterLines.mkString("\n")}")
+    // and the pruned scan actually reads fewer partitions than exist
+    // (descend through the AQE wrapper to reach the file scans)
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(fileScans) ++ other.subqueries.flatMap(fileScans)
+    }
+    val scans = fileScans(served.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(scans.nonEmpty, "no FileSourceScanExec over the partitioned codes table")
+    val totalCells = spark.read.parquet(s"$idx/codes").select("cell").distinct().count()
+    val readCells  = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(readCells < totalCells,
+      s"probe read $readCells of $totalCells cell partitions - no pruning")
+    // correctness unchanged by pruning
+    assert(collectTopK(served) == collectTopK(Similarity.ivfPqTopK(
+      embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 2,
+      m = 8, dims = 64, k = 5, nprobe = 1)))
+  }
+
   test("load guards: mangled index dirs fail loudly") {
     import spark.implicits._
     val idx = tmp("ann-idx-mangled")

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.agg.{BoundedTopKAgg, TopKEntry}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+import scala.util.Random
+
+/** The streaming-state contract of [[graft.agg.BoundedTopKAgg]]
+  * (VERDICT r8 item 2): the buffer NEVER exceeds k entries at any point
+  * in reduce/merge — so per-(window, query) streaming state is O(k), not
+  * O(candidates) — while the finished ranking is exactly
+  * sort-everything-take-k in (adist2, cand_id, cell) order. Exercised
+  * directly on the Aggregator (no Spark session needed). */
+class BoundedTopKAggSpec extends AnyFunSuite {
+
+  private val ord: Ordering[TopKEntry] = Ordering.by(e => (e.adist2, e.cand_id, e.cell))
+
+  private def entries(n: Int, seed: Long): Seq[TopKEntry] = {
+    val rnd = new Random(seed)
+    // small adist2 domain → plenty of ties, exercising the cand_id tie-break
+    Seq.fill(n)(TopKEntry(rnd.nextInt(50).toLong, rnd.nextLong().abs % 100000, rnd.nextInt(8).toLong))
+  }
+
+  test("buffer never exceeds k entries at any step of reduce") {
+    val k = 7
+    val agg = BoundedTopKAgg(k)
+    var buf = agg.zero
+    for (e <- entries(5000, seed = 1)) {
+      buf = agg.reduce(buf, e)
+      assert(buf.length <= k, s"buffer grew to ${buf.length} > k=$k")
+    }
+    assert(buf.length == k)
+  }
+
+  test("finish equals sort-everything-take-k, including ties") {
+    for (seed <- 1L to 5L; k <- Seq(1, 3, 10, 100)) {
+      val in  = entries(1200, seed)
+      val agg = BoundedTopKAgg(k)
+      val got = agg.finish(in.foldLeft(agg.zero)(agg.reduce)).rows
+      val expected = in.sorted(ord).take(k)
+      assert(got == expected, s"seed=$seed k=$k")
+    }
+  }
+
+  test("merge of partial buffers is exact and stays bounded") {
+    val k = 9
+    val agg = BoundedTopKAgg(k)
+    val in  = entries(3000, seed = 42)
+    // simulate map-side partials: reduce disjoint slices, then merge pairwise
+    val partials = in.grouped(250).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    partials.foreach(p => assert(p.length <= k))
+    val merged = partials.reduce { (a, b) =>
+      val m = agg.merge(a, b)
+      assert(m.length <= k, s"merged buffer ${m.length} > k=$k")
+      m
+    }
+    assert(agg.finish(merged).rows == in.sorted(ord).take(k))
+  }
+
+  test("fewer than k inputs returns all of them, sorted") {
+    val agg = BoundedTopKAgg(10)
+    val in  = entries(4, seed = 7)
+    assert(agg.finish(in.foldLeft(agg.zero)(agg.reduce)).rows == in.sorted(ord))
+    assert(agg.finish(agg.zero).rows.isEmpty)
+  }
+}
