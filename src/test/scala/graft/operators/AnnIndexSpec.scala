@@ -133,6 +133,50 @@ class AnnIndexSpec extends AnyFunSuite {
       m = 8, dims = 64, k = 5, nprobe = 1)))
   }
 
+  test("stored-index recall equals inline recall and is monotone in nprobe") {
+    import spark.implicits._
+    // The PqSpec recall gate extended to the STORED path (VERDICT r8
+    // item 7): codes are bit-identical to inline encoding, so recall@5
+    // must be EQUAL (not just close), and probing more cells of the
+    // stored index can only widen the candidate set.
+    val idx = tmp("ann-idx-recall")
+    AnnIndex.build(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = idx)
+    val rows = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1000000.0d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .sortBy(_._1)
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = rows.filter(_._1 < 20).map { case (qid, qv) =>
+      qid -> rows.filter(_._1 != qid)
+        .map { case (cid, cv) => (l2(qv, cv), cid) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id"), col("cand_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      exact.map { case (q, s) => got.getOrElse(q, Set.empty).count(s).toDouble / 5 }
+        .sum / exact.size
+    }
+    val q20 = embeddings.filter($"vec_id" < 20)
+    val storedByNp = Seq(1, 2).map { np =>
+      val stored = recall(AnnIndex.topK(q20, "vec_id", "embedding", idx, k = 5, nprobe = np))
+      val inline = recall(Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+        m = 8, dims = 64, k = 5, nprobe = np))
+      info(s"recall@5 nprobe=$np: stored=$stored inline=$inline")
+      assert(stored == inline, s"stored recall $stored != inline recall $inline at nprobe=$np")
+      stored
+    }
+    assert(storedByNp(1) >= storedByNp(0) - 1e-9,
+      s"stored nprobe=2 recall (${storedByNp(1)}) lost to nprobe=1 (${storedByNp(0)})")
+    assert(storedByNp(0) >= 0.08, s"stored-index recall collapsed: ${storedByNp(0)}")
+  }
+
   test("load guards: mangled index dirs fail loudly") {
     import spark.implicits._
     val idx = tmp("ann-idx-mangled")
