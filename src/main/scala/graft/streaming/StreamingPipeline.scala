@@ -690,18 +690,86 @@ object StreamingPipeline {
       .select(col("id").as(idCol), lit(batchId).as("batch_id"),
         (col("reason") === "kept" || col("reason") === "too_short").as("kept"),
         col("reason"))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      decisions.write.mode("overwrite").partitionBy("batch_id").parquet(decisionsPath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    overwriteByBatchId(decisions, decisionsPath)
     if (!replayed)
       sig.withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(sketchPath)
     Checkpoints.free(sig)
+  }
+
+  /** Replay-idempotent per-batch write: dynamic partition-overwrite on
+    * `batch_id`, so a replayed micro-batch rewrites exactly its own
+    * partition and a crash mid-write leaves no partial batch visible to
+    * a re-run. */
+  private def overwriteByBatchId(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** The full production ingestion topology: the self-maintaining
+    * NEAR-dup index's survivor stream feeding the curation gates —
+    * [[selfMaintainingDedupSink]] composed with [[curationStream]]'s
+    * decision logic in ONE sink.
+    *
+    * foreachBatch output cannot feed a second stateful streaming query
+    * directly, so the composition runs the curation stage PER BATCH
+    * inside the same foreachBatch, after the near-dup stage commits its
+    * decisions: this batch's survivors (kept canonicals + unshingleable
+    * `too_short` rows) are re-joined to the batch rows and pushed
+    * through the EXACT [[curationStream]] gate pipeline (quality,
+    * language-ID, static broadcast bench-index contamination, static
+    * bigram-LM familiarity) as a batch query — same code path, so the
+    * composed decisions provably match the chain spec's batch oracle.
+    * The curation table is written with the same `batch_id`
+    * partition-overwrite as the dedup decisions: a replayed batch
+    * recomputes identical near-dup decisions (strictly-earlier sketch
+    * filter) and therefore identical curation rows.
+    *
+    * Scale: adds ZERO new state to the stream — curation state lives
+    * only within a batch (one keyed aggregation over the batch's
+    * n-grams); the only cross-batch state remains the sketch table.
+    * Near-dup drops never pay the n-gram explode or the gate joins —
+    * the reason the dedup stage runs first. */
+  def selfMaintainingCurationSink(corpus: DataFrame, idCol: String, textCol: String,
+                                  tsCol: String, langCol: String,
+                                  n: Int, k: Int, bandSize: Int, minJaccardPpm: Long,
+                                  benchIndex: DataFrame, bigramDf: DataFrame,
+                                  curationN: Int, minFamiliarityPpm: Long,
+                                  sketchPath: String, decisionsPath: String,
+                                  curationPath: String, checkpointLocation: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    corpus.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCurationChainBatch(batch, batchId, idCol, textCol, tsCol, langCol,
+          n, k, bandSize, minJaccardPpm, benchIndex, bigramDf, curationN,
+          minFamiliarityPpm, sketchPath, decisionsPath, curationPath)
+      }
+      .start()
+
+  private[streaming] def processCurationChainBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, tsCol: String, langCol: String,
+      n: Int, k: Int, bandSize: Int, minJaccardPpm: Long,
+      benchIndex: DataFrame, bigramDf: DataFrame,
+      curationN: Int, minFamiliarityPpm: Long,
+      sketchPath: String, decisionsPath: String, curationPath: String): Unit = {
+    processDedupIndexBatch(batch, batchId, idCol, textCol, n, k, bandSize,
+      minJaccardPpm, sketchPath, decisionsPath)
+    val spark = batch.sparkSession
+    val kept = spark.read.parquet(decisionsPath)
+      .filter(col("batch_id") === batchId && col("kept"))
+      .select(col(idCol))
+    val survivors = batch.join(kept, Seq(idCol))
+    val curation = curationStreamImpl(survivors, benchIndex, bigramDf,
+        idCol, textCol, tsCol, langCol, curationN, None, minFamiliarityPpm)
+      .withColumn("batch_id", lit(batchId))
+    overwriteByBatchId(curation, curationPath)
   }
 
   /** Maintenance for [[selfMaintainingDedupSink]]'s sketch table: per-batch
