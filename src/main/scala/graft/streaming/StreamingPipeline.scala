@@ -635,25 +635,35 @@ object StreamingPipeline {
     * equi-join of batch-bands x stored-bands (candidates scale with the
     * batch, never corpus²), batch-sized CC, one append. The stored side
     * is touched only through its sketch; Spark re-plans it per batch,
-    * picking broadcast vs shuffle from its actual size. */
+    * picking broadcast vs shuffle from its actual size. Each append adds
+    * one file set (≤ the sig table's partition count), so the dir grows
+    * ~files/batch × batches — `compactEveryBatches = Some(e)` runs the
+    * crash-safe [[compactSketch]] inline every `e` batches, bounding the
+    * file count at ~`compactTargetFiles + e × files/batch` (measured
+    * file-count-vs-latency table in PLANS.md). */
   def selfMaintainingDedupSink(corpus: DataFrame, idCol: String, textCol: String,
                                n: Int, k: Int, bandSize: Int, minJaccardPpm: Long,
                                sketchPath: String, decisionsPath: String,
-                               checkpointLocation: String)
+                               checkpointLocation: String,
+                               compactEveryBatches: Option[Int] = None,
+                               compactTargetFiles: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery =
     corpus.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDedupIndexBatch(batch, batchId, idCol, textCol, n, k, bandSize,
-          minJaccardPpm, sketchPath, decisionsPath)
+          minJaccardPpm, sketchPath, decisionsPath,
+          compactEveryBatches, compactTargetFiles)
       }
       .start()
 
   private[streaming] def processDedupIndexBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, n: Int, k: Int, bandSize: Int,
-      minJaccardPpm: Long, sketchPath: String, decisionsPath: String): Unit = {
+      minJaccardPpm: Long, sketchPath: String, decisionsPath: String,
+      compactEveryBatches: Option[Int] = None, compactTargetFiles: Int = 32): Unit = {
     import graft.operators.{Checkpoints, Dedup}
     val spark = batch.sparkSession
+    recoverSketch(spark, sketchPath)
     val sketchHadoopPath = new org.apache.hadoop.fs.Path(sketchPath)
     val fs = sketchHadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stored: Option[DataFrame] =
@@ -695,6 +705,18 @@ object StreamingPipeline {
       sig.withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(sketchPath)
     Checkpoints.free(sig)
+    // Online compaction: between the append above and the next batch's
+    // read there is NO other reader of the sketch dir (this loop is its
+    // only consumer), so the crash-safe swap can run right here — the
+    // small-files growth is bounded at compactEveryBatches × files/batch
+    // instead of unbounded-until-restart. Replays re-enter harmlessly:
+    // compaction preserves rows, and recoverSketch above heals a crash
+    // mid-swap before anything is read.
+    compactEveryBatches.foreach { every =>
+      require(every > 0, s"compactEveryBatches must be positive, got $every")
+      if (batchId % every == every - 1)
+        compactSketch(spark, sketchPath, compactTargetFiles)
+    }
   }
 
   /** Replay-idempotent per-batch write: dynamic partition-overwrite on
@@ -742,14 +764,17 @@ object StreamingPipeline {
                                   benchIndex: DataFrame, bigramDf: DataFrame,
                                   curationN: Int, minFamiliarityPpm: Long,
                                   sketchPath: String, decisionsPath: String,
-                                  curationPath: String, checkpointLocation: String)
+                                  curationPath: String, checkpointLocation: String,
+                                  compactEveryBatches: Option[Int] = None,
+                                  compactTargetFiles: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery =
     corpus.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processCurationChainBatch(batch, batchId, idCol, textCol, tsCol, langCol,
           n, k, bandSize, minJaccardPpm, benchIndex, bigramDf, curationN,
-          minFamiliarityPpm, sketchPath, decisionsPath, curationPath)
+          minFamiliarityPpm, sketchPath, decisionsPath, curationPath,
+          compactEveryBatches, compactTargetFiles)
       }
       .start()
 
@@ -758,9 +783,11 @@ object StreamingPipeline {
       n: Int, k: Int, bandSize: Int, minJaccardPpm: Long,
       benchIndex: DataFrame, bigramDf: DataFrame,
       curationN: Int, minFamiliarityPpm: Long,
-      sketchPath: String, decisionsPath: String, curationPath: String): Unit = {
+      sketchPath: String, decisionsPath: String, curationPath: String,
+      compactEveryBatches: Option[Int] = None, compactTargetFiles: Int = 32): Unit = {
     processDedupIndexBatch(batch, batchId, idCol, textCol, n, k, bandSize,
-      minJaccardPpm, sketchPath, decisionsPath)
+      minJaccardPpm, sketchPath, decisionsPath,
+      compactEveryBatches, compactTargetFiles)
     val spark = batch.sparkSession
     val kept = spark.read.parquet(decisionsPath)
       .filter(col("batch_id") === batchId && col("kept"))
@@ -779,26 +806,52 @@ object StreamingPipeline {
     * `targetFiles` right-sized files, preserving every row and the
     * `batch_id` stamps (replay idempotency keeps working).
     *
-    * Stop-the-world by design: run it between streaming restarts — the
-    * foreachBatch loop re-reads the dir every batch, and a swap under a
-    * live query is undefined on stores without atomic rename. Crash-safe
+    * Safe to run between streaming restarts AND online between batches
+    * (the foreachBatch loop is the sketch's only reader, and it reads at
+    * batch start — `compactEveryBatches` wires the cadence). Crash-safe
     * swap order: write tmp → rename live to backup → rename tmp to live
     * → delete backup; a crash at any point leaves a complete copy under
-    * either the live or the backup name (never delete-before-rename). */
+    * either the live or the backup name (never delete-before-rename),
+    * and [[recoverSketch]] — run here and at every batch start — heals
+    * each intermediate state deterministically. */
   def compactSketch(spark: SparkSession, sketchPath: String, targetFiles: Int): Unit = {
+    recoverSketch(spark, sketchPath)
     val live = new org.apache.hadoop.fs.Path(sketchPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"compactSketch: no sketch table at $sketchPath")
     val tmp = new org.apache.hadoop.fs.Path(sketchPath + ".compact-tmp")
     val backup = new org.apache.hadoop.fs.Path(sketchPath + ".compact-backup")
-    require(!fs.exists(backup),
-      s"compactSketch: leftover $backup from an interrupted compaction - recover it first")
     spark.read.parquet(sketchPath)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(live, backup), s"compactSketch: could not move $live aside")
     require(fs.rename(tmp, live), s"compactSketch: could not promote $tmp")
     fs.delete(backup, true)
+    ()
+  }
+
+  /** Heal an interrupted [[compactSketch]] swap. The swap's states are
+    * distinguishable from the directory layout alone, so recovery is
+    * deterministic with no journal:
+    *   - backup AND live exist → crash after promote: live is the newer
+    *     complete copy, drop the backup;
+    *   - backup exists, live missing → crash between the two renames:
+    *     restore the backup (the tmp copy, though complete, is simply
+    *     re-derivable — restoring the original is the conservative move);
+    *   - tmp exists (any case) → a partial or superseded copy: drop it.
+    * Idempotent and cheap when there is nothing to heal (two existence
+    * probes). */
+  def recoverSketch(spark: SparkSession, sketchPath: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(sketchPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(sketchPath + ".compact-tmp")
+    val backup = new org.apache.hadoop.fs.Path(sketchPath + ".compact-backup")
+    if (fs.exists(backup)) {
+      if (fs.exists(live)) fs.delete(backup, true)
+      else require(fs.rename(backup, live),
+        s"recoverSketch: could not restore $backup to $live")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     ()
   }
 

@@ -174,6 +174,69 @@ class StreamingSelfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("online compaction cadence bounds the file count without changing decisions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = tmp("sidx-online")
+    val sketch = s"$root/sketch"; val decisions = s"$root/decisions"
+    val mem = MemoryStream[(Long, String)]
+    // compact every 2 batches into 1 file: after batch 1 and 3 the dir
+    // must be back at (1 + files-of-one-append) or fewer files
+    val q = StreamingPipeline.selfMaintainingDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, k = 16, bandSize = 4, minJaccardPpm = 600000L,
+      sketchPath = sketch, decisionsPath = decisions,
+      checkpointLocation = tmp("sidx-online-cp"),
+      compactEveryBatches = Some(2), compactTargetFiles = 1)
+    def dataFiles() = new java.io.File(sketch).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    try {
+      mem.addData(f1); q.processAllAvailable()
+      mem.addData(f2); q.processAllAvailable() // batch 1: compacts to 1 file
+      val afterCompact = dataFiles()
+      assert(afterCompact == 1, s"batch 1 should compact to 1 file, saw $afterCompact")
+      mem.addData(f3); q.processAllAvailable() // batch 2: appends, no compact
+      assert(dataFiles() > 1, "batch 2 must append without compacting")
+    } finally q.stop()
+    val got = readDecisions(decisions)
+    assert(got(4L) == ((false, "stored_dup")) && got(9L) == ((false, "stored_dup")) &&
+      got(10L) == ((true, "kept")), "decisions must be unchanged by online compaction")
+  }
+
+  test("recoverSketch heals every crash state of an interrupted swap") {
+    val in = tmp("sidx-rec-in"); val root = tmp("sidx-rec")
+    val sketch = s"$root/sketch"; val decisions = s"$root/decisions"
+    writeFile(in, "f1.json", f1, 1700000000000L)
+    writeFile(in, "f2.json", f2, 1700000001000L)
+    runStream(in, sketch, decisions, tmp("sidx-rec-cp"))
+    val rows = spark.read.parquet(sketch).collect().map(_.toString).sorted.toSeq
+    def copyDir(from: String, to: String): Unit =
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(from), new java.io.File(to))
+    def assertHealed(): Unit = {
+      StreamingPipeline.recoverSketch(spark, sketch)
+      assert(!new java.io.File(sketch + ".compact-tmp").exists)
+      assert(!new java.io.File(sketch + ".compact-backup").exists)
+      assert(spark.read.parquet(sketch).collect().map(_.toString).sorted.toSeq == rows)
+    }
+    // state 1: crash mid-tmp-write (partial tmp, live intact)
+    copyDir(sketch, sketch + ".compact-tmp")
+    assertHealed()
+    // state 2: crash between the renames (live moved aside, tmp complete)
+    copyDir(sketch, sketch + ".compact-tmp")
+    assert(new java.io.File(sketch).renameTo(new java.io.File(sketch + ".compact-backup")))
+    assertHealed()
+    // state 3: crash after promote (live complete, backup left behind)
+    copyDir(sketch, sketch + ".compact-backup")
+    assertHealed()
+    // and the healed sketch still serves through the normal batch path
+    writeFile(in, "f3.json", f3, 1700000002000L)
+    runStream(in, sketch, decisions, tmp("sidx-rec-cp2"))
+    val got = readDecisions(decisions)
+    assert(got(9L) == ((false, "stored_dup")) && got(10L) == ((true, "kept")))
+  }
+
   test("compaction shrinks the sketch's file count without changing any decision") {
     val in = tmp("sidx-c-in"); val root = tmp("sidx-c")
     val sketch = s"$root/sketch"; val decisions = s"$root/decisions"
