@@ -540,6 +540,50 @@ object CorpusOps {
         col("keep_ppm"), col("n_sampled"), col("sampled_tokens"))
   }
 
+  /** Token-budget corpus selection: the highest-scoring prefix of the
+    * corpus that fits a training-token budget — "take the best docs
+    * until the budget is spent", the data-selection step after scoring
+    * (quality, DSIR affinity, …). Semantics: order by (score DESC, id
+    * ASC), keep the maximal prefix whose cumulative token count stays
+    * ≤ `budgetTokens` (the first doc to overflow stops the prefix —
+    * deterministic, oracle-expressible as one SQL window).
+    *
+    * Scale — the naive formulation is a GLOBAL ordered window, which
+    * serializes the corpus through one partition. Instead the global
+    * cumulative sum decomposes by score class:
+    *   1. per-score token totals (one shuffle; the score is an integer
+    *      ppm, so this table is bounded by the 1e6+1-value score domain,
+    *      NOT by corpus rows);
+    *   2. an ordered window over that bounded table computes each
+    *      class's strictly-before cumulative (single partition of ≤ 1e6
+    *      tiny rows — bounded, documented, cheap);
+    *   3. docs join their class offset (shuffle on score) and finish
+    *      with a PER-CLASS ordered window (keyed by score — parallel
+    *      across classes; skew bounded by the largest single-score
+    *      equivalence class).
+    * cum_tokens = class offset + within-class running sum equals the
+    * global-order cumulative exactly. */
+  def budgetSelect(docs: DataFrame, idCol: String, tokenCount: Column,
+                   score: Column, budgetTokens: Long): DataFrame = {
+    val scored = docs.select(col(idCol), score.as("score"), tokenCount.as("n_tokens"))
+    val wBefore = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classOffsets = scored
+      .groupBy(col("score")).agg(sum(col("n_tokens")).as("class_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("class_tokens")).over(wBefore), lit(0L)))
+      // classes whose offset already exceeds the budget cannot contribute
+      // rows — pruned BEFORE the corpus joins back, so the per-class
+      // window below only runs over classes that can still emit
+      .filter(col("cum_before") < budgetTokens)
+      .select(col("score"), col("cum_before"))
+    val wClass = Window.partitionBy(col("score")).orderBy(col(idCol).asc)
+    scored
+      .join(classOffsets, Seq("score"))
+      .withColumn("cum_tokens", col("cum_before") + sum(col("n_tokens")).over(wClass))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Span-level decontamination: instead of flagging whole documents (see
     * [[decontaminate]]), measure HOW MUCH of each document is covered by
     * benchmark text — the PaLM/Llama-style "cut the leaked span, keep the

@@ -679,6 +679,47 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("cand_id"), col("rank"), col("adist2"))
   }
 
+  /** ADC-then-exact refine — FAISS's `IndexRefineFlat` composition
+    * (Jégou et al. 2011 §V.A "re-ranking"): the IVF-PQ stage returns a
+    * generous top-`refineR` candidate list per query by approximate ADC
+    * distance, then ONLY those candidates' exact quantized vectors are
+    * fetched and re-ranked by exact L2, emitting the top-`k`. Buys back
+    * most of the recall PQ quantization loses at the cost of reading
+    * R (not corpus-size) full vectors per query — the standard
+    * production ANN shape: compressed index for the scan, flat vectors
+    * for the short list.
+    *
+    * Scale: stage 1 is [[ivfPqTopK]]'s audited plan unchanged; stage 2
+    * is the gated candidate list (≤ queries × refineR rows, broadcast)
+    * equi-joined against the corpus on the candidate id — one narrow
+    * fetch pass, never a second scan of cell contents, no new shuffle
+    * shapes. Ranking: dist2 ASC, cand_id ASC (exact distance is
+    * cell-independent, so no cell column survives the refine). */
+  def ivfPqRefineTopK(df: DataFrame, idCol: String, vecCol: String,
+                      isCentroid: Column, isCode: Column, isQuery: Column,
+                      m: Int, dims: Int, k: Int, refineR: Int, nprobe: Int = 1,
+                      maxCentroids: Int = 4096, maxCodes: Int = 4096,
+                      maxQueries: Int = 10000): DataFrame = {
+    require(refineR >= k, s"ivfPqRefineTopK: refineR=$refineR must be >= k=$k")
+    val cand = ivfPqTopK(df, idCol, vecCol, isCentroid, isCode, isQuery,
+        m, dims, refineR, nprobe, maxCentroids, maxCodes, maxQueries)
+      .select(col("query_id"), col("cand_id"))
+    val q = quantized(df, vecCol).filter(col("qnorm2") > 0L)
+    val qSide = q.filter(isQuery)
+      .select(col(idCol).cast("long").as("query_id"),
+        col("qvec").as("q_v"), col("qnorm2").as("q_n"))
+    val cSide = q
+      .select(col(idCol).cast("long").as("cand_id"),
+        col("qvec").as("c_v"), col("qnorm2").as("c_n"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("cand_id").asc)
+    broadcast(cand.join(qSide, Seq("query_id")))
+      .join(cSide, Seq("cand_id"))
+      .withColumn("dist2", col("q_n") + col("c_n") - lit(2L) * qdot(col("q_v"), col("c_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("dist2"))
+  }
+
   /** Residual IVF-PQ with multiprobe — the full FAISS `IVFx,PQy` layout
     * (Jégou et al. 2011, §IV.B): every vector is assigned to its nearest
     * coarse cell and its RESIDUAL (vector − centroid) is PQ-coded, so

@@ -435,6 +435,21 @@ object TextQueries {
     CorpusOps.cutRepeatedSpans(Tables(spark, dir).documents, "doc_id", "text",
       n = 3, minDocs = 2L)
 
+  // ---------------------------------------------------------------- q109
+  /** Token-budget corpus selection: the best-scoring prefix (alpha-ratio
+    * ppm DESC, doc_id ASC) whose cumulative token count fits a 10k-token
+    * training budget — the data-selection step after scoring, computed
+    * without a global ordered window ([[graft.operators.CorpusOps
+    * .budgetSelect]]: bounded score-class offsets + per-class windows). */
+  def q109BudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables(spark, dir).documents
+      .withColumn("n_tokens", size(tokens($"text")).cast("long"))
+      .withColumn("score", ppm(charClassCount($"text", "[a-z]"), length($"text").cast("long")))
+    CorpusOps.budgetSelect(scored, "doc_id", $"n_tokens", $"score",
+      budgetTokens = 10000L)
+  }
+
   // ---------------------------------------------------------------- q82
   /** Cross-source contamination matrix: shared distinct 3-gram shingles
     * and shingle-set Jaccard (ppm) for every overlapping source pair. */
@@ -621,6 +636,7 @@ object TextQueries {
     "q105_importance_resample" -> q105ImportanceResample _,
     "q106_mix_plan"        -> q106MixPlan _,
     "q107_cut_repeated_spans" -> q107CutRepeatedSpans _,
+    "q109_budget_select"      -> q109BudgetSelect _,
     "q62_decontaminate"    -> q62Decontaminate _,
     "q68_decontaminate_norm" -> q68DecontaminateNorm _,
     "q71_bpe_merges"       -> q71BpeMerges _,
@@ -982,6 +998,20 @@ object TextQueries {
          |    ELSE COALESCE(nc.n_cut, 0) * 1000000 // len(t) END AS BIGINT) AS cut_ppm,
          |  COALESCE(reb.text_clean, '') AS text_clean
          |FROM tok LEFT JOIN nc USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin,
+    "q109_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_t,
+         |  CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM t),
+         |s AS (SELECT doc_id, n_tokens,
+         |  CAST(CASE WHEN n_chars_t = 0 THEN 0 ELSE n_alpha * 1000000 // n_chars_t END AS BIGINT) AS score
+         |  FROM m),
+         |c AS (SELECT doc_id, score, n_tokens,
+         |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s)
+         |SELECT doc_id, score, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum <= 10000""".stripMargin,
     "q83_span_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |g0 AS (SELECT doc_id,

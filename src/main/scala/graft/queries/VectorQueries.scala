@@ -205,6 +205,18 @@ object VectorQueries {
       m = PqM, dims = Dims, k = 5, nprobe = 2)
   }
 
+  // --------------------------------------------------------------- q108
+  /** ADC-then-exact refine (FAISS `IndexRefineFlat`): q102's multiprobe
+    * chain widened to a top-25 candidate list, re-ranked by EXACT
+    * quantized L2 over the candidates' full vectors, top-5 emitted —
+    * the compressed-scan + flat-short-list production ANN shape. */
+  def q108IvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ivfPqRefineTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = PqM, dims = Dims, k = 5, refineR = 25, nprobe = 2)
+  }
+
   // ------------------------------------------------------- stored index
   /** Per-JVM, per-dir materialized IVF-PQ index ([[graft.operators
     * .AnnIndex]]): the q25 signature-table pattern for ANN. Two
@@ -288,6 +300,7 @@ object VectorQueries {
     "q100_pq_train"        -> q100PqTrain _,
     "q101_pq_ann_trained"  -> q101PqAnnTrained _,
     "q102_ivfpq_multiprobe" -> q102IvfPqMultiprobe _,
+    "q108_ivfpq_refine"     -> q108IvfPqRefine _,
     "q103_ivfpq_stored"    -> q103IvfPqStored _,
     "q104_ivfpq_incremental" -> q104IvfPqIncremental _,
     "q81_semdedup"         -> q81SemDedup _,
@@ -413,9 +426,38 @@ object VectorQueries {
     * by exact quantized cosine (ties to lower centroid id), raw-vector
     * PQ codes, each query scoring the candidates of its `nprobe`
     * nearest cells by summed per-subspace ADC distance. nprobe=1 is the
-    * q97 shape; nprobe=2 the q102 multiprobe variant. */
+    * q97 shape; nprobe=2 the q102 multiprobe variant; [[ivfPqRefineSql]]
+    * re-ranks this chain's `pair` CTE by exact L2. */
   private def ivfPqAnnSql(nprobe: Int): String =
-    s"""WITH qq AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
+    s"""WITH ${ivfPqPairCtes(nprobe)},
+       |rr AS (SELECT query_id, cell, cand_id, adist2,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
+       |  FROM pair)
+       |SELECT query_id, cell, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin
+
+  /** q108: the ADC candidate chain cut at `refineR` per query, re-ranked
+    * by exact quantized L2 between the query's and candidate's FULL
+    * vectors (the `n` CTE), top-`k` emitted. */
+  private def ivfPqRefineSql(nprobe: Int, refineR: Int, k: Int): String =
+    s"""WITH ${ivfPqPairCtes(nprobe)},
+       |cand0 AS (SELECT query_id, cand_id, adist2,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS arank
+       |  FROM pair),
+       |ex AS (SELECT c0.query_id, c0.cand_id,
+       |  nq.qnorm2 + nc.qnorm2 - 2 * CAST(list_sum(list_transform(generate_series(1, $Dims), i -> nq.qvec[i] * nc.qvec[i])) AS BIGINT) AS dist2
+       |  FROM cand0 c0
+       |  JOIN n nq ON nq.vec_id = c0.query_id
+       |  JOIN n nc ON nc.vec_id = c0.cand_id
+       |  WHERE c0.arank <= $refineR),
+       |rr AS (SELECT query_id, cand_id, dist2,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, cand_id ASC) AS rank
+       |  FROM ex)
+       |SELECT query_id, cand_id, rank, dist2 FROM rr WHERE rank <= $k""".stripMargin
+
+  /** The shared IVF-PQ candidate chain ending at the `pair` CTE:
+    * per-(query, probed cell, candidate) summed ADC distance. */
+  private def ivfPqPairCtes(nprobe: Int): String =
+    s"""qq AS (SELECT vec_id, $qvecSql AS qvec FROM embeddings),
        |n0 AS (SELECT vec_id, qvec,
        |  CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2 FROM qq),
        |n AS (SELECT * FROM n0 WHERE qnorm2 > 0),
@@ -453,11 +495,7 @@ object VectorQueries {
        |  JOIN asg ca ON ca.vec_id = e.cand_id AND ca.cell = qs.cell
        |  JOIN cbn c2 ON c2.s = e.s AND c2.cid = e.code
        |  WHERE e.cand_id <> qs.query_id
-       |  GROUP BY qs.query_id, qs.cell, e.cand_id),
-       |rr AS (SELECT query_id, cell, cand_id, adist2,
-       |  row_number() OVER (PARTITION BY query_id ORDER BY adist2 ASC, cand_id ASC) AS rank
-       |  FROM pair)
-       |SELECT query_id, cell, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin
+       |  GROUP BY qs.query_id, qs.cell, e.cand_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q100_pq_train" ->
@@ -498,6 +536,7 @@ object VectorQueries {
          |SELECT query_id, cand_id, rank, adist2 FROM rr WHERE rank <= 5""".stripMargin,
     "q97_ivfpq_ann" -> ivfPqAnnSql(nprobe = 1),
     "q102_ivfpq_multiprobe" -> ivfPqAnnSql(nprobe = 2),
+    "q108_ivfpq_refine"     -> ivfPqRefineSql(nprobe = 2, refineR = 25, k = 5),
     // stored-index (q103) and incremental-add (q104) paths must equal the
     // inline multiprobe computation — same oracle, different machinery
     "q103_ivfpq_stored" -> ivfPqAnnSql(nprobe = 2),

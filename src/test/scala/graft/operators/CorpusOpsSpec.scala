@@ -32,6 +32,65 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(3) == ((2L, 13L, 3L, 3L, false)))  // [13,14] in pack 3
   }
 
+  test("budgetSelect: hand-computed prefix, boundary stop, class tie-break") {
+    import spark.implicits._
+    // (id, score, tokens): global order by (score DESC, id ASC) is
+    // 4(9,3) 1(7,4) 3(7,5) 0(5,10) 2(1,1); cumsums 3,7,12,22,23.
+    val docs = Seq((0L, 5L, 10L), (1L, 7L, 4L), (2L, 1L, 1L), (3L, 7L, 5L), (4L, 9L, 3L))
+      .toDF("doc_id", "score", "n")
+    val got = CorpusOps.budgetSelect(docs, "doc_id", $"n", $"score", budgetTokens = 12L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // budget 12 admits 4, 1, 3 (cum 3, 7, 12); doc 0 would hit 22 — and
+    // nothing after the boundary re-enters (prefix semantics: doc 2 with
+    // 1 token is NOT picked up even though 12 + 1 <= budget fails anyway;
+    // with budget 13 doc 0 still overflows and doc 2 stays excluded)
+    assert(got == Set((4L, 9L, 3L, 3L), (1L, 7L, 4L, 7L), (3L, 7L, 5L, 12L)))
+    val got13 = CorpusOps.budgetSelect(docs, "doc_id", $"n", $"score", budgetTokens = 13L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got13 == Set(4L, 1L, 3L), "prefix stops at the first overflow, no re-entry")
+  }
+
+  test("budgetSelect: equals the naive global-window formulation on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rnd = new scala.util.Random(seed)
+      // small score domain → heavy ties (the per-class window's hard case)
+      val docs = (0L until 500L).map(i =>
+        (i, rnd.nextInt(7).toLong, 1L + rnd.nextInt(20).toLong))
+        .toDF("doc_id", "score", "n")
+      val budget = 1000L + rnd.nextInt(2000)
+      val naive = docs
+        .withColumn("cum_tokens", sum($"n").over(
+          Window.orderBy($"score".desc, $"doc_id".asc)))
+        .filter($"cum_tokens" <= budget)
+        .select($"doc_id", $"score", $"n".as("n_tokens"), $"cum_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val got = CorpusOps.budgetSelect(docs, "doc_id", $"n", $"score", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == naive, s"seed $seed budget $budget")
+    }
+  }
+
+  test("budgetSelect: no corpus-sized single-partition window in the plan") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, i % 5, 3L)).toDF("doc_id", "score", "n")
+    val plan = CorpusOps.budgetSelect(docs, "doc_id", $"n", $"score", 100L)
+      .queryExecution.optimizedPlan.toString
+    // exactly two Window nodes: the corpus-facing one must be
+    // PARTITIONED by score (parallel across classes), and the only
+    // unpartitioned one runs over the bounded per-score aggregate
+    // (sums class_tokens, never sees doc ids)
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.size == 2, s"expected 2 windows, got:\n$plan")
+    val partitioned = windows.filter(_.matches(""".*\], \[score#\d+L?\], \[doc_id#\d+L? ASC.*"""))
+    assert(partitioned.size == 1,
+      s"the corpus-facing window must be partitioned by score:\n$plan")
+    val global = windows.filterNot(partitioned.contains)
+    assert(global.head.contains("class_tokens") && !global.head.contains("doc_id"),
+      s"the unpartitioned window must run over the per-score aggregate only:\n$plan")
+  }
+
   test("packSequences: shards have independent token streams") {
     import spark.implicits._
     val docs = (0L until 20L).map(i => (i, 5L)).toDF("doc_id", "n")

@@ -402,6 +402,57 @@ class PqSpec extends AnyFunSuite {
     assert(trained >= 0.14, s"trained-codebook recall@5 collapsed: $trained")
   }
 
+  test("ADC-then-exact refine: driver-recomputed parity, recall not below raw IVF-PQ") {
+    import spark.implicits._
+    val rows = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1000000.0d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .sortBy(_._1)
+    val vecOf = rows.toMap
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // PARITY: refine == exact-L2 re-rank of the ADC top-R candidate list
+    // (recomputed driver-side from the audited ivfPqTopK output)
+    val candTopR = Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+        isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+        m = 8, dims = 64, k = 25, nprobe = 2)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = candTopR.groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+      cands.toSeq.map { case (_, c) => (l2(vecOf(q), vecOf(c)), c) }
+        .sorted.take(5).zipWithIndex
+        .map { case ((d2, c), i) => (q, c, i + 1, d2) }
+    }.toSet
+    val refined = Similarity.ivfPqRefineTopK(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = 8, dims = 64, k = 5, refineR = 25, nprobe = 2)
+    val got = refined.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // RECALL: exact re-ranking of a 5x candidate list must not lose to
+    // cutting the ADC ranking at k (the FAISS IndexRefineFlat claim)
+    val exact = rows.filter(_._1 < 20).map { case (qid, qv) =>
+      qid -> rows.filter(_._1 != qid)
+        .map { case (cid, cv) => (l2(qv, cv), cid) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val g = df.select(col("query_id"), col("cand_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      exact.map { case (q, s) => g.getOrElse(q, Set.empty).count(s).toDouble / 5 }
+        .sum / exact.size
+    }
+    val raw = recall(Similarity.ivfPqTopK(embeddings, "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, isQuery = $"vec_id" < 20,
+      m = 8, dims = 64, k = 5, nprobe = 2))
+    val ref = recall(refined)
+    info(s"recall@5: raw=$raw refined=$ref")
+    assert(ref >= raw - 1e-9,
+      s"exact re-ranking ($ref) must not lose to the raw ADC cut ($raw)")
+  }
+
   /** Driver-side reference implementation over the real table: quantize
     * (HALF_UP like Spark's round), build the 16-entry codebooks, encode,
     * ADC-score, and rank — full parity with both operators. */
