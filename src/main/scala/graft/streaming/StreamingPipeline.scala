@@ -799,6 +799,38 @@ object StreamingPipeline {
     overwriteByBatchId(curation, curationPath)
   }
 
+  /** Per-batch ANN serving against a stored [[graft.operators.AnnIndex]]
+    * — the production alternative to [[graft.operators.AnnIndex
+    * .probeStream]]: each micro-batch of queries goes through the BATCH
+    * `topK` path inside foreachBatch, so the stored `codes` table is
+    * pruned by the batch's LITERAL probed-cell set (static partition
+    * pruning — a probe reads nprobe/ncells of the index files, where the
+    * stream-static join can only hope for runtime pruning). No watermark
+    * or window semantics: results for a batch are final when the batch
+    * commits, written with the same `batch_id` partition-overwrite as
+    * the dedup sinks (replay-idempotent — `topK` is deterministic, so a
+    * replayed batch rewrites identical rows).
+    *
+    * Trade-off vs [[graft.operators.AnnIndex.probeStream]]: this sink
+    * re-collects the (tiny, gated) model tables per batch and cannot
+    * aggregate ACROSS batches (no event-time window) — use probeStream
+    * when late queries must join an open window, this sink when
+    * per-batch finality + maximal index pruning is the goal. */
+  def annServeSink(queryStream: DataFrame, idCol: String, vecCol: String,
+                   indexDir: String, k: Int, outPath: String,
+                   checkpointLocation: String, nprobe: Int = 1,
+                   maxQueriesPerBatch: Int = 10000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val topk = graft.operators.AnnIndex
+          .topK(batch, idCol, vecCol, indexDir, k, nprobe, maxQueriesPerBatch)
+          .withColumn("batch_id", lit(batchId))
+        overwriteByBatchId(topk, outPath)
+      }
+      .start()
+
   /** Maintenance for [[selfMaintainingDedupSink]]'s sketch table: per-batch
     * appends accumulate one small file set per micro-batch — the classic
     * small-files problem; at production batch rates the sketch dir

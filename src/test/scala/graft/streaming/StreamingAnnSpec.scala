@@ -110,6 +110,46 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(got == batchExpected)
   }
 
+  test("per-batch serve sink equals batch topK and replays idempotently") {
+    val in = tmp("ann-serve-in"); val out = tmp("ann-serve") + "/topk"
+    val cp = tmp("ann-serve-cp")
+    writeBatch(in, "f1.json", queryRows.take(10), "2025-01-01T00:00:05Z", 1700000000000L)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val q = StreamingPipeline.annServeSink(stream, "query_id", "embedding",
+        index, k = 5, outPath = out, checkpointLocation = cp, nprobe = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    writeBatch(in, "f2.json", queryRows.drop(10), "2025-01-01T00:00:40Z", 1700000001000L)
+    run() // restart from checkpoint: second file becomes its own batch
+    def served(): Set[(Long, Long, Long, Int, Long)] =
+      spark.read.parquet(out)
+        .select(col("query_id"), col("cell"), col("cand_id"), col("rank"), col("adist2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+        .toSet
+    // no watermark semantics: every query's top-k is final per batch, and
+    // the union over batches equals the batch topK over all queries
+    assert(served() == batchExpected)
+    // verbatim batch replay rewrites identical rows (no duplication)
+    val lastBatch = spark.read.parquet(out)
+      .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
+    val batchDf = spark.read.schema(schema).json(s"$in/f2.json")
+    val topk = graft.operators.AnnIndex
+      .topK(batchDf, "query_id", "embedding", index, k = 5, nprobe = 2)
+      .withColumn("batch_id", lit(lastBatch))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try topk.write.mode("overwrite").partitionBy("batch_id").parquet(out)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(served() == batchExpected, "replayed batch must rewrite identical rows")
+  }
+
   test("streaming probe restarted from checkpoint equals the uninterrupted run") {
     val in = tmp("ann-stream-b"); val out = tmp("ann-stream-b-out")
     val cp = tmp("ann-stream-b-cp")
