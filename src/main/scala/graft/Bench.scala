@@ -63,7 +63,9 @@ object Bench {
     "q105_importance_resample", "q106_mix_plan",
     // round 8: exact-substring dedup apply (cut cross-doc repeated spans,
     // rebuild text)
-    "q107_cut_repeated_spans")
+    "q107_cut_repeated_spans",
+    // round 9: ADC-then-exact ANN refine and token-budget corpus selection
+    "q108_ivfpq_refine", "q109_budget_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
