@@ -71,3 +71,62 @@ object BoundedTopKAgg {
   def column(k: Int, adist2: Column, candId: Column, cell: Column): Column =
     udaf(BoundedTopKAgg(k), Encoders.product[TopKEntry]).apply(adist2, candId, cell)
 }
+
+/** One cosine-ranked candidate ([[BoundedTopKCosAgg]]): ranking is cos
+  * DESC (NaN first — `java.lang.Double.compare` treats NaN as largest,
+  * exactly Spark's `orderBy(desc)` window semantics, so a zero-norm
+  * vector's NaN cosine ranks identically in both formulations), then
+  * cand_id ASC. `dot` rides along for the output projection. */
+final case class CosEntry(cos: Double, cand_id: Long, dot: Long)
+final case class CosRows(rows: Seq[CosEntry])
+
+/** [[BoundedTopKAgg]]'s ordering flipped for similarity search: bounded
+  * max-k by cosine. Replaces the rank-window formulation of exact
+  * brute-force KNN ([[graft.operators.Similarity.bruteForceTopK]]): the
+  * window shuffles and SORTS all |Q|·|C| scored rows to rank them; this
+  * aggregate combines map-side (each partition ships at most k entries
+  * per query), so shuffle traffic is |Q|·k·partitions and nothing is
+  * ever globally sorted — the difference between exact KNN being a
+  * baseline and being runnable over the full corpus. */
+final case class BoundedTopKCosAgg(k: Int)
+    extends Aggregator[CosEntry, mutable.ArrayBuffer[CosEntry], CosRows] {
+  require(k > 0, s"BoundedTopKCosAgg: k must be positive, got $k")
+
+  private val ord: Ordering[CosEntry] = new Ordering[CosEntry] {
+    def compare(x: CosEntry, y: CosEntry): Int = {
+      // cos DESC with NaN largest-first, then cand_id ASC
+      val c = java.lang.Double.compare(y.cos, x.cos)
+      if (c != 0) c else java.lang.Long.compare(x.cand_id, y.cand_id)
+    }
+  }
+
+  override def zero: mutable.ArrayBuffer[CosEntry] = mutable.ArrayBuffer.empty
+
+  override def reduce(b: mutable.ArrayBuffer[CosEntry], v: CosEntry): mutable.ArrayBuffer[CosEntry] = {
+    if (b.length < k || ord.lt(v, b.last)) {
+      var i = b.length
+      while (i > 0 && ord.gt(b(i - 1), v)) i -= 1
+      b.insert(i, v)
+      if (b.length > k) b.remove(b.length - 1)
+    }
+    b
+  }
+
+  override def merge(a: mutable.ArrayBuffer[CosEntry], b: mutable.ArrayBuffer[CosEntry]): mutable.ArrayBuffer[CosEntry] = {
+    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+    small.foldLeft(big)(reduce)
+  }
+
+  override def finish(b: mutable.ArrayBuffer[CosEntry]): CosRows = CosRows(b.toSeq)
+
+  override def bufferEncoder: Encoder[mutable.ArrayBuffer[CosEntry]] =
+    Encoders.kryo[mutable.ArrayBuffer[CosEntry]]
+  override def outputEncoder: Encoder[CosRows] = Encoders.product[CosRows]
+}
+
+object BoundedTopKCosAgg {
+  /** Column form; the rank-ordered (cos DESC, cand_id ASC) list is the
+    * result's `rows` field. */
+  def column(k: Int, cos: Column, candId: Column, dot: Column): Column =
+    udaf(BoundedTopKCosAgg(k), Encoders.product[CosEntry]).apply(cos, candId, dot)
+}

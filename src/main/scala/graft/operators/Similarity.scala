@@ -51,7 +51,10 @@ object Similarity {
     * "cross join" a map-side nested loop over the corpus: no corpus
     * shuffle, scale-bounded by maxQueries. Large query sets must use
     * [[lshTopK]] or [[ivfTopK]] — this fails loudly instead of silently
-    * exploding. */
+    * exploding. The scored product is ranked by the bounded max-k
+    * aggregate ([[graft.agg.BoundedTopKCosAgg]]) rather than a rank
+    * window, so nothing of the |Q|·|C| product is ever sorted or
+    * shuffled — each partition ships ≤ k entries per query. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      isQuery: Column, k: Int, maxQueries: Int = 10000): DataFrame = {
     val q = quantized(df, vecCol)
@@ -67,12 +70,21 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("dot", qdot(col("qv"), col("cv")))
       .withColumn("cos", qcos(col("dot"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    // Ranking via the bounded max-k aggregate, NOT a rank window: the
+    // window formulation shuffles and sorts all |Q|·|C| scored rows;
+    // the aggregate combines map-side (≤ k entries per query per
+    // partition cross the shuffle, nothing globally sorted), which is
+    // what lets the exact path run over the full corpus. Ordering —
+    // cos DESC (NaN first), cand_id ASC — matches the window's exactly
+    // (parity- and NaN-spec-pinned).
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), col("dot"),
-        floor(col("cos") * 1000000.0d).cast("long").as("cos_ppm"))
+      .groupBy(col("query_id"))
+      .agg(graft.agg.BoundedTopKCosAgg
+        .column(k, col("cos"), col("cand_id"), col("dot")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("e.cand_id").as("cand_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("e.dot").as("dot"),
+        floor(col("e.cos") * 1000000.0d).cast("long").as("cos_ppm"))
   }
 
   /** Embedding-cosine near-duplicate pairs (the dedup variant of ANN):

@@ -55,6 +55,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q27 brute-force baseline broadcasts the bounded query side and rejects unbounded ones") {
     val p = plan("q27_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"), "query side not broadcast")
+    // ranking is the bounded max-k aggregate: nothing of the |Q|x|C|
+    // product may be sorted or rank-windowed
+    assert(!p.contains("Window"), s"brute-force must not rank via a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "bounded top-k aggregate missing from the plan")
     // the gate: a query side over maxQueries fails loudly instead of exploding
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

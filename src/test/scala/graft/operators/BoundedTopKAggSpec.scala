@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.agg.{BoundedTopKAgg, TopKEntry}
+import graft.agg.{BoundedTopKAgg, BoundedTopKCosAgg, CosEntry, TopKEntry}
 import org.scalatest.funsuite.AnyFunSuite
 import scala.collection.mutable
 import scala.util.Random
@@ -62,5 +62,59 @@ class BoundedTopKAggSpec extends AnyFunSuite {
     val in  = entries(4, seed = 7)
     assert(agg.finish(in.foldLeft(agg.zero)(agg.reduce)).rows == in.sorted(ord))
     assert(agg.finish(agg.zero).rows.isEmpty)
+  }
+
+  // ------------------------------------------------- cosine (max-k) form
+
+  private def cosEntries(n: Int, seed: Long): Seq[CosEntry] = {
+    val rnd = new Random(seed)
+    Seq.fill(n)(CosEntry(
+      (rnd.nextInt(21) - 10) / 10.0, // coarse grid → ties
+      rnd.nextLong().abs % 100000, rnd.nextLong() % 1000))
+  }
+
+  /** The window formulation's comparator: cos DESC with NaN FIRST (Spark
+    * orders NaN as largest), then cand_id ASC. */
+  private val cosOrd: Ordering[CosEntry] = new Ordering[CosEntry] {
+    def compare(x: CosEntry, y: CosEntry): Int = {
+      val c = java.lang.Double.compare(y.cos, x.cos)
+      if (c != 0) c else java.lang.Long.compare(x.cand_id, y.cand_id)
+    }
+  }
+
+  test("cos aggregate: bounded buffer, sort-take-k parity incl. ties") {
+    for (seed <- 1L to 4L; k <- Seq(1, 5, 64)) {
+      val in  = cosEntries(800, seed)
+      val agg = BoundedTopKCosAgg(k)
+      var buf = agg.zero
+      for (e <- in) {
+        buf = agg.reduce(buf, e)
+        assert(buf.length <= k)
+      }
+      assert(agg.finish(buf).rows == in.sorted(cosOrd).take(k), s"seed=$seed k=$k")
+    }
+  }
+
+  test("cos aggregate: NaN cosine ranks FIRST, like the desc rank window") {
+    val agg = BoundedTopKCosAgg(3)
+    val in = Seq(
+      CosEntry(0.9, 1L, 10L), CosEntry(Double.NaN, 2L, 0L),
+      CosEntry(-0.5, 3L, -5L), CosEntry(Double.NaN, 4L, 0L), CosEntry(1.0, 5L, 20L))
+    val got = agg.finish(in.foldLeft(agg.zero)(agg.reduce)).rows
+    // NaN entries first (tie-broken by cand_id), then 1.0, and 0.9 is cut
+    // (compare by field: NaN != NaN under case-class ==)
+    assert(got.map(_.cand_id) == Seq(2L, 4L, 5L))
+    assert(got(0).cos.isNaN && got(1).cos.isNaN && got(2).cos == 1.0)
+  }
+
+  test("cos aggregate: partial merges stay bounded and exact") {
+    val k = 7
+    val agg = BoundedTopKCosAgg(k)
+    val in  = cosEntries(2000, seed = 9)
+    val partials = in.grouped(111).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val merged = partials.reduce { (a, b) =>
+      val m = agg.merge(a, b); assert(m.length <= k); m
+    }
+    assert(agg.finish(merged).rows == in.sorted(cosOrd).take(k))
   }
 }
