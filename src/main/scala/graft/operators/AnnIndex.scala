@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF-PQ index lifecycle — the stored-sketch pattern
@@ -177,14 +176,19 @@ object AnnIndex {
       .drop("qv")
       .withColumn("cell", explode(col("probes")))
       .drop("probes")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adist2").asc, col("cand_id").asc)
+    // bounded min-k aggregate, not a rank window: a probed cell's codes
+    // never sort or shuffle — ≤ k entries per query cross the shuffle
+    // (the same formulation probeStream uses, bit-identical ranking)
     broadcast(qdf)
       .join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adist2", Similarity.adcDistance(m))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cell"), col("cand_id"), col("rank"), col("adist2"))
+      .groupBy(col("query_id"))
+      .agg(graft.agg.BoundedTopKAgg
+        .column(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("e.cell").as("cell"), col("e.cand_id").as("cand_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("e.adist2").as("adist2"))
   }
 
   /** Serve a CONTINUOUS query stream from the stored index — the ANN

@@ -614,14 +614,19 @@ object Similarity {
       s"pqTopK: query side exceeds maxQueries=$maxQueries rows - queries are " +
         "broadcast against the code table; large query sets should pre-bucket " +
         "with IVF cells (ivfPqTopK) before PQ scoring")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adist2").asc, col("cand_id").asc)
+    // bounded min-k aggregate, not a rank window: nothing of the
+    // queries × codes product is sorted or shuffled (map-side combine
+    // ships ≤ k entries per query per partition)
     broadcast(withAdcTables(queries, "qv", m, sub, posBooks).drop("qv"))
       .crossJoin(codes)
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adist2", adcDistance(m))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), col("adist2"))
+      .groupBy(col("query_id"))
+      .agg(graft.agg.BoundedTopKAgg
+        .column(k, col("adist2"), col("cand_id"), lit(0L)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("e.cand_id").as("cand_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("e.adist2").as("adist2"))
   }
 
   /** IVF-PQ ANN — the composition the two building blocks exist for
@@ -681,14 +686,19 @@ object Similarity {
       .drop("qv")
       .withColumn("cell", explode(col("probes")))
       .drop("probes")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adist2").asc, col("cand_id").asc)
+    // bounded min-k aggregate, not a rank window: a probed cell's
+    // candidates never sort or shuffle — each partition ships ≤ k
+    // entries per query (the probeStream formulation, bit-identical)
     broadcast(queries)
       .join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adist2", adcDistance(m))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cell"), col("cand_id"), col("rank"), col("adist2"))
+      .groupBy(col("query_id"))
+      .agg(graft.agg.BoundedTopKAgg
+        .column(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("e.cell").as("cell"), col("e.cand_id").as("cand_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("e.adist2").as("adist2"))
   }
 
   /** ADC-then-exact refine — FAISS's `IndexRefineFlat` composition
@@ -824,14 +834,17 @@ object Similarity {
         .withColumn("rq", zip_with(col("qv"), element_at(centMap, col("cell")), (x, c) => x - c)),
       "rq", m, sub, posBooks)
       .drop("qv", "rq")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adist2").asc, col("cand_id").asc)
+    // bounded min-k aggregate, not a rank window (see ivfPqTopK)
     broadcast(queries)
       .join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adist2", adcDistance(m))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cell"), col("cand_id"), col("rank"), col("adist2"))
+      .groupBy(col("query_id"))
+      .agg(graft.agg.BoundedTopKAgg
+        .column(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("e.cell").as("cell"), col("e.cand_id").as("cand_id"),
+        (col("r0") + 1).cast("int").as("rank"), col("e.adist2").as("adist2"))
   }
 
   /** Int8 scalar quantization of an embedding column — the compression
@@ -911,11 +924,16 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("dot", qdot(col("qv"), col("cv")))
       .withColumn("cos", qcos(col("dot"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    // bounded max-k aggregate, not a rank window: an LSH bucket's
+    // candidates never sort or shuffle. `sig` is the query's own bucket
+    // (the equi-join key), constant per query — it rides as a group key.
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("sig"), col("cand_id"), col("rank"),
-        floor(col("cos") * 1000000.0d).cast("long").as("cos_ppm"))
+      .groupBy(col("query_id"), col("sig"))
+      .agg(graft.agg.BoundedTopKCosAgg
+        .column(k, col("cos"), col("cand_id"), col("dot")).as("topk"))
+      .select(col("query_id"), col("sig"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("sig"), col("e.cand_id").as("cand_id"),
+        (col("r0") + 1).cast("int").as("rank"),
+        floor(col("e.cos") * 1000000.0d).cast("long").as("cos_ppm"))
   }
 }
