@@ -30,6 +30,15 @@ object GraftSession {
       // The driver's events.parquet uses TIMESTAMP(NANOS), which Spark 4
       // otherwise refuses; LongType ns keeps full precision (SURVEY §7.4-2).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (every TypedImperativeAggregate: the bounded
+      // top-k rankings, the exact-percentile histogram) falls back to
+      // SORT-based aggregation after only 128 in-memory groups by
+      // default — which silently re-introduces the full-input sort the
+      // bounded aggregates exist to avoid (measured 3x on a 40M-row
+      // candidate product, PLANS.md round 9). ANN query sides are gated
+      // at <= 10k groups and each top-k buffer is ~24.k bytes, so 64k
+      // hash-mode groups per task is far inside executor memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

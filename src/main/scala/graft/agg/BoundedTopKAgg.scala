@@ -94,9 +94,15 @@ final case class BoundedTopKCosAgg(k: Int)
 
   private val ord: Ordering[CosEntry] = new Ordering[CosEntry] {
     def compare(x: CosEntry, y: CosEntry): Int = {
-      // cos DESC with NaN largest-first, then cand_id ASC
+      // cos DESC with NaN largest-first, then cand_id ASC, then dot —
+      // the final field makes the ordering total over full entries
+      // (cand_id is unique per group in real rankings, so dot never
+      // actually decides; it keeps tie behavior deterministic)
       val c = java.lang.Double.compare(y.cos, x.cos)
-      if (c != 0) c else java.lang.Long.compare(x.cand_id, y.cand_id)
+      if (c != 0) c else {
+        val c2 = java.lang.Long.compare(x.cand_id, y.cand_id)
+        if (c2 != 0) c2 else java.lang.Long.compare(x.dot, y.dot)
+      }
     }
   }
 

@@ -184,9 +184,9 @@ object AnnIndex {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adist2", Similarity.adcDistance(m))
       .groupBy(col("query_id"))
-      .agg(graft.agg.BoundedTopKAgg
-        .column(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
-      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .agg(graft.agg.NativeTopK
+        .minK(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
       .select(col("query_id"), col("e.cell").as("cell"), col("e.cand_id").as("cand_id"),
         (col("r0") + 1).cast("int").as("rank"), col("e.adist2").as("adist2"))
   }
@@ -233,9 +233,9 @@ object AnnIndex {
       .withColumn("adist2", Similarity.adcDistance(m))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur), col("query_id"))
-      .agg(graft.agg.BoundedTopKAgg
-        .column(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
-      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .agg(graft.agg.NativeTopK
+        .minK(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
       .select(col("query_id"), col("e.cell").as("cell"), col("e.cand_id").as("cand_id"),
         (col("r0") + 1).cast("int").as("rank"), col("e.adist2").as("adist2"))
   }

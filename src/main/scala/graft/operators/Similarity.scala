@@ -79,9 +79,9 @@ object Similarity {
     // (parity- and NaN-spec-pinned).
     scored
       .groupBy(col("query_id"))
-      .agg(graft.agg.BoundedTopKCosAgg
-        .column(k, col("cos"), col("cand_id"), col("dot")).as("topk"))
-      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .agg(graft.agg.NativeTopK
+        .maxCosK(k, col("cos"), col("cand_id"), col("dot")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
       .select(col("query_id"), col("e.cand_id").as("cand_id"),
         (col("r0") + 1).cast("int").as("rank"), col("e.dot").as("dot"),
         floor(col("e.cos") * 1000000.0d).cast("long").as("cos_ppm"))
@@ -622,9 +622,9 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adist2", adcDistance(m))
       .groupBy(col("query_id"))
-      .agg(graft.agg.BoundedTopKAgg
-        .column(k, col("adist2"), col("cand_id"), lit(0L)).as("topk"))
-      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .agg(graft.agg.NativeTopK
+        .minK(k, col("adist2"), col("cand_id"), lit(0L)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
       .select(col("query_id"), col("e.cand_id").as("cand_id"),
         (col("r0") + 1).cast("int").as("rank"), col("e.adist2").as("adist2"))
   }
@@ -694,9 +694,9 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adist2", adcDistance(m))
       .groupBy(col("query_id"))
-      .agg(graft.agg.BoundedTopKAgg
-        .column(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
-      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .agg(graft.agg.NativeTopK
+        .minK(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
       .select(col("query_id"), col("e.cell").as("cell"), col("e.cand_id").as("cand_id"),
         (col("r0") + 1).cast("int").as("rank"), col("e.adist2").as("adist2"))
   }
@@ -840,9 +840,9 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adist2", adcDistance(m))
       .groupBy(col("query_id"))
-      .agg(graft.agg.BoundedTopKAgg
-        .column(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
-      .select(col("query_id"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .agg(graft.agg.NativeTopK
+        .minK(k, col("adist2"), col("cand_id"), col("cell")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
       .select(col("query_id"), col("e.cell").as("cell"), col("e.cand_id").as("cand_id"),
         (col("r0") + 1).cast("int").as("rank"), col("e.adist2").as("adist2"))
   }
@@ -929,9 +929,9 @@ object Similarity {
     // (the equi-join key), constant per query — it rides as a group key.
     scored
       .groupBy(col("query_id"), col("sig"))
-      .agg(graft.agg.BoundedTopKCosAgg
-        .column(k, col("cos"), col("cand_id"), col("dot")).as("topk"))
-      .select(col("query_id"), col("sig"), posexplode(col("topk.rows")).as(Seq("r0", "e")))
+      .agg(graft.agg.NativeTopK
+        .maxCosK(k, col("cos"), col("cand_id"), col("dot")).as("topk"))
+      .select(col("query_id"), col("sig"), posexplode(col("topk")).as(Seq("r0", "e")))
       .select(col("query_id"), col("sig"), col("e.cand_id").as("cand_id"),
         (col("r0") + 1).cast("int").as("rank"),
         floor(col("e.cos") * 1000000.0d).cast("long").as("cos_ppm"))

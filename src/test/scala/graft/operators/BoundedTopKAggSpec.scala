@@ -74,11 +74,15 @@ class BoundedTopKAggSpec extends AnyFunSuite {
   }
 
   /** The window formulation's comparator: cos DESC with NaN FIRST (Spark
-    * orders NaN as largest), then cand_id ASC. */
+    * orders NaN as largest), then cand_id ASC, then dot (the totality
+    * tie-break; never decisive when cand_id is unique per group). */
   private val cosOrd: Ordering[CosEntry] = new Ordering[CosEntry] {
     def compare(x: CosEntry, y: CosEntry): Int = {
       val c = java.lang.Double.compare(y.cos, x.cos)
-      if (c != 0) c else java.lang.Long.compare(x.cand_id, y.cand_id)
+      if (c != 0) c else {
+        val c2 = java.lang.Long.compare(x.cand_id, y.cand_id)
+        if (c2 != 0) c2 else java.lang.Long.compare(x.dot, y.dot)
+      }
     }
   }
 
@@ -116,5 +120,65 @@ class BoundedTopKAggSpec extends AnyFunSuite {
       val m = agg.merge(a, b); assert(m.length <= k); m
     }
     assert(agg.finish(merged).rows == in.sorted(cosOrd).take(k))
+  }
+
+  // ------------------------------------ native (hot-path) implementation
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("NativeTopK.minK == reference BoundedTopKAgg on random grouped data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(21)
+    // many groups, heavy ties, several partitions → partial-merge path
+    val rows = Seq.fill(20000)((rnd.nextInt(40).toLong,
+      rnd.nextInt(30).toLong, rnd.nextLong().abs % 5000, rnd.nextInt(8).toLong))
+    val df = rows.toDF("g", "adist2", "cand_id", "cell").repartition(7)
+    for (k <- Seq(1, 4, 50)) {
+      val native = df.groupBy($"g")
+        .agg(graft.agg.NativeTopK.minK(k, $"adist2", $"cand_id", $"cell").as("topk"))
+        .select($"g", posexplode($"topk").as(Seq("r0", "e")))
+        .select($"g", $"r0", $"e.adist2", $"e.cand_id", $"e.cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val reference = df.groupBy($"g")
+        .agg(BoundedTopKAgg.column(k, $"adist2", $"cand_id", $"cell").as("topk"))
+        .select($"g", posexplode($"topk.rows").as(Seq("r0", "e")))
+        .select($"g", $"r0", $"e.adist2", $"e.cand_id", $"e.cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(native == reference, s"k=$k")
+    }
+  }
+
+  test("NativeTopK.maxCosK == reference BoundedTopKCosAgg, NaN included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(22)
+    val rows = Seq.fill(8000)((rnd.nextInt(20).toLong,
+      if (rnd.nextInt(50) == 0) Double.NaN else (rnd.nextInt(41) - 20) / 20.0,
+      rnd.nextLong().abs % 3000, rnd.nextLong() % 100))
+    val df = rows.toDF("g", "cos", "cand_id", "dot").repartition(5)
+    def collectSet(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map { r =>
+        // NaN-safe comparison: carry cos as ordered bits
+        (r.getLong(0), r.getInt(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3), r.getLong(4))
+      }.toSet
+    for (k <- Seq(1, 6)) {
+      val native = collectSet(df.groupBy($"g")
+        .agg(graft.agg.NativeTopK.maxCosK(k, $"cos", $"cand_id", $"dot").as("topk"))
+        .select($"g", posexplode($"topk").as(Seq("r0", "e")))
+        .select($"g", $"r0", $"e.cos", $"e.cand_id", $"e.dot"))
+      val reference = collectSet(df.groupBy($"g")
+        .agg(BoundedTopKCosAgg.column(k, $"cos", $"cand_id", $"dot").as("topk"))
+        .select($"g", posexplode($"topk.rows").as(Seq("r0", "e")))
+        .select($"g", $"r0", $"e.cos", $"e.cand_id", $"e.dot"))
+      assert(native == reference, s"k=$k")
+    }
   }
 }
