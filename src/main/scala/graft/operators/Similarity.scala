@@ -111,35 +111,40 @@ object Similarity {
     * to its nearest centroid (exact quantized cosine, ties to the lower
     * centroid id); queries search only their own cell. The centroid
     * "training" step is stubbed as `isCentroid` selection — production
-    * k-means would feed the same assignment join. Centroids are a tiny
-    * dimension side → broadcast cross join for assignment; candidate
-    * generation is then an equi-join on `cell`, never all-pairs. */
+    * k-means would feed the same assignment expression. Zero-norm vectors
+    * carry no cosine and are excluded (the family rule).
+    *
+    * Scale (round 9): assignment is the codegen'd literal-centroid-matrix
+    * argmax ([[graft.functions.VectorExprs.nearestCell]]) — one narrow
+    * projection, replacing the earlier broadcast-cross-join + per-id rank
+    * window, which shuffled corpus × ncents rows just to argmax over
+    * them. Candidate generation is the `cell` equi-join; ranking is the
+    * bounded max-k aggregate (nothing sorted, ≤ k per query crosses the
+    * shuffle). */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-              isCentroid: Column, isQuery: Column, k: Int): DataFrame = {
-    val q = quantized(df, vecCol)
-    val cents = q.filter(isCentroid)
-      .select(col(idCol).as("c_id"), col("qvec").as("centv"), col("qnorm2").as("centn"))
-    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("c_id").asc)
-    val assigned = q
-      .select(col(idCol), col("qvec"), col("qnorm2"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", qcos(qdot(col("qvec"), col("centv")), col("qnorm2"), col("centn")))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
+              isCentroid: Column, isQuery: Column, k: Int,
+              maxCentroids: Int = 4096): DataFrame = {
+    val q = quantized(df, vecCol).filter(col("qnorm2") > 0L)
+    val cents = collectCents(q, idCol, isCentroid, maxCentroids, "ivfTopK")
+    val assigned = q.withColumn("cell",
+      graft.functions.VectorExprs.nearestCell(col("qvec"), col("qnorm2"), cents))
     val queries = assigned.filter(isQuery)
-      .select(col(idCol).as("query_id"), col("c_id").as("cell"),
+      .select(col(idCol).as("query_id"), col("cell"),
         col("qvec").as("qv"), col("qnorm2").as("qn"))
-    val cands = assigned.select(col(idCol).as("cand_id"), col("c_id").as("cell"),
+    val cands = assigned.select(col(idCol).as("cand_id"), col("cell"),
       col("qvec").as("cv"), col("qnorm2").as("cn"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     queries
       .join(cands, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", qcos(qdot(col("qv"), col("cv")), col("qn"), col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cell"), col("cand_id"), col("rank"),
-        floor(col("cos") * 1000000.0d).cast("long").as("cos_ppm"))
+      .withColumn("dot", qdot(col("qv"), col("cv")))
+      .withColumn("cos", qcos(col("dot"), col("qn"), col("cn")))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(graft.agg.NativeTopK
+        .maxCosK(k, col("cos"), col("cand_id"), col("dot")).as("topk"))
+      .select(col("query_id"), col("cell"), posexplode(col("topk")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("cell"), col("e.cand_id").as("cand_id"),
+        (col("r0") + 1).cast("int").as("rank"),
+        floor(col("e.cos") * 1000000.0d).cast("long").as("cos_ppm"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
@@ -155,9 +160,10 @@ object Similarity {
     * never corpus-wide. With k centroids ~ sqrt(N), cells average
     * sqrt(N) members, so candidate pairs are O(N * sqrt(N) / 1) per cell
     * — bounded, and k is a knob: raise it and cells (and the join
-    * fan-out) shrink. Centroids broadcast; assignment costs one window
-    * shuffle on id; the assigned cell index is materialized once
-    * (localCheckpoint — it feeds both self-join sides and the final
+    * fan-out) shrink. Centroids are gated driver-side model state;
+    * assignment is the codegen'd literal-matrix argmax (one narrow
+    * projection, zero shuffles); the assigned cell index is materialized
+    * once (localCheckpoint — it feeds both self-join sides and the final
     * projection; at cluster scale persist it, it IS the IVF index). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                isCentroid: Column, minCosPpm: Long,
@@ -168,24 +174,16 @@ object Similarity {
     // its cell and turn the within-cell check into a corpus self-join);
     // they are dropped on both sides, as in kmeansTrain
     val q = quantized(df, vecCol).filter(col("qnorm2") > 0L)
-    val cents = q.filter(isCentroid)
-      .select(col(idCol).as("c_id"), col("qvec").as("centv"), col("qnorm2").as("centn"))
-    // centroids are broadcast model state: a mislabeled predicate must
-    // fail loudly, not ship the corpus to every executor (the
-    // maxSeeds/maxBenchDocs pattern; bounded probe)
-    val nCents = cents.limit(maxCentroids + 1).count()
-    require(nCents <= maxCentroids,
-      s"semDedup: isCentroid selects more than maxCentroids=$maxCentroids rows - " +
-        "centroids are broadcast; a centroid set this large suggests a mislabeled " +
-        "predicate")
-    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("c_id").asc)
+    // centroids are driver-side model state gated by collectCents (the
+    // maxSeeds/maxBenchDocs pattern); assignment is the codegen'd
+    // literal-matrix argmax — one narrow projection, replacing the
+    // earlier cross-join + per-id rank window that shuffled
+    // corpus × ncents rows (round 9, same swap as ivfTopK)
+    val cents = collectCents(q, idCol, isCentroid, maxCentroids, "semDedup")
     val assigned = q
-      .select(col(idCol), col("qvec"), col("qnorm2"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", qcos(qdot(col("qvec"), col("centv")), col("qnorm2"), col("centn")))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
-      .select(col(idCol).as("id"), col("c_id").as("cell"), col("qvec"), col("qnorm2"))
+      .select(col(idCol).as("id"),
+        graft.functions.VectorExprs.nearestCell(col("qvec"), col("qnorm2"), cents).as("cell"),
+        col("qvec"), col("qnorm2"))
       .stageCheckpoint()
     // cell-skew audit: the within-cell join is quadratic PER CELL, so its
     // safety rests on the centroids spreading the corpus — a pathological

@@ -40,11 +40,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
   }
 
-  test("q34 pushes the query/centroid filters into the scans and broadcasts centroids") {
+  test("q34 assigns cells via the literal centroid matrix and never windows the corpus") {
     val p = plan("q34_ivf_ann")
     assert(p.contains("LessThan(vec_id,20)"), "query-side filter not pushed")
-    assert(p.contains("LessThan(vec_id,8)"), "centroid filter not pushed")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // centroids are gated driver-side model state, literal in the
+    // codegen'd argmax — there is no centroid-side scan or join at all
+    assert(p.contains("nearest_cell_long_arrays"), "literal-matrix assignment missing")
+    assert(p.contains("BroadcastHashJoin"), "cell equi-join should broadcast at this SF")
+    assert(!p.contains("Window"), "assignment/ranking must not use a window")
   }
 
   test("q36 shuffles on the salted key, not the bare hot key") {
