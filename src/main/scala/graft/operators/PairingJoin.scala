@@ -245,10 +245,17 @@ object PairingJoin {
   /** Last-send / first-receive pairing — the vote-latency quirk
     * (`vote-latency/processor.go:52-53`): a later send overwrites the
     * pending entry, so only the LAST send per key pairs, and it pairs with
-    * the FIRST receive that arrives after it. Deduplicates both sides with
-    * `row_number` before an inner join, then keeps send-before-receive
+    * the FIRST receive that arrives after it. Keeps send-before-receive
     * pairs only (the reference confirms only that order).
-    */
+    *
+    * Each side reduces to one row per key via `max_by`/`min_by` over the
+    * (ts, tiebreak…) ordering struct — declarative aggregates that
+    * partial-combine map-side, so per-key traffic across the shuffle is
+    * ONE row per partition instead of the rank-window formulation's
+    * sort of every event in the key's partition (the struct comparison
+    * is lexicographic, exactly the window's multi-column order; the
+    * tiebreak columns make the ordering total, so the picked row is
+    * deterministic). */
   def lastSendFirstReceive(
       sends: DataFrame,
       receives: DataFrame,
@@ -258,13 +265,17 @@ object PairingJoin {
       sendTiebreak: Seq[String],
       recvTiebreak: Seq[String]
   ): DataFrame = {
-    val kCols    = keys.map(col)
-    val sendW    = Window.partitionBy(kCols: _*).orderBy((col(sendTs).desc +: sendTiebreak.map(col(_).desc)): _*)
-    val recvW    = Window.partitionBy(kCols: _*).orderBy((col(recvTs).asc +: recvTiebreak.map(col(_).asc)): _*)
-    val lastSend = sends.withColumn("rn", row_number().over(sendW)).filter(col("rn") === 1).drop("rn")
-    val firstRcv = receives.withColumn("rn", row_number().over(recvW)).filter(col("rn") === 1).drop("rn")
-    lastSend
-      .join(firstRcv, keys)
+    val kCols = keys.map(col)
+    def onePerKey(df: DataFrame, ts: String, tiebreak: Seq[String], largest: Boolean): DataFrame = {
+      val ord = struct((col(ts) +: tiebreak.map(col)): _*)
+      val all = struct(df.columns.map(col): _*)
+      df.groupBy(kCols: _*)
+        .agg((if (largest) max_by(all, ord) else min_by(all, ord)).as("__r"))
+        .select(kCols ++ df.columns.filterNot(keys.contains)
+          .map(c => col(s"__r.`$c`").as(c)): _*)
+    }
+    onePerKey(sends, sendTs, sendTiebreak, largest = true)
+      .join(onePerKey(receives, recvTs, recvTiebreak, largest = false), keys)
       .filter(col(sendTs) <= col(recvTs))
   }
 }
