@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.agg.MisraGriesAgg
+
+/** Exact heavy hitters at 100 TB: a Misra–Gries sketch pass generates a
+  * GUARANTEED superset of the items above the frequency threshold, then one
+  * exact counting pass over just those candidates verifies — the
+  * sketch-prune-then-verify shape every dedup operator in this repo uses,
+  * applied to frequency mining (e.g. corpus-level boilerplate tokens,
+  * over-represented n-grams).
+  *
+  * Why not `groupBy(item).count.filter(cnt > φn)`: that shuffles EVERY
+  * distinct item — at 100 TB of tokens the shuffle is the corpus. Here the
+  * sketch pass shuffles k counters per partition (map-side partial
+  * aggregate, O(k) state — [[MisraGriesAgg]]), and the exact pass shuffles
+  * only rows matching the ≤ k candidates (broadcast hash semi-filter, no
+  * shuffle of misses). Result is EXACT, not approximate: MG guarantees
+  * every item with true count > n/(k+1) survives the sketch, so with
+  * φ ≥ 1/(k+1) no true heavy hitter can be missed, and the verify pass
+  * removes any false positives with exact counts.
+  */
+object HeavyHitters {
+
+  /** Items of `itemCol` whose exact frequency strictly exceeds
+    * `phiPpm` ppm of the total item count.
+    *
+    * @param df       one item per row
+    * @param itemCol  string item expression
+    * @param phiPpm   threshold in parts-per-million of n; must satisfy
+    *                 φ ≥ 1/(k+1), i.e. phiPpm · (k+1) ≥ 1 000 000, for the
+    *                 exactness guarantee
+    * @param k        sketch counters (default 4 095 → exact for any
+    *                 φ ≥ 244 ppm)
+    * @return (item, cnt, ppm) — exact counts, ppm = cnt·1e6 div n
+    */
+  def exact(df: DataFrame, itemCol: Column, phiPpm: Long, k: Int = 4095): DataFrame = {
+    require(phiPpm * (k + 1) >= 1000000L,
+      s"phiPpm=$phiPpm too small for k=$k counters: need phiPpm*(k+1) >= 1e6 or true heavy hitters can evade the sketch")
+    val items = df.select(itemCol.cast("string").as("item")).filter(col("item").isNotNull)
+
+    val mg = udaf(MisraGriesAgg(k))
+    val summary = items.agg(mg(col("item")).as("s"))
+      .select(col("s.entries.item").as("cands"), col("s.n").as("n"))
+    // ≤ k+2 values ever reach the driver, by construction of the sketch.
+    val row   = summary.head()
+    val cands = row.getSeq[String](0)
+    val n     = row.getLong(1)
+
+    items
+      .filter(col("item").isInCollection(cands))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 1000000L > lit(n) * phiPpm)
+      .withColumn("ppm", expr(s"cnt * 1000000 div ${n}L"))
+  }
+}

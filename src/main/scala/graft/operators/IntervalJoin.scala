@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval join: match each point row to every interval row of the
+  * same key whose `[start, end]` contains the point's timestamp — the
+  * relational shape behind "which session does this event belong to"
+  * enrichment (the batch generalization of the reference's in-window
+  * cluster membership checks, `ossplugins/timeout-analysis/processor.go:180-199`).
+  *
+  * == Spark-first plan ==
+  * The naive encoding `p JOIN i ON p.k = i.k AND i.s <= p.ts AND p.ts <= i.e`
+  * is an equi-join on the key whose range conjuncts only filter AFTER the
+  * per-key cross product — quadratic in per-key row counts, the classic
+  * range-join blowup. This operator bucketizes time into fixed-width cells:
+  * each interval is replicated to the cells it overlaps, each point lands in
+  * exactly ONE cell, and the join becomes a pure equi-join on (key, cell)
+  * followed by the exact containment filter. Each (point, interval) pair
+  * meets in exactly one cell — the point's — so no post-join dedup is
+  * needed.
+  *
+  * Scale notes: the only data growth is the interval side's replication
+  * factor, E[span/bucketWidth] + 1 — pick `bucketWidth` near the typical
+  * interval span to keep it ~2×. Points (the big side at 100 TB) are never
+  * replicated. The equi-join shuffles both sides on (key, cell), is
+  * AQE-skew-splittable (unlike a window), and broadcast-eligible when the
+  * replicated interval side is small.
+  */
+object IntervalJoin {
+
+  /** Arithmetic floor division on longs, in pure long arithmetic
+    * (negative-safe: `div` alone truncates toward zero, which would put
+    * ts −1 and +1 in the same bucket; Column `/` goes through DOUBLE,
+    * which is inexact past 2^53). */
+  private def floorDiv(name: String, w: Long): Column =
+    expr(s"(`$name` - (((`$name` % ${w}L) + ${w}L) % ${w}L)) div ${w}L")
+
+  /** @param points      big side; one row per event
+    * @param intervals   side with `[startCol, endCol]` (inclusive bounds)
+    * @param keys        equi-join key columns present on both sides
+    * @param pointTs     long event-time column on `points`
+    * @param startCol    long interval start on `intervals` (inclusive)
+    * @param endCol      long interval end on `intervals` (inclusive)
+    * @param bucketWidth time-cell width, same unit as the ts columns; must
+    *                    be chosen from the interval-span distribution
+    *
+    * Inner semantics: uncovered points drop, a point inside k overlapping
+    * intervals yields k rows. (A left-outer variant needs a unique point id
+    * to restore uncovered rows — compose it as `points LEFT ANTI matched`
+    * unioned with the matched set when one exists.)
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointTs: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = points.columns.filterNot(keys.contains).toSet
+      .intersect(intervals.columns.filterNot(keys.contains).toSet)
+    require(overlap.isEmpty, s"non-key columns must be disjoint, both sides have: ${overlap.mkString(",")}")
+
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) <= col(endCol))
+      .withColumn("__cell",
+        explode(sequence(floorDiv(startCol, bucketWidth), floorDiv(endCol, bucketWidth))))
+    val pt = points.filter(col(pointTs).isNotNull)
+      .withColumn("__cell", floorDiv(pointTs, bucketWidth))
+
+    val contained = col(startCol) <= col(pointTs) && col(pointTs) <= col(endCol)
+    pt.join(iv, keys :+ "__cell").filter(contained).drop("__cell")
+  }
+}

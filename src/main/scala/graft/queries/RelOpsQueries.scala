@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{AsOfJoin, HeavyHitters, IntervalJoin}
+import graft.functions.TextFunctions
+
+/** Round-9 relational-operator queries: the general as-of join, the
+  * bucketized point-in-interval join, and exact sketch-pruned heavy
+  * hitters — each an operator family Spark lacks natively, oracle-checked
+  * against DuckDB (ASOF JOIN / inequality join / plain GROUP BY). */
+object RelOpsQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  private def ev(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables(spark, dir).events
+    raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts"))
+  }
+
+  // ---------------------------------------------------------------- q110
+  /** As-of join ([[AsOfJoin]]): each purchase matched to the user's latest
+    * at-or-before click. The right side is pre-aggregated to one row per
+    * (user, ts) — max event_id — so the match is deterministic and the
+    * DuckDB `ASOF JOIN` oracle is well-defined under ties. */
+  def q110AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_us".as("click_us"))
+      .agg(max($"event_id").as("click_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("purchase_us"))
+    AsOfJoin
+      .backward(purchases, clicks, Seq("user_id"), leftTs = "purchase_us", rightTs = "click_us")
+      .select($"user_id", $"purchase_id", $"purchase_us", $"click_id", $"click_us",
+        ($"purchase_us" - $"click_us").as("wait_us"))
+  }
+
+  // ---------------------------------------------------------------- q111
+  /** Point-in-interval join ([[IntervalJoin]]): error events located inside
+    * the q12 user sessions (30-min-gap, ≥3 events), rolled up per session.
+    * Errors belonging to dropped (<3-event) sessions match nothing. */
+  def q111IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = EventQueries.q12Sessions(spark, dir)
+      .select($"user_id", $"session_id", $"start_us", $"end_us")
+    val errors = ev(spark, dir)
+      .filter($"event_type" === "error")
+      .select($"user_id", $"ts_us", cents($"value").as("v_c"))
+    IntervalJoin
+      .pointInInterval(errors, sessions, Seq("user_id"),
+        pointTs = "ts_us", startCol = "start_us", endCol = "end_us",
+        bucketWidth = 3600L * 1000000L)
+      .groupBy($"user_id", $"session_id", $"start_us", $"end_us")
+      .agg(count(lit(1)).as("n_errors"), sum($"v_c").as("sum_err_v_c"))
+  }
+
+  // ---------------------------------------------------------------- q112
+  /** Exact heavy hitters ([[HeavyHitters]]): corpus tokens above 2 000 ppm,
+    * sketch-pruned (Misra–Gries, k=1023 → guarantee holds for
+    * φ ≥ 977 ppm) then exactly re-counted — same answer as the oracle's
+    * full GROUP BY, a fraction of its shuffle. */
+  def q112HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir).documents
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+    HeavyHitters.exact(toks, $"tok", phiPpm = 2000L, k = 1023)
+      .select($"item".as("tok"), $"cnt", $"ppm")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_asof_join"     -> q110AsOfJoin _,
+    "q111_interval_join" -> q111IntervalJoin _,
+    "q112_heavy_hitters" -> q112HeavyHitters _
+  )
+
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q110_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_id, c.click_us,
+        |  p.purchase_us - c.click_us AS wait_us
+        |FROM purch p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us""".stripMargin,
+    "q111_interval_join" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_id HAVING count(*) >= 3),
+        |err AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS v_c
+        |  FROM events WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_id, s.start_us, s.end_us,
+        |  count(*) AS n_errors, CAST(sum(e.v_c) AS BIGINT) AS sum_err_v_c
+        |FROM sess s JOIN err e
+        |  ON e.user_id = s.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q112_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |tot AS (SELECT count(*) AS n FROM toks)
+         |SELECT tok, count(*) AS cnt,
+         |  CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS ppm
+         |FROM toks GROUP BY tok
+         |HAVING count(*) * 1000000 > (SELECT n FROM tot) * 2000""".stripMargin
+  )
+}
