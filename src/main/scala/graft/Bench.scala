@@ -65,7 +65,10 @@ object Bench {
     // rebuild text)
     "q107_cut_repeated_spans",
     // round 9: ADC-then-exact ANN refine and token-budget corpus selection
-    "q108_ivfpq_refine", "q109_budget_select")
+    "q108_ivfpq_refine", "q109_budget_select",
+    // round 9: as-of join, bucketized interval join, sketch-pruned exact
+    // heavy hitters
+    "q110_asof_join", "q111_interval_join", "q112_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
