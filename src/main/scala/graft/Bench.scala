@@ -68,7 +68,8 @@ object Bench {
     "q108_ivfpq_refine", "q109_budget_select",
     // round 9: as-of join, bucketized interval join, sketch-pruned exact
     // heavy hitters
-    "q110_asof_join", "q111_interval_join", "q112_heavy_hitters")
+    "q110_asof_join", "q111_interval_join", "q112_heavy_hitters",
+    "q113_overlap_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

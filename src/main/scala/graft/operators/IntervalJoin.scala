@@ -74,4 +74,47 @@ object IntervalJoin {
     val contained = col(startCol) <= col(pointTs) && col(pointTs) <= col(endCol)
     pt.join(iv, keys :+ "__cell").filter(contained).drop("__cell")
   }
+
+  /** Interval-overlap join: all (left, right) interval pairs of the same
+    * key with `[lStart, lEnd] ∩ [rStart, rEnd] ≠ ∅` (inclusive bounds) —
+    * e.g. concurrent sessions, overlapping order-fulfillment spans.
+    *
+    * Both sides replicate to their covering cells; a candidate pair meets
+    * in every cell BOTH occupy, so the join keeps a pair only in the
+    * canonical first such cell — `max(cell(lStart), cell(rStart))` — which
+    * makes each overlapping pair emit exactly once with no distinct pass.
+    * Replication is span/width + 1 per side; at 100 TB pick the width near
+    * the median span so the equi-join (AQE-skew-splittable, broadcastable
+    * when one side is small) dominates, not the explode.
+    *
+    * For a self-join, pass the same frame twice with non-key columns
+    * renamed apart (the operator requires disjointness); apply an
+    * anti-reflexive predicate (`a_id < b_id`) on the result.
+    */
+  def overlap(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlapCols = left.columns.filterNot(keys.contains).toSet
+      .intersect(right.columns.filterNot(keys.contains).toSet)
+    require(overlapCols.isEmpty, s"non-key columns must be disjoint, both sides have: ${overlapCols.mkString(",")}")
+
+    def cells(df: DataFrame, s: String, e: String) = df
+      .filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+      .withColumn("__cell", explode(sequence(floorDiv(s, bucketWidth), floorDiv(e, bucketWidth))))
+
+    val overlaps  = col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+    val canonical = col("__cell") === greatest(floorDiv(lStart, bucketWidth), floorDiv(rStart, bucketWidth))
+    cells(left, lStart, lEnd)
+      .join(cells(right, rStart, rEnd), keys :+ "__cell")
+      .filter(overlaps && canonical)
+      .drop("__cell")
+  }
 }

@@ -70,10 +70,39 @@ object RelOpsQueries {
       .select($"item".as("tok"), $"cnt", $"ppm")
   }
 
+  // ---------------------------------------------------------------- q113
+  /** Interval-overlap self-join ([[IntervalJoin.overlap]]): pairs of the
+    * same customer's orders whose fulfillment spans
+    * `[o_orderdate, max(l_shipdate)]` overlap — concurrent open orders.
+    * ~45k pairs from 15k orders at sf0.01; the bucket width (30 days) sits
+    * at the typical span so the interval side replicates ~2-5×. */
+  def q113OverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val o = t.orders
+    val l = t.lineitem
+    val spans = o.withColumn("o_us", Tables.tsToMicros(o, "o_orderdate"))
+      .join(l.withColumn("ship_us", Tables.tsToMicros(l, "l_shipdate")), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey".as("cust"), $"o_orderkey".as("ok"), $"o_us".as("s"))
+      // The synthetic tables don't order shipdate after orderdate; clamp so
+      // every span is well-formed (fulfillment covers at least order day).
+      .agg(max($"ship_us").as("max_ship_us"))
+      .withColumn("e", greatest($"max_ship_us", $"s")).drop("max_ship_us")
+    val a = spans.select($"cust", $"ok".as("a_ok"), $"s".as("a_s"), $"e".as("a_e"))
+    val b = spans.select($"cust", $"ok".as("b_ok"), $"s".as("b_s"), $"e".as("b_e"))
+    IntervalJoin
+      .overlap(a, b, Seq("cust"), "a_s", "a_e", "b_s", "b_e",
+        bucketWidth = 30L * 86400L * 1000000L)
+      .filter($"a_ok" < $"b_ok")
+      .select($"cust", $"a_ok", $"b_ok",
+        (least($"a_e", $"b_e") - greatest($"a_s", $"b_s")).as("overlap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_asof_join"     -> q110AsOfJoin _,
     "q111_interval_join" -> q111IntervalJoin _,
-    "q112_heavy_hitters" -> q112HeavyHitters _
+    "q112_heavy_hitters" -> q112HeavyHitters _,
+    "q113_overlap_join"  -> q113OverlapJoin _
   )
 
   private val toksSql =
@@ -117,6 +146,17 @@ object RelOpsQueries {
         |FROM sess s JOIN err e
         |  ON e.user_id = s.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q113_overlap_join" ->
+      """WITH span AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    epoch_us(o_orderdate) AS s,
+        |    greatest(epoch_us(max(l_shipdate)), epoch_us(o_orderdate)) AS e
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, epoch_us(o_orderdate))
+        |SELECT a.cust, a.ok AS a_ok, b.ok AS b_ok,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+        |FROM span a JOIN span b
+        |  ON a.cust = b.cust AND a.ok < b.ok AND a.s <= b.e AND b.s <= a.e""".stripMargin,
     "q112_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
          |tot AS (SELECT count(*) AS n FROM toks)

@@ -905,4 +905,64 @@ object StreamingPipeline {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** One side of the temporal as-of stream: `side` = "l" (probe) or "r"
+    * (version); `payload` carries the side's data. */
+  final case class AsOfSide(key: String, ts: Long, side: String, payload: String)
+  final case class AsOfJoined(key: String, ts: Long, payload: String,
+                              rightTs: Option[Long], rightPayload: Option[String])
+  /** Keyed state: the latest version row seen so far (Flink's "temporal
+    * table" snapshot, reduced to its as-of-query essence). O(1) per key. */
+  final case class AsOfState(rightTs: Long, rightPayload: String)
+
+  /** Streaming temporal as-of join (Flink's temporal table join, the
+    * streaming face of [[graft.operators.AsOfJoin.backward]]): a probe
+    * stream enriched, per key, with the latest version row at-or-before
+    * each probe's event time.
+    *
+    * State per key is ONE row — the max-ts version seen — not a history:
+    * within a micro-batch rows process in (ts, version-first) order
+    * starting from that snapshot, so closed-input single-batch runs match
+    * the batch operator exactly (inclusive, last-version-wins on ts ties —
+    * spec-pinned); across batches the join is exact whenever each key's
+    * rows arrive in event-time order (the watermark discipline). A probe
+    * OLDER than the held snapshot emits NO match rather than a wrong one —
+    * late probes fail closed (`rightTs = null`), they never time-travel
+    * forward.
+    *
+    * `union` both sides into one [[AsOfSide]] stream ("r" rows = versions,
+    * "l" rows = probes); every probe emits exactly one [[AsOfJoined]].
+    * `stateTimeout` bounds state for dead keys in production. */
+  def temporalAsOfStream(spark: SparkSession, sides: Dataset[AsOfSide],
+                         stateTimeout: Option[String] = None): Dataset[AsOfJoined] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    sides
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: String, rows: Iterator[AsOfSide], state: GroupState[AsOfState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var snap = state.getOption
+            val out  = scala.collection.mutable.ArrayBuffer.empty[AsOfJoined]
+            // Version rows sort before probes at one ts (inclusive as-of);
+            // equal-ts versions resolve last-in-order = max payload, the
+            // batch operator's greatest-tiebreak contract.
+            val ordered = rows.toSeq.sortBy(r => (r.ts, if (r.side == "r") 0 else 1, r.payload))
+            ordered.foreach { r =>
+              if (r.side == "r") {
+                if (snap.forall(_.rightTs <= r.ts)) snap = Some(AsOfState(r.ts, r.payload))
+              } else {
+                val m = snap.filter(_.rightTs <= r.ts)
+                out += AsOfJoined(key, r.ts, r.payload, m.map(_.rightTs), m.map(_.rightPayload))
+              }
+            }
+            snap.foreach(state.update)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
 }

@@ -44,6 +44,36 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(out == Seq("point")) // inverted interval is dropped, not exploded
   }
 
+  test("overlap: inclusive touch counts, disjoint does not, exactly-once emission") {
+    val a = Seq(("k", 0L, 10L, "a1"), ("k", 20L, 30L, "a2")).toDF("k", "as", "ae", "aid")
+    val b = Seq(("k", 10L, 15L, "b1"), ("k", 16L, 19L, "b2"), ("k", 5L, 40L, "b3"))
+      .toDF("k", "bs", "be", "bid")
+    val out = IntervalJoin.overlap(a, b, Seq("k"), "as", "ae", "bs", "be", bucketWidth = 4L)
+      .select($"aid", $"bid").as[(String, String)].collect().toList
+    // b3 spans many shared cells with both a's — must still emit once each.
+    assert(out.sorted == List(("a1", "b1"), ("a1", "b3"), ("a2", "b3")))
+  }
+
+  test("overlap: random parity with the naive theta join, across bucket widths") {
+    val rnd  = new Random(9113)
+    val keys = Seq("a", "b")
+    def ivset(n: Int, tag: String) = (1 to n).map { i =>
+      val s = rnd.nextInt(1000).toLong - 200
+      (keys(rnd.nextInt(2)), s, s + rnd.nextInt(150), s"$tag$i")
+    }
+    val l = ivset(150, "l").toDF("k", "ls", "le", "lid")
+    val r = ivset(150, "r").toDF("k", "rs", "re", "rid")
+    val want = l.join(r, Seq("k")).where($"ls" <= $"re" && $"rs" <= $"le")
+      .select($"lid", $"rid").as[(String, String)].collect().toSet
+    assert(want.nonEmpty)
+    for (w <- Seq(1L, 17L, 128L, 100000L)) {
+      val got = IntervalJoin.overlap(l, r, Seq("k"), "ls", "le", "rs", "re", bucketWidth = w)
+        .select($"lid", $"rid").as[(String, String)].collect().toList
+      assert(got.size == got.toSet.size, s"duplicate pair emitted at bucketWidth=$w")
+      assert(got.toSet == want, s"bucketWidth=$w")
+    }
+  }
+
   test("random parity with the naive theta join, across bucket widths") {
     val rnd  = new Random(9111)
     val keys = Seq("a", "b", "c")
