@@ -149,4 +149,110 @@ object AsOfJoin {
     )
     if (joinType == "inner") unpacked.filter(col(rightTs).isNotNull) else unpacked
   }
+
+  /** Hot-key-proof backward as-of: identical results to [[backward]], but
+    * the per-key window is split into fixed-width TIME CHUNKS so even a
+    * single key parallelizes across tasks — the mitigation the plain
+    * operator's scaladoc prescribes for keys too hot for one sort task.
+    *
+    * Three-stage plan, all narrow or chunk-granular:
+    *  1. per-(key, chunk) LAST right row — a plain aggregate (`max_by`),
+    *     map-side combined; because chunks partition time, the chunk's own
+    *     max IS the key's snapshot at chunk end;
+    *  2. each left chunk seeds from the latest EARLIER-chunk snapshot —
+    *     a recursive [[asof]] at CHUNK granularity (strict, so in-chunk
+    *     rights aren't double-counted), over ≤ |keys×chunks| rows;
+    *  3. the per-(key, CHUNK) window resolves in-chunk: seeds enter as
+    *     right rows (their true ts is below every in-chunk ts by
+    *     construction), then the same running-`last` as [[backward]].
+    *
+    * Every stage partitions on (key, chunk) except the chunk-level seed
+    * as-of, whose per-key volume is #chunks, not #events. Pick
+    * `chunkWidth` so a chunk of the hottest key fits one task
+    * comfortably; results are width-invariant (spec-pinned). */
+  def backwardChunked(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      chunkWidth: Long,
+      strict: Boolean = false,
+      tolerance: Option[Long] = None,
+      joinType: String = "inner",
+      tiebreak: Seq[String] = Nil
+  ): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    require(Seq("inner", "left").contains(joinType), s"joinType must be inner|left, got $joinType")
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    val overlap     = left.columns.filterNot(keys.contains).toSet.intersect(payloadCols.toSet)
+    require(overlap.isEmpty, s"non-key columns must be disjoint, both sides have: ${overlap.mkString(",")}")
+    require(tiebreak.forall(payloadCols.contains), "tiebreak columns must be right-side payload columns")
+
+    val rc = right.filter(col(rightTs).isNotNull)
+      .withColumn("__chunk", IntervalJoin.floorDiv(rightTs, chunkWidth))
+    // 1. Snapshot at end of each right chunk: the chunk's max-(ts, tiebreak)
+    //    row. Deterministic under the same contract as the window ordering.
+    val ordStruct = struct((col(rightTs) +: tiebreak.map(col)): _*)
+    val chunkLast = rc.groupBy((keys.map(col) :+ col("__chunk")): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), ordStruct).as("__snap"))
+
+    val lc = left.withColumn("__chunk", IntervalJoin.floorDiv(leftTs, chunkWidth))
+
+    // 2. Seed each populated left chunk from the latest strictly-earlier
+    //    right chunk (in-chunk rights are stage 3's job).
+    val leftChunks = lc.select((keys.map(col) :+ col("__chunk")): _*).distinct()
+    val seeds = asof(
+      leftChunks,
+      chunkLast.withColumnRenamed("__chunk", "__rchunk"),
+      keys, "__chunk", "__rchunk",
+      forward = false, strict = true, tolerance = None, joinType = "inner", tiebreak = Nil)
+
+    // 3. Per-(key, chunk) resolution — the [[asof]] union+window with the
+    //    chunk added to the partition key and seeds injected as rights.
+    val (rightOrd, leftOrd) = if (strict) (1, 0) else (0, 1)
+    val partCols = keys :+ "__chunk"
+    val rPart = rc.select(
+      partCols.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(rightOrd).as("__side"),
+        struct(payloadCols.map(col): _*).as("__r")
+      ) ++ tiebreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }: _*)
+    val rStructType = rPart.schema("__r").dataType
+    val seedPart = seeds.select(
+      partCols.map(col) ++ Seq(
+        col("__snap")(rightTs).as("__ts"), lit(rightOrd).as("__side"),
+        col("__snap").cast(rStructType).as("__r")
+      ) ++ tiebreak.zipWithIndex.map { case (c, i) => col("__snap")(c).as(s"__tb$i") }: _*)
+    val lPart = lc.select(
+      lc.columns.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(leftOrd).as("__side"),
+        lit(null).cast(rStructType).as("__r")
+      ) ++ tiebreak.indices.map(i => lit(null).cast(rPart.schema(s"__tb$i").dataType).as(s"__tb$i")): _*)
+
+    val ord = Seq(col("__ts").asc, col("__side").asc) ++ tiebreak.indices.map(i => col(s"__tb$i").asc)
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val nullLeftCols = left.columns.filterNot(keys.contains)
+      .map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val unioned = lPart
+      .unionByName(rPart.select(
+        partCols.map(col) ++ Seq(col("__ts"), col("__side"), col("__r")) ++
+          tiebreak.indices.map(i => col(s"__tb$i")) ++ nullLeftCols: _*))
+      .unionByName(seedPart.select(
+        partCols.map(col) ++ Seq(col("__ts"), col("__side"), col("__r")) ++
+          tiebreak.indices.map(i => col(s"__tb$i")) ++ nullLeftCols: _*))
+
+    val matchedRaw = unioned
+      .withColumn("__m", when(col("__ts").isNotNull, last(col("__r"), ignoreNulls = true).over(w)))
+      .filter(col("__side") === leftOrd)
+    val withTol = tolerance match {
+      case Some(tol) =>
+        matchedRaw.withColumn("__m", when(col("__ts") - col("__m")(rightTs) <= tol, col("__m")))
+      case None => matchedRaw
+    }
+    val unpacked = withTol.select(
+      left.columns.map(col) ++ payloadCols.map(c => col("__m")(c).as(c)): _*)
+    if (joinType == "inner") unpacked.filter(col(rightTs).isNotNull) else unpacked
+  }
 }

@@ -32,8 +32,8 @@ object IntervalJoin {
   /** Arithmetic floor division on longs, in pure long arithmetic
     * (negative-safe: `div` alone truncates toward zero, which would put
     * ts −1 and +1 in the same bucket; Column `/` goes through DOUBLE,
-    * which is inexact past 2^53). */
-  private def floorDiv(name: String, w: Long): Column =
+    * which is inexact past 2^53). Shared with [[AsOfJoin.backwardChunked]]. */
+  private[operators] def floorDiv(name: String, w: Long): Column =
     expr(s"(`$name` - (((`$name` % ${w}L) + ${w}L) % ${w}L)) div ${w}L")
 
   /** @param points      big side; one row per event

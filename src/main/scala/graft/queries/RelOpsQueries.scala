@@ -98,11 +98,56 @@ object RelOpsQueries {
         (least($"a_e", $"b_e") - greatest($"a_s", $"b_s")).as("overlap_us"))
   }
 
+  // ---------------------------------------------------------------- q114
+  /** N-gram novelty per document: the share of a doc's distinct 3-gram
+    * shingles whose FIRST corpus occurrence (min doc_id = corpus order) is
+    * that doc — the curation signal for "how much genuinely new text does
+    * this document add" (high duplication ⇒ low novelty). One shuffle on
+    * the shingle key; the first-owner aggregate and the join back reuse
+    * the same partitioning (exchange reuse, the q11 pattern), then one
+    * doc-id rollup. */
+  def q114NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables(spark, dir).documents
+      .select($"doc_id",
+        explode(array_distinct(
+          TextFunctions.wordShingles(TextFunctions.tokens($"text"), 3))).as("shingle"))
+    val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+  }
+
+  // ---------------------------------------------------------------- q115
+  /** Chunked as-of join ([[AsOfJoin.backwardChunked]] — the hot-key path,
+    * oracle-checked here, not just parity-spec'd): each order matched to
+    * the same customer's latest STRICTLY-earlier order day (right side
+    * pre-aggregated per (cust, day): max orderkey + that day's order
+    * count), 90-day chunks. */
+  def q115PrevOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables(spark, dir).orders
+    val o = raw.select($"o_custkey".as("cust"), $"o_orderkey".as("ok"),
+      Tables.tsToMicros(raw, "o_orderdate").as("o_us"))
+    val d = o.groupBy($"cust", $"o_us".as("prev_us"))
+      .agg(max($"ok").as("prev_ok"), count(lit(1)).as("n_prev_day"))
+    AsOfJoin
+      .backwardChunked(o, d, Seq("cust"), leftTs = "o_us", rightTs = "prev_us",
+        chunkWidth = 90L * 86400L * 1000000L, strict = true)
+      .select($"cust", $"ok", $"o_us", $"prev_us", $"prev_ok", $"n_prev_day",
+        ($"o_us" - $"prev_us").as("gap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_asof_join"     -> q110AsOfJoin _,
     "q111_interval_join" -> q111IntervalJoin _,
     "q112_heavy_hitters" -> q112HeavyHitters _,
-    "q113_overlap_join"  -> q113OverlapJoin _
+    "q113_overlap_join"  -> q113OverlapJoin _,
+    "q114_ngram_novelty" -> q114NgramNovelty _,
+    "q115_prev_order"    -> q115PrevOrder _
   )
 
   private val toksSql =
@@ -157,6 +202,26 @@ object RelOpsQueries {
         |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
         |FROM span a JOIN span b
         |  ON a.cust = b.cust AND a.ok < b.ok AND a.s <= b.e AND b.s <= a.e""".stripMargin,
+    "q115_prev_order" ->
+      """WITH o AS (SELECT o_custkey AS cust, o_orderkey AS ok,
+        |  epoch_us(o_orderdate) AS o_us FROM orders),
+        |d AS (SELECT cust, o_us AS prev_us, max(ok) AS prev_ok,
+        |  count(*) AS n_prev_day FROM o GROUP BY 1, 2)
+        |SELECT l.cust, l.ok, l.o_us, d.prev_us, d.prev_ok, d.n_prev_day,
+        |  l.o_us - d.prev_us AS gap_us
+        |FROM o l ASOF JOIN d ON l.cust = d.cust AND l.o_us > d.prev_us""".stripMargin,
+    "q114_ngram_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(t)-2, 0)),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle FROM tok),
+         |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1000000
+         |       // count(*) AS BIGINT) AS novelty_ppm
+         |FROM sh s JOIN f USING (shingle) GROUP BY 1""".stripMargin,
     "q112_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
          |tot AS (SELECT count(*) AS n FROM toks)

@@ -906,6 +906,28 @@ object StreamingPipeline {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Windowed frequent-items stream: a Misra–Gries summary per tumbling
+    * event-time window ([[graft.agg.MisraGriesAgg]] — the same mergeable
+    * sketch the batch [[graft.operators.HeavyHitters]] prunes with).
+    *
+    * The aggregation state per window is the O(k)-counter MG buffer —
+    * bounded like [[graft.agg.BoundedTopKAgg]], never the window's
+    * distinct-item set — so this is the state-safe streaming shape for
+    * "what's trending per window" at any item cardinality. The emitted
+    * summary carries the sketch guarantees (every item above n/(k+1)
+    * present; count ≤ true ≤ count + err), NOT exact counts: exactness
+    * needs the batch verify pass over closed data. */
+  def heavyHitterStream(df: DataFrame, tsCol: String, itemCol: String,
+                        windowDur: String, watermark: String, k: Int): DataFrame = {
+    val mg = udaf(graft.agg.MisraGriesAgg(k))
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(mg(col(itemCol)).as("summary"))
+      .select(col("window.start").as("window_start"),
+        col("summary.entries").as("entries"),
+        col("summary.err").as("err"), col("summary.n").as("n"))
+  }
+
   /** One side of the temporal as-of stream: `side` = "l" (probe) or "r"
     * (version); `payload` carries the side's data. */
   final case class AsOfSide(key: String, ts: Long, side: String, payload: String)

@@ -91,6 +91,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Map("l1" -> Some("r1"), "l2" -> None))
   }
 
+  test("backwardChunked: random parity with backward across chunk widths and flags") {
+    val rnd  = new Random(9116)
+    // one deliberately hot key — the case the chunking exists for
+    val keyPool = Seq("hot", "hot", "hot", "hot", "a", "b")
+    val L = (1 to 500).map(i => (keyPool(rnd.nextInt(6)), rnd.nextInt(2000).toLong, s"l$i"))
+    val R = (1 to 400).map(i => (keyPool(rnd.nextInt(6)), rnd.nextInt(2000).toLong, s"r$i"))
+    val l = L.toDF("k", "lts", "lid")
+    val r = R.toDF("k", "rts", "rid")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lid", $"rid").as[(String, Option[String])].collect().toMap
+
+    for {
+      w        <- Seq(1L, 37L, 256L, 100000L)
+      strict   <- Seq(false, true)
+      joinType <- Seq("inner", "left")
+    } {
+      val want = rows(AsOfJoin.backward(l, r, Seq("k"), "lts", "rts",
+        strict = strict, joinType = joinType, tiebreak = Seq("rid")))
+      val got = rows(AsOfJoin.backwardChunked(l, r, Seq("k"), "lts", "rts", chunkWidth = w,
+        strict = strict, joinType = joinType, tiebreak = Seq("rid")))
+      assert(got == want, s"chunkWidth=$w strict=$strict joinType=$joinType")
+    }
+    // tolerance path
+    val wantTol = rows(AsOfJoin.backward(l, r, Seq("k"), "lts", "rts",
+      tolerance = Some(25L), joinType = "left", tiebreak = Seq("rid")))
+    val gotTol = rows(AsOfJoin.backwardChunked(l, r, Seq("k"), "lts", "rts", chunkWidth = 64L,
+      tolerance = Some(25L), joinType = "left", tiebreak = Seq("rid")))
+    assert(gotTol == wantTol)
+  }
+
   test("random parity with the naive inequality-join + argmax formulation") {
     val rnd  = new Random(9110)
     val keys = Seq("a", "b", "c", "d")
