@@ -74,8 +74,13 @@ object RelOpsQueries {
   /** Interval-overlap self-join ([[IntervalJoin.overlap]]): pairs of the
     * same customer's orders whose fulfillment spans
     * `[o_orderdate, max(l_shipdate)]` overlap — concurrent open orders.
-    * ~45k pairs from 15k orders at sf0.01; the bucket width (30 days) sits
-    * at the typical span so the interval side replicates ~2-5×. */
+    * ~45k pairs from 15k orders at sf0.01. Width follows the operator's
+    * own rule — near the MEDIAN SPAN, which in this synthetic data is
+    * ~734 days (dates are uniform over ~2 500 days, so spans are huge):
+    * 730-day cells ⇒ ~2 replicas per interval and ~2 shared cells per
+    * overlapping pair. The first cut used 30 days ("a month sounds
+    * natural"), replicated 28× and ran 4.4× slower — measured in
+    * PLANS.md round 9. */
   def q113OverlapJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
@@ -92,7 +97,7 @@ object RelOpsQueries {
     val b = spans.select($"cust", $"ok".as("b_ok"), $"s".as("b_s"), $"e".as("b_e"))
     IntervalJoin
       .overlap(a, b, Seq("cust"), "a_s", "a_e", "b_s", "b_e",
-        bucketWidth = 30L * 86400L * 1000000L)
+        bucketWidth = 730L * 86400L * 1000000L)
       .filter($"a_ok" < $"b_ok")
       .select($"cust", $"a_ok", $"b_ok",
         (least($"a_e", $"b_e") - greatest($"a_s", $"b_s")).as("overlap_us"))
@@ -102,22 +107,28 @@ object RelOpsQueries {
   /** N-gram novelty per document: the share of a doc's distinct 3-gram
     * shingles whose FIRST corpus occurrence (min doc_id = corpus order) is
     * that doc — the curation signal for "how much genuinely new text does
-    * this document add" (high duplication ⇒ low novelty). One shuffle on
-    * the shingle key; the first-owner aggregate and the join back reuse
-    * the same partitioning (exchange reuse, the q11 pattern), then one
-    * doc-id rollup. */
+    * this document add" (high duplication ⇒ low novelty).
+    *
+    * Decomposed so the corpus-sized shingle stream is shuffled ONCE and
+    * never joined: per-doc totals are a NARROW `size(array_distinct(...))`
+    * projection (no explode, no shuffle); per-doc novel counts are the
+    * first-owner table — one row per DISTINCT shingle — re-aggregated by
+    * its owner doc. The natural join-back formulation (shingle stream ⋈
+    * first-owner on the shingle string, then roll up) shuffles the stream
+    * twice more and measured 6.65 s vs ~3.0 s at sf0.1 (PLANS.md round 9;
+    * the remaining cost is the one explode + map-side-combined shuffle). */
   def q114NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Tables(spark, dir).documents
+    val docs = Tables(spark, dir).documents
       .select($"doc_id",
-        explode(array_distinct(
-          TextFunctions.wordShingles(TextFunctions.tokens($"text"), 3))).as("shingle"))
-    val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
-    sh.join(first, "shingle")
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        array_distinct(TextFunctions.wordShingles(TextFunctions.tokens($"text"), 3)).as("sh"))
+    val totals = docs.select($"doc_id", size($"sh").cast("long").as("n_shingles"))
+      .filter($"n_shingles" > 0)
+    val novel = docs.select($"doc_id", explode($"sh").as("shingle"))
+      .groupBy($"shingle").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce($"n_novel", lit(0L)))
       .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
   }
 
