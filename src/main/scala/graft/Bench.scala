@@ -69,7 +69,8 @@ object Bench {
     // round 9: as-of join, bucketized interval join, sketch-pruned exact
     // heavy hitters
     "q110_asof_join", "q111_interval_join", "q112_heavy_hitters",
-    "q113_overlap_join", "q114_ngram_novelty", "q115_prev_order")
+    "q113_overlap_join", "q114_ngram_novelty", "q115_prev_order",
+    "q116_source_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -55,4 +55,47 @@ object HeavyHitters {
       .filter(col("cnt") * 1000000L > lit(n) * phiPpm)
       .withColumn("ppm", expr(s"cnt * 1000000 div ${n}L"))
   }
+
+  /** Per-group exact heavy hitters: for each group, items whose frequency
+    * within the group strictly exceeds `phiPpm` ppm of the GROUP's item
+    * count (per-domain boilerplate tokens, per-source trending n-grams).
+    *
+    * Unlike [[exact]], nothing touches the driver: the per-group sketches
+    * stay a DataFrame, their candidate entries explode to a (group, item)
+    * table of ≤ |groups|·k rows, and the verify pass is a BROADCAST
+    * semi-join of the item stream against it — so group count is bounded
+    * by the broadcast gate (|groups|·k rows must broadcast), not by
+    * driver memory. The exactness argument is [[exact]]'s, applied per
+    * group: MG with k counters over the group's stream cannot miss an
+    * item above n_g/(k+1).
+    *
+    * @return (groupCols..., item, cnt, ppm) — exact counts within group
+    */
+  def exactPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      itemCol: Column,
+      phiPpm: Long,
+      k: Int = 4095
+  ): DataFrame = {
+    require(phiPpm * (k + 1) >= 1000000L,
+      s"phiPpm=$phiPpm too small for k=$k counters: need phiPpm*(k+1) >= 1e6 or true heavy hitters can evade the sketch")
+    val items = df
+      .select((groupCols.map(col) :+ itemCol.cast("string").as("item")): _*)
+      .filter(col("item").isNotNull)
+
+    val mg = udaf(MisraGriesAgg(k))
+    val cands = items
+      .groupBy(groupCols.map(col): _*)
+      .agg(mg(col("item")).as("s"))
+      .select(groupCols.map(col) ++ Seq(col("s.n").as("__n"), explode(col("s.entries.item")).as("item")): _*)
+
+    items
+      .join(broadcast(cands), groupCols :+ "item")
+      .groupBy((groupCols :+ "item").map(col): _*)
+      .agg(count(lit(1)).as("cnt"), first(col("__n")).as("__n"))
+      .filter(col("cnt") * 1000000L > col("__n") * phiPpm)
+      .withColumn("ppm", expr("cnt * 1000000 div __n"))
+      .drop("__n")
+  }
 }

@@ -152,7 +152,21 @@ object RelOpsQueries {
         ($"o_us" - $"prev_us").as("gap_us"))
   }
 
+  // ---------------------------------------------------------------- q116
+  /** Grouped exact heavy hitters ([[HeavyHitters.exactPerGroup]]): tokens
+    * above 30 000 ppm of their SOURCE's token count — per-domain
+    * boilerplate detection. Driver-free verify: candidate (source, token)
+    * pairs broadcast-semi-join the token stream. */
+  def q116SourceHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir).documents
+      .select($"source", explode(TextFunctions.tokens($"text")).as("tok"))
+    HeavyHitters.exactPerGroup(toks, Seq("source"), $"tok", phiPpm = 30000L, k = 1023)
+      .select($"source", $"item".as("tok"), $"cnt", $"ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_source_heavy_hitters" -> q116SourceHeavyHitters _,
     "q110_asof_join"     -> q110AsOfJoin _,
     "q111_interval_join" -> q111IntervalJoin _,
     "q112_heavy_hitters" -> q112HeavyHitters _,
@@ -213,6 +227,14 @@ object RelOpsQueries {
         |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
         |FROM span a JOIN span b
         |  ON a.cust = b.cust AND a.ok < b.ok AND a.s <= b.e AND b.s <= a.e""".stripMargin,
+    "q116_source_heavy_hitters" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |tot AS (SELECT source, count(*) AS n FROM toks GROUP BY 1)
+         |SELECT t.source, t.tok, count(*) AS cnt,
+         |  CAST(count(*) * 1000000 // any_value(tt.n) AS BIGINT) AS ppm
+         |FROM toks t JOIN tot tt USING (source)
+         |GROUP BY 1, 2
+         |HAVING count(*) * 1000000 > any_value(tt.n) * 30000""".stripMargin,
     "q115_prev_order" ->
       """WITH o AS (SELECT o_custkey AS cust, o_orderkey AS ok,
         |  epoch_us(o_orderdate) AS o_us FROM orders),

@@ -84,6 +84,29 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("exactPerGroup equals the exhaustive per-group groupBy; groups isolated") {
+    val rnd = new Random(11)
+    // group g0: heavy skew; g1: different heavy items; g2: uniform (no HH)
+    val stream =
+      (1 to 6000).map(_ => ("g0", if (rnd.nextDouble() < 0.6) s"a${rnd.nextInt(5)}" else s"x${rnd.nextInt(500)}")) ++
+      (1 to 4000).map(_ => ("g1", if (rnd.nextDouble() < 0.5) s"b${rnd.nextInt(3)}" else s"y${rnd.nextInt(500)}")) ++
+      (1 to 2000).map(_ => ("g2", s"z${rnd.nextInt(800)}"))
+    val df     = stream.toDF("g", "item")
+    val phiPpm = 20000L
+    val got = HeavyHitters.exactPerGroup(df, Seq("g"), $"item", phiPpm = phiPpm, k = 63)
+      .select($"g", $"item", $"cnt", $"ppm").as[(String, String, Long, Long)].collect().toSet
+    val want = stream.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((g, i), c) => (g, i, c) }
+      .groupBy(_._1).flatMap { case (g, rows) =>
+        val n = rows.map(_._3).sum
+        rows.filter(r => r._3 * 1000000L > n * phiPpm)
+          .map(r => (g, r._2, r._3, r._3 * 1000000L / n))
+      }.toSet
+    assert(want.exists(_._1 == "g0") && want.exists(_._1 == "g1"))
+    assert(!want.exists(_._1 == "g2"))
+    assert(got == want)
+  }
+
   test("phi below the guarantee line is rejected loudly") {
     intercept[IllegalArgumentException] {
       HeavyHitters.exact(Seq("a").toDF("item"), $"item", phiPpm = 10L, k = 63)
