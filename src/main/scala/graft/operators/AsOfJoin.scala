@@ -255,4 +255,28 @@ object AsOfJoin {
       left.columns.map(col) ++ payloadCols.map(c => col("__m")(c).as(c)): _*)
     if (joinType == "inner") unpacked.filter(col(rightTs).isNotNull) else unpacked
   }
+
+  /** Hot-key-proof forward as-of: [[backwardChunked]] on NEGATED event
+    * times — "latest right at-or-before −t" is exactly "earliest right
+    * at-or-after t" — with both ts columns restored in the output. Same
+    * chunking properties and contracts as the backward variant.
+    * (Requires ts > Long.MinValue, vacuous for real timestamps.) */
+  def forwardChunked(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      chunkWidth: Long,
+      strict: Boolean = false,
+      tolerance: Option[Long] = None,
+      joinType: String = "inner",
+      tiebreak: Seq[String] = Nil
+  ): DataFrame = {
+    val out = backwardChunked(
+      left.withColumn(leftTs, -col(leftTs)),
+      right.withColumn(rightTs, -col(rightTs)),
+      keys, leftTs, rightTs, chunkWidth, strict, tolerance, joinType, tiebreak)
+    out.withColumn(leftTs, -col(leftTs)).withColumn(rightTs, -col(rightTs))
+  }
 }

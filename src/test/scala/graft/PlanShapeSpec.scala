@@ -183,6 +183,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "per-source totals not broadcast")
   }
 
+  test("q110 as-of: one window, zero joins, event_type filters pushed to both scans") {
+    val p = plan("q110_asof_join")
+    assert(p.contains("Window"), "as-of core window missing")
+    assert(!p.contains("Join"), "as-of must not plan any join")
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,click)"), "side filters not pushed to scans")
+  }
+
+  test("q111 interval join: the range predicate became an equi-join (no BNLJ/cartesian)") {
+    val p = plan("q111_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to a nested-loop product")
+    assert(p.contains("EqualTo(event_type,error)"), "point-side filter not pushed")
+  }
+
+  test("q112 heavy hitters: candidates reach the verify scan as a literal IN-set") {
+    val p = plan("q112_heavy_hitters")
+    assert(p.contains("INSET"), "candidate pruning not planned as a literal IN-set")
+    assert(!p.contains("Join"), "verify pass must filter, not join")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("text") && !read.contains("source"), s"scan not pruned to text: $read")
+  }
+
   test("q81 semdedup: pairwise check reads the materialized cell index, never a cartesian product") {
     val p = plan("q81_semdedup")
     // the broadcast-centroid assignment runs once inside the eager

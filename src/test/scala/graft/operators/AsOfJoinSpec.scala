@@ -122,6 +122,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(gotTol == wantTol)
   }
 
+  test("forwardChunked: random parity with forward, ts columns restored intact") {
+    val rnd  = new Random(9117)
+    val keyPool = Seq("hot", "hot", "hot", "a", "b")
+    val L = (1 to 300).map(i => (keyPool(rnd.nextInt(5)), rnd.nextInt(1500).toLong, s"l$i"))
+    val R = (1 to 250).map(i => (keyPool(rnd.nextInt(5)), rnd.nextInt(1500).toLong, s"r$i"))
+    val l = L.toDF("k", "lts", "lid")
+    val r = R.toDF("k", "rts", "rid")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lid", $"lts", $"rid", $"rts")
+        .as[(String, Long, Option[String], Option[Long])].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    for (w <- Seq(1L, 41L, 100000L); strict <- Seq(false, true)) {
+      val want = rows(AsOfJoin.forward(l, r, Seq("k"), "lts", "rts",
+        strict = strict, joinType = "left", tiebreak = Seq("rid")))
+      val got = rows(AsOfJoin.forwardChunked(l, r, Seq("k"), "lts", "rts", chunkWidth = w,
+        strict = strict, joinType = "left", tiebreak = Seq("rid")))
+      assert(got == want, s"chunkWidth=$w strict=$strict")
+    }
+  }
+
   test("random parity with the naive inequality-join + argmax formulation") {
     val rnd  = new Random(9110)
     val keys = Seq("a", "b", "c", "d")
