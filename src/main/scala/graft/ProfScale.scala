@@ -110,6 +110,22 @@ object ProfScale {
     time("cut repeated spans (q107)") { d =>
       CorpusOps.cutRepeatedSpans(d, "doc_id", "text", n = 3, minDocs = 2L).count()
     }
+    time("ngram novelty (q114)") { d => // q114's plan, inlined over d
+      val sh = d.select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3)).as("sh"))
+      val totals = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .filter(col("n_shingles") > 0)
+      val novel = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .groupBy(col("shingle")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      totals.join(novel, Seq("doc_id"), "left").count()
+    }
+    time("heavy hitters (q112)") { d =>
+      graft.operators.HeavyHitters.exact(
+        d.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")),
+        col("tok"), phiPpm = 2000L, k = 1023).count()
+    }
     spark.stop()
   }
 }

@@ -74,6 +74,26 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("pointInInterval composes stream-static: streaming points, static intervals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ivs = Seq(("k", 10L, 20L, "i1"), ("k", 15L, 25L, "i2")).toDF("k", "s", "e", "iid")
+    val mem = MemoryStream[(String, Long, String)]
+    val out = IntervalJoin.pointInInterval(
+      mem.toDF().toDF("k", "ts", "pid"), ivs, Seq("k"), "ts", "s", "e", bucketWidth = 4L)
+    assert(out.isStreaming, "operator must stay streamable for a streaming point side")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("iv_stream").start()
+    try {
+      mem.addData(Seq(("k", 12L, "p1"), ("k", 30L, "p2")))
+      q.processAllAvailable()
+      mem.addData(Seq(("k", 18L, "p3")))
+      q.processAllAvailable()
+      val got = spark.sql("select pid, iid from iv_stream")
+        .as[(String, String)].collect().toSet
+      assert(got == Set(("p1", "i1"), ("p3", "i1"), ("p3", "i2")))
+    } finally q.stop()
+  }
+
   test("random parity with the naive theta join, across bucket widths") {
     val rnd  = new Random(9111)
     val keys = Seq("a", "b", "c")
