@@ -75,6 +75,22 @@ object IntervalJoin {
     pt.join(iv, keys :+ "__cell").filter(contained).drop("__cell")
   }
 
+  /** Data-derived bucket width: the MEDIAN interval span (approximate,
+    * one cheap aggregate), floored at 1 — the operator's own tuning rule,
+    * automated. q113's first cut hard-coded "a month sounds natural"
+    * against 825-day-average synthetic spans and ran 3.5× slower
+    * (PLANS.md round 9); deriving the width from the span distribution
+    * makes that class of mistake impossible. Results are width-invariant
+    * (spec-pinned), so this affects cost only — safe to call per run
+    * even when the distribution drifts. */
+  def medianSpanWidth(intervals: DataFrame, startCol: String, endCol: String): Long = {
+    val row = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) <= col(endCol))
+      .agg(expr(s"approx_percentile(`$endCol` - `$startCol`, 0.5)"))
+      .head()
+    if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+  }
+
   /** Interval-overlap join: all (left, right) interval pairs of the same
     * key with `[lStart, lEnd] ∩ [rStart, rEnd] ≠ ∅` (inclusive bounds) —
     * e.g. concurrent sessions, overlapping order-fulfillment spans.

@@ -74,13 +74,13 @@ object RelOpsQueries {
   /** Interval-overlap self-join ([[IntervalJoin.overlap]]): pairs of the
     * same customer's orders whose fulfillment spans
     * `[o_orderdate, max(l_shipdate)]` overlap — concurrent open orders.
-    * ~45k pairs from 15k orders at sf0.01. Width follows the operator's
-    * own rule — near the MEDIAN SPAN, which in this synthetic data is
-    * ~734 days (dates are uniform over ~2 500 days, so spans are huge):
-    * 730-day cells ⇒ ~2 replicas per interval and ~2 shared cells per
-    * overlapping pair. The first cut used 30 days ("a month sounds
-    * natural"), replicated 28× and ran 4.4× slower — measured in
-    * PLANS.md round 9. */
+    * ~45k pairs from 15k orders at sf0.01. Width is DERIVED from the
+    * span distribution ([[IntervalJoin.medianSpanWidth]] ≈ 734 days here:
+    * dates are uniform over ~2 500 days, so spans are huge) ⇒ ~2 replicas
+    * per interval, ~2 shared cells per overlapping pair. The first cut
+    * hard-coded 30 days ("a month sounds natural"), replicated 28× and
+    * ran 3.5× slower — measured in PLANS.md round 9; results are
+    * width-invariant so the derivation affects cost only. */
   def q113OverlapJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
@@ -93,11 +93,14 @@ object RelOpsQueries {
       // every span is well-formed (fulfillment covers at least order day).
       .agg(max($"ship_us").as("max_ship_us"))
       .withColumn("e", greatest($"max_ship_us", $"s")).drop("max_ship_us")
+      // materialized once: consumed by both self-join sides AND the
+      // width derivation below (span count is |orders|, not |lineitem|)
+      .localCheckpoint()
     val a = spans.select($"cust", $"ok".as("a_ok"), $"s".as("a_s"), $"e".as("a_e"))
     val b = spans.select($"cust", $"ok".as("b_ok"), $"s".as("b_s"), $"e".as("b_e"))
     IntervalJoin
       .overlap(a, b, Seq("cust"), "a_s", "a_e", "b_s", "b_e",
-        bucketWidth = 730L * 86400L * 1000000L)
+        bucketWidth = IntervalJoin.medianSpanWidth(spans.select($"s", $"e"), "s", "e"))
       .filter($"a_ok" < $"b_ok")
       .select($"cust", $"a_ok", $"b_ok",
         (least($"a_e", $"b_e") - greatest($"a_s", $"b_s")).as("overlap_us"))

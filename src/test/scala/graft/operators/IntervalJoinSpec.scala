@@ -74,6 +74,18 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("medianSpanWidth lands near the median span; degenerate inputs floor at 1") {
+    val ivs = Seq(("k", 0L, 10L, "a"), ("k", 0L, 100L, "b"), ("k", 0L, 1000L, "c"),
+      ("k", 50L, 40L, "inverted")).toDF("k", "s", "e", "iid")
+    val w = IntervalJoin.medianSpanWidth(ivs, "s", "e")
+    assert(w >= 10L && w <= 1000L, s"width $w outside the span range")
+    // all-zero spans and empty inputs must still return a legal width
+    assert(IntervalJoin.medianSpanWidth(
+      Seq(("k", 5L, 5L, "p")).toDF("k", "s", "e", "iid"), "s", "e") == 1L)
+    assert(IntervalJoin.medianSpanWidth(
+      Seq.empty[(String, Long, Long, String)].toDF("k", "s", "e", "iid"), "s", "e") == 1L)
+  }
+
   test("pointInInterval composes stream-static: streaming points, static intervals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
