@@ -168,7 +168,26 @@ object RelOpsQueries {
       .select($"source", $"item".as("tok"), $"cnt", $"ppm")
   }
 
+  // ---------------------------------------------------------------- q117
+  /** Forward chunked as-of ([[AsOfJoin.forwardChunked]], oracle-checked):
+    * q115's mirror — each order matched to the same customer's earliest
+    * STRICTLY-later order day. */
+  def q117NextOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables(spark, dir).orders
+    val o = raw.select($"o_custkey".as("cust"), $"o_orderkey".as("ok"),
+      Tables.tsToMicros(raw, "o_orderdate").as("o_us"))
+    val d = o.groupBy($"cust", $"o_us".as("next_us"))
+      .agg(max($"ok").as("next_ok"), count(lit(1)).as("n_next_day"))
+    AsOfJoin
+      .forwardChunked(o, d, Seq("cust"), leftTs = "o_us", rightTs = "next_us",
+        chunkWidth = 90L * 86400L * 1000000L, strict = true)
+      .select($"cust", $"ok", $"o_us", $"next_us", $"next_ok", $"n_next_day",
+        ($"next_us" - $"o_us").as("gap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_next_order"           -> q117NextOrder _,
     "q116_source_heavy_hitters" -> q116SourceHeavyHitters _,
     "q110_asof_join"     -> q110AsOfJoin _,
     "q111_interval_join" -> q111IntervalJoin _,
@@ -230,6 +249,14 @@ object RelOpsQueries {
         |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
         |FROM span a JOIN span b
         |  ON a.cust = b.cust AND a.ok < b.ok AND a.s <= b.e AND b.s <= a.e""".stripMargin,
+    "q117_next_order" ->
+      """WITH o AS (SELECT o_custkey AS cust, o_orderkey AS ok,
+        |  epoch_us(o_orderdate) AS o_us FROM orders),
+        |d AS (SELECT cust, o_us AS next_us, max(ok) AS next_ok,
+        |  count(*) AS n_next_day FROM o GROUP BY 1, 2)
+        |SELECT l.cust, l.ok, l.o_us, d.next_us, d.next_ok, d.n_next_day,
+        |  d.next_us - l.o_us AS gap_us
+        |FROM o l ASOF JOIN d ON l.cust = d.cust AND l.o_us < d.next_us""".stripMargin,
     "q116_source_heavy_hitters" ->
       s"""WITH toks AS (SELECT source, unnest($toksSql) AS tok FROM documents),
          |tot AS (SELECT source, count(*) AS n FROM toks GROUP BY 1)

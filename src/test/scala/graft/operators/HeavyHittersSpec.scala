@@ -113,6 +113,25 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("any string is a legal item — including ones that look like internal fields") {
+    // An earlier formulation kept err/n under magic map keys; these items
+    // would have corrupted the summary. Pin that every string is data.
+    val weird  = Seq(" __mg_err", " __mg_n", "", " ", "__mg_err")
+    val stream = weird.flatMap(w => Seq.fill(50)(w)) ++ (1 to 100).map(i => s"rare$i")
+    val agg    = MisraGriesAgg(8)
+    val s      = agg.finish(stream.foldLeft(agg.zero)(agg.reduce))
+    assert(s.n == stream.size)
+    assert(s.err <= stream.size / 9)
+    weird.foreach { w =>
+      val e = s.entries.find(_.item == w)
+      assert(e.isDefined, s"heavy item '$w' evicted")
+      assert(e.get.count <= 50L && 50L <= e.get.count + s.err)
+    }
+    val got = HeavyHitters.exact(stream.toDF("item"), $"item", phiPpm = 130000L, k = 63)
+      .select($"item", $"cnt").as[(String, Long)].collect().toMap
+    assert(got == weird.map(_ -> 50L).toMap)
+  }
+
   test("empty input yields an empty result, not a failure") {
     val out = HeavyHitters.exact(Seq.empty[String].toDF("item"), $"item", phiPpm = 1000L, k = 4095)
     assert(out.count() == 0)
