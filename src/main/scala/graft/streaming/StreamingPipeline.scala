@@ -933,41 +933,48 @@ object StreamingPipeline {
   final case class AsOfSide(key: String, ts: Long, side: String, payload: String)
   final case class AsOfJoined(key: String, ts: Long, payload: String,
                               rightTs: Option[Long], rightPayload: Option[String])
-  /** Keyed state: the latest version row seen so far (Flink's "temporal
-    * table" snapshot, reduced to its as-of-query essence). O(1) per key. */
+  /** One retained version row (Flink's "temporal table" snapshot entry). */
   final case class AsOfState(rightTs: Long, rightPayload: String)
+  /** Keyed state: the most recent `historyDepth` versions, newest first. */
+  final case class AsOfHistory(versions: List[AsOfState])
 
   /** Streaming temporal as-of join (Flink's temporal table join, the
     * streaming face of [[graft.operators.AsOfJoin.backward]]): a probe
     * stream enriched, per key, with the latest version row at-or-before
     * each probe's event time.
     *
-    * State per key is ONE row — the max-ts version seen — not a history:
-    * within a micro-batch rows process in (ts, version-first) order
-    * starting from that snapshot, so closed-input single-batch runs match
-    * the batch operator exactly (inclusive, last-version-wins on ts ties —
-    * spec-pinned); across batches the join is exact whenever each key's
-    * rows arrive in event-time order (the watermark discipline). A probe
-    * OLDER than the held snapshot emits NO match rather than a wrong one —
-    * late probes fail closed (`rightTs = null`), they never time-travel
-    * forward.
+    * State per key is the newest `historyDepth` versions — O(D), not a
+    * full history. Within a micro-batch rows process in (ts,
+    * version-first) order, so closed-input single-batch runs match the
+    * batch operator exactly AT ANY DEPTH (inclusive, last-version-wins on
+    * ts ties — spec-pinned: the latest version ≤ a probe's ts is always
+    * the most recently retained one). Across batches the join is exact
+    * whenever each key's rows arrive in event-time order; a LATE probe is
+    * served correctly as long as its floor version is still inside the
+    * retained window, and fails CLOSED (`rightTs = null`) — never a
+    * time-traveled wrong match — once it falls off the horizon. Depth 1
+    * is the pure-snapshot mode; raise it to buy late-probe tolerance with
+    * per-key state.
     *
     * `union` both sides into one [[AsOfSide]] stream ("r" rows = versions,
     * "l" rows = probes); every probe emits exactly one [[AsOfJoined]].
     * `stateTimeout` bounds state for dead keys in production. */
   def temporalAsOfStream(spark: SparkSession, sides: Dataset[AsOfSide],
-                         stateTimeout: Option[String] = None): Dataset[AsOfJoined] = {
+                         stateTimeout: Option[String] = None,
+                         historyDepth: Int = 1): Dataset[AsOfJoined] = {
     import spark.implicits._
+    require(historyDepth > 0, s"historyDepth must be positive, got $historyDepth")
     val timeoutConf =
       if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     sides
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
-        (key: String, rows: Iterator[AsOfSide], state: GroupState[AsOfState]) => {
+        (key: String, rows: Iterator[AsOfSide], state: GroupState[AsOfHistory]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var snap = state.getOption
+            // newest-first; insertion keeps order and the D-bound
+            var hist = state.getOption.map(_.versions).getOrElse(Nil)
             val out  = scala.collection.mutable.ArrayBuffer.empty[AsOfJoined]
             // Version rows sort before probes at one ts (inclusive as-of);
             // equal-ts versions resolve last-in-order = max payload, the
@@ -975,13 +982,14 @@ object StreamingPipeline {
             val ordered = rows.toSeq.sortBy(r => (r.ts, if (r.side == "r") 0 else 1, r.payload))
             ordered.foreach { r =>
               if (r.side == "r") {
-                if (snap.forall(_.rightTs <= r.ts)) snap = Some(AsOfState(r.ts, r.payload))
+                val (newer, older) = hist.span(v => v.rightTs > r.ts)
+                hist = (newer ::: (AsOfState(r.ts, r.payload) :: older)).take(historyDepth)
               } else {
-                val m = snap.filter(_.rightTs <= r.ts)
+                val m = hist.find(_.rightTs <= r.ts)
                 out += AsOfJoined(key, r.ts, r.payload, m.map(_.rightTs), m.map(_.rightPayload))
               }
             }
-            snap.foreach(state.update)
+            if (hist.nonEmpty) state.update(AsOfHistory(hist))
             stateTimeout.foreach(state.setTimeoutDuration)
             out.iterator
           }

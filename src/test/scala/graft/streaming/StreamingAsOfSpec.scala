@@ -69,6 +69,50 @@ class StreamingAsOfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("historyDepth: late probes inside the horizon match correctly, beyond it fail closed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[AsOfSide]
+    val q = StreamingPipeline.temporalAsOfStream(spark, mem.toDS(), historyDepth = 2)
+      .writeStream.outputMode("append").format("memory").queryName("asof_hist").start()
+    try {
+      mem.addData(Seq(AsOfSide("k", 10L, "r", "v1"), AsOfSide("k", 50L, "r", "v2"),
+        AsOfSide("k", 100L, "r", "v3"))) // v1 falls off the 2-deep horizon
+      q.processAllAvailable()
+      mem.addData(Seq(
+        AsOfSide("k", 60L, "l", "p-in"),   // floor v2 retained → correct match
+        AsOfSide("k", 20L, "l", "p-out"))) // floor v1 evicted → fail closed
+      q.processAllAvailable()
+      val got = spark.sql("select payload, rightPayload from asof_hist")
+        .as[(String, Option[String])].collect().toMap
+      assert(got == Map("p-in" -> Some("v2"), "p-out" -> None))
+    } finally q.stop()
+  }
+
+  test("closed single-batch parity holds at depth > 1 too") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rnd  = new Random(9118)
+    val rows = (1 to 150).map(i => AsOfSide("k" + rnd.nextInt(2), rnd.nextInt(300).toLong,
+      if (rnd.nextBoolean()) "r" else "l", s"x$i"))
+    def run(depth: Int): Map[String, (Option[Long], Option[String])] = {
+      val mem = MemoryStream[AsOfSide]
+      val q = StreamingPipeline.temporalAsOfStream(spark, mem.toDS(), historyDepth = depth)
+        .writeStream.outputMode("append").format("memory").queryName(s"asof_d$depth").start()
+      try {
+        mem.addData(rows); q.processAllAvailable()
+        spark.sql(s"select payload, rightTs, rightPayload from asof_d$depth")
+          .as[(String, Option[Long], Option[String])].collect()
+          .map(t => t._1 -> ((t._2, t._3))).toMap
+      } finally q.stop()
+    }
+    val d1 = run(1)
+    assert(d1.nonEmpty)
+    assert(run(4) == d1)
+  }
+
   test("late probe older than the held snapshot fails closed, not wrong") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
