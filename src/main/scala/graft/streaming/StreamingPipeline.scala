@@ -918,14 +918,15 @@ object StreamingPipeline {
     * present; count ≤ true ≤ count + err), NOT exact counts: exactness
     * needs the batch verify pass over closed data. */
   def heavyHitterStream(df: DataFrame, tsCol: String, itemCol: String,
-                        windowDur: String, watermark: String, k: Int): DataFrame = {
+                        windowDur: String, watermark: String, k: Int,
+                        groupCols: Seq[String] = Nil): DataFrame = {
     val mg = udaf(graft.agg.MisraGriesAgg(k))
     df.withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowDur))
+      .groupBy(window(col(tsCol), windowDur) +: groupCols.map(col): _*)
       .agg(mg(col(itemCol)).as("summary"))
-      .select(col("window.start").as("window_start"),
+      .select(col("window.start").as("window_start") +: groupCols.map(col) ++: Seq(
         col("summary.entries").as("entries"),
-        col("summary.err").as("err"), col("summary.n").as("n"))
+        col("summary.err").as("err"), col("summary.n").as("n")): _*)
   }
 
   /** One side of the temporal as-of stream: `side` = "l" (probe) or "r"

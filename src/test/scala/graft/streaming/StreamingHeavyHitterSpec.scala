@@ -69,4 +69,30 @@ class StreamingHeavyHitterSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("grouped variant: per-(window, group) summaries, groups isolated") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val out = StreamingPipeline.heavyHitterStream(
+      mem.toDF().toDF("ts", "src", "item"), "ts", "item", "1 minute", "10 minutes",
+      k = 4, groupCols = Seq("src"))
+    val q = out.writeStream.outputMode("append").format("memory").queryName("hh_grp").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2025-01-01 00:00:30")
+      val rows = Seq.fill(30)((t, "sA", "hot-a")) ++ Seq.fill(30)((t, "sB", "hot-b")) ++
+        (1 to 10).map(i => (t, "sA", s"cold$i")) :+
+        ((java.sql.Timestamp.valueOf("2025-01-01 01:00:00"), "sA", "pusher"))
+      mem.addData(rows); q.processAllAvailable()
+      val got = spark.sql("select src, entries, n from hh_grp where n > 1")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet, r.getLong(2))))
+        .toMap
+      assert(got("sA")._2 == 40L && got("sB")._2 == 30L)
+      assert(got("sA")._1.contains("hot-a") && !got("sA")._1.contains("hot-b"))
+      assert(got("sB")._1 == Set("hot-b"))
+    } finally q.stop()
+  }
 }
