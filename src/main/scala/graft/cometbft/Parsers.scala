@@ -55,7 +55,7 @@ object Parsers {
   def formatStep(step: String): String = {
     if (step == null || !step.startsWith("RoundStep")) return null
     val s = step.stripPrefix("RoundStep")
-    if (s.isEmpty) null else s.head.toLower + s.tail
+    if (s.isEmpty) null else s"${s.head.toLower}${s.tail}"
   }
 
   /** `"height/round/step"` → (h, r, canonical step) (`lib/parse.go:15-37`). */

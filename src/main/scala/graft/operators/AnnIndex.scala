@@ -171,7 +171,7 @@ object AnnIndex {
       .select(explode(col("probes")).as("cell")).distinct()
       .collect().map(_.getLong(0))
     val codes = codesTable(queries.sparkSession, indexDir)
-      .filter(col("cell").isin(probedCells.map(Long.box): _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(Long.box): _*))
     val qdf = Similarity.withAdcTables(queries0, "qv", m, sub, posBooks)
       .drop("qv")
       .withColumn("cell", explode(col("probes")))

@@ -114,7 +114,7 @@ object AsOfJoin {
     )
     val rStructType = r.schema("__r").dataType
     val l = left.select(
-      left.columns.map(col) ++ Seq(
+      left.columns.toSeq.map(col) ++ Seq(
         col(leftTs).as("__ts"),
         lit(leftOrd).as("__side"),
         lit(null).cast(rStructType).as("__r")
@@ -145,7 +145,7 @@ object AsOfJoin {
       case None => matchedRaw
     }
     val unpacked = withTol.select(
-      left.columns.map(col) ++ payloadCols.map(c => col("__m")(c).as(c)): _*
+      left.columns.toSeq.map(col) ++ payloadCols.map(c => col("__m")(c).as(c)): _*
     )
     if (joinType == "inner") unpacked.filter(col(rightTs).isNotNull) else unpacked
   }
@@ -224,7 +224,7 @@ object AsOfJoin {
         col("__snap").cast(rStructType).as("__r")
       ) ++ tiebreak.zipWithIndex.map { case (c, i) => col("__snap")(c).as(s"__tb$i") }: _*)
     val lPart = lc.select(
-      lc.columns.map(col) ++ Seq(
+      lc.columns.toSeq.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(leftOrd).as("__side"),
         lit(null).cast(rStructType).as("__r")
       ) ++ tiebreak.indices.map(i => lit(null).cast(rPart.schema(s"__tb$i").dataType).as(s"__tb$i")): _*)
@@ -252,7 +252,7 @@ object AsOfJoin {
       case None => matchedRaw
     }
     val unpacked = withTol.select(
-      left.columns.map(col) ++ payloadCols.map(c => col("__m")(c).as(c)): _*)
+      left.columns.toSeq.map(col) ++ payloadCols.map(c => col("__m")(c).as(c)): _*)
     if (joinType == "inner") unpacked.filter(col(rightTs).isNotNull) else unpacked
   }
 

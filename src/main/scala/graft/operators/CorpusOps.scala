@@ -712,7 +712,7 @@ object CorpusOps {
         val pairRows = for {
           a <- srcIds; b <- srcIds if a < b
         } yield (a, b, bitOf(a).toLong, bitOf(b).toLong)
-        val pairs = docs.sparkSession.createDataFrame(pairRows)
+        val pairs = docs.sparkSession.createDataFrame(pairRows.toIndexedSeq)
           .toDF("src_a", "src_b", "bit_a", "bit_b")
         masks
           .crossJoin(broadcast(pairs))

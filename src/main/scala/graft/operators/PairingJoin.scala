@@ -268,7 +268,7 @@ object PairingJoin {
     val kCols = keys.map(col)
     def onePerKey(df: DataFrame, ts: String, tiebreak: Seq[String], largest: Boolean): DataFrame = {
       val ord = struct((col(ts) +: tiebreak.map(col)): _*)
-      val all = struct(df.columns.map(col): _*)
+      val all = struct(df.columns.toIndexedSeq.map(col): _*)
       df.groupBy(kCols: _*)
         .agg((if (largest) max_by(all, ord) else min_by(all, ord)).as("__r"))
         .select(kCols ++ df.columns.filterNot(keys.contains)
