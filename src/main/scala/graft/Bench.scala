@@ -70,7 +70,7 @@ object Bench {
     // heavy hitters
     "q110_asof_join", "q111_interval_join", "q112_heavy_hitters",
     "q113_overlap_join", "q114_ngram_novelty", "q115_prev_order",
-    "q116_source_heavy_hitters", "q117_next_order")
+    "q116_source_heavy_hitters", "q117_next_order", "q118_asof_tolerance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -186,7 +186,30 @@ object RelOpsQueries {
         ($"next_us" - $"o_us").as("gap_us"))
   }
 
+  // ---------------------------------------------------------------- q118
+  /** As-of with tolerance + left join (the two [[AsOfJoin]] flags q110
+    * doesn't oracle): every purchase keeps its row; the matched click is
+    * nulled when the nearest prior one is more than 24 h away — DuckDB
+    * mirrors this as ASOF LEFT JOIN + a conditional projection (both
+    * engines pick the nearest match FIRST, then apply the distance cut,
+    * which is exactly the tolerance semantics). */
+  def q118AsOfTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_us".as("click_us"))
+      .agg(max($"event_id").as("click_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("purchase_us"))
+    AsOfJoin
+      .backward(purchases, clicks, Seq("user_id"), leftTs = "purchase_us", rightTs = "click_us",
+        tolerance = Some(86400L * 1000000L), joinType = "left")
+      .select($"user_id", $"purchase_id", $"purchase_us", $"click_id", $"click_us",
+        ($"purchase_us" - $"click_us").as("wait_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_asof_tolerance"       -> q118AsOfTolerance _,
     "q117_next_order"           -> q117NextOrder _,
     "q116_source_heavy_hitters" -> q116SourceHeavyHitters _,
     "q110_asof_join"     -> q110AsOfJoin _,
@@ -249,6 +272,20 @@ object RelOpsQueries {
         |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
         |FROM span a JOIN span b
         |  ON a.cust = b.cust AND a.ok < b.ok AND a.s <= b.e AND b.s <= a.e""".stripMargin,
+    "q118_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.purchase_us,
+        |  CASE WHEN p.purchase_us - c.click_us <= 86400000000 THEN c.click_id END AS click_id,
+        |  CASE WHEN p.purchase_us - c.click_us <= 86400000000 THEN c.click_us END AS click_us,
+        |  CASE WHEN p.purchase_us - c.click_us <= 86400000000
+        |       THEN p.purchase_us - c.click_us END AS wait_us
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us""".stripMargin,
     "q117_next_order" ->
       """WITH o AS (SELECT o_custkey AS cust, o_orderkey AS ok,
         |  epoch_us(o_orderdate) AS o_us FROM orders),
