@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -80,6 +80,25 @@ object AsOfJoin {
     *                  the greatest tuple wins
     */
   def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      forward: Boolean,
+      strict: Boolean,
+      tolerance: Option[Long],
+      joinType: String,
+      tiebreak: Seq[String]
+  ): DataFrame = {
+    IntervalJoin.requireNoReserved(left, "left"); IntervalJoin.requireNoReserved(right, "right")
+    asofUnchecked(left, right, keys, leftTs, rightTs, forward, strict, tolerance, joinType, tiebreak)
+  }
+
+  /** [[asof]] body without the reserved-prefix validation — the chunked
+    * variants re-enter here with their own (validated-at-entry) frames
+    * that legitimately carry `__chunk` working columns. */
+  private def asofUnchecked(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
@@ -182,8 +201,9 @@ object AsOfJoin {
       joinType: String = "inner",
       tiebreak: Seq[String] = Nil
   ): DataFrame = {
-    require(chunkWidth > 0, "chunkWidth must be positive")
+    IntervalJoin.requireWidth(chunkWidth, "chunkWidth")
     require(Seq("inner", "left").contains(joinType), s"joinType must be inner|left, got $joinType")
+    IntervalJoin.requireNoReserved(left, "left"); IntervalJoin.requireNoReserved(right, "right")
     val payloadCols = right.columns.filterNot(keys.contains).toSeq
     val overlap     = left.columns.filterNot(keys.contains).toSet.intersect(payloadCols.toSet)
     require(overlap.isEmpty, s"non-key columns must be disjoint, both sides have: ${overlap.mkString(",")}")
@@ -202,7 +222,7 @@ object AsOfJoin {
     // 2. Seed each populated left chunk from the latest strictly-earlier
     //    right chunk (in-chunk rights are stage 3's job).
     val leftChunks = lc.select((keys.map(col) :+ col("__chunk")): _*).distinct()
-    val seeds = asof(
+    val seeds = asofUnchecked(
       leftChunks,
       chunkLast.withColumnRenamed("__chunk", "__rchunk"),
       keys, "__chunk", "__rchunk",
@@ -260,7 +280,9 @@ object AsOfJoin {
     * times — "latest right at-or-before −t" is exactly "earliest right
     * at-or-after t" — with both ts columns restored in the output. Same
     * chunking properties and contracts as the backward variant.
-    * (Requires ts > Long.MinValue, vacuous for real timestamps.) */
+    * Requires ts > Long.MinValue (vacuous for real timestamps) —
+    * ENFORCED per row, since silent negation overflow would corrupt the
+    * chunk assignment rather than fail. */
   def forwardChunked(
       left: DataFrame,
       right: DataFrame,
@@ -273,9 +295,15 @@ object AsOfJoin {
       joinType: String = "inner",
       tiebreak: Seq[String] = Nil
   ): DataFrame = {
+    // -Long.MinValue overflows back to Long.MinValue silently; fail the
+    // row loudly instead (codegen'd branch, no-op on real timestamps).
+    def negChecked(c: Column, name: String): Column =
+      when(c === Long.MinValue,
+        raise_error(lit(s"forwardChunked: $name = Long.MinValue cannot be negated")).cast("long"))
+        .otherwise(-c)
     val out = backwardChunked(
-      left.withColumn(leftTs, -col(leftTs)),
-      right.withColumn(rightTs, -col(rightTs)),
+      left.withColumn(leftTs, negChecked(col(leftTs), leftTs)),
+      right.withColumn(rightTs, negChecked(col(rightTs), rightTs)),
       keys, leftTs, rightTs, chunkWidth, strict, tolerance, joinType, tiebreak)
     out.withColumn(leftTs, -col(leftTs)).withColumn(rightTs, -col(rightTs))
   }

@@ -32,9 +32,35 @@ object IntervalJoin {
   /** Arithmetic floor division on longs, in pure long arithmetic
     * (negative-safe: `div` alone truncates toward zero, which would put
     * ts −1 and +1 in the same bucket; Column `/` goes through DOUBLE,
-    * which is inexact past 2^53). Shared with [[AsOfJoin.backwardChunked]]. */
+    * which is inexact past 2^53). Shared with [[AsOfJoin.backwardChunked]].
+    * Callers must pre-validate the width with [[requireWidth]]: the
+    * `(x % w + w) % w` normalization overflows when `w > Long.MaxValue/2`. */
   private[operators] def floorDiv(name: String, w: Long): Column =
-    expr(s"(`$name` - (((`$name` % ${w}L) + ${w}L) % ${w}L)) div ${w}L")
+    floorDiv(col(name), w)
+
+  /** [[floorDiv]] over an arbitrary long Column: `pmod` is the
+    * `((x % w) + w) % w` normalization, `div` the exact integral divide
+    * (Column `/` would detour through DOUBLE — inexact past 2^53). */
+  private[operators] def floorDiv(c: Column, w: Long): Column =
+    call_function("div", c - pmod(c, lit(w)), lit(w))
+
+  /** Validity gate for every bucket/chunk width: positive, and small
+    * enough that [[floorDiv]]'s modular normalization cannot overflow
+    * (`x % w + w` needs `w ≤ Long.MaxValue/2`; silently corrupt buckets
+    * otherwise). Shared with [[AsOfJoin]]'s chunked variants. */
+  private[operators] def requireWidth(w: Long, name: String): Unit =
+    require(w > 0 && w <= Long.MaxValue / 2,
+      s"$name must be in (0, Long.MaxValue/2], got $w - floorDiv's modular bucketing overflows past that")
+
+  /** Internal working columns (`__cell`, `__ts`, …) are appended to caller
+    * frames; a caller column already using the reserved `__` prefix would
+    * collide — analysis error at best, silently wrong bucketing at worst —
+    * so fail loudly up front. Shared with [[AsOfJoin]]. */
+  private[operators] def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val bad = df.columns.filter(_.startsWith("__"))
+    require(bad.isEmpty,
+      s"$side columns ${bad.mkString(",")} use the reserved '__' prefix (internal working columns)")
+  }
 
   /** @param points      big side; one row per event
     * @param intervals   side with `[startCol, endCol]` (inclusive bounds)
@@ -46,9 +72,15 @@ object IntervalJoin {
     *                    be chosen from the interval-span distribution
     *
     * Inner semantics: uncovered points drop, a point inside k overlapping
-    * intervals yields k rows. (A left-outer variant needs a unique point id
-    * to restore uncovered rows — compose it as `points LEFT ANTI matched`
-    * unioned with the matched set when one exists.)
+    * intervals yields k rows. For uncovered-point preservation use
+    * [[pointInIntervalLeft]].
+    *
+    * Pathological spans are structurally harmless: an interval only needs
+    * replicating to cells where a point could meet it, so its cell range
+    * is CLAMPED to the observed point-time range (one 1-row aggregate over
+    * the points). An open-ended sentinel end (`Long.MaxValue` for "still
+    * open") replicates to at most the points' own span of cells instead of
+    * attempting a billion-element `sequence()`.
     */
   def pointInInterval(
       points: DataFrame,
@@ -59,20 +91,73 @@ object IntervalJoin {
       endCol: String,
       bucketWidth: Long
   ): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
+    requireWidth(bucketWidth, "bucketWidth")
+    requireNoReserved(points, "points"); requireNoReserved(intervals, "intervals")
     val overlap = points.columns.filterNot(keys.contains).toSet
       .intersect(intervals.columns.filterNot(keys.contains).toSet)
     require(overlap.isEmpty, s"non-key columns must be disjoint, both sides have: ${overlap.mkString(",")}")
 
+    // Observed point-time range: the only cells where a pair can meet.
+    // One bounded 1-row aggregate (the medianSpanWidth pattern); an empty
+    // or all-null point side yields an empty inner result regardless.
+    // A STREAMING point side can't be pre-aggregated — unbounded sentinels
+    // disable the clamp there (greatest/least with ±Long.MaxValue are
+    // identities), so streaming callers must bound their own spans.
+    val (minTs, maxTs) =
+      if (points.isStreaming) (Long.MinValue, Long.MaxValue)
+      else {
+        val rangeRow = points.agg(
+          min(col(pointTs).cast("long")), max(col(pointTs).cast("long"))).head()
+        if (rangeRow.isNullAt(0)) (0L, -1L) else (rangeRow.getLong(0), rangeRow.getLong(1))
+      }
+
     val iv = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) <= col(endCol))
+      // no point exists outside [minTs, maxTs] → intervals fully outside
+      // can't match; survivors replicate only across the clamped range
+      .filter(col(startCol) <= maxTs && col(endCol) >= minTs)
       .withColumn("__cell",
-        explode(sequence(floorDiv(startCol, bucketWidth), floorDiv(endCol, bucketWidth))))
+        explode(sequence(
+          floorDiv(greatest(col(startCol), lit(minTs)), bucketWidth),
+          floorDiv(least(col(endCol), lit(maxTs)), bucketWidth))))
     val pt = points.filter(col(pointTs).isNotNull)
       .withColumn("__cell", floorDiv(pointTs, bucketWidth))
 
     val contained = col(startCol) <= col(pointTs) && col(pointTs) <= col(endCol)
     pt.join(iv, keys :+ "__cell").filter(contained).drop("__cell")
+  }
+
+  /** Left-outer [[pointInInterval]]: every point row is preserved;
+    * uncovered points carry null interval columns. Composed as
+    * `matched ∪ (points LEFT ANTI matched-ids)` — the anti join is an
+    * equi-join on `pointId` (broadcastable when the matched id set is
+    * small, AQE-planned otherwise), so the outer shape adds no new wide
+    * operator beyond the inner join's.
+    *
+    * @param pointId a column UNIQUE per point row (contract — with
+    *                duplicate ids, an unmatched row sharing an id with a
+    *                matched one would be wrongly dropped). Uniqueness is
+    *                the caller's to guarantee; it is not re-counted here.
+    */
+  def pointInIntervalLeft(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointId: String,
+      pointTs: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(points.columns.contains(pointId), s"pointId $pointId must be a points column")
+    require(!keys.contains(pointId), "pointId must not be a join key")
+    val matched = pointInInterval(points, intervals, keys, pointTs, startCol, endCol, bucketWidth)
+    val ivCols = matched.columns.filterNot(points.columns.contains)
+    val unmatched = points
+      .join(matched.select(col(pointId)).distinct(), Seq(pointId), "left_anti")
+      .select(points.columns.toSeq.map(col) ++
+        ivCols.toSeq.map(c => lit(null).cast(matched.schema(c).dataType).as(c)): _*)
+    matched.unionByName(unmatched)
   }
 
   /** Data-derived bucket width: the MEDIAN interval span (approximate,
@@ -117,19 +202,47 @@ object IntervalJoin {
       rEnd: String,
       bucketWidth: Long
   ): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
+    requireWidth(bucketWidth, "bucketWidth")
+    requireNoReserved(left, "left"); requireNoReserved(right, "right")
     val overlapCols = left.columns.filterNot(keys.contains).toSet
       .intersect(right.columns.filterNot(keys.contains).toSet)
     require(overlapCols.isEmpty, s"non-key columns must be disjoint, both sides have: ${overlapCols.mkString(",")}")
 
-    def cells(df: DataFrame, s: String, e: String) = df
+    // A pair meets ONLY in its canonical cell, cell(max(lStart, rStart)),
+    // whose value for any partner of interval X lies in
+    // [max(X.start, other side's min start), min(X.end, global max start)]
+    // — so replication is CLAMPED to that range (one 1-row aggregate over
+    // the starts) and rows with an empty range (no possible partner) drop.
+    // Pathological open-ended sentinels (`Long.MaxValue` end /
+    // `Long.MinValue` start) replicate across the partners' start span
+    // instead of attempting a billion-cell sequence. A streaming side
+    // can't be pre-aggregated: sentinels disable the clamp there.
+    val (maxStart, lMinStart, rMinStart) =
+      if (left.isStreaming || right.isStreaming) (Long.MaxValue, Long.MinValue, Long.MinValue)
+      else {
+        val row = left.select(col(lStart).cast("long").as("s"), lit("l").as("side"))
+          .unionByName(right.select(col(rStart).cast("long").as("s"), lit("r").as("side")))
+          .agg(max(col("s")),
+            min(when(col("side") === "l", col("s"))),
+            min(when(col("side") === "r", col("s"))))
+          .head()
+        def at(i: Int, dflt: Long) = if (row.isNullAt(i)) dflt else row.getLong(i)
+        (at(0, Long.MaxValue), at(1, Long.MinValue), at(2, Long.MinValue))
+      }
+
+    def cells(df: DataFrame, s: String, e: String, otherMinStart: Long) = df
       .filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
-      .withColumn("__cell", explode(sequence(floorDiv(s, bucketWidth), floorDiv(e, bucketWidth))))
+      .withColumn("__lo", greatest(col(s), lit(otherMinStart)))
+      .withColumn("__hi", least(col(e), lit(maxStart)))
+      .filter(col("__lo") <= col("__hi"))
+      .withColumn("__cell", explode(sequence(
+        floorDiv(col("__lo"), bucketWidth), floorDiv(col("__hi"), bucketWidth))))
+      .drop("__lo", "__hi")
 
     val overlaps  = col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
     val canonical = col("__cell") === greatest(floorDiv(lStart, bucketWidth), floorDiv(rStart, bucketWidth))
-    cells(left, lStart, lEnd)
-      .join(cells(right, rStart, rEnd), keys :+ "__cell")
+    cells(left, lStart, lEnd, rMinStart)
+      .join(cells(right, rStart, rEnd, lMinStart), keys :+ "__cell")
       .filter(overlaps && canonical)
       .drop("__cell")
   }

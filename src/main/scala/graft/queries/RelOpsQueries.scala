@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{AsOfJoin, HeavyHitters, IntervalJoin}
+import graft.operators.Checkpoints.CheckpointOps
 import graft.functions.TextFunctions
 
 /** Round-9 relational-operator queries: the general as-of join, the
@@ -95,7 +96,7 @@ object RelOpsQueries {
       .withColumn("e", greatest($"max_ship_us", $"s")).drop("max_ship_us")
       // materialized once: consumed by both self-join sides AND the
       // width derivation below (span count is |orders|, not |lineitem|)
-      .localCheckpoint()
+      .stageCheckpoint()
     val a = spans.select($"cust", $"ok".as("a_ok"), $"s".as("a_s"), $"e".as("a_e"))
     val b = spans.select($"cust", $"ok".as("b_ok"), $"s".as("b_s"), $"e".as("b_e"))
     IntervalJoin
@@ -208,7 +209,49 @@ object RelOpsQueries {
         ($"purchase_us" - $"click_us").as("wait_us"))
   }
 
+  // ---------------------------------------------------------------- q119
+  /** LEFT-outer point-in-interval join ([[IntervalJoin.pointInIntervalLeft]]):
+    * q111's error-in-session placement, but every error event keeps its
+    * row — errors outside any qualifying session carry null session
+    * columns (the enrichment default: never silently drop the fact
+    * stream). One row per error (sessions are disjoint), so no rollup. */
+  def q119IntervalLeft(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = EventQueries.q12Sessions(spark, dir)
+      .select($"user_id", $"session_id", $"start_us", $"end_us")
+    val errors = ev(spark, dir)
+      .filter($"event_type" === "error")
+      .select($"user_id", $"event_id", $"ts_us")
+    IntervalJoin.pointInIntervalLeft(errors, sessions, Seq("user_id"),
+      pointId = "event_id", pointTs = "ts_us",
+      startCol = "start_us", endCol = "end_us",
+      bucketWidth = 3600L * 1000000L)
+  }
+
+  // ---------------------------------------------------------------- q120
+  /** Chunked as-of with tolerance + left (the flag pair q118 oracles on
+    * the PLAIN backward path, here on [[AsOfJoin.backwardChunked]] — the
+    * hot-key path's tolerance/left handling was previously only
+    * parity-spec'd): q115's previous-order lookup, keeping every order
+    * and nulling matches farther than 30 days. */
+  def q120ChunkedTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables(spark, dir).orders
+    val o = raw.select($"o_custkey".as("cust"), $"o_orderkey".as("ok"),
+      Tables.tsToMicros(raw, "o_orderdate").as("o_us"))
+    val d = o.groupBy($"cust", $"o_us".as("prev_us"))
+      .agg(max($"ok").as("prev_ok"), count(lit(1)).as("n_prev_day"))
+    AsOfJoin
+      .backwardChunked(o, d, Seq("cust"), leftTs = "o_us", rightTs = "prev_us",
+        chunkWidth = 90L * 86400L * 1000000L, strict = true,
+        tolerance = Some(30L * 86400L * 1000000L), joinType = "left")
+      .select($"cust", $"ok", $"o_us", $"prev_us", $"prev_ok", $"n_prev_day",
+        ($"o_us" - $"prev_us").as("gap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_interval_left"    -> q119IntervalLeft _,
+    "q120_chunked_tolerance" -> q120ChunkedTolerance _,
     "q118_asof_tolerance"       -> q118AsOfTolerance _,
     "q117_next_order"           -> q117NextOrder _,
     "q116_source_heavy_hitters" -> q116SourceHeavyHitters _,
@@ -224,6 +267,42 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    "q119_interval_left" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_id HAVING count(*) >= 3),
+        |err AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, e.event_id, e.ts_us,
+        |  s.session_id, s.start_us, s.end_us
+        |FROM err e LEFT JOIN sess s
+        |  ON s.user_id = e.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us""".stripMargin,
+    "q120_chunked_tolerance" ->
+      """WITH o AS (SELECT o_custkey AS cust, o_orderkey AS ok,
+        |  epoch_us(o_orderdate) AS o_us FROM orders),
+        |d AS (SELECT cust, o_us AS prev_us, max(ok) AS prev_ok,
+        |  count(*) AS n_prev_day FROM o GROUP BY 1, 2)
+        |SELECT l.cust, l.ok, l.o_us,
+        |  CASE WHEN l.o_us - d.prev_us <= 2592000000000 THEN d.prev_us END AS prev_us,
+        |  CASE WHEN l.o_us - d.prev_us <= 2592000000000 THEN d.prev_ok END AS prev_ok,
+        |  CASE WHEN l.o_us - d.prev_us <= 2592000000000 THEN d.n_prev_day END AS n_prev_day,
+        |  CASE WHEN l.o_us - d.prev_us <= 2592000000000
+        |       THEN l.o_us - d.prev_us END AS gap_us
+        |FROM o l ASOF LEFT JOIN d ON l.cust = d.cust AND l.o_us > d.prev_us""".stripMargin,
     "q110_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id

@@ -959,7 +959,15 @@ object StreamingPipeline {
     *
     * `union` both sides into one [[AsOfSide]] stream ("r" rows = versions,
     * "l" rows = probes); every probe emits exactly one [[AsOfJoined]].
-    * `stateTimeout` bounds state for dead keys in production. */
+    * `stateTimeout` bounds state for dead keys in production.
+    *
+    * Memory bound: the CROSS-batch state is O(historyDepth) per key, but
+    * WITHIN a micro-batch one key's rows are buffered and sorted in the
+    * executor (`rows.toSeq.sortBy` — event-time order is what makes
+    * single-batch runs exact), so per-key per-batch memory is the key's
+    * share of the batch. Cap batch sizes at ingest
+    * (`maxFilesPerTrigger` / `maxOffsetsPerTrigger` / rate limits) so one
+    * hot key's slice of a batch fits a task comfortably. */
   def temporalAsOfStream(spark: SparkSession, sides: Dataset[AsOfSide],
                          stateTimeout: Option[String] = None,
                          historyDepth: Int = 1): Dataset[AsOfJoined] = {

@@ -200,7 +200,10 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q112 heavy hitters: candidates reach the verify scan as a literal IN-set") {
     val p = plan("q112_heavy_hitters")
-    assert(p.contains("INSET"), "candidate pruning not planned as a literal IN-set")
+    // below spark.sql.optimizer.inSetConversionThreshold (default 10) the
+    // same literal pruning plans as In(...) rather than InSet — accept both
+    assert(p.contains("INSET") || p.linesIterator.exists(_.matches(""".*\bitem#\d+ IN \(.*""")),
+      "candidate pruning not planned as a literal IN-set")
     assert(!p.contains("Join"), "verify pass must filter, not join")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(read.contains("text") && !read.contains("source"), s"scan not pruned to text: $read")

@@ -171,4 +171,22 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(got == want, s"forward=$forward strict=$strict")
     }
   }
+
+  test("guards: reserved __ columns rejected; forwardChunked fails loudly on Long.MinValue ts") {
+    assert(intercept[IllegalArgumentException] {
+      AsOfJoin.backward(
+        Seq(("a", 1L, "x")).toDF("k", "lts", "__lid"), right(("a", 1L, "r")),
+        Seq("k"), "lts", "rts")
+    }.getMessage.contains("reserved '__' prefix"))
+    // Long.MinValue cannot be negated: the chunk assignment would silently
+    // corrupt, so the row raises instead.
+    val ex = intercept[Exception] {
+      AsOfJoin.forwardChunked(
+        left(("a", Long.MinValue, "l1")), right(("a", 5L, "r1")),
+        Seq("k"), "lts", "rts", chunkWidth = 10L).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("cannot be negated"), msgs(ex))
+  }
 }

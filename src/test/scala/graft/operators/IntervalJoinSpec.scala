@@ -106,6 +106,70 @@ class IntervalJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pathological open-ended spans: sentinel ends clamp to the point range instead of exploding") {
+    // an unclamped sequence() over [0, Long.MaxValue-1] cells would fail the
+    // job ("too long sequence") — the clamp makes it the points' own span
+    val pts = Seq(("k", 10L, "p1"), ("k", 500L, "p2")).toDF("k", "ts", "pid")
+    val ivs = Seq(("k", 5L, Long.MaxValue, "open"), ("k", Long.MinValue, 12L, "preexisting"))
+      .toDF("k", "s", "e", "iid")
+    val out = IntervalJoin.pointInInterval(pts, ivs, Seq("k"), "ts", "s", "e", bucketWidth = 7L)
+      .select($"pid", $"iid").as[(String, String)].collect().toSet
+    assert(out == Set(("p1", "open"), ("p2", "open"), ("p1", "preexisting")))
+    // same for overlap: ends clamp at the global max start
+    val a = Seq(("k", 0L, Long.MaxValue, "a1")).toDF("k", "as", "ae", "aid")
+    val b = Seq(("k", 90L, 95L, "b1"), ("k", Long.MinValue, -5L, "b2")).toDF("k", "bs", "be", "bid")
+    val got = IntervalJoin.overlap(a, b, Seq("k"), "as", "ae", "bs", "be", bucketWidth = 8L)
+      .select($"aid", $"bid").as[(String, String)].collect().toSet
+    assert(got == Set(("a1", "b1")))
+  }
+
+  test("left-outer point-in-interval: uncovered points survive with null interval columns") {
+    val pts = Seq(("a", 10L, "p1"), ("a", 99L, "p2"), ("b", 10L, "p3"))
+      .toDF("k", "ts", "pid")
+    val ivs = Seq(("a", 10L, 20L, "i1"), ("a", 5L, 15L, "i2")).toDF("k", "s", "e", "iid")
+    val out = IntervalJoin
+      .pointInIntervalLeft(pts, ivs, Seq("k"), "pid", "ts", "s", "e", bucketWidth = 7L)
+      .select($"pid", $"iid").as[(String, Option[String])].collect().toList.sorted
+    // p1 in both intervals (two rows); p2 and p3 uncovered but preserved
+    assert(out == List(("p1", Some("i1")), ("p1", Some("i2")), ("p2", None), ("p3", None)))
+  }
+
+  test("left-outer parity with the naive LEFT theta join, across bucket widths") {
+    val rnd  = new Random(9119)
+    val keys = Seq("a", "b", "c")
+    val P = (1 to 300).map(i => (keys(rnd.nextInt(3)), rnd.nextInt(2000).toLong - 500, s"p$i"))
+    val I = (1 to 80).map { i =>
+      val s = rnd.nextInt(2000).toLong - 500
+      (keys(rnd.nextInt(3)), s, s + rnd.nextInt(120), s"i$i")
+    }
+    val pts = P.toDF("k", "ts", "pid")
+    val ivs = I.toDF("k", "s", "e", "iid")
+    val want = pts.as("p").join(ivs.as("i"),
+        $"p.k" === $"i.k" && $"s" <= $"ts" && $"ts" <= $"e", "left")
+      .select($"pid", $"iid").as[(String, Option[String])].collect().toSet
+    for (w <- Seq(1L, 13L, 100000L)) {
+      val got = IntervalJoin
+        .pointInIntervalLeft(pts, ivs, Seq("k"), "pid", "ts", "s", "e", bucketWidth = w)
+        .select($"pid", $"iid").as[(String, Option[String])].collect().toSet
+      assert(got == want, s"bucketWidth=$w")
+    }
+  }
+
+  test("guards: reserved __ columns and out-of-range widths fail loudly") {
+    val pts = Seq(("a", 10L, "p1")).toDF("k", "ts", "__pid")
+    val ivs = Seq(("a", 10L, 20L, "i1")).toDF("k", "s", "e", "iid")
+    val okPts = Seq(("a", 10L, "p1")).toDF("k", "ts", "pid")
+    assert(intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(pts, ivs, Seq("k"), "ts", "s", "e", 7L)
+    }.getMessage.contains("reserved '__' prefix"))
+    assert(intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(okPts, ivs, Seq("k"), "ts", "s", "e", Long.MaxValue / 2 + 1)
+    }.getMessage.contains("floorDiv"))
+    assert(intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(okPts, ivs, Seq("k"), "ts", "s", "e", 0L)
+    }.getMessage.contains("bucketWidth"))
+  }
+
   test("random parity with the naive theta join, across bucket widths") {
     val rnd  = new Random(9111)
     val keys = Seq("a", "b", "c")
