@@ -96,7 +96,9 @@ object AnnIndex {
     * (footer read only — no data scan) keeps it the LongType the encode
     * side wrote and keeps the join key cast-free (pruning-eligible). */
   private def codesTable(spark: SparkSession, indexDir: String): DataFrame = {
-    val path     = s"$indexDir/codes"
+    val path = s"$indexDir/codes"
+    // heal a crash mid-[[compactCodes]] before anything reads the table
+    DirSwap.recover(spark, path)
     val inferred = spark.read.parquet(path).schema
     val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
       if (f.name == "cell") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
@@ -139,11 +141,27 @@ object AnnIndex {
     * bit-identical to what a full rebuild would produce) and append to
     * the `codes` table. */
   def add(df: DataFrame, idCol: String, vecCol: String, indexDir: String): Unit = {
+    DirSwap.recover(df.sparkSession, s"$indexDir/codes")
     val (cents, posBooks, m, sub) = loadModel(df.sparkSession, indexDir)
     val q = Similarity.quantized(df, vecCol).filter(col("qnorm2") > 0L)
     encoded(q, idCol, cents, posBooks, m, sub)
       .write.partitionBy("cell").mode("append").parquet(s"$indexDir/codes")
   }
+
+  /** Compact the `codes` table back to ONE file per cell: every [[add]]
+    * appends a file set into each touched cell directory, so repeated
+    * adds fragment the index exactly the way the streaming sketch table
+    * fragmented before its online compactor — and serve latency tracks
+    * file count, not row count (measured table in PLANS.md). Same
+    * crash-safe swap ([[DirSwap]]): a kill at any point leaves a complete
+    * copy, healed at the next [[add]]/[[topK]]/[[probeStream]] before the
+    * table is read. Shuffling on `cell` co-locates each cell in one task,
+    * so the writer emits one right-sized file per cell — the layout
+    * [[build]] produces, restored. Run it on the add cadence (every N
+    * adds), from the index's single maintenance owner. */
+  def compactCodes(spark: SparkSession, indexDir: String): Unit =
+    DirSwap.swapRewrite(spark, s"$indexDir/codes")(_.repartition(col("cell")))(
+      (df, out) => df.write.partitionBy("cell").mode("overwrite").parquet(out))
 
   /** Serve a query batch from the stored index: probe the `nprobe`
     * nearest cells, score that cells' codes by precomputed-table ADC,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-safe rewrite-and-swap for a parquet table DIRECTORY — the
+  * maintenance primitive behind online compaction of append-accumulated
+  * tables (the streaming near-dup sketch, the ANN `codes` index).
+  *
+  * Swap order: write `<dir>.compact-tmp` → rename live to
+  * `<dir>.compact-backup` → rename tmp to live → delete backup. A crash
+  * at ANY point leaves a complete copy under either the live or the
+  * backup name (never delete-before-rename), and [[recover]] — run at
+  * the start of every swap and before every read of a swap-maintained
+  * table — heals each intermediate state deterministically from the
+  * directory layout alone (no journal):
+  *   - backup AND live exist → crash after promote: live is the newer
+  *     complete copy, drop the backup;
+  *   - backup exists, live missing → crash between the two renames:
+  *     restore the backup (the tmp copy, though complete, is simply
+  *     re-derivable — restoring the original is the conservative move);
+  *   - tmp exists (any case) → a partial or superseded copy: drop it.
+  *
+  * Single-writer contract: the caller must be the table's only
+  * writer/reader while the swap runs (the foreachBatch loops and the
+  * index-maintenance verbs satisfy this by construction). */
+private[graft] object DirSwap {
+
+  /** Rewrite the live table through `rewrite` (e.g. a repartition) into a
+    * right-sized copy, then atomically-enough swap it in. Row-preserving
+    * by contract of the callers (spec-pinned there). */
+  def swapRewrite(spark: SparkSession, dir: String)(rewrite: DataFrame => DataFrame)(
+      write: (DataFrame, String) => Unit): Unit = {
+    recover(spark, dir)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(live), s"DirSwap: no table at $dir")
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    val backup = new org.apache.hadoop.fs.Path(dir + ".compact-backup")
+    write(rewrite(spark.read.parquet(dir)), tmp.toString)
+    require(fs.rename(live, backup), s"DirSwap: could not move $live aside")
+    require(fs.rename(tmp, live), s"DirSwap: could not promote $tmp")
+    fs.delete(backup, true)
+    ()
+  }
+
+  /** Heal an interrupted [[swapRewrite]]. Idempotent and cheap when there
+    * is nothing to heal (two existence probes). */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    val backup = new org.apache.hadoop.fs.Path(dir + ".compact-backup")
+    if (fs.exists(backup)) {
+      if (fs.exists(live)) fs.delete(backup, true)
+      else require(fs.rename(backup, live),
+        s"DirSwap.recover: could not restore $backup to $live")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    ()
+  }
+}

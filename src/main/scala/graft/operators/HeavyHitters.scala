@@ -62,12 +62,15 @@ object HeavyHitters {
     *
     * Unlike [[exact]], nothing touches the driver: the per-group sketches
     * stay a DataFrame, their candidate entries explode to a (group, item)
-    * table of ≤ |groups|·k rows, and the verify pass is a BROADCAST
-    * semi-join of the item stream against it — so group count is bounded
-    * by the broadcast gate (|groups|·k rows must broadcast), not by
-    * driver memory. The exactness argument is [[exact]]'s, applied per
-    * group: MG with k counters over the group's stream cannot miss an
-    * item above n_g/(k+1).
+    * table of ≤ |groups|·k rows (materialized once through
+    * [[Checkpoints.stage]]), and the verify pass is a semi-join of the
+    * item stream against it — BROADCAST while the measured candidate size
+    * fits the session's `autoBroadcastJoinThreshold`, falling back to a
+    * plain shuffle semi-join on (group, item) above it (same exactness,
+    * still no driver involvement; group cardinality is then unbounded).
+    * The exactness argument is [[exact]]'s, applied per group: MG with k
+    * counters over the group's stream cannot miss an item above
+    * n_g/(k+1).
     *
     * @return (groupCols..., item, cnt, ppm) — exact counts within group
     */
@@ -85,13 +88,26 @@ object HeavyHitters {
       .filter(col("item").isNotNull)
 
     val mg = udaf(MisraGriesAgg(k))
-    val cands = items
+    val cands = Checkpoints.stage(items
       .groupBy(groupCols.map(col): _*)
       .agg(mg(col("item")).as("s"))
-      .select(groupCols.map(col) ++ Seq(col("s.n").as("__n"), explode(col("s.entries.item")).as("item")): _*)
+      .select(groupCols.map(col) ++ Seq(col("s.n").as("__n"), explode(col("s.entries.item")).as("item")): _*))
+
+    // Broadcast-vs-shuffle from the MATERIALIZED candidate table's actual
+    // volume (row count + item bytes; 64 B/row covers group cols and row
+    // overhead — an order-of-magnitude gate, not an exact accountant)
+    // against the session's broadcast ceiling. Past the ceiling the
+    // semi-join shuffles instead — the graceful path for million-group
+    // corpora where |groups|·k no longer fits one executor's memory.
+    val statsRow  = cands.agg(count(lit(1)), sum(length(col("item")))).head()
+    val estBytes  = statsRow.getLong(0) * 64L +
+      (if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1) * 2L)
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val candsSide = if (threshold > 0 && estBytes <= threshold) broadcast(cands) else cands
 
     items
-      .join(broadcast(cands), groupCols :+ "item")
+      .join(candsSide, groupCols :+ "item")
       .groupBy((groupCols :+ "item").map(col): _*)
       .agg(count(lit(1)).as("cnt"), first(col("__n")).as("__n"))
       .filter(col("cnt") * 1000000L > col("__n") * phiPpm)

@@ -846,46 +846,16 @@ object StreamingPipeline {
     * either the live or the backup name (never delete-before-rename),
     * and [[recoverSketch]] — run here and at every batch start — heals
     * each intermediate state deterministically. */
-  def compactSketch(spark: SparkSession, sketchPath: String, targetFiles: Int): Unit = {
-    recoverSketch(spark, sketchPath)
-    val live = new org.apache.hadoop.fs.Path(sketchPath)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(live), s"compactSketch: no sketch table at $sketchPath")
-    val tmp = new org.apache.hadoop.fs.Path(sketchPath + ".compact-tmp")
-    val backup = new org.apache.hadoop.fs.Path(sketchPath + ".compact-backup")
-    spark.read.parquet(sketchPath)
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(live, backup), s"compactSketch: could not move $live aside")
-    require(fs.rename(tmp, live), s"compactSketch: could not promote $tmp")
-    fs.delete(backup, true)
-    ()
-  }
+  def compactSketch(spark: SparkSession, sketchPath: String, targetFiles: Int): Unit =
+    graft.operators.DirSwap.swapRewrite(spark, sketchPath)(_.repartition(targetFiles))(
+      (df, out) => df.write.mode("overwrite").parquet(out))
 
-  /** Heal an interrupted [[compactSketch]] swap. The swap's states are
-    * distinguishable from the directory layout alone, so recovery is
-    * deterministic with no journal:
-    *   - backup AND live exist → crash after promote: live is the newer
-    *     complete copy, drop the backup;
-    *   - backup exists, live missing → crash between the two renames:
-    *     restore the backup (the tmp copy, though complete, is simply
-    *     re-derivable — restoring the original is the conservative move);
-    *   - tmp exists (any case) → a partial or superseded copy: drop it.
-    * Idempotent and cheap when there is nothing to heal (two existence
-    * probes). */
-  def recoverSketch(spark: SparkSession, sketchPath: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(sketchPath)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(sketchPath + ".compact-tmp")
-    val backup = new org.apache.hadoop.fs.Path(sketchPath + ".compact-backup")
-    if (fs.exists(backup)) {
-      if (fs.exists(live)) fs.delete(backup, true)
-      else require(fs.rename(backup, live),
-        s"recoverSketch: could not restore $backup to $live")
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    ()
-  }
+  /** Heal an interrupted [[compactSketch]] swap — the generic
+    * [[graft.operators.DirSwap.recover]] (see there for the state
+    * machine), kept under its original name as the streaming-facing
+    * verb. Idempotent and cheap when there is nothing to heal. */
+  def recoverSketch(spark: SparkSession, sketchPath: String): Unit =
+    graft.operators.DirSwap.recover(spark, sketchPath)
 
   /** Streaming sessionization (the time-gap half of A10, §2.7): native
     * `session_window` merges a key's events into variable-length sessions

@@ -177,6 +177,67 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(storedByNp(0) >= 0.08, s"stored-index recall collapsed: ${storedByNp(0)}")
   }
 
+  test("compactCodes: fragmented adds rewrite to one file per cell, answers and layout preserved") {
+    import spark.implicits._
+    val idx = tmp("ann-idx-compact")
+    AnnIndex.build(embeddings.filter($"vec_id" < 100), "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = idx)
+    // fragment: four incremental adds, each appending a file set per cell
+    for (lo <- Seq(100, 200, 300, 400))
+      AnnIndex.add(embeddings.filter($"vec_id" >= lo && $"vec_id" < lo + 100),
+        "vec_id", "embedding", idx)
+    def codeFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$idx/codes"))
+    }
+    val q20 = embeddings.filter($"vec_id" < 20)
+    val before = collectTopK(AnnIndex.topK(q20, "vec_id", "embedding", idx, k = 5, nprobe = 2))
+    val cells = spark.read.parquet(s"$idx/codes").select("cell").distinct().count()
+    val fragmented = codeFiles()
+    assert(fragmented > cells, s"fixture must fragment: $fragmented files over $cells cells")
+    AnnIndex.compactCodes(spark, idx)
+    assert(codeFiles() == cells, s"expected one file per cell, saw ${codeFiles()} for $cells cells")
+    // still cell-partitioned (the pruning contract) and answers identical
+    assert(new java.io.File(s"$idx/codes").listFiles().exists(_.getName.startsWith("cell=")),
+      "compaction must preserve the cell-partitioned layout")
+    assert(collectTopK(AnnIndex.topK(q20, "vec_id", "embedding", idx, k = 5, nprobe = 2)) == before)
+    // adds keep working after compaction, as does a subsequent compaction
+    AnnIndex.add(embeddings.filter($"vec_id" >= 500 && $"vec_id" < 520), "vec_id", "embedding", idx)
+    AnnIndex.compactCodes(spark, idx)
+    assert(collectTopK(AnnIndex.topK(q20, "vec_id", "embedding", idx, k = 5, nprobe = 2)) == before)
+  }
+
+  test("compactCodes crash states heal before the next read (add and serve paths)") {
+    import spark.implicits._
+    val idx = tmp("ann-idx-crash")
+    AnnIndex.build(embeddings.filter($"vec_id" < 300), "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = idx)
+    val codes = s"$idx/codes"
+    val q20 = embeddings.filter($"vec_id" < 20)
+    val want = collectTopK(AnnIndex.topK(q20, "vec_id", "embedding", idx, k = 5, nprobe = 2))
+    def copyDir(from: String, to: String): Unit =
+      org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(from), new java.io.File(to))
+    def assertServes(): Unit = {
+      assert(collectTopK(AnnIndex.topK(q20, "vec_id", "embedding", idx, k = 5, nprobe = 2)) == want)
+      assert(!new java.io.File(codes + ".compact-tmp").exists)
+      assert(!new java.io.File(codes + ".compact-backup").exists)
+    }
+    // crash mid-tmp-write
+    copyDir(codes, codes + ".compact-tmp")
+    assertServes()
+    // crash between the renames (live moved aside)
+    copyDir(codes, codes + ".compact-tmp")
+    assert(new java.io.File(codes).renameTo(new java.io.File(codes + ".compact-backup")))
+    assertServes()
+    // crash after promote (backup left behind)
+    copyDir(codes, codes + ".compact-backup")
+    assertServes()
+  }
+
   test("load guards: mangled index dirs fail loudly") {
     import spark.implicits._
     val idx = tmp("ann-idx-mangled")

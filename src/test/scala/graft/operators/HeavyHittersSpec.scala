@@ -107,6 +107,29 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("exactPerGroup above the broadcast ceiling: identical results via the shuffle semi-join") {
+    val rnd = new Random(12)
+    val stream =
+      (1 to 3000).map(_ => ("g0", if (rnd.nextDouble() < 0.6) s"a${rnd.nextInt(4)}" else s"x${rnd.nextInt(400)}")) ++
+      (1 to 2000).map(_ => ("g1", if (rnd.nextDouble() < 0.5) s"b${rnd.nextInt(3)}" else s"y${rnd.nextInt(400)}"))
+    val df     = stream.toDF("g", "item")
+    val phiPpm = 30000L
+    def run() = HeavyHitters.exactPerGroup(df, Seq("g"), $"item", phiPpm = phiPpm, k = 63)
+    val want = run().select($"g", $"item", $"cnt", $"ppm")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1") // force the fallback
+      val fb = run()
+      val got = fb.select($"g", $"item", $"cnt", $"ppm")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got == want, "shuffle fallback diverged from the broadcast path")
+      assert(!fb.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "verify join still broadcast despite a 1-byte ceiling")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("phi below the guarantee line is rejected loudly") {
     intercept[IllegalArgumentException] {
       HeavyHitters.exact(Seq("a").toDF("item"), $"item", phiPpm = 10L, k = 63)
