@@ -5,11 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.VectorExprs.DotLongArrays
 
-/** Session extensions: registers graft's native expressions for SQL users.
+/** Session extensions: registers graft's native expressions and optimizer
+  * rules for SQL users.
   *
   * Activate with `spark.sql.extensions=graft.GraftExtensions` (or
   * `SparkSession.builder.withExtensions(new GraftExtensions)`), then:
   * {{{ SELECT dot_q(qvec_a, qvec_b) FROM pairs }}}
+  *
+  * Also injects [[graft.plans.AsOfRewriteRule]] (naive inequality-join
+  * argmax → the as-of union+window plan), gated off by default behind
+  * `spark.graft.asof.rewrite=true`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -17,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[DotLongArrays].getName, "dot_q"),
       (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))))
+    e.injectOptimizerRule(session => new graft.plans.AsOfRewriteRule(session))
   }
 }

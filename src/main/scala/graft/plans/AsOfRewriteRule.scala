@@ -1,0 +1,412 @@
+package graft.plans
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, MaxBy, Min, MinBy}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types.IntegerType
+
+import graft.operators.AsOfJoin
+
+/** Catalyst rewrite: the NAIVE as-of encoding — an inner equi-join whose
+  * inequality conjunct only filters, followed by an argmax per left row —
+  * becomes [[AsOfJoin.asof]]'s union+window plan (one shuffle, ZERO joins,
+  * |L|+|R| intermediate) automatically.
+  *
+  * The naive pattern is the natural way to write "latest right at-or-before
+  * each left" in SQL or the DataFrame API, and it silently costs
+  * O(|L|·|R|/keys): every left row pairs with EVERY earlier right row of
+  * its key before the rank/argmax throws all but one away — exactly the
+  * trap [[AsOfJoin]]'s scaladoc warns about. Users who know the operator
+  * API call it; this rule is for the ones who don't (SURVEY §7.3's
+  * reserved "custom `Rule` if we build a DSL on top" slot).
+  *
+  * == Recognized shapes ==
+  * Two argmax spellings, both over `probe JOIN version ON equi-keys AND
+  * version.ts ≤/</≥/> probe.ts` (any conjunct order, either comparison
+  * orientation, ≥1 equi key, plain column references throughout):
+  *
+  *  1. **rank-1**: `Filter(rn = 1, Window(row_number() OVER (PARTITION BY
+  *     <probe cols> ORDER BY version.ts DESC|ASC), join))` — fires when
+  *     the partition covers exactly the surviving probe columns (so the
+  *     window's groups are distinct probe tuples, including the probe
+  *     timestamp and all equi keys), the single ORDER BY column is the
+  *     version timestamp, and its direction agrees with the inequality
+  *     (DESC for ≤/< backward, ASC for ≥/> forward).
+  *  2. **max_by**: `Aggregate(GROUP BY <probe cols>, max_by(expr,
+  *     version.ts) / max(version.ts) …, join)` (`min_by`/`min` in the
+  *     forward direction) — fires when every grouping column is a probe
+  *     column (again including the probe timestamp and all equi keys) and
+  *     every aggregate is an argmax-by-version-ts over version columns.
+  *
+  * == Exactness ==
+  * Both shapes produce one row per DISTINCT probe tuple that has a match —
+  * so the rewrite probes from `Distinct(probe)` and is exact even when
+  * probe rows duplicate. Equal-version-timestamp ties are nondeterministic
+  * in the naive plan (row_number/max_by pick an arbitrary winner) and
+  * resolved deterministically by the rewrite — value parity is guaranteed
+  * when (keys, ts) is unique on the version side, the same determinism
+  * contract as DuckDB's ASOF JOIN. Version-side equi-key output columns
+  * are served from the probe side (equal on every matched row by the join
+  * predicate). Unmatched probe tuples drop in both plans (inner join).
+  *
+  * Off by default; opt in with `spark.graft.asof.rewrite=true`. The rule
+  * replaces the matched subtree with the analyzed [[AsOfJoin.asof]] plan
+  * and re-aliases its output to the original attribute ids, so parent
+  * operators are untouched; any unexpected failure while assembling the
+  * replacement logs and leaves the plan as written. */
+class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
+
+  import AsOfRewriteRule._
+
+  private def enabled: Boolean =
+    conf.getConfString(ConfKey, "false").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case f: Filter if !f.isStreaming =>
+        attempt(s"rank-1 at ${f.nodeName}")(rewriteRankOne(f)).getOrElse(f)
+      case a: Aggregate if !a.isStreaming =>
+        attempt(s"max_by at ${a.nodeName}")(rewriteMaxBy(a)).getOrElse(a)
+    }
+
+  private def attempt[T](what: String)(body: => Option[T]): Option[T] =
+    try body
+    catch {
+      case NonFatal(e) =>
+        logWarning(s"graft as-of rewrite: failed to assemble $what, leaving the naive plan: $e")
+        None
+    }
+
+  // ---------------------------------------------------------------- shape 1
+
+  private def rewriteRankOne(f: Filter): Option[LogicalPlan] = f.child match {
+    case w: Window if w.windowExpressions.size == 1 && w.orderSpec.size == 1 =>
+      (w.windowExpressions.head, w.orderSpec.head) match {
+        case (al @ Alias(WindowExpression(RowNumber(), _), _),
+              SortOrder(ordAttr: AttributeReference, ordDir, _, _))
+            if isRankOne(f.condition, al.toAttribute) =>
+          for {
+            (survivors, join) <- stripToJoin(w.child)
+            parts             <- asAttrs(w.partitionSpec)
+            result <- bothWays(join) { (probe, version) =>
+              for {
+                shape <- matchJoin(join, probe, version)
+                // ORDER BY must be the version ts, in the direction the
+                // inequality selects
+                if version.outputSet.contains(ordAttr) && shape.vTs.semanticEquals(ordAttr) &&
+                  (if (shape.forward) ordDir == Ascending else ordDir == Descending)
+                // PARTITION BY must be exactly the surviving probe columns
+                // (groups = distinct probe tuples), incl. ts and keys
+                partSet = AttributeSet(parts)
+                surviveProbe = survivors.intersect(probe.outputSet)
+                if partSet.subsetOf(surviveProbe) && surviveProbe.subsetOf(partSet) &&
+                  coversShape(partSet, shape)
+                built <- build(shape, probe, version,
+                  probeCols = parts,
+                  neededVersion = survivors.intersect(version.outputSet).toSeq)
+              } yield built
+            }
+          } yield {
+            val (byId, asofPlan) = result
+            // f.output = join survivors ++ rn; rn post-filter is literally 1
+            val outs = f.output.map { a =>
+              if (a.exprId == al.exprId) Alias(Literal(1, IntegerType), a.name)(a.exprId, a.qualifier)
+              else Alias(byId(a.exprId), a.name)(a.exprId, a.qualifier)
+            }
+            Project(outs, asofPlan)
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  // ---------------------------------------------------------------- shape 2
+
+  private def rewriteMaxBy(a: Aggregate): Option[LogicalPlan] =
+    for {
+      (_, join) <- stripToJoin(a.child)
+      groups    <- asAttrs(a.groupingExpressions)
+      result <- bothWays(join) { (probe, version) =>
+        for {
+          shape <- matchJoin(join, probe, version)
+          groupSet = AttributeSet(groups)
+          if groups.forall(probe.outputSet.contains) && coversShape(groupSet, shape)
+          aggs <- collectArgmaxAggs(a.aggregateExpressions, groupSet, version.outputSet,
+            shape.vTs, shape.forward)
+          built <- build(shape, probe, version,
+            probeCols = groups,
+            neededVersion = AttributeSet(aggs.flatMap(_._2.references))
+              .intersect(version.outputSet).toSeq)
+        } yield (built, aggs.toMap)
+      }
+    } yield {
+      val ((byId, asofPlan), aggValues) = result
+      val outs = a.aggregateExpressions.map {
+        case ar: AttributeReference =>
+          Alias(byId(ar.exprId), ar.name)(ar.exprId, ar.qualifier)
+        case al @ Alias(child, name) =>
+          val value = aggValues.get(al).getOrElse(child) // passthrough alias keeps its child
+          val substituted = value.transformUp {
+            case ar: AttributeReference => byId(ar.exprId)
+          }
+          Alias(substituted, name)(al.exprId, al.qualifier)
+        case other =>
+          // unreachable: collectArgmaxAggs only accepts the forms above
+          throw new IllegalStateException(s"unexpected aggregate expression $other")
+      }
+      Project(outs, asofPlan)
+    }
+
+  /** Every aggregate expression must be a grouping passthrough or an
+    * argmax-by-version-ts in the matched direction; returns each argmax
+    * alias with the value expression under it. */
+  private def collectArgmaxAggs(
+      aggExprs: Seq[NamedExpression],
+      groupSet: AttributeSet,
+      versionSet: AttributeSet,
+      vTs: AttributeReference,
+      forward: Boolean): Option[Seq[(Alias, Expression)]] = {
+    val picked: Seq[Option[Option[(Alias, Expression)]]] = aggExprs.map {
+      case ar: AttributeReference if groupSet.contains(ar)             => Some(None)
+      case Alias(child: AttributeReference, _) if groupSet.contains(child) => Some(None)
+      case al @ Alias(ae: AggregateExpression, _) =>
+        argmaxValue(ae) match {
+          case Some(v)
+              if argmaxOrd(ae).exists(_.semanticEquals(vTs)) &&
+                argmaxForward(ae).contains(forward) &&
+                v.references.subsetOf(versionSet) && v.deterministic =>
+            Some(Some((al, v)))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (picked.forall(_.isDefined)) Some(picked.flatten.flatten) else None
+  }
+
+  // ---------------------------------------------------------------- common
+
+  /** The join halves of the naive pattern, normalized: equi key pairs
+    * (probe attr, version attr) and the single inequality's timestamps +
+    * direction/strictness. */
+  private case class JoinShape(
+      keys: Seq[(AttributeReference, AttributeReference)],
+      pTs: AttributeReference,
+      vTs: AttributeReference,
+      forward: Boolean,
+      strict: Boolean)
+
+  /** The probe-side column set the pattern groups on must pin the probe ts
+    * and every equi key — otherwise the naive query's groups span several
+    * as-of probes and the pattern is NOT an as-of join. */
+  private def coversShape(cols: AttributeSet, shape: JoinShape): Boolean =
+    cols.contains(shape.pTs) && shape.keys.forall(k => cols.contains(k._1))
+
+  private def bothWays[T](join: Join)(f: (LogicalPlan, LogicalPlan) => Option[T]): Option[T] =
+    f(join.left, join.right).orElse(f(join.right, join.left))
+
+  private def matchJoin(join: Join, probe: LogicalPlan, version: LogicalPlan): Option[JoinShape] = {
+    if (join.joinType != Inner || join.condition.isEmpty) return None
+    val conjuncts = splitConjunctivePredicates(join.condition.get)
+    var keys      = Vector.empty[(AttributeReference, AttributeReference)]
+    var ineq      = Option.empty[(AttributeReference, AttributeReference, Boolean, Boolean)]
+    def attr(x: Expression): Option[AttributeReference] = x match {
+      case ar: AttributeReference => Some(ar)
+      case _                      => None
+    }
+    // normalize each comparison to (vTs REL pTs); `vFirstForward` is the
+    // direction when the VERSION ts is the comparison's left operand
+    def asOfPair(l: Expression, r: Expression, vFirstForward: Boolean, strict: Boolean): Boolean =
+      (attr(l), attr(r)) match {
+        case (Some(a), Some(b))
+            if version.outputSet.contains(a) && probe.outputSet.contains(b) && ineq.isEmpty =>
+          ineq = Some((b, a, vFirstForward, strict)); true
+        case (Some(a), Some(b))
+            if probe.outputSet.contains(a) && version.outputSet.contains(b) && ineq.isEmpty =>
+          ineq = Some((a, b, !vFirstForward, strict)); true
+        case _ => false
+      }
+    def classify(c: Expression): Boolean = c match {
+      case EqualTo(l, r) =>
+        (attr(l), attr(r)) match {
+          case (Some(a), Some(b)) if probe.outputSet.contains(a) && version.outputSet.contains(b) =>
+            keys :+= ((a, b)); true
+          case (Some(a), Some(b)) if version.outputSet.contains(a) && probe.outputSet.contains(b) =>
+            keys :+= ((b, a)); true
+          case _ => false
+        }
+      case LessThanOrEqual(l, r)    => asOfPair(l, r, vFirstForward = false, strict = false) // v <= p → backward
+      case LessThan(l, r)           => asOfPair(l, r, vFirstForward = false, strict = true)
+      case GreaterThanOrEqual(l, r) => asOfPair(l, r, vFirstForward = true, strict = false)  // v >= p → forward
+      case GreaterThan(l, r)        => asOfPair(l, r, vFirstForward = true, strict = true)
+      case _                        => false
+    }
+    if (!conjuncts.forall(classify)) return None
+    ineq match {
+      case Some((pTs, vTs, forward, strict))
+          if keys.nonEmpty && !keys.exists(_._2.semanticEquals(vTs)) =>
+        Some(JoinShape(keys, pTs, vTs, forward, strict))
+      case _ => None
+    }
+  }
+
+  /** Peel attribute-only Projects (the analyzer's window child projection,
+    * optimizer pruning) and `WindowGroupLimit` (inserted below a rank-1
+    * filter by `InferWindowGroupLimit` when the rule runs after that
+    * batch, e.g. via `experimental.extraOptimizations`) down to the Join;
+    * the surviving attribute set is what the pattern's output can
+    * reference. Dropping the group limit is sound: it is a pure pre-filter
+    * of rows the rank-1 filter discards anyway. */
+  private def stripToJoin(plan: LogicalPlan): Option[(AttributeSet, Join)] = plan match {
+    case j: Join => Some((j.outputSet, j))
+    case p @ Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      stripToJoin(child).map { case (_, j) => (p.outputSet, j) }
+    case wgl: WindowGroupLimit =>
+      stripToJoin(wgl.child)
+    case _ => None
+  }
+
+  private def asAttrs(exprs: Seq[Expression]): Option[Seq[AttributeReference]] = {
+    val attrs = exprs.collect { case ar: AttributeReference => ar }
+    if (attrs.size == exprs.size && attrs.nonEmpty) Some(attrs) else None
+  }
+
+  private def isRankOne(cond: Expression, rn: Attribute): Boolean = cond match {
+    case EqualTo(a: AttributeReference, Literal(1, IntegerType))         => a.exprId == rn.exprId
+    case EqualTo(Literal(1, IntegerType), a: AttributeReference)         => a.exprId == rn.exprId
+    case LessThanOrEqual(a: AttributeReference, Literal(1, IntegerType)) => a.exprId == rn.exprId
+    case _                                                               => false
+  }
+
+  private def argmaxValue(ae: AggregateExpression): Option[Expression] =
+    if (ae.isDistinct || ae.filter.isDefined) None
+    else ae.aggregateFunction match {
+      case MaxBy(v, _) => Some(v)
+      case MinBy(v, _) => Some(v)
+      case Max(v)      => Some(v) // max(version.ts) IS the matched ts
+      case Min(v)      => Some(v)
+      case _           => None
+    }
+
+  private def argmaxOrd(ae: AggregateExpression): Option[Expression] = ae.aggregateFunction match {
+    case MaxBy(_, o) => Some(o)
+    case MinBy(_, o) => Some(o)
+    case Max(v)      => Some(v)
+    case Min(v)      => Some(v)
+    case _           => None
+  }
+
+  private def argmaxForward(ae: AggregateExpression): Option[Boolean] = ae.aggregateFunction match {
+    case _: MaxBy | _: Max => Some(false)
+    case _: MinBy | _: Min => Some(true)
+    case _                 => None
+  }
+
+  /** Assemble the replacement: rename both halves to collision-free
+    * columns, run them through the spec-pinned [[AsOfJoin.asof]], and hand
+    * back the analyzed plan plus the original-exprId → new-output map
+    * (version equi keys served from their probe partner).
+    *
+    * @param probeCols     probe attrs the output needs (the pattern's
+    *                      partition/grouping columns; include pTs + keys)
+    * @param neededVersion version attrs the output needs */
+  private def build(
+      shape: JoinShape,
+      probe: LogicalPlan,
+      version: LogicalPlan,
+      probeCols: Seq[AttributeReference],
+      neededVersion: Seq[Attribute]): Option[(Map[ExprId, Attribute], LogicalPlan)] = {
+
+    // --- name assignment (collision-free by construction)
+    val keyName = shape.keys.indices.map(i => s"${FreshPrefix}k$i")
+    def probeKeyIdx(a: Attribute): Option[Int] =
+      shape.keys.indexWhere(_._1.exprId == a.exprId) match { case -1 => None; case i => Some(i) }
+    def versionKeyIdx(a: Attribute): Option[Int] =
+      shape.keys.indexWhere(_._2.exprId == a.exprId) match { case -1 => None; case i => Some(i) }
+    val distinctProbeCols = probeCols.foldLeft(Vector.empty[AttributeReference])((acc, a) =>
+      if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
+    val probeName: Map[ExprId, String] = distinctProbeCols.zipWithIndex.map { case (a, i) =>
+      a.exprId -> probeKeyIdx(a).map(keyName).getOrElse(s"${FreshPrefix}p$i")
+    }.toMap
+    val vTsName = s"${FreshPrefix}vts"
+    val versionPayload = neededVersion.filter(v =>
+      v.exprId != shape.vTs.exprId && versionKeyIdx(v).isEmpty)
+      .foldLeft(Vector.empty[Attribute])((acc, v) =>
+        if (acc.exists(_.exprId == v.exprId)) acc else acc :+ v)
+    val versionName: Map[ExprId, String] =
+      (versionPayload.zipWithIndex.map { case (v, i) => v.exprId -> s"${FreshPrefix}v$i" } :+
+        (shape.vTs.exprId -> vTsName)).toMap
+
+    // --- the two renamed halves; probe deduplicated (the naive pattern's
+    // groups are distinct probe tuples)
+    val probeProj = Project(
+      shape.keys.zipWithIndex.map { case ((pk, _), i) => Alias(pk, keyName(i))() } ++
+        distinctProbeCols.filter(a => probeKeyIdx(a).isEmpty)
+          .map(a => Alias(a, probeName(a.exprId))()),
+      probe)
+    val versionProj = Project(
+      shape.keys.zipWithIndex.map { case ((_, vk), i) => Alias(vk, keyName(i))() } ++
+        Seq(Alias(shape.vTs, vTsName)()) ++
+        versionPayload.map(v => Alias(v, versionName(v.exprId))()),
+      version)
+
+    // group-on-everything Aggregate rather than dropDuplicates: the rule
+    // runs after ReplaceDeduplicateWithAggregate, so an injected
+    // Deduplicate node would reach the planner unreplaced
+    val distinctProbe = Aggregate(probeProj.output, probeProj.output, probeProj, None)
+    val probeDf   = GraftSqlShim.ofRows(session, distinctProbe)
+    val versionDf = GraftSqlShim.ofRows(session, versionProj)
+
+    val asofDf = AsOfJoin.asof(
+      probeDf, versionDf,
+      keys = keyName,
+      leftTs = probeName(shape.pTs.exprId),
+      rightTs = vTsName,
+      forward = shape.forward,
+      strict = shape.strict,
+      tolerance = None,
+      joinType = "inner",
+      tiebreak = Nil)
+
+    val asofPlan = asofDf.queryExecution.analyzed
+    val byName   = asofPlan.output.map(a => a.name -> a).toMap
+
+    val mapped: Map[ExprId, Attribute] =
+      probeCols.map(a => a.exprId -> byName(probeName(a.exprId))).toMap ++
+        neededVersion.map { v =>
+          val out = versionKeyIdx(v) match {
+            case Some(i) => byName(probeName(shape.keys(i)._1.exprId)) // equal on matched rows
+            case None    => byName(versionName(v.exprId))
+          }
+          v.exprId -> out
+        }.toMap
+    Some((mapped, asofPlan))
+  }
+}
+
+object AsOfRewriteRule {
+  /** Opt-in switch: `spark.graft.asof.rewrite=true` turns the rule on. */
+  val ConfKey = "spark.graft.asof.rewrite"
+
+  /** Idempotently attach the rule to a live session through
+    * `experimental.extraOptimizations` — for callers that cannot know
+    * whether the session was BUILT with [[graft.GraftExtensions]] (the
+    * extension list is fixed at session creation). Registering both ways
+    * is harmless: the second instance finds no pattern left to rewrite. */
+  def ensure(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AsOfRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new AsOfRewriteRule(spark)
+  }
+
+  /** Prefix for the rewrite's internal column names — distinct from the
+    * operator-internal `__` family (which [[AsOfJoin]] rejects on caller
+    * frames) and vanishingly unlikely in user schemas. */
+  val FreshPrefix = "gasof_"
+}

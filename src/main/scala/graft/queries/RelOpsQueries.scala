@@ -249,7 +249,46 @@ object RelOpsQueries {
         ($"o_us" - $"prev_us").as("gap_us"))
   }
 
+  // ---------------------------------------------------------------- q121
+  /** The NAIVE as-of SQL — inequality join + rank-1 filter, exactly the
+    * quadratic pattern [[AsOfJoin]]'s scaladoc warns about — optimized by
+    * [[graft.plans.AsOfRewriteRule]] into the q110 union+window plan
+    * (zero joins; plan-shape pinned in PlanShapeSpec). Same semantics and
+    * oracle as q110, but here the ENGINE supplies the good plan: the SQL
+    * user didn't call the operator API. The rewrite conf is enabled only
+    * while this query plans (the physical plan is forced before the
+    * conf resets, so later queries optimize with the rule off). */
+  def q121NaiveAsofRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.AsOfRewriteRule.ensure(spark)
+    val e = ev(spark, dir)
+    e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_us".as("click_us"))
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id".as("cuser"), $"click_us", $"click_id")
+      .createOrReplaceTempView("g_clicks")
+    e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("purchase_us"))
+      .createOrReplaceTempView("g_purchases")
+    spark.conf.set(graft.plans.AsOfRewriteRule.ConfKey, "true")
+    try {
+      val df = spark.sql(
+        """SELECT user_id, purchase_id, purchase_us, click_id, click_us,
+          |       purchase_us - click_us AS wait_us
+          |FROM (
+          |  SELECT p.*, c.click_id, c.click_us,
+          |         ROW_NUMBER() OVER (PARTITION BY p.user_id, p.purchase_id, p.purchase_us
+          |                            ORDER BY c.click_us DESC) AS rn
+          |  FROM g_purchases p JOIN g_clicks c
+          |    ON p.user_id = c.cuser AND c.click_us <= p.purchase_us)
+          |WHERE rn = 1""".stripMargin)
+      df.queryExecution.executedPlan // plan NOW, while the rule is on
+      df
+    } finally spark.conf.unset(graft.plans.AsOfRewriteRule.ConfKey)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_naive_asof_rewrite" -> q121NaiveAsofRewrite _,
     "q119_interval_left"    -> q119IntervalLeft _,
     "q120_chunked_tolerance" -> q120ChunkedTolerance _,
     "q118_asof_tolerance"       -> q118AsOfTolerance _,
@@ -303,6 +342,19 @@ object RelOpsQueries {
         |  CASE WHEN l.o_us - d.prev_us <= 2592000000000
         |       THEN l.o_us - d.prev_us END AS gap_us
         |FROM o l ASOF LEFT JOIN d ON l.cust = d.cust AND l.o_us > d.prev_us""".stripMargin,
+    // q121 computes q110's result through the naive SQL + rewrite rule, so
+    // it shares q110's independent DuckDB ASOF JOIN oracle
+    "q121_naive_asof_rewrite" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_id, c.click_us,
+        |  p.purchase_us - c.click_us AS wait_us
+        |FROM purch p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us""".stripMargin,
     "q110_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id

@@ -209,6 +209,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(read.contains("text") && !read.contains("source"), s"scan not pruned to text: $read")
   }
 
+  test("q121: the naive as-of SQL optimizes to the join-free union+window plan") {
+    val df = SparkEntry.queries("q121_naive_asof_rewrite")(spark, dir)
+    val logicalJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(logicalJoins.isEmpty, "naive as-of SQL kept its join — the rewrite did not fire")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("Window"), "rewritten plan should resolve through one per-key window")
+  }
+
   test("q81 semdedup: pairwise check reads the materialized cell index, never a cartesian product") {
     val p = plan("q81_semdedup")
     // the broadcast-centroid assignment runs once inside the eager

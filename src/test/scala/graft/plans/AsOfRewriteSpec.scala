@@ -1,0 +1,183 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+import graft.operators.AsOfJoin
+
+/** The naive-as-of optimizer rewrite: the rank-1 and max_by spellings of
+  * "latest right at-or-before each left" must optimize to the [[AsOfJoin]]
+  * union+window plan (zero joins) when the rule is on, produce identical
+  * results to the naive plan, and stay untouched when the rule is off or
+  * the pattern is not actually an as-of join.
+  *
+  * The rule is registered through `experimental.extraOptimizations` here
+  * (the same `Rule[LogicalPlan]` instance the `GraftExtensions` injection
+  * path builds) so the suite is independent of which test session this
+  * JVM created first — `spark.sql.extensions` only applies at session
+  * creation. Gating still goes through `spark.graft.asof.rewrite`.
+  *
+  * A `QueryExecution` caches its optimized plan, so every rule-on /
+  * rule-off measurement builds the query FRESH inside [[withRule]] —
+  * queries are passed as thunks, not DataFrames. */
+class AsOfRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.experimental.extraOptimizations ++= Seq(new AsOfRewriteRule(s))
+    s
+  }
+  import spark.implicits._
+
+  private def withRule[T](on: Boolean)(body: => T): T = {
+    spark.conf.set(AsOfRewriteRule.ConfKey, on.toString)
+    try body
+    finally spark.conf.unset(AsOfRewriteRule.ConfKey)
+  }
+
+  private def joins(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+
+  /** Random probe/version fixture. The version side is unique per
+    * (key, ts) — the determinism contract under which naive and rewritten
+    * plans must agree value-for-value; the probe side contains duplicate
+    * rows on purpose (the rank-1/max_by patterns collapse them, and the
+    * rewrite must too). */
+  private def fixture(seed: Int): (DataFrame, DataFrame) = {
+    val rnd = new Random(seed)
+    val probe = (1 to 300).map { _ =>
+      ("k" + rnd.nextInt(5), rnd.nextInt(1000).toLong, "p" + rnd.nextInt(120))
+    }
+    val version = new Random(seed + 100).shuffle(
+      (for (k <- 0 until 5; t <- 0 until 1000 if rnd.nextDouble() < 0.2)
+        yield ("k" + k, t.toLong, s"v$k-$t")).toList)
+    (probe.toDF("k", "lts", "lid"), version.toDF("vk", "rts", "rid"))
+  }
+
+  private def collectSorted(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+
+  /** Collect + join-count a freshly built query under each rule setting
+    * and assert: rule off keeps `expectOffJoins`, rule on leaves zero
+    * joins, and both settings return identical rows. */
+  private def assertRewrites(mk: () => DataFrame): Seq[Seq[String]] = {
+    val (offRows, offJoins) = withRule(on = false) { val df = mk(); (collectSorted(df), joins(df)) }
+    val (onRows, onJoins)   = withRule(on = true)  { val df = mk(); (collectSorted(df), joins(df)) }
+    assert(offJoins == 1, "naive plan should keep its join with the rule off")
+    assert(onJoins == 0, "rewrite should leave ZERO joins")
+    assert(onRows == offRows, "rewritten results diverged from the naive plan")
+    onRows
+  }
+
+  private def assertKeepsJoin(mk: () => DataFrame, clue: String): Unit =
+    withRule(on = true)(assert(joins(mk()) == 1, clue))
+
+  // ---------------------------------------------------------------- rank-1
+
+  private def naiveRankOne(probe: DataFrame, version: DataFrame,
+                           cmp: (Column, Column) => Column, desc: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = if (desc) col("rts").desc else col("rts").asc
+    probe.join(version, col("k") === col("vk") && cmp(col("rts"), col("lts")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k"), col("lts"), col("lid")).orderBy(ord)))
+      .filter(col("rn") === 1)
+      .select("k", "lts", "lid", "vk", "rts", "rid")
+  }
+
+  test("rank-1 backward: rule removes the join, results identical to the naive plan") {
+    val (probe, version) = fixture(1)
+    val rows = assertRewrites(() => naiveRankOne(probe, version, _ <= _, desc = true))
+    // and the rewrite agrees with the operator it targets
+    val direct = withRule(on = false)(collectSorted(
+      AsOfJoin.backward(probe.dropDuplicates(), version.withColumnRenamed("vk", "k"),
+          Seq("k"), "lts", "rts")
+        .select(col("k"), col("lts"), col("lid"), col("k").as("vk"), col("rts"), col("rid"))))
+    assert(rows == direct)
+  }
+
+  test("rank-1 forward strict: ascending order with a strict > inequality") {
+    val (probe, version) = fixture(2)
+    assertRewrites(() => naiveRankOne(probe, version, _ > _, desc = false))
+  }
+
+  test("rank-1 negative: partition not covering the probe row keeps the naive plan") {
+    import org.apache.spark.sql.expressions.Window
+    val (probe, version) = fixture(3)
+    // partition by key only → one row per KEY, not per probe row: not an
+    // as-of join; the rule must not fire
+    assertKeepsJoin(() =>
+      probe.join(version, col("k") === col("vk") && col("rts") <= col("lts"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("k")).orderBy(col("rts").desc)))
+        .filter(col("rn") === 1),
+      "rule fired on a non-as-of rank pattern")
+  }
+
+  test("rank-1 negative: order direction contradicting the inequality keeps the naive plan") {
+    import org.apache.spark.sql.expressions.Window
+    val (probe, version) = fixture(4)
+    // rts <= lts but ASC order: picks the EARLIEST match, not an as-of
+    assertKeepsJoin(() =>
+      probe.join(version, col("k") === col("vk") && col("rts") <= col("lts"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("lts"), col("lid")).orderBy(col("rts").asc)))
+        .filter(col("rn") === 1),
+      "rule fired on a direction-mismatched pattern")
+  }
+
+  test("rule is off by default") {
+    val (probe, version) = fixture(5)
+    assert(joins(naiveRankOne(probe, version, _ <= _, desc = true)) == 1)
+  }
+
+  // ---------------------------------------------------------------- max_by
+
+  test("max_by backward: group-by argmax rewrites, results identical") {
+    val (probe, version) = fixture(6)
+    assertRewrites(() =>
+      probe.join(version, col("k") === col("vk") && col("rts") <= col("lts"))
+        .groupBy(col("k"), col("lts"), col("lid"))
+        .agg(max_by(col("rid"), col("rts")).as("rid"), max(col("rts")).as("rts")))
+  }
+
+  test("min_by forward with a struct value and the version key in the output") {
+    val (probe, version) = fixture(7)
+    assertRewrites(() =>
+      probe.join(version, col("k") === col("vk") && col("rts") >= col("lts"))
+        .groupBy(col("k"), col("lts"), col("lid"))
+        .agg(min_by(struct(col("vk"), col("rid")), col("rts")).as("m"))
+        .select(col("k"), col("lts"), col("lid"), col("m.vk"), col("m.rid")))
+  }
+
+  test("max_by negative: a non-argmax aggregate keeps the naive plan") {
+    val (probe, version) = fixture(8)
+    assertKeepsJoin(() =>
+      probe.join(version, col("k") === col("vk") && col("rts") <= col("lts"))
+        .groupBy(col("k"), col("lts"), col("lid"))
+        .agg(max_by(col("rid"), col("rts")).as("rid"), count(lit(1)).as("n")),
+      "rule fired despite a count() aggregate")
+  }
+
+  // ---------------------------------------------------------------- SQL
+
+  test("SQL rank-1 formulation rewrites and matches DataFrame results") {
+    val (probe, version) = fixture(9)
+    probe.createOrReplaceTempView("asof_probe")
+    version.createOrReplaceTempView("asof_version")
+    val sql =
+      """SELECT k, lts, lid, vk, rts, rid FROM (
+        |  SELECT p.*, v.vk, v.rts, v.rid,
+        |         ROW_NUMBER() OVER (PARTITION BY p.k, p.lts, p.lid ORDER BY v.rts DESC) AS rn
+        |  FROM asof_probe p JOIN asof_version v
+        |    ON p.k = v.vk AND v.rts <= p.lts
+        |) WHERE rn = 1""".stripMargin
+    assertRewrites(() => spark.sql(sql))
+  }
+}
