@@ -899,6 +899,159 @@ object StreamingPipeline {
         col("summary.err").as("err"), col("summary.n").as("n")): _*)
   }
 
+  /** EXACT heavy hitters per CLOSED event-time window — the q112 contract
+    * ([[graft.operators.HeavyHitters.exact]]: items above `phiPpm` with
+    * their TRUE counts), streamed. [[heavyHitterStream]] can only emit
+    * sketch summaries with error bounds, because exact counts need a
+    * second pass over the window's full data; this sink buys that pass by
+    * SPILLING each batch's rows into a window-partitioned parquet table
+    * and running the sketch-pruned exact verify over each window once the
+    * watermark closes it (the [[selfMaintainingDedupSink]] foreachBatch
+    * topology).
+    *
+    * Per batch: rows landing in already-closed windows drop (watermark
+    * semantics — the watermark is max event time of STRICTLY EARLIER
+    * batches minus `watermark`, i.e. it advances between triggers like
+    * Spark's own); survivors append to `spillPath` partitioned by window
+    * start; then every spilled window whose END ≤ the advanced watermark
+    * is verified EXACTLY — [[graft.operators.HeavyHitters.exactPerGroup]]
+    * with the window as the group, so the MG candidate prune and the
+    * driver-free semi-join verify apply per window — written to
+    * `resultsPath` (win_us, item, cnt, ppm), and its spill partitions are
+    * deleted.
+    *
+    * Storage is O(open-window data), not O(stream): a window's rows live
+    * only from arrival to closure. State per open window is the spill
+    * partition itself — nothing driver-side.
+    *
+    * Fault tolerance (all replay-idempotent, no journal): the spill
+    * append is guarded by a `batch_id` probe on the spill table, the
+    * progress append by one on the progress table, the results write
+    * uses dynamic partition overwrite, and partition deletion is the
+    * final step — a crash anywhere replays to the identical state (the
+    * verify recomputes byte-identical results from the same closed
+    * spill). The replay contract is the engine's own: only the most
+    * recent, not-yet-committed batch ever replays — batches behind the
+    * checkpoint never re-run (their windows' spill may already be
+    * reclaimed). Spec-pinned: closed-input parity vs the batch operator
+    * per window under 1/4/8-batch slicings, last-batch replay idempotency
+    * (incl. the crash-after-results-before-reclaim state), late-row
+    * drop. */
+  def exactHeavyHitterSink(df: DataFrame, tsCol: String, itemCol: String,
+                           windowDur: String, watermark: String,
+                           phiPpm: Long, k: Int,
+                           spillPath: String, resultsPath: String,
+                           checkpointLocation: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processExactHhBatch(batch, batchId, tsCol, itemCol, windowDur,
+          delayMicros(watermark), phiPpm, k, spillPath, resultsPath)
+      }
+      .start()
+
+  /** Parse a duration string ("10 minutes") to microseconds via the same
+    * interval grammar Spark's `withWatermark` accepts; month-granularity
+    * intervals are rejected (no fixed micro length). */
+  private[streaming] def delayMicros(dur: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(dur))
+    require(iv.months == 0, s"month-based watermark '$dur' has no fixed length")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
+  private[streaming] def processExactHhBatch(batch: DataFrame, batchId: Long,
+      tsCol: String, itemCol: String, windowDur: String, delayUs: Long,
+      phiPpm: Long, k: Int, spillPath: String, resultsPath: String): Unit = {
+    import graft.operators.HeavyHitters
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // "table present" = directory exists AND has visible content (a caller
+    // may hand us pre-created empty dirs; parquet can't infer from those)
+    def exists(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      fs.exists(hp) && fs.listStatus(hp).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val progressPath = spillPath + ".progress"
+
+    val w = window(col(tsCol), windowDur)
+    val rows = batch.select(
+      unix_micros(w.getField("start")).as("win_us"),
+      unix_micros(w.getField("end")).as("win_end_us"),
+      col(itemCol).cast("string").as("item"),
+      unix_micros(col(tsCol)).as("ts_us"))
+      .filter(col("item").isNotNull && col("ts_us").isNotNull)
+
+    // watermark as of the PREVIOUS trigger: max event time over strictly
+    // earlier batches (replay-deterministic — a replayed batch drops the
+    // same late rows it dropped the first time)
+    val priorProgress =
+      if (exists(progressPath))
+        Some(spark.read.parquet(progressPath).filter(col("batch_id") < batchId))
+      else None
+    val wmBefore = priorProgress
+      .map(_.agg(max(col("max_ts_us"))).head())
+      .filter(!_.isNullAt(0)).map(_.getLong(0) - delayUs)
+      .getOrElse(Long.MinValue)
+
+    // 1. spill the batch's live rows, guarded against replay by its own
+    //    batch_id probe (the append and the checkpoint commit are not
+    //    atomic together; the probe makes the append idempotent)
+    val spillReplayed = exists(spillPath) &&
+      !spark.read.parquet(spillPath).filter(col("batch_id") === batchId).isEmpty
+    if (!spillReplayed)
+      rows.filter(col("win_end_us") > wmBefore)
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("win_us").mode("append").parquet(spillPath)
+
+    // 2. advance the watermark: record this batch's max event time (its
+    //    own probe — a crash between the two appends replays cleanly)
+    val batchMax = rows.agg(max(col("ts_us"))).head()
+    if (!batchMax.isNullAt(0)) {
+      val progReplayed = exists(progressPath) &&
+        !spark.read.parquet(progressPath).filter(col("batch_id") === batchId).isEmpty
+      if (!progReplayed) {
+        import spark.implicits._
+        Seq((batchId, batchMax.getLong(0))).toDF("batch_id", "max_ts_us")
+          .coalesce(1).write.mode("append").parquet(progressPath)
+      }
+    }
+    val wmNow =
+      if (exists(progressPath)) {
+        val r = spark.read.parquet(progressPath)
+          .filter(col("batch_id") <= batchId).agg(max(col("max_ts_us"))).head()
+        if (r.isNullAt(0)) Long.MinValue else r.getLong(0) - delayUs
+      } else Long.MinValue
+
+    // 3. exact verify per closed window; the closed list is bounded by
+    //    windows-in-flight (watermark delay / window width), not data
+    if (exists(spillPath)) {
+      val spilled = spark.read.parquet(spillPath)
+      val closed = spilled.select(col("win_us"), col("win_end_us")).distinct()
+        .filter(col("win_end_us") <= wmNow)
+        .select(col("win_us")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect()
+      if (closed.nonEmpty) {
+        val closedRows = spilled.filter(col("win_us").isin(closed.map(Long.box): _*))
+        HeavyHitters.exactPerGroup(closedRows, Seq("win_us"), col("item"), phiPpm, k)
+          .write.partitionBy("win_us")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(resultsPath)
+        val spillRoot = new org.apache.hadoop.fs.Path(spillPath)
+        val fs = spillRoot.getFileSystem(hconf)
+        closed.foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$spillPath/win_us=$v"), true)
+        }
+      }
+    }
+    ()
+  }
+
   /** One side of the temporal as-of stream: `side` = "l" (probe) or "r"
     * (version); `payload` carries the side's data. */
   final case class AsOfSide(key: String, ts: Long, side: String, payload: String)
