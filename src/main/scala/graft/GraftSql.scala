@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{AsOfJoin, HeavyHitters, IntervalJoin}
+
+/** SQL-surface verbs for the relational operators Spark lacks natively —
+  * the temp-view face of [[AsOfJoin]], [[IntervalJoin]] and
+  * [[HeavyHitters]], so a SQL-first user can stay in SQL end to end:
+  * build inputs as views with `spark.sql`, call one verb, keep querying
+  * the registered output view. Each verb resolves its inputs through the
+  * session catalog (`spark.table`), runs the Scala operator (same audited
+  * plans, same guards), registers the result under `out`, and returns it.
+  *
+  * These wrap WHOLE-operator semantics, which Spark SQL cannot express as
+  * scalar functions — the complement of the two other SQL surfaces:
+  * injected expressions (`dot_q`, GraftExtensions) for scalar work, and
+  * the [[graft.plans.AsOfRewriteRule]] optimizer rewrite for users who
+  * write the naive as-of pattern without knowing any graft API at all.
+  *
+  * Oracle-checked end-to-end by the q122–q124 SQL-surface queries. */
+object GraftSql {
+
+  /** [[AsOfJoin]] over two views. `direction` is "backward" (latest right
+    * at-or-before each left) or "forward" (earliest right at-or-after);
+    * remaining flags as on the operator. */
+  def asofJoin(spark: SparkSession, out: String, left: String, right: String,
+               keys: Seq[String], leftTs: String, rightTs: String,
+               direction: String = "backward", strict: Boolean = false,
+               tolerance: Option[Long] = None, joinType: String = "inner",
+               tiebreak: Seq[String] = Nil): DataFrame = {
+    val df = direction match {
+      case "backward" => AsOfJoin.backward(spark.table(left), spark.table(right),
+        keys, leftTs, rightTs, strict, tolerance, joinType, tiebreak)
+      case "forward"  => AsOfJoin.forward(spark.table(left), spark.table(right),
+        keys, leftTs, rightTs, strict, tolerance, joinType, tiebreak)
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward, got $other")
+    }
+    df.createOrReplaceTempView(out)
+    df
+  }
+
+  /** [[IntervalJoin.pointInInterval]] over two views (left-outer via
+    * `pointId` — pass the points view's unique id column to keep
+    * uncovered points). `bucketWidth` defaults to the operator's own
+    * tuning rule, the median interval span — the SQL user never has to
+    * pick a width. */
+  def pointInInterval(spark: SparkSession, out: String, points: String, intervals: String,
+                      keys: Seq[String], pointTs: String, startCol: String, endCol: String,
+                      bucketWidth: Option[Long] = None,
+                      pointId: Option[String] = None): DataFrame = {
+    val p = spark.table(points)
+    val i = spark.table(intervals)
+    val width = bucketWidth.getOrElse(IntervalJoin.medianSpanWidth(i, startCol, endCol))
+    val df = pointId match {
+      case Some(id) => IntervalJoin.pointInIntervalLeft(p, i, keys, id, pointTs, startCol, endCol, width)
+      case None     => IntervalJoin.pointInInterval(p, i, keys, pointTs, startCol, endCol, width)
+    }
+    df.createOrReplaceTempView(out)
+    df
+  }
+
+  /** Exact heavy hitters over a view's column — [[HeavyHitters.exact]]
+    * (global) or [[HeavyHitters.exactPerGroup]] when `groupCols` is
+    * non-empty. Output columns: groupCols*, item, cnt, ppm. */
+  def heavyHitters(spark: SparkSession, out: String, view: String, itemCol: String,
+                   phiPpm: Long, k: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    val t = spark.table(view)
+    val df =
+      if (groupCols.isEmpty) HeavyHitters.exact(t, col(itemCol), phiPpm, k)
+      else HeavyHitters.exactPerGroup(t, groupCols, col(itemCol), phiPpm, k)
+    df.createOrReplaceTempView(out)
+    df
+  }
+}

@@ -6,6 +6,7 @@ import graft.sources.Tables
 import graft.operators.{AsOfJoin, HeavyHitters, IntervalJoin}
 import graft.operators.Checkpoints.CheckpointOps
 import graft.functions.TextFunctions
+import graft.GraftSql
 
 /** Round-9 relational-operator queries: the general as-of join, the
   * bucketized point-in-interval join, and exact sketch-pruned heavy
@@ -287,7 +288,69 @@ object RelOpsQueries {
     } finally spark.conf.unset(graft.plans.AsOfRewriteRule.ConfKey)
   }
 
+  // ---------------------------------------------------------------- q122
+  /** SQL-surface as-of ([[graft.GraftSql.asofJoin]]): the temp-view face
+    * of the operator — inputs built with `spark.sql`, one verb call, more
+    * SQL over the registered output view. Forward + strict here (first
+    * click strictly after each purchase), the direction q110/q121 don't
+    * cover on the un-chunked path. */
+  def q122SqlAsof(spark: SparkSession, dir: String): DataFrame = {
+    ev(spark, dir).createOrReplaceTempView("g_events")
+    spark.sql(
+      """SELECT user_id, ts_us AS click_us, max(event_id) AS click_id
+        |FROM g_events WHERE event_type = 'click' GROUP BY 1, 2""".stripMargin)
+      .createOrReplaceTempView("g_clicks_sql")
+    spark.sql(
+      """SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us
+        |FROM g_events WHERE event_type = 'purchase'""".stripMargin)
+      .createOrReplaceTempView("g_purch_sql")
+    GraftSql.asofJoin(spark, out = "g_next_click", left = "g_purch_sql", right = "g_clicks_sql",
+      keys = Seq("user_id"), leftTs = "purchase_us", rightTs = "click_us",
+      direction = "forward", strict = true)
+    spark.sql(
+      """SELECT user_id, purchase_id, purchase_us, click_id, click_us,
+        |       click_us - purchase_us AS react_us FROM g_next_click""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q123
+  /** SQL-surface left point-in-interval ([[graft.GraftSql.pointInInterval]]):
+    * q119's error-in-session placement through the view verb, with the
+    * bucket width DERIVED by the verb itself (`bucketWidth = None` →
+    * median span) — the SQL user never tunes a width; results are
+    * width-invariant so the oracle is q119's. */
+  def q123SqlInterval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EventQueries.q12Sessions(spark, dir)
+      .select($"user_id", $"session_id", $"start_us", $"end_us")
+      .createOrReplaceTempView("g_sessions")
+    ev(spark, dir).createOrReplaceTempView("g_events")
+    spark.sql("SELECT user_id, event_id, ts_us FROM g_events WHERE event_type = 'error'")
+      .createOrReplaceTempView("g_errors")
+    GraftSql.pointInInterval(spark, out = "g_err_sess", points = "g_errors",
+      intervals = "g_sessions", keys = Seq("user_id"),
+      pointTs = "ts_us", startCol = "start_us", endCol = "end_us",
+      pointId = Some("event_id"))
+    spark.sql("SELECT user_id, event_id, ts_us, session_id, start_us, end_us FROM g_err_sess")
+  }
+
+  // ---------------------------------------------------------------- q124
+  /** SQL-surface grouped heavy hitters ([[graft.GraftSql.heavyHitters]]):
+    * q116's per-source boilerplate tokens through the view verb (grouped
+    * form — `groupCols` routes to [[HeavyHitters.exactPerGroup]]). */
+  def q124SqlHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"source", explode(TextFunctions.tokens($"text")).as("tok"))
+      .createOrReplaceTempView("g_toks")
+    GraftSql.heavyHitters(spark, out = "g_hh", view = "g_toks", itemCol = "tok",
+      phiPpm = 30000L, k = 1023, groupCols = Seq("source"))
+    spark.sql("SELECT source, item AS tok, cnt, ppm FROM g_hh")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_sql_asof"           -> q122SqlAsof _,
+    "q123_sql_interval"       -> q123SqlInterval _,
+    "q124_sql_heavy_hitters"  -> q124SqlHeavyHitters _,
     "q121_naive_asof_rewrite" -> q121NaiveAsofRewrite _,
     "q119_interval_left"    -> q119IntervalLeft _,
     "q120_chunked_tolerance" -> q120ChunkedTolerance _,
@@ -306,6 +369,51 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    "q122_sql_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_id, c.click_us,
+        |  c.click_us - p.purchase_us AS react_us
+        |FROM purch p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.purchase_us < c.click_us""".stripMargin,
+    // q123/q124 route q119's / q116's semantics through the GraftSql view
+    // verbs, so they share those queries' independent oracles
+    "q123_sql_interval" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_id HAVING count(*) >= 3),
+        |err AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, e.event_id, e.ts_us,
+        |  s.session_id, s.start_us, s.end_us
+        |FROM err e LEFT JOIN sess s
+        |  ON s.user_id = e.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us""".stripMargin,
+    "q124_sql_heavy_hitters" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |tot AS (SELECT source, count(*) AS n FROM toks GROUP BY 1)
+         |SELECT t.source, t.tok, count(*) AS cnt,
+         |  CAST(count(*) * 1000000 // any_value(tt.n) AS BIGINT) AS ppm
+         |FROM toks t JOIN tot tt USING (source)
+         |GROUP BY 1, 2
+         |HAVING count(*) * 1000000 > any_value(tt.n) * 30000""".stripMargin,
     "q119_interval_left" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
