@@ -70,7 +70,12 @@ object Bench {
     // heavy hitters
     "q110_asof_join", "q111_interval_join", "q112_heavy_hitters",
     "q113_overlap_join", "q114_ngram_novelty", "q115_prev_order",
-    "q116_source_heavy_hitters", "q117_next_order", "q118_asof_tolerance")
+    "q116_source_heavy_hitters", "q117_next_order", "q118_asof_tolerance",
+    // round 10: left interval join, chunked tolerance as-of, the naive-
+    // as-of optimizer rewrite (the REWRITTEN plan is what's timed), and
+    // the SQL-surface verbs
+    "q119_interval_left", "q120_chunked_tolerance", "q121_naive_asof_rewrite",
+    "q122_sql_asof", "q123_sql_interval", "q124_sql_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,7 +29,12 @@ import graft.operators.AsOfJoin
   * == Recognized shapes ==
   * Two argmax spellings, both over `probe JOIN version ON equi-keys AND
   * version.ts ≤/</≥/> probe.ts` (any conjunct order, either comparison
-  * orientation, ≥1 equi key, plain column references throughout):
+  * orientation, ≥1 equi key, plain column references throughout). An
+  * additional tolerance-band conjunct — `version.ts >= probe.ts - tol`
+  * (backward) / `version.ts <= probe.ts + tol` (forward), or the
+  * distance spelling `probe.ts - version.ts <= tol`, with a literal
+  * non-negative `tol` — maps to the operator's `tolerance` flag (the
+  * latest match within the band IS the latest match, nulled past it):
   *
   *  1. **rank-1**: `Filter(rn = 1, Window(row_number() OVER (PARTITION BY
   *     <probe cols> ORDER BY version.ts DESC|ASC), join))` — fires when
@@ -200,7 +205,8 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
       pTs: AttributeReference,
       vTs: AttributeReference,
       forward: Boolean,
-      strict: Boolean)
+      strict: Boolean,
+      tolerance: Option[Long])
 
   /** The probe-side column set the pattern groups on must pin the probe ts
     * and every equi key — otherwise the naive query's groups span several
@@ -215,45 +221,89 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
     if (join.joinType != Inner || join.condition.isEmpty) return None
     val conjuncts = splitConjunctivePredicates(join.condition.get)
     var keys      = Vector.empty[(AttributeReference, AttributeReference)]
-    var ineq      = Option.empty[(AttributeReference, AttributeReference, Boolean, Boolean)]
+    var ineqs     = Vector.empty[(AttributeReference, AttributeReference, Boolean, Boolean)]
+    var leftovers = Vector.empty[Expression]
     def attr(x: Expression): Option[AttributeReference] = x match {
       case ar: AttributeReference => Some(ar)
       case _                      => None
     }
-    // normalize each comparison to (vTs REL pTs); `vFirstForward` is the
-    // direction when the VERSION ts is the comparison's left operand
+    // normalize each bare comparison to (vTs REL pTs); `vFirstForward` is
+    // the direction when the VERSION ts is the comparison's left operand
     def asOfPair(l: Expression, r: Expression, vFirstForward: Boolean, strict: Boolean): Boolean =
       (attr(l), attr(r)) match {
         case (Some(a), Some(b))
-            if version.outputSet.contains(a) && probe.outputSet.contains(b) && ineq.isEmpty =>
-          ineq = Some((b, a, vFirstForward, strict)); true
+            if version.outputSet.contains(a) && probe.outputSet.contains(b) =>
+          ineqs :+= ((b, a, vFirstForward, strict)); true
         case (Some(a), Some(b))
-            if probe.outputSet.contains(a) && version.outputSet.contains(b) && ineq.isEmpty =>
-          ineq = Some((a, b, !vFirstForward, strict)); true
+            if probe.outputSet.contains(a) && version.outputSet.contains(b) =>
+          ineqs :+= ((a, b, !vFirstForward, strict)); true
         case _ => false
       }
-    def classify(c: Expression): Boolean = c match {
-      case EqualTo(l, r) =>
+    conjuncts.foreach {
+      case c @ EqualTo(l, r) =>
         (attr(l), attr(r)) match {
           case (Some(a), Some(b)) if probe.outputSet.contains(a) && version.outputSet.contains(b) =>
-            keys :+= ((a, b)); true
+            keys :+= ((a, b))
           case (Some(a), Some(b)) if version.outputSet.contains(a) && probe.outputSet.contains(b) =>
-            keys :+= ((b, a)); true
-          case _ => false
+            keys :+= ((b, a))
+          case _ => leftovers :+= c
         }
-      case LessThanOrEqual(l, r)    => asOfPair(l, r, vFirstForward = false, strict = false) // v <= p → backward
-      case LessThan(l, r)           => asOfPair(l, r, vFirstForward = false, strict = true)
-      case GreaterThanOrEqual(l, r) => asOfPair(l, r, vFirstForward = true, strict = false)  // v >= p → forward
-      case GreaterThan(l, r)        => asOfPair(l, r, vFirstForward = true, strict = true)
-      case _                        => false
+      case c @ LessThanOrEqual(l, r)    => if (!asOfPair(l, r, vFirstForward = false, strict = false)) leftovers :+= c // v <= p → backward
+      case c @ LessThan(l, r)           => if (!asOfPair(l, r, vFirstForward = false, strict = true)) leftovers :+= c
+      case c @ GreaterThanOrEqual(l, r) => if (!asOfPair(l, r, vFirstForward = true, strict = false)) leftovers :+= c  // v >= p → forward
+      case c @ GreaterThan(l, r)        => if (!asOfPair(l, r, vFirstForward = true, strict = true)) leftovers :+= c
+      case c                            => leftovers :+= c
     }
-    if (!conjuncts.forall(classify)) return None
-    ineq match {
-      case Some((pTs, vTs, forward, strict))
-          if keys.nonEmpty && !keys.exists(_._2.semanticEquals(vTs)) =>
-        Some(JoinShape(keys, pTs, vTs, forward, strict))
-      case _ => None
+    if (ineqs.size != 1 || keys.isEmpty) return None
+    val (pTs, vTs, forward, strict) = ineqs.head
+    if (keys.exists(_._2.semanticEquals(vTs))) return None
+    // any remaining conjunct must be a tolerance band bounding the match
+    // distance with a literal, consistent with the direction
+    val tols = leftovers.map(bandTolerance(_, pTs, vTs, forward))
+    if (tols.exists(_.isEmpty)) return None
+    Some(JoinShape(keys, pTs, vTs, forward, strict,
+      tols.flatten.reduceOption((a, b) => math.min(a, b))))
+  }
+
+  /** Recognize the tolerance-band conjunct of a bounded as-of: backward
+    * `vTs >= pTs - tol` / `pTs - vTs <= tol`, forward `vTs <= pTs + tol` /
+    * `vTs - pTs <= tol` (either operand order, non-negative literal
+    * `tol`) — [[AsOfJoin]]'s `tolerance` flag, spelled as a join
+    * predicate. Inclusive comparisons only: the operator's tolerance is
+    * inclusive, so a strict band has no exact mapping. */
+  private def bandTolerance(c: Expression, pTs: AttributeReference,
+                            vTs: AttributeReference, forward: Boolean): Option[Long] = {
+    def litVal(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, _)   => Some(v.toLong)
+      case Literal(v: Long, _)  => Some(v)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case _                    => None
     }
+    def isP(e: Expression) = e match { case a: AttributeReference => a.semanticEquals(pTs); case _ => false }
+    def isV(e: Expression) = e match { case a: AttributeReference => a.semanticEquals(vTs); case _ => false }
+    // the match distance as the operator defines it: backward pTs - vTs,
+    // forward vTs - pTs
+    def isDist(e: Expression) = e match {
+      case Subtract(a, b, _) => if (forward) isV(a) && isP(b) else isP(a) && isV(b)
+      case _                 => false
+    }
+    // pTs ± tol with the literal on either Add operand
+    def boundOf(e: Expression): Option[Long] = e match {
+      case Subtract(p, l, _) if !forward && isP(p)      => litVal(l)
+      case Add(x, y, _) if forward && isP(x)            => litVal(y)
+      case Add(x, y, _) if forward && isP(y)            => litVal(x)
+      case _                                            => None
+    }
+    val tol = c match {
+      case LessThanOrEqual(d, l) if isDist(d)                  => litVal(l) // dist <= tol
+      case GreaterThanOrEqual(l, d) if isDist(d)               => litVal(l)
+      case GreaterThanOrEqual(v, b) if !forward && isV(v)      => boundOf(b) // v >= p - tol
+      case LessThanOrEqual(b, v) if !forward && isV(v)         => boundOf(b)
+      case LessThanOrEqual(v, b) if forward && isV(v)          => boundOf(b) // v <= p + tol
+      case GreaterThanOrEqual(b, v) if forward && isV(v)       => boundOf(b)
+      case _                                                   => None
+    }
+    tol.filter(_ >= 0)
   }
 
   /** Peel attribute-only Projects (the analyzer's window child projection,
@@ -370,7 +420,7 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
       rightTs = vTsName,
       forward = shape.forward,
       strict = shape.strict,
-      tolerance = None,
+      tolerance = shape.tolerance,
       joinType = "inner",
       tiebreak = Nil)
 

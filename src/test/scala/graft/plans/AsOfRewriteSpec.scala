@@ -165,6 +165,47 @@ class AsOfRewriteSpec extends AnyFunSuite {
       "rule fired despite a count() aggregate")
   }
 
+  // ---------------------------------------------------------------- band
+
+  test("tolerance band on rank-1 maps to the operator's tolerance flag") {
+    import org.apache.spark.sql.expressions.Window
+    val (probe, version) = fixture(10)
+    val rows = assertRewrites(() =>
+      probe.join(version,
+          col("k") === col("vk") && col("rts") <= col("lts") && col("rts") >= col("lts") - 50L)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("lts"), col("lid")).orderBy(col("rts").desc)))
+        .filter(col("rn") === 1)
+        .select("k", "lts", "lid", "vk", "rts", "rid"))
+    // and the band really is the operator's tolerance semantics
+    val direct = withRule(on = false)(collectSorted(
+      AsOfJoin.backward(probe.dropDuplicates(), version.withColumnRenamed("vk", "k"),
+          Seq("k"), "lts", "rts", tolerance = Some(50L))
+        .select(col("k"), col("lts"), col("lid"), col("k").as("vk"), col("rts"), col("rid"))))
+    assert(rows == direct)
+  }
+
+  test("forward band in the distance spelling rewrites through max_by") {
+    val (probe, version) = fixture(11)
+    assertRewrites(() =>
+      probe.join(version,
+          col("k") === col("vk") && col("rts") >= col("lts") && col("rts") - col("lts") <= 40L)
+        .groupBy(col("k"), col("lts"), col("lid"))
+        .agg(min_by(col("rid"), col("rts")).as("rid"), min(col("rts")).as("rts")))
+  }
+
+  test("negative: a stray non-band conjunct keeps the naive plan") {
+    import org.apache.spark.sql.expressions.Window
+    val (probe, version) = fixture(12)
+    assertKeepsJoin(() =>
+      probe.join(version,
+          col("k") === col("vk") && col("rts") <= col("lts") && col("rid") =!= col("lid"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("lts"), col("lid")).orderBy(col("rts").desc)))
+        .filter(col("rn") === 1),
+      "rule fired despite a non-band residual conjunct")
+  }
+
   // ---------------------------------------------------------------- SQL
 
   test("SQL rank-1 formulation rewrites and matches DataFrame results") {
