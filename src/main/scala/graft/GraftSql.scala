@@ -62,6 +62,28 @@ object GraftSql {
     df
   }
 
+  /** [[IntervalJoin.overlap]] over two views: all same-key (left, right)
+    * interval pairs with a non-empty intersection. `bucketWidth` defaults
+    * to the median span of the UNION of both sides' spans. For a
+    * self-join, register the same data under two views with non-key
+    * columns renamed apart and apply an anti-reflexive filter on the
+    * output view. */
+  def overlapJoin(spark: SparkSession, out: String, left: String, right: String,
+                  keys: Seq[String], lStart: String, lEnd: String,
+                  rStart: String, rEnd: String,
+                  bucketWidth: Option[Long] = None): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    val width = bucketWidth.getOrElse {
+      val spans = l.select(col(lStart).as("s"), col(lEnd).as("e"))
+        .unionByName(r.select(col(rStart).as("s"), col(rEnd).as("e")))
+      IntervalJoin.medianSpanWidth(spans, "s", "e")
+    }
+    val df = IntervalJoin.overlap(l, r, keys, lStart, lEnd, rStart, rEnd, width)
+    df.createOrReplaceTempView(out)
+    df
+  }
+
   /** Exact heavy hitters over a view's column — [[HeavyHitters.exact]]
     * (global) or [[HeavyHitters.exactPerGroup]] when `groupCols` is
     * non-empty. Output columns: groupCols*, item, cnt, ppm. */

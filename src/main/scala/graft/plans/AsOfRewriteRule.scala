@@ -5,7 +5,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, MaxBy, Min, MinBy}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -58,7 +58,11 @@ import graft.operators.AsOfJoin
   * when (keys, ts) is unique on the version side, the same determinism
   * contract as DuckDB's ASOF JOIN. Version-side equi-key output columns
   * are served from the probe side (equal on every matched row by the join
-  * predicate). Unmatched probe tuples drop in both plans (inner join).
+  * predicate). Unmatched probe tuples drop under INNER; a LEFT OUTER
+  * naive join (probe side preserved) maps to the operator's
+  * `joinType="left"` — unmatched probes keep one row with null version
+  * columns, including null version keys, exactly the naive plan's
+  * null-extended rows.
   *
   * Off by default; opt in with `spark.graft.asof.rewrite=true`. The rule
   * replaces the matched subtree with the analyzed [[AsOfJoin.asof]] plan
@@ -206,7 +210,8 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
       vTs: AttributeReference,
       forward: Boolean,
       strict: Boolean,
-      tolerance: Option[Long])
+      tolerance: Option[Long],
+      leftOuter: Boolean)
 
   /** The probe-side column set the pattern groups on must pin the probe ts
     * and every equi key — otherwise the naive query's groups span several
@@ -218,7 +223,13 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
     f(join.left, join.right).orElse(f(join.right, join.left))
 
   private def matchJoin(join: Join, probe: LogicalPlan, version: LogicalPlan): Option[JoinShape] = {
-    if (join.joinType != Inner || join.condition.isEmpty) return None
+    // LEFT OUTER maps to the operator's joinType="left" — but only with
+    // the PRESERVED side as the probe (a right-preserved flip is not an
+    // as-of); the rank-1/argmax then resolves each unmatched probe's
+    // single null-extended row, exactly the operator's left semantics
+    val leftOuter = join.joinType == LeftOuter
+    if (!(join.joinType == Inner || (leftOuter && (probe eq join.left)))) return None
+    if (join.condition.isEmpty) return None
     val conjuncts = splitConjunctivePredicates(join.condition.get)
     var keys      = Vector.empty[(AttributeReference, AttributeReference)]
     var ineqs     = Vector.empty[(AttributeReference, AttributeReference, Boolean, Boolean)]
@@ -262,7 +273,7 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
     val tols = leftovers.map(bandTolerance(_, pTs, vTs, forward))
     if (tols.exists(_.isEmpty)) return None
     Some(JoinShape(keys, pTs, vTs, forward, strict,
-      tols.flatten.reduceOption((a, b) => math.min(a, b))))
+      tols.flatten.reduceOption((a, b) => math.min(a, b)), leftOuter))
   }
 
   /** Recognize the tolerance-band conjunct of a bounded as-of: backward
@@ -360,8 +371,12 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
 
   /** Assemble the replacement: rename both halves to collision-free
     * columns, run them through the spec-pinned [[AsOfJoin.asof]], and hand
-    * back the analyzed plan plus the original-exprId → new-output map
-    * (version equi keys served from their probe partner).
+    * back the analyzed plan plus the original-exprId → new-output map.
+    * Version equi keys are served from their probe partner (equal on
+    * every matched row); under LEFT OUTER they are additionally guarded
+    * by match-ness — the naive plan's null-extended rows carry NULL
+    * version keys, so the probe value only stands in when a match exists
+    * (`rightTs IS NOT NULL`).
     *
     * @param probeCols     probe attrs the output needs (the pattern's
     *                      partition/grouping columns; include pTs + keys)
@@ -371,7 +386,7 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
       probe: LogicalPlan,
       version: LogicalPlan,
       probeCols: Seq[AttributeReference],
-      neededVersion: Seq[Attribute]): Option[(Map[ExprId, Attribute], LogicalPlan)] = {
+      neededVersion: Seq[Attribute]): Option[(Map[ExprId, Expression], LogicalPlan)] = {
 
     // --- name assignment (collision-free by construction)
     val keyName = shape.keys.indices.map(i => s"${FreshPrefix}k$i")
@@ -421,18 +436,22 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
       forward = shape.forward,
       strict = shape.strict,
       tolerance = shape.tolerance,
-      joinType = "inner",
+      joinType = if (shape.leftOuter) "left" else "inner",
       tiebreak = Nil)
 
     val asofPlan = asofDf.queryExecution.analyzed
     val byName   = asofPlan.output.map(a => a.name -> a).toMap
 
-    val mapped: Map[ExprId, Attribute] =
-      probeCols.map(a => a.exprId -> byName(probeName(a.exprId))).toMap ++
+    val mapped: Map[ExprId, Expression] =
+      probeCols.map(a => a.exprId -> (byName(probeName(a.exprId)): Expression)).toMap ++
         neededVersion.map { v =>
-          val out = versionKeyIdx(v) match {
-            case Some(i) => byName(probeName(shape.keys(i)._1.exprId)) // equal on matched rows
-            case None    => byName(versionName(v.exprId))
+          val out: Expression = versionKeyIdx(v) match {
+            case Some(i) =>
+              val probeKey = byName(probeName(shape.keys(i)._1.exprId))
+              if (shape.leftOuter) // null on unmatched rows, like the naive plan
+                If(IsNotNull(byName(vTsName)), probeKey, Literal.create(null, probeKey.dataType))
+              else probeKey // equal on every (matched) row
+            case None => byName(versionName(v.exprId))
           }
           v.exprId -> out
         }.toMap

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, HeavyHitters, IntervalJoin}
+
+/** The GraftSql view verbs: each must resolve its inputs through the
+  * catalog, produce the SAME rows as the underlying operator, and leave
+  * the result queryable under the output view name. (End-to-end oracle
+  * coverage lives in q122-q124; this pins the verb mechanics on small
+  * hand data, including the verbs' derived-width defaults.) */
+class GraftSqlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] =
+    df.collect().toSet[org.apache.spark.sql.Row].map(_.toSeq.map(String.valueOf))
+
+  test("asofJoin verb == AsOfJoin.backward, output view registered") {
+    Seq(("a", 10L, "l1"), ("a", 20L, "l2"), ("b", 9L, "l3"))
+      .toDF("k", "lts", "lid").createOrReplaceTempView("gsql_l")
+    Seq(("a", 9L, "r1"), ("a", 15L, "r2"), ("b", 30L, "r3"))
+      .toDF("k", "rts", "rid").createOrReplaceTempView("gsql_r")
+    val out = GraftSql.asofJoin(spark, "gsql_asof", "gsql_l", "gsql_r",
+      Seq("k"), "lts", "rts")
+    val want = AsOfJoin.backward(
+      spark.table("gsql_l"), spark.table("gsql_r"), Seq("k"), "lts", "rts")
+    assert(rows(out) == rows(want))
+    assert(rows(spark.sql("SELECT * FROM gsql_asof")) == rows(want))
+    intercept[IllegalArgumentException] {
+      GraftSql.asofJoin(spark, "x", "gsql_l", "gsql_r", Seq("k"), "lts", "rts",
+        direction = "sideways")
+    }
+  }
+
+  test("pointInInterval verb derives its width and matches the operator at a pinned width") {
+    Seq(("a", 1L, 5L), ("a", 12L, 100L), ("b", 0L, 3L))
+      .toDF("k", "s", "e").createOrReplaceTempView("gsql_iv")
+    Seq(("a", 2L, "p1"), ("a", 50L, "p2"), ("a", 200L, "p3"), ("b", 7L, "p4"))
+      .toDF("k", "ts", "pid").createOrReplaceTempView("gsql_pt")
+    val out = GraftSql.pointInInterval(spark, "gsql_pi", "gsql_pt", "gsql_iv",
+      Seq("k"), "ts", "s", "e")
+    val want = IntervalJoin.pointInInterval(
+      spark.table("gsql_pt"), spark.table("gsql_iv"), Seq("k"), "ts", "s", "e",
+      bucketWidth = 7L) // any width - results are width-invariant
+    assert(rows(out) == rows(want))
+    // left-outer via pointId keeps the uncovered points
+    val left = GraftSql.pointInInterval(spark, "gsql_pil", "gsql_pt", "gsql_iv",
+      Seq("k"), "ts", "s", "e", pointId = Some("pid"))
+    assert(left.count() == 4L)
+    assert(left.filter(col("s").isNull).select("pid").as[String].collect().toSet ==
+      Set("p3", "p4")) // 200 outside every "a" interval; 7 outside b's [0,3]
+  }
+
+  test("overlapJoin verb == IntervalJoin.overlap with the union-derived width") {
+    Seq(("a", 1L, "x1", 0L, 10L), ("a", 2L, "x2", 8L, 20L), ("a", 3L, "x3", 30L, 40L))
+      .toDF("k", "aid", "atag", "as", "ae").createOrReplaceTempView("gsql_ol")
+    Seq(("a", 9L, "y1", 5L, 9L), ("a", 8L, "y2", 35L, 50L))
+      .toDF("k", "bid", "btag", "bs", "be").createOrReplaceTempView("gsql_or")
+    val out = GraftSql.overlapJoin(spark, "gsql_ov", "gsql_ol", "gsql_or",
+      Seq("k"), "as", "ae", "bs", "be")
+    val want = IntervalJoin.overlap(
+      spark.table("gsql_ol"), spark.table("gsql_or"),
+      Seq("k"), "as", "ae", "bs", "be", bucketWidth = 4L)
+    assert(rows(out) == rows(want))
+    assert(out.select("aid", "bid").as[(Long, Long)].collect().toSet ==
+      Set((1L, 9L), (2L, 9L), (3L, 8L)))
+  }
+
+  test("heavyHitters verb routes global and grouped forms") {
+    (Seq.fill(40)("hot") ++ (1 to 20).map(i => s"c$i"))
+      .toDF("item").createOrReplaceTempView("gsql_items")
+    val g = GraftSql.heavyHitters(spark, "gsql_hh", "gsql_items", "item",
+      phiPpm = 200000L, k = 63)
+    val want = HeavyHitters.exact(spark.table("gsql_items"), col("item"), 200000L, 63)
+    assert(rows(g) == rows(want))
+    assert(g.select("item").as[String].collect().toSeq == Seq("hot"))
+
+    Seq(("s1", "a"), ("s1", "a"), ("s1", "b"), ("s2", "z"), ("s2", "z"), ("s2", "z"))
+      .toDF("src", "item").createOrReplaceTempView("gsql_gitems")
+    val grouped = GraftSql.heavyHitters(spark, "gsql_ghh", "gsql_gitems", "item",
+      phiPpm = 500000L, k = 63, groupCols = Seq("src"))
+    assert(grouped.select("src", "item").as[(String, String)].collect().toSet ==
+      Set(("s1", "a"), ("s2", "z")))
+  }
+}

@@ -165,6 +165,49 @@ class AsOfRewriteSpec extends AnyFunSuite {
       "rule fired despite a count() aggregate")
   }
 
+  // ---------------------------------------------------------------- left
+
+  test("LEFT OUTER rank-1 maps to joinType=left: unmatched probes keep null version rows") {
+    import org.apache.spark.sql.expressions.Window
+    val (probe0, version0) = fixture(20)
+    // guarantee unmatched probes: k4 has no versions at all, and some
+    // probes predate every version of their key
+    val version = version0.filter(col("vk") =!= "k4" && col("rts") >= 100L)
+    val probe   = probe0
+    val rows = assertRewrites(() =>
+      probe.join(version, col("k") === col("vk") && col("rts") <= col("lts"), "left")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("lts"), col("lid")).orderBy(col("rts").desc)))
+        .filter(col("rn") === 1)
+        .select("k", "lts", "lid", "vk", "rts", "rid"))
+    // unmatched probes must be present, with the VERSION KEY null too
+    assert(rows.exists(r => r(3) == "null" && r(4) == "null"), "no unmatched row survived")
+    assert(!rows.exists(r => r(4) == "null" && r(3) != "null"),
+      "unmatched row leaked a non-null version key")
+  }
+
+  test("LEFT OUTER max_by with tolerance band rewrites and matches") {
+    val (probe, version0) = fixture(21)
+    val version = version0.filter(col("rts") >= 200L)
+    assertRewrites(() =>
+      probe.join(version,
+          col("k") === col("vk") && col("rts") <= col("lts") && col("rts") >= col("lts") - 60L,
+          "left")
+        .groupBy(col("k"), col("lts"), col("lid"))
+        .agg(max_by(col("rid"), col("rts")).as("rid"), max(col("rts")).as("rts")))
+  }
+
+  test("negative: RIGHT OUTER keeps the naive plan (preserved side is not the probe)") {
+    import org.apache.spark.sql.expressions.Window
+    val (probe, version) = fixture(22)
+    assertKeepsJoin(() =>
+      probe.join(version, col("k") === col("vk") && col("rts") <= col("lts"), "right")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("lts"), col("lid")).orderBy(col("rts").desc)))
+        .filter(col("rn") === 1),
+      "rule fired on a right-outer join")
+  }
+
   // ---------------------------------------------------------------- band
 
   test("tolerance band on rank-1 maps to the operator's tolerance flag") {
