@@ -12,9 +12,12 @@ import graft.functions.VectorExprs.DotLongArrays
   * `SparkSession.builder.withExtensions(new GraftExtensions)`), then:
   * {{{ SELECT dot_q(qvec_a, qvec_b) FROM pairs }}}
   *
-  * Also injects [[graft.plans.AsOfRewriteRule]] (naive inequality-join
-  * argmax → the as-of union+window plan), gated off by default behind
-  * `spark.graft.asof.rewrite=true`.
+  * Also injects the opt-in naive-pattern optimizer rewrites, each gated
+  * off by default behind its own conf:
+  * [[graft.plans.AsOfRewriteRule]] (inequality-join argmax → the as-of
+  * union+window plan; `spark.graft.asof.rewrite=true`) and
+  * [[graft.plans.IntervalRewriteRule]] (equi-join + range containment →
+  * the bucketized interval join; `spark.graft.interval.rewrite=true`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -23,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotLongArrays].getName, "dot_q"),
       (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))))
     e.injectOptimizerRule(session => new graft.plans.AsOfRewriteRule(session))
+    e.injectOptimizerRule(session => new graft.plans.IntervalRewriteRule(session))
   }
 }

@@ -230,6 +230,11 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
     val leftOuter = join.joinType == LeftOuter
     if (!(join.joinType == Inner || (leftOuter && (probe eq join.left)))) return None
     if (join.condition.isEmpty) return None
+    // recursion breaker (see IntervalRewriteRule.matchShape): never match
+    // a join over the rewrites' own working columns
+    if (join.condition.get.references.exists(a =>
+        a.name.startsWith(FreshPrefix) || a.name.startsWith("__") ||
+        a.name.startsWith(IntervalRewriteRule.FreshPrefix))) return None
     val conjuncts = splitConjunctivePredicates(join.condition.get)
     var keys      = Vector.empty[(AttributeReference, AttributeReference)]
     var ineqs     = Vector.empty[(AttributeReference, AttributeReference, Boolean, Boolean)]

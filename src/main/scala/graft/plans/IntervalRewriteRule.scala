@@ -1,0 +1,201 @@
+package graft.plans
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftshim.GraftSqlShim
+
+import graft.operators.IntervalJoin
+
+/** Catalyst rewrite: the NAIVE point-in-interval encoding — an inner
+  * equi-join whose two range conjuncts (`i.s ≤ p.ts AND p.ts ≤ i.e`) only
+  * FILTER after the per-key product — becomes
+  * [[IntervalJoin.pointInInterval]]'s bucketized plan: intervals
+  * replicated to time cells, points landing in exactly one cell, a pure
+  * equi-join on (key, cell). Same trap, same medicine as
+  * [[AsOfRewriteRule]]: Spark plans the naive form as an equi-join on the
+  * key with the range as a post-join filter, O(points·intervals/keys)
+  * per key; the bucketized plan's per-key cost is linear in rows ×
+  * replication (~2 at the derived width).
+  *
+  * Recognized: `Join(Inner, equi-keys ∧ lo-bound ∧ hi-bound)` where the
+  * two bounds compare ONE side's single timestamp column against the
+  * other side's two distinct columns (any conjunct order / comparison
+  * orientation / side assignment, plain column references, ≥1 equi key).
+  * Strict bounds (`<`) are accepted: the operator's inclusive containment
+  * is a superset, and the original strict predicates re-filter the output
+  * (exactness preserved). Left/right outer joins are NOT rewritten — the
+  * outer operator needs a unique point id the rule cannot infer.
+  *
+  * The bucket width is the operator's own tuning rule
+  * ([[IntervalJoin.medianSpanWidth]]), which runs one 1-row aggregate at
+  * OPTIMIZATION time (the same adaptive-statistics trade dynamic
+  * partition pruning makes; the job's own plan contains no join+range
+  * pattern, so the rule cannot recurse). Results are width-invariant —
+  * the statistic affects cost only.
+  *
+  * Off by default; opt in with `spark.graft.interval.rewrite=true`.
+  * Output attributes are re-aliased to the original ids (interval-side
+  * equi keys served from the point side — equal on every inner-matched
+  * row), so parent operators are untouched. */
+class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
+
+  import IntervalRewriteRule._
+
+  private def enabled: Boolean =
+    conf.getConfString(ConfKey, "false").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case j: Join if !j.isStreaming =>
+        try rewrite(j).getOrElse(j)
+        catch {
+          case NonFatal(e) =>
+            logWarning(s"graft interval rewrite: failed to assemble replacement, " +
+              s"leaving the naive plan: $e")
+            j
+        }
+    }
+
+  /** One recognized bound: the interval-side column, whether it is the
+    * LOWER bound, and whether the comparison is strict. */
+  private case class Bound(ivCol: AttributeReference, lower: Boolean, strict: Boolean)
+
+  private case class Shape(
+      keys: Seq[(AttributeReference, AttributeReference)], // (point, interval)
+      ts: AttributeReference,
+      lo: Bound,
+      hi: Bound)
+
+  private def rewrite(join: Join): Option[LogicalPlan] =
+    matchShape(join, join.left, join.right).map(s => build(join, join.left, join.right, s))
+      .orElse(matchShape(join, join.right, join.left).map(s => build(join, join.right, join.left, s)))
+
+  private def matchShape(join: Join, points: LogicalPlan, intervals: LogicalPlan): Option[Shape] = {
+    if (join.joinType != Inner || join.condition.isEmpty) return None
+    // RECURSION BREAKER: in the operator fixed-point batch, filter
+    // pushdown folds the rewritten plan's containment filter back into
+    // its (key, cell) equi-join — which would re-match this very pattern
+    // and loop. The rewrite's own working columns are identifiable by
+    // name (the fresh prefix and the operator's `__cell`); never rewrite
+    // a join that touches them.
+    if (join.condition.get.references.exists(a =>
+        a.name.startsWith(FreshPrefix) || a.name.startsWith("__"))) return None
+    val conjuncts = splitConjunctivePredicates(join.condition.get)
+    var keys   = Vector.empty[(AttributeReference, AttributeReference)]
+    var bounds = Vector.empty[(AttributeReference, Bound)] // (point ts, bound)
+    def attr(x: Expression): Option[AttributeReference] = x match {
+      case ar: AttributeReference => Some(ar)
+      case _                      => None
+    }
+    // normalize to (ivCol REL ts): `lowerIfIvFirst` is the bound kind when
+    // the INTERVAL column is the comparison's left operand under ≤/<
+    def bound(l: Expression, r: Expression, strict: Boolean): Boolean =
+      (attr(l), attr(r)) match {
+        case (Some(a), Some(b))
+            if intervals.outputSet.contains(a) && points.outputSet.contains(b) =>
+          bounds :+= ((b, Bound(a, lower = true, strict))); true // iv ≤ ts → lower bound
+        case (Some(a), Some(b))
+            if points.outputSet.contains(a) && intervals.outputSet.contains(b) =>
+          bounds :+= ((a, Bound(b, lower = false, strict))); true // ts ≤ iv → upper bound
+        case _ => false
+      }
+    val ok = conjuncts.forall {
+      case EqualTo(l, r) =>
+        (attr(l), attr(r)) match {
+          case (Some(a), Some(b)) if points.outputSet.contains(a) && intervals.outputSet.contains(b) =>
+            keys :+= ((a, b)); true
+          case (Some(a), Some(b)) if intervals.outputSet.contains(a) && points.outputSet.contains(b) =>
+            keys :+= ((b, a)); true
+          case _ => false
+        }
+      case LessThanOrEqual(l, r)    => bound(l, r, strict = false)
+      case LessThan(l, r)           => bound(l, r, strict = true)
+      case GreaterThanOrEqual(l, r) => bound(r, l, strict = false) // a >= b  ≡  b <= a
+      case GreaterThan(l, r)        => bound(r, l, strict = true)
+      case _                        => false
+    }
+    if (!ok || keys.isEmpty || bounds.size != 2) return None
+    val (ts1, b1) = bounds(0)
+    val (ts2, b2) = bounds(1)
+    // one point ts, two DISTINCT interval columns, one bound of each kind
+    if (!ts1.semanticEquals(ts2) || b1.lower == b2.lower ||
+        b1.ivCol.semanticEquals(b2.ivCol)) return None
+    if (keys.exists(k => k._1.semanticEquals(ts1) ||
+        k._2.semanticEquals(b1.ivCol) || k._2.semanticEquals(b2.ivCol))) return None
+    val (lo, hi) = if (b1.lower) (b1, b2) else (b2, b1)
+    Some(Shape(keys, ts1, lo, hi))
+  }
+
+  private def build(join: Join, points: LogicalPlan, intervals: LogicalPlan,
+                    shape: Shape): LogicalPlan = {
+    val keyName = shape.keys.indices.map(i => s"${FreshPrefix}k$i")
+    def pKeyIdx(a: Attribute): Option[Int] =
+      shape.keys.indexWhere(_._1.exprId == a.exprId) match { case -1 => None; case i => Some(i) }
+    def ivKeyIdx(a: Attribute): Option[Int] =
+      shape.keys.indexWhere(_._2.exprId == a.exprId) match { case -1 => None; case i => Some(i) }
+
+    // rename EVERYTHING (the operator requires non-key disjointness; fresh
+    // names satisfy it by construction); every output column survives
+    val pName: Map[ExprId, String] = points.output.zipWithIndex.map { case (a, i) =>
+      a.exprId -> pKeyIdx(a).map(keyName).getOrElse(s"${FreshPrefix}p$i")
+    }.toMap
+    val ivName: Map[ExprId, String] = intervals.output.zipWithIndex.map { case (a, i) =>
+      a.exprId -> ivKeyIdx(a).map(keyName).getOrElse(s"${FreshPrefix}i$i")
+    }.toMap
+
+    val pProj = Project(points.output.map(a => Alias(a, pName(a.exprId))()), points)
+    val ivProj = Project(
+      intervals.output.filter(a => ivKeyIdx(a).isEmpty)
+        .map(a => Alias(a, ivName(a.exprId))()) ++
+        shape.keys.zipWithIndex.map { case ((_, ivk), i) => Alias(ivk, keyName(i))() },
+      intervals)
+
+    val pDf  = GraftSqlShim.ofRows(session, pProj)
+    val ivDf = GraftSqlShim.ofRows(session, ivProj)
+    val sName  = ivName(shape.lo.ivCol.exprId)
+    val eName  = ivName(shape.hi.ivCol.exprId)
+    val tsName = pName(shape.ts.exprId)
+
+    val width = IntervalJoin.medianSpanWidth(ivDf, sName, eName)
+    var out = IntervalJoin.pointInInterval(pDf, ivDf, keyName, tsName, sName, eName, width)
+    // the operator's containment is inclusive; re-impose strict bounds
+    if (shape.lo.strict) out = out.filter(col(sName) < col(tsName))
+    if (shape.hi.strict) out = out.filter(col(tsName) < col(eName))
+
+    val outPlan = out.queryExecution.analyzed
+    val byName  = outPlan.output.map(a => a.name -> a).toMap
+    val aliases = join.output.map { a =>
+      val target =
+        if (points.outputSet.contains(a)) byName(pName(a.exprId))
+        else ivKeyIdx(a) match {
+          case Some(i) => byName(keyName(i)) // inner join: equal to the point key
+          case None    => byName(ivName(a.exprId))
+        }
+      Alias(target, a.name)(a.exprId, a.qualifier)
+    }
+    Project(aliases, outPlan)
+  }
+}
+
+object IntervalRewriteRule {
+  /** Opt-in switch: `spark.graft.interval.rewrite=true` turns the rule on. */
+  val ConfKey = "spark.graft.interval.rewrite"
+
+  /** Shares [[AsOfRewriteRule.FreshPrefix]]'s naming contract. */
+  val FreshPrefix = "givj_"
+
+  /** Idempotently attach to a live session (see
+    * [[AsOfRewriteRule.ensure]] for why). */
+  def ensure(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[IntervalRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new IntervalRewriteRule(spark)
+  }
+}

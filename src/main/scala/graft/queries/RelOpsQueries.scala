@@ -347,7 +347,38 @@ object RelOpsQueries {
     spark.sql("SELECT source, item AS tok, cnt, ppm FROM g_hh")
   }
 
+  // ---------------------------------------------------------------- q125
+  /** The NAIVE point-in-interval SQL — equi-join + BETWEEN, exactly the
+    * range-join trap [[IntervalJoin]]'s scaladoc warns about — optimized
+    * by [[graft.plans.IntervalRewriteRule]] into the bucketized cell
+    * join (plan-pinned in PlanShapeSpec). Same semantics and oracle as
+    * q111: errors located in the q12 sessions, rolled up per session.
+    * The rewrite conf is enabled only while this query plans. */
+  def q125NaiveIntervalRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.IntervalRewriteRule.ensure(spark)
+    EventQueries.q12Sessions(spark, dir)
+      .select($"user_id", $"session_id", $"start_us", $"end_us")
+      .createOrReplaceTempView("g_sessions")
+    ev(spark, dir)
+      .filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"ts_us", cents($"value").as("v_c"))
+      .createOrReplaceTempView("g_errors_v")
+    spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "true")
+    try {
+      val df = spark.sql(
+        """SELECT s.user_id, s.session_id, s.start_us, s.end_us,
+          |       count(*) AS n_errors, sum(e.v_c) AS sum_err_v_c
+          |FROM g_errors_v e JOIN g_sessions s
+          |  ON e.e_user = s.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us
+          |GROUP BY 1, 2, 3, 4""".stripMargin)
+      df.queryExecution.executedPlan // plan NOW, while the rule is on
+      df
+    } finally spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_naive_interval_rewrite" -> q125NaiveIntervalRewrite _,
     "q122_sql_asof"           -> q122SqlAsof _,
     "q123_sql_interval"       -> q123SqlInterval _,
     "q124_sql_heavy_hitters"  -> q124SqlHeavyHitters _,
@@ -369,6 +400,34 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    // q125 computes q111's result through the naive BETWEEN SQL + the
+    // interval rewrite rule, so it shares q111's inequality-join oracle
+    "q125_naive_interval_rewrite" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_id HAVING count(*) >= 3),
+        |err AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS v_c
+        |  FROM events WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_id, s.start_us, s.end_us,
+        |  count(*) AS n_errors, CAST(sum(e.v_c) AS BIGINT) AS sum_err_v_c
+        |FROM sess s JOIN err e
+        |  ON e.user_id = s.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "q122_sql_asof" ->
       """WITH clicks AS (
         |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id

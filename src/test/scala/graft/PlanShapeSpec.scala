@@ -219,6 +219,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), "rewritten plan should resolve through one per-key window")
   }
 
+  test("q125: the naive BETWEEN SQL optimizes to the bucketized cell join") {
+    val df = SparkEntry.queries("q125_naive_interval_rewrite")(spark, dir)
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "naive BETWEEN join was not bucketized — the rewrite did not fire")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "rewritten interval join degraded to a nested-loop product")
+  }
+
   test("q81 semdedup: pairwise check reads the materialized cell index, never a cartesian product") {
     val p = plan("q81_semdedup")
     // the broadcast-centroid assignment runs once inside the eager

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Generate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** The naive point-in-interval optimizer rewrite: an inner equi-join with
+  * two range conjuncts must optimize to the bucketized IntervalJoin plan
+  * (cell explode + equi-join on (key, cell)) when the rule is on, with
+  * identical results — including strict bounds, null timestamps, and
+  * inverted intervals — and must not fire on non-matching shapes. */
+class IntervalRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    IntervalRewriteRule.ensure(s)
+    s
+  }
+  import spark.implicits._
+
+  private def withRule[T](on: Boolean)(body: => T): T = {
+    spark.conf.set(IntervalRewriteRule.ConfKey, on.toString)
+    try body
+    finally spark.conf.unset(IntervalRewriteRule.ConfKey)
+  }
+
+  private def exploded(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case g: Generate => g }.nonEmpty
+
+  private def collectSorted(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+
+  /** Points with some null timestamps; intervals with some inverted
+    * spans — the naive join drops both, and the rewrite must too. */
+  private def fixture(seed: Int): (DataFrame, DataFrame) = {
+    val rnd = new Random(seed)
+    val points = (1 to 400).map { i =>
+      ("k" + rnd.nextInt(5),
+        if (rnd.nextDouble() < 0.05) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextInt(1000).toLong),
+        s"p$i")
+    }
+    val intervals = (1 to 120).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      val e = if (rnd.nextDouble() < 0.1) s - 5 else s + rnd.nextInt(80)
+      ("k" + rnd.nextInt(5), s, e, s"iv$i")
+    }
+    (points.toDF("k", "ts", "pid"), intervals.toDF("ik", "s", "e", "iid"))
+  }
+
+  private def assertRewrites(mk: () => DataFrame): Seq[Seq[String]] = {
+    val (offRows, offExpl) = withRule(on = false) { val df = mk(); (collectSorted(df), exploded(df)) }
+    val (onRows, onExpl)   = withRule(on = true)  { val df = mk(); (collectSorted(df), exploded(df)) }
+    assert(!offExpl, "naive plan should have no explode with the rule off")
+    assert(onExpl, "rewrite should bucketize (cell explode) with the rule on")
+    assert(onRows == offRows, "rewritten results diverged from the naive plan")
+    onRows
+  }
+
+  private def assertKeepsPlan(mk: () => DataFrame, clue: String): Unit =
+    withRule(on = true)(assert(!exploded(mk()), clue))
+
+  test("inner equi-join + inclusive range rewrites to the bucketized plan, results identical") {
+    val (points, intervals) = fixture(1)
+    val rows = assertRewrites(() =>
+      points.join(intervals, col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e")))
+    assert(rows.nonEmpty)
+  }
+
+  test("strict bounds are re-imposed exactly") {
+    val (points, intervals) = fixture(2)
+    assertRewrites(() =>
+      points.join(intervals, col("k") === col("ik") && col("s") < col("ts") && col("ts") < col("e")))
+    // mixed strictness, flipped orientations
+    assertRewrites(() =>
+      points.join(intervals, col("ik") === col("k") && col("ts") >= col("s") && col("e") > col("ts")))
+  }
+
+  test("negative shapes keep the naive plan") {
+    val (points, intervals) = fixture(3)
+    assertKeepsPlan(() =>
+      points.join(intervals, col("k") === col("ik") && col("s") <= col("ts")),
+      "fired with only one bound")
+    assertKeepsPlan(() =>
+      points.join(intervals,
+        col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "left"),
+      "fired on an outer join")
+    assertKeepsPlan(() =>
+      points.join(intervals, col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("s")),
+      "fired with both bounds on one interval column")
+  }
+
+  test("rule is off by default") {
+    val (points, intervals) = fixture(4)
+    assert(!exploded(
+      points.join(intervals, col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"))))
+  }
+}
