@@ -72,8 +72,32 @@ object ProfAsofRewrite {
       val tDirect = timeIt(() =>
         AsOfJoin.backward(p, c, Seq("k"), "lts", "rts")
           .select($"k", $"purchase_id", $"lts", $"click_id", $"rts"))
-      println(f"$label  naive-intermediate=$inter%10d  naive=$tNaive%6.2f s  rewritten=$tRewrite%6.2f s  direct=$tDirect%6.2f s")
+      println(f"as-of    $label  naive-intermediate=$inter%10d  naive=$tNaive%6.2f s  rewritten=$tRewrite%6.2f s  direct=$tDirect%6.2f s")
+    }
+
+    // interval rewrite: points-in-sessions at the same two key densities.
+    // Intervals = per-(key, hour) activity spans; points = all events.
+    for ((label, keyExpr) <- Seq(
+        ("user_id keys            ", $"user_id"),
+        ("user_id % 16 (hot keys)  ", pmod($"user_id", lit(16)))) ) {
+      val pts = e.select(keyExpr.as("k"), $"event_id", $"ts_us").localCheckpoint()
+      val iv = e.groupBy(keyExpr.as("ik"), floor($"ts_us" / (3600L * 1000000L)).as("hr"))
+        .agg(min($"ts_us").as("s"), max($"ts_us").as("e"), count(lit(1)).as("n"))
+        .drop("hr").localCheckpoint()
+      def naiveIv() = pts.join(iv, $"k" === $"ik" && $"s" <= $"ts_us" && $"ts_us" <= $"e")
+      val inter = withRuleOff(spark)(naiveIv().count())
+      spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "false")
+      val tNaive = timeIt(() => naiveIv())
+      spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "true")
+      val tRewrite = timeIt(() => naiveIv())
+      spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "false")
+      println(f"interval $label  matches=$inter%10d  naive=$tNaive%6.2f s  rewritten=$tRewrite%6.2f s")
     }
     spark.stop()
+  }
+
+  private def withRuleOff[T](spark: SparkSession)(body: => T): T = {
+    spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "false")
+    body
   }
 }

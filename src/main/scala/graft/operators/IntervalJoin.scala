@@ -117,7 +117,7 @@ object IntervalJoin {
       // can't match; survivors replicate only across the clamped range
       .filter(col(startCol) <= maxTs && col(endCol) >= minTs)
       .withColumn("__cell",
-        explode(sequence(
+        explode(cellSeq(
           floorDiv(greatest(col(startCol), lit(minTs)), bucketWidth),
           floorDiv(least(col(endCol), lit(maxTs)), bucketWidth))))
     val pt = points.filter(col(pointTs).isNotNull)
@@ -160,20 +160,48 @@ object IntervalJoin {
     matched.unionByName(unmatched)
   }
 
-  /** Data-derived bucket width: the MEDIAN interval span (approximate,
-    * one cheap aggregate), floored at 1 — the operator's own tuning rule,
-    * automated. q113's first cut hard-coded "a month sounds natural"
-    * against 825-day-average synthetic spans and ran 3.5× slower
-    * (PLANS.md round 9); deriving the width from the span distribution
-    * makes that class of mistake impossible. Results are width-invariant
-    * (spec-pinned), so this affects cost only — safe to call per run
-    * even when the distribution drifts. */
+  /** Data-derived bucket width: the MEDIAN of the POSITIVE interval spans
+    * (approximate, one cheap aggregate), floored at 1 — the operator's
+    * own tuning rule, automated. q113's first cut hard-coded "a month
+    * sounds natural" against 825-day-average synthetic spans and ran
+    * 3.5× slower (PLANS.md round 9); deriving the width from the span
+    * distribution makes that class of mistake impossible. Results are
+    * width-invariant (spec-pinned), so this affects cost only — safe to
+    * call per run even when the distribution drifts.
+    *
+    * Zero-width spans are EXCLUDED from the statistic: point-like
+    * intervals replicate to one cell at any width, so they carry no
+    * tuning signal — but a majority of them would otherwise drag the
+    * median to 0 → width 1, and every genuinely wide interval would then
+    * explode to span-many cells (measured: an OOM, not a slowdown, on
+    * per-hour activity spans where most hours hold one event). */
   def medianSpanWidth(intervals: DataFrame, startCol: String, endCol: String): Long = {
     val row = intervals
-      .filter(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) <= col(endCol))
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) < col(endCol))
       .agg(expr(s"approx_percentile(`$endCol` - `$startCol`, 0.5)"))
       .head()
     if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+  }
+
+  /** Ceiling on cells one interval may replicate to — far above any sane
+    * width choice (≈4M cells), hit only when `bucketWidth` is orders of
+    * magnitude below the span scale. Failing LOUDLY here beats the
+    * alternative: a silent multi-billion-row explode that OOMs the
+    * executor with no hint of why. */
+  private[operators] val MaxCellsPerInterval = 1L << 22
+
+  /** Guarded cell-range sequence: `sequence(lo, hi)` with a codegen'd
+    * per-row width check (no extra job, no silent truncation). */
+  private def cellSeq(lo: Column, hi: Column): Column = {
+    val guarded = when(hi - lo >= MaxCellsPerInterval,
+      raise_error(concat(
+        lit(s"IntervalJoin: one interval spans more than $MaxCellsPerInterval bucket cells ("),
+        (hi - lo + 1L).cast("string"),
+        lit(") - bucketWidth is far below the span scale; pick it near the median span " +
+          "(see medianSpanWidth)")))
+        .cast("long"))
+      .otherwise(hi)
+    sequence(lo, guarded)
   }
 
   /** Interval-overlap join: all (left, right) interval pairs of the same
@@ -235,7 +263,7 @@ object IntervalJoin {
       .withColumn("__lo", greatest(col(s), lit(otherMinStart)))
       .withColumn("__hi", least(col(e), lit(maxStart)))
       .filter(col("__lo") <= col("__hi"))
-      .withColumn("__cell", explode(sequence(
+      .withColumn("__cell", explode(cellSeq(
         floorDiv(col("__lo"), bucketWidth), floorDiv(col("__hi"), bucketWidth))))
       .drop("__lo", "__hi")
 

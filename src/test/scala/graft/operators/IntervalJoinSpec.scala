@@ -84,6 +84,27 @@ class IntervalJoinSpec extends AnyFunSuite {
       Seq(("k", 5L, 5L, "p")).toDF("k", "s", "e", "iid"), "s", "e") == 1L)
     assert(IntervalJoin.medianSpanWidth(
       Seq.empty[(String, Long, Long, String)].toDF("k", "s", "e", "iid"), "s", "e") == 1L)
+    // zero-width spans carry no tuning signal and must not drag the
+    // median to 0 → width 1 (which would explode every wide interval to
+    // span-many cells — measured as an OOM on per-hour activity spans
+    // where most hours hold one event)
+    val mostlyPoints = (1 to 99).map(i => ("k", i.toLong, i.toLong, s"pt$i")) :+
+      (("k", 0L, 3600L, "wide"))
+    assert(IntervalJoin.medianSpanWidth(mostlyPoints.toDF("k", "s", "e", "iid"), "s", "e") == 3600L)
+  }
+
+  test("a bucketWidth orders of magnitude below the span scale fails loudly, not with an OOM") {
+    // points must span the interval too - otherwise the point-range clamp
+    // already contains the damage
+    val pts = Seq(("k", 5L, "p1"), ("k", IntervalJoin.MaxCellsPerInterval * 2L, "p2"))
+      .toDF("k", "ts", "pid")
+    val ivs = Seq(("k", 0L, IntervalJoin.MaxCellsPerInterval * 2L, "huge")).toDF("k", "s", "e", "iid")
+    val e = intercept[Exception] {
+      IntervalJoin.pointInInterval(pts, ivs, Seq("k"), "ts", "s", "e", bucketWidth = 1L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bucket cells")), s"unexpected failure: $e")
   }
 
   test("pointInInterval composes stream-static: streaming points, static intervals") {
