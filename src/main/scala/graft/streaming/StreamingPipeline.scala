@@ -917,8 +917,10 @@ object StreamingPipeline {
     * is verified EXACTLY — [[graft.operators.HeavyHitters.exactPerGroup]]
     * with the window as the group, so the MG candidate prune and the
     * driver-free semi-join verify apply per window — written to
-    * `resultsPath` (win_us, item, cnt, ppm), and its spill partitions are
-    * deleted.
+    * `resultsPath` (win_us, groupCols*, item, cnt, ppm — `ppm` relative
+    * to the (window, group) row count when `groupCols` is non-empty, the
+    * [[heavyHitterStream]] grouped contract), and its spill partitions
+    * are deleted.
     *
     * Storage is O(open-window data), not O(stream): a window's rows live
     * only from arrival to closure. State per open window is the spill
@@ -941,13 +943,14 @@ object StreamingPipeline {
                            windowDur: String, watermark: String,
                            phiPpm: Long, k: Int,
                            spillPath: String, resultsPath: String,
-                           checkpointLocation: String)
+                           checkpointLocation: String,
+                           groupCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processExactHhBatch(batch, batchId, tsCol, itemCol, windowDur,
-          delayMicros(watermark), phiPpm, k, spillPath, resultsPath)
+          delayMicros(watermark), phiPpm, k, spillPath, resultsPath, groupCols)
       }
       .start()
 
@@ -963,7 +966,10 @@ object StreamingPipeline {
 
   private[streaming] def processExactHhBatch(batch: DataFrame, batchId: Long,
       tsCol: String, itemCol: String, windowDur: String, delayUs: Long,
-      phiPpm: Long, k: Int, spillPath: String, resultsPath: String): Unit = {
+      phiPpm: Long, k: Int, spillPath: String, resultsPath: String,
+      groupCols: Seq[String] = Nil): Unit = {
+    require(!groupCols.exists(c => Seq("win_us", "win_end_us", "item", "ts_us", "batch_id").contains(c)),
+      s"groupCols collide with the sink's working columns: ${groupCols.mkString(",")}")
     import graft.operators.HeavyHitters
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -981,10 +987,10 @@ object StreamingPipeline {
 
     val w = window(col(tsCol), windowDur)
     val rows = batch.select(
-      unix_micros(w.getField("start")).as("win_us"),
-      unix_micros(w.getField("end")).as("win_end_us"),
-      col(itemCol).cast("string").as("item"),
-      unix_micros(col(tsCol)).as("ts_us"))
+      Seq(unix_micros(w.getField("start")).as("win_us"),
+        unix_micros(w.getField("end")).as("win_end_us"),
+        col(itemCol).cast("string").as("item"),
+        unix_micros(col(tsCol)).as("ts_us")) ++ groupCols.map(col): _*)
       .filter(col("item").isNotNull && col("ts_us").isNotNull)
 
     // watermark as of the PREVIOUS trigger: max event time over strictly
@@ -1038,7 +1044,7 @@ object StreamingPipeline {
         .collect()
       if (closed.nonEmpty) {
         val closedRows = spilled.filter(col("win_us").isin(closed.map(Long.box): _*))
-        HeavyHitters.exactPerGroup(closedRows, Seq("win_us"), col("item"), phiPpm, k)
+        HeavyHitters.exactPerGroup(closedRows, "win_us" +: groupCols, col("item"), phiPpm, k)
           .write.partitionBy("win_us")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(resultsPath)

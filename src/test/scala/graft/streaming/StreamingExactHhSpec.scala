@@ -127,6 +127,24 @@ class StreamingExactHhSpec extends AnyFunSuite {
     assert(!spilledWins.contains(win0), "closed window's spill not reclaimed after replay")
   }
 
+  test("grouped form: exact per-(window, group) counts, groups isolated") {
+    import spark.implicits._
+    val (spill, res) = (tmp("hh-grp-spill"), tmp("hh-grp-res"))
+    val delay = StreamingPipeline.delayMicros("10 minutes")
+    val t = java.sql.Timestamp.valueOf("2025-01-01 00:00:30")
+    val rows = Seq.fill(30)((t, "sA", "hot-a")) ++ Seq.fill(25)((t, "sB", "hot-b")) ++
+      (1 to 10).map(i => (t, "sA", s"cold$i")) :+
+      ((java.sql.Timestamp.valueOf("2025-01-01 01:00:00"), "sA", "pusher"))
+    StreamingPipeline.processExactHhBatch(rows.toDF("ts", "src", "item"),
+      0L, "ts", "item", "1 minute", delay, phiPpm = 500000L, k = 63,
+      spill, res, groupCols = Seq("src"))
+    val got = spark.read.parquet(res)
+      .select($"src", $"item", $"cnt", $"ppm").as[(String, String, Long, Long)]
+      .collect().toSet
+    // within sA: hot-a is 30/40 = 750000 ppm; within sB: hot-b is 25/25
+    assert(got == Set(("sA", "hot-a", 30L, 750000L), ("sB", "hot-b", 25L, 1000000L)))
+  }
+
   test("late rows into a closed window are dropped, not re-opened") {
     import spark.implicits._
     val (spill, res) = (tmp("hh-late-spill"), tmp("hh-late-res"))
