@@ -1058,6 +1058,66 @@ object StreamingPipeline {
     ()
   }
 
+  /** STREAM-STREAM point-in-interval join — both the point stream and the
+    * interval stream live ([[graft.operators.IntervalJoin.pointInInterval]]
+    * covers batch and stream-static): each point row matched to every
+    * same-key interval containing its event time, as a NATIVE Spark
+    * stream-stream inner join whose state the engine reaps from
+    * watermarks.
+    *
+    * Spark can only bound join state when the time condition relates the
+    * two sides' WATERMARKED event-time columns through constant bounds —
+    * a data-dependent interval end can't do that. So the join condition
+    * is `p.ts BETWEEN i.start AND i.start + maxSpan` (the state-cleanup
+    * range) plus the exact `p.ts <= i.end` containment as a plain
+    * filter conjunct. `maxSpan` therefore CONTRACTUALLY bounds interval
+    * length; an interval whose end exceeds `start + maxSpan` would
+    * silently lose matches, so it fails loudly per row instead
+    * (codegen'd `raise_error`, the [[graft.operators.IntervalJoin]] cap
+    * discipline).
+    *
+    * State per side is O(rows inside the watermark horizon): points wait
+    * `pointWatermark`, intervals stay matchable for
+    * `maxSpan + intervalWatermark` past their start. Late rows beyond
+    * the watermarks drop — standard stream-stream semantics. Inner only:
+    * a streaming left-outer needs the same contract plus null-emission
+    * on watermark expiry, which Spark provides natively if callers pass
+    * `joinType="leftOuter"` on their own composition; the operator keeps
+    * the exact inner contract spec-pinned (closed-input parity vs the
+    * batch operator under batch slicing).
+    *
+    * @param pointTs / startCol / endCol TIMESTAMP columns (event time);
+    *        non-key columns must be disjoint across the sides
+    * @param maxSpan duration literal ("2 hours") — hard bound on
+    *        `end - start`, enforced per row */
+  def pointInIntervalStream(points: DataFrame, intervals: DataFrame,
+                            keys: Seq[String], pointTs: String,
+                            startCol: String, endCol: String,
+                            maxSpan: String,
+                            pointWatermark: String,
+                            intervalWatermark: String): DataFrame = {
+    val overlap = points.columns.filterNot(keys.contains).toSet
+      .intersect(intervals.columns.filterNot(keys.contains).toSet)
+    require(overlap.isEmpty, s"non-key columns must be disjoint, both sides have: ${overlap.mkString(",")}")
+    require(delayMicros(maxSpan) > 0, s"maxSpan must be positive, got '$maxSpan'")
+    val p = points.withWatermark(pointTs, pointWatermark)
+    val i = intervals
+      .withColumn(endCol,
+        when(col(endCol) > col(startCol) + expr(s"INTERVAL $maxSpan"),
+          raise_error(concat(
+            lit(s"pointInIntervalStream: interval end exceeds start + maxSpan ($maxSpan) at start="),
+            col(startCol).cast("string"),
+            lit(" - matches past the span bound would be silently lost; raise maxSpan")))
+            .cast(intervals.schema(endCol).dataType))
+          .otherwise(col(endCol)))
+      .withWatermark(startCol, intervalWatermark)
+    val cond = keys.map(k => p(k) === i(k)).reduce(_ && _) &&
+      col(pointTs) >= col(startCol) &&
+      col(pointTs) <= col(startCol) + expr(s"INTERVAL $maxSpan") &&
+      col(pointTs) <= col(endCol)
+    keys.foldLeft(p.join(i, cond))((df, k) => df.drop(i(k)))
+  }
+
   /** One side of the temporal as-of stream: `side` = "l" (probe) or "r"
     * (version); `payload` carries the side's data. */
   final case class AsOfSide(key: String, ts: Long, side: String, payload: String)
