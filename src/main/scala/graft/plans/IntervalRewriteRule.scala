@@ -27,10 +27,21 @@ import graft.operators.IntervalJoin
   * two bounds compare ONE side's single timestamp column against the
   * other side's two distinct columns (any conjunct order / comparison
   * orientation / side assignment, plain column references, ≥1 equi key).
-  * Strict bounds (`<`) are accepted: the operator's inclusive containment
-  * is a superset, and the original strict predicates re-filter the output
-  * (exactness preserved). Left/right outer joins are NOT rewritten — the
-  * outer operator needs a unique point id the rule cannot infer.
+  * When each side instead contributes one start and one end —
+  * `a.s ≤ b.e AND b.s ≤ a.e`, the INTERVAL-OVERLAP pattern — the join
+  * rewrites to [[IntervalJoin.overlap]]'s canonical-cell plan, with two
+  * (usually empty) fallback joins carrying pairs whose own interval is
+  * inverted (`s > e`): the operator drops those as malformed, but the
+  * naive condition never compares a side's start to its own end, so
+  * exactness on arbitrary data needs them. Strict bounds (`<`) are
+  * accepted in both shapes: the operator's inclusive containment is a
+  * superset, and the original strict predicates re-filter the output
+  * (exactness preserved). Exactly two range conjuncts — an extra
+  * cross-side inequality (e.g. a self-join's `a.id < b.id`
+  * anti-reflexive, once pushdown folds it into the join) vetoes the
+  * match rather than risk pairing the wrong columns as a pseudo-interval.
+  * Left/right outer joins are NOT rewritten — the outer operator needs a
+  * unique point id the rule cannot infer.
   *
   * The bucket width is the operator's own tuning rule
   * ([[IntervalJoin.medianSpanWidth]]), which runs one 1-row aggregate at
@@ -73,9 +84,21 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
       lo: Bound,
       hi: Bound)
 
+  /** Interval-overlap variant of the pattern: `a.s ≤ b.e AND b.s ≤ a.e`
+    * — each side contributes one start and one end (when both bounds hit
+    * the SAME column of a side, that side is a point and [[Shape]]
+    * matches instead). */
+  private case class OverlapShape(
+      keys: Seq[(AttributeReference, AttributeReference)], // (a, b)
+      aS: AttributeReference, aE: AttributeReference,
+      bS: AttributeReference, bE: AttributeReference,
+      strictAB: Boolean, // a.s REL b.e
+      strictBA: Boolean) // b.s REL a.e
+
   private def rewrite(join: Join): Option[LogicalPlan] =
     matchShape(join, join.left, join.right).map(s => build(join, join.left, join.right, s))
       .orElse(matchShape(join, join.right, join.left).map(s => build(join, join.right, join.left, s)))
+      .orElse(matchOverlap(join).map(s => buildOverlap(join, s)))
 
   private def matchShape(join: Join, points: LogicalPlan, intervals: LogicalPlan): Option[Shape] = {
     if (join.joinType != Inner || join.condition.isEmpty) return None
@@ -131,6 +154,123 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
         k._2.semanticEquals(b1.ivCol) || k._2.semanticEquals(b2.ivCol))) return None
     val (lo, hi) = if (b1.lower) (b1, b2) else (b2, b1)
     Some(Shape(keys, ts1, lo, hi))
+  }
+
+  /** Classify the overlap pattern on (left = a, right = b); the shape is
+    * symmetric, so one orientation suffices. */
+  private def matchOverlap(join: Join): Option[OverlapShape] = {
+    val (a, b) = (join.left, join.right)
+    if (join.joinType != Inner || join.condition.isEmpty) return None
+    if (join.condition.get.references.exists(x =>
+        x.name.startsWith(FreshPrefix) || x.name.startsWith("__"))) return None
+    val conjuncts = splitConjunctivePredicates(join.condition.get)
+    var keys  = Vector.empty[(AttributeReference, AttributeReference)]
+    // normalized to (x ≤ y): (xAttr, yAttr, strict, xIsA)
+    var ineqs = Vector.empty[(AttributeReference, AttributeReference, Boolean, Boolean)]
+    def attr(x: Expression): Option[AttributeReference] = x match {
+      case ar: AttributeReference => Some(ar)
+      case _                      => None
+    }
+    def le(l: Expression, r: Expression, strict: Boolean): Boolean =
+      (attr(l), attr(r)) match {
+        case (Some(x), Some(y)) if a.outputSet.contains(x) && b.outputSet.contains(y) =>
+          ineqs :+= ((x, y, strict, true)); true
+        case (Some(x), Some(y)) if b.outputSet.contains(x) && a.outputSet.contains(y) =>
+          ineqs :+= ((x, y, strict, false)); true
+        case _ => false
+      }
+    val ok = conjuncts.forall {
+      case EqualTo(l, r) =>
+        (attr(l), attr(r)) match {
+          case (Some(x), Some(y)) if a.outputSet.contains(x) && b.outputSet.contains(y) =>
+            keys :+= ((x, y)); true
+          case (Some(x), Some(y)) if b.outputSet.contains(x) && a.outputSet.contains(y) =>
+            keys :+= ((y, x)); true
+          case _ => false
+        }
+      case LessThanOrEqual(l, r)    => le(l, r, strict = false)
+      case LessThan(l, r)           => le(l, r, strict = true)
+      case GreaterThanOrEqual(l, r) => le(r, l, strict = false)
+      case GreaterThan(l, r)        => le(r, l, strict = true)
+      case _                        => false
+    }
+    if (!ok || keys.isEmpty || ineqs.size != 2) return None
+    // exactly one a→b and one b→a inequality, four DISTINCT columns
+    // (a shared column on one side is the point pattern, handled above)
+    val (ab, ba) = ineqs.partition(_._4)
+    if (ab.size != 1 || ba.size != 1) return None
+    val (aS, bE, strictAB, _) = ab.head
+    val (bS, aE, strictBA, _) = ba.head
+    if (aS.semanticEquals(aE) || bS.semanticEquals(bE)) return None
+    val rangeCols = Seq(aS, aE, bS, bE)
+    if (keys.exists(k => rangeCols.exists(c => k._1.semanticEquals(c) || k._2.semanticEquals(c))))
+      return None
+    Some(OverlapShape(keys, aS, aE, bS, bE, strictAB, strictBA))
+  }
+
+  /** Assemble the overlap replacement. [[IntervalJoin.overlap]] only
+    * emits VALID intervals (`s ≤ e`) — the naive condition can also
+    * match rows whose own columns are inverted (it never compares a
+    * side's start to its own end) — so two fallback joins (usually
+    * planned over empty inputs) carry the invalid-side pairs and keep
+    * the rewrite exact on arbitrary data. Strict bounds re-impose as a
+    * post-filter of the inclusive operator output. */
+  private def buildOverlap(join: Join, shape: OverlapShape): LogicalPlan = {
+    val (a, b) = (join.left, join.right)
+    val keyName = shape.keys.indices.map(i => s"${FreshPrefix}k$i")
+    def aKeyIdx(x: Attribute): Option[Int] =
+      shape.keys.indexWhere(_._1.exprId == x.exprId) match { case -1 => None; case i => Some(i) }
+    def bKeyIdx(x: Attribute): Option[Int] =
+      shape.keys.indexWhere(_._2.exprId == x.exprId) match { case -1 => None; case i => Some(i) }
+    val aName: Map[ExprId, String] = a.output.zipWithIndex.map { case (x, i) =>
+      x.exprId -> aKeyIdx(x).map(keyName).getOrElse(s"${FreshPrefix}a$i")
+    }.toMap
+    val bName: Map[ExprId, String] = b.output.zipWithIndex.map { case (x, i) =>
+      x.exprId -> bKeyIdx(x).map(keyName).getOrElse(s"${FreshPrefix}b$i")
+    }.toMap
+    val aProj = Project(
+      a.output.filter(x => aKeyIdx(x).isEmpty).map(x => Alias(x, aName(x.exprId))()) ++
+        shape.keys.zipWithIndex.map { case ((ak, _), i) => Alias(ak, keyName(i))() },
+      a)
+    val bProj = Project(
+      b.output.filter(x => bKeyIdx(x).isEmpty).map(x => Alias(x, bName(x.exprId))()) ++
+        shape.keys.zipWithIndex.map { case ((_, bk), i) => Alias(bk, keyName(i))() },
+      b)
+    val aDf = GraftSqlShim.ofRows(session, aProj)
+    val bDf = GraftSqlShim.ofRows(session, bProj)
+    val (aSN, aEN) = (aName(shape.aS.exprId), aName(shape.aE.exprId))
+    val (bSN, bEN) = (bName(shape.bS.exprId), bName(shape.bE.exprId))
+
+    val width = IntervalJoin.medianSpanWidth(
+      aDf.select(col(aSN).as("s"), col(aEN).as("e"))
+        .unionByName(bDf.select(col(bSN).as("s"), col(bEN).as("e"))), "s", "e")
+    val rangeCond =
+      (if (shape.strictAB) col(aSN) < col(bEN) else col(aSN) <= col(bEN)) &&
+      (if (shape.strictBA) col(bSN) < col(aEN) else col(bSN) <= col(aEN))
+    val main = IntervalJoin.overlap(aDf, bDf, keyName, aSN, aEN, bSN, bEN, width)
+      .filter(rangeCond)
+    val fb1 = aDf.filter(col(aSN) > col(aEN))
+      .join(bDf, keyName).filter(rangeCond)
+    val fb2 = aDf.filter(col(aSN) <= col(aEN))
+      .join(bDf.filter(col(bSN) > col(bEN)), keyName).filter(rangeCond)
+    val cols = main.columns.toSeq.map(col)
+    val out  = main.unionByName(fb1.select(cols: _*)).unionByName(fb2.select(cols: _*))
+
+    val outPlan = out.queryExecution.analyzed
+    val byName  = outPlan.output.map(x => x.name -> x).toMap
+    val aliases = join.output.map { x =>
+      val target =
+        if (a.outputSet.contains(x)) aKeyIdx(x) match {
+          case Some(i) => byName(keyName(i))
+          case None    => byName(aName(x.exprId))
+        }
+        else bKeyIdx(x) match {
+          case Some(i) => byName(keyName(i)) // inner join: equal to the a key
+          case None    => byName(bName(x.exprId))
+        }
+      Alias(target, x.name)(x.exprId, x.qualifier)
+    }
+    Project(aliases, outPlan)
   }
 
   private def build(join: Join, points: LogicalPlan, intervals: LogicalPlan,

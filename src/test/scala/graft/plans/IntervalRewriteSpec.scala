@@ -96,6 +96,37 @@ class IntervalRewriteSpec extends AnyFunSuite {
       "fired with both bounds on one interval column")
   }
 
+  test("overlap pattern rewrites to the canonical-cell plan, inverted intervals included") {
+    val rnd = new Random(5)
+    val a = (1 to 150).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      val e = if (rnd.nextDouble() < 0.08) s - 10 else s + rnd.nextInt(60)
+      ("k" + rnd.nextInt(4), s, e, s"a$i")
+    }.toDF("k", "as", "ae", "aid")
+    val b = (1 to 150).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      val e = if (rnd.nextDouble() < 0.08) s - 10 else s + rnd.nextInt(60)
+      ("k" + rnd.nextInt(4), s, e, s"b$i")
+    }.toDF("bk", "bs", "be", "bid")
+    val rows = assertRewrites(() =>
+      a.join(b, col("k") === col("bk") && col("as") <= col("be") && col("bs") <= col("ae")))
+    assert(rows.nonEmpty)
+    // strict / flipped-orientation variant
+    assertRewrites(() =>
+      a.join(b, col("k") === col("bk") && col("as") < col("be") && col("ae") >= col("bs")))
+  }
+
+  test("overlap negative: a third cross-side inequality (self-join anti-reflexive) keeps the naive plan") {
+    val (points, _) = fixture(6)
+    val a = points.toDF("k", "ts", "pid")
+    val l = a.select(col("k"), col("ts").as("as"), (col("ts") + 30L).as("ae"), col("pid").as("aid"))
+    val r = a.select(col("k").as("bk"), col("ts").as("bs"), (col("ts") + 30L).as("be"), col("pid").as("bid"))
+    assertKeepsPlan(() =>
+      l.join(r, col("k") === col("bk") && col("as") <= col("be") && col("bs") <= col("ae") &&
+        col("aid") < col("bid")),
+      "fired despite a third cross-side inequality")
+  }
+
   test("rule is off by default") {
     val (points, intervals) = fixture(4)
     assert(!exploded(
