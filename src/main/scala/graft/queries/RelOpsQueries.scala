@@ -377,7 +377,41 @@ object RelOpsQueries {
     } finally spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
   }
 
+  // ---------------------------------------------------------------- q126
+  /** The NAIVE interval-overlap SQL — `a.s <= b.e AND b.s <= a.e` on the
+    * user key — optimized by [[graft.plans.IntervalRewriteRule]]'s
+    * overlap shape into the canonical-cell plan. The q12 sessions
+    * overlapped against the same user's per-DAY activity spans
+    * (min/max event time per calendar day): how many distinct days each
+    * qualifying session touches, with the overlap microseconds summed —
+    * a genuinely two-table overlap (no anti-reflexive predicate, which
+    * the rule deliberately vetoes). */
+  def q126NaiveOverlapRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.IntervalRewriteRule.ensure(spark)
+    EventQueries.q12Sessions(spark, dir)
+      .select($"user_id", $"session_id", $"start_us", $"end_us")
+      .createOrReplaceTempView("g_sessions")
+    ev(spark, dir)
+      .groupBy($"user_id".as("d_user"), expr("ts_us div 86400000000").as("day"))
+      .agg(min($"ts_us").as("d_start_us"), max($"ts_us").as("d_end_us"))
+      .createOrReplaceTempView("g_days")
+    spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "true")
+    try {
+      val df = spark.sql(
+        """SELECT s.user_id, s.session_id, count(*) AS n_days,
+          |       sum(least(s.end_us, d.d_end_us) - greatest(s.start_us, d.d_start_us)) AS overlap_us
+          |FROM g_sessions s JOIN g_days d
+          |  ON s.user_id = d.d_user
+          | AND s.start_us <= d.d_end_us AND d.d_start_us <= s.end_us
+          |GROUP BY 1, 2""".stripMargin)
+      df.queryExecution.executedPlan // plan NOW, while the rule is on
+      df
+    } finally spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_naive_overlap_rewrite"  -> q126NaiveOverlapRewrite _,
     "q125_naive_interval_rewrite" -> q125NaiveIntervalRewrite _,
     "q122_sql_asof"           -> q122SqlAsof _,
     "q123_sql_interval"       -> q123SqlInterval _,
@@ -400,6 +434,33 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    "q126_naive_overlap_rewrite" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_id HAVING count(*) >= 3),
+        |days AS (
+        |  SELECT user_id AS d_user, epoch_us(ts) // 86400000000 AS day,
+        |    min(epoch_us(ts)) AS d_start_us, max(epoch_us(ts)) AS d_end_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.user_id, s.session_id, count(*) AS n_days,
+        |  CAST(sum(least(s.end_us, d.d_end_us) - greatest(s.start_us, d.d_start_us)) AS BIGINT) AS overlap_us
+        |FROM sess s JOIN days d
+        |  ON s.user_id = d.d_user
+        | AND s.start_us <= d.d_end_us AND d.d_start_us <= s.end_us
+        |GROUP BY 1, 2""".stripMargin,
     // q125 computes q111's result through the naive BETWEEN SQL + the
     // interval rewrite rule, so it shares q111's inequality-join oracle
     "q125_naive_interval_rewrite" ->

@@ -230,6 +230,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "rewritten interval join degraded to a nested-loop product")
   }
 
+  test("q126: the naive overlap SQL optimizes to the canonical-cell join") {
+    val df = SparkEntry.queries("q126_naive_overlap_rewrite")(spark, dir)
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "naive overlap join was not bucketized — the rewrite did not fire")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "rewritten overlap join degraded to a nested-loop product")
+  }
+
   test("q81 semdedup: pairwise check reads the materialized cell index, never a cartesian product") {
     val p = plan("q81_semdedup")
     // the broadcast-centroid assignment runs once inside the eager
