@@ -24,18 +24,27 @@ object GraftSql {
 
   /** [[AsOfJoin]] over two views. `direction` is "backward" (latest right
     * at-or-before each left) or "forward" (earliest right at-or-after);
-    * remaining flags as on the operator. */
+    * remaining flags as on the operator. Pass `chunkWidth` to route
+    * through the hot-key-proof time-chunked variants
+    * ([[AsOfJoin.backwardChunked]]/[[AsOfJoin.forwardChunked]] — same
+    * results, parallel within a key). */
   def asofJoin(spark: SparkSession, out: String, left: String, right: String,
                keys: Seq[String], leftTs: String, rightTs: String,
                direction: String = "backward", strict: Boolean = false,
                tolerance: Option[Long] = None, joinType: String = "inner",
-               tiebreak: Seq[String] = Nil): DataFrame = {
-    val df = direction match {
-      case "backward" => AsOfJoin.backward(spark.table(left), spark.table(right),
-        keys, leftTs, rightTs, strict, tolerance, joinType, tiebreak)
-      case "forward"  => AsOfJoin.forward(spark.table(left), spark.table(right),
-        keys, leftTs, rightTs, strict, tolerance, joinType, tiebreak)
-      case other => throw new IllegalArgumentException(
+               tiebreak: Seq[String] = Nil,
+               chunkWidth: Option[Long] = None): DataFrame = {
+    val (l, r) = (spark.table(left), spark.table(right))
+    val df = (direction, chunkWidth) match {
+      case ("backward", None) =>
+        AsOfJoin.backward(l, r, keys, leftTs, rightTs, strict, tolerance, joinType, tiebreak)
+      case ("forward", None) =>
+        AsOfJoin.forward(l, r, keys, leftTs, rightTs, strict, tolerance, joinType, tiebreak)
+      case ("backward", Some(w)) =>
+        AsOfJoin.backwardChunked(l, r, keys, leftTs, rightTs, w, strict, tolerance, joinType, tiebreak)
+      case ("forward", Some(w)) =>
+        AsOfJoin.forwardChunked(l, r, keys, leftTs, rightTs, w, strict, tolerance, joinType, tiebreak)
+      case (other, _) => throw new IllegalArgumentException(
         s"direction must be backward|forward, got $other")
     }
     df.createOrReplaceTempView(out)

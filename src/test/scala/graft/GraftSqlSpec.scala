@@ -38,6 +38,15 @@ class GraftSqlSpec extends AnyFunSuite {
       GraftSql.asofJoin(spark, "x", "gsql_l", "gsql_r", Seq("k"), "lts", "rts",
         direction = "sideways")
     }
+    // the chunked route returns identical rows (the hot-key path)
+    val chunked = GraftSql.asofJoin(spark, "gsql_asof_c", "gsql_l", "gsql_r",
+      Seq("k"), "lts", "rts", chunkWidth = Some(8L))
+    assert(rows(chunked) == rows(want))
+    val fwd = GraftSql.asofJoin(spark, "gsql_asof_f", "gsql_l", "gsql_r",
+      Seq("k"), "lts", "rts", direction = "forward", chunkWidth = Some(8L))
+    val fwdWant = AsOfJoin.forward(
+      spark.table("gsql_l"), spark.table("gsql_r"), Seq("k"), "lts", "rts")
+    assert(rows(fwd) == rows(fwdWant))
   }
 
   test("pointInInterval verb derives its width and matches the operator at a pinned width") {
