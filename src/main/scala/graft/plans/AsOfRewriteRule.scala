@@ -86,8 +86,12 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
     }
 
   private def attempt[T](what: String)(body: => Option[T]): Option[T] =
-    try body
-    catch {
+    try {
+      val out = body
+      if (out.isDefined)
+        logInfo(s"graft as-of rewrite: replaced a naive $what argmax with the union+window plan")
+      out
+    } catch {
       case NonFatal(e) =>
         logWarning(s"graft as-of rewrite: failed to assemble $what, leaving the naive plan: $e")
         None

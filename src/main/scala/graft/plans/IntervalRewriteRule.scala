@@ -65,7 +65,12 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     if (!enabled) plan
     else plan.transformUp {
       case j: Join if !j.isStreaming =>
-        try rewrite(j).getOrElse(j)
+        try rewrite(j) match {
+          case Some(replaced) =>
+            logInfo("graft interval rewrite: replaced a naive range join with the bucketized plan")
+            replaced
+          case None => j
+        }
         catch {
           case NonFatal(e) =>
             logWarning(s"graft interval rewrite: failed to assemble replacement, " +
@@ -290,7 +295,13 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
       a.exprId -> ivKeyIdx(a).map(keyName).getOrElse(s"${FreshPrefix}i$i")
     }.toMap
 
-    val pProj = Project(points.output.map(a => Alias(a, pName(a.exprId))()), points)
+    // keys aliased PER PAIR (a column reused in two key pairs needs both
+    // fresh key names), non-key columns once each
+    val pProj = Project(
+      points.output.filter(a => pKeyIdx(a).isEmpty)
+        .map(a => Alias(a, pName(a.exprId))()) ++
+        shape.keys.zipWithIndex.map { case ((pk, _), i) => Alias(pk, keyName(i))() },
+      points)
     val ivProj = Project(
       intervals.output.filter(a => ivKeyIdx(a).isEmpty)
         .map(a => Alias(a, ivName(a.exprId))()) ++
