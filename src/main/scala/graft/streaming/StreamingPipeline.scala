@@ -1043,7 +1043,7 @@ object StreamingPipeline {
         .select(col("win_us")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
         .collect()
       if (closed.nonEmpty) {
-        val closedRows = spilled.filter(col("win_us").isin(closed.map(Long.box): _*))
+        val closedRows = spilled.filter(col("win_us").isin(closed.toIndexedSeq.map(Long.box): _*))
         HeavyHitters.exactPerGroup(closedRows, "win_us" +: groupCols, col("item"), phiPpm, k)
           .write.partitionBy("win_us")
           .option("partitionOverwriteMode", "dynamic")
