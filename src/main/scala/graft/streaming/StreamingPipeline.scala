@@ -984,6 +984,7 @@ object StreamingPipeline {
       }
     }
     val progressPath = spillPath + ".progress"
+    graft.operators.DirSwap.recover(spark, progressPath) // heal a crashed compaction
 
     val w = window(col(tsCol), windowDur)
     val rows = batch.select(
@@ -1027,6 +1028,22 @@ object StreamingPipeline {
           .coalesce(1).write.mode("append").parquet(progressPath)
       }
     }
+    // bound the progress table: it otherwise accumulates one small file
+    // per batch forever (the sketch-table disease). Everything strictly
+    // older than the previous batch collapses into ONE running-max row —
+    // observation-equivalent, because the watermark only ever reads MAX
+    // over a batch-id prefix, and the engine never replays batches that
+    // far back (their probes can't miss). Crash-safe via [[DirSwap]],
+    // healed at the top of every batch.
+    if (exists(progressPath) && spark.read.parquet(progressPath).count() > 64)
+      graft.operators.DirSwap.swapRewrite(spark, progressPath)(df =>
+        df.filter(col("batch_id") >= batchId - 1)
+          .unionByName(df.filter(col("batch_id") < batchId - 1)
+            .groupBy().agg(max(col("batch_id")).as("batch_id"), max(col("max_ts_us")).as("max_ts_us"))
+            .filter(col("batch_id").isNotNull))
+          .coalesce(1))(
+        (df, out) => df.write.mode("overwrite").parquet(out))
+
     val wmNow =
       if (exists(progressPath)) {
         val r = spark.read.parquet(progressPath)

@@ -145,6 +145,29 @@ class StreamingExactHhSpec extends AnyFunSuite {
     assert(got == Set(("sA", "hot-a", 30L, 750000L), ("sB", "hot-b", 25L, 1000000L)))
   }
 
+  test("progress table stays bounded across many batches, watermark behavior unchanged") {
+    import spark.implicits._
+    val (spill, res) = (tmp("hh-prog-spill"), tmp("hh-prog-res"))
+    val delay = StreamingPipeline.delayMicros("10 minutes")
+    // 100 single-row batches marching through time; windows close as the
+    // watermark passes them
+    for (b <- 0 until 100) {
+      val t = java.sql.Timestamp.valueOf(f"2025-01-01 ${b / 60}%02d:${b % 60}%02d:30")
+      StreamingPipeline.processExactHhBatch(
+        Seq((t, s"item${b % 3}")).toDF("ts", "item"),
+        b.toLong, "ts", "item", "1 minute", delay, phiPpm = 500000L, k = 63, spill, res)
+    }
+    def progFiles(): Int = new java.io.File(spill + ".progress").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(progFiles() <= 70, s"progress table not compacted: ${progFiles()} files")
+    // watermark still advances correctly: windows ended before
+    // (last ts - 10 min) are closed and exact
+    val closedWins = spark.read.parquet(res).select($"win_us".cast("long")).distinct().count()
+    assert(closedWins >= 85, s"too few closed windows: $closedWins")
+    spark.read.parquet(res).select($"item", $"cnt").as[(String, Long)].collect()
+      .foreach { case (_, cnt) => assert(cnt == 1L) }
+  }
+
   test("late rows into a closed window are dropped, not re-opened") {
     import spark.implicits._
     val (spill, res) = (tmp("hh-late-spill"), tmp("hh-late-res"))
