@@ -5,7 +5,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -36,12 +36,17 @@ import graft.operators.IntervalJoin
   * exactness on arbitrary data needs them. Strict bounds (`<`) are
   * accepted in both shapes: the operator's inclusive containment is a
   * superset, and the original strict predicates re-filter the output
-  * (exactness preserved). Exactly two range conjuncts — an extra
+  * (exactness preserved). Additional conjuncts that are NOT bound-shaped
+  * (inequality tests involving arithmetic, `!=`, UDF predicates, …) ride
+  * along as RESIDUAL post-filters — exact, because unlike the as-of
+  * argmax every joined pair here is independent. A third bound-shaped
   * cross-side inequality (e.g. a self-join's `a.id < b.id`
-  * anti-reflexive, once pushdown folds it into the join) vetoes the
-  * match rather than risk pairing the wrong columns as a pseudo-interval.
-  * Left/right outer joins are NOT rewritten — the outer operator needs a
-  * unique point id the rule cannot infer.
+  * anti-reflexive, once pushdown folds it into the join) still vetoes
+  * the match: with three candidate bounds the interval pairing is
+  * ambiguous, and pairing the wrong columns as a pseudo-interval could
+  * trade the quadratic plan for a worse one. Left/right outer joins are
+  * NOT rewritten — the outer operator needs a unique point id the rule
+  * cannot infer.
   *
   * The bucket width is the operator's own tuning rule
   * ([[IntervalJoin.medianSpanWidth]]), which runs one 1-row aggregate at
@@ -87,7 +92,8 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
       keys: Seq[(AttributeReference, AttributeReference)], // (point, interval)
       ts: AttributeReference,
       lo: Bound,
-      hi: Bound)
+      hi: Bound,
+      residuals: Seq[Expression])
 
   /** Interval-overlap variant of the pattern: `a.s ≤ b.e AND b.s ≤ a.e`
     * — each side contributes one start and one end (when both bounds hit
@@ -98,7 +104,8 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
       aS: AttributeReference, aE: AttributeReference,
       bS: AttributeReference, bE: AttributeReference,
       strictAB: Boolean, // a.s REL b.e
-      strictBA: Boolean) // b.s REL a.e
+      strictBA: Boolean, // b.s REL a.e
+      residuals: Seq[Expression])
 
   private def rewrite(join: Join): Option[LogicalPlan] =
     matchShape(join, join.left, join.right).map(s => build(join, join.left, join.right, s))
@@ -134,20 +141,26 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
           bounds :+= ((a, Bound(b, lower = false, strict))); true // ts ≤ iv → upper bound
         case _ => false
       }
+    // anything that is neither an equi key nor a bound-shaped comparison
+    // rides along as a RESIDUAL post-filter — exact, because unlike the
+    // as-of argmax every (point, interval) pair here is independent.
+    // Bound-SHAPED comparisons are never residuals: a third one would
+    // make the pairing ambiguous, so it vetoes below instead.
+    var residuals = Vector.empty[Expression]
     val ok = conjuncts.forall {
-      case EqualTo(l, r) =>
+      case c @ EqualTo(l, r) =>
         (attr(l), attr(r)) match {
           case (Some(a), Some(b)) if points.outputSet.contains(a) && intervals.outputSet.contains(b) =>
             keys :+= ((a, b)); true
           case (Some(a), Some(b)) if intervals.outputSet.contains(a) && points.outputSet.contains(b) =>
             keys :+= ((b, a)); true
-          case _ => false
+          case _ => residuals :+= c; c.deterministic
         }
-      case LessThanOrEqual(l, r)    => bound(l, r, strict = false)
-      case LessThan(l, r)           => bound(l, r, strict = true)
-      case GreaterThanOrEqual(l, r) => bound(r, l, strict = false) // a >= b  ≡  b <= a
-      case GreaterThan(l, r)        => bound(r, l, strict = true)
-      case _                        => false
+      case c @ LessThanOrEqual(l, r)    => bound(l, r, strict = false) || { residuals :+= c; c.deterministic }
+      case c @ LessThan(l, r)           => bound(l, r, strict = true) || { residuals :+= c; c.deterministic }
+      case c @ GreaterThanOrEqual(l, r) => bound(r, l, strict = false) || { residuals :+= c; c.deterministic } // a >= b  ≡  b <= a
+      case c @ GreaterThan(l, r)        => bound(r, l, strict = true) || { residuals :+= c; c.deterministic }
+      case c                            => residuals :+= c; c.deterministic
     }
     if (!ok || keys.isEmpty || bounds.size != 2) return None
     val (ts1, b1) = bounds(0)
@@ -158,7 +171,7 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     if (keys.exists(k => k._1.semanticEquals(ts1) ||
         k._2.semanticEquals(b1.ivCol) || k._2.semanticEquals(b2.ivCol))) return None
     val (lo, hi) = if (b1.lower) (b1, b2) else (b2, b1)
-    Some(Shape(keys, ts1, lo, hi))
+    Some(Shape(keys, ts1, lo, hi, residuals))
   }
 
   /** Classify the overlap pattern on (left = a, right = b); the shape is
@@ -184,20 +197,24 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
           ineqs :+= ((x, y, strict, false)); true
         case _ => false
       }
+    // non-key, non-bound-shaped conjuncts ride along as residual
+    // post-filters (pairs are independent — exact); a third bound-shaped
+    // inequality vetoes below (ambiguous pairing)
+    var residuals = Vector.empty[Expression]
     val ok = conjuncts.forall {
-      case EqualTo(l, r) =>
+      case c @ EqualTo(l, r) =>
         (attr(l), attr(r)) match {
           case (Some(x), Some(y)) if a.outputSet.contains(x) && b.outputSet.contains(y) =>
             keys :+= ((x, y)); true
           case (Some(x), Some(y)) if b.outputSet.contains(x) && a.outputSet.contains(y) =>
             keys :+= ((y, x)); true
-          case _ => false
+          case _ => residuals :+= c; c.deterministic
         }
-      case LessThanOrEqual(l, r)    => le(l, r, strict = false)
-      case LessThan(l, r)           => le(l, r, strict = true)
-      case GreaterThanOrEqual(l, r) => le(r, l, strict = false)
-      case GreaterThan(l, r)        => le(r, l, strict = true)
-      case _                        => false
+      case c @ LessThanOrEqual(l, r)    => le(l, r, strict = false) || { residuals :+= c; c.deterministic }
+      case c @ LessThan(l, r)           => le(l, r, strict = true) || { residuals :+= c; c.deterministic }
+      case c @ GreaterThanOrEqual(l, r) => le(r, l, strict = false) || { residuals :+= c; c.deterministic }
+      case c @ GreaterThan(l, r)        => le(r, l, strict = true) || { residuals :+= c; c.deterministic }
+      case c                            => residuals :+= c; c.deterministic
     }
     if (!ok || keys.isEmpty || ineqs.size != 2) return None
     // exactly one a→b and one b→a inequality, four DISTINCT columns
@@ -210,7 +227,7 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     val rangeCols = Seq(aS, aE, bS, bE)
     if (keys.exists(k => rangeCols.exists(c => k._1.semanticEquals(c) || k._2.semanticEquals(c))))
       return None
-    Some(OverlapShape(keys, aS, aE, bS, bE, strictAB, strictBA))
+    Some(OverlapShape(keys, aS, aE, bS, bE, strictAB, strictBA, residuals))
   }
 
   /** Assemble the overlap replacement. [[IntervalJoin.overlap]] only
@@ -263,19 +280,23 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
 
     val outPlan = out.queryExecution.analyzed
     val byName  = outPlan.output.map(x => x.name -> x).toMap
-    val aliases = join.output.map { x =>
-      val target =
-        if (a.outputSet.contains(x)) aKeyIdx(x) match {
-          case Some(i) => byName(keyName(i))
-          case None    => byName(aName(x.exprId))
-        }
-        else bKeyIdx(x) match {
-          case Some(i) => byName(keyName(i)) // inner join: equal to the a key
-          case None    => byName(bName(x.exprId))
-        }
-      Alias(target, x.name)(x.exprId, x.qualifier)
-    }
-    Project(aliases, outPlan)
+    def renamed(x: Attribute): Attribute =
+      if (a.outputSet.contains(x)) aKeyIdx(x) match {
+        case Some(i) => byName(keyName(i))
+        case None    => byName(aName(x.exprId))
+      }
+      else bKeyIdx(x) match {
+        case Some(i) => byName(keyName(i)) // inner join: equal to the a key
+        case None    => byName(bName(x.exprId))
+      }
+    val withResiduals =
+      if (shape.residuals.isEmpty) outPlan
+      else Filter(
+        shape.residuals
+          .map(_.transformUp { case ar: AttributeReference => renamed(ar) })
+          .reduce(And), outPlan)
+    val aliases = join.output.map(x => Alias(renamed(x), x.name)(x.exprId, x.qualifier))
+    Project(aliases, withResiduals)
   }
 
   private def build(join: Join, points: LogicalPlan, intervals: LogicalPlan,
@@ -322,16 +343,20 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
 
     val outPlan = out.queryExecution.analyzed
     val byName  = outPlan.output.map(a => a.name -> a).toMap
-    val aliases = join.output.map { a =>
-      val target =
-        if (points.outputSet.contains(a)) byName(pName(a.exprId))
-        else ivKeyIdx(a) match {
-          case Some(i) => byName(keyName(i)) // inner join: equal to the point key
-          case None    => byName(ivName(a.exprId))
-        }
-      Alias(target, a.name)(a.exprId, a.qualifier)
-    }
-    Project(aliases, outPlan)
+    def renamed(x: Attribute): Attribute =
+      if (points.outputSet.contains(x)) byName(pName(x.exprId))
+      else ivKeyIdx(x) match {
+        case Some(i) => byName(keyName(i)) // inner join: equal to the point key
+        case None    => byName(ivName(x.exprId))
+      }
+    val withResiduals =
+      if (shape.residuals.isEmpty) outPlan
+      else Filter(
+        shape.residuals
+          .map(_.transformUp { case ar: AttributeReference => renamed(ar) })
+          .reduce(And), outPlan)
+    val aliases = join.output.map(a => Alias(renamed(a), a.name)(a.exprId, a.qualifier))
+    Project(aliases, withResiduals)
   }
 }
 

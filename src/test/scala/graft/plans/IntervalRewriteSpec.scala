@@ -127,6 +127,26 @@ class IntervalRewriteSpec extends AnyFunSuite {
       "fired despite a third cross-side inequality")
   }
 
+  test("residual predicates ride along as exact post-filters") {
+    val (points, intervals) = fixture(7)
+    // point shape + a non-bound-shaped cross-side conjunct
+    assertRewrites(() =>
+      points.join(intervals,
+        col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e") &&
+          col("ts") % 2L === col("s") % 2L))
+    // overlap shape + an arithmetic residual
+    val rnd = new Random(8)
+    val a = (1 to 120).map { i =>
+      val s = rnd.nextInt(800).toLong; ("k" + rnd.nextInt(4), s, s + rnd.nextInt(50), s"a$i")
+    }.toDF("k", "as", "ae", "aid")
+    val b = (1 to 120).map { i =>
+      val s = rnd.nextInt(800).toLong; ("k" + rnd.nextInt(4), s, s + rnd.nextInt(50), s"b$i")
+    }.toDF("bk", "bs", "be", "bid")
+    assertRewrites(() =>
+      a.join(b, col("k") === col("bk") && col("as") <= col("be") && col("bs") <= col("ae") &&
+        col("as") + col("bs") < 900L))
+  }
+
   test("rule is off by default") {
     val (points, intervals) = fixture(4)
     assert(!exploded(
