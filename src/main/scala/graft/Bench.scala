@@ -76,7 +76,8 @@ object Bench {
     // the SQL-surface verbs
     "q119_interval_left", "q120_chunked_tolerance", "q121_naive_asof_rewrite",
     "q122_sql_asof", "q123_sql_interval", "q124_sql_heavy_hitters",
-    "q125_naive_interval_rewrite", "q126_naive_overlap_rewrite")
+    "q125_naive_interval_rewrite", "q126_naive_overlap_rewrite",
+    "q127_naive_asof_left_maxby")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -410,7 +410,47 @@ object RelOpsQueries {
     } finally spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
   }
 
+  // ---------------------------------------------------------------- q127
+  /** The OTHER naive as-of spellings through [[graft.plans.AsOfRewriteRule]]
+    * in one query: LEFT OUTER + tolerance band + max_by/max argmax (q121
+    * oracles the inner rank-1 shape). Same semantics as q118 — every
+    * purchase kept, the latest prior click nulled past 24 h — so it
+    * shares q118's ASOF LEFT + conditional-projection oracle. `wait_us`
+    * is computed OUTSIDE the aggregate: the rule matches pure argmax
+    * aggregates, not composites embedding them. */
+  def q127NaiveAsofLeftMaxby(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.AsOfRewriteRule.ensure(spark)
+    val e = ev(spark, dir)
+    e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_us".as("click_us"))
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id".as("cuser"), $"click_us", $"click_id")
+      .createOrReplaceTempView("g_clicks_sql")
+    e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("purchase_us"))
+      .createOrReplaceTempView("g_purch_sql")
+    spark.conf.set(graft.plans.AsOfRewriteRule.ConfKey, "true")
+    try {
+      val df = spark.sql(
+        """SELECT user_id, purchase_id, purchase_us, click_id, click_us,
+          |       purchase_us - click_us AS wait_us
+          |FROM (
+          |  SELECT p.user_id, p.purchase_id, p.purchase_us,
+          |         max_by(c.click_id, c.click_us) AS click_id,
+          |         max(c.click_us) AS click_us
+          |  FROM g_purch_sql p LEFT JOIN g_clicks_sql c
+          |    ON p.user_id = c.cuser
+          |   AND c.click_us <= p.purchase_us
+          |   AND c.click_us >= p.purchase_us - 86400000000
+          |  GROUP BY 1, 2, 3)""".stripMargin)
+      df.queryExecution.executedPlan // plan NOW, while the rule is on
+      df
+    } finally spark.conf.unset(graft.plans.AsOfRewriteRule.ConfKey)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_naive_asof_left_maxby"  -> q127NaiveAsofLeftMaxby _,
     "q126_naive_overlap_rewrite"  -> q126NaiveOverlapRewrite _,
     "q125_naive_interval_rewrite" -> q125NaiveIntervalRewrite _,
     "q122_sql_asof"           -> q122SqlAsof _,
@@ -434,6 +474,22 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    // q127 computes q118's result through the naive LEFT + band + max_by
+    // SQL and the as-of rewrite, so it shares q118's independent oracle
+    "q127_naive_asof_left_maxby" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.purchase_us,
+        |  CASE WHEN p.purchase_us - c.click_us <= 86400000000 THEN c.click_id END AS click_id,
+        |  CASE WHEN p.purchase_us - c.click_us <= 86400000000 THEN c.click_us END AS click_us,
+        |  CASE WHEN p.purchase_us - c.click_us <= 86400000000
+        |       THEN p.purchase_us - c.click_us END AS wait_us
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us""".stripMargin,
     "q126_naive_overlap_rewrite" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

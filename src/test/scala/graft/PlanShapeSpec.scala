@@ -230,6 +230,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "rewritten interval join degraded to a nested-loop product")
   }
 
+  test("q127: the naive LEFT + band + max_by SQL optimizes to the join-free union+window plan") {
+    val df = SparkEntry.queries("q127_naive_asof_left_maxby")(spark, dir)
+    val logicalJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(logicalJoins.isEmpty, "naive left as-of SQL kept its join — the rewrite did not fire")
+  }
+
   test("q126: the naive overlap SQL optimizes to the canonical-cell join") {
     val df = SparkEntry.queries("q126_naive_overlap_rewrite")(spark, dir)
     val gens = df.queryExecution.optimizedPlan.collect {
