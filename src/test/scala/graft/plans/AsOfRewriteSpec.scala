@@ -249,6 +249,55 @@ class AsOfRewriteSpec extends AnyFunSuite {
       "rule fired despite a non-band residual conjunct")
   }
 
+  // -------------------------------------------------------------- fuzzed
+
+  test("randomized conjunct forms: every firing rewrite matches the naive plan") {
+    val rnd = new Random(2024)
+    for (round <- 1 to 12) {
+      import org.apache.spark.sql.expressions.Window
+      val (probe, version) = fixture(100 + round)
+      val strict  = rnd.nextBoolean()
+      val forward = rnd.nextBoolean()
+      val left    = rnd.nextBoolean()
+      val band    = rnd.nextBoolean()
+      val flipKey = rnd.nextBoolean()
+      val flipIneq = rnd.nextBoolean()
+      def mk(): DataFrame = {
+        val key  = if (flipKey) col("vk") === col("k") else col("k") === col("vk")
+        val core = (forward, strict, flipIneq) match {
+          case (false, false, false) => col("rts") <= col("lts")
+          case (false, false, true)  => col("lts") >= col("rts")
+          case (false, true, false)  => col("rts") < col("lts")
+          case (false, true, true)   => col("lts") > col("rts")
+          case (true, false, false)  => col("rts") >= col("lts")
+          case (true, false, true)   => col("lts") <= col("rts")
+          case (true, true, false)   => col("rts") > col("lts")
+          case (true, true, true)    => col("lts") < col("rts")
+        }
+        val bandCond =
+          if (!band) lit(true)
+          else if (forward) {
+            if (rnd.nextBoolean()) col("rts") <= col("lts") + 70L else col("rts") - col("lts") <= 70L
+          } else {
+            if (rnd.nextBoolean()) col("rts") >= col("lts") - 70L else col("lts") - col("rts") <= 70L
+          }
+        // conjunct order shuffled
+        val conds = new Random(round).shuffle(List(key, core) ++ (if (band) List(bandCond) else Nil))
+        val joined = probe.join(version, conds.reduce(_ && _), if (left) "left" else "inner")
+        val ord = if (forward) col("rts").asc else col("rts").desc
+        joined
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("k"), col("lts"), col("lid")).orderBy(ord)))
+          .filter(col("rn") === 1)
+          .select("k", "lts", "lid", "vk", "rts", "rid")
+      }
+      val off = withRule(on = false)(collectSorted(mk()))
+      val (on, nJoins) = withRule(on = true)((collectSorted(mk()), joins(mk())))
+      assert(nJoins == 0, s"round $round (strict=$strict fwd=$forward left=$left band=$band): no rewrite")
+      assert(on == off, s"round $round (strict=$strict fwd=$forward left=$left band=$band): diverged")
+    }
+  }
+
   // ---------------------------------------------------------------- SQL
 
   test("SQL rank-1 formulation rewrites and matches DataFrame results") {

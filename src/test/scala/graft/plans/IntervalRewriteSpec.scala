@@ -147,6 +147,38 @@ class IntervalRewriteSpec extends AnyFunSuite {
         col("as") + col("bs") < 900L))
   }
 
+  test("randomized conjunct forms: every firing rewrite matches the naive plan") {
+    val rnd = new Random(4040)
+    for (round <- 1 to 10) {
+      val (points, intervals) = fixture(200 + round)
+      val strictLo = rnd.nextBoolean(); val strictHi = rnd.nextBoolean()
+      val flipKey  = rnd.nextBoolean(); val flipLo   = rnd.nextBoolean()
+      val flipHi   = rnd.nextBoolean(); val residual = rnd.nextBoolean()
+      def mk(): DataFrame = {
+        val key = if (flipKey) col("ik") === col("k") else col("k") === col("ik")
+        val lo = (strictLo, flipLo) match {
+          case (false, false) => col("s") <= col("ts")
+          case (false, true)  => col("ts") >= col("s")
+          case (true, false)  => col("s") < col("ts")
+          case (true, true)   => col("ts") > col("s")
+        }
+        val hi = (strictHi, flipHi) match {
+          case (false, false) => col("ts") <= col("e")
+          case (false, true)  => col("e") >= col("ts")
+          case (true, false)  => col("ts") < col("e")
+          case (true, true)   => col("e") > col("ts")
+        }
+        val conds = List(key, lo, hi) ++
+          (if (residual) List(col("ts") % 3L =!= col("s") % 3L) else Nil)
+        points.join(intervals, new Random(round).shuffle(conds).reduce(_ && _))
+      }
+      val off = withRule(on = false)(collectSorted(mk()))
+      val (on, onExpl) = withRule(on = true)((collectSorted(mk()), exploded(mk())))
+      assert(onExpl, s"round $round (sLo=$strictLo sHi=$strictHi res=$residual): no rewrite")
+      assert(on == off, s"round $round (sLo=$strictLo sHi=$strictHi res=$residual): diverged")
+    }
+  }
+
   test("rule is off by default") {
     val (points, intervals) = fixture(4)
     assert(!exploded(
