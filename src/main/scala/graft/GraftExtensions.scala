@@ -12,12 +12,14 @@ import graft.functions.VectorExprs.DotLongArrays
   * `SparkSession.builder.withExtensions(new GraftExtensions)`), then:
   * {{{ SELECT dot_q(qvec_a, qvec_b) FROM pairs }}}
   *
-  * Also injects the opt-in naive-pattern optimizer rewrites, each gated
-  * off by default behind its own conf:
+  * Also injects the naive-pattern optimizer rewrites, DEFAULT-ON in
+  * density-gated `auto` mode (each fires only past the measured per-key
+  * break-even, [[graft.plans.PlanStats]]; `force` fires on every match,
+  * `false` disables — per-rule confs):
   * [[graft.plans.AsOfRewriteRule]] (inequality-join argmax → the as-of
-  * union+window plan; `spark.graft.asof.rewrite=true`) and
+  * union+window plan; `spark.graft.asof.rewrite`) and
   * [[graft.plans.IntervalRewriteRule]] (equi-join + range containment →
-  * the bucketized interval join; `spark.graft.interval.rewrite=true`).
+  * the bucketized interval join; `spark.graft.interval.rewrite`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {

@@ -22,16 +22,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Single-writer contract: the caller must be the table's only
   * writer/reader while the swap runs (the foreachBatch loops and the
-  * index-maintenance verbs satisfy this by construction). */
+  * index-maintenance verbs satisfy this by construction).
+  *
+  * ATOMIC-RENAME filesystems only: the crash-safety argument rests on
+  * `fs.rename` being a metadata operation (local, HDFS, viewfs). On
+  * object stores (S3A, GCS connector) rename is copy-then-delete, so a
+  * crash mid-rename can leave PARTIAL copies under BOTH names — recover
+  * would then drop the backup and keep a partial live table, silent data
+  * loss. [[swapRewrite]] fails loudly on schemes outside the allowlist;
+  * index/sketch tables on object stores need a different maintenance
+  * primitive (e.g. a manifest-pointer swap). */
 private[graft] object DirSwap {
+
+  /** Schemes whose `rename` is atomic (a metadata move). `null` scheme =
+    * the default FS, which in every deployment this library targets is
+    * local or HDFS — both atomic. */
+  private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  private def requireAtomicRename(path: org.apache.hadoop.fs.Path): Unit = {
+    val scheme = path.toUri.getScheme
+    require(scheme == null || AtomicRenameSchemes.contains(scheme),
+      s"DirSwap: $path uses scheme '$scheme', whose rename is not atomic (copy-then-delete " +
+        "on object stores) - a crash mid-swap could leave partial copies under both names " +
+        "and recover would keep a partial live table; swap-maintained tables require an " +
+        s"atomic-rename filesystem (${AtomicRenameSchemes.mkString("/")})")
+  }
 
   /** Rewrite the live table through `rewrite` (e.g. a repartition) into a
     * right-sized copy, then atomically-enough swap it in. Row-preserving
     * by contract of the callers (spec-pinned there). */
   def swapRewrite(spark: SparkSession, dir: String)(rewrite: DataFrame => DataFrame)(
       write: (DataFrame, String) => Unit): Unit = {
-    recover(spark, dir)
     val live = new org.apache.hadoop.fs.Path(dir)
+    requireAtomicRename(live)
+    recover(spark, dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"DirSwap: no table at $dir")
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")

@@ -72,6 +72,15 @@ object HeavyHitters {
     * counters over the group's stream cannot miss an item above
     * n_g/(k+1).
     *
+    * EAGER, batch-only: constructing the returned DataFrame runs two jobs
+    * up front (the candidate-table localCheckpoint through
+    * [[Checkpoints.stage]] and the broadcast-vs-shuffle stats `head()`) —
+    * unlike the fully-lazy [[exact]]. A streaming frame therefore cannot
+    * flow through here (the streaming face is
+    * [[graft.streaming.StreamingPipeline]]'s per-closed-window sink,
+    * which calls this on each closed batch) and fails loudly below
+    * rather than with an opaque checkpoint error.
+    *
     * @return (groupCols..., item, cnt, ppm) — exact counts within group
     */
   def exactPerGroup(
@@ -81,6 +90,10 @@ object HeavyHitters {
       phiPpm: Long,
       k: Int = 4095
   ): DataFrame = {
+    require(!df.isStreaming,
+      "exactPerGroup is an eager batch operator (it materializes the candidate table and " +
+        "measures it before returning); for streams use StreamingPipeline's per-closed-window " +
+        "heavy-hitter sink, which runs this per closed window")
     require(phiPpm * (k + 1) >= 1000000L,
       s"phiPpm=$phiPpm too small for k=$k counters: need phiPpm*(k+1) >= 1e6 or true heavy hitters can evade the sketch")
     val items = df

@@ -191,9 +191,14 @@ object IntervalJoin {
   private[operators] val MaxCellsPerInterval = 1L << 22
 
   /** Guarded cell-range sequence: `sequence(lo, hi)` with a codegen'd
-    * per-row width check (no extra job, no silent truncation). */
+    * per-row width check (no extra job, no silent truncation). Every call
+    * site guarantees `lo ≤ hi`, so a NEGATIVE `hi - lo` proves the
+    * subtraction overflowed (cell ranges spanning most of the long
+    * domain — width near 1 with the clamp disabled on a streaming side)
+    * and must hit the same loud diagnostic, not fall through to
+    * `sequence()`'s generic array-size failure. */
   private def cellSeq(lo: Column, hi: Column): Column = {
-    val guarded = when(hi - lo >= MaxCellsPerInterval,
+    val guarded = when(hi - lo >= MaxCellsPerInterval || hi - lo < 0L,
       raise_error(concat(
         lit(s"IntervalJoin: one interval spans more than $MaxCellsPerInterval bucket cells ("),
         (hi - lo + 1L).cast("string"),

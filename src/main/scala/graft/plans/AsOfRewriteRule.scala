@@ -5,7 +5,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, MaxBy, Min, MinBy}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -59,25 +59,49 @@ import graft.operators.AsOfJoin
   * contract as DuckDB's ASOF JOIN. Version-side equi-key output columns
   * are served from the probe side (equal on every matched row by the join
   * predicate). Unmatched probe tuples drop under INNER; a LEFT OUTER
-  * naive join (probe side preserved) maps to the operator's
-  * `joinType="left"` — unmatched probes keep one row with null version
-  * columns, including null version keys, exactly the naive plan's
-  * null-extended rows.
+  * naive join (probe side preserved) — or the mirror-image RIGHT OUTER
+  * with the probe as the right child, normalized before matching — maps
+  * to the operator's `joinType="left"`: unmatched probes keep one row
+  * with null version columns, including null version keys, exactly the
+  * naive plan's null-extended rows.
   *
-  * Off by default; opt in with `spark.graft.asof.rewrite=true`. The rule
-  * replaces the matched subtree with the analyzed [[AsOfJoin.asof]] plan
-  * and re-aliases its output to the original attribute ids, so parent
+  * ON by default in `auto` mode (`spark.graft.asof.rewrite=auto`): a
+  * matched shape fires only past the measured per-key-density break-even
+  * ([[PlanStats]] — ~100 rows/key per side; below it the naive plan is
+  * already cheap and the rewrite's constant overhead loses). `true` /
+  * `force` fires on every matched shape regardless of density (the
+  * pre-gate opt-in behavior); `false`/`off` disables. The rule replaces
+  * the matched subtree with the analyzed [[AsOfJoin.asof]] plan and
+  * re-aliases its output to the original attribute ids, so parent
   * operators are untouched; any unexpected failure while assembling the
   * replacement logs and leaves the plan as written. */
 class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
 
   import AsOfRewriteRule._
 
-  private def enabled: Boolean =
-    conf.getConfString(ConfKey, "false").toBoolean
+  private def mode: PlanStats.Mode =
+    PlanStats.mode(conf.getConfString(ConfKey, "auto"), ConfKey)
+
+  /** `auto`-mode firing gate: the rewrite rescues a plan quadratic in
+    * per-key density, so fire only when BOTH sides sit at or above the
+    * measured break-even (~100 rows/key, [[PlanStats]]); below it the
+    * naive plan is already cheap and the rewrite's constant overhead
+    * would be a pessimization. Cached per canonicalized side plan. */
+  private def gatePasses(probe: LogicalPlan, version: LogicalPlan,
+                         shape: JoinShape): Boolean = mode match {
+    case PlanStats.Force => true
+    case _ =>
+      val threshold = conf.getConfString(
+        PlanStats.MinRowsPerKeyConf, PlanStats.DefaultMinRowsPerKey.toString).toDouble
+      val fires = PlanStats.gateFires(session, threshold,
+        probe, shape.keys.map(_._1), version, shape.keys.map(_._2))
+      if (!fires) logInfo("graft as-of rewrite: naive argmax matched but per-key density " +
+        s"is below $threshold rows/key on at least one side - leaving the naive plan (cheap there)")
+      fires
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled) plan
+    if (mode == PlanStats.Off) plan
     else plan.transformUp {
       case f: Filter if !f.isStreaming =>
         attempt(s"rank-1 at ${f.nodeName}")(rewriteRankOne(f)).getOrElse(f)
@@ -121,6 +145,8 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
                 surviveProbe = survivors.intersect(probe.outputSet)
                 if partSet.subsetOf(surviveProbe) && surviveProbe.subsetOf(partSet) &&
                   coversShape(partSet, shape)
+                // density gate LAST: it is the only check that runs jobs
+                if gatePasses(probe, version, shape)
                 built <- build(shape, probe, version,
                   probeCols = parts,
                   neededVersion = survivors.intersect(version.outputSet).toSeq)
@@ -153,6 +179,8 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
           if groups.forall(probe.outputSet.contains) && coversShape(groupSet, shape)
           aggs <- collectArgmaxAggs(a.aggregateExpressions, groupSet, version.outputSet,
             shape.vTs, shape.forward)
+          // density gate LAST: it is the only check that runs jobs
+          if gatePasses(probe, version, shape)
           built <- build(shape, probe, version,
             probeCols = groups,
             neededVersion = AttributeSet(aggs.flatMap(_._2.references))
@@ -227,12 +255,18 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
     f(join.left, join.right).orElse(f(join.right, join.left))
 
   private def matchJoin(join: Join, probe: LogicalPlan, version: LogicalPlan): Option[JoinShape] = {
-    // LEFT OUTER maps to the operator's joinType="left" — but only with
-    // the PRESERVED side as the probe (a right-preserved flip is not an
-    // as-of); the rank-1/argmax then resolves each unmatched probe's
-    // single null-extended row, exactly the operator's left semantics
-    val leftOuter = join.joinType == LeftOuter
-    if (!(join.joinType == Inner || (leftOuter && (probe eq join.left)))) return None
+    // Outer joins map to the operator's joinType="left" — but only with
+    // the PRESERVED side as the probe (a version-preserved orientation is
+    // not an as-of); the rank-1/argmax then resolves each unmatched
+    // probe's single null-extended row, exactly the operator's left
+    // semantics. A RIGHT OUTER whose preserved side is the probe is the
+    // SAME query spelled backwards (`version RIGHT JOIN probe`), so it
+    // normalizes here instead of being rejected — `bothWays` already
+    // tries both (probe, version) assignments, and everything downstream
+    // keys off side MEMBERSHIP, never off left/right position.
+    val leftOuter = (join.joinType == LeftOuter && (probe eq join.left)) ||
+      (join.joinType == RightOuter && (probe eq join.right))
+    if (!(join.joinType == Inner || leftOuter)) return None
     if (join.condition.isEmpty) return None
     // recursion breaker (see IntervalRewriteRule.matchShape): never match
     // a join over the rewrites' own working columns
@@ -469,7 +503,9 @@ class AsOfRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with Pred
 }
 
 object AsOfRewriteRule {
-  /** Opt-in switch: `spark.graft.asof.rewrite=true` turns the rule on. */
+  /** Tri-state switch ([[PlanStats.mode]]): `auto` (default) fires past
+    * the density break-even, `true`/`force` on every match, `false`/`off`
+    * never. */
   val ConfKey = "spark.graft.asof.rewrite"
 
   /** Idempotently attach the rule to a live session through

@@ -52,10 +52,14 @@ import graft.operators.IntervalJoin
   * ([[IntervalJoin.medianSpanWidth]]), which runs one 1-row aggregate at
   * OPTIMIZATION time (the same adaptive-statistics trade dynamic
   * partition pruning makes; the job's own plan contains no join+range
-  * pattern, so the rule cannot recurse). Results are width-invariant —
-  * the statistic affects cost only.
+  * pattern, so the rule cannot recurse) — CACHED per canonicalized
+  * interval-side plan ([[PlanStats.cachedWidth]]), so plan-only
+  * re-optimizations of the same query don't re-run it. Results are
+  * width-invariant — the statistic affects cost only.
   *
-  * Off by default; opt in with `spark.graft.interval.rewrite=true`.
+  * ON by default in `auto` mode (`spark.graft.interval.rewrite=auto`):
+  * fires only past the per-key-density break-even ([[PlanStats]]);
+  * `true`/`force` fires on every match, `false`/`off` disables.
   * Output attributes are re-aliased to the original ids (interval-side
   * equi keys served from the point side — equal on every inner-matched
   * row), so parent operators are untouched. */
@@ -63,11 +67,27 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
 
   import IntervalRewriteRule._
 
-  private def enabled: Boolean =
-    conf.getConfString(ConfKey, "false").toBoolean
+  private def mode: PlanStats.Mode =
+    PlanStats.mode(conf.getConfString(ConfKey, "auto"), ConfKey)
+
+  /** `auto`-mode firing gate — see [[AsOfRewriteRule.gatePasses]]: fire
+    * only when both sides sit at or above the per-key-density break-even
+    * (cached [[PlanStats]] jobs); `force` skips the estimate. */
+  private def gatePasses(left: LogicalPlan, leftKeys: Seq[AttributeReference],
+                         right: LogicalPlan, rightKeys: Seq[AttributeReference]): Boolean =
+    mode match {
+      case PlanStats.Force => true
+      case _ =>
+        val threshold = conf.getConfString(
+          PlanStats.MinRowsPerKeyConf, PlanStats.DefaultMinRowsPerKey.toString).toDouble
+        val fires = PlanStats.gateFires(session, threshold, left, leftKeys, right, rightKeys)
+        if (!fires) logInfo("graft interval rewrite: naive range join matched but per-key " +
+          s"density is below $threshold rows/key on at least one side - leaving the naive plan")
+        fires
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled) plan
+    if (mode == PlanStats.Off) plan
     else plan.transformUp {
       case j: Join if !j.isStreaming =>
         try rewrite(j) match {
@@ -108,9 +128,15 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
       residuals: Seq[Expression])
 
   private def rewrite(join: Join): Option[LogicalPlan] =
-    matchShape(join, join.left, join.right).map(s => build(join, join.left, join.right, s))
-      .orElse(matchShape(join, join.right, join.left).map(s => build(join, join.right, join.left, s)))
-      .orElse(matchOverlap(join).map(s => buildOverlap(join, s)))
+    matchShape(join, join.left, join.right)
+      .filter(s => gatePasses(join.left, s.keys.map(_._1), join.right, s.keys.map(_._2)))
+      .map(s => build(join, join.left, join.right, s))
+      .orElse(matchShape(join, join.right, join.left)
+        .filter(s => gatePasses(join.right, s.keys.map(_._1), join.left, s.keys.map(_._2)))
+        .map(s => build(join, join.right, join.left, s)))
+      .orElse(matchOverlap(join)
+        .filter(s => gatePasses(join.left, s.keys.map(_._1), join.right, s.keys.map(_._2)))
+        .map(s => buildOverlap(join, s)))
 
   private def matchShape(join: Join, points: LogicalPlan, intervals: LogicalPlan): Option[Shape] = {
     if (join.joinType != Inner || join.condition.isEmpty) return None
@@ -119,9 +145,13 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     // its (key, cell) equi-join — which would re-match this very pattern
     // and loop. The rewrite's own working columns are identifiable by
     // name (the fresh prefix and the operator's `__cell`); never rewrite
-    // a join that touches them.
+    // a join that touches them. [[AsOfRewriteRule.FreshPrefix]] is vetoed
+    // too so the two rules' breakers are MUTUAL by construction — today
+    // the as-of replacement plan contains zero joins, but that is an
+    // implicit invariant this veto makes explicit rather than relied on.
     if (join.condition.get.references.exists(a =>
-        a.name.startsWith(FreshPrefix) || a.name.startsWith("__"))) return None
+        a.name.startsWith(FreshPrefix) || a.name.startsWith("__") ||
+        a.name.startsWith(AsOfRewriteRule.FreshPrefix))) return None
     val conjuncts = splitConjunctivePredicates(join.condition.get)
     var keys   = Vector.empty[(AttributeReference, AttributeReference)]
     var bounds = Vector.empty[(AttributeReference, Bound)] // (point ts, bound)
@@ -180,7 +210,8 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     val (a, b) = (join.left, join.right)
     if (join.joinType != Inner || join.condition.isEmpty) return None
     if (join.condition.get.references.exists(x =>
-        x.name.startsWith(FreshPrefix) || x.name.startsWith("__"))) return None
+        x.name.startsWith(FreshPrefix) || x.name.startsWith("__") ||
+        x.name.startsWith(AsOfRewriteRule.FreshPrefix))) return None
     val conjuncts = splitConjunctivePredicates(join.condition.get)
     var keys  = Vector.empty[(AttributeReference, AttributeReference)]
     // normalized to (x ≤ y): (xAttr, yAttr, strict, xIsA)
@@ -263,7 +294,7 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     val (aSN, aEN) = (aName(shape.aS.exprId), aName(shape.aE.exprId))
     val (bSN, bEN) = (bName(shape.bS.exprId), bName(shape.bE.exprId))
 
-    val width = IntervalJoin.medianSpanWidth(
+    val width = PlanStats.cachedWidth(
       aDf.select(col(aSN).as("s"), col(aEN).as("e"))
         .unionByName(bDf.select(col(bSN).as("s"), col(bEN).as("e"))), "s", "e")
     val rangeCond =
@@ -335,7 +366,7 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     val eName  = ivName(shape.hi.ivCol.exprId)
     val tsName = pName(shape.ts.exprId)
 
-    val width = IntervalJoin.medianSpanWidth(ivDf, sName, eName)
+    val width = PlanStats.cachedWidth(ivDf, sName, eName)
     var out = IntervalJoin.pointInInterval(pDf, ivDf, keyName, tsName, sName, eName, width)
     // the operator's containment is inclusive; re-impose strict bounds
     if (shape.lo.strict) out = out.filter(col(sName) < col(tsName))
@@ -361,7 +392,9 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
 }
 
 object IntervalRewriteRule {
-  /** Opt-in switch: `spark.graft.interval.rewrite=true` turns the rule on. */
+  /** Tri-state switch ([[PlanStats.mode]]): `auto` (default) fires past
+    * the density break-even, `true`/`force` on every match, `false`/`off`
+    * never. */
   val ConfKey = "spark.graft.interval.rewrite"
 
   /** Shares [[AsOfRewriteRule.FreshPrefix]]'s naming contract. */

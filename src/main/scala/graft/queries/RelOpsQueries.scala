@@ -449,7 +449,46 @@ object RelOpsQueries {
     } finally spark.conf.unset(graft.plans.AsOfRewriteRule.ConfKey)
   }
 
+  // ---------------------------------------------------------------- q128
+  /** q127's naive LEFT + band + max_by as-of spelled BACKWARDS — `clicks
+    * RIGHT JOIN purchases`, the preserved side on the right — which
+    * [[graft.plans.AsOfRewriteRule]] normalizes to the probe-preserved
+    * orientation before matching instead of rejecting (round 11).
+    * Identical semantics to q118/q127, so it shares their independent
+    * DuckDB `ASOF LEFT JOIN` oracle. */
+  def q128NaiveAsofRight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.AsOfRewriteRule.ensure(spark)
+    val e = ev(spark, dir)
+    e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_us".as("click_us"))
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id".as("cuser"), $"click_us", $"click_id")
+      .createOrReplaceTempView("g_clicks_sql")
+    e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("purchase_us"))
+      .createOrReplaceTempView("g_purch_sql")
+    spark.conf.set(graft.plans.AsOfRewriteRule.ConfKey, "true")
+    try {
+      val df = spark.sql(
+        """SELECT user_id, purchase_id, purchase_us, click_id, click_us,
+          |       purchase_us - click_us AS wait_us
+          |FROM (
+          |  SELECT p.user_id, p.purchase_id, p.purchase_us,
+          |         max_by(c.click_id, c.click_us) AS click_id,
+          |         max(c.click_us) AS click_us
+          |  FROM g_clicks_sql c RIGHT JOIN g_purch_sql p
+          |    ON p.user_id = c.cuser
+          |   AND c.click_us <= p.purchase_us
+          |   AND c.click_us >= p.purchase_us - 86400000000
+          |  GROUP BY 1, 2, 3)""".stripMargin)
+      df.queryExecution.executedPlan // plan NOW, while the rule is on
+      df
+    } finally spark.conf.unset(graft.plans.AsOfRewriteRule.ConfKey)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_naive_asof_right"       -> q128NaiveAsofRight _,
     "q127_naive_asof_left_maxby"  -> q127NaiveAsofLeftMaxby _,
     "q126_naive_overlap_rewrite"  -> q126NaiveOverlapRewrite _,
     "q125_naive_interval_rewrite" -> q125NaiveIntervalRewrite _,
@@ -474,6 +513,22 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    // q128 is q127's query with the join spelled RIGHT OUTER (preserved
+    // side on the right) — same semantics, same q118-family oracle
+    "q128_naive_asof_right" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.purchase_us,
+        |  CASE WHEN p.purchase_us - c.click_us <= 86400000000 THEN c.click_id END AS click_id,
+        |  CASE WHEN p.purchase_us - c.click_us <= 86400000000 THEN c.click_us END AS click_us,
+        |  CASE WHEN p.purchase_us - c.click_us <= 86400000000
+        |       THEN p.purchase_us - c.click_us END AS wait_us
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us""".stripMargin,
     // q127 computes q118's result through the naive LEFT + band + max_by
     // SQL and the as-of rewrite, so it shares q118's independent oracle
     "q127_naive_asof_left_maxby" ->

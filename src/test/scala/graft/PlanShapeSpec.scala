@@ -238,6 +238,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(logicalJoins.isEmpty, "naive left as-of SQL kept its join — the rewrite did not fire")
   }
 
+  test("q128: the RIGHT OUTER naive as-of normalizes and optimizes to the join-free plan") {
+    val df = SparkEntry.queries("q128_naive_asof_right")(spark, dir)
+    val logicalJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(logicalJoins.isEmpty, "right-outer naive as-of kept its join — the rewrite did not fire")
+  }
+
   test("q126: the naive overlap SQL optimizes to the canonical-cell join") {
     val df = SparkEntry.queries("q126_naive_overlap_rewrite")(spark, dir)
     val gens = df.queryExecution.optimizedPlan.collect {

@@ -132,9 +132,62 @@ class AsOfRewriteSpec extends AnyFunSuite {
       "rule fired on a direction-mismatched pattern")
   }
 
-  test("rule is off by default") {
-    val (probe, version) = fixture(5)
-    assert(joins(naiveRankOne(probe, version, _ <= _, desc = true)) == 1)
+  // --------------------------------------------------------- density gate
+
+  /** Single hot key: ~300 probe rows and ~200 version rows on "k0" —
+    * both sides far past the 100 rows/key break-even; version unique per
+    * (key, ts) to keep the determinism contract. */
+  private def denseFixture(seed: Int): (DataFrame, DataFrame) = {
+    val rnd = new Random(seed)
+    val probe = (1 to 300).map(i => ("k0", rnd.nextInt(1000).toLong, s"p${rnd.nextInt(120)}"))
+    val version = (0 until 1000).filter(_ => rnd.nextDouble() < 0.2)
+      .map(t => ("k0", t.toLong, s"v-$t"))
+    (probe.toDF("k", "lts", "lid"), version.toDF("vk", "rts", "rid"))
+  }
+
+  private def withDefaultMode[T](body: => T): T = {
+    spark.conf.unset(AsOfRewriteRule.ConfKey) // default = auto
+    body
+  }
+
+  test("auto (default): dense per-key input fires the rewrite, results identical") {
+    val (probe, version) = denseFixture(30)
+    def mk() = naiveRankOne(probe, version, _ <= _, desc = true)
+    val off = withRule(on = false)(collectSorted(mk()))
+    withDefaultMode {
+      val df = mk()
+      assert(joins(df) == 0, "auto mode should fire at ~200+ rows/key per side")
+      assert(collectSorted(df) == off)
+    }
+  }
+
+  test("auto (default): sparse per-key input leaves the naive plan") {
+    val (probe, version) = fixture(5) // ~60 and ~40 rows/key, below break-even
+    withDefaultMode {
+      assert(joins(naiveRankOne(probe, version, _ <= _, desc = true)) == 1)
+    }
+  }
+
+  test("density threshold conf moves the break-even") {
+    val (probe, version) = fixture(31)
+    spark.conf.set(PlanStats.MinRowsPerKeyConf, "5")
+    try withDefaultMode {
+      assert(joins(naiveRankOne(probe, version, _ <= _, desc = true)) == 0,
+        "a 5 rows/key threshold should fire on the sparse fixture")
+    } finally spark.conf.unset(PlanStats.MinRowsPerKeyConf)
+  }
+
+  test("invalid conf value fails loudly, not silently off") {
+    val (probe, version) = fixture(32)
+    spark.conf.set(AsOfRewriteRule.ConfKey, "enabled")
+    try {
+      val e = intercept[Exception] {
+        naiveRankOne(probe, version, _ <= _, desc = true).queryExecution.optimizedPlan
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains(AsOfRewriteRule.ConfKey))
+    } finally spark.conf.unset(AsOfRewriteRule.ConfKey)
   }
 
   // ---------------------------------------------------------------- max_by
@@ -208,6 +261,24 @@ class AsOfRewriteSpec extends AnyFunSuite {
       "rule fired on a right-outer join")
   }
 
+  test("RIGHT OUTER with the probe preserved normalizes to joinType=left and rewrites") {
+    import org.apache.spark.sql.expressions.Window
+    val (probe, version0) = fixture(23)
+    // guarantee unmatched probes so the outer semantics are exercised
+    val version = version0.filter(col("vk") =!= "k4" && col("rts") >= 100L)
+    // `version RIGHT JOIN probe` IS `probe LEFT JOIN version` spelled
+    // backwards; the rule must normalize the orientation before matching
+    val rows = assertRewrites(() =>
+      version.join(probe, col("k") === col("vk") && col("rts") <= col("lts"), "right")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("lts"), col("lid")).orderBy(col("rts").desc)))
+        .filter(col("rn") === 1)
+        .select("k", "lts", "lid", "vk", "rts", "rid"))
+    assert(rows.exists(r => r(3) == "null" && r(4) == "null"), "no unmatched row survived")
+    assert(!rows.exists(r => r(4) == "null" && r(3) != "null"),
+      "unmatched row leaked a non-null version key")
+  }
+
   // ---------------------------------------------------------------- band
 
   test("tolerance band on rank-1 maps to the operator's tolerance flag") {
@@ -262,6 +333,7 @@ class AsOfRewriteSpec extends AnyFunSuite {
       val band    = rnd.nextBoolean()
       val flipKey = rnd.nextBoolean()
       val flipIneq = rnd.nextBoolean()
+      val flipSides = rnd.nextBoolean() // version JOIN probe (RIGHT for outer)
       def mk(): DataFrame = {
         val key  = if (flipKey) col("vk") === col("k") else col("k") === col("vk")
         val core = (forward, strict, flipIneq) match {
@@ -281,9 +353,12 @@ class AsOfRewriteSpec extends AnyFunSuite {
           } else {
             if (rnd.nextBoolean()) col("rts") >= col("lts") - 70L else col("lts") - col("rts") <= 70L
           }
-        // conjunct order shuffled
+        // conjunct order shuffled; half the rounds spell the join with
+        // the version side first (RIGHT OUTER when the probe is preserved)
         val conds = new Random(round).shuffle(List(key, core) ++ (if (band) List(bandCond) else Nil))
-        val joined = probe.join(version, conds.reduce(_ && _), if (left) "left" else "inner")
+        val joined =
+          if (flipSides) version.join(probe, conds.reduce(_ && _), if (left) "right" else "inner")
+          else probe.join(version, conds.reduce(_ && _), if (left) "left" else "inner")
         val ord = if (forward) col("rts").asc else col("rts").desc
         joined
           .withColumn("rn", row_number().over(

@@ -179,9 +179,25 @@ class IntervalRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("rule is off by default") {
-    val (points, intervals) = fixture(4)
+  test("auto (default): sparse per-key density leaves the naive plan") {
+    val (points, intervals) = fixture(4) // ~80 points/key, ~24 intervals/key
+    spark.conf.unset(IntervalRewriteRule.ConfKey) // default = auto
     assert(!exploded(
       points.join(intervals, col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"))))
+  }
+
+  test("auto (default): dense per-key input fires the rewrite, results identical") {
+    // single hot key: 400 points/key, 120 intervals/key — both past the
+    // 100 rows/key break-even
+    val (p0, iv0) = fixture(9)
+    val points = p0.withColumn("k", lit("k0"))
+    val intervals = iv0.withColumn("ik", lit("k0"))
+    def mk() = points.join(intervals,
+      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"))
+    val off = withRule(on = false)(collectSorted(mk()))
+    spark.conf.unset(IntervalRewriteRule.ConfKey)
+    val df = mk()
+    assert(exploded(df), "auto mode should fire at 120+ rows/key per side")
+    assert(collectSorted(df) == off)
   }
 }
