@@ -29,5 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))))
     e.injectOptimizerRule(session => new graft.plans.AsOfRewriteRule(session))
     e.injectOptimizerRule(session => new graft.plans.IntervalRewriteRule(session))
+    // pure-SQL whole-operator surface: SELECT * FROM graft_asof_join(...)
+    GraftTableFunctions.descriptions.foreach(e.injectTableFunction)
   }
 }

@@ -14,12 +14,16 @@ import graft.operators.{AsOfJoin, HeavyHitters, IntervalJoin}
   * plans, same guards), registers the result under `out`, and returns it.
   *
   * These wrap WHOLE-operator semantics, which Spark SQL cannot express as
-  * scalar functions — the complement of the two other SQL surfaces:
-  * injected expressions (`dot_q`, GraftExtensions) for scalar work, and
-  * the [[graft.plans.AsOfRewriteRule]] optimizer rewrite for users who
-  * write the naive as-of pattern without knowing any graft API at all.
+  * scalar functions — one of three SQL surfaces alongside injected
+  * expressions (`dot_q`, GraftExtensions) and the
+  * [[graft.plans.AsOfRewriteRule]] optimizer rewrite for users who write
+  * the naive as-of pattern without knowing any graft API at all. For a
+  * PURE-SQL invocation (no Scala call at all), the same dispatch cores
+  * back the [[GraftTableFunctions]] table-valued functions
+  * (`SELECT * FROM graft_asof_join(...)`).
   *
-  * Oracle-checked end-to-end by the q122–q124 SQL-surface queries. */
+  * Oracle-checked end-to-end by the q122–q124 SQL-surface queries (and
+  * q129/q130 for the table-function face). */
 object GraftSql {
 
   /** [[AsOfJoin]] over two views. `direction` is "backward" (latest right
@@ -34,8 +38,22 @@ object GraftSql {
                tolerance: Option[Long] = None, joinType: String = "inner",
                tiebreak: Seq[String] = Nil,
                chunkWidth: Option[Long] = None): DataFrame = {
+    val df = asofJoinDf(spark, left, right, keys, leftTs, rightTs,
+      direction, strict, tolerance, joinType, tiebreak, chunkWidth)
+    df.createOrReplaceTempView(out)
+    df
+  }
+
+  /** [[asofJoin]]'s dispatch core, view-resolving but non-registering —
+    * shared with the `graft_asof_join` table function. */
+  private[graft] def asofJoinDf(spark: SparkSession, left: String, right: String,
+                                keys: Seq[String], leftTs: String, rightTs: String,
+                                direction: String, strict: Boolean,
+                                tolerance: Option[Long], joinType: String,
+                                tiebreak: Seq[String],
+                                chunkWidth: Option[Long]): DataFrame = {
     val (l, r) = (spark.table(left), spark.table(right))
-    val df = (direction, chunkWidth) match {
+    (direction, chunkWidth) match {
       case ("backward", None) =>
         AsOfJoin.backward(l, r, keys, leftTs, rightTs, strict, tolerance, joinType, tiebreak)
       case ("forward", None) =>
@@ -47,28 +65,36 @@ object GraftSql {
       case (other, _) => throw new IllegalArgumentException(
         s"direction must be backward|forward, got $other")
     }
-    df.createOrReplaceTempView(out)
-    df
   }
 
   /** [[IntervalJoin.pointInInterval]] over two views (left-outer via
     * `pointId` — pass the points view's unique id column to keep
     * uncovered points). `bucketWidth` defaults to the operator's own
     * tuning rule, the median interval span — the SQL user never has to
-    * pick a width. */
+    * pick a width (the statistic is cached per canonicalized plan,
+    * [[graft.plans.PlanStats.cachedWidth]]). */
   def pointInInterval(spark: SparkSession, out: String, points: String, intervals: String,
                       keys: Seq[String], pointTs: String, startCol: String, endCol: String,
                       bucketWidth: Option[Long] = None,
                       pointId: Option[String] = None): DataFrame = {
+    val df = pointInIntervalDf(spark, points, intervals, keys, pointTs, startCol, endCol,
+      bucketWidth, pointId)
+    df.createOrReplaceTempView(out)
+    df
+  }
+
+  private[graft] def pointInIntervalDf(spark: SparkSession, points: String, intervals: String,
+                                       keys: Seq[String], pointTs: String,
+                                       startCol: String, endCol: String,
+                                       bucketWidth: Option[Long],
+                                       pointId: Option[String]): DataFrame = {
     val p = spark.table(points)
     val i = spark.table(intervals)
-    val width = bucketWidth.getOrElse(IntervalJoin.medianSpanWidth(i, startCol, endCol))
-    val df = pointId match {
+    val width = bucketWidth.getOrElse(graft.plans.PlanStats.cachedWidth(i, startCol, endCol))
+    pointId match {
       case Some(id) => IntervalJoin.pointInIntervalLeft(p, i, keys, id, pointTs, startCol, endCol, width)
       case None     => IntervalJoin.pointInInterval(p, i, keys, pointTs, startCol, endCol, width)
     }
-    df.createOrReplaceTempView(out)
-    df
   }
 
   /** [[IntervalJoin.overlap]] over two views: all same-key (left, right)
@@ -81,16 +107,23 @@ object GraftSql {
                   keys: Seq[String], lStart: String, lEnd: String,
                   rStart: String, rEnd: String,
                   bucketWidth: Option[Long] = None): DataFrame = {
+    val df = overlapJoinDf(spark, left, right, keys, lStart, lEnd, rStart, rEnd, bucketWidth)
+    df.createOrReplaceTempView(out)
+    df
+  }
+
+  private[graft] def overlapJoinDf(spark: SparkSession, left: String, right: String,
+                                   keys: Seq[String], lStart: String, lEnd: String,
+                                   rStart: String, rEnd: String,
+                                   bucketWidth: Option[Long]): DataFrame = {
     val l = spark.table(left)
     val r = spark.table(right)
     val width = bucketWidth.getOrElse {
       val spans = l.select(col(lStart).as("s"), col(lEnd).as("e"))
         .unionByName(r.select(col(rStart).as("s"), col(rEnd).as("e")))
-      IntervalJoin.medianSpanWidth(spans, "s", "e")
+      graft.plans.PlanStats.cachedWidth(spans, "s", "e")
     }
-    val df = IntervalJoin.overlap(l, r, keys, lStart, lEnd, rStart, rEnd, width)
-    df.createOrReplaceTempView(out)
-    df
+    IntervalJoin.overlap(l, r, keys, lStart, lEnd, rStart, rEnd, width)
   }
 
   /** Exact heavy hitters over a view's column — [[HeavyHitters.exact]]
@@ -98,11 +131,15 @@ object GraftSql {
     * non-empty. Output columns: groupCols*, item, cnt, ppm. */
   def heavyHitters(spark: SparkSession, out: String, view: String, itemCol: String,
                    phiPpm: Long, k: Int, groupCols: Seq[String] = Nil): DataFrame = {
-    val t = spark.table(view)
-    val df =
-      if (groupCols.isEmpty) HeavyHitters.exact(t, col(itemCol), phiPpm, k)
-      else HeavyHitters.exactPerGroup(t, groupCols, col(itemCol), phiPpm, k)
+    val df = heavyHittersDf(spark, view, itemCol, phiPpm, k, groupCols)
     df.createOrReplaceTempView(out)
     df
+  }
+
+  private[graft] def heavyHittersDf(spark: SparkSession, view: String, itemCol: String,
+                                    phiPpm: Long, k: Int, groupCols: Seq[String]): DataFrame = {
+    val t = spark.table(view)
+    if (groupCols.isEmpty) HeavyHitters.exact(t, col(itemCol), phiPpm, k)
+    else HeavyHitters.exactPerGroup(t, groupCols, col(itemCol), phiPpm, k)
   }
 }

@@ -139,13 +139,41 @@ object AnnIndex {
     * (centroids + codebooks stay frozen — the FAISS `add` contract:
     * assignment and codes depend only on the model, so added codes are
     * bit-identical to what a full rebuild would produce) and append to
-    * the `codes` table. */
-  def add(df: DataFrame, idCol: String, vecCol: String, indexDir: String): Unit = {
+    * the `codes` table.
+    *
+    * Maintenance is AUTOMATED on the add cadence: when the append leaves
+    * more than `compactAboveFiles` data files under `codes`,
+    * [[compactCodes]] runs before returning — the streaming sketch's
+    * `compactEveryBatches` policy, file-count-triggered because serve
+    * latency tracks FILE count, not row count (measured: flat to ~1k
+    * files, 1.6× recovery at 4k — PLANS.md round 10; hence the default).
+    * `add` is the index's single maintenance owner by contract, so the
+    * trigger lives here, not on the read paths. Pass `0` to disable and
+    * schedule [[compactCodes]] externally. */
+  def add(df: DataFrame, idCol: String, vecCol: String, indexDir: String,
+          compactAboveFiles: Int = 1024): Unit = {
     DirSwap.recover(df.sparkSession, s"$indexDir/codes")
     val (cents, posBooks, m, sub) = loadModel(df.sparkSession, indexDir)
     val q = Similarity.quantized(df, vecCol).filter(col("qnorm2") > 0L)
     encoded(q, idCol, cents, posBooks, m, sub)
       .write.partitionBy("cell").mode("append").parquet(s"$indexDir/codes")
+    if (compactAboveFiles > 0) maybeCompact(df.sparkSession, indexDir, compactAboveFiles)
+  }
+
+  /** File-count trigger for the add-cadence compaction: ONE recursive
+    * listing of the codes directory (a single batched NameNode call on
+    * HDFS), counting data files and stopping at the threshold — the
+    * listing is cheap next to the add's own encode+write job. */
+  private def maybeCompact(spark: SparkSession, indexDir: String,
+                           compactAboveFiles: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var n = 0
+    val it = fs.listFiles(path, true)
+    while (n <= compactAboveFiles && it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    if (n > compactAboveFiles) compactCodes(spark, indexDir)
   }
 
   /** Compact the `codes` table back to ONE file per cell: every [[add]]
@@ -157,8 +185,9 @@ object AnnIndex {
     * copy, healed at the next [[add]]/[[topK]]/[[probeStream]] before the
     * table is read. Shuffling on `cell` co-locates each cell in one task,
     * so the writer emits one right-sized file per cell — the layout
-    * [[build]] produces, restored. Run it on the add cadence (every N
-    * adds), from the index's single maintenance owner. */
+    * [[build]] produces, restored. [[add]] runs it automatically past its
+    * file-count threshold; call directly only when that trigger is
+    * disabled. */
   def compactCodes(spark: SparkSession, indexDir: String): Unit =
     DirSwap.swapRewrite(spark, s"$indexDir/codes")(_.repartition(col("cell")))(
       (df, out) => df.write.partitionBy("cell").mode("overwrite").parquet(out))

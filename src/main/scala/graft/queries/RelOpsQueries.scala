@@ -487,7 +487,48 @@ object RelOpsQueries {
     } finally spark.conf.unset(graft.plans.AsOfRewriteRule.ConfKey)
   }
 
+  // ---------------------------------------------------------------- q129
+  /** q122's forward-strict as-of with the ENTIRE query text in SQL — the
+    * [[graft.GraftTableFunctions]] `graft_asof_join` table-valued
+    * function (round 11): no Scala verb call anywhere in the query path,
+    * `ensure` only registers the function. Same semantics as q122, so it
+    * shares q122's independent DuckDB ASOF oracle. */
+  def q129SqlTfAsof(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    ev(spark, dir).createOrReplaceTempView("g_events")
+    spark.sql(
+      """SELECT user_id, ts_us AS click_us, max(event_id) AS click_id
+        |FROM g_events WHERE event_type = 'click' GROUP BY 1, 2""".stripMargin)
+      .createOrReplaceTempView("g_clicks_tf")
+    spark.sql(
+      """SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us
+        |FROM g_events WHERE event_type = 'purchase'""".stripMargin)
+      .createOrReplaceTempView("g_purch_tf")
+    spark.sql(
+      """SELECT user_id, purchase_id, purchase_us, click_id, click_us,
+        |       click_us - purchase_us AS react_us
+        |FROM graft_asof_join('g_purch_tf', 'g_clicks_tf', 'user_id',
+        |                     'purchase_us', 'click_us', 'forward', true)""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q130
+  /** q124's per-source heavy hitters with the query text all-SQL through
+    * the `graft_heavy_hitters` table function — same semantics, same
+    * independent oracle. */
+  def q130SqlTfHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftTableFunctions.ensure(spark)
+    Tables(spark, dir).documents
+      .select($"source", explode(TextFunctions.tokens($"text")).as("tok"))
+      .createOrReplaceTempView("g_toks_tf")
+    spark.sql(
+      """SELECT source, item AS tok, cnt, ppm
+        |FROM graft_heavy_hitters('g_toks_tf', 'tok', 30000, 1023, 'source')""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_sql_tf_heavy_hitters"   -> q130SqlTfHeavyHitters _,
+    "q129_sql_tf_asof"            -> q129SqlTfAsof _,
     "q128_naive_asof_right"       -> q128NaiveAsofRight _,
     "q127_naive_asof_left_maxby"  -> q127NaiveAsofLeftMaxby _,
     "q126_naive_overlap_rewrite"  -> q126NaiveOverlapRewrite _,
@@ -513,6 +554,27 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    // q129/q130 route q122's / q124's semantics through the pure-SQL
+    // table functions, so they share those queries' independent oracles
+    "q129_sql_tf_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_id, c.click_us,
+        |  c.click_us - p.purchase_us AS react_us
+        |FROM purch p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.purchase_us < c.click_us""".stripMargin,
+    "q130_sql_tf_heavy_hitters" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |tot AS (SELECT source, count(*) AS n FROM toks GROUP BY 1)
+         |SELECT t.source, t.tok, count(*) AS cnt,
+         |  CAST(count(*) * 1000000 // any_value(tt.n) AS BIGINT) AS ppm
+         |FROM toks t JOIN tot tt USING (source)
+         |GROUP BY 1, 2
+         |HAVING count(*) * 1000000 > any_value(tt.n) * 30000""".stripMargin,
     // q128 is q127's query with the join spelled RIGHT OUTER (preserved
     // side on the right) — same semantics, same q118-family oracle
     "q128_naive_asof_right" ->

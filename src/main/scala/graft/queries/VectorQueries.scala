@@ -256,7 +256,11 @@ object VectorQueries {
           AnnIndex.build(emb.filter($"vec_id" < 250), "vec_id", "embedding",
             isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16,
             m = PqM, dims = Dims, indexDir = out)
-          AnnIndex.add(emb.filter($"vec_id" >= 250), "vec_id", "embedding", out)
+          // threshold below the fresh-build file count so the ADD-CADENCE
+          // auto-compaction genuinely runs inside the oracle-checked path
+          // (results are compaction-invariant; the q104 oracle proves it)
+          AnnIndex.add(emb.filter($"vec_id" >= 250), "vec_id", "embedding", out,
+            compactAboveFiles = 8)
       }
       idxCache += key -> out
       out

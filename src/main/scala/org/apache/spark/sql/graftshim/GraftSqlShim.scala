@@ -14,4 +14,17 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Register a table-valued function on a LIVE session's registry — the
+    * `experimental.extraOptimizations` analog for table functions, needed
+    * because `SparkSessionExtensions.injectTableFunction` only applies at
+    * session creation. Same access level story as [[ofRows]]:
+    * `sessionState` is `private[sql]`, hence this shim package. */
+  def registerTableFunction(
+      spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => LogicalPlan): Unit =
+    spark.asInstanceOf[ClassicSession].sessionState.tableFunctionRegistry
+      .registerFunction(ident, info, builder)
 }

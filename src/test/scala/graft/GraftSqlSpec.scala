@@ -99,4 +99,83 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(grouped.select("src", "item").as[(String, String)].collect().toSet ==
       Set(("s1", "a"), ("s2", "z")))
   }
+
+  // ------------------------------------------------- table functions (SQL)
+
+  test("graft_asof_join table function: pure SQL reaches the operator plan") {
+    GraftTableFunctions.ensure(spark)
+    Seq(("a", 10L, "l1"), ("a", 20L, "l2"), ("b", 9L, "l3"))
+      .toDF("k", "lts", "lid").createOrReplaceTempView("gtf_l")
+    Seq(("a", 9L, "r1"), ("a", 15L, "r2"), ("b", 30L, "r3"))
+      .toDF("k", "rts", "rid").createOrReplaceTempView("gtf_r")
+    val want = AsOfJoin.backward(
+      spark.table("gtf_l"), spark.table("gtf_r"), Seq("k"), "lts", "rts")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_asof_join('gtf_l', 'gtf_r', 'k', 'lts', 'rts')")
+    assert(rows(viaSql) == rows(want))
+    // optional args: forward + strict + left outer
+    val fwdLeft = spark.sql("SELECT * FROM graft_asof_join('gtf_l', 'gtf_r', 'k', " +
+      "'lts', 'rts', 'forward', true, -1, 'left')")
+    val fwdWant = AsOfJoin.forward(
+      spark.table("gtf_l"), spark.table("gtf_r"), Seq("k"), "lts", "rts",
+      strict = true, joinType = "left")
+    assert(rows(fwdLeft) == rows(fwdWant))
+    // and the output composes with further SQL
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_asof_join('gtf_l', 'gtf_r', 'k', 'lts', 'rts')")
+      .as[Long].head() == want.count())
+  }
+
+  test("graft_point_in_interval / graft_overlap_join table functions") {
+    GraftTableFunctions.ensure(spark)
+    Seq(("a", 1L, 5L), ("a", 12L, 100L), ("b", 0L, 3L))
+      .toDF("k", "s", "e").createOrReplaceTempView("gtf_iv")
+    Seq(("a", 2L, "p1"), ("a", 50L, "p2"), ("a", 200L, "p3"), ("b", 7L, "p4"))
+      .toDF("k", "ts", "pid").createOrReplaceTempView("gtf_pt")
+    val inner = spark.sql(
+      "SELECT * FROM graft_point_in_interval('gtf_pt', 'gtf_iv', 'k', 'ts', 's', 'e')")
+    val want = IntervalJoin.pointInInterval(
+      spark.table("gtf_pt"), spark.table("gtf_iv"), Seq("k"), "ts", "s", "e", 40L)
+    assert(rows(inner) == rows(want))
+    // non-empty point_id routes to the LEFT-OUTER operator
+    val left = spark.sql("SELECT * FROM graft_point_in_interval(" +
+      "'gtf_pt', 'gtf_iv', 'k', 'ts', 's', 'e', 'pid')")
+    assert(left.count() == 4L)
+    assert(left.filter(col("s").isNull).select("pid").as[String].collect().toSet ==
+      Set("p3", "p4"))
+
+    Seq(("a", 1L, "x1", 0L, 10L), ("a", 2L, "x2", 8L, 20L), ("a", 3L, "x3", 30L, 40L))
+      .toDF("k", "aid", "atag", "as", "ae").createOrReplaceTempView("gtf_ol")
+    Seq(("a", 9L, "y1", 5L, 9L), ("a", 8L, "y2", 35L, 50L))
+      .toDF("k", "bid", "btag", "bs", "be").createOrReplaceTempView("gtf_or")
+    val ov = spark.sql("SELECT aid, bid FROM graft_overlap_join(" +
+      "'gtf_ol', 'gtf_or', 'k', 'as', 'ae', 'bs', 'be')")
+    assert(ov.as[(Long, Long)].collect().toSet == Set((1L, 9L), (2L, 9L), (3L, 8L)))
+  }
+
+  test("graft_heavy_hitters table function routes global and grouped forms") {
+    GraftTableFunctions.ensure(spark)
+    (Seq.fill(40)("hot") ++ (1 to 20).map(i => s"c$i"))
+      .toDF("item").createOrReplaceTempView("gtf_items")
+    val g = spark.sql(
+      "SELECT item FROM graft_heavy_hitters('gtf_items', 'item', 200000, 63)")
+    assert(g.as[String].collect().toSeq == Seq("hot"))
+    Seq(("s1", "a"), ("s1", "a"), ("s1", "b"), ("s2", "z"), ("s2", "z"), ("s2", "z"))
+      .toDF("src", "item").createOrReplaceTempView("gtf_gitems")
+    val grouped = spark.sql("SELECT src, item FROM graft_heavy_hitters(" +
+      "'gtf_gitems', 'item', 500000, 63, 'src')")
+    assert(grouped.as[(String, String)].collect().toSet ==
+      Set(("s1", "a"), ("s2", "z")))
+  }
+
+  test("table functions reject non-literal and malformed arguments loudly") {
+    GraftTableFunctions.ensure(spark)
+    Seq(("a", 1L)).toDF("k", "ts").createOrReplaceTempView("gtf_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof_join('gtf_bad', 'gtf_bad', 'k')").collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("graft_asof_join"))
+  }
 }

@@ -210,6 +210,55 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(collectTopK(AnnIndex.topK(q20, "vec_id", "embedding", idx, k = 5, nprobe = 2)) == before)
   }
 
+  test("auto-compaction: file count stays bounded across 128 adds") {
+    import spark.implicits._
+    val idx = tmp("ann-idx-auto")
+    AnnIndex.build(embeddings.filter($"vec_id" < 120), "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = idx)
+    def codeFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$idx/codes"))
+    }
+    val threshold = 24
+    // one add appends at most one file per (task, touched cell); tiny
+    // 3-row batches bound that at 3 files — so a bounded index proves the
+    // trigger fires, and the ceiling is threshold + one add's appends
+    var maxSeen = 0
+    var compactions = 0
+    for (i <- 0 until 128) {
+      val lo = 120 + (i % 80) * 3
+      AnnIndex.add(embeddings.filter($"vec_id" >= lo && $"vec_id" < lo + 3),
+        "vec_id", "embedding", idx, compactAboveFiles = threshold)
+      val n = codeFiles()
+      maxSeen = math.max(maxSeen, n)
+      val cells = new java.io.File(s"$idx/codes").listFiles()
+        .count(_.getName.startsWith("cell="))
+      if (n == cells) compactions += 1
+    }
+    assert(maxSeen <= threshold + 3,
+      s"file count reached $maxSeen despite the $threshold-file auto-compaction trigger")
+    assert(compactions > 0, "the trigger never fired across 128 fragmenting adds")
+    // the maintained index still serves correctly (vs a frozen-model
+    // truth: the same adds with compaction disabled)
+    val plain = tmp("ann-idx-plain")
+    AnnIndex.build(embeddings.filter($"vec_id" < 120), "vec_id", "embedding",
+      isCentroid = $"vec_id" < 8, isCode = $"vec_id" < 16, m = 8, dims = 64,
+      indexDir = plain)
+    for (i <- 0 until 128) {
+      val lo = 120 + (i % 80) * 3
+      AnnIndex.add(embeddings.filter($"vec_id" >= lo && $"vec_id" < lo + 3),
+        "vec_id", "embedding", plain, compactAboveFiles = 0)
+    }
+    val q20 = embeddings.filter($"vec_id" < 20)
+    assert(
+      collectTopK(AnnIndex.topK(q20, "vec_id", "embedding", idx, k = 5, nprobe = 2)) ==
+        collectTopK(AnnIndex.topK(q20, "vec_id", "embedding", plain, k = 5, nprobe = 2)),
+      "auto-compacted index diverged from the uncompacted same-adds index")
+  }
+
   test("compactCodes crash states heal before the next read (add and serve paths)") {
     import spark.implicits._
     val idx = tmp("ann-idx-crash")
