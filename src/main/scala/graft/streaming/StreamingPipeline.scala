@@ -1135,6 +1135,65 @@ object StreamingPipeline {
     keys.foldLeft(p.join(i, cond))((df, k) => df.drop(i(k)))
   }
 
+  /** STREAM-STREAM interval-overlap join — both interval streams live
+    * (the overlap analog of [[pointInIntervalStream]];
+    * [[graft.operators.IntervalJoin.overlap]] covers batch): every
+    * same-key (left, right) pair whose `[start, end]` spans intersect,
+    * as a native watermarked stream-stream inner join.
+    *
+    * The engine can only reap join state from constant bounds between
+    * the two WATERMARKED event-time columns (the starts); a
+    * data-dependent end cannot bound state. With both sides' spans
+    * capped at `maxSpan`, any overlapping pair satisfies
+    * `|lStart − rStart| ≤ maxSpan` (each side's start precedes the
+    * other's end, which is at most that start + maxSpan), so that band
+    * joins the condition as the state-cleanup range — implied by the
+    * overlap predicate, never changing semantics. An interval whose end
+    * exceeds `start + maxSpan` would silently lose matches, so it fails
+    * loudly per row instead (codegen'd `raise_error`, the
+    * [[pointInIntervalStream]] discipline, applied on BOTH sides).
+    *
+    * State per side is O(rows inside the watermark horizon): a row stays
+    * matchable for `maxSpan + watermark` past its start. Late rows
+    * beyond the watermarks drop — standard stream-stream semantics.
+    * Inner only, exactly [[pointInIntervalStream]]'s contract.
+    *
+    * @param lStart / lEnd / rStart / rEnd TIMESTAMP columns (event
+    *        time); non-key columns must be disjoint across the sides
+    * @param maxSpan duration literal ("2 hours") — hard bound on
+    *        `end − start` per side, enforced per row */
+  def overlapStream(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    lStart: String, lEnd: String,
+                    rStart: String, rEnd: String,
+                    maxSpan: String,
+                    leftWatermark: String,
+                    rightWatermark: String): DataFrame = {
+    val overlapCols = left.columns.filterNot(keys.contains).toSet
+      .intersect(right.columns.filterNot(keys.contains).toSet)
+    require(overlapCols.isEmpty,
+      s"non-key columns must be disjoint, both sides have: ${overlapCols.mkString(",")}")
+    require(delayMicros(maxSpan) > 0, s"maxSpan must be positive, got '$maxSpan'")
+    def capped(df: DataFrame, s: String, e: String, side: String): DataFrame =
+      df.withColumn(e,
+        when(col(e) > col(s) + expr(s"INTERVAL $maxSpan"),
+          raise_error(concat(
+            lit(s"overlapStream: $side interval end exceeds start + maxSpan ($maxSpan) at start="),
+            col(s).cast("string"),
+            lit(" - matches past the span bound would be silently lost; raise maxSpan")))
+            .cast(df.schema(e).dataType))
+          .otherwise(col(e)))
+    val l = capped(left, lStart, lEnd, "left").withWatermark(lStart, leftWatermark)
+    val r = capped(right, rStart, rEnd, "right").withWatermark(rStart, rightWatermark)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      // state-cleanup band on the two watermarked starts (implied by the
+      // overlap predicate under the maxSpan caps — see scaladoc)
+      col(rStart) >= col(lStart) - expr(s"INTERVAL $maxSpan") &&
+      col(rStart) <= col(lStart) + expr(s"INTERVAL $maxSpan") &&
+      // the exact overlap predicate
+      col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+  }
+
   /** One side of the temporal as-of stream: `side` = "l" (probe) or "r"
     * (version); `payload` carries the side's data. */
   final case class AsOfSide(key: String, ts: Long, side: String, payload: String)

@@ -76,6 +76,134 @@ class StreamingIntervalSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------- stream-stream overlap
+
+  /** Random same-key interval fixture for the overlap tests: spans up to
+    * 10 min (maxSpan 15m), some zero-length, over one hour. */
+  private def overlapFixture(seed: Int, n: Int, tag: String) = {
+    val rnd = new Random(seed)
+    (1 to n).map { j =>
+      val s = rnd.nextInt(45); val len = rnd.nextInt(10)
+      ("k" + rnd.nextInt(3), ts(s), ts(s + len, 30), s"$tag$j")
+    }
+  }
+
+  private def overlapBatchWant(
+      lRows: Seq[(String, java.sql.Timestamp, java.sql.Timestamp, String)],
+      rRows: Seq[(String, java.sql.Timestamp, java.sql.Timestamp, String)]) = {
+    IntervalJoin.overlap(
+      lRows.toDF("k", "ls", "le", "lid")
+        .select($"k", unix_micros($"ls").as("ls_us"), unix_micros($"le").as("le_us"), $"lid"),
+      rRows.toDF("k", "rs", "re", "rid")
+        .select($"k", unix_micros($"rs").as("rs_us"), unix_micros($"re").as("re_us"), $"rid"),
+      Seq("k"), "ls_us", "le_us", "rs_us", "re_us", bucketWidth = 60000000L)
+      .select($"lid", $"rid").as[(String, String)].collect().toSet
+  }
+
+  test("overlapStream: closed-input parity with the batch operator, across batch slicings") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val lRows = overlapFixture(91, 60, "a")
+    val rRows = overlapFixture(92, 60, "b")
+    val batchWant = overlapBatchWant(lRows, rRows)
+    assert(batchWant.nonEmpty)
+
+    for (nChunks <- Seq(1, 4, 8)) {
+      val lMem = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, String)]
+      val rMem = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, String)]
+      val out = StreamingPipeline.overlapStream(
+        lMem.toDF().toDF("k", "ls", "le", "lid"),
+        rMem.toDF().toDF("k", "rs", "re", "rid"),
+        Seq("k"), "ls", "le", "rs", "re",
+        maxSpan = "15 minutes",
+        leftWatermark = "2 hours", rightWatermark = "2 hours")
+      val qn = s"ovss_$nChunks"
+      val q = out.select($"lid", $"rid").writeStream
+        .outputMode("append").format("memory").queryName(qn).start()
+      try {
+        val size = math.max(1, (lRows.size + nChunks - 1) / nChunks)
+        lRows.grouped(size).zipAll(rRows.grouped(size), Nil, Nil).foreach {
+          case (lc, rc) =>
+            if (lc.nonEmpty) lMem.addData(lc)
+            if (rc.nonEmpty) rMem.addData(rc)
+            q.processAllAvailable()
+        }
+        val got = spark.sql(s"select lid, rid from $qn").as[(String, String)].collect().toSet
+        assert(got == batchWant, s"slicing $nChunks diverged from the batch operator")
+        assert(q.lastProgress == null || q.recentProgress.exists(_.stateOperators.nonEmpty),
+          "no stateful operator in the streaming query")
+      } finally q.stop()
+    }
+  }
+
+  test("overlapStream: restart from checkpoint resumes without loss or duplication") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val lRows = overlapFixture(93, 40, "a")
+    val rRows = overlapFixture(94, 40, "b")
+    val batchWant = overlapBatchWant(lRows, rRows)
+    assert(batchWant.nonEmpty)
+    val ckpt = java.nio.file.Files.createTempDirectory("ovss-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ovss-out").toString
+    val lMem = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, String)]
+    val rMem = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, String)]
+    def start() = StreamingPipeline.overlapStream(
+        lMem.toDF().toDF("k", "ls", "le", "lid"),
+        rMem.toDF().toDF("k", "rs", "re", "rid"),
+        Seq("k"), "ls", "le", "rs", "re",
+        maxSpan = "15 minutes",
+        leftWatermark = "2 hours", rightWatermark = "2 hours")
+      .select($"lid", $"rid").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+    // first half, then a hard stop
+    val q1 = start()
+    try {
+      lMem.addData(lRows.take(20)); rMem.addData(rRows.take(20))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart on the same checkpoint; feed the rest
+    val q2 = start()
+    try {
+      lMem.addData(lRows.drop(20)); rMem.addData(rRows.drop(20))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val emitted = spark.read.parquet(outDir).select($"lid", $"rid")
+      .as[(String, String)].collect().toSeq
+    assert(emitted.size == emitted.distinct.size, "restart duplicated emitted pairs")
+    assert(emitted.toSet == batchWant, "restart lost or fabricated pairs")
+  }
+
+  test("overlapStream: a span longer than maxSpan fails loudly on either side") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val lMem = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, String)]
+    val rMem = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, String)]
+    val out = StreamingPipeline.overlapStream(
+      lMem.toDF().toDF("k", "ls", "le", "lid"),
+      rMem.toDF().toDF("k", "rs", "re", "rid"),
+      Seq("k"), "ls", "le", "rs", "re",
+      maxSpan = "5 minutes", leftWatermark = "1 hour", rightWatermark = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ovss_guard").start()
+    try {
+      lMem.addData(Seq(("k", ts(0), ts(1), "ok")))
+      rMem.addData(Seq(("k", ts(0), ts(40), "too-long")))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("maxSpan")), s"unexpected failure: $e")
+    } finally q.stop()
+    // and disjoint-column / bad-span construction guards
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.overlapStream(
+        lMem.toDF().toDF("k", "ls", "le", "dup"),
+        rMem.toDF().toDF("k", "rs", "re", "dup"),
+        Seq("k"), "ls", "le", "rs", "re", "5 minutes", "1 hour", "1 hour")
+    }
+  }
+
   test("an interval longer than maxSpan fails loudly instead of silently losing matches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
