@@ -153,8 +153,13 @@ object IntervalJoin {
     require(!keys.contains(pointId), "pointId must not be a join key")
     val matched = pointInInterval(points, intervals, keys, pointTs, startCol, endCol, bucketWidth)
     val ivCols = matched.columns.filterNot(points.columns.contains)
+    // groupBy, not distinct(): a Deduplicate node injected AFTER
+    // ReplaceDeduplicateWithAggregate (the IntervalRewriteRule outer
+    // path) would reach the planner unreplaced; the aggregate is what
+    // the optimizer turns distinct into anyway — same physical plan
+    val matchedIds = matched.groupBy(col(pointId)).agg(count(lit(1)).as("__n")).drop("__n")
     val unmatched = points
-      .join(matched.select(col(pointId)).distinct(), Seq(pointId), "left_anti")
+      .join(matchedIds, Seq(pointId), "left_anti")
       .select(points.columns.toSeq.map(col) ++
         ivCols.toSeq.map(c => lit(null).cast(matched.schema(c).dataType).as(c)): _*)
     matched.unionByName(unmatched)

@@ -4,8 +4,8 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -44,9 +44,17 @@ import graft.operators.IntervalJoin
   * anti-reflexive, once pushdown folds it into the join) still vetoes
   * the match: with three candidate bounds the interval pairing is
   * ambiguous, and pairing the wrong columns as a pseudo-interval could
-  * trade the quadratic plan for a worse one. Left/right outer joins are
-  * NOT rewritten — the outer operator needs a unique point id the rule
-  * cannot infer.
+  * trade the quadratic plan for a worse one. A POINT-PRESERVED outer
+  * join (LEFT with the points on the left, or the mirror RIGHT) rewrites
+  * to [[IntervalJoin.pointInIntervalLeft]] when exactness is provable:
+  * the point side exposes a unique id (the single grouping attribute of
+  * an Aggregate — the one uniqueness the rule can see structurally),
+  * both bounds are inclusive (a strict re-filter would DROP
+  * matched-but-not-strictly rows instead of null-extending them), and
+  * there are no residual conjuncts (a post-filter would drop the naive
+  * plan's unmatched null rows); unmatched points then keep one row with
+  * null interval columns — including null interval keys, exactly the
+  * naive null-extended rows. Any other outer shape keeps the naive plan.
   *
   * The bucket width is the operator's own tuning rule
   * ([[IntervalJoin.medianSpanWidth]]), which runs one 1-row aggregate at
@@ -113,7 +121,10 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
       ts: AttributeReference,
       lo: Bound,
       hi: Bound,
-      residuals: Seq[Expression])
+      residuals: Seq[Expression],
+      // Some(uniquePointIdAttr) when the join is point-preserved OUTER
+      // and the rewrite may route to pointInIntervalLeft
+      outerPointId: Option[AttributeReference])
 
   /** Interval-overlap variant of the pattern: `a.s ≤ b.e AND b.s ≤ a.e`
     * — each side contributes one start and one end (when both bounds hit
@@ -138,8 +149,30 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
         .filter(s => gatePasses(join.left, s.keys.map(_._1), join.right, s.keys.map(_._2)))
         .map(s => buildOverlap(join, s)))
 
+  /** A column provably unique per row of `plan`: the single grouping
+    * attribute of an Aggregate (each output row IS one distinct value of
+    * it), surviving any attribute-only Projects above. The conservative
+    * inference [[IntervalJoin.pointInIntervalLeft]]'s uniqueness contract
+    * needs — anything weaker (a filter over a unique source, a join
+    * preserving a key) would require constraint propagation this rule
+    * deliberately does not attempt. */
+  private def uniquePointId(plan: LogicalPlan): Option[AttributeReference] = plan match {
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      uniquePointId(child).filter(a => plan.outputSet.contains(a))
+    case Aggregate(Seq(g: AttributeReference), _, _, _) if plan.outputSet.contains(g) =>
+      Some(g)
+    case _ => None
+  }
+
   private def matchShape(join: Join, points: LogicalPlan, intervals: LogicalPlan): Option[Shape] = {
-    if (join.joinType != Inner || join.condition.isEmpty) return None
+    // Point-preserved OUTER joins (LEFT with points on the left, or the
+    // mirror-image RIGHT with points on the right) route to
+    // pointInIntervalLeft — but ONLY when a unique point id is provable
+    // and the bounds/conjuncts translate exactly (checked after the
+    // bound classification below). Interval-preserved outers never match.
+    val leftOuter = (join.joinType == LeftOuter && (points eq join.left)) ||
+      (join.joinType == RightOuter && (points eq join.right))
+    if (!(join.joinType == Inner || leftOuter) || join.condition.isEmpty) return None
     // RECURSION BREAKER: in the operator fixed-point batch, filter
     // pushdown folds the rewritten plan's containment filter back into
     // its (key, cell) equi-join — which would re-match this very pattern
@@ -201,7 +234,21 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     if (keys.exists(k => k._1.semanticEquals(ts1) ||
         k._2.semanticEquals(b1.ivCol) || k._2.semanticEquals(b2.ivCol))) return None
     val (lo, hi) = if (b1.lower) (b1, b2) else (b2, b1)
-    Some(Shape(keys, ts1, lo, hi, residuals))
+    val pid: Option[AttributeReference] =
+      if (!leftOuter) None
+      else {
+        // Exactness under OUTER needs all three: a strict bound would
+        // re-filter matched-but-not-strictly rows out entirely instead of
+        // null-extending them; a residual post-filter would drop
+        // unmatched null rows the naive plan keeps; and the operator's
+        // anti-join needs a per-point unique id that is not a join key.
+        if (lo.strict || hi.strict || residuals.nonEmpty) return None
+        uniquePointId(points) match {
+          case Some(id) if !keys.exists(_._1.exprId == id.exprId) => Some(id)
+          case _                                                  => return None
+        }
+      }
+    Some(Shape(keys, ts1, lo, hi, residuals, pid))
   }
 
   /** Classify the overlap pattern on (left = a, right = b); the shape is
@@ -367,8 +414,16 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     val tsName = pName(shape.ts.exprId)
 
     val width = PlanStats.cachedWidth(ivDf, sName, eName)
-    var out = IntervalJoin.pointInInterval(pDf, ivDf, keyName, tsName, sName, eName, width)
+    var out = shape.outerPointId match {
+      case Some(id) => // point-preserved outer: unmatched points keep one
+        // null-extended row, keyed off the provably-unique point id
+        IntervalJoin.pointInIntervalLeft(pDf, ivDf, keyName, pName(id.exprId),
+          tsName, sName, eName, width)
+      case None =>
+        IntervalJoin.pointInInterval(pDf, ivDf, keyName, tsName, sName, eName, width)
+    }
     // the operator's containment is inclusive; re-impose strict bounds
+    // (inner only — matchShape vetoes strict bounds under outer)
     if (shape.lo.strict) out = out.filter(col(sName) < col(tsName))
     if (shape.hi.strict) out = out.filter(col(tsName) < col(eName))
 
@@ -377,16 +432,25 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     def renamed(x: Attribute): Attribute =
       if (points.outputSet.contains(x)) byName(pName(x.exprId))
       else ivKeyIdx(x) match {
-        case Some(i) => byName(keyName(i)) // inner join: equal to the point key
+        case Some(i) => byName(keyName(i)) // equal to the point key on matched rows
         case None    => byName(ivName(x.exprId))
       }
+    def outExpr(x: Attribute): Expression = renamed(x) match {
+      case pk if shape.outerPointId.isDefined && !points.outputSet.contains(x) &&
+          ivKeyIdx(x).isDefined =>
+        // the naive outer plan's unmatched rows carry NULL interval keys;
+        // the point-side stand-in only holds where a match exists (the
+        // operator null-extends the interval START on unmatched rows)
+        If(IsNotNull(byName(sName)), pk, Literal.create(null, pk.dataType))
+      case other => other
+    }
     val withResiduals =
       if (shape.residuals.isEmpty) outPlan
       else Filter(
         shape.residuals
           .map(_.transformUp { case ar: AttributeReference => renamed(ar) })
           .reduce(And), outPlan)
-    val aliases = join.output.map(a => Alias(renamed(a), a.name)(a.exprId, a.qualifier))
+    val aliases = join.output.map(a => Alias(outExpr(a), a.name)(a.exprId, a.qualifier))
     Project(aliases, withResiduals)
   }
 }

@@ -526,7 +526,43 @@ object RelOpsQueries {
         |FROM graft_heavy_hitters('g_toks_tf', 'tok', 30000, 1023, 'source')""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q131
+  /** The NAIVE LEFT OUTER point-in-interval SQL — `points LEFT JOIN
+    * intervals ON key AND ts BETWEEN s AND e` — rewritten by
+    * [[graft.plans.IntervalRewriteRule]]'s round-11 outer path into
+    * [[graft.operators.IntervalJoin.pointInIntervalLeft]]: the point
+    * side is an Aggregate grouped on `event_id` alone, which is the
+    * structural uniqueness proof the rule requires. Same semantics as
+    * q119 (each event id is already unique in `events`, so the max()
+    * passthroughs are identities), so it shares q119's independent
+    * LEFT-BETWEEN oracle. */
+  def q131NaiveIntervalLeft(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.IntervalRewriteRule.ensure(spark)
+    EventQueries.q12Sessions(spark, dir)
+      .select($"user_id", $"session_id", $"start_us", $"end_us")
+      .createOrReplaceTempView("g_sessions")
+    ev(spark, dir)
+      .filter($"event_type" === "error")
+      .select($"event_id", $"user_id".as("e_user"), $"ts_us")
+      .createOrReplaceTempView("g_errors_raw")
+    spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "true")
+    try {
+      val df = spark.sql(
+        """WITH e AS (
+          |  SELECT event_id, max(e_user) AS e_user, max(ts_us) AS ts_us
+          |  FROM g_errors_raw GROUP BY event_id)
+          |SELECT e.e_user AS user_id, e.event_id, e.ts_us,
+          |       s.session_id, s.start_us, s.end_us
+          |FROM e LEFT JOIN g_sessions s
+          |  ON e.e_user = s.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us""".stripMargin)
+      df.queryExecution.executedPlan // plan NOW, while the rule is on
+      df
+    } finally spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_naive_interval_left"    -> q131NaiveIntervalLeft _,
     "q130_sql_tf_heavy_hitters"   -> q130SqlTfHeavyHitters _,
     "q129_sql_tf_asof"            -> q129SqlTfAsof _,
     "q128_naive_asof_right"       -> q128NaiveAsofRight _,
@@ -554,6 +590,32 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    // q131 computes q119's result through the naive LEFT BETWEEN SQL +
+    // the outer interval rewrite, so it shares q119's independent oracle
+    "q131_naive_interval_left" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_id HAVING count(*) >= 3),
+        |err AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, e.event_id, e.ts_us,
+        |  s.session_id, s.start_us, s.end_us
+        |FROM err e LEFT JOIN sess s
+        |  ON s.user_id = e.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us""".stripMargin,
     // q129/q130 route q122's / q124's semantics through the pure-SQL
     // table functions, so they share those queries' independent oracles
     "q129_sql_tf_asof" ->

@@ -246,6 +246,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(logicalJoins.isEmpty, "right-outer naive as-of kept its join — the rewrite did not fire")
   }
 
+  test("q131: the naive LEFT BETWEEN SQL optimizes to the bucketized left-outer plan") {
+    val df = SparkEntry.queries("q131_naive_interval_left")(spark, dir)
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "naive LEFT BETWEEN join was not bucketized — the outer rewrite did not fire")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "rewritten outer interval join degraded to a nested-loop product")
+  }
+
   test("q126: the naive overlap SQL optimizes to the canonical-cell join") {
     val df = SparkEntry.queries("q126_naive_overlap_rewrite")(spark, dir)
     val gens = df.queryExecution.optimizedPlan.collect {

@@ -179,6 +179,59 @@ class IntervalRewriteSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ left outer
+
+  /** Points deduplicated to one row per pid through a single-grouping
+    * Aggregate — the structural uniqueness the outer rewrite requires. */
+  private def uniquePoints(points: org.apache.spark.sql.DataFrame) =
+    points.filter(col("pid").isNotNull)
+      .groupBy(col("pid"))
+      .agg(max(col("k")).as("k"), max(col("ts")).as("ts"))
+
+  test("LEFT OUTER with an aggregate-unique point id rewrites; unmatched rows and null keys preserved") {
+    val (points0, intervals) = fixture(11)
+    val points = uniquePoints(points0)
+    def mk() = points.join(intervals,
+      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "left")
+    val rows = assertRewrites(mk)
+    // unmatched points survive with the INTERVAL KEY null too
+    val iidIdx = mk().columns.indexOf("iid")
+    val ikIdx  = mk().columns.indexOf("ik")
+    assert(rows.exists(r => r(iidIdx) == "null" && r(ikIdx) == "null"),
+      "no unmatched null-extended row survived")
+    assert(!rows.exists(r => r(iidIdx) == "null" && r(ikIdx) != "null"),
+      "unmatched row leaked a non-null interval key")
+  }
+
+  test("RIGHT OUTER with the points preserved on the right also rewrites") {
+    val (points0, intervals) = fixture(12)
+    val points = uniquePoints(points0)
+    assertRewrites(() => intervals.join(points,
+      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "right"))
+  }
+
+  test("outer negatives: no provable unique id / strict bound / residual keep the naive plan") {
+    val (points0, intervals) = fixture(13)
+    val points = uniquePoints(points0)
+    // raw points (no Aggregate) — uniqueness not provable
+    assertKeepsPlan(() => points0.join(intervals,
+      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "left"),
+      "fired on an outer join without a provable unique point id")
+    // strict bound — a re-filter would drop rows instead of null-extending
+    assertKeepsPlan(() => points.join(intervals,
+      col("k") === col("ik") && col("s") < col("ts") && col("ts") <= col("e"), "left"),
+      "fired on an outer join with a strict bound")
+    // residual conjunct — a post-filter would drop unmatched null rows
+    assertKeepsPlan(() => points.join(intervals,
+      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e") &&
+        col("ts") % 2L === col("s") % 2L, "left"),
+      "fired on an outer join with a residual conjunct")
+    // interval-preserved outer — not expressible as pointInIntervalLeft
+    assertKeepsPlan(() => intervals.join(points,
+      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "left"),
+      "fired on an interval-preserved outer join")
+  }
+
   test("auto (default): sparse per-key density leaves the naive plan") {
     val (points, intervals) = fixture(4) // ~80 points/key, ~24 intervals/key
     spark.conf.unset(IntervalRewriteRule.ConfKey) // default = auto
