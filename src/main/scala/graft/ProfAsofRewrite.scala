@@ -66,13 +66,18 @@ object ProfAsofRewrite {
       val inter = p.join(c.withColumnRenamed("k", "ck"), $"k" === $"ck" && $"rts" <= $"lts").count()
       spark.conf.set(AsOfRewriteRule.ConfKey, "false")
       val tNaive = timeIt(() => naive(p, c))
-      spark.conf.set(AsOfRewriteRule.ConfKey, "true")
+      spark.conf.set(AsOfRewriteRule.ConfKey, "force")
       val tRewrite = timeIt(() => naive(p, c))
+      // the DEFAULT path: density-gated auto — expect ~naive at sparse
+      // keys (gate declines; stats cached after the first optimization)
+      // and ~rewritten at hot keys (gate fires)
+      spark.conf.unset(AsOfRewriteRule.ConfKey)
+      val tAuto = timeIt(() => naive(p, c))
       spark.conf.set(AsOfRewriteRule.ConfKey, "false")
       val tDirect = timeIt(() =>
         AsOfJoin.backward(p, c, Seq("k"), "lts", "rts")
           .select($"k", $"purchase_id", $"lts", $"click_id", $"rts"))
-      println(f"as-of    $label  naive-intermediate=$inter%10d  naive=$tNaive%6.2f s  rewritten=$tRewrite%6.2f s  direct=$tDirect%6.2f s")
+      println(f"as-of    $label  naive-intermediate=$inter%10d  naive=$tNaive%6.2f s  rewritten=$tRewrite%6.2f s  auto=$tAuto%6.2f s  direct=$tDirect%6.2f s")
     }
 
     // interval rewrite: points-in-sessions at the same two key densities.
@@ -88,10 +93,12 @@ object ProfAsofRewrite {
       val inter = withRuleOff(spark)(naiveIv().count())
       spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "false")
       val tNaive = timeIt(() => naiveIv())
-      spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "true")
+      spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "force")
       val tRewrite = timeIt(() => naiveIv())
+      spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
+      val tAuto = timeIt(() => naiveIv())
       spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "false")
-      println(f"interval $label  matches=$inter%10d  naive=$tNaive%6.2f s  rewritten=$tRewrite%6.2f s")
+      println(f"interval $label  matches=$inter%10d  naive=$tNaive%6.2f s  rewritten=$tRewrite%6.2f s  auto=$tAuto%6.2f s")
     }
     spark.stop()
   }
