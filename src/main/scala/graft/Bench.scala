@@ -77,7 +77,11 @@ object Bench {
     "q119_interval_left", "q120_chunked_tolerance", "q121_naive_asof_rewrite",
     "q122_sql_asof", "q123_sql_interval", "q124_sql_heavy_hitters",
     "q125_naive_interval_rewrite", "q126_naive_overlap_rewrite",
-    "q127_naive_asof_left_maxby")
+    "q127_naive_asof_left_maxby",
+    // round 11: right-outer as-of normalization, pure-SQL table functions,
+    // and the outer interval rewrite (rewritten plans are what's timed)
+    "q128_naive_asof_right", "q129_sql_tf_asof", "q130_sql_tf_heavy_hitters",
+    "q131_naive_interval_left", "q132_sql_tf_interval", "q133_sql_tf_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

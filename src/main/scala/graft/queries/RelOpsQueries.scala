@@ -561,7 +561,61 @@ object RelOpsQueries {
     } finally spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
   }
 
+  // ---------------------------------------------------------------- q132
+  /** q123's left point-in-interval with the ENTIRE query text in SQL —
+    * the `graft_point_in_interval` table function with `point_id` set
+    * routes to [[graft.operators.IntervalJoin.pointInIntervalLeft]] and
+    * derives the bucket width itself (8th arg omitted). Same semantics
+    * as q119/q123, so it shares their independent LEFT-BETWEEN oracle. */
+  def q132SqlTfInterval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftTableFunctions.ensure(spark)
+    EventQueries.q12Sessions(spark, dir)
+      .select($"user_id", $"session_id", $"start_us", $"end_us")
+      .createOrReplaceTempView("g_sessions_tf")
+    ev(spark, dir).createOrReplaceTempView("g_events")
+    spark.sql("SELECT user_id, event_id, ts_us FROM g_events WHERE event_type = 'error'")
+      .createOrReplaceTempView("g_errors_tf")
+    spark.sql(
+      """SELECT user_id, event_id, ts_us, session_id, start_us, end_us
+        |FROM graft_point_in_interval('g_errors_tf', 'g_sessions_tf', 'user_id',
+        |                             'ts_us', 'start_us', 'end_us', 'event_id')""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q133
+  /** q113's per-customer order-span overlap with the operator call in
+    * pure SQL — the `graft_overlap_join` table function (width derived
+    * from the union of both sides' spans), the anti-reflexive `a_ok <
+    * b_ok` applied on the OUTPUT as the verb scaladoc prescribes. This
+    * is also the overlapJoin VERB core's first driver oracle (q126
+    * covers the rewrite path, not the verb). Shares q113's oracle. */
+  def q133SqlTfOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftTableFunctions.ensure(spark)
+    val t = Tables(spark, dir)
+    val o = t.orders
+    val l = t.lineitem
+    val spans = o.withColumn("o_us", Tables.tsToMicros(o, "o_orderdate"))
+      .join(l.withColumn("ship_us", Tables.tsToMicros(l, "l_shipdate")), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey".as("cust"), $"o_orderkey".as("ok"), $"o_us".as("s"))
+      .agg(max($"ship_us").as("max_ship_us"))
+      .withColumn("e", greatest($"max_ship_us", $"s")).drop("max_ship_us")
+      .stageCheckpoint()
+    spans.select($"cust", $"ok".as("a_ok"), $"s".as("a_s"), $"e".as("a_e"))
+      .createOrReplaceTempView("g_span_a")
+    spans.select($"cust", $"ok".as("b_ok"), $"s".as("b_s"), $"e".as("b_e"))
+      .createOrReplaceTempView("g_span_b")
+    spark.sql(
+      """SELECT cust, a_ok, b_ok,
+        |       least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+        |FROM graft_overlap_join('g_span_a', 'g_span_b', 'cust',
+        |                        'a_s', 'a_e', 'b_s', 'b_e')
+        |WHERE a_ok < b_ok""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_sql_tf_overlap"         -> q133SqlTfOverlap _,
+    "q132_sql_tf_interval"        -> q132SqlTfInterval _,
     "q131_naive_interval_left"    -> q131NaiveIntervalLeft _,
     "q130_sql_tf_heavy_hitters"   -> q130SqlTfHeavyHitters _,
     "q129_sql_tf_asof"            -> q129SqlTfAsof _,
@@ -590,6 +644,45 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    // q132 routes q123's left point-in-interval through the pure-SQL
+    // table function, so it shares the q119/q123 LEFT-BETWEEN oracle
+    "q132_sql_tf_interval" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_id HAVING count(*) >= 3),
+        |err AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, e.event_id, e.ts_us,
+        |  s.session_id, s.start_us, s.end_us
+        |FROM err e LEFT JOIN sess s
+        |  ON s.user_id = e.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us""".stripMargin,
+    // q133 routes q113's overlap join through the pure-SQL table
+    // function, so it shares q113's independent inequality-join oracle
+    "q133_sql_tf_overlap" ->
+      """WITH span AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    epoch_us(o_orderdate) AS s,
+        |    greatest(epoch_us(max(l_shipdate)), epoch_us(o_orderdate)) AS e
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, epoch_us(o_orderdate))
+        |SELECT a.cust, a.ok AS a_ok, b.ok AS b_ok,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+        |FROM span a JOIN span b
+        |  ON a.cust = b.cust AND a.ok < b.ok AND a.s <= b.e AND b.s <= a.e""".stripMargin,
     // q131 computes q119's result through the naive LEFT BETWEEN SQL +
     // the outer interval rewrite, so it shares q119's independent oracle
     "q131_naive_interval_left" ->
