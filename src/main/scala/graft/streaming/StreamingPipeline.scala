@@ -1194,6 +1194,74 @@ object StreamingPipeline {
     keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
   }
 
+  /** STREAM-STREAM as-of join, NATIVE form (completes the watermarked
+    * trio: [[pointInIntervalStream]], [[overlapStream]], and now as-of) —
+    * each probe row enriched with the LATEST same-key version row at or
+    * before its event time, looking back at most `horizon`. Semantics =
+    * [[graft.operators.AsOfJoin.backward]] with `tolerance = horizon`
+    * (inclusive, non-strict), joinType `inner` or `leftOuter`.
+    *
+    * Two chained stateful operators: a watermarked stream-stream join on
+    * the band `probeTs - horizon <= versionTs <= probeTs` (the constant
+    * bounds the engine needs to reap join state), then a per-probe
+    * `max_by` aggregation grouped on the probe's FULL row — including the
+    * watermarked `probeTs`, which is what lets append mode emit each
+    * probe exactly once, when the watermark passes its event time. Unlike
+    * [[temporalAsOfStream]] (O(historyDepth) state/key but exact only
+    * under per-key event-time-ordered arrival), this form is EXACT for
+    * ANY arrival order within the watermarks — the aggregation holds each
+    * probe open until no matching version can still arrive; the price is
+    * join state O(rows inside horizon + watermark) instead of O(depth),
+    * and `horizon` is part of the query's semantics (a version older than
+    * the horizon never matches; the batch operator expresses the same
+    * contract as `tolerance`). Late rows beyond the watermarks drop —
+    * standard stream-stream semantics.
+    *
+    * Probe rows are their own group identity, so they must be DISTINCT
+    * as full rows (duplicate probes would collapse into one output row —
+    * include a unique id column, the [[graft.operators.IntervalJoin
+    * .pointInIntervalLeft]] pointId discipline); version rows should be
+    * unique per (keys, versionTs), or ties resolve arbitrarily (the
+    * batch operator's tiebreak columns have no streaming analog here).
+    *
+    * @param probeTs / versionTs TIMESTAMP columns (event time); non-key
+    *        columns must be disjoint across the sides
+    * @param horizon duration literal ("1 day") — how far back a version
+    *        may be; also the join's state-cleanup band
+    * @param joinType `inner` (probes with no version in the horizon drop)
+    *        or `leftOuter` (kept with null version columns) */
+  def asofStream(probes: DataFrame, versions: DataFrame, keys: Seq[String],
+                 probeTs: String, versionTs: String,
+                 horizon: String,
+                 probeWatermark: String,
+                 versionWatermark: String,
+                 joinType: String = "inner"): DataFrame = {
+    val overlapCols = probes.columns.filterNot(keys.contains).toSet
+      .intersect(versions.columns.filterNot(keys.contains).toSet)
+    require(overlapCols.isEmpty,
+      s"non-key columns must be disjoint, both sides have: ${overlapCols.mkString(",")}")
+    require(delayMicros(horizon) > 0, s"horizon must be positive, got '$horizon'")
+    // accept the batch operator's vocabulary ("left") and Spark's own
+    require(Set("inner", "left", "leftOuter").contains(joinType),
+      s"joinType must be inner or left/leftOuter, got '$joinType'")
+    val sparkJoinType = if (joinType == "inner") "inner" else "leftOuter"
+    val p = probes.withWatermark(probeTs, probeWatermark)
+    val v = versions.withWatermark(versionTs, versionWatermark)
+    val cond = keys.map(k => p(k) === v(k)).reduce(_ && _) &&
+      col(versionTs) <= col(probeTs) &&
+      col(versionTs) >= col(probeTs) - expr(s"INTERVAL $horizon")
+    val joined = keys.foldLeft(p.join(v, cond, sparkJoinType))((df, k) => df.drop(v(k)))
+    val versionCols = versions.columns.filterNot(keys.contains)
+    // per-probe argmax: the newest joined version, expanded back to the
+    // version side's own columns (null-extended when leftOuter matched
+    // nothing — max_by skips null-ordered rows, so the struct stays null)
+    joined
+      .groupBy(probes.columns.map(col).toIndexedSeq: _*)
+      .agg(max_by(struct(versionCols.map(col).toIndexedSeq: _*), col(versionTs)).as("__gasof_v"))
+      .select(probes.columns.toIndexedSeq.map(col) ++
+        versionCols.toIndexedSeq.map(c => col(s"__gasof_v.$c").as(c)): _*)
+  }
+
   /** One side of the temporal as-of stream: `side` = "l" (probe) or "r"
     * (version); `payload` carries the side's data. */
   final case class AsOfSide(key: String, ts: Long, side: String, payload: String)
