@@ -339,9 +339,8 @@ object Dedup {
     * re-analyzing the whole history (on a real cluster flip
     * `graft.checkpoint.reliable=true` to route it to reliable storage —
     * executor loss under localCheckpoint forfeits the partiality). At
-    * extreme
-    * scale swap the propagation for the large-star/small-star rounds of
-    * Kiveris et al. — same DataFrame shape, fewer rounds. */
+    * extreme scale [[connectedComponentsStars]] is the alternative: edge
+    * set only as state, no |V| label table riding every round. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -395,6 +394,95 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Connected components via ALTERNATING large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14 — public algorithm, independently implemented) — the
+    * extreme-scale alternative [[connectedComponents]]'s scaladoc
+    * reserves. Same output contract: one (id, comp) row per vertex, comp
+    * = the component's min id.
+    *
+    * Why a second formulation: label propagation keeps TWO tables alive
+    * every round (the full |V| label table AND the static edge set) and
+    * runs three joins per round (neighbor-min, label update, pointer
+    * jump). The star rounds keep ONLY the edge set — each round rewrites
+    * it in place, monotonically shrinking total edge length — with one
+    * groupBy + one same-key join per phase (the join reuses the groupBy's
+    * partitioning, so each phase is ~2 shuffles, both on the vertex id).
+    * Rounds are O(log² n) worst-case, O(log n) observed; at convergence
+    * every component is a star: each non-root vertex carries exactly one
+    * edge, pointing at the component min.
+    *
+    *  - large-star: every vertex u connects its LARGER neighbors to
+    *    m(u) = min(N(u) ∪ u) — emitted as (v, m) for v ∈ N(u), v > u.
+    *  - small-star: edges canonicalized larger→smaller; every vertex u
+    *    connects its (all smaller) neighbors and itself to m(u).
+    *
+    * Both phases preserve connectivity and never invent it (edges only
+    * ever connect vertices already in one component). Convergence is
+    * detected with a FREE per-round fingerprint — (edge count,
+    * xor of xxhash64(u,v)) observed on the checkpoint-materialization job
+    * itself, the [[connectedComponents]] observe() discipline — and then
+    * CONFIRMED exactly with one `except` check before the loop exits, so
+    * a fingerprint collision can stall a round but never return wrong
+    * labels. Fails loudly if `maxIter` rounds pass without convergence —
+    * never silently-partial labels. */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+                               maxIter: Int = 50): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct().stageCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val canon = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = canon.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val viaNbr = canon.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      viaNbr.union(self).filter(col("u") =!= col("v")).distinct()
+    }
+
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct().stageCheckpoint()
+    var prevFingerprint: Option[(Long, Long)] = None
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prev = edges
+      val observed = smallStar(largeStar(edges)).observe(s"ccs_iter_$iter",
+        count(lit(1)).as("cnt"),
+        expr("bit_xor(xxhash64(u, v))").as("fp"))
+      val next = observed.stageCheckpoint()
+      val row = observed.queryExecution.observedMetrics.getOrElse(s"ccs_iter_$iter",
+        throw new IllegalStateException(
+          s"connectedComponentsStars: observed metric ccs_iter_$iter missing after materialization"))
+      val cnt = Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val fp = Option(row.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      // fingerprint repeat is only the TRIGGER; equality is confirmed
+      // exactly (both frames are materialized distinct sets with equal
+      // counts, so one empty `except` proves set equality)
+      if (prevFingerprint.contains((cnt, fp)))
+        converged = next.except(prev).isEmpty
+      prevFingerprint = Some((cnt, fp))
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStars: no convergence after $maxIter rounds - raise maxIter")
+    nodes.join(edges, nodes("id") === edges("u"), "left")
+      .select(nodes("id"), coalesce(edges("v"), nodes("id")).as("comp"))
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {

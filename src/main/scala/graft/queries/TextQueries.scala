@@ -255,6 +255,19 @@ object TextQueries {
   def q35DedupGroups(spark: SparkSession, dir: String): DataFrame =
     materializedLabels(spark, dir)
 
+  // ---------------------------------------------------------------- q134
+  /** q35's cluster report recomputed LIVE with the alternating
+    * large-star/small-star components
+    * ([[Dedup.connectedComponentsStars]], Kiveris et al.) over the same
+    * materialized pair graph — the extreme-scale CC formulation must
+    * label identically to the propagation one, so it shares q35's
+    * recursive-CTE oracle (and q35's pair-graph build hook, so bench
+    * timing is cluster-only on both). */
+  def q134DedupGroupsStars(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsStars(materializedPairs(spark, dir), "d1", "d2")
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+
   // ---------------------------------------------------------------- q38
   /** Composed corpus-cleaning pipeline — the end-to-end filter a
     * training-data user actually runs: exact-dedup survivors (canonical
@@ -657,7 +670,8 @@ object TextQueries {
     "q25_minhash_lsh"   -> q25MinhashLsh _,
     "q26_simhash"       -> q26Simhash _,
     "q30_fingerprint"   -> q30Fingerprint _,
-    "q35_dedup_groups"  -> q35DedupGroups _
+    "q35_dedup_groups"  -> q35DedupGroups _,
+    "q134_dedup_groups_stars" -> q134DedupGroupsStars _
   )
 
   private val toksSql = """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
@@ -1228,6 +1242,20 @@ object TextQueries {
          |SELECT d1, d2, shared, CAST(shared * 1000000 // (n1 + n2 - shared) AS BIGINT) AS jaccard_ppm
          |FROM pairs WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin,
     "q25_minhash_lsh" -> q25Sql,
+    // q134 recomputes q35's labels with the star-rounds CC — identical
+    // contract, identical oracle
+    "q134_dedup_groups_stars" ->
+      s"""WITH RECURSIVE pairs AS ($q25Sql),
+         |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |verts AS (SELECT DISTINCT a AS id FROM e),
+         |cc AS (
+         |  SELECT id, id AS comp FROM verts
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN e ON cc.id = e.a
+         |),
+         |lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+         |SELECT l.id, l.comp, CAST(c.n AS BIGINT) AS n_members
+         |FROM lab l JOIN (SELECT comp, count(*) AS n FROM lab GROUP BY comp) c USING (comp)""".stripMargin,
     "q35_dedup_groups" ->
       s"""WITH RECURSIVE pairs AS ($q25Sql),
          |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),

@@ -88,6 +88,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStars: parity with label propagation across graph shapes") {
+    import spark.implicits._
+    // deep chain (worst case for naive propagation), star, two blobs,
+    // self-loops, and an isolated pair - plus random graphs below
+    val chain = (1L until 40L).map(i => (i + 1, i))
+    val star = (101L to 110L).map(i => (i, 100L))
+    val fixed = chain ++ star ++ Seq((200L, 201L), (201L, 202L), (202L, 200L),
+      (300L, 300L), (301L, 302L))
+    val want = Dedup.connectedComponents(fixed.toDF("d1", "d2"), "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.connectedComponentsStars(fixed.toDF("d1", "d2"), "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nV = 40 + trial * 20
+      val pairs = Seq.fill(60)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      val wantR = Dedup.connectedComponents(pairs.toDF("d1", "d2"), "d1", "d2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotR = Dedup.connectedComponentsStars(pairs.toDF("d1", "d2"), "d1", "d2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotR == wantR, s"trial $trial")
+    }
+  }
+
+  test("connectedComponentsStars: exhausting maxIter fails loudly, never partial labels") {
+    import spark.implicits._
+    val chain = (1L until 200L).map(i => (i + 1, i))
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStars(chain.toDF("d1", "d2"), "d1", "d2", maxIter = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("no convergence"))
+  }
+
   test("minhashLshPairs over a parquet-round-tripped sketch equals the direct path") {
     import spark.implicits._
     val docs = Seq(
