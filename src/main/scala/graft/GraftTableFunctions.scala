@@ -31,7 +31,8 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *
   * Signatures (trailing arguments optional):
   *  - `graft_asof_join(left, right, keys_csv, left_ts, right_ts
-  *    [, direction [, strict [, tolerance [, join_type [, chunk_width]]]]])`
+  *    [, direction [, strict [, tolerance [, join_type [, chunk_width
+  *    [, tiebreak_csv]]]]]])`
   *  - `graft_point_in_interval(points, intervals, keys_csv, point_ts,
   *    start_col, end_col [, point_id [, bucket_width]])` — a non-empty
   *    `point_id` routes to the LEFT-OUTER operator
@@ -80,7 +81,7 @@ object GraftTableFunctions {
 
   private def asofBuilder(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_asof_join"
-    arity(fn, args, 5, 10)
+    arity(fn, args, 5, 11)
     GraftSql.asofJoinDf(session,
       left = str(fn, args, 0), right = str(fn, args, 1),
       keys = csv(str(fn, args, 2)),
@@ -89,7 +90,7 @@ object GraftTableFunctions {
       strict = opt(args, 6)(bool(fn, args, 6)).getOrElse(false),
       tolerance = opt(args, 7)(lng(fn, args, 7)).filter(_ >= 0),
       joinType = opt(args, 8)(str(fn, args, 8)).getOrElse("inner"),
-      tiebreak = Nil,
+      tiebreak = opt(args, 10)(csv(str(fn, args, 10))).getOrElse(Nil),
       chunkWidth = opt(args, 9)(lng(fn, args, 9)).filter(_ > 0)
     ).queryExecution.analyzed
   }
@@ -137,7 +138,7 @@ object GraftTableFunctions {
       Seq[Expression] => LogicalPlan)] = Seq(
     (new FunctionIdentifier("graft_asof_join"),
       info("graft_asof_join",
-        "graft_asof_join(left, right, keys_csv, left_ts, right_ts[, direction, strict, tolerance, join_type, chunk_width])"),
+        "graft_asof_join(left, right, keys_csv, left_ts, right_ts[, direction, strict, tolerance, join_type, chunk_width, tiebreak_csv])"),
       asofBuilder _),
     (new FunctionIdentifier("graft_point_in_interval"),
       info("graft_point_in_interval",

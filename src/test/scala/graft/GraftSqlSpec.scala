@@ -124,6 +124,16 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) AS n FROM graft_asof_join('gtf_l', 'gtf_r', 'k', 'lts', 'rts')")
       .as[Long].head() == want.count())
+    // tiebreak_csv (11th arg): equal-ts right rows resolved greatest-first
+    Seq(("a", 9L, "r1"), ("a", 9L, "r9"), ("a", 9L, "r5"))
+      .toDF("k", "rts", "rid").createOrReplaceTempView("gtf_r_ties")
+    val tied = spark.sql("SELECT * FROM graft_asof_join('gtf_l', 'gtf_r_ties', 'k', " +
+      "'lts', 'rts', 'backward', false, -1, 'inner', -1, 'rid')")
+    val tiedWant = AsOfJoin.backward(
+      spark.table("gtf_l"), spark.table("gtf_r_ties"), Seq("k"), "lts", "rts",
+      tiebreak = Seq("rid"))
+    assert(rows(tied) == rows(tiedWant))
+    assert(tied.select($"rid").distinct().as[String].collect().toSeq == Seq("r9"))
   }
 
   test("graft_point_in_interval / graft_overlap_join table functions") {
