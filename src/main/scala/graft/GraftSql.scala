@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{AsOfJoin, HeavyHitters, IntervalJoin}
+import graft.operators.{AsOfJoin, Dedup, HeavyHitters, IntervalJoin}
 
 /** SQL-surface verbs for the relational operators Spark lacks natively —
   * the temp-view face of [[AsOfJoin]], [[IntervalJoin]] and
@@ -141,5 +141,34 @@ object GraftSql {
     val t = spark.table(view)
     if (groupCols.isEmpty) HeavyHitters.exact(t, col(itemCol), phiPpm, k)
     else HeavyHitters.exactPerGroup(t, groupCols, col(itemCol), phiPpm, k)
+  }
+
+  /** Connected components over a pair-graph view — the cluster step of
+    * near-dup resolution as a SQL verb: every vertex labeled (id, comp)
+    * with its component's min id. `algorithm` picks the formulation:
+    * `propagation` (default — min-label + pointer jumping, the shallow-
+    * graph winner) or `stars` ([[Dedup.connectedComponentsStars]] — the
+    * deep-graph form; PLANS.md round 11 has the measured split). BOTH
+    * run their iterative driver loop when the verb is CALLED (and, for
+    * the table function, when the query analyzes) — the
+    * `graft_heavy_hitters` eagerness trade, surfaced unchanged. */
+  def connectedComponents(spark: SparkSession, out: String, pairs: String,
+                          aCol: String, bCol: String,
+                          algorithm: String = "propagation"): DataFrame = {
+    val df = connectedComponentsDf(spark, pairs, aCol, bCol, algorithm)
+    df.createOrReplaceTempView(out)
+    df
+  }
+
+  private[graft] def connectedComponentsDf(spark: SparkSession, pairs: String,
+                                           aCol: String, bCol: String,
+                                           algorithm: String): DataFrame = {
+    val t = spark.table(pairs)
+    algorithm match {
+      case "propagation" => Dedup.connectedComponents(t, aCol, bCol)
+      case "stars"       => Dedup.connectedComponentsStars(t, aCol, bCol)
+      case other => throw new IllegalArgumentException(
+        s"algorithm must be propagation|stars, got $other")
+    }
   }
 }

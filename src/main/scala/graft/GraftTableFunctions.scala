@@ -39,6 +39,10 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *  - `graft_overlap_join(left, right, keys_csv, l_start, l_end, r_start,
   *    r_end [, bucket_width])`
   *  - `graft_heavy_hitters(view, item_col, phi_ppm, k [, group_cols_csv])`
+  *  - `graft_connected_components(pairs_view, a_col, b_col
+  *    [, algorithm])` — `propagation` (default) or `stars`; the
+  *    ITERATIVE driver loop runs when the query analyzes, the
+  *    `graft_heavy_hitters` eagerness trade
   */
 object GraftTableFunctions {
 
@@ -119,6 +123,15 @@ object GraftTableFunctions {
     ).queryExecution.analyzed
   }
 
+  private def connectedComponentsBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_connected_components"
+    arity(fn, args, 3, 4)
+    GraftSql.connectedComponentsDf(session,
+      pairs = str(fn, args, 0), aCol = str(fn, args, 1), bCol = str(fn, args, 2),
+      algorithm = opt(args, 3)(str(fn, args, 3)).getOrElse("propagation")
+    ).queryExecution.analyzed
+  }
+
   private def heavyHittersBuilder(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_heavy_hitters"
     arity(fn, args, 4, 5)
@@ -151,7 +164,11 @@ object GraftTableFunctions {
     (new FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters",
         "graft_heavy_hitters(view, item_col, phi_ppm, k[, group_cols_csv])"),
-      heavyHittersBuilder _))
+      heavyHittersBuilder _),
+    (new FunctionIdentifier("graft_connected_components"),
+      info("graft_connected_components",
+        "graft_connected_components(pairs_view, a_col, b_col[, algorithm])"),
+      connectedComponentsBuilder _))
 
   /** Idempotently register all four on a LIVE session (re-registration
     * overwrites with identical builders — harmless). */

@@ -268,6 +268,20 @@ object TextQueries {
       .withColumn("n_members",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
 
+  // ---------------------------------------------------------------- q135
+  /** q35's cluster report with the operator call in PURE SQL — the
+    * `graft_connected_components` table function over the materialized
+    * pair graph registered as a view, cluster sizes added by plain SQL
+    * window over the function's output. Same labels, same oracle. */
+  def q135SqlTfCc(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    materializedPairs(spark, dir).createOrReplaceTempView("g_dedup_pairs")
+    spark.sql(
+      """SELECT id, comp,
+        |       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
+        |FROM graft_connected_components('g_dedup_pairs', 'd1', 'd2')""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- q38
   /** Composed corpus-cleaning pipeline — the end-to-end filter a
     * training-data user actually runs: exact-dedup survivors (canonical
@@ -671,7 +685,8 @@ object TextQueries {
     "q26_simhash"       -> q26Simhash _,
     "q30_fingerprint"   -> q30Fingerprint _,
     "q35_dedup_groups"  -> q35DedupGroups _,
-    "q134_dedup_groups_stars" -> q134DedupGroupsStars _
+    "q134_dedup_groups_stars" -> q134DedupGroupsStars _,
+    "q135_sql_tf_cc"    -> q135SqlTfCc _
   )
 
   private val toksSql = """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
@@ -1242,8 +1257,21 @@ object TextQueries {
          |SELECT d1, d2, shared, CAST(shared * 1000000 // (n1 + n2 - shared) AS BIGINT) AS jaccard_ppm
          |FROM pairs WHERE shared * 1000000 // (n1 + n2 - shared) >= 800000""".stripMargin,
     "q25_minhash_lsh" -> q25Sql,
-    // q134 recomputes q35's labels with the star-rounds CC — identical
-    // contract, identical oracle
+    // q134 recomputes q35's labels with the star-rounds CC, q135 routes
+    // them through the pure-SQL table function — identical contract,
+    // identical oracle
+    "q135_sql_tf_cc" ->
+      s"""WITH RECURSIVE pairs AS ($q25Sql),
+         |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |verts AS (SELECT DISTINCT a AS id FROM e),
+         |cc AS (
+         |  SELECT id, id AS comp FROM verts
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN e ON cc.id = e.a
+         |),
+         |lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+         |SELECT l.id, l.comp, CAST(c.n AS BIGINT) AS n_members
+         |FROM lab l JOIN (SELECT comp, count(*) AS n FROM lab GROUP BY comp) c USING (comp)""".stripMargin,
     "q134_dedup_groups_stars" ->
       s"""WITH RECURSIVE pairs AS ($q25Sql),
          |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),

@@ -178,6 +178,28 @@ class GraftSqlSpec extends AnyFunSuite {
       Set(("s1", "a"), ("s2", "z")))
   }
 
+  test("graft_connected_components: verb and table function, both algorithms") {
+    GraftTableFunctions.ensure(spark)
+    // two components: {1,2,3} (chain) and {7,9}
+    Seq((2L, 1L), (2L, 3L), (9L, 7L))
+      .toDF("d1", "d2").createOrReplaceTempView("gtf_pairs")
+    val want = Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    val viaTf = spark.sql(
+      "SELECT id, comp FROM graft_connected_components('gtf_pairs', 'd1', 'd2')")
+    assert(viaTf.as[(Long, Long)].collect().toSet == want)
+    val viaTfStars = spark.sql(
+      "SELECT id, comp FROM graft_connected_components('gtf_pairs', 'd1', 'd2', 'stars')")
+    assert(viaTfStars.as[(Long, Long)].collect().toSet == want)
+    // the view verb registers the output for further SQL
+    GraftSql.connectedComponents(spark, "gtf_cc_out", "gtf_pairs", "d1", "d2")
+    assert(spark.sql("SELECT count(*) AS n FROM gtf_cc_out WHERE id = comp")
+      .as[Long].head() == 2L) // one root per component
+    intercept[IllegalArgumentException] {
+      GraftSql.connectedComponents(spark, "gtf_cc_bad", "gtf_pairs", "d1", "d2",
+        algorithm = "quantum")
+    }
+  }
+
   test("table functions reject non-literal and malformed arguments loudly") {
     GraftTableFunctions.ensure(spark)
     Seq(("a", 1L)).toDF("k", "ts").createOrReplaceTempView("gtf_bad")
