@@ -82,7 +82,8 @@ object Bench {
     // and the outer interval rewrite (rewritten plans are what's timed)
     "q128_naive_asof_right", "q129_sql_tf_asof", "q130_sql_tf_heavy_hitters",
     "q131_naive_interval_left", "q132_sql_tf_interval", "q133_sql_tf_overlap",
-    "q134_dedup_groups_stars", "q135_sql_tf_cc")
+    "q134_dedup_groups_stars", "q135_sql_tf_cc",
+    "q136_naive_interval_left_residual")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

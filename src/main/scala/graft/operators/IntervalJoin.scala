@@ -138,6 +138,13 @@ object IntervalJoin {
     *                duplicate ids, an unmatched row sharing an id with a
     *                matched one would be wrongly dropped). Uniqueness is
     *                the caller's to guarantee; it is not re-counted here.
+    * @param innerFilter extra JOIN-CONDITION predicate over the matched
+    *                rows (strict-bound re-filters, residual conjuncts of
+    *                a naive LEFT join): applied BEFORE the unmatched-set
+    *                computation, so a point whose every candidate fails
+    *                it null-extends — outer-join-condition semantics,
+    *                which a post-filter on the outer OUTPUT could not
+    *                express (it would drop the null-extended rows).
     */
   def pointInIntervalLeft(
       points: DataFrame,
@@ -147,11 +154,13 @@ object IntervalJoin {
       pointTs: String,
       startCol: String,
       endCol: String,
-      bucketWidth: Long
+      bucketWidth: Long,
+      innerFilter: Option[Column] = None
   ): DataFrame = {
     require(points.columns.contains(pointId), s"pointId $pointId must be a points column")
     require(!keys.contains(pointId), "pointId must not be a join key")
-    val matched = pointInInterval(points, intervals, keys, pointTs, startCol, endCol, bucketWidth)
+    val matchedAll = pointInInterval(points, intervals, keys, pointTs, startCol, endCol, bucketWidth)
+    val matched = innerFilter.map(matchedAll.filter).getOrElse(matchedAll)
     val ivCols = matched.columns.filterNot(points.columns.contains)
     // groupBy, not distinct(): a Deduplicate node injected AFTER
     // ReplaceDeduplicateWithAggregate (the IntervalRewriteRule outer

@@ -46,13 +46,13 @@ import graft.operators.IntervalJoin
   * ambiguous, and pairing the wrong columns as a pseudo-interval could
   * trade the quadratic plan for a worse one. A POINT-PRESERVED outer
   * join (LEFT with the points on the left, or the mirror RIGHT) rewrites
-  * to [[IntervalJoin.pointInIntervalLeft]] when exactness is provable:
-  * the point side exposes a unique id (the single grouping attribute of
-  * an Aggregate — the one uniqueness the rule can see structurally),
-  * both bounds are inclusive (a strict re-filter would DROP
-  * matched-but-not-strictly rows instead of null-extending them), and
-  * there are no residual conjuncts (a post-filter would drop the naive
-  * plan's unmatched null rows); unmatched points then keep one row with
+  * to [[IntervalJoin.pointInIntervalLeft]] when the point side exposes a
+  * provably-unique id (the single grouping attribute of an Aggregate —
+  * the one uniqueness the rule can see structurally); strict bounds and
+  * residual conjuncts route to the operator's `innerFilter`, applied to
+  * matched candidates BEFORE the unmatched set is computed — JOIN-
+  * CONDITION semantics (a post-filter would instead drop the naive
+  * plan's unmatched null rows). Unmatched points then keep one row with
   * null interval columns — including null interval keys, exactly the
   * naive null-extended rows. Any other outer shape keeps the naive plan.
   *
@@ -237,12 +237,13 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     val pid: Option[AttributeReference] =
       if (!leftOuter) None
       else {
-        // Exactness under OUTER needs all three: a strict bound would
-        // re-filter matched-but-not-strictly rows out entirely instead of
-        // null-extending them; a residual post-filter would drop
-        // unmatched null rows the naive plan keeps; and the operator's
-        // anti-join needs a per-point unique id that is not a join key.
-        if (lo.strict || hi.strict || residuals.nonEmpty) return None
+        // Exactness under OUTER needs a per-point unique id (the
+        // operator's anti-join key) that is not itself a join key.
+        // Strict bounds and residual conjuncts are fine: they route to
+        // the operator's `innerFilter` — applied to matched candidates
+        // BEFORE the unmatched set is computed, i.e. join-condition
+        // semantics, not a post-filter (which would drop the naive
+        // plan's null-extended rows).
         uniquePointId(points) match {
           case Some(id) if !keys.exists(_._1.exprId == id.exprId) => Some(id)
           case _                                                  => return None
@@ -414,18 +415,33 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     val tsName = pName(shape.ts.exprId)
 
     val width = PlanStats.cachedWidth(ivDf, sName, eName)
+    // fresh-name forms of the strict-bound re-filters and residuals: under
+    // OUTER they must act as join-condition predicates on the matched
+    // candidates (the operator's innerFilter), under INNER as ordinary
+    // post-filters — same expressions either way
+    def freshRef(x: AttributeReference): String =
+      if (points.outputSet.contains(x)) pName(x.exprId)
+      else ivKeyIdx(x).map(keyName).getOrElse(ivName(x.exprId))
+    val freshResiduals = shape.residuals.map(r => GraftSqlShim.column(
+      r.transformUp { case ar: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(freshRef(ar))
+      }))
+    val strictFilters =
+      (if (shape.lo.strict) Seq(col(sName) < col(tsName)) else Nil) ++
+      (if (shape.hi.strict) Seq(col(tsName) < col(eName)) else Nil)
     var out = shape.outerPointId match {
       case Some(id) => // point-preserved outer: unmatched points keep one
-        // null-extended row, keyed off the provably-unique point id
+        // null-extended row, keyed off the provably-unique point id;
+        // strict bounds + residuals applied INSIDE, before the anti-join
         IntervalJoin.pointInIntervalLeft(pDf, ivDf, keyName, pName(id.exprId),
-          tsName, sName, eName, width)
+          tsName, sName, eName, width,
+          innerFilter = (strictFilters ++ freshResiduals).reduceOption(_ && _))
       case None =>
         IntervalJoin.pointInInterval(pDf, ivDf, keyName, tsName, sName, eName, width)
     }
     // the operator's containment is inclusive; re-impose strict bounds
-    // (inner only — matchShape vetoes strict bounds under outer)
-    if (shape.lo.strict) out = out.filter(col(sName) < col(tsName))
-    if (shape.hi.strict) out = out.filter(col(tsName) < col(eName))
+    // (inner path — the outer path folded them into innerFilter above)
+    if (shape.outerPointId.isEmpty) strictFilters.foreach(f => out = out.filter(f))
 
     val outPlan = out.queryExecution.analyzed
     val byName  = outPlan.output.map(a => a.name -> a).toMap
@@ -445,7 +461,7 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
       case other => other
     }
     val withResiduals =
-      if (shape.residuals.isEmpty) outPlan
+      if (shape.residuals.isEmpty || shape.outerPointId.isDefined) outPlan // outer: inside
       else Filter(
         shape.residuals
           .map(_.transformUp { case ar: AttributeReference => renamed(ar) })

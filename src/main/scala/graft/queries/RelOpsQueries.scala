@@ -613,7 +613,44 @@ object RelOpsQueries {
         |WHERE a_ok < b_ok""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q136
+  /** q131's naive LEFT BETWEEN spelling widened with a STRICT lower
+    * bound and a RESIDUAL conjunct ("error strictly inside the session,
+    * in its second half") — the round-11 extension of the outer interval
+    * rewrite: both route to the operator's `innerFilter`, applied to
+    * matched candidates BEFORE the unmatched set is computed
+    * (join-condition semantics — a post-filter would drop the naive
+    * plan's null-extended rows). Oracle is the same LEFT JOIN in DuckDB
+    * with the identical extra conjuncts. */
+  def q136NaiveIntervalLeftResidual(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.IntervalRewriteRule.ensure(spark)
+    EventQueries.q12Sessions(spark, dir)
+      .select($"user_id", $"session_id", $"start_us", $"end_us")
+      .createOrReplaceTempView("g_sessions")
+    ev(spark, dir)
+      .filter($"event_type" === "error")
+      .select($"event_id", $"user_id".as("e_user"), $"ts_us")
+      .createOrReplaceTempView("g_errors_raw")
+    spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "true")
+    try {
+      val df = spark.sql(
+        """WITH e AS (
+          |  SELECT event_id, max(e_user) AS e_user, max(ts_us) AS ts_us
+          |  FROM g_errors_raw GROUP BY event_id)
+          |SELECT e.e_user AS user_id, e.event_id, e.ts_us,
+          |       s.session_id, s.start_us, s.end_us
+          |FROM e LEFT JOIN g_sessions s
+          |  ON e.e_user = s.user_id
+          | AND e.ts_us > s.start_us AND e.ts_us <= s.end_us
+          | AND (e.ts_us - s.start_us) * 2 >= (s.end_us - s.start_us)""".stripMargin)
+      df.queryExecution.executedPlan // plan NOW, while the rule is on
+      df
+    } finally spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_naive_interval_left_residual" -> q136NaiveIntervalLeftResidual _,
     "q133_sql_tf_overlap"         -> q133SqlTfOverlap _,
     "q132_sql_tf_interval"        -> q132SqlTfInterval _,
     "q131_naive_interval_left"    -> q131NaiveIntervalLeft _,
@@ -644,6 +681,34 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    // q136 is q131's LEFT BETWEEN with a strict lower bound + residual —
+    // the identical LEFT JOIN in DuckDB is the oracle
+    "q136_naive_interval_left_residual" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_id HAVING count(*) >= 3),
+        |err AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, e.event_id, e.ts_us,
+        |  s.session_id, s.start_us, s.end_us
+        |FROM err e LEFT JOIN sess s
+        |  ON s.user_id = e.user_id
+        | AND e.ts_us > s.start_us AND e.ts_us <= s.end_us
+        | AND (e.ts_us - s.start_us) * 2 >= (s.end_us - s.start_us)""".stripMargin,
     // q132 routes q123's left point-in-interval through the pure-SQL
     // table function, so it shares the q119/q123 LEFT-BETWEEN oracle
     "q132_sql_tf_interval" ->

@@ -15,6 +15,15 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
+  /** Wrap a catalyst [[org.apache.spark.sql.catalyst.expressions.Expression]]
+    * as a public [[org.apache.spark.sql.Column]] — the inverse hop of
+    * [[ofRows]], used by the interval rewrite to hand a transformed
+    * residual predicate to an operator that takes `Column`s. Same story:
+    * `classic.ExpressionUtils.column` is the accessor extension libraries
+    * use; nothing else internal is touched. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** Register a table-valued function on a LIVE session's registry — the
     * `experimental.extraOptimizations` analog for table functions, needed
     * because `SparkSessionExtensions.injectTableFunction` only applies at

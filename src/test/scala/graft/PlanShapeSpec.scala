@@ -257,6 +257,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "rewritten outer interval join degraded to a nested-loop product")
   }
 
+  test("q136: LEFT BETWEEN + strict bound + residual still optimizes to the bucketized plan") {
+    val df = SparkEntry.queries("q136_naive_interval_left_residual")(spark, dir)
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty,
+      "strict/residual outer shape was not bucketized — the innerFilter outer rewrite did not fire")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "rewritten outer interval join degraded to a nested-loop product")
+  }
+
   test("q126: the naive overlap SQL optimizes to the canonical-cell join") {
     val df = SparkEntry.queries("q126_naive_overlap_rewrite")(spark, dir)
     val gens = df.queryExecution.optimizedPlan.collect {

@@ -176,6 +176,25 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("left-outer innerFilter: join-condition semantics, not a post-filter") {
+    val pts = Seq(("a", 10L, "p1"), ("a", 12L, "p2")).toDF("k", "ts", "pid")
+    val ivs = Seq(("a", 5L, 15L, "even"), ("a", 9L, 13L, "odd")).toDF("k", "s", "e", "iid")
+    // candidates whose iid fails the predicate don't just drop — the
+    // point null-extends when NO candidate passes (p2 matches both
+    // intervals but only 'odd' passes; with iid='none' nothing passes)
+    val out = IntervalJoin
+      .pointInIntervalLeft(pts, ivs, Seq("k"), "pid", "ts", "s", "e", bucketWidth = 7L,
+        innerFilter = Some($"iid" === "odd"))
+      .select($"pid", $"iid").as[(String, Option[String])].collect().toSet
+    assert(out == Set(("p1", Some("odd")), ("p2", Some("odd"))))
+    val none = IntervalJoin
+      .pointInIntervalLeft(pts, ivs, Seq("k"), "pid", "ts", "s", "e", bucketWidth = 7L,
+        innerFilter = Some($"iid" === "nope"))
+      .select($"pid", $"iid").as[(String, Option[String])].collect().toSet
+    assert(none == Set(("p1", None), ("p2", None)),
+      "innerFilter must null-extend filtered-out points, not drop them")
+  }
+
   test("guards: reserved __ columns and out-of-range widths fail loudly") {
     val pts = Seq(("a", 10L, "p1")).toDF("k", "ts", "__pid")
     val ivs = Seq(("a", 10L, 20L, "i1")).toDF("k", "s", "e", "iid")

@@ -149,11 +149,15 @@ class IntervalRewriteSpec extends AnyFunSuite {
 
   test("randomized conjunct forms: every firing rewrite matches the naive plan") {
     val rnd = new Random(4040)
-    for (round <- 1 to 10) {
-      val (points, intervals) = fixture(200 + round)
+    for (round <- 1 to 14) {
+      val (points0, intervals) = fixture(200 + round)
       val strictLo = rnd.nextBoolean(); val strictHi = rnd.nextBoolean()
       val flipKey  = rnd.nextBoolean(); val flipLo   = rnd.nextBoolean()
       val flipHi   = rnd.nextBoolean(); val residual = rnd.nextBoolean()
+      // outer needs the provable-unique point side; flipSides spells it
+      // as intervals RIGHT JOIN points (the mirror the matcher accepts)
+      val outer = rnd.nextBoolean(); val flipSides = rnd.nextBoolean()
+      val points = if (outer) uniquePoints(points0) else points0
       def mk(): DataFrame = {
         val key = if (flipKey) col("ik") === col("k") else col("k") === col("ik")
         val lo = (strictLo, flipLo) match {
@@ -170,12 +174,16 @@ class IntervalRewriteSpec extends AnyFunSuite {
         }
         val conds = List(key, lo, hi) ++
           (if (residual) List(col("ts") % 3L =!= col("s") % 3L) else Nil)
-        points.join(intervals, new Random(round).shuffle(conds).reduce(_ && _))
+        val cond = new Random(round).shuffle(conds).reduce(_ && _)
+        if (outer && flipSides) intervals.join(points, cond, "right")
+        else if (outer) points.join(intervals, cond, "left")
+        else if (flipSides) intervals.join(points, cond)
+        else points.join(intervals, cond)
       }
       val off = withRule(on = false)(collectSorted(mk()))
       val (on, onExpl) = withRule(on = true)((collectSorted(mk()), exploded(mk())))
-      assert(onExpl, s"round $round (sLo=$strictLo sHi=$strictHi res=$residual): no rewrite")
-      assert(on == off, s"round $round (sLo=$strictLo sHi=$strictHi res=$residual): diverged")
+      assert(onExpl, s"round $round (sLo=$strictLo sHi=$strictHi res=$residual outer=$outer): no rewrite")
+      assert(on == off, s"round $round (sLo=$strictLo sHi=$strictHi res=$residual outer=$outer): diverged")
     }
   }
 
@@ -210,22 +218,35 @@ class IntervalRewriteSpec extends AnyFunSuite {
       col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "right"))
   }
 
-  test("outer negatives: no provable unique id / strict bound / residual keep the naive plan") {
+  test("LEFT OUTER strict bounds and residuals rewrite via innerFilter (join-condition semantics)") {
+    val (points0, intervals) = fixture(13)
+    val points = uniquePoints(points0)
+    // strict bound: matched-but-not-strictly candidates null-extend
+    // (applied inside, before the anti-join) — parity proves it
+    val strictRows = assertRewrites(() => points.join(intervals,
+      col("k") === col("ik") && col("s") < col("ts") && col("ts") <= col("e"), "left"))
+    assert(strictRows.nonEmpty)
+    // residual conjunct: points whose every candidate fails it null-extend
+    def mkRes() = points.join(intervals,
+      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e") &&
+        col("ts") % 2L === col("s") % 2L, "left")
+    val resRows = assertRewrites(mkRes)
+    val iidIdx = mkRes().columns.indexOf("iid")
+    assert(resRows.exists(r => r(iidIdx) == "null"),
+      "expected at least one residual-failed point to null-extend")
+    // both at once, mixed orientations
+    assertRewrites(() => points.join(intervals,
+      col("ik") === col("k") && col("ts") > col("s") && col("e") >= col("ts") &&
+        col("ts") % 3L =!= col("s") % 3L, "left"))
+  }
+
+  test("outer negatives: no provable unique id / interval-preserved keep the naive plan") {
     val (points0, intervals) = fixture(13)
     val points = uniquePoints(points0)
     // raw points (no Aggregate) — uniqueness not provable
     assertKeepsPlan(() => points0.join(intervals,
       col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "left"),
       "fired on an outer join without a provable unique point id")
-    // strict bound — a re-filter would drop rows instead of null-extending
-    assertKeepsPlan(() => points.join(intervals,
-      col("k") === col("ik") && col("s") < col("ts") && col("ts") <= col("e"), "left"),
-      "fired on an outer join with a strict bound")
-    // residual conjunct — a post-filter would drop unmatched null rows
-    assertKeepsPlan(() => points.join(intervals,
-      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e") &&
-        col("ts") % 2L === col("s") % 2L, "left"),
-      "fired on an outer join with a residual conjunct")
     // interval-preserved outer — not expressible as pointInIntervalLeft
     assertKeepsPlan(() => intervals.join(points,
       col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "left"),
