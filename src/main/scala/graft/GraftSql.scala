@@ -99,15 +99,19 @@ object GraftSql {
 
   /** [[IntervalJoin.overlap]] over two views: all same-key (left, right)
     * interval pairs with a non-empty intersection. `bucketWidth` defaults
-    * to the median span of the UNION of both sides' spans. For a
-    * self-join, register the same data under two views with non-key
-    * columns renamed apart and apply an anti-reflexive filter on the
-    * output view. */
+    * to the median span of the UNION of both sides' spans. A non-empty
+    * `leftId` (the left view's unique id column) routes to
+    * [[IntervalJoin.overlapLeft]] — every left row preserved, unmatched
+    * ones null-extended. For a self-join, register the same data under
+    * two views with non-key columns renamed apart and apply an
+    * anti-reflexive filter on the output view. */
   def overlapJoin(spark: SparkSession, out: String, left: String, right: String,
                   keys: Seq[String], lStart: String, lEnd: String,
                   rStart: String, rEnd: String,
-                  bucketWidth: Option[Long] = None): DataFrame = {
-    val df = overlapJoinDf(spark, left, right, keys, lStart, lEnd, rStart, rEnd, bucketWidth)
+                  bucketWidth: Option[Long] = None,
+                  leftId: Option[String] = None): DataFrame = {
+    val df = overlapJoinDf(spark, left, right, keys, lStart, lEnd, rStart, rEnd,
+      bucketWidth, leftId)
     df.createOrReplaceTempView(out)
     df
   }
@@ -115,7 +119,8 @@ object GraftSql {
   private[graft] def overlapJoinDf(spark: SparkSession, left: String, right: String,
                                    keys: Seq[String], lStart: String, lEnd: String,
                                    rStart: String, rEnd: String,
-                                   bucketWidth: Option[Long]): DataFrame = {
+                                   bucketWidth: Option[Long],
+                                   leftId: Option[String] = None): DataFrame = {
     val l = spark.table(left)
     val r = spark.table(right)
     val width = bucketWidth.getOrElse {
@@ -123,7 +128,10 @@ object GraftSql {
         .unionByName(r.select(col(rStart).as("s"), col(rEnd).as("e")))
       graft.plans.PlanStats.cachedWidth(spans, "s", "e")
     }
-    IntervalJoin.overlap(l, r, keys, lStart, lEnd, rStart, rEnd, width)
+    leftId match {
+      case Some(id) => IntervalJoin.overlapLeft(l, r, keys, id, lStart, lEnd, rStart, rEnd, width)
+      case None     => IntervalJoin.overlap(l, r, keys, lStart, lEnd, rStart, rEnd, width)
+    }
   }
 
   /** Exact heavy hitters over a view's column — [[HeavyHitters.exact]]

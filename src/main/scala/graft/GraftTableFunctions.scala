@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    start_col, end_col [, point_id [, bucket_width]])` — a non-empty
   *    `point_id` routes to the LEFT-OUTER operator
   *  - `graft_overlap_join(left, right, keys_csv, l_start, l_end, r_start,
-  *    r_end [, bucket_width])`
+  *    r_end [, bucket_width [, left_id]])` — a non-empty `left_id` routes
+  *    to the LEFT-OUTER operator
   *  - `graft_heavy_hitters(view, item_col, phi_ppm, k [, group_cols_csv])`
   *  - `graft_connected_components(pairs_view, a_col, b_col
   *    [, algorithm])` — `propagation` (default) or `stars`; the
@@ -113,13 +114,14 @@ object GraftTableFunctions {
 
   private def overlapBuilder(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_overlap_join"
-    arity(fn, args, 7, 8)
+    arity(fn, args, 7, 9)
     GraftSql.overlapJoinDf(session,
       left = str(fn, args, 0), right = str(fn, args, 1),
       keys = csv(str(fn, args, 2)),
       lStart = str(fn, args, 3), lEnd = str(fn, args, 4),
       rStart = str(fn, args, 5), rEnd = str(fn, args, 6),
-      bucketWidth = opt(args, 7)(lng(fn, args, 7)).filter(_ > 0)
+      bucketWidth = opt(args, 7)(lng(fn, args, 7)).filter(_ > 0),
+      leftId = opt(args, 8)(str(fn, args, 8)).filter(_.nonEmpty)
     ).queryExecution.analyzed
   }
 
@@ -159,7 +161,7 @@ object GraftTableFunctions {
       pointInIntervalBuilder _),
     (new FunctionIdentifier("graft_overlap_join"),
       info("graft_overlap_join",
-        "graft_overlap_join(left, right, keys_csv, l_start, l_end, r_start, r_end[, bucket_width])"),
+        "graft_overlap_join(left, right, keys_csv, l_start, l_end, r_start, r_end[, bucket_width, left_id])"),
       overlapBuilder _),
     (new FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters",

@@ -293,4 +293,43 @@ object IntervalJoin {
       .filter(overlaps && canonical)
       .drop("__cell")
   }
+
+  /** Left-outer [[overlap]]: every LEFT interval row is preserved; rows
+    * with no same-key overlapping partner carry null right columns —
+    * `matched ∪ (left LEFT ANTI matched-ids)`, the
+    * [[pointInIntervalLeft]] construction. Matching follows [[overlap]]'s
+    * valid-span contract: a malformed left interval (null bounds or
+    * `start > end`) matches nothing and is preserved null-extended.
+    *
+    * @param leftId a column UNIQUE per left row (the anti-join key —
+    *               same contract as [[pointInIntervalLeft]]'s pointId)
+    * @param innerFilter extra JOIN-CONDITION predicate over matched
+    *               pairs, applied BEFORE the unmatched-set computation
+    *               (outer-join-condition semantics, not a post-filter) */
+  def overlapLeft(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftId: String,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketWidth: Long,
+      innerFilter: Option[Column] = None
+  ): DataFrame = {
+    require(left.columns.contains(leftId), s"leftId $leftId must be a left-side column")
+    require(!keys.contains(leftId), "leftId must not be a join key")
+    val matchedAll = overlap(left, right, keys, lStart, lEnd, rStart, rEnd, bucketWidth)
+    val matched = innerFilter.map(matchedAll.filter).getOrElse(matchedAll)
+    val rCols = matched.columns.filterNot(left.columns.contains)
+    // groupBy, not distinct() — see pointInIntervalLeft (a Deduplicate
+    // injected post-optimization would reach the planner unreplaced)
+    val matchedIds = matched.groupBy(col(leftId)).agg(count(lit(1)).as("__n")).drop("__n")
+    val unmatched = left
+      .join(matchedIds, Seq(leftId), "left_anti")
+      .select(left.columns.toSeq.map(col) ++
+        rCols.toSeq.map(c => lit(null).cast(matched.schema(c).dataType).as(c)): _*)
+    matched.unionByName(unmatched)
+  }
 }

@@ -195,6 +195,43 @@ class IntervalJoinSpec extends AnyFunSuite {
       "innerFilter must null-extend filtered-out points, not drop them")
   }
 
+  test("overlapLeft: parity with the naive LEFT theta join; malformed left rows preserved") {
+    val rnd = new Random(3311)
+    val keys = Seq("a", "b", "c")
+    val L = (1 to 120).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (keys(rnd.nextInt(3)), s, s + rnd.nextInt(50), s"l$i")
+    }
+    val R = (1 to 60).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (keys(rnd.nextInt(3)), s, s + rnd.nextInt(50), s"r$i")
+    }
+    val l = L.toDF("k", "ls", "le", "lid")
+    val r = R.toDF("k", "rs", "re", "rid")
+    val want = l.as("l").join(r.as("r"),
+        $"l.k" === $"r.k" && $"ls" <= $"re" && $"rs" <= $"le", "left")
+      .select($"lid", $"rid").as[(String, Option[String])].collect().toSet
+    for (w <- Seq(1L, 17L, 100000L)) {
+      val got = IntervalJoin
+        .overlapLeft(l, r, Seq("k"), "lid", "ls", "le", "rs", "re", bucketWidth = w)
+        .select($"lid", $"rid").as[(String, Option[String])].collect().toSet
+      assert(got == want, s"bucketWidth=$w")
+    }
+    // a malformed left interval matches nothing but survives null-extended
+    val withBad = l.unionByName(Seq(("a", 50L, 10L, "bad")).toDF("k", "ls", "le", "lid"))
+    val gotBad = IntervalJoin
+      .overlapLeft(withBad, r, Seq("k"), "lid", "ls", "le", "rs", "re", bucketWidth = 17L)
+      .filter($"lid" === "bad")
+      .select($"lid", $"rid").as[(String, Option[String])].collect().toSet
+    assert(gotBad == Set(("bad", None)))
+    // innerFilter: join-condition semantics (null-extends, never drops)
+    val filtered = IntervalJoin
+      .overlapLeft(l, r, Seq("k"), "lid", "ls", "le", "rs", "re", bucketWidth = 17L,
+        innerFilter = Some($"rid" === "nope"))
+      .select($"lid", $"rid").as[(String, Option[String])].collect().toSet
+    assert(filtered == L.map(x => (x._4, None: Option[String])).toSet)
+  }
+
   test("guards: reserved __ columns and out-of-range widths fail loudly") {
     val pts = Seq(("a", 10L, "p1")).toDF("k", "ts", "__pid")
     val ivs = Seq(("a", 10L, 20L, "i1")).toDF("k", "s", "e", "iid")
