@@ -80,14 +80,21 @@ object GraftTableFunctions {
 
   private def csv(s: String): Seq[String] = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
-  private def session: SparkSession = SparkSession.active
-
   // ------------------------------------------------------------- builders
+  // Each builder closes over a SESSION PROVIDER: [[ensure]] binds the
+  // session it was called on, so in a multi-session JVM the function
+  // resolves views and confs from its OWNING session no matter which
+  // session is active when a query analyzes. The [[GraftExtensions]]
+  // path cannot capture one (extension injection runs before the session
+  // exists), so it falls back to `SparkSession.active` — correct there
+  // because injected functions are registered per-session into the very
+  // session being built, and that session is active while its own
+  // queries analyze.
 
-  private def asofBuilder(args: Seq[Expression]): LogicalPlan = {
+  private def asofBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_asof_join"
     arity(fn, args, 5, 11)
-    GraftSql.asofJoinDf(session,
+    GraftSql.asofJoinDf(sess(),
       left = str(fn, args, 0), right = str(fn, args, 1),
       keys = csv(str(fn, args, 2)),
       leftTs = str(fn, args, 3), rightTs = str(fn, args, 4),
@@ -100,10 +107,10 @@ object GraftTableFunctions {
     ).queryExecution.analyzed
   }
 
-  private def pointInIntervalBuilder(args: Seq[Expression]): LogicalPlan = {
+  private def pointInIntervalBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_point_in_interval"
     arity(fn, args, 6, 8)
-    GraftSql.pointInIntervalDf(session,
+    GraftSql.pointInIntervalDf(sess(),
       points = str(fn, args, 0), intervals = str(fn, args, 1),
       keys = csv(str(fn, args, 2)),
       pointTs = str(fn, args, 3), startCol = str(fn, args, 4), endCol = str(fn, args, 5),
@@ -112,10 +119,10 @@ object GraftTableFunctions {
     ).queryExecution.analyzed
   }
 
-  private def overlapBuilder(args: Seq[Expression]): LogicalPlan = {
+  private def overlapBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_overlap_join"
     arity(fn, args, 7, 9)
-    GraftSql.overlapJoinDf(session,
+    GraftSql.overlapJoinDf(sess(),
       left = str(fn, args, 0), right = str(fn, args, 1),
       keys = csv(str(fn, args, 2)),
       lStart = str(fn, args, 3), lEnd = str(fn, args, 4),
@@ -125,19 +132,19 @@ object GraftTableFunctions {
     ).queryExecution.analyzed
   }
 
-  private def connectedComponentsBuilder(args: Seq[Expression]): LogicalPlan = {
+  private def connectedComponentsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_connected_components"
     arity(fn, args, 3, 4)
-    GraftSql.connectedComponentsDf(session,
+    GraftSql.connectedComponentsDf(sess(),
       pairs = str(fn, args, 0), aCol = str(fn, args, 1), bCol = str(fn, args, 2),
       algorithm = opt(args, 3)(str(fn, args, 3)).getOrElse("propagation")
     ).queryExecution.analyzed
   }
 
-  private def heavyHittersBuilder(args: Seq[Expression]): LogicalPlan = {
+  private def heavyHittersBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_heavy_hitters"
     arity(fn, args, 4, 5)
-    GraftSql.heavyHittersDf(session,
+    GraftSql.heavyHittersDf(sess(),
       view = str(fn, args, 0), itemCol = str(fn, args, 1),
       phiPpm = lng(fn, args, 2), k = lng(fn, args, 3).toInt,
       groupCols = opt(args, 4)(csv(str(fn, args, 4))).getOrElse(Nil)
@@ -148,34 +155,43 @@ object GraftTableFunctions {
     new ExpressionInfo(GraftTableFunctions.getClass.getName, null, name, usage, "", "", "",
       "table_funcs", "4.0.0", "", "built-in")
 
-  /** The (identifier, info, builder) triples both registration paths use. */
-  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+  /** The (identifier, info, builder) triples, with every builder bound
+    * to `sess` as its owning-session provider. */
+  def descriptionsFor(sess: () => SparkSession): Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
     (new FunctionIdentifier("graft_asof_join"),
       info("graft_asof_join",
         "graft_asof_join(left, right, keys_csv, left_ts, right_ts[, direction, strict, tolerance, join_type, chunk_width, tiebreak_csv])"),
-      asofBuilder _),
+      asofBuilder(sess) _),
     (new FunctionIdentifier("graft_point_in_interval"),
       info("graft_point_in_interval",
         "graft_point_in_interval(points, intervals, keys_csv, point_ts, start_col, end_col[, point_id, bucket_width])"),
-      pointInIntervalBuilder _),
+      pointInIntervalBuilder(sess) _),
     (new FunctionIdentifier("graft_overlap_join"),
       info("graft_overlap_join",
         "graft_overlap_join(left, right, keys_csv, l_start, l_end, r_start, r_end[, bucket_width, left_id])"),
-      overlapBuilder _),
+      overlapBuilder(sess) _),
     (new FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters",
         "graft_heavy_hitters(view, item_col, phi_ppm, k[, group_cols_csv])"),
-      heavyHittersBuilder _),
+      heavyHittersBuilder(sess) _),
     (new FunctionIdentifier("graft_connected_components"),
       info("graft_connected_components",
         "graft_connected_components(pairs_view, a_col, b_col[, algorithm])"),
-      connectedComponentsBuilder _))
+      connectedComponentsBuilder(sess) _))
 
-  /** Idempotently register all four on a LIVE session (re-registration
-    * overwrites with identical builders — harmless). */
+  /** The [[GraftExtensions]] registration set: builders resolve through
+    * `SparkSession.active` (no session exists at injection time — see the
+    * builder note above). Sessions needing a pinned owner use [[ensure]]. */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = descriptionsFor(() => SparkSession.active)
+
+  /** Idempotently register all five on a LIVE session (re-registration
+    * overwrites — harmless), with the builders BOUND to `spark`: queries
+    * analyzed while a different session is active still resolve views
+    * and confs from the session the functions were registered on. */
   def ensure(spark: SparkSession): Unit =
-    descriptions.foreach { case (ident, inf, builder) =>
+    descriptionsFor(() => spark).foreach { case (ident, inf, builder) =>
       GraftSqlShim.registerTableFunction(spark, ident, inf, builder)
     }
 }

@@ -36,16 +36,31 @@ private[graft] object DirSwap {
 
   /** Schemes whose `rename` is atomic (a metadata move). `null` scheme =
     * the default FS, which in every deployment this library targets is
-    * local or HDFS — both atomic. */
+    * local or HDFS — both atomic. Other rename-atomic stores (abfs with
+    * hierarchical namespace, o3fs, maprfs, …) opt in per session through
+    * [[AtomicSchemesConf]] — the guard must not hard-fail deployments
+    * whose filesystem genuinely renames atomically, but the OPERATOR
+    * asserting that is a deployment fact this library can't probe, so
+    * it's a conf, not a heuristic. */
   private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
 
-  private def requireAtomicRename(path: org.apache.hadoop.fs.Path): Unit = {
+  /** Comma-separated extra URI schemes the operator asserts rename
+    * atomically (e.g. `abfs,o3fs`). Appended to the built-in allowlist. */
+  val AtomicSchemesConf = "spark.graft.dirswap.atomicSchemes"
+
+  private[operators] def allowedSchemes(spark: SparkSession): Set[String] =
+    AtomicRenameSchemes ++ spark.conf.get(AtomicSchemesConf, "")
+      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
+
+  private[operators] def requireAtomicRename(spark: SparkSession, path: org.apache.hadoop.fs.Path): Unit = {
+    val allowed = allowedSchemes(spark)
     val scheme = path.toUri.getScheme
-    require(scheme == null || AtomicRenameSchemes.contains(scheme),
+    require(scheme == null || allowed.contains(scheme.toLowerCase),
       s"DirSwap: $path uses scheme '$scheme', whose rename is not atomic (copy-then-delete " +
         "on object stores) - a crash mid-swap could leave partial copies under both names " +
         "and recover would keep a partial live table; swap-maintained tables require an " +
-        s"atomic-rename filesystem (${AtomicRenameSchemes.mkString("/")})")
+        s"atomic-rename filesystem (${allowed.mkString("/")}; rename-atomic stores can opt " +
+        s"in via $AtomicSchemesConf)")
   }
 
   /** Rewrite the live table through `rewrite` (e.g. a repartition) into a
@@ -54,7 +69,7 @@ private[graft] object DirSwap {
   def swapRewrite(spark: SparkSession, dir: String)(rewrite: DataFrame => DataFrame)(
       write: (DataFrame, String) => Unit): Unit = {
     val live = new org.apache.hadoop.fs.Path(dir)
-    requireAtomicRename(live)
+    requireAtomicRename(spark, live)
     recover(spark, dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"DirSwap: no table at $dir")

@@ -138,6 +138,10 @@ object IntervalJoin {
     *                duplicate ids, an unmatched row sharing an id with a
     *                matched one would be wrongly dropped). Uniqueness is
     *                the caller's to guarantee; it is not re-counted here.
+    *                NULL is a legal id for AT MOST ONE row: the anti join
+    *                is null-safe (`<=>`), so a matched NULL-id point does
+    *                not re-emit null-extended — which also means two
+    *                NULL-id rows would collide like any duplicate id.
     * @param innerFilter extra JOIN-CONDITION predicate over the matched
     *                rows (strict-bound re-filters, residual conjuncts of
     *                a naive LEFT join): applied BEFORE the unmatched-set
@@ -167,11 +171,23 @@ object IntervalJoin {
     // path) would reach the planner unreplaced; the aggregate is what
     // the optimizer turns distinct into anyway — same physical plan
     val matchedIds = matched.groupBy(col(pointId)).agg(count(lit(1)).as("__n")).drop("__n")
-    val unmatched = points
-      .join(matchedIds, Seq(pointId), "left_anti")
+    val unmatched = antiByIdNullSafe(points, matchedIds, pointId)
       .select(points.columns.toSeq.map(col) ++
         ivCols.toSeq.map(c => lit(null).cast(matched.schema(c).dataType).as(c)): _*)
     matched.unionByName(unmatched)
+  }
+
+  /** `rows LEFT ANTI matchedIds` on the id column, NULL-SAFE: a plain
+    * USING anti-join compares with `=`, under which NULL never equals
+    * NULL — a row whose id is NULL and that DID match would re-emit as a
+    * spurious null-extended "unmatched" row. The rewrite rules' outer
+    * path feeds the id from an Aggregate's grouping attribute, whose one
+    * NULL group is a legitimate id value, so the comparison must be
+    * `<=>`. The rename to a reserved name keeps the condition
+    * unambiguous ([[requireNoReserved]] bars callers from `__`). */
+  private def antiByIdNullSafe(rows: DataFrame, matchedIds: DataFrame, id: String): DataFrame = {
+    val ids = matchedIds.withColumnRenamed(id, "__gmid")
+    rows.join(ids, rows(id) <=> ids("__gmid"), "left_anti")
   }
 
   /** Data-derived bucket width: the MEDIAN of the POSITIVE interval spans
@@ -326,8 +342,7 @@ object IntervalJoin {
     // groupBy, not distinct() — see pointInIntervalLeft (a Deduplicate
     // injected post-optimization would reach the planner unreplaced)
     val matchedIds = matched.groupBy(col(leftId)).agg(count(lit(1)).as("__n")).drop("__n")
-    val unmatched = left
-      .join(matchedIds, Seq(leftId), "left_anti")
+    val unmatched = antiByIdNullSafe(left, matchedIds, leftId)
       .select(left.columns.toSeq.map(col) ++
         rCols.toSeq.map(c => lit(null).cast(matched.schema(c).dataType).as(c)): _*)
     matched.unionByName(unmatched)

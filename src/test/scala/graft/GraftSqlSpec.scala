@@ -200,6 +200,29 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("ensure() binds builders to the registering session, not SparkSession.active") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    // views exist ONLY in `spark`; `other` is a sibling session with its
+    // own temp-view catalog. A builder bound to `spark` must resolve them
+    // even while `other` is the active session (the multi-session-JVM
+    // hazard: analysis triggered outside the owning session's withActive).
+    Seq(("a", 10L, "l1"), ("a", 20L, "l2")).toDF("k", "lts", "lid")
+      .createOrReplaceTempView("gtf_bind_l")
+    Seq(("a", 9L, "r1"), ("a", 15L, "r2")).toDF("k", "rts", "rid")
+      .createOrReplaceTempView("gtf_bind_r")
+    val builder = GraftTableFunctions.descriptionsFor(() => spark)
+      .find(_._1.funcName == "graft_asof_join").get._3
+    val other = spark.newSession()
+    SparkSession.setActiveSession(other)
+    try {
+      val plan = builder(Seq("gtf_bind_l", "gtf_bind_r", "k", "lts", "rts")
+        .map(Literal(_)))
+      val out = GraftSqlShim.ofRows(spark, plan)
+      assert(out.count() == 2L)
+    } finally SparkSession.setActiveSession(spark)
+  }
+
   test("table functions reject non-literal and malformed arguments loudly") {
     GraftTableFunctions.ensure(spark)
     Seq(("a", 1L)).toDF("k", "ts").createOrReplaceTempView("gtf_bad")

@@ -155,6 +155,35 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(out == List(("p1", Some("i1")), ("p1", Some("i2")), ("p2", None), ("p3", None)))
   }
 
+  test("left-outer: a NULL id that matches does not re-emit as a spurious unmatched row") {
+    // the anti join must be null-safe: under plain equality NULL never
+    // equals NULL, so the matched NULL-id point would ALSO null-extend —
+    // a naive LEFT join gains a duplicate row after rewrite. The rewrite
+    // rules feed the id from an Aggregate's grouping attribute, whose one
+    // NULL group is a legitimate id value.
+    val pts = Seq((Some("p1"), "a", 10L), (None: Option[String], "a", 12L))
+      .toDF("pid", "k", "ts")
+    val ivs = Seq(("a", 5L, 15L, "i1")).toDF("k", "s", "e", "iid")
+    val out = IntervalJoin
+      .pointInIntervalLeft(pts, ivs, Seq("k"), "pid", "ts", "s", "e", bucketWidth = 7L)
+      .select($"pid", $"iid").as[(Option[String], Option[String])].collect().toList
+    assert(out.sortBy(_.toString) ==
+      List((None, Some("i1")), (Some("p1"), Some("i1"))).sortBy(_.toString))
+    // and a NULL id that does NOT match still null-extends exactly once
+    val far = Seq((None: Option[String], "a", 999L)).toDF("pid", "k", "ts")
+    val un = IntervalJoin
+      .pointInIntervalLeft(far, ivs, Seq("k"), "pid", "ts", "s", "e", bucketWidth = 7L)
+      .select($"pid", $"iid").as[(Option[String], Option[String])].collect().toList
+    assert(un == List((None, None)))
+    // overlapLeft shares the anti join — same guarantee
+    val l = Seq((None: Option[String], "a", 8L, 14L)).toDF("lid", "k", "ls", "le")
+    val r = Seq(("a", 10L, 20L, "r1")).toDF("k", "rs", "re", "rid")
+    val ov = IntervalJoin
+      .overlapLeft(l, r, Seq("k"), "lid", "ls", "le", "rs", "re", bucketWidth = 7L)
+      .select($"lid", $"rid").as[(Option[String], Option[String])].collect().toList
+    assert(ov == List((None, Some("r1"))))
+  }
+
   test("left-outer parity with the naive LEFT theta join, across bucket widths") {
     val rnd  = new Random(9119)
     val keys = Seq("a", "b", "c")

@@ -240,6 +240,23 @@ class IntervalRewriteSpec extends AnyFunSuite {
         col("ts") % 3L =!= col("s") % 3L, "left"))
   }
 
+  test("LEFT OUTER with a NULL grouping id that matches: no spurious null-extended duplicate") {
+    // an Aggregate's single grouping attribute is unique but NULLABLE —
+    // its one NULL group is a legitimate point id. The operator's anti
+    // join must treat it null-safely, or the matched NULL-id row ALSO
+    // re-emits null-extended and the rewrite gains a row the naive LEFT
+    // join does not have.
+    val points = Seq((Some("p1"), "a", 10L), (None: Option[String], "a", 12L),
+        (None: Option[String], "a", 11L), (Some("p2"), "a", 900L))
+      .toDF("pid", "k", "ts")
+      .groupBy(col("pid")).agg(max(col("k")).as("k"), max(col("ts")).as("ts"))
+    val intervals = Seq(("a", 5L, 15L, "i1")).toDF("ik", "s", "e", "iid")
+    val rows = assertRewrites(() => points.join(intervals,
+      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "left"))
+    // exactly 3 grouped points: p1 matched, NULL matched (ts=12), p2 unmatched
+    assert(rows.size == 3, s"expected 3 rows, got:\n${rows.map(_.mkString(",")).mkString("\n")}")
+  }
+
   test("outer negatives: no provable unique id / interval-preserved keep the naive plan") {
     val (points0, intervals) = fixture(13)
     val points = uniquePoints(points0)
