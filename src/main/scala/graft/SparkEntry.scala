@@ -19,11 +19,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ CometbftQueries.queries ++ RelOpsQueries.queries
+      VectorQueries.queries ++ CometbftQueries.queries ++ RelOpsQueries.queries ++ LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++
-      VectorQueries.oracleSql ++ CometbftQueries.oracleSql ++ RelOpsQueries.oracleSql
+      VectorQueries.oracleSql ++ CometbftQueries.oracleSql ++ RelOpsQueries.oracleSql ++ LayoutQueries.oracleSql
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Layout, Tables}
+
+/** Round-12 Z-order layout queries: each reads a Z-ORDERED REWRITE of a
+  * base table and runs a multi-dimensional box query against a DuckDB
+  * oracle over the ORIGINAL parquet — layout must change cost only,
+  * never results (the same invariance contract as the interval width
+  * statistic). The rewrite itself is cached per source dir and timed
+  * separately in Bench (`q137_zorder_build`, the q103_index_build
+  * honesty split); file-skipping evidence lives in LayoutSpec and the
+  * ProfZOrder table in PLANS.md. */
+object LayoutQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  // fixed UTC box bounds, valid at every SF (domains scale with SF but
+  // always cover these)
+  private val EvTsLo = 1704672000000000L // 2024-01-08T00:00:00Z in µs
+  private val EvTsHi = 1705276800000000L // 2024-01-15T00:00:00Z
+  private val LiTsLo = 820454400000000L  // 1996-01-01T00:00:00Z
+  private val LiTsHi = 852076800000000L  // 1997-01-01T00:00:00Z
+
+  // ------------------------------------------------- cached layout builds
+
+  private val lock = new Object
+  private var cache = Map.empty[String, String]
+
+  private def materialized(spark: SparkSession, dir: String, table: String,
+                           cols: Seq[String], files: Int): String = lock.synchronized {
+    val key = s"$dir|$table"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve(table).toString
+      Layout.clusterWrite(spark.read.parquet(s"$dir/$table.parquet"), cols, files, out)
+      cache += key -> out
+      out
+    })
+  }
+
+  private def zEvents(spark: SparkSession, dir: String): String =
+    materialized(spark, dir, "events", Seq("user_id", "ts"), files = 16)
+  private def zLineitem(spark: SparkSession, dir: String): String =
+    materialized(spark, dir, "lineitem", Seq("l_partkey", "l_shipdate"), files = 16)
+
+  /** Bench hooks (the q103_index_build pattern): time the REWRITE as its
+    * own entry; the queries below then measure serving only. */
+  def buildZorder(spark: SparkSession, dir: String): Unit = {
+    zEvents(spark, dir); zLineitem(spark, dir); ()
+  }
+  def invalidateZorder(dir: String): Unit = lock.synchronized {
+    cache = cache.filterNot(_._1.startsWith(s"$dir|"))
+  }
+
+  // ---------------------------------------------------------------- q137
+  /** Two-dimensional box over the Z-ORDERED events copy: (user_id band) ×
+    * (one ts week), rolled up per event type. At 100 TB the z-layout is
+    * what makes this scan cheap — BOTH predicates prune files/row-groups
+    * (LayoutSpec pins the either-dimension skipping property; a date-
+    * partitioned, id-sorted table prunes on only one). Results must be
+    * layout-invariant — the oracle runs on the ORIGINAL table. */
+  def q137ZorderEventsBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEvents(spark, dir))
+    val tsUs = Tables.tsToMicros(z, "ts")
+    z.filter($"user_id".between(2L, 9L) && tsUs.between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q138
+  /** Same contract on lineitem over (l_partkey, l_shipdate): part-band ×
+    * ship-year box, per-flag rollup — the fact-table shape (selective
+    * dimension id + time window) that motivates Z-order at 100 TB. */
+  def q138ZorderLineitemBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zLineitem(spark, dir))
+    val shipUs = Tables.tsToMicros(z, "l_shipdate")
+    z.filter($"l_partkey".between(20L, 150L) && shipUs.between(LiTsLo, LiTsHi - 1))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"l_extendedprice")).as("sum_price_c"),
+        countDistinct($"l_partkey").as("n_parts"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_zorder_events_box"   -> q137ZorderEventsBox _,
+    "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q137_zorder_events_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q138_zorder_lineitem_box" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+         |  count(DISTINCT l_partkey) AS n_parts
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 20 AND 150
+         |  AND epoch_us(l_shipdate) BETWEEN $LiTsLo AND ${LiTsHi - 1}
+         |GROUP BY l_returnflag""".stripMargin)
+}
