@@ -85,8 +85,10 @@ object Bench {
     "q134_dedup_groups_stars", "q135_sql_tf_cc",
     "q136_naive_interval_left_residual",
     // round 12: multi-dimensional box scans over the Z-ORDERED table
-    // copies (the rewrite is timed separately as q137_zorder_build)
-    "q137_zorder_events_box", "q138_zorder_lineitem_box")
+    // copies (the rewrite is timed separately as q137_zorder_build), and
+    // the interval-preserved naive outer rewrite
+    "q137_zorder_events_box", "q138_zorder_lineitem_box",
+    "q139_naive_interval_iv_left")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -67,18 +67,21 @@ object GraftSql {
     }
   }
 
-  /** [[IntervalJoin.pointInInterval]] over two views (left-outer via
-    * `pointId` — pass the points view's unique id column to keep
-    * uncovered points). `bucketWidth` defaults to the operator's own
+  /** [[IntervalJoin.pointInInterval]] over two views (outer shapes via
+    * the id options — `pointId` keeps uncovered POINTS
+    * ([[IntervalJoin.pointInIntervalLeft]]), `intervalId` keeps
+    * uncovered INTERVALS ([[IntervalJoin.pointInIntervalRight]]); at
+    * most one may be set). `bucketWidth` defaults to the operator's own
     * tuning rule, the median interval span — the SQL user never has to
     * pick a width (the statistic is cached per canonicalized plan,
     * [[graft.plans.PlanStats.cachedWidth]]). */
   def pointInInterval(spark: SparkSession, out: String, points: String, intervals: String,
                       keys: Seq[String], pointTs: String, startCol: String, endCol: String,
                       bucketWidth: Option[Long] = None,
-                      pointId: Option[String] = None): DataFrame = {
+                      pointId: Option[String] = None,
+                      intervalId: Option[String] = None): DataFrame = {
     val df = pointInIntervalDf(spark, points, intervals, keys, pointTs, startCol, endCol,
-      bucketWidth, pointId)
+      bucketWidth, pointId, intervalId)
     df.createOrReplaceTempView(out)
     df
   }
@@ -87,13 +90,17 @@ object GraftSql {
                                        keys: Seq[String], pointTs: String,
                                        startCol: String, endCol: String,
                                        bucketWidth: Option[Long],
-                                       pointId: Option[String]): DataFrame = {
+                                       pointId: Option[String],
+                                       intervalId: Option[String] = None): DataFrame = {
+    require(pointId.isEmpty || intervalId.isEmpty,
+      "pointInInterval: at most one of pointId / intervalId (only one side can be preserved)")
     val p = spark.table(points)
     val i = spark.table(intervals)
     val width = bucketWidth.getOrElse(graft.plans.PlanStats.cachedWidth(i, startCol, endCol))
-    pointId match {
-      case Some(id) => IntervalJoin.pointInIntervalLeft(p, i, keys, id, pointTs, startCol, endCol, width)
-      case None     => IntervalJoin.pointInInterval(p, i, keys, pointTs, startCol, endCol, width)
+    (pointId, intervalId) match {
+      case (Some(id), _) => IntervalJoin.pointInIntervalLeft(p, i, keys, id, pointTs, startCol, endCol, width)
+      case (_, Some(id)) => IntervalJoin.pointInIntervalRight(p, i, keys, id, pointTs, startCol, endCol, width)
+      case _             => IntervalJoin.pointInInterval(p, i, keys, pointTs, startCol, endCol, width)
     }
   }
 

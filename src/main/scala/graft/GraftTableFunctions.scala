@@ -34,8 +34,10 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    [, direction [, strict [, tolerance [, join_type [, chunk_width
   *    [, tiebreak_csv]]]]]])`
   *  - `graft_point_in_interval(points, intervals, keys_csv, point_ts,
-  *    start_col, end_col [, point_id [, bucket_width]])` — a non-empty
-  *    `point_id` routes to the LEFT-OUTER operator
+  *    start_col, end_col [, point_id [, bucket_width [, interval_id]]])`
+  *    — a non-empty `point_id` keeps uncovered points (LEFT-OUTER); a
+  *    non-empty `interval_id` (with `point_id` passed as `''`) keeps
+  *    uncovered intervals
   *  - `graft_overlap_join(left, right, keys_csv, l_start, l_end, r_start,
   *    r_end [, bucket_width [, left_id]])` — a non-empty `left_id` routes
   *    to the LEFT-OUTER operator
@@ -109,13 +111,14 @@ object GraftTableFunctions {
 
   private def pointInIntervalBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_point_in_interval"
-    arity(fn, args, 6, 8)
+    arity(fn, args, 6, 9)
     GraftSql.pointInIntervalDf(sess(),
       points = str(fn, args, 0), intervals = str(fn, args, 1),
       keys = csv(str(fn, args, 2)),
       pointTs = str(fn, args, 3), startCol = str(fn, args, 4), endCol = str(fn, args, 5),
       pointId = opt(args, 6)(str(fn, args, 6)).filter(_.nonEmpty),
-      bucketWidth = opt(args, 7)(lng(fn, args, 7)).filter(_ > 0)
+      bucketWidth = opt(args, 7)(lng(fn, args, 7)).filter(_ > 0),
+      intervalId = opt(args, 8)(str(fn, args, 8)).filter(_.nonEmpty)
     ).queryExecution.analyzed
   }
 
@@ -165,7 +168,7 @@ object GraftTableFunctions {
       asofBuilder(sess) _),
     (new FunctionIdentifier("graft_point_in_interval"),
       info("graft_point_in_interval",
-        "graft_point_in_interval(points, intervals, keys_csv, point_ts, start_col, end_col[, point_id, bucket_width])"),
+        "graft_point_in_interval(points, intervals, keys_csv, point_ts, start_col, end_col[, point_id, bucket_width, interval_id])"),
       pointInIntervalBuilder(sess) _),
     (new FunctionIdentifier("graft_overlap_join"),
       info("graft_overlap_join",

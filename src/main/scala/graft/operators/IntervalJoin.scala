@@ -177,6 +177,45 @@ object IntervalJoin {
     matched.unionByName(unmatched)
   }
 
+  /** Interval-preserved outer [[pointInInterval]] (a RIGHT OUTER in the
+    * operator's (points, intervals) argument order): every INTERVAL row
+    * is preserved; intervals covering no point carry null point columns.
+    * Same composition and anti-join as [[pointInIntervalLeft]] with the
+    * sides swapped — and the same [[graft.plans.IntervalRewriteRule]]
+    * role, rescuing the naive `intervals LEFT JOIN points ON k AND ts
+    * BETWEEN s AND e` spelling. A MALFORMED interval (null bounds or
+    * `start > end`) matches nothing and is preserved null-extended,
+    * [[overlapLeft]]'s valid-span contract.
+    *
+    * @param intervalId a column UNIQUE per interval row —
+    *                   [[pointInIntervalLeft]]'s pointId contract,
+    *                   including the null-safe NULL-id rule.
+    * @param innerFilter join-condition predicate over matched rows,
+    *                   applied BEFORE the unmatched-set computation. */
+  def pointInIntervalRight(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      intervalId: String,
+      pointTs: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long,
+      innerFilter: Option[Column] = None
+  ): DataFrame = {
+    require(intervals.columns.contains(intervalId), s"intervalId $intervalId must be an intervals column")
+    require(!keys.contains(intervalId), "intervalId must not be a join key")
+    val matchedAll = pointInInterval(points, intervals, keys, pointTs, startCol, endCol, bucketWidth)
+    val matched = innerFilter.map(matchedAll.filter).getOrElse(matchedAll)
+    val ptCols = matched.columns.filterNot(intervals.columns.contains)
+    // groupBy, not distinct() — see pointInIntervalLeft
+    val matchedIds = matched.groupBy(col(intervalId)).agg(count(lit(1)).as("__n")).drop("__n")
+    val unmatched = antiByIdNullSafe(intervals, matchedIds, intervalId)
+      .select(intervals.columns.toSeq.map(col) ++
+        ptCols.toSeq.map(c => lit(null).cast(matched.schema(c).dataType).as(c)): _*)
+    matched.unionByName(unmatched)
+  }
+
   /** `rows LEFT ANTI matchedIds` on the id column, NULL-SAFE: a plain
     * USING anti-join compares with `=`, under which NULL never equals
     * NULL — a row whose id is NULL and that DID match would re-emit as a

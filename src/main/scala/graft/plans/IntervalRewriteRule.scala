@@ -54,7 +54,12 @@ import graft.operators.IntervalJoin
   * CONDITION semantics (a post-filter would instead drop the naive
   * plan's unmatched null rows). Unmatched points then keep one row with
   * null interval columns — including null interval keys, exactly the
-  * naive null-extended rows. Any other outer shape keeps the naive plan.
+  * naive null-extended rows. The INTERVAL-PRESERVED outer (intervals
+  * LEFT JOIN points, or the mirror RIGHT) is the same rescue through
+  * [[IntervalJoin.pointInIntervalRight]], gated on a provably-unique
+  * INTERVAL id — uncovered intervals keep one row with null point
+  * columns (including null point keys). Any other outer shape keeps the
+  * naive plan.
   *
   * The bucket width is the operator's own tuning rule
   * ([[IntervalJoin.medianSpanWidth]]), which runs one 1-row aggregate at
@@ -124,7 +129,11 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
       residuals: Seq[Expression],
       // Some(uniquePointIdAttr) when the join is point-preserved OUTER
       // and the rewrite may route to pointInIntervalLeft
-      outerPointId: Option[AttributeReference])
+      outerPointId: Option[AttributeReference],
+      // Some(uniqueIntervalIdAttr) when the join is INTERVAL-preserved
+      // OUTER (intervals LEFT JOIN points, or the mirror RIGHT) and the
+      // rewrite may route to pointInIntervalRight
+      outerIntervalId: Option[AttributeReference])
 
   /** Interval-overlap variant of the pattern: `a.s ≤ b.e AND b.s ≤ a.e`
     * — each side contributes one start and one end (when both bounds hit
@@ -167,12 +176,17 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
   private def matchShape(join: Join, points: LogicalPlan, intervals: LogicalPlan): Option[Shape] = {
     // Point-preserved OUTER joins (LEFT with points on the left, or the
     // mirror-image RIGHT with points on the right) route to
-    // pointInIntervalLeft — but ONLY when a unique point id is provable
+    // pointInIntervalLeft; INTERVAL-preserved outers (LEFT with the
+    // intervals on the left, or the mirror RIGHT) to pointInIntervalRight
+    // — each ONLY when the preserved side exposes a provably-unique id
     // and the bounds/conjuncts translate exactly (checked after the
-    // bound classification below). Interval-preserved outers never match.
-    val leftOuter = (join.joinType == LeftOuter && (points eq join.left)) ||
+    // bound classification below).
+    val pointPreserved = (join.joinType == LeftOuter && (points eq join.left)) ||
       (join.joinType == RightOuter && (points eq join.right))
-    if (!(join.joinType == Inner || leftOuter) || join.condition.isEmpty) return None
+    val intervalPreserved = (join.joinType == LeftOuter && (intervals eq join.left)) ||
+      (join.joinType == RightOuter && (intervals eq join.right))
+    if (!(join.joinType == Inner || pointPreserved || intervalPreserved) ||
+        join.condition.isEmpty) return None
     // RECURSION BREAKER: in the operator fixed-point batch, filter
     // pushdown folds the rewritten plan's containment filter back into
     // its (key, cell) equi-join — which would re-match this very pattern
@@ -234,22 +248,30 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     if (keys.exists(k => k._1.semanticEquals(ts1) ||
         k._2.semanticEquals(b1.ivCol) || k._2.semanticEquals(b2.ivCol))) return None
     val (lo, hi) = if (b1.lower) (b1, b2) else (b2, b1)
+    // Exactness under OUTER needs a per-row unique id on the PRESERVED
+    // side (the operator's anti-join key) that is not itself a join key.
+    // Strict bounds and residual conjuncts are fine either way: they
+    // route to the operator's `innerFilter` — applied to matched
+    // candidates BEFORE the unmatched set is computed, i.e.
+    // join-condition semantics, not a post-filter (which would drop the
+    // naive plan's null-extended rows).
     val pid: Option[AttributeReference] =
-      if (!leftOuter) None
-      else {
-        // Exactness under OUTER needs a per-point unique id (the
-        // operator's anti-join key) that is not itself a join key.
-        // Strict bounds and residual conjuncts are fine: they route to
-        // the operator's `innerFilter` — applied to matched candidates
-        // BEFORE the unmatched set is computed, i.e. join-condition
-        // semantics, not a post-filter (which would drop the naive
-        // plan's null-extended rows).
-        uniquePointId(points) match {
-          case Some(id) if !keys.exists(_._1.exprId == id.exprId) => Some(id)
-          case _                                                  => return None
-        }
+      if (!pointPreserved) None
+      else uniquePointId(points) match {
+        case Some(id) if !keys.exists(_._1.exprId == id.exprId) => Some(id)
+        case _                                                  => return None
       }
-    Some(Shape(keys, ts1, lo, hi, residuals, pid))
+    val ivId: Option[AttributeReference] =
+      if (!intervalPreserved) None
+      else uniquePointId(intervals) match {
+        // also veto an id doubling as a bound column — a grouped
+        // attribute that IS the start/end would make the null-extension
+        // indicator ambiguous; conservative, like every veto here
+        case Some(id) if !keys.exists(_._2.exprId == id.exprId) &&
+            !id.semanticEquals(lo.ivCol) && !id.semanticEquals(hi.ivCol) => Some(id)
+        case _ => return None
+      }
+    Some(Shape(keys, ts1, lo, hi, residuals, pid, ivId))
   }
 
   /** Classify the overlap pattern on (left = a, right = b); the shape is
@@ -429,19 +451,25 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
     val strictFilters =
       (if (shape.lo.strict) Seq(col(sName) < col(tsName)) else Nil) ++
       (if (shape.hi.strict) Seq(col(tsName) < col(eName)) else Nil)
-    var out = shape.outerPointId match {
-      case Some(id) => // point-preserved outer: unmatched points keep one
-        // null-extended row, keyed off the provably-unique point id;
+    val isOuter = shape.outerPointId.isDefined || shape.outerIntervalId.isDefined
+    var out = (shape.outerPointId, shape.outerIntervalId) match {
+      case (Some(id), _) => // point-preserved outer: unmatched points keep
+        // one null-extended row, keyed off the provably-unique point id;
         // strict bounds + residuals applied INSIDE, before the anti-join
         IntervalJoin.pointInIntervalLeft(pDf, ivDf, keyName, pName(id.exprId),
           tsName, sName, eName, width,
           innerFilter = (strictFilters ++ freshResiduals).reduceOption(_ && _))
-      case None =>
+      case (_, Some(id)) => // interval-preserved outer: the mirror —
+        // uncovered intervals keep one row with null point columns
+        IntervalJoin.pointInIntervalRight(pDf, ivDf, keyName, ivName(id.exprId),
+          tsName, sName, eName, width,
+          innerFilter = (strictFilters ++ freshResiduals).reduceOption(_ && _))
+      case _ =>
         IntervalJoin.pointInInterval(pDf, ivDf, keyName, tsName, sName, eName, width)
     }
     // the operator's containment is inclusive; re-impose strict bounds
-    // (inner path — the outer path folded them into innerFilter above)
-    if (shape.outerPointId.isEmpty) strictFilters.foreach(f => out = out.filter(f))
+    // (inner path — the outer paths folded them into innerFilter above)
+    if (!isOuter) strictFilters.foreach(f => out = out.filter(f))
 
     val outPlan = out.queryExecution.analyzed
     val byName  = outPlan.output.map(a => a.name -> a).toMap
@@ -458,10 +486,16 @@ class IntervalRewriteRule(session: SparkSession) extends Rule[LogicalPlan] with 
         // the point-side stand-in only holds where a match exists (the
         // operator null-extends the interval START on unmatched rows)
         If(IsNotNull(byName(sName)), pk, Literal.create(null, pk.dataType))
+      case pk if shape.outerIntervalId.isDefined && points.outputSet.contains(x) &&
+          pKeyIdx(x).isDefined =>
+        // the mirror: unmatched INTERVAL rows carry NULL point keys; the
+        // match indicator is the point TS (matched rows always have it —
+        // the operator drops null-ts points before the join)
+        If(IsNotNull(byName(tsName)), pk, Literal.create(null, pk.dataType))
       case other => other
     }
     val withResiduals =
-      if (shape.residuals.isEmpty || shape.outerPointId.isDefined) outPlan // outer: inside
+      if (shape.residuals.isEmpty || isOuter) outPlan // outer: inside
       else Filter(
         shape.residuals
           .map(_.transformUp { case ar: AttributeReference => renamed(ar) })

@@ -649,7 +649,44 @@ object RelOpsQueries {
     } finally spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
   }
 
+  // ---------------------------------------------------------------- q139
+  /** The INTERVAL-PRESERVED naive outer spelling — `sessions LEFT JOIN
+    * errors ON key AND ts BETWEEN s AND e` — the round-12 extension of
+    * the outer interval rewrite, routed to
+    * [[graft.operators.IntervalJoin.pointInIntervalRight]]: the interval
+    * side is an Aggregate grouped on the synthetic `sid` alone (the
+    * structural uniqueness proof), sessions covering no error
+    * null-extend the point columns. Oracle is the identical LEFT JOIN in
+    * DuckDB over its own session derivation. */
+  def q139NaiveIntervalIvLeft(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.IntervalRewriteRule.ensure(spark)
+    EventQueries.q12Sessions(spark, dir)
+      .select(($"user_id" * 1000000L + $"session_id").as("sid"),
+        $"user_id", $"start_us", $"end_us")
+      .createOrReplaceTempView("g_sessions_iv")
+    ev(spark, dir)
+      .filter($"event_type" === "error")
+      .select($"event_id", $"user_id".as("e_user"), $"ts_us")
+      .createOrReplaceTempView("g_errors_iv")
+    spark.conf.set(graft.plans.IntervalRewriteRule.ConfKey, "true")
+    try {
+      val df = spark.sql(
+        """WITH s AS (
+          |  SELECT sid, max(user_id) AS s_user, max(start_us) AS start_us,
+          |         max(end_us) AS end_us
+          |  FROM g_sessions_iv GROUP BY sid)
+          |SELECT s.sid, s.s_user AS user_id, s.start_us, s.end_us,
+          |       e.event_id, e.ts_us
+          |FROM s LEFT JOIN g_errors_iv e
+          |  ON s.s_user = e.e_user AND e.ts_us BETWEEN s.start_us AND s.end_us""".stripMargin)
+      df.queryExecution.executedPlan // plan NOW, while the rule is on
+      df
+    } finally spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_naive_interval_iv_left" -> q139NaiveIntervalIvLeft _,
     "q136_naive_interval_left_residual" -> q136NaiveIntervalLeftResidual _,
     "q133_sql_tf_overlap"         -> q133SqlTfOverlap _,
     "q132_sql_tf_interval"        -> q132SqlTfInterval _,
@@ -681,6 +718,32 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    // q139 is the interval-preserved naive outer: sessions (grouped to a
+    // unique sid) LEFT JOIN errors — the identical LEFT JOIN in DuckDB
+    "q139_naive_interval_iv_left" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id * 1000000 + CAST(session_id AS BIGINT) AS sid,
+        |    user_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_id HAVING count(*) >= 3),
+        |err AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT se.sid, se.user_id, se.start_us, se.end_us,
+        |  e.event_id, e.ts_us
+        |FROM sess se LEFT JOIN err e
+        |  ON se.user_id = e.user_id AND e.ts_us BETWEEN se.start_us AND se.end_us""".stripMargin,
     // q136 is q131's LEFT BETWEEN with a strict lower bound + residual —
     // the identical LEFT JOIN in DuckDB is the oracle
     "q136_naive_interval_left_residual" ->

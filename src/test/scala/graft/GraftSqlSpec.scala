@@ -200,6 +200,27 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-preserved outer reaches the verb and the table function") {
+    GraftTableFunctions.ensure(spark)
+    Seq(("a", 10L, "p1")).toDF("k", "ts", "pid").createOrReplaceTempView("gtf_ivp_pts")
+    Seq(("a", 5L, 15L, "i1"), ("a", 90L, 99L, "i2"), ("b", 0L, 50L, "i3"))
+      .toDF("k", "s", "e", "iid").createOrReplaceTempView("gtf_ivp_ivs")
+    val want = Set(("i1", Some("p1")), ("i2", None), ("i3", None))
+    GraftSql.pointInInterval(spark, "gtf_ivp_out", "gtf_ivp_pts", "gtf_ivp_ivs",
+      Seq("k"), "ts", "s", "e", intervalId = Some("iid"))
+    assert(spark.sql("SELECT iid, pid FROM gtf_ivp_out")
+      .as[(String, Option[String])].collect().toSet == want)
+    val viaTf = spark.sql(
+      """SELECT iid, pid FROM graft_point_in_interval(
+        |  'gtf_ivp_pts', 'gtf_ivp_ivs', 'k', 'ts', 's', 'e', '', 7, 'iid')""".stripMargin)
+    assert(viaTf.as[(String, Option[String])].collect().toSet == want)
+    // both ids set is a loud contract error
+    intercept[IllegalArgumentException] {
+      GraftSql.pointInInterval(spark, "gtf_ivp_bad", "gtf_ivp_pts", "gtf_ivp_ivs",
+        Seq("k"), "ts", "s", "e", pointId = Some("pid"), intervalId = Some("iid"))
+    }
+  }
+
   test("ensure() binds builders to the registering session, not SparkSession.active") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graftshim.GraftSqlShim

@@ -224,6 +224,45 @@ class IntervalJoinSpec extends AnyFunSuite {
       "innerFilter must null-extend filtered-out points, not drop them")
   }
 
+  test("pointInIntervalRight: parity with the naive interval-preserved LEFT theta join") {
+    val rnd  = new Random(2026)
+    val keys = Seq("a", "b", "c")
+    val P = (1 to 300).map(i => (keys(rnd.nextInt(3)), rnd.nextInt(2000).toLong - 500, s"p$i"))
+    val I = (1 to 80).map { i =>
+      val s = rnd.nextInt(2000).toLong - 500
+      // ~10% malformed (inverted) intervals: naive LEFT preserves them
+      val e = if (rnd.nextDouble() < 0.1) s - 5 else s + rnd.nextInt(120)
+      (keys(rnd.nextInt(3)), s, e, s"i$i")
+    }
+    val pts = P.toDF("k", "ts", "pid")
+    val ivs = I.toDF("k", "s", "e", "iid")
+    val want = ivs.as("i").join(pts.as("p"),
+        $"i.k" === $"p.k" && $"s" <= $"ts" && $"ts" <= $"e", "left")
+      .select($"iid", $"pid").as[(String, Option[String])].collect().toSet
+    for (w <- Seq(1L, 13L, 100000L)) {
+      val got = IntervalJoin
+        .pointInIntervalRight(pts, ivs, Seq("k"), "iid", "ts", "s", "e", bucketWidth = w)
+        .select($"iid", $"pid").as[(String, Option[String])].collect().toSet
+      assert(got == want, s"bucketWidth=$w")
+    }
+    // innerFilter: join-condition semantics — an interval whose every
+    // candidate fails it null-extends instead of dropping
+    val fpts = Seq(("a", 10L, "p1")).toDF("k", "ts", "pid")
+    val fivs = Seq(("a", 5L, 15L, "i1"), ("a", 8L, 12L, "i2")).toDF("k", "s", "e", "iid")
+    val out = IntervalJoin
+      .pointInIntervalRight(fpts, fivs, Seq("k"), "iid", "ts", "s", "e", bucketWidth = 7L,
+        innerFilter = Some($"iid" === "i2"))
+      .select($"iid", $"pid").as[(String, Option[String])].collect().toSet
+    assert(out == Set(("i1", None), ("i2", Some("p1"))))
+    // NULL interval id: null-safe anti join, no spurious duplicate
+    val nivs = Seq((Some("a"), "a", 5L, 15L), (None: Option[String], "a", 8L, 12L))
+      .toDF("iid", "k", "s", "e")
+    val nout = IntervalJoin
+      .pointInIntervalRight(fpts, nivs, Seq("k"), "iid", "ts", "s", "e", bucketWidth = 7L)
+      .select($"iid", $"pid").as[(Option[String], Option[String])].collect().toList
+    assert(nout.size == 2 && nout.forall(_._2.contains("p1")))
+  }
+
   test("overlapLeft: parity with the naive LEFT theta join; malformed left rows preserved") {
     val rnd = new Random(3311)
     val keys = Seq("a", "b", "c")

@@ -257,17 +257,69 @@ class IntervalRewriteSpec extends AnyFunSuite {
     assert(rows.size == 3, s"expected 3 rows, got:\n${rows.map(_.mkString(",")).mkString("\n")}")
   }
 
-  test("outer negatives: no provable unique id / interval-preserved keep the naive plan") {
+  test("outer negatives: no provable unique id on the preserved side keeps the naive plan") {
     val (points0, intervals) = fixture(13)
     val points = uniquePoints(points0)
     // raw points (no Aggregate) — uniqueness not provable
     assertKeepsPlan(() => points0.join(intervals,
       col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "left"),
       "fired on an outer join without a provable unique point id")
-    // interval-preserved outer — not expressible as pointInIntervalLeft
+    // interval-preserved outer with RAW intervals — no provable interval id
     assertKeepsPlan(() => intervals.join(points,
       col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "left"),
-      "fired on an interval-preserved outer join")
+      "fired on an interval-preserved outer join without a provable unique interval id")
+  }
+
+  // ----------------------------------------------- interval-preserved outer
+
+  /** Intervals deduplicated to one row per iid through a single-grouping
+    * Aggregate — the structural uniqueness the interval-preserved outer
+    * rewrite requires. */
+  private def uniqueIntervals(intervals: org.apache.spark.sql.DataFrame) =
+    intervals.groupBy(col("iid"))
+      .agg(max(col("ik")).as("ik"), max(col("s")).as("s"), max(col("e")).as("e"))
+
+  test("interval-preserved LEFT OUTER rewrites to pointInIntervalRight; uncovered intervals null-extend") {
+    val (points, intervals0) = fixture(21)
+    val intervals = uniqueIntervals(intervals0)
+    def mk() = intervals.join(points,
+      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "left")
+    val rows = assertRewrites(mk)
+    // uncovered intervals survive with the POINT KEY null too
+    val pidIdx = mk().columns.indexOf("pid")
+    val kIdx   = mk().columns.indexOf("k")
+    assert(rows.exists(r => r(pidIdx) == "null" && r(kIdx) == "null"),
+      "no uncovered null-extended interval row survived")
+    assert(!rows.exists(r => r(pidIdx) == "null" && r(kIdx) != "null"),
+      "an uncovered interval leaked a non-null point key")
+    // the RIGHT mirror (points on the left, intervals preserved on the right)
+    assertRewrites(() => points.join(intervals,
+      col("k") === col("ik") && col("s") <= col("ts") && col("ts") <= col("e"), "right"))
+  }
+
+  test("interval-preserved outer: strict bounds, residuals, and inverted intervals stay exact") {
+    val (points, intervals0) = fixture(22) // fixture has ~10% inverted spans
+    val intervals = uniqueIntervals(intervals0)
+    // strict + residual route to innerFilter: intervals whose every
+    // candidate fails them null-extend, never drop
+    assertRewrites(() => intervals.join(points,
+      col("ik") === col("k") && col("ts") > col("s") && col("e") >= col("ts") &&
+        col("ts") % 2L === col("s") % 2L, "left"))
+    // randomized conjunct orders and orientations
+    val rnd = new Random(2200)
+    for (round <- 1 to 6) {
+      val conds = List(
+        if (rnd.nextBoolean()) col("k") === col("ik") else col("ik") === col("k"),
+        if (rnd.nextBoolean()) col("s") <= col("ts") else col("ts") >= col("s"),
+        if (rnd.nextBoolean()) col("ts") <= col("e") else col("e") >= col("ts")) ++
+        (if (rnd.nextBoolean()) List(col("ts") % 3L =!= col("s") % 3L) else Nil)
+      val cond = new Random(round).shuffle(conds).reduce(_ && _)
+      val flip = rnd.nextBoolean()
+      val rows = assertRewrites(() =>
+        if (flip) points.join(intervals, cond, "right")
+        else intervals.join(points, cond, "left"))
+      assert(rows.nonEmpty, s"round $round")
+    }
   }
 
   test("auto (default): sparse per-key density leaves the naive plan") {
