@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{AsOfJoin, Dedup, HeavyHitters, IntervalJoin}
+import graft.operators.{AsOfJoin, Dedup, HeavyHitters, IntervalJoin, Sessionize}
 
 /** SQL-surface verbs for the relational operators Spark lacks natively —
   * the temp-view face of [[AsOfJoin]], [[IntervalJoin]] and
@@ -167,6 +167,37 @@ object GraftSql {
     * run their iterative driver loop when the verb is CALLED (and, for
     * the table function, when the query analyzes) — the
     * `graft_heavy_hitters` eagerness trade, surfaced unchanged. */
+  /** Gap-based sessionization over a view ([[graft.operators.Sessionize]]
+    * with the time-gap break — the SQL-expressible special case of the
+    * operator's arbitrary break predicate). `mode = "rollup"` (default)
+    * returns one row per kept session (`keys*, session_id, n_events,
+    * session_start, session_end`, sessions under `minEvents` dropped);
+    * `mode = "assign"` returns the input rows tagged with `session_id`
+    * (`minEvents` ignored). One shuffle on the keys either way; ties in
+    * `tsCol` are broken by `tiebreak` for a total order. */
+  def sessionize(spark: SparkSession, out: String, view: String, keys: Seq[String],
+                 tsCol: String, gap: Long, tiebreak: Seq[String] = Nil,
+                 minEvents: Long = 1L, mode: String = "rollup"): DataFrame = {
+    val df = sessionizeDf(spark, view, keys, tsCol, gap, tiebreak, minEvents, mode)
+    df.createOrReplaceTempView(out)
+    df
+  }
+
+  private[graft] def sessionizeDf(spark: SparkSession, view: String, keys: Seq[String],
+                                  tsCol: String, gap: Long, tiebreak: Seq[String],
+                                  minEvents: Long, mode: String): DataFrame = {
+    require(gap > 0, s"gap must be positive, got $gap")
+    val df = spark.table(view)
+    val tagged = Sessionize.assign(df, keys, tsCol +: tiebreak,
+      breakWhen = prev => col(tsCol) - prev(tsCol) > gap)
+    mode match {
+      case "rollup" => Sessionize.rollup(tagged, keys, tsCol, minEvents)
+      case "assign" => tagged
+      case other => throw new IllegalArgumentException(
+        s"mode must be rollup|assign, got $other")
+    }
+  }
+
   def connectedComponents(spark: SparkSession, out: String, pairs: String,
                           aCol: String, bCol: String,
                           algorithm: String = "propagation"): DataFrame = {

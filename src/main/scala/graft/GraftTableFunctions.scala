@@ -42,6 +42,10 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    r_end [, bucket_width [, left_id]])` — a non-empty `left_id` routes
   *    to the LEFT-OUTER operator
   *  - `graft_heavy_hitters(view, item_col, phi_ppm, k [, group_cols_csv])`
+  *  - `graft_sessionize(view, keys_csv, ts_col, gap [, tiebreak_csv
+  *    [, min_events [, mode]]])` — gap-break sessionization; `mode` is
+  *    `rollup` (default: one row per kept session) or `assign` (input
+  *    rows tagged with `session_id`)
   *  - `graft_connected_components(pairs_view, a_col, b_col
   *    [, algorithm])` — `propagation` (default) or `stars`; the
   *    ITERATIVE driver loop runs when the query analyzes, the
@@ -144,6 +148,18 @@ object GraftTableFunctions {
     ).queryExecution.analyzed
   }
 
+  private def sessionizeBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_sessionize"
+    arity(fn, args, 4, 7)
+    GraftSql.sessionizeDf(sess(),
+      view = str(fn, args, 0), keys = csv(str(fn, args, 1)),
+      tsCol = str(fn, args, 2), gap = lng(fn, args, 3),
+      tiebreak = opt(args, 4)(csv(str(fn, args, 4))).getOrElse(Nil),
+      minEvents = opt(args, 5)(lng(fn, args, 5)).getOrElse(1L),
+      mode = opt(args, 6)(str(fn, args, 6)).getOrElse("rollup")
+    ).queryExecution.analyzed
+  }
+
   private def heavyHittersBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_heavy_hitters"
     arity(fn, args, 4, 5)
@@ -178,6 +194,10 @@ object GraftTableFunctions {
       info("graft_heavy_hitters",
         "graft_heavy_hitters(view, item_col, phi_ppm, k[, group_cols_csv])"),
       heavyHittersBuilder(sess) _),
+    (new FunctionIdentifier("graft_sessionize"),
+      info("graft_sessionize",
+        "graft_sessionize(view, keys_csv, ts_col, gap[, tiebreak_csv, min_events, mode])"),
+      sessionizeBuilder(sess) _),
     (new FunctionIdentifier("graft_connected_components"),
       info("graft_connected_components",
         "graft_connected_components(pairs_view, a_col, b_col[, algorithm])"),

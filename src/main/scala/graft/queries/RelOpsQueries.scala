@@ -685,7 +685,24 @@ object RelOpsQueries {
     } finally spark.conf.unset(graft.plans.IntervalRewriteRule.ConfKey)
   }
 
+  // ---------------------------------------------------------------- q140
+  /** Gap-break sessionization with the query text all-SQL through the
+    * `graft_sessionize` table function — q12's semantics (30-min gap,
+    * `event_id` tiebreak, sessions under 3 events dropped) reached with
+    * no Scala in the query path; the oracle is the independent DuckDB
+    * gaps-and-islands derivation. */
+  def q140SqlTfSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftTableFunctions.ensure(spark)
+    ev(spark, dir).createOrReplaceTempView("g_events_sess")
+    spark.sql(
+      """SELECT user_id, session_id, n_events, session_start, session_end
+        |FROM graft_sessionize('g_events_sess', 'user_id', 'ts_us',
+        |                      1800000000, 'event_id', 3)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_sql_tf_sessionize" -> q140SqlTfSessionize _,
     "q139_naive_interval_iv_left" -> q139NaiveIntervalIvLeft _,
     "q136_naive_interval_left_residual" -> q136NaiveIntervalLeftResidual _,
     "q133_sql_tf_overlap"         -> q133SqlTfOverlap _,
@@ -718,6 +735,24 @@ object RelOpsQueries {
     """list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), t -> t <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    // q140 routes q12's gap sessionization through the pure-SQL table
+    // function; the oracle is the independent gaps-and-islands SQL
+    "q140_sql_tf_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts_us) AS session_start, max(ts_us) AS session_end
+        |FROM s GROUP BY user_id, session_id HAVING count(*) >= 3""".stripMargin,
     // q139 is the interval-preserved naive outer: sessions (grouped to a
     // unique sid) LEFT JOIN errors — the identical LEFT JOIN in DuckDB
     "q139_naive_interval_iv_left" ->

@@ -221,6 +221,32 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_sessionize: rollup and assign modes match the operator") {
+    import graft.operators.Sessionize
+    GraftTableFunctions.ensure(spark)
+    // u1: 3 events, 10-gap break between ts 30 and 100 -> sessions {10,20,30} and {100}
+    val df = Seq(("u1", 10L, 1L), ("u1", 20L, 2L), ("u1", 30L, 3L), ("u1", 100L, 4L),
+        ("u2", 5L, 5L)).toDF("uid", "t", "eid")
+    df.createOrReplaceTempView("gtf_sess_in")
+    val roll = spark.sql(
+      """SELECT uid, session_id, n_events, session_start, session_end
+        |FROM graft_sessionize('gtf_sess_in', 'uid', 't', 10, 'eid', 2)""".stripMargin)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(roll == Set(("u1", 1L, 3L, 10L, 30L))) // singletons dropped by min_events=2
+    val assignViaOp = Sessionize.assign(df, Seq("uid"), Seq("t", "eid"),
+      prev => $"t" - prev("t") > 10L)
+      .select($"uid", $"eid", $"session_id").collect().toSet
+    val assignViaTf = spark.sql(
+      """SELECT uid, eid, session_id
+        |FROM graft_sessionize('gtf_sess_in', 'uid', 't', 10, 'eid', 1, 'assign')""".stripMargin)
+      .collect().toSet
+    assert(assignViaTf == assignViaOp)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_sessionize('gtf_sess_in', 'uid', 't', 10, 'eid', 1, 'nope')")
+        .collect()
+    }
+  }
+
   test("ensure() binds builders to the registering session, not SparkSession.active") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graftshim.GraftSqlShim
