@@ -198,6 +198,25 @@ object GraftSql {
     }
   }
 
+  /** [[graft.sources.Layout.cluster]] over a view: the Z-ordered
+    * rewrite of the view's rows (same rows, layout-defining order) for
+    * `CREATE TABLE ... AS SELECT` / `INSERT OVERWRITE` maintenance jobs
+    * written entirely in SQL. The write that consumes this preserves the
+    * range partitioning and in-partition order, so the written files get
+    * the tight per-file envelopes LayoutSpec pins. Runs the layout's one
+    * 1-row min/max statistics job when the query is assembled (the
+    * `graft_heavy_hitters` eagerness trade, surfaced unchanged). */
+  def zorderCluster(spark: SparkSession, out: String, view: String,
+                    cols: Seq[String], numPartitions: Int): DataFrame = {
+    val df = zorderClusterDf(spark, view, cols, numPartitions)
+    df.createOrReplaceTempView(out)
+    df
+  }
+
+  private[graft] def zorderClusterDf(spark: SparkSession, view: String,
+                                     cols: Seq[String], numPartitions: Int): DataFrame =
+    graft.sources.Layout.cluster(spark.table(view), cols, numPartitions)
+
   def connectedComponents(spark: SparkSession, out: String, pairs: String,
                           aCol: String, bCol: String,
                           algorithm: String = "propagation"): DataFrame = {

@@ -46,6 +46,9 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    [, min_events [, mode]]])` — gap-break sessionization; `mode` is
   *    `rollup` (default: one row per kept session) or `assign` (input
   *    rows tagged with `session_id`)
+  *  - `graft_zorder_cluster(view, cols_csv, num_partitions)` — the
+  *    Z-ordered rewrite of the view's rows, for CTAS/INSERT OVERWRITE
+  *    layout-maintenance jobs written in SQL
   *  - `graft_connected_components(pairs_view, a_col, b_col
   *    [, algorithm])` — `propagation` (default) or `stars`; the
   *    ITERATIVE driver loop runs when the query analyzes, the
@@ -160,6 +163,15 @@ object GraftTableFunctions {
     ).queryExecution.analyzed
   }
 
+  private def zorderBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_zorder_cluster"
+    arity(fn, args, 3, 3)
+    GraftSql.zorderClusterDf(sess(),
+      view = str(fn, args, 0), cols = csv(str(fn, args, 1)),
+      numPartitions = lng(fn, args, 2).toInt
+    ).queryExecution.analyzed
+  }
+
   private def heavyHittersBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_heavy_hitters"
     arity(fn, args, 4, 5)
@@ -198,6 +210,10 @@ object GraftTableFunctions {
       info("graft_sessionize",
         "graft_sessionize(view, keys_csv, ts_col, gap[, tiebreak_csv, min_events, mode])"),
       sessionizeBuilder(sess) _),
+    (new FunctionIdentifier("graft_zorder_cluster"),
+      info("graft_zorder_cluster",
+        "graft_zorder_cluster(view, cols_csv, num_partitions)"),
+      zorderBuilder(sess) _),
     (new FunctionIdentifier("graft_connected_components"),
       info("graft_connected_components",
         "graft_connected_components(pairs_view, a_col, b_col[, algorithm])"),

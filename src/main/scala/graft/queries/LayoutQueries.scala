@@ -87,12 +87,41 @@ object LayoutQueries {
         countDistinct($"l_partkey").as("n_parts"))
   }
 
+  // ---------------------------------------------------------------- q141
+  /** q137's box with the LAYOUT REWRITE ITSELF in pure SQL — the
+    * `graft_zorder_cluster` table function (the CTAS/INSERT-OVERWRITE
+    * maintenance surface): querying straight through the clustered plan
+    * must be layout-invariant, so it shares q137's oracle shape. */
+  def q141SqlTfZorder(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      .createOrReplaceTempView("g_events_z")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_zorder_cluster('g_events_z', 'user_id,ts_us', 8)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
-    "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _)
+    "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
+    "q141_sql_tf_zorder"       -> q141SqlTfZorder _)
 
   val oracleSql: Map[String, String] = Map(
     "q137_zorder_events_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q141_sql_tf_zorder" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
          |  count(DISTINCT user_id) AS n_users

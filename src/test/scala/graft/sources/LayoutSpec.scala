@@ -66,6 +66,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(ts.select(Layout.zValue(ts, Seq("t")).as("z")).as[Long].collect().distinct.length == 2)
   }
 
+  test("graft_zorder_cluster: the pure-SQL layout rewrite preserves rows and feeds a skipping write") {
+    graft.GraftTableFunctions.ensure(spark)
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 20000).map(_ => (rnd.nextInt(512).toLong, rnd.nextInt(512).toLong))
+      .toDF("x", "y")
+    df.createOrReplaceTempView("layout_tvf_in")
+    val clustered = spark.sql("SELECT * FROM graft_zorder_cluster('layout_tvf_in', 'x,y', 8)")
+    assert(clustered.collect().toSet == df.collect().toSet)
+    // the write CONSUMING the TVF plan inherits the layout: both
+    // dimensions skippable on disk (the CTAS / INSERT OVERWRITE path)
+    val out = Files.createTempDirectory("layout-tvf").resolve("t").toString
+    clustered.write.parquet(out)
+    assert(Layout.skippableFileFraction(spark, out, Seq(("x", 50L, 81L))) > 0.3)
+    assert(Layout.skippableFileFraction(spark, out, Seq(("y", 50L, 81L))) > 0.3)
+  }
+
   test("box-predicate file skipping: z-order prunes on BOTH dims, lexicographic only on the leading one") {
     val n = 40000
     val rnd = new scala.util.Random(7)
