@@ -27,9 +27,17 @@ object ProfZOrder {
     import spark.implicits._
 
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val src = spark.read.parquet(s"$dir/lineitem.parquet")
+    // SPARK_GRAFT_ZO_SCALE=k replicates lineitem k-fold (same column
+    // domains, so the box keeps its selectivity and skip fractions stay
+    // comparable) — the 10x smoke proving build cost scales linearly and
+    // the skipping property holds as data grows
+    val scale = sys.env.getOrElse("SPARK_GRAFT_ZO_SCALE", "1").toInt
+    val src0 = spark.read.parquet(s"$dir/lineitem.parquet")
+    val src =
+      if (scale == 1) src0
+      else spark.range(scale).crossJoin(src0).drop("id").localCheckpoint()
     val base = java.nio.file.Files.createTempDirectory("prof-zorder").toString
-    val files = 64 // ~100 TB realism: many files per table partition
+    val files = 64 * scale // hold rows/file constant across scales
 
     // the q138 box at sf0.1 scale
     val pkLo = 20L; val pkHi = 150L

@@ -107,13 +107,40 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q142
+  /** q137's box served through [[Layout.prunedRead]] — the persisted
+    * `.envelopes` file-skipping index decides which files to OPEN (the
+    * Delta-stats/Iceberg-manifest role), and the result must still be
+    * exact: pruning affects I/O only, and the oracle is the same
+    * original-table SQL as q137's. */
+  def q142ZorderPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.prunedRead(spark, zEvents(spark, dir),
+      Seq(("user_id", 2L, 9L)))
+    val tsUs = Tables.tsToMicros(z, "ts")
+    z.filter($"user_id".between(2L, 9L) && tsUs.between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
-    "q141_sql_tf_zorder"       -> q141SqlTfZorder _)
+    "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
+    "q142_zorder_pruned_read"  -> q142ZorderPrunedRead _)
 
   val oracleSql: Map[String, String] = Map(
     "q137_zorder_events_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q142_zorder_pruned_read" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
          |  count(DISTINCT user_id) AS n_users

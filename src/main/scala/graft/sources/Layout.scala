@@ -108,9 +108,13 @@ object Layout {
       .drop(ZCol)
   }
 
-  /** [[cluster]] then write parquet (one file per range partition). */
-  def clusterWrite(df: DataFrame, cols: Seq[String], numPartitions: Int, dir: String): Unit =
+  /** [[cluster]] then write parquet (one file per range partition), then
+    * refresh the `<dir>.envelopes` skipping index over the same columns
+    * ([[writeEnvelopes]]) so [[prunedRead]] works out of the box. */
+  def clusterWrite(df: DataFrame, cols: Seq[String], numPartitions: Int, dir: String): Unit = {
     cluster(df, cols, numPartitions).write.mode("overwrite").parquet(dir)
+    writeEnvelopes(df.sparkSession, dir, cols)
+  }
 
   /** Per-FILE min/max envelopes of `cols` for a written table — the same
     * statistics a file-skipping index (or parquet footer pruning at
@@ -121,6 +125,58 @@ object Layout {
     df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"),
         cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+  }
+
+  /** Persist [[fileEnvelopes]] next to the table (`<dir>.envelopes`) —
+    * the file-level skipping index [[prunedRead]] consults (the
+    * Delta-stats / Iceberg-manifest role, as a plain parquet table). One
+    * scan of the table; overwrite-mode (tiny output, one writer: the
+    * layout job that just rewrote the table owns this too). */
+  def writeEnvelopes(spark: SparkSession, dir: String, cols: Seq[String]): Unit =
+    fileEnvelopes(spark, dir, cols).coalesce(1)
+      .write.mode("overwrite").parquet(envelopesPath(dir))
+
+  private[graft] def envelopesPath(dir: String): String =
+    dir.stripSuffix("/") + ".envelopes"
+
+  /** Read `dir` with FILE-LEVEL skipping: files whose persisted envelope
+    * PROVES the box predicate `lo_i <= col_i <= hi_i` cannot match are
+    * never opened — not even their footers (row-group pruning still
+    * applies inside the files that are read). EXACT regardless of index
+    * staleness, by construction: the skip set is
+    * `currentFiles ∩ {envelope proves miss}`, so a file appended after
+    * the index was written (absent from it) is always read, and an
+    * indexed file that was since rewritten away is simply not in the
+    * listing. The caller still applies its own predicate — this prunes
+    * I/O, never rows. With no index present, every file is read.
+    *
+    * The listing + anti-join run on the DRIVER over the file list — the
+    * same O(files) cost every parquet read's FileIndex already pays.
+    * FLAT tables only (what [[clusterWrite]] and the streaming
+    * self-clustering sink produce): reading an explicit file list cannot
+    * reconstruct hive-partition directory columns. */
+  def prunedRead(spark: SparkSession, dir: String,
+                 box: Seq[(String, Any, Any)]): DataFrame = {
+    require(box.nonEmpty, "prunedRead needs at least one box predicate")
+    val all = spark.read.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(envelopesPath(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(envelopesPath(dir)))) return all
+    val env = spark.read.parquet(envelopesPath(dir))
+    val needed = box.map(_._1).flatMap(c => Seq(s"min_$c", s"max_$c"))
+    if (!needed.forall(env.columns.contains)) return all // index over other columns
+    val misses = box.map { case (c, lo, hi) =>
+      col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)
+    }.reduce(_ || _)
+    // driver-side: one row per file of a BOUNDED index table (file count).
+    // Compare by normalized path — input_file_name() and inputFiles
+    // render the scheme differently (file:/// vs file:/), and a silent
+    // mismatch here would skip NOTHING, a perf bug the spec pins.
+    def norm(s: String): String = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val skip = env.filter(misses).select("file").collect().map(r => norm(r.getString(0))).toSet
+    val keep = all.inputFiles.filterNot(f => skip.contains(norm(f)))
+    if (keep.isEmpty) all.limit(0)
+    else spark.read.schema(all.schema).parquet(keep.toSeq: _*)
   }
 
   /** Fraction of FILES a box predicate `lo_i <= col_i <= hi_i` can skip,

@@ -846,6 +846,68 @@ object StreamingPipeline {
     * either the live or the backup name (never delete-before-rename),
     * and [[recoverSketch]] — run here and at every batch start — heals
     * each intermediate state deterministically. */
+  /** Self-maintaining Z-ORDERED table sink — the [[compactSketch]]
+    * operational pattern applied to LAYOUT: each micro-batch appends to
+    * `tablePath` in arrival order (cheap), and every
+    * `clusterEveryBatches` batches the WHOLE table is rewritten into
+    * Z-order over `cols` through the crash-safe
+    * [[graft.operators.DirSwap]] — so the accumulated table keeps tight
+    * per-file min/max envelopes on EVERY clustered dimension (the
+    * [[graft.sources.Layout]] skipping property) instead of degrading to
+    * arrival-order files forever. At 100 TB this is the streaming
+    * ingest → queryable-fact-table loop: appends stay O(batch), the
+    * rewrite is one stats job + one range shuffle over the table, and a
+    * crash at any point leaves a complete copy ([[DirSwap]]'s state
+    * machine, healed before every batch).
+    *
+    * Replay-idempotent the sketch table's way: rows carry a `batch_id`
+    * column and a replayed micro-batch (its id already present) appends
+    * nothing — the clustering rewrite preserves rows and `batch_id`, so
+    * the check survives compaction. Single-writer contract: this sink is
+    * the table's only writer; concurrent readers must tolerate the swap
+    * (or read through [[recoverSketch]]-style healing first). */
+  def selfClusteringSink(df: DataFrame, cols: Seq[String], tablePath: String,
+                         checkpointLocation: String,
+                         clusterEveryBatches: Int = 8,
+                         targetFiles: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(clusterEveryBatches > 0,
+      s"clusterEveryBatches must be positive, got $clusterEveryBatches")
+    require(!cols.contains("batch_id"), "batch_id is the sink's replay column")
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processClusterBatch(batch, batchId, cols, tablePath,
+          clusterEveryBatches, targetFiles)
+      }
+      .start()
+  }
+
+  private[streaming] def processClusterBatch(batch: DataFrame, batchId: Long,
+      cols: Seq[String], tablePath: String,
+      clusterEveryBatches: Int, targetFiles: Int): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.DirSwap.recover(spark, tablePath)
+    val path = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val replayed = fs.exists(path) &&
+      !spark.read.parquet(tablePath).filter(col("batch_id") === batchId).isEmpty
+    if (!replayed)
+      batch.withColumn("batch_id", lit(batchId)).write.mode("append").parquet(tablePath)
+    // same single-writer window as the sketch compactor: between this
+    // append and the next batch's read nothing else touches the table
+    if (batchId % clusterEveryBatches == clusterEveryBatches - 1) {
+      graft.operators.DirSwap.swapRewrite(spark, tablePath)(
+        graft.sources.Layout.cluster(_, cols, targetFiles))(
+        (d, out) => d.write.mode("overwrite").parquet(out))
+      // refresh the skipping index over the clustered layout; files the
+      // NEXT batches append are simply absent from it until the next
+      // rewrite — prunedRead reads unindexed files unconditionally, so
+      // staleness costs I/O, never rows
+      graft.sources.Layout.writeEnvelopes(spark, tablePath, cols)
+    }
+  }
+
   def compactSketch(spark: SparkSession, sketchPath: String, targetFiles: Int): Unit =
     graft.operators.DirSwap.swapRewrite(spark, sketchPath)(_.repartition(targetFiles))(
       (df, out) => df.write.mode("overwrite").parquet(out))

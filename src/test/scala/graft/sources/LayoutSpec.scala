@@ -82,6 +82,39 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.skippableFileFraction(spark, out, Seq(("y", 50L, 81L))) > 0.3)
   }
 
+  test("prunedRead: indexed files are truly not opened; stale and missing indexes stay exact") {
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 30000).map(_ => (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val dir = Files.createTempDirectory("layout-pruned").resolve("t").toString
+    Layout.clusterWrite(df, Seq("x", "y"), 16, dir) // writes the .envelopes index too
+    val box = Seq(("x", 100L, 163L), ("y", 100L, 163L))
+    val want = df.filter($"x".between(100L, 163L) && $"y".between(100L, 163L))
+      .collect().toSet
+    val pruned = Layout.prunedRead(spark, dir, box)
+    // the skip is REAL: fewer input files than the full table (this also
+    // pins the file:/ vs file:/// path-normalization, whose silent
+    // mismatch would skip nothing)
+    assert(pruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length,
+      s"prunedRead opened all ${pruned.inputFiles.length} files - nothing skipped")
+    assert(pruned.filter($"x".between(100L, 163L) && $"y".between(100L, 163L))
+      .collect().toSet == want)
+    // staleness: a file appended AFTER the index exists is always read
+    Seq((120L, 120L)).toDF("x", "y").write.mode("append").parquet(dir)
+    val afterAppend = Layout.prunedRead(spark, dir, box)
+      .filter($"x" === 120L && $"y" === 120L).count()
+    assert(afterAppend >= 1L, "a post-index append was wrongly skipped")
+    // a box over unindexed columns falls back to the full read
+    assert(Layout.prunedRead(spark, dir, Seq(("nope", 0L, 1L))).count() == 30001L)
+    // no index at all -> full read
+    val plain = Files.createTempDirectory("layout-noidx").resolve("t").toString
+    df.write.parquet(plain)
+    assert(Layout.prunedRead(spark, plain, box).count() == 30000L)
+    // every file provably missing -> empty result, same schema
+    val none = Layout.prunedRead(spark, dir, Seq(("x", 5000L, 6000L)))
+    assert(none.columns.toSeq == spark.read.parquet(dir).columns.toSeq)
+  }
+
   test("box-predicate file skipping: z-order prunes on BOTH dims, lexicographic only on the leading one") {
     val n = 40000
     val rnd = new scala.util.Random(7)

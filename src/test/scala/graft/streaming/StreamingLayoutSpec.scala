@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Layout
+
+/** The self-clustering table sink
+  * ([[StreamingPipeline.selfClusteringSink]]): appends land in arrival
+  * order, the periodic DirSwap rewrite restores the Z-order skipping
+  * property over the WHOLE accumulated table, rows and the replay guard
+  * survive the rewrite, and a replayed batch appends nothing. */
+class StreamingLayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def parquetFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
+  test("appends accumulate, the periodic rewrite restores both-dimension skipping, rows exact") {
+    val table = tmp("stream-layout") + "/t"
+    val cp = tmp("stream-layout-cp")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val rnd = new scala.util.Random(5)
+    val batches = (0 until 4).map(_ =>
+      (1 to 4000).map(_ => (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)))
+    val q = StreamingPipeline.selfClusteringSink(
+      mem.toDF().toDF("x", "y"), Seq("x", "y"), table, cp,
+      clusterEveryBatches = 4, targetFiles = 8)
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // batch 3 triggered the rewrite: 8 range files, both dims skippable
+    assert(parquetFiles(table) == 8, s"expected the compacted layout, got ${parquetFiles(table)} files")
+    val got = spark.read.parquet(table)
+    assert(got.count() == 16000)
+    assert(got.select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq ==
+      batches.flatten.sorted)
+    assert(Layout.skippableFileFraction(spark, table, Seq(("x", 100L, 163L))) > 0.3)
+    assert(Layout.skippableFileFraction(spark, table, Seq(("y", 100L, 163L))) > 0.3)
+    // batch_id survives the rewrite (the replay guard's column)
+    assert(spark.read.parquet(table).select("batch_id").distinct().count() == 4)
+  }
+
+  test("a replayed batch appends nothing, before and after a rewrite") {
+    val table = tmp("stream-layout-replay") + "/t"
+    val rows = (1 to 500).map(i => (i.toLong, (i * 31 % 97).toLong)).toDF("x", "y")
+    StreamingPipeline.processClusterBatch(rows, 0L, Seq("x", "y"), table,
+      clusterEveryBatches = 2, targetFiles = 4)
+    StreamingPipeline.processClusterBatch(rows, 0L, Seq("x", "y"), table,
+      clusterEveryBatches = 2, targetFiles = 4) // replay: no double rows
+    assert(spark.read.parquet(table).count() == 500)
+    StreamingPipeline.processClusterBatch(rows, 1L, Seq("x", "y"), table,
+      clusterEveryBatches = 2, targetFiles = 4) // triggers the rewrite
+    assert(parquetFiles(table) == 4)
+    StreamingPipeline.processClusterBatch(rows, 1L, Seq("x", "y"), table,
+      clusterEveryBatches = 2, targetFiles = 4) // replay AFTER compaction
+    assert(spark.read.parquet(table).count() == 1000)
+  }
+}
