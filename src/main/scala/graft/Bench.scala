@@ -89,7 +89,8 @@ object Bench {
     // the interval-preserved naive outer rewrite
     "q137_zorder_events_box", "q138_zorder_lineitem_box",
     "q139_naive_interval_iv_left", "q140_sql_tf_sessionize",
-    "q141_sql_tf_zorder", "q142_zorder_pruned_read")
+    "q141_sql_tf_zorder", "q142_zorder_pruned_read",
+    "q143_sql_tf_pruned_read")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

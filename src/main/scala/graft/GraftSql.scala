@@ -217,6 +217,24 @@ object GraftSql {
                                      cols: Seq[String], numPartitions: Int): DataFrame =
     graft.sources.Layout.cluster(spark.table(view), cols, numPartitions)
 
+  /** [[graft.sources.Layout.prunedRead]] over a PATH: read a
+    * Z-order-maintained parquet table through its persisted `.envelopes`
+    * file-skipping index — files the index proves outside the box are
+    * never opened; exact under stale/missing indexes (see the operator).
+    * Box bounds are integer literals here (the SQL-surface special case;
+    * timestamp boxes go through the Scala API). */
+  def prunedRead(spark: SparkSession, out: String, path: String,
+                 box: Seq[(String, Long, Long)]): DataFrame = {
+    val df = prunedReadDf(spark, path, box)
+    df.createOrReplaceTempView(out)
+    df
+  }
+
+  private[graft] def prunedReadDf(spark: SparkSession, path: String,
+                                  box: Seq[(String, Long, Long)]): DataFrame =
+    graft.sources.Layout.prunedRead(spark, path,
+      box.map { case (c, lo, hi) => (c, lo: Any, hi: Any) })
+
   def connectedComponents(spark: SparkSession, out: String, pairs: String,
                           aCol: String, bCol: String,
                           algorithm: String = "propagation"): DataFrame = {

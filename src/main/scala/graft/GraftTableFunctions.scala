@@ -46,6 +46,10 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    [, min_events [, mode]]])` — gap-break sessionization; `mode` is
   *    `rollup` (default: one row per kept session) or `assign` (input
   *    rows tagged with `session_id`)
+  *  - `graft_pruned_read(path, col1, lo1, hi1 [, col2, lo2, hi2, …])` —
+  *    read a parquet path through its `.envelopes` file-skipping index
+  *    (files provably outside the integer box are never opened; exact
+  *    under stale or missing indexes)
   *  - `graft_zorder_cluster(view, cols_csv, num_partitions)` — the
   *    Z-ordered rewrite of the view's rows, for CTAS/INSERT OVERWRITE
   *    layout-maintenance jobs written in SQL
@@ -163,6 +167,17 @@ object GraftTableFunctions {
     ).queryExecution.analyzed
   }
 
+  private def prunedReadBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pruned_read"
+    arity(fn, args, 4, 1 + 3 * 8)
+    require((args.size - 1) % 3 == 0,
+      s"$fn takes a path then (col, lo, hi) triples, got ${args.size} arguments")
+    val box = (1 until args.size by 3).map(i =>
+      (str(fn, args, i), lng(fn, args, i + 1), lng(fn, args, i + 2)))
+    GraftSql.prunedReadDf(sess(), path = str(fn, args, 0), box = box
+    ).queryExecution.analyzed
+  }
+
   private def zorderBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_zorder_cluster"
     arity(fn, args, 3, 3)
@@ -210,6 +225,10 @@ object GraftTableFunctions {
       info("graft_sessionize",
         "graft_sessionize(view, keys_csv, ts_col, gap[, tiebreak_csv, min_events, mode])"),
       sessionizeBuilder(sess) _),
+    (new FunctionIdentifier("graft_pruned_read"),
+      info("graft_pruned_read",
+        "graft_pruned_read(path, col1, lo1, hi1[, col2, lo2, hi2, ...])"),
+      prunedReadBuilder(sess) _),
     (new FunctionIdentifier("graft_zorder_cluster"),
       info("graft_zorder_cluster",
         "graft_zorder_cluster(view, cols_csv, num_partitions)"),

@@ -58,8 +58,14 @@ import graft.operators.IntervalJoin
   * LEFT JOIN points, or the mirror RIGHT) is the same rescue through
   * [[IntervalJoin.pointInIntervalRight]], gated on a provably-unique
   * INTERVAL id — uncovered intervals keep one row with null point
-  * columns (including null point keys). Any other outer shape keeps the
-  * naive plan.
+  * columns (including null point keys). FULL OUTER deliberately keeps
+  * the naive plan: with BOTH sides preserved, the rewrite's column-null
+  * indicators (interval start for point-preserved rows, point ts for
+  * interval-preserved rows) turn ambiguous on preserved rows whose OWN
+  * indicator column is legitimately null (a null-ts point, a null-bound
+  * interval) — exactness would need side-tagged operator output, a
+  * structural change declined until a workload shows demand. Any other
+  * outer shape keeps the naive plan.
   *
   * The bucket width is the operator's own tuning rule
   * ([[IntervalJoin.medianSpanWidth]]), which runs one 1-row aggregate at

@@ -40,6 +40,21 @@ object LayoutQueries {
     })
   }
 
+  /** Events with a LONG event-time column, clustered on (user_id, ts_us)
+    * — the integer-box shape `graft_pruned_read`'s SQL surface takes. */
+  private def zEventsUs(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_us"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_us").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts"),
+        Seq("user_id", "ts_us"), 16, out)
+      cache += key -> out
+      out
+    })
+  }
+
   private def zEvents(spark: SparkSession, dir: String): String =
     materialized(spark, dir, "events", Seq("user_id", "ts"), files = 16)
   private def zLineitem(spark: SparkSession, dir: String): String =
@@ -48,7 +63,7 @@ object LayoutQueries {
   /** Bench hooks (the q103_index_build pattern): time the REWRITE as its
     * own entry; the queries below then measure serving only. */
   def buildZorder(spark: SparkSession, dir: String): Unit = {
-    zEvents(spark, dir); zLineitem(spark, dir); ()
+    zEvents(spark, dir); zLineitem(spark, dir); zEventsUs(spark, dir); ()
   }
   def invalidateZorder(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot(_._1.startsWith(s"$dir|"))
@@ -125,14 +140,44 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q143
+  /** The file-skipping read in PURE SQL — `graft_pruned_read` over the
+    * (user_id, ts_us)-clustered events copy with a 2-D integer box: the
+    * `.envelopes` index decides which files open, the WHERE re-applies
+    * the exact predicate, and the oracle is the original-table SQL
+    * (pruning changes I/O, never rows — q142's contract through the
+    * TVF). */
+  def q143SqlTfPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    val path = zEventsUs(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_pruned_read('$path', 'user_id', 2, 9,
+         |                       'ts_us', $EvTsLo, ${EvTsHi - 1})
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
-    "q142_zorder_pruned_read"  -> q142ZorderPrunedRead _)
+    "q142_zorder_pruned_read"  -> q142ZorderPrunedRead _,
+    "q143_sql_tf_pruned_read"  -> q143SqlTfPrunedRead _)
 
   val oracleSql: Map[String, String] = Map(
     "q137_zorder_events_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q143_sql_tf_pruned_read" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
          |  count(DISTINCT user_id) AS n_users

@@ -113,6 +113,19 @@ class LayoutSpec extends AnyFunSuite {
     // every file provably missing -> empty result, same schema
     val none = Layout.prunedRead(spark, dir, Seq(("x", 5000L, 6000L)))
     assert(none.columns.toSeq == spark.read.parquet(dir).columns.toSeq)
+    // the pure-SQL face: graft_pruned_read with (col, lo, hi) triples
+    graft.GraftTableFunctions.ensure(spark)
+    val viaTf = spark.sql(
+      s"SELECT * FROM graft_pruned_read('$dir', 'x', 100, 163, 'y', 100, 163)")
+    assert(viaTf.inputFiles.length == pruned.inputFiles.length ||
+      viaTf.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
+    val wantNow = spark.read.parquet(dir)
+      .filter($"x".between(100L, 163L) && $"y".between(100L, 163L)).collect().toSet
+    assert(viaTf.filter($"x".between(100L, 163L) && $"y".between(100L, 163L))
+      .collect().toSet == wantNow)
+    intercept[Exception] { // malformed triple list fails loudly
+      spark.sql(s"SELECT * FROM graft_pruned_read('$dir', 'x', 100)").collect()
+    }
   }
 
   test("box-predicate file skipping: z-order prunes on BOTH dims, lexicographic only on the leading one") {
