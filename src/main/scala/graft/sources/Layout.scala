@@ -139,6 +139,24 @@ object Layout {
   private[graft] def envelopesPath(dir: String): String =
     dir.stripSuffix("/") + ".envelopes"
 
+  /** Append envelope rows for SPECIFIC files (a streaming sink's fresh
+    * batch) to an existing index — incremental maintenance so
+    * [[prunedRead]] can skip even files appended since the last full
+    * rewrite. One bounded scan of just those files. Crash between the
+    * data write and this append leaves the files unindexed →
+    * [[prunedRead]] reads them unconditionally (exactness unaffected);
+    * a later full [[writeEnvelopes]] (overwrite) resets the index. */
+  def appendEnvelopes(spark: SparkSession, dir: String, files: Seq[String],
+                      cols: Seq[String]): Unit = {
+    if (files.isEmpty) return
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+      .coalesce(1)
+      .write.mode("append").parquet(envelopesPath(dir))
+  }
+
   /** Read `dir` with FILE-LEVEL skipping: files whose persisted envelope
     * PROVES the box predicate `lo_i <= col_i <= hi_i` cannot match are
     * never opened — not even their footers (row-group pruning still

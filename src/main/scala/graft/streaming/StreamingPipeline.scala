@@ -892,8 +892,20 @@ object StreamingPipeline {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val replayed = fs.exists(path) &&
       !spark.read.parquet(tablePath).filter(col("batch_id") === batchId).isEmpty
-    if (!replayed)
+    def listing(): Set[String] =
+      if (!fs.exists(path)) Set.empty
+      else fs.listStatus(path).filter(_.isFile).map(_.getPath.toUri.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    if (!replayed) {
+      val before = listing()
       batch.withColumn("batch_id", lit(batchId)).write.mode("append").parquet(tablePath)
+      // incremental index maintenance: envelope rows for exactly this
+      // batch's files (single-writer ⇒ the listing diff IS the batch), so
+      // prunedRead skips fresh appends too. A crash between the two
+      // writes just leaves the files unindexed — read unconditionally.
+      graft.sources.Layout.appendEnvelopes(spark, tablePath,
+        (listing() -- before).toSeq, cols)
+    }
     // same single-writer window as the sketch compactor: between this
     // append and the next batch's read nothing else touches the table
     if (batchId % clusterEveryBatches == clusterEveryBatches - 1) {

@@ -57,6 +57,22 @@ class StreamingLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(table).select("batch_id").distinct().count() == 4)
   }
 
+  test("fresh appends are indexed incrementally: prunedRead skips between rewrites") {
+    val table = tmp("stream-layout-incr") + "/t"
+    // monotone x per batch (an event-time stream): batch b covers
+    // [b*1000, b*1000+999] — a box over batch 0's range must skip the
+    // files batches 1 and 2 appended, with NO rewrite ever having run
+    (0 to 2).foreach { b =>
+      val rows = (0 until 1000).map(i => ((b * 1000 + i).toLong, i.toLong)).toDF("x", "y")
+      StreamingPipeline.processClusterBatch(rows, b.toLong, Seq("x", "y"), table,
+        clusterEveryBatches = 100, targetFiles = 4)
+    }
+    val pruned = Layout.prunedRead(spark, table, Seq(("x", 0L, 999L)))
+    assert(pruned.inputFiles.length < spark.read.parquet(table).inputFiles.length,
+      "incremental envelopes did not enable any skipping")
+    assert(pruned.filter($"x".between(0L, 999L)).count() == 1000L)
+  }
+
   test("a replayed batch appends nothing, before and after a rewrite") {
     val table = tmp("stream-layout-replay") + "/t"
     val rows = (1 to 500).map(i => (i.toLong, (i * 31 % 97).toLong)).toDF("x", "y")
