@@ -95,4 +95,57 @@ object ZOrderExprs {
   /** Column form: `fields` packed via `array(...)` by the caller. */
   def zInterleave(packed: Column, bits: Int, n: Int): Column =
     GraftBridge.column(ZInterleave(GraftBridge.expression(packed), bits, n))
+
+  /** Rank cell of a double against SORTED quantile bounds: the number of
+    * bounds ≤ the value (binary search over a reference-object array in
+    * codegen) — [[graft.sources.Layout]]'s QUANTILE scaling, which gives
+    * a skewed column equi-POPULATED cells where linear min/max scaling
+    * collapses most rows into a few. Output ∈ [0, bounds.length]; null
+    * in → null out. Tie placement is arbitrary-but-deterministic
+    * (binarySearch), fine for layout: cells affect cost, never results. */
+  case class BucketIndex(child: Expression, bounds: Array[Double])
+      extends UnaryExpression {
+
+    require(bounds.nonEmpty, "BucketIndex needs at least one bound")
+
+    // array params compare by reference in the synthesized equals, which
+    // defeats canonicalization / CSE — compare contents (the
+    // PqCodesLongArray precedent)
+    override def equals(o: Any): Boolean = o match {
+      case that: BucketIndex =>
+        child == that.child && java.util.Arrays.equals(bounds, that.bounds)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(child, Int.box(java.util.Arrays.hashCode(bounds)))
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case org.apache.spark.sql.types.DoubleType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires double, got $t")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bucket_index"
+
+    override def nullSafeEval(v: Any): Any = {
+      val r = java.util.Arrays.binarySearch(bounds, v.asInstanceOf[Double])
+      (if (r >= 0) r + 1 else -(r + 1)).toLong
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val b = ctx.addReferenceObj("bucketBounds", bounds, "double[]")
+        val r = ctx.freshName("r")
+        s"""
+           |int $r = java.util.Arrays.binarySearch($b, $v);
+           |${ev.value} = ($r >= 0) ? ($r + 1L) : (-($r + 1L));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column form of [[BucketIndex]]. */
+  def bucketIndex(v: Column, bounds: Array[Double]): Column =
+    GraftBridge.column(BucketIndex(GraftBridge.expression(v), bounds))
 }
