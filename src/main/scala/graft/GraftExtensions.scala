@@ -19,7 +19,10 @@ import graft.functions.VectorExprs.DotLongArrays
   * [[graft.plans.AsOfRewriteRule]] (inequality-join argmax → the as-of
   * union+window plan; `spark.graft.asof.rewrite`) and
   * [[graft.plans.IntervalRewriteRule]] (equi-join + range containment →
-  * the bucketized interval join; `spark.graft.interval.rewrite`).
+  * the bucketized interval join; `spark.graft.interval.rewrite`), plus
+  * [[graft.plans.EnvelopePruneRule]] (plain box-filtered parquet scans
+  * route through the table's `.envelopes` file-skipping index when one
+  * exists; `spark.graft.envelope.prune`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -29,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))))
     e.injectOptimizerRule(session => new graft.plans.AsOfRewriteRule(session))
     e.injectOptimizerRule(session => new graft.plans.IntervalRewriteRule(session))
+    e.injectOptimizerRule(session => new graft.plans.EnvelopePruneRule(session))
     // pure-SQL whole-operator surface: SELECT * FROM graft_asof_join(...)
     GraftTableFunctions.descriptions.foreach(e.injectTableFunction)
   }

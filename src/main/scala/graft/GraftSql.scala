@@ -221,19 +221,20 @@ object GraftSql {
     * Z-order-maintained parquet table through its persisted `.envelopes`
     * file-skipping index — files the index proves outside the box are
     * never opened; exact under stale/missing indexes (see the operator).
-    * Box bounds are integer literals here (the SQL-surface special case;
-    * timestamp boxes go through the Scala API). */
+    * Box bounds take any comparable literal — integer, double, string,
+    * `DATE '...'`, `TIMESTAMP '...'` — matching the indexed column's
+    * type family (the SQL face `graft_pruned_read` passes them through
+    * verbatim). */
   def prunedRead(spark: SparkSession, out: String, path: String,
-                 box: Seq[(String, Long, Long)]): DataFrame = {
+                 box: Seq[(String, Any, Any)]): DataFrame = {
     val df = prunedReadDf(spark, path, box)
     df.createOrReplaceTempView(out)
     df
   }
 
   private[graft] def prunedReadDf(spark: SparkSession, path: String,
-                                  box: Seq[(String, Long, Long)]): DataFrame =
-    graft.sources.Layout.prunedRead(spark, path,
-      box.map { case (c, lo, hi) => (c, lo: Any, hi: Any) })
+                                  box: Seq[(String, Any, Any)]): DataFrame =
+    graft.sources.Layout.prunedRead(spark, path, box)
 
   def connectedComponents(spark: SparkSession, out: String, pairs: String,
                           aCol: String, bCol: String,

@@ -173,9 +173,20 @@ object GraftTableFunctions {
     require((args.size - 1) % 3 == 0,
       s"$fn takes a path then (col, lo, hi) triples, got ${args.size} arguments")
     val box = (1 until args.size by 3).map(i =>
-      (str(fn, args, i), lng(fn, args, i + 1), lng(fn, args, i + 2)))
+      (str(fn, args, i), boxVal(fn, args, i + 1), boxVal(fn, args, i + 2)))
     GraftSql.prunedReadDf(sess(), path = str(fn, args, 0), box = box
     ).queryExecution.analyzed
+  }
+
+  /** A box BOUND literal: any comparable type — integer, double,
+    * string, `DATE '...'`, `TIMESTAMP '...'` — converted to its external
+    * (java) value so the operator's `lit()` re-embeds it with the same
+    * type. NULL bounds are rejected loudly (a null bound proves
+    * nothing and is always a caller bug). */
+  private def boxVal(fn: String, args: Seq[Expression], i: Int): Any = {
+    val v = lit(fn, args, i)
+    require(v != null, s"$fn argument ${i + 1}: box bounds must not be NULL")
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, args(i).dataType)
   }
 
   private def zorderBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {

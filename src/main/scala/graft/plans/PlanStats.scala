@@ -48,26 +48,30 @@ private[graft] object PlanStats {
   private val cache = new ConcurrentHashMap[(String, LogicalPlan), AnyRef]()
   private val MaxEntries = 1024
 
-  /** Negative-cache marker: a statistic job that THREW. Failures are
-    * cached under the same canonical-plan key as successes — the rules
-    * catch `NonFatal` per query and keep the naive plan, so without this
-    * a side whose stats job always fails (e.g. permissions on one table)
-    * would re-submit the failing job on EVERY re-optimization of that
-    * query, paying job-submission latency each time. With it, the first
-    * failure propagates (and is logged by the catching rule) and every
-    * later optimization of the same plan declines instantly. */
+  /** Negative-cache marker: a statistic job that failed DETERMINISTICALLY.
+    * Only `AnalysisException` is negative-cached — a plan that cannot
+    * analyze today cannot analyze on the next re-optimization either, so
+    * re-submitting its job on EVERY re-optimization would pay
+    * job-submission latency for a guaranteed failure. TRANSIENT failures
+    * (lost executor, a file deleted by a concurrent compaction, a
+    * cancelled job) are NOT cached: they propagate once — the rules catch
+    * `NonFatal` per query and keep the naive plan — and the next call
+    * simply retries, so one flake can never permanently poison the
+    * user-facing verbs (`pointInInterval`, the TVFs) that share this
+    * cache with the optimizer rules. */
   private final case class Failed(err: Throwable)
 
-  private def cached[T <: AnyRef](tag: String, key: LogicalPlan)(compute: => T): T = {
+  private[graft] def cached[T <: AnyRef](tag: String, key: LogicalPlan)(compute: => T): T = {
     val k = (tag, key)
     cache.get(k) match {
       case Failed(err) => throw new IllegalStateException(
-        "PlanStats: this plan's statistic job failed earlier in this JVM (negative-cached; " +
-          "no job re-run) - fix the underlying failure or set the rewrite conf off", err)
+        "PlanStats: this plan's statistic job failed deterministically earlier in this JVM " +
+          "(negative-cached; no job re-run) - fix the underlying failure or set the rewrite " +
+          "conf off", err)
       case hit if hit != null => hit.asInstanceOf[T]
       case _ =>
         val v = try compute catch {
-          case scala.util.control.NonFatal(e) =>
+          case e: org.apache.spark.sql.AnalysisException =>
             if (cache.size >= MaxEntries) cache.clear()
             cache.put(k, Failed(e))
             throw e

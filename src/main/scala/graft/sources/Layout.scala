@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.ZOrderExprs
+import graft.operators.DirSwap
 
 /** Multi-dimensional data LAYOUT clustering (Z-order / Morton curve) —
   * the physical-design lever for 100 TB scans that partitioning alone
@@ -17,9 +18,13 @@ import graft.functions.ZOrderExprs
   * column.
   *
   * Mechanics: each clustered column is normalized to a `bits`-wide cell
-  * coordinate (`bits = 63 / n`) by linear min/max scaling — one cheap
-  * 1-row statistics job, the medianSpanWidth pattern — then the
-  * coordinates are bit-interleaved ([[ZOrderExprs.ZInterleave]], native
+  * coordinate (`bits = 63 / n`) — by LINEAR min/max scaling (one cheap
+  * 1-row statistics job, the medianSpanWidth pattern) or by QUANTILE
+  * (rank) scaling (`scaling = "quantile"`: one `approxQuantile` pass
+  * gives equi-POPULATED cells, recovering skipping power on zipf-skewed
+  * columns where linear scaling collapses most rows into a few cells) —
+  * then the coordinates are bit-interleaved ([[ZOrderExprs.ZInterleave]],
+  * native codegen; quantile cells via [[ZOrderExprs.BucketIndex]], also
   * codegen) and the table is range-repartitioned + sorted on the z-value.
   * One shuffle total, sized by `numPartitions` to the target file size;
   * the z column itself is dropped before write (it is layout, not data).
@@ -27,9 +32,11 @@ import graft.functions.ZOrderExprs
   * Affects COST only, never results: the rewrite is row-preserving by
   * construction (spec-pinned and oracle-checked — q137/q138 query the
   * clustered copy against oracles over the original). Skew in a column
-  * concentrates its cells but cannot break correctness; heavily skewed
-  * dimensions get fewer effective distinct cells (linear scaling, not
-  * rank scaling — the honest trade for a single-pass statistic).
+  * concentrates its cells but cannot break correctness; under the
+  * default linear scaling heavily skewed dimensions get fewer effective
+  * distinct cells — the honest trade for a single-pass min/max
+  * statistic — and `scaling = "quantile"` is the measured fix
+  * (LayoutSpec pins the skip-fraction recovery on a zipfian column).
   *
   * NULL ordering: nulls map to cell 0 (they sort first within their
   * dimension), so all-null and mostly-null columns degrade to no-op
@@ -60,17 +67,21 @@ object Layout {
     }
   }
 
-  /** The z-value column for `df` over `cols`. Runs ONE 1-row min/max
-    * statistics job over the clustered columns (cost-only, like the
-    * interval width statistic); the returned column is then pure
-    * codegen'd arithmetic per row. */
-  def zValue(df: DataFrame, cols: Seq[String]): Column = {
+  private def checkCols(df: DataFrame, cols: Seq[String]): Unit = {
     require(cols.nonEmpty && cols.size <= 8,
       s"z-order over 1..8 columns (63 shared bits), got ${cols.size}")
     require(cols.distinct.size == cols.size, s"duplicate z-order columns in $cols")
     cols.foreach(c => require(df.columns.contains(c), s"no column '$c' to z-order by"))
     require(!df.isStreaming, "Layout is a batch table-maintenance primitive (OPTIMIZE-style); " +
       "compact streaming sinks with DirSwap-based maintenance instead")
+  }
+
+  /** The z-value column for `df` over `cols` with LINEAR min/max cell
+    * scaling. Runs ONE 1-row min/max statistics job over the clustered
+    * columns (cost-only, like the interval width statistic); the
+    * returned column is then pure codegen'd arithmetic per row. */
+  def zValue(df: DataFrame, cols: Seq[String]): Column = {
+    checkCols(df, cols)
     val n = cols.size
     val bits = 63 / n
     val maxCell = (1L << bits) - 1
@@ -93,16 +104,56 @@ object Layout {
     ZOrderExprs.zInterleave(array(cells: _*), bits, n)
   }
 
+  /** The z-value column with QUANTILE (rank) cell scaling: one
+    * `approxQuantile` pass (relative error 1e-3) picks up to 255
+    * per-column bounds, and each row's cell is its rank among them
+    * ([[ZOrderExprs.BucketIndex]], codegen'd binary search) — so a
+    * zipf-skewed column still spreads over ~256 equi-populated cells
+    * where linear min/max scaling would collapse it. 256 cells per
+    * dimension is deliberate: layout clustering targets FILE-level
+    * (16..1024 files) envelopes, which 256 distinct cell values
+    * saturate; finer cells would only grow the quantile statistic.
+    * All-null columns degrade to constant cell 0, like linear. */
+  def zValueQuantile(df: DataFrame, cols: Seq[String]): Column = {
+    checkCols(df, cols)
+    val n = cols.size
+    val bits = 63 / n
+    val maxCell = (1L << bits) - 1
+    val nBounds = math.min(255L, maxCell).toInt
+    val probs = (1 to nBounds).map(_.toDouble / (nBounds + 1)).toArray
+    val raws = cols.map(c => rawNumeric(df, c))
+    val qNames = cols.indices.map(i => s"__graft_q$i")
+    val rawDf = df.select(raws.zip(qNames).map { case (r, nm) => r.as(nm) }: _*)
+    val bounds = rawDf.stat.approxQuantile(qNames.toArray, probs, 1e-3)
+    val cells = raws.zip(bounds).map { case (r, bs) =>
+      val distinct = bs.distinct.sorted
+      if (distinct.isEmpty) lit(0L) // all-null dimension
+      else coalesce(ZOrderExprs.bucketIndex(r, distinct), lit(0L))
+    }
+    ZOrderExprs.zInterleave(array(cells: _*), bits, n)
+  }
+
+  private def zValueFor(df: DataFrame, cols: Seq[String], scaling: String): Column =
+    scaling match {
+      case "linear"   => zValue(df, cols)
+      case "quantile" => zValueQuantile(df, cols)
+      case other => throw new IllegalArgumentException(
+        s"Layout scaling must be linear|quantile, got '$other'")
+    }
+
   /** Rewrite `df` into global Z-order over `cols`: range-repartition on
     * the z-value (one shuffle; each output partition covers a tight,
     * disjoint z-range) and sort within partitions. `numPartitions` is
     * the output file count — size it to the target file size, NOT to
     * cluster parallelism (at 100 TB run this per table-partition, e.g.
-    * per date, exactly like an OPTIMIZE job). */
-  def cluster(df: DataFrame, cols: Seq[String], numPartitions: Int): DataFrame = {
+    * per date — [[clusterPartitions]] — exactly like an OPTIMIZE job).
+    * `scaling`: `linear` (default) or `quantile` (skew-resistant cells;
+    * see [[zValueQuantile]]). */
+  def cluster(df: DataFrame, cols: Seq[String], numPartitions: Int,
+              scaling: String = "linear"): DataFrame = {
     require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
     require(!df.columns.contains(ZCol), s"column name $ZCol is reserved by Layout")
-    df.withColumn(ZCol, zValue(df, cols))
+    df.withColumn(ZCol, zValueFor(df, cols, scaling))
       .repartitionByRange(numPartitions, col(ZCol))
       .sortWithinPartitions(ZCol)
       .drop(ZCol)
@@ -110,21 +161,69 @@ object Layout {
 
   /** [[cluster]] then write parquet (one file per range partition), then
     * refresh the `<dir>.envelopes` skipping index over the same columns
-    * ([[writeEnvelopes]]) so [[prunedRead]] works out of the box. */
-  def clusterWrite(df: DataFrame, cols: Seq[String], numPartitions: Int, dir: String): Unit = {
-    cluster(df, cols, numPartitions).write.mode("overwrite").parquet(dir)
+    * ([[writeEnvelopes]]) so [[prunedRead]] — and the
+    * [[graft.plans.EnvelopePruneRule]] auto-pruning of plain
+    * `read.filter` scans — work out of the box. */
+  def clusterWrite(df: DataFrame, cols: Seq[String], numPartitions: Int, dir: String,
+                   scaling: String = "linear"): Unit = {
+    cluster(df, cols, numPartitions, scaling).write.mode("overwrite").parquet(dir)
     writeEnvelopes(df.sparkSession, dir, cols)
   }
 
-  /** Per-FILE min/max envelopes of `cols` for a written table — the same
-    * statistics a file-skipping index (or parquet footer pruning at
-    * row-group grain) consults, surfaced as a DataFrame for measurement
-    * and for PLANS.md evidence. Distributed: one scan, one row per file. */
+  /** Per-leaf-partition OPTIMIZE: rewrite EVERY leaf directory of a
+    * (possibly hive-partitioned) parquet table into Z-order over `cols`
+    * independently — cell bounds are computed per partition, so each
+    * date's files get tight local envelopes — then refresh ONE
+    * table-level `.envelopes` index over `cols ++ indexCols` (pass the
+    * partition columns in `indexCols` to let [[prunedRead]] prune whole
+    * partitions through the same index). Each leaf is rewritten through
+    * the crash-safe [[DirSwap]] (write tmp → swap), so an interruption
+    * leaves every partition complete under its live or backup name —
+    * heal with [[readHealed]]. Single-writer contract: no concurrent
+    * writer OR reader of the table while the maintenance loop runs (the
+    * in-flight `<leaf>.compact-*` siblings would confuse a concurrent
+    * partition discovery).
+    *
+    * At 100 TB this is the nightly layout job: the per-leaf loop is
+    * embarrassingly parallel across partitions (sequential here;
+    * orchestrate N concurrent leaves externally if desired — each swap
+    * touches only its own directory), and `filesPerPartition` sizes
+    * files per partition rather than per table. */
+  def clusterPartitions(spark: SparkSession, dir: String, cols: Seq[String],
+                        filesPerPartition: Int, scaling: String = "linear",
+                        indexCols: Seq[String] = Nil): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"clusterPartitions: no table at $dir")
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val subDirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filterNot(d => d.getName.startsWith(".") || d.getName.startsWith("_"))
+        .filterNot(d => d.getName.contains(".compact-")).toSeq
+      if (subDirs.isEmpty) Seq(p) else subDirs.flatMap(leaves)
+    }
+    leaves(root).foreach { leaf =>
+      if (fs.listStatus(leaf).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+        DirSwap.swapRewrite(spark, leaf.toString)(cluster(_, cols, filesPerPartition, scaling))(
+          (d, out) => d.write.mode("overwrite").parquet(out))
+    }
+    writeEnvelopes(spark, dir, (cols ++ indexCols).distinct)
+  }
+
+  /** Per-FILE statistics of `cols` for a written table — min/max plus a
+    * null count per column (the Delta-stats triple: `nulls_c == rows`
+    * proves a file can never satisfy a box predicate, since SQL
+    * comparisons reject nulls). The same statistics a file-skipping
+    * index (or parquet footer pruning at row-group grain) consults,
+    * surfaced as a DataFrame for measurement and for PLANS.md evidence.
+    * Distributed: one scan, one row per file. Partitioned dirs work —
+    * partition columns are part of the scanned schema, so indexing them
+    * gives per-file envelopes that prune whole partitions. */
   def fileEnvelopes(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
     val df = spark.read.parquet(dir)
     df.groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("rows"),
-        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+      .agg(count(lit(1)).as("rows"), cols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))): _*)
   }
 
   /** Persist [[fileEnvelopes]] next to the table (`<dir>.envelopes`) —
@@ -145,17 +244,40 @@ object Layout {
     * rewrite. One bounded scan of just those files. Crash between the
     * data write and this append leaves the files unindexed →
     * [[prunedRead]] reads them unconditionally (exactness unaffected);
-    * a later full [[writeEnvelopes]] (overwrite) resets the index. */
+    * a replayed append can leave DUPLICATE index rows for a file —
+    * harmless (both rows carry the same envelope, so the skip decision
+    * is unchanged) and healed by the next full [[writeEnvelopes]]. */
   def appendEnvelopes(spark: SparkSession, dir: String, files: Seq[String],
                       cols: Seq[String]): Unit = {
     if (files.isEmpty) return
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("rows"),
-        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+      .agg(count(lit(1)).as("rows"), cols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))): _*)
       .coalesce(1)
       .write.mode("append").parquet(envelopesPath(dir))
   }
+
+  /** The per-file MISS predicate over an envelope table for a box
+    * `lo_i <= col_i <= hi_i`: true when the file PROVABLY holds no
+    * matching row — its range misses the box on some dimension, or
+    * (when the index carries null counts; older indexes may not) every
+    * value of a boxed column is null (null fails any SQL comparison).
+    * Shared by [[prunedRead]], [[skippableFileFraction]], and the
+    * optimizer rule ([[graft.plans.EnvelopePruneRule]] builds the same
+    * shape from extracted conjuncts). */
+  private[graft] def boxMiss(envColumns: Seq[String], box: Seq[(String, Any, Any)]): Column =
+    box.map { case (c, lo, hi) =>
+      val range = col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)
+      if (envColumns.contains(s"nulls_$c")) range || (col(s"nulls_$c") === col("rows"))
+      else range
+    }.reduce(_ || _)
+
+  /** Normalized path form for matching `input_file_name()` /
+    * `inputFiles` spellings (file:/ vs file:///) against each other. */
+  private[graft] def normPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
 
   /** Read `dir` with FILE-LEVEL skipping: files whose persisted envelope
     * PROVES the box predicate `lo_i <= col_i <= hi_i` cannot match are
@@ -170,9 +292,12 @@ object Layout {
     *
     * The listing + anti-join run on the DRIVER over the file list — the
     * same O(files) cost every parquet read's FileIndex already pays.
-    * FLAT tables only (what [[clusterWrite]] and the streaming
-    * self-clustering sink produce): reading an explicit file list cannot
-    * reconstruct hive-partition directory columns. */
+    * HIVE-PARTITIONED dirs compose: the kept files are re-read under
+    * `basePath = dir`, so partition columns survive (their values come
+    * from the surviving paths), a box on an INDEXED partition column
+    * prunes through the envelope like any other dimension, and a filter
+    * the caller applies on an UNINDEXED partition column still
+    * partition-prunes the kept-file relation the normal Catalyst way. */
   def prunedRead(spark: SparkSession, dir: String,
                  box: Seq[(String, Any, Any)]): DataFrame = {
     require(box.nonEmpty, "prunedRead needs at least one box predicate")
@@ -183,18 +308,41 @@ object Layout {
     val env = spark.read.parquet(envelopesPath(dir))
     val needed = box.map(_._1).flatMap(c => Seq(s"min_$c", s"max_$c"))
     if (!needed.forall(env.columns.contains)) return all // index over other columns
-    val misses = box.map { case (c, lo, hi) =>
-      col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)
-    }.reduce(_ || _)
     // driver-side: one row per file of a BOUNDED index table (file count).
     // Compare by normalized path — input_file_name() and inputFiles
     // render the scheme differently (file:/// vs file:/), and a silent
     // mismatch here would skip NOTHING, a perf bug the spec pins.
-    def norm(s: String): String = new org.apache.hadoop.fs.Path(s).toUri.getPath
-    val skip = env.filter(misses).select("file").collect().map(r => norm(r.getString(0))).toSet
-    val keep = all.inputFiles.filterNot(f => skip.contains(norm(f)))
+    val skip = env.filter(boxMiss(env.columns.toSeq, box))
+      .select("file").collect().map(r => normPath(r.getString(0))).toSet
+    val keep = all.inputFiles.filterNot(f => skip.contains(normPath(f)))
     if (keep.isEmpty) all.limit(0)
-    else spark.read.schema(all.schema).parquet(keep.toSeq: _*)
+    else spark.read.option("basePath", dir).schema(all.schema).parquet(keep.toSeq: _*)
+  }
+
+  /** Read a swap-maintained table AFTER healing any interrupted
+    * [[DirSwap]] state — the sanctioned reader entry point for tables a
+    * [[clusterPartitions]] loop or the streaming self-clustering sink
+    * maintains concurrently-ish (reader and maintenance in the SAME
+    * process taking turns; true cross-process concurrent readers are
+    * outside the swap sinks' single-writer contract, see README). Heals,
+    * in order: the table dir itself, any `<leaf>.compact-*` partition
+    * swap left mid-flight, and the `.envelopes` index dir — each via
+    * [[DirSwap.recover]]'s deterministic state machine — then reads. */
+  def readHealed(spark: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DirSwap.recover(spark, dir)
+    def heal(p: org.apache.hadoop.fs.Path): Unit =
+      if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory).map(_.getPath).foreach { d =>
+        val name = d.getName
+        if (name.endsWith(".compact-backup") || name.endsWith(".compact-tmp"))
+          DirSwap.recover(spark, new org.apache.hadoop.fs.Path(p,
+            name.stripSuffix(".compact-backup").stripSuffix(".compact-tmp")).toString)
+        else heal(d)
+      }
+    heal(root)
+    DirSwap.recover(spark, envelopesPath(dir))
+    spark.read.parquet(dir)
   }
 
   /** Fraction of FILES a box predicate `lo_i <= col_i <= hi_i` can skip,
@@ -204,9 +352,7 @@ object Layout {
   def skippableFileFraction(spark: SparkSession, dir: String,
                             box: Seq[(String, Any, Any)]): Double = {
     val env = fileEnvelopes(spark, dir, box.map(_._1))
-    val misses = box.map { case (c, lo, hi) =>
-      col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)
-    }.reduce(_ || _)
+    val misses = boxMiss(env.columns.toSeq, box)
     val row = env.agg(count(lit(1)), sum(when(misses, 1L).otherwise(0L))).head()
     val total = row.getLong(0)
     if (total == 0) 0.0 else row.getLong(1).toDouble / total

@@ -860,12 +860,22 @@ object StreamingPipeline {
     * crash at any point leaves a complete copy ([[DirSwap]]'s state
     * machine, healed before every batch).
     *
-    * Replay-idempotent the sketch table's way: rows carry a `batch_id`
-    * column and a replayed micro-batch (its id already present) appends
-    * nothing — the clustering rewrite preserves rows and `batch_id`, so
-    * the check survives compaction. Single-writer contract: this sink is
-    * the table's only writer; concurrent readers must tolerate the swap
-    * (or read through [[recoverSketch]]-style healing first). */
+    * EXACTLY-ONCE appends via a marker-file commit log
+    * (`<table>.batches/b<id>`, one empty file per committed batch): each
+    * batch stages its files, renames them into the table under
+    * DETERMINISTIC names (`b<id>-<i>.parquet`), then writes the marker —
+    * so the replay probe is one O(1) existence check (never a table
+    * scan), a crash mid-commit is healed by the redo deleting exactly
+    * its own partial `b<id>-*` files, and an empty or half-written table
+    * directory is never read on the append path at all (no
+    * schema-inference crash loops). Envelope-index rows for a batch are
+    * appended only AFTER its marker, so the index never describes files
+    * a redo will rewrite. Rows still carry `batch_id` (it survives the
+    * clustering rewrite, and downstream consumers use it); the marker
+    * log, not the column, is the source of commit truth. Single-writer
+    * contract: this sink is the table's only writer; same-process
+    * readers should go through [[graft.sources.Layout.readHealed]]
+    * (heals an interrupted swap first). */
   def selfClusteringSink(df: DataFrame, cols: Seq[String], tablePath: String,
                          checkpointLocation: String,
                          clusterEveryBatches: Int = 8,
@@ -883,32 +893,61 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Envelope-index file-count bound for the self-clustering sink: the
+    * index gains one file per micro-batch ([[graft.sources.Layout
+    * .appendEnvelopes]]); past this many it is DirSwap-compacted to one,
+    * so the index can never become its own small-files problem however
+    * large `clusterEveryBatches` is. */
+  private val IndexCompactFiles = 16
+
   private[streaming] def processClusterBatch(batch: DataFrame, batchId: Long,
       cols: Seq[String], tablePath: String,
       clusterEveryBatches: Int, targetFiles: Int): Unit = {
     val spark = batch.sparkSession
     graft.operators.DirSwap.recover(spark, tablePath)
-    val path = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val replayed = fs.exists(path) &&
-      !spark.read.parquet(tablePath).filter(col("batch_id") === batchId).isEmpty
-    def listing(): Set[String] =
-      if (!fs.exists(path)) Set.empty
-      else fs.listStatus(path).filter(_.isFile).map(_.getPath.toUri.getPath)
-        .filter(_.endsWith(".parquet")).toSet
-    if (!replayed) {
-      val before = listing()
-      batch.withColumn("batch_id", lit(batchId)).write.mode("append").parquet(tablePath)
-      // incremental index maintenance: envelope rows for exactly this
-      // batch's files (single-writer ⇒ the listing diff IS the batch), so
-      // prunedRead skips fresh appends too. A crash between the two
-      // writes just leaves the files unindexed — read unconditionally.
-      graft.sources.Layout.appendEnvelopes(spark, tablePath,
-        (listing() -- before).toSeq, cols)
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$tablePath.batches/b$batchId")
+    if (!fs.exists(marker)) { // O(1) replay probe: the marker IS the commit record
+      // 1. a crashed attempt of THIS batch left at most files named
+      //    b<id>-* (deterministic names) — delete exactly that partial set
+      if (fs.exists(table))
+        fs.listStatus(table).map(_.getPath)
+          .filter(_.getName.startsWith(s"b$batchId-"))
+          .foreach(p => fs.delete(p, false))
+      // 2. stage, then commit file-by-file via atomic rename
+      val staging = new org.apache.hadoop.fs.Path(s"$tablePath.batch-tmp/$batchId")
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").parquet(staging.toString)
+      if (!fs.exists(table)) fs.mkdirs(table)
+      val moved = fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+        .map { case (src, i) =>
+          val dst = new org.apache.hadoop.fs.Path(table, s"b$batchId-$i.parquet")
+          require(fs.rename(src, dst), s"selfClusteringSink: could not commit $src to $dst")
+          dst.toString
+        }.toSeq
+      // 3. commit marker — written only after every file landed
+      fs.create(marker, true).close()
+      // 4. index the fresh files AFTER the marker: a crash before it
+      //    leaves no envelope rows for files the redo will re-write
+      //    (stale stats on a reused path would break skipping
+      //    exactness); a crash after it leaves the batch merely
+      //    unindexed — prunedRead reads unindexed files unconditionally
+      graft.sources.Layout.appendEnvelopes(spark, tablePath, moved, cols)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath.batch-tmp"), true)
+      // 5. bound the index's own file count (one append per batch)
+      val envDir = new org.apache.hadoop.fs.Path(
+        graft.sources.Layout.envelopesPath(tablePath))
+      if (fs.exists(envDir) && fs.listStatus(envDir)
+            .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) > IndexCompactFiles)
+        graft.operators.DirSwap.swapRewrite(spark, envDir.toString)(_.coalesce(1))(
+          (d, out) => d.write.mode("overwrite").parquet(out))
     }
     // same single-writer window as the sketch compactor: between this
     // append and the next batch's read nothing else touches the table
-    if (batchId % clusterEveryBatches == clusterEveryBatches - 1) {
+    if (batchId % clusterEveryBatches == clusterEveryBatches - 1 && fs.exists(table) &&
+        fs.listStatus(table).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))) {
       graft.operators.DirSwap.swapRewrite(spark, tablePath)(
         graft.sources.Layout.cluster(_, cols, targetFiles))(
         (d, out) => d.write.mode("overwrite").parquet(out))

@@ -1,0 +1,167 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Layout
+
+/** The envelope auto-pruning rule: a PLAIN `read.filter` box scan over a
+  * `.envelopes`-indexed table must optimize to a scan over fewer files
+  * (zero API change — the round-11 default-on lesson applied to the
+  * layout layer), results must be identical to the unpruned plan,
+  * staleness must cost I/O only, and non-matching shapes must be left
+  * untouched. Queries are built FRESH per conf setting (QueryExecution
+  * caches optimized plans). */
+class EnvelopePruneSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    EnvelopePruneRule.ensure(s)
+    s
+  }
+  import spark.implicits._
+
+  private def withRule[T](on: Boolean)(body: => T): T = {
+    spark.conf.set(EnvelopePruneRule.ConfKey, on.toString)
+    try body
+    finally spark.conf.unset(EnvelopePruneRule.ConfKey)
+  }
+
+  /** Total file count across the optimized plan's file-source scans. */
+  private def scanFiles(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation =>
+        r.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+    }.sum
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def writeClustered(): (String, DataFrame) = {
+    val rnd = new scala.util.Random(41)
+    val df = (1 to 30000).map(_ => (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val dir = freshDir("env-prune")
+    Layout.clusterWrite(df, Seq("x", "y"), 16, dir)
+    (dir, df)
+  }
+
+  test("a plain read.filter box scan is routed through the index: fewer files, identical rows") {
+    val (dir, df) = writeClustered()
+    def q() = spark.read.parquet(dir)
+      .filter($"x".between(100L, 163L) && $"y".between(100L, 163L))
+    val total = spark.read.parquet(dir).inputFiles.length
+    val (offFiles, offRows) = withRule(false) { (scanFiles(q()), q().collect().toSet) }
+    val (onFiles, onRows)   = withRule(true)  { (scanFiles(q()), q().collect().toSet) }
+    assert(offFiles == total, "rule off must leave the full listing")
+    assert(onFiles < total, s"rule on opened all $onFiles files - nothing pruned")
+    assert(onRows == offRows, "pruning changed RESULTS - exactness broken")
+    assert(onRows == df.filter($"x".between(100L, 163L) && $"y".between(100L, 163L))
+      .collect().toSet)
+  }
+
+  test("single-sided, strict, equality, and IN conjuncts all prune; each stays exact") {
+    val (dir, df) = writeClustered()
+    val total = spark.read.parquet(dir).inputFiles.length
+    def check(mk: DataFrame => DataFrame): Unit = withRule(true) {
+      val got = mk(spark.read.parquet(dir))
+      assert(scanFiles(got) < total, s"no pruning for ${got.queryExecution.logical}")
+      val want = withRule(false)(mk(spark.read.parquet(dir)).collect().toSet)
+      assert(got.collect().toSet == want)
+    }
+    check(_.filter($"x" >= 1000L))              // one-sided range
+    check(_.filter($"x" > 999L && $"x" < 1010L)) // strict bounds
+    check(_.filter($"x" === 512L))              // equality
+    check(_.filter($"x".isin(3L, 5L, 9L)))      // IN hull
+    check(_.filter(lit(800L) <= $"y"))          // flipped orientation, trailing dim
+  }
+
+  test("staleness is I/O-only: a file appended after the index is still read") {
+    val (dir, _) = writeClustered()
+    // 5000 is far outside every indexed envelope AND outside none of them
+    Seq((120L, 5000L)).toDF("x", "y").write.mode("append").parquet(dir)
+    withRule(true) {
+      val got = spark.read.parquet(dir).filter($"x" === 120L && $"y" === 5000L)
+      assert(got.count() == 1L, "a post-index append was wrongly pruned away")
+    }
+  }
+
+  test("a box no file can satisfy collapses to an empty local relation") {
+    val (dir, _) = writeClustered()
+    withRule(true) {
+      val got = spark.read.parquet(dir).filter($"x" > 100000L)
+      assert(got.queryExecution.optimizedPlan.collectFirst { case l: LocalRelation => l }.isDefined
+        || scanFiles(got) == 0, "expected a file-free plan")
+      assert(got.count() == 0L)
+      assert(got.columns.toSeq == Seq("x", "y"))
+    }
+  }
+
+  test("declines: no index, unindexed column, non-literal predicate, the index table itself") {
+    val rnd = new scala.util.Random(43)
+    val df = (1 to 5000).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong)).toDF("x", "y")
+    val plain = freshDir("env-prune-noidx")
+    df.write.parquet(plain)
+    withRule(true) {
+      val noIdx = spark.read.parquet(plain).filter($"x" > 90L)
+      assert(scanFiles(noIdx) == spark.read.parquet(plain).inputFiles.length)
+      assert(noIdx.count() == df.filter($"x" > 90L).count())
+    }
+    val (dir, _) = writeClustered()
+    val total = spark.read.parquet(dir).inputFiles.length
+    withRule(true) {
+      // a filter with NO extractable literal bound on an indexed column
+      val nonLit = spark.read.parquet(dir).filter($"x" < $"y")
+      assert(scanFiles(nonLit) == total)
+      // the .envelopes table is never pruned against itself
+      val env = spark.read.parquet(Layout.envelopesPath(dir)).filter($"rows" > 0L)
+      assert(env.count() > 0)
+    }
+  }
+
+  test("all-null files are skipped for non-null box predicates (nulls_ column), exactly") {
+    val dir = freshDir("env-prune-nulls")
+    Seq[(Option[Long], Long)]((None, 1L), (None, 2L)).toDF("x", "y")
+      .coalesce(1).write.parquet(dir)
+    Seq[(Option[Long], Long)]((Some(10L), 3L), (Some(20L), 4L)).toDF("x", "y")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(total >= 2)
+    withRule(true) {
+      val got = spark.read.parquet(dir).filter($"x" >= 5L)
+      assert(scanFiles(got) < total, "the all-null file was not skipped")
+      assert(got.collect().map(_.getLong(1)).toSet == Set(3L, 4L))
+    }
+  }
+
+  test("the injected-extensions path prunes and reaches a fixed point (no optimizer loop)") {
+    val (dir, df) = writeClustered()
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val got = s2.read.parquet(dir)
+        .filter(col("x").between(100L, 163L) && col("y").between(100L, 163L))
+      assert(scanFiles(got) < s2.read.parquet(dir).inputFiles.length)
+      assert(got.count() ==
+        df.filter($"x".between(100L, 163L) && $"y".between(100L, 163L)).count())
+    } finally {
+      prior.foreach { s => SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s) }
+    }
+  }
+}

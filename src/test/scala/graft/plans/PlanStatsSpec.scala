@@ -1,14 +1,17 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** PlanStats' per-canonical-plan cache, negative path: a statistic job
-  * that THROWS must be cached like a success — the rewrite rules catch
-  * per query and keep the naive plan, so without negative caching a
-  * side whose stats job always fails would re-submit the failing job on
-  * every re-optimization. */
+/** PlanStats' per-canonical-plan cache, failure paths: a statistic job
+  * that fails DETERMINISTICALLY (AnalysisException) is negative-cached —
+  * re-optimizing the same broken plan declines instantly instead of
+  * re-submitting a guaranteed-failing job — while a TRANSIENT failure
+  * (lost executor, concurrent file deletion, cancelled job) must NOT
+  * poison the cache: the next call simply retries, so one flake can
+  * never permanently break the user-facing verbs that share this cache
+  * with the optimizer rules. */
 class PlanStatsSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
@@ -17,29 +20,47 @@ class PlanStatsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("a failing statistic job is negative-cached; the retry declines without a job") {
+  test("a transient (runtime) statistic failure is retried, not poisoned") {
     PlanStats.clearCache()
-    // a key column that raises at EXECUTION time - analysis is clean, so
-    // the failure happens inside the cached compute, exactly the
-    // permissions-on-one-table shape
-    val df = spark.range(8).select(
-      when(col("id") < 4L, col("id"))
-        .otherwise(expr("raise_error('graft-stats-boom')").cast("long")).as("k"))
-    val plan = df.queryExecution.analyzed
-    val keys = plan.output
+    val plan = spark.range(3).queryExecution.analyzed
+    var calls = 0
+    def compute: java.lang.Long = {
+      calls += 1
+      if (calls == 1) throw new RuntimeException("graft-transient-flake")
+      Long.box(42L)
+    }
+    val first = intercept[RuntimeException](PlanStats.cached("spec-transient", plan)(compute))
+    assert(first.getMessage.contains("graft-transient-flake"))
+    // the retry RE-RUNS the compute (no negative cache for runtime failures)
+    assert(PlanStats.cached("spec-transient", plan)(compute) == 42L)
+    assert(calls == 2)
+    // and the success is now cached: no third call
+    assert(PlanStats.cached("spec-transient", plan)(compute) == 42L)
+    assert(calls == 2)
+    PlanStats.clearCache()
+  }
 
-    val first = intercept[Throwable](PlanStats.rowsPerKey(spark, plan, keys))
-    def rootMessages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
-    assert(rootMessages(first).exists(m => m != null && m.contains("graft-stats-boom")),
-      s"first failure should surface the job error, got: $first")
-
-    val second = intercept[IllegalStateException](PlanStats.rowsPerKey(spark, plan, keys))
+  test("a deterministic (AnalysisException) failure is negative-cached; the retry declines without a job") {
+    PlanStats.clearCache()
+    val plan = spark.range(4).queryExecution.analyzed
+    var calls = 0
+    def compute: java.lang.Long = {
+      calls += 1
+      // a real AnalysisException raised INSIDE the compute thunk — the
+      // shape of a plan that can never analyze (dropped table, bad column)
+      spark.sql("SELECT * FROM graft_no_such_table_xyz").head()
+      Long.box(1L)
+    }
+    intercept[AnalysisException](PlanStats.cached("spec-analysis", plan)(compute))
+    assert(calls == 1)
+    val second = intercept[IllegalStateException](
+      PlanStats.cached("spec-analysis", plan)(compute))
     assert(second.getMessage.contains("negative-cached"))
-    assert(rootMessages(second.getCause).exists(m => m != null && m.contains("graft-stats-boom")),
+    assert(second.getCause.isInstanceOf[AnalysisException],
       "the cached failure must carry the original cause")
+    assert(calls == 1, "the negative-cached retry must not re-run the job")
 
-    // a DIFFERENT plan is unaffected by the cached failure
+    // a DIFFERENT key is unaffected by the cached failure
     val ok = spark.range(100).select((col("id") % 5L).as("k"))
     val okPlan = ok.queryExecution.analyzed
     assert(PlanStats.rowsPerKey(spark, okPlan, okPlan.output) == 20.0)
