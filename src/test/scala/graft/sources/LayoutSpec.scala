@@ -128,6 +128,108 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("BucketIndex: exact rank cells, codegen/interpreted parity, null in -> null out") {
+    val bounds = Array(1.0, 2.0, 3.0)
+    val vals = Seq(Some(0.5), Some(1.0), Some(2.5), Some(3.0), Some(9.9), None)
+    val want = Seq(Some(0L), Some(1L), Some(2L), Some(3L), Some(3L), None)
+    // codegen path: a real column through whole-stage codegen
+    val viaCol = vals.toDF("v")
+      .select(ZOrderExprs.bucketIndex($"v", bounds).as("c")).as[Option[Long]]
+      .collect().toSeq
+    assert(viaCol == want)
+    // interpreted path: literal input constant-folds through eval()
+    val viaLit = vals.map(v =>
+      spark.range(1).select(ZOrderExprs.bucketIndex(
+        v.map(lit(_)).getOrElse(lit(null).cast("double")), bounds).as("c"))
+        .as[Option[Long]].head())
+    assert(viaLit == want, "codegen and interpreted BucketIndex disagree")
+  }
+
+  test("quantile scaling recovers file skipping on a zipf-skewed column; rows preserved") {
+    // x is log-uniform over [1, 1e6]: half the mass sits in the first
+    // 0.1% of the LINEAR cell range, so linear scaling degenerates — the
+    // dense files' z-values are ordered by y alone and a small-x box
+    // cannot skip them. Quantile cells are equi-populated by
+    // construction, so the same box spans a real fraction of cell space.
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 40000).map { _ =>
+      (math.exp(rnd.nextDouble() * math.log(1e6)).toLong, rnd.nextInt(1024).toLong)
+    }.toDF("x", "y")
+    val base = Files.createTempDirectory("layout-quantile").toString
+    Layout.clusterWrite(df, Seq("x", "y"), 16, s"$base/lin", scaling = "linear")
+    Layout.clusterWrite(df, Seq("x", "y"), 16, s"$base/qnt", scaling = "quantile")
+    assert(spark.read.parquet(s"$base/qnt").collect().toSet == df.collect().toSet,
+      "quantile clustering must preserve rows exactly")
+    val box = Seq(("x", 1L, 8L)) // ~15% of rows, ~0.0008% of the linear range
+    val lin = Layout.skippableFileFraction(spark, s"$base/lin", box)
+    val qnt = Layout.skippableFileFraction(spark, s"$base/qnt", box)
+    assert(qnt > lin + 0.15, s"quantile ($qnt) should out-skip linear ($lin) on skew")
+    assert(qnt > 0.5, s"quantile skip fraction too weak: $qnt")
+    intercept[IllegalArgumentException](Layout.cluster(df, Seq("x"), 4, scaling = "nope"))
+  }
+
+  test("clusterPartitions: per-leaf OPTIMIZE on a two-date table; partition prune + file skip compose") {
+    val rnd = new scala.util.Random(29)
+    val df = (1 to 20000).map { i =>
+      (if (i % 2 == 0) "2024-01-01" else "2024-01-02",
+        rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)
+    }.toDF("d", "x", "y")
+    val dir = Files.createTempDirectory("layout-parts").resolve("t").toString
+    df.write.partitionBy("d").parquet(dir)
+    Layout.clusterPartitions(spark, dir, Seq("x", "y"),
+      filesPerPartition = 4, indexCols = Seq("d"))
+    // every leaf was rewritten to its target file count; rows exact
+    // (d reads back as a DATE via partition-type inference - cast to compare)
+    val back = spark.read.parquet(dir)
+    assert(back.select($"d".cast("string"), $"x", $"y").collect().toSet == df.collect().toSet)
+    assert(back.inputFiles.length == 8, s"expected 4 files x 2 dates, got ${back.inputFiles.length}")
+    // envelope skipping inside partitions: a box on x keeps < 8 files
+    val boxed = Layout.prunedRead(spark, dir, Seq(("x", 100L, 163L)))
+    assert(boxed.inputFiles.length < 8, "no envelope skipping inside partitions")
+    assert(boxed.filter($"x".between(100L, 163L)).collect().toSet ==
+      back.filter($"x".between(100L, 163L)).collect().toSet)
+    // composed: the indexed partition column prunes whole dates through
+    // the same index, and the partition column SURVIVES the pruned read
+    val oneDate = Layout.prunedRead(spark, dir,
+      Seq(("d", "2024-01-01", "2024-01-01"), ("x", 100L, 163L)))
+    assert(oneDate.inputFiles.forall(_.contains("d=2024-01-01")),
+      "the indexed partition column did not prune the other date's files")
+    assert(oneDate.filter($"d" === "2024-01-01" && $"x".between(100L, 163L)).count() ==
+      back.filter($"d" === "2024-01-01" && $"x".between(100L, 163L)).count())
+    // a caller filter on the partition column still partition-prunes the
+    // kept-file relation the normal Catalyst way (basePath keeps d real)
+    assert(boxed.filter($"d" === "2024-01-02").select($"d".cast("string")).distinct()
+      .as[String].collect().toSeq == Seq("2024-01-02"))
+  }
+
+  test("readHealed heals interrupted swaps: table dir, a partition leaf, and the index") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def mv(a: String, b: String): Unit =
+      assert(fs.rename(new org.apache.hadoop.fs.Path(a), new org.apache.hadoop.fs.Path(b)))
+    // flat table: crash between the two renames (live missing, backup complete)
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 5000).map(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong)).toDF("x", "y")
+    val flat = Files.createTempDirectory("layout-heal").resolve("t").toString
+    Layout.clusterWrite(df, Seq("x", "y"), 4, flat)
+    mv(flat, s"$flat.compact-backup")
+    mv(Layout.envelopesPath(flat), s"${Layout.envelopesPath(flat)}.compact-backup")
+    val healed = Layout.readHealed(spark, flat)
+    assert(healed.collect().toSet == df.collect().toSet)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(Layout.envelopesPath(flat))),
+      "the .envelopes index was not healed")
+    // partitioned table: one LEAF's swap interrupted mid-flight
+    val parts = Files.createTempDirectory("layout-heal-parts").resolve("t").toString
+    val pdf = df.withColumn("d", when($"x" % 2 === 0, "a").otherwise("b"))
+    pdf.write.partitionBy("d").parquet(parts)
+    mv(s"$parts/d=a", s"$parts/d=a.compact-backup")
+    // a stale tmp from a superseded attempt is dropped too
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$parts/d=b.compact-tmp"))
+    val healedParts = Layout.readHealed(spark, parts)
+    assert(healedParts.count() == 5000)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$parts/d=a.compact-backup")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$parts/d=b.compact-tmp")))
+  }
+
   test("box-predicate file skipping: z-order prunes on BOTH dims, lexicographic only on the leading one") {
     val n = 40000
     val rnd = new scala.util.Random(7)

@@ -73,6 +73,59 @@ class StreamingLayoutSpec extends AnyFunSuite {
     assert(pruned.filter($"x".between(0L, 999L)).count() == 1000L)
   }
 
+  test("the envelope index's own file count stays bounded across many batches") {
+    val table = tmp("stream-layout-idx") + "/t"
+    // clusterEveryBatches larger than the run: the rewrite never fires,
+    // so ONLY the index compaction can bound the one-file-per-batch
+    // growth (the small-files problem the index would otherwise become)
+    (0 until 40).foreach { b =>
+      val rows = (0 until 50).map(i => ((b * 50 + i).toLong, i.toLong)).toDF("x", "y")
+      StreamingPipeline.processClusterBatch(rows, b.toLong, Seq("x", "y"), table,
+        clusterEveryBatches = 1000, targetFiles = 4)
+    }
+    val idxFiles = parquetFiles(Layout.envelopesPath(table))
+    assert(idxFiles <= 17, s"envelope index grew to $idxFiles files - compaction not bounding it")
+    // and the compacted index still skips correctly and exactly
+    val pruned = Layout.prunedRead(spark, table, Seq(("x", 0L, 49L)))
+    assert(pruned.inputFiles.length < spark.read.parquet(table).inputFiles.length)
+    assert(pruned.filter($"x".between(0L, 49L)).count() == 50L)
+    assert(spark.read.parquet(table).count() == 2000L)
+  }
+
+  test("a crash mid-commit is healed: the redo removes exactly its own partial files") {
+    val table = tmp("stream-layout-crash") + "/t"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val b0 = (1 to 500).map(i => (i.toLong, (i % 97).toLong)).toDF("x", "y")
+    StreamingPipeline.processClusterBatch(b0, 0L, Seq("x", "y"), table,
+      clusterEveryBatches = 100, targetFiles = 4)
+    // simulate batch 1 crashing AFTER some files renamed into the table
+    // but BEFORE its marker: a valid parquet file under batch 1's
+    // deterministic name, with rows that must NOT survive the redo
+    val src = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(table, "b1-0.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(table).count() > 500L) // the partial is visible pre-redo
+    val b1 = (1 to 300).map(i => ((1000 + i).toLong, (i % 97).toLong)).toDF("x", "y")
+    StreamingPipeline.processClusterBatch(b1, 1L, Seq("x", "y"), table,
+      clusterEveryBatches = 100, targetFiles = 4)
+    val got = spark.read.parquet(table)
+    assert(got.count() == 800L, "the redo must replace the partial commit, not add to it")
+    assert(got.groupBy("batch_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(0L -> 500L, 1L -> 300L))
+  }
+
+  test("an existing-but-empty table directory does not wedge the sink") {
+    val table = tmp("stream-layout-empty") + "/t"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(table)) // crash before any file commit
+    val rows = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+    StreamingPipeline.processClusterBatch(rows, 0L, Seq("x", "y"), table,
+      clusterEveryBatches = 100, targetFiles = 4)
+    assert(spark.read.parquet(table).count() == 100L)
+  }
+
   test("a replayed batch appends nothing, before and after a rewrite") {
     val table = tmp("stream-layout-replay") + "/t"
     val rows = (1 to 500).map(i => (i.toLong, (i * 31 % 97).toLong)).toDF("x", "y")
