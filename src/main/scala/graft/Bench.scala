@@ -90,7 +90,12 @@ object Bench {
     "q137_zorder_events_box", "q138_zorder_lineitem_box",
     "q139_naive_interval_iv_left", "q140_sql_tf_sessionize",
     "q141_sql_tf_zorder", "q142_zorder_pruned_read",
-    "q143_sql_tf_pruned_read")
+    "q143_sql_tf_pruned_read",
+    // round 13: automatic envelope pruning of plain read.filter scans,
+    // quantile-scaled layout, partitioned-table composed pruning, and
+    // timestamp-literal pruned reads (builds timed as q144_zorder_build13)
+    "q144_envelope_auto_prune", "q145_quantile_zorder_box",
+    "q146_partitioned_pruned_box", "q147_sql_tf_pruned_read_ts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,6 +207,24 @@ object Bench {
       val (b1, ok1) = once(); val (b2, ok2) = once()
       if (ok1 && ok2) math.min(b1, b2) else -1.0
     }
+    // round-13 layout builds (quantile lineitem, timestamp events,
+    // week-partitioned + per-leaf-OPTIMIZEd events): same min-of-two
+    // honesty split; q145/q146/q147 then serve from the cached copies.
+    val zorderBuild13 = {
+      def once(): (Double, Boolean) = {
+        graft.queries.LayoutQueries.invalidateZorder13(sfDir)
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.queries.LayoutQueries.buildZorder13(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q144_zorder_build13 FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (b1, ok1) = once(); val (b2, ok2) = once()
+      if (ok1 && ok2) math.min(b1, b2) else -1.0
+    }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
     val run2 = present.map { n =>
@@ -280,6 +303,7 @@ object Bench {
     }
     val results = run2 :+ ("q25_sig_build" -> sigBuild) :+
       ("q137_zorder_build" -> zorderBuild) :+
+      ("q144_zorder_build13" -> zorderBuild13) :+
       ("q103_index_build" -> annBuild) :+
       ("q35_pair_graph_build" -> pairBuild) :+
       ("q35_cc_label_build" -> labelBuild) :+

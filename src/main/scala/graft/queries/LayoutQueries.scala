@@ -60,13 +60,80 @@ object LayoutQueries {
   private def zLineitem(spark: SparkSession, dir: String): String =
     materialized(spark, dir, "lineitem", Seq("l_partkey", "l_shipdate"), files = 16)
 
+  /** Lineitem clustered with QUANTILE (rank) cell scaling — l_partkey's
+    * distribution is whatever the generator made it; the contract under
+    * test is scaling-invariance of RESULTS (skew recovery itself is
+    * pinned by LayoutSpec's zipfian case). */
+  private def zLineitemQuantile(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|lineitem_qnt"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("lineitem_qnt").toString
+      Layout.clusterWrite(spark.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_partkey", "l_shipdate"), 16, out, scaling = "quantile")
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Events with a true TIMESTAMP event-time column, clustered on
+    * (user_id, ts_t) — the shape `graft_pruned_read`'s widened SQL
+    * surface takes TIMESTAMP literals against. */
+  private def zEventsTs(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_ts"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_ts").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_t", timestamp_micros(Tables.tsToMicros(raw, "ts"))).drop("ts"),
+        Seq("user_id", "ts_t"), 16, out)
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Events hive-partitioned by week-of-year then per-leaf OPTIMIZEd
+    * ([[Layout.clusterPartitions]]) — the production table shape:
+    * partition pruning over `wk`, envelope file-skipping inside each
+    * surviving partition, one table-level index covering both. (The
+    * synthetic events span one month, so weeks give ~5 real leaves.) */
+  private def zEventsPartitioned(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_part"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_part").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+        .withColumn("wk", weekofyear(timestamp_micros(col("ts_us"))))
+        .write.partitionBy("wk").parquet(out)
+      Layout.clusterPartitions(spark, out, Seq("user_id", "ts_us"),
+        filesPerPartition = 4, indexCols = Seq("wk"))
+      cache += key -> out
+      out
+    })
+  }
+
   /** Bench hooks (the q103_index_build pattern): time the REWRITE as its
     * own entry; the queries below then measure serving only. */
   def buildZorder(spark: SparkSession, dir: String): Unit = {
     zEvents(spark, dir); zLineitem(spark, dir); zEventsUs(spark, dir); ()
   }
+  /** Round-13 layout builds, timed as their own bench entry. */
+  def buildZorder13(spark: SparkSession, dir: String): Unit = {
+    zLineitemQuantile(spark, dir); zEventsTs(spark, dir); zEventsPartitioned(spark, dir); ()
+  }
+  private val R13Tables = Set("lineitem_qnt", "events_ts", "events_part")
+
+  /** Invalidate the copies [[buildZorder]] builds — and ONLY those, so
+    * timing that build twice never forces a rebuild of the round-13
+    * copies mid-bench (and vice versa for [[invalidateZorder13]]). */
   def invalidateZorder(dir: String): Unit = lock.synchronized {
-    cache = cache.filterNot(_._1.startsWith(s"$dir|"))
+    cache = cache.filterNot { case (k, _) =>
+      k.startsWith(s"$dir|") && !R13Tables.contains(k.stripPrefix(s"$dir|"))
+    }
+  }
+  def invalidateZorder13(dir: String): Unit = lock.synchronized {
+    cache = cache.filterNot { case (k, _) =>
+      R13Tables.contains(k.stripPrefix(s"$dir|"))
+    }
   }
 
   // ---------------------------------------------------------------- q137
@@ -161,14 +228,111 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q144
+  /** q137's box as a PLAIN `read.filter` — no prunedRead call, no TVF:
+    * the [[graft.plans.EnvelopePruneRule]] optimizer rule (default-on via
+    * GraftExtensions) routes the scan through the table's `.envelopes`
+    * index automatically, the zero-API-change surface. EnvelopePruneSpec
+    * pins that files are actually skipped; this oracle row pins that the
+    * automatic pruning never changes results. */
+  def q144EnvelopeAutoPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopePruneRule.ensure(spark)
+    val z = spark.read.parquet(zEventsUs(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q145
+  /** q138's box over a QUANTILE-scaled clustered copy — rank cells from
+    * one approxQuantile pass instead of linear min/max. Scaling choice
+    * is layout, not data: the oracle is the same original-table SQL. */
+  def q145QuantileZorderBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zLineitemQuantile(spark, dir))
+    val shipUs = Tables.tsToMicros(z, "l_shipdate")
+    z.filter($"l_partkey".between(20L, 150L) && shipUs.between(LiTsLo, LiTsHi - 1))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"l_extendedprice")).as("sum_price_c"),
+        countDistinct($"l_partkey").as("n_parts"))
+  }
+
+  // ---------------------------------------------------------------- q146
+  /** q137's box over the HIVE-PARTITIONED + per-leaf-OPTIMIZEd events
+    * copy, served through [[Layout.prunedRead]]: the indexed `month`
+    * partition column prunes whole months and the (user_id, ts_us)
+    * envelopes skip files inside the surviving ones — the composed
+    * production read path. Results must be partitioning-invariant. */
+  def q146PartitionedPrunedBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.prunedRead(spark, zEventsPartitioned(spark, dir),
+      Seq(("user_id", 2L, 9L), ("ts_us", EvTsLo, EvTsHi - 1)))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q147
+  /** q143 with TIMESTAMP literal bounds — the widened `graft_pruned_read`
+    * SQL surface (any comparable literal, not just integers) against a
+    * true-timestamp clustered copy; UTC session, same oracle. */
+  def q147SqlTfPrunedReadTs(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    val path = zEventsTs(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_pruned_read('$path', 'user_id', 2, 9,
+         |  'ts_t', TIMESTAMP '2024-01-08 00:00:00',
+         |          TIMESTAMP '2024-01-14 23:59:59.999999')
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_t BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+         |               AND TIMESTAMP '2024-01-14 23:59:59.999999'
+         |GROUP BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
     "q142_zorder_pruned_read"  -> q142ZorderPrunedRead _,
-    "q143_sql_tf_pruned_read"  -> q143SqlTfPrunedRead _)
+    "q143_sql_tf_pruned_read"  -> q143SqlTfPrunedRead _,
+    "q144_envelope_auto_prune" -> q144EnvelopeAutoPrune _,
+    "q145_quantile_zorder_box" -> q145QuantileZorderBox _,
+    "q146_partitioned_pruned_box" -> q146PartitionedPrunedBox _,
+    "q147_sql_tf_pruned_read_ts"  -> q147SqlTfPrunedReadTs _)
+
+  /** The layout-invariance oracle every events-box layout query shares:
+    * same rows no matter how the copy was clustered, partitioned,
+    * indexed, or served. */
+  private val EventsBoxOracle =
+    s"""SELECT event_type, count(*) AS n,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM events
+       |WHERE user_id BETWEEN 2 AND 9
+       |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+       |GROUP BY event_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q144_envelope_auto_prune"    -> EventsBoxOracle,
+    "q146_partitioned_pruned_box" -> EventsBoxOracle,
+    "q147_sql_tf_pruned_read_ts"  -> EventsBoxOracle,
+    "q145_quantile_zorder_box" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+         |  count(DISTINCT l_partkey) AS n_parts
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 20 AND 150
+         |  AND epoch_us(l_shipdate) BETWEEN $LiTsLo AND ${LiTsHi - 1}
+         |GROUP BY l_returnflag""".stripMargin,
     "q137_zorder_events_box" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
