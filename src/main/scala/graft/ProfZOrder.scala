@@ -80,5 +80,43 @@ object ProfZOrder {
         f"skip[box] $fbox%5.3f  scan[box] ${scanSec(d, pkToo = true)}%6.3f s  " +
         f"scan[sd-only] ${scanSec(d, pkToo = false)}%6.3f s")
     }
+
+    // ----- pruned vs full read of the z table: wall clock AND bytes -----
+    // Skip FRACTIONS (above) are the proxy; this is the direct claim at
+    // 100 TB — "the index multiplies bytes read" — measured: same box
+    // aggregation over (a) the plain parquet read (parquet footer
+    // row-group pruning still applies — this is the honest baseline) and
+    // (b) Layout.prunedRead through the .envelopes index.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    })
+    val sdLoTs = new java.sql.Timestamp(sdLo / 1000)
+    val sdHiTs = new java.sql.Timestamp(sdHi / 1000)
+    def boxAgg(df: DataFrame): Unit = {
+      val sd = Tables.tsToMicros(df, "l_shipdate")
+      df.filter($"l_partkey".between(pkLo, pkHi) && sd.between(sdLo, sdHi))
+        .agg(count(lit(1)), sum($"l_quantity")).head()
+      ()
+    }
+    def measured(mk: => DataFrame): (Double, Double, Int) = {
+      def once(): (Double, Double, Int) = {
+        bytesRead.set(0L)
+        val t0 = System.nanoTime()
+        val df = mk
+        boxAgg(df)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // drain the listener bus (scratch-profiler precision)
+        (wall, bytesRead.get() / 1e6, df.inputFiles.length)
+      }
+      once(); Seq(once(), once(), once()).minBy(_._1)
+    }
+    val (fw, fb, ff) = measured(spark.read.parquet(s"$base/z"))
+    val (pw, pb, pf) = measured(Layout.prunedRead(spark, s"$base/z",
+      Seq(("l_partkey", pkLo, pkHi), ("l_shipdate", sdLoTs, sdHiTs))))
+    println(f"full read    scan ${fw}%6.3f s  ${fb}%8.1f MB  $ff%4d files")
+    println(f"pruned read  scan ${pw}%6.3f s  ${pb}%8.1f MB  $pf%4d files  " +
+      f"(bytes x${fb / math.max(pb, 1e-9)}%4.1f, wall x${fw / math.max(pw, 1e-9)}%4.1f)")
   }
 }
