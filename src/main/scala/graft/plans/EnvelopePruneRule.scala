@@ -8,7 +8,7 @@ import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
@@ -22,17 +22,21 @@ import graft.sources.Layout
   * ones who don't).
   *
   * == What fires ==
-  * `Filter(cond, scan)` where `scan` is a non-streaming, non-bucketed,
-  * FLAT (no hive partitions — what [[Layout.clusterWrite]] and the
-  * streaming self-clustering sink produce; partitioned dirs go through
-  * [[Layout.prunedRead]], which composes partition + envelope pruning)
-  * parquet relation over a single root directory whose `<dir>.envelopes`
-  * index exists. From `cond`'s conjuncts the rule extracts single-column
-  * range constraints — `c >= v`, `c > v`, `c <= v`, `c < v`, `c = v`,
-  * `c <=> v`, `c IN (v…)`, either orientation, bare column vs literal
-  * only (a cast-wrapped column means the types didn't line up — the
-  * envelope can't prove anything there) — and keeps only the ones the
-  * index actually covers.
+  * `Filter(cond, scan)` where `scan` is a non-streaming, non-bucketed
+  * parquet relation — flat (what [[Layout.clusterWrite]] and the
+  * streaming self-clustering sink produce) or hive-partitioned (what
+  * [[Layout.clusterPartitions]] maintains; the skip composes with
+  * Catalyst's partition pruning through a delegating [[FileIndex]], so
+  * partition filters prune directories and envelopes subtract files
+  * inside the survivors) — over a single root directory whose
+  * `<dir>.envelopes` index exists. From `cond`'s conjuncts the rule
+  * extracts single-column range constraints — `c >= v`, `c > v`,
+  * `c <= v`, `c < v`, `c = v`, `c <=> v`, `c IN (v…)`, either
+  * orientation, bare column vs literal only (a cast-wrapped column
+  * means the types didn't line up — the envelope can't prove anything
+  * there), plus the null-ness conjuncts `c IS [NOT] NULL` when the
+  * index carries null counts — and keeps only the ones the index
+  * actually covers.
   *
   * == Exactness ==
   * The skip set is `currentListing ∩ {envelope PROVES no row satisfies
@@ -85,7 +89,6 @@ class EnvelopePruneRule(session: SparkSession) extends Rule[LogicalPlan] with Pr
     val fsr = rel.relation.asInstanceOf[HadoopFsRelation]
     if (fsr.options.contains(PrunedMarker)) return None // already pruned (re-match breaker)
     if (rel.isStreaming || fsr.bucketSpec.isDefined) return None
-    if (fsr.partitionSchema.nonEmpty) return None // flat tables only; see scaladoc
     if (!fsr.fileFormat.toString.toLowerCase.contains("parquet")) return None
     val roots = fsr.location.rootPaths
     if (roots.size != 1) return None
@@ -108,8 +111,13 @@ class EnvelopePruneRule(session: SparkSession) extends Rule[LogicalPlan] with Pr
     val skip = cachedSkipSet(key) {
       val env = session.read.parquet(envPath.toString)
       val envCols = env.columns.toSeq
-      val usable = constraints.filter(c =>
-        envCols.contains(s"min_${c.name}") && envCols.contains(s"max_${c.name}"))
+      val usable = constraints.filter { c =>
+        c.op match {
+          case "null" | "notnull" => envCols.contains(s"nulls_${c.name}")
+          case _ =>
+            envCols.contains(s"min_${c.name}") && envCols.contains(s"max_${c.name}")
+        }
+      }
       if (usable.isEmpty) Set.empty[String]
       else {
         val miss = usable.map(_.missColumn(envCols)).reduce(_ || _)
@@ -120,15 +128,12 @@ class EnvelopePruneRule(session: SparkSession) extends Rule[LogicalPlan] with Pr
     if (skip.isEmpty) return None
 
     val all = fsr.location.inputFiles
-    val keep = all.filterNot(f => skip.contains(Layout.normPath(f)))
-    if (keep.length == all.length) return None
-    logInfo(s"graft envelope prune: $dir scan pruned ${all.length - keep.length}/" +
+    val keep = all.count(f => !skip.contains(Layout.normPath(f)))
+    if (keep == all.length) return None
+    logInfo(s"graft envelope prune: $dir scan pruned ${all.length - keep}/" +
       s"${all.length} files via the .envelopes index")
-    if (keep.isEmpty) return Some(Filter(cond, LocalRelation(rel.output)))
-    val prunedIndex = new InMemoryFileIndex(
-      fsr.sparkSession, keep.map(new org.apache.hadoop.fs.Path(_)).toSeq,
-      fsr.options, Some(fsr.dataSchema))
-    val prunedFsr = fsr.copy(location = prunedIndex,
+    if (keep == 0) return Some(Filter(cond, LocalRelation(rel.output)))
+    val prunedFsr = fsr.copy(location = new SkippingFileIndex(fsr.location, skip),
       options = fsr.options + (PrunedMarker -> "true"))(fsr.sparkSession)
     Some(Filter(cond, rel.copy(relation = prunedFsr)))
   }
@@ -159,6 +164,13 @@ class EnvelopePruneRule(session: SparkSession) extends Rule[LogicalPlan] with Pr
       case In(a, list) if list.nonEmpty &&
           list.forall { case l: Literal => litOk(l); case _ => false } =>
         name(a).map(Constraint(_, "in", list.map(_.asInstanceOf[Literal])))
+      // null-ness conjuncts need only the index's null counts. Catalyst
+      // itself infers `isnotnull(c)` for every comparison on c, so via
+      // this arm an ALL-NULL file prunes for any filtered query — even
+      // when the comparison itself was not extractable (cast-wrapped,
+      // column-vs-column).
+      case IsNotNull(a) => name(a).map(Constraint(_, "notnull", Nil))
+      case IsNull(a)    => name(a).map(Constraint(_, "null", Nil))
       case _ => None
     }
   }
@@ -177,6 +189,33 @@ object EnvelopePruneRule {
     * `.envelopes` index when one exists; `false` disables. */
   val ConfKey = "spark.graft.envelope.prune"
 
+  /** The original relation's [[FileIndex]] minus the skipped files — a
+    * pure delegating view, so NOTHING is re-listed and partition
+    * semantics are preserved exactly: Catalyst's partition pruning
+    * passes its filters straight through to the underlying index, and
+    * envelope skipping subtracts files from whatever partitions
+    * survive (the composed production read path, automatically).
+    * `sizeInBytes` shrinks with the skipped bytes so join-side
+    * broadcast estimates benefit from the prune too. */
+  private final class SkippingFileIndex(underlying: FileIndex, skip: Set[String])
+      extends FileIndex {
+    private def kept(p: org.apache.hadoop.fs.Path): Boolean =
+      !skip.contains(Layout.normPath(p.toString))
+    override def rootPaths: Seq[org.apache.hadoop.fs.Path] = underlying.rootPaths
+    override def partitionSchema: StructType = underlying.partitionSchema
+    override def metadataOpsTimeNs: Option[Long] = underlying.metadataOpsTimeNs
+    override def refresh(): Unit = underlying.refresh()
+    override def listFiles(partitionFilters: Seq[Expression],
+                           dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+      underlying.listFiles(partitionFilters, dataFilters)
+        .map(pd => pd.copy(files = pd.files.filter(f => kept(f.getPath))))
+        .filter(_.files.nonEmpty)
+    override def inputFiles: Array[String] =
+      underlying.inputFiles.filter(f => kept(new org.apache.hadoop.fs.Path(f)))
+    override lazy val sizeInBytes: Long =
+      listFiles(Nil, Nil).flatMap(_.files).map(_.getLen).sum
+  }
+
   private val PrunedMarker = "graft.envelope.pruned"
 
   /** One extracted conjunct: `name <op> values`. [[missColumn]] is its
@@ -187,18 +226,25 @@ object EnvelopePruneRule {
     def missColumn(envCols: Seq[String]): org.apache.spark.sql.Column = {
       def v(l: Literal) = GraftBridge.column(l)
       val mn = col(s"min_$name"); val mx = col(s"max_$name")
-      val range = op match {
-        case "ge" => mx < v(values.head)
-        case "gt" => mx <= v(values.head)
-        case "le" => mn > v(values.head)
-        case "lt" => mn >= v(values.head)
-        case "eq" => mx < v(values.head) || mn > v(values.head)
-        case "in" => // sound necessary condition: outside the list's hull
-          values.map(l => mx < v(l)).reduce(_ && _) ||
-            values.map(l => mn > v(l)).reduce(_ && _)
+      op match {
+        // a file with NO nulls in c cannot satisfy `c IS NULL`; one
+        // that is ALL null (or empty) cannot satisfy `c IS NOT NULL`
+        case "null"    => col(s"nulls_$name") === org.apache.spark.sql.functions.lit(0L)
+        case "notnull" => col(s"nulls_$name") === col("rows")
+        case _ =>
+          val range = op match {
+            case "ge" => mx < v(values.head)
+            case "gt" => mx <= v(values.head)
+            case "le" => mn > v(values.head)
+            case "lt" => mn >= v(values.head)
+            case "eq" => mx < v(values.head) || mn > v(values.head)
+            case "in" => // sound necessary condition: outside the list's hull
+              values.map(l => mx < v(l)).reduce(_ && _) ||
+                values.map(l => mn > v(l)).reduce(_ && _)
+          }
+          if (envCols.contains(s"nulls_$name")) range || (col(s"nulls_$name") === col("rows"))
+          else range
       }
-      if (envCols.contains(s"nulls_$name")) range || (col(s"nulls_$name") === col("rows"))
-      else range
     }
   }
 

@@ -278,6 +278,24 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q148
+  /** q146's box as a PLAIN `read.filter` over the week-partitioned +
+    * per-leaf-OPTIMIZEd copy — no prunedRead call: the optimizer rule's
+    * delegating [[org.apache.spark.sql.execution.datasources.FileIndex]]
+    * composes envelope file-skipping with Catalyst's own partition
+    * pruning automatically (EnvelopePruneSpec pins both prunes; this
+    * oracle row pins exactness of the composed automatic path). */
+  def q148PartitionedAutoPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopePruneRule.ensure(spark)
+    val z = spark.read.parquet(zEventsPartitioned(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   // ---------------------------------------------------------------- q147
   /** q143 with TIMESTAMP literal bounds — the widened `graft_pruned_read`
     * SQL surface (any comparable literal, not just integers) against a
@@ -307,7 +325,8 @@ object LayoutQueries {
     "q144_envelope_auto_prune" -> q144EnvelopeAutoPrune _,
     "q145_quantile_zorder_box" -> q145QuantileZorderBox _,
     "q146_partitioned_pruned_box" -> q146PartitionedPrunedBox _,
-    "q147_sql_tf_pruned_read_ts"  -> q147SqlTfPrunedReadTs _)
+    "q147_sql_tf_pruned_read_ts"  -> q147SqlTfPrunedReadTs _,
+    "q148_partitioned_auto_prune" -> q148PartitionedAutoPrune _)
 
   /** The layout-invariance oracle every events-box layout query shares:
     * same rows no matter how the copy was clustered, partitioned,
@@ -325,6 +344,7 @@ object LayoutQueries {
     "q144_envelope_auto_prune"    -> EventsBoxOracle,
     "q146_partitioned_pruned_box" -> EventsBoxOracle,
     "q147_sql_tf_pruned_read_ts"  -> EventsBoxOracle,
+    "q148_partitioned_auto_prune" -> EventsBoxOracle,
     "q145_quantile_zorder_box" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,

@@ -141,6 +141,57 @@ class EnvelopePruneSpec extends AnyFunSuite {
       val got = spark.read.parquet(dir).filter($"x" >= 5L)
       assert(scanFiles(got) < total, "the all-null file was not skipped")
       assert(got.collect().map(_.getLong(1)).toSet == Set(3L, 4L))
+      // explicit null-ness conjuncts prune through the nulls_ stats too:
+      // IS NOT NULL skips the all-null file, IS NULL the no-null file
+      val notNull = spark.read.parquet(dir).filter($"x".isNotNull)
+      assert(scanFiles(notNull) < total, "IS NOT NULL did not skip the all-null file")
+      assert(notNull.collect().map(_.getLong(1)).toSet == Set(3L, 4L))
+      val isNull = spark.read.parquet(dir).filter($"x".isNull)
+      assert(scanFiles(isNull) < total, "IS NULL did not skip the zero-null file")
+      assert(isNull.collect().map(_.getLong(1)).toSet == Set(1L, 2L))
+    }
+  }
+
+  test("a hive-partitioned table prunes automatically; partition pruning composes") {
+    val rnd = new scala.util.Random(47)
+    val df = (1 to 20000).map { i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)
+    }.toDF("part", "x", "y")
+    val dir = freshDir("env-prune-parts")
+    df.write.partitionBy("part").parquet(dir)
+    // partition column NOT indexed: the composition below must come from
+    // Catalyst's own partition pruning stacking on the envelope skip
+    // (an INDEXED partition column would subsume it into the envelope
+    // anti-join — LayoutSpec's clusterPartitions case covers that path)
+    Layout.clusterPartitions(spark, dir, Seq("x", "y"),
+      filesPerPartition = 4, indexCols = Nil)
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(total == 8)
+    withRule(true) {
+      // envelope skipping inside partitions, zero API change
+      val boxed = spark.read.parquet(dir).filter($"x".between(100L, 163L))
+      assert(scanFiles(boxed) < total, "no automatic pruning on the partitioned table")
+      val want = withRule(false)(
+        spark.read.parquet(dir).filter($"x".between(100L, 163L)).collect().toSet)
+      assert(boxed.collect().toSet == want)
+      // composed: a partition filter still prunes directories on TOP of
+      // the envelope skip - the files actually read sit within one
+      // partition AND under the envelope-kept count
+      val both = spark.read.parquet(dir)
+        .filter($"part" === "a" && $"x".between(100L, 163L))
+      both.collect()
+      val physical = both.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val read = physical.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+      assert(read < scanFiles(both), // partition pruning subtracted more
+        s"partition pruning did not compose: $read files read of ${scanFiles(both)} kept")
+      assert(both.count() ==
+        df.filter($"part" === "a" && $"x".between(100L, 163L)).count())
     }
   }
 
