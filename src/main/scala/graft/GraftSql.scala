@@ -207,15 +207,17 @@ object GraftSql {
     * 1-row min/max statistics job when the query is assembled (the
     * `graft_heavy_hitters` eagerness trade, surfaced unchanged). */
   def zorderCluster(spark: SparkSession, out: String, view: String,
-                    cols: Seq[String], numPartitions: Int): DataFrame = {
-    val df = zorderClusterDf(spark, view, cols, numPartitions)
+                    cols: Seq[String], numPartitions: Int,
+                    scaling: String = "linear"): DataFrame = {
+    val df = zorderClusterDf(spark, view, cols, numPartitions, scaling)
     df.createOrReplaceTempView(out)
     df
   }
 
   private[graft] def zorderClusterDf(spark: SparkSession, view: String,
-                                     cols: Seq[String], numPartitions: Int): DataFrame =
-    graft.sources.Layout.cluster(spark.table(view), cols, numPartitions)
+                                     cols: Seq[String], numPartitions: Int,
+                                     scaling: String = "linear"): DataFrame =
+    graft.sources.Layout.cluster(spark.table(view), cols, numPartitions, scaling)
 
   /** [[graft.sources.Layout.prunedRead]] over a PATH: read a
     * Z-order-maintained parquet table through its persisted `.envelopes`

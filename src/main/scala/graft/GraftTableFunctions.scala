@@ -50,9 +50,10 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    read a parquet path through its `.envelopes` file-skipping index
   *    (files provably outside the integer box are never opened; exact
   *    under stale or missing indexes)
-  *  - `graft_zorder_cluster(view, cols_csv, num_partitions)` — the
-  *    Z-ordered rewrite of the view's rows, for CTAS/INSERT OVERWRITE
-  *    layout-maintenance jobs written in SQL
+  *  - `graft_zorder_cluster(view, cols_csv, num_partitions
+  *    [, scaling])` — the Z-ordered rewrite of the view's rows
+  *    (`linear` default or `quantile` rank cells), for
+  *    CTAS/INSERT OVERWRITE layout-maintenance jobs written in SQL
   *  - `graft_connected_components(pairs_view, a_col, b_col
   *    [, algorithm])` — `propagation` (default) or `stars`; the
   *    ITERATIVE driver loop runs when the query analyzes, the
@@ -191,10 +192,13 @@ object GraftTableFunctions {
 
   private def zorderBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_zorder_cluster"
-    arity(fn, args, 3, 3)
+    arity(fn, args, 3, 4)
     GraftSql.zorderClusterDf(sess(),
       view = str(fn, args, 0), cols = csv(str(fn, args, 1)),
-      numPartitions = lng(fn, args, 2).toInt
+      numPartitions = lng(fn, args, 2).toInt,
+      // optional 4th arg: 'linear' (default) | 'quantile' (skew-resistant
+      // rank cells; see Layout.zValueQuantile)
+      scaling = if (args.size > 3) str(fn, args, 3) else "linear"
     ).queryExecution.analyzed
   }
 
@@ -242,7 +246,7 @@ object GraftTableFunctions {
       prunedReadBuilder(sess) _),
     (new FunctionIdentifier("graft_zorder_cluster"),
       info("graft_zorder_cluster",
-        "graft_zorder_cluster(view, cols_csv, num_partitions)"),
+        "graft_zorder_cluster(view, cols_csv, num_partitions[, scaling])"),
       zorderBuilder(sess) _),
     (new FunctionIdentifier("graft_connected_components"),
       info("graft_connected_components",

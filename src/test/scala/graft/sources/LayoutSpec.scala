@@ -80,6 +80,13 @@ class LayoutSpec extends AnyFunSuite {
     clustered.write.parquet(out)
     assert(Layout.skippableFileFraction(spark, out, Seq(("x", 50L, 81L))) > 0.3)
     assert(Layout.skippableFileFraction(spark, out, Seq(("y", 50L, 81L))) > 0.3)
+    // the optional scaling argument reaches Layout: quantile preserves
+    // rows too, and a bad scaling name fails loudly at analysis
+    val qnt = spark.sql("SELECT * FROM graft_zorder_cluster('layout_tvf_in', 'x,y', 8, 'quantile')")
+    assert(qnt.collect().toSet == df.collect().toSet)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_zorder_cluster('layout_tvf_in', 'x,y', 8, 'nope')").collect()
+    }
   }
 
   test("prunedRead: indexed files are truly not opened; stale and missing indexes stay exact") {
