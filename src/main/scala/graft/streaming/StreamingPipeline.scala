@@ -868,7 +868,14 @@ object StreamingPipeline {
     * scan), a crash mid-commit is healed by the redo deleting exactly
     * its own partial `b<id>-*` files, and an empty or half-written table
     * directory is never read on the append path at all (no
-    * schema-inference crash loops). Envelope-index rows for a batch are
+    * schema-inference crash loops). The log COMPACTS itself: every
+    * [[MarkerKeep]] batches a `wm-<id>` watermark file supersedes all
+    * markers ≤ id and they are deleted — sound because foreachBatch
+    * serializes batches (batch N only runs after N-1's marker landed,
+    * so a watermark at N-[[MarkerKeep]] asserts only what the log
+    * already proved), so the log never holds more than ~2×
+    * [[MarkerKeep]] + 2 files however long the stream runs.
+    * Envelope-index rows for a batch are
     * appended only AFTER its marker, so the index never describes files
     * a redo will rewrite. Rows still carry `batch_id` (it survives the
     * clustering rewrite, and downstream consumers use it); the marker
@@ -900,6 +907,22 @@ object StreamingPipeline {
     * large `clusterEveryBatches` is. */
   private val IndexCompactFiles = 16
 
+  /** Marker-log compaction cadence: every this-many batches, a
+    * watermark file replaces the markers at least this many batches old
+    * (never the recent ones a restart could still probe). */
+  private val MarkerKeep = 64
+
+  /** Largest watermark in the marker log, or -1 (crash mid-compaction
+    * can leave two `wm-*` files; the max is always the truth — each one
+    * was sound when written). Bounded listing: the log holds at most
+    * ~2×[[MarkerKeep]]+2 files by construction. */
+  private def markerWatermark(fs: org.apache.hadoop.fs.FileSystem,
+                              logDir: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(logDir)) -1L
+    else fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.startsWith("wm-")).map(_.drop(3).toLong)
+      .foldLeft(-1L)(math.max)
+
   private[streaming] def processClusterBatch(batch: DataFrame, batchId: Long,
       cols: Seq[String], tablePath: String,
       clusterEveryBatches: Int, targetFiles: Int): Unit = {
@@ -907,8 +930,13 @@ object StreamingPipeline {
     graft.operators.DirSwap.recover(spark, tablePath)
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$tablePath.batches/b$batchId")
-    if (!fs.exists(marker)) { // O(1) replay probe: the marker IS the commit record
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath.batches")
+    val marker = new org.apache.hadoop.fs.Path(logDir, s"b$batchId")
+    // replay probe: the marker IS the commit record; ids at or below the
+    // compaction watermark are committed by construction (their markers
+    // were deleted as superseded). O(1) + one bounded log listing.
+    val replayed = fs.exists(marker) || batchId <= markerWatermark(fs, logDir)
+    if (!replayed) {
       // 1. a crashed attempt of THIS batch left at most files named
       //    b<id>-* (deterministic names) — delete exactly that partial set
       if (fs.exists(table))
@@ -929,6 +957,23 @@ object StreamingPipeline {
         }.toSeq
       // 3. commit marker — written only after every file landed
       fs.create(marker, true).close()
+      // 3b. compact the log: foreachBatch serializes batches, so every
+      //     id < batchId is committed — a watermark at batchId-MarkerKeep
+      //     supersedes the markers at or below it (kept window covers any
+      //     id a restart could still probe). Crash anywhere here is safe:
+      //     wm written before deletions, and an old+new wm pair resolves
+      //     to the max.
+      if (batchId >= MarkerKeep && batchId % MarkerKeep == 0) {
+        val wm = batchId - MarkerKeep
+        fs.create(new org.apache.hadoop.fs.Path(logDir, s"wm-$wm"), true).close()
+        fs.listStatus(logDir).map(_.getPath).foreach { p =>
+          val n = p.getName
+          val superseded =
+            (n.startsWith("b") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= wm) ||
+              (n.startsWith("wm-") && n.drop(3).toLong < wm)
+          if (superseded) fs.delete(p, false)
+        }
+      }
       // 4. index the fresh files AFTER the marker: a crash before it
       //    leaves no envelope rows for files the redo will re-write
       //    (stale stats on a reused path would break skipping

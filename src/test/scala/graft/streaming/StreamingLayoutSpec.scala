@@ -92,6 +92,29 @@ class StreamingLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(table).count() == 2000L)
   }
 
+  test("the marker commit log self-compacts; watermarked ids still count as replayed") {
+    val table = tmp("stream-layout-wm") + "/t"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    // 140 batches crosses the compaction cadence (64) twice
+    (0 until 140).foreach { b =>
+      val rows = Seq((b.toLong, b.toLong)).toDF("x", "y")
+      StreamingPipeline.processClusterBatch(rows, b.toLong, Seq("x", "y"), table,
+        clusterEveryBatches = 100000, targetFiles = 4)
+    }
+    val logFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$table.batches"))
+      .map(_.getPath.getName)
+    assert(logFiles.length <= 2 * 64 + 2,
+      s"marker log grew to ${logFiles.length} files - compaction not bounding it")
+    assert(logFiles.exists(_.startsWith("wm-")), "no watermark written")
+    // an id whose marker was compacted away still probes as replayed
+    StreamingPipeline.processClusterBatch(
+      Seq((999L, 999L)).toDF("x", "y"), 3L, Seq("x", "y"), table,
+      clusterEveryBatches = 100000, targetFiles = 4)
+    val got = spark.read.parquet(table)
+    assert(got.count() == 140L, "a watermark-covered replay appended rows")
+    assert(got.filter($"x" === 999L).isEmpty)
+  }
+
   test("a crash mid-commit is healed: the redo removes exactly its own partial files") {
     val table = tmp("stream-layout-crash") + "/t"
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
