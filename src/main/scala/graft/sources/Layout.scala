@@ -185,13 +185,18 @@ object Layout {
     * partition discovery).
     *
     * At 100 TB this is the nightly layout job: the per-leaf loop is
-    * embarrassingly parallel across partitions (sequential here;
-    * orchestrate N concurrent leaves externally if desired — each swap
-    * touches only its own directory), and `filesPerPartition` sizes
-    * files per partition rather than per table. */
+    * embarrassingly parallel across partitions — `parallelism` > 1 runs
+    * that many leaves' rewrite JOBS concurrently from a driver-side
+    * thread pool (each swap touches only its own directory, and a
+    * single leaf's small job rarely fills the cluster; the scheduler
+    * interleaves them). `filesPerPartition` sizes files per partition
+    * rather than per table. A failing leaf fails the call after the
+    * in-flight leaves finish — every completed leaf is already swapped
+    * and consistent, the failed one is healed by [[readHealed]]. */
   def clusterPartitions(spark: SparkSession, dir: String, cols: Seq[String],
                         filesPerPartition: Int, scaling: String = "linear",
-                        indexCols: Seq[String] = Nil): Unit = {
+                        indexCols: Seq[String] = Nil, parallelism: Int = 1): Unit = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"clusterPartitions: no table at $dir")
@@ -201,10 +206,29 @@ object Layout {
         .filterNot(d => d.getName.contains(".compact-")).toSeq
       if (subDirs.isEmpty) Seq(p) else subDirs.flatMap(leaves)
     }
-    leaves(root).foreach { leaf =>
+    def rewriteLeaf(leaf: org.apache.hadoop.fs.Path): Unit =
       if (fs.listStatus(leaf).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
         DirSwap.swapRewrite(spark, leaf.toString)(cluster(_, cols, filesPerPartition, scaling))(
           (d, out) => d.write.mode("overwrite").parquet(out))
+    val work = leaves(root)
+    if (parallelism == 1 || work.size <= 1) work.foreach(rewriteLeaf)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, work.size))
+      try {
+        val futures = work.map { leaf =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = rewriteLeaf(leaf)
+          })
+        }
+        // propagate the FIRST failure, but only after every submitted
+        // leaf resolved — no leaf is left mid-swap by a sibling's error
+        futures.flatMap(f => scala.util.Try(f.get()).failed.toOption)
+          .headOption.foreach {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+            case e => throw e
+          }
+      } finally pool.shutdown()
     }
     writeEnvelopes(spark, dir, (cols ++ indexCols).distinct)
   }

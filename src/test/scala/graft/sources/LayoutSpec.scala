@@ -209,6 +209,26 @@ class LayoutSpec extends AnyFunSuite {
       .as[String].collect().toSeq == Seq("2024-01-02"))
   }
 
+  test("clusterPartitions parallelism: concurrent leaf rewrites, identical outcome") {
+    val rnd = new scala.util.Random(53)
+    val df = (1 to 12000).map { i =>
+      (s"p${i % 3}", rnd.nextInt(512).toLong, rnd.nextInt(512).toLong)
+    }.toDF("p", "x", "y")
+    val dir = Files.createTempDirectory("layout-par").resolve("t").toString
+    df.write.partitionBy("p").parquet(dir)
+    Layout.clusterPartitions(spark, dir, Seq("x", "y"),
+      filesPerPartition = 4, indexCols = Seq("p"), parallelism = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.select($"p".cast("string"), $"x", $"y").collect().toSet == df.collect().toSet)
+    assert(back.inputFiles.length == 12, s"4 files x 3 leaves expected, got ${back.inputFiles.length}")
+    val boxed = Layout.prunedRead(spark, dir, Seq(("x", 50L, 81L)))
+    assert(boxed.inputFiles.length < 12)
+    assert(boxed.filter($"x".between(50L, 81L)).count() ==
+      df.filter($"x".between(50L, 81L)).count())
+    intercept[IllegalArgumentException](
+      Layout.clusterPartitions(spark, dir, Seq("x"), 4, parallelism = 0))
+  }
+
   test("readHealed heals interrupted swaps: table dir, a partition leaf, and the index") {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     def mv(a: String, b: String): Unit =
