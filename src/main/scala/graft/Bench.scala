@@ -96,7 +96,7 @@ object Bench {
     // timestamp-literal pruned reads (builds timed as q144_zorder_build13)
     "q144_envelope_auto_prune", "q145_quantile_zorder_box",
     "q146_partitioned_pruned_box", "q147_sql_tf_pruned_read_ts",
-    "q148_partitioned_auto_prune")
+    "q148_partitioned_auto_prune", "q149_sql_tf_read_healed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -54,6 +54,9 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    [, scaling])` — the Z-ordered rewrite of the view's rows
   *    (`linear` default or `quantile` rank cells), for
   *    CTAS/INSERT OVERWRITE layout-maintenance jobs written in SQL
+  *  - `graft_read_healed(path)` — read a swap-maintained table after
+  *    healing any interrupted DirSwap (table, partition leaf, or
+  *    `.envelopes` index); healing runs at analysis
   *  - `graft_connected_components(pairs_view, a_col, b_col
   *    [, algorithm])` — `propagation` (default) or `stars`; the
   *    ITERATIVE driver loop runs when the query analyzes, the
@@ -145,6 +148,18 @@ object GraftTableFunctions {
       bucketWidth = opt(args, 7)(lng(fn, args, 7)).filter(_ > 0),
       leftId = opt(args, 8)(str(fn, args, 8)).filter(_.nonEmpty)
     ).queryExecution.analyzed
+  }
+
+  /** The sanctioned reader for swap-maintained tables (the streaming
+    * self-clustering sink, `Layout.clusterPartitions` loops): heals any
+    * interrupted table/leaf/index DirSwap, then reads — so a SQL-only
+    * consumer taking turns with maintenance in the same process never
+    * sees a half-table. Healing (bounded directory renames) runs when
+    * the query ANALYZES — the `graft_heavy_hitters` eagerness trade. */
+  private def readHealedBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_read_healed"
+    arity(fn, args, 1, 1)
+    graft.sources.Layout.readHealed(sess(), str(fn, args, 0)).queryExecution.analyzed
   }
 
   private def connectedComponentsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
@@ -248,6 +263,9 @@ object GraftTableFunctions {
       info("graft_zorder_cluster",
         "graft_zorder_cluster(view, cols_csv, num_partitions[, scaling])"),
       zorderBuilder(sess) _),
+    (new FunctionIdentifier("graft_read_healed"),
+      info("graft_read_healed", "graft_read_healed(path)"),
+      readHealedBuilder(sess) _),
     (new FunctionIdentifier("graft_connected_components"),
       info("graft_connected_components",
         "graft_connected_components(pairs_view, a_col, b_col[, algorithm])"),

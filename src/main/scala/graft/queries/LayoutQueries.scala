@@ -105,7 +105,7 @@ object LayoutQueries {
         .withColumn("wk", weekofyear(timestamp_micros(col("ts_us"))))
         .write.partitionBy("wk").parquet(out)
       Layout.clusterPartitions(spark, out, Seq("user_id", "ts_us"),
-        filesPerPartition = 4, indexCols = Seq("wk"))
+        filesPerPartition = 4, indexCols = Seq("wk"), parallelism = 3)
       cache += key -> out
       out
     })
@@ -316,6 +316,24 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q149
+  /** q146's box through `graft_read_healed` — the sanctioned SQL reader
+    * for swap-maintained tables (heals any interrupted DirSwap before
+    * reading; a no-op heal here, so the oracle is the same
+    * layout-invariance SQL). */
+  def q149SqlTfReadHealed(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    val path = zEventsPartitioned(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_read_healed('$path')
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
@@ -326,7 +344,8 @@ object LayoutQueries {
     "q145_quantile_zorder_box" -> q145QuantileZorderBox _,
     "q146_partitioned_pruned_box" -> q146PartitionedPrunedBox _,
     "q147_sql_tf_pruned_read_ts"  -> q147SqlTfPrunedReadTs _,
-    "q148_partitioned_auto_prune" -> q148PartitionedAutoPrune _)
+    "q148_partitioned_auto_prune" -> q148PartitionedAutoPrune _,
+    "q149_sql_tf_read_healed"     -> q149SqlTfReadHealed _)
 
   /** The layout-invariance oracle every events-box layout query shares:
     * same rows no matter how the copy was clustered, partitioned,
@@ -345,6 +364,7 @@ object LayoutQueries {
     "q146_partitioned_pruned_box" -> EventsBoxOracle,
     "q147_sql_tf_pruned_read_ts"  -> EventsBoxOracle,
     "q148_partitioned_auto_prune" -> EventsBoxOracle,
+    "q149_sql_tf_read_healed"     -> EventsBoxOracle,
     "q145_quantile_zorder_box" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,

@@ -255,6 +255,12 @@ class LayoutSpec extends AnyFunSuite {
     assert(healedParts.count() == 5000)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$parts/d=a.compact-backup")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$parts/d=b.compact-tmp")))
+    // the pure-SQL face heals too: break the flat table again, read
+    // through graft_read_healed
+    graft.GraftTableFunctions.ensure(spark)
+    mv(flat, s"$flat.compact-backup")
+    val viaTf = spark.sql(s"SELECT * FROM graft_read_healed('$flat')")
+    assert(viaTf.collect().toSet == df.collect().toSet)
   }
 
   test("box-predicate file skipping: z-order prunes on BOTH dims, lexicographic only on the leading one") {
