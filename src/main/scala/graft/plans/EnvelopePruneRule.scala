@@ -1,14 +1,13 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
@@ -77,7 +76,24 @@ class EnvelopePruneRule(session: SparkSession) extends Rule[LogicalPlan] with Pr
     else plan.transformUp {
       case f @ Filter(cond, rel: LogicalRelation)
           if !f.isStreaming && rel.relation.isInstanceOf[HadoopFsRelation] =>
-        try prune(cond, rel).getOrElse(f)
+        try prunedChild(cond, rel).map(Filter(cond, _)).getOrElse(f)
+        catch {
+          case NonFatal(e) =>
+            logWarning(s"graft envelope prune: failed, leaving the scan unpruned: $e")
+            f
+        }
+      // the `select(cols).filter(box)` spelling: a deterministic Project
+      // interposed between the Filter and the scan. Filter pushdown
+      // usually normalizes this away inside its own batch, but a rule
+      // must not DEPEND on batch ordering — constraints are resolved
+      // through the projection's attribute aliases, and the pruned
+      // relation is re-wrapped under the untouched Project (same output
+      // attribute ids, so nothing above re-resolves).
+      case f @ Filter(cond, Project(projList, rel: LogicalRelation))
+          if !f.isStreaming && rel.relation.isInstanceOf[HadoopFsRelation] &&
+             projList.forall(_.deterministic) =>
+        try prunedChild(substituteProject(cond, projList), rel)
+          .map(nc => Filter(cond, Project(projList, nc))).getOrElse(f)
         catch {
           case NonFatal(e) =>
             logWarning(s"graft envelope prune: failed, leaving the scan unpruned: $e")
@@ -85,30 +101,70 @@ class EnvelopePruneRule(session: SparkSession) extends Rule[LogicalPlan] with Pr
         }
     }
 
-  private def prune(cond: Expression, rel: LogicalRelation): Option[Filter] = {
+  /** Resolve the filter's attribute references through a projection's
+    * simple aliases (`Alias(attr, name)`), so a constraint on a renamed
+    * column still reaches the underlying relation column; computed
+    * aliases are left as-is (and then fail attribute resolution in
+    * [[extract]], declining soundly). */
+  private def substituteProject(cond: Expression,
+                                projList: Seq[NamedExpression]): Expression = {
+    val byId = projList.collect {
+      case a @ Alias(ar: AttributeReference, _) => a.exprId -> ar
+    }.toMap
+    cond.transform { case ar: AttributeReference => byId.getOrElse(ar.exprId, ar) }
+  }
+
+  /** The pruned replacement for `rel` under extracted constraints of
+    * `cond`, or None to leave the plan untouched. Multi-root scans
+    * (`spark.read.parquet(dirA, dirB)`) prune per root — each root's own
+    * `.envelopes` index contributes its skip set (roots without one
+    * contribute nothing) — and the union subtracts from the shared
+    * listing. */
+  private def prunedChild(cond: Expression, rel: LogicalRelation): Option[LogicalPlan] = {
     val fsr = rel.relation.asInstanceOf[HadoopFsRelation]
     if (fsr.options.contains(PrunedMarker)) return None // already pruned (re-match breaker)
     if (rel.isStreaming || fsr.bucketSpec.isDefined) return None
-    if (!fsr.fileFormat.toString.toLowerCase.contains("parquet")) return None
+    if (!fsr.fileFormat.isInstanceOf[ParquetFileFormat]) return None
     val roots = fsr.location.rootPaths
-    if (roots.size != 1) return None
-    val dir = roots.head.toString
-    if (dir.endsWith(".envelopes")) return None // never prune an index with itself
+    if (roots.isEmpty) return None
+    if (roots.exists(_.toString.endsWith(".envelopes"))) return None // never prune an index with itself
 
     val constraints = extract(cond, rel.output)
     if (constraints.isEmpty) return None
 
+    val skip = roots.map(r => skipSetForRoot(r.toString, constraints))
+      .reduce(_ ++ _)
+    if (skip.isEmpty) return None
+
+    val all = fsr.location.inputFiles
+    val keep = all.count(f => !skip.contains(Layout.normPath(f)))
+    if (keep == all.length) return None
+    logInfo(s"graft envelope prune: ${roots.mkString(",")} scan pruned ${all.length - keep}/" +
+      s"${all.length} files via the .envelopes index")
+    if (keep == 0) return Some(LocalRelation(rel.output))
+    val prunedFsr = fsr.copy(location = new SkippingFileIndex(fsr.location, skip),
+      options = fsr.options + (PrunedMarker -> "true"))(fsr.sparkSession)
+    Some(rel.copy(relation = prunedFsr))
+  }
+
+  /** One root's cached skip set: files its `.envelopes` index proves
+    * cannot satisfy some constraint; empty when the root has no index or
+    * the index covers none of the constrained columns. */
+  private def skipSetForRoot(dir: String, constraints: Seq[Constraint]): Set[String] = {
     val envPath = new org.apache.hadoop.fs.Path(Layout.envelopesPath(dir))
     val fs = envPath.getFileSystem(session.sparkContext.hadoopConfiguration)
-    if (!fs.exists(envPath)) return None
-    // index signature: the envelope dir's listing — refreshes/appends
-    // change it, invalidating every cached skip set for this dir
+    if (!fs.exists(envPath)) return Set.empty
+    // index signature: the envelope dir's FULL listing string —
+    // refreshes/appends change it, invalidating every cached skip set
+    // for this dir. Never collapsed to a hashCode: a 32-bit collision
+    // between the pre- and post-refresh listings would keep serving a
+    // stale skip set, which can wrongly skip files.
     val sig = fs.listStatus(envPath).filter(_.isFile)
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString(",").hashCode.toString
+      .sorted.mkString(",")
 
     val key = (dir, sig, constraints.map(_.cacheKey).sorted.mkString(";"))
-    val skip = cachedSkipSet(key) {
+    cachedSkipSet(key) {
       val env = session.read.parquet(envPath.toString)
       val envCols = env.columns.toSeq
       val usable = constraints.filter { c =>
@@ -125,17 +181,6 @@ class EnvelopePruneRule(session: SparkSession) extends Rule[LogicalPlan] with Pr
           .map(r => Layout.normPath(r.getString(0))).toSet
       }
     }
-    if (skip.isEmpty) return None
-
-    val all = fsr.location.inputFiles
-    val keep = all.count(f => !skip.contains(Layout.normPath(f)))
-    if (keep == all.length) return None
-    logInfo(s"graft envelope prune: $dir scan pruned ${all.length - keep}/" +
-      s"${all.length} files via the .envelopes index")
-    if (keep == 0) return Some(Filter(cond, LocalRelation(rel.output)))
-    val prunedFsr = fsr.copy(location = new SkippingFileIndex(fsr.location, skip),
-      options = fsr.options + (PrunedMarker -> "true"))(fsr.sparkSession)
-    Some(Filter(cond, rel.copy(relation = prunedFsr)))
   }
 
   /** Single-column range constraints among `cond`'s conjuncts: bare
@@ -221,7 +266,13 @@ object EnvelopePruneRule {
   /** One extracted conjunct: `name <op> values`. [[missColumn]] is its
     * per-file refutation over the envelope table. */
   private final case class Constraint(name: String, op: String, values: Seq[Literal]) {
-    def cacheKey: String = s"$name $op ${values.map(_.sql).mkString(",")}"
+    // cache key renders the literal's INTERNAL value + catalog type, not
+    // Literal.sql: .sql formats TIMESTAMP in session-local wall-clock
+    // time, so two distinct instants collide during a DST fall-back hour
+    // (and the cache is JVM-global across sessions with different
+    // session.timeZone) — the internal Long/UTF8String never does
+    def cacheKey: String =
+      s"$name $op ${values.map(l => s"${l.dataType.catalogString}:${l.value}").mkString(",")}"
 
     def missColumn(envCols: Seq[String]): org.apache.spark.sql.Column = {
       def v(l: Literal) = GraftBridge.column(l)
@@ -238,9 +289,18 @@ object EnvelopePruneRule {
             case "le" => mn > v(values.head)
             case "lt" => mn >= v(values.head)
             case "eq" => mx < v(values.head) || mn > v(values.head)
-            case "in" => // sound necessary condition: outside the list's hull
-              values.map(l => mx < v(l)).reduce(_ && _) ||
-                values.map(l => mn > v(l)).reduce(_ && _)
+            case "in" =>
+              // PER-VALUE refutation for small lists — sound (the file
+              // misses iff it can hold NO listed value) and strictly
+              // stronger than the hull: `c IN (1, 1000000)` also skips a
+              // file covering [5000, 6000], which lies inside the hull
+              // but contains no listed value. Longer lists fall back to
+              // the hull test to keep the decision predicate small.
+              if (values.size <= InPerValueMax)
+                values.map(l => mx < v(l) || mn > v(l)).reduce(_ && _)
+              else
+                values.map(l => mx < v(l)).reduce(_ && _) ||
+                  values.map(l => mn > v(l)).reduce(_ && _)
           }
           if (envCols.contains(s"nulls_$name")) range || (col(s"nulls_$name") === col("rows"))
           else range
@@ -248,24 +308,62 @@ object EnvelopePruneRule {
     }
   }
 
-  /** Bounded skip-set cache (the [[PlanStats]] pattern): re-optimizing
-    * the same filtered scan — explain, cached views, AQE — reuses the
-    * decision instead of re-running the index job. */
-  private val cache = new ConcurrentHashMap[(String, String, String), Set[String]]()
-  private val MaxEntries = 1024
+  /** `IN` lists up to this long get per-value miss proofs; longer ones
+    * use the (weaker but O(2)-term-per-value) hull test. */
+  private val InPerValueMax = 32
 
-  private def cachedSkipSet(key: (String, String, String))(compute: => Set[String]): Set[String] = {
-    val hit = cache.get(key)
-    if (hit != null) hit
-    else {
-      val v = compute
-      if (cache.size >= MaxEntries) cache.clear()
-      cache.put(key, v)
-      v
+  /** Bounded skip-set cache (the [[PlanStats]] explain-safety pattern):
+    * re-optimizing the same filtered scan — explain, cached views, AQE —
+    * reuses the decision instead of re-running the index job.
+    *
+    * Bounded by RETAINED PATHS, not just entry count: each value is a
+    * `Set[String]` of skipped file paths, and on a ~1M-file table where
+    * most files miss (the success case!) ONE entry is ~100 MB of driver
+    * heap — an entry-count bound alone would not cap memory. Eviction is
+    * LRU oldest-first (a `LinkedHashMap` in access order), never
+    * all-or-nothing, so a workload cycling through more than the entry
+    * budget of distinct (dir, sig, constraints) keys re-runs only the
+    * coldest decisions instead of thrashing the whole cache. The most
+    * recent entry always survives, even alone over budget — the query
+    * that just computed it is about to use it. */
+  private val MaxEntries = 1024
+  private val MaxRetainedPaths = 1L << 20 // ~1M paths ≈ 100 MB ceiling
+  private var retained = 0L
+  private val cache =
+    new java.util.LinkedHashMap[(String, String, String), Set[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String), Set[String]]): Boolean = false
+    }
+
+  private[plans] def cachedSkipSet(key: (String, String, String))(
+      compute: => Set[String]): Set[String] = {
+    cache.synchronized { Option(cache.get(key)) } match {
+      case Some(hit) => hit
+      case None =>
+        val v = compute // outside the lock: the decision job is a Spark action
+        cache.synchronized {
+          val prior = cache.put(key, v)
+          retained += v.size - (if (prior == null) 0 else prior.size)
+          val it = cache.entrySet().iterator()
+          while (cache.size > 1 &&
+                 (cache.size > MaxEntries || retained > MaxRetainedPaths)) {
+            val eldest = it.next() // access-order head = least recently used
+            retained -= eldest.getValue.size
+            it.remove()
+          }
+        }
+        v
     }
   }
 
-  private[graft] def clearCache(): Unit = cache.clear()
+  /** Total file paths currently retained across all entries (spec hook
+    * for the memory bound). */
+  private[plans] def retainedPaths: Long = cache.synchronized(retained)
+  private[plans] def cacheEntries: Int = cache.synchronized(cache.size)
+
+  private[graft] def clearCache(): Unit = cache.synchronized {
+    cache.clear(); retained = 0L
+  }
 
   /** Idempotently register the rule on a LIVE session (specs and
     * notebook sessions created without `spark.sql.extensions`; the

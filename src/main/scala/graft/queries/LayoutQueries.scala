@@ -262,11 +262,13 @@ object LayoutQueries {
   }
 
   // ---------------------------------------------------------------- q146
-  /** q137's box over the HIVE-PARTITIONED + per-leaf-OPTIMIZEd events
-    * copy, served through [[Layout.prunedRead]]: the indexed `month`
-    * partition column prunes whole months and the (user_id, ts_us)
-    * envelopes skip files inside the surviving ones — the composed
-    * production read path. Results must be partitioning-invariant. */
+  /** q137's box over the HIVE-PARTITIONED (by week-of-year `wk`) +
+    * per-leaf-OPTIMIZEd events copy, served through [[Layout.prunedRead]]:
+    * the box covers (user_id, ts_us) only, so what this query pins is
+    * envelope file-skipping INSIDE partitions of a partitioned table
+    * (partition-column pruning through the indexed `wk` dimension is
+    * LayoutSpec's clusterPartitions case). Results must be
+    * partitioning-invariant. */
   def q146PartitionedPrunedBox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val z = Layout.prunedRead(spark, zEventsPartitioned(spark, dir),

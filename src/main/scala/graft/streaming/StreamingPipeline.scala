@@ -928,6 +928,15 @@ object StreamingPipeline {
       clusterEveryBatches: Int, targetFiles: Int): Unit = {
     val spark = batch.sparkSession
     graft.operators.DirSwap.recover(spark, tablePath)
+    // heal the INDEX dir too: step 5 below DirSwap-compacts .envelopes,
+    // and a crash mid-compaction would otherwise leave the index as
+    // .compact-backup — the next appendEnvelopes would then recreate a
+    // fresh live dir holding ONE batch's rows and a later recover would
+    // drop the backup, silently losing every prior envelope row
+    // (I/O-only degradation, but pruning would be gone for old files
+    // until the next full rewrite)
+    graft.operators.DirSwap.recover(spark,
+      graft.sources.Layout.envelopesPath(tablePath))
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath.batches")

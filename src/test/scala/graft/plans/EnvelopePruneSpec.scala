@@ -195,6 +195,123 @@ class EnvelopePruneSpec extends AnyFunSuite {
     }
   }
 
+  test("per-value IN proofs: a file between two listed values is skipped (hull would keep it)") {
+    val dir = freshDir("env-prune-inlist")
+    Seq((1L, "lo"), (10L, "lo")).toDF("x", "tag").coalesce(1).write.parquet(dir)
+    Seq((5000L, "mid"), (6000L, "mid")).toDF("x", "tag").coalesce(1).write.mode("append").parquet(dir)
+    Seq((100000L, "hi"), (100100L, "hi")).toDF("x", "tag").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(total == 3)
+    withRule(true) {
+      // hull [1, 100000] covers the mid file; only per-value proofs skip it
+      val got = spark.read.parquet(dir).filter($"x".isin(1L, 100000L))
+      assert(scanFiles(got) == 2, "the between-values file was not skipped")
+      assert(got.collect().map(_.getLong(0)).toSet == Set(1L, 100000L))
+    }
+  }
+
+  test("a Project interposed between Filter and scan still prunes (select-then-filter spelling)") {
+    val (dir, df) = writeClustered()
+    val total = spark.read.parquet(dir).inputFiles.length
+    withRule(true) {
+      // renamed column: the constraint must resolve through the alias
+      def q() = spark.read.parquet(dir)
+        .select($"x".as("a"), $"y")
+        .filter($"a".between(100L, 163L))
+      // pin that the RULE ITSELF handles the un-pushed Filter(Project(scan))
+      // shape — apply it directly to the analyzed plan, before pushdown
+      // has a chance to normalize it away
+      val rule = new EnvelopePruneRule(spark)
+      val out = rule(q().queryExecution.analyzed)
+      val outFiles = out.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+      }.sum
+      assert(outFiles < total, "rule did not prune through the Project")
+      // and end-to-end exactness through the normal optimizer path
+      assert(q().collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        df.filter($"x".between(100L, 163L)).select($"x", $"y")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      // a non-deterministic projection declines (conservative guard)
+      val nd = spark.read.parquet(dir)
+        .select($"x", $"y", rand().as("r"))
+        .filter($"x".between(100L, 163L))
+      val ndOut = rule(nd.queryExecution.analyzed)
+      val ndFiles = ndOut.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+      }.sum
+      assert(ndFiles == total, "rule must decline a non-deterministic Project")
+    }
+  }
+
+  test("a multi-root read prunes each root through its own index; unindexed roots read fully") {
+    val (dirA, dfA) = writeClustered()
+    val rnd = new scala.util.Random(53)
+    val dfB = (1 to 20000).map(_ => (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val dirB = freshDir("env-prune-rootB")
+    Layout.clusterWrite(dfB, Seq("x", "y"), 16, dirB)
+    def q() = spark.read.parquet(dirA, dirB)
+      .filter($"x".between(100L, 163L) && $"y".between(100L, 163L))
+    val total = spark.read.parquet(dirA, dirB).inputFiles.length
+    val (offFiles, offRows) = withRule(false) { (scanFiles(q()), q().collect().toSet) }
+    val (onFiles, onRows)   = withRule(true)  { (scanFiles(q()), q().collect().toSet) }
+    assert(offFiles == total)
+    assert(onFiles < total, "multi-root scan was not pruned")
+    assert(onRows == offRows, "multi-root pruning changed RESULTS")
+    // one root indexed, one plain: only the indexed root's files prune
+    val dirC = freshDir("env-prune-rootC")
+    dfB.write.parquet(dirC) // no index
+    val plainC = spark.read.parquet(dirC).inputFiles.length
+    withRule(true) {
+      val mixed = spark.read.parquet(dirA, dirC).filter($"x".between(100L, 163L))
+      val kept = scanFiles(mixed)
+      assert(kept < spark.read.parquet(dirA, dirC).inputFiles.length)
+      assert(kept >= plainC, "files of the unindexed root must never be skipped")
+      val want = withRule(false)(
+        spark.read.parquet(dirA, dirC).filter($"x".between(100L, 163L)).collect().toSet)
+      assert(withRule(true)(spark.read.parquet(dirA, dirC)
+        .filter($"x".between(100L, 163L)).collect().toSet) == want)
+    }
+  }
+
+  test("skip-set cache: LRU eviction bounds retained paths; hot keys survive key cycling") {
+    EnvelopePruneRule.clearCache()
+    var computes = 0
+    def get(k: String, n: Int): Set[String] =
+      EnvelopePruneRule.cachedSkipSet((k, "sig", "c")) {
+        computes += 1
+        (0 until n).map(i => s"/$k/part-$i.parquet").toSet
+      }
+    try {
+      get("a", 10); get("a", 10)
+      assert(computes == 1, "a warm key recomputed")
+      // three 400k-path entries exceed the ~1M-path budget: the LRU (a
+      // first, then the coldest of the rest) is evicted, never the lot
+      get("big1", 400000); get("big2", 400000); get("big3", 400000)
+      assert(EnvelopePruneRule.retainedPaths <= (1L << 20),
+        s"retained ${EnvelopePruneRule.retainedPaths} paths - budget not enforced")
+      val c0 = computes
+      get("big3", 400000) // most recent: must still be cached
+      assert(computes == c0, "the most recently used entry was evicted")
+      // cycling distinct keys keeps evicting the coldest, never the lot,
+      // and the retained-path bound holds throughout
+      (1 to 8).foreach(i => get(s"cycle$i", 400000))
+      assert(EnvelopePruneRule.retainedPaths <= (1L << 20))
+      assert(EnvelopePruneRule.cacheEntries >= 1)
+      // a single entry larger than the whole budget still caches (the
+      // query that computed it is about to use it), alone
+      EnvelopePruneRule.clearCache()
+      get("huge", 1200000)
+      assert(EnvelopePruneRule.cacheEntries == 1)
+      val c2 = computes
+      get("huge", 1200000)
+      assert(computes == c2, "the over-budget singleton was not served from cache")
+    } finally EnvelopePruneRule.clearCache()
+  }
+
   test("the injected-extensions path prunes and reaches a fixed point (no optimizer loop)") {
     val (dir, df) = writeClustered()
     val prior = SparkSession.getDefaultSession
