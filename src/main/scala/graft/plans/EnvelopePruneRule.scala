@@ -234,33 +234,6 @@ object EnvelopePruneRule {
     * `.envelopes` index when one exists; `false` disables. */
   val ConfKey = "spark.graft.envelope.prune"
 
-  /** The original relation's [[FileIndex]] minus the skipped files — a
-    * pure delegating view, so NOTHING is re-listed and partition
-    * semantics are preserved exactly: Catalyst's partition pruning
-    * passes its filters straight through to the underlying index, and
-    * envelope skipping subtracts files from whatever partitions
-    * survive (the composed production read path, automatically).
-    * `sizeInBytes` shrinks with the skipped bytes so join-side
-    * broadcast estimates benefit from the prune too. */
-  private final class SkippingFileIndex(underlying: FileIndex, skip: Set[String])
-      extends FileIndex {
-    private def kept(p: org.apache.hadoop.fs.Path): Boolean =
-      !skip.contains(Layout.normPath(p.toString))
-    override def rootPaths: Seq[org.apache.hadoop.fs.Path] = underlying.rootPaths
-    override def partitionSchema: StructType = underlying.partitionSchema
-    override def metadataOpsTimeNs: Option[Long] = underlying.metadataOpsTimeNs
-    override def refresh(): Unit = underlying.refresh()
-    override def listFiles(partitionFilters: Seq[Expression],
-                           dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-      underlying.listFiles(partitionFilters, dataFilters)
-        .map(pd => pd.copy(files = pd.files.filter(f => kept(f.getPath))))
-        .filter(_.files.nonEmpty)
-    override def inputFiles: Array[String] =
-      underlying.inputFiles.filter(f => kept(new org.apache.hadoop.fs.Path(f)))
-    override lazy val sizeInBytes: Long =
-      listFiles(Nil, Nil).flatMap(_.files).map(_.getLen).sum
-  }
-
   private val PrunedMarker = "graft.envelope.pruned"
 
   /** One extracted conjunct: `name <op> values`. [[missColumn]] is its

@@ -314,14 +314,19 @@ object Layout {
     * listing. The caller still applies its own predicate — this prunes
     * I/O, never rows. With no index present, every file is read.
     *
-    * The listing + anti-join run on the DRIVER over the file list — the
-    * same O(files) cost every parquet read's FileIndex already pays.
-    * HIVE-PARTITIONED dirs compose: the kept files are re-read under
-    * `basePath = dir`, so partition columns survive (their values come
-    * from the surviving paths), a box on an INDEXED partition column
-    * prunes through the envelope like any other dimension, and a filter
-    * the caller applies on an UNINDEXED partition column still
-    * partition-prunes the kept-file relation the normal Catalyst way. */
+    * The skip-set decision job runs once on the DRIVER over the BOUNDED
+    * index table (one row per file); the read itself then keeps the
+    * relation's ORIGINAL FileIndex wrapped in a delegating skipping view
+    * ([[graft.plans.SkippingFileIndex]], the same class the optimizer
+    * rule plants) — an O(1) driver-side relation spec at ANY file count
+    * (never an explicit kept-path list, which on a million-file table
+    * would mean a million-element relation spec and a fresh listing),
+    * with partition discovery preserved. HIVE-PARTITIONED dirs compose:
+    * partition columns come from the original index's discovery, a box
+    * on an INDEXED partition column prunes through the envelope like any
+    * other dimension, and a filter the caller applies on an UNINDEXED
+    * partition column still partition-prunes the normal Catalyst way
+    * (the wrapper passes partition filters straight through). */
   def prunedRead(spark: SparkSession, dir: String,
                  box: Seq[(String, Any, Any)]): DataFrame = {
     require(box.nonEmpty, "prunedRead needs at least one box predicate")
@@ -338,9 +343,15 @@ object Layout {
     // mismatch here would skip NOTHING, a perf bug the spec pins.
     val skip = env.filter(boxMiss(env.columns.toSeq, box))
       .select("file").collect().map(r => normPath(r.getString(0))).toSet
-    val keep = all.inputFiles.filterNot(f => skip.contains(normPath(f)))
-    if (keep.isEmpty) all.limit(0)
-    else spark.read.option("basePath", dir).schema(all.schema).parquet(keep.toSeq: _*)
+    if (skip.isEmpty) return all
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val pruned = all.queryExecution.analyzed.transform {
+      case rel: LogicalRelation if rel.relation.isInstanceOf[HadoopFsRelation] =>
+        val fsr = rel.relation.asInstanceOf[HadoopFsRelation]
+        rel.copy(relation = fsr.copy(
+          location = new graft.plans.SkippingFileIndex(fsr.location, skip))(fsr.sparkSession))
+    }
+    org.apache.spark.sql.GraftBridge.ofRows(spark, pruned)
   }
 
   /** Read a swap-maintained table AFTER healing any interrupted

@@ -8,4 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column       = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression   = classic.ExpressionUtils.expression(c)
+
+  /** A DataFrame over an explicit logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — used to swap a relation's FileIndex for a
+    * delegating skipping view without re-reading path lists. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -106,6 +106,18 @@ class LayoutSpec extends AnyFunSuite {
       s"prunedRead opened all ${pruned.inputFiles.length} files - nothing skipped")
     assert(pruned.filter($"x".between(100L, 163L) && $"y".between(100L, 163L))
       .collect().toSet == want)
+    // the relation spec stays O(1) at any file count: the ORIGINAL
+    // FileIndex wrapped in the delegating skipping view, a single root
+    // path — never an explicit kept-path list (which on a million-file
+    // table would be a million-element relation spec on the driver)
+    val prunedRel = pruned.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    }.get
+    assert(prunedRel.location.getClass.getSimpleName == "SkippingFileIndex",
+      s"prunedRead no longer rides the delegating index: ${prunedRel.location.getClass}")
+    assert(prunedRel.location.rootPaths.map(_.toUri.getPath) ==
+      Seq(new org.apache.hadoop.fs.Path(dir).toUri.getPath))
     // staleness: a file appended AFTER the index exists is always read
     Seq((120L, 120L)).toDF("x", "y").write.mode("append").parquet(dir)
     val afterAppend = Layout.prunedRead(spark, dir, box)
