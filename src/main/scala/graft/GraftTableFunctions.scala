@@ -56,7 +56,14 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    CTAS/INSERT OVERWRITE layout-maintenance jobs written in SQL
   *  - `graft_read_healed(path)` — read a swap-maintained table after
   *    healing any interrupted DirSwap (table, partition leaf, or
-  *    `.envelopes` index); healing runs at analysis
+  *    `.envelopes` index); healing runs at analysis — the SAME-PROCESS
+  *    reader (healing mutates swap state, so it must not race the
+  *    maintenance writer)
+  *  - `graft_read_snapshot(path [, seq])` — resolve the table's latest
+  *    (or pinned `seq`) manifest snapshot and read exactly that file
+  *    set; the CROSS-PROCESS reader for manifest-maintained tables
+  *    (no healing, no mutation — a rewrite race resolves to the old or
+  *    new complete set, never a mix)
   *  - `graft_connected_components(pairs_view, a_col, b_col
   *    [, algorithm])` — `propagation` (default) or `stars`; the
   *    ITERATIVE driver loop runs when the query analyzes, the
@@ -160,6 +167,17 @@ object GraftTableFunctions {
     val fn = "graft_read_healed"
     arity(fn, args, 1, 1)
     graft.sources.Layout.readHealed(sess(), str(fn, args, 0)).queryExecution.analyzed
+  }
+
+  /** The sanctioned CROSS-PROCESS reader for manifest-maintained tables:
+    * resolve the latest (or a pinned) manifest snapshot and plan over
+    * exactly that file set — no healing, no mutation, no listing races
+    * with a concurrent OPTIMIZE or streaming-sink rewrite. */
+  private def readSnapshotBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_read_snapshot"
+    arity(fn, args, 1, 2)
+    graft.sources.Layout.readSnapshot(sess(), str(fn, args, 0),
+      opt(args, 1)(lng(fn, args, 1))).queryExecution.analyzed
   }
 
   private def connectedComponentsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
@@ -266,6 +284,9 @@ object GraftTableFunctions {
     (new FunctionIdentifier("graft_read_healed"),
       info("graft_read_healed", "graft_read_healed(path)"),
       readHealedBuilder(sess) _),
+    (new FunctionIdentifier("graft_read_snapshot"),
+      info("graft_read_snapshot", "graft_read_snapshot(path[, seq])"),
+      readSnapshotBuilder(sess) _),
     (new FunctionIdentifier("graft_connected_components"),
       info("graft_connected_components",
         "graft_connected_components(pairs_view, a_col, b_col[, algorithm])"),

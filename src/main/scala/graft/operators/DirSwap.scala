@@ -65,12 +65,21 @@ private[graft] object DirSwap {
 
   /** Rewrite the live table through `rewrite` (e.g. a repartition) into a
     * right-sized copy, then atomically-enough swap it in. Row-preserving
-    * by contract of the callers (spec-pinned there). */
-  def swapRewrite(spark: SparkSession, dir: String)(rewrite: DataFrame => DataFrame)(
+    * by contract of the callers (spec-pinned there).
+    *
+    * `retireTo`: when set (manifest-maintained tables), the replaced
+    * generation's files are RETIRED — moved per-file into that
+    * directory — instead of deleted, so a cross-process reader holding
+    * the previous [[graft.sources.Manifest]] snapshot can still resolve
+    * them; [[graft.sources.Manifest.vacuum]] bounds their lifetime.
+    * When None (sketch/index compaction, non-manifest tables) the
+    * backup is deleted as before. */
+  def swapRewrite(spark: SparkSession, dir: String,
+                  retireTo: Option[String] = None)(rewrite: DataFrame => DataFrame)(
       write: (DataFrame, String) => Unit): Unit = {
     val live = new org.apache.hadoop.fs.Path(dir)
     requireAtomicRename(spark, live)
-    recover(spark, dir)
+    recover(spark, dir, retireTo)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"DirSwap: no table at $dir")
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
@@ -78,23 +87,53 @@ private[graft] object DirSwap {
     write(rewrite(spark.read.parquet(dir)), tmp.toString)
     require(fs.rename(live, backup), s"DirSwap: could not move $live aside")
     require(fs.rename(tmp, live), s"DirSwap: could not promote $tmp")
-    fs.delete(backup, true)
+    retireOrDelete(fs, backup, retireTo)
     ()
   }
 
   /** Heal an interrupted [[swapRewrite]]. Idempotent and cheap when there
-    * is nothing to heal (two existence probes). */
-  def recover(spark: SparkSession, dir: String): Unit = {
+    * is nothing to heal (two existence probes). Pass the same `retireTo`
+    * the swap used: healing a post-promote crash must COMPLETE the
+    * retirement (a delete would strand the previous manifest snapshot's
+    * file set half-gone). */
+  def recover(spark: SparkSession, dir: String,
+              retireTo: Option[String] = None): Unit = {
     val live = new org.apache.hadoop.fs.Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
     val backup = new org.apache.hadoop.fs.Path(dir + ".compact-backup")
     if (fs.exists(backup)) {
-      if (fs.exists(live)) fs.delete(backup, true)
+      if (fs.exists(live)) retireOrDelete(fs, backup, retireTo)
       else require(fs.rename(backup, live),
         s"DirSwap.recover: could not restore $backup to $live")
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     ()
+  }
+
+  /** Move every file under `backup` into the retirement dir (flat per
+    * backup — swaps operate on leaf dirs and flat tables), then drop
+    * the emptied backup; or plain-delete when retirement is off.
+    * Idempotent under redo: already-moved files are simply absent from
+    * the backup on the second pass. Name collisions across generations
+    * cannot happen for Spark-written files (task-UUID part names, and
+    * the sink's `b<id>-i` names are unique per batch) — a collision
+    * fails loudly rather than silently losing either generation. */
+  private def retireOrDelete(fs: org.apache.hadoop.fs.FileSystem,
+                             backup: org.apache.hadoop.fs.Path,
+                             retireTo: Option[String]): Unit = retireTo match {
+    case None => fs.delete(backup, true); ()
+    case Some(rt) =>
+      val rd = new org.apache.hadoop.fs.Path(rt)
+      fs.mkdirs(rd)
+      fs.listStatus(backup).filter(_.isFile).foreach { s =>
+        val dst = new org.apache.hadoop.fs.Path(rd, s.getPath.getName)
+        require(!fs.exists(dst),
+          s"DirSwap: retirement collision - $dst already exists")
+        require(fs.rename(s.getPath, dst),
+          s"DirSwap: could not retire ${s.getPath} to $dst")
+      }
+      fs.delete(backup, true)
+      ()
   }
 }

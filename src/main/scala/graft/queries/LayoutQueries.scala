@@ -336,6 +336,27 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q150
+  /** q146's box through `graft_read_snapshot` — the MANIFEST-committed
+    * snapshot reader ([[graft.sources.Manifest]]): the week-partitioned
+    * table was maintained by [[Layout.clusterPartitions]], which commits
+    * a manifest per run, and the query plans over exactly that committed
+    * file set (the cross-process reader a rewrite race cannot tear).
+    * Snapshot resolution is layout-and-concurrency machinery only, so
+    * the oracle is the same original-table SQL. */
+  def q150SqlTfReadSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    val path = zEventsPartitioned(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_read_snapshot('$path')
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
@@ -347,7 +368,8 @@ object LayoutQueries {
     "q146_partitioned_pruned_box" -> q146PartitionedPrunedBox _,
     "q147_sql_tf_pruned_read_ts"  -> q147SqlTfPrunedReadTs _,
     "q148_partitioned_auto_prune" -> q148PartitionedAutoPrune _,
-    "q149_sql_tf_read_healed"     -> q149SqlTfReadHealed _)
+    "q149_sql_tf_read_healed"     -> q149SqlTfReadHealed _,
+    "q150_sql_tf_read_snapshot"   -> q150SqlTfReadSnapshot _)
 
   /** The layout-invariance oracle every events-box layout query shares:
     * same rows no matter how the copy was clustered, partitioned,
@@ -367,6 +389,7 @@ object LayoutQueries {
     "q147_sql_tf_pruned_read_ts"  -> EventsBoxOracle,
     "q148_partitioned_auto_prune" -> EventsBoxOracle,
     "q149_sql_tf_read_healed"     -> EventsBoxOracle,
+    "q150_sql_tf_read_snapshot"   -> EventsBoxOracle,
     "q145_quantile_zorder_box" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,

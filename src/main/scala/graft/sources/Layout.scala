@@ -179,10 +179,15 @@ object Layout {
     * partitions through the same index). Each leaf is rewritten through
     * the crash-safe [[DirSwap]] (write tmp → swap), so an interruption
     * leaves every partition complete under its live or backup name —
-    * heal with [[readHealed]]. Single-writer contract: no concurrent
-    * writer OR reader of the table while the maintenance loop runs (the
-    * in-flight `<leaf>.compact-*` siblings would confuse a concurrent
-    * partition discovery).
+    * heal with [[readHealed]]. WRITER-EXCLUSIVE contract: one
+    * maintenance process at a time, but cross-process READERS are fine
+    * as long as they go through [[readSnapshot]] — every run commits a
+    * [[Manifest]] of the finished layout, and (from the second run on)
+    * retires the replaced generation instead of deleting it, so a
+    * snapshot reader racing the rewrite sees only the old or the new
+    * complete file set, never a half-swapped mix. Plain listing-based
+    * readers (`spark.read.parquet`) remain same-process-only: they can
+    * observe the in-flight `<leaf>.compact-*` siblings.
     *
     * At 100 TB this is the nightly layout job: the per-leaf loop is
     * embarrassingly parallel across partitions — `parallelism` > 1 runs
@@ -200,6 +205,21 @@ object Layout {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"clusterPartitions: no table at $dir")
+    // retire replaced generations once the table is manifest-maintained
+    // (every run commits one below, so that's from the second run on —
+    // the first run has no prior snapshot to preserve)
+    val manifested = Manifest.isManifested(spark, dir)
+    val qualRoot = fs.makeQualified(root).toString
+    def leafRel(leaf: org.apache.hadoop.fs.Path): String = {
+      val full = fs.makeQualified(leaf).toString
+      if (full == qualRoot) "" else full.stripPrefix(qualRoot + "/")
+    }
+    def retireTarget(leaf: org.apache.hadoop.fs.Path): Option[String] =
+      if (!manifested) None
+      else Some(leafRel(leaf) match {
+        case ""  => Manifest.retiredPath(dir)
+        case rel => Manifest.retiredPath(dir) + "/" + rel
+      })
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val subDirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
         .filterNot(d => d.getName.startsWith(".") || d.getName.startsWith("_"))
@@ -208,7 +228,8 @@ object Layout {
     }
     def rewriteLeaf(leaf: org.apache.hadoop.fs.Path): Unit =
       if (fs.listStatus(leaf).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
-        DirSwap.swapRewrite(spark, leaf.toString)(cluster(_, cols, filesPerPartition, scaling))(
+        DirSwap.swapRewrite(spark, leaf.toString, retireTarget(leaf))(
+          cluster(_, cols, filesPerPartition, scaling))(
           (d, out) => d.write.mode("overwrite").parquet(out))
     val work = leaves(root)
     if (parallelism == 1 || work.size <= 1) work.foreach(rewriteLeaf)
@@ -231,6 +252,11 @@ object Layout {
       } finally pool.shutdown()
     }
     writeEnvelopes(spark, dir, (cols ++ indexCols).distinct)
+    // commit the finished layout as a manifest snapshot: cross-process
+    // readers resolve this (or the previous, still-resolvable) complete
+    // file set through readSnapshot, never a half-swapped listing
+    Manifest.write(spark, dir)
+    ()
   }
 
   /** Per-FILE statistics of `cols` for a written table — min/max plus a
@@ -354,26 +380,53 @@ object Layout {
     org.apache.spark.sql.GraftBridge.ofRows(spark, pruned)
   }
 
-  /** Read a swap-maintained table AFTER healing any interrupted
-    * [[DirSwap]] state — the sanctioned reader entry point for tables a
+  /** SNAPSHOT read of a manifest-maintained table: resolve the latest
+    * committed [[Manifest]] (or a pinned `seq`) and plan over exactly
+    * that file set — the sanctioned CROSS-PROCESS reader for tables a
     * [[clusterPartitions]] loop or the streaming self-clustering sink
-    * maintains concurrently-ish (reader and maintenance in the SAME
-    * process taking turns; true cross-process concurrent readers are
-    * outside the swap sinks' single-writer contract, see README). Heals,
-    * in order: the table dir itself, any `<leaf>.compact-*` partition
-    * swap left mid-flight, and the `.envelopes` index dir — each via
-    * [[DirSwap.recover]]'s deterministic state machine — then reads. */
+    * maintains. A reader racing a rewrite sees only the old or the new
+    * complete set, never a half-swapped mix or a torn half-committed
+    * batch, and performs no healing or mutation of any kind (healing
+    * stays the writer's job). Retention: superseded snapshots stay
+    * resolvable for `keep` maintenance cycles ([[Manifest.write]]'s
+    * auto-vacuum, default 2). */
+  def readSnapshot(spark: SparkSession, dir: String,
+                   seq: Option[Long] = None): DataFrame =
+    Manifest.read(spark, dir, seq)
+
+  /** Read a swap-maintained table AFTER healing any interrupted
+    * [[DirSwap]] state — the sanctioned SAME-PROCESS reader entry point
+    * when reader and maintenance take turns in one process (healing
+    * MUTATES swap state, so it must never race the writer; a
+    * cross-process reader uses [[readSnapshot]] instead, which heals
+    * nothing). Heals, in order: the table dir itself, any
+    * `<leaf>.compact-*` partition swap left mid-flight, and the
+    * `.envelopes` index dir — each via [[DirSwap.recover]]'s
+    * deterministic state machine — then reads. On a manifest-maintained
+    * table, healing COMPLETES a crashed retirement instead of deleting
+    * the backup, so older snapshots stay resolvable. */
   def readHealed(spark: SparkSession, dir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    DirSwap.recover(spark, dir)
+    val manifested = Manifest.isManifested(spark, dir)
+    val qualRoot = fs.makeQualified(root).toString
+    def retireTarget(livePath: String): Option[String] =
+      if (!manifested) None
+      else {
+        val full = fs.makeQualified(new org.apache.hadoop.fs.Path(livePath)).toString
+        val rel = if (full == qualRoot) "" else full.stripPrefix(qualRoot + "/")
+        Some(if (rel.isEmpty) Manifest.retiredPath(dir)
+             else Manifest.retiredPath(dir) + "/" + rel)
+      }
+    DirSwap.recover(spark, dir, retireTarget(dir))
     def heal(p: org.apache.hadoop.fs.Path): Unit =
       if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory).map(_.getPath).foreach { d =>
         val name = d.getName
-        if (name.endsWith(".compact-backup") || name.endsWith(".compact-tmp"))
-          DirSwap.recover(spark, new org.apache.hadoop.fs.Path(p,
-            name.stripSuffix(".compact-backup").stripSuffix(".compact-tmp")).toString)
-        else heal(d)
+        if (name.endsWith(".compact-backup") || name.endsWith(".compact-tmp")) {
+          val live = new org.apache.hadoop.fs.Path(p,
+            name.stripSuffix(".compact-backup").stripSuffix(".compact-tmp")).toString
+          DirSwap.recover(spark, live, retireTarget(live))
+        } else heal(d)
       }
     heal(root)
     DirSwap.recover(spark, envelopesPath(dir))

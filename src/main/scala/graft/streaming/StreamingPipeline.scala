@@ -927,7 +927,14 @@ object StreamingPipeline {
       cols: Seq[String], tablePath: String,
       clusterEveryBatches: Int, targetFiles: Int): Unit = {
     val spark = batch.sparkSession
-    graft.operators.DirSwap.recover(spark, tablePath)
+    // manifest-maintained from batch 0 on: a crashed table-level swap is
+    // healed by COMPLETING the retirement, never deleting the backup a
+    // prior snapshot still references
+    val retireTo =
+      if (graft.sources.Manifest.isManifested(spark, tablePath))
+        Some(graft.sources.Manifest.retiredPath(tablePath))
+      else None
+    graft.operators.DirSwap.recover(spark, tablePath, retireTo)
     // heal the INDEX dir too: step 5 below DirSwap-compacts .envelopes,
     // and a crash mid-compaction would otherwise leave the index as
     // .compact-backup — the next appendEnvelopes would then recreate a
@@ -1000,9 +1007,12 @@ object StreamingPipeline {
     }
     // same single-writer window as the sketch compactor: between this
     // append and the next batch's read nothing else touches the table
-    if (batchId % clusterEveryBatches == clusterEveryBatches - 1 && fs.exists(table) &&
-        fs.listStatus(table).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))) {
-      graft.operators.DirSwap.swapRewrite(spark, tablePath)(
+    val rewrote =
+      batchId % clusterEveryBatches == clusterEveryBatches - 1 && fs.exists(table) &&
+        fs.listStatus(table).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (rewrote) {
+      graft.operators.DirSwap.swapRewrite(spark, tablePath,
+        Some(graft.sources.Manifest.retiredPath(tablePath)))(
         graft.sources.Layout.cluster(_, cols, targetFiles))(
         (d, out) => d.write.mode("overwrite").parquet(out))
       // refresh the skipping index over the clustered layout; files the
@@ -1011,6 +1021,17 @@ object StreamingPipeline {
       // staleness costs I/O, never rows
       graft.sources.Layout.writeEnvelopes(spark, tablePath, cols)
     }
+    // commit the batch (and/or rewrite) as a manifest snapshot: a
+    // cross-process reader resolving manifests never sees the staged or
+    // half-renamed b<id>-* files of an in-flight batch, and a rewrite
+    // race resolves to the old or new complete set (the replaced
+    // generation is retired above, vacuum-bounded). A crash between the
+    // marker and this write just delays the batch's visibility to
+    // snapshot readers by one batch — the replay probe skips the redo,
+    // and the NEXT batch's manifest includes these files.
+    if ((!replayed || rewrote) && fs.exists(table))
+      graft.sources.Manifest.write(spark, tablePath)
+    ()
   }
 
   def compactSketch(spark: SparkSession, sketchPath: String, targetFiles: Int): Unit =

@@ -15,4 +15,21 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A parquet scan plan over an explicit [[execution.datasources.FileIndex]]
+    * with pinned schemas — the manifest-snapshot read path, where the
+    * file set must come from the manifest (never a fresh listing) and
+    * the schemas from commit time (never re-inference, which could fail
+    * mid-rewrite). */
+  def parquetSnapshotPlan(spark: SparkSession,
+                          index: execution.datasources.FileIndex,
+                          partitionSchema: types.StructType,
+                          dataSchema: types.StructType)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val rel = execution.datasources.HadoopFsRelation(
+      index, partitionSchema, dataSchema, None,
+      new execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty[String, String])(spark.asInstanceOf[classic.SparkSession])
+    execution.datasources.LogicalRelation(rel)
+  }
 }

@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DirSwap
+
+/** Manifest-committed snapshots: a reader racing a DirSwap rewrite (or
+  * a streaming batch commit) resolves only old-complete or new-complete
+  * file sets — never a half-swapped mix, never a torn batch — through
+  * every intermediate swap state; retention keeps superseded snapshots
+  * readable for `keep` cycles and vacuum reclaims them; partition
+  * columns and pruning survive the snapshot read path. */
+class ManifestSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def fs = org.apache.hadoop.fs.FileSystem.getLocal(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  test("snapshot excludes unmanifested appends (torn-batch protection); a new commit includes them") {
+    val dir = freshDir("manifest-basic")
+    val df = (1 to 1000).map(i => (i.toLong, (i % 7).toLong)).toDF("x", "y")
+    df.write.parquet(dir)
+    val s0 = Manifest.write(spark, dir)
+    assert(Layout.readSnapshot(spark, dir).count() == 1000L)
+    // an append the writer has not committed yet (a torn batch, a crashed
+    // job's stray output): plain reads see it, the snapshot must not
+    Seq((100000L, 0L)).toDF("x", "y").write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 1001L)
+    assert(Layout.readSnapshot(spark, dir).count() == 1000L,
+      "snapshot leaked an unmanifested file")
+    val s1 = Manifest.write(spark, dir)
+    assert(s1 == s0 + 1)
+    assert(Layout.readSnapshot(spark, dir).count() == 1001L)
+    // the pinned older snapshot still reads the older set
+    assert(Layout.readSnapshot(spark, dir, Some(s0)).count() == 1000L)
+  }
+
+  test("a reader pinned mid-rewrite sees only the old or new complete set, never a mix") {
+    val dir = freshDir("manifest-race")
+    val df = (1 to 5000).map(i => (i.toLong, (i * 31 % 1024).toLong)).toDF("x", "y")
+    df.repartition(4).write.parquet(dir)
+    Manifest.write(spark, dir)
+    val oldFiles = Layout.readSnapshot(spark, dir).inputFiles.toSet
+    assert(oldFiles.size == 4)
+    val rows = df.collect().toSet
+
+    // walk a rewrite through every intermediate DirSwap state by hand,
+    // reading the snapshot at each one — the exact cross-process race
+    val live = new Path(dir)
+    val tmp = new Path(dir + ".compact-tmp")
+    val backup = new Path(dir + ".compact-backup")
+    // state A: replacement staged, live intact
+    Layout.cluster(spark.read.parquet(dir), Seq("x", "y"), 2)
+      .write.parquet(tmp.toString)
+    assert(Layout.readSnapshot(spark, dir).collect().toSet == rows)
+    // state B: live moved aside - the window where a LISTING reader
+    // finds no table at all; the snapshot resolves via the backup
+    assert(fs.rename(live, backup))
+    intercept[Exception](spark.read.parquet(dir).count()) // listing reader breaks...
+    val inB = Layout.readSnapshot(spark, dir)
+    assert(inB.collect().toSet == rows, "state B snapshot lost rows") // ...snapshot doesn't
+    assert(inB.inputFiles.map(f => new Path(f).getName).toSet ==
+      oldFiles.map(f => new Path(f).getName), "state B must serve the OLD complete set")
+    // state C: replacement promoted, old generation not yet retired -
+    // the manifest still pins the OLD set, resolved from the backup
+    assert(fs.rename(tmp, live))
+    val inC = Layout.readSnapshot(spark, dir)
+    assert(inC.collect().toSet == rows)
+    assert(inC.inputFiles.map(f => new Path(f).getName).toSet ==
+      oldFiles.map(f => new Path(f).getName), "state C must still serve the OLD set")
+    // writer completes: retirement + new manifest commit
+    DirSwap.recover(spark, dir, Some(Manifest.retiredPath(dir)))
+    assert(!fs.exists(backup))
+    val s1 = Manifest.write(spark, dir)
+    val now = Layout.readSnapshot(spark, dir)
+    assert(now.collect().toSet == rows)
+    assert(now.inputFiles.length == 2, "latest snapshot must serve the NEW set")
+    // the superseded snapshot stays readable through .retired
+    val old = Layout.readSnapshot(spark, dir, Some(s1 - 1))
+    assert(old.collect().toSet == rows)
+    assert(old.inputFiles.forall(_.contains(".retired")),
+      "old snapshot must resolve from the retirement area")
+  }
+
+  test("clusterPartitions commits manifests, retires generations, vacuum bounds them; partition pruning works on snapshots") {
+    val dir = freshDir("manifest-parts")
+    val df = (1 to 8000).map { i =>
+      (i % 3, i.toLong, (i * 17 % 1024).toLong)
+    }.toDF("wk", "x", "y")
+    df.write.partitionBy("wk").parquet(dir)
+    Layout.clusterPartitions(spark, dir, Seq("x", "y"), filesPerPartition = 2)
+    val s0 = Manifest.latestSeq(spark, dir).get
+    val snap0 = Layout.readSnapshot(spark, dir)
+    // partition COLUMN survives with correct values and type
+    assert(snap0.schema("wk").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(snap0.groupBy("wk").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      df.groupBy("wk").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    // partition PRUNING: a wk filter must cut the snapshot's scanned files
+    val prunedScan = snap0.filter($"wk" === 1)
+    prunedScan.collect()
+    val physical = prunedScan.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }.sum
+    assert(read < snap0.inputFiles.length,
+      s"no partition pruning on the snapshot: read $read of ${snap0.inputFiles.length}")
+    assert(prunedScan.count() == df.filter($"wk" === 1).count())
+    // second OPTIMIZE: a new generation; the old snapshot stays readable
+    Layout.clusterPartitions(spark, dir, Seq("x", "y"), filesPerPartition = 2)
+    val s1 = Manifest.latestSeq(spark, dir).get
+    assert(s1 == s0 + 1)
+    val want = df.select($"x", $"y", $"wk").collect().toSet
+    assert(Layout.readSnapshot(spark, dir).select($"x", $"y", $"wk").collect().toSet == want)
+    val oldSnap = Layout.readSnapshot(spark, dir, Some(s0))
+    assert(oldSnap.select($"x", $"y", $"wk").collect().toSet == want)
+    assert(oldSnap.inputFiles.exists(_.contains(".retired")))
+    // vacuum to 1: the old snapshot's retired files are reclaimed loudly
+    Manifest.vacuum(spark, dir, keep = 1)
+    intercept[java.io.FileNotFoundException] {
+      Layout.readSnapshot(spark, dir, Some(s0)).collect()
+    }
+    assert(Layout.readSnapshot(spark, dir).select($"x", $"y", $"wk")
+      .collect().toSet == want)
+  }
+
+  test("readHealed on a manifested table completes retirement instead of deleting the backup") {
+    val dir = freshDir("manifest-heal")
+    val df = (1 to 2000).map(i => (i.toLong, (i % 13).toLong)).toDF("x", "y")
+    df.repartition(2).write.parquet(dir)
+    val s0 = Manifest.write(spark, dir)
+    // crash after promote, before retirement: live = new copy, backup = old
+    Layout.cluster(spark.read.parquet(dir), Seq("x", "y"), 1)
+      .write.parquet(dir + ".compact-tmp")
+    assert(fs.rename(new Path(dir), new Path(dir + ".compact-backup")))
+    assert(fs.rename(new Path(dir + ".compact-tmp"), new Path(dir)))
+    // the same-process heal path must RETIRE the old generation (a
+    // delete would strand snapshot s0 half-gone)
+    assert(Layout.readHealed(spark, dir).count() == 2000L)
+    assert(!fs.exists(new Path(dir + ".compact-backup")))
+    val healedOld = Layout.readSnapshot(spark, dir, Some(s0))
+    assert(healedOld.collect().toSet == df.collect().toSet)
+    assert(healedOld.inputFiles.forall(_.contains(".retired")))
+  }
+
+  test("readSnapshot fails loudly on a non-manifest table; mutates nothing") {
+    val dir = freshDir("manifest-none")
+    Seq((1L, 2L)).toDF("x", "y").write.parquet(dir)
+    val ex = intercept[IllegalArgumentException](Layout.readSnapshot(spark, dir))
+    assert(ex.getMessage.contains("no committed manifest"))
+  }
+}

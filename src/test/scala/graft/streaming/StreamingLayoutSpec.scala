@@ -115,6 +115,37 @@ class StreamingLayoutSpec extends AnyFunSuite {
     assert(got.filter($"x" === 999L).isEmpty)
   }
 
+  test("the sink commits manifest snapshots: readers see whole batches only, rewrites retire") {
+    val table = tmp("stream-layout-manifest") + "/t"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val b0 = (1 to 400).map(i => (i.toLong, (i % 11).toLong)).toDF("x", "y")
+    StreamingPipeline.processClusterBatch(b0, 0L, Seq("x", "y"), table,
+      clusterEveryBatches = 2, targetFiles = 4)
+    assert(Layout.readSnapshot(spark, table).count() == 400L)
+    // a torn batch-1 (crash after a partial rename, before its marker):
+    // the plain listing sees it, the snapshot must not
+    val src = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(table, "b1-0.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(table).count() > 400L)
+    assert(Layout.readSnapshot(spark, table).count() == 400L,
+      "snapshot leaked a torn half-committed batch")
+    // batch 1 lands (redo clears the partial) and triggers the rewrite:
+    // the latest snapshot serves the compacted set, and the PREVIOUS
+    // snapshot (pre-rewrite generation) stays readable via .retired
+    val preSeq = graft.sources.Manifest.latestSeq(spark, table).get
+    val b1 = (1 to 100).map(i => ((1000 + i).toLong, (i % 11).toLong)).toDF("x", "y")
+    StreamingPipeline.processClusterBatch(b1, 1L, Seq("x", "y"), table,
+      clusterEveryBatches = 2, targetFiles = 4)
+    assert(Layout.readSnapshot(spark, table).count() == 500L)
+    assert(parquetFiles(table) == 4)
+    val old = Layout.readSnapshot(spark, table, Some(preSeq))
+    assert(old.count() == 400L, "the pre-rewrite snapshot must still resolve")
+    assert(old.inputFiles.forall(_.contains(".retired")))
+  }
+
   test("a crash mid-commit is healed: the redo removes exactly its own partial files") {
     val table = tmp("stream-layout-crash") + "/t"
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
