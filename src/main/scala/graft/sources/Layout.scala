@@ -47,9 +47,14 @@ object Layout {
   private val ZCol = "__z"
 
   /** Raw long/double view of a column for range scaling. Monotone in the
-    * column's natural order per type; strings use an 8-byte clamped
-    * ASCII prefix (monotone for ASCII text, coarse for non-ASCII — a
-    * layout-quality trade, never a correctness one). */
+    * column's natural order per type; strings use a 7-BYTE UTF-8 prefix
+    * read as a 56-bit integer — monotone in Spark's binary string order
+    * for ANY script, because UTF-8 byte order equals code-point order
+    * (an ASCII-clamped per-character prefix would collapse every
+    * non-ASCII character to one value, flattening the cells of a
+    * multilingual corpus to nothing; layout-quality only either way,
+    * never correctness). All codegen'd builtins: encode → hex → 14 hex
+    * digits zero-padded → conv base-16. */
   private def rawNumeric(df: DataFrame, c: String): Column = {
     df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType |
@@ -59,9 +64,8 @@ object Layout {
       case TimestampNTZType  => unix_micros(col(c).cast(TimestampType)).cast("double")
       case DateType          => col(c).cast("int").cast("double")
       case StringType =>
-        (1 to 8).map(i =>
-          least(coalesce(ascii(substring(col(c), i, 1)), lit(0)), lit(255)).cast("double") *
-            lit(math.pow(256.0, (8 - i).toDouble))).reduce(_ + _)
+        conv(rpad(substring(hex(encode(col(c), "UTF-8")), 1, 14), 14, "0"),
+          16, 10).cast("double")
       case other => throw new IllegalArgumentException(
         s"Layout: cannot z-order column '$c' of type ${other.sql}")
     }

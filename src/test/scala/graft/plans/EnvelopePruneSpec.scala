@@ -312,6 +312,58 @@ class EnvelopePruneSpec extends AnyFunSuite {
     } finally EnvelopePruneRule.clearCache()
   }
 
+  test("foreachBatch stream-static serving prunes the static side per micro-batch, exactly") {
+    val (dir, df) = writeClustered()
+    val total = spark.read.parquet(dir).inputFiles.length
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    @volatile var servedFiles = -1
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    spark.conf.set(EnvelopePruneRule.ConfKey, "true")
+    val q = mem.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the q93/q103 serving shape: a boxed read of the indexed static
+        // table joined to the micro-batch — inside foreachBatch the plan
+        // is a plain batch plan, so the envelope rule must fire on the
+        // static side like on any other scan
+        val static = spark.read.parquet(dir).filter($"x".between(100L, 163L))
+        val served = static.join(batch, static("x") === batch("k"))
+        servedFiles = scanFiles(served)
+        served.select($"x", $"y").collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    try {
+      mem.addData(110L, 120L, 900L)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset(EnvelopePruneRule.ConfKey)
+    }
+    assert(servedFiles >= 0 && servedFiles < total,
+      s"static side of the stream-static serve opened $servedFiles of $total files - no pruning")
+    val want = df.filter($"x".isin(110L, 120L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toArray(Array.empty[(Long, Long)]).toSet == want,
+      "pruned stream-static serving changed RESULTS")
+  }
+
+  test("envelope pruning composes with manifest snapshot reads (skip inside the pinned file set)") {
+    val (dir, df) = writeClustered() // clusterWrite: envelopes exist
+    graft.sources.Manifest.write(spark, dir)
+    withRule(true) {
+      // readSnapshot plans over a ManifestFileIndex; the rule wraps it in
+      // the delegating SkippingFileIndex like any parquet relation — the
+      // skip subtracts from the PINNED set, and retired/backup-resolved
+      // paths simply never match the skip set (under-skip, never wrong)
+      val snap = Layout.readSnapshot(spark, dir)
+        .filter($"x".between(100L, 163L) && $"y".between(100L, 163L))
+      val total = Layout.readSnapshot(spark, dir).inputFiles.length
+      assert(scanFiles(snap) < total, "no envelope pruning on the snapshot read")
+      assert(snap.collect().toSet ==
+        df.filter($"x".between(100L, 163L) && $"y".between(100L, 163L)).collect().toSet)
+    }
+  }
+
   test("the injected-extensions path prunes and reaches a fixed point (no optimizer loop)") {
     val (dir, df) = writeClustered()
     val prior = SparkSession.getDefaultSession

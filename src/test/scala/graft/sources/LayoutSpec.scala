@@ -147,6 +147,31 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("UTF-8 string cells: a non-ASCII column still gets monotone cells and real skipping") {
+    // keys are PURELY multi-byte (Cyrillic): an ASCII-clamped prefix
+    // would collapse every key to one cell (zero skipping); the UTF-8
+    // byte prefix must keep them monotone in Spark's binary string order
+    val letters = ('а' to 'я').toVector // U+0430..U+044F, 32 letters
+    val rnd = new scala.util.Random(29)
+    val df = (1 to 4000).map { _ =>
+      val l = letters(rnd.nextInt(letters.size))
+      (l.toString * 8, rnd.nextInt(100).toLong)
+    }.toDF("s", "v")
+    val dir = Files.createTempDirectory("layout-utf8").resolve("t").toString
+    Layout.clusterWrite(df, Seq("s"), 8, dir)
+    // rows preserved exactly (layout never changes data)
+    assert(spark.read.parquet(dir).collect().toSet == df.collect().toSet)
+    // a 4-letter box out of 32 should skip most of the 8 files
+    val lo = letters(8).toString * 8
+    val hi = letters(11).toString * 8
+    val frac = Layout.skippableFileFraction(spark, dir, Seq(("s", lo, hi)))
+    assert(frac >= 0.5, s"non-ASCII skipping fraction only $frac - string cells not monotone")
+    // and the skip is exact through prunedRead
+    val pruned = Layout.prunedRead(spark, dir, Seq(("s", lo, hi)))
+    assert(pruned.filter($"s".between(lo, hi)).collect().toSet ==
+      df.filter($"s".between(lo, hi)).collect().toSet)
+  }
+
   test("BucketIndex: exact rank cells, codegen/interpreted parity, null in -> null out") {
     val bounds = Array(1.0, 2.0, 3.0)
     val vals = Seq(Some(0.5), Some(1.0), Some(2.5), Some(3.0), Some(9.9), None)
