@@ -102,19 +102,38 @@ object Manifest {
     }
   }
 
+  /** How many manifests (≈ generations) [[write]]'s auto-vacuum keeps
+    * readable when the caller does not pass `keep` explicitly. Raise it
+    * for long-running cross-process readers: a snapshot must be read to
+    * completion within `keep` maintenance cycles. */
+  val KeepConf = "spark.graft.manifest.keep"
+  private val KeepDefault = 2
+
+  private def confKeep(spark: SparkSession): Int = {
+    val k = spark.conf.get(KeepConf, KeepDefault.toString).toInt
+    require(k >= 1, s"$KeepConf must be >= 1, got $k")
+    k
+  }
+
   /** Commit a new manifest of the table's CURRENT file set, then
     * auto-vacuum to the newest `keep` manifests (bounding retired-file
-    * growth to ~`keep` generations forever). Returns the committed
-    * seq. Caller must be inside the table's single-writer window (the
-    * maintenance verbs call this right after their swap completes). */
-  def write(spark: SparkSession, dir: String, keep: Int = 2): Long = {
-    require(keep >= 1, s"Manifest.write: keep must be >= 1, got $keep")
+    * growth to ~`keep` generations forever). `keep = 0` (the default)
+    * reads [[KeepConf]]. `schemas`, when the caller already knows the
+    * (data, partition) schemas — the streaming sink does — skips the
+    * footer-inference read (one less job per micro-batch). Returns the
+    * committed seq. Caller must be inside the table's single-writer
+    * window (the maintenance verbs call this right after their swap
+    * completes). */
+  def write(spark: SparkSession, dir: String, keep: Int = 0,
+            schemas: Option[(StructType, StructType)] = None): Long = {
+    require(keep >= 0, s"Manifest.write: keep must be >= 0 (0 = $KeepConf), got $keep")
+    val k = if (keep == 0) confKeep(spark) else keep
     val fs = fsOf(spark, new Path(dir))
     val root = fs.makeQualified(new Path(dir))
     require(fs.exists(root), s"Manifest.write: no table at $dir")
     val files = listData(fs, root).sorted
     require(files.nonEmpty, s"Manifest.write: no data files under $dir")
-    val (dataSchema, partSchema) = schemasOf(spark, dir)
+    val (dataSchema, partSchema) = schemas.getOrElse(schemasOf(spark, dir))
     val seq = latestSeq(spark, dir).getOrElse(-1L) + 1
     val md = new Path(manifestsPath(dir))
     fs.mkdirs(md)
@@ -125,7 +144,7 @@ object Manifest {
     finally out.close()
     val fin = new Path(md, f"m$seq%020d")
     require(fs.rename(tmp, fin), s"Manifest.write: could not commit $fin")
-    vacuum(spark, dir, keep)
+    vacuum(spark, dir, k)
     seq
   }
 
@@ -246,14 +265,15 @@ object Manifest {
     * untouched (the newest manifest references exactly those). Safe to
     * run any time inside the writer's window; [[write]] runs it
     * automatically. */
-  def vacuum(spark: SparkSession, dir: String, keep: Int = 2): Unit = {
-    require(keep >= 1, s"Manifest.vacuum: keep must be >= 1, got $keep")
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 0): Unit = {
+    require(keep >= 0, s"Manifest.vacuum: keep must be >= 0 (0 = $KeepConf), got $keep")
+    val k = if (keep == 0) confKeep(spark) else keep
     val fs = fsOf(spark, new Path(dir))
     val md = new Path(manifestsPath(dir))
     if (!fs.exists(md)) return
     val seqs = fs.listStatus(md).toSeq.filter(_.isFile)
       .flatMap(s => seqOf(s.getPath.getName)).sorted.reverse
-    val (kept, dropped) = seqs.splitAt(keep)
+    val (kept, dropped) = seqs.splitAt(k)
     val referenced: Set[String] = kept.flatMap(s => parse(fs, dir, s).files).toSet
     val rd = new Path(retiredPath(dir))
     if (fs.exists(rd)) {

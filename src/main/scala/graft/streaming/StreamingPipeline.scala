@@ -1028,9 +1028,15 @@ object StreamingPipeline {
     // generation is retired above, vacuum-bounded). A crash between the
     // marker and this write just delays the batch's visibility to
     // snapshot readers by one batch — the replay probe skips the redo,
-    // and the NEXT batch's manifest includes these files.
-    if ((!replayed || rewrote) && fs.exists(table))
-      graft.sources.Manifest.write(spark, tablePath)
+    // and the NEXT batch's manifest includes these files. The schemas
+    // are known here (the batch's plus batch_id, flat table), so the
+    // commit skips the footer-inference read — one less job per batch.
+    if ((!replayed || rewrote) && fs.exists(table)) {
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        batch.withColumn("batch_id", lit(batchId)).schema.fields.map(_.copy(nullable = true)))
+      graft.sources.Manifest.write(spark, tablePath,
+        schemas = Some((dataSchema, new org.apache.spark.sql.types.StructType())))
+    }
     ()
   }
 

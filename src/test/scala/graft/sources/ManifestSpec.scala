@@ -160,6 +160,21 @@ class ManifestSpec extends AnyFunSuite {
     assert(healedOld.inputFiles.forall(_.contains(".retired")))
   }
 
+  test("spark.graft.manifest.keep tunes retention without any API change") {
+    val dir = freshDir("manifest-keepconf")
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+    df.write.parquet(dir)
+    spark.conf.set(Manifest.KeepConf, "1")
+    try {
+      val s0 = Manifest.write(spark, dir)
+      Seq((1000L, 0L)).toDF("x", "y").write.mode("append").parquet(dir)
+      Manifest.write(spark, dir)
+      // keep=1: the previous manifest itself was vacuumed away
+      intercept[Exception](Layout.readSnapshot(spark, dir, Some(s0)).collect())
+      assert(Layout.readSnapshot(spark, dir).count() == 101L)
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
+
   test("readSnapshot fails loudly on a non-manifest table; mutates nothing") {
     val dir = freshDir("manifest-none")
     Seq((1L, 2L)).toDF("x", "y").write.parquet(dir)
