@@ -111,28 +111,35 @@ private[graft] object DirSwap {
     ()
   }
 
-  /** Move every file under `backup` into the retirement dir (flat per
-    * backup — swaps operate on leaf dirs and flat tables), then drop
-    * the emptied backup; or plain-delete when retirement is off.
-    * Idempotent under redo: already-moved files are simply absent from
-    * the backup on the second pass. Name collisions across generations
-    * cannot happen for Spark-written files (task-UUID part names, and
-    * the sink's `b<id>-i` names are unique per batch) — a collision
-    * fails loudly rather than silently losing either generation. */
+  /** Move every file under `backup` into the retirement dir —
+    * RECURSIVELY, preserving relative structure, so even a table-level
+    * swap of a hive-partitioned dir retires `wk=1/f.parquet` to
+    * `<retired>/wk=1/f.parquet`, exactly where manifest snapshot
+    * resolution probes — then drop the emptied backup; or plain-delete
+    * when retirement is off. Idempotent under redo: already-moved files
+    * are simply absent from the backup on the second pass. Name
+    * collisions across generations cannot happen for Spark-written
+    * files (task-UUID part names, and the sink's `b<id>-i` names are
+    * unique per batch) — a collision fails loudly rather than silently
+    * losing either generation. */
   private def retireOrDelete(fs: org.apache.hadoop.fs.FileSystem,
                              backup: org.apache.hadoop.fs.Path,
                              retireTo: Option[String]): Unit = retireTo match {
     case None => fs.delete(backup, true); ()
     case Some(rt) =>
-      val rd = new org.apache.hadoop.fs.Path(rt)
-      fs.mkdirs(rd)
-      fs.listStatus(backup).filter(_.isFile).foreach { s =>
-        val dst = new org.apache.hadoop.fs.Path(rd, s.getPath.getName)
-        require(!fs.exists(dst),
-          s"DirSwap: retirement collision - $dst already exists")
-        require(fs.rename(s.getPath, dst),
-          s"DirSwap: could not retire ${s.getPath} to $dst")
+      def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+        fs.mkdirs(dst)
+        fs.listStatus(src).foreach { s =>
+          val d = new org.apache.hadoop.fs.Path(dst, s.getPath.getName)
+          if (s.isDirectory) move(s.getPath, d)
+          else {
+            require(!fs.exists(d), s"DirSwap: retirement collision - $d already exists")
+            require(fs.rename(s.getPath, d),
+              s"DirSwap: could not retire ${s.getPath} to $d")
+          }
+        }
       }
+      move(backup, new org.apache.hadoop.fs.Path(rt))
       fs.delete(backup, true)
       ()
   }
