@@ -98,8 +98,9 @@ object Bench {
     "q146_partitioned_pruned_box", "q147_sql_tf_pruned_read_ts",
     "q148_partitioned_auto_prune", "q149_sql_tf_read_healed",
     // round 14: manifest-committed snapshot read (the cross-process
-    // reader for swap-maintained tables)
-    "q150_sql_tf_read_snapshot")
+    // reader for swap-maintained tables) and file-level CDC between
+    // snapshots (build timed as q151_manifest_build)
+    "q150_sql_tf_read_snapshot", "q151_sql_tf_read_changes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -235,6 +236,23 @@ object Bench {
       val (b1, ok1) = once(); val (b2, ok2) = once()
       if (ok1 && ok2) math.min(b1, b2) else -1.0
     }
+    // round-14 build (the two-commit incremental events table): same
+    // min-of-two honesty split; q151 then times CDC serving only.
+    val manifestBuild = {
+      def once(): (Double, Boolean) = {
+        graft.queries.LayoutQueries.invalidateZorder14(sfDir)
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.queries.LayoutQueries.buildZorder14(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q151_manifest_build FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (b1, ok1) = once(); val (b2, ok2) = once()
+      if (ok1 && ok2) math.min(b1, b2) else -1.0
+    }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
     val run2 = present.map { n =>
@@ -314,6 +332,7 @@ object Bench {
     val results = run2 :+ ("q25_sig_build" -> sigBuild) :+
       ("q137_zorder_build" -> zorderBuild) :+
       ("q144_zorder_build13" -> zorderBuild13) :+
+      ("q151_manifest_build" -> manifestBuild) :+
       ("q103_index_build" -> annBuild) :+
       ("q35_pair_graph_build" -> pairBuild) :+
       ("q35_cc_label_build" -> labelBuild) :+

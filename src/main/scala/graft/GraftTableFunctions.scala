@@ -64,6 +64,9 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    set; the CROSS-PROCESS reader for manifest-maintained tables
   *    (no healing, no mutation — a rewrite race resolves to the old or
   *    new complete set, never a mix)
+  *  - `graft_read_changes(path, from_seq [, to_seq])` — file-level CDC:
+  *    rows of the files present in `to_seq` (default latest) but absent
+  *    from `from_seq`; the incremental-consumption primitive
   *  - `graft_connected_components(pairs_view, a_col, b_col
   *    [, algorithm])` — `propagation` (default) or `stars`; the
   *    ITERATIVE driver loop runs when the query analyzes, the
@@ -180,6 +183,15 @@ object GraftTableFunctions {
       opt(args, 1)(lng(fn, args, 1))).queryExecution.analyzed
   }
 
+  /** File-level CDC between two committed snapshots — rows of the files
+    * added between `from_seq` and `to_seq` (default: latest). */
+  private def readChangesBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_read_changes"
+    arity(fn, args, 2, 3)
+    graft.sources.Layout.readChanges(sess(), str(fn, args, 0),
+      lng(fn, args, 1), opt(args, 2)(lng(fn, args, 2))).queryExecution.analyzed
+  }
+
   private def connectedComponentsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_connected_components"
     arity(fn, args, 3, 4)
@@ -287,6 +299,9 @@ object GraftTableFunctions {
     (new FunctionIdentifier("graft_read_snapshot"),
       info("graft_read_snapshot", "graft_read_snapshot(path[, seq])"),
       readSnapshotBuilder(sess) _),
+    (new FunctionIdentifier("graft_read_changes"),
+      info("graft_read_changes", "graft_read_changes(path, from_seq[, to_seq])"),
+      readChangesBuilder(sess) _),
     (new FunctionIdentifier("graft_connected_components"),
       info("graft_connected_components",
         "graft_connected_components(pairs_view, a_col, b_col[, algorithm])"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Layout, Tables}
+import graft.sources.{Layout, Manifest, Tables}
 
 /** Round-12 Z-order layout queries: each reads a Z-ORDERED REWRITE of a
   * base table and runs a multi-dimensional box query against a DuckDB
@@ -111,6 +111,25 @@ object LayoutQueries {
     })
   }
 
+  /** Events in TWO manifest commits — even user_ids first (commit 0),
+    * odd user_ids appended (commit 1) — the [[Manifest.readChanges]]
+    * fixture: the delta between the commits is exactly the odd-user
+    * rows, so q151 has a clean relational oracle (`user_id % 2 = 1`). */
+  private def zEventsIncr(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_incr"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_incr").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      ev.filter(col("user_id") % 2 === 0).write.parquet(out)
+      Manifest.write(spark, out)
+      ev.filter(col("user_id") % 2 === 1).write.mode("append").parquet(out)
+      Manifest.write(spark, out)
+      cache += key -> out
+      out
+    })
+  }
+
   /** Bench hooks (the q103_index_build pattern): time the REWRITE as its
     * own entry; the queries below then measure serving only. */
   def buildZorder(spark: SparkSession, dir: String): Unit = {
@@ -122,12 +141,25 @@ object LayoutQueries {
   }
   private val R13Tables = Set("lineitem_qnt", "events_ts", "events_part")
 
+  /** Round-14 build (two-commit incremental events table), its own
+    * bench entry so q151 times CDC serving only. */
+  def buildZorder14(spark: SparkSession, dir: String): Unit = {
+    zEventsIncr(spark, dir); ()
+  }
+  private val R14Tables = Set("events_incr")
+  def invalidateZorder14(dir: String): Unit = lock.synchronized {
+    cache = cache.filterNot { case (k, _) =>
+      R14Tables.contains(k.stripPrefix(s"$dir|"))
+    }
+  }
+
   /** Invalidate the copies [[buildZorder]] builds — and ONLY those, so
     * timing that build twice never forces a rebuild of the round-13
     * copies mid-bench (and vice versa for [[invalidateZorder13]]). */
   def invalidateZorder(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
-      k.startsWith(s"$dir|") && !R13Tables.contains(k.stripPrefix(s"$dir|"))
+      val suffix = k.stripPrefix(s"$dir|")
+      k.startsWith(s"$dir|") && !R13Tables.contains(suffix) && !R14Tables.contains(suffix)
     }
   }
   def invalidateZorder13(dir: String): Unit = lock.synchronized {
@@ -357,6 +389,27 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q151
+  /** The events box over ONLY the files added between two manifest
+    * commits — `graft_read_changes`, file-level CDC: the incremental
+    * consumer's read (index updates, stats refresh) that never rescans
+    * the table. The fixture commits even user_ids then appends odd
+    * ones, so the delta is relationally expressible and the oracle is
+    * the events box restricted to `user_id % 2 = 1`. */
+  def q151SqlTfReadChanges(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    val path = zEventsIncr(spark, dir)
+    val fromSeq = Manifest.latestSeq(spark, path).get - 1
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_read_changes('$path', $fromSeq)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
@@ -369,7 +422,8 @@ object LayoutQueries {
     "q147_sql_tf_pruned_read_ts"  -> q147SqlTfPrunedReadTs _,
     "q148_partitioned_auto_prune" -> q148PartitionedAutoPrune _,
     "q149_sql_tf_read_healed"     -> q149SqlTfReadHealed _,
-    "q150_sql_tf_read_snapshot"   -> q150SqlTfReadSnapshot _)
+    "q150_sql_tf_read_snapshot"   -> q150SqlTfReadSnapshot _,
+    "q151_sql_tf_read_changes"    -> q151SqlTfReadChanges _)
 
   /** The layout-invariance oracle every events-box layout query shares:
     * same rows no matter how the copy was clustered, partitioned,
@@ -390,6 +444,15 @@ object LayoutQueries {
     "q148_partitioned_auto_prune" -> EventsBoxOracle,
     "q149_sql_tf_read_healed"     -> EventsBoxOracle,
     "q150_sql_tf_read_snapshot"   -> EventsBoxOracle,
+    "q151_sql_tf_read_changes" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND user_id % 2 = 1
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
     "q145_quantile_zorder_box" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,

@@ -398,6 +398,15 @@ object Layout {
                    seq: Option[Long] = None): DataFrame =
     Manifest.read(spark, dir, seq)
 
+  /** FILE-level change-data capture between two committed snapshots:
+    * rows of the files present in `toSeq` (default: latest) but absent
+    * from `fromSeq` — see [[Manifest.readChanges]]. The incremental
+    * consumption primitive for downstream jobs (index updates, stats
+    * refresh) that must not rescan the table each cycle. */
+  def readChanges(spark: SparkSession, dir: String, fromSeq: Long,
+                  toSeq: Option[Long] = None): DataFrame =
+    Manifest.readChanges(spark, dir, fromSeq, toSeq)
+
   /** Read a swap-maintained table AFTER healing any interrupted
     * [[DirSwap]] state — the sanctioned SAME-PROCESS reader entry point
     * when reader and maintenance take turns in one process (healing

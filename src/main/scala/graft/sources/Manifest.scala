@@ -52,7 +52,14 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   * snapshot exactly as on a live read. */
 object Manifest {
 
-  private val Header = "graft-manifest-v1"
+  // v1: header, dataSchema, partSchema, files…
+  // v2: header, dataSchema, partSchema, envelope-index signature
+  //     (listing string of <dir>.envelopes at commit time, or "-"),
+  //     files… — so a snapshot records WHICH generation of the skipping
+  //     index described it (self-describing commits; a reader can tell
+  //     whether the current index postdates its snapshot)
+  private val HeaderV1 = "graft-manifest-v1"
+  private val Header = "graft-manifest-v2"
 
   private[graft] def manifestsPath(dir: String): String =
     dir.stripSuffix("/") + ".manifests"
@@ -139,7 +146,8 @@ object Manifest {
     fs.mkdirs(md)
     val tmp = new Path(md, s".tmp-m$seq")
     val out = fs.create(tmp, true)
-    try out.write((Seq(Header, dataSchema.json, partSchema.json) ++ files)
+    try out.write((Seq(Header, dataSchema.json, partSchema.json,
+      envelopeSignature(fs, dir)) ++ files)
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val fin = new Path(md, f"m$seq%020d")
@@ -157,10 +165,34 @@ object Manifest {
     (fsr.dataSchema, fsr.partitionSchema)
   }
 
-  private final case class Parsed(seq: Long, dataSchema: StructType,
-                                  partSchema: StructType, files: Seq[String])
+  /** The `.envelopes` index dir's listing string at this instant (the
+    * same signature [[graft.plans.EnvelopePruneRule]] keys its cache
+    * by), or `-` when the table has no index. */
+  private def envelopeSignature(fs: FileSystem, dir: String): String = {
+    val env = new Path(Layout.envelopesPath(dir))
+    if (!fs.exists(env)) "-"
+    else fs.listStatus(env).filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",") match { case "" => "-"; case s => s }
+  }
 
-  private def parse(fs: FileSystem, dir: String, seq: Long): Parsed = {
+  /** One committed snapshot's metadata (the files are table-relative). */
+  final case class Info(seq: Long, dataSchema: StructType,
+                        partSchema: StructType, envelopeSig: String,
+                        files: Seq[String])
+
+  /** Parsed metadata of a committed manifest — `seq` defaults to the
+    * latest. `envelopeSig == "-"` means no index existed at commit;
+    * comparing it against the current index listing tells a reader
+    * whether the skipping index postdates its snapshot. */
+  def info(spark: SparkSession, dir: String, seq: Option[Long] = None): Info = {
+    val fs = fsOf(spark, new Path(dir))
+    val target = seq.orElse(latestSeq(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"Manifest.info: $dir has no committed manifest"))
+    parse(fs, dir, target)
+  }
+
+  private def parse(fs: FileSystem, dir: String, seq: Long): Info = {
     val p = new Path(manifestsPath(dir), f"m$seq%020d")
     val in = fs.open(p)
     val bytes =
@@ -172,10 +204,13 @@ object Manifest {
         buf.toByteArray
       } finally in.close()
     val lines = new String(bytes, StandardCharsets.UTF_8).split("\n", -1).toSeq
-    require(lines.headOption.contains(Header), s"Manifest: $p is not a $Header file")
+    val v2 = lines.headOption.contains(Header)
+    require(v2 || lines.headOption.contains(HeaderV1),
+      s"Manifest: $p is not a graft manifest file")
     val dataSchema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
     val partSchema = DataType.fromJson(lines(2)).asInstanceOf[StructType]
-    Parsed(seq, dataSchema, partSchema, lines.drop(3).filter(_.nonEmpty))
+    val (sig, files) = if (v2) (lines(3), lines.drop(4)) else ("-", lines.drop(3))
+    Info(seq, dataSchema, partSchema, sig, files.filter(_.nonEmpty))
   }
 
   /** Read the snapshot a manifest pins — the latest by default, or an
@@ -187,16 +222,46 @@ object Manifest {
     * the snapshot was vacuumed away, not that the table is broken. */
   def read(spark: SparkSession, dir: String, seq: Option[Long] = None): DataFrame = {
     val fs = fsOf(spark, new Path(dir))
-    val root = fs.makeQualified(new Path(dir))
     val target = seq.orElse(latestSeq(spark, dir)).getOrElse(
       throw new IllegalArgumentException(
         s"Manifest.read: $dir has no committed manifest - not a snapshot-maintained " +
           "table (read it plainly, or run a maintenance verb that commits manifests)"))
     val m = parse(fs, dir, target)
+    planOver(spark, dir, m, m.files)
+  }
 
-    // group by leaf (the parent dir relative to root); resolve each
-    // leaf's names with ONE listing per location actually needed
-    val byLeaf = m.files.groupBy { f =>
+  /** Rows of the files PRESENT in snapshot `toSeq` (default: latest)
+    * but ABSENT from snapshot `fromSeq` — FILE-level change-data
+    * capture between two commits, the incremental-consumption
+    * primitive: a downstream dedup-index update, stats refresh, or
+    * export job reads only the delta, never the table. File-level by
+    * design: a clustering rewrite rewrites every file, so its delta is
+    * the whole table (consumers needing row-level idempotence key on
+    * the streaming sink's `batch_id` column on top). Both manifests
+    * must still be retained (raise [[KeepConf]] for slow consumers);
+    * schemas and resolution follow the `toSeq` commit. */
+  def readChanges(spark: SparkSession, dir: String, fromSeq: Long,
+                  toSeq: Option[Long] = None): DataFrame = {
+    val fs = fsOf(spark, new Path(dir))
+    val target = toSeq.orElse(latestSeq(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"Manifest.readChanges: $dir has no committed manifest"))
+    require(fromSeq <= target,
+      s"Manifest.readChanges: fromSeq $fromSeq is newer than toSeq $target")
+    val to = parse(fs, dir, target)
+    val from = parse(fs, dir, fromSeq).files.toSet
+    planOver(spark, dir, to, to.files.filterNot(from))
+  }
+
+  /** The snapshot scan plan over a SUBSET of a commit's files: group by
+    * leaf (the parent dir relative to root), resolve each leaf's names
+    * with one listing per location actually needed, materialize
+    * partition values per leaf. */
+  private def planOver(spark: SparkSession, dir: String, m: Info,
+                       files: Seq[String]): DataFrame = {
+    val fs = fsOf(spark, new Path(dir))
+    val root = fs.makeQualified(new Path(dir))
+    val byLeaf = files.groupBy { f =>
       val i = f.lastIndexOf('/')
       if (i < 0) "" else f.substring(0, i)
     }
@@ -205,7 +270,7 @@ object Manifest {
       val names = relPaths.map { f =>
         val i = f.lastIndexOf('/'); if (i < 0) f else f.substring(i + 1)
       }
-      val statuses = resolveLeaf(fs, root, dir, leafRel, names, target)
+      val statuses = resolveLeaf(fs, root, dir, leafRel, names, m.seq)
       (partitionValues(leafRel, m.partSchema, tz), statuses)
     }
     val index = new graft.plans.ManifestFileIndex(root, m.partSchema, partitions)

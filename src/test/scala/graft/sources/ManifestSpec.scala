@@ -175,6 +175,35 @@ class ManifestSpec extends AnyFunSuite {
     } finally spark.conf.unset(Manifest.KeepConf)
   }
 
+  test("readChanges serves exactly the files added between two commits; info records the envelope generation") {
+    val dir = freshDir("manifest-cdc")
+    val even = (1 to 1000).filter(_ % 2 == 0).map(i => (i.toLong, (i % 7).toLong)).toDF("x", "y")
+    val odd  = (1 to 1000).filter(_ % 2 == 1).map(i => (i.toLong, (i % 7).toLong)).toDF("x", "y")
+    even.write.parquet(dir)
+    val s0 = Manifest.write(spark, dir)
+    odd.write.mode("append").parquet(dir)
+    val s1 = Manifest.write(spark, dir)
+    // the delta is exactly the second commit's rows
+    assert(Layout.readChanges(spark, dir, s0).collect().toSet == odd.collect().toSet)
+    assert(Layout.readChanges(spark, dir, s0, Some(s1)).collect().toSet == odd.collect().toSet)
+    // no change between a commit and itself: empty, schema intact
+    val none = Layout.readChanges(spark, dir, s1)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("x", "y"))
+    // a reversed range fails loudly
+    intercept[IllegalArgumentException](Layout.readChanges(spark, dir, s1 + 5))
+    // the SQL face
+    graft.GraftTableFunctions.ensure(spark)
+    assert(spark.sql(s"SELECT * FROM graft_read_changes('$dir', $s0)")
+      .collect().toSet.size == 500)
+    // v2 info: no index yet -> "-"; after writeEnvelopes + commit, the
+    // envelope generation is recorded
+    assert(Manifest.info(spark, dir, Some(s1)).envelopeSig == "-")
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val s2 = Manifest.write(spark, dir)
+    assert(Manifest.info(spark, dir, Some(s2)).envelopeSig != "-")
+    assert(Manifest.info(spark, dir).seq == s2)
+  }
+
   test("readSnapshot fails loudly on a non-manifest table; mutates nothing") {
     val dir = freshDir("manifest-none")
     Seq((1L, 2L)).toDF("x", "y").write.parquet(dir)
