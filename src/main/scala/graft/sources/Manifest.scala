@@ -49,7 +49,21 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   * (by Spark's own `Cast`), and the snapshot's
   * [[graft.plans.ManifestFileIndex]] evaluates Catalyst's partition
   * filters against those values — partition pruning works on a
-  * snapshot exactly as on a live read. */
+  * snapshot exactly as on a live read.
+  *
+  * == Isolation contract, stated honestly ==
+  * Snapshot reads are ATOMIC and CONSISTENT (only complete committed
+  * file sets, resolved with zero reader-side mutation) but not
+  * WAIT-FREE: resolution happens at plan time, and a rewrite that
+  * physically RETIRES the resolved generation between an execution's
+  * plan and its last task read can fail that read with a loud
+  * `FileNotFoundException` — never wrong or torn rows. Such a reader
+  * re-resolves and retries; long-running readers raise [[KeepConf]] so
+  * their generation outlives them. (Wait-free snapshot reads require
+  * never-moving data files — the pure manifest-table layout that gives
+  * up plain-listing compatibility; this library keeps plain
+  * `spark.read.parquet` working on the live directory and trades the
+  * retirement-window retry for it.) */
 object Manifest {
 
   // v1: header, dataSchema, partSchema, files…
@@ -266,13 +280,34 @@ object Manifest {
       if (i < 0) "" else f.substring(0, i)
     }
     val tz = Option(spark.conf.get("spark.sql.session.timeZone"))
-    val partitions = byLeaf.toSeq.sortBy(_._1).map { case (leafRel, relPaths) =>
+    def resolveOne(leafRel: String, relPaths: Seq[String])
+        : (InternalRow, Seq[FileStatus]) = {
       val names = relPaths.map { f =>
         val i = f.lastIndexOf('/'); if (i < 0) f else f.substring(i + 1)
       }
-      val statuses = resolveLeaf(fs, root, dir, leafRel, names, m.seq)
-      (partitionValues(leafRel, m.partSchema, tz), statuses)
+      (partitionValues(leafRel, m.partSchema, tz),
+        resolveLeaf(fs, root, dir, leafRel, names, m.seq))
     }
+    // one listing per leaf actually present: parallelize past a handful
+    // of leaves — a daily-partitioned year is ~365 dir listings, and on
+    // an object-store-backed FS each is a round trip (the same reason
+    // InMemoryFileIndex lists in parallel)
+    val leafSeq = byLeaf.toSeq.sortBy(_._1)
+    val partitions =
+      if (leafSeq.size <= 8) leafSeq.map { case (l, ps) => resolveOne(l, ps) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, leafSeq.size))
+        try leafSeq.map { case (l, ps) =>
+          pool.submit(new java.util.concurrent.Callable[(InternalRow, Seq[FileStatus])] {
+            override def call(): (InternalRow, Seq[FileStatus]) = resolveOne(l, ps)
+          })
+        }.map { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+        finally pool.shutdown()
+      }
     val index = new graft.plans.ManifestFileIndex(root, m.partSchema, partitions)
     org.apache.spark.sql.GraftBridge.ofRows(spark,
       org.apache.spark.sql.GraftBridge.parquetSnapshotPlan(

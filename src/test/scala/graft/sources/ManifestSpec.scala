@@ -204,6 +204,23 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.info(spark, dir).seq == s2)
   }
 
+  test("a crashed manifest write (stray tmp) is invisible; many-leaf tables resolve in parallel") {
+    val dir = freshDir("manifest-tmp")
+    val df = (1 to 2400).map(i => (i % 12, i.toLong)).toDF("wk", "x")
+    df.write.partitionBy("wk").parquet(dir) // 12 leaves: the parallel resolution path
+    val s0 = Manifest.write(spark, dir)
+    // a crash mid-write leaves a tmp file: readers and latestSeq ignore it
+    val md = new Path(Manifest.manifestsPath(dir))
+    val out = fs.create(new Path(md, ".tmp-m99"), true)
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    assert(Manifest.latestSeq(spark, dir).contains(s0))
+    val snap = Layout.readSnapshot(spark, dir)
+    assert(snap.select($"x", $"wk").collect().toSet ==
+      df.select($"x", $"wk").collect().toSet)
+    // and the next commit proceeds normally
+    assert(Manifest.write(spark, dir) == s0 + 1)
+  }
+
   test("readSnapshot fails loudly on a non-manifest table; mutates nothing") {
     val dir = freshDir("manifest-none")
     Seq((1L, 2L)).toDF("x", "y").write.parquet(dir)
