@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Manifest
+
+/** `spark.readStream.format("graft-manifest")` — TAIL a
+  * manifest-maintained table as a structured stream (the Delta
+  * streaming-source role): OFFSETS ARE MANIFEST SEQS, and each
+  * micro-batch is [[Manifest.readChanges]] between the last processed
+  * and the latest committed snapshot — so the consumer sees exactly
+  * the file sets the writer committed, never a torn half-batch and
+  * never an in-flight rewrite (the committed-snapshot guarantee,
+  * continuously). This closes the table ecosystem loop: ingest with
+  * [[StreamingPipeline.selfClusteringSink]], maintain with
+  * `Layout.clusterPartitions`, consume downstream with this source.
+  *
+  * Options:
+  *  - `path` (required): the manifest-maintained table directory.
+  *  - `startingSeq`: `latest` (default — only commits after the stream
+  *    starts), `earliest` (first batch = the full latest snapshot,
+  *    then deltas), or an explicit retained seq.
+  *  - `onRewrite`: `redeliver` (default) or `fail`. File-level CDC
+  *    means a maintenance rewrite (which replaces every file)
+  *    re-delivers the whole table; `fail` detects removed files
+  *    between the two offsets and stops the query instead — the Delta
+  *    `ignoreChanges` trade, surfaced explicitly. Consumers that keep
+  *    `redeliver` deduplicate on the sink's `batch_id` (it survives
+  *    rewrites) or a row key.
+  *
+  * Exactly-once: the engine checkpoints offsets; a restarted query
+  * re-resolves its LAST batch's start offset (V1 recovery) and then
+  * replays deterministic file-set diffs — so size
+  * `spark.graft.manifest.keep` (on the WRITER) to cover the consumer's
+  * maximum lag in maintenance cycles INCLUDING that restart replay
+  * (keep ≥ lag + 2; the spec runs keep=10). A vacuumed-away offset
+  * fails loudly, never silently skips. */
+class ManifestSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest source requires .option(\"path\", <table dir>)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val m = Manifest.info(sqlContext.sparkSession, pathOf(parameters))
+    (shortName(), StructType(m.dataSchema.fields ++ m.partSchema.fields))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new ManifestSource(sqlContext.sparkSession, pathOf(parameters),
+      parameters.getOrElse("startingSeq", "latest"),
+      parameters.getOrElse("onRewrite", "redeliver"))
+}
+
+class ManifestSource(spark: SparkSession, path: String,
+                     starting: String, onRewrite: String) extends Source {
+
+  require(Set("redeliver", "fail").contains(onRewrite),
+    s"graft-manifest: onRewrite must be redeliver|fail, got '$onRewrite'")
+
+  /** The seq AFTER which changes flow ("latest" pins the head at stream
+    * construction; -1 means the first batch is the full snapshot). */
+  private val startSeq: Long = starting match {
+    case "latest" => Manifest.latestSeq(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-manifest: $path has no committed manifest"))
+    case "earliest" => -1L
+    case n => n.toLong
+  }
+
+  private val pinnedSchema: StructType = {
+    val m = Manifest.info(spark, path)
+    StructType(m.dataSchema.fields ++ m.partSchema.fields)
+  }
+
+  override def schema: StructType = pinnedSchema
+
+  override def getOffset: Option[Offset] =
+    Manifest.latestSeq(spark, path).map(LongOffset(_)) match {
+      // no new commit since the pinned start → no batch yet
+      case Some(LongOffset(s)) if s <= startSeq && starting == "latest" => None
+      case other => other
+    }
+
+  private def seqOf(o: Offset): Long = o match {
+    case LongOffset(s) => s
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => throw new IllegalArgumentException(
+      s"graft-manifest: unexpected offset $other")
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endSeq = seqOf(end)
+    val df = start.map(seqOf).orElse(Some(startSeq).filter(_ >= 0)) match {
+      case None => Manifest.read(spark, path, Some(endSeq)) // earliest: full snapshot
+      case Some(from) =>
+        if (onRewrite == "fail") {
+          val fromFiles = Manifest.info(spark, path, Some(from)).files.toSet
+          val toFiles = Manifest.info(spark, path, Some(endSeq)).files
+          val removed = fromFiles -- toFiles.toSet
+          require(removed.isEmpty,
+            s"graft-manifest: commits $from..$endSeq of $path removed ${removed.size} " +
+              "file(s) - a maintenance rewrite; file-level CDC would re-deliver the " +
+              "table. Restart from a fresh startingSeq, or use onRewrite=redeliver " +
+              "and deduplicate on batch_id")
+        }
+        Manifest.readChanges(spark, path, from, Some(endSeq))
+    }
+    // pin the column set/order across schema drift between commits, and
+    // flag the relation streaming (the engine asserts getBatch's plan is)
+    org.apache.spark.sql.GraftBridge.asStreamingRelation(spark, df)
+      .select(pinnedSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -32,4 +32,12 @@ object GraftBridge {
       Map.empty[String, String])(spark.asInstanceOf[classic.SparkSession])
     execution.datasources.LogicalRelation(rel)
   }
+
+  /** Re-flag a batch relation plan as STREAMING — what a V1
+    * `Source.getBatch` must return (the engine asserts isStreaming;
+    * `FileStreamSource` builds its relations the same way). */
+  def asStreamingRelation(spark: SparkSession, df: DataFrame): DataFrame =
+    ofRows(spark, df.queryExecution.analyzed.transform {
+      case r: execution.datasources.LogicalRelation => r.copy(isStreaming = true)
+    })
 }

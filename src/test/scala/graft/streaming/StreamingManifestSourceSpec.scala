@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DirSwap
+import graft.sources.{Layout, Manifest}
+
+/** The `graft-manifest` streaming source: offsets are manifest seqs,
+  * micro-batches are committed file-set deltas — torn batches are
+  * invisible, restarts are exactly-once from the checkpointed seq, and
+  * maintenance rewrites either re-deliver (file-level CDC, documented)
+  * or fail loudly under `onRewrite=fail`. */
+class StreamingManifestSourceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def tail(dir: String, cp: String, got: ConcurrentLinkedQueue[(Long, Long)],
+                   options: Map[String, String] = Map.empty) = {
+    val reader = spark.readStream.format("graft-manifest").option("path", dir)
+    options.foreach { case (k, v) => reader.option(k, v) }
+    reader.load().writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select($"x", $"y").collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+  }
+
+  test("earliest: full snapshot first, then committed deltas only; restart is exactly-once") {
+    val dir = tmp("manifest-src") + "/t"
+    val cp = tmp("manifest-src-cp")
+    // the documented deployment rule for tailed tables: retention must
+    // cover the consumer's lag INCLUDING the restart replay of its last
+    // batch (the engine re-resolves that batch's start offset)
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+    val b0 = (1 to 300).map(i => (i.toLong, (i % 7).toLong))
+    val b1 = (1001 to 1100).map(i => (i.toLong, (i % 7).toLong))
+    b0.toDF("x", "y").write.parquet(dir)
+    Manifest.write(spark, dir)
+    val got = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = tail(dir, cp, got, Map("startingSeq" -> "earliest"))
+    try {
+      q.processAllAvailable()
+      assert(got.size == 300, s"first batch must be the full snapshot, got ${got.size}")
+      // an UNCOMMITTED append is invisible to the tail
+      b1.toDF("x", "y").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(got.size == 300, "a torn (unmanifested) append leaked into the stream")
+      // committing it delivers exactly the delta
+      Manifest.write(spark, dir)
+      q.processAllAvailable()
+      assert(got.size == 400)
+      assert(got.toArray(Array.empty[(Long, Long)]).toSet == (b0 ++ b1).toSet)
+    } finally q.stop()
+    // restart from the checkpoint: only the NEXT delta flows, no replay
+    val b2 = (2001 to 2050).map(i => (i.toLong, (i % 7).toLong))
+    b2.toDF("x", "y").write.mode("append").parquet(dir)
+    Manifest.write(spark, dir)
+    val q2 = tail(dir, cp, got, Map("startingSeq" -> "earliest"))
+    try {
+      q2.processAllAvailable()
+      assert(got.size == 450, s"restart must deliver only the new delta, got ${got.size}")
+      assert(got.toArray(Array.empty[(Long, Long)]).toSet == (b0 ++ b1 ++ b2).toSet)
+    } finally q2.stop()
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
+
+  test("latest: nothing until the next commit; onRewrite=fail stops on a maintenance rewrite") {
+    val dir = tmp("manifest-src-latest") + "/t"
+    val cp = tmp("manifest-src-latest-cp")
+    (1 to 200).map(i => (i.toLong, (i % 5).toLong)).toDF("x", "y")
+      .repartition(2).write.parquet(dir)
+    Manifest.write(spark, dir)
+    val got = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = tail(dir, cp, got, Map("startingSeq" -> "latest", "onRewrite" -> "fail"))
+    try {
+      q.processAllAvailable()
+      assert(got.isEmpty, "startingSeq=latest must not deliver pre-existing data")
+      val delta = (501 to 520).map(i => (i.toLong, (i % 5).toLong))
+      delta.toDF("x", "y").write.mode("append").parquet(dir)
+      Manifest.write(spark, dir)
+      q.processAllAvailable()
+      assert(got.toArray(Array.empty[(Long, Long)]).toSet == delta.toSet)
+      // a maintenance rewrite removes files between commits: fail mode
+      // must stop the query loudly instead of re-delivering the table
+      DirSwap.swapRewrite(spark, dir, Some(Manifest.retiredPath(dir)))(
+        Layout.cluster(_, Seq("x", "y"), 1))(
+        (d, out) => d.write.mode("overwrite").parquet(out))
+      Manifest.write(spark, dir)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+      assert(messages(ex).contains("maintenance rewrite"),
+        s"expected the onRewrite=fail message, got: ${messages(ex).take(300)}")
+    } finally q.stop()
+  }
+
+  test("the ecosystem loop: a selfClusteringSink table tailed downstream, commit-aligned") {
+    val table = tmp("manifest-src-loop") + "/t"
+    val cp = tmp("manifest-src-loop-cp")
+    // writer: three sink batches (no rewrite: clusterEveryBatches high)
+    val got = new ConcurrentLinkedQueue[(Long, Long)]()
+    StreamingPipeline.processClusterBatch(
+      (1 to 100).map(i => (i.toLong, i.toLong)).toDF("x", "y"), 0L,
+      Seq("x", "y"), table, clusterEveryBatches = 1000, targetFiles = 4)
+    val q = tail(table, cp, got, Map("startingSeq" -> "earliest"))
+    try {
+      q.processAllAvailable()
+      assert(got.size == 100)
+      StreamingPipeline.processClusterBatch(
+        (201 to 260).map(i => (i.toLong, i.toLong)).toDF("x", "y"), 1L,
+        Seq("x", "y"), table, clusterEveryBatches = 1000, targetFiles = 4)
+      q.processAllAvailable()
+      assert(got.size == 160, "the downstream tail must see exactly the committed sink batches")
+      // replayed upstream batch -> no new manifest rows -> nothing downstream
+      StreamingPipeline.processClusterBatch(
+        (201 to 260).map(i => (i.toLong, i.toLong)).toDF("x", "y"), 1L,
+        Seq("x", "y"), table, clusterEveryBatches = 1000, targetFiles = 4)
+      q.processAllAvailable()
+      assert(got.size == 160, "an upstream replay leaked duplicate rows downstream")
+    } finally q.stop()
+  }
+}
