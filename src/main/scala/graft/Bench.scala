@@ -100,7 +100,11 @@ object Bench {
     // round 14: manifest-committed snapshot read (the cross-process
     // reader for swap-maintained tables) and file-level CDC between
     // snapshots (build timed as q151_manifest_build)
-    "q150_sql_tf_read_snapshot", "q151_sql_tf_read_changes")
+    "q150_sql_tf_read_snapshot", "q151_sql_tf_read_changes",
+    // round 14: stats-only aggregates answered from the .envelopes index
+    // (metadata-scale instead of table-scale)
+    "q152_envelope_stats_agg", "q153_envelope_grouped_agg",
+    "q154_envelope_filtered_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

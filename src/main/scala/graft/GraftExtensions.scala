@@ -22,7 +22,11 @@ import graft.functions.VectorExprs.DotLongArrays
   * the bucketized interval join; `spark.graft.interval.rewrite`), plus
   * [[graft.plans.EnvelopePruneRule]] (plain box-filtered parquet scans
   * route through the table's `.envelopes` file-skipping index when one
-  * exists; `spark.graft.envelope.prune`).
+  * exists; `spark.graft.envelope.prune`), and
+  * [[graft.plans.EnvelopeAggRule]] (`count`/`min`/`max` aggregates over
+  * an indexed table answer from the index — metadata-scale — when an
+  * exact file-set gate proves the index current;
+  * `spark.graft.envelope.agg`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -32,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotLongArrays(exprs(0), exprs(1))))
     e.injectOptimizerRule(session => new graft.plans.AsOfRewriteRule(session))
     e.injectOptimizerRule(session => new graft.plans.IntervalRewriteRule(session))
+    // agg before prune: an aggregate the index can ANSWER outright should
+    // not first be rewritten into a pruned scan (the agg rule sees through
+    // a rule-planted SkippingFileIndex anyway, but first shot is cleaner)
+    e.injectOptimizerRule(session => new graft.plans.EnvelopeAggRule(session))
     e.injectOptimizerRule(session => new graft.plans.EnvelopePruneRule(session))
     // pure-SQL whole-operator surface: SELECT * FROM graft_asof_join(...)
     GraftTableFunctions.descriptions.foreach(e.injectTableFunction)

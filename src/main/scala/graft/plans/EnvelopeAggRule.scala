@@ -1,0 +1,412 @@
+package graft.plans
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.sources.Layout
+
+/** Catalyst rule: answer `COUNT(*)` / `COUNT(c)` / `MIN(c)` / `MAX(c)`
+  * over an `.envelopes`-indexed parquet table FROM THE INDEX — one row
+  * per data file — instead of scanning the data (the Iceberg/Delta
+  * "stats-only aggregate" optimization, over the same index the
+  * [[EnvelopePruneRule]] consults for file skipping). At 100 TB the
+  * difference is a metadata-scale job (a few MB of index) versus a
+  * full-table scan; on a million-file table it is also the difference
+  * between a driver-side listing-and-plan stall and an instant answer.
+  *
+  * == What fires ==
+  * `Aggregate(groups, aggs, scan)` — `scan` a non-streaming, single-root
+  * parquet relation, optionally through a chain of deterministic
+  * renaming/pruning `Project`s and `Filter`s — when EVERY output is
+  * derivable from per-file statistics:
+  *   - `count(*)`/`count(lit)`  → `sum(rows)` over index rows
+  *   - `count(c)`               → `sum(rows - nulls_c)` (needs `nulls_c`)
+  *   - `min(c)` / `max(c)`      → `min(min_c)` / `max(max_c)`
+  *   - grouping columns         → index columns PROVEN constant per file
+  *     (`min_g <=> max_g` and no mixed-null file), so each file lies
+  *     wholly in one group — the hive-partition-column case, without
+  *     requiring hive partitioning
+  *   - `WHERE` conjuncts        → every referenced column proven constant
+  *     per file (as above), so each conjunct takes ONE value across a
+  *     file's rows (true/false/null — the latter two both exclude) and
+  *     whole-file include/exclude over the index IS the data filter —
+  *     `count(*) WHERE dt BETWEEN …` on a date-partitioned table answers
+  *     at metadata scale (the conjunct is evaluated by Spark over the
+  *     index with column refs bound to the file's constant, so
+  *     coercion/NaN/collation semantics are never re-implemented)
+  * `DISTINCT`, filtered aggregates (`FILTER (WHERE …)`), any other
+  * aggregate function, a filter or grouping column the index cannot
+  * prove constant per file, nondeterministic or subquery predicates,
+  * and computed projections, all decline — the plan is left untouched
+  * and the data scan proceeds.
+  *
+  * == Exactness ==
+  * Two gates make staleness impossible rather than unlikely:
+  *   1. FILE-SET EQUALITY: the index's (deduplicated) file set must equal
+  *      the relation's current `inputFiles` exactly — a file appended
+  *      since the last index refresh, or an indexed file since rewritten
+  *      away, fails the gate and the rule declines. (Supersets are NOT
+  *      acceptable the way they are for pruning: an extra index row would
+  *      inflate counts and widen min/max.)
+  *   2. TYPE EQUALITY: each rewritten output's type and nullability must
+  *      match the original aggregate's — a column whose type changed
+  *      across a rewrite declines even before gate 1 catches it.
+  * Replayed [[Layout.appendEnvelopes]] calls can leave duplicate index
+  * rows per file (documented there as harmless for pruning); here they
+  * would DOUBLE-COUNT, so the rewritten plan deduplicates per file first
+  * (an inner `groupBy(file)` — duplicates carry identical envelopes).
+  * Min/max are associative — Spark itself computes them as per-partition
+  * partials then a merge — so the two-level compute (per-file envelope,
+  * then across files) is literally the same computation as the direct
+  * scan, including Spark's NaN and collation orderings (the envelopes
+  * were written by Spark's own min/max over each file).
+  *
+  * == Cost model ==
+  * The decision needs the index's schema and distinct file set — one
+  * footer read and one metadata-scale job, cached per (session, dir,
+  * index-listing signature) ALONG WITH the analyzed index scan plan
+  * (so repeated optimizations re-read nothing, not even the footer) —
+  * index refreshes invalidate by changing the signature; grouped or
+  * filtered rewrites add one cached per-file-constancy probe per
+  * (session, dir, sig, column). Unindexed tables pay one fs.exists.
+  * The rewritten plan is a two-level aggregate over the index — a few
+  * rows per data file, never the data. `spark.graft.envelope.agg=false`
+  * disables.
+  *
+  * Self-re-match safety: the rewritten subtree is an aggregate over an
+  * aggregate over the index relation — neither inner node matches the
+  * rule's relation-or-projected-relation child shape, so the fixed-point
+  * batch converges without a marker. */
+class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  import EnvelopeAggRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ConfKey, "true").toBoolean) plan
+    else plan.transformUp {
+      case agg: Aggregate if !agg.isStreaming =>
+        try rewrite(agg).getOrElse(agg)
+        catch {
+          case NonFatal(e) =>
+            logWarning(s"graft envelope agg: failed, leaving the aggregate unrewritten: $e")
+            agg
+        }
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    // ---- unwrap a Project/Filter chain down to a parquet relation:
+    // Projects may only rename (alias-of-attribute) or drop columns;
+    // Filter conjuncts are collected and must later prove evaluable
+    // per-file (every referenced column index-proven constant within
+    // every file, so the predicate is uniform across a file's rows —
+    // whole-file include/exclude, decided over the index)
+    var aliasEdge = Map.empty[ExprId, ExprId]
+    val conjuncts = Seq.newBuilder[Expression]
+    var rel: LogicalRelation = null
+    var node = agg.child
+    var depth = 0
+    while (rel == null) {
+      depth += 1
+      if (depth > 8) return None
+      node = node match {
+        case r: LogicalRelation => rel = r; r
+        case Project(projList, child) if projList.forall(_.deterministic) =>
+          projList.foreach {
+            case a @ Alias(ar: AttributeReference, _) => aliasEdge += a.exprId -> ar.exprId
+            case _ => () // plain attrs pass through; computed columns
+                         // simply fail name resolution if referenced
+          }
+          child
+        case f: Filter if f.condition.deterministic &&
+            !f.condition.exists(_.isInstanceOf[PlanExpression[_]]) =>
+          conjuncts ++= splitConjunctivePredicates(f.condition)
+          f.child
+        case _ => return None
+      }
+    }
+    val relBase = rel.output.map(a => a.exprId -> a.name).toMap
+    def baseName(id: ExprId): Option[String] = {
+      var cur = id
+      var hops = 0
+      while (aliasEdge.contains(cur) && hops < 16) { cur = aliasEdge(cur); hops += 1 }
+      relBase.get(cur)
+    }
+    val attrName = relBase // direct ids; aliases resolve via baseName
+    val filters = conjuncts.result()
+    val fsr = rel.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    if (rel.isStreaming || fsr.bucketSpec.isDefined) return None
+    if (!fsr.fileFormat.isInstanceOf[ParquetFileFormat]) return None
+    val roots = fsr.location.rootPaths
+    if (roots.size != 1) return None
+    val dir = roots.head.toString
+    if (dir.endsWith(".envelopes")) return None // never answer an index from itself
+
+    def colName(e: Expression): Option[String] = e match {
+      case ar: AttributeReference => baseName(ar.exprId)
+      case _ => None
+    }
+
+    // ---- grouping columns: plain attributes only
+    val groupNames: Seq[String] = agg.groupingExpressions.map {
+      case ar: AttributeReference => colName(ar).getOrElse(return None)
+      case _ => return None
+    }
+    val groupSet = agg.groupingExpressions.collect {
+      case ar: AttributeReference => ar.exprId
+    }.toSet
+
+    // ---- every output must be stats-derivable (or a literal passthrough)
+    def nonNullLit(e: Expression): Boolean = e match {
+      case l: Literal => l.value != null
+      case _ => false
+    }
+    val rws: Seq[Rw] = agg.aggregateExpressions.map {
+      case ar: AttributeReference if groupSet.contains(ar.exprId) =>
+        RwGroup(colName(ar).getOrElse(return None))
+      case a @ Alias(child, _) => child match {
+        case ar: AttributeReference if groupSet.contains(ar.exprId) =>
+          RwGroup(colName(ar).getOrElse(return None))
+        case l: Literal => RwLit(a)
+        case AggregateExpression(fn, _, false, None, _) => fn match {
+          case Count(cs) if cs.isEmpty || cs.forall(nonNullLit) => RwCount
+          case Count(Seq(e)) => RwCountCol(colName(e).getOrElse(return None))
+          case Min(e) => RwMin(colName(e).getOrElse(return None))
+          case Max(e) => RwMax(colName(e).getOrElse(return None))
+          case _ => return None
+        }
+        case _ => return None
+      }
+      case _ => return None
+    }
+    if (!rws.exists { case RwCount | _: RwCountCol | _: RwMin | _: RwMax => true
+                      case _ => false }) return None // nothing to save
+
+    // ---- index gates: existence, coverage, exact file-set match
+    val envDir = Layout.envelopesPath(dir)
+    val envPath = new org.apache.hadoop.fs.Path(envDir)
+    val fs = envPath.getFileSystem(session.sparkContext.hadoopConfiguration)
+    if (!fs.exists(envPath)) return None
+    val sig = fs.listStatus(envPath).filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+    val meta = indexMeta(session, dir, envDir, sig)
+    val envType: Map[String, DataType] =
+      meta.schema.fields.map(f => f.name -> f.dataType).toMap
+    if (!envType.contains("rows")) return None
+
+    def covered(c: String, needNulls: Boolean): Boolean =
+      envType.contains(s"min_$c") && envType.contains(s"max_$c") &&
+        (!needNulls || envType.contains(s"nulls_$c"))
+    val ok = rws.forall {
+      case RwCountCol(c) => covered(c, needNulls = true)
+      case RwMin(c)      => covered(c, needNulls = false)
+      case RwMax(c)      => covered(c, needNulls = false)
+      case RwGroup(c)    => covered(c, needNulls = true)
+      case _             => true
+    }
+    if (!ok) return None
+    if (groupNames.exists(g => !constantPerFile(session, dir, meta, sig, g))) return None
+
+    // ---- filter conjuncts: every referenced column must be covered and
+    // index-proven constant per file — then the conjunct takes the same
+    // value on every row of a file (true / false / null, the latter two
+    // both excluding under SQL filter semantics), so whole-file
+    // include/exclude decided over the index is EXACTLY the data filter
+    val filterCols: Seq[String] = {
+      val b = Seq.newBuilder[String]
+      filters.foreach(_.references.foreach { a =>
+        baseName(a.exprId) match {
+          case Some(n) => b += n
+          case None => return None // computed / non-relation column
+        }
+      })
+      b.result().distinct
+    }
+    if (filterCols.exists(c => !covered(c, needNulls = true))) return None
+    if (filterCols.exists(c => !constantPerFile(session, dir, meta, sig, c))) return None
+
+    // If the EnvelopePruneRule already wrapped this relation (it may run
+    // first in the shared fixed-point batch), gate against the BASE
+    // listing: a rule-planted skip is I/O-only by that rule's soundness
+    // contract (every skipped file fails the still-present Filter, which
+    // this rewrite applies index-side in full), so the table's true file
+    // set — what staleness must be checked against — is the base's. An
+    // explicit prunedRead wrap is NOT seen through: there re-applying
+    // the box is the caller's contract, not the plan's.
+    val gateLocation = fsr.location match {
+      case s: SkippingFileIndex if s.semanticsPreserving => s.base
+      case l => l
+    }
+    val current = gateLocation.inputFiles.map(Layout.normPath).toSet
+    if (meta.files != current) return None
+
+    // ---- build the replacement: dedup per file, then aggregate the stats
+    val needed: Seq[String] = ("rows" +: (rws.flatMap {
+      case RwCountCol(c) => Seq(s"nulls_$c")
+      case RwMin(c)      => Seq(s"min_$c")
+      case RwMax(c)      => Seq(s"max_$c")
+      case RwGroup(c)    => Seq(s"min_$c")
+      case _             => Nil
+    } ++ filterCols.map(c => s"min_$c"))).distinct
+    val env = GraftBridge.ofRows(session, meta.plan) // cached analyzed scan
+    // duplicate rows for a file (replayed appendEnvelopes) carry identical
+    // envelopes — min() collapses them to the single true value
+    val perFile = env.groupBy(col("file"))
+      .agg(min(col(needed.head)).as(needed.head),
+        needed.tail.map(c => min(col(c)).as(c)): _*)
+    // per-file-uniform filter, evaluated BY SPARK over the index rows
+    // with each column reference bound to the file's constant (min_c)
+    val kept =
+      if (filters.isEmpty) perFile
+      else perFile.filter(GraftBridge.column(filters.map(_.transform {
+        case ar: AttributeReference =>
+          GraftBridge.expression(perFile(s"min_${baseName(ar.exprId).get}"))
+      }).reduce(And)))
+    val groupCols = groupNames.map(g => col(s"min_$g"))
+    val outCols: Seq[Column] = rws.collect {
+      case RwCount       => coalesce(sum(col("rows")), lit(0L))
+      case RwCountCol(c) => coalesce(sum(col("rows") - col(s"nulls_$c")), lit(0L))
+      case RwMin(c)      => min(col(s"min_$c"))
+      case RwMax(c)      => max(col(s"max_$c"))
+    }
+    val replaced =
+      if (groupCols.isEmpty) kept.agg(outCols.head, outCols.tail: _*)
+      else kept.groupBy(groupCols: _*).agg(outCols.head, outCols.tail: _*)
+    val newPlan = replaced.queryExecution.analyzed
+    val newOut = newPlan.output // groupCols (in order) ++ outCols (in order)
+
+    // ---- re-alias to the original output ids; verify types & nullability
+    var aggIdx = groupNames.size - 1
+    val projList: Seq[NamedExpression] = agg.aggregateExpressions.zip(rws).map {
+      case (_, RwLit(ne)) => ne
+      case (orig, RwGroup(c)) =>
+        val n = newOut(groupNames.indexOf(c))
+        if (n.dataType != orig.dataType || (n.nullable && !orig.toAttribute.nullable))
+          return None
+        Alias(n, orig.name)(exprId = orig.exprId,
+          qualifier = orig.toAttribute.qualifier)
+      case (orig, _) =>
+        aggIdx += 1
+        val n = newOut(aggIdx)
+        if (n.dataType != orig.dataType || (n.nullable && !orig.toAttribute.nullable))
+          return None
+        Alias(n, orig.name)(exprId = orig.exprId,
+          qualifier = orig.toAttribute.qualifier)
+    }
+    logInfo(s"graft envelope agg: $dir aggregate answered from the .envelopes index " +
+      s"(${meta.files.size} files, groups=${groupNames.mkString(",")})")
+    Some(Project(projList, newPlan))
+  }
+}
+
+object EnvelopeAggRule {
+
+  /** One extracted output column of the aggregate. */
+  private sealed trait Rw
+  private case object RwCount extends Rw
+  private final case class RwCountCol(c: String) extends Rw
+  private final case class RwMin(c: String) extends Rw
+  private final case class RwMax(c: String) extends Rw
+  private final case class RwGroup(c: String) extends Rw
+  private final case class RwLit(ne: NamedExpression) extends Rw
+
+  /** `true` (default) answers stats-derivable aggregates over indexed
+    * parquet tables from their `.envelopes` index; `false` disables. */
+  val ConfKey = "spark.graft.envelope.agg"
+
+  /** Cached per (session, dir, index-listing signature): the ANALYZED
+    * index scan plan (so rewrites never re-infer the index schema — a
+    * footer read per optimization otherwise), its schema, and the
+    * deduplicated indexed file set for the equality gate. */
+  private final case class IndexMeta(plan: LogicalPlan, schema: StructType,
+                                     files: Set[String])
+
+  // LRU caches, (dir, listing-signature)-keyed like the prune rule's
+  // skip-set cache: the signature changes whenever the index is
+  // refreshed or appended to, so staleness self-invalidates. Bounded by
+  // retained file paths (the heavy part of an entry) plus entry count.
+  private val MaxEntries = 256
+  private val MaxRetainedPaths = 1L << 20
+  private var retained = 0L
+  // Keys carry the session's identity: a cached ANALYZED plan must not
+  // leak across sessions (it captures the building session's state).
+  private val metaCache =
+    new java.util.LinkedHashMap[(Int, String, String), IndexMeta](32, 0.75f, true)
+  private val constCache =
+    new java.util.LinkedHashMap[(Int, String, String, String), Boolean](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, String, String), Boolean]): Boolean =
+        size > MaxEntries
+    }
+  private def sid(session: SparkSession): Int = System.identityHashCode(session)
+
+  private def indexMeta(session: SparkSession, dir: String, envDir: String,
+                        sig: String): IndexMeta = {
+    metaCache.synchronized(Option(metaCache.get((sid(session), dir, sig)))) match {
+      case Some(hit) => hit
+      case None =>
+        val env = session.read.parquet(envDir) // outside the lock: runs a job
+        val files = env.select("file").distinct().collect()
+          .map(r => Layout.normPath(r.getString(0))).toSet
+        val v = IndexMeta(env.queryExecution.analyzed, env.schema, files)
+        metaCache.synchronized {
+          val prior = metaCache.put((sid(session), dir, sig), v)
+          retained += v.files.size - (if (prior == null) 0 else prior.files.size)
+          val it = metaCache.entrySet().iterator()
+          while (metaCache.size > 1 &&
+                 (metaCache.size > MaxEntries || retained > MaxRetainedPaths)) {
+            val eldest = it.next()
+            retained -= eldest.getValue.files.size
+            it.remove()
+          }
+        }
+        v
+    }
+  }
+
+  /** Is `g` PROVEN constant within every indexed file? Constant means
+    * `min_g <=> max_g` (null-safe: an all-null file is the NULL group;
+    * Spark's `<=>` also treats NaN = NaN as true, matching its grouping
+    * semantics) with no mixed-null file (`0 < nulls_g < rows` declines —
+    * such a file spans the NULL group and a value group). */
+  private def constantPerFile(session: SparkSession, dir: String,
+                              meta: IndexMeta, sig: String, g: String): Boolean = {
+    constCache.synchronized(Option(constCache.get((sid(session), dir, sig, g)))) match {
+      case Some(hit) => hit
+      case None =>
+        val env = GraftBridge.ofRows(session, meta.plan)
+        val violation = !(col(s"min_$g") <=> col(s"max_$g")) ||
+          (col(s"nulls_$g") > lit(0L) && col(s"nulls_$g") < col("rows"))
+        val v = env.filter(violation).limit(1).count() == 0L
+        constCache.synchronized(constCache.put((sid(session), dir, sig, g), v))
+        v
+    }
+  }
+
+  private[plans] def retainedFilePaths: Long = metaCache.synchronized(retained)
+
+  private[graft] def clearCache(): Unit = {
+    metaCache.synchronized { metaCache.clear(); retained = 0L }
+    constCache.synchronized(constCache.clear())
+  }
+
+  /** Idempotently register on a LIVE session (specs / notebook sessions
+    * built without `spark.sql.extensions`). */
+  def ensure(spark: SparkSession): Unit = {
+    val have = spark.experimental.extraOptimizations.exists(_.isInstanceOf[EnvelopeAggRule])
+    if (!have) spark.experimental.extraOptimizations ++= Seq(new EnvelopeAggRule(spark))
+  }
+}

@@ -142,7 +142,8 @@ class EnvelopePruneRule(session: SparkSession) extends Rule[LogicalPlan] with Pr
     logInfo(s"graft envelope prune: ${roots.mkString(",")} scan pruned ${all.length - keep}/" +
       s"${all.length} files via the .envelopes index")
     if (keep == 0) return Some(LocalRelation(rel.output))
-    val prunedFsr = fsr.copy(location = new SkippingFileIndex(fsr.location, skip),
+    val prunedFsr = fsr.copy(
+      location = new SkippingFileIndex(fsr.location, skip, semanticsPreserving = true),
       options = fsr.options + (PrunedMarker -> "true"))(fsr.sparkSession)
     Some(rel.copy(relation = prunedFsr))
   }

@@ -21,8 +21,19 @@ import graft.sources.Layout
   * explicit path list — an O(1) driver-side relation spec at ANY file
   * count (a million-file table keeps one wrapped index, never a
   * million-element parquet path argument). */
-private[graft] final class SkippingFileIndex(underlying: FileIndex, skip: Set[String])
+private[graft] final class SkippingFileIndex(underlying: FileIndex, skip: Set[String],
+    /** true iff the skip provably never changes plan RESULTS — the
+      * [[EnvelopePruneRule]] case, where every skipped file fails the
+      * still-present Filter above (I/O-only by the rule's soundness
+      * contract). [[Layout.prunedRead]] passes false: there the
+      * re-application of the box is the CALLER's obligation, so a plan
+      * over it without the predicate genuinely means "kept files only"
+      * and downstream rewrites must not see through it. */
+    private[graft] val semanticsPreserving: Boolean = false)
     extends FileIndex {
+  /** The wrapped index — the table's true listing (gate-of-record for
+    * [[EnvelopeAggRule]]'s staleness check when `semanticsPreserving`). */
+  private[graft] def base: FileIndex = underlying
   private def kept(p: org.apache.hadoop.fs.Path): Boolean =
     !skip.contains(Layout.normPath(p.toString))
   override def rootPaths: Seq[org.apache.hadoop.fs.Path] = underlying.rootPaths

@@ -410,6 +410,60 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q152
+  /** Global `count(*)/count(c)/min/max` over the (user_id, ts_us)-
+    * clustered events copy as a PLAIN `read.agg` — the
+    * [[graft.plans.EnvelopeAggRule]] answers it from the `.envelopes`
+    * index (one row per file) instead of scanning the data, gated on
+    * exact file-set equality so staleness can only decline, never
+    * corrupt. EnvelopeAggSpec pins that the optimized plan scans ONLY
+    * the index; this oracle row pins that the metadata-only answer is
+    * exactly the data answer. */
+  def q152EnvelopeStatsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopeAggRule.ensure(spark)
+    spark.read.parquet(zEventsUs(spark, dir))
+      .agg(count(lit(1)).as("n"),
+        min($"user_id").as("mn_user"), max($"user_id").as("mx_user"),
+        min($"ts_us").as("mn_ts"), max($"ts_us").as("mx_ts"),
+        count($"user_id").as("n_user"))
+  }
+
+  // ---------------------------------------------------------------- q153
+  /** q152 GROUPED by the hive-partition column `wk` over the
+    * week-partitioned + per-leaf-OPTIMIZEd events copy: the rule proves
+    * `wk` constant per file from the index envelopes (`min_wk <=> max_wk`,
+    * no mixed-null file) — partition-column grouping without requiring
+    * the planner to know it is a partition column — and answers the
+    * whole per-week rollup from index rows. */
+  def q153EnvelopeGroupedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopeAggRule.ensure(spark)
+    spark.read.parquet(zEventsPartitioned(spark, dir))
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("n"),
+        min($"ts_us").as("mn_ts"), max($"ts_us").as("mx_ts"))
+  }
+
+  // ---------------------------------------------------------------- q154
+  /** q153 with a WHERE on the partition column — `wk BETWEEN 2 AND 3` —
+    * still answered ENTIRELY from the index: the rule proves every
+    * filter column constant per file, evaluates the conjunct over the
+    * index rows (whole-file include/exclude — exactly the data filter,
+    * since the value is uniform within each file), and aggregates the
+    * surviving envelopes. `count(*) WHERE dt BETWEEN …` on a
+    * time-partitioned table — the most common production metadata query
+    * — never touches the data. */
+  def q154EnvelopeFilteredAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopeAggRule.ensure(spark)
+    spark.read.parquet(zEventsPartitioned(spark, dir))
+      .filter($"wk".between(2, 3))
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("n"),
+        min($"ts_us").as("mn_ts"), max($"ts_us").as("mx_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
@@ -423,7 +477,10 @@ object LayoutQueries {
     "q148_partitioned_auto_prune" -> q148PartitionedAutoPrune _,
     "q149_sql_tf_read_healed"     -> q149SqlTfReadHealed _,
     "q150_sql_tf_read_snapshot"   -> q150SqlTfReadSnapshot _,
-    "q151_sql_tf_read_changes"    -> q151SqlTfReadChanges _)
+    "q151_sql_tf_read_changes"    -> q151SqlTfReadChanges _,
+    "q152_envelope_stats_agg"     -> q152EnvelopeStatsAgg _,
+    "q153_envelope_grouped_agg"   -> q153EnvelopeGroupedAgg _,
+    "q154_envelope_filtered_agg"  -> q154EnvelopeFilteredAgg _)
 
   /** The layout-invariance oracle every events-box layout query shares:
     * same rows no matter how the copy was clustered, partitioned,
@@ -453,6 +510,19 @@ object LayoutQueries {
          |  AND user_id % 2 = 1
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |GROUP BY event_type""".stripMargin,
+    "q152_envelope_stats_agg" ->
+      s"""SELECT count(*) AS n, min(user_id) AS mn_user, max(user_id) AS mx_user,
+         |  min(epoch_us(ts)) AS mn_ts, max(epoch_us(ts)) AS mx_ts,
+         |  count(user_id) AS n_user
+         |FROM events""".stripMargin,
+    "q153_envelope_grouped_agg" ->
+      s"""SELECT CAST(weekofyear(ts) AS INTEGER) AS wk, count(*) AS n,
+         |  min(epoch_us(ts)) AS mn_ts, max(epoch_us(ts)) AS mx_ts
+         |FROM events GROUP BY 1""".stripMargin,
+    "q154_envelope_filtered_agg" ->
+      s"""SELECT CAST(weekofyear(ts) AS INTEGER) AS wk, count(*) AS n,
+         |  min(epoch_us(ts)) AS mn_ts, max(epoch_us(ts)) AS mx_ts
+         |FROM events WHERE weekofyear(ts) BETWEEN 2 AND 3 GROUP BY 1""".stripMargin,
     "q145_quantile_zorder_box" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,

@@ -1,0 +1,228 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Layout
+
+/** The stats-only aggregate rule: `count`/`min`/`max` over an
+  * `.envelopes`-indexed table must optimize to a plan whose ONLY scans
+  * are of the index (metadata scale), with results identical to the data
+  * scan; every gate (staleness, coverage, unsupported aggregates,
+  * non-constant grouping, a Filter below) must decline to the untouched
+  * plan; and replayed index appends (duplicate rows per file) must never
+  * double-count. */
+class EnvelopeAggSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // ADVERSARIAL order: the prune rule first (a shared session may have
+    // registered it earlier). It then wraps Filter(scan) in its
+    // SkippingFileIndex before the agg rule runs — the agg rule must see
+    // through the rule-planted (semantics-preserving) wrap and still
+    // answer filtered aggregates from the index.
+    EnvelopePruneRule.ensure(s)
+    EnvelopeAggRule.ensure(s)
+    s
+  }
+  import spark.implicits._
+
+  private def withRule[T](on: Boolean)(body: => T): T = {
+    spark.conf.set(EnvelopeAggRule.ConfKey, on.toString)
+    try body
+    finally spark.conf.unset(EnvelopeAggRule.ConfKey)
+  }
+
+  /** Root dirs of every file-source scan in the optimized plan. */
+  private def scanRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation =>
+        r.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString)
+    }.flatten
+
+  private def firesIndexOnly(df: DataFrame): Boolean = {
+    val roots = scanRoots(df)
+    roots.nonEmpty && roots.forall(_.endsWith(".envelopes"))
+  }
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def sameRows(mk: () => DataFrame): Unit = {
+    val on  = withRule(true)(mk().collect().toSeq)
+    val off = withRule(false)(mk().collect().toSeq)
+    assert(on.toSet == off.toSet && on.size == off.size,
+      s"stats-only rewrite changed RESULTS: on=$on off=$off")
+  }
+
+  test("global count/min/max/count(c) answer from the index alone, exactly") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 20000).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("x", "y")
+    val dir = freshDir("env-agg")
+    Layout.clusterWrite(df, Seq("x", "y"), 8, dir)
+    def q() = spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n"), min($"x").as("mn"), max($"x").as("mx"),
+        count($"x").as("nx"), min($"y").as("mny"))
+    withRule(true) {
+      assert(firesIndexOnly(q()), s"expected an index-only plan:\n${q().queryExecution.optimizedPlan}")
+    }
+    sameRows(() => q())
+    val row = withRule(true)(q().collect().head)
+    assert(row.getLong(0) == 20000L && row.getLong(3) == 20000L)
+  }
+
+  test("null counts are honoured: count(c) with nulls present stays exact") {
+    val df = (1 to 5000).map(i => (i.toLong, if (i % 7 == 0) null else s"v$i"))
+      .toDF("id", "v")
+    val dir = freshDir("env-agg-null")
+    df.repartition(4).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("id", "v"))
+    def q() = spark.read.parquet(dir)
+      .agg(count($"v").as("nv"), count(lit(1)).as("n"), min($"v").as("mnv"), max($"id").as("mx"))
+    withRule(true)(assert(firesIndexOnly(q())))
+    sameRows(() => q())
+    assert(withRule(true)(q().collect().head.getLong(0)) == 5000L - 5000L / 7)
+  }
+
+  test("groupBy a per-file-constant (partition) column answers from the index") {
+    val df = (1 to 9000).map(i => (i % 3, i.toLong)).toDF("g", "x")
+    val dir = freshDir("env-agg-grp")
+    df.write.partitionBy("g").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("g", "x"))
+    def q() = spark.read.parquet(dir).groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"x").as("mn"), max($"x").as("mx"))
+    withRule(true) {
+      assert(firesIndexOnly(q()), s"expected an index-only plan:\n${q().queryExecution.optimizedPlan}")
+    }
+    sameRows(() => q())
+    assert(withRule(true)(q().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap) ==
+      Map(0 -> 3000L, 1 -> 3000L, 2 -> 3000L))
+  }
+
+  test("groupBy a NON-constant column declines (data scanned), results exact") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 8000).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      .toDF("g", "x")
+    val dir = freshDir("env-agg-nonconst")
+    df.repartition(4).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("g", "x"))
+    def q() = spark.read.parquet(dir).groupBy($"g").agg(count(lit(1)).as("n"))
+    withRule(true)(assert(!firesIndexOnly(q()), "non-constant grouping must not rewrite"))
+    sameRows(() => q())
+  }
+
+  test("a stale index declines: rows appended after the refresh are counted") {
+    val dir = freshDir("env-agg-stale")
+    (1 to 1000).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+      .coalesce(2).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    (1001 to 1500).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+      .coalesce(1).write.mode("append").parquet(dir)
+    def q() = spark.read.parquet(dir).agg(count(lit(1)).as("n"), max($"x").as("mx"))
+    withRule(true) {
+      assert(!firesIndexOnly(q()), "stale index must decline")
+      val row = q().collect().head
+      assert(row.getLong(0) == 1500L && row.getLong(1) == 1500L)
+    }
+  }
+
+  test("replayed index appends (duplicate rows per file) never double-count") {
+    val dir = freshDir("env-agg-dup")
+    (1 to 2000).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+      .coalesce(2).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val files = spark.read.parquet(dir).inputFiles.toSeq
+    Layout.appendEnvelopes(spark, dir, files, Seq("x")) // simulated replay
+    def q() = spark.read.parquet(dir).agg(count(lit(1)).as("n"), min($"x").as("mn"))
+    withRule(true) {
+      assert(firesIndexOnly(q()), "duplicated-but-complete index should still fire")
+      val row = q().collect().head
+      assert(row.getLong(0) == 2000L, s"double-counted: ${row.getLong(0)}")
+      assert(row.getLong(1) == 1L)
+    }
+  }
+
+  test("unsupported shapes decline: avg, distinct, uncovered column, Filter below, conf off") {
+    val dir = freshDir("env-agg-decline")
+    (1 to 3000).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+      .coalesce(2).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x")) // y NOT covered
+    withRule(true) {
+      assert(!firesIndexOnly(spark.read.parquet(dir).agg(avg($"x").as("a"))))
+      assert(!firesIndexOnly(spark.read.parquet(dir).agg(countDistinct($"x").as("d"))))
+      assert(!firesIndexOnly(spark.read.parquet(dir).agg(min($"y").as("m"))))
+      assert(!firesIndexOnly(
+        spark.read.parquet(dir).filter($"x" > 10L).agg(count(lit(1)).as("n"))))
+      // supported shape sanity check against the same table
+      assert(firesIndexOnly(spark.read.parquet(dir).agg(min($"x").as("m"))))
+    }
+    withRule(false) {
+      assert(!firesIndexOnly(spark.read.parquet(dir).agg(min($"x").as("m"))))
+    }
+  }
+
+  test("WHERE on per-file-constant columns answers from the index, incl. null files") {
+    val dir = freshDir("env-agg-filter")
+    for (g <- 0 to 2)
+      (1 to 1000).map(i => (g.toLong, (g * 1000 + i).toLong)).toDF("g", "x")
+        .coalesce(2).write.mode("append").parquet(dir)
+    // an all-null-g chunk: the conjunct evaluates NULL for these files —
+    // excluded under filter semantics, exactly like the data scan
+    (1 to 500).map(i => (Option.empty[Long], (9000 + i).toLong)).toDF("g", "x")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("g", "x"))
+    def eq1() = spark.read.parquet(dir).filter($"g" === 1L)
+      .agg(count(lit(1)).as("n"), min($"x").as("mn"), max($"x").as("mx"))
+    def ge1() = spark.read.parquet(dir).filter($"g" >= 1L).groupBy($"g")
+      .agg(count(lit(1)).as("n"), max($"x").as("mx"))
+    def isNull() = spark.read.parquet(dir).filter($"g".isNull)
+      .agg(count(lit(1)).as("n"), min($"x").as("mn"))
+    withRule(true) {
+      assert(firesIndexOnly(eq1()), s"filtered agg should be index-only:\n${eq1().queryExecution.optimizedPlan}")
+      assert(firesIndexOnly(ge1()))
+      assert(firesIndexOnly(isNull()))
+      val r = eq1().collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1000L, 1001L, 2000L)))
+      assert(isNull().collect().head.getLong(0) == 500L)
+    }
+    sameRows(() => eq1()); sameRows(() => ge1()); sameRows(() => isNull())
+    // a conjunct on a NON-constant column declines — and stays exact
+    def onX() = spark.read.parquet(dir).filter($"x" > 1500L).agg(count(lit(1)).as("n"))
+    withRule(true)(assert(!firesIndexOnly(onX()), "non-constant filter column must decline"))
+    sameRows(() => onX())
+  }
+
+  test("WHERE on the hive-partition column of a partitioned table is metadata-only") {
+    val df = (1 to 9000).map(i => (i % 3, i.toLong)).toDF("g", "x")
+    val dir = freshDir("env-agg-part-filter")
+    df.write.partitionBy("g").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("g", "x"))
+    def q() = spark.read.parquet(dir).filter($"g" === 1)
+      .agg(count(lit(1)).as("n"), min($"x").as("mn"), max($"x").as("mx"))
+    withRule(true) {
+      assert(firesIndexOnly(q()), s"partition-filtered agg should be index-only:\n${q().queryExecution.optimizedPlan}")
+      assert(q().collect().head.getLong(0) == 3000L)
+    }
+    sameRows(() => q())
+  }
+
+  test("select-then-aggregate (a Project between) still fires, incl. renamed columns") {
+    val dir = freshDir("env-agg-proj")
+    (1 to 4000).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+      .coalesce(2).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    def q() = spark.read.parquet(dir).select($"x".as("renamed"))
+      .agg(min($"renamed").as("mn"), count(lit(1)).as("n"))
+    withRule(true)(assert(firesIndexOnly(q())))
+    sameRows(() => q())
+  }
+}
