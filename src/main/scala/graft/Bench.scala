@@ -104,7 +104,11 @@ object Bench {
     // round 14: stats-only aggregates answered from the .envelopes index
     // (metadata-scale instead of table-scale)
     "q152_envelope_stats_agg", "q153_envelope_grouped_agg",
-    "q154_envelope_filtered_agg")
+    "q154_envelope_filtered_agg",
+    // round 14: time travel — the box over a historical manifest commit
+    "q155_sql_tf_time_travel", "q156_envelope_sum_agg",
+    // round 14: PII scrubbing and C4-style cross-corpus line dedup
+    "q157_pii_scrub", "q158_line_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

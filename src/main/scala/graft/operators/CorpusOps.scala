@@ -848,4 +848,68 @@ object CorpusOps {
       .withColumn("cluster_size", coalesce(col("n_members"), lit(1L)))
       .withColumn("kept", col("canonical_id") === col(idCol))
       .select(col(idCol), col("canonical_id"), col("cluster_size"), col("kept"))
+
+  /** PII patterns shared by [[piiScrub]] and its DuckDB oracle — written
+    * in the Java-regex ∩ RE2 common dialect (no backreferences, no
+    * lookaround) so both engines match the same spans. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d[\\d ()-]{6,}\\d"
+
+  /** PII scrubbing (the Dolma/CCNet-style masking pass): emails, IPv4
+    * addresses, and international-format phone numbers are replaced with
+    * fixed tokens, with per-class occurrence counts (counted on the
+    * ORIGINAL text, so the classes are independent of scrub order; the
+    * scrub itself applies email → ip → phone, and no replacement token
+    * can create a later-class match). Pure per-row codegen'd regex —
+    * embarrassingly parallel, zero shuffles, scales linearly at 100 TB.
+    *
+    * Detection is pattern-based (the standard first pass); an NER-model
+    * pass would ride [[Multimodal]]-style partition-wise inference. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"), PhonePattern, "<PHONE>")
+        .as("text_clean"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0))).cast("long").as("n_phones"))
+  }
+
+  /** C4-style cross-corpus LINE deduplication: every non-blank line that
+    * occurs anywhere else in the corpus is kept only at its FIRST
+    * occurrence (ordered by document id, then line position — total and
+    * deterministic), all later occurrences are cut, and each document's
+    * text is rebuilt from its surviving lines. Blank/whitespace-only
+    * lines never participate (they are always kept): that is C4's rule,
+    * and it also keeps the empty string — the one unboundedly-hot key —
+    * out of the shuffle.
+    *
+    * Scale: one explode + one shuffle keyed by line content for the
+    * first-occurrence window, one shuffle back by document id for the
+    * rebuild. Per-group state is a single row_number; the rebuild's
+    * collect_list is bounded by a document's own line count. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("_id"), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_ln")))
+    val blanks = exploded.filter(trim(col("_ln")) === "")
+    val nonBlank = exploded.filter(trim(col("_ln")) =!= "")
+    val firstSeen = Window.partitionBy(col("_ln")).orderBy(col("_id"), col("_pos"))
+    val kept = nonBlank
+      .withColumn("_rn", row_number().over(firstSeen))
+      .filter(col("_rn") === 1).drop("_rn")
+      .unionByName(blanks)
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("_pos"), col("_ln")))),
+          x => x("_ln")), "\n").as("_text"),
+        count(lit(1)).as("_n"))
+    docs.select(col(idCol))
+      .join(rebuilt, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_text"), lit("")).as("text_dedup"),
+        coalesce(col("_n"), lit(0L)).as("n_lines_kept"))
+  }
 }

@@ -4,13 +4,13 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 import graft.sources.Layout
 
@@ -31,6 +31,13 @@ import graft.sources.Layout
   *   - `count(*)`/`count(lit)`  → `sum(rows)` over index rows
   *   - `count(c)`               → `sum(rows - nulls_c)` (needs `nulls_c`)
   *   - `min(c)` / `max(c)`      → `min(min_c)` / `max(max_c)`
+  *   - `sum(c)`, integral c     → `sum(sum_c)` — per-file sums are
+  *     PROVEN unwrapped by the soundness probe (extrema bounded by
+  *     Long.Max/rows), so LEGACY re-sums are bit-identical (mod-2^64
+  *     addition is associative over true partials) and ANSI re-sums
+  *     overflow iff the total does; TRY declines (null-on-overflow is
+  *     not reproducible from partials), as do float/double/decimal sums
+  *     (order-dependent rounding / widened intermediate types)
   *   - grouping columns         → index columns PROVEN constant per file
   *     (`min_g <=> max_g` and no mixed-null file), so each file lies
   *     wholly in one group — the hive-partition-column case, without
@@ -185,13 +192,21 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
           case Count(Seq(e)) => RwCountCol(colName(e).getOrElse(return None))
           case Min(e) => RwMin(colName(e).getOrElse(return None))
           case Max(e) => RwMax(colName(e).getOrElse(return None))
+          // LEGACY sums re-sum bit-identically (mod-2^64 addition is
+          // associative); ANSI sums are safe because statsSound proves
+          // per-file no-overflow (|value|·rows bounded) so the stored
+          // partials are true sums — the outer ANSI sum then overflows
+          // iff the total does. TRY declines: a null-on-overflow cannot
+          // be reproduced from partials.
+          case Sum(e, ctx) if ctx.evalMode != EvalMode.TRY =>
+            RwSum(colName(e).getOrElse(return None))
           case _ => return None
         }
         case _ => return None
       }
       case _ => return None
     }
-    if (!rws.exists { case RwCount | _: RwCountCol | _: RwMin | _: RwMax => true
+    if (!rws.exists { case RwCount | _: RwCountCol | _: RwMin | _: RwMax | _: RwSum => true
                       case _ => false }) return None // nothing to save
 
     // ---- index gates: existence, coverage, exact file-set match
@@ -207,14 +222,18 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
       meta.schema.fields.map(f => f.name -> f.dataType).toMap
     if (!envType.contains("rows")) return None
 
-    def covered(c: String, needNulls: Boolean): Boolean =
+    // nulls_c required for EVERY role: the soundness probe below needs it
+    // to tell a legitimately-null stat (all-null file) from a
+    // mixed-generation index row missing the column entirely
+    def covered(c: String): Boolean =
       envType.contains(s"min_$c") && envType.contains(s"max_$c") &&
-        (!needNulls || envType.contains(s"nulls_$c"))
+        envType.contains(s"nulls_$c")
     val ok = rws.forall {
-      case RwCountCol(c) => covered(c, needNulls = true)
-      case RwMin(c)      => covered(c, needNulls = false)
-      case RwMax(c)      => covered(c, needNulls = false)
-      case RwGroup(c)    => covered(c, needNulls = true)
+      case RwCountCol(c) => covered(c)
+      case RwMin(c)      => covered(c)
+      case RwMax(c)      => covered(c)
+      case RwGroup(c)    => covered(c)
+      case RwSum(c)      => covered(c) && envType.get(s"sum_$c").contains(LongType)
       case _             => true
     }
     if (!ok) return None
@@ -235,7 +254,7 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
       })
       b.result().distinct
     }
-    if (filterCols.exists(c => !covered(c, needNulls = true))) return None
+    if (filterCols.exists(c => !covered(c))) return None
     if (filterCols.exists(c => !constantPerFile(session, dir, meta, sig, c))) return None
 
     // If the EnvelopePruneRule already wrapped this relation (it may run
@@ -253,12 +272,24 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
     val current = gateLocation.inputFiles.map(Layout.normPath).toSet
     if (meta.files != current) return None
 
+    // ---- soundness probe: a mixed-generation index (rows appended with
+    // fewer indexed columns — parquet reads the missing stats as NULL)
+    // would silently drop those files' contributions; require every
+    // relied-on stat non-null except where legitimately null (all-null
+    // file: nulls_c == rows)
+    val relyCols: Seq[String] =
+      (rws.collect { case RwCountCol(c) => c; case RwMin(c) => c; case RwMax(c) => c
+                     case RwGroup(c) => c; case RwSum(c) => c } ++ filterCols).distinct
+    val sumCols: Set[String] = rws.collect { case RwSum(c) => c }.toSet
+    if (!statsSound(session, dir, meta, sig, relyCols, sumCols)) return None
+
     // ---- build the replacement: dedup per file, then aggregate the stats
     val needed: Seq[String] = ("rows" +: (rws.flatMap {
       case RwCountCol(c) => Seq(s"nulls_$c")
       case RwMin(c)      => Seq(s"min_$c")
       case RwMax(c)      => Seq(s"max_$c")
       case RwGroup(c)    => Seq(s"min_$c")
+      case RwSum(c)      => Seq(s"sum_$c")
       case _             => Nil
     } ++ filterCols.map(c => s"min_$c"))).distinct
     val env = GraftBridge.ofRows(session, meta.plan) // cached analyzed scan
@@ -281,6 +312,7 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
       case RwCountCol(c) => coalesce(sum(col("rows") - col(s"nulls_$c")), lit(0L))
       case RwMin(c)      => min(col(s"min_$c"))
       case RwMax(c)      => max(col(s"max_$c"))
+      case RwSum(c)      => sum(col(s"sum_$c"))
     }
     val replaced =
       if (groupCols.isEmpty) kept.agg(outCols.head, outCols.tail: _*)
@@ -321,6 +353,7 @@ object EnvelopeAggRule {
   private final case class RwMin(c: String) extends Rw
   private final case class RwMax(c: String) extends Rw
   private final case class RwGroup(c: String) extends Rw
+  private final case class RwSum(c: String) extends Rw
   private final case class RwLit(ne: NamedExpression) extends Rw
 
   /** `true` (default) answers stats-derivable aggregates over indexed
@@ -392,6 +425,46 @@ object EnvelopeAggRule {
           (col(s"nulls_$g") > lit(0L) && col(s"nulls_$g") < col("rows"))
         val v = env.filter(violation).limit(1).count() == 0L
         constCache.synchronized(constCache.put((sid(session), dir, sig, g), v))
+        v
+    }
+  }
+
+  /** Is every relied-on stat of `cols` usable in every index row? A
+    * mixed-generation index (rows appended with fewer indexed columns)
+    * reads the missing stats as NULL — indistinguishable in type from a
+    * legitimate all-null-file stat, so the legit case is whitelisted
+    * exactly: `nulls_c == rows`. Any other NULL (including a NULL
+    * `nulls_c` itself, or a NULL `sum_c` for a sum-role column) declines
+    * the rewrite — aggregating over it would silently drop that file's
+    * contribution. */
+  private def statsSound(session: SparkSession, dir: String, meta: IndexMeta,
+                         sig: String, cols: Seq[String],
+                         sumCols: Set[String]): Boolean = {
+    if (cols.isEmpty) return true
+    val key = (sid(session), dir, sig,
+      "sound:" + cols.sorted.mkString(",") + "|" + sumCols.toSeq.sorted.mkString(","))
+    constCache.synchronized(Option(constCache.get(key))) match {
+      case Some(hit) => hit
+      case None =>
+        val env = GraftBridge.ofRows(session, meta.plan)
+        val allNullFile = (c: String) => col(s"nulls_$c") === col("rows")
+        // per-file no-overflow proof for sums: every value lies in
+        // [min_c, max_c], so |file sum| <= rows * max(|min_c|, |max_c|);
+        // bounding the extrema by Long.Max/rows (floor division —
+        // conservative) proves the stored partial is the TRUE sum
+        // regardless of the eval mode the index was built under
+        val sumUnsafe = (c: String) =>
+          col(s"max_$c") > lit(Long.MaxValue) / col("rows") ||
+            col(s"min_$c") < lit(-Long.MaxValue) / col("rows")
+        val violation = cols.map { c =>
+          col(s"nulls_$c").isNull || col("rows").isNull ||
+            ((col(s"min_$c").isNull || col(s"max_$c").isNull) && !allNullFile(c)) ||
+            (if (sumCols.contains(c))
+               (col(s"sum_$c").isNull || sumUnsafe(c)) && !allNullFile(c)
+             else lit(false))
+        }.reduce(_ || _)
+        val v = env.filter(violation).limit(1).count() == 0L
+        constCache.synchronized(constCache.put(key, v))
         v
     }
   }

@@ -410,6 +410,28 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q155
+  /** TIME TRAVEL: the events box over the FIRST manifest commit of the
+    * two-commit incremental table — `graft_read_snapshot(path, seq)`
+    * resolves the historical committed file set (retained by the
+    * manifest vacuum window) and plans over exactly it, so the query
+    * sees the table as of that commit: even user_ids only, rows
+    * appended by commit 2 invisible. The oracle is the events box
+    * restricted to `user_id % 2 = 0`. */
+  def q155SqlTfTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    val path = zEventsIncr(spark, dir)
+    val firstSeq = Manifest.latestSeq(spark, path).get - 1
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_read_snapshot('$path', $firstSeq)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- q152
   /** Global `count(*)/count(c)/min/max` over the (user_id, ts_us)-
     * clustered events copy as a PLAIN `read.agg` — the
@@ -464,6 +486,21 @@ object LayoutQueries {
         min($"ts_us").as("mn_ts"), max($"ts_us").as("mx_ts"))
   }
 
+  // ---------------------------------------------------------------- q156
+  /** q153 plus `sum(user_id)` — integral sums are stored per file in the
+    * envelopes (`sum_c`; long addition is associative even under
+    * wraparound, so re-summing per-file sums is bit-identical to Spark's
+    * direct LEGACY sum) and the whole per-week rollup, counts and sums
+    * alike, answers from the index. */
+  def q156EnvelopeSumAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopeAggRule.ensure(spark)
+    spark.read.parquet(zEventsPartitioned(spark, dir))
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_uid"),
+        max($"ts_us").as("mx_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
@@ -480,7 +517,9 @@ object LayoutQueries {
     "q151_sql_tf_read_changes"    -> q151SqlTfReadChanges _,
     "q152_envelope_stats_agg"     -> q152EnvelopeStatsAgg _,
     "q153_envelope_grouped_agg"   -> q153EnvelopeGroupedAgg _,
-    "q154_envelope_filtered_agg"  -> q154EnvelopeFilteredAgg _)
+    "q154_envelope_filtered_agg"  -> q154EnvelopeFilteredAgg _,
+    "q155_sql_tf_time_travel"     -> q155SqlTfTimeTravel _,
+    "q156_envelope_sum_agg"       -> q156EnvelopeSumAgg _)
 
   /** The layout-invariance oracle every events-box layout query shares:
     * same rows no matter how the copy was clustered, partitioned,
@@ -510,6 +549,15 @@ object LayoutQueries {
          |  AND user_id % 2 = 1
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |GROUP BY event_type""".stripMargin,
+    "q155_sql_tf_time_travel" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND user_id % 2 = 0
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
     "q152_envelope_stats_agg" ->
       s"""SELECT count(*) AS n, min(user_id) AS mn_user, max(user_id) AS mx_user,
          |  min(epoch_us(ts)) AS mn_ts, max(epoch_us(ts)) AS mx_ts,
@@ -523,6 +571,10 @@ object LayoutQueries {
       s"""SELECT CAST(weekofyear(ts) AS INTEGER) AS wk, count(*) AS n,
          |  min(epoch_us(ts)) AS mn_ts, max(epoch_us(ts)) AS mx_ts
          |FROM events WHERE weekofyear(ts) BETWEEN 2 AND 3 GROUP BY 1""".stripMargin,
+    "q156_envelope_sum_agg" ->
+      s"""SELECT CAST(weekofyear(ts) AS INTEGER) AS wk, count(*) AS n,
+         |  CAST(sum(user_id) AS BIGINT) AS sum_uid, max(epoch_us(ts)) AS mx_ts
+         |FROM events GROUP BY 1""".stripMargin,
     "q145_quantile_zorder_box" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,

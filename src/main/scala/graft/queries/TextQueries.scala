@@ -642,7 +642,44 @@ object TextQueries {
       n = 3, minFamiliarityPpm = 100000L)
   }
 
+  // ---------------------------------------------------------------- q157
+  /** PII scrubbing over the documents corpus with DETERMINISTICALLY
+    * PLANTED PII (the synthetic text has none): every 7th document gains
+    * an email + an IPv4, every 11th a phone number — the same
+    * construction the oracle applies — and [[CorpusOps.piiScrub]] must
+    * mask all three classes and count them exactly. Patterns are written
+    * in the Java-regex ∩ RE2 common dialect so both engines agree on
+    * spans. */
+  def q157PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Tables(spark, dir).documents.select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com or 10.0."), ($"doc_id" % 250).cast("string"),
+            lit(".7 now"))).otherwise(lit("")),
+        when($"doc_id" % 11 === 0, lit(" call +1 555 123 4567"))
+          .otherwise(lit(""))).as("text"))
+    CorpusOps.piiScrub(planted, "doc_id", "text")
+  }
+
+  // ---------------------------------------------------------------- q158
+  /** C4-style cross-corpus line deduplication: lines are synthesized by
+    * splitting each document at the word " merge " (the corpus is
+    * single-line word soup, so the line structure is planted the same
+    * way in the oracle), then every repeated non-blank line survives
+    * only at its first (doc_id, position) occurrence and documents are
+    * rebuilt from surviving lines. */
+  def q158LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lined = Tables(spark, dir).documents.select($"doc_id",
+      replace($"text", lit(" merge "), lit("\n")).as("text"))
+    CorpusOps.lineDedup(lined, "doc_id", "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_pii_scrub"  -> q157PiiScrub _,
+    "q158_line_dedup" -> q158LineDedup _,
     "q99_curation_decisions" -> q99CurationDecisions _,
     "q96_lm_familiarity"   -> q96LmFamiliarity _,
     "q93_incremental_dedup" -> q93IncrementalDedup _,
@@ -904,6 +941,48 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q157_pii_scrub" -> {
+      val em = CorpusOps.EmailPattern
+      val ip = CorpusOps.Ipv4Pattern
+      val ph = CorpusOps.PhonePattern
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 7 = 0
+         |      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |        || '@example.com or 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+         |        || '.7 now' ELSE '' END
+         |      || CASE WHEN doc_id % 11 = 0
+         |      THEN ' call +1 555 123 4567' ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+         |    AS text_clean,
+         |  CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones
+         |FROM planted""".stripMargin
+    },
+    "q158_line_dedup" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, replace(text, ' merge ', chr(10)) AS t FROM documents),
+         |l AS (
+         |  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS ln
+         |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src)),
+         |nb AS (
+         |  SELECT doc_id, pos, ln,
+         |    row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) AS rn
+         |  FROM l WHERE trim(ln) <> ''),
+         |kept AS (
+         |  SELECT doc_id, pos, ln FROM nb WHERE rn = 1
+         |  UNION ALL SELECT doc_id, pos, ln FROM l WHERE trim(ln) = ''),
+         |agg AS (
+         |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text_dedup,
+         |    CAST(count(*) AS BIGINT) AS n_lines_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT s.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+         |  coalesce(a.n_lines_kept, 0) AS n_lines_kept
+         |FROM src s LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q86_dup_source_matrix" ->
       s"""WITH pairs AS ($q25Sql),
          |ds AS (SELECT doc_id, source FROM documents)

@@ -275,9 +275,29 @@ object Layout {
   def fileEnvelopes(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
     val df = spark.read.parquet(dir)
     df.groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("rows"), cols.flatMap(c => Seq(
-        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))): _*)
+      .agg(count(lit(1)).as("rows"), cols.flatMap(envAggs(df)): _*)
+  }
+
+  /** The per-column envelope aggregates: min/max/null-count always, plus
+    * a per-file SUM for integral columns (float/double sums are
+    * order-dependent and decimal sums widen their intermediate type, so
+    * neither is stored). `try_sum`, not `sum`: an epoch-microsecond
+    * column at production file sizes overflows a per-file long sum, and
+    * under ANSI mode a plain sum would fail the whole INDEX BUILD for a
+    * stat most queries never use. try_sum stores NULL for exactly the
+    * overflowed files — [[graft.plans.EnvelopeAggRule]]'s soundness
+    * probe then declines sum rewrites on that table (and only sum
+    * rewrites) while min/max/count stay index-answerable. */
+  private def envAggs(df: DataFrame)(c: String): Seq[Column] = {
+    val base = Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        base :+ try_sum(col(c)).as(s"sum_$c")
+      case _ => base
+    }
   }
 
   /** Persist [[fileEnvelopes]] next to the table (`<dir>.envelopes`) —
@@ -304,11 +324,9 @@ object Layout {
   def appendEnvelopes(spark: SparkSession, dir: String, files: Seq[String],
                       cols: Seq[String]): Unit = {
     if (files.isEmpty) return
-    spark.read.parquet(files: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("rows"), cols.flatMap(c => Seq(
-        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))): _*)
+    val df = spark.read.parquet(files: _*)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"), cols.flatMap(envAggs(df)): _*)
       .coalesce(1)
       .write.mode("append").parquet(envelopesPath(dir))
   }

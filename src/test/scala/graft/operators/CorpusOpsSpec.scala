@@ -17,6 +17,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("piiScrub: masks emails/IPs/phones with exact counts; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "mail a.b-c_1@sub.example.org and x@y.io today"),
+      (1L, "server 10.0.200.7 and 192.168.1.1 up"),
+      (2L, "call +1 555 123 4567 or +44 (20) 1234-5678 now"),
+      (3L, "plain text, no pii at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = CorpusOps.piiScrub(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "mail <EMAIL> and <EMAIL> today")
+    assert(out(0).getLong(2) == 2L && out(0).getLong(3) == 0L && out(0).getLong(4) == 0L)
+    assert(out(1).getString(1) == "server <IP> and <IP> up")
+    assert(out(1).getLong(3) == 2L)
+    assert(out(2).getString(1) == "call <PHONE> or <PHONE> now")
+    assert(out(2).getLong(4) == 2L)
+    assert(out(3).getString(1) == "plain text, no pii at all")
+    assert((out(3).getLong(2), out(3).getLong(3), out(3).getLong(4)) == ((0L, 0L, 0L)))
+    assert(out(4).getString(1) == "")
+  }
+
+  test("lineDedup: first (id, pos) occurrence wins; blanks always kept; all-dup doc empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha\nbeta\n\nalpha"),   // in-doc repeat of alpha at pos 3
+      (1L, "beta\ngamma"),            // beta already seen in doc 0
+      (2L, "alpha\nbeta")             // fully duplicated -> only blanks survive (none)
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "alpha\nbeta\n")  // trailing blank line kept
+    assert(out(0).getLong(2) == 3L)
+    assert(out(1).getString(1) == "gamma" && out(1).getLong(2) == 1L)
+    assert(out(2).getString(1) == "" && out(2).getLong(2) == 0L)
+  }
+
   test("packSequences: offsets, boundary spans, empty and oversize docs") {
     import spark.implicits._
     // one shard (nShards=1) so the stream is fully deterministic here:

@@ -215,6 +215,80 @@ class EnvelopeAggSpec extends AnyFunSuite {
     sameRows(() => q())
   }
 
+  test("sum over integral columns answers from the index, exact incl. nulls and groups") {
+    val df = (1 to 6000).map(i =>
+      (i % 3, i.toLong, if (i % 5 == 0) None else Some(i * 7L))).toDF("g", "x", "v")
+    val dir = freshDir("env-agg-sum")
+    df.write.partitionBy("g").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("g", "x", "v"))
+    def global() = spark.read.parquet(dir)
+      .agg(sum($"x").as("sx"), sum($"v").as("sv"), count(lit(1)).as("n"))
+    def grouped() = spark.read.parquet(dir).groupBy($"g")
+      .agg(sum($"x").as("sx"), min($"v").as("mnv"))
+    withRule(true) {
+      assert(firesIndexOnly(global()), s"sum should be index-only:\n${global().queryExecution.optimizedPlan}")
+      assert(firesIndexOnly(grouped()))
+      val r = global().collect().head
+      assert(r.getLong(0) == (1 to 6000).map(_.toLong).sum)
+      assert(r.getLong(1) == (1 to 6000).filter(_ % 5 != 0).map(_ * 7L).sum)
+    }
+    sameRows(() => global()); sameRows(() => grouped())
+    // double sums are never stored (order-dependent): decline, stay exact
+    val dbl = (1 to 100).map(i => (i.toLong, i * 0.5)).toDF("x", "d")
+    val dir2 = freshDir("env-agg-sum-dbl")
+    dbl.coalesce(2).write.parquet(dir2)
+    Layout.writeEnvelopes(spark, dir2, Seq("x", "d"))
+    withRule(true) {
+      assert(!firesIndexOnly(spark.read.parquet(dir2).agg(sum($"d").as("sd"))))
+      assert(firesIndexOnly(spark.read.parquet(dir2).agg(sum($"x").as("sx"))))
+    }
+  }
+
+  test("per-file sum overflow: index build survives (try_sum), sum declines, min/max fire") {
+    val dir = freshDir("env-agg-ovf")
+    // 100 values near Long.Max/50: the file's true sum is ~2x Long.Max —
+    // a plain ANSI sum at build time would fail the whole index write
+    (1 to 100).map(i => (Long.MaxValue / 50 + i, i.toLong)).toDF("big", "x")
+      .coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("big", "x")) // must not throw
+    withRule(true) {
+      assert(!firesIndexOnly(spark.read.parquet(dir).agg(sum($"big").as("sb"))),
+        "overflowed per-file sum must decline")
+      assert(firesIndexOnly(spark.read.parquet(dir)
+        .agg(min($"big").as("mn"), max($"big").as("mx"), count(lit(1)).as("n"))),
+        "min/max/count must still answer from the same index")
+      assert(firesIndexOnly(spark.read.parquet(dir).agg(sum($"x").as("sx"))),
+        "the small column's sum is unaffected")
+    }
+  }
+
+  test("a mixed-generation index (appended rows missing a stat) declines, never undercounts") {
+    val dir = freshDir("env-agg-mixedgen")
+    (1 to 1000).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+      .coalesce(2).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x", "y"))
+    val oldFiles = spark.read.parquet(dir).inputFiles.toSet
+    (1001 to 1500).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val appended = spark.read.parquet(dir).inputFiles.filterNot(oldFiles).toSeq
+    // index the appended file with FEWER columns — its index row reads
+    // back with NULL x-stats (parquet schema-union semantics)
+    Layout.appendEnvelopes(spark, dir, appended, Seq("y"))
+    def qx() = spark.read.parquet(dir).agg(count($"x").as("nx"), sum($"x").as("sx"))
+    def qy() = spark.read.parquet(dir).agg(count($"y").as("ny"), sum($"y").as("sy"))
+    withRule(true) {
+      // x stats are NULL on the appended row → must DECLINE (else the
+      // 500 appended rows would vanish from count/sum)
+      assert(!firesIndexOnly(qx()), "mixed-generation x-stats must decline")
+      val r = qx().collect().head
+      assert(r.getLong(0) == 1500L && r.getLong(1) == (1 to 1500).map(_.toLong).sum)
+      // y stats are complete across both generations → still fires, exact
+      assert(firesIndexOnly(qy()), s"complete y-stats should fire:\n${qy().queryExecution.optimizedPlan}")
+      val ry = qy().collect().head
+      assert(ry.getLong(0) == 1500L && ry.getLong(1) == (1 to 1500).map(_.toLong).sum)
+    }
+  }
+
   test("select-then-aggregate (a Project between) still fires, incl. renamed columns") {
     val dir = freshDir("env-agg-proj")
     (1 to 4000).map(i => (i.toLong, i.toLong)).toDF("x", "y")
