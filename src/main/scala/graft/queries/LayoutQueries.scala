@@ -141,12 +141,73 @@ object LayoutQueries {
   }
   private val R13Tables = Set("lineitem_qnt", "events_ts", "events_part")
 
-  /** Round-14 build (two-commit incremental events table), its own
-    * bench entry so q151 times CDC serving only. */
-  def buildZorder14(spark: SparkSession, dir: String): Unit = {
-    zEventsIncr(spark, dir); ()
+  /** Events written as MANY SMALL FILES per week partition (the
+    * streaming-append shape), then rolled up by
+    * [[Layout.compactPartitions]] — coalesce-only maintenance, no
+    * re-sort — with the envelope index refreshed in the same run. */
+  private def zEventsCompacted(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_compact"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_compact").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+        .withColumn("wk", weekofyear(timestamp_micros(col("ts_us"))))
+        .repartition(12)
+        .write.partitionBy("wk").parquet(out)
+      Layout.compactPartitions(spark, out, targetFileBytes = 64L << 20,
+        indexCols = Seq("user_id", "ts_us", "wk"), parallelism = 3)
+      cache += key -> out
+      out
+    })
   }
-  private val R14Tables = Set("events_incr")
+
+  /** Flat clustered events copy with `user_id 3..6 × the q137 week`
+    * DELETED in place by [[Layout.deleteWhere]] — file-level classified
+    * over the same `.envelopes` index the box queries prune through. */
+  private def zEventsDel(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_del"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_del").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts"),
+        Seq("user_id", "ts_us"), 16, out)
+      Layout.deleteWhere(spark, out,
+        Seq(("user_id", 3L, 6L), ("ts_us", EvTsLo, EvTsHi - 1)))
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Flat clustered events copy UPSERTED in place by [[Layout.upsert]]:
+    * every `event_id % 10 = 3` row replaced with a doubled `value` —
+    * candidate files located through event_id envelopes, key-disjoint
+    * files untouched. */
+  private def zEventsUpd(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_upd"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_upd").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      val updates = ev.filter(col("event_id") % 10 === 3)
+        .withColumn("value", col("value") * 2)
+      Layout.upsert(spark, out, updates, "event_id")
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Round-14 build (two-commit incremental events table + the
+    * small-file compaction fixture + the delete/upsert mutation
+    * fixtures), its own bench entry so q151/q159-q161 time serving
+    * only. */
+  def buildZorder14(spark: SparkSession, dir: String): Unit = {
+    zEventsIncr(spark, dir); zEventsCompacted(spark, dir)
+    zEventsDel(spark, dir); zEventsUpd(spark, dir); ()
+  }
+  private val R14Tables = Set("events_incr", "events_compact", "events_del", "events_upd")
   def invalidateZorder14(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R14Tables.contains(k.stripPrefix(s"$dir|"))
@@ -501,6 +562,57 @@ object LayoutQueries {
         max($"ts_us").as("mx_ts"))
   }
 
+  // ---------------------------------------------------------------- q159
+  /** q148's box over the COMPACTED copy: twelve small appended files per
+    * week partition rolled up by [[Layout.compactPartitions]] (coalesce
+    * only — no shuffle, no re-sort), envelope index refreshed in the
+    * same run, read as a PLAIN `read.filter` so the optimizer rule
+    * auto-prunes through the refreshed index. Compaction is layout-only:
+    * the oracle is the same original-table SQL. */
+  def q159CompactedBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopePruneRule.ensure(spark)
+    val z = spark.read.parquet(zEventsCompacted(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q160
+  /** The events box over the copy [[Layout.deleteWhere]] mutated: rows
+    * with `user_id 3..6` in the query week were deleted at FILE grain
+    * (drop-whole / rewrite / untouched classified over the envelope
+    * index, originals retired for snapshot readers, new manifest
+    * committed). The oracle applies the same deletion relationally to
+    * the original table — the mutation must equal the predicate. */
+  def q160DeleteWhereBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsDel(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q161
+  /** The events box over the copy [[Layout.upsert]] mutated: every
+    * `event_id % 10 = 3` row replaced with a doubled `value` (keyed
+    * file-level MERGE: candidate files via event_id envelopes, matched
+    * keys anti-joined out, updates appended, manifest committed). The
+    * oracle applies the same keyed update relationally. */
+  def q161UpsertBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsUpd(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
@@ -519,7 +631,10 @@ object LayoutQueries {
     "q153_envelope_grouped_agg"   -> q153EnvelopeGroupedAgg _,
     "q154_envelope_filtered_agg"  -> q154EnvelopeFilteredAgg _,
     "q155_sql_tf_time_travel"     -> q155SqlTfTimeTravel _,
-    "q156_envelope_sum_agg"       -> q156EnvelopeSumAgg _)
+    "q156_envelope_sum_agg"       -> q156EnvelopeSumAgg _,
+    "q159_compacted_box"          -> q159CompactedBox _,
+    "q160_delete_where_box"       -> q160DeleteWhereBox _,
+    "q161_upsert_box"             -> q161UpsertBox _)
 
   /** The layout-invariance oracle every events-box layout query shares:
     * same rows no matter how the copy was clustered, partitioned,
@@ -535,6 +650,27 @@ object LayoutQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q144_envelope_auto_prune"    -> EventsBoxOracle,
+    "q159_compacted_box"          -> EventsBoxOracle,
+    "q160_delete_where_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |  AND NOT (user_id BETWEEN 3 AND 6
+         |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
+    "q161_upsert_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type,
+         |        CASE WHEN event_id % 10 = 3 THEN value * 2 ELSE value END AS value
+         |      FROM events)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
     "q146_partitioned_pruned_box" -> EventsBoxOracle,
     "q147_sql_tf_pruned_read_ts"  -> EventsBoxOracle,
     "q148_partitioned_auto_prune" -> EventsBoxOracle,

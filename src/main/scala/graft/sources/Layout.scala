@@ -206,12 +206,94 @@ object Layout {
                         filesPerPartition: Int, scaling: String = "linear",
                         indexCols: Seq[String] = Nil, parallelism: Int = 1): Unit = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val (fs, work, retireTarget) = tableLeaves(spark, dir)
+    def rewriteLeaf(leaf: org.apache.hadoop.fs.Path): Unit =
+      if (fs.listStatus(leaf).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+        DirSwap.swapRewrite(spark, leaf.toString, retireTarget(leaf))(
+          cluster(_, cols, filesPerPartition, scaling))(
+          (d, out) => d.write.mode("overwrite").parquet(out))
+    forEachLeaf(work, parallelism)(rewriteLeaf)
+    writeEnvelopes(spark, dir, (cols ++ indexCols).distinct)
+    // commit the finished layout as a manifest snapshot: cross-process
+    // readers resolve this (or the previous, still-resolvable) complete
+    // file set through readSnapshot, never a half-swapped listing
+    Manifest.write(spark, dir)
+    ()
+  }
+
+  /** Small-file COMPACTION — the cheap nightly maintenance op, distinct
+    * from the full [[clusterPartitions]] OPTIMIZE: each leaf whose
+    * parquet files outnumber `ceil(leafBytes / targetFileBytes)` is
+    * rewritten into that many files with `coalesce` (NO shuffle, NO
+    * re-sort — existing z-order runs are concatenated, not destroyed),
+    * through the same crash-safe [[DirSwap]] + retirement machinery.
+    * Already-compact leaves are NOT touched (no swap, no write — the
+    * usual steady-state is most leaves skipping), which is what lets
+    * this run frequently where the sorting OPTIMIZE runs nightly.
+    *
+    * After any rewrite the `.envelopes` index is refreshed over
+    * `indexCols` — or, when empty, over the columns the EXISTING index
+    * covers (so a routinely-compacted table keeps its index without the
+    * caller re-stating the layout) — and a [[Manifest]] is committed.
+    * A run that rewrote nothing changes nothing: no index write, no
+    * manifest churn. Returns the number of leaves rewritten.
+    *
+    * WRITER-EXCLUSIVE like every swap maintainer; cross-process readers
+    * go through [[readSnapshot]]. At 100 TB this is the streaming-sink
+    * companion job: many small appended files per partition roll up
+    * into scan-efficient ones, leaf-parallel via `parallelism`. */
+  def compactPartitions(spark: SparkSession, dir: String, targetFileBytes: Long,
+                        indexCols: Seq[String] = Nil, parallelism: Int = 1): Long = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val (fs, work, retireTarget) = tableLeaves(spark, dir)
+    val rewritten = new java.util.concurrent.atomic.AtomicLong(0L)
+    def compactLeaf(leaf: org.apache.hadoop.fs.Path): Unit = {
+      val files = fs.listStatus(leaf)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (files.nonEmpty) {
+        val bytes = files.map(_.getLen).sum
+        val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+        if (files.length > target) {
+          DirSwap.swapRewrite(spark, leaf.toString, retireTarget(leaf))(
+            _.coalesce(target.toInt))(
+            (d, out) => d.write.mode("overwrite").parquet(out))
+          rewritten.incrementAndGet()
+          ()
+        }
+      }
+    }
+    forEachLeaf(work, parallelism)(compactLeaf)
+    if (rewritten.get > 0) {
+      val idx = if (indexCols.nonEmpty) indexCols else indexedColumns(spark, dir)
+      if (idx.nonEmpty) writeEnvelopes(spark, dir, idx)
+      Manifest.write(spark, dir)
+    }
+    rewritten.get
+  }
+
+  /** The columns the table's existing `.envelopes` index covers (parsed
+    * from its `min_<col>` field names); empty when no index exists. */
+  private[graft] def indexedColumns(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(envelopesPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else spark.read.parquet(envelopesPath(dir)).schema.fieldNames.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+  }
+
+  /** Shared preamble of the per-leaf maintenance loops: the table's leaf
+    * directories (hive partition leaves, or the root itself when flat)
+    * and the per-leaf retirement target (set once the table is
+    * manifest-maintained — every maintenance run commits a manifest, so
+    * that's from the second run on; the first has no prior snapshot to
+    * preserve). */
+  private def tableLeaves(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, Seq[org.apache.hadoop.fs.Path],
+         org.apache.hadoop.fs.Path => Option[String]) = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(root), s"clusterPartitions: no table at $dir")
-    // retire replaced generations once the table is manifest-maintained
-    // (every run commits one below, so that's from the second run on —
-    // the first run has no prior snapshot to preserve)
+    require(fs.exists(root), s"no table at $dir")
     val manifested = Manifest.isManifested(spark, dir)
     val qualRoot = fs.makeQualified(root).toString
     def leafRel(leaf: org.apache.hadoop.fs.Path): String = {
@@ -230,24 +312,25 @@ object Layout {
         .filterNot(d => d.getName.contains(".compact-")).toSeq
       if (subDirs.isEmpty) Seq(p) else subDirs.flatMap(leaves)
     }
-    def rewriteLeaf(leaf: org.apache.hadoop.fs.Path): Unit =
-      if (fs.listStatus(leaf).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
-        DirSwap.swapRewrite(spark, leaf.toString, retireTarget(leaf))(
-          cluster(_, cols, filesPerPartition, scaling))(
-          (d, out) => d.write.mode("overwrite").parquet(out))
-    val work = leaves(root)
-    if (parallelism == 1 || work.size <= 1) work.foreach(rewriteLeaf)
+    (fs, leaves(root), retireTarget)
+  }
+
+  /** Run one maintenance action per leaf, `parallelism`-wide from a
+    * driver thread pool. Propagates the FIRST failure, but only after
+    * every submitted leaf resolved — no leaf is left mid-swap by a
+    * sibling's error. */
+  private def forEachLeaf(work: Seq[org.apache.hadoop.fs.Path], parallelism: Int)(
+      action: org.apache.hadoop.fs.Path => Unit): Unit = {
+    if (parallelism == 1 || work.size <= 1) work.foreach(action)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, work.size))
       try {
         val futures = work.map { leaf =>
           pool.submit(new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = rewriteLeaf(leaf)
+            override def call(): Unit = action(leaf)
           })
         }
-        // propagate the FIRST failure, but only after every submitted
-        // leaf resolved — no leaf is left mid-swap by a sibling's error
         futures.flatMap(f => scala.util.Try(f.get()).failed.toOption)
           .headOption.foreach {
             case e: java.util.concurrent.ExecutionException => throw e.getCause
@@ -255,12 +338,6 @@ object Layout {
           }
       } finally pool.shutdown()
     }
-    writeEnvelopes(spark, dir, (cols ++ indexCols).distinct)
-    // commit the finished layout as a manifest snapshot: cross-process
-    // readers resolve this (or the previous, still-resolvable) complete
-    // file set through readSnapshot, never a half-swapped listing
-    Manifest.write(spark, dir)
-    ()
   }
 
   /** Per-FILE statistics of `cols` for a written table — min/max plus a
@@ -424,6 +501,179 @@ object Layout {
   def readChanges(spark: SparkSession, dir: String, fromSeq: Long,
                   toSeq: Option[Long] = None): DataFrame =
     Manifest.readChanges(spark, dir, fromSeq, toSeq)
+
+  /** Outcome of a [[deleteWhere]] / [[upsert]]: files dropped whole
+    * (index-proven every row affected — never even read), files
+    * rewritten (some rows affected), files left untouched (index-proven
+    * no row affected). */
+  final case class MutationStats(droppedFiles: Long, rewrittenFiles: Long,
+                                 untouchedFiles: Long)
+
+  /** DELETE the rows inside a box (`lo_i <= col_i <= hi_i` on every
+    * dimension; a NULL in any boxed column never matches, exactly as in
+    * SQL) from a FLAT manifest-maintained parquet table, touching only
+    * the files that need it. Work is classified per file over the
+    * `.envelopes` index:
+    *   - files the index PROVES disjoint from the box → untouched;
+    *   - files it proves entirely inside it (bounds within the box, zero
+    *     nulls on every dimension) → dropped whole, never read;
+    *   - the rest → rewritten without the matching rows.
+    * No usable index (or unsound stats — proofs are null-safe toward
+    * "rewrite") degrades to rewriting everything: always exact, never
+    * silently wrong. Commit protocol (writer-exclusive, like every
+    * maintenance verb): replacements are fully WRITTEN to a temp sibling
+    * first, then affected originals are RETIRED (so superseded manifest
+    * snapshots keep resolving them — cross-process [[readSnapshot]]
+    * readers racing the delete see only the old or the new complete
+    * set), replacements move in, the envelope index refreshes over the
+    * columns it already covered, and a new [[Manifest]] commits. A crash
+    * mid-way is healed by RE-RUNNING the same delete: the replacement
+    * write reads from the committed SNAPSHOT (retired files still
+    * resolve), so no outcome of the crash loses rows — the re-run may
+    * just rewrite more files than the index would have allowed. */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  box: Seq[(String, Any, Any)]): MutationStats = {
+    require(box.nonEmpty, "deleteWhere: empty box")
+    val cond = box.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val boxCols = box.map(_._1)
+    def classify(env: DataFrame): (Set[String], Set[String]) = {
+      val cols = env.columns.toSeq
+      if (!boxCols.forall(c => cols.contains(s"min_$c") && cols.contains(s"max_$c")))
+        return (Set.empty, Set.empty)
+      val miss = coalesce(boxMiss(cols, box), lit(false))
+      val full =
+        if (!boxCols.forall(c => cols.contains(s"nulls_$c"))) lit(false)
+        else coalesce(box.map { case (c, lo, hi) =>
+          col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
+            col(s"nulls_$c") === lit(0L)
+        }.reduce(_ && _), lit(false))
+      (collectFiles(env.filter(miss)), collectFiles(env.filter(full)))
+    }
+    mutateFiles(spark, dir, classify,
+      rewrite = _.filter(!coalesce(cond, lit(false))), extra = None)
+  }
+
+  /** UPSERT by unique key into a FLAT manifest-maintained parquet table:
+    * rows whose `keyCol` appears in `updates` are REPLACED, every
+    * `updates` row is present afterwards (so unmatched keys INSERT).
+    * File-level classification over the `.envelopes` index: a file whose
+    * [min_key, max_key] contains no update key is untouched; candidate
+    * files are rewritten without the matched keys; the updates append as
+    * new files — the Delta-MERGE core, at file grain. Index rows with
+    * NULL key stats classify as "rewrite" (never "untouched"), so a
+    * mixed-generation index can only cost I/O. `updates` must have the
+    * table's columns and UNIQUE, non-null keys (checked loudly — two
+    * update rows for one key have no defined winner). Same commit
+    * protocol and crash story as [[deleteWhere]]. */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+             keyCol: String): MutationStats = {
+    val keys = updates.select(col(keyCol)).cache()
+    try {
+      val (n, distinctN, nullN) = {
+        val r = keys.agg(count(lit(1)), countDistinct(col(keyCol)),
+          sum(when(col(keyCol).isNull, 1L).otherwise(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      require(nullN == 0L, s"upsert: $nullN update rows have a NULL $keyCol")
+      require(n == distinctN,
+        s"upsert: $keyCol is not unique in updates ($n rows, $distinctN keys)")
+      def classify(env: DataFrame): (Set[String], Set[String]) = {
+        val cols = env.columns.toSeq
+        if (!cols.contains(s"min_$keyCol") || !cols.contains(s"max_$keyCol"))
+          return (Set.empty, Set.empty)
+        // null key stats (mixed-generation rows) must NOT classify as
+        // miss: restrict the anti-join to rows whose proof can run
+        val valid = env.filter(col(s"min_$keyCol").isNotNull &&
+          col(s"max_$keyCol").isNotNull)
+        val miss = valid.join(keys,
+          keys(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_anti")
+        (collectFiles(miss), Set.empty)
+      }
+      mutateFiles(spark, dir, classify,
+        rewrite = _.join(keys, Seq(keyCol), "left_anti"), extra = Some(updates))
+    } finally { keys.unpersist(); () }
+  }
+
+  private def collectFiles(env: DataFrame): Set[String] =
+    env.select("file").distinct().collect().map(r => normPath(r.getString(0))).toSet
+
+  /** Shared core of the mutation verbs — see [[deleteWhere]] for the
+    * commit protocol. `classify` maps the envelope index to (untouched,
+    * dropped-whole) file sets; everything else rewrites through
+    * `rewrite`; `extra` rows (an upsert's updates) append verbatim. */
+  private def mutateFiles(spark: SparkSession, dir: String,
+                          classify: DataFrame => (Set[String], Set[String]),
+                          rewrite: DataFrame => DataFrame,
+                          extra: Option[DataFrame]): MutationStats = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no table at $dir")
+    require(!fs.listStatus(root).exists(s => s.isDirectory &&
+      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_")),
+      s"deleteWhere/upsert: $dir looks hive-partitioned; the mutation verbs " +
+        "support flat tables (partitioned support would rewrite per leaf)")
+    // the manifest is the commit mechanism: bootstrap the first commit
+    if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
+    val snap = readSnapshot(spark, dir)
+    val fileMap = snap.inputFiles.map(f => normPath(f) -> f).toMap
+    val files = fileMap.keySet
+    val envPath = new org.apache.hadoop.fs.Path(envelopesPath(dir))
+    val (missAll, fullAll) =
+      if (!fs.exists(envPath)) (Set.empty[String], Set.empty[String])
+      else classify(spark.read.parquet(envelopesPath(dir)))
+    // a re-run after a crash resolves retired paths, which no index row
+    // names — they fall to "rewrite", the safe class
+    val untouched = files.intersect(missAll)
+    val dropped = files.intersect(fullAll) -- untouched
+    val partial = (files -- untouched -- dropped).toSeq.sorted
+    require(untouched.nonEmpty || partial.nonEmpty || extra.nonEmpty,
+      s"mutation would remove every row of $dir; an empty table is not " +
+        "representable in a manifest — keep at least one row or drop the table")
+    val schema = snap.schema
+    // 1) WRITE replacements fully, before anything moves: the read
+    //    consumes the to-be-retired originals
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".mutate-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val kept = if (partial.isEmpty) None
+               else Some(rewrite(spark.read.schema(schema).parquet(partial.map(fileMap): _*)))
+    val replacement = (kept, extra.map(_.select(schema.fieldNames.map(col): _*))) match {
+      case (Some(k), Some(e)) => Some(k.unionByName(e))
+      case (k, e)             => k.orElse(e)
+    }
+    replacement.foreach(_.write.mode("overwrite").parquet(tmp.toString))
+    // 2) RETIRE affected originals (move-if-present: a re-run may find
+    //    some already retired); superseded manifests keep resolving them
+    val retiredBase = new org.apache.hadoop.fs.Path(Manifest.retiredPath(dir))
+    val liveRoot = normPath(fs.makeQualified(root).toString)
+    (dropped ++ partial).foreach { f =>
+      val src = new org.apache.hadoop.fs.Path(fileMap(f))
+      if (fs.exists(src) && f.startsWith(liveRoot + "/")) {
+        fs.mkdirs(retiredBase)
+        val dst = new org.apache.hadoop.fs.Path(retiredBase, src.getName)
+        require(!fs.exists(dst), s"mutation: retirement collision at $dst")
+        require(fs.rename(src, dst), s"mutation: could not retire $src")
+      }
+    }
+    // 3) move replacements in as normal files (unique part-file names)
+    if (fs.exists(tmp)) {
+      fs.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          require(fs.rename(s.getPath, new org.apache.hadoop.fs.Path(root, s.getPath.getName)),
+            s"mutation: could not promote ${s.getPath}")
+        }
+      fs.delete(tmp, true)
+    }
+    require(fs.listStatus(root).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
+      s"mutation removed every row of $dir; an empty table is not " +
+        "representable in a manifest — keep at least one row or drop the table")
+    // 4) refresh the index over the columns it already covered, commit
+    val idx = indexedColumns(spark, dir)
+    if (idx.nonEmpty) writeEnvelopes(spark, dir, idx)
+    Manifest.write(spark, dir)
+    MutationStats(dropped.size.toLong, partial.size.toLong, untouched.size.toLong)
+  }
 
   /** Read a swap-maintained table AFTER healing any interrupted
     * [[DirSwap]] state — the sanctioned SAME-PROCESS reader entry point

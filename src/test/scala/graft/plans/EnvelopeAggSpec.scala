@@ -244,6 +244,26 @@ class EnvelopeAggSpec extends AnyFunSuite {
     }
   }
 
+  test("composes with manifest snapshots: agg over readSnapshot answers from the index") {
+    val df = (1 to 6000).map(i => (i % 3, i.toLong)).toDF("g", "x")
+    val dir = freshDir("env-agg-snap")
+    df.write.partitionBy("g").parquet(dir)
+    // the maintenance run writes BOTH the envelope index and the manifest,
+    // so the snapshot's pinned file set equals the indexed set exactly
+    Layout.clusterPartitions(spark, dir, Seq("x"), filesPerPartition = 2,
+      indexCols = Seq("g"))
+    def q() = Layout.readSnapshot(spark, dir).groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"x").as("mn"), max($"x").as("mx"), sum($"x").as("sx"))
+    withRule(true) {
+      val roots = scanRoots(q())
+      assert(roots.nonEmpty && roots.forall(_.endsWith(".envelopes")),
+        s"snapshot agg should be index-only:\n${q().queryExecution.optimizedPlan}")
+      assert(q().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+        Map(0 -> 2000L, 1 -> 2000L, 2 -> 2000L))
+    }
+    sameRows(() => q())
+  }
+
   test("per-file sum overflow: index build survives (try_sum), sum declines, min/max fire") {
     val dir = freshDir("env-agg-ovf")
     // 100 values near Long.Max/50: the file's true sum is ~2x Long.Max —

@@ -323,4 +323,39 @@ class LayoutSpec extends AnyFunSuite {
     // and the rewrite is row-preserving on disk
     assert(spark.read.parquet(s"$base/zord").collect().toSet == df.collect().toSet)
   }
+
+  test("compactPartitions: small files roll up, compact leaves untouched, index follows") {
+    val dir = Files.createTempDirectory("graft-compact").resolve("t").toString
+    val df = (1 to 4000).map(i => (i % 2, i.toLong, (i * 3).toLong)).toDF("g", "x", "v")
+    // leaf g=0: 8 tiny files; leaf g=1: already one file
+    df.filter($"g" === 0).repartition(8).write.parquet(s"$dir/g=0")
+    df.filter($"g" === 1).coalesce(1).write.parquet(s"$dir/g=1")
+    Layout.writeEnvelopes(spark, dir, Seq("x", "g"))
+    val before = spark.read.parquet(dir).collect().toSet
+    def leafFiles(leaf: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$leaf")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toSeq.sortBy(_._1)
+    }
+    val g1Before = leafFiles("g=1")
+    // huge target => every leaf should be ONE file; only g=0 needs rewriting
+    val n = Layout.compactPartitions(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1L, s"exactly the small-file leaf rewrites, got $n")
+    assert(leafFiles("g=0").size == 1, "8 tiny files rolled into one")
+    assert(leafFiles("g=1") == g1Before, "already-compact leaf untouched (no swap, no write)")
+    assert(spark.read.parquet(dir).collect().toSet == before, "row-preserving")
+    // the index was refreshed over the SAME columns it already covered
+    // (derived from the index, not re-stated) — so the stats-only agg
+    // rule's exact file-set gate passes over the compacted table
+    assert(Layout.indexedColumns(spark, dir).toSet == Set("x", "g"))
+    val idxFiles = spark.read.parquet(Layout.envelopesPath(dir))
+      .select("file").distinct().collect().map(r => Layout.normPath(r.getString(0))).toSet
+    assert(idxFiles == spark.read.parquet(dir).inputFiles.map(Layout.normPath).toSet)
+    assert(Manifest.latestSeq(spark, dir).isDefined, "compaction committed a manifest")
+    // steady state: a second run rewrites nothing and commits nothing
+    val seq1 = Manifest.latestSeq(spark, dir).get
+    assert(Layout.compactPartitions(spark, dir, targetFileBytes = 1L << 30) == 0L)
+    assert(Manifest.latestSeq(spark, dir).contains(seq1), "no-op run must not churn the manifest")
+  }
 }

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mutation verbs (deleteWhere / upsert): file-level work
+  * classification over the envelope index (drop whole / rewrite /
+  * untouched), exact results incl. SQL null semantics, manifest
+  * time travel across a mutation, the no-index degradation, and the
+  * loud guards. */
+class MutationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def leafFiles(dir: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toSeq.sortBy(_._1)
+  }
+
+  test("deleteWhere: drop-whole / rewrite / untouched classification, exact rows, time travel") {
+    val dir = freshDir("graft-del")
+    // four single-file chunks with known x-ranges:
+    //   A [0,99]    entirely inside the delete box -> dropped whole
+    //   B [200,299] disjoint                        -> untouched
+    //   C [100,199] straddles the box edge          -> rewritten
+    //   D all-null x                                -> untouched (nulls never match)
+    (0L to 99L).toDF("x").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).toDF("x").coalesce(1).write.mode("append").parquet(dir)
+    (100L to 199L).toDF("x").coalesce(1).write.mode("append").parquet(dir)
+    Seq.fill(10)(Option.empty[Long]).toDF("x").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val bFile = leafFiles(dir) // captured for the untouched check below
+
+    val stats = Layout.deleteWhere(spark, dir, Seq(("x", 0L, 150L)))
+    assert(stats == Layout.MutationStats(droppedFiles = 1, rewrittenFiles = 1,
+      untouchedFiles = 2), s"classification: $stats")
+    val xs = spark.read.parquet(dir).as[Option[Long]].collect()
+    assert(xs.flatten.sorted.toSeq == (151L to 299L), "exactly the box deleted")
+    assert(xs.count(_.isEmpty) == 10, "null rows never match a box")
+    // untouched files really were not rewritten (same names + mtimes)
+    val after = leafFiles(dir).toMap
+    assert(bFile.count { case (n, m) => after.get(n).contains(m) } == 2)
+    // the index followed the mutation: it covers exactly the current files
+    val idxFiles = spark.read.parquet(Layout.envelopesPath(dir))
+      .select("file").distinct().collect().map(r => Layout.normPath(r.getString(0))).toSet
+    assert(idxFiles == spark.read.parquet(dir).inputFiles.map(Layout.normPath).toSet)
+    // TIME TRAVEL: the pre-delete snapshot still resolves (retired files)
+    val seqNow = Manifest.latestSeq(spark, dir).get
+    assert(Layout.readSnapshot(spark, dir, Some(seqNow - 1)).count() == 310L)
+    assert(Layout.readSnapshot(spark, dir).count() == 159L)
+    // steady state: the same delete again touches nothing
+    assert(Layout.deleteWhere(spark, dir, Seq(("x", 0L, 150L))) ==
+      Layout.MutationStats(0, 0, 3))
+  }
+
+  test("upsert: replace matched keys, insert new ones, skip key-disjoint files") {
+    val dir = freshDir("graft-ups")
+    (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    val updates = ((50L to 59L) ++ (1000L to 1004L)).map(k => (k, -k)).toDF("k", "v")
+    val stats = Layout.upsert(spark, dir, updates, "k")
+    assert(stats == Layout.MutationStats(droppedFiles = 0, rewrittenFiles = 1,
+      untouchedFiles = 1), s"classification: $stats")
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 205)
+    assert((0L to 49L).forall(k => got(k) == k * 10L), "unmatched rows intact")
+    assert((50L to 59L).forall(k => got(k) == -k), "matched keys replaced")
+    assert((1000L to 1004L).forall(k => got(k) == -k), "new keys inserted")
+    assert((200L to 299L).forall(k => got(k) == k * 10L), "disjoint file intact")
+    // guards: duplicate and null keys fail loudly
+    intercept[IllegalArgumentException] {
+      Layout.upsert(spark, dir, Seq((1L, 1L), (1L, 2L)).toDF("k", "v"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.upsert(spark, dir,
+        Seq((Option.empty[Long], 1L)).toDF("k", "v"), "k")
+    }
+  }
+
+  test("no index: deleteWhere degrades to rewriting everything — still exact") {
+    val dir = freshDir("graft-del-noidx")
+    (0L to 99L).toDF("x").coalesce(2).write.parquet(dir)
+    val stats = Layout.deleteWhere(spark, dir, Seq(("x", 10L, 19L)))
+    assert(stats.droppedFiles == 0 && stats.untouchedFiles == 0 &&
+      stats.rewrittenFiles == 2, s"no index -> all rewritten: $stats")
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq ==
+      ((0L to 9L) ++ (20L to 99L)))
+  }
+
+  test("deleting every row fails loudly (manifests cannot commit an empty table)") {
+    val dir = freshDir("graft-del-all")
+    (0L to 9L).toDF("x").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    intercept[IllegalArgumentException] {
+      Layout.deleteWhere(spark, dir, Seq(("x", 0L, 9L)))
+    }
+  }
+}
