@@ -114,7 +114,9 @@ object Bench {
     "q159_compacted_box",
     // round 14: boxes over deleteWhere/upsert-mutated copies (mutations
     // timed inside q151_manifest_build)
-    "q160_delete_where_box", "q161_upsert_box")
+    "q160_delete_where_box", "q161_upsert_box",
+    // round 14: URL/domain blocklist filtering
+    "q162_domain_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

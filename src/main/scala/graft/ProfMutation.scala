@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+/** Scratch profiler (not part of the driver contract; safe to delete):
+  * what does file-grain mutation buy over the naive full rewrite? A
+  * 640-file clustered table, a delete box the envelope index localizes
+  * to a handful of files, and an upsert touching a narrow key range —
+  * timed against reading and rewriting the whole table. */
+object ProfMutation {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("prof-mutation").toString
+    def mk(name: String, n: Long): String = {
+      val dir = s"$base/$name"
+      val df = spark.range(n).select($"id".as("k"),
+        pmod(hash($"id" * 7L), lit(1 << 20)).cast("long").as("v"),
+        sha2(concat($"id".cast("string"), lit("pad")), 256).as("payload"))
+      Layout.clusterWrite(df, Seq("k"), 640, dir)
+      dir
+    }
+    def timeMs(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+    }
+
+    // sweep table size at fixed file count: the file-grain delete's cost
+    // is metadata + the affected files; the naive full rewrite's cost is
+    // the whole table — the gap must widen with size
+    for (n <- Seq(2000000L, 8000000L, 32000000L)) {
+      val del = mk(s"del$n", n)
+      val tDel = timeMs {
+        val s = Layout.deleteWhere(spark, del, Seq(("k", 10000L, 19999L)))
+        println(s"  deleteWhere stats: $s")
+      }
+      val full = mk(s"full$n", n)
+      val tFull = timeMs {
+        val kept = spark.read.parquet(full).filter(!($"k".between(10000L, 19999L)))
+        kept.write.mode("overwrite").parquet(s"$base/full$n-out")
+      }
+      println(f"rows=$n%-9d delete 10k: file-grain ${tDel}%8.1f ms  full rewrite ${tFull}%8.1f ms  (${tFull / tDel}%4.1fx)")
+    }
+
+    // upsert 5k keys in one narrow range, largest size only
+    val n = 32000000L
+    val ups = mk("ups", n)
+    val updates = spark.range(20000L, 25000L).select($"id".as("k"), lit(-1L).as("v"),
+      lit("upd").as("payload"))
+    val tUps = timeMs {
+      val s = Layout.upsert(spark, ups, updates, "k")
+      println(s"  upsert stats: $s")
+    }
+    val full2 = mk("full2", n)
+    val tFull2 = timeMs {
+      val kept = spark.read.parquet(full2).join(updates.select("k"), Seq("k"), "left_anti")
+      kept.unionByName(updates).write.mode("overwrite").parquet(s"$base/full2-out")
+    }
+    println(f"rows=$n%-9d upsert 5k:  file-grain ${tUps}%8.1f ms  full rewrite ${tFull2}%8.1f ms  (${tFull2 / tUps}%4.1fx)")
+  }
+}

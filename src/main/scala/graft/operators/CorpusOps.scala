@@ -849,6 +849,36 @@ object CorpusOps {
       .withColumn("kept", col("canonical_id") === col(idCol))
       .select(col(idCol), col("canonical_id"), col("cluster_size"), col("kept"))
 
+  /** Lower-cased host of a URL — scheme, userinfo, port, and path
+    * stripped by one regex in the Java-regex ∩ RE2 common dialect, so
+    * the DuckDB oracle extracts the identical host. Non-URLs yield the
+    * empty string (Spark's regexp_extract convention on no-match). */
+  val UrlHostPattern = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, UrlHostPattern, 1))
+
+  /** URL/domain filtering (the RefinedWeb-style blocklist pass): each
+    * document's host is extracted, matched against `blocked` —
+    * REGISTRABLE-domain semantics: a block on `example.com` also blocks
+    * `a.b.example.com`, never `notexample.com` — and the decision table
+    * (host, matched blocking domain, keep flag) is returned per
+    * document. The blocklist is a literal list folded into the plan
+    * (codegen'd per-row suffix tests, zero shuffles at any scale); a
+    * table-sized blocklist would broadcast-join on the reversed-host
+    * prefix instead — this is the common small-list case. */
+  def domainFilter(docs: DataFrame, idCol: String, urlCol: String,
+                   blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "domainFilter: empty blocklist")
+    require(blocked.forall(d => d.nonEmpty && d == d.toLowerCase && !d.contains("/")),
+      s"domainFilter: blocklist entries must be bare lower-case domains, got $blocked")
+    val host = urlHost(col(urlCol))
+    val matched = blocked.foldLeft(lit(null).cast("string")) { (acc, d) =>
+      coalesce(acc, when(host === lit(d) || host.endsWith(lit("." + d)), lit(d)))
+    }
+    docs.select(col(idCol), host.as("host"), matched.as("blocked_by"),
+      matched.isNull.as("kept"))
+  }
+
   /** PII patterns shared by [[piiScrub]] and its DuckDB oracle — written
     * in the Java-regex ∩ RE2 common dialect (no backreferences, no
     * lookaround) so both engines match the same spans. */

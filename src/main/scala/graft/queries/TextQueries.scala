@@ -677,7 +677,26 @@ object TextQueries {
     CorpusOps.lineDedup(lined, "doc_id", "text")
   }
 
+  // ---------------------------------------------------------------- q162
+  /** URL/domain blocklist filtering with DETERMINISTICALLY SYNTHESIZED
+    * URLs (the corpus has none): every document gets
+    * `https://[ads.]<source>.example.com/p/<id>`, and
+    * [[CorpusOps.domainFilter]] must extract the host and apply
+    * registrable-domain semantics — blocking `src3.example.com` also
+    * blocks `ads.src3.example.com`, never a lookalike suffix. The
+    * oracle reconstructs host + first-match decision relationally. */
+  def q162DomainFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urled = Tables(spark, dir).documents.select($"doc_id",
+      concat(lit("https://"),
+        when($"doc_id" % 5 === 0, lit("ads.")).otherwise(lit("")),
+        $"source", lit(".example.com/p/"), $"doc_id".cast("string")).as("url"))
+    CorpusOps.domainFilter(urled, "doc_id", "url",
+      Seq("src3.example.com", "ads.src7.example.com"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_domain_filter" -> q162DomainFilter _,
     "q157_pii_scrub"  -> q157PiiScrub _,
     "q158_line_dedup" -> q158LineDedup _,
     "q99_curation_decisions" -> q99CurationDecisions _,
@@ -941,6 +960,26 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q162_domain_filter" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://' || CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END
+         |      || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '${CorpusOps.UrlHostPattern}', 1)) AS host
+         |  FROM u),
+         |d AS (
+         |  SELECT doc_id, host,
+         |    CASE
+         |      WHEN host = 'src3.example.com'
+         |        OR host LIKE '%.src3.example.com' THEN 'src3.example.com'
+         |      WHEN host = 'ads.src7.example.com'
+         |        OR host LIKE '%.ads.src7.example.com' THEN 'ads.src7.example.com'
+         |    END AS blocked_by
+         |  FROM h)
+         |SELECT doc_id, host, blocked_by, blocked_by IS NULL AS kept FROM d""".stripMargin,
     "q157_pii_scrub" -> {
       val em = CorpusOps.EmailPattern
       val ip = CorpusOps.Ipv4Pattern

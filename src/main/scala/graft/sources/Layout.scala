@@ -349,11 +349,19 @@ object Layout {
     * Distributed: one scan, one row per file. Partitioned dirs work —
     * partition columns are part of the scanned schema, so indexing them
     * gives per-file envelopes that prune whole partitions. */
-  def fileEnvelopes(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
-    val df = spark.read.parquet(dir)
-    df.groupBy(input_file_name().as("file"))
+  def fileEnvelopes(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    envelopeStats(spark.read.parquet(dir), cols)
+
+  /** `file` is stored NORMALIZED ([[normPath]]) so incremental index
+    * maintenance can remove a file's row by plain equality; every reader
+    * normalizes collected values anyway, so mixed-form legacy rows still
+    * serve (they just can't be removed incrementally — a full
+    * [[writeEnvelopes]] heals). */
+  private val normPathUdf = udf((s: String) => normPath(s))
+
+  private def envelopeStats(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(normPathUdf(input_file_name()).as("file"))
       .agg(count(lit(1)).as("rows"), cols.flatMap(envAggs(df)): _*)
-  }
 
   /** The per-column envelope aggregates: min/max/null-count always, plus
     * a per-file SUM for integral columns (float/double sums are
@@ -401,12 +409,37 @@ object Layout {
   def appendEnvelopes(spark: SparkSession, dir: String, files: Seq[String],
                       cols: Seq[String]): Unit = {
     if (files.isEmpty) return
-    val df = spark.read.parquet(files: _*)
-    df.groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("rows"), cols.flatMap(envAggs(df)): _*)
+    envelopeStats(spark.read.parquet(files: _*), cols)
       .coalesce(1)
       .write.mode("append").parquet(envelopesPath(dir))
   }
+
+  /** INCREMENTAL index maintenance for a mutation that replaced some
+    * files: drop the index rows of `removed` (matched by normalized
+    * path, so legacy unnormalized rows simply stay — harmless: a row
+    * for a file no longer in the listing can never cause a skip, and
+    * the stats-agg rule's exact-set gate just declines) and append
+    * fresh stats over `added` only — O(index rows + new-file bytes),
+    * never a table scan. The index dir is rewritten through the
+    * crash-safe [[graft.operators.DirSwap]] like the streaming sink's
+    * index compaction. */
+  private def refreshEnvelopesIncremental(spark: SparkSession, dir: String,
+      cols: Seq[String], removed: Set[String], added: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val newStats =
+      if (added.isEmpty) None
+      else Some(envelopeStats(spark.read.schema(schema).parquet(added: _*), cols))
+    val removedDf = { import spark.implicits._; removed.toSeq.toDF("rfile") }
+    graft.operators.DirSwap.swapRewrite(spark, envelopesPath(dir))(env => {
+      val kept = env.join(removedDf,
+        normPathUdf(env("file")) === removedDf("rfile"), "left_anti")
+      // allowMissingColumns: an old-generation index may lack columns
+      // the fresh stats carry (e.g. sum_) or vice versa — the union
+      // fills NULLs, and the agg rule's soundness probe handles them
+      newStats.fold(kept)(ns => kept.unionByName(ns, allowMissingColumns = true))
+    })((d, out) => d.coalesce(1).write.mode("overwrite").parquet(out))
+  }
+
 
   /** The per-file MISS predicate over an envelope table for a box
     * `lo_i <= col_i <= hi_i`: true when the file PROVABLY holds no
@@ -657,21 +690,30 @@ object Layout {
       }
     }
     // 3) move replacements in as normal files (unique part-file names)
+    val movedIn = Seq.newBuilder[String]
     if (fs.exists(tmp)) {
       fs.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .foreach { s =>
-          require(fs.rename(s.getPath, new org.apache.hadoop.fs.Path(root, s.getPath.getName)),
-            s"mutation: could not promote ${s.getPath}")
+          val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+          require(fs.rename(s.getPath, dst), s"mutation: could not promote ${s.getPath}")
+          movedIn += fs.makeQualified(dst).toString
         }
       fs.delete(tmp, true)
     }
     require(fs.listStatus(root).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
       s"mutation removed every row of $dir; an empty table is not " +
         "representable in a manifest — keep at least one row or drop the table")
-    // 4) refresh the index over the columns it already covered, commit
+    // 4) maintain the index INCREMENTALLY — drop the retired files' rows,
+    //    append stats over just the new files (never a table scan) — then
+    //    commit
     val idx = indexedColumns(spark, dir)
-    if (idx.nonEmpty) writeEnvelopes(spark, dir, idx)
-    Manifest.write(spark, dir)
+    if (idx.nonEmpty)
+      refreshEnvelopesIncremental(spark, dir, idx,
+        removed = dropped ++ partial, added = movedIn.result(), schema = schema)
+    // flat table: the partition schema is empty and the data schema is
+    // the snapshot's — passing them skips the commit's footer inference
+    Manifest.write(spark, dir,
+      schemas = Some((schema, new org.apache.spark.sql.types.StructType())))
     MutationStats(dropped.size.toLong, partial.size.toLong, untouched.size.toLong)
   }
 

@@ -53,6 +53,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2).getString(1) == "" && out(2).getLong(2) == 0L)
   }
 
+  test("domainFilter: registrable-domain semantics, lookalikes kept, non-URLs kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "https://bad.com/x"),                    // exact block
+      (1L, "https://a.b.bad.com/x?q=1"),            // subdomain blocked
+      (2L, "https://notbad.com/x"),                 // lookalike suffix kept
+      (3L, "HTTPS://user:pw@BAD.COM:8443/path"),    // case/userinfo/port stripped
+      (4L, "plain text, not a url"),                // no host -> kept
+      (5L, "https://ok.org/y")
+    ).toDF("doc_id", "url")
+    val out = CorpusOps.domainFilter(docs, "doc_id", "url", Seq("bad.com"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("bad.com", "a.b.bad.com", "notbad.com", "bad.com", "", "ok.org"))
+    assert(out.map(r => Option(r.getString(2))).toSeq ==
+      Seq(Some("bad.com"), Some("bad.com"), None, Some("bad.com"), None, None))
+    assert(out.map(_.getBoolean(3)).toSeq ==
+      Seq(false, false, true, false, true, true))
+    intercept[IllegalArgumentException] {
+      CorpusOps.domainFilter(docs, "doc_id", "url", Seq("Bad.com"))
+    }
+  }
+
   test("packSequences: offsets, boundary spans, empty and oversize docs") {
     import spark.implicits._
     // one shard (nShards=1) so the stream is fully deterministic here:

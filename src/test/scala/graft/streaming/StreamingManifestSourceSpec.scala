@@ -107,6 +107,49 @@ class StreamingManifestSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a deleteWhere commit under a live tail: fail stops loudly, redeliver ships replacements") {
+    val dir = tmp("manifest-src-del") + "/t"
+    import scala.jdk.CollectionConverters._
+    // three single-file chunks with known x-ranges
+    (1L to 100L).map(x => (x, x % 5)).toDF("x", "y")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (101L to 200L).map(x => (x, x % 5)).toDF("x", "y")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (201L to 300L).map(x => (x, x % 5)).toDF("x", "y")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    Manifest.write(spark, dir)
+    // fail mode: a DELETE removes files between commits -> loud stop
+    val got = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = tail(dir, tmp("manifest-src-del-cp1"), got,
+      Map("startingSeq" -> "earliest", "onRewrite" -> "fail"))
+    try {
+      q.processAllAvailable()
+      assert(got.size == 300)
+      Layout.deleteWhere(spark, dir, Seq(("x", 1L, 100L))) // drops chunk 1 whole
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+      assert(messages(ex).contains("maintenance rewrite"),
+        s"a delete commit must trip onRewrite=fail: ${messages(ex).take(300)}")
+    } finally q.stop()
+    // redeliver mode (default): a fresh tail sees the next delete's
+    // REPLACEMENT file — the kept rows of the rewritten chunk, never the
+    // deleted ones (the documented file-level-CDC trade)
+    val got2 = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q2 = tail(dir, tmp("manifest-src-del-cp2"), got2,
+      Map("startingSeq" -> "latest"))
+    try {
+      q2.processAllAvailable()
+      assert(got2.isEmpty)
+      Layout.deleteWhere(spark, dir, Seq(("x", 101L, 150L))) // rewrites chunk 2
+      q2.processAllAvailable()
+      val xs = got2.asScala.map(_._1).toSet
+      assert(xs == (151L to 200L).toSet,
+        s"the delta must be exactly the rewritten chunk's kept rows: $xs")
+    } finally q2.stop()
+  }
+
   test("the ecosystem loop: a selfClusteringSink table tailed downstream, commit-aligned") {
     val table = tmp("manifest-src-loop") + "/t"
     val cp = tmp("manifest-src-loop-cp")
