@@ -115,8 +115,8 @@ object Bench {
     // round 14: boxes over deleteWhere/upsert-mutated copies (mutations
     // timed inside q151_manifest_build)
     "q160_delete_where_box", "q161_upsert_box",
-    // round 14: URL/domain blocklist filtering
-    "q162_domain_filter")
+    // round 14: URL/domain blocklist filtering + table-stats introspection
+    "q162_domain_filter", "q163_table_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -67,6 +67,10 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *  - `graft_read_changes(path, from_seq [, to_seq])` — file-level CDC:
   *    rows of the files present in `to_seq` (default latest) but absent
   *    from `from_seq`; the incremental-consumption primitive
+  *  - `graft_table_stats(path)` — one-row physical-state summary
+  *    (files, bytes, manifest seq, indexed columns, and an exact
+  *    metadata-only row count when the envelope index provably covers
+  *    the current listing; NULL otherwise — never a scan)
   *  - `graft_connected_components(pairs_view, a_col, b_col
   *    [, algorithm])` — `propagation` (default) or `stars`; the
   *    ITERATIVE driver loop runs when the query analyzes, the
@@ -192,6 +196,16 @@ object GraftTableFunctions {
       lng(fn, args, 1), opt(args, 2)(lng(fn, args, 2))).queryExecution.analyzed
   }
 
+  /** One-row physical-state summary (the DESCRIBE DETAIL role): files,
+    * bytes, manifest seq, indexed columns, and an exact metadata-only
+    * row count when the envelope index provably covers the current
+    * listing (NULL otherwise — never a scan). */
+  private def tableStatsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_table_stats"
+    arity(fn, args, 1, 1)
+    graft.sources.Layout.tableStats(sess(), str(fn, args, 0)).queryExecution.analyzed
+  }
+
   private def connectedComponentsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_connected_components"
     arity(fn, args, 3, 4)
@@ -305,7 +319,10 @@ object GraftTableFunctions {
     (new FunctionIdentifier("graft_connected_components"),
       info("graft_connected_components",
         "graft_connected_components(pairs_view, a_col, b_col[, algorithm])"),
-      connectedComponentsBuilder(sess) _))
+      connectedComponentsBuilder(sess) _),
+    (new FunctionIdentifier("graft_table_stats"),
+      info("graft_table_stats", "graft_table_stats(path)"),
+      tableStatsBuilder(sess) _))
 
   /** The [[GraftExtensions]] registration set: builders resolve through
     * `SparkSession.active` (no session exists at injection time — see the

@@ -613,6 +613,18 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q163
+  /** `graft_table_stats` over the clustered events copy: the one-row
+    * DESCRIBE-DETAIL surface whose `n_rows` is computed from the
+    * envelope index alone — exact only because the index provably
+    * covers the current listing — pinned against a real `count(*)`
+    * over the original table. */
+  def q163TableStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    val path = zEventsUs(spark, dir)
+    spark.sql(s"SELECT n_rows FROM graft_table_stats('$path')")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
@@ -634,7 +646,8 @@ object LayoutQueries {
     "q156_envelope_sum_agg"       -> q156EnvelopeSumAgg _,
     "q159_compacted_box"          -> q159CompactedBox _,
     "q160_delete_where_box"       -> q160DeleteWhereBox _,
-    "q161_upsert_box"             -> q161UpsertBox _)
+    "q161_upsert_box"             -> q161UpsertBox _,
+    "q163_table_stats"            -> q163TableStats _)
 
   /** The layout-invariance oracle every events-box layout query shares:
     * same rows no matter how the copy was clustered, partitioned,
@@ -651,6 +664,7 @@ object LayoutQueries {
   val oracleSql: Map[String, String] = Map(
     "q144_envelope_auto_prune"    -> EventsBoxOracle,
     "q159_compacted_box"          -> EventsBoxOracle,
+    "q163_table_stats" -> "SELECT count(*) AS n_rows FROM events",
     "q160_delete_where_box" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,

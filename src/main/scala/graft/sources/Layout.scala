@@ -535,6 +535,44 @@ object Layout {
                   toSeq: Option[Long] = None): DataFrame =
     Manifest.readChanges(spark, dir, fromSeq, toSeq)
 
+  /** One-row physical-state summary of a parquet table (the DESCRIBE
+    * DETAIL role): file count and bytes from one recursive listing,
+    * manifest seq, the columns the `.envelopes` index covers, and
+    * `n_rows` — EXACT and metadata-only when the index provably covers
+    * exactly the current file set (the same gate the stats-agg rule
+    * uses), NULL otherwise (never a guess, never a table scan). */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"tableStats: no table at $dir")
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_") || n.contains(".compact-")) Nil
+        else if (s.isDirectory) walk(s.getPath)
+        else if (n.endsWith(".parquet")) Seq(s)
+        else Nil
+      }
+    val files = walk(root)
+    val idxCols = indexedColumns(spark, dir)
+    val nRows: Option[Long] =
+      if (idxCols.isEmpty) None
+      else {
+        val perFile = spark.read.parquet(envelopesPath(dir))
+          .groupBy(col("file")).agg(min(col("rows")).as("rows"))
+          .collect().map(r => normPath(r.getString(0)) -> r.getLong(1))
+        val current = files.map(s => normPath(s.getPath.toString)).toSet
+        if (perFile.map(_._1).toSet == current) Some(perFile.map(_._2).sum)
+        else None
+      }
+    import spark.implicits._
+    Seq((dir, files.size.toLong, files.map(_.getLen).sum, nRows,
+      Manifest.latestSeq(spark, dir),
+      if (idxCols.isEmpty) None else Some(idxCols.mkString(","))))
+      .toDF("path", "n_files", "size_bytes", "n_rows", "manifest_seq",
+        "indexed_columns")
+  }
+
   /** Outcome of a [[deleteWhere]] / [[upsert]]: files dropped whole
     * (index-proven every row affected — never even read), files
     * rewritten (some rows affected), files left untouched (index-proven

@@ -324,6 +324,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/zord").collect().toSet == df.collect().toSet)
   }
 
+  test("tableStats: metadata-exact n_rows iff the index covers the listing; stale -> NULL") {
+    val dir = Files.createTempDirectory("graft-tstats").resolve("t").toString
+    (1L to 500L).map(x => (x, x % 3)).toDF("x", "g")
+      .coalesce(2).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val r = Layout.tableStats(spark, dir).collect().head
+    assert(r.getAs[String]("path") == dir)
+    assert(r.getAs[Long]("n_files") == 2L)
+    assert(r.getAs[Long]("size_bytes") > 0L)
+    assert(r.getAs[Long]("n_rows") == 500L, "index covers listing -> exact count, no scan")
+    assert(r.getAs[String]("indexed_columns") == "x")
+    // an unindexed append makes n_rows honestly NULL (never a guess)
+    (501L to 600L).map(x => (x, x % 3)).toDF("x", "g")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val r2 = Layout.tableStats(spark, dir).collect().head
+    assert(r2.getAs[Long]("n_files") == 3L)
+    assert(r2.isNullAt(r2.fieldIndex("n_rows")), "stale index must yield NULL, not a wrong count")
+    // the SQL surface agrees
+    graft.GraftTableFunctions.ensure(spark)
+    val viaSql = spark.sql(s"SELECT n_files, n_rows FROM graft_table_stats('$dir')").head()
+    assert(viaSql.getLong(0) == 3L && viaSql.isNullAt(1))
+  }
+
   test("compactPartitions: small files roll up, compact leaves untouched, index follows") {
     val dir = Files.createTempDirectory("graft-compact").resolve("t").toString
     val df = (1 to 4000).map(i => (i % 2, i.toLong, (i * 3).toLong)).toDF("g", "x", "v")
