@@ -116,7 +116,9 @@ object Bench {
     // timed inside q151_manifest_build)
     "q160_delete_where_box", "q161_upsert_box",
     // round 14: URL/domain blocklist filtering + table-stats introspection
-    "q162_domain_filter", "q163_table_stats")
+    "q162_domain_filter", "q163_table_stats",
+    // round 14: the partitioned-table mutation path
+    "q164_delete_partitioned_box")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -199,15 +199,37 @@ object LayoutQueries {
     })
   }
 
+  /** Week-PARTITIONED events copy (clusterPartitions-maintained, wk in
+    * the index) with `user_id 3..6 × the q137 week` DELETED in place —
+    * the partitioned-table mutation path: only the touched week's leaf
+    * files rewrite, replacements land back under their leaves. */
+  private def zEventsDelPart(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_del_part"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_del_part").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+        .withColumn("wk", weekofyear(timestamp_micros(col("ts_us"))))
+        .write.partitionBy("wk").parquet(out)
+      Layout.clusterPartitions(spark, out, Seq("user_id", "ts_us"),
+        filesPerPartition = 4, indexCols = Seq("wk"))
+      Layout.deleteWhere(spark, out,
+        Seq(("user_id", 3L, 6L), ("ts_us", EvTsLo, EvTsHi - 1)))
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-14 build (two-commit incremental events table + the
     * small-file compaction fixture + the delete/upsert mutation
-    * fixtures), its own bench entry so q151/q159-q161 time serving
-    * only. */
+    * fixtures, flat and partitioned), its own bench entry so
+    * q151/q159-q161/q164 time serving only. */
   def buildZorder14(spark: SparkSession, dir: String): Unit = {
     zEventsIncr(spark, dir); zEventsCompacted(spark, dir)
-    zEventsDel(spark, dir); zEventsUpd(spark, dir); ()
+    zEventsDel(spark, dir); zEventsUpd(spark, dir); zEventsDelPart(spark, dir); ()
   }
-  private val R14Tables = Set("events_incr", "events_compact", "events_del", "events_upd")
+  private val R14Tables = Set("events_incr", "events_compact", "events_del",
+    "events_upd", "events_del_part")
   def invalidateZorder14(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R14Tables.contains(k.stripPrefix(s"$dir|"))
@@ -625,6 +647,21 @@ object LayoutQueries {
     spark.sql(s"SELECT n_rows FROM graft_table_stats('$path')")
   }
 
+  // ---------------------------------------------------------------- q164
+  /** q160's box over the PARTITIONED deleted copy — the mutation verbs'
+    * hive path: leaf-preserving replacement placement, partition-aware
+    * retirement, partition-column stats kept in the incrementally
+    * maintained index. Same relational oracle as q160. */
+  def q164DeletePartitionedBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsDelPart(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
@@ -647,7 +684,8 @@ object LayoutQueries {
     "q159_compacted_box"          -> q159CompactedBox _,
     "q160_delete_where_box"       -> q160DeleteWhereBox _,
     "q161_upsert_box"             -> q161UpsertBox _,
-    "q163_table_stats"            -> q163TableStats _)
+    "q163_table_stats"            -> q163TableStats _,
+    "q164_delete_partitioned_box" -> q164DeletePartitionedBox _)
 
   /** The layout-invariance oracle every events-box layout query shares:
     * same rows no matter how the copy was clustered, partitioned,
@@ -665,6 +703,16 @@ object LayoutQueries {
     "q144_envelope_auto_prune"    -> EventsBoxOracle,
     "q159_compacted_box"          -> EventsBoxOracle,
     "q163_table_stats" -> "SELECT count(*) AS n_rows FROM events",
+    "q164_delete_partitioned_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |  AND NOT (user_id BETWEEN 3 AND 6
+         |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
     "q160_delete_where_box" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,

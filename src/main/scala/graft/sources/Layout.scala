@@ -425,10 +425,13 @@ object Layout {
     * index compaction. */
   private def refreshEnvelopesIncremental(spark: SparkSession, dir: String,
       cols: Seq[String], removed: Set[String], added: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      basePath: String): Unit = {
+    // basePath keeps hive partition columns alive when reading the new
+    // files as an explicit list, so partition-column stats stay indexed
     val newStats =
       if (added.isEmpty) None
-      else Some(envelopeStats(spark.read.schema(schema).parquet(added: _*), cols))
+      else Some(envelopeStats(
+        spark.read.option("basePath", basePath).parquet(added: _*), cols))
     val removedDf = { import spark.implicits._; removed.toSeq.toDF("rfile") }
     graft.operators.DirSwap.swapRewrite(spark, envelopesPath(dir))(env => {
       val kept = env.join(removedDf,
@@ -582,7 +585,8 @@ object Layout {
 
   /** DELETE the rows inside a box (`lo_i <= col_i <= hi_i` on every
     * dimension; a NULL in any boxed column never matches, exactly as in
-    * SQL) from a FLAT manifest-maintained parquet table, touching only
+    * SQL) from a manifest-maintained parquet table (flat or hive-partitioned),
+    * touching only
     * the files that need it. Work is classified per file over the
     * `.envelopes` index:
     *   - files the index PROVES disjoint from the box → untouched;
@@ -626,7 +630,8 @@ object Layout {
       rewrite = _.filter(!coalesce(cond, lit(false))), extra = None)
   }
 
-  /** UPSERT by unique key into a FLAT manifest-maintained parquet table:
+  /** UPSERT by unique key into a manifest-maintained parquet table (flat
+    * or hive-partitioned; updates carry the partition columns):
     * rows whose `keyCol` appears in `updates` are REPLACED, every
     * `updates` row is present afterwards (so unmatched keys INSERT).
     * File-level classification over the `.envelopes` index: a file whose
@@ -673,7 +678,13 @@ object Layout {
   /** Shared core of the mutation verbs — see [[deleteWhere]] for the
     * commit protocol. `classify` maps the envelope index to (untouched,
     * dropped-whole) file sets; everything else rewrites through
-    * `rewrite`; `extra` rows (an upsert's updates) append verbatim. */
+    * `rewrite`; `extra` rows (an upsert's updates) append verbatim.
+    * Hive-partitioned tables work end to end: the partial-file read is
+    * the SNAPSHOT minus every file not being rewritten (a delegating
+    * [[graft.plans.SkippingFileIndex]] — only the partial files open,
+    * partition columns stay alive), replacements are written
+    * `partitionBy` the manifest's partition schema, moved in under
+    * their leaf paths, and retirement preserves leaf structure. */
   private def mutateFiles(spark: SparkSession, dir: String,
                           classify: DataFrame => (Set[String], Set[String]),
                           rewrite: DataFrame => DataFrame,
@@ -681,12 +692,10 @@ object Layout {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no table at $dir")
-    require(!fs.listStatus(root).exists(s => s.isDirectory &&
-      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_")),
-      s"deleteWhere/upsert: $dir looks hive-partitioned; the mutation verbs " +
-        "support flat tables (partitioned support would rewrite per leaf)")
     // the manifest is the commit mechanism: bootstrap the first commit
     if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
+    val info = Manifest.info(spark, dir)
+    val partCols = info.partSchema.fieldNames.toSeq
     val snap = readSnapshot(spark, dir)
     val fileMap = snap.inputFiles.map(f => normPath(f) -> f).toMap
     val files = fileMap.keySet
@@ -698,61 +707,85 @@ object Layout {
     // names — they fall to "rewrite", the safe class
     val untouched = files.intersect(missAll)
     val dropped = files.intersect(fullAll) -- untouched
-    val partial = (files -- untouched -- dropped).toSeq.sorted
+    val partial = files -- untouched -- dropped
     require(untouched.nonEmpty || partial.nonEmpty || extra.nonEmpty,
       s"mutation would remove every row of $dir; an empty table is not " +
         "representable in a manifest — keep at least one row or drop the table")
-    val schema = snap.schema
+    val schema = snap.schema // data + partition columns
     // 1) WRITE replacements fully, before anything moves: the read
-    //    consumes the to-be-retired originals
+    //    consumes the to-be-retired originals. The partial read is the
+    //    snapshot MINUS every non-rewritten file — only partial files
+    //    open, and partition columns survive (an explicit path list
+    //    would lose them)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".mutate-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val kept = if (partial.isEmpty) None
-               else Some(rewrite(spark.read.schema(schema).parquet(partial.map(fileMap): _*)))
+               else Some(rewrite(minusFiles(spark, snap, untouched ++ dropped)))
     val replacement = (kept, extra.map(_.select(schema.fieldNames.map(col): _*))) match {
       case (Some(k), Some(e)) => Some(k.unionByName(e))
       case (k, e)             => k.orElse(e)
     }
-    replacement.foreach(_.write.mode("overwrite").parquet(tmp.toString))
+    replacement.foreach { r =>
+      val w = r.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+    }
     // 2) RETIRE affected originals (move-if-present: a re-run may find
-    //    some already retired); superseded manifests keep resolving them
-    val retiredBase = new org.apache.hadoop.fs.Path(Manifest.retiredPath(dir))
+    //    some already retired); superseded manifests keep resolving
+    //    them; leaf structure is preserved under .retired
+    val retiredBase = Manifest.retiredPath(dir)
     val liveRoot = normPath(fs.makeQualified(root).toString)
     (dropped ++ partial).foreach { f =>
       val src = new org.apache.hadoop.fs.Path(fileMap(f))
       if (fs.exists(src) && f.startsWith(liveRoot + "/")) {
-        fs.mkdirs(retiredBase)
-        val dst = new org.apache.hadoop.fs.Path(retiredBase, src.getName)
+        val rel = f.stripPrefix(liveRoot + "/")
+        val dst = new org.apache.hadoop.fs.Path(retiredBase + "/" + rel)
+        fs.mkdirs(dst.getParent)
         require(!fs.exists(dst), s"mutation: retirement collision at $dst")
         require(fs.rename(src, dst), s"mutation: could not retire $src")
       }
     }
-    // 3) move replacements in as normal files (unique part-file names)
+    // 3) move replacements in under their (possibly leaf) paths
     val movedIn = Seq.newBuilder[String]
-    if (fs.exists(tmp)) {
-      fs.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { s =>
-          val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+    def moveIn(p: org.apache.hadoop.fs.Path, relDir: String): Unit =
+      fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
+          moveIn(s.getPath, if (relDir.isEmpty) n else s"$relDir/$n")
+        else if (s.isFile && n.endsWith(".parquet")) {
+          val targetDir =
+            if (relDir.isEmpty) root else new org.apache.hadoop.fs.Path(root, relDir)
+          fs.mkdirs(targetDir)
+          val dst = new org.apache.hadoop.fs.Path(targetDir, n)
           require(fs.rename(s.getPath, dst), s"mutation: could not promote ${s.getPath}")
           movedIn += fs.makeQualified(dst).toString
         }
-      fs.delete(tmp, true)
-    }
-    require(fs.listStatus(root).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
-      s"mutation removed every row of $dir; an empty table is not " +
-        "representable in a manifest — keep at least one row or drop the table")
+      }
+    if (fs.exists(tmp)) { moveIn(tmp, ""); fs.delete(tmp, true); () }
     // 4) maintain the index INCREMENTALLY — drop the retired files' rows,
     //    append stats over just the new files (never a table scan) — then
-    //    commit
+    //    commit (schemas passed: no footer re-inference)
     val idx = indexedColumns(spark, dir)
     if (idx.nonEmpty)
       refreshEnvelopesIncremental(spark, dir, idx,
-        removed = dropped ++ partial, added = movedIn.result(), schema = schema)
-    // flat table: the partition schema is empty and the data schema is
-    // the snapshot's — passing them skips the commit's footer inference
+        removed = dropped ++ partial, added = movedIn.result(), basePath = dir)
     Manifest.write(spark, dir,
-      schemas = Some((schema, new org.apache.spark.sql.types.StructType())))
+      schemas = Some((info.dataSchema, info.partSchema)))
     MutationStats(dropped.size.toLong, partial.size.toLong, untouched.size.toLong)
+  }
+
+  /** The snapshot minus a file set — a delegating skip over the
+    * snapshot's own FileIndex, so only the remaining files open and
+    * partition columns stay alive. */
+  private def minusFiles(spark: SparkSession, df: DataFrame, skip: Set[String]): DataFrame = {
+    if (skip.isEmpty) return df
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val pruned = df.queryExecution.analyzed.transform {
+      case rel: LogicalRelation if rel.relation.isInstanceOf[HadoopFsRelation] =>
+        val fsr = rel.relation.asInstanceOf[HadoopFsRelation]
+        rel.copy(relation = fsr.copy(
+          location = new graft.plans.SkippingFileIndex(fsr.location, skip))(fsr.sparkSession))
+    }
+    org.apache.spark.sql.GraftBridge.ofRows(spark, pruned)
   }
 
   /** Read a swap-maintained table AFTER healing any interrupted

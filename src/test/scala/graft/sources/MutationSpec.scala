@@ -93,6 +93,38 @@ class MutationSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned tables: delete and upsert rewrite inside leaves, other leaves untouched") {
+    val dir = freshDir("graft-mut-part")
+    val df = (1 to 3000).map(i => (i % 3, i.toLong, i * 2L)).toDF("g", "x", "v")
+    df.write.partitionBy("g").parquet(dir)
+    Layout.clusterPartitions(spark, dir, Seq("x"), filesPerPartition = 2,
+      indexCols = Seq("g"))
+    def leafFilesOf(leaf: String) = leafFiles(s"$dir/$leaf")
+    val g0 = leafFilesOf("g=0"); val g2 = leafFilesOf("g=2")
+
+    // DELETE g=1 AND x<=1000: only the g=1 leaf is touched
+    val stats = Layout.deleteWhere(spark, dir, Seq(("g", 1L, 1L), ("x", 0L, 1000L)))
+    assert(stats.droppedFiles + stats.rewrittenFiles >= 1 && stats.untouchedFiles >= 4,
+      s"only g=1 files may be touched: $stats")
+    assert(leafFilesOf("g=0") == g0 && leafFilesOf("g=2") == g2,
+      "untouched leaves must not be rewritten")
+    val after = spark.read.parquet(dir).select("g", "x", "v")
+      .as[(Int, Long, Long)].collect().toSet
+    val expect = (1 to 3000).map(i => (i % 3, i.toLong, i * 2L))
+      .filterNot { case (g, x, _) => g == 1 && x <= 1000L }.toSet
+    assert(after == expect, "exactly the (g=1, x<=1000) rows deleted; partition values intact")
+
+    // UPSERT by x: replace one g=0 row, insert a new key (lands in its leaf)
+    val updates = Seq((0, 3L, -30L), (0, 3003L, -1L)).toDF("g", "x", "v")
+    val s2 = Layout.upsert(spark, dir, updates, "x")
+    assert(s2.rewrittenFiles >= 1, s"candidate leaf file must rewrite: $s2")
+    val m = spark.read.parquet(dir).select("x", "v", "g")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(3L) == ((-30L, 0)), "matched key replaced, partition value kept")
+    assert(m(3003L) == ((-1L, 0)), "new key inserted under its partition")
+    assert(m(6L) == ((12L, 0)), "unmatched rows intact")
+  }
+
   test("no index: deleteWhere degrades to rewriting everything — still exact") {
     val dir = freshDir("graft-del-noidx")
     (0L to 99L).toDF("x").coalesce(2).write.parquet(dir)
