@@ -73,6 +73,34 @@ object ProfCorpus {
       graft.queries.TextQueries.q84SourceQuality(spark, dir).count()
     }
 
+    // round 15: lineDedup hot-line skew probe — ONE line content repeated
+    // ~10^6 times across synthetic docs (the "Subscribe to our newsletter"
+    // boilerplate shape at corpus scale). The min(struct)+semi-join plan
+    // combines the hot key map-side, so this must stay in the same cost
+    // band as the uniform case; the old row_number window funneled every
+    // occurrence into one task.
+    {
+      import spark.implicits._
+      val hot = spark.range(1000000)
+        .select(col("id").as("doc_id"),
+          concat(lit("unique line "), col("id"), lit("\nSUBSCRIBE TO OUR NEWSLETTER"))
+            .as("text"))
+        .repartition(32)
+      val uniform = spark.range(1000000)
+        .select(col("id").as("doc_id"),
+          concat(lit("unique line "), col("id"), lit("\nalso unique "), col("id"))
+            .as("text"))
+        .repartition(32)
+      time("lineDedup 1M docs, one 10^6-hot line") {
+        graft.operators.CorpusOps.lineDedup(hot, "doc_id", "text")
+          .agg(sum(col("n_lines_kept"))).head().getLong(0)
+      }
+      time("lineDedup 1M docs, all-unique lines") {
+        graft.operators.CorpusOps.lineDedup(uniform, "doc_id", "text")
+          .agg(sum(col("n_lines_kept"))).head().getLong(0)
+      }
+    }
+
     // round 7: measure the kmeans assignment crossover (unrolled codegen
     // vs the large-k literal-matrix fold) so codegenMaxK is a measured
     // number, not a guess — both paths at each k, 1 training iteration

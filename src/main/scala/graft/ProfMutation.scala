@@ -65,5 +65,29 @@ object ProfMutation {
       kept.unionByName(updates).write.mode("overwrite").parquet(s"$base/full2-out")
     }
     println(f"rows=$n%-9d upsert 5k:  file-grain ${tUps}%8.1f ms  full rewrite ${tFull2}%8.1f ms  (${tFull2 / tUps}%4.1fx)")
+
+    // round 15: the classification STAB at scale — 10^4 file intervals ×
+    // 10^5 update keys, the shape where the old between-condition
+    // anti-join (a broadcast-nested-loop, O(files × keys) = 10^9
+    // comparisons here, 10^13 at production counts) stalls. The interval
+    // stab is a bucketized equi-join: flat in files × keys.
+    {
+      val nFiles = 10000L
+      val nKeys = 100000L
+      val env = spark.range(nFiles).select(
+        concat(lit("f"), $"id").as("file"),
+        ($"id" * 1000L).as("f_start"), ($"id" * 1000L + 999L).as("f_end"))
+      val pts = spark.range(nKeys).select(($"id" * 97L).as("k_pt"))
+      val stab = graft.operators.IntervalJoin.pointInInterval(
+        pts, env, Nil, "k_pt", "f_start", "f_end", 1000L)
+        .select("file").distinct()
+      val plan = stab.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "stab degraded to a nested-loop join")
+      val tStab = timeMs { println(s"  stabbed files: ${stab.count()}") }
+      val naive = env.join(pts, $"k_pt".between($"f_start", $"f_end"), "left_anti")
+      val tNaive = timeMs { println(s"  naive-missed files: ${naive.count()}") }
+      println(f"classify ${nFiles} files x ${nKeys} keys: stab ${tStab}%8.1f ms  BNLJ anti ${tNaive}%8.1f ms  (${tNaive / tStab}%4.1fx)")
+    }
   }
 }

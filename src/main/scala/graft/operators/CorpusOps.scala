@@ -917,19 +917,31 @@ object CorpusOps {
     * and it also keeps the empty string — the one unboundedly-hot key —
     * out of the shuffle.
     *
-    * Scale: one explode + one shuffle keyed by line content for the
-    * first-occurrence window, one shuffle back by document id for the
-    * rebuild. Per-group state is a single row_number; the rebuild's
+    * Scale: one explode + one partial-aggregating shuffle keyed by line
+    * content for the first occurrence, one equi-join on the unique
+    * (line, id, pos) triple to mark it, one shuffle back by document id
+    * for the rebuild. The first occurrence is `min(struct(_id, _pos))` —
+    * map-side COMBINABLE, so a boilerplate line occurring 10⁹ times at
+    * 100 TB collapses to one row per map task before the shuffle instead
+    * of sorting in a single window partition (the hot-key hazard a
+    * `row_number` window would carry: every occurrence of one line in
+    * one task). The join back is keyed by the full occurrence triple —
+    * unique per row, so no hot key exists there either; the rebuild's
     * collect_list is bounded by a document's own line count. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = docs
       .select(col(idCol).as("_id"), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_ln")))
     val blanks = exploded.filter(trim(col("_ln")) === "")
     val nonBlank = exploded.filter(trim(col("_ln")) =!= "")
-    val firstSeen = Window.partitionBy(col("_ln")).orderBy(col("_id"), col("_pos"))
+    // struct ordering is lexicographic by field, so min(struct(_id,_pos))
+    // IS "order by _id, _pos" — total and deterministic
+    val winners = nonBlank.groupBy(col("_ln"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"))
+      .select(col("_ln").as("_wln"), col("_w")("_id").as("_wid"),
+        col("_w")("_pos").as("_wpos"))
     val kept = nonBlank
-      .withColumn("_rn", row_number().over(firstSeen))
-      .filter(col("_rn") === 1).drop("_rn")
+      .join(winners, col("_ln") === col("_wln") &&
+        col("_id") === col("_wid") && col("_pos") === col("_wpos"), "leftsemi")
       .unionByName(blanks)
     val rebuilt = kept.groupBy(col("_id"))
       .agg(

@@ -605,7 +605,12 @@ object Layout {
     * mid-way is healed by RE-RUNNING the same delete: the replacement
     * write reads from the committed SNAPSHOT (retired files still
     * resolve), so no outcome of the crash loses rows — the re-run may
-    * just rewrite more files than the index would have allowed. */
+    * just rewrite more files than the index would have allowed. A crash
+    * AFTER replacements promoted but BEFORE the commit leaves them as
+    * stray files the guard reports loudly — run [[Manifest.write]] to
+    * adopt them, then re-run the delete (still exact: deletion is
+    * idempotent). Files a plain `write.mode(append)` added since the
+    * last commit hit the same guard instead of silently surviving. */
   def deleteWhere(spark: SparkSession, dir: String,
                   box: Seq[(String, Any, Any)]): MutationStats = {
     require(box.nonEmpty, "deleteWhere: empty box")
@@ -642,7 +647,18 @@ object Layout {
     * mixed-generation index can only cost I/O. `updates` must have the
     * table's columns and UNIQUE, non-null keys (checked loudly — two
     * update rows for one key have no defined winner). Same commit
-    * protocol and crash story as [[deleteWhere]]. */
+    * protocol and crash story as [[deleteWhere]].
+    *
+    * The classification itself is an INTERVAL STAB, not a between-join:
+    * files are [min_key, max_key] intervals, update keys are points, and
+    * [[graft.operators.IntervalJoin.pointInInterval]] turns the stab
+    * into a bucketized equi-join — the naive
+    * `key BETWEEN min_key AND max_key` anti-join is a non-equi condition
+    * Spark can only plan as a broadcast-nested-loop, O(files × keys)
+    * comparisons (10¹³ at a million files × 10M update keys). Key types
+    * without an exact order-preserving long view (strings, floats,
+    * decimals) keep the nested-loop path — there the honest fix is
+    * indexing a numeric surrogate, not a lossy cast. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
              keyCol: String): MutationStats = {
     val keys = updates.select(col(keyCol)).cache()
@@ -655,17 +671,45 @@ object Layout {
       require(nullN == 0L, s"upsert: $nullN update rows have a NULL $keyCol")
       require(n == distinctN,
         s"upsert: $keyCol is not unique in updates ($n rows, $distinctN keys)")
+      // exact order-preserving long view of the key type, when one exists
+      val keyLong: Option[Column => Column] = updates.schema(keyCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some(_.cast("long"))
+        case DateType      => Some(c => unix_date(c).cast("long"))
+        case TimestampType => Some(c => unix_micros(c))
+        case _             => None
+      }
       def classify(env: DataFrame): (Set[String], Set[String]) = {
         val cols = env.columns.toSeq
         if (!cols.contains(s"min_$keyCol") || !cols.contains(s"max_$keyCol"))
           return (Set.empty, Set.empty)
         // null key stats (mixed-generation rows) must NOT classify as
-        // miss: restrict the anti-join to rows whose proof can run
+        // miss: restrict the stab to rows whose proof can run
         val valid = env.filter(col(s"min_$keyCol").isNotNull &&
           col(s"max_$keyCol").isNotNull)
-        val miss = valid.join(keys,
-          keys(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_anti")
-        (collectFiles(miss), Set.empty)
+        val missed = keyLong match {
+          case Some(lv) =>
+            val iv = valid.select(col("file"),
+              lv(col(s"min_$keyCol")).as("f_start"), lv(col(s"max_$keyCol")).as("f_end"))
+            val pts = keys.select(lv(col(keyCol)).as("k_pt"))
+            // bucket width near the median file span; floored so ONE
+            // unusually wide file (post-compaction catch-all) stays under
+            // the interval join's per-interval cell ceiling
+            val spanD = col("f_end").cast("double") - col("f_start").cast("double")
+            val wRow = iv.agg(
+              expr("approx_percentile(cast(f_end as double) - cast(f_start as double), 0.5)"),
+              max(spanD)).head()
+            val med = if (wRow.isNullAt(0)) 1.0 else wRow.getDouble(0)
+            val mx = if (wRow.isNullAt(1)) 1.0 else wRow.getDouble(1)
+            val width = math.min(Long.MaxValue / 2.0,
+              math.max(1.0, math.max(med, mx / (1L << 20).toDouble))).toLong
+            val stabbed = graft.operators.IntervalJoin.pointInInterval(
+              pts, iv, Nil, "k_pt", "f_start", "f_end", width).select("file")
+            collectFiles(valid) -- collectFiles(stabbed)
+          case None =>
+            collectFiles(valid.join(keys,
+              keys(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_anti"))
+        }
+        (missed, Set.empty)
       }
       mutateFiles(spark, dir, classify,
         rewrite = _.join(keys, Seq(keyCol), "left_anti"), extra = Some(updates))
@@ -699,6 +743,19 @@ object Layout {
     val snap = readSnapshot(spark, dir)
     val fileMap = snap.inputFiles.map(f => normPath(f) -> f).toMap
     val files = fileMap.keySet
+    // STRAY-FILE guard: files appended to the live dir since the last
+    // commit are invisible to classification — rows matching the
+    // predicate in them would silently survive, yet the final
+    // Manifest.write would commit them unindexed. Fail loudly instead
+    // (the same loud-guard style as the other preconditions).
+    val qualRootStr = normPath(fs.makeQualified(root).toString)
+    val liveNow = Manifest.listLive(spark, dir).map(rel => s"$qualRootStr/$rel").toSet
+    val strays = liveNow -- files
+    require(strays.isEmpty,
+      s"mutation: ${strays.size} file(s) under $dir are not in the committed snapshot " +
+        s"(appended since the last commit, or promoted by a crashed mutation): " +
+        s"${strays.take(3).mkString(", ")}${if (strays.size > 3) ", …" else ""}. " +
+        "Commit them first (Manifest.write) so classification sees them, then re-run.")
     val envPath = new org.apache.hadoop.fs.Path(envelopesPath(dir))
     val (missAll, fullAll) =
       if (!fs.exists(envPath)) (Set.empty[String], Set.empty[String])
@@ -708,6 +765,13 @@ object Layout {
     val untouched = files.intersect(missAll)
     val dropped = files.intersect(fullAll) -- untouched
     val partial = files -- untouched -- dropped
+    // NO-OP early return: nothing dropped, nothing rewritten, nothing
+    // appended — committing a fresh manifest seq here would be pure
+    // churn (advancing the vacuum window, invalidating listing-signature
+    // caches), inconsistent with compactPartitions' "a run that rewrote
+    // nothing changes nothing"
+    if (dropped.isEmpty && partial.isEmpty && extra.isEmpty)
+      return MutationStats(0L, 0L, untouched.size.toLong)
     require(untouched.nonEmpty || partial.nonEmpty || extra.nonEmpty,
       s"mutation would remove every row of $dir; an empty table is not " +
         "representable in a manifest — keep at least one row or drop the table")

@@ -102,6 +102,13 @@ object Manifest {
   private[graft] def isManifested(spark: SparkSession, dir: String): Boolean =
     fsOf(spark, new Path(dir)).exists(new Path(manifestsPath(dir)))
 
+  /** [[listData]] for callers outside this object — the mutation verbs'
+    * stray-file guard compares this against the committed snapshot. */
+  private[sources] def listLive(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsOf(spark, new Path(dir))
+    listData(fs, fs.makeQualified(new Path(dir)))
+  }
+
   /** Recursive current data-file listing as table-relative paths;
     * skips hidden files/dirs and in-flight `.compact-*` swap siblings
     * (the same exclusions partition discovery applies). */

@@ -280,6 +280,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "rewritten overlap join degraded to a nested-loop product")
   }
 
+  test("q158 line dedup: first occurrence is a map-side-combinable aggregate, never a window") {
+    val p = plan("q158_line_dedup")
+    // the hot-key hazard: a row_number window over line content puts
+    // every occurrence of one boilerplate line into ONE task; the
+    // min(struct)+semi-join plan combines map-side (partial_min visible)
+    assert(!p.contains("Window"), s"lineDedup regressed to a per-line-content window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"first-occurrence min is not map-side combining:\n$p")
+  }
+
   test("q81 semdedup: pairwise check reads the materialized cell index, never a cartesian product") {
     val p = plan("q81_semdedup")
     // the broadcast-centroid assignment runs once inside the eager

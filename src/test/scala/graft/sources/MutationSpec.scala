@@ -143,4 +143,63 @@ class MutationSpec extends AnyFunSuite {
       Layout.deleteWhere(spark, dir, Seq(("x", 0L, 9L)))
     }
   }
+
+  test("stray files appended since the last commit fail the mutation loudly") {
+    val dir = freshDir("graft-del-stray")
+    (0L to 99L).toDF("x").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    Manifest.write(spark, dir) // committed snapshot = this one file
+    // a plain append the writer-exclusive contract does not expect:
+    // rows 10..19 of it match the delete box but classification cannot
+    // see them — the verb must refuse, not silently keep them
+    (10L to 19L).toDF("x").coalesce(1).write.mode("append").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.deleteWhere(spark, dir, Seq(("x", 10L, 19L)))
+    }
+    assert(ex.getMessage.contains("not in the committed snapshot"), ex.getMessage)
+    // the stated remedy works: commit, then the delete sees every file
+    Manifest.write(spark, dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    Layout.deleteWhere(spark, dir, Seq(("x", 10L, 19L)))
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq ==
+      ((0L to 9L) ++ (20L to 99L)))
+  }
+
+  test("a no-op mutation commits nothing: same manifest seq, no index churn") {
+    val dir = freshDir("graft-del-noop")
+    (0L to 99L).toDF("x").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val s0 = Layout.deleteWhere(spark, dir, Seq(("x", 0L, 9L))) // bootstraps + mutates
+    assert(s0.rewrittenFiles + s0.droppedFiles >= 1)
+    val seqBefore = Manifest.latestSeq(spark, dir).get
+    val envBefore = leafFiles(Layout.envelopesPath(dir))
+    // box provably disjoint from every file -> untouched everywhere
+    val s1 = Layout.deleteWhere(spark, dir, Seq(("x", 1000L, 2000L)))
+    assert(s1 == Layout.MutationStats(0, 0, s0.untouchedFiles + s0.rewrittenFiles),
+      s"no-op classification: $s1")
+    assert(Manifest.latestSeq(spark, dir).contains(seqBefore), "no manifest churn")
+    assert(leafFiles(Layout.envelopesPath(dir)) == envBefore, "no index churn")
+  }
+
+  test("upsert classification is an interval stab (equi-join), never a nested-loop between-join") {
+    val dir = freshDir("graft-ups-stab")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // the stab itself: same shape upsert's classify builds — assert no BNLJ
+    val env = spark.read.parquet(Layout.envelopesPath(dir))
+      .select(col("file"), col("min_k").cast("long").as("f_start"),
+        col("max_k").cast("long").as("f_end"))
+    val pts = Seq(50L, 250L).toDF("k_pt")
+    val stab = graft.operators.IntervalJoin.pointInInterval(
+      pts, env, Nil, "k_pt", "f_start", "f_end", 100L)
+    val plan = stab.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"classification degraded to a nested-loop join:\n$plan")
+    // and end-to-end it still classifies correctly
+    val stats = Layout.upsert(spark, dir, Seq((50L, -1L)).toDF("k", "v"), "k")
+    assert(stats == Layout.MutationStats(0, 1, 1), s"stab classification: $stats")
+    assert(spark.read.parquet(dir).filter(col("k") === 50L)
+      .select("v").as[Long].head() == -1L)
+  }
 }
