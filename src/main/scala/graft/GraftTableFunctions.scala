@@ -196,6 +196,16 @@ object GraftTableFunctions {
       lng(fn, args, 1), opt(args, 2)(lng(fn, args, 2))).queryExecution.analyzed
   }
 
+  /** Row-level CDC between two committed snapshots — the exact multiset
+    * of rows inserted/deleted by `(from_seq, to_seq]`, labelled in
+    * `_change_type` (a pure rewrite cancels to zero rows). */
+  private def readChangeRowsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_read_change_rows"
+    arity(fn, args, 2, 3)
+    graft.sources.Layout.readChangeRows(sess(), str(fn, args, 0),
+      lng(fn, args, 1), opt(args, 2)(lng(fn, args, 2))).queryExecution.analyzed
+  }
+
   /** One-row physical-state summary (the DESCRIBE DETAIL role): files,
     * bytes, manifest seq, indexed columns, and an exact metadata-only
     * row count when the envelope index provably covers the current
@@ -316,6 +326,10 @@ object GraftTableFunctions {
     (new FunctionIdentifier("graft_read_changes"),
       info("graft_read_changes", "graft_read_changes(path, from_seq[, to_seq])"),
       readChangesBuilder(sess) _),
+    (new FunctionIdentifier("graft_read_change_rows"),
+      info("graft_read_change_rows",
+        "graft_read_change_rows(path, from_seq[, to_seq])"),
+      readChangeRowsBuilder(sess) _),
     (new FunctionIdentifier("graft_connected_components"),
       info("graft_connected_components",
         "graft_connected_components(pairs_view, a_col, b_col[, algorithm])"),

@@ -82,6 +82,41 @@ object ProfSnapshot {
     }.sum
     println(s"snapshot partition prune: read $read of " +
       s"${Layout.readSnapshot(spark, dir).inputFiles.length} files for a 1-of-8 wk filter")
+
+    // round 15: commit cost at 100k files — the walk is level-parallel
+    // (16 listing threads) and the v3 body gzips, so the commit is
+    // bounded by the parallel listing, not a serial million-round-trip
+    // walk plus a 100 MB text write. Synthetic zero-byte .parquet files
+    // (Manifest.write never opens data files when schemas are passed).
+    {
+      val big = java.nio.file.Paths.get(s"$base/bigtable")
+      val nLeaves = 200; val perLeaf = 500
+      val t0 = System.nanoTime()
+      (0 until nLeaves).foreach { l =>
+        val leaf = big.resolve(f"wk=$l%03d")
+        java.nio.file.Files.createDirectories(leaf)
+        (0 until perLeaf).foreach { f =>
+          java.nio.file.Files.createFile(leaf.resolve(f"part-$f%05d.parquet")); ()
+        }
+      }
+      println(f"synthesized ${nLeaves * perLeaf} files in ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+      val schemas = Some((
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("wk", org.apache.spark.sql.types.StringType)))))
+      val t1 = System.nanoTime()
+      val seq = Manifest.write(spark, big.toString, keep = 2, schemas = schemas)
+      val commitMs = (System.nanoTime() - t1) / 1e6
+      val mPath = new org.apache.hadoop.fs.Path(
+        Manifest.manifestsPath(big.toString), f"m$seq%020d")
+      val mBytes = fs.getFileStatus(mPath).getLen
+      val t2 = System.nanoTime()
+      val parsed = Manifest.info(spark, big.toString).files.size
+      val parseMs = (System.nanoTime() - t2) / 1e6
+      println(f"100k-file commit: ${commitMs}%8.1f ms, manifest $mBytes%,d bytes gzipped, " +
+        f"re-parse ${parseMs}%6.1f ms, $parsed files")
+    }
     spark.stop()
   }
 }

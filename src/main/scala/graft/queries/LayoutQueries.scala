@@ -662,7 +662,28 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q165
+  /** ROW-level CDC of the q160 delete — `graft_read_change_rows` between
+    * the pre-delete and post-delete commits: the file-level delta
+    * re-delivers every REWRITTEN file's surviving rows, but the row
+    * diff (added files' rows `exceptAll` removed files' rows, retired
+    * generation still resolvable) cancels them, leaving EXACTLY the
+    * deleted box as `delete` rows and nothing as `insert`. The oracle
+    * is the box itself over the original table. */
+  def q165CdcDeleteRows(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    val path = zEventsDel(spark, dir)
+    val toSeq = Manifest.latestSeq(spark, path).get
+    spark.sql(
+      s"""SELECT _change_type, event_type, count(*) AS n,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_read_change_rows('$path', ${toSeq - 1}, $toSeq)
+         |GROUP BY _change_type, event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_cdc_delete_rows"     -> q165CdcDeleteRows _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -700,6 +721,14 @@ object LayoutQueries {
        |GROUP BY event_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q165_cdc_delete_rows" ->
+      s"""SELECT 'delete' AS _change_type, event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 3 AND 6
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
     "q144_envelope_auto_prune"    -> EventsBoxOracle,
     "q159_compacted_box"          -> EventsBoxOracle,
     "q163_table_stats" -> "SELECT count(*) AS n_rows FROM events",

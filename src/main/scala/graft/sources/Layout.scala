@@ -538,6 +538,15 @@ object Layout {
                   toSeq: Option[Long] = None): DataFrame =
     Manifest.readChanges(spark, dir, fromSeq, toSeq)
 
+  /** ROW-level change-data capture between two committed snapshots: the
+    * exact multiset of rows inserted/deleted by `(fromSeq, toSeq]`,
+    * labelled in `_change_type` — see [[Manifest.readChangeRows]]. A
+    * [[deleteWhere]]'s delta is exactly the deleted rows; a pure
+    * clustering/compaction rewrite cancels to zero rows. */
+  def readChangeRows(spark: SparkSession, dir: String, fromSeq: Long,
+                     toSeq: Option[Long] = None): DataFrame =
+    Manifest.readChangeRows(spark, dir, fromSeq, toSeq)
+
   /** One-row physical-state summary of a parquet table (the DESCRIBE
     * DETAIL role): file count and bytes from one recursive listing,
     * manifest seq, the columns the `.envelopes` index covers, and

@@ -72,8 +72,16 @@ object Manifest {
   //     files… — so a snapshot records WHICH generation of the skipping
   //     index described it (self-describing commits; a reader can tell
   //     whether the current index postdates its snapshot)
+  // v3: v2 + a writer NONCE line after the signature (the optimistic-
+  //     concurrency witness: a committer re-reads its manifest and a
+  //     foreign nonce proves it lost the race), and the whole body is
+  //     GZIP-compressed (a million-file manifest is ~100 MB of paths as
+  //     text, ~a tenth compressed — reread in full by every parse).
+  //     Detection is by content (gzip magic bytes), so v1/v2 plain-text
+  //     manifests keep parsing forever.
   private val HeaderV1 = "graft-manifest-v1"
-  private val Header = "graft-manifest-v2"
+  private val HeaderV2 = "graft-manifest-v2"
+  private val HeaderV3 = "graft-manifest-v3"
 
   private[graft] def manifestsPath(dir: String): String =
     dir.stripSuffix("/") + ".manifests"
@@ -111,23 +119,43 @@ object Manifest {
 
   /** Recursive current data-file listing as table-relative paths;
     * skips hidden files/dirs and in-flight `.compact-*` swap siblings
-    * (the same exclusions partition discovery applies). */
+    * (the same exclusions partition discovery applies). The walk is
+    * LEVEL-PARALLEL from a 16-thread pool — the same reason [[read]]'s
+    * planOver resolves leaves in parallel: on an object-store-backed FS
+    * each directory is a round trip, and a daily-partitioned
+    * million-file table must not pay them serially at every commit. */
   private def listData(fs: FileSystem, root: Path): Seq[String] = {
     val rootStr = root.toString
-    def walk(p: Path): Seq[FileStatus] =
-      fs.listStatus(p).toSeq.flatMap { s =>
-        val n = s.getPath.getName
-        if (n.startsWith(".") || n.startsWith("_") || n.contains(".compact-")) Nil
-        else if (s.isDirectory) walk(s.getPath)
-        else if (n.endsWith(".parquet")) Seq(s)
-        else Nil
-      }
-    walk(root).map { s =>
+    def keep(n: String): Boolean =
+      !(n.startsWith(".") || n.startsWith("_") || n.contains(".compact-"))
+    def toRel(s: FileStatus): String = {
       val full = s.getPath.toString
       require(full.startsWith(rootStr + "/"),
         s"Manifest: $full not under table root $rootStr")
       full.substring(rootStr.length + 1)
     }
+    val out = Seq.newBuilder[String]
+    var dirs: Seq[Path] = Seq(root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      while (dirs.nonEmpty) {
+        val listed: Seq[FileStatus] =
+          if (dirs.size == 1) fs.listStatus(dirs.head).toSeq
+          else dirs.map { d =>
+            pool.submit(new java.util.concurrent.Callable[Array[FileStatus]] {
+              override def call(): Array[FileStatus] = fs.listStatus(d)
+            })
+          }.flatMap { f =>
+            try f.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          }
+        val visible = listed.filter(s => keep(s.getPath.getName))
+        out ++= visible.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(toRel)
+        dirs = visible.filter(_.isDirectory).map(_.getPath)
+      }
+    } finally pool.shutdown()
+    out.result()
   }
 
   /** How many manifests (≈ generations) [[write]]'s auto-vacuum keeps
@@ -149,12 +177,27 @@ object Manifest {
     * reads [[KeepConf]]. `schemas`, when the caller already knows the
     * (data, partition) schemas — the streaming sink does — skips the
     * footer-inference read (one less job per micro-batch). Returns the
-    * committed seq. Caller must be inside the table's single-writer
-    * window (the maintenance verbs call this right after their swap
-    * completes). */
+    * committed seq.
+    *
+    * The writer-exclusive contract is now CHECKED, not assumed: the
+    * commit is optimistic-concurrency — two processes that both computed
+    * `latestSeq + 1` race for the same `m<seq>` name, exactly one claims
+    * it (atomic create-if-absent), and the loser throws a
+    * `ConcurrentModificationException` naming the winning commit instead
+    * of silently clobbering it. The loser's work is NOT committed;
+    * re-read the new snapshot and re-run the maintenance verb. */
   def write(spark: SparkSession, dir: String, keep: Int = 0,
             schemas: Option[(StructType, StructType)] = None): Long = {
     require(keep >= 0, s"Manifest.write: keep must be >= 0 (0 = $KeepConf), got $keep")
+    val seq = latestSeq(spark, dir).getOrElse(-1L) + 1
+    writeSeq(spark, dir, seq, keep, schemas)
+  }
+
+  /** [[write]] with the target seq fixed by the caller — the CAS arm the
+    * race spec drives deterministically (two writers, same seq). */
+  private[graft] def writeSeq(spark: SparkSession, dir: String, seq: Long,
+                              keep: Int = 0,
+                              schemas: Option[(StructType, StructType)] = None): Long = {
     val k = if (keep == 0) confKeep(spark) else keep
     val fs = fsOf(spark, new Path(dir))
     val root = fs.makeQualified(new Path(dir))
@@ -162,19 +205,57 @@ object Manifest {
     val files = listData(fs, root).sorted
     require(files.nonEmpty, s"Manifest.write: no data files under $dir")
     val (dataSchema, partSchema) = schemas.getOrElse(schemasOf(spark, dir))
-    val seq = latestSeq(spark, dir).getOrElse(-1L) + 1
     val md = new Path(manifestsPath(dir))
     fs.mkdirs(md)
-    val tmp = new Path(md, s".tmp-m$seq")
-    val out = fs.create(tmp, true)
-    try out.write((Seq(Header, dataSchema.json, partSchema.json,
-      envelopeSignature(fs, dir)) ++ files)
+    val nonce = java.util.UUID.randomUUID().toString
+    val tmp = new Path(md, s".tmp-m$seq-$nonce")
+    val gz = new java.util.zip.GZIPOutputStream(fs.create(tmp, true), 64 * 1024)
+    try gz.write((Seq(HeaderV3, dataSchema.json, partSchema.json,
+      envelopeSignature(fs, dir), nonce) ++ files)
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    finally gz.close() // closes the FS stream underneath
     val fin = new Path(md, f"m$seq%020d")
-    require(fs.rename(tmp, fin), s"Manifest.write: could not commit $fin")
+    commitAtomic(fs, dir, tmp, fin, seq, nonce)
     vacuum(spark, dir, k)
     seq
+  }
+
+  /** Claim `fin` for exactly one of possibly many racing writers. On a
+    * LOCAL filesystem the claim is a hard-link — `link(2)` fails
+    * atomically when the destination exists, the textbook
+    * create-if-absent. Elsewhere it is a rename, which HDFS-likes
+    * already fail on an existing destination; for filesystems whose
+    * rename silently REPLACES, a read-back nonce check catches the
+    * clobber after the fact (best-effort there, exact on local + HDFS).
+    * Losers throw, with their tmp cleaned up. */
+  private def commitAtomic(fs: FileSystem, dir: String, tmp: Path, fin: Path,
+                           seq: Long, nonce: String): Unit = {
+    def conflict(): Nothing = {
+      fs.delete(tmp, false)
+      val winner = scala.util.Try(parse(fs, dir, seq).nonce).getOrElse("<unreadable>")
+      throw new java.util.ConcurrentModificationException(
+        s"Manifest: commit conflict on m$seq of $dir - another writer (nonce " +
+          s"$winner) committed it first; this writer (nonce $nonce) lost and " +
+          "committed NOTHING. The table is writer-exclusive per maintenance " +
+          "window: re-read the latest snapshot and re-run the verb.")
+    }
+    if (fs.exists(fin)) conflict()
+    val qFin = fs.makeQualified(fin).toUri
+    val local = qFin.getScheme == null || qFin.getScheme == "file"
+    if (local) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(qFin.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        fs.delete(tmp, false)
+        ()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => conflict()
+      }
+    } else {
+      if (!fs.rename(tmp, fin)) conflict()
+      if (scala.util.Try(parse(fs, dir, seq).nonce).toOption != Some(nonce)) conflict()
+    }
   }
 
   private def schemasOf(spark: SparkSession, dir: String): (StructType, StructType) = {
@@ -197,10 +278,11 @@ object Manifest {
       .sorted.mkString(",") match { case "" => "-"; case s => s }
   }
 
-  /** One committed snapshot's metadata (the files are table-relative). */
+  /** One committed snapshot's metadata (the files are table-relative).
+    * `nonce` is the committing writer's witness (v3+; `-` before). */
   final case class Info(seq: Long, dataSchema: StructType,
                         partSchema: StructType, envelopeSig: String,
-                        files: Seq[String])
+                        files: Seq[String], nonce: String = "-")
 
   /** Parsed metadata of a committed manifest — `seq` defaults to the
     * latest. `envelopeSig == "-"` means no index existed at commit;
@@ -224,14 +306,25 @@ object Manifest {
         while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
         buf.toByteArray
       } finally in.close()
-    val lines = new String(bytes, StandardCharsets.UTF_8).split("\n", -1).toSeq
-    val v2 = lines.headOption.contains(Header)
-    require(v2 || lines.headOption.contains(HeaderV1),
+    // gzip magic bytes → v3+ compressed body; plain text → v1/v2
+    val text =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+        try new String(gz.readAllBytes(), StandardCharsets.UTF_8) finally gz.close()
+      } else new String(bytes, StandardCharsets.UTF_8)
+    val lines = text.split("\n", -1).toSeq
+    val v3 = lines.headOption.contains(HeaderV3)
+    val v2 = lines.headOption.contains(HeaderV2)
+    require(v3 || v2 || lines.headOption.contains(HeaderV1),
       s"Manifest: $p is not a graft manifest file")
     val dataSchema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
     val partSchema = DataType.fromJson(lines(2)).asInstanceOf[StructType]
-    val (sig, files) = if (v2) (lines(3), lines.drop(4)) else ("-", lines.drop(3))
-    Info(seq, dataSchema, partSchema, sig, files.filter(_.nonEmpty))
+    val (sig, nonce, files) =
+      if (v3) (lines(3), lines(4), lines.drop(5))
+      else if (v2) (lines(3), "-", lines.drop(4))
+      else ("-", "-", lines.drop(3))
+    Info(seq, dataSchema, partSchema, sig, files.filter(_.nonEmpty), nonce)
   }
 
   /** Read the snapshot a manifest pins — the latest by default, or an
@@ -272,6 +365,45 @@ object Manifest {
     val to = parse(fs, dir, target)
     val from = parse(fs, dir, fromSeq).files.toSet
     planOver(spark, dir, to, to.files.filterNot(from))
+  }
+
+  /** ROW-level change-data capture between two committed snapshots — the
+    * Delta CDF role, DERIVED rather than stored: [[readChanges]] is
+    * file-grain, so a mutation that rewrote a file re-delivers its
+    * surviving rows too. This diffs the rows of the files ADDED by
+    * `(fromSeq, toSeq]` against the rows of the files REMOVED (retired
+    * generations still resolve, which is what makes the old rows
+    * readable at all) with MULTISET semantics (`exceptAll`), labelling
+    * each survivor `insert` / `delete` in `_change_type`. Rows a rewrite
+    * merely moved between files cancel exactly; a [[Layout.deleteWhere]]
+    * delta is exactly the deleted rows, a [[Layout.upsert]] delta is the
+    * replaced rows (delete) plus their replacements and the fresh
+    * inserts (insert). A pure-maintenance rewrite (clustering,
+    * compaction) cancels to ZERO rows — the signal consumers actually
+    * want from it. Cost: a shuffle over the CHANGED files only, never
+    * the table. Both commits must still be retained and carry equal
+    * schemas (a schema-changing commit fails loudly — row diffing across
+    * types has no exact meaning). */
+  def readChangeRows(spark: SparkSession, dir: String, fromSeq: Long,
+                     toSeq: Option[Long] = None): DataFrame = {
+    val fs = fsOf(spark, new Path(dir))
+    val target = toSeq.orElse(latestSeq(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"Manifest.readChangeRows: $dir has no committed manifest"))
+    require(fromSeq <= target,
+      s"Manifest.readChangeRows: fromSeq $fromSeq is newer than toSeq $target")
+    val to = parse(fs, dir, target)
+    val from = parse(fs, dir, fromSeq)
+    require(to.dataSchema == from.dataSchema && to.partSchema == from.partSchema,
+      s"Manifest.readChangeRows: schemas differ between m$fromSeq and m$target - " +
+        "row-level diffing needs equal schemas")
+    val fromSet = from.files.toSet
+    val toSet = to.files.toSet
+    val added = planOver(spark, dir, to, to.files.filterNot(fromSet))
+    val removed = planOver(spark, dir, from, from.files.filterNot(toSet))
+    import org.apache.spark.sql.functions.lit
+    added.exceptAll(removed).withColumn("_change_type", lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn("_change_type", lit("delete")))
   }
 
   /** The snapshot scan plan over a SUBSET of a commit's files: group by
@@ -367,20 +499,37 @@ object Manifest {
     })
   }
 
-  /** Keep the newest `keep` manifests; delete older manifest files and
-    * every retired file no kept manifest references. Live files are
-    * untouched (the newest manifest references exactly those). Safe to
-    * run any time inside the writer's window; [[write]] runs it
-    * automatically. */
+  /** TIME-based retention floor (milliseconds) on top of the `keep`
+    * COUNT: vacuum retains max(the newest `keep` manifests, every
+    * manifest younger than this). `0` (the default) disables — count-only
+    * retention. Operators reason in hours ("readers finish within 6h"),
+    * not in maintenance-cycle counts whose wall-clock meaning shifts
+    * with commit frequency; set this to the longest reader's runtime. */
+  val RetainMsConf = "spark.graft.manifest.retainMs"
+
+  /** Keep the newest `keep` manifests — plus every manifest younger than
+    * [[RetainMsConf]] (commit-file modification time), when set — and
+    * delete older manifest files and every retired file no kept manifest
+    * references. Live files are untouched (the newest manifest
+    * references exactly those). Safe to run any time inside the writer's
+    * window; [[write]] runs it automatically. */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 0): Unit = {
     require(keep >= 0, s"Manifest.vacuum: keep must be >= 0 (0 = $KeepConf), got $keep")
     val k = if (keep == 0) confKeep(spark) else keep
+    val retainMs = spark.conf.get(RetainMsConf, "0").toLong
+    require(retainMs >= 0, s"$RetainMsConf must be >= 0, got $retainMs")
     val fs = fsOf(spark, new Path(dir))
     val md = new Path(manifestsPath(dir))
     if (!fs.exists(md)) return
-    val seqs = fs.listStatus(md).toSeq.filter(_.isFile)
-      .flatMap(s => seqOf(s.getPath.getName)).sorted.reverse
-    val (kept, dropped) = seqs.splitAt(k)
+    val statuses = fs.listStatus(md).toSeq.filter(_.isFile)
+    val modOf: Map[Long, Long] = statuses
+      .flatMap(s => seqOf(s.getPath.getName).map(_ -> s.getModificationTime)).toMap
+    val seqs = modOf.keys.toSeq.sorted.reverse
+    val now = System.currentTimeMillis()
+    val (keptByCount, older) = seqs.splitAt(k)
+    val (youngEnough, dropped) =
+      older.partition(s => retainMs > 0 && now - modOf(s) < retainMs)
+    val kept = keptByCount ++ youngEnough
     val referenced: Set[String] = kept.flatMap(s => parse(fs, dir, s).files).toSet
     val rd = new Path(retiredPath(dir))
     if (fs.exists(rd)) {

@@ -227,4 +227,108 @@ class ManifestSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](Layout.readSnapshot(spark, dir))
     assert(ex.getMessage.contains("no committed manifest"))
   }
+
+  test("optimistic commit: two writers racing one seq - exactly one wins, the loser names the winner") {
+    val dir = freshDir("manifest-cas")
+    (1L to 100L).toDF("x").write.parquet(dir)
+    val s0 = Manifest.write(spark, dir)
+    // deterministic interleaving: writer A claims s0+1 after writer B
+    // computed the same target seq; B's commit must fail loudly
+    assert(Manifest.writeSeq(spark, dir, s0 + 1) == s0 + 1)
+    val winnerNonce = Manifest.info(spark, dir, Some(s0 + 1)).nonce
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Manifest.writeSeq(spark, dir, s0 + 1)
+    }
+    assert(ex.getMessage.contains(s"m${s0 + 1}") &&
+      ex.getMessage.contains(winnerNonce), ex.getMessage)
+    // the winner's manifest is intact and no stray tmp remains
+    assert(Manifest.info(spark, dir, Some(s0 + 1)).nonce == winnerNonce)
+    val md = new Path(Manifest.manifestsPath(dir))
+    assert(!fs.listStatus(md).exists(_.getPath.getName.startsWith(".tmp-")))
+    // the true concurrent race: both threads target the same seq at once
+    val target = s0 + 2
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        override def call(): Either[Throwable, Long] = {
+          barrier.await()
+          try Right(Manifest.writeSeq(spark, dir, target))
+          catch { case t: Throwable => Left(t) }
+        }
+      })
+    }.map(_.get())
+    pool.shutdown()
+    assert(results.count(_.isRight) == 1, s"exactly one winner: $results")
+    assert(results.collect { case Left(t) => t }.forall(
+      _.isInstanceOf[java.util.ConcurrentModificationException]))
+    assert(Manifest.latestSeq(spark, dir).contains(target))
+    Layout.readSnapshot(spark, dir).count() // the winning commit serves
+  }
+
+  test("v3 manifests are gzip-compressed with a nonce; v2 plain-text manifests keep parsing") {
+    val dir = freshDir("manifest-v3")
+    (1L to 50L).toDF("x").write.parquet(dir)
+    val s0 = Manifest.write(spark, dir)
+    val info = Manifest.info(spark, dir, Some(s0))
+    assert(info.nonce != "-", "v3 commits carry a writer nonce")
+    val p = new Path(Manifest.manifestsPath(dir), f"m$s0%020d")
+    val in = fs.open(p)
+    val magic = try { val b = new Array[Byte](2); in.readFully(b); b } finally in.close()
+    assert((magic(0) & 0xff) == 0x1f && (magic(1) & 0xff) == 0x8b, "body is gzip")
+    // a hand-written v2 plain-text manifest still parses (legacy tables)
+    val v2 = new Path(Manifest.manifestsPath(dir), f"m${s0 + 1}%020d")
+    val out = fs.create(v2, true)
+    out.write((Seq("graft-manifest-v2", info.dataSchema.json, info.partSchema.json,
+      "-") ++ info.files).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val legacy = Manifest.info(spark, dir, Some(s0 + 1))
+    assert(legacy.files == info.files && legacy.nonce == "-")
+    assert(Layout.readSnapshot(spark, dir, Some(s0 + 1)).count() == 50L)
+  }
+
+  test("time-based retention: an old-by-count but young-by-clock manifest survives vacuum") {
+    val dir = freshDir("manifest-retain")
+    (1L to 10L).toDF("x").write.parquet(dir)
+    spark.conf.set(Manifest.RetainMsConf, (24L * 3600 * 1000).toString)
+    try {
+      val s0 = Manifest.write(spark, dir, keep = 1)
+      (11L to 20L).toDF("x").write.mode("append").parquet(dir)
+      val s1 = Manifest.write(spark, dir, keep = 1)
+      // keep=1 alone would have dropped s0; the time floor saves it
+      assert(Manifest.info(spark, dir, Some(s0)).files.nonEmpty)
+      assert(Layout.readSnapshot(spark, dir, Some(s0)).count() == 10L)
+      spark.conf.set(Manifest.RetainMsConf, "0")
+      Manifest.vacuum(spark, dir, keep = 1)
+      intercept[Exception](Manifest.info(spark, dir, Some(s0)))
+      assert(Layout.readSnapshot(spark, dir, Some(s1)).count() == 20L)
+    } finally spark.conf.unset(Manifest.RetainMsConf)
+  }
+
+  test("row-level CDC: a delete's delta is exactly the deleted rows; a pure rewrite cancels to zero") {
+    val dir = freshDir("manifest-cdf")
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+      (0L to 299L).map(x => (x, x % 7)).toDF("x", "y")
+        .repartition(3).write.parquet(dir)
+      Layout.writeEnvelopes(spark, dir, Seq("x"))
+      val s0 = Manifest.write(spark, dir)
+      Layout.deleteWhere(spark, dir, Seq(("x", 100L, 149L)))
+      val s1 = Manifest.latestSeq(spark, dir).get
+      val cdc = Layout.readChangeRows(spark, dir, s0, Some(s1))
+      val del = cdc.filter($"_change_type" === "delete").select("x")
+        .as[Long].collect().sorted.toSeq
+      assert(del == (100L to 149L), "delta = exactly the box contents")
+      assert(cdc.filter($"_change_type" === "insert").count() == 0L,
+        "a delete inserts nothing")
+      // a pure layout rewrite (every file replaced, rows identical)
+      // cancels to zero CDC rows — the file-level delta re-delivers all
+      Layout.clusterPartitions(spark, dir, Seq("x"), filesPerPartition = 2)
+      val s2 = Manifest.latestSeq(spark, dir).get
+      assert(Layout.readChanges(spark, dir, s1, Some(s2)).count() > 0,
+        "file-level CDC re-delivers the rewrite")
+      assert(Layout.readChangeRows(spark, dir, s1, Some(s2)).count() == 0L,
+        "row-level CDC cancels a pure rewrite")
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
 }
