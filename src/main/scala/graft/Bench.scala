@@ -118,7 +118,11 @@ object Bench {
     // round 14: URL/domain blocklist filtering + table-stats introspection
     "q162_domain_filter", "q163_table_stats",
     // round 14: the partitioned-table mutation path
-    "q164_delete_partitioned_box")
+    "q164_delete_partitioned_box",
+    // round 15: row-level CDC of the q160 delete; avg + path-synthesized
+    // partition grouping from the index (q167's build timed as
+    // q167_part_build)
+    "q165_cdc_delete_rows", "q166_envelope_avg_agg", "q167_part_group_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -271,6 +275,23 @@ object Bench {
       val (b1, ok1) = once(); val (b2, ok2) = once()
       if (ok1 && ok2) math.min(b1, b2) else -1.0
     }
+    // round-15 build (the wk-unindexed partitioned copy): min-of-two
+    // honesty split; q167 then times metadata-scale serving only.
+    val partBuild15 = {
+      def once(): (Double, Boolean) = {
+        graft.queries.LayoutQueries.invalidateZorder15(sfDir)
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.queries.LayoutQueries.buildZorder15(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q167_part_build FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (b1, ok1) = once(); val (b2, ok2) = once()
+      if (ok1 && ok2) math.min(b1, b2) else -1.0
+    }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
     val run2 = present.map { n =>
@@ -351,6 +372,7 @@ object Bench {
       ("q137_zorder_build" -> zorderBuild) :+
       ("q144_zorder_build13" -> zorderBuild13) :+
       ("q151_manifest_build" -> manifestBuild) :+
+      ("q167_part_build" -> partBuild15) :+
       ("q103_index_build" -> annBuild) :+
       ("q35_pair_graph_build" -> pairBuild) :+
       ("q35_cc_label_build" -> labelBuild) :+

@@ -881,9 +881,19 @@ object CorpusOps {
 
   /** PII patterns shared by [[piiScrub]] and its DuckDB oracle — written
     * in the Java-regex ∩ RE2 common dialect (no backreferences, no
-    * lookaround) so both engines match the same spans. */
+    * lookaround) so both engines match the same spans.
+    *
+    * IPv4 octets are RANGE-CHECKED (0-255): `999.999.999.999` is not an
+    * address and must not inflate `n_ips` (the counts feed curation
+    * decisions). The `\b` boundaries deliberately still match the first
+    * four octets inside a longer dotted string (`1.2.3.4.5` →
+    * `<IP>.5`): rejecting that requires consuming a context character
+    * (RE2 has no lookaround), which would make the SECOND of two
+    * IPs separated by one character invisible — under-masking PII to
+    * avoid over-masking version strings is the wrong trade. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val Ipv4Octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val Ipv4Pattern  = s"\\b$Ipv4Octet(?:\\.$Ipv4Octet){3}\\b"
   val PhonePattern = "\\+\\d[\\d ()-]{6,}\\d"
 
   /** PII scrubbing (the Dolma/CCNet-style masking pass): emails, IPv4

@@ -4,13 +4,13 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum}
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.functions.{abs, coalesce, col, greatest, lit, max, min, sum, udf, when}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType, StructType}
 
 import graft.sources.Layout
 
@@ -200,13 +200,25 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
           // be reproduced from partials.
           case Sum(e, ctx) if ctx.evalMode != EvalMode.TRY =>
             RwSum(colName(e).getOrElse(return None))
+          // integral avg = sum / non-null count, BOTH from the index —
+          // exact only under avgExact's Σ|values| ≤ 2^52 probe (Spark
+          // accumulates the avg sum in DOUBLE per row; when every
+          // partial sum is an exactly-representable integer, row order
+          // and file order compute the same double). Float/double/
+          // decimal input declines (order-dependent rounding / widened
+          // intermediates), as does TRY.
+          case Average(e, em) if em != EvalMode.TRY &&
+              (e.dataType == ByteType || e.dataType == ShortType ||
+               e.dataType == IntegerType || e.dataType == LongType) =>
+            RwAvg(colName(e).getOrElse(return None))
           case _ => return None
         }
         case _ => return None
       }
       case _ => return None
     }
-    if (!rws.exists { case RwCount | _: RwCountCol | _: RwMin | _: RwMax | _: RwSum => true
+    if (!rws.exists { case RwCount | _: RwCountCol | _: RwMin | _: RwMax |
+                           _: RwSum | _: RwAvg => true
                       case _ => false }) return None // nothing to save
 
     // ---- index gates: existence, coverage, exact file-set match
@@ -225,19 +237,31 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
     // nulls_c required for EVERY role: the soundness probe below needs it
     // to tell a legitimately-null stat (all-null file) from a
     // mixed-generation index row missing the column entirely
-    def covered(c: String): Boolean =
+    def indexed(c: String): Boolean =
       envType.contains(s"min_$c") && envType.contains(s"max_$c") &&
         envType.contains(s"nulls_$c")
+    // a HIVE PARTITION column the index does not cover needs no envelope
+    // at all: its per-file constant is IN THE PATH (the same k=v segment
+    // partition discovery reads), so its min/max/nulls stats are
+    // SYNTHESIZED from the index's file column below — constancy and
+    // soundness hold by construction (a file lives in exactly one leaf)
+    val partTypes: Map[String, DataType] =
+      fsr.partitionSchema.fields.map(f => f.name -> f.dataType).toMap
+    def synthesized(c: String): Boolean =
+      partTypes.contains(c) && !indexed(c)
+    def covered(c: String): Boolean = indexed(c) || synthesized(c)
     val ok = rws.forall {
       case RwCountCol(c) => covered(c)
       case RwMin(c)      => covered(c)
       case RwMax(c)      => covered(c)
       case RwGroup(c)    => covered(c)
-      case RwSum(c)      => covered(c) && envType.get(s"sum_$c").contains(LongType)
+      case RwSum(c)      => indexed(c) && envType.get(s"sum_$c").contains(LongType)
+      case RwAvg(c)      => indexed(c) && envType.get(s"sum_$c").contains(LongType)
       case _             => true
     }
     if (!ok) return None
-    if (groupNames.exists(g => !constantPerFile(session, dir, meta, sig, g))) return None
+    if (groupNames.exists(g => !synthesized(g) &&
+      !constantPerFile(session, dir, meta, sig, g))) return None
 
     // ---- filter conjuncts: every referenced column must be covered and
     // index-proven constant per file — then the conjunct takes the same
@@ -255,7 +279,8 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
       b.result().distinct
     }
     if (filterCols.exists(c => !covered(c))) return None
-    if (filterCols.exists(c => !constantPerFile(session, dir, meta, sig, c))) return None
+    if (filterCols.exists(c => !synthesized(c) &&
+      !constantPerFile(session, dir, meta, sig, c))) return None
 
     // If the EnvelopePruneRule already wrapped this relation (it may run
     // first in the shared fixed-point batch), gate against the BASE
@@ -279,9 +304,17 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
     // file: nulls_c == rows)
     val relyCols: Seq[String] =
       (rws.collect { case RwCountCol(c) => c; case RwMin(c) => c; case RwMax(c) => c
-                     case RwGroup(c) => c; case RwSum(c) => c } ++ filterCols).distinct
-    val sumCols: Set[String] = rws.collect { case RwSum(c) => c }.toSet
+                     case RwGroup(c) => c; case RwSum(c) => c; case RwAvg(c) => c }
+        ++ filterCols).distinct.filterNot(synthesized)
+    val sumCols: Set[String] = rws.collect { case RwSum(c) => c; case RwAvg(c) => c }.toSet
     if (!statsSound(session, dir, meta, sig, relyCols, sumCols)) return None
+    // avg-only exactness probe: Spark accumulates the avg sum per ROW in
+    // DOUBLE; reproducing it from per-file integer partials is bit-exact
+    // only when every intermediate sum is an exactly-representable
+    // integer — guaranteed when Σ rows·max(|min|,|max|) ≤ 2^52 (bounds
+    // every subset/prefix sum either side could form)
+    val avgCols = rws.collect { case RwAvg(c) => c }.distinct
+    if (avgCols.exists(c => !avgExact(session, dir, meta, sig, c))) return None
 
     // ---- build the replacement: dedup per file, then aggregate the stats
     val needed: Seq[String] = ("rows" +: (rws.flatMap {
@@ -290,9 +323,23 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
       case RwMax(c)      => Seq(s"max_$c")
       case RwGroup(c)    => Seq(s"min_$c")
       case RwSum(c)      => Seq(s"sum_$c")
+      case RwAvg(c)      => Seq(s"sum_$c", s"nulls_$c")
       case _             => Nil
     } ++ filterCols.map(c => s"min_$c"))).distinct
-    val env = GraftBridge.ofRows(session, meta.plan) // cached analyzed scan
+    // synthesize the per-file stats of path-derived partition columns
+    // (value parsed from the file's k=v segment, cast exactly as
+    // partition discovery casts it — TRY, session timezone)
+    val synthCols = ((rws.collect { case RwCountCol(c) => c; case RwMin(c) => c
+                                    case RwMax(c) => c; case RwGroup(c) => c }
+      ++ filterCols).distinct).filter(synthesized)
+    val env = synthCols.foldLeft(
+        GraftBridge.ofRows(session, meta.plan)) { (d, g) => // cached analyzed scan
+      val raw = partSegUdf(col("file"), lit(g))
+      val v = GraftBridge.column(Cast(GraftBridge.expression(raw), partTypes(g),
+        Some(session.sessionState.conf.sessionLocalTimeZone), EvalMode.TRY))
+      d.withColumn(s"min_$g", v).withColumn(s"max_$g", v)
+        .withColumn(s"nulls_$g", when(v.isNull, col("rows")).otherwise(lit(0L)))
+    }
     // duplicate rows for a file (replayed appendEnvelopes) carry identical
     // envelopes — min() collapses them to the single true value
     val perFile = env.groupBy(col("file"))
@@ -313,6 +360,13 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
       case RwMin(c)      => min(col(s"min_$c"))
       case RwMax(c)      => max(col(s"max_$c"))
       case RwSum(c)      => sum(col(s"sum_$c"))
+      case RwAvg(c)      =>
+        // Spark's Average: null when the non-null count is 0, else
+        // sum/count in double — reproduced verbatim (exact under the
+        // avgExact probe; the guard also keeps ANSI division happy)
+        val cnt = sum(col("rows") - col(s"nulls_$c"))
+        when(coalesce(cnt, lit(0L)) === 0L, lit(null).cast(DoubleType))
+          .otherwise(sum(col(s"sum_$c")).cast(DoubleType) / cnt.cast(DoubleType))
     }
     val replaced =
       if (groupCols.isEmpty) kept.agg(outCols.head, outCols.tail: _*)
@@ -354,7 +408,34 @@ object EnvelopeAggRule {
   private final case class RwMax(c: String) extends Rw
   private final case class RwGroup(c: String) extends Rw
   private final case class RwSum(c: String) extends Rw
+  private final case class RwAvg(c: String) extends Rw
   private final case class RwLit(ne: NamedExpression) extends Rw
+
+  /** The raw (unescaped) value of hive-partition segment `name` in a
+    * file path, or null when absent / the default-partition marker. The
+    * file NAME itself never participates (only directory segments). */
+  private val partSegUdf = udf((path: String, name: String) => {
+    if (path == null) null
+    else {
+      var res: String = null
+      val segs = path.split('/')
+      var i = 0
+      while (i < segs.length - 1) { // last segment is the file name
+        val seg = segs(i)
+        val eq = seg.indexOf('=')
+        if (eq > 0 &&
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.take(eq)) == name) {
+          val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.drop(eq + 1))
+          res = if (v == org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else v
+        }
+        i += 1
+      }
+      res
+    }
+  })
 
   /** `true` (default) answers stats-derivable aggregates over indexed
     * parquet tables from their `.envelopes` index; `false` disables. */
@@ -362,10 +443,14 @@ object EnvelopeAggRule {
 
   /** Cached per (session, dir, index-listing signature): the ANALYZED
     * index scan plan (so rewrites never re-infer the index schema — a
-    * footer read per optimization otherwise), its schema, and the
-    * deduplicated indexed file set for the equality gate. */
+    * footer read per optimization otherwise), its schema, the
+    * deduplicated indexed file set for the equality gate, and a WEAK
+    * reference to the owning session (the plan pins it strongly — the
+    * weak ref is how eviction tells a stopped session's entries apart
+    * and releases them without waiting for LRU pressure). */
   private final case class IndexMeta(plan: LogicalPlan, schema: StructType,
-                                     files: Set[String])
+                                     files: Set[String],
+                                     owner: java.lang.ref.WeakReference[SparkSession])
 
   // LRU caches, (dir, listing-signature)-keyed like the prune rule's
   // skip-set cache: the signature changes whenever the index is
@@ -374,17 +459,19 @@ object EnvelopeAggRule {
   private val MaxEntries = 256
   private val MaxRetainedPaths = 1L << 20
   private var retained = 0L
-  // Keys carry the session's identity: a cached ANALYZED plan must not
-  // leak across sessions (it captures the building session's state).
+  // Keys carry the session's UUID: a cached ANALYZED plan must not leak
+  // across sessions (it captures the building session's state), and the
+  // UUID — unlike an identityHashCode — cannot collide two sessions
+  // onto one entry.
   private val metaCache =
-    new java.util.LinkedHashMap[(Int, String, String), IndexMeta](32, 0.75f, true)
+    new java.util.LinkedHashMap[(String, String, String), IndexMeta](32, 0.75f, true)
   private val constCache =
-    new java.util.LinkedHashMap[(Int, String, String, String), Boolean](32, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String, String, String), Boolean](32, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, String, String), Boolean]): Boolean =
+          e: java.util.Map.Entry[(String, String, String, String), Boolean]): Boolean =
         size > MaxEntries
     }
-  private def sid(session: SparkSession): Int = System.identityHashCode(session)
+  private def sid(session: SparkSession): String = GraftBridge.sessionUUID(session)
 
   private def indexMeta(session: SparkSession, dir: String, envDir: String,
                         sig: String): IndexMeta = {
@@ -394,8 +481,20 @@ object EnvelopeAggRule {
         val env = session.read.parquet(envDir) // outside the lock: runs a job
         val files = env.select("file").distinct().collect()
           .map(r => Layout.normPath(r.getString(0))).toSet
-        val v = IndexMeta(env.queryExecution.analyzed, env.schema, files)
+        val v = IndexMeta(env.queryExecution.analyzed, env.schema, files,
+          new java.lang.ref.WeakReference(session))
         metaCache.synchronized {
+          // entries of stopped (or collected) sessions first: their plans
+          // can never serve again and must not keep the session reachable
+          val dead = metaCache.entrySet().iterator()
+          while (dead.hasNext) {
+            val e = dead.next()
+            val s = e.getValue.owner.get()
+            if (s == null || s.sparkContext.isStopped) {
+              retained -= e.getValue.files.size
+              dead.remove()
+            }
+          }
           val prior = metaCache.put((sid(session), dir, sig), v)
           retained += v.files.size - (if (prior == null) 0 else prior.files.size)
           val it = metaCache.entrySet().iterator()
@@ -464,6 +563,30 @@ object EnvelopeAggRule {
              else lit(false))
         }.reduce(_ || _)
         val v = env.filter(violation).limit(1).count() == 0L
+        constCache.synchronized(constCache.put(key, v))
+        v
+    }
+  }
+
+  /** Is `avg(c)` exactly reproducible from per-file integer partials?
+    * Spark accumulates the average's sum per ROW in DOUBLE; every
+    * intermediate stays an exactly-representable integer — so any
+    * accumulation ORDER computes the same double — when the total
+    * absolute mass Σ rows·max(|min_c|,|max_c|) is ≤ 2^52 (a margin
+    * under double's 2^53 integer range, probe computed in double).
+    * All-null files contribute zero mass. */
+  private def avgExact(session: SparkSession, dir: String, meta: IndexMeta,
+                       sig: String, c: String): Boolean = {
+    val key = (sid(session), dir, sig, s"avgexact:$c")
+    constCache.synchronized(Option(constCache.get(key))) match {
+      case Some(hit) => hit
+      case None =>
+        val env = GraftBridge.ofRows(session, meta.plan)
+        val mass = sum(col("rows").cast(DoubleType) *
+          coalesce(greatest(abs(col(s"min_$c").cast(DoubleType)),
+            abs(col(s"max_$c").cast(DoubleType))), lit(0d)))
+        val row = env.agg(mass).head()
+        val v = !row.isNullAt(0) && row.getDouble(0) <= (1L << 52).toDouble
         constCache.synchronized(constCache.put(key, v))
         v
     }

@@ -220,6 +220,37 @@ object LayoutQueries {
     })
   }
 
+  /** Week-PARTITIONED events copy whose envelope index covers ONLY the
+    * data columns (`user_id`, `ts_us`) — `wk` deliberately NOT indexed:
+    * the [[graft.plans.EnvelopeAggRule]] partition-column-synthesis
+    * fixture (the grouping value comes from the `wk=<v>` path segment,
+    * not the index). */
+  private def zEventsPartNoWk(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_part_nowk"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_part_nowk").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+        .withColumn("wk", weekofyear(timestamp_micros(col("ts_us"))))
+        .write.partitionBy("wk").parquet(out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us"))
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Round-15 build (the wk-unindexed partitioned copy), its own bench
+    * entry so q167 times serving only. */
+  def buildZorder15(spark: SparkSession, dir: String): Unit = {
+    zEventsPartNoWk(spark, dir); ()
+  }
+  private val R15Tables = Set("events_part_nowk")
+  def invalidateZorder15(dir: String): Unit = lock.synchronized {
+    cache = cache.filterNot { case (k, _) =>
+      R15Tables.contains(k.stripPrefix(s"$dir|"))
+    }
+  }
+
   /** Round-14 build (two-commit incremental events table + the
     * small-file compaction fixture + the delete/upsert mutation
     * fixtures, flat and partitioned), its own bench entry so
@@ -242,7 +273,8 @@ object LayoutQueries {
   def invalidateZorder(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       val suffix = k.stripPrefix(s"$dir|")
-      k.startsWith(s"$dir|") && !R13Tables.contains(suffix) && !R14Tables.contains(suffix)
+      k.startsWith(s"$dir|") && !R13Tables.contains(suffix) &&
+        !R14Tables.contains(suffix) && !R15Tables.contains(suffix)
     }
   }
   def invalidateZorder13(dir: String): Unit = lock.synchronized {
@@ -662,6 +694,36 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q166
+  /** q156's shape with `avg(user_id)` — integral average answered FROM
+    * THE INDEX as `sum(sum_c) / sum(rows - nulls_c)`, exact under the
+    * rule's Σ|values| ≤ 2⁵² probe (every double intermediate is an
+    * exactly-representable integer, so row order and file order agree
+    * bit-for-bit). The oracle computes the same average over the
+    * original table. */
+  def q166EnvelopeAvgAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopeAggRule.ensure(spark)
+    spark.read.parquet(zEventsPartitioned(spark, dir))
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("n"), avg($"user_id").as("avg_uid"))
+  }
+
+  // ---------------------------------------------------------------- q167
+  /** q153's grouped metadata aggregate over a copy whose index does NOT
+    * cover the grouping column: `wk` is a hive partition column, so its
+    * per-file constant is synthesized from the `wk=<v>` path segment
+    * (the same value partition discovery reads) — no envelope needed.
+    * Layout-invariant: the oracle groups the original table by the same
+    * derived week. */
+  def q167PartGroupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopeAggRule.ensure(spark)
+    spark.read.parquet(zEventsPartNoWk(spark, dir))
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("n"), min($"ts_us").as("mn_ts"), max($"ts_us").as("mx_ts"))
+  }
+
   // ---------------------------------------------------------------- q165
   /** ROW-level CDC of the q160 delete — `graft_read_change_rows` between
     * the pre-delete and post-delete commits: the file-level delta
@@ -684,6 +746,8 @@ object LayoutQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_cdc_delete_rows"     -> q165CdcDeleteRows _,
+    "q166_envelope_avg_agg"    -> q166EnvelopeAvgAgg _,
+    "q167_part_group_agg"      -> q167PartGroupAgg _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -801,6 +865,14 @@ object LayoutQueries {
     "q156_envelope_sum_agg" ->
       s"""SELECT CAST(weekofyear(ts) AS INTEGER) AS wk, count(*) AS n,
          |  CAST(sum(user_id) AS BIGINT) AS sum_uid, max(epoch_us(ts)) AS mx_ts
+         |FROM events GROUP BY 1""".stripMargin,
+    "q166_envelope_avg_agg" ->
+      s"""SELECT CAST(weekofyear(ts) AS INTEGER) AS wk, count(*) AS n,
+         |  avg(user_id) AS avg_uid
+         |FROM events GROUP BY 1""".stripMargin,
+    "q167_part_group_agg" ->
+      s"""SELECT CAST(weekofyear(ts) AS INTEGER) AS wk, count(*) AS n,
+         |  min(epoch_us(ts)) AS mn_ts, max(epoch_us(ts)) AS mx_ts
          |FROM events GROUP BY 1""".stripMargin,
     "q145_quantile_zorder_box" ->
       s"""SELECT l_returnflag, count(*) AS n,

@@ -32,6 +32,12 @@ import graft.sources.Manifest
   *    `ignoreChanges` trade, surfaced explicitly. Consumers that keep
   *    `redeliver` deduplicate on the sink's `batch_id` (it survives
   *    rewrites) or a row key.
+  *  - `onSchemaDrift`: `warn` (default) or `fail`. The stream serves
+  *    the schema pinned at construction; a LATER commit that widened
+  *    the table would otherwise have its new columns silently dropped
+  *    from every batch. `warn` logs the dropped columns once per
+  *    batch; `fail` stops the query naming them (restart the stream to
+  *    adopt the widened schema).
   *
   * Exactly-once: the engine checkpoints offsets; a restarted query
   * re-resolves its LAST batch's start offset (V1 recovery) and then
@@ -60,14 +66,19 @@ class ManifestSourceProvider extends StreamSourceProvider with DataSourceRegiste
                             parameters: Map[String, String]): Source =
     new ManifestSource(sqlContext.sparkSession, pathOf(parameters),
       parameters.getOrElse("startingSeq", "latest"),
-      parameters.getOrElse("onRewrite", "redeliver"))
+      parameters.getOrElse("onRewrite", "redeliver"),
+      parameters.getOrElse("onSchemaDrift", "warn"))
 }
 
 class ManifestSource(spark: SparkSession, path: String,
-                     starting: String, onRewrite: String) extends Source {
+                     starting: String, onRewrite: String,
+                     onSchemaDrift: String = "warn")
+    extends Source with org.apache.spark.internal.Logging {
 
   require(Set("redeliver", "fail").contains(onRewrite),
     s"graft-manifest: onRewrite must be redeliver|fail, got '$onRewrite'")
+  require(Set("warn", "fail").contains(onSchemaDrift),
+    s"graft-manifest: onSchemaDrift must be warn|fail, got '$onSchemaDrift'")
 
   /** The seq AFTER which changes flow ("latest" pins the head at stream
     * construction; -1 means the first batch is the full snapshot). */
@@ -119,6 +130,17 @@ class ManifestSource(spark: SparkSession, path: String,
     }
     // pin the column set/order across schema drift between commits, and
     // flag the relation streaming (the engine asserts getBatch's plan is)
+    // — but never SILENTLY: a later commit's added columns are about to
+    // be dropped from this batch, which downstream has no way to notice
+    val dropped = df.columns.filterNot(pinnedSchema.fieldNames.contains)
+    if (dropped.nonEmpty) {
+      val msg = s"graft-manifest: commits up to seq $endSeq of $path added " +
+        s"column(s) ${dropped.mkString(", ")} not in this stream's pinned " +
+        "schema; they are dropped from the batch. Restart the stream to " +
+        "adopt the widened schema (onSchemaDrift=fail stops instead)."
+      if (onSchemaDrift == "fail") throw new IllegalStateException(msg)
+      logWarning(msg)
+    }
     org.apache.spark.sql.GraftBridge.asStreamingRelation(spark, df)
       .select(pinnedSchema.fieldNames.map(col).toSeq: _*)
   }

@@ -9,6 +9,11 @@ object GraftBridge {
   def column(e: Expression): Column       = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression   = classic.ExpressionUtils.expression(c)
 
+  /** The session's stable UUID (`private[sql]`) — collision-free cache
+    * keying, unlike an identityHashCode. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** A DataFrame over an explicit logical plan (`Dataset.ofRows` is
     * `private[sql]`) — used to swap a relation's FileIndex for a
     * delegating skipping view without re-reading path lists. */

@@ -38,6 +38,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4).getString(1) == "")
   }
 
+  test("piiScrub: out-of-range octets are not IPs; 255 boundary is; over-mask trade pinned") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "bogus 999.999.999.999 and 256.1.1.1 stay"),
+      (1L, "edge 255.255.255.255 and 0.0.0.0 go"),
+      (2L, "version 1.2.3.4.5 over-masks its head")).toDF("doc_id", "text")
+    val out = CorpusOps.piiScrub(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "bogus 999.999.999.999 and 256.1.1.1 stay")
+    assert(out(0).getLong(3) == 0L, "invalid octets must not count as IPs")
+    assert(out(1).getString(1) == "edge <IP> and <IP> go")
+    assert(out(1).getLong(3) == 2L)
+    // documented trade: the leading 4 octets of a longer dotted string
+    // still mask (safe direction; see Ipv4Pattern's scaladoc)
+    assert(out(2).getString(1) == "version <IP>.5 over-masks its head")
+  }
+
   test("lineDedup: first (id, pos) occurrence wins; blanks always kept; all-dup doc empties") {
     import spark.implicits._
     val docs = Seq(

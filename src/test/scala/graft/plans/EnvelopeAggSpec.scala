@@ -151,14 +151,16 @@ class EnvelopeAggSpec extends AnyFunSuite {
     }
   }
 
-  test("unsupported shapes decline: avg, distinct, uncovered column, Filter below, conf off") {
+  test("unsupported shapes decline: float avg, distinct, uncovered column, Filter below, conf off") {
     val dir = freshDir("env-agg-decline")
-    (1 to 3000).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+    (1 to 3000).map(i => (i.toLong, i.toDouble, i.toLong)).toDF("x", "d", "y")
       .coalesce(2).write.parquet(dir)
-    Layout.writeEnvelopes(spark, dir, Seq("x")) // y NOT covered
+    Layout.writeEnvelopes(spark, dir, Seq("x", "d")) // y NOT covered
     withRule(true) {
-      assert(!firesIndexOnly(spark.read.parquet(dir).agg(avg($"x").as("a"))))
-      assert(!firesIndexOnly(spark.read.parquet(dir).agg(countDistinct($"x").as("d"))))
+      // float/double avg declines (order-dependent rounding has no exact
+      // reconstruction from partials); integral avg fires — next test
+      assert(!firesIndexOnly(spark.read.parquet(dir).agg(avg($"d").as("a"))))
+      assert(!firesIndexOnly(spark.read.parquet(dir).agg(countDistinct($"x").as("d2"))))
       assert(!firesIndexOnly(spark.read.parquet(dir).agg(min($"y").as("m"))))
       assert(!firesIndexOnly(
         spark.read.parquet(dir).filter($"x" > 10L).agg(count(lit(1)).as("n"))))
@@ -168,6 +170,59 @@ class EnvelopeAggSpec extends AnyFunSuite {
     withRule(false) {
       assert(!firesIndexOnly(spark.read.parquet(dir).agg(min($"x").as("m"))))
     }
+  }
+
+  test("integral avg fires (sum/count from the index), bit-equal; huge mass declines") {
+    val dir = freshDir("env-agg-avg")
+    // mixed nulls: avg must divide by the NON-NULL count only
+    (1 to 3000).map(i => (i.toLong, if (i % 3 == 0) None else Some(i.toLong)))
+      .toDF("x", "v").coalesce(3).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x", "v"))
+    def q() = spark.read.parquet(dir).agg(avg($"v").as("a"), avg($"x").as("ax"))
+    withRule(true) {
+      assert(firesIndexOnly(q()), s"integral avg should fire:\n${q().queryExecution.optimizedPlan}")
+    }
+    val on = withRule(true)(q().head())
+    val off = withRule(false)(q().head())
+    assert(on.getDouble(0) == off.getDouble(0) && on.getDouble(1) == off.getDouble(1),
+      s"avg rewrite not bit-equal: $on vs $off")
+    // mass past 2^52 declines: values near Long.MaxValue make any
+    // double accumulation order-dependent — the probe must refuse
+    val big = freshDir("env-agg-avg-big")
+    Seq(Long.MaxValue - 3, Long.MaxValue - 2, 5L, 7L).toDF("v")
+      .coalesce(2).write.parquet(big)
+    Layout.writeEnvelopes(spark, big, Seq("v"))
+    withRule(true) {
+      assert(!firesIndexOnly(spark.read.parquet(big).agg(avg($"v").as("a"))),
+        "huge-mass avg must decline")
+      // min/max still fire on the same table
+      assert(firesIndexOnly(spark.read.parquet(big).agg(max($"v").as("m"))))
+    }
+  }
+
+  test("grouping by an UNINDEXED hive-partition column synthesizes its stats from the path") {
+    val dir = freshDir("env-agg-part")
+    (1 to 3000).map(i => (i % 4, i.toLong)).toDF("p", "x")
+      .write.partitionBy("p").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x")) // p NOT indexed
+    def q() = spark.read.parquet(dir).groupBy($"p")
+      .agg(count(lit(1)).as("n"), min($"x").as("mn"), max($"x").as("mx"),
+        avg($"x").as("ax")) // grouped avg rides the same rewrite
+    withRule(true) {
+      assert(firesIndexOnly(q()),
+        s"partition-grouped agg should fire without p in the index:\n${q().queryExecution.optimizedPlan}")
+    }
+    sameRows(() => q())
+    // a WHERE on the unindexed partition column is metadata-only too
+    def f() = spark.read.parquet(dir).filter($"p" >= 2)
+      .agg(count(lit(1)).as("n"), max($"x").as("mx"))
+    withRule(true)(assert(firesIndexOnly(f())))
+    sameRows(() => f())
+    // and min/max/count OF the partition column itself
+    def m() = spark.read.parquet(dir)
+      .agg(min($"p").as("mn"), max($"p").as("mx"), count($"p").as("n"))
+    withRule(true)(assert(firesIndexOnly(m())))
+    sameRows(() => m())
   }
 
   test("WHERE on per-file-constant columns answers from the index, incl. null files") {

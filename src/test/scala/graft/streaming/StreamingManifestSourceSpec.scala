@@ -175,4 +175,44 @@ class StreamingManifestSourceSpec extends AnyFunSuite {
       assert(got.size == 160, "an upstream replay leaked duplicate rows downstream")
     } finally q.stop()
   }
+
+  test("schema drift: a widened commit fails loudly under onSchemaDrift=fail, keeps running under warn") {
+    val dir = tmp("manifest-src-drift") + "/t"
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+      (1 to 50).map(i => (i.toLong, (i % 7).toLong)).toDF("x", "y").write.parquet(dir)
+      Manifest.write(spark, dir)
+
+      def run(mode: String, cp: String, got: ConcurrentLinkedQueue[(Long, Long)]) =
+        tail(dir, cp, got, Map("startingSeq" -> "earliest", "onSchemaDrift" -> mode))
+
+      // fail mode: stream pinned to (x, y); a commit that adds z stops it
+      val gotF = new ConcurrentLinkedQueue[(Long, Long)]()
+      val qf = run("fail", tmp("drift-cp-f"), gotF)
+      try {
+        qf.processAllAvailable()
+        assert(gotF.size == 50)
+        val widened = (51 to 60).map(i => (i.toLong, (i % 7).toLong, i.toString))
+          .toDF("x", "y", "z")
+        widened.write.mode("append").parquet(dir)
+        // commit the WIDENED schema explicitly (plain footer inference
+        // may sample an old file; a real widening writer knows its schema)
+        Manifest.write(spark, dir, schemas = Some((widened.schema,
+          new org.apache.spark.sql.types.StructType())))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          qf.processAllAvailable()
+        }
+        val msg = ex.getCause match { case null => ex.getMessage; case c => c.getMessage }
+        assert(msg.contains("z") && msg.contains("pinned"), msg)
+      } finally qf.stop()
+
+      // warn mode (default): same drift keeps flowing, z dropped
+      val gotW = new ConcurrentLinkedQueue[(Long, Long)]()
+      val qw = run("warn", tmp("drift-cp-w"), gotW)
+      try {
+        qw.processAllAvailable()
+        assert(gotW.size == 60, s"warn mode must keep serving, got ${gotW.size}")
+      } finally qw.stop()
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
 }
