@@ -122,7 +122,9 @@ object Bench {
     // round 15: row-level CDC of the q160 delete; avg + path-synthesized
     // partition grouping from the index (q167's build timed as
     // q167_part_build)
-    "q165_cdc_delete_rows", "q166_envelope_avg_agg", "q167_part_group_agg")
+    "q165_cdc_delete_rows", "q166_envelope_avg_agg", "q167_part_group_agg",
+    // SQL mutation surface (fixtures built in q167_part_build)
+    "q168_sql_delete_box", "q169_sql_merge_box")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a rule-planted SkippingFileIndex anyway, but first shot is cleaner)
     e.injectOptimizerRule(session => new graft.plans.EnvelopeAggRule(session))
     e.injectOptimizerRule(session => new graft.plans.EnvelopePruneRule(session))
+    // SQL mutation surface: DELETE FROM / MERGE INTO over a path-based
+    // parquet table lower onto the file-grain verbs (deleteWhere/upsert)
+    e.injectResolutionRule(session => new graft.plans.MutationSqlRule(session))
     // pure-SQL whole-operator surface: SELECT * FROM graft_asof_join(...)
     GraftTableFunctions.descriptions.foreach(e.injectTableFunction)
   }

@@ -1,0 +1,232 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Layout
+
+/** SQL surface for the file-grain mutation verbs — a real user's first
+  * spelling of a delete is `DELETE FROM`, not a Scala call:
+  *
+  * {{{
+  *   DELETE FROM parquet.`/warehouse/events`
+  *   WHERE user_id BETWEEN 3 AND 6 AND ts_us BETWEEN 10 AND 20
+  *
+  *   MERGE INTO parquet.`/warehouse/events` AS t
+  *   USING updates AS s ON t.event_id = s.event_id
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Spark parses these natively ([[DeleteFromTable]] / [[MergeIntoTable]])
+  * but supports them only on v2 tables; this resolution rule (injected by
+  * [[graft.GraftExtensions]]) intercepts the analyzed shapes over a
+  * path-based parquet relation and lowers them onto
+  * [[Layout.deleteWhere]] / [[Layout.upsert]] — same classification over
+  * the envelope index, same retire-then-promote commit, same manifest.
+  * Each returns the [[Layout.MutationStats]] triple as its result row.
+  *
+  * DECLINES LOUDLY (never silently narrows semantics):
+  *   - a DELETE predicate that is not a conjunction of closed per-column
+  *     ranges (`c BETWEEN lo AND hi`, `c >= lo AND c <= hi`, `c = v`) —
+  *     the box the index can classify files against;
+  *   - a MERGE that is not the exact upsert shape: single-key equality
+  *     condition, `WHEN MATCHED THEN UPDATE SET *` (unconditional),
+  *     `WHEN NOT MATCHED THEN INSERT *` (unconditional), nothing else.
+  * Everything else is left for Spark to reject with its own v2-only
+  * error, so non-graft tables keep their stock behavior. */
+class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  import MutationSqlRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(rel, cond) if rel.resolved && cond.resolved =>
+      parquetDir(rel) match {
+        case Some(dir) =>
+          GraftDeleteCommand(dir, boxOf(cond, rel, dir))
+        case None => plan
+      }
+    // gate on cond.resolved too: the rule runs every resolution
+    // iteration, and declining while the ON condition is still
+    // unresolved would throw on perfectly good SQL
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched,
+        notMatchedBySource, withSchemaEvolution)
+        if target.resolved && source.resolved && cond.resolved &&
+           (matched ++ notMatched ++ notMatchedBySource).forall(actionReady) =>
+      parquetDir(target) match {
+        case Some(dir) =>
+          def decline(what: String): Nothing = throw new UnsupportedOperationException(
+            s"graft MERGE INTO $dir: only the exact upsert shape is supported - " +
+              "single-key equality ON, WHEN MATCHED THEN UPDATE SET *, " +
+              s"WHEN NOT MATCHED THEN INSERT *, no other clauses; got $what")
+          if (withSchemaEvolution) decline("WITH SCHEMA EVOLUTION")
+          if (notMatchedBySource.nonEmpty) decline("WHEN NOT MATCHED BY SOURCE clauses")
+          if (!isUpdateStar(matched, target, source)) decline(
+            s"matched actions ${matched.mkString(", ")}")
+          if (!isInsertStar(notMatched, target, source)) decline(
+            s"not-matched actions ${notMatched.mkString(", ")}")
+          val key = keyOf(cond, target, source).getOrElse(decline(
+            s"ON condition ${cond.sql} (need t.key = s.key on one column)"))
+          GraftMergeCommand(dir, source, key)
+        case None => m
+      }
+    case _ => plan
+  }
+
+  /** A merge action we can JUDGE: star actions are shape-complete as
+    * parsed; assignment actions must have resolved references. */
+  private def actionReady(a: MergeAction): Boolean = a match {
+    case _: UpdateStarAction | _: InsertStarAction => true
+    case other => other.resolved
+  }
+
+  /** The single root dir when `plan` is a path-based single-root parquet
+    * relation (possibly under a SubqueryAlias); None otherwise. */
+  private def parquetDir(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => parquetDir(child)
+    case r: LogicalRelation => r.relation match {
+      case h: HadoopFsRelation
+          if h.fileFormat.isInstanceOf[ParquetFileFormat] &&
+             h.location.rootPaths.size == 1 && h.bucketSpec.isEmpty =>
+        Some(h.location.rootPaths.head.toString)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Translate a DELETE predicate into the verbs' box form — a closed
+    * range per column — failing loudly on anything else. */
+  private def boxOf(cond: Expression, rel: LogicalPlan,
+                    dir: String): Seq[(String, Any, Any)] = {
+    def decline(what: String): Nothing = throw new UnsupportedOperationException(
+      s"graft DELETE FROM $dir: predicate not expressible as per-column closed " +
+        s"ranges (c BETWEEN lo AND hi / c >= lo AND c <= hi / c = v): $what. " +
+        "Rewrite the predicate as ranges, or use the Scala deleteWhere/rewrite path.")
+    def scalaLit(e: Expression): Any = e match {
+      case f if f.foldable && f.deterministic =>
+        val v = f.eval()
+        if (v == null) decline(s"NULL bound in ${e.sql}")
+        CatalystTypeConverters.convertToScala(v, f.dataType)
+      case other => decline(s"non-literal bound ${other.sql}")
+    }
+    def attrName(e: Expression): String = e match {
+      case a: AttributeReference => a.name
+      case other => decline(s"bound side ${other.sql} is not a plain column " +
+        "(implicit casts on the column decline: the index proof runs on the raw column)")
+    }
+    var lo = Map.empty[String, Any]
+    var hi = Map.empty[String, Any]
+    splitConjunctivePredicates(cond).foreach {
+      // BETWEEN parses to the RuntimeReplaceable Between node
+      case b: Between =>
+        lo += attrName(b.input) -> scalaLit(b.lower)
+        hi += attrName(b.input) -> scalaLit(b.upper)
+      case GreaterThanOrEqual(a: AttributeReference, v) => lo += attrName(a) -> scalaLit(v)
+      case LessThanOrEqual(a: AttributeReference, v)    => hi += attrName(a) -> scalaLit(v)
+      case GreaterThanOrEqual(v, a: AttributeReference) if v.foldable =>
+        hi += attrName(a) -> scalaLit(v)
+      case LessThanOrEqual(v, a: AttributeReference) if v.foldable =>
+        lo += attrName(a) -> scalaLit(v)
+      case EqualTo(a: AttributeReference, v) if v.foldable =>
+        val x = scalaLit(v); lo += attrName(a) -> x; hi += attrName(a) -> x
+      case EqualTo(v, a: AttributeReference) if v.foldable =>
+        val x = scalaLit(v); lo += attrName(a) -> x; hi += attrName(a) -> x
+      case other => decline(other.sql)
+    }
+    val cols = (lo.keySet ++ hi.keySet).toSeq.sorted
+    if (cols.isEmpty) decline("empty predicate")
+    cols.map { c =>
+      (c,
+        lo.getOrElse(c, decline(s"$c has an upper bound but no lower bound")),
+        hi.getOrElse(c, decline(s"$c has a lower bound but no upper bound")))
+    }
+  }
+
+  /** `WHEN MATCHED THEN UPDATE SET *`, unconditional — star-form, or the
+    * resolved assignment form where every target column is assigned its
+    * same-named source column. */
+  private def isUpdateStar(actions: Seq[MergeAction], target: LogicalPlan,
+                           source: LogicalPlan): Boolean = actions match {
+    case Seq(UpdateStarAction(None)) => true
+    case Seq(UpdateAction(None, assignments, _)) =>
+      assignmentsAreStar(assignments, target, source)
+    case _ => false
+  }
+
+  private def isInsertStar(actions: Seq[MergeAction], target: LogicalPlan,
+                           source: LogicalPlan): Boolean = actions match {
+    case Seq(InsertStarAction(None)) => true
+    case Seq(InsertAction(None, assignments)) =>
+      assignmentsAreStar(assignments, target, source)
+    case _ => false
+  }
+
+  private def assignmentsAreStar(assignments: Seq[Assignment], target: LogicalPlan,
+                                 source: LogicalPlan): Boolean = {
+    val srcByName = source.output.map(a => a.name -> a.exprId).toMap
+    assignments.nonEmpty && assignments.forall {
+      case Assignment(t: AttributeReference, s: AttributeReference) =>
+        srcByName.get(t.name).contains(s.exprId)
+      case _ => false
+    } && assignments.size == target.output.size
+  }
+
+  /** The upsert key when `cond` is `t.k = s.k` on ONE column with equal
+    * names (either operand order). */
+  private def keyOf(cond: Expression, target: LogicalPlan,
+                    source: LogicalPlan): Option[String] = {
+    val tIds = target.outputSet
+    val sIds = source.outputSet
+    cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tIds.contains(a) && sIds.contains(b) && a.name == b.name => Some(a.name)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tIds.contains(b) && sIds.contains(a) && a.name == b.name => Some(b.name)
+      case _ => None
+    }
+  }
+}
+
+object MutationSqlRule {
+
+  private val StatsOutput = Seq(
+    AttributeReference("dropped_files", LongType, nullable = false)(),
+    AttributeReference("rewritten_files", LongType, nullable = false)(),
+    AttributeReference("untouched_files", LongType, nullable = false)())
+
+  /** `DELETE FROM parquet.`dir`` lowered onto [[Layout.deleteWhere]] —
+    * runs at execution time (a lazily-built DataFrame does not mutate). */
+  final case class GraftDeleteCommand(dir: String, box: Seq[(String, Any, Any)])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = StatsOutput
+    override def run(sparkSession: SparkSession): Seq[Row] = {
+      val s = Layout.deleteWhere(sparkSession, dir, box)
+      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
+    }
+  }
+
+  /** Key-equality `MERGE INTO` lowered onto [[Layout.upsert]]. The source
+    * plan executes inside the verb (update uniqueness checked there). */
+  final case class GraftMergeCommand(dir: String, source: LogicalPlan, key: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = StatsOutput
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(sparkSession: SparkSession): Seq[Row] = {
+      val updates = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
+      val s = Layout.upsert(sparkSession, dir, updates, key)
+      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
+    }
+  }
+
+  // NOTE: no live-session `ensure` — analyzer resolution rules are fixed
+  // at session construction; DELETE/MERGE SQL needs a session built with
+  // `spark.sql.extensions=graft.GraftExtensions` (the documented setup).
+}

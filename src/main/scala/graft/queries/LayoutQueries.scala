@@ -239,12 +239,54 @@ object LayoutQueries {
     })
   }
 
-  /** Round-15 build (the wk-unindexed partitioned copy), its own bench
-    * entry so q167 times serving only. */
-  def buildZorder15(spark: SparkSession, dir: String): Unit = {
-    zEventsPartNoWk(spark, dir); ()
+  /** [[zEventsDel]]'s twin mutated through the SQL surface — the same
+    * delete spelled `DELETE FROM parquet.` and lowered by
+    * [[graft.plans.MutationSqlRule]] onto the same file-grain verb.
+    * Needs a session built with GraftExtensions (Verify/Bench are). */
+  private def zEventsDelSql(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_del_sql"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_del_sql").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts"),
+        Seq("user_id", "ts_us"), 16, out)
+      spark.sql(s"DELETE FROM parquet.`$out` WHERE user_id BETWEEN 3 AND 6 " +
+        s"AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}").collect()
+      cache += key -> out
+      out
+    })
   }
-  private val R15Tables = Set("events_part_nowk")
+
+  /** [[zEventsUpd]]'s twin mutated through `MERGE INTO` — the same keyed
+    * update lowered onto [[Layout.upsert]]. */
+  private def zEventsUpdSql(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_upd_sql"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_upd_sql").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      ev.filter(col("event_id") % 10 === 3)
+        .withColumn("value", col("value") * 2)
+        .createOrReplaceTempView("graft_q169_updates")
+      spark.sql(
+        s"""MERGE INTO parquet.`$out` AS t USING graft_q169_updates AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Round-15 build (the wk-unindexed partitioned copy + the SQL-mutated
+    * twins), its own bench entry so q167-q169 time serving only. */
+  def buildZorder15(spark: SparkSession, dir: String): Unit = {
+    zEventsPartNoWk(spark, dir); zEventsDelSql(spark, dir); zEventsUpdSql(spark, dir); ()
+  }
+  private val R15Tables = Set("events_part_nowk", "events_del_sql", "events_upd_sql")
   def invalidateZorder15(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R15Tables.contains(k.stripPrefix(s"$dir|"))
@@ -724,6 +766,34 @@ object LayoutQueries {
       .agg(count(lit(1)).as("n"), min($"ts_us").as("mn_ts"), max($"ts_us").as("mx_ts"))
   }
 
+  // ---------------------------------------------------------------- q168
+  /** q160's box over the copy deleted through SQL (`DELETE FROM
+    * parquet.`, lowered by the resolution rule onto the same file-grain
+    * verb) — the SQL spelling must be observationally identical to the
+    * Scala call, so the oracle is q160's. */
+  def q168SqlDeleteBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsDelSql(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q169
+  /** q161's box over the copy upserted through SQL (`MERGE INTO` with
+    * the exact upsert shape) — same oracle as q161. */
+  def q169SqlMergeBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsUpdSql(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   // ---------------------------------------------------------------- q165
   /** ROW-level CDC of the q160 delete — `graft_read_change_rows` between
     * the pre-delete and post-delete commits: the file-level delta
@@ -748,6 +818,8 @@ object LayoutQueries {
     "q165_cdc_delete_rows"     -> q165CdcDeleteRows _,
     "q166_envelope_avg_agg"    -> q166EnvelopeAvgAgg _,
     "q167_part_group_agg"      -> q167PartGroupAgg _,
+    "q168_sql_delete_box"      -> q168SqlDeleteBox _,
+    "q169_sql_merge_box"       -> q169SqlMergeBox _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -805,6 +877,26 @@ object LayoutQueries {
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |  AND NOT (user_id BETWEEN 3 AND 6
          |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
+    "q168_sql_delete_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |  AND NOT (user_id BETWEEN 3 AND 6
+         |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
+    "q169_sql_merge_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type,
+         |        CASE WHEN event_id % 10 = 3 THEN value * 2 ELSE value END AS value
+         |      FROM events)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |GROUP BY event_type""".stripMargin,
     "q160_delete_where_box" ->
       s"""SELECT event_type, count(*) AS n,

@@ -1,0 +1,92 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Layout, Manifest}
+
+/** The SQL mutation surface: `DELETE FROM parquet.` and key-equality
+  * `MERGE INTO` lower onto the file-grain verbs (same classification,
+  * same manifest commit), return the MutationStats triple, and DECLINE
+  * LOUDLY on any shape the verbs cannot express exactly. */
+class MutationSqlSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  test("DELETE FROM: box predicate classifies over the index, stats returned, rows exact") {
+    val dir = freshDir("sql-del")
+    (0L to 99L).toDF("x").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).toDF("x").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val stats = spark.sql(
+      s"DELETE FROM parquet.`$dir` WHERE x BETWEEN 0 AND 99").collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 1L)), s"drop-whole + untouched: ${stats.toSeq}")
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq == (200L to 299L))
+    // the mutation committed a manifest like the Scala verb
+    assert(Manifest.latestSeq(spark, dir).nonEmpty)
+    // >= / <= and = spellings work too
+    spark.sql(s"DELETE FROM parquet.`$dir` WHERE x >= 290 AND x <= 291").collect()
+    spark.sql(s"DELETE FROM parquet.`$dir` WHERE x = 295").collect()
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq ==
+      ((200L to 289L) ++ Seq(292L, 293L, 294L) ++ (296L to 299L)))
+  }
+
+  test("DELETE FROM declines loudly on non-box predicates; stock v2 error preserved elsewhere") {
+    val dir = freshDir("sql-del-decline")
+    (0L to 99L).toDF("x").write.parquet(dir)
+    def bad(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception](spark.sql(sql).collect())
+      assert(ex.getMessage != null && ex.getMessage.contains(frag),
+        s"$sql -> ${ex.getMessage}")
+    }
+    bad(s"DELETE FROM parquet.`$dir` WHERE x > 10 AND x < 20", "not expressible")
+    bad(s"DELETE FROM parquet.`$dir` WHERE x >= 10", "no upper bound")
+    bad(s"DELETE FROM parquet.`$dir` WHERE x % 2 = 0", "not expressible")
+    bad(s"DELETE FROM parquet.`$dir` WHERE x BETWEEN 1 AND 5 OR x = 9", "not expressible")
+  }
+
+  test("MERGE INTO: the exact upsert shape lowers onto upsert; others decline loudly") {
+    val dir = freshDir("sql-merge")
+    (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    ((50L to 59L) ++ (1000L to 1004L)).map(k => (k, -k)).toDF("k", "v")
+      .createOrReplaceTempView("updates")
+    val stats = spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING updates AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1L, 1L)), s"one candidate file rewritten: ${stats.toSeq}")
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 205)
+    assert((50L to 59L).forall(k => got(k) == -k), "matched keys replaced")
+    assert((1000L to 1004L).forall(k => got(k) == -k), "new keys inserted")
+    assert((200L to 299L).forall(k => got(k) == k * 10L), "disjoint file intact")
+    // declines: a conditional WHEN MATCHED, a DELETE action, a non-equi ON
+    def bad(sql: String): Unit = {
+      val ex = intercept[Exception](spark.sql(sql).collect())
+      assert(ex.getMessage.contains("upsert shape") ||
+        ex.getMessage.contains("MERGE"), ex.getMessage)
+    }
+    bad(s"""MERGE INTO parquet.`$dir` AS t USING updates AS s ON t.k = s.k
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    bad(s"""MERGE INTO parquet.`$dir` AS t USING updates AS s ON t.k >= s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+  }
+}
