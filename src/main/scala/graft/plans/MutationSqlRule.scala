@@ -19,6 +19,9 @@ import graft.sources.Layout
   *   DELETE FROM parquet.`/warehouse/events`
   *   WHERE user_id BETWEEN 3 AND 6 AND ts_us BETWEEN 10 AND 20
   *
+  *   UPDATE parquet.`/warehouse/events`
+  *   SET value = value * 2 WHERE user_id BETWEEN 3 AND 6
+  *
   *   MERGE INTO parquet.`/warehouse/events` AS t
   *   USING updates AS s ON t.event_id = s.event_id
   *   WHEN MATCHED THEN UPDATE SET *
@@ -34,9 +37,12 @@ import graft.sources.Layout
   * Each returns the [[Layout.MutationStats]] triple as its result row.
   *
   * DECLINES LOUDLY (never silently narrows semantics):
-  *   - a DELETE predicate that is not a conjunction of closed per-column
-  *     ranges (`c BETWEEN lo AND hi`, `c >= lo AND c <= hi`, `c = v`) —
-  *     the box the index can classify files against;
+  *   - a DELETE or UPDATE predicate that is not a conjunction of closed
+  *     per-column ranges (`c BETWEEN lo AND hi`, `c >= lo AND c <= hi`,
+  *     `c = v`) — the box the index can classify files against;
+  *   - an UNCONDITIONAL UPDATE (a whole-table rewrite must be spelled
+  *     explicitly), or an assignment that is nondeterministic or carries
+  *     a subquery;
   *   - a MERGE that is not the exact upsert shape: single-key equality
   *     condition, `WHEN MATCHED THEN UPDATE SET *` (unconditional),
   *     `WHEN NOT MATCHED THEN INSERT *` (unconditional), nothing else.
@@ -52,6 +58,31 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
       parquetDir(rel) match {
         case Some(dir) =>
           GraftDeleteCommand(dir, boxOf(cond, rel, dir))
+        case None => plan
+      }
+    case UpdateTable(rel, assignments, condOpt)
+        if rel.resolved && condOpt.forall(_.resolved) &&
+           assignments.forall(_.resolved) =>
+      parquetDir(rel) match {
+        case Some(dir) =>
+          def decline(what: String): Nothing = throw new UnsupportedOperationException(
+            s"graft UPDATE $dir: $what. Spell the predicate as per-column closed " +
+              "ranges and assign plain deterministic expressions over the table's " +
+              "columns, or use the Scala updateWhere/rewrite path.")
+          val cond = condOpt.getOrElse(decline(
+            "unconditional UPDATE rewrites the whole table - state the WHERE range explicitly"))
+          val set = assignments.map {
+            case Assignment(t: AttributeReference, v)
+                if v.deterministic && !v.exists(_.isInstanceOf[PlanExpression[_]]) =>
+              // re-anchor the value expression by NAME: the verb re-reads
+              // the snapshot with fresh exprIds, so ids cannot survive
+              t.name -> v.transform {
+                case a: AttributeReference =>
+                  org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+              }
+            case other => decline(s"unsupported assignment ${other.sql}")
+          }
+          GraftUpdateCommand(dir, boxOf(cond, rel, dir), set)
         case None => plan
       }
     // gate on cond.resolved too: the rule runs every resolution
@@ -209,6 +240,19 @@ object MutationSqlRule {
     override val output: Seq[Attribute] = StatsOutput
     override def run(sparkSession: SparkSession): Seq[Row] = {
       val s = Layout.deleteWhere(sparkSession, dir, box)
+      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
+    }
+  }
+
+  /** Box-predicate `UPDATE` lowered onto [[Layout.updateWhere]] —
+    * assignment values re-anchored by column name (see the rule). */
+  final case class GraftUpdateCommand(dir: String, box: Seq[(String, Any, Any)],
+                                      set: Seq[(String, Expression)])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = StatsOutput
+    override def run(sparkSession: SparkSession): Seq[Row] = {
+      val s = Layout.updateWhere(sparkSession, dir, box,
+        set.map { case (n, e) => n -> org.apache.spark.sql.GraftBridge.column(e) })
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
     }
   }

@@ -281,12 +281,34 @@ object LayoutQueries {
     })
   }
 
-  /** Round-15 build (the wk-unindexed partitioned copy + the SQL-mutated
-    * twins), its own bench entry so q167-q169 time serving only. */
-  def buildZorder15(spark: SparkSession, dir: String): Unit = {
-    zEventsPartNoWk(spark, dir); zEventsDelSql(spark, dir); zEventsUpdSql(spark, dir); ()
+  /** Clustered events copy mutated through `UPDATE ... WHERE <box>` —
+    * [[Layout.updateWhere]] via the SQL surface: `value` tripled for
+    * `user_id 3..6 × the q137 week`, only box-intersecting files
+    * rewritten. */
+  private def zEventsUpdWhere(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_upd_where"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_upd_where").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts"),
+        Seq("user_id", "ts_us"), 16, out)
+      spark.sql(s"UPDATE parquet.`$out` SET value = value * 3 " +
+        s"WHERE user_id BETWEEN 3 AND 6 AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}")
+        .collect()
+      cache += key -> out
+      out
+    })
   }
-  private val R15Tables = Set("events_part_nowk", "events_del_sql", "events_upd_sql")
+
+  /** Round-15 build (the wk-unindexed partitioned copy + the SQL-mutated
+    * twins), its own bench entry so q167-q170 time serving only. */
+  def buildZorder15(spark: SparkSession, dir: String): Unit = {
+    zEventsPartNoWk(spark, dir); zEventsDelSql(spark, dir)
+    zEventsUpdSql(spark, dir); zEventsUpdWhere(spark, dir); ()
+  }
+  private val R15Tables = Set("events_part_nowk", "events_del_sql",
+    "events_upd_sql", "events_upd_where")
   def invalidateZorder15(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R15Tables.contains(k.stripPrefix(s"$dir|"))
@@ -794,6 +816,21 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q170
+  /** The events box over the copy mutated by `UPDATE ... WHERE <box>`
+    * (lowered onto [[Layout.updateWhere]]): `value` tripled inside
+    * `user_id 3..6 × the week`. The oracle applies the same conditional
+    * assignment relationally. */
+  def q170SqlUpdateBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsUpdWhere(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   // ---------------------------------------------------------------- q165
   /** ROW-level CDC of the q160 delete — `graft_read_change_rows` between
     * the pre-delete and post-delete commits: the file-level delta
@@ -820,6 +857,7 @@ object LayoutQueries {
     "q167_part_group_agg"      -> q167PartGroupAgg _,
     "q168_sql_delete_box"      -> q168SqlDeleteBox _,
     "q169_sql_merge_box"       -> q169SqlMergeBox _,
+    "q170_sql_update_box"      -> q170SqlUpdateBox _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -887,6 +925,18 @@ object LayoutQueries {
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |  AND NOT (user_id BETWEEN 3 AND 6
          |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
+    "q170_sql_update_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type,
+         |        CASE WHEN user_id BETWEEN 3 AND 6
+         |              AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |             THEN value * 3 ELSE value END AS value
+         |      FROM events)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |GROUP BY event_type""".stripMargin,
     "q169_sql_merge_box" ->
       s"""SELECT event_type, count(*) AS n,

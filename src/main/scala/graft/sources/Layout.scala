@@ -644,6 +644,54 @@ object Layout {
       rewrite = _.filter(!coalesce(cond, lit(false))), extra = None)
   }
 
+  /** UPDATE the rows inside a box: every row matching `lo_i <= col_i <=
+    * hi_i` (NULLs never match, as in SQL) gets `set`'s assignments
+    * applied SIMULTANEOUSLY (SQL UPDATE semantics — every right-hand
+    * side sees the ORIGINAL row, so `SET a = b, b = a` swaps), cast
+    * back to each column's original type (store-assignment, schema
+    * never drifts). File-level classification over the `.envelopes`
+    * index like [[deleteWhere]]: files proven disjoint from the box are
+    * never opened; there is no drop-whole class (updated rows stay).
+    * Assigning a PARTITION column works — rewritten rows land under
+    * their new leaves via the partitioned replacement write. Same
+    * commit protocol and crash story as [[deleteWhere]] (an update is
+    * NOT idempotent under re-run if its right-hand side reads the
+    * column it assigns — heal a crash by re-running only when the
+    * assignment is, like a constant SET, idempotent; otherwise restore
+    * from the retained pre-mutation snapshot). */
+  def updateWhere(spark: SparkSession, dir: String, box: Seq[(String, Any, Any)],
+                  set: Seq[(String, Column)]): MutationStats = {
+    require(box.nonEmpty, "updateWhere: empty box")
+    require(set.nonEmpty, "updateWhere: no assignments")
+    require(set.map(_._1).distinct.size == set.size,
+      s"updateWhere: duplicate assignment targets in ${set.map(_._1)}")
+    val cond = box.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val boxCols = box.map(_._1)
+    // same classification as deleteWhere's miss set; no drop-whole class
+    def classify(env: DataFrame): (Set[String], Set[String]) = {
+      val cols = env.columns.toSeq
+      if (!boxCols.forall(c => cols.contains(s"min_$c") && cols.contains(s"max_$c")))
+        return (Set.empty, Set.empty)
+      val miss = coalesce(boxMiss(cols, box), lit(false))
+      (collectFiles(env.filter(miss)), Set.empty)
+    }
+    def rewrite(df: DataFrame): DataFrame = {
+      val byName = set.toMap
+      val unknown = byName.keySet -- df.columns.toSet
+      require(unknown.isEmpty, s"updateWhere: no such column(s) ${unknown.mkString(", ")}")
+      val hit = coalesce(cond, lit(false))
+      df.select(df.schema.fields.toSeq.map { f =>
+        byName.get(f.name) match {
+          case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+    }
+    mutateFiles(spark, dir, classify, rewrite, extra = None)
+  }
+
   /** UPSERT by unique key into a manifest-maintained parquet table (flat
     * or hive-partitioned; updates carry the partition columns):
     * rows whose `keyCol` appears in `updates` are REPLACED, every

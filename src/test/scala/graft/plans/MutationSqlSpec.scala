@@ -13,12 +13,22 @@ import graft.sources.{Layout, Manifest}
   * LOUDLY on any shape the verbs cannot express exactly. */
 class MutationSqlSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // The resolution rule is fixed at session construction — a session an
+  // earlier suite built without GraftExtensions cannot serve DELETE/
+  // MERGE SQL. Force a FRESH session with the extensions (same
+  // SparkContext; suites in the forked test JVM run sequentially, so
+  // clearing the active session races nothing — the EnvelopePruneSpec
+  // injected-extensions pattern).
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
   import spark.implicits._
 
   private def freshDir(prefix: String): String =
@@ -55,6 +65,32 @@ class MutationSqlSpec extends AnyFunSuite {
     bad(s"DELETE FROM parquet.`$dir` WHERE x >= 10", "no upper bound")
     bad(s"DELETE FROM parquet.`$dir` WHERE x % 2 = 0", "not expressible")
     bad(s"DELETE FROM parquet.`$dir` WHERE x BETWEEN 1 AND 5 OR x = 9", "not expressible")
+  }
+
+  test("UPDATE: box predicate + deterministic assignments lower onto updateWhere; declines loud") {
+    val dir = freshDir("sql-upd")
+    (0L to 99L).map(x => (x, x * 10L)).toDF("a", "b")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(x => (x, x * 10L)).toDF("a", "b")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("a"))
+    val stats = spark.sql(
+      s"UPDATE parquet.`$dir` SET b = b + a WHERE a BETWEEN 10 AND 19").collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1L, 1L)), s"one candidate file: ${stats.toSeq}")
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert((10L to 19L).forall(x => got(x) == x * 11L), "assignment applied in the box")
+    assert((0L to 9L).forall(x => got(x) == x * 10L) &&
+      (200L to 299L).forall(x => got(x) == x * 10L), "outside untouched")
+    // declines: unconditional, non-box predicate, nondeterministic RHS
+    def bad(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception](spark.sql(sql).collect())
+      assert(ex.getMessage.contains(frag), s"$sql -> ${ex.getMessage}")
+    }
+    bad(s"UPDATE parquet.`$dir` SET b = 0", "unconditional")
+    bad(s"UPDATE parquet.`$dir` SET b = 0 WHERE a > 5", "ranges")
+    bad(s"UPDATE parquet.`$dir` SET b = CAST(rand() * 10 AS BIGINT) WHERE a BETWEEN 1 AND 2",
+      "unsupported assignment")
   }
 
   test("MERGE INTO: the exact upsert shape lowers onto upsert; others decline loudly") {

@@ -181,6 +181,32 @@ class MutationSpec extends AnyFunSuite {
     assert(leafFiles(Layout.envelopesPath(dir)) == envBefore, "no index churn")
   }
 
+  test("updateWhere: simultaneous assignments inside the box only; disjoint files untouched") {
+    val dir = freshDir("graft-upd-where")
+    (0L to 99L).map(x => (x, x * 10L)).toDF("a", "b")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(x => (x, x * 10L)).toDF("a", "b")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("a"))
+    val before = leafFiles(dir)
+    // SQL UPDATE semantics: every RHS sees the ORIGINAL row — a swap
+    val stats = Layout.updateWhere(spark, dir, Seq(("a", 10L, 19L)),
+      Seq("a" -> col("b"), "b" -> col("a")))
+    assert(stats == Layout.MutationStats(0, 1, 1), s"one candidate file: $stats")
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert((10L to 19L).forall(x => got(x * 10L) == x), "swap applied with original RHS")
+    assert((0L to 9L).forall(x => got(x) == x * 10L), "outside the box untouched")
+    assert((200L to 299L).forall(x => got(x) == x * 10L), "disjoint file intact")
+    // the untouched file was truly not rewritten
+    val after = leafFiles(dir).toMap
+    assert(before.count { case (n, m) => after.get(n).contains(m) } == 1)
+    // store-assignment: types preserved even when the RHS widens
+    Layout.updateWhere(spark, dir, Seq(("a", 0L, 0L)),
+      Seq("b" -> (col("b").cast("double") + 0.9)))
+    assert(spark.read.parquet(dir).schema("b").dataType ==
+      org.apache.spark.sql.types.LongType, "assignment cast back to the column type")
+  }
+
   test("upsert classification is an interval stab (equi-join), never a nested-loop between-join") {
     val dir = freshDir("graft-ups-stab")
     (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
