@@ -38,6 +38,15 @@ import graft.sources.Manifest
   *    from every batch. `warn` logs the dropped columns once per
   *    batch; `fail` stops the query naming them (restart the stream to
   *    adopt the widened schema).
+  *  - `cdc`: `files` (default) or `rows`. `rows` delivers ROW-level
+  *    change-data capture ([[Manifest.readChangeRows]]): each batch is
+  *    the exact multiset of rows inserted/deleted by the commit range,
+  *    labelled in a trailing `_change_type` column — a maintenance
+  *    rewrite cancels to ZERO rows (so `onRewrite` becomes moot), a
+  *    delete delivers exactly the deleted rows as `delete`. The diff
+  *    MATERIALIZES per batch (localCheckpoint over the changed files
+  *    only — bounded by the delta, never the table); `earliest`'s
+  *    first batch is the full snapshot labelled `insert`.
   *
   * Exactly-once: the engine checkpoints offsets; a restarted query
   * re-resolves its LAST batch's start offset (V1 recovery) and then
@@ -58,7 +67,13 @@ class ManifestSourceProvider extends StreamSourceProvider with DataSourceRegiste
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val m = Manifest.info(sqlContext.sparkSession, pathOf(parameters))
-    (shortName(), StructType(m.dataSchema.fields ++ m.partSchema.fields))
+    val base = StructType(m.dataSchema.fields ++ m.partSchema.fields)
+    val s =
+      if (parameters.getOrElse("cdc", "files") == "rows")
+        StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
+      else base
+    (shortName(), s)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -67,18 +82,22 @@ class ManifestSourceProvider extends StreamSourceProvider with DataSourceRegiste
     new ManifestSource(sqlContext.sparkSession, pathOf(parameters),
       parameters.getOrElse("startingSeq", "latest"),
       parameters.getOrElse("onRewrite", "redeliver"),
-      parameters.getOrElse("onSchemaDrift", "warn"))
+      parameters.getOrElse("onSchemaDrift", "warn"),
+      parameters.getOrElse("cdc", "files"))
 }
 
 class ManifestSource(spark: SparkSession, path: String,
                      starting: String, onRewrite: String,
-                     onSchemaDrift: String = "warn")
+                     onSchemaDrift: String = "warn",
+                     cdc: String = "files")
     extends Source with org.apache.spark.internal.Logging {
 
   require(Set("redeliver", "fail").contains(onRewrite),
     s"graft-manifest: onRewrite must be redeliver|fail, got '$onRewrite'")
   require(Set("warn", "fail").contains(onSchemaDrift),
     s"graft-manifest: onSchemaDrift must be warn|fail, got '$onSchemaDrift'")
+  require(Set("files", "rows").contains(cdc),
+    s"graft-manifest: cdc must be files|rows, got '$cdc'")
 
   /** The seq AFTER which changes flow ("latest" pins the head at stream
     * construction; -1 means the first batch is the full snapshot). */
@@ -92,7 +111,13 @@ class ManifestSource(spark: SparkSession, path: String,
 
   private val pinnedSchema: StructType = {
     val m = Manifest.info(spark, path)
-    StructType(m.dataSchema.fields ++ m.partSchema.fields)
+    val base = StructType(m.dataSchema.fields ++ m.partSchema.fields)
+    require(!(cdc == "rows" && base.fieldNames.contains("_change_type")),
+      s"graft-manifest: cdc=rows reserves the _change_type column; $path already has one")
+    if (cdc == "rows")
+      StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+        "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
+    else base
   }
 
   override def schema: StructType = pinnedSchema
@@ -113,6 +138,7 @@ class ManifestSource(spark: SparkSession, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endSeq = seqOf(end)
+    if (cdc == "rows") return getRowsBatch(start.map(seqOf), endSeq)
     val df = start.map(seqOf).orElse(Some(startSeq).filter(_ >= 0)) match {
       case None => Manifest.read(spark, path, Some(endSeq)) // earliest: full snapshot
       case Some(from) =>
@@ -143,6 +169,33 @@ class ManifestSource(spark: SparkSession, path: String,
     }
     org.apache.spark.sql.GraftBridge.asStreamingRelation(spark, df)
       .select(pinnedSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** ROW-level CDC batch: the multiset diff of the commit range
+    * ([[Manifest.readChangeRows]]), materialized per batch — the diff
+    * plan carries an Except, which must not land under streaming
+    * planning, and its cost is bounded by the CHANGED files only. The
+    * `earliest` first batch is the full snapshot labelled `insert`. */
+  private def getRowsBatch(start: Option[Long], endSeq: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val diff = start.orElse(Some(startSeq).filter(_ >= 0)) match {
+      case None =>
+        Manifest.read(spark, path, Some(endSeq)).withColumn("_change_type", lit("insert"))
+      case Some(from) =>
+        Manifest.readChangeRows(spark, path, from, Some(endSeq))
+    }
+    val dropped = diff.columns.filterNot(pinnedSchema.fieldNames.contains)
+    if (dropped.nonEmpty) {
+      val msg = s"graft-manifest: commits up to seq $endSeq of $path added " +
+        s"column(s) ${dropped.mkString(", ")} not in this stream's pinned schema; " +
+        "they are dropped from the batch. Restart the stream to adopt the " +
+        "widened schema (onSchemaDrift=fail stops instead)."
+      if (onSchemaDrift == "fail") throw new IllegalStateException(msg)
+      logWarning(msg)
+    }
+    val materialized = diff.select(pinnedSchema.fieldNames.map(col).toSeq: _*)
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftBridge.asStreamingRelation(spark, materialized)
   }
 
   override def stop(): Unit = ()

@@ -40,9 +40,17 @@ object GraftBridge {
 
   /** Re-flag a batch relation plan as STREAMING — what a V1
     * `Source.getBatch` must return (the engine asserts isStreaming;
-    * `FileStreamSource` builds its relations the same way). */
+    * `FileStreamSource` builds its relations the same way). Also flips
+    * [[execution.LogicalRDD]] leaves: a source that MATERIALIZES its
+    * batch (localCheckpoint — the row-level CDC mode, whose diff plan
+    * would otherwise put an Except under streaming planning) returns
+    * one of those. */
   def asStreamingRelation(spark: SparkSession, df: DataFrame): DataFrame =
     ofRows(spark, df.queryExecution.analyzed.transform {
       case r: execution.datasources.LogicalRelation => r.copy(isStreaming = true)
+      case r: execution.LogicalRDD =>
+        execution.LogicalRDD(r.output, r.rdd, r.outputPartitioning, r.outputOrdering,
+          isStreaming = true, r.stream)(
+          spark.asInstanceOf[classic.SparkSession], None, None)
     })
 }

@@ -176,6 +176,48 @@ class StreamingManifestSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdc=rows: a delete streams exactly the deleted rows; a maintenance rewrite streams ZERO rows") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp("manifest-src-rows") + "/t"
+    val cp = tmp("manifest-src-rows-cp")
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+      (0L to 299L).map(x => (x, x % 7)).toDF("x", "y")
+        .repartition(3).write.parquet(dir)
+      Layout.writeEnvelopes(spark, dir, Seq("x"))
+      Manifest.write(spark, dir)
+      val got = new ConcurrentLinkedQueue[(Long, String)]()
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", dir).option("startingSeq", "earliest").option("cdc", "rows")
+        .load().writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select($"x", $"_change_type").collect()
+            .foreach(r => got.add((r.getLong(0), r.getString(1))))
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(got.size == 300 && got.asScala.forall(_._2 == "insert"),
+          s"earliest first batch = full snapshot as inserts, got ${got.size}")
+        got.clear()
+        // a delete commit: the stream delivers EXACTLY the deleted rows
+        Layout.deleteWhere(spark, dir, Seq(("x", 100L, 149L)))
+        q.processAllAvailable()
+        val dels = got.asScala.toSeq
+        assert(dels.forall(_._2 == "delete") &&
+          dels.map(_._1).sorted == (100L to 149L),
+          s"delta must be the deleted rows: ${dels.take(5)}... (${dels.size})")
+        got.clear()
+        // a pure clustering rewrite: file-level CDC would re-deliver the
+        // whole table; row-level CDC cancels to nothing
+        Layout.clusterPartitions(spark, dir, Seq("x"), filesPerPartition = 2)
+        q.processAllAvailable()
+        assert(got.isEmpty, s"a maintenance rewrite must stream zero rows, got ${got.size}")
+      } finally q.stop()
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
+
   test("schema drift: a widened commit fails loudly under onSchemaDrift=fail, keeps running under warn") {
     val dir = tmp("manifest-src-drift") + "/t"
     spark.conf.set(Manifest.KeepConf, "10")
