@@ -301,14 +301,35 @@ object LayoutQueries {
     })
   }
 
+  /** Events table built in TWO halves through [[Layout.append]]: even
+    * event_ids written plain + indexed + committed, odd event_ids
+    * APPENDED through the verb (files promoted, index appended
+    * incrementally, manifest adopting them) — the snapshot must serve
+    * the union. */
+  private def zEventsAppend(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_append"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_append").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      ev.filter(col("event_id") % 2 === 0).write.parquet(out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us"))
+      Manifest.write(spark, out)
+      Layout.append(spark, out, ev.filter(col("event_id") % 2 === 1))
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-15 build (the wk-unindexed partitioned copy + the SQL-mutated
-    * twins), its own bench entry so q167-q170 time serving only. */
+    * twins + the append fixture), its own bench entry so q167-q171 time
+    * serving only. */
   def buildZorder15(spark: SparkSession, dir: String): Unit = {
     zEventsPartNoWk(spark, dir); zEventsDelSql(spark, dir)
-    zEventsUpdSql(spark, dir); zEventsUpdWhere(spark, dir); ()
+    zEventsUpdSql(spark, dir); zEventsUpdWhere(spark, dir); zEventsAppend(spark, dir); ()
   }
   private val R15Tables = Set("events_part_nowk", "events_del_sql",
-    "events_upd_sql", "events_upd_where")
+    "events_upd_sql", "events_upd_where", "events_append")
   def invalidateZorder15(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R15Tables.contains(k.stripPrefix(s"$dir|"))
@@ -831,6 +852,22 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q171
+  /** The events box over the SNAPSHOT of the two-half [[Layout.append]]
+    * fixture: the appended half must be fully adopted (promoted files,
+    * incrementally-extended index, committing manifest), so the
+    * snapshot serves the union and the oracle is the plain
+    * layout-invariance SQL. */
+  def q171AppendBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.readSnapshot(spark, zEventsAppend(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   // ---------------------------------------------------------------- q165
   /** ROW-level CDC of the q160 delete — `graft_read_change_rows` between
     * the pre-delete and post-delete commits: the file-level delta
@@ -858,6 +895,7 @@ object LayoutQueries {
     "q168_sql_delete_box"      -> q168SqlDeleteBox _,
     "q169_sql_merge_box"       -> q169SqlMergeBox _,
     "q170_sql_update_box"      -> q170SqlUpdateBox _,
+    "q171_append_box"          -> q171AppendBox _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -904,6 +942,7 @@ object LayoutQueries {
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |GROUP BY event_type""".stripMargin,
     "q144_envelope_auto_prune"    -> EventsBoxOracle,
+    "q171_append_box"             -> EventsBoxOracle,
     "q159_compacted_box"          -> EventsBoxOracle,
     "q163_table_stats" -> "SELECT count(*) AS n_rows FROM events",
     "q164_delete_partitioned_box" ->

@@ -866,7 +866,27 @@ object Layout {
       }
     }
     // 3) move replacements in under their (possibly leaf) paths
-    val movedIn = Seq.newBuilder[String]
+    val movedIn = moveTmpIn(fs, root, tmp)
+    // 4) maintain the index INCREMENTALLY — drop the retired files' rows,
+    //    append stats over just the new files (never a table scan) — then
+    //    commit (schemas passed: no footer re-inference)
+    val idx = indexedColumns(spark, dir)
+    if (idx.nonEmpty)
+      refreshEnvelopesIncremental(spark, dir, idx,
+        removed = dropped ++ partial, added = movedIn, basePath = dir)
+    Manifest.write(spark, dir,
+      schemas = Some((info.dataSchema, info.partSchema)))
+    MutationStats(dropped.size.toLong, partial.size.toLong, untouched.size.toLong)
+  }
+
+  /** Promote a tmp write's parquet files into the table root, preserving
+    * leaf (partition) structure; returns the promoted files' qualified
+    * paths and removes the tmp dir. Shared by [[mutateFiles]] and
+    * [[append]]. */
+  private def moveTmpIn(fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path,
+                        tmp: org.apache.hadoop.fs.Path): Seq[String] = {
+    val moved = Seq.newBuilder[String]
     def moveIn(p: org.apache.hadoop.fs.Path, relDir: String): Unit =
       fs.listStatus(p).foreach { s =>
         val n = s.getPath.getName
@@ -878,20 +898,47 @@ object Layout {
           fs.mkdirs(targetDir)
           val dst = new org.apache.hadoop.fs.Path(targetDir, n)
           require(fs.rename(s.getPath, dst), s"mutation: could not promote ${s.getPath}")
-          movedIn += fs.makeQualified(dst).toString
+          moved += fs.makeQualified(dst).toString
         }
       }
     if (fs.exists(tmp)) { moveIn(tmp, ""); fs.delete(tmp, true); () }
-    // 4) maintain the index INCREMENTALLY — drop the retired files' rows,
-    //    append stats over just the new files (never a table scan) — then
-    //    commit (schemas passed: no footer re-inference)
+    moved.result()
+  }
+
+  /** APPEND rows to a manifest-maintained table with index + snapshot
+    * kept fresh — the library-native INSERT: a plain
+    * `write.mode(append)` leaves its files OUTSIDE the committed
+    * snapshot (invisible to [[readSnapshot]], loudly rejected by the
+    * next mutation's stray guard); this verb writes the rows as new
+    * files (under the table's partition layout when hive-partitioned),
+    * appends their envelope stats INCREMENTALLY (one bounded scan of
+    * just the new files — never the table), and commits a manifest
+    * adopting them, so snapshot readers, the stats-agg rule's exact
+    * file-set gate, and the mutation verbs all stay consistent. Returns
+    * the committed seq. Writer-exclusive like every maintenance verb;
+    * a crash before the commit leaves tmp files (invisible: hidden
+    * sibling dir) or promoted-but-uncommitted files, which the stray
+    * guard reports with `Manifest.write` as the stated remedy. */
+  def append(spark: SparkSession, dir: String, rows: DataFrame): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"append: no table at $dir")
+    if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
+    val info = Manifest.info(spark, dir)
+    val partCols = info.partSchema.fieldNames.toSeq
+    val want = info.dataSchema.fieldNames.toSeq ++ partCols
+    val missing = want.filterNot(rows.columns.contains)
+    require(missing.isEmpty, s"append: rows are missing table column(s) ${missing.mkString(", ")}")
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".append-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val w = rows.select(want.map(col): _*).write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+    val moved = moveTmpIn(fs, root, tmp)
     val idx = indexedColumns(spark, dir)
-    if (idx.nonEmpty)
+    if (idx.nonEmpty && moved.nonEmpty)
       refreshEnvelopesIncremental(spark, dir, idx,
-        removed = dropped ++ partial, added = movedIn.result(), basePath = dir)
-    Manifest.write(spark, dir,
-      schemas = Some((info.dataSchema, info.partSchema)))
-    MutationStats(dropped.size.toLong, partial.size.toLong, untouched.size.toLong)
+        removed = Set.empty, added = moved, basePath = dir)
+    Manifest.write(spark, dir, schemas = Some((info.dataSchema, info.partSchema)))
   }
 
   /** The snapshot minus a file set — a delegating skip over the

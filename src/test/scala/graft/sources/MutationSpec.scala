@@ -181,6 +181,48 @@ class MutationSpec extends AnyFunSuite {
     assert(leafFiles(Layout.envelopesPath(dir)) == envBefore, "no index churn")
   }
 
+  test("append: snapshot adopts the rows, index stays exact (agg gate passes), no stray guard") {
+    val dir = freshDir("graft-append")
+    (0L to 99L).map(x => (x, x % 5)).toDF("x", "g").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    Manifest.write(spark, dir)
+    val seqBefore = Manifest.latestSeq(spark, dir).get
+    val s1 = Layout.append(spark, dir, (100L to 149L).map(x => (x, x % 5)).toDF("x", "g"))
+    assert(s1 == seqBefore + 1)
+    assert(Layout.readSnapshot(spark, dir).count() == 150L, "snapshot adopted the rows")
+    // the envelope index followed incrementally: the stats-agg rule's
+    // exact file-set gate must still pass (count answers from the index)
+    graft.plans.EnvelopeAggRule.ensure(spark)
+    val agg = spark.read.parquet(dir).agg(count(lit(1)).as("n"), max($"x").as("mx"))
+    val roots = agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.nonEmpty && roots.forall(_.endsWith(".envelopes")),
+      s"post-append agg must still answer from the index:\n${agg.queryExecution.optimizedPlan}")
+    assert(agg.head() == org.apache.spark.sql.Row(150L, 149L))
+    // and a mutation right after append passes the stray guard
+    val del = Layout.deleteWhere(spark, dir, Seq(("x", 100L, 149L)))
+    assert(del.droppedFiles + del.rewrittenFiles >= 1)
+    assert(spark.read.parquet(dir).agg(count(lit(1))).head().getLong(0) == 100L)
+
+    // partitioned: appended rows land under their own leaves
+    val pdir = freshDir("graft-append-part")
+    (0 to 99).map(i => (i % 4, i.toLong)).toDF("p", "x")
+      .write.partitionBy("p").parquet(pdir)
+    Manifest.write(spark, pdir)
+    Layout.append(spark, pdir, Seq((9, 1000L), (9, 1001L)).toDF("p", "x"))
+    val snap = Layout.readSnapshot(spark, pdir)
+    assert(snap.filter($"p" === 9).count() == 2L, "new partition leaf adopted")
+    assert(snap.count() == 102L)
+    // missing column fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Layout.append(spark, pdir, Seq(1L).toDF("x"))
+    }
+    assert(ex.getMessage.contains("missing table column"), ex.getMessage)
+  }
+
   test("updateWhere: simultaneous assignments inside the box only; disjoint files untouched") {
     val dir = freshDir("graft-upd-where")
     (0L to 99L).map(x => (x, x * 10L)).toDF("a", "b")
