@@ -879,6 +879,72 @@ object CorpusOps {
       matched.isNull.as("kept"))
   }
 
+  /** Gopher/FineWeb-style REPETITION quality signals — the curation
+    * filters (Rae et al. 2021 §A1.1) that kill template/boilerplate
+    * documents which per-line dedup alone misses: per document,
+    *   - `n_lines` and the fraction of (non-blank) lines whose content
+    *     occurs ≥2× within the document (`frac_dup_lines`), plus the
+    *     character-mass version (`frac_dup_line_chars`);
+    *   - `frac_bullet_lines` / `frac_ellipsis_lines` (lines starting
+    *     with a bullet / ending with an ellipsis);
+    *   - `frac_top_2gram_chars` / `frac_top_3gram_chars`: characters
+    *     covered by the MOST FREQUENT word n-gram (count × n-gram
+    *     length / text length); count ties resolve to the larger
+    *     coverage, packed into one integer key (`cnt·10¹² + coverage`,
+    *     exact: coverage < 10¹² at any real document size) so both
+    *     engines break ties identically.
+    * All fractions are 0 on empty denominators. Scale: per-document
+    * aggregations keyed by (doc, line) / (doc, n-gram) — map-side
+    * combinable, state bounded by a document's own content; one final
+    * per-doc join fan-in. Zero corpus-wide hot keys. */
+  def gopherSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val id = col(idCol)
+    val base = docs.select(id.as("_id"), length(col(textCol)).as("_tlen"),
+      col(textCol).as("_text"))
+
+    val lines = base.select(col("_id"), explode(split(col("_text"), "\n")).as("_ln"))
+      .filter(trim(col("_ln")) =!= "")
+    val perLine = lines.groupBy(col("_id"), col("_ln")).agg(count(lit(1)).as("_n"))
+    // aggregate outputs keep the lineage of base's _id — rename every
+    // side's key apart so the fan-in joins are unambiguous equi-joins,
+    // never the same-exprId self-join trap
+    val lineSig = perLine.select(col("_id").as("_idl"), col("_ln"), col("_n"))
+      .groupBy(col("_idl")).agg(
+      sum(col("_n")).as("_nl"),
+      sum(when(col("_n") >= 2, col("_n")).otherwise(0L)).as("_dl"),
+      sum(col("_n") * length(col("_ln"))).as("_lc"),
+      sum(when(col("_n") >= 2, col("_n") * length(col("_ln"))).otherwise(0L)).as("_dc"),
+      sum(when(trim(col("_ln")).startsWith("-") || trim(col("_ln")).startsWith("*") ||
+        trim(col("_ln")).startsWith("•"), col("_n")).otherwise(0L)).as("_bl"),
+      sum(when(trim(col("_ln")).endsWith("...") || trim(col("_ln")).endsWith("…"),
+        col("_n")).otherwise(0L)).as("_el"))
+
+    def topNgram(n: Int): DataFrame =
+      base.select(col("_id"), explode(wordShingles(tokens(col("_text")), n)).as("_g"))
+        .groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_cnt"))
+        .select(col("_id"),
+          (col("_cnt") * lit(1000000000000L) + col("_cnt") * length(col("_g"))).as("_key"))
+        .groupBy(col("_id")).agg(max(col("_key")).as(s"_k$n"))
+        .select(col("_id").as(s"_id$n"), (col(s"_k$n") % lit(1000000000000L)).as(s"_cov$n"))
+
+    def frac(num: Column, den: Column): Column =
+      when(coalesce(den, lit(0L)) === 0L, lit(0d))
+        .otherwise(num.cast("double") / den.cast("double"))
+
+    base.join(lineSig, col("_id") === col("_idl"), "left").drop("_idl")
+      .join(topNgram(2), col("_id") === col("_id2"), "left").drop("_id2")
+      .join(topNgram(3), col("_id") === col("_id3"), "left").drop("_id3")
+      .select(col("_id").as(idCol),
+        coalesce(col("_nl"), lit(0L)).as("n_lines"),
+        frac(coalesce(col("_dl"), lit(0L)), col("_nl")).as("frac_dup_lines"),
+        frac(coalesce(col("_dc"), lit(0L)), col("_lc")).as("frac_dup_line_chars"),
+        frac(coalesce(col("_bl"), lit(0L)), col("_nl")).as("frac_bullet_lines"),
+        frac(coalesce(col("_el"), lit(0L)), col("_nl")).as("frac_ellipsis_lines"),
+        frac(coalesce(col("_cov2"), lit(0L)), col("_tlen")).as("frac_top_2gram_chars"),
+        frac(coalesce(col("_cov3"), lit(0L)), col("_tlen")).as("frac_top_3gram_chars"))
+  }
+
   /** PII patterns shared by [[piiScrub]] and its DuckDB oracle — written
     * in the Java-regex ∩ RE2 common dialect (no backreferences, no
     * lookaround) so both engines match the same spans.

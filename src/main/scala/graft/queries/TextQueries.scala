@@ -677,6 +677,25 @@ object TextQueries {
     CorpusOps.lineDedup(lined, "doc_id", "text")
   }
 
+  // ---------------------------------------------------------------- q172
+  /** Gopher-style repetition quality signals over documents with PLANTED
+    * structure: lines synthesized by splitting at " merge " (as q158),
+    * and every 3rd document gains a duplicated boilerplate line, a
+    * bullet line, and an ellipsis line — so the duplicate/bullet/
+    * ellipsis fractions have deterministic non-trivial values; the
+    * top-n-gram fractions come from the word soup's natural repetition.
+    * The oracle recomputes every signal relationally with the identical
+    * tie-break (count, then coverage, packed into one integer key). */
+  def q172GopherSignals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lined = Tables(spark, dir).documents.select($"doc_id",
+      concat(replace($"text", lit(" merge "), lit("\n")),
+        when($"doc_id" % 3 === 0,
+          lit("\nSUBSCRIBE NOW\nSUBSCRIBE NOW\n- bullet item\nread more..."))
+          .otherwise(lit(""))).as("text"))
+    CorpusOps.gopherSignals(lined, "doc_id", "text")
+  }
+
   // ---------------------------------------------------------------- q162
   /** URL/domain blocklist filtering with DETERMINISTICALLY SYNTHESIZED
     * URLs (the corpus has none): every document gets
@@ -696,6 +715,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_gopher_signals" -> q172GopherSignals _,
     "q162_domain_filter" -> q162DomainFilter _,
     "q157_pii_scrub"  -> q157PiiScrub _,
     "q158_line_dedup" -> q158LineDedup _,
@@ -1002,6 +1022,63 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones
          |FROM planted""".stripMargin
     },
+    "q172_gopher_signals" ->
+      s"""WITH src AS (SELECT doc_id,
+         |    replace(text, ' merge ', chr(10)) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'SUBSCRIBE NOW' ||
+         |      chr(10) || 'SUBSCRIBE NOW' || chr(10) || '- bullet item' ||
+         |      chr(10) || 'read more...' ELSE '' END AS t
+         |  FROM documents),
+         |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS ln FROM src),
+         |nb AS (SELECT doc_id, ln FROM l WHERE trim(ln) <> ''),
+         |pl AS (SELECT doc_id, ln, CAST(count(*) AS BIGINT) AS n FROM nb GROUP BY 1, 2),
+         |ls AS (SELECT doc_id,
+         |    CAST(sum(n) AS BIGINT) AS nl,
+         |    CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS dl,
+         |    CAST(sum(n * length(ln)) AS BIGINT) AS lc,
+         |    CAST(sum(CASE WHEN n >= 2 THEN n * length(ln) ELSE 0 END) AS BIGINT) AS dc,
+         |    CAST(sum(CASE WHEN trim(ln) LIKE '-%' OR trim(ln) LIKE '*%'
+         |      OR trim(ln) LIKE '•%' THEN n ELSE 0 END) AS BIGINT) AS bl,
+         |    CAST(sum(CASE WHEN trim(ln) LIKE '%...' OR trim(ln) LIKE '%…'
+         |      THEN n ELSE 0 END) AS BIGINT) AS el
+         |  FROM pl GROUP BY 1),
+         |tok AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(t), '[ \\t\\n\\r\\f\\x0B]+'), w -> w <> '') AS tk
+         |  FROM src),
+         |g2 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+         |    THEN list_transform(generate_series(1, len(tk) - 1),
+         |      i -> concat_ws(' ', tk[i], tk[i+1]))
+         |    ELSE [] END) AS g FROM tok),
+         |c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id,
+         |    max(cnt * 1000000000000 + cnt * length(g)) % 1000000000000 AS cov2
+         |  FROM c2 GROUP BY 1),
+         |g3 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+         |    THEN list_transform(generate_series(1, len(tk) - 2),
+         |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+         |    ELSE [] END) AS g FROM tok),
+         |c3 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM g3 GROUP BY 1, 2),
+         |t3 AS (SELECT doc_id,
+         |    max(cnt * 1000000000000 + cnt * length(g)) % 1000000000000 AS cov3
+         |  FROM c3 GROUP BY 1)
+         |SELECT s.doc_id,
+         |  coalesce(ls.nl, 0) AS n_lines,
+         |  CASE WHEN coalesce(ls.nl, 0) = 0 THEN 0.0
+         |    ELSE CAST(ls.dl AS DOUBLE) / CAST(ls.nl AS DOUBLE) END AS frac_dup_lines,
+         |  CASE WHEN coalesce(ls.lc, 0) = 0 THEN 0.0
+         |    ELSE CAST(ls.dc AS DOUBLE) / CAST(ls.lc AS DOUBLE) END AS frac_dup_line_chars,
+         |  CASE WHEN coalesce(ls.nl, 0) = 0 THEN 0.0
+         |    ELSE CAST(ls.bl AS DOUBLE) / CAST(ls.nl AS DOUBLE) END AS frac_bullet_lines,
+         |  CASE WHEN coalesce(ls.nl, 0) = 0 THEN 0.0
+         |    ELSE CAST(ls.el AS DOUBLE) / CAST(ls.nl AS DOUBLE) END AS frac_ellipsis_lines,
+         |  CASE WHEN length(s.t) = 0 THEN 0.0
+         |    ELSE CAST(coalesce(t2.cov2, 0) AS DOUBLE) / CAST(length(s.t) AS DOUBLE)
+         |  END AS frac_top_2gram_chars,
+         |  CASE WHEN length(s.t) = 0 THEN 0.0
+         |    ELSE CAST(coalesce(t3.cov3, 0) AS DOUBLE) / CAST(length(s.t) AS DOUBLE)
+         |  END AS frac_top_3gram_chars
+         |FROM src s LEFT JOIN ls USING (doc_id)
+         |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""".stripMargin,
     "q158_line_dedup" ->
       s"""WITH src AS (
          |  SELECT doc_id, replace(text, ' merge ', chr(10)) AS t FROM documents),

@@ -38,6 +38,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4).getString(1) == "")
   }
 
+  test("gopherSignals: duplicate-line, bullet/ellipsis, and top-ngram fractions, hand-checked") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines: "a b" twice (dup), a bullet, an ellipsis; text len 28
+      (0L, "a b\na b\n- item\nwait for it..."),
+      // no duplicates, no markers; top 2-gram "x y" occurs 2x
+      (1L, "x y z x y"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = CorpusOps.gopherSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d0 = out(0)
+    assert(d0.getLong(1) == 4L, "n_lines")
+    assert(d0.getDouble(2) == 0.5, "2 of 4 lines are duplicates")
+    assert(d0.getDouble(4) == 0.25, "one bullet line")
+    assert(d0.getDouble(5) == 0.25, "one ellipsis line")
+    val d1 = out(1)
+    assert(d1.getLong(1) == 1L)
+    assert(d1.getDouble(2) == 0.0 && d1.getDouble(4) == 0.0)
+    // "x y" occurs 2x, len 3, text len 9 -> 6/9
+    assert(d1.getDouble(6) == 6.0 / 9.0, s"top-2gram frac: ${d1.getDouble(6)}")
+    val d2 = out(2)
+    assert(d2.getLong(1) == 0L && (2 to 7).forall(i => d2.getDouble(i) == 0.0),
+      "empty doc -> all-zero signals")
+  }
+
   test("piiScrub: out-of-range octets are not IPs; 255 boundary is; over-mask trade pinned") {
     import spark.implicits._
     val docs = Seq(
