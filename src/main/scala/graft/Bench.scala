@@ -125,7 +125,7 @@ object Bench {
     "q165_cdc_delete_rows", "q166_envelope_avg_agg", "q167_part_group_agg",
     // SQL mutation surface (fixtures built in q167_part_build)
     "q168_sql_delete_box", "q169_sql_merge_box", "q170_sql_update_box",
-    "q171_append_box")
+    "q171_append_box", "q173_bloom_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -237,6 +237,19 @@ object EnvelopePruneRule {
 
   private val PrunedMarker = "graft.envelope.pruned"
 
+  /** Probe a persisted per-file bloom (written by
+    * [[Layout.writeEnvelopes]]'s `bloomCols` as the serialized
+    * `org.apache.spark.util.sketch.BloomFilter` of `xxhash64(c)`) for a
+    * pre-hashed value. NULL blooms (legacy index rows, empty files)
+    * answer `true` — "might contain", the safe direction. Runs over the
+    * BOUNDED index table only, cached per skip-set key like every other
+    * proof. */
+  private val bloomMightContain =
+    org.apache.spark.sql.functions.udf((bloom: Array[Byte], hash: Long) =>
+      bloom == null ||
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bloom)).mightContainLong(hash))
+
   /** One extracted conjunct: `name <op> values`. [[missColumn]] is its
     * per-file refutation over the envelope table. */
   private final case class Constraint(name: String, op: String, values: Seq[Literal]) {
@@ -251,6 +264,22 @@ object EnvelopePruneRule {
     def missColumn(envCols: Seq[String]): org.apache.spark.sql.Column = {
       def v(l: Literal) = GraftBridge.column(l)
       val mn = col(s"min_$name"); val mx = col(s"max_$name")
+      // BLOOM refutation for equality-shaped proofs: the file's bloom
+      // (when the index carries one AND this row has it — NULL answers
+      // "might contain") says the hashed value is definitely absent.
+      // Exactly the hull's complement case: values that INTERLEAVE
+      // across files make every [min,max] contain every key, and only
+      // the bloom can still prove absence. False positives only ever
+      // KEEP a file — the safe direction.
+      def bloomAbsent(l: Literal): org.apache.spark.sql.Column =
+        if (!envCols.contains(s"bloom_$name"))
+          org.apache.spark.sql.functions.lit(false)
+        else {
+          val h = new XxHash64(Seq(l)).eval().asInstanceOf[Long]
+          col(s"bloom_$name").isNotNull &&
+            !bloomMightContain(col(s"bloom_$name"),
+              org.apache.spark.sql.functions.lit(h))
+        }
       op match {
         // a file with NO nulls in c cannot satisfy `c IS NULL`; one
         // that is ALL null (or empty) cannot satisfy `c IS NOT NULL`
@@ -262,7 +291,8 @@ object EnvelopePruneRule {
             case "gt" => mx <= v(values.head)
             case "le" => mn > v(values.head)
             case "lt" => mn >= v(values.head)
-            case "eq" => mx < v(values.head) || mn > v(values.head)
+            case "eq" =>
+              mx < v(values.head) || mn > v(values.head) || bloomAbsent(values.head)
             case "in" =>
               // PER-VALUE refutation for small lists — sound (the file
               // misses iff it can hold NO listed value) and strictly
@@ -271,7 +301,7 @@ object EnvelopePruneRule {
               // but contains no listed value. Longer lists fall back to
               // the hull test to keep the decision predicate small.
               if (values.size <= InPerValueMax)
-                values.map(l => mx < v(l) || mn > v(l)).reduce(_ && _)
+                values.map(l => mx < v(l) || mn > v(l) || bloomAbsent(l)).reduce(_ && _)
               else
                 values.map(l => mx < v(l)).reduce(_ && _) ||
                   values.map(l => mn > v(l)).reduce(_ && _)

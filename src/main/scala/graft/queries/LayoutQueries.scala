@@ -321,15 +321,37 @@ object LayoutQueries {
     })
   }
 
+  /** Events copy laid out so that `event_id` INTERLEAVES across files
+    * (hash of `event_id % 16` picks the file): every file's
+    * [min_event_id, max_event_id] hull spans the whole domain — range
+    * skipping can prove nothing for a point lookup — and the
+    * `.envelopes` index carries a per-file BLOOM on event_id, the only
+    * proof that can still skip. */
+  private def zEventsBloom(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_bloom"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_bloom").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+        .repartition(16, pmod(col("event_id"), lit(16)))
+        .write.parquet(out)
+      Layout.writeEnvelopes(spark, out, Seq("event_id", "user_id", "ts_us"),
+        bloomCols = Seq("event_id"))
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-15 build (the wk-unindexed partitioned copy + the SQL-mutated
-    * twins + the append fixture), its own bench entry so q167-q171 time
-    * serving only. */
+    * twins + the append and bloom fixtures), its own bench entry so
+    * q167-q173 time serving only. */
   def buildZorder15(spark: SparkSession, dir: String): Unit = {
     zEventsPartNoWk(spark, dir); zEventsDelSql(spark, dir)
-    zEventsUpdSql(spark, dir); zEventsUpdWhere(spark, dir); zEventsAppend(spark, dir); ()
+    zEventsUpdSql(spark, dir); zEventsUpdWhere(spark, dir)
+    zEventsAppend(spark, dir); zEventsBloom(spark, dir); ()
   }
   private val R15Tables = Set("events_part_nowk", "events_del_sql",
-    "events_upd_sql", "events_upd_where", "events_append")
+    "events_upd_sql", "events_upd_where", "events_append", "events_bloom")
   def invalidateZorder15(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R15Tables.contains(k.stripPrefix(s"$dir|"))
@@ -868,6 +890,23 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q173
+  /** Point lookups through the BLOOM skipping index: `event_id IN (…)`
+    * over the interleaved copy, where every file's min/max hull contains
+    * every key (range pruning proves nothing) and only the per-file
+    * bloom refutes — layout machinery only, so the oracle is the same
+    * lookup over the original table. */
+  def q173BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopePruneRule.ensure(spark)
+    spark.read.parquet(zEventsBloom(spark, dir))
+      .filter($"event_id".isin(3L, 57L, 111L))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        max($"user_id").as("mx_user"))
+  }
+
   // ---------------------------------------------------------------- q165
   /** ROW-level CDC of the q160 delete — `graft_read_change_rows` between
     * the pre-delete and post-delete commits: the file-level delta
@@ -896,6 +935,7 @@ object LayoutQueries {
     "q169_sql_merge_box"       -> q169SqlMergeBox _,
     "q170_sql_update_box"      -> q170SqlUpdateBox _,
     "q171_append_box"          -> q171AppendBox _,
+    "q173_bloom_lookup"        -> q173BloomLookup _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -943,6 +983,13 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin,
     "q144_envelope_auto_prune"    -> EventsBoxOracle,
     "q171_append_box"             -> EventsBoxOracle,
+    "q173_bloom_lookup" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  max(user_id) AS mx_user
+         |FROM events
+         |WHERE event_id IN (3, 57, 111)
+         |GROUP BY event_type""".stripMargin,
     "q159_compacted_box"          -> EventsBoxOracle,
     "q163_table_stats" -> "SELECT count(*) AS n_rows FROM events",
     "q164_delete_partitioned_box" ->

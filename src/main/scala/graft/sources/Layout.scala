@@ -266,7 +266,10 @@ object Layout {
     forEachLeaf(work, parallelism)(compactLeaf)
     if (rewritten.get > 0) {
       val idx = if (indexCols.nonEmpty) indexCols else indexedColumns(spark, dir)
-      if (idx.nonEmpty) writeEnvelopes(spark, dir, idx)
+      // bloom columns the existing index carried are preserved (derived,
+      // like the stat columns — a routine compaction never narrows it)
+      if (idx.nonEmpty)
+        writeEnvelopes(spark, dir, idx, bloomColumns(spark, dir).filter(idx.contains))
       Manifest.write(spark, dir)
     }
     rewritten.get
@@ -280,6 +283,16 @@ object Layout {
     if (!fs.exists(p)) Nil
     else spark.read.parquet(envelopesPath(dir)).schema.fieldNames.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+  }
+
+  /** The columns the existing index carries BLOOM filters for (parsed
+    * from its `bloom_<col>` field names); empty when none. */
+  private[graft] def bloomColumns(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(envelopesPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else spark.read.parquet(envelopesPath(dir)).schema.fieldNames.toSeq
+      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
   }
 
   /** Shared preamble of the per-leaf maintenance loops: the table's leaf
@@ -359,9 +372,32 @@ object Layout {
     * [[writeEnvelopes]] heals). */
   private val normPathUdf = udf((s: String) => normPath(s))
 
-  private def envelopeStats(df: DataFrame, cols: Seq[String]): DataFrame =
+  private def envelopeStats(df: DataFrame, cols: Seq[String],
+                            bloomCols: Seq[String] = Nil,
+                            bloomNumItems: Long = BloomNumItemsDefault): DataFrame =
     df.groupBy(normPathUdf(input_file_name()).as("file"))
-      .agg(count(lit(1)).as("rows"), cols.flatMap(envAggs(df)): _*)
+      .agg(count(lit(1)).as("rows"),
+        (cols.flatMap(envAggs(df)) ++ bloomCols.map(bloomAgg(_, bloomNumItems))): _*)
+
+  /** Default per-file bloom capacity: sized for the distinct values ONE
+    * file holds (not the table), ~3% false positives, ≈ 24 KB per file
+    * per column — sound either way (a false positive only costs a read;
+    * an over-full bloom just skips less). */
+  val BloomNumItemsDefault = 20000L
+
+  /** Per-file BLOOM filter over `xxhash64(c)` — the same construction
+    * (and seed) Spark's own runtime row-group filtering uses, so the
+    * probe side ([[graft.plans.EnvelopePruneRule]]'s equality/IN miss
+    * proof) hashes identically. Null values hash to the seed constant
+    * and only ever ADD a bit — the safe direction. */
+  private def bloomAgg(c: String, numItems: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val hashed = new XxHash64(Seq(org.apache.spark.sql.GraftBridge.expression(col(c))))
+    org.apache.spark.sql.GraftBridge.column(
+      new BloomFilterAggregate(hashed, numItems).toAggregateExpression())
+      .as(s"bloom_$c")
+  }
 
   /** The per-column envelope aggregates: min/max/null-count always, plus
     * a per-file SUM for integral columns (float/double sums are
@@ -389,10 +425,25 @@ object Layout {
     * the file-level skipping index [[prunedRead]] consults (the
     * Delta-stats / Iceberg-manifest role, as a plain parquet table). One
     * scan of the table; overwrite-mode (tiny output, one writer: the
-    * layout job that just rewrote the table owns this too). */
-  def writeEnvelopes(spark: SparkSession, dir: String, cols: Seq[String]): Unit =
-    fileEnvelopes(spark, dir, cols).coalesce(1)
+    * layout job that just rewrote the table owns this too).
+    *
+    * `bloomCols` (each must also be in `cols`) additionally store a
+    * per-file BLOOM FILTER — the point-lookup lever min/max envelopes
+    * cannot provide: on a column whose values INTERLEAVE across files
+    * (anything not the clustering dimension), every file's [min,max]
+    * hull covers every lookup key and range skipping proves nothing,
+    * while the bloom refutes `c = v` / small `c IN (…)` per file
+    * exactly like Delta's bloom index. Cost: ~24 KB × files × columns
+    * at the default capacity — OPT-IN per column for that reason. */
+  def writeEnvelopes(spark: SparkSession, dir: String, cols: Seq[String],
+                     bloomCols: Seq[String] = Nil,
+                     bloomNumItems: Long = BloomNumItemsDefault): Unit = {
+    require(bloomCols.forall(cols.contains),
+      s"writeEnvelopes: bloomCols must be a subset of cols (stats anchor the bloom); " +
+        s"missing ${bloomCols.filterNot(cols.contains).mkString(", ")}")
+    envelopeStats(spark.read.parquet(dir), cols, bloomCols, bloomNumItems).coalesce(1)
       .write.mode("overwrite").parquet(envelopesPath(dir))
+  }
 
   private[graft] def envelopesPath(dir: String): String =
     dir.stripSuffix("/") + ".envelopes"
@@ -407,9 +458,9 @@ object Layout {
     * harmless (both rows carry the same envelope, so the skip decision
     * is unchanged) and healed by the next full [[writeEnvelopes]]. */
   def appendEnvelopes(spark: SparkSession, dir: String, files: Seq[String],
-                      cols: Seq[String]): Unit = {
+                      cols: Seq[String], bloomCols: Seq[String] = Nil): Unit = {
     if (files.isEmpty) return
-    envelopeStats(spark.read.parquet(files: _*), cols)
+    envelopeStats(spark.read.parquet(files: _*), cols, bloomCols)
       .coalesce(1)
       .write.mode("append").parquet(envelopesPath(dir))
   }
@@ -425,13 +476,13 @@ object Layout {
     * index compaction. */
   private def refreshEnvelopesIncremental(spark: SparkSession, dir: String,
       cols: Seq[String], removed: Set[String], added: Seq[String],
-      basePath: String): Unit = {
+      basePath: String, bloomCols: Seq[String] = Nil): Unit = {
     // basePath keeps hive partition columns alive when reading the new
     // files as an explicit list, so partition-column stats stay indexed
     val newStats =
       if (added.isEmpty) None
       else Some(envelopeStats(
-        spark.read.option("basePath", basePath).parquet(added: _*), cols))
+        spark.read.option("basePath", basePath).parquet(added: _*), cols, bloomCols))
     val removedDf = { import spark.implicits._; removed.toSeq.toDF("rfile") }
     graft.operators.DirSwap.swapRewrite(spark, envelopesPath(dir))(env => {
       val kept = env.join(removedDf,
@@ -873,7 +924,8 @@ object Layout {
     val idx = indexedColumns(spark, dir)
     if (idx.nonEmpty)
       refreshEnvelopesIncremental(spark, dir, idx,
-        removed = dropped ++ partial, added = movedIn, basePath = dir)
+        removed = dropped ++ partial, added = movedIn, basePath = dir,
+        bloomCols = bloomColumns(spark, dir))
     Manifest.write(spark, dir,
       schemas = Some((info.dataSchema, info.partSchema)))
     MutationStats(dropped.size.toLong, partial.size.toLong, untouched.size.toLong)
@@ -934,10 +986,14 @@ object Layout {
     val w = rows.select(want.map(col): _*).write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
     val moved = moveTmpIn(fs, root, tmp)
+    // appending nothing (an empty partitioned frame writes no files)
+    // commits nothing — the mutation verbs' no-op rule
+    if (moved.isEmpty) return info.seq
     val idx = indexedColumns(spark, dir)
-    if (idx.nonEmpty && moved.nonEmpty)
+    if (idx.nonEmpty)
       refreshEnvelopesIncremental(spark, dir, idx,
-        removed = Set.empty, added = moved, basePath = dir)
+        removed = Set.empty, added = moved, basePath = dir,
+        bloomCols = bloomColumns(spark, dir))
     Manifest.write(spark, dir, schemas = Some((info.dataSchema, info.partSchema)))
   }
 

@@ -384,4 +384,59 @@ class EnvelopePruneSpec extends AnyFunSuite {
       prior.foreach { s => SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s) }
     }
   }
+
+  test("bloom columns refute equality/IN where every min/max hull fails") {
+    // x assigned to files by x % 16: EVERY file's [min,max] spans the
+    // whole domain, so the range hull proves nothing for any lookup —
+    // the bloom is the only possible skip. Values are unique per file
+    // (x lives in file x % 16), so an exact index would keep 1 of 16;
+    // a bloom keeps 1 + false positives (bounded loosely below).
+    val dir = freshDir("env-bloom")
+    val df = spark.range(16000).select($"id".as("x"), ($"id" * 7L).as("pay"))
+    df.repartition(16, pmod($"x", lit(16))).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"), bloomCols = Seq("x"))
+    // hash-partitioning the residue leaves some of the 16 partitions
+    // empty — what matters is that EVERY written file's hull spans the
+    // domain while each x value lives in exactly one file
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    assert(nFiles >= 8, s"fixture needs many files, got $nFiles")
+
+    def eq(v: Long) = spark.read.parquet(dir).filter($"x" === v)
+    withRule(true) {
+      val q = eq(12345L)
+      assert(scanFiles(q) <= nFiles / 3,
+        s"bloom should prune most of $nFiles files, scanned ${scanFiles(q)}")
+      assert(q.select("pay").as[Long].collect().toSeq == Seq(12345L * 7L))
+      // IN: per-value bloom proofs compose — three values, <= three files
+      val in = spark.read.parquet(dir).filter($"x".isin(11L, 5000L, 12345L))
+      assert(scanFiles(in) <= nFiles / 2, s"IN bloom prune scanned ${scanFiles(in)}")
+      assert(in.count() == 3L)
+      // an absent value can prune EVERYTHING (empty-relation fold)
+      assert(eq(999999L).count() == 0L)
+    }
+    // identical rows with the rule off
+    withRule(false) {
+      assert(scanFiles(eq(12345L)) == nFiles, "hull-only would scan everything")
+    }
+
+    // a range-only index on the same data cannot prune this shape
+    val dir2 = freshDir("env-bloom-ctrl")
+    df.repartition(16, pmod($"x", lit(16))).write.parquet(dir2)
+    Layout.writeEnvelopes(spark, dir2, Seq("x"))
+    withRule(true) {
+      assert(scanFiles(spark.read.parquet(dir2).filter($"x" === 12345L)) ==
+        spark.read.parquet(dir2).inputFiles.length,
+        "control: min/max hulls alone must prove nothing here")
+    }
+
+    // mutation verbs preserve the bloom column through the incremental
+    // index refresh: delete a box, then the lookup still prunes
+    Layout.deleteWhere(spark, dir, Seq(("x", 0L, 15L)))
+    EnvelopePruneRule.clearCache()
+    withRule(true) {
+      val q = eq(12345L)
+      assert(scanFiles(q) <= nFiles / 3, s"bloom lost across a mutation: ${scanFiles(q)}")
+      assert(q.count() == 1L)
+    }
+  }
 }
