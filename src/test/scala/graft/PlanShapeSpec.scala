@@ -290,6 +290,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"first-occurrence min is not map-side combining:\n$p")
   }
 
+  test("q173 bloom lookup opens few files although every min/max hull matches") {
+    val df = SparkEntry.queries("q173_bloom_lookup")(spark, dir)
+    val scanned = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }.sum
+    // the fixture interleaves event_id across 16 files (every hull spans
+    // the domain); 3 lookup keys live in <= 3 files + bloom fp slack
+    assert(scanned <= 8, s"bloom prune opened $scanned files:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("q81 semdedup: pairwise check reads the materialized cell index, never a cartesian product") {
     val p = plan("q81_semdedup")
     // the broadcast-centroid assignment runs once inside the eager
