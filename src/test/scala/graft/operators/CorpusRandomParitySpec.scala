@@ -539,4 +539,53 @@ class CorpusRandomParitySpec extends AnyFunSuite {
       assert(got == expected, s"seed $seed")
     }
   }
+
+  test("gopherSignals == direct per-doc line/ngram counting (incl. the packed tie-break)") {
+    import spark.implicits._
+    for (seed <- Seq(31L, 32L, 33L)) {
+      val rnd = new scala.util.Random(seed)
+      // multi-line docs from a tiny vocabulary: duplicate lines, bullets,
+      // and ellipses occur naturally and n-gram counts tie often
+      val docs = (0L until 80L).map { i =>
+        val nLines = rnd.nextInt(6)
+        val lines = Seq.fill(nLines) {
+          val prefix = rnd.nextInt(10) match {
+            case 0 => "- "; case 1 => "* "; case _ => ""
+          }
+          val suffix = if (rnd.nextInt(10) == 0) "..." else ""
+          val body = Seq.fill(rnd.nextInt(6))(vocab(rnd.nextInt(4))).mkString(" ")
+          s"$prefix$body$suffix"
+        }
+        i -> lines.mkString("\n")
+      }
+      def expectedOf(id: Long, text: String) = {
+        val nb = text.split("\n", -1).toSeq.filter(_.trim.nonEmpty)
+        val byContent = nb.groupBy(identity).view.mapValues(_.size).toMap
+        val nl = nb.size.toLong
+        val dl = nb.count(l => byContent(l) >= 2).toLong
+        val lc = nb.map(_.length.toLong).sum
+        val dc = nb.filter(l => byContent(l) >= 2).map(_.length.toLong).sum
+        val bl = nb.count(l => Seq("-", "*", "•").exists(l.trim.startsWith)).toLong
+        val el = nb.count(l => Seq("...", "…").exists(l.trim.endsWith)).toLong
+        def cov(n: Int): Long = {
+          val t = toks(text)
+          if (t.size < n) 0L
+          else {
+            val counts = t.sliding(n).map(_.mkString(" ")).toSeq
+              .groupBy(identity).view.mapValues(_.size.toLong).toMap
+            counts.map { case (g, c) => c * 1000000000000L + c * g.length }
+              .max % 1000000000000L
+          }
+        }
+        def frac(a: Long, b: Long) = if (b == 0L) 0.0 else a.toDouble / b.toDouble
+        (id, nl, frac(dl, nl), frac(dc, lc), frac(bl, nl), frac(el, nl),
+          frac(cov(2), text.length.toLong), frac(cov(3), text.length.toLong))
+      }
+      val expected = docs.map { case (id, t) => expectedOf(id, t) }.toSet
+      val got = CorpusOps.gopherSignals(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
 }
