@@ -981,6 +981,11 @@ object Layout {
     val want = info.dataSchema.fieldNames.toSeq ++ partCols
     val missing = want.filterNot(rows.columns.contains)
     require(missing.isEmpty, s"append: rows are missing table column(s) ${missing.mkString(", ")}")
+    val extra = rows.columns.filterNot(want.contains)
+    require(extra.isEmpty,
+      s"append: rows carry column(s) ${extra.mkString(", ")} the table does not have - " +
+        "dropping them silently would lose data; select the table's columns explicitly " +
+        "(schema widening is a table-rewrite operation, not an append)")
     val tmp = new org.apache.hadoop.fs.Path(dir + ".append-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val w = rows.select(want.map(col): _*).write.mode("overwrite")

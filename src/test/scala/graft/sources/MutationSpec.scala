@@ -221,6 +221,11 @@ class MutationSpec extends AnyFunSuite {
       Layout.append(spark, pdir, Seq(1L).toDF("x"))
     }
     assert(ex.getMessage.contains("missing table column"), ex.getMessage)
+    // an EXTRA column fails loudly too — silently dropping it loses data
+    val ex2 = intercept[IllegalArgumentException] {
+      Layout.append(spark, pdir, Seq((9, 1L, "oops")).toDF("p", "x", "z"))
+    }
+    assert(ex2.getMessage.contains("does not have"), ex2.getMessage)
   }
 
   test("updateWhere: simultaneous assignments inside the box only; disjoint files untouched") {
