@@ -995,7 +995,12 @@ object StreamingPipeline {
       //    (stale stats on a reused path would break skipping
       //    exactness); a crash after it leaves the batch merely
       //    unindexed — prunedRead reads unindexed files unconditionally
-      graft.sources.Layout.appendEnvelopes(spark, tablePath, moved, cols)
+      // bloom columns the table's index already carries ride along, so a
+      // bloom-indexed table keeps point-lookup pruning on FRESH batches
+      // too (a NULL-bloom row would only ever read more, but why degrade)
+      graft.sources.Layout.appendEnvelopes(spark, tablePath, moved, cols,
+        bloomCols = graft.sources.Layout.bloomColumns(spark, tablePath)
+          .filter(cols.contains))
       fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath.batch-tmp"), true)
       // 5. bound the index's own file count (one append per batch)
       val envDir = new org.apache.hadoop.fs.Path(
@@ -1018,8 +1023,10 @@ object StreamingPipeline {
       // refresh the skipping index over the clustered layout; files the
       // NEXT batches append are simply absent from it until the next
       // rewrite — prunedRead reads unindexed files unconditionally, so
-      // staleness costs I/O, never rows
-      graft.sources.Layout.writeEnvelopes(spark, tablePath, cols)
+      // staleness costs I/O, never rows. Bloom columns the previous
+      // index generation carried are preserved (derived, like the stats)
+      graft.sources.Layout.writeEnvelopes(spark, tablePath, cols,
+        graft.sources.Layout.bloomColumns(spark, tablePath).filter(cols.contains))
     }
     // commit the batch (and/or rewrite) as a manifest snapshot: a
     // cross-process reader resolving manifests never sees the staged or

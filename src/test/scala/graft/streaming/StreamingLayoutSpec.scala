@@ -195,4 +195,28 @@ class StreamingLayoutSpec extends AnyFunSuite {
       clusterEveryBatches = 2, targetFiles = 4) // replay AFTER compaction
     assert(spark.read.parquet(table).count() == 1000)
   }
+
+  test("bloom columns a maintenance job added survive both sink paths (append + rewrite)") {
+    val table = tmp("stream-layout-bloom") + "/t"
+    def rows(b: Long) = spark.range(b * 100, b * 100 + 100)
+      .select(col("id").as("x"), (col("id") * 3L).as("y"))
+    StreamingPipeline.processClusterBatch(rows(0), 0L, Seq("x", "y"), table,
+      clusterEveryBatches = 1000, targetFiles = 4)
+    // a nightly maintenance job adds blooms on x
+    Layout.writeEnvelopes(spark, table, Seq("x", "y"), bloomCols = Seq("x"))
+    // APPEND path: the fresh batch's index rows must carry the bloom
+    StreamingPipeline.processClusterBatch(rows(1), 1L, Seq("x", "y"), table,
+      clusterEveryBatches = 1000, targetFiles = 4)
+    val env1 = spark.read.parquet(Layout.envelopesPath(table))
+    assert(env1.columns.contains("bloom_x"))
+    assert(env1.filter(col("bloom_x").isNull).count() == 0L,
+      "appended batch's index rows lost the bloom")
+    // REWRITE path: the periodic full re-index keeps it too
+    StreamingPipeline.processClusterBatch(rows(2), 2L, Seq("x", "y"), table,
+      clusterEveryBatches = 1, targetFiles = 4) // forces the rewrite
+    val env2 = spark.read.parquet(Layout.envelopesPath(table))
+    assert(env2.columns.contains("bloom_x") &&
+      env2.filter(col("bloom_x").isNull).count() == 0L,
+      "the periodic rewrite dropped the bloom column")
+  }
 }
