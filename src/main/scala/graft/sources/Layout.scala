@@ -629,11 +629,13 @@ object Layout {
         else None
       }
     import spark.implicits._
+    val blooms = bloomColumns(spark, dir)
     Seq((dir, files.size.toLong, files.map(_.getLen).sum, nRows,
       Manifest.latestSeq(spark, dir),
-      if (idxCols.isEmpty) None else Some(idxCols.mkString(","))))
+      if (idxCols.isEmpty) None else Some(idxCols.mkString(",")),
+      if (blooms.isEmpty) None else Some(blooms.mkString(","))))
       .toDF("path", "n_files", "size_bytes", "n_rows", "manifest_seq",
-        "indexed_columns")
+        "indexed_columns", "bloom_columns")
   }
 
   /** Outcome of a [[deleteWhere]] / [[upsert]]: files dropped whole

@@ -438,5 +438,19 @@ class EnvelopePruneSpec extends AnyFunSuite {
       assert(scanFiles(q) <= nFiles / 3, s"bloom lost across a mutation: ${scanFiles(q)}")
       assert(q.count() == 1L)
     }
+
+    // STRING keys — the common point-lookup shape (URL / document id) —
+    // hash through the same xxhash64 path
+    val sdir = freshDir("env-bloom-str")
+    spark.range(8000).select(concat(lit("doc-"), $"id").as("k"), $"id".as("v"))
+      .repartition(8, pmod($"id", lit(8))).write.parquet(sdir)
+    Layout.writeEnvelopes(spark, sdir, Seq("k"), bloomCols = Seq("k"))
+    val sFiles = spark.read.parquet(sdir).inputFiles.length
+    withRule(true) {
+      val q = spark.read.parquet(sdir).filter($"k" === "doc-4321")
+      assert(scanFiles(q) <= math.max(2, sFiles / 3),
+        s"string bloom lookup scanned ${scanFiles(q)} of $sFiles")
+      assert(q.select("v").as[Long].collect().toSeq == Seq(4321L))
+    }
   }
 }

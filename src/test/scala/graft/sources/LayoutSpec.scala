@@ -335,6 +335,11 @@ class LayoutSpec extends AnyFunSuite {
     assert(r.getAs[Long]("size_bytes") > 0L)
     assert(r.getAs[Long]("n_rows") == 500L, "index covers listing -> exact count, no scan")
     assert(r.getAs[String]("indexed_columns") == "x")
+    assert(r.isNullAt(r.fieldIndex("bloom_columns")), "no blooms yet")
+    // a bloom-carrying index surfaces its columns in DESCRIBE DETAIL
+    Layout.writeEnvelopes(spark, dir, Seq("x"), bloomCols = Seq("x"))
+    assert(Layout.tableStats(spark, dir).collect().head
+      .getAs[String]("bloom_columns") == "x")
     // an unindexed append makes n_rows honestly NULL (never a guess)
     (501L to 600L).map(x => (x, x % 3)).toDF("x", "g")
       .coalesce(1).write.mode("append").parquet(dir)
