@@ -329,6 +329,20 @@ class ManifestSpec extends AnyFunSuite {
         "file-level CDC re-delivers the rewrite")
       assert(Layout.readChangeRows(spark, dir, s1, Some(s2)).count() == 0L,
         "row-level CDC cancels a pure rewrite")
+      // an UPSERT's delta: replaced rows out as `delete`, their
+      // replacements AND the fresh keys in as `insert` — even though the
+      // rewrite re-wrote whole files around them
+      val ups = ((200L to 204L) ++ (900L to 901L)).map(x => (x, -1L)).toDF("x", "y")
+      Layout.upsert(spark, dir, ups, "x")
+      val s3 = Manifest.latestSeq(spark, dir).get
+      val cdc2 = Layout.readChangeRows(spark, dir, s2, Some(s3))
+        .select($"_change_type", $"x", $"y").as[(String, Long, Long)].collect()
+      val dels = cdc2.filter(_._1 == "delete").map(r => (r._2, r._3)).sorted.toSeq
+      val ins = cdc2.filter(_._1 == "insert").map(r => (r._2, r._3)).sorted.toSeq
+      assert(dels == (200L to 204L).map(x => (x, x % 7)),
+        s"upsert delta deletes = exactly the replaced rows: $dels")
+      assert(ins == ((200L to 204L) ++ (900L to 901L)).map(x => (x, -1L)).sorted,
+        s"upsert delta inserts = replacements + fresh keys: $ins")
     } finally spark.conf.unset(Manifest.KeepConf)
   }
 }
