@@ -109,6 +109,7 @@ object Bench {
     "q155_sql_tf_time_travel", "q156_envelope_sum_agg",
     // round 14: PII scrubbing and C4-style cross-corpus line dedup
     "q157_pii_scrub", "q158_line_dedup", "q172_gopher_signals",
+    "q174_url_dedup",
     // round 14: box over the small-file table rolled up by
     // compactPartitions (build timed inside q151_manifest_build)
     "q159_compacted_box",

@@ -857,6 +857,46 @@ object CorpusOps {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, UrlHostPattern, 1))
 
+  /** URL CANONICALIZATION (the RefinedWeb URL-dedup normalization):
+    * lowercase the scheme://host prefix (never the path — case is
+    * significant there), strip the `#fragment`, strip the default port
+    * (`:80`/`:443`), and remove tracking query parameters
+    * (`utm_*`, `fbclid`, `gclid`) with separator repair — so
+    * `HTTPS://Ex.com:443/P?utm_s=x&id=2#top` and
+    * `https://ex.com/P?id=2` canonicalize identically. Pure chained
+    * codegen'd regex in the Java-regex ∩ RE2 common dialect (the
+    * DuckDB oracle replays the identical passes); zero shuffles. */
+  def canonicalizeUrl(url: Column): Column = {
+    // 1. fragment off first (params before it must not see '#')
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // 2. tracking params: mid/list '&k=v' drops; leading '?k=v&' hands
+    //    the '?' to the next param; a lone '?k=v' tail drops whole
+    val t = "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)"
+    val noTrack = regexp_replace(regexp_replace(regexp_replace(noFrag,
+      s"&$t=[^&]*", ""), s"\\?$t=[^&]*&", "?"), s"\\?$t=[^&]*$$", "")
+    // 3. default ports off the authority
+    val noPort = regexp_replace(noTrack, "^([Hh][Tt][Tt][Pp][Ss]?://[^/:?#]+):(?:80|443)([/?#]|$)", "$1$2")
+    // 4. lowercase scheme://host (authority ends at /, ?, or #)
+    val prefix = regexp_extract(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    concat(lower(prefix), substring(noPort, length(prefix) + 1, lit(1 << 30)))
+  }
+
+  /** URL-level dedup over canonical forms: one row per document with its
+    * canonical URL and `kept` = is this the group's FIRST document (min
+    * id) — the RefinedWeb pre-pass that removes exact re-crawls before
+    * any content hashing. One map-side-combinable min per canonical URL
+    * + a broadcastable-or-shuffled equi-join back; no hot keys beyond a
+    * genuinely re-crawled URL's own row count. */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = docs.select(col(idCol), canonicalizeUrl(col(urlCol)).as("url_canonical"))
+    val winners = canon.groupBy(col("url_canonical"))
+      .agg(min(col(idCol)).as("_win"))
+      .select(col("url_canonical").as("_wurl"), col("_win"))
+    canon.join(winners, col("url_canonical") === col("_wurl"), "left")
+      .select(col(idCol), col("url_canonical"),
+        (col(idCol) === col("_win")).as("kept"))
+  }
+
   /** URL/domain filtering (the RefinedWeb-style blocklist pass): each
     * document's host is extracted, matched against `blocked` —
     * REGISTRABLE-domain semantics: a block on `example.com` also blocks

@@ -696,6 +696,28 @@ object TextQueries {
     CorpusOps.gopherSignals(lined, "doc_id", "text")
   }
 
+  // ---------------------------------------------------------------- q174
+  /** URL canonicalization + URL-level dedup over DETERMINISTICALLY
+    * SYNTHESIZED re-crawl variants: every document gets a URL whose
+    * scheme case, default port, tracking params, and fragment vary by
+    * doc_id residues while the canonical form collides across documents
+    * (path = doc_id % 50 per source) — the RefinedWeb pre-pass. The
+    * oracle replays the identical regex passes and the min-id keep
+    * rule. */
+  def q174UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urled = Tables(spark, dir).documents.select($"doc_id",
+      concat(
+        when($"doc_id" % 4 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        $"source", lit(".example.com"),
+        when($"doc_id" % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), ($"doc_id" % 50).cast("string"),
+        when($"doc_id" % 3 === 0, lit("?utm_source=feed&ref=1"))
+          .when($"doc_id" % 3 === 1, lit("?ref=1")).otherwise(lit("")),
+        when($"doc_id" % 7 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+    CorpusOps.urlDedup(urled, "doc_id", "url")
+  }
+
   // ---------------------------------------------------------------- q162
   /** URL/domain blocklist filtering with DETERMINISTICALLY SYNTHESIZED
     * URLs (the corpus has none): every document gets
@@ -716,6 +738,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_gopher_signals" -> q172GopherSignals _,
+    "q174_url_dedup"     -> q174UrlDedup _,
     "q162_domain_filter" -> q162DomainFilter _,
     "q157_pii_scrub"  -> q157PiiScrub _,
     "q158_line_dedup" -> q158LineDedup _,
@@ -1022,6 +1045,35 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones
          |FROM planted""".stripMargin
     },
+    "q174_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END
+         |    || source || '.example.com'
+         |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+         |    || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+         |    || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=1'
+         |            WHEN doc_id % 3 = 1 THEN '?ref=1' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+         |  FROM documents),
+         |f AS (SELECT doc_id, regexp_replace(url, '#.*$$', '', 'g') AS s FROM u),
+         |t AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(s,
+         |      '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
+         |      '\\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&', '?', 'g'),
+         |      '\\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$$', '', 'g') AS s
+         |  FROM f),
+         |p AS (SELECT doc_id,
+         |    regexp_replace(s, '^([Hh][Tt][Tt][Pp][Ss]?://[^/:?#]+):(?:80|443)([/?#]|$$)',
+         |      '\\1\\2', 'g') AS s
+         |  FROM t),
+         |c AS (SELECT doc_id,
+         |    lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+         |      || substr(s, length(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)
+         |      AS url_canonical
+         |  FROM p)
+         |SELECT doc_id, url_canonical,
+         |  doc_id = min(doc_id) OVER (PARTITION BY url_canonical) AS kept
+         |FROM c""".stripMargin,
     "q172_gopher_signals" ->
       s"""WITH src AS (SELECT doc_id,
          |    replace(text, ' merge ', chr(10)) ||

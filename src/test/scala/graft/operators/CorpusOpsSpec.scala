@@ -38,6 +38,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4).getString(1) == "")
   }
 
+  test("canonicalizeUrl + urlDedup: case/port/fragment/tracking variants collapse; path case kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "HTTPS://Ex.com:443/Path?utm_source=x&id=2#top"),
+      (1L, "https://ex.com/Path?id=2"),
+      (2L, "https://ex.com/path?id=2"), // path case DIFFERS -> distinct
+      (3L, "http://a.org:80/?utm_a=1&utm_b=2"),
+      (4L, "http://a.org/"),
+      (5L, "http://a.org/?fbclid=zz&keep=1&gclid=q")).toDF("doc_id", "url")
+    val out = CorpusOps.urlDedup(docs, "doc_id", "url").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "https://ex.com/Path?id=2", out(0).getString(1))
+    assert(out(1).getString(1) == "https://ex.com/Path?id=2")
+    assert(out(2).getString(1) == "https://ex.com/path?id=2")
+    assert(out(3).getString(1) == "http://a.org/")
+    assert(out(5).getString(1) == "http://a.org/?keep=1", out(5).getString(1))
+    // kept = first doc per canonical group
+    assert(out.map(_.getBoolean(2)).toSeq ==
+      Seq(true, false, true, true, false, true))
+  }
+
   test("gopherSignals: duplicate-line, bullet/ellipsis, and top-ngram fractions, hand-checked") {
     import spark.implicits._
     val docs = Seq(
