@@ -859,8 +859,10 @@ object CorpusOps {
 
   /** URL CANONICALIZATION (the RefinedWeb URL-dedup normalization):
     * lowercase the scheme://host prefix (never the path — case is
-    * significant there), strip the `#fragment`, strip the default port
-    * (`:80`/`:443`), and remove tracking query parameters
+    * significant there), strip the `#fragment`, strip the SCHEME'S OWN
+    * default port (`:80` after `http://`, `:443` after `https://` —
+    * never cross-scheme: `http://h:443/x` is a different resource from
+    * `http://h/x`), and remove tracking query parameters
     * (`utm_*`, `fbclid`, `gclid`) with separator repair — so
     * `HTTPS://Ex.com:443/P?utm_s=x&id=2#top` and
     * `https://ex.com/P?id=2` canonicalize identically. Pure chained
@@ -874,8 +876,15 @@ object CorpusOps {
     val t = "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)"
     val noTrack = regexp_replace(regexp_replace(regexp_replace(noFrag,
       s"&$t=[^&]*", ""), s"\\?$t=[^&]*&", "?"), s"\\?$t=[^&]*$$", "")
-    // 3. default ports off the authority
-    val noPort = regexp_replace(noTrack, "^([Hh][Tt][Tt][Pp][Ss]?://[^/:?#]+):(?:80|443)([/?#]|$)", "$1$2")
+    // 3. default ports off the authority — SCHEME-AWARE: :80 is default
+    //    only for http and :443 only for https (http://h:443/x and
+    //    https://h:80/x are DIFFERENT resources from their portless
+    //    forms and must not merge). The http pass cannot fire on an
+    //    https URL: both are ^-anchored and "https" has an extra 's'
+    //    where the http pattern requires "://".
+    val noPort = regexp_replace(regexp_replace(noTrack,
+      "^([Hh][Tt][Tt][Pp]://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^([Hh][Tt][Tt][Pp][Ss]://[^/:?#]+):443([/?#]|$)", "$1$2")
     // 4. lowercase scheme://host (authority ends at /, ?, or #)
     val prefix = regexp_extract(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     concat(lower(prefix), substring(noPort, length(prefix) + 1, lit(1 << 30)))

@@ -141,11 +141,11 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
       s"graft DELETE FROM $dir: predicate not expressible as per-column closed " +
         s"ranges (c BETWEEN lo AND hi / c >= lo AND c <= hi / c = v): $what. " +
         "Rewrite the predicate as ranges, or use the Scala deleteWhere/rewrite path.")
-    def scalaLit(e: Expression): Any = e match {
+    def catalystLit(e: Expression): (Any, org.apache.spark.sql.types.DataType) = e match {
       case f if f.foldable && f.deterministic =>
         val v = f.eval()
         if (v == null) decline(s"NULL bound in ${e.sql}")
-        CatalystTypeConverters.convertToScala(v, f.dataType)
+        (v, f.dataType)
       case other => decline(s"non-literal bound ${other.sql}")
     }
     def attrName(e: Expression): String = e match {
@@ -153,31 +153,85 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
       case other => decline(s"bound side ${other.sql} is not a plain column " +
         "(implicit casts on the column decline: the index proof runs on the raw column)")
     }
-    var lo = Map.empty[String, Any]
-    var hi = Map.empty[String, Any]
+    // INTERSECT bounds per column — a column may appear in several
+    // conjuncts (`a = 5 AND a BETWEEN 1 AND 10`), and a last-wins
+    // overwrite would silently WIDEN the box past the predicate
+    // (order-dependent data loss). lo = max of lower bounds, hi = min of
+    // upper bounds, compared with the bound type's own Catalyst ordering;
+    // post-analysis every bound on one column carries the column's type,
+    // so a type mismatch here means an unexpected shape — decline loudly.
+    var lo = Map.empty[String, (Any, org.apache.spark.sql.types.DataType)]
+    var hi = Map.empty[String, (Any, org.apache.spark.sql.types.DataType)]
+    // numeric view for CROSS-TYPE bound comparison: the rule fires during
+    // resolution, where one conjunct's literal may already be coerced to
+    // the column's type (BIGINT) while another's is still its parsed type
+    // (INT) — BigDecimal compares them exactly (every integral and
+    // decimal value round-trips; finite float/double too)
+    def num(v: Any, dt: org.apache.spark.sql.types.DataType): Option[java.math.BigDecimal] = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType    => Some(java.math.BigDecimal.valueOf(v.asInstanceOf[Byte].toLong))
+        case ShortType   => Some(java.math.BigDecimal.valueOf(v.asInstanceOf[Short].toLong))
+        case IntegerType => Some(java.math.BigDecimal.valueOf(v.asInstanceOf[Int].toLong))
+        case LongType    => Some(java.math.BigDecimal.valueOf(v.asInstanceOf[Long]))
+        case FloatType if java.lang.Float.isFinite(v.asInstanceOf[Float]) =>
+          Some(new java.math.BigDecimal(v.asInstanceOf[Float].toDouble))
+        case DoubleType if java.lang.Double.isFinite(v.asInstanceOf[Double]) =>
+          Some(new java.math.BigDecimal(v.asInstanceOf[Double]))
+        case _: DecimalType => Some(v.asInstanceOf[Decimal].toJavaBigDecimal)
+        case _ => None
+      }
+    }
+    def tighten(m: Map[String, (Any, org.apache.spark.sql.types.DataType)],
+                c: String, v: (Any, org.apache.spark.sql.types.DataType),
+                takeMax: Boolean) = m.get(c) match {
+      case None => m + (c -> v)
+      case Some((pv, pdt)) =>
+        val keepPrev: Boolean =
+          if (pdt == v._2) {
+            val ord = org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(pdt)
+            val cmp = ord.compare(pv, v._1)
+            if (takeMax) cmp >= 0 else cmp <= 0
+          } else (num(pv, pdt), num(v._1, v._2)) match {
+            case (Some(a), Some(b)) =>
+              val cmp = a.compareTo(b)
+              if (takeMax) cmp >= 0 else cmp <= 0
+            case _ =>
+              decline(s"$c is bounded at two incomparable types (${pdt.sql} vs ${v._2.sql})")
+          }
+        if (keepPrev) m else m + (c -> v)
+    }
     splitConjunctivePredicates(cond).foreach {
       // BETWEEN parses to the RuntimeReplaceable Between node
       case b: Between =>
-        lo += attrName(b.input) -> scalaLit(b.lower)
-        hi += attrName(b.input) -> scalaLit(b.upper)
-      case GreaterThanOrEqual(a: AttributeReference, v) => lo += attrName(a) -> scalaLit(v)
-      case LessThanOrEqual(a: AttributeReference, v)    => hi += attrName(a) -> scalaLit(v)
+        lo = tighten(lo, attrName(b.input), catalystLit(b.lower), takeMax = true)
+        hi = tighten(hi, attrName(b.input), catalystLit(b.upper), takeMax = false)
+      case GreaterThanOrEqual(a: AttributeReference, v) =>
+        lo = tighten(lo, attrName(a), catalystLit(v), takeMax = true)
+      case LessThanOrEqual(a: AttributeReference, v) =>
+        hi = tighten(hi, attrName(a), catalystLit(v), takeMax = false)
       case GreaterThanOrEqual(v, a: AttributeReference) if v.foldable =>
-        hi += attrName(a) -> scalaLit(v)
+        hi = tighten(hi, attrName(a), catalystLit(v), takeMax = false)
       case LessThanOrEqual(v, a: AttributeReference) if v.foldable =>
-        lo += attrName(a) -> scalaLit(v)
+        lo = tighten(lo, attrName(a), catalystLit(v), takeMax = true)
       case EqualTo(a: AttributeReference, v) if v.foldable =>
-        val x = scalaLit(v); lo += attrName(a) -> x; hi += attrName(a) -> x
+        val x = catalystLit(v)
+        lo = tighten(lo, attrName(a), x, takeMax = true)
+        hi = tighten(hi, attrName(a), x, takeMax = false)
       case EqualTo(v, a: AttributeReference) if v.foldable =>
-        val x = scalaLit(v); lo += attrName(a) -> x; hi += attrName(a) -> x
+        val x = catalystLit(v)
+        lo = tighten(lo, attrName(a), x, takeMax = true)
+        hi = tighten(hi, attrName(a), x, takeMax = false)
       case other => decline(other.sql)
     }
     val cols = (lo.keySet ++ hi.keySet).toSeq.sorted
     if (cols.isEmpty) decline("empty predicate")
     cols.map { c =>
+      def toScala(v: (Any, org.apache.spark.sql.types.DataType)): Any =
+        CatalystTypeConverters.convertToScala(v._1, v._2)
       (c,
-        lo.getOrElse(c, decline(s"$c has an upper bound but no lower bound")),
-        hi.getOrElse(c, decline(s"$c has a lower bound but no upper bound")))
+        toScala(lo.getOrElse(c, decline(s"$c has an upper bound but no lower bound"))),
+        toScala(hi.getOrElse(c, decline(s"$c has a lower bound but no upper bound"))))
     }
   }
 

@@ -1063,8 +1063,9 @@ object TextQueries {
          |      '\\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$$', '', 'g') AS s
          |  FROM f),
          |p AS (SELECT doc_id,
-         |    regexp_replace(s, '^([Hh][Tt][Tt][Pp][Ss]?://[^/:?#]+):(?:80|443)([/?#]|$$)',
-         |      '\\1\\2', 'g') AS s
+         |    regexp_replace(regexp_replace(s,
+         |      '^([Hh][Tt][Tt][Pp]://[^/:?#]+):80([/?#]|$$)', '\\1\\2', 'g'),
+         |      '^([Hh][Tt][Tt][Pp][Ss]://[^/:?#]+):443([/?#]|$$)', '\\1\\2', 'g') AS s
          |  FROM t),
          |c AS (SELECT doc_id,
          |    lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))

@@ -58,6 +58,21 @@ class CorpusOpsSpec extends AnyFunSuite {
       Seq(true, false, true, true, false, true))
   }
 
+  test("canonicalizeUrl: port stripping is scheme-aware — :443 on http / :80 on https kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "http://b.org:443/x"),  // NOT http's default port: a real resource
+      (1L, "http://b.org/x"),
+      (2L, "https://b.org:80/x"),  // NOT https' default port either
+      (3L, "https://b.org/x")).toDF("doc_id", "url")
+    val out = CorpusOps.urlDedup(docs, "doc_id", "url").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "http://b.org:443/x", out(0).getString(1))
+    assert(out(2).getString(1) == "https://b.org:80/x", out(2).getString(1))
+    // four DISTINCT resources: nothing merges, every doc kept
+    assert(out.map(_.getString(1)).distinct.length == 4)
+    assert(out.forall(_.getBoolean(2)))
+  }
+
   test("gopherSignals: duplicate-line, bullet/ellipsis, and top-ngram fractions, hand-checked") {
     import spark.implicits._
     val docs = Seq(

@@ -67,6 +67,33 @@ class MutationSqlSpec extends AnyFunSuite {
     bad(s"DELETE FROM parquet.`$dir` WHERE x BETWEEN 1 AND 5 OR x = 9", "not expressible")
   }
 
+  test("DELETE FROM intersects repeated bounds on one column (eq + BETWEEN, both orders)") {
+    // a = 5 AND a BETWEEN 1 AND 10 must delete EXACTLY a = 5 — a
+    // last-wins bound map would build box [1,10] and silently delete
+    // rows the predicate excludes (order-dependent data loss)
+    val dirA = freshDir("sql-del-ix-a")
+    (0L to 20L).toDF("a").coalesce(1).write.parquet(dirA)
+    spark.sql(s"DELETE FROM parquet.`$dirA` WHERE a = 5 AND a BETWEEN 1 AND 10").collect()
+    assert(spark.read.parquet(dirA).as[Long].collect().sorted.toSeq ==
+      ((0L to 4L) ++ (6L to 20L)), "only a = 5 deleted")
+    // the reverse conjunct order must intersect identically
+    val dirB = freshDir("sql-del-ix-b")
+    (0L to 20L).toDF("a").coalesce(1).write.parquet(dirB)
+    spark.sql(s"DELETE FROM parquet.`$dirB` WHERE a BETWEEN 1 AND 10 AND a = 5").collect()
+    assert(spark.read.parquet(dirB).as[Long].collect().sorted.toSeq ==
+      ((0L to 4L) ++ (6L to 20L)), "order-independent intersection")
+    // overlapping ranges intersect; an UNSATISFIABLE intersection (empty
+    // box) deletes nothing rather than declining or widening
+    val dirC = freshDir("sql-del-ix-c")
+    (0L to 20L).toDF("a").coalesce(1).write.parquet(dirC)
+    spark.sql(s"DELETE FROM parquet.`$dirC` WHERE a BETWEEN 3 AND 12 AND a BETWEEN 8 AND 18").collect()
+    assert(spark.read.parquet(dirC).as[Long].collect().sorted.toSeq ==
+      ((0L to 7L) ++ (13L to 20L)), "ranges intersected to [8,12]")
+    spark.sql(s"DELETE FROM parquet.`$dirC` WHERE a = 1 AND a = 2").collect()
+    assert(spark.read.parquet(dirC).as[Long].collect().sorted.toSeq ==
+      ((0L to 7L) ++ (13L to 20L)), "empty intersection deletes nothing")
+  }
+
   test("UPDATE: box predicate + deterministic assignments lower onto updateWhere; declines loud") {
     val dir = freshDir("sql-upd")
     (0L to 99L).map(x => (x, x * 10L)).toDF("a", "b")
