@@ -126,7 +126,10 @@ object Bench {
     "q165_cdc_delete_rows", "q166_envelope_avg_agg", "q167_part_group_agg",
     // SQL mutation surface (fixtures built in q167_part_build)
     "q168_sql_delete_box", "q169_sql_merge_box", "q170_sql_update_box",
-    "q171_append_box", "q173_bloom_lookup")
+    "q171_append_box", "q173_bloom_lookup",
+    // round 16: string-keyed upsert (prefix stab + bloom refinement;
+    // fixtures built in q175_mut_build16)
+    "q175_string_upsert_box")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -296,6 +299,23 @@ object Bench {
       val (b1, ok1) = once(); val (b2, ok2) = once()
       if (ok1 && ok2) math.min(b1, b2) else -1.0
     }
+    // round-16 build (string-keyed mutation fixtures): min-of-two honesty
+    // split; q175+ then time serving only.
+    val mutBuild16 = {
+      def once(): (Double, Boolean) = {
+        graft.queries.LayoutQueries.invalidateZorder16(sfDir)
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.queries.LayoutQueries.buildZorder16(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q175_mut_build16 FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (b1, ok1) = once(); val (b2, ok2) = once()
+      if (ok1 && ok2) math.min(b1, b2) else -1.0
+    }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
     val run2 = present.map { n =>
@@ -377,6 +397,7 @@ object Bench {
       ("q144_zorder_build13" -> zorderBuild13) :+
       ("q151_manifest_build" -> manifestBuild) :+
       ("q167_part_build" -> partBuild15) :+
+      ("q175_mut_build16" -> mutBuild16) :+
       ("q103_index_build" -> annBuild) :+
       ("q35_pair_graph_build" -> pairBuild) :+
       ("q35_cc_label_build" -> labelBuild) :+

@@ -89,5 +89,31 @@ object ProfMutation {
       val tNaive = timeMs { println(s"  naive-missed files: ${naive.count()}") }
       println(f"classify ${nFiles} files x ${nKeys} keys: stab ${tStab}%8.1f ms  BNLJ anti ${tNaive}%8.1f ms  (${tNaive / tStab}%4.1fx)")
     }
+
+    // round 16: the STRING-key classification at the same scale — 10^4
+    // file intervals × 10^5 string keys through Layout.stringKeyStab
+    // (LCP strip → 7-byte-prefix interval stab → exact refinement), the
+    // shape upsert builds for string doc-ids, vs the between-condition
+    // BNLJ it replaces. The shared "doc-" prefix + zero padding is
+    // deliberately the WORST realistic id scheme: without the LCP strip
+    // every file's 7-byte window collapses to one value.
+    {
+      val nFiles = 10000L
+      val nKeys = 100000L
+      def key(c: org.apache.spark.sql.Column) =
+        concat(lit("doc-"), lpad(c.cast("string"), 10, "0"))
+      val env = spark.range(nFiles).select(
+        concat(lit("f"), $"id").as("file"),
+        key($"id" * 1000L).as("f_min"), key($"id" * 1000L + 999L).as("f_max"))
+      val pts = spark.range(nKeys).select(key($"id" * 97L).as("k_val"))
+      val stab = graft.sources.Layout.stringKeyStab(env, pts).select("file").distinct()
+      val plan = stab.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "string stab degraded to a nested-loop join")
+      val tStab = timeMs { println(s"  string-stabbed files: ${stab.count()}") }
+      val naive = env.join(pts, $"k_val".between($"f_min", $"f_max"), "left_anti")
+      val tNaive = timeMs { println(s"  naive-missed files: ${naive.count()}") }
+      println(f"string classify ${nFiles} files x ${nKeys} keys: stab ${tStab}%8.1f ms  BNLJ anti ${tNaive}%8.1f ms  (${tNaive / tStab}%4.1fx)")
+    }
   }
 }

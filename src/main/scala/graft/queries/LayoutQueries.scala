@@ -342,6 +342,32 @@ object LayoutQueries {
     })
   }
 
+  /** Events copy with a STRING unique key (`ev_key`, derived 1:1 from
+    * event_id with zero-padding so string order ≠ insertion order is
+    * irrelevant), clustered on (user_id, ts_us) so ev_key INTERLEAVES
+    * across files — then [[Layout.upsert]]ed BY THE STRING KEY: the
+    * classification must run as the 7-byte-prefix interval stab refined
+    * by the per-file ev_key bloom, never the between nested-loop
+    * (MutationSpec pins the plan; this fixture pins exactness). */
+  private def zEventsUpdStr(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_upd_str"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_upd_str").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+        .withColumn("ev_key",
+          concat(lit("ev-"), lpad(col("event_id").cast("string"), 10, "0")))
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "ev_key"),
+        bloomCols = Seq("ev_key"))
+      val updates = ev.filter(col("event_id") % 10 === 3)
+        .withColumn("value", col("value") * 2)
+      Layout.upsert(spark, out, updates, "ev_key")
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-15 build (the wk-unindexed partitioned copy + the SQL-mutated
     * twins + the append and bloom fixtures), its own bench entry so
     * q167-q173 time serving only. */
@@ -355,6 +381,18 @@ object LayoutQueries {
   def invalidateZorder15(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R15Tables.contains(k.stripPrefix(s"$dir|"))
+    }
+  }
+
+  /** Round-16 build (the string-keyed upsert fixture; later round-16
+    * fixtures join it), its own bench entry so q175+ time serving only. */
+  def buildZorder16(spark: SparkSession, dir: String): Unit = {
+    zEventsUpdStr(spark, dir); ()
+  }
+  private val R16Tables = Set("events_upd_str")
+  def invalidateZorder16(dir: String): Unit = lock.synchronized {
+    cache = cache.filterNot { case (k, _) =>
+      R16Tables.contains(k.stripPrefix(s"$dir|"))
     }
   }
 
@@ -381,7 +419,8 @@ object LayoutQueries {
     cache = cache.filterNot { case (k, _) =>
       val suffix = k.stripPrefix(s"$dir|")
       k.startsWith(s"$dir|") && !R13Tables.contains(suffix) &&
-        !R14Tables.contains(suffix) && !R15Tables.contains(suffix)
+        !R14Tables.contains(suffix) && !R15Tables.contains(suffix) &&
+        !R16Tables.contains(suffix)
     }
   }
   def invalidateZorder13(dir: String): Unit = lock.synchronized {
@@ -907,6 +946,23 @@ object LayoutQueries {
         max($"user_id").as("mx_user"))
   }
 
+  // ---------------------------------------------------------------- q175
+  /** q161's box over the copy upserted BY ITS STRING KEY — every
+    * `event_id % 10 = 3` row (addressed as `ev_key`) replaced with a
+    * doubled `value`. The string key classifies through the prefix-long
+    * interval stab + bloom refinement, never a nested loop; the oracle
+    * applies the same keyed update relationally (ev_key ↔ event_id is
+    * 1:1, so the oracle keys on event_id). */
+  def q175StringUpsertBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsUpdStr(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   // ---------------------------------------------------------------- q165
   /** ROW-level CDC of the q160 delete — `graft_read_change_rows` between
     * the pre-delete and post-delete commits: the file-level delta
@@ -936,6 +992,7 @@ object LayoutQueries {
     "q170_sql_update_box"      -> q170SqlUpdateBox _,
     "q171_append_box"          -> q171AppendBox _,
     "q173_bloom_lookup"        -> q173BloomLookup _,
+    "q175_string_upsert_box"   -> q175StringUpsertBox _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -1043,6 +1100,16 @@ object LayoutQueries {
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |  AND NOT (user_id BETWEEN 3 AND 6
          |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
+    "q175_string_upsert_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type,
+         |        CASE WHEN event_id % 10 = 3 THEN value * 2 ELSE value END AS value
+         |      FROM events)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |GROUP BY event_type""".stripMargin,
     "q161_upsert_box" ->
       s"""SELECT event_type, count(*) AS n,

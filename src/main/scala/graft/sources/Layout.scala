@@ -765,65 +765,164 @@ object Layout {
     * into a bucketized equi-join — the naive
     * `key BETWEEN min_key AND max_key` anti-join is a non-equi condition
     * Spark can only plan as a broadcast-nested-loop, O(files × keys)
-    * comparisons (10¹³ at a million files × 10M update keys). Key types
-    * without an exact order-preserving long view (strings, floats,
-    * decimals) keep the nested-loop path — there the honest fix is
-    * indexing a numeric surrogate, not a lossy cast. */
+    * comparisons (10¹³ at a million files × 10M update keys).
+    *
+    * STRING keys (the common doc-id / URL-hash case) stab through the
+    * MONOTONE 7-byte UTF-8 prefix long view (the z-cell machinery's
+    * string scaling): `k ∈ [min, max]` in binary string order implies
+    * `prefix(k) ∈ [prefix(min), prefix(max)]`, so the prefix stab is a
+    * SOUND SUPERSET — prefix collisions cost candidate I/O, never rows —
+    * and each stabbed (file, key) pair is then refined by the EXACT
+    * string range test and, when the index carries a `bloom_<key>`
+    * column, by per-file bloom membership (the point-lookup proof that
+    * still refutes when every hull covers every key). Key types without
+    * either view (float/double/decimal) keep the nested-loop fallback —
+    * there the honest fix is indexing a numeric surrogate. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
-             keyCol: String): MutationStats = {
-    val keys = updates.select(col(keyCol)).cache()
+             keyCol: String): MutationStats =
+    upsertKeyed(spark, dir, updates, Seq(keyCol))
+
+  /** Per-file bloom probe for a pre-hashed value — same construction as
+    * [[graft.plans.EnvelopePruneRule]]'s: NULL blooms (legacy index rows,
+    * empty files) answer "might contain", the safe direction. */
+  private[graft] val bloomMightContain =
+    udf((bloom: Array[Byte], hash: Long) =>
+      bloom == null ||
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bloom)).mightContainLong(hash))
+
+  /** [[upsert]] generalized to a COMPOSITE unique key: rows are matched
+    * on equality of EVERY `keyCols` column. File classification stabs on
+    * the FIRST key column only (sound: a file whose `keyCols.head` range
+    * contains no update's first key component cannot hold any composite
+    * match), the rewrite anti-joins on the full key. */
+  def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
+                  keyCols: Seq[String]): MutationStats = {
+    require(keyCols.nonEmpty, "upsert: no key columns")
+    require(keyCols.distinct.size == keyCols.size, s"upsert: duplicate key columns in $keyCols")
+    val keys = updates.select(keyCols.map(col): _*).cache()
     try {
       val (n, distinctN, nullN) = {
-        val r = keys.agg(count(lit(1)), countDistinct(col(keyCol)),
-          sum(when(col(keyCol).isNull, 1L).otherwise(0L))).head()
+        val r = keys.agg(count(lit(1)), countDistinct(keyCols.head, keyCols.tail: _*),
+          sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L))).head()
         (r.getLong(0), r.getLong(1), r.getLong(2))
       }
-      require(nullN == 0L, s"upsert: $nullN update rows have a NULL $keyCol")
+      require(nullN == 0L,
+        s"upsert: $nullN update rows have a NULL in key ${keyCols.mkString(",")}")
       require(n == distinctN,
-        s"upsert: $keyCol is not unique in updates ($n rows, $distinctN keys)")
-      // exact order-preserving long view of the key type, when one exists
-      val keyLong: Option[Column => Column] = updates.schema(keyCol).dataType match {
+        s"upsert: key ${keyCols.mkString(",")} is not unique in updates ($n rows, $distinctN keys)")
+      val stabCol = keyCols.head
+      // exact order-preserving long view of the stab key type, when one
+      // exists; strings go through [[stringKeyStab]] instead
+      val exactLong: Option[Column => Column] = updates.schema(stabCol).dataType match {
         case ByteType | ShortType | IntegerType | LongType => Some(_.cast("long"))
         case DateType      => Some(c => unix_date(c).cast("long"))
         case TimestampType => Some(c => unix_micros(c))
         case _             => None
       }
+      val isString = updates.schema(stabCol).dataType == StringType
+      // the stab over an exact long view `lv` of the key: candidate
+      // (file, key) pairs via the bucketized equi-join
+      def stabMissed(valid: DataFrame, lv: Column => Column): Set[String] = {
+        val iv = valid.select(col("file"),
+          lv(col(s"min_$stabCol")).as("f_start"), lv(col(s"max_$stabCol")).as("f_end"))
+        val pts = keys.select(lv(col(stabCol)).as("k_pt"))
+        val stabbed = graft.operators.IntervalJoin.pointInInterval(
+          pts, iv, Nil, "k_pt", "f_start", "f_end", stabWidth(iv)).select("file")
+        collectFiles(valid) -- collectFiles(stabbed)
+      }
       def classify(env: DataFrame): (Set[String], Set[String]) = {
         val cols = env.columns.toSeq
-        if (!cols.contains(s"min_$keyCol") || !cols.contains(s"max_$keyCol"))
+        if (!cols.contains(s"min_$stabCol") || !cols.contains(s"max_$stabCol"))
           return (Set.empty, Set.empty)
         // null key stats (mixed-generation rows) must NOT classify as
         // miss: restrict the stab to rows whose proof can run
-        val valid = env.filter(col(s"min_$keyCol").isNotNull &&
-          col(s"max_$keyCol").isNotNull)
-        val missed = keyLong match {
-          case Some(lv) =>
-            val iv = valid.select(col("file"),
-              lv(col(s"min_$keyCol")).as("f_start"), lv(col(s"max_$keyCol")).as("f_end"))
-            val pts = keys.select(lv(col(keyCol)).as("k_pt"))
-            // bucket width near the median file span; floored so ONE
-            // unusually wide file (post-compaction catch-all) stays under
-            // the interval join's per-interval cell ceiling
-            val spanD = col("f_end").cast("double") - col("f_start").cast("double")
-            val wRow = iv.agg(
-              expr("approx_percentile(cast(f_end as double) - cast(f_start as double), 0.5)"),
-              max(spanD)).head()
-            val med = if (wRow.isNullAt(0)) 1.0 else wRow.getDouble(0)
-            val mx = if (wRow.isNullAt(1)) 1.0 else wRow.getDouble(1)
-            val width = math.min(Long.MaxValue / 2.0,
-              math.max(1.0, math.max(med, mx / (1L << 20).toDouble))).toLong
-            val stabbed = graft.operators.IntervalJoin.pointInInterval(
-              pts, iv, Nil, "k_pt", "f_start", "f_end", width).select("file")
-            collectFiles(valid) -- collectFiles(stabbed)
+        val valid = env.filter(col(s"min_$stabCol").isNotNull &&
+          col(s"max_$stabCol").isNotNull)
+        val missed = exactLong match {
+          case Some(lv) => stabMissed(valid, lv)
+          case None if isString =>
+            val ivCols = Seq(col("file"), col(s"min_$stabCol").as("f_min"),
+              col(s"max_$stabCol").as("f_max")) ++
+              (if (cols.contains(s"bloom_$stabCol")) Seq(col(s"bloom_$stabCol").as("f_bloom"))
+               else Nil)
+            val stabbed = stringKeyStab(valid.select(ivCols: _*),
+              keys.select(col(stabCol).as("k_val")))
+            collectFiles(valid) -- collectFiles(stabbed.select("file"))
           case None =>
             collectFiles(valid.join(keys,
-              keys(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_anti"))
+              keys(stabCol).between(col(s"min_$stabCol"), col(s"max_$stabCol")), "left_anti"))
         }
         (missed, Set.empty)
       }
       mutateFiles(spark, dir, classify,
-        rewrite = _.join(keys, Seq(keyCol), "left_anti"), extra = Some(updates))
+        rewrite = _.join(keys, keyCols, "left_anti"), extra = Some(updates))
     } finally { keys.unpersist(); () }
+  }
+
+  /** Bucket width for an interval stab over `iv(f_start, f_end)`: near
+    * the median file span, floored so ONE unusually wide file
+    * (post-compaction catch-all) stays under the interval join's
+    * per-interval cell ceiling. */
+  private def stabWidth(iv: DataFrame): Long = {
+    val spanD = col("f_end").cast("double") - col("f_start").cast("double")
+    val wRow = iv.agg(
+      expr("approx_percentile(cast(f_end as double) - cast(f_start as double), 0.5)"),
+      max(spanD)).head()
+    val med = if (wRow.isNullAt(0)) 1.0 else wRow.getDouble(0)
+    val mx = if (wRow.isNullAt(1)) 1.0 else wRow.getDouble(1)
+    math.min(Long.MaxValue / 2.0,
+      math.max(1.0, math.max(med, mx / (1L << 20).toDouble))).toLong
+  }
+
+  /** Candidate (file, key) pairs for STRING point keys against per-file
+    * string ranges `iv(file, f_min, f_max[, f_bloom])` — the string-key
+    * classification core shared by [[upsertKeyed]] (and profiled by
+    * ProfMutation):
+    *
+    *  1. strip the LONGEST COMMON PREFIX of the global [min(f_min),
+    *     max(f_max)] range — shared-prefix id schemes ("doc-000…",
+    *     "https://…") otherwise collapse the 7-byte window to one value,
+    *     degrading the stab to candidate-everything. Sound twice over:
+    *     any key inside the global range must START with that prefix
+    *     (its bytes are pinned between two equal byte prefixes), and for
+    *     strings sharing a prefix, binary order of the suffixes equals
+    *     binary order of the originals; keys NOT starting with it lie
+    *     outside every file's range and are dropped before the join;
+    *  2. stab the MONOTONE 7-byte UTF-8 prefix long of the suffix (the
+    *     z-cell string scaling: UTF-8 byte order = code-point order, so
+    *     the long view is non-decreasing and the stab a sound SUPERSET);
+    *  3. refine each stabbed pair by the EXACT string range test (kills
+    *     prefix collisions), then by the per-file bloom when present —
+    *     membership refutation is exact per (file, key); false positives
+    *     only keep a pair, the safe direction. */
+  private[graft] def stringKeyStab(iv0: DataFrame, keys: DataFrame): DataFrame = {
+    val hasBloom = iv0.columns.contains("f_bloom")
+    val gRow = iv0.agg(min(col("f_min")).cast("string"),
+      max(col("f_max")).cast("string")).head()
+    if (gRow.isNullAt(0) || gRow.isNullAt(1)) return iv0.limit(0).withColumn("k_val", lit(""))
+    val lcp = {
+      val a = gRow.getString(0); val b = gRow.getString(1)
+      val n = a.iterator.zip(b.iterator).takeWhile { case (x, y) => x == y }.length
+      val p = a.substring(0, n)
+      // never split a surrogate pair: the re-encoded suffix must stay
+      // well-formed UTF-8 for the byte-order argument to hold
+      if (p.nonEmpty && Character.isHighSurrogate(p.last)) p.dropRight(1) else p
+    }
+    def pv(c: Column) = conv(rpad(substring(hex(encode(
+      substring(c, lcp.length + 1, 1 << 30), "UTF-8")), 1, 14), 14, "0"), 16, 10)
+      .cast("long")
+    val iv = iv0.select(Seq(col("file"), pv(col("f_min")).as("f_start"),
+      pv(col("f_max")).as("f_end"), col("f_min"), col("f_max")) ++
+      (if (hasBloom) Seq(col("f_bloom")) else Nil): _*)
+    val pts = keys.filter(col("k_val").startsWith(lit(lcp)))
+      .select(col("k_val"), pv(col("k_val")).as("k_pt"))
+    val exact = graft.operators.IntervalJoin.pointInInterval(
+      pts, iv, Nil, "k_pt", "f_start", "f_end", stabWidth(iv.select("file", "f_start", "f_end")))
+      .filter(col("k_val") >= col("f_min") && col("k_val") <= col("f_max"))
+    if (hasBloom)
+      exact.filter(bloomMightContain(col("f_bloom"), xxhash64(col("k_val"))))
+    else exact
   }
 
   private def collectFiles(env: DataFrame): Set[String] =

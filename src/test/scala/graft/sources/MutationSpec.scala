@@ -275,4 +275,70 @@ class MutationSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter(col("k") === 50L)
       .select("v").as[Long].head() == -1L)
   }
+
+  test("string-key upsert: prefix stab classifies without a nested loop; range-disjoint file untouched") {
+    val dir = freshDir("graft-ups-str")
+    (0 to 99).map(i => (f"doc-$i%05d", i.toLong)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (200 to 299).map(i => (f"doc-$i%05d", i.toLong)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // the prefix-long stab shape upsert's classify builds for strings —
+    // pinned BNLJ-free like the numeric stab
+    val pv: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c =>
+      conv(rpad(substring(hex(encode(c, "UTF-8")), 1, 14), 14, "0"), 16, 10).cast("long")
+    val env = spark.read.parquet(Layout.envelopesPath(dir))
+      .select(col("file"), pv(col("min_k")).as("f_start"), pv(col("max_k")).as("f_end"),
+        col("min_k").as("f_min"), col("max_k").as("f_max"))
+    val pts = Seq("doc-00050").toDF("k_val").select(col("k_val"), pv(col("k_val")).as("k_pt"))
+    val stab = graft.operators.IntervalJoin.pointInInterval(
+      pts, env, Nil, "k_pt", "f_start", "f_end", 1L << 40)
+      .filter(col("k_val") >= col("f_min") && col("k_val") <= col("f_max"))
+    val plan = stab.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"string-key classification degraded to a nested-loop join:\n$plan")
+    // end-to-end: only the file whose string range holds the key rewrites
+    val stats = Layout.upsert(spark, dir, Seq(("doc-00050", -1L)).toDF("k", "v"), "k")
+    assert(stats == Layout.MutationStats(0, 1, 1), s"string stab classification: $stats")
+    val got = spark.read.parquet(dir).as[(String, Long)].collect().toMap
+    assert(got("doc-00050") == -1L && got("doc-00250") == 250L && got.size == 200)
+  }
+
+  test("string-key upsert: bloom refutes hull-covered files (interleaved keys, overlapping ranges)") {
+    val dir = freshDir("graft-ups-str-bloom")
+    // both files' [min,max] string hulls cover the update key "z050":
+    // range proofs alone rewrite BOTH; the per-file bloom must refute A
+    val a = ((0 to 99).map(i => (f"a$i%03d", 0L)) :+ ("z999" -> 0L)).toDF("k", "v")
+    val b = ((0 to 99).map(i => (f"z$i%03d", 0L)) :+ ("a500" -> 0L)).toDF("k", "v")
+    a.coalesce(1).write.mode("append").parquet(dir)
+    b.coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"), bloomCols = Seq("k"))
+    val stats = Layout.upsert(spark, dir, Seq(("z050", -5L)).toDF("k", "v"), "k")
+    assert(stats == Layout.MutationStats(0, 1, 1),
+      s"bloom should refute the hull-covered file holding no z050: $stats")
+    val got = spark.read.parquet(dir).as[(String, Long)].collect().toMap
+    assert(got("z050") == -5L && got("z999") == 0L && got.size == 202)
+  }
+
+  test("upsertKeyed: composite key matches on ALL columns; duplicates across the pair rejected") {
+    val dir = freshDir("graft-ups-multi")
+    Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L)).toDF("g", "i", "v")
+      .coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("g", "i"))
+    // (1,2) replaces exactly that row — (1,1) and (2,1) share a g or an i
+    // with it and must survive; (9,9) inserts
+    val stats = Layout.upsertKeyed(spark, dir,
+      Seq((1L, 2L, -20L), (9L, 9L, 90L)).toDF("g", "i", "v"), Seq("g", "i"))
+    assert(stats.rewrittenFiles == 1L, s"$stats")
+    val got = spark.read.parquet(dir).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 10L), (1L, 2L, -20L), (2L, 1L, 30L), (9L, 9L, 90L)))
+    // composite uniqueness is over the PAIR: (1,1) twice must throw
+    val ex = intercept[IllegalArgumentException](Layout.upsertKeyed(spark, dir,
+      Seq((1L, 1L, 0L), (1L, 1L, 1L)).toDF("g", "i", "v"), Seq("g", "i")))
+    assert(ex.getMessage.contains("not unique"))
+    // but two rows sharing only ONE component are a fine composite key
+    Layout.upsertKeyed(spark, dir,
+      Seq((5L, 1L, 51L), (5L, 2L, 52L)).toDF("g", "i", "v"), Seq("g", "i"))
+    assert(spark.read.parquet(dir).count() == 6)
+  }
 }
