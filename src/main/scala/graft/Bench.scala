@@ -127,9 +127,10 @@ object Bench {
     // SQL mutation surface (fixtures built in q167_part_build)
     "q168_sql_delete_box", "q169_sql_merge_box", "q170_sql_update_box",
     "q171_append_box", "q173_bloom_lookup",
-    // round 16: string-keyed upsert (prefix stab + bloom refinement;
-    // fixtures built in q175_mut_build16)
-    "q175_string_upsert_box")
+    // round 16: string-keyed upsert (prefix stab + bloom refinement) and
+    // the additively-widened table snapshot (fixtures built in
+    // q175_mut_build16)
+    "q175_string_upsert_box", "q176_widened_append_box")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

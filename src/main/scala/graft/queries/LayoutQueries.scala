@@ -384,12 +384,37 @@ object LayoutQueries {
     }
   }
 
-  /** Round-16 build (the string-keyed upsert fixture; later round-16
-    * fixtures join it), its own bench entry so q175+ time serving only. */
-  def buildZorder16(spark: SparkSession, dir: String): Unit = {
-    zEventsUpdStr(spark, dir); ()
+  /** Events table WIDENED mid-life by [[Layout.addColumns]]: even
+    * event_ids committed with the original schema, then `bonus DOUBLE`
+    * added as a pure metadata commit (no file touched), then odd
+    * event_ids appended CARRYING bonus = value × 10 — the snapshot must
+    * serve old files with bonus null-filled and new files with real
+    * values, relationally expressible for the oracle. */
+  private def zEventsWidened(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_widened"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_widened").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      ev.filter(col("event_id") % 2 === 0).write.parquet(out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us"))
+      Manifest.write(spark, out)
+      Layout.addColumns(spark, out, Seq(
+        org.apache.spark.sql.types.StructField("bonus",
+          org.apache.spark.sql.types.DoubleType)))
+      Layout.append(spark, out, ev.filter(col("event_id") % 2 === 1)
+        .withColumn("bonus", col("value") * 10))
+      cache += key -> out
+      out
+    })
   }
-  private val R16Tables = Set("events_upd_str")
+
+  /** Round-16 build (the string-keyed upsert fixture + the widened-table
+    * fixture), its own bench entry so q175+ time serving only. */
+  def buildZorder16(spark: SparkSession, dir: String): Unit = {
+    zEventsUpdStr(spark, dir); zEventsWidened(spark, dir); ()
+  }
+  private val R16Tables = Set("events_upd_str", "events_widened")
   def invalidateZorder16(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R16Tables.contains(k.stripPrefix(s"$dir|"))
@@ -963,6 +988,24 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q176
+  /** The events box over the WIDENED table's snapshot: `bonus` was added
+    * by a metadata-only [[Layout.addColumns]] commit after the even half
+    * was written, so old files serve it as NULL and the appended odd
+    * half carries `value * 10` — the per-type rollup sums both the
+    * original value and the null-tolerant bonus. The oracle reconstructs
+    * bonus relationally from the parity. */
+  def q176WidenedAppendBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.readSnapshot(spark, zEventsWidened(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        sum(cents(coalesce($"bonus", lit(0d)))).as("sum_bonus_c"),
+        sum(when($"bonus".isNull, 1L).otherwise(0L)).as("n_old"))
+  }
+
   // ---------------------------------------------------------------- q165
   /** ROW-level CDC of the q160 delete — `graft_read_change_rows` between
     * the pre-delete and post-delete commits: the file-level delta
@@ -993,6 +1036,7 @@ object LayoutQueries {
     "q171_append_box"          -> q171AppendBox _,
     "q173_bloom_lookup"        -> q173BloomLookup _,
     "q175_string_upsert_box"   -> q175StringUpsertBox _,
+    "q176_widened_append_box"  -> q176WidenedAppendBox _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -1100,6 +1144,17 @@ object LayoutQueries {
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |  AND NOT (user_id BETWEEN 3 AND 6
          |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
+    "q176_widened_append_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  CAST(sum(CAST(round(CASE WHEN event_id % 2 = 1 THEN value * 10
+         |                            ELSE 0 END * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_bonus_c,
+         |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |GROUP BY event_type""".stripMargin,
     "q175_string_upsert_box" ->
       s"""SELECT event_type, count(*) AS n,

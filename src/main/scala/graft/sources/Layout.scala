@@ -1058,6 +1058,45 @@ object Layout {
     moved.result()
   }
 
+  /** ADDITIVE SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMNS` for a
+    * manifest-maintained table, as a pure METADATA COMMIT: the manifests
+    * already carry the data schema, so widening is one new manifest
+    * naming the same file set with `newFields` appended — no file is
+    * read or rewritten. Readers ([[readSnapshot]], the streaming
+    * `graft-manifest` source, the mutation verbs' snapshot reads) plan
+    * with the widened schema and parquet NULL-FILLS the columns old
+    * files lack; [[append]] accepts (and requires) the widened shape
+    * from then on; a later mutation's rewrite materializes the column
+    * into whatever files it touches. New fields must be NULLABLE (old
+    * files answer null — a non-null default would need a rewrite) and
+    * must not collide with existing data or partition columns
+    * (case-insensitively, matching Spark's default resolution). Row-level
+    * CDC across the widening commit still works — see
+    * [[Manifest.readChangeRows]]'s additive contract. Plain
+    * `spark.read.parquet(dir)` (listing-based, footer-inferred) does NOT
+    * see metadata-committed columns until a rewrite materializes them —
+    * snapshot readers are the sanctioned surface, same as for
+    * time travel. Returns the committed seq. */
+  def addColumns(spark: SparkSession, dir: String,
+                 newFields: Seq[StructField]): Long = {
+    require(newFields.nonEmpty, "addColumns: no fields to add")
+    if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
+    val info = Manifest.info(spark, dir)
+    val existing = (info.dataSchema.fieldNames ++ info.partSchema.fieldNames)
+      .map(_.toLowerCase).toSet
+    val dupNew = newFields.groupBy(_.name.toLowerCase).filter(_._2.size > 1).keys
+    require(dupNew.isEmpty, s"addColumns: duplicate new column(s) ${dupNew.mkString(", ")}")
+    newFields.foreach { f =>
+      require(!existing.contains(f.name.toLowerCase),
+        s"addColumns: column ${f.name} already exists on $dir")
+      require(f.nullable,
+        s"addColumns: ${f.name} must be nullable - existing files null-fill it " +
+          "(a non-null default would be a table rewrite, not a metadata commit)")
+    }
+    val widened = StructType(info.dataSchema.fields ++ newFields)
+    Manifest.write(spark, dir, schemas = Some((widened, info.partSchema)))
+  }
+
   /** APPEND rows to a manifest-maintained table with index + snapshot
     * kept fresh — the library-native INSERT: a plain
     * `write.mode(append)` leaves its files OUTSIDE the committed
@@ -1085,8 +1124,8 @@ object Layout {
     val extra = rows.columns.filterNot(want.contains)
     require(extra.isEmpty,
       s"append: rows carry column(s) ${extra.mkString(", ")} the table does not have - " +
-        "dropping them silently would lose data; select the table's columns explicitly " +
-        "(schema widening is a table-rewrite operation, not an append)")
+        "dropping them silently would lose data; select the table's columns explicitly, " +
+        "or widen the table first with Layout.addColumns (a metadata commit)")
     val tmp = new org.apache.hadoop.fs.Path(dir + ".append-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val w = rows.select(want.map(col): _*).write.mode("overwrite")

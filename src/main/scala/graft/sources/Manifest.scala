@@ -204,7 +204,24 @@ object Manifest {
     require(fs.exists(root), s"Manifest.write: no table at $dir")
     val files = listData(fs, root).sorted
     require(files.nonEmpty, s"Manifest.write: no data files under $dir")
-    val (dataSchema, partSchema) = schemas.getOrElse(schemasOf(spark, dir))
+    // When the caller passes no schemas, footer inference decides — but a
+    // table WIDENED by Layout.addColumns has old files without the new
+    // column, and which footer inference picks is arbitrary: a bare
+    // commit could silently NARROW the schema back. Inherit the previous
+    // commit's schemas whenever the inferred fields are a (name, type)
+    // subset of them; genuinely re-typed tables fall through to the
+    // inferred schema as before.
+    val (dataSchema, partSchema) = schemas.getOrElse {
+      val inferred = schemasOf(spark, dir)
+      latestSeq(spark, dir).map(s => parse(fs, dir, s)) match {
+        case Some(prev)
+            if inferred._2 == prev.partSchema &&
+               inferred._1.fields.forall(f => prev.dataSchema.fields.exists(g =>
+                 g.name == f.name && g.dataType == f.dataType)) =>
+          (prev.dataSchema, prev.partSchema)
+        case _ => inferred
+      }
+    }
     val md = new Path(manifestsPath(dir))
     fs.mkdirs(md)
     val nonce = java.util.UUID.randomUUID().toString
@@ -381,9 +398,15 @@ object Manifest {
     * inserts (insert). A pure-maintenance rewrite (clustering,
     * compaction) cancels to ZERO rows — the signal consumers actually
     * want from it. Cost: a shuffle over the CHANGED files only, never
-    * the table. Both commits must still be retained and carry equal
-    * schemas (a schema-changing commit fails loudly — row diffing across
-    * types has no exact meaning). */
+    * the table. Both commits must still be retained and carry equal —
+    * or ADDITIVELY WIDENED — schemas: when the range spans a
+    * [[Layout.addColumns]] commit (every `fromSeq` column still present
+    * with its type, new nullable columns appended), the old side is
+    * planned WITH the widened schema (its files null-fill the new
+    * columns, exactly what a reader of the old snapshot sees today), so
+    * a pure widening commit still cancels to zero rows. Any other
+    * schema change fails loudly — row diffing across removed or
+    * re-typed columns has no exact meaning. */
   def readChangeRows(spark: SparkSession, dir: String, fromSeq: Long,
                      toSeq: Option[Long] = None): DataFrame = {
     val fs = fsOf(spark, new Path(dir))
@@ -393,10 +416,16 @@ object Manifest {
     require(fromSeq <= target,
       s"Manifest.readChangeRows: fromSeq $fromSeq is newer than toSeq $target")
     val to = parse(fs, dir, target)
-    val from = parse(fs, dir, fromSeq)
-    require(to.dataSchema == from.dataSchema && to.partSchema == from.partSchema,
-      s"Manifest.readChangeRows: schemas differ between m$fromSeq and m$target - " +
-        "row-level diffing needs equal schemas")
+    val from0 = parse(fs, dir, fromSeq)
+    val additive = to.partSchema == from0.partSchema &&
+      from0.dataSchema.fields.forall(f => to.dataSchema.fields.exists(g =>
+        g.name == f.name && g.dataType == f.dataType))
+    require(additive,
+      s"Manifest.readChangeRows: schemas differ between m$fromSeq and m$target " +
+        "beyond additive widening - row-level diffing needs every old column " +
+        "present with its type")
+    val from = if (from0.dataSchema == to.dataSchema) from0
+               else from0.copy(dataSchema = to.dataSchema)
     val fromSet = from.files.toSet
     val toSet = to.files.toSet
     val added = planOver(spark, dir, to, to.files.filterNot(fromSet))

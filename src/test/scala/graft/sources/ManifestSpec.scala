@@ -345,4 +345,73 @@ class ManifestSpec extends AnyFunSuite {
         s"upsert delta inserts = replacements + fresh keys: $ins")
     } finally spark.conf.unset(Manifest.KeepConf)
   }
+
+  test("addColumns: metadata-only widening — null-filled reads, widened appends, mutations, zero-row CDC") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    val dir = freshDir("manifest-widen")
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+      (0L to 99L).map(x => (x, x % 7)).toDF("x", "y")
+        .coalesce(1).write.parquet(dir)
+      Layout.writeEnvelopes(spark, dir, Seq("x"))
+      val s0 = Manifest.write(spark, dir)
+      val filesBefore = Layout.readSnapshot(spark, dir).inputFiles.toSet
+      val s1 = Layout.addColumns(spark, dir, Seq(StructField("z", DoubleType)))
+      assert(s1 == s0 + 1)
+      // metadata-only: the SAME files, served with z null-filled
+      val snap = Layout.readSnapshot(spark, dir)
+      assert(snap.inputFiles.toSet == filesBefore, "no file may be touched")
+      assert(snap.columns.toSeq == Seq("x", "y", "z"))
+      assert(snap.filter($"z".isNotNull).count() == 0L)
+      // CDC across the pure widening commit cancels to zero rows
+      assert(Layout.readChangeRows(spark, dir, s0, Some(s1)).count() == 0L,
+        "a metadata commit changes no rows")
+      // append now requires (and serves) the widened shape
+      Layout.append(spark, dir,
+        (100L to 109L).map(x => (x, x % 7, x * 1.5)).toDF("x", "y", "z"))
+      val all = Layout.readSnapshot(spark, dir)
+      assert(all.count() == 110L)
+      assert(all.filter($"z".isNotNull).count() == 10L)
+      // a mutation over the MIXED-generation table: classification through
+      // the index, rewrite materializes z (null) into the replaced file
+      val stats = Layout.deleteWhere(spark, dir, Seq(("x", 10L, 19L)))
+      assert(stats.rewrittenFiles == 1L, s"$stats")
+      val after = Layout.readSnapshot(spark, dir)
+      assert(after.count() == 100L && after.columns.contains("z"))
+      // a BARE commit (footer inference) must not narrow the schema back
+      Seq((500L, 0L)).toDF("x", "y").write.mode("append").parquet(dir)
+      Manifest.write(spark, dir)
+      assert(Layout.readSnapshot(spark, dir).columns.toSeq == Seq("x", "y", "z"),
+        "footer inference narrowed a widened schema")
+      // the envelope-indexed box over the widened table still serves
+      // (prune rule path) and aggregates stay exact
+      graft.plans.EnvelopePruneRule.ensure(spark)
+      assert(spark.read.parquet(dir).filter($"x".between(20L, 29L)).count() == 10L)
+      // guardrails: collisions (case-insensitive) and non-nullable adds
+      val exDup = intercept[IllegalArgumentException](
+        Layout.addColumns(spark, dir, Seq(StructField("X", LongType))))
+      assert(exDup.getMessage.contains("already exists"))
+      val exNn = intercept[IllegalArgumentException](
+        Layout.addColumns(spark, dir, Seq(StructField("w", LongType, nullable = false))))
+      assert(exNn.getMessage.contains("nullable"))
+      // a REMOVED/re-typed column still fails row-CDC loudly (only
+      // additive widening diffs)
+      val exCdc = intercept[IllegalArgumentException](
+        Layout.readChangeRows(spark, freshNarrowedCopy(dir), 0L))
+      assert(exCdc.getMessage.contains("additive"))
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
+
+  /** A two-commit table whose SECOND commit re-types a column — the
+    * non-additive CDC rejection fixture. */
+  private def freshNarrowedCopy(ignored: String): String = {
+    val d = freshDir("manifest-retype")
+    Seq((1L, 1L)).toDF("x", "y").write.parquet(d)
+    Manifest.write(spark, d)
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    Manifest.write(spark, d, schemas = Some((
+      StructType(Seq(StructField("x", org.apache.spark.sql.types.LongType),
+        StructField("y", StringType))), new StructType())))
+    d
+  }
 }

@@ -257,4 +257,55 @@ class StreamingManifestSourceSpec extends AnyFunSuite {
       } finally qw.stop()
     } finally spark.conf.unset(Manifest.KeepConf)
   }
+
+  test("cdc=rows across an addColumns widening: warn keeps streaming pinned columns, fail stops") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp("manifest-src-rows-drift") + "/t"
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+      (0L to 49L).map(x => (x, x % 7)).toDF("x", "y").coalesce(1).write.parquet(dir)
+      Manifest.write(spark, dir)
+      def run(mode: String, cp: String, got: ConcurrentLinkedQueue[(Long, String)]) =
+        spark.readStream.format("graft-manifest")
+          .option("path", dir).option("startingSeq", "earliest")
+          .option("cdc", "rows").option("onSchemaDrift", mode)
+          .load().writeStream
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.select($"x", $"_change_type").collect()
+              .foreach(r => got.add((r.getLong(0), r.getString(1))))
+            ()
+          }.start()
+      // both streams pin (x, y) BEFORE the widening commit
+      val gotW = new ConcurrentLinkedQueue[(Long, String)]()
+      val gotF = new ConcurrentLinkedQueue[(Long, String)]()
+      val qw = run("warn", tmp("rows-drift-cp-w"), gotW)
+      val qf = run("fail", tmp("rows-drift-cp-f"), gotF)
+      try {
+        qw.processAllAvailable(); qf.processAllAvailable()
+        assert(gotW.size == 50 && gotF.size == 50)
+        gotW.clear(); gotF.clear()
+        // a batch range SPANNING the widening commit: addColumns (pure
+        // metadata) + a widened append in one range — warn mode must
+        // deliver the appended rows with the pinned columns, not
+        // hard-fail inside the row diff (the round-15 advice case)
+        graft.sources.Layout.addColumns(spark, dir, Seq(
+          org.apache.spark.sql.types.StructField("z",
+            org.apache.spark.sql.types.DoubleType)))
+        graft.sources.Layout.append(spark, dir,
+          (50L to 59L).map(x => (x, x % 7, x * 2.0)).toDF("x", "y", "z"))
+        qw.processAllAvailable()
+        val rows = gotW.asScala.toSeq
+        assert(rows.map(_._1).sorted == (50L to 59L) && rows.forall(_._2 == "insert"),
+          s"warn mode must deliver the widened append's rows: $rows")
+        // fail mode: the same widened commit stops its stream with the
+        // documented drift message
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          qf.processAllAvailable()
+        }
+        val msg = ex.getCause match { case null => ex.getMessage; case c => c.getMessage }
+        assert(msg.contains("z") && msg.contains("pinned"), msg)
+      } finally { qw.stop(); qf.stop() }
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
 }
