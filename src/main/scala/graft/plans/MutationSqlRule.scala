@@ -43,9 +43,15 @@ import graft.sources.Layout
   *   - an UNCONDITIONAL UPDATE (a whole-table rewrite must be spelled
   *     explicitly), or an assignment that is nondeterministic or carries
   *     a subquery;
-  *   - a MERGE that is not the exact upsert shape: single-key equality
-  *     condition, `WHEN MATCHED THEN UPDATE SET *` (unconditional),
-  *     `WHEN NOT MATCHED THEN INSERT *` (unconditional), nothing else.
+  *   - a MERGE outside the keyed shapes: the ON condition must be a
+  *     conjunction of `t.k = s.k` equalities on distinct same-named
+  *     columns; at most ONE matched arm, `WHEN MATCHED [AND <cond>]
+  *     THEN UPDATE SET * | DELETE` (the condition deterministic and
+  *     subquery-free); at most ONE not-matched arm, the unconditional
+  *     `WHEN NOT MATCHED THEN INSERT *`. The unconditional
+  *     update-star + insert-star pair lowers onto the one-pass
+  *     [[Layout.upsertKeyed]]; every other accepted shape onto
+  *     [[Layout.merge]].
   * Everything else is left for Spark to reject with its own v2-only
   * error, so non-graft tables keep their stock behavior. */
 class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
@@ -95,18 +101,45 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
       parquetDir(target) match {
         case Some(dir) =>
           def decline(what: String): Nothing = throw new UnsupportedOperationException(
-            s"graft MERGE INTO $dir: only the exact upsert shape is supported - " +
-              "single-key equality ON, WHEN MATCHED THEN UPDATE SET *, " +
-              s"WHEN NOT MATCHED THEN INSERT *, no other clauses; got $what")
+            s"graft MERGE INTO $dir: unsupported shape - supported are a key-equality " +
+              "ON condition (a conjunction of t.k = s.k on distinct columns), at most " +
+              "one WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE, and at most " +
+              s"one unconditional WHEN NOT MATCHED THEN INSERT *; got $what")
           if (withSchemaEvolution) decline("WITH SCHEMA EVOLUTION")
           if (notMatchedBySource.nonEmpty) decline("WHEN NOT MATCHED BY SOURCE clauses")
-          if (!isUpdateStar(matched, target, source)) decline(
-            s"matched actions ${matched.mkString(", ")}")
-          if (!isInsertStar(notMatched, target, source)) decline(
-            s"not-matched actions ${notMatched.mkString(", ")}")
-          val key = keyOf(cond, target, source).getOrElse(decline(
-            s"ON condition ${cond.sql} (need t.key = s.key on one column)"))
-          GraftMergeCommand(dir, source, key)
+          val keys = keysOf(cond, target, source).getOrElse(decline(
+            s"ON condition ${cond.sql} (need a conjunction of t.k = s.k equalities " +
+              "on distinct, same-named columns)"))
+          val insert = notMatched match {
+            case Nil                                        => false
+            case acts if isInsertStar(acts, target, source) => true
+            case acts => decline(s"not-matched actions ${acts.mkString(", ")}")
+          }
+          // (isUpdate, condition) of the single matched arm, if present
+          val matchedArm: Option[(Boolean, Option[Expression])] = matched match {
+            case Nil => None
+            case Seq(UpdateStarAction(c)) => Some((true, c))
+            case Seq(UpdateAction(c, assignments, _))
+                if assignmentsAreStar(assignments, target, source) => Some((true, c))
+            case Seq(DeleteAction(c)) => Some((false, c))
+            case acts => decline(s"matched actions ${acts.mkString(", ")}")
+          }
+          if (matchedArm.isEmpty && !insert) decline("no actionable clauses")
+          matchedArm.flatMap(_._2).foreach { c =>
+            if (!c.deterministic || c.exists(_.isInstanceOf[PlanExpression[_]]))
+              decline(s"non-deterministic or subquery matched condition ${c.sql}")
+          }
+          matchedArm match {
+            case Some((true, None)) if insert =>
+              // the exact upsert shape — the one-pass verb, no
+              // matched-pair join
+              GraftMergeCommand(dir, source, keys)
+            case arm =>
+              GraftMergeGeneralCommand(dir, source, keys,
+                arm.map { case (u, c) =>
+                  (u, c.map(reanchorMatchedCond(_, target, source, keys)))
+                }, insert)
+          }
         case None => m
       }
     case _ => plan
@@ -264,18 +297,39 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
     } && assignments.size == target.output.size
   }
 
-  /** The upsert key when `cond` is `t.k = s.k` on ONE column with equal
-    * names (either operand order). */
-  private def keyOf(cond: Expression, target: LogicalPlan,
-                    source: LogicalPlan): Option[String] = {
+  /** The merge key columns when `cond` is a conjunction of `t.k = s.k`
+    * equalities on distinct same-named columns (either operand order). */
+  private def keysOf(cond: Expression, target: LogicalPlan,
+                     source: LogicalPlan): Option[Seq[String]] = {
     val tIds = target.outputSet
     val sIds = source.outputSet
-    cond match {
+    val parts = splitConjunctivePredicates(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if tIds.contains(a) && sIds.contains(b) && a.name == b.name => Some(a.name)
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if tIds.contains(b) && sIds.contains(a) && a.name == b.name => Some(b.name)
       case _ => None
+    }
+    val names = parts.flatten
+    if (parts.exists(_.isEmpty) || names.isEmpty || names.distinct.size != names.size) None
+    else Some(names)
+  }
+
+  /** Re-anchor a matched-arm condition by NAME onto [[Layout.merge]]'s
+    * joined matched-pair frame: target columns keep their names, source
+    * NON-KEY columns go through the documented `_src_` prefix (key
+    * columns are equal on both sides, so the plain name serves both). */
+  private def reanchorMatchedCond(c: Expression, target: LogicalPlan,
+                                  source: LogicalPlan, keys: Seq[String]): Expression = {
+    val tIds = target.outputSet
+    val sIds = source.outputSet
+    val keySet = keys.toSet
+    c.transform {
+      case a: AttributeReference if tIds.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+      case a: AttributeReference if sIds.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(
+          if (keySet.contains(a.name)) a.name else "_src_" + a.name)
     }
   }
 }
@@ -311,15 +365,40 @@ object MutationSqlRule {
     }
   }
 
-  /** Key-equality `MERGE INTO` lowered onto [[Layout.upsert]]. The source
-    * plan executes inside the verb (update uniqueness checked there). */
-  final case class GraftMergeCommand(dir: String, source: LogicalPlan, key: String)
+  /** The exact-upsert `MERGE INTO` shape lowered onto
+    * [[Layout.upsertKeyed]]. The source plan executes inside the verb
+    * (update uniqueness checked there). */
+  final case class GraftMergeCommand(dir: String, source: LogicalPlan, keys: Seq[String])
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = StatsOutput
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(sparkSession: SparkSession): Seq[Row] = {
       val updates = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
-      val s = Layout.upsert(sparkSession, dir, updates, key)
+      val s = Layout.upsertKeyed(sparkSession, dir, updates, keys)
+      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
+    }
+  }
+
+  /** The general `MERGE INTO` shapes — conditional matched UPDATE SET *
+    * / DELETE, optional unmatched INSERT * — lowered onto
+    * [[Layout.merge]]. `matched` is (isUpdate, condition) with the
+    * condition already re-anchored by name onto the matched-pair frame
+    * (target names plain, source non-key names `_src_`-prefixed). */
+  final case class GraftMergeGeneralCommand(dir: String, source: LogicalPlan,
+      keys: Seq[String], matched: Option[(Boolean, Option[Expression])],
+      insertUnmatched: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = StatsOutput
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(sparkSession: SparkSession): Seq[Row] = {
+      val src = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
+      val arm = matched.map {
+        case (true, c) =>
+          Layout.MatchedUpdateAll(c.map(org.apache.spark.sql.GraftBridge.column))
+        case (false, c) =>
+          Layout.MatchedDelete(c.map(org.apache.spark.sql.GraftBridge.column))
+      }
+      val s = Layout.merge(sparkSession, dir, src, keys, arm, insertUnmatched)
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
     }
   }

@@ -301,6 +301,79 @@ object LayoutQueries {
     })
   }
 
+  /** Clustered events copy mutated by a CONDITIONAL MATCHED-DELETE
+    * merge (`WHEN MATCHED AND t.value < 40 THEN DELETE`, no not-matched
+    * arm) — the general [[Layout.merge]] path: the matched-pair
+    * condition is evaluated over candidate files only, hit rows drop,
+    * nothing inserts. */
+  private def zEventsMergeDel(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_merge_del"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_merge_del").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      ev.filter(col("event_id") % 10 === 3).createOrReplaceTempView("graft_q177_src")
+      spark.sql(
+        s"""MERGE INTO parquet.`$out` AS t USING graft_q177_src AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED AND t.value < 40.0 THEN DELETE""".stripMargin).collect()
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Clustered events copy upserted on a COMPOSITE key — `MERGE` with
+    * `ON t.user_id = s.user_id AND t.event_id = s.event_id`, lowered
+    * onto [[Layout.upsertKeyed]] (first-key stab, full-key rewrite). */
+  private def zEventsMergeMultikey(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_merge_multikey"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_merge_multikey").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      ev.filter(col("event_id") % 10 === 4)
+        .withColumn("value", col("value") * 2)
+        .createOrReplaceTempView("graft_q178_src")
+      spark.sql(
+        s"""MERGE INTO parquet.`$out` AS t USING graft_q178_src AS s
+           |ON t.user_id = s.user_id AND t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Clustered events copy merged with a CONDITIONAL MATCHED-UPDATE:
+    * the source proposes `value := 100 - value` for `event_id % 10 = 6`
+    * rows and the merge takes it only `WHEN MATCHED AND s.value >
+    * t.value` — a condition spanning BOTH sides of the matched pair
+    * (re-anchored onto the joined frame's `_src_` columns). */
+  private def zEventsMergeCondUpd(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_merge_cond_upd"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_merge_cond_upd").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      ev.filter(col("event_id") % 10 === 6)
+        .withColumn("value", lit(100.0) - col("value"))
+        .createOrReplaceTempView("graft_q179_src")
+      spark.sql(
+        s"""MERGE INTO parquet.`$out` AS t USING graft_q179_src AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED AND s.value > t.value THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      cache += key -> out
+      out
+    })
+  }
+
   /** Events table built in TWO halves through [[Layout.append]]: even
     * event_ids written plain + indexed + committed, odd event_ids
     * APPENDED through the verb (files promoted, index appended
@@ -938,6 +1011,50 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q177
+  /** The events box over the conditional matched-DELETE merge fixture:
+    * `event_id % 10 = 3` rows with `value < 40` are gone, everything
+    * else survives byte-identical. The oracle applies the same
+    * conditional deletion relationally. */
+  def q177MergeCondDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsMergeDel(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q178
+  /** The events box over the COMPOSITE-key merge fixture — doubled
+    * `value` for `event_id % 10 = 4`, matched on
+    * (user_id, event_id). */
+  def q178MergeMultikey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsMergeMultikey(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q179
+  /** The events box over the conditional matched-UPDATE merge fixture:
+    * `event_id % 10 = 6` rows took `value := 100 - value` exactly when
+    * the proposal exceeded the sitting value. The oracle replays the
+    * identical double-precision expression. */
+  def q179MergeCondUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsMergeCondUpd(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   // ---------------------------------------------------------------- q171
   /** The events box over the SNAPSHOT of the two-half [[Layout.append]]
     * fixture: the appended half must be fully adopted (promoted files,
@@ -1037,6 +1154,9 @@ object LayoutQueries {
     "q173_bloom_lookup"        -> q173BloomLookup _,
     "q175_string_upsert_box"   -> q175StringUpsertBox _,
     "q176_widened_append_box"  -> q176WidenedAppendBox _,
+    "q177_merge_cond_delete"   -> q177MergeCondDelete _,
+    "q178_merge_multikey"      -> q178MergeMultikey _,
+    "q179_merge_cond_update"   -> q179MergeCondUpdate _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -1153,6 +1273,36 @@ object LayoutQueries {
          |    AS sum_bonus_c,
          |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old
          |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q177_merge_cond_delete" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |  AND NOT (event_id % 10 = 3 AND value < 40.0)
+         |GROUP BY event_type""".stripMargin,
+    "q178_merge_multikey" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type,
+         |        CASE WHEN event_id % 10 = 4 THEN value * 2 ELSE value END AS value
+         |      FROM events)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q179_merge_cond_update" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type,
+         |        CASE WHEN event_id % 10 = 6 AND (100.0 - value) > value
+         |             THEN 100.0 - value ELSE value END AS value
+         |      FROM events)
          |WHERE user_id BETWEEN 2 AND 9
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |GROUP BY event_type""".stripMargin,

@@ -798,43 +798,71 @@ object Layout {
     * match), the rewrite anti-joins on the full key. */
   def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
                   keyCols: Seq[String]): MutationStats = {
-    require(keyCols.nonEmpty, "upsert: no key columns")
-    require(keyCols.distinct.size == keyCols.size, s"upsert: duplicate key columns in $keyCols")
-    val keys = updates.select(keyCols.map(col): _*).cache()
-    try {
-      val (n, distinctN, nullN) = {
-        val r = keys.agg(count(lit(1)), countDistinct(keyCols.head, keyCols.tail: _*),
-          sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L))).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-      }
-      require(nullN == 0L,
-        s"upsert: $nullN update rows have a NULL in key ${keyCols.mkString(",")}")
-      require(n == distinctN,
-        s"upsert: key ${keyCols.mkString(",")} is not unique in updates ($n rows, $distinctN keys)")
-      val stabCol = keyCols.head
-      // exact order-preserving long view of the stab key type, when one
-      // exists; strings go through [[stringKeyStab]] instead
-      val exactLong: Option[Column => Column] = updates.schema(stabCol).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => Some(_.cast("long"))
-        case DateType      => Some(c => unix_date(c).cast("long"))
-        case TimestampType => Some(c => unix_micros(c))
-        case _             => None
-      }
-      val isString = updates.schema(stabCol).dataType == StringType
-      // the stab over an exact long view `lv` of the key: candidate
-      // (file, key) pairs via the bucketized equi-join
-      def stabMissed(valid: DataFrame, lv: Column => Column): Set[String] = {
-        val iv = valid.select(col("file"),
-          lv(col(s"min_$stabCol")).as("f_start"), lv(col(s"max_$stabCol")).as("f_end"))
-        val pts = keys.select(lv(col(stabCol)).as("k_pt"))
-        val stabbed = graft.operators.IntervalJoin.pointInInterval(
-          pts, iv, Nil, "k_pt", "f_start", "f_end", stabWidth(iv)).select("file")
-        collectFiles(valid) -- collectFiles(stabbed)
-      }
-      def classify(env: DataFrame): (Set[String], Set[String]) = {
-        val cols = env.columns.toSeq
-        if (!cols.contains(s"min_$stabCol") || !cols.contains(s"max_$stabCol"))
-          return (Set.empty, Set.empty)
+    val keys = cachedUniqueKeys(updates, keyCols, "upsert")
+    try
+      mutateFiles(spark, dir, keyedClassifier(updates, keys, keyCols),
+        rewrite = _.join(keys, keyCols, "left_anti"), extra = Some(updates))
+    finally { keys.unpersist(); () }
+  }
+
+  /** Validated, cached key projection of `source`: key columns are
+    * distinct, carry no NULLs, and identify each source row uniquely —
+    * the shared precondition of [[upsertKeyed]] and [[merge]]. The
+    * caller unpersists. */
+  private def cachedUniqueKeys(source: DataFrame, keyCols: Seq[String],
+                               verb: String): DataFrame = {
+    require(keyCols.nonEmpty, s"$verb: no key columns")
+    require(keyCols.distinct.size == keyCols.size,
+      s"$verb: duplicate key columns in $keyCols")
+    val keys = source.select(keyCols.map(col): _*).cache()
+    val (n, distinctN, nullN) = {
+      val r = keys.agg(count(lit(1)), countDistinct(keyCols.head, keyCols.tail: _*),
+        sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def fail(msg: String): Nothing = { keys.unpersist(); throw new IllegalArgumentException(msg) }
+    if (nullN != 0L)
+      fail(s"$verb: $nullN source rows have a NULL in key ${keyCols.mkString(",")}")
+    if (n != distinctN)
+      fail(s"$verb: key ${keyCols.mkString(",")} is not unique in the source " +
+        s"($n rows, $distinctN keys)")
+    keys
+  }
+
+  /** Envelope-index classifier for a KEYED mutation — maps the index to
+    * (missed, dropped-whole) file sets, where a "missed" file provably
+    * contains NO source key. Stabs on `keyCols.head` only (sound: a
+    * file whose first-key range contains no source first-key component
+    * cannot hold any composite match); the interval-stab / string-prefix
+    * / bloom machinery is documented on [[upsert]]. Shared by
+    * [[upsertKeyed]] and [[merge]]. */
+  private def keyedClassifier(source: DataFrame, keys: DataFrame,
+                              keyCols: Seq[String]): DataFrame => (Set[String], Set[String]) = {
+    val stabCol = keyCols.head
+    // exact order-preserving long view of the stab key type, when one
+    // exists; strings go through [[stringKeyStab]] instead
+    val exactLong: Option[Column => Column] = source.schema(stabCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => Some(_.cast("long"))
+      case DateType      => Some(c => unix_date(c).cast("long"))
+      case TimestampType => Some(c => unix_micros(c))
+      case _             => None
+    }
+    val isString = source.schema(stabCol).dataType == StringType
+    // the stab over an exact long view `lv` of the key: candidate
+    // (file, key) pairs via the bucketized equi-join
+    def stabMissed(valid: DataFrame, lv: Column => Column): Set[String] = {
+      val iv = valid.select(col("file"),
+        lv(col(s"min_$stabCol")).as("f_start"), lv(col(s"max_$stabCol")).as("f_end"))
+      val pts = keys.select(lv(col(stabCol)).as("k_pt"))
+      val stabbed = graft.operators.IntervalJoin.pointInInterval(
+        pts, iv, Nil, "k_pt", "f_start", "f_end", stabWidth(iv)).select("file")
+      collectFiles(valid) -- collectFiles(stabbed)
+    }
+    env => {
+      val cols = env.columns.toSeq
+      if (!cols.contains(s"min_$stabCol") || !cols.contains(s"max_$stabCol"))
+        (Set.empty, Set.empty)
+      else {
         // null key stats (mixed-generation rows) must NOT classify as
         // miss: restrict the stab to rows whose proof can run
         val valid = env.filter(col(s"min_$stabCol").isNotNull &&
@@ -855,8 +883,87 @@ object Layout {
         }
         (missed, Set.empty)
       }
-      mutateFiles(spark, dir, classify,
-        rewrite = _.join(keys, keyCols, "left_anti"), extra = Some(updates))
+    }
+  }
+
+  /** The WHEN MATCHED arm of a [[merge]]. The optional condition is
+    * evaluated per matched (target row, source row) pair: target columns
+    * are referenced by their plain names, source columns through the
+    * `_src_` prefix (`col("_src_value")`); key columns — equal on both
+    * sides by the match — by their plain names. */
+  sealed trait MergeMatched { def cond: Option[Column] }
+  /** Matched pairs satisfying `cond` have their target row REPLACED by
+    * the source row (`UPDATE SET *`); other matched rows are kept. */
+  final case class MatchedUpdateAll(cond: Option[Column] = None) extends MergeMatched
+  /** Matched pairs satisfying `cond` have their target row DELETED. */
+  final case class MatchedDelete(cond: Option[Column] = None) extends MergeMatched
+
+  /** General keyed MERGE — [[upsertKeyed]]'s semantics widened to the
+    * two other shapes real pipelines write next: a CONDITIONAL matched
+    * arm (`WHEN MATCHED AND <cond> THEN UPDATE SET * | DELETE`) and an
+    * optional unmatched-insert arm, on a composite equality key.
+    *
+    * Same classification and commit protocol as [[upsertKeyed]]: files
+    * whose key range provably misses every source key are untouched;
+    * the matched-pair CONDITION is evaluated only over CANDIDATE files
+    * (the snapshot minus provably-missed files — every match lives
+    * there), never a full-table scan; candidates are rewritten with
+    * hit rows dropped; replacement/insert source rows append. The
+    * unconditional `UPDATE SET *` + insert shape is exactly
+    * [[upsertKeyed]] — prefer it there (one pass, no matched-pair join).
+    *
+    * `matched = None` (no WHEN MATCHED clause, insert-if-absent) keeps
+    * every target row; on a table WITHOUT an envelope index over the
+    * key this degrades to an identity rewrite of all files — index the
+    * key column for insert-only merges at scale. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+            keyCols: Seq[String], matched: Option[MergeMatched],
+            insertUnmatched: Boolean = true): MutationStats = {
+    require(matched.nonEmpty || insertUnmatched,
+      "merge: no WHEN MATCHED arm and insertUnmatched=false - the merge is a no-op")
+    val srcPrefix = "_src_"
+    val nonKey = source.columns.filterNot(keyCols.contains).toSeq
+    val clash = nonKey.map(srcPrefix + _).toSet.intersect(source.columns.toSet)
+    require(clash.isEmpty,
+      s"merge: source column(s) ${clash.mkString(", ")} collide with the $srcPrefix " +
+        "prefix the matched condition references source columns through")
+    val keys = cachedUniqueKeys(source, keyCols, "merge")
+    try {
+      if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
+      val classify = keyedClassifier(source, keys, keyCols)
+      // candidate rows: the snapshot minus provably-missed files — every
+      // matched (target, source) pair lives in a candidate file, so the
+      // matched-condition join never scans untouched files
+      val snap = readSnapshot(spark, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val snapFiles = snap.inputFiles.map(normPath).toSet
+      val missed =
+        if (fs.exists(new org.apache.hadoop.fs.Path(envelopesPath(dir))))
+          classify(spark.read.parquet(envelopesPath(dir)))._1.intersect(snapFiles)
+        else Set.empty[String]
+      val cand = minusFiles(spark, snap, missed)
+      val srcR = nonKey.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcPrefix + c))
+      val pairs = cand.join(srcR, keyCols)
+      val keyC = keyCols.map(col)
+      val matchedKeys = pairs.select(keyC: _*).distinct().cache()
+      val hitKeys = (matched match {
+        case Some(m) => m.cond.fold(matchedKeys)(c => pairs.filter(c).select(keyC: _*).distinct())
+        case None    => keys.limit(0)
+      }).cache()
+      try {
+        val replacedIns = matched.collect {
+          case MatchedUpdateAll(_) => source.join(hitKeys, keyCols, "left_semi")
+        }
+        val freshIns =
+          if (insertUnmatched) Some(source.join(matchedKeys, keyCols, "left_anti")) else None
+        val extra = (replacedIns, freshIns) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b)             => a.orElse(b)
+        }
+        mutateFiles(spark, dir, classify,
+          rewrite = _.join(hitKeys, keyCols, "left_anti"), extra = extra)
+      } finally { matchedKeys.unpersist(); hitKeys.unpersist(); () }
     } finally { keys.unpersist(); () }
   }
 
@@ -948,6 +1055,10 @@ object Layout {
     // the manifest is the commit mechanism: bootstrap the first commit
     if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
     val info = Manifest.info(spark, dir)
+    // PIN the snapshot seq this mutation classifies against: the final
+    // commit CASes on exactly seq0+1, so ANY interleaved commit turns
+    // into a detected conflict instead of a silent overwrite
+    val seq0 = info.seq
     val partCols = info.partSchema.fieldNames.toSeq
     val snap = readSnapshot(spark, dir)
     val fileMap = snap.inputFiles.map(f => normPath(f) -> f).toMap
@@ -990,7 +1101,12 @@ object Layout {
     //    snapshot MINUS every non-rewritten file — only partial files
     //    open, and partition columns survive (an explicit path list
     //    would lose them)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".mutate-tmp")
+    // per-invocation staging dir: a FIXED name would let two racing
+    // mutations clobber each other's staged replacements before either
+    // reaches the seq re-check (a crash may orphan one — it sits OUTSIDE
+    // the table root, invisible to readers, and any re-run stages fresh)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir + ".mutate-tmp-" + java.util.UUID.randomUUID().toString)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val kept = if (partial.isEmpty) None
                else Some(rewrite(minusFiles(spark, snap, untouched ++ dropped)))
@@ -1002,8 +1118,22 @@ object Layout {
       val w = r.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
     }
-    // 2) RETIRE affected originals (move-if-present: a re-run may find
-    //    some already retired); superseded manifests keep resolving
+    // 2) RE-CHECK the pinned seq immediately before anything MOVES: a
+    //    commit that landed during classification/staging means this
+    //    mutation classified against a stale snapshot — abort having
+    //    moved NOTHING (only the staged tmp dir is deleted)
+    raceHooks.preRetire()
+    val seqNow = Manifest.latestSeq(spark, dir)
+    if (seqNow != Some(seq0)) {
+      fs.delete(tmp, true)
+      throw new java.util.ConcurrentModificationException(
+        s"mutation on $dir: another writer committed m${seqNow.getOrElse(-1L)} after " +
+          s"this mutation classified against m$seq0; aborted having moved NOTHING. " +
+          "The table is writer-exclusive per maintenance window: re-read the " +
+          "snapshot and re-run the verb.")
+    }
+    //    then RETIRE affected originals (move-if-present: a re-run may
+    //    find some already retired); superseded manifests keep resolving
     //    them; leaf structure is preserved under .retired
     val retiredBase = Manifest.retiredPath(dir)
     val liveRoot = normPath(fs.makeQualified(root).toString)
@@ -1027,9 +1157,49 @@ object Layout {
       refreshEnvelopesIncremental(spark, dir, idx,
         removed = dropped ++ partial, added = movedIn, basePath = dir,
         bloomCols = bloomColumns(spark, dir))
-    Manifest.write(spark, dir,
+    // 5) COMMIT as a CAS on exactly seq0+1 — a writer that slipped in
+    //    between the re-check and here makes this throw, and the loser
+    //    HEALS: promoted files deleted, originals un-retired, the
+    //    incremental index refresh inverted — the table returns to the
+    //    state the winning commit describes (exact when the winner moved
+    //    no data files; two overlapping mutations are outside the
+    //    writer-exclusive contract and die earlier, on the re-check or a
+    //    retirement collision)
+    raceHooks.preCommit()
+    try Manifest.writeSeq(spark, dir, seq0 + 1,
       schemas = Some((info.dataSchema, info.partSchema)))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        movedIn.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        (dropped ++ partial).foreach { f =>
+          if (f.startsWith(liveRoot + "/")) {
+            val rel = f.stripPrefix(liveRoot + "/")
+            val src = new org.apache.hadoop.fs.Path(retiredBase + "/" + rel)
+            val dst = new org.apache.hadoop.fs.Path(fileMap(f))
+            if (fs.exists(src) && !fs.exists(dst)) {
+              fs.mkdirs(dst.getParent)
+              require(fs.rename(src, dst), s"mutation heal: could not un-retire $src")
+            }
+          }
+        }
+        if (idx.nonEmpty)
+          refreshEnvelopesIncremental(spark, dir, idx,
+            removed = movedIn.map(normPath).toSet,
+            added = (dropped ++ partial).toSeq.map(fileMap), basePath = dir,
+            bloomCols = bloomColumns(spark, dir))
+        throw e
+    }
     MutationStats(dropped.size.toLong, partial.size.toLong, untouched.size.toLong)
+  }
+
+  /** Test seams for the mutation-race specs — invoked at the two points
+    * a concurrent writer can interleave with a mutation: after
+    * replacements are STAGED (before any file moves) and after moves
+    * (before the commit). No-ops in production. */
+  private[graft] object raceHooks {
+    @volatile var preRetire: () => Unit = () => ()
+    @volatile var preCommit: () => Unit = () => ()
+    def reset(): Unit = { preRetire = () => (); preCommit = () => () }
   }
 
   /** Promote a tmp write's parquet files into the table root, preserving

@@ -140,16 +140,96 @@ class MutationSqlSpec extends AnyFunSuite {
     assert((50L to 59L).forall(k => got(k) == -k), "matched keys replaced")
     assert((1000L to 1004L).forall(k => got(k) == -k), "new keys inserted")
     assert((200L to 299L).forall(k => got(k) == k * 10L), "disjoint file intact")
-    // declines: a conditional WHEN MATCHED, a DELETE action, a non-equi ON
+    // declines: a non-equi ON, a conditional INSERT, duplicate key
+    // conjuncts, a nondeterministic matched condition
     def bad(sql: String): Unit = {
       val ex = intercept[Exception](spark.sql(sql).collect())
-      assert(ex.getMessage.contains("upsert shape") ||
-        ex.getMessage.contains("MERGE"), ex.getMessage)
+      assert(ex.getMessage.contains("MERGE"), ex.getMessage)
     }
-    bad(s"""MERGE INTO parquet.`$dir` AS t USING updates AS s ON t.k = s.k
-           |WHEN MATCHED THEN DELETE""".stripMargin)
     bad(s"""MERGE INTO parquet.`$dir` AS t USING updates AS s ON t.k >= s.k
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    bad(s"""MERGE INTO parquet.`$dir` AS t USING updates AS s ON t.k = s.k
+           |WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""".stripMargin)
+    bad(s"""MERGE INTO parquet.`$dir` AS t USING updates AS s
+           |ON t.k = s.k AND t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    bad(s"""MERGE INTO parquet.`$dir` AS t USING updates AS s ON t.k = s.k
+           |WHEN MATCHED AND rand() > 0.5 THEN DELETE""".stripMargin)
+  }
+
+  test("MERGE INTO: conditional matched DELETE, no not-matched arm") {
+    val dir = freshDir("sql-merge-cdel")
+    (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // matched keys 40..59; condition keeps only t.v < 500 ⇒ 40..49 drop
+    (40L to 59L).map(k => (k, 0L)).toDF("k", "v")
+      .createOrReplaceTempView("cdel_src")
+    val stats = spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING cdel_src AS s ON t.k = s.k
+         |WHEN MATCHED AND t.v < 500 THEN DELETE""".stripMargin).collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1L, 1L)), s"candidate file rewritten, disjoint untouched: ${stats.toSeq}")
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(got.keySet == ((0L to 39L) ++ (50L to 99L) ++ (200L to 299L)).toSet,
+      "only matched rows satisfying the condition deleted")
+    assert(got(50L) == 500L && got(299L) == 2990L, "survivors intact")
+  }
+
+  test("MERGE INTO: composite-key equality lowers onto upsertKeyed") {
+    val dir = freshDir("sql-merge-multikey")
+    (0L to 99L).map(k => (k % 5, k, k * 10L)).toDF("a", "b", "v")
+      .coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("a", "b"))
+    Seq((1L, 6L, -1L), (2L, 7L, -2L), (9L, 9999L, -3L)).toDF("a", "b", "v")
+      .createOrReplaceTempView("mk_src")
+    spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING mk_src AS s
+         |ON t.a = s.a AND t.b = s.b
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val got = spark.read.parquet(dir).as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size == 101)
+    assert(got((1L, 6L)) == -1L && got((2L, 7L)) == -2L, "matched composite keys replaced")
+    assert(got((9L, 9999L)) == -3L, "unmatched composite key inserted")
+    assert(got((0L, 5L)) == 50L, "non-matched rows intact")
+  }
+
+  test("MERGE INTO: conditional matched UPDATE with a both-sides condition") {
+    val dir = freshDir("sql-merge-cupd")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // proposals: v := 100 - k, taken only when it beats the sitting v (k < 50)
+    (0L to 99L by 10).map(k => (k, 100L - k)).toDF("k", "v")
+      .createOrReplaceTempView("cupd_src")
+    spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING cupd_src AS s ON t.k = s.k
+         |WHEN MATCHED AND s.v > t.v THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 100)
+    (0L to 99L).foreach { k =>
+      val expect = if (k % 10 == 0 && (100L - k) > k) 100L - k else k
+      assert(got(k) == expect, s"k=$k")
+    }
+  }
+
+  test("MERGE INTO: insert-if-absent (not-matched arm only)") {
+    val dir = freshDir("sql-merge-ins")
+    (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    Seq((50L, -1L), (1000L, -2L)).toDF("k", "v").createOrReplaceTempView("ins_src")
+    spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING ins_src AS s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 101)
+    assert(got(50L) == 500L, "matched key untouched (no matched arm)")
+    assert(got(1000L) == -2L, "absent key inserted")
   }
 }

@@ -341,4 +341,136 @@ class MutationSpec extends AnyFunSuite {
       Seq((5L, 1L, 51L), (5L, 2L, 52L)).toDF("g", "i", "v"), Seq("g", "i"))
     assert(spark.read.parquet(dir).count() == 6)
   }
+
+  test("merge: conditional arms via the Scala API, _src_ columns, key-disjoint files skipped") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir("graft-merge")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    (500L to 599L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // conditional update, NO unmatched insert: proposals for 90..110,
+    // taken only when _src_v > t.v (always here), 100..110 NOT inserted
+    val src = (90L to 110L).map(k => (k, k + 1000L)).toDF("k", "v")
+    val s1 = Layout.merge(spark, dir, src, Seq("k"),
+      Some(Layout.MatchedUpdateAll(Some(col("_src_v") > col("v")))),
+      insertUnmatched = false)
+    assert(s1.untouchedFiles == 1L && s1.rewrittenFiles == 1L,
+      s"key-disjoint 500s file must classify untouched: $s1")
+    val got1 = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(got1.size == 200, "insertUnmatched=false adds nothing")
+    assert((90L to 99L).forall(k => got1(k) == k + 1000L), "condition held, replaced")
+    assert(got1(89L) == 89L && got1(500L) == 500L)
+    // conditional delete on the target side
+    val s2 = Layout.merge(spark, dir,
+      (0L to 9L).map(k => (k, 0L)).toDF("k", "v"), Seq("k"),
+      Some(Layout.MatchedDelete(Some(col("v") < 5L))), insertUnmatched = false)
+    // s1's rewrite may have split its replacement across several files;
+    // only the one(s) holding k 0..9 rewrite here, the rest stab out
+    assert(s2.rewrittenFiles >= 1L && s2.droppedFiles == 0L &&
+      s2.untouchedFiles >= 1L, s"$s2")
+    val got2 = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(got2.size == 195 && !got2.contains(0L) && got2.contains(5L))
+    // a fully key-disjoint source is a clean no-op (no commit churn)
+    val seqBefore = Manifest.latestSeq(spark, dir)
+    val s3 = Layout.merge(spark, dir,
+      Seq((9999L, 1L)).toDF("k", "v"), Seq("k"),
+      Some(Layout.MatchedDelete(None)), insertUnmatched = false)
+    assert(s3.droppedFiles == 0L && s3.rewrittenFiles == 0L, s"$s3")
+    assert(Manifest.latestSeq(spark, dir) == seqBefore, "no-op must not commit")
+    // the _src_ prefix collision guard fires loudly
+    val ex = intercept[IllegalArgumentException](Layout.merge(spark, dir,
+      Seq((1L, 2L, 3L)).toDF("k", "v", "_src_v"), Seq("k"),
+      Some(Layout.MatchedUpdateAll(None))))
+    assert(ex.getMessage.contains("_src_"))
+  }
+
+  test("racing deleteWhere calls: exactly one wins; the loser aborts having moved nothing") {
+    import java.util.concurrent.{CountDownLatch, CyclicBarrier, TimeUnit}
+    val dir = freshDir("graft-race-abort")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    Manifest.write(spark, dir)
+    // both mutations classify against the SAME snapshot (the barrier),
+    // then the loser holds at the pre-move re-check until the winner's
+    // commit has landed — the deterministic worst-case interleaving
+    val barrier = new CyclicBarrier(2)
+    val winnerDone = new CountDownLatch(1)
+    Layout.raceHooks.preRetire = () => {
+      barrier.await(60, TimeUnit.SECONDS)
+      if (Thread.currentThread().getName == "graft-loser")
+        assert(winnerDone.await(60, TimeUnit.SECONDS))
+      ()
+    }
+    try {
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Layout.MutationStats]]()
+      def run(name: String, lo: Long, hi: Long): Thread = {
+        val t = new Thread(() => {
+          try results.put(name, Right(Layout.deleteWhere(spark, dir, Seq(("k", lo, hi)))))
+          catch { case e: Throwable => results.put(name, Left(e)) }
+        }, name)
+        t.start(); t
+      }
+      val w = run("graft-winner", 0L, 9L)
+      new Thread(() => { w.join(); winnerDone.countDown() }).start()
+      val l = run("graft-loser", 200L, 209L)
+      w.join(120000); l.join(120000)
+      assert(results.get("graft-winner").isRight, s"winner: ${results.get("graft-winner")}")
+      results.get("graft-loser") match {
+        case Left(e: java.util.ConcurrentModificationException) =>
+          assert(e.getMessage.contains("NOTHING"), e.getMessage)
+        case other => fail(s"loser should have aborted with CME: $other")
+      }
+      // the loser's table state IS the winner's snapshot: its own box intact
+      val got = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet
+      assert(got == ((10L to 99L) ++ (200L to 299L)).toSet, "winner applied, loser not")
+      // zero strays: the next mutation's stray guard passes and is exact
+      Layout.raceHooks.reset()
+      Layout.deleteWhere(spark, dir, Seq(("k", 200L, 209L)))
+      val after = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet
+      assert(after == ((10L to 99L) ++ (210L to 299L)).toSet)
+    } finally Layout.raceHooks.reset()
+  }
+
+  test("a commit lost in the final CAS window heals: promoted files deleted, originals un-retired") {
+    val dir = freshDir("graft-race-heal")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    val seq0 = Manifest.write(spark, dir)
+    val filesBefore = leafFiles(dir).map(_._1).toSet
+    // the competing writer: a no-change commit (a bare Manifest.write
+    // whose listing predates our moves) whose CAS lands INSIDE the
+    // window between our re-check and our writeSeq — simulated by
+    // copying m<seq0>'s body to m<seq0+1> at the preCommit seam
+    Layout.raceHooks.preCommit = () => {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val md = Manifest.manifestsPath(dir)
+      val src = new org.apache.hadoop.fs.Path(md, f"m$seq0%020d")
+      val dst = new org.apache.hadoop.fs.Path(md, f"m${seq0 + 1}%020d")
+      val in = fs.open(src)
+      val out = fs.create(dst, false)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
+      finally { in.close(); out.close() }
+      ()
+    }
+    try {
+      val ex = intercept[java.util.ConcurrentModificationException](
+        Layout.deleteWhere(spark, dir, Seq(("k", 0L, 9L))))
+      assert(ex.getMessage.contains("conflict"), ex.getMessage)
+      Layout.raceHooks.reset()
+      // HEALED: the live files are exactly the pre-mutation set (promoted
+      // replacements deleted, retired originals back), rows intact
+      assert(leafFiles(dir).map(_._1).toSet == filesBefore, "file set restored")
+      val got = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet
+      assert(got == ((0L to 99L) ++ (200L to 299L)).toSet, "no row lost or duplicated")
+      // the inverted index still classifies exactly: a fresh mutation
+      // over the healed table stabs, passes the stray guard, and is exact
+      val stats = Layout.deleteWhere(spark, dir, Seq(("k", 0L, 9L)))
+      assert(stats.rewrittenFiles == 1L && stats.untouchedFiles >= 1L, s"$stats")
+      val after = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet
+      assert(after == ((10L to 99L) ++ (200L to 299L)).toSet)
+    } finally Layout.raceHooks.reset()
+  }
 }
