@@ -1143,8 +1143,29 @@ object LayoutQueries {
          |GROUP BY _change_type, event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q180
+  /** ROW-level CDC of the q170 `UPDATE ... WHERE <box>` as PAIRED UPDATE
+    * IMAGES: the updateWhere commit recorded its row-identity columns
+    * (everything it did not assign) as `cdcPairKey`, so every updated
+    * row's delete+insert arrives as `update_preimage`/`update_postimage`
+    * — the Delta CDF convention — and nothing arrives as a plain
+    * insert/delete. The oracle reconstructs both images from the
+    * original table: preimages are the box rows as they were,
+    * postimages the same rows with the identical tripling expression. */
+  def q180CdcUpdateImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = zEventsUpdWhere(spark, dir)
+    val toSeq = Manifest.latestSeq(spark, path).get
+    Layout.readChangeRows(spark, path, toSeq - 1, Some(toSeq))
+      .groupBy($"_change_type", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_cdc_delete_rows"     -> q165CdcDeleteRows _,
+    "q180_cdc_update_images"   -> q180CdcUpdateImages _,
     "q166_envelope_avg_agg"    -> q166EnvelopeAvgAgg _,
     "q167_part_group_agg"      -> q167PartGroupAgg _,
     "q168_sql_delete_box"      -> q168SqlDeleteBox _,
@@ -1197,6 +1218,22 @@ object LayoutQueries {
     "q165_cdc_delete_rows" ->
       s"""SELECT 'delete' AS _change_type, event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 3 AND 6
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q180_cdc_update_images" ->
+      s"""SELECT 'update_preimage' AS _change_type, event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 3 AND 6
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type
+         |UNION ALL
+         |SELECT 'update_postimage' AS _change_type, event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 3 * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
          |  count(DISTINCT user_id) AS n_users
          |FROM events
          |WHERE user_id BETWEEN 3 AND 6

@@ -595,8 +595,9 @@ object Layout {
     * [[deleteWhere]]'s delta is exactly the deleted rows; a pure
     * clustering/compaction rewrite cancels to zero rows. */
   def readChangeRows(spark: SparkSession, dir: String, fromSeq: Long,
-                     toSeq: Option[Long] = None): DataFrame =
-    Manifest.readChangeRows(spark, dir, fromSeq, toSeq)
+                     toSeq: Option[Long] = None,
+                     pairOn: Seq[String] = Nil): DataFrame =
+    Manifest.readChangeRows(spark, dir, fromSeq, toSeq, pairOn)
 
   /** One-row physical-state summary of a parquet table (the DESCRIBE
     * DETAIL role): file count and bytes from one recursive listing,
@@ -742,7 +743,14 @@ object Layout {
         }
       }: _*)
     }
-    mutateFiles(spark, dir, classify, rewrite, extra = None)
+    // an UPDATE's row identity for CDC pairing: the columns it does NOT
+    // assign (the update changed nothing else about the row)
+    if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
+    val info = Manifest.info(spark, dir)
+    val identity = (info.dataSchema.fieldNames ++ info.partSchema.fieldNames).toSeq
+      .filterNot(set.map(_._1).toSet)
+    mutateFiles(spark, dir, classify, rewrite, extra = None,
+      props = pairKeyProps(identity))
   }
 
   /** UPSERT by unique key into a manifest-maintained parquet table (flat
@@ -801,9 +809,18 @@ object Layout {
     val keys = cachedUniqueKeys(updates, keyCols, "upsert")
     try
       mutateFiles(spark, dir, keyedClassifier(updates, keys, keyCols),
-        rewrite = _.join(keys, keyCols, "left_anti"), extra = Some(updates))
+        rewrite = _.join(keys, keyCols, "left_anti"), extra = Some(updates),
+        props = pairKeyProps(keyCols))
     finally { keys.unpersist(); () }
   }
+
+  /** Commit props recording a keyed mutation's row-identity columns for
+    * CDC pairing — skipped when a column name itself contains the comma
+    * separator (no sound encoding; pairing just stays off). */
+  private def pairKeyProps(cols: Seq[String]): Map[String, String] =
+    if (cols.nonEmpty && cols.forall(!_.contains(",")))
+      Map(Manifest.PairKeyProp -> cols.mkString(","))
+    else Map.empty
 
   /** Validated, cached key projection of `source`: key columns are
     * distinct, carry no NULLs, and identify each source row uniquely —
@@ -962,7 +979,8 @@ object Layout {
           case (a, b)             => a.orElse(b)
         }
         mutateFiles(spark, dir, classify,
-          rewrite = _.join(hitKeys, keyCols, "left_anti"), extra = extra)
+          rewrite = _.join(hitKeys, keyCols, "left_anti"), extra = extra,
+          props = pairKeyProps(keyCols))
       } finally { matchedKeys.unpersist(); hitKeys.unpersist(); () }
     } finally { keys.unpersist(); () }
   }
@@ -1048,7 +1066,8 @@ object Layout {
   private def mutateFiles(spark: SparkSession, dir: String,
                           classify: DataFrame => (Set[String], Set[String]),
                           rewrite: DataFrame => DataFrame,
-                          extra: Option[DataFrame]): MutationStats = {
+                          extra: Option[DataFrame],
+                          props: Map[String, String] = Map.empty): MutationStats = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no table at $dir")
@@ -1167,7 +1186,7 @@ object Layout {
     //    retirement collision)
     raceHooks.preCommit()
     try Manifest.writeSeq(spark, dir, seq0 + 1,
-      schemas = Some((info.dataSchema, info.partSchema)))
+      schemas = Some((info.dataSchema, info.partSchema)), props = props)
     catch {
       case e: java.util.ConcurrentModificationException =>
         movedIn.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))

@@ -79,9 +79,35 @@ object Manifest {
   //     text, ~a tenth compressed — reread in full by every parse).
   //     Detection is by content (gzip magic bytes), so v1/v2 plain-text
   //     manifests keep parsing forever.
+  // v4: v3 + a PROPS line after the nonce — URL-encoded `k=v&k2=v2`
+  //     commit metadata ("-" when empty). First use: `cdcPairKey`, the
+  //     comma-joined key columns of a KEYED mutation (upsert/merge's
+  //     key, updateWhere's non-assigned columns), which lets
+  //     [[readChangeRows]] pair a delete+insert into
+  //     update_preimage/postimage — the Delta CDF convention.
   private val HeaderV1 = "graft-manifest-v1"
   private val HeaderV2 = "graft-manifest-v2"
   private val HeaderV3 = "graft-manifest-v3"
+  private val HeaderV4 = "graft-manifest-v4"
+
+  /** Commit-props key naming the row-identity columns of a keyed
+    * mutation (comma-joined) — the CDC pairing key. */
+  private[graft] val PairKeyProp = "cdcPairKey"
+
+  private def encodeProps(m: Map[String, String]): String =
+    if (m.isEmpty) "-"
+    else m.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+
+  private def decodeProps(line: String): Map[String, String] =
+    if (line == "-" || line.isEmpty) Map.empty
+    else line.split("&").iterator.map { kv =>
+      val i = kv.indexOf('=')
+      java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
+        java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+    }.toMap
 
   private[graft] def manifestsPath(dir: String): String =
     dir.stripSuffix("/") + ".manifests"
@@ -187,17 +213,19 @@ object Manifest {
     * of silently clobbering it. The loser's work is NOT committed;
     * re-read the new snapshot and re-run the maintenance verb. */
   def write(spark: SparkSession, dir: String, keep: Int = 0,
-            schemas: Option[(StructType, StructType)] = None): Long = {
+            schemas: Option[(StructType, StructType)] = None,
+            props: Map[String, String] = Map.empty): Long = {
     require(keep >= 0, s"Manifest.write: keep must be >= 0 (0 = $KeepConf), got $keep")
     val seq = latestSeq(spark, dir).getOrElse(-1L) + 1
-    writeSeq(spark, dir, seq, keep, schemas)
+    writeSeq(spark, dir, seq, keep, schemas, props)
   }
 
   /** [[write]] with the target seq fixed by the caller — the CAS arm the
     * race spec drives deterministically (two writers, same seq). */
   private[graft] def writeSeq(spark: SparkSession, dir: String, seq: Long,
                               keep: Int = 0,
-                              schemas: Option[(StructType, StructType)] = None): Long = {
+                              schemas: Option[(StructType, StructType)] = None,
+                              props: Map[String, String] = Map.empty): Long = {
     val k = if (keep == 0) confKeep(spark) else keep
     val fs = fsOf(spark, new Path(dir))
     val root = fs.makeQualified(new Path(dir))
@@ -227,8 +255,8 @@ object Manifest {
     val nonce = java.util.UUID.randomUUID().toString
     val tmp = new Path(md, s".tmp-m$seq-$nonce")
     val gz = new java.util.zip.GZIPOutputStream(fs.create(tmp, true), 64 * 1024)
-    try gz.write((Seq(HeaderV3, dataSchema.json, partSchema.json,
-      envelopeSignature(fs, dir), nonce) ++ files)
+    try gz.write((Seq(HeaderV4, dataSchema.json, partSchema.json,
+      envelopeSignature(fs, dir), nonce, encodeProps(props)) ++ files)
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally gz.close() // closes the FS stream underneath
     val fin = new Path(md, f"m$seq%020d")
@@ -299,7 +327,8 @@ object Manifest {
     * `nonce` is the committing writer's witness (v3+; `-` before). */
   final case class Info(seq: Long, dataSchema: StructType,
                         partSchema: StructType, envelopeSig: String,
-                        files: Seq[String], nonce: String = "-")
+                        files: Seq[String], nonce: String = "-",
+                        props: Map[String, String] = Map.empty)
 
   /** Parsed metadata of a committed manifest — `seq` defaults to the
     * latest. `envelopeSig == "-"` means no index existed at commit;
@@ -331,17 +360,19 @@ object Manifest {
         try new String(gz.readAllBytes(), StandardCharsets.UTF_8) finally gz.close()
       } else new String(bytes, StandardCharsets.UTF_8)
     val lines = text.split("\n", -1).toSeq
+    val v4 = lines.headOption.contains(HeaderV4)
     val v3 = lines.headOption.contains(HeaderV3)
     val v2 = lines.headOption.contains(HeaderV2)
-    require(v3 || v2 || lines.headOption.contains(HeaderV1),
+    require(v4 || v3 || v2 || lines.headOption.contains(HeaderV1),
       s"Manifest: $p is not a graft manifest file")
     val dataSchema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
     val partSchema = DataType.fromJson(lines(2)).asInstanceOf[StructType]
-    val (sig, nonce, files) =
-      if (v3) (lines(3), lines(4), lines.drop(5))
-      else if (v2) (lines(3), "-", lines.drop(4))
-      else ("-", "-", lines.drop(3))
-    Info(seq, dataSchema, partSchema, sig, files.filter(_.nonEmpty), nonce)
+    val (sig, nonce, props, files) =
+      if (v4) (lines(3), lines(4), decodeProps(lines(5)), lines.drop(6))
+      else if (v3) (lines(3), lines(4), Map.empty[String, String], lines.drop(5))
+      else if (v2) (lines(3), "-", Map.empty[String, String], lines.drop(4))
+      else ("-", "-", Map.empty[String, String], lines.drop(3))
+    Info(seq, dataSchema, partSchema, sig, files.filter(_.nonEmpty), nonce, props)
   }
 
   /** Read the snapshot a manifest pins — the latest by default, or an
@@ -406,9 +437,18 @@ object Manifest {
     * columns, exactly what a reader of the old snapshot sees today), so
     * a pure widening commit still cancels to zero rows. Any other
     * schema change fails loudly — row diffing across removed or
-    * re-typed columns has no exact meaning. */
+    * re-typed columns has no exact meaning.
+    *
+    * UPDATE IMAGES (the Delta CDF convention): when the range's keyed
+    * commits all recorded the same [[PairKeyProp]] (an upsert/merge's
+    * key columns, an updateWhere's non-assigned columns) — or the
+    * caller passes `pairOn` explicitly — a key carrying EXACTLY one
+    * delete and one insert is delivered as `update_preimage` /
+    * `update_postimage` instead; other rows keep `insert`/`delete`.
+    * Pairing costs one extra aggregation over the changed rows only. */
   def readChangeRows(spark: SparkSession, dir: String, fromSeq: Long,
-                     toSeq: Option[Long] = None): DataFrame = {
+                     toSeq: Option[Long] = None,
+                     pairOn: Seq[String] = Nil): DataFrame = {
     val fs = fsOf(spark, new Path(dir))
     val target = toSeq.orElse(latestSeq(spark, dir)).getOrElse(
       throw new IllegalArgumentException(
@@ -430,9 +470,53 @@ object Manifest {
     val toSet = to.files.toSet
     val added = planOver(spark, dir, to, to.files.filterNot(fromSet))
     val removed = planOver(spark, dir, from, from.files.filterNot(toSet))
-    import org.apache.spark.sql.functions.lit
-    added.exceptAll(removed).withColumn("_change_type", lit("insert"))
-      .unionByName(removed.exceptAll(added).withColumn("_change_type", lit("delete")))
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ins = added.exceptAll(removed)
+    val del = removed.exceptAll(added)
+    val allCols = (to.dataSchema.fieldNames ++ to.partSchema.fieldNames).toSet
+    // pairing key: the caller's, or — when every keyed commit in the
+    // range recorded the SAME `cdcPairKey` — the recorded one
+    val key: Option[Seq[String]] =
+      if (pairOn.nonEmpty) {
+        val missing = pairOn.filterNot(allCols.contains)
+        require(missing.isEmpty, s"Manifest.readChangeRows: pairOn column(s) " +
+          s"${missing.mkString(", ")} not in the m$target schema")
+        Some(pairOn)
+      } else {
+        val recorded = ((fromSeq + 1) to target).flatMap(s =>
+          scala.util.Try(parse(fs, dir, s)).toOption
+            .flatMap(_.props.get(PairKeyProp))).distinct
+        recorded match {
+          case Seq(one) =>
+            val k = one.split(',').toSeq
+            if (k.nonEmpty && k.forall(allCols.contains)) Some(k) else None
+          case _ => None
+        }
+      }
+    key match {
+      case None =>
+        ins.withColumn("_change_type", lit("insert"))
+          .unionByName(del.withColumn("_change_type", lit("delete")))
+      case Some(k) =>
+        // a key with EXACTLY one delete and one insert is an update —
+        // pre/postimage; anything else (pure insert, pure delete, a
+        // reused key with several rows, a NULL key) keeps its plain
+        // label. Identical pre/postimages never appear — the multiset
+        // diff already cancelled them.
+        val kc = k.map(col)
+        val delN = del.groupBy(kc: _*).agg(count(lit(1)).as("_graft_d"))
+        val insN = ins.groupBy(kc: _*).agg(count(lit(1)).as("_graft_i"))
+        val one = delN.join(insN, k)
+          .filter(col("_graft_d") === 1 && col("_graft_i") === 1)
+          .select(kc: _*)
+        del.join(one, k, "left_semi").withColumn("_change_type", lit("update_preimage"))
+          .unionByName(ins.join(one, k, "left_semi")
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(del.join(one, k, "left_anti")
+            .withColumn("_change_type", lit("delete")))
+          .unionByName(ins.join(one, k, "left_anti")
+            .withColumn("_change_type", lit("insert")))
+    }
   }
 
   /** The snapshot scan plan over a SUBSET of a commit's files: group by

@@ -329,20 +329,31 @@ class ManifestSpec extends AnyFunSuite {
         "file-level CDC re-delivers the rewrite")
       assert(Layout.readChangeRows(spark, dir, s1, Some(s2)).count() == 0L,
         "row-level CDC cancels a pure rewrite")
-      // an UPSERT's delta: replaced rows out as `delete`, their
-      // replacements AND the fresh keys in as `insert` — even though the
-      // rewrite re-wrote whole files around them
+      // an UPSERT's delta: the upsert recorded its key as `cdcPairKey`,
+      // so each replaced key's delete+insert arrives PAIRED as
+      // update_preimage/update_postimage (the Delta CDF convention);
+      // fresh keys stay plain `insert` — even though the rewrite
+      // re-wrote whole files around them
       val ups = ((200L to 204L) ++ (900L to 901L)).map(x => (x, -1L)).toDF("x", "y")
       Layout.upsert(spark, dir, ups, "x")
       val s3 = Manifest.latestSeq(spark, dir).get
       val cdc2 = Layout.readChangeRows(spark, dir, s2, Some(s3))
         .select($"_change_type", $"x", $"y").as[(String, Long, Long)].collect()
-      val dels = cdc2.filter(_._1 == "delete").map(r => (r._2, r._3)).sorted.toSeq
+      val pre = cdc2.filter(_._1 == "update_preimage").map(r => (r._2, r._3)).sorted.toSeq
+      val post = cdc2.filter(_._1 == "update_postimage").map(r => (r._2, r._3)).sorted.toSeq
       val ins = cdc2.filter(_._1 == "insert").map(r => (r._2, r._3)).sorted.toSeq
-      assert(dels == (200L to 204L).map(x => (x, x % 7)),
-        s"upsert delta deletes = exactly the replaced rows: $dels")
-      assert(ins == ((200L to 204L) ++ (900L to 901L)).map(x => (x, -1L)).sorted,
-        s"upsert delta inserts = replacements + fresh keys: $ins")
+      assert(pre == (200L to 204L).map(x => (x, x % 7)),
+        s"upsert delta preimages = exactly the replaced rows: $pre")
+      assert(post == (200L to 204L).map(x => (x, -1L)),
+        s"upsert delta postimages = the replacements: $post")
+      assert(ins == (900L to 901L).map(x => (x, -1L)),
+        s"fresh keys stay plain inserts: $ins")
+      assert(cdc2.count(_._1 == "delete") == 0, "every delete paired")
+      // the caller can also force pairing off / onto explicit columns
+      val unpaired = Layout.readChangeRows(spark, dir, s2, Some(s3), pairOn = Seq("x", "y"))
+        .select($"_change_type").as[String].collect()
+      assert(unpaired.count(_ == "update_preimage") == 0,
+        "pairing on (x,y) matches nothing - values differ, all plain labels")
     } finally spark.conf.unset(Manifest.KeepConf)
   }
 
