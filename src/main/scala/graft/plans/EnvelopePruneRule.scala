@@ -210,6 +210,16 @@ class EnvelopePruneRule(session: SparkSession) extends Rule[LogicalPlan] with Pr
       case In(a, list) if list.nonEmpty &&
           list.forall { case l: Literal => litOk(l); case _ => false } =>
         name(a).map(Constraint(_, "in", list.map(_.asInstanceOf[Literal])))
+      // Catalyst's OptimizeIn has already rewritten every literal IN
+      // list past spark.sql.optimizer.inSetConversionThreshold (default
+      // 10) into InSet by the time user optimizer rules run — exactly
+      // the lists large enough to want bloom refutation. Values are
+      // re-wrapped as literals of the probe child's type; sorted by
+      // their rendering so the proof (and its cache key) is
+      // deterministic across Set iteration orders.
+      case InSet(a, hset) if hset.nonEmpty && !hset.contains(null) =>
+        name(a).map(Constraint(_, "in",
+          hset.toSeq.map(v => Literal(v, a.dataType)).sortBy(_.value.toString)))
       // null-ness conjuncts need only the index's null counts. Catalyst
       // itself infers `isnotnull(c)` for every comparison on c, so via
       // this arm an ALL-NULL file prunes for any filtered query — even
@@ -298,13 +308,29 @@ object EnvelopePruneRule {
               // misses iff it can hold NO listed value) and strictly
               // stronger than the hull: `c IN (1, 1000000)` also skips a
               // file covering [5000, 6000], which lies inside the hull
-              // but contains no listed value. Longer lists fall back to
-              // the hull test to keep the decision predicate small.
+              // but contains no listed value. Longer lists keep the
+              // decision predicate small: the hull test, plus — when the
+              // index carries a bloom — ONE batched probe of every
+              // listed value's hash against the file's bloom (point
+              // membership is exactly what blooms answer; a 100-value IN
+              // over interleaved keys prunes even though every hull
+              // contains every value). Hashes are computed once at plan
+              // time, capped so a pathological list cannot stall the
+              // driver.
               if (values.size <= InPerValueMax)
                 values.map(l => mx < v(l) || mn > v(l) || bloomAbsent(l)).reduce(_ && _)
-              else
-                values.map(l => mx < v(l)).reduce(_ && _) ||
+              else {
+                val hull = values.map(l => mx < v(l)).reduce(_ && _) ||
                   values.map(l => mn > v(l)).reduce(_ && _)
+                if (!envCols.contains(s"bloom_$name") || values.size > InBloomMax) hull
+                else {
+                  val hashes = values.map(l =>
+                    new XxHash64(Seq(l)).eval().asInstanceOf[Long])
+                  hull || (col(s"bloom_$name").isNotNull &&
+                    !bloomMightContainAny(col(s"bloom_$name"),
+                      org.apache.spark.sql.functions.typedlit(hashes)))
+                }
+              }
           }
           if (envCols.contains(s"nulls_$name")) range || (col(s"nulls_$name") === col("rows"))
           else range
@@ -313,8 +339,23 @@ object EnvelopePruneRule {
   }
 
   /** `IN` lists up to this long get per-value miss proofs; longer ones
-    * use the (weaker but O(2)-term-per-value) hull test. */
+    * use the (weaker but O(2)-term-per-value) hull test plus, when the
+    * column carries a bloom, one batched all-values bloom probe. */
   private val InPerValueMax = 32
+
+  /** Largest `IN` list the batched bloom probe hashes at plan time. */
+  private val InBloomMax = 4096
+
+  /** Batched bloom probe: does the file's bloom admit ANY of the
+    * pre-computed hashes? NULL blooms answer "might", the safe
+    * direction; `false` is an exact all-absent proof. */
+  private val bloomMightContainAny =
+    org.apache.spark.sql.functions.udf((bloom: Array[Byte], hashes: Seq[Long]) =>
+      bloom == null || {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bloom))
+        hashes.exists(bf.mightContainLong)
+      })
 
   /** Bounded skip-set cache (the [[PlanStats]] explain-safety pattern):
     * re-optimizing the same filtered scan — explain, cached views, AQE —

@@ -1088,6 +1088,26 @@ object LayoutQueries {
         max($"user_id").as("mx_user"))
   }
 
+  // ---------------------------------------------------------------- q181
+  /** A 100-value point-lookup IN over the bloom-indexed interleaved copy
+    * — past both the per-value proof cap and Catalyst's In→InSet
+    * threshold, so the proof is the batched bloom probe: one hash set
+    * against each file's bloom, pruning files no listed key lives in
+    * even though every min/max hull covers every key. Values are all
+    * ≡ 3 (mod 16), the fixture's file-assignment residue. */
+  def q181BloomIn100(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopePruneRule.ensure(spark)
+    spark.read.parquet(zEventsBloom(spark, dir))
+      .filter($"event_id".isin(BloomIn100Ids: _*))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        max($"user_id").as("mx_user"))
+  }
+
+  private val BloomIn100Ids: Seq[Long] = (0 until 100).map(i => 16L * i + 3L)
+
   // ---------------------------------------------------------------- q175
   /** q161's box over the copy upserted BY ITS STRING KEY — every
     * `event_id % 10 = 3` row (addressed as `ev_key`) replaced with a
@@ -1173,6 +1193,7 @@ object LayoutQueries {
     "q170_sql_update_box"      -> q170SqlUpdateBox _,
     "q171_append_box"          -> q171AppendBox _,
     "q173_bloom_lookup"        -> q173BloomLookup _,
+    "q181_bloom_in100"         -> q181BloomIn100 _,
     "q175_string_upsert_box"   -> q175StringUpsertBox _,
     "q176_widened_append_box"  -> q176WidenedAppendBox _,
     "q177_merge_cond_delete"   -> q177MergeCondDelete _,
@@ -1247,6 +1268,13 @@ object LayoutQueries {
          |  max(user_id) AS mx_user
          |FROM events
          |WHERE event_id IN (3, 57, 111)
+         |GROUP BY event_type""".stripMargin,
+    "q181_bloom_in100" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  max(user_id) AS mx_user
+         |FROM events
+         |WHERE event_id IN (${BloomIn100Ids.mkString(", ")})
          |GROUP BY event_type""".stripMargin,
     "q159_compacted_box"          -> EventsBoxOracle,
     "q163_table_stats" -> "SELECT count(*) AS n_rows FROM events",

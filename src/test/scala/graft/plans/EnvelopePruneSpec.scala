@@ -453,4 +453,30 @@ class EnvelopePruneSpec extends AnyFunSuite {
       assert(q.select("v").as[Long].collect().toSeq == Seq(4321L))
     }
   }
+
+  test("a 100-value IN (already InSet by user-rule time) prunes through the batched bloom probe") {
+    val dir = freshDir("env-bloom-in100")
+    val df = spark.range(16000).select($"id".as("x"), ($"id" * 7L).as("pay"))
+    df.repartition(16, pmod($"x", lit(16))).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"), bloomCols = Seq("x"))
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    assert(nFiles >= 8, s"fixture needs many files, got $nFiles")
+    // 100 values, all ≡ 3 (mod 16): every listed value lives in ONE
+    // file while every hull spans the whole domain — only the bloom can
+    // prove the other files miss. The list is far past both the
+    // per-value proof cap (32) and OptimizeIn's In→InSet threshold
+    // (10), so this pins the InSet extraction arm specifically.
+    val vals = (0 until 100).map(i => 16L * i + 3L)
+    withRule(true) {
+      val q = spark.read.parquet(dir).filter($"x".isin(vals: _*))
+      assert(scanFiles(q) <= nFiles / 3,
+        s"InSet bloom prune scanned ${scanFiles(q)} of $nFiles")
+      assert(q.count() == 100L)
+      assert(q.agg(sum($"pay")).as[Long].head() == vals.map(_ * 7L).sum)
+    }
+    withRule(false) {
+      assert(scanFiles(spark.read.parquet(dir).filter($"x".isin(vals: _*))) == nFiles,
+        "hull-only would scan everything")
+    }
+  }
 }
