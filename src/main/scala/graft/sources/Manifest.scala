@@ -341,6 +341,29 @@ object Manifest {
     parse(fs, dir, target)
   }
 
+  /** [[parse]] with the retention contract spelled out: a missing
+    * manifest on a table that HAS manifests means `seq` was vacuumed
+    * past the retention horizon — say so and name the earliest retained
+    * seq and both retention knobs, instead of surfacing a bare
+    * FileNotFoundException from the open. Every time-travel entry point
+    * ([[info]], [[read]], [[readChanges]], [[readChangeRows]]) resolves
+    * explicit seqs through this. */
+  private def parseRetained(fs: FileSystem, dir: String, seq: Long): Info = {
+    val p = new Path(manifestsPath(dir), f"m$seq%020d")
+    if (!fs.exists(p)) {
+      val retained = fs.listStatus(new Path(manifestsPath(dir))).toSeq
+        .filter(_.isFile).flatMap(s => seqOf(s.getPath.getName))
+      val range =
+        if (retained.isEmpty) "no manifest is retained"
+        else s"retained seqs are m${retained.min}..m${retained.max}"
+      throw new IllegalArgumentException(
+        s"Manifest: m$seq of $dir is not retained - vacuumed past the retention " +
+          s"horizon ($range). Raise $KeepConf (generation count) or $RetainMsConf " +
+          "(time floor) before committing if readers time-travel this far back.")
+    }
+    parse(fs, dir, seq)
+  }
+
   private def parse(fs: FileSystem, dir: String, seq: Long): Info = {
     val p = new Path(manifestsPath(dir), f"m$seq%020d")
     val in = fs.open(p)
@@ -388,7 +411,7 @@ object Manifest {
       throw new IllegalArgumentException(
         s"Manifest.read: $dir has no committed manifest - not a snapshot-maintained " +
           "table (read it plainly, or run a maintenance verb that commits manifests)"))
-    val m = parse(fs, dir, target)
+    val m = parseRetained(fs, dir, target)
     planOver(spark, dir, m, m.files)
   }
 
@@ -410,8 +433,8 @@ object Manifest {
         s"Manifest.readChanges: $dir has no committed manifest"))
     require(fromSeq <= target,
       s"Manifest.readChanges: fromSeq $fromSeq is newer than toSeq $target")
-    val to = parse(fs, dir, target)
-    val from = parse(fs, dir, fromSeq).files.toSet
+    val to = parseRetained(fs, dir, target)
+    val from = parseRetained(fs, dir, fromSeq).files.toSet
     planOver(spark, dir, to, to.files.filterNot(from))
   }
 
@@ -455,8 +478,8 @@ object Manifest {
         s"Manifest.readChangeRows: $dir has no committed manifest"))
     require(fromSeq <= target,
       s"Manifest.readChangeRows: fromSeq $fromSeq is newer than toSeq $target")
-    val to = parse(fs, dir, target)
-    val from0 = parse(fs, dir, fromSeq)
+    val to = parseRetained(fs, dir, target)
+    val from0 = parseRetained(fs, dir, fromSeq)
     val additive = to.partSchema == from0.partSchema &&
       from0.dataSchema.fields.forall(f => to.dataSchema.fields.exists(g =>
         g.name == f.name && g.dataType == f.dataType))

@@ -132,11 +132,13 @@ class ManifestSpec extends AnyFunSuite {
     val oldSnap = Layout.readSnapshot(spark, dir, Some(s0))
     assert(oldSnap.select($"x", $"y", $"wk").collect().toSet == want)
     assert(oldSnap.inputFiles.exists(_.contains(".retired")))
-    // vacuum to 1: the old snapshot's retired files are reclaimed loudly
+    // vacuum to 1: the old snapshot's retired files are reclaimed and
+    // resolving it names the retention contract (not a bare missing-file)
     Manifest.vacuum(spark, dir, keep = 1)
-    intercept[java.io.FileNotFoundException] {
+    val gone = intercept[IllegalArgumentException] {
       Layout.readSnapshot(spark, dir, Some(s0)).collect()
     }
+    assert(gone.getMessage.contains("not retained"), gone.getMessage)
     assert(Layout.readSnapshot(spark, dir).select($"x", $"y", $"wk")
       .collect().toSet == want)
   }
@@ -303,6 +305,45 @@ class ManifestSpec extends AnyFunSuite {
       intercept[Exception](Manifest.info(spark, dir, Some(s0)))
       assert(Layout.readSnapshot(spark, dir, Some(s1)).count() == 20L)
     } finally spark.conf.unset(Manifest.RetainMsConf)
+  }
+
+  test("retired data files follow the retention horizon; past it, time travel fails loudly") {
+    val dir = freshDir("manifest-retired-retain")
+    (1L to 100L).toDF("x").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    spark.conf.set(Manifest.RetainMsConf, (24L * 3600 * 1000).toString)
+    spark.conf.set(Manifest.KeepConf, "1")
+    try {
+      val s0 = Manifest.write(spark, dir)
+      // the mutation RETIRES the original file; keep=1 alone would drop
+      // m<s0> and with it the whole retired generation — the time floor
+      // keeps both, so time travel to the pre-mutation snapshot works
+      Layout.deleteWhere(spark, dir, Seq(("x", 1L, 10L)))
+      def retiredFiles(): Seq[Path] = {
+        val rd = new Path(Manifest.retiredPath(dir))
+        if (!fs.exists(rd)) Nil
+        else {
+          def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { s =>
+            if (s.isDirectory) walk(s.getPath) else Seq(s.getPath)
+          }
+          walk(rd)
+        }
+      }
+      assert(retiredFiles().nonEmpty, "the mutation retired the original file")
+      assert(Layout.readSnapshot(spark, dir, Some(s0)).count() == 100L,
+        "within the horizon the old snapshot reads through .retired")
+      // past the horizon: the manifest AND its retired generation go,
+      // and time travel fails naming the contract, not with a bare
+      // file-not-found from a missing commit file
+      spark.conf.set(Manifest.RetainMsConf, "0")
+      Manifest.vacuum(spark, dir)
+      assert(retiredFiles().isEmpty, "retired generation vacuumed with its manifest")
+      val ex = intercept[IllegalArgumentException](
+        Layout.readSnapshot(spark, dir, Some(s0)).count())
+      assert(ex.getMessage.contains("not retained") &&
+        ex.getMessage.contains("retention"), ex.getMessage)
+      assert(Layout.readSnapshot(spark, dir).count() == 90L, "the live snapshot is exact")
+    } finally { spark.conf.unset(Manifest.RetainMsConf); spark.conf.unset(Manifest.KeepConf) }
   }
 
   test("row-level CDC: a delete's delta is exactly the deleted rows; a pure rewrite cancels to zero") {
