@@ -936,16 +936,24 @@ object CorpusOps {
     *     character-mass version (`frac_dup_line_chars`);
     *   - `frac_bullet_lines` / `frac_ellipsis_lines` (lines starting
     *     with a bullet / ending with an ellipsis);
-    *   - `frac_top_2gram_chars` / `frac_top_3gram_chars`: characters
-    *     covered by the MOST FREQUENT word n-gram (count × n-gram
-    *     length / text length); count ties resolve to the larger
-    *     coverage, packed into one integer key (`cnt·10¹² + coverage`,
-    *     exact: coverage < 10¹² at any real document size) so both
-    *     engines break ties identically.
+    *   - `frac_top_{2,3,4}gram_chars`: characters covered by the MOST
+    *     FREQUENT word n-gram (count × n-gram length / text length);
+    *     count ties resolve to the larger coverage, packed into one
+    *     integer key (`cnt·10¹² + coverage`, exact: coverage < 10¹² at
+    *     any real document size) so both engines break ties
+    *     identically;
+    *   - `frac_dup_{5..10}gram_chars`: characters covered by ALL word
+    *     n-grams occurring ≥2× (Σ over duplicated grams of
+    *     count × length / text length — the Rae et al. duplicate-n-gram
+    *     character fractions; overlapping occurrences each count, the
+    *     standard simplification, so the fraction can exceed 1 on
+    *     degenerate repetition — filters threshold well below that).
     * All fractions are 0 on empty denominators. Scale: per-document
-    * aggregations keyed by (doc, line) / (doc, n-gram) — map-side
-    * combinable, state bounded by a document's own content; one final
-    * per-doc join fan-in. Zero corpus-wide hot keys. */
+    * aggregations keyed by (doc, line) / (doc, size, n-gram) — map-side
+    * combinable, state bounded by a document's own content; ALL NINE
+    * n-gram sizes ride ONE explode → ONE shuffle (the size is part of
+    * the grouping key), then pivot back to columns; one final per-doc
+    * join fan-in. Zero corpus-wide hot keys. */
   def gopherSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.TextFunctions.{tokens, wordShingles}
     val id = col(idCol)
@@ -969,30 +977,45 @@ object CorpusOps {
       sum(when(trim(col("_ln")).endsWith("...") || trim(col("_ln")).endsWith("…"),
         col("_n")).otherwise(0L)).as("_el"))
 
-    def topNgram(n: Int): DataFrame =
-      base.select(col("_id"), explode(wordShingles(tokens(col("_text")), n)).as("_g"))
-        .groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_cnt"))
-        .select(col("_id"),
-          (col("_cnt") * lit(1000000000000L) + col("_cnt") * length(col("_g"))).as("_key"))
-        .groupBy(col("_id")).agg(max(col("_key")).as(s"_k$n"))
-        .select(col("_id").as(s"_id$n"), (col(s"_k$n") % lit(1000000000000L)).as(s"_cov$n"))
+    // every size's shingles in ONE pass: tag each gram with its size,
+    // flatten, and let the size ride the grouping key
+    val toks = base.select(col("_id"), tokens(col("_text")).as("_tk"))
+    val gramArrays = array((TopNs ++ DupNs).map(n =>
+      transform(wordShingles(col("_tk"), n),
+        g => struct(lit(n).as("_sz"), g.as("_g")))): _*)
+    val cnts = toks.select(col("_id"), explode(flatten(gramArrays)).as("_s"))
+      .select(col("_id"), col("_s._sz").as("_sz"), col("_s._g").as("_g"))
+      .groupBy(col("_id"), col("_sz"), col("_g")).agg(count(lit(1)).as("_cnt"))
+    val ngramSig = cnts.groupBy(col("_id"), col("_sz")).agg(
+      (max(col("_cnt") * lit(1000000000000L) + col("_cnt") * length(col("_g")))
+        % lit(1000000000000L)).as("top"),
+      sum(when(col("_cnt") >= 2, col("_cnt") * length(col("_g"))).otherwise(0L)).as("dup"))
+      .groupBy(col("_id")).pivot("_sz", TopNs ++ DupNs)
+      .agg(first(col("top")).as("top"), first(col("dup")).as("dup"))
+      .withColumnRenamed("_id", "_idg")
 
     def frac(num: Column, den: Column): Column =
       when(coalesce(den, lit(0L)) === 0L, lit(0d))
         .otherwise(num.cast("double") / den.cast("double"))
 
     base.join(lineSig, col("_id") === col("_idl"), "left").drop("_idl")
-      .join(topNgram(2), col("_id") === col("_id2"), "left").drop("_id2")
-      .join(topNgram(3), col("_id") === col("_id3"), "left").drop("_id3")
-      .select(col("_id").as(idCol),
+      .join(ngramSig, col("_id") === col("_idg"), "left").drop("_idg")
+      .select(Seq(col("_id").as(idCol),
         coalesce(col("_nl"), lit(0L)).as("n_lines"),
         frac(coalesce(col("_dl"), lit(0L)), col("_nl")).as("frac_dup_lines"),
         frac(coalesce(col("_dc"), lit(0L)), col("_lc")).as("frac_dup_line_chars"),
         frac(coalesce(col("_bl"), lit(0L)), col("_nl")).as("frac_bullet_lines"),
-        frac(coalesce(col("_el"), lit(0L)), col("_nl")).as("frac_ellipsis_lines"),
-        frac(coalesce(col("_cov2"), lit(0L)), col("_tlen")).as("frac_top_2gram_chars"),
-        frac(coalesce(col("_cov3"), lit(0L)), col("_tlen")).as("frac_top_3gram_chars"))
+        frac(coalesce(col("_el"), lit(0L)), col("_nl")).as("frac_ellipsis_lines")) ++
+        TopNs.map(n => frac(coalesce(col(s"${n}_top"), lit(0L)), col("_tlen"))
+          .as(s"frac_top_${n}gram_chars")) ++
+        DupNs.map(n => frac(coalesce(col(s"${n}_dup"), lit(0L)), col("_tlen"))
+          .as(s"frac_dup_${n}gram_chars")): _*)
   }
+
+  /** The Gopher n-gram size split: most-frequent-gram coverage for
+    * 2..4, all-duplicated-gram coverage for 5..10 (Rae et al. §A1.1). */
+  private[graft] val TopNs: Seq[Int] = 2 to 4
+  private[graft] val DupNs: Seq[Int] = 5 to 10
 
   /** PII patterns shared by [[piiScrub]] and its DuckDB oracle — written
     * in the Java-regex ∩ RE2 common dialect (no backreferences, no

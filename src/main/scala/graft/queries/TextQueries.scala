@@ -693,8 +693,39 @@ object TextQueries {
         when($"doc_id" % 3 === 0,
           lit("\nSUBSCRIBE NOW\nSUBSCRIBE NOW\n- bullet item\nread more..."))
           .otherwise(lit(""))).as("text"))
+    // the legacy projection — q182 oracles the duplicate-n-gram columns
     CorpusOps.gopherSignals(lined, "doc_id", "text")
+      .select($"doc_id", $"n_lines", $"frac_dup_lines", $"frac_dup_line_chars",
+        $"frac_bullet_lines", $"frac_ellipsis_lines",
+        $"frac_top_2gram_chars", $"frac_top_3gram_chars")
   }
+
+  // ---------------------------------------------------------------- q182
+  /** The REMAINING Gopher n-gram fractions over q172's fixture plus a
+    * PLANTED repeated 12-token sentence on every 4th document (so the
+    * duplicate 5..10-gram character fractions have deterministic
+    * non-trivial mass): most-frequent-gram coverage for n=4, all
+    * duplicated-gram coverage for n=5..10. The oracle recomputes every
+    * size relationally with the identical shingling, tie-break, and
+    * ≥2-occurrence rule. */
+  def q182GopherNgramFracs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lined = Tables(spark, dir).documents.select($"doc_id",
+      concat(replace($"text", lit(" merge "), lit("\n")),
+        when($"doc_id" % 3 === 0,
+          lit("\nSUBSCRIBE NOW\nSUBSCRIBE NOW\n- bullet item\nread more..."))
+          .otherwise(lit("")),
+        when($"doc_id" % 4 === 0, lit(GopherPlantRepeat)).otherwise(lit(""))).as("text"))
+    CorpusOps.gopherSignals(lined, "doc_id", "text")
+      .select(Seq($"doc_id", $"frac_top_4gram_chars") ++
+        (5 to 10).map(n => col(s"frac_dup_${n}gram_chars")): _*)
+  }
+
+  /** q182's planted repetition: one 12-token sentence twice — a
+    * duplicated n-gram source for every n ≤ 12. */
+  private val GopherPlantRepeat =
+    "\nthe quick brown fox jumps over the lazy dog again and again" +
+      "\nthe quick brown fox jumps over the lazy dog again and again"
 
   // ---------------------------------------------------------------- q174
   /** URL canonicalization + URL-level dedup over DETERMINISTICALLY
@@ -736,8 +767,55 @@ object TextQueries {
       Seq("src3.example.com", "ads.src7.example.com"))
   }
 
+  /** DuckDB shingle expression for word n-grams of size `n` over the
+    * `tk` token list — the relational twin of
+    * [[graft.functions.TextFunctions.wordShingles]]. */
+  private def duckGram(n: Int): String = {
+    val parts = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]").mkString(", ")
+    s"CASE WHEN len(tk) >= $n THEN list_transform(generate_series(1, len(tk) - ${n - 1}), " +
+      s"i -> concat_ws(' ', $parts)) ELSE [] END"
+  }
+
+  private val Q182OracleSql: String = {
+    val plant = "chr(10) || 'the quick brown fox jumps over the lazy dog again and again'" +
+      " || chr(10) || 'the quick brown fox jumps over the lazy dog again and again'"
+    val gramCtes = (4 to 10).map { n =>
+      s"""g$n AS (SELECT doc_id, unnest(${duckGram(n)}) AS g FROM tok),
+         |c$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM g$n GROUP BY 1, 2)""".stripMargin
+    }
+    val aggCtes =
+      Seq("t4 AS (SELECT doc_id, max(cnt * 1000000000000 + cnt * length(g)) " +
+        "% 1000000000000 AS cov4 FROM c4 GROUP BY 1)") ++
+      (5 to 10).map(n =>
+        s"d$n AS (SELECT doc_id, CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) " +
+          s"ELSE 0 END) AS BIGINT) AS dup$n FROM c$n GROUP BY 1)")
+    val dupSelects = (5 to 10).map(n =>
+      s"  CASE WHEN length(s.t) = 0 THEN 0.0 ELSE CAST(coalesce(d$n.dup$n, 0) AS DOUBLE)" +
+        s" / CAST(length(s.t) AS DOUBLE) END AS frac_dup_${n}gram_chars")
+    val dupJoins = (5 to 10).map(n => s"LEFT JOIN d$n USING (doc_id)").mkString(" ")
+    s"""WITH src AS (SELECT doc_id,
+       |    replace(text, ' merge ', chr(10)) ||
+       |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'SUBSCRIBE NOW' ||
+       |      chr(10) || 'SUBSCRIBE NOW' || chr(10) || '- bullet item' ||
+       |      chr(10) || 'read more...' ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN $plant ELSE '' END AS t
+       |  FROM documents),
+       |tok AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(t), '[ \\t\\n\\r\\f\\x0B]+'), w -> w <> '') AS tk
+       |  FROM src),
+       |${gramCtes.mkString(",\n")},
+       |${aggCtes.mkString(",\n")}
+       |SELECT s.doc_id,
+       |  CASE WHEN length(s.t) = 0 THEN 0.0
+       |    ELSE CAST(coalesce(t4.cov4, 0) AS DOUBLE) / CAST(length(s.t) AS DOUBLE)
+       |  END AS frac_top_4gram_chars,
+       |${dupSelects.mkString(",\n")}
+       |FROM src s LEFT JOIN t4 USING (doc_id) $dupJoins""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_gopher_signals" -> q172GopherSignals _,
+    "q182_gopher_ngram_fracs" -> q182GopherNgramFracs _,
     "q174_url_dedup"     -> q174UrlDedup _,
     "q162_domain_filter" -> q162DomainFilter _,
     "q157_pii_scrub"  -> q157PiiScrub _,
@@ -1075,6 +1153,7 @@ object TextQueries {
          |SELECT doc_id, url_canonical,
          |  doc_id = min(doc_id) OVER (PARTITION BY url_canonical) AS kept
          |FROM c""".stripMargin,
+    "q182_gopher_ngram_fracs" -> Q182OracleSql,
     "q172_gopher_signals" ->
       s"""WITH src AS (SELECT doc_id,
          |    replace(text, ' merge ', chr(10)) ||

@@ -549,4 +549,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     // junk: no recipe entry -> share 0, nothing sampled
     assert(out("junk")._3 == 0L && out("junk")._4 == 0L && out("junk")._5 == 0L)
   }
+
+  test("gopherSignals: duplicate n-gram character fractions, hand-computed") {
+    import spark.implicits._
+    // 10 tokens "p q r s t p q r s t" (19 chars): among 5-grams only
+    // "p q r s t" repeats (2 × 9 chars); every 6..10-gram is distinct;
+    // the top 4-gram is "p q r s" (2 × 7 chars)
+    val df = Seq((1L, "p q r s t p q r s t")).toDF("doc_id", "text")
+    val row = graft.operators.CorpusOps.gopherSignals(df, "doc_id", "text").collect().head
+    val tlen = 19.0
+    assert(math.abs(row.getAs[Double]("frac_dup_5gram_chars") - 18.0 / tlen) < 1e-12,
+      s"dup5: $row")
+    (6 to 10).foreach(n =>
+      assert(row.getAs[Double](s"frac_dup_${n}gram_chars") == 0.0, s"n=$n: $row"))
+    assert(math.abs(row.getAs[Double]("frac_top_4gram_chars") - 14.0 / tlen) < 1e-12,
+      s"top4: $row")
+  }
 }
