@@ -130,7 +130,13 @@ object Bench {
     // round 16: string-keyed upsert (prefix stab + bloom refinement) and
     // the additively-widened table snapshot (fixtures built in
     // q175_mut_build16)
-    "q175_string_upsert_box", "q176_widened_append_box")
+    "q175_string_upsert_box", "q176_widened_append_box",
+    // round 16: the general MERGE shapes (conditional matched delete /
+    // update, composite key — mutations inside q175_mut_build16), paired
+    // update-image CDC, the 100-value bloom IN, and the full Gopher
+    // duplicate-n-gram fractions (one explode for all nine sizes)
+    "q177_merge_cond_delete", "q178_merge_multikey", "q179_merge_cond_update",
+    "q180_cdc_update_images", "q181_bloom_in100", "q182_gopher_ngram_fracs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

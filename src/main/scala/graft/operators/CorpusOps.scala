@@ -948,14 +948,22 @@ object CorpusOps {
     *     character fractions; overlapping occurrences each count, the
     *     standard simplification, so the fraction can exceed 1 on
     *     degenerate repetition — filters threshold well below that).
-    * All fractions are 0 on empty denominators. Scale: per-document
+    * All fractions are 0 on empty denominators. `topNs`/`dupNs` select
+    * the computed sizes (and therefore the output columns) — the cost
+    * is proportional to Σ sizes, so callers needing only the classic
+    * 2/3-gram coverage pass those alone. Scale: per-document
     * aggregations keyed by (doc, line) / (doc, size, n-gram) — map-side
-    * combinable, state bounded by a document's own content; ALL NINE
-    * n-gram sizes ride ONE explode → ONE shuffle (the size is part of
-    * the grouping key), then pivot back to columns; one final per-doc
-    * join fan-in. Zero corpus-wide hot keys. */
-  def gopherSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * combinable, state bounded by a document's own content; ALL
+    * requested n-gram sizes ride ONE explode → ONE shuffle (the size is
+    * part of the grouping key), then pivot back to columns; one final
+    * per-doc join fan-in. Zero corpus-wide hot keys. */
+  def gopherSignals(docs: DataFrame, idCol: String, textCol: String,
+                    topNs: Seq[Int] = TopNs, dupNs: Seq[Int] = DupNs): DataFrame = {
     import graft.functions.TextFunctions.{tokens, wordShingles}
+    require(topNs.nonEmpty || dupNs.nonEmpty, "gopherSignals: no n-gram sizes")
+    require((topNs ++ dupNs).forall(n => n >= 1 && n <= 64),
+      s"gopherSignals: n-gram sizes out of range: ${(topNs ++ dupNs).distinct}")
+    val sizes = (topNs ++ dupNs).distinct
     val id = col(idCol)
     val base = docs.select(id.as("_id"), length(col(textCol)).as("_tlen"),
       col(textCol).as("_text"))
@@ -980,7 +988,7 @@ object CorpusOps {
     // every size's shingles in ONE pass: tag each gram with its size,
     // flatten, and let the size ride the grouping key
     val toks = base.select(col("_id"), tokens(col("_text")).as("_tk"))
-    val gramArrays = array((TopNs ++ DupNs).map(n =>
+    val gramArrays = array(sizes.map(n =>
       transform(wordShingles(col("_tk"), n),
         g => struct(lit(n).as("_sz"), g.as("_g")))): _*)
     val cnts = toks.select(col("_id"), explode(flatten(gramArrays)).as("_s"))
@@ -990,7 +998,7 @@ object CorpusOps {
       (max(col("_cnt") * lit(1000000000000L) + col("_cnt") * length(col("_g")))
         % lit(1000000000000L)).as("top"),
       sum(when(col("_cnt") >= 2, col("_cnt") * length(col("_g"))).otherwise(0L)).as("dup"))
-      .groupBy(col("_id")).pivot("_sz", TopNs ++ DupNs)
+      .groupBy(col("_id")).pivot("_sz", sizes)
       .agg(first(col("top")).as("top"), first(col("dup")).as("dup"))
       .withColumnRenamed("_id", "_idg")
 
@@ -1006,9 +1014,9 @@ object CorpusOps {
         frac(coalesce(col("_dc"), lit(0L)), col("_lc")).as("frac_dup_line_chars"),
         frac(coalesce(col("_bl"), lit(0L)), col("_nl")).as("frac_bullet_lines"),
         frac(coalesce(col("_el"), lit(0L)), col("_nl")).as("frac_ellipsis_lines")) ++
-        TopNs.map(n => frac(coalesce(col(s"${n}_top"), lit(0L)), col("_tlen"))
+        topNs.map(n => frac(coalesce(col(s"${n}_top"), lit(0L)), col("_tlen"))
           .as(s"frac_top_${n}gram_chars")) ++
-        DupNs.map(n => frac(coalesce(col(s"${n}_dup"), lit(0L)), col("_tlen"))
+        dupNs.map(n => frac(coalesce(col(s"${n}_dup"), lit(0L)), col("_tlen"))
           .as(s"frac_dup_${n}gram_chars")): _*)
   }
 

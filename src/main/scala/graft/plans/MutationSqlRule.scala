@@ -46,12 +46,13 @@ import graft.sources.Layout
   *   - a MERGE outside the keyed shapes: the ON condition must be a
   *     conjunction of `t.k = s.k` equalities on distinct same-named
   *     columns; at most ONE matched arm, `WHEN MATCHED [AND <cond>]
-  *     THEN UPDATE SET * | DELETE` (the condition deterministic and
-  *     subquery-free); at most ONE not-matched arm, the unconditional
-  *     `WHEN NOT MATCHED THEN INSERT *`. The unconditional
-  *     update-star + insert-star pair lowers onto the one-pass
-  *     [[Layout.upsertKeyed]]; every other accepted shape onto
-  *     [[Layout.merge]].
+  *     THEN UPDATE SET * | DELETE`; at most ONE not-matched arm,
+  *     `WHEN NOT MATCHED [AND <cond>] THEN INSERT *` (its condition
+  *     over SOURCE columns only — an unmatched row has no target
+  *     side). Conditions must be deterministic and subquery-free. The
+  *     unconditional update-star + insert-star pair lowers onto the
+  *     one-pass [[Layout.upsertKeyed]]; every other accepted shape
+  *     onto [[Layout.merge]].
   * Everything else is left for Spark to reject with its own v2-only
   * error, so non-graft tables keep their stock behavior. */
 class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
@@ -110,10 +111,23 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
           val keys = keysOf(cond, target, source).getOrElse(decline(
             s"ON condition ${cond.sql} (need a conjunction of t.k = s.k equalities " +
               "on distinct, same-named columns)"))
-          val insert = notMatched match {
-            case Nil                                        => false
-            case acts if isInsertStar(acts, target, source) => true
+          def gateCond(c: Expression, what: String): Unit =
+            if (!c.deterministic || c.exists(_.isInstanceOf[PlanExpression[_]]))
+              decline(s"non-deterministic or subquery $what condition ${c.sql}")
+          // (present, condition) of the single not-matched insert arm
+          val (insert, insertCond) = notMatched match {
+            case Nil => (false, None)
+            case Seq(InsertStarAction(c)) => (true, c)
+            case Seq(InsertAction(c, assignments))
+                if assignmentsAreStar(assignments, target, source) => (true, c)
             case acts => decline(s"not-matched actions ${acts.mkString(", ")}")
+          }
+          insertCond.foreach { c =>
+            gateCond(c, "not-matched")
+            // an unmatched row HAS no target side — the condition must
+            // be over source columns alone
+            if (c.references.exists(target.outputSet.contains))
+              decline(s"not-matched condition ${c.sql} references target columns")
           }
           // (isUpdate, condition) of the single matched arm, if present
           val matchedArm: Option[(Boolean, Option[Expression])] = matched match {
@@ -125,12 +139,15 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
             case acts => decline(s"matched actions ${acts.mkString(", ")}")
           }
           if (matchedArm.isEmpty && !insert) decline("no actionable clauses")
-          matchedArm.flatMap(_._2).foreach { c =>
-            if (!c.deterministic || c.exists(_.isInstanceOf[PlanExpression[_]]))
-              decline(s"non-deterministic or subquery matched condition ${c.sql}")
-          }
+          matchedArm.flatMap(_._2).foreach(gateCond(_, "matched"))
+          // re-anchor by NAME: source columns keep their plain names on
+          // the source frame the verb filters
+          val insCondRe = insertCond.map(c => Reanchored(c.transform {
+            case a: AttributeReference =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+          }))
           matchedArm match {
-            case Some((true, None)) if insert =>
+            case Some((true, None)) if insert && insCondRe.isEmpty =>
               // the exact upsert shape — the one-pass verb, no
               // matched-pair join
               GraftMergeCommand(dir, source, keys)
@@ -138,7 +155,7 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
               GraftMergeGeneralCommand(dir, source, keys,
                 arm.map { case (u, c) =>
                   (u, c.map(reanchorMatchedCond(_, target, source, keys)))
-                }, insert)
+                }, insert, insCondRe)
           }
         case None => m
       }
@@ -341,6 +358,14 @@ object MutationSqlRule {
     AttributeReference("rewritten_files", LongType, nullable = false)(),
     AttributeReference("untouched_files", LongType, nullable = false)())
 
+  /** Opaque holder keeping a NAME-anchored (deliberately unresolved)
+    * expression out of a command's `expressions` traversal: the
+    * analyzer's CheckAnalysis would otherwise reject attributes that
+    * only resolve against the verb's own frames at run time. (The
+    * matched arm's tuple and GraftUpdateCommand's `(name, expr)` pairs
+    * are opaque the same way — tuples are not traversed.) */
+  final case class Reanchored(e: Expression)
+
   /** `DELETE FROM parquet.`dir`` lowered onto [[Layout.deleteWhere]] —
     * runs at execution time (a lazily-built DataFrame does not mutate). */
   final case class GraftDeleteCommand(dir: String, box: Seq[(String, Any, Any)])
@@ -386,7 +411,7 @@ object MutationSqlRule {
     * (target names plain, source non-key names `_src_`-prefixed). */
   final case class GraftMergeGeneralCommand(dir: String, source: LogicalPlan,
       keys: Seq[String], matched: Option[(Boolean, Option[Expression])],
-      insertUnmatched: Boolean)
+      insertUnmatched: Boolean, insertCond: Option[Reanchored] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = StatsOutput
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -398,7 +423,8 @@ object MutationSqlRule {
         case (false, c) =>
           Layout.MatchedDelete(c.map(org.apache.spark.sql.GraftBridge.column))
       }
-      val s = Layout.merge(sparkSession, dir, src, keys, arm, insertUnmatched)
+      val s = Layout.merge(sparkSession, dir, src, keys, arm, insertUnmatched,
+        insertCond.map(h => org.apache.spark.sql.GraftBridge.column(h.e)))
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
     }
   }

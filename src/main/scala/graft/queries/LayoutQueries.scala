@@ -482,12 +482,16 @@ object LayoutQueries {
     })
   }
 
-  /** Round-16 build (the string-keyed upsert fixture + the widened-table
-    * fixture), its own bench entry so q175+ time serving only. */
+  /** Round-16 build (the string-keyed upsert fixture, the widened-table
+    * fixture, and the three MERGE-shape fixtures — each a clusterWrite +
+    * an SQL merge), its own bench entry so q175+ time serving only. */
   def buildZorder16(spark: SparkSession, dir: String): Unit = {
-    zEventsUpdStr(spark, dir); zEventsWidened(spark, dir); ()
+    zEventsUpdStr(spark, dir); zEventsWidened(spark, dir)
+    zEventsMergeDel(spark, dir); zEventsMergeMultikey(spark, dir)
+    zEventsMergeCondUpd(spark, dir); ()
   }
-  private val R16Tables = Set("events_upd_str", "events_widened")
+  private val R16Tables = Set("events_upd_str", "events_widened",
+    "events_merge_del", "events_merge_multikey", "events_merge_cond_upd")
   def invalidateZorder16(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R16Tables.contains(k.stripPrefix(s"$dir|"))

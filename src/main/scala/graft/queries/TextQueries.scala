@@ -693,11 +693,9 @@ object TextQueries {
         when($"doc_id" % 3 === 0,
           lit("\nSUBSCRIBE NOW\nSUBSCRIBE NOW\n- bullet item\nread more..."))
           .otherwise(lit(""))).as("text"))
-    // the legacy projection — q182 oracles the duplicate-n-gram columns
-    CorpusOps.gopherSignals(lined, "doc_id", "text")
-      .select($"doc_id", $"n_lines", $"frac_dup_lines", $"frac_dup_line_chars",
-        $"frac_bullet_lines", $"frac_ellipsis_lines",
-        $"frac_top_2gram_chars", $"frac_top_3gram_chars")
+    // the legacy sizes (and so the legacy cost) — q182 oracles the
+    // remaining top-4 and duplicate-n-gram columns
+    CorpusOps.gopherSignals(lined, "doc_id", "text", topNs = Seq(2, 3), dupNs = Nil)
   }
 
   // ---------------------------------------------------------------- q182

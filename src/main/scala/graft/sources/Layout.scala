@@ -932,12 +932,19 @@ object Layout {
     * `matched = None` (no WHEN MATCHED clause, insert-if-absent) keeps
     * every target row; on a table WITHOUT an envelope index over the
     * key this degrades to an identity rewrite of all files — index the
-    * key column for insert-only merges at scale. */
+    * key column for insert-only merges at scale.
+    *
+    * `insertCond` (`WHEN NOT MATCHED AND <cond>`): unmatched source
+    * rows insert only where it holds — a condition over SOURCE columns
+    * by their plain names (an unmatched row has no target side). */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String], matched: Option[MergeMatched],
-            insertUnmatched: Boolean = true): MutationStats = {
+            insertUnmatched: Boolean = true,
+            insertCond: Option[Column] = None): MutationStats = {
     require(matched.nonEmpty || insertUnmatched,
       "merge: no WHEN MATCHED arm and insertUnmatched=false - the merge is a no-op")
+    require(insertCond.isEmpty || insertUnmatched,
+      "merge: insertCond given but insertUnmatched=false")
     val srcPrefix = "_src_"
     val nonKey = source.columns.filterNot(keyCols.contains).toSeq
     val clash = nonKey.map(srcPrefix + _).toSet.intersect(source.columns.toSet)
@@ -973,7 +980,9 @@ object Layout {
           case MatchedUpdateAll(_) => source.join(hitKeys, keyCols, "left_semi")
         }
         val freshIns =
-          if (insertUnmatched) Some(source.join(matchedKeys, keyCols, "left_anti")) else None
+          if (insertUnmatched)
+            Some(insertCond.foldLeft(source.join(matchedKeys, keyCols, "left_anti"))(_.filter(_)))
+          else None
         val extra = (replacedIns, freshIns) match {
           case (Some(a), Some(b)) => Some(a.unionByName(b))
           case (a, b)             => a.orElse(b)

@@ -302,6 +302,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scanned <= 8, s"bloom prune opened $scanned files:\n${df.queryExecution.optimizedPlan}")
   }
 
+  test("q182 gopher n-gram fractions: all nine sizes ride ONE explode, not one pass per size") {
+    val df = SparkEntry.queries("q182_gopher_ngram_fracs")(spark, dir)
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    // one Generate for the line split (reached via gopherSignals) and
+    // ONE for every n-gram size together — a per-size regression shows
+    // up as 9+ explodes here
+    assert(gens.size <= 2, s"expected <= 2 explodes (lines + all-size grams), got ${gens.size}")
+  }
+
   test("q81 semdedup: pairwise check reads the materialized cell index, never a cartesian product") {
     val p = plan("q81_semdedup")
     // the broadcast-centroid assignment runs once inside the eager

@@ -150,7 +150,7 @@ class MutationSqlSpec extends AnyFunSuite {
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     bad(s"""MERGE INTO parquet.`$dir` AS t USING updates AS s ON t.k = s.k
-           |WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""".stripMargin)
+           |WHEN NOT MATCHED AND rand() > 0.5 THEN INSERT *""".stripMargin)
     bad(s"""MERGE INTO parquet.`$dir` AS t USING updates AS s
            |ON t.k = s.k AND t.k = s.k
            |WHEN MATCHED THEN UPDATE SET *
@@ -231,5 +231,22 @@ class MutationSqlSpec extends AnyFunSuite {
     assert(got.size == 101)
     assert(got(50L) == 500L, "matched key untouched (no matched arm)")
     assert(got(1000L) == -2L, "absent key inserted")
+  }
+
+  test("MERGE INTO: conditional NOT MATCHED insert filters unmatched source rows") {
+    val dir = freshDir("sql-merge-cins")
+    (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // matched 50 replaces; unmatched 1000 (v=-2 < 0, filtered out) and
+    // 2000 (v=5 >= 0, inserted)
+    Seq((50L, -1L), (1000L, -2L), (2000L, 5L)).toDF("k", "v")
+      .createOrReplaceTempView("cins_src")
+    spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING cins_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.v >= 0 THEN INSERT *""".stripMargin).collect()
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 101, s"only the condition-passing unmatched row inserts: ${got.size}")
+    assert(got(50L) == -1L && got(2000L) == 5L && !got.contains(1000L))
   }
 }
