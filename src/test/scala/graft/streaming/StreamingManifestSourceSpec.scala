@@ -258,6 +258,41 @@ class StreamingManifestSourceSpec extends AnyFunSuite {
     } finally spark.conf.unset(Manifest.KeepConf)
   }
 
+  test("cdc=rows streams a keyed upsert as paired update images") {
+    val dir = tmp("manifest-src-rows-images") + "/t"
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+      (0L to 49L).map(x => (x, x % 7)).toDF("x", "y").coalesce(1).write.parquet(dir)
+      Layout.writeEnvelopes(spark, dir, Seq("x"))
+      Manifest.write(spark, dir)
+      val got = new ConcurrentLinkedQueue[(Long, Long, String)]()
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", dir).option("startingSeq", "earliest")
+        .option("cdc", "rows")
+        .load().writeStream
+        .option("checkpointLocation", tmp("rows-images-cp"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select($"x", $"y", $"_change_type").collect()
+            .foreach(r => got.add((r.getLong(0), r.getLong(1), r.getString(2))))
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(got.size == 50, s"snapshot batch: ${got.size}")
+        got.clear()
+        // a keyed upsert commits ONE seq recording its pairing key —
+        // the stream's next batch delivers the replaced row as PAIRED
+        // images plus the fresh key as a plain insert
+        Layout.upsert(spark, dir, Seq((7L, -1L), (900L, -2L)).toDF("x", "y"), "x")
+        q.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val rows = got.asScala.toSeq.sorted
+        assert(rows == Seq((7L, 0L, "update_preimage"), (7L, -1L, "update_postimage"),
+          (900L, -2L, "insert")).sorted, s"got $rows")
+      } finally q.stop()
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
+
   test("cdc=rows across an addColumns widening: warn keeps streaming pinned columns, fail stops") {
     import scala.jdk.CollectionConverters._
     val dir = tmp("manifest-src-rows-drift") + "/t"
