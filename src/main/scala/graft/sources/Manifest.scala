@@ -468,7 +468,7 @@ object Manifest {
     * caller passes `pairOn` explicitly — a key carrying EXACTLY one
     * delete and one insert is delivered as `update_preimage` /
     * `update_postimage` instead; other rows keep `insert`/`delete`.
-    * Pairing costs one extra aggregation over the changed rows only. */
+    * Pairing costs one per-key window pass over the changed rows only. */
   def readChangeRows(spark: SparkSession, dir: String, fromSeq: Long,
                      toSeq: Option[Long] = None,
                      pairOn: Seq[String] = Nil): DataFrame = {
@@ -493,7 +493,7 @@ object Manifest {
     val toSet = to.files.toSet
     val added = planOver(spark, dir, to, to.files.filterNot(fromSet))
     val removed = planOver(spark, dir, from, from.files.filterNot(toSet))
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
     val ins = added.exceptAll(removed)
     val del = removed.exceptAll(added)
     val allCols = (to.dataSchema.fieldNames ++ to.partSchema.fieldNames).toSet
@@ -516,29 +516,30 @@ object Manifest {
           case _ => None
         }
       }
+    val labeled = ins.withColumn("_change_type", lit("insert"))
+      .unionByName(del.withColumn("_change_type", lit("delete")))
     key match {
-      case None =>
-        ins.withColumn("_change_type", lit("insert"))
-          .unionByName(del.withColumn("_change_type", lit("delete")))
+      case None => labeled
       case Some(k) =>
         // a key with EXACTLY one delete and one insert is an update —
         // pre/postimage; anything else (pure insert, pure delete, a
         // reused key with several rows, a NULL key) keeps its plain
         // label. Identical pre/postimages never appear — the multiset
-        // diff already cancelled them.
-        val kc = k.map(col)
-        val delN = del.groupBy(kc: _*).agg(count(lit(1)).as("_graft_d"))
-        val insN = ins.groupBy(kc: _*).agg(count(lit(1)).as("_graft_i"))
-        val one = delN.join(insN, k)
-          .filter(col("_graft_d") === 1 && col("_graft_i") === 1)
-          .select(kc: _*)
-        del.join(one, k, "left_semi").withColumn("_change_type", lit("update_preimage"))
-          .unionByName(ins.join(one, k, "left_semi")
-            .withColumn("_change_type", lit("update_postimage")))
-          .unionByName(del.join(one, k, "left_anti")
-            .withColumn("_change_type", lit("delete")))
-          .unionByName(ins.join(one, k, "left_anti")
-            .withColumn("_change_type", lit("insert")))
+        // diff already cancelled them. ONE pass over the labeled diff
+        // (a per-key window), not per-label count joins: the diff
+        // itself is the expensive part and is evaluated once per side;
+        // per-key state is that key's own change rows — no hot keys
+        // when the recorded key is a row identity. NULL key components
+        // keep plain labels (a NULL never equals the other side's key).
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(k.map(col): _*)
+        val d = sum(when(col("_change_type") === "delete", 1).otherwise(0)).over(w)
+        val i = sum(when(col("_change_type") === "insert", 1).otherwise(0)).over(w)
+        val paired = d === 1 && i === 1 && k.map(col(_).isNotNull).reduce(_ && _)
+        labeled.withColumn("_change_type",
+          when(paired && col("_change_type") === "delete", lit("update_preimage"))
+            .when(paired && col("_change_type") === "insert", lit("update_postimage"))
+            .otherwise(col("_change_type")))
     }
   }
 
