@@ -115,5 +115,23 @@ object ProfMutation {
       val tNaive = timeMs { println(s"  naive-missed files: ${naive.count()}") }
       println(f"string classify ${nFiles} files x ${nKeys} keys: stab ${tStab}%8.1f ms  BNLJ anti ${tNaive}%8.1f ms  (${tNaive / tStab}%4.1fx)")
     }
+
+    // round 16: the GENERAL merge (conditional matched arm) must keep
+    // the candidate restriction — the matched-pair condition join reads
+    // candidate files only, so a 5k-key conditional merge over the 32M
+    // table costs like the upsert (same stab, one extra candidate-file
+    // pass for the pair join), never like a table scan
+    {
+      val mrg = mk("mrg", n)
+      val src = spark.range(40000L, 45000L).select($"id".as("k"), lit(-2L).as("v"),
+        lit("mrg").as("payload"))
+      val tMrg = timeMs {
+        val s = Layout.merge(spark, mrg, src, Seq("k"),
+          Some(Layout.MatchedUpdateAll(Some(col("_src_v") =!= col("v")))),
+          insertUnmatched = true)
+        println(s"  merge stats: $s")
+      }
+      println(f"rows=$n%-9d merge 5k cond-update: file-grain ${tMrg}%8.1f ms  (upsert same keys ${tUps}%8.1f ms, full rewrite ${tFull2}%8.1f ms)")
+    }
   }
 }

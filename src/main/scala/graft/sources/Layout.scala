@@ -966,6 +966,11 @@ object Layout {
         if (fs.exists(new org.apache.hadoop.fs.Path(envelopesPath(dir))))
           classify(spark.read.parquet(envelopesPath(dir)))._1.intersect(snapFiles)
         else Set.empty[String]
+      // the verb is writer-exclusive and single-threaded between here
+      // and the commit (mutateFiles re-checks the seq before moving
+      // anything), so hand mutateFiles the classification it would
+      // recompute — the stab runs ONCE per merge
+      val classifyMemo: DataFrame => (Set[String], Set[String]) = _ => (missed, Set.empty)
       val cand = minusFiles(spark, snap, missed)
       val srcR = nonKey.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcPrefix + c))
       val pairs = cand.join(srcR, keyCols)
@@ -987,7 +992,7 @@ object Layout {
           case (Some(a), Some(b)) => Some(a.unionByName(b))
           case (a, b)             => a.orElse(b)
         }
-        mutateFiles(spark, dir, classify,
+        mutateFiles(spark, dir, classifyMemo,
           rewrite = _.join(hitKeys, keyCols, "left_anti"), extra = extra,
           props = pairKeyProps(keyCols))
       } finally { matchedKeys.unpersist(); hitKeys.unpersist(); () }
