@@ -783,9 +783,13 @@ object Layout {
     * and each stabbed (file, key) pair is then refined by the EXACT
     * string range test and, when the index carries a `bloom_<key>`
     * column, by per-file bloom membership (the point-lookup proof that
-    * still refutes when every hull covers every key). Key types without
-    * either view (float/double/decimal) keep the nested-loop fallback —
-    * there the honest fix is indexing a numeric surrogate. */
+    * still refutes when every hull covers every key). FLOAT/DOUBLE/
+    * DECIMAL keys stab through truncation toward zero — non-strictly
+    * monotone, so a sound superset; NaN and beyond-long values fall out
+    * conservatively (see the classifier) — leaving NO key type on a
+    * nested-loop path (keys packed inside one integer unit degrade to
+    * candidate-everything, which is the full-rewrite cost, never a
+    * cross product). */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
              keyCol: String): MutationStats =
     upsertKeyed(spark, dir, updates, Seq(keyCol))
@@ -856,24 +860,42 @@ object Layout {
   private def keyedClassifier(source: DataFrame, keys: DataFrame,
                               keyCols: Seq[String]): DataFrame => (Set[String], Set[String]) = {
     val stabCol = keyCols.head
-    // exact order-preserving long view of the stab key type, when one
-    // exists; strings go through [[stringKeyStab]] instead
+    // MONOTONE long view of the stab key type: exact and total for the
+    // integral/date/timestamp types; for float/double/decimal the view
+    // is TRUNCATION toward zero — non-strictly monotone where defined
+    // (min <= k <= max implies trunc(min) <= trunc(k) <= trunc(max), so
+    // the stab is a sound SUPERSET; collisions only cost candidate
+    // I/O — keys packed inside one integer unit degrade to
+    // candidate-everything, still exact). NaN and beyond-±2^63 values
+    // map to NULL and fall out CONSERVATIVELY in [[stabMissed]]: a null
+    // point proves nothing it needs to (any file that could hold such a
+    // key has a NaN/overflowing bound itself, so its own null view
+    // already forces it to the rewrite class). Strings go through
+    // [[stringKeyStab]] instead.
     val exactLong: Option[Column => Column] = source.schema(stabCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => Some(_.cast("long"))
       case DateType      => Some(c => unix_date(c).cast("long"))
       case TimestampType => Some(c => unix_micros(c))
-      case _             => None
+      case FloatType | DoubleType =>
+        Some(c => when(isnan(c), lit(null)).otherwise(c.cast("long")))
+      case _: DecimalType => Some(_.cast("long"))
+      case _ => None
     }
     val isString = source.schema(stabCol).dataType == StringType
-    // the stab over an exact long view `lv` of the key: candidate
-    // (file, key) pairs via the bucketized equi-join
+    // the stab over a monotone long view `lv` of the key: candidate
+    // (file, key) pairs via the bucketized equi-join. Files whose
+    // bounds view to NULL cannot be proven missed (they stay in the
+    // rewrite class); keys whose view is NULL stab nothing — both the
+    // conservative direction.
     def stabMissed(valid: DataFrame, lv: Column => Column): Set[String] = {
       val iv = valid.select(col("file"),
         lv(col(s"min_$stabCol")).as("f_start"), lv(col(s"max_$stabCol")).as("f_end"))
+        .filter(col("f_start").isNotNull && col("f_end").isNotNull)
       val pts = keys.select(lv(col(stabCol)).as("k_pt"))
+        .filter(col("k_pt").isNotNull)
       val stabbed = graft.operators.IntervalJoin.pointInInterval(
         pts, iv, Nil, "k_pt", "f_start", "f_end", stabWidth(iv)).select("file")
-      collectFiles(valid) -- collectFiles(stabbed)
+      collectFiles(iv) -- collectFiles(stabbed)
     }
     env => {
       val cols = env.columns.toSeq

@@ -384,6 +384,32 @@ class MutationSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("_src_"))
   }
 
+  test("double-keyed upsert: truncation stab classifies without a nested loop; NaN is conservative") {
+    val dir = freshDir("graft-ups-dbl")
+    (0 until 100).map(i => (i * 1.5, i.toLong)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (0 until 100).map(i => (5000.0 + i * 1.5, i.toLong)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // key range [30, 60] lives only in the first file — the second must
+    // classify untouched through the trunc-view stab
+    val ups = Seq((30.0, -1L), (31.5, -2L)).toDF("k", "v")
+    val stats = Layout.upsert(spark, dir, ups, "k")
+    assert(stats == Layout.MutationStats(0, 1, 1), s"trunc stab classification: $stats")
+    val got = spark.read.parquet(dir).as[(Double, Long)].collect().toMap
+    assert(got(30.0) == -1L && got(31.5) == -2L && got.size == 200)
+    // a file CONTAINING NaN has a NaN max — its long view is null, so
+    // it can never be proven missed (conservative: always rewritten)
+    val ndir = freshDir("graft-ups-nan")
+    Seq((1.0, 1L), (Double.NaN, 2L)).toDF("k", "v").coalesce(1).write.parquet(ndir)
+    Layout.writeEnvelopes(spark, ndir, Seq("k"))
+    // a NaN UPDATE key must replace the NaN row (Spark joins NaN = NaN)
+    val s2 = Layout.upsert(spark, ndir, Seq((Double.NaN, -9L)).toDF("k", "v"), "k")
+    assert(s2.rewrittenFiles == 1L, s"NaN-holding file must stay a candidate: $s2")
+    val got2 = spark.read.parquet(ndir).as[(Double, Long)].collect()
+    assert(got2.exists(r => r._1.isNaN && r._2 == -9L) && got2.length == 2, got2.toSeq.toString)
+  }
+
   test("racing deleteWhere calls: exactly one wins; the loser aborts having moved nothing") {
     import java.util.concurrent.{CountDownLatch, CyclicBarrier, TimeUnit}
     val dir = freshDir("graft-race-abort")
