@@ -952,9 +952,9 @@ object Layout {
     * [[upsertKeyed]] — prefer it there (one pass, no matched-pair join).
     *
     * `matched = None` (no WHEN MATCHED clause, insert-if-absent) keeps
-    * every target row; on a table WITHOUT an envelope index over the
-    * key this degrades to an identity rewrite of all files — index the
-    * key column for insert-only merges at scale.
+    * every target row and rewrites NO file — existing files are
+    * untouched outright; candidate files are read once, only to detect
+    * which source keys already exist.
     *
     * `insertCond` (`WHEN NOT MATCHED AND <cond>`): unmatched source
     * rows insert only where it holds — a condition over SOURCE columns
@@ -991,8 +991,13 @@ object Layout {
       // the verb is writer-exclusive and single-threaded between here
       // and the commit (mutateFiles re-checks the seq before moving
       // anything), so hand mutateFiles the classification it would
-      // recompute — the stab runs ONCE per merge
-      val classifyMemo: DataFrame => (Set[String], Set[String]) = _ => (missed, Set.empty)
+      // recompute — the stab runs ONCE per merge. An INSERT-ONLY merge
+      // (no matched arm) never changes an existing row, so EVERY file is
+      // untouched outright — candidates are read only to detect which
+      // source keys already exist
+      val classifyMemo: DataFrame => (Set[String], Set[String]) =
+        if (matched.isEmpty) _ => (snapFiles, Set.empty)
+        else _ => (missed, Set.empty)
       val cand = minusFiles(spark, snap, missed)
       val srcR = nonKey.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcPrefix + c))
       val pairs = cand.join(srcR, keyCols)

@@ -224,9 +224,12 @@ class MutationSqlSpec extends AnyFunSuite {
     (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1).write.parquet(dir)
     Layout.writeEnvelopes(spark, dir, Seq("k"))
     Seq((50L, -1L), (1000L, -2L)).toDF("k", "v").createOrReplaceTempView("ins_src")
-    spark.sql(
+    val stats = spark.sql(
       s"""MERGE INTO parquet.`$dir` AS t USING ins_src AS s ON t.k = s.k
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // insert-only: NO existing file may be rewritten — inserts append
+    assert(stats.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 0L)),
+      s"insert-only merge must not rewrite: ${stats.toSeq}")
     val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
     assert(got.size == 101)
     assert(got(50L) == 500L, "matched key untouched (no matched arm)")
