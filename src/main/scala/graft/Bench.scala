@@ -136,7 +136,8 @@ object Bench {
     // update-image CDC, the 100-value bloom IN, and the full Gopher
     // duplicate-n-gram fractions (one explode for all nine sizes)
     "q177_merge_cond_delete", "q178_merge_multikey", "q179_merge_cond_update",
-    "q180_cdc_update_images", "q181_bloom_in100", "q182_gopher_ngram_fracs")
+    "q180_cdc_update_images", "q181_bloom_in100", "q182_gopher_ngram_fracs",
+    "q183_merge_partial_set")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -46,7 +46,9 @@ import graft.sources.Layout
   *   - a MERGE outside the keyed shapes: the ON condition must be a
   *     conjunction of `t.k = s.k` equalities on distinct same-named
   *     columns; at most ONE matched arm, `WHEN MATCHED [AND <cond>]
-  *     THEN UPDATE SET * | DELETE`; at most ONE not-matched arm,
+  *     THEN UPDATE SET * | UPDATE SET c = <expr>, … | DELETE`
+  *     (assignments may reference both sides; never a key column); at
+  *     most ONE not-matched arm,
   *     `WHEN NOT MATCHED [AND <cond>] THEN INSERT *` (its condition
   *     over SOURCE columns only — an unmatched row has no target
   *     side). Conditions must be deterministic and subquery-free. The
@@ -129,17 +131,34 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
             if (c.references.exists(target.outputSet.contains))
               decline(s"not-matched condition ${c.sql} references target columns")
           }
-          // (isUpdate, condition) of the single matched arm, if present
-          val matchedArm: Option[(Boolean, Option[Expression])] = matched match {
+          def reCond(c: Option[Expression]): Option[Reanchored] = c.map { e =>
+            gateCond(e, "matched")
+            Reanchored(reanchorMatchedCond(e, target, source, keys))
+          }
+          // the single matched arm, if present
+          val matchedArm: Option[MergeArm] = matched match {
             case Nil => None
-            case Seq(UpdateStarAction(c)) => Some((true, c))
+            case Seq(UpdateStarAction(c)) => Some(ArmUpdateAll(reCond(c)))
             case Seq(UpdateAction(c, assignments, _))
-                if assignmentsAreStar(assignments, target, source) => Some((true, c))
-            case Seq(DeleteAction(c)) => Some((false, c))
+                if assignmentsAreStar(assignments, target, source) =>
+              Some(ArmUpdateAll(reCond(c)))
+            case Seq(UpdateAction(c, assignments, _)) =>
+              val keySet = keys.toSet
+              val set = assignments.map {
+                case Assignment(t: AttributeReference, _) if keySet.contains(t.name) =>
+                  decline(s"assignment to key column ${t.name} (re-keying a keyed " +
+                    "rewrite has no sound classification)")
+                case Assignment(t: AttributeReference, v)
+                    if target.outputSet.contains(t) && v.deterministic &&
+                       !v.exists(_.isInstanceOf[PlanExpression[_]]) =>
+                  t.name -> Reanchored(reanchorMatchedCond(v, target, source, keys))
+                case other => decline(s"unsupported assignment ${other.sql}")
+              }
+              Some(ArmUpdateSet(set, reCond(c)))
+            case Seq(DeleteAction(c)) => Some(ArmDelete(reCond(c)))
             case acts => decline(s"matched actions ${acts.mkString(", ")}")
           }
           if (matchedArm.isEmpty && !insert) decline("no actionable clauses")
-          matchedArm.flatMap(_._2).foreach(gateCond(_, "matched"))
           // re-anchor by NAME: source columns keep their plain names on
           // the source frame the verb filters
           val insCondRe = insertCond.map(c => Reanchored(c.transform {
@@ -147,15 +166,12 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
               org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
           }))
           matchedArm match {
-            case Some((true, None)) if insert && insCondRe.isEmpty =>
+            case Some(ArmUpdateAll(None)) if insert && insCondRe.isEmpty =>
               // the exact upsert shape — the one-pass verb, no
               // matched-pair join
               GraftMergeCommand(dir, source, keys)
             case arm =>
-              GraftMergeGeneralCommand(dir, source, keys,
-                arm.map { case (u, c) =>
-                  (u, c.map(reanchorMatchedCond(_, target, source, keys)))
-                }, insert, insCondRe)
+              GraftMergeGeneralCommand(dir, source, keys, arm, insert, insCondRe)
           }
         case None => m
       }
@@ -366,6 +382,13 @@ object MutationSqlRule {
     * are opaque the same way — tuples are not traversed.) */
   final case class Reanchored(e: Expression)
 
+  /** The matched arm of a lowered MERGE, expressions held opaquely. */
+  sealed trait MergeArm
+  final case class ArmUpdateAll(cond: Option[Reanchored]) extends MergeArm
+  final case class ArmUpdateSet(set: Seq[(String, Reanchored)],
+                                cond: Option[Reanchored]) extends MergeArm
+  final case class ArmDelete(cond: Option[Reanchored]) extends MergeArm
+
   /** `DELETE FROM parquet.`dir`` lowered onto [[Layout.deleteWhere]] —
     * runs at execution time (a lazily-built DataFrame does not mutate). */
   final case class GraftDeleteCommand(dir: String, box: Seq[(String, Any, Any)])
@@ -410,21 +433,22 @@ object MutationSqlRule {
     * condition already re-anchored by name onto the matched-pair frame
     * (target names plain, source non-key names `_src_`-prefixed). */
   final case class GraftMergeGeneralCommand(dir: String, source: LogicalPlan,
-      keys: Seq[String], matched: Option[(Boolean, Option[Expression])],
+      keys: Seq[String], matched: Option[MergeArm],
       insertUnmatched: Boolean, insertCond: Option[Reanchored] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = StatsOutput
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(sparkSession: SparkSession): Seq[Row] = {
-      val src = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
+      def colOf(h: Reanchored) = org.apache.spark.sql.GraftBridge.column(h.e)
       val arm = matched.map {
-        case (true, c) =>
-          Layout.MatchedUpdateAll(c.map(org.apache.spark.sql.GraftBridge.column))
-        case (false, c) =>
-          Layout.MatchedDelete(c.map(org.apache.spark.sql.GraftBridge.column))
+        case ArmUpdateAll(c) => Layout.MatchedUpdateAll(c.map(colOf))
+        case ArmUpdateSet(set, c) =>
+          Layout.MatchedUpdateSet(set.map { case (n, h) => n -> colOf(h) }, c.map(colOf))
+        case ArmDelete(c) => Layout.MatchedDelete(c.map(colOf))
       }
+      val src = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
       val s = Layout.merge(sparkSession, dir, src, keys, arm, insertUnmatched,
-        insertCond.map(h => org.apache.spark.sql.GraftBridge.column(h.e)))
+        insertCond.map(colOf))
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
     }
   }

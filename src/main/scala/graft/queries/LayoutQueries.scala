@@ -374,6 +374,31 @@ object LayoutQueries {
     })
   }
 
+  /** Clustered events copy merged with PARTIAL SET assignments —
+    * `WHEN MATCHED THEN UPDATE SET value = t.value + s.value` over a
+    * source proposing a flat +1000 for `event_id % 10 = 8` rows: the
+    * replacement row is built from the matched PAIR (both sides visible
+    * to the assignment), every unassigned column kept. */
+  private def zEventsMergeSet(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_merge_set"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_merge_set").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      ev.filter(col("event_id") % 10 === 8)
+        .withColumn("value", lit(1000.0))
+        .createOrReplaceTempView("graft_q183_src")
+      spark.sql(
+        s"""MERGE INTO parquet.`$out` AS t USING graft_q183_src AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = t.value + s.value""".stripMargin).collect()
+      cache += key -> out
+      out
+    })
+  }
+
   /** Events table built in TWO halves through [[Layout.append]]: even
     * event_ids written plain + indexed + committed, odd event_ids
     * APPENDED through the verb (files promoted, index appended
@@ -488,10 +513,11 @@ object LayoutQueries {
   def buildZorder16(spark: SparkSession, dir: String): Unit = {
     zEventsUpdStr(spark, dir); zEventsWidened(spark, dir)
     zEventsMergeDel(spark, dir); zEventsMergeMultikey(spark, dir)
-    zEventsMergeCondUpd(spark, dir); ()
+    zEventsMergeCondUpd(spark, dir); zEventsMergeSet(spark, dir); ()
   }
   private val R16Tables = Set("events_upd_str", "events_widened",
-    "events_merge_del", "events_merge_multikey", "events_merge_cond_upd")
+    "events_merge_del", "events_merge_multikey", "events_merge_cond_upd",
+    "events_merge_set")
   def invalidateZorder16(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R16Tables.contains(k.stripPrefix(s"$dir|"))
@@ -1059,6 +1085,20 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q183
+  /** The events box over the PARTIAL-SET merge fixture: `event_id % 10
+    * = 8` rows carry `value + 1000`, every other column untouched. The
+    * oracle replays the identical pair-wise assignment. */
+  def q183MergePartialSet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsMergeSet(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   // ---------------------------------------------------------------- q171
   /** The events box over the SNAPSHOT of the two-half [[Layout.append]]
     * fixture: the appended half must be fully adopted (promoted files,
@@ -1203,6 +1243,7 @@ object LayoutQueries {
     "q177_merge_cond_delete"   -> q177MergeCondDelete _,
     "q178_merge_multikey"      -> q178MergeMultikey _,
     "q179_merge_cond_update"   -> q179MergeCondUpdate _,
+    "q183_merge_partial_set"   -> q183MergePartialSet _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -1371,6 +1412,16 @@ object LayoutQueries {
          |FROM (SELECT user_id, ts, event_type,
          |        CASE WHEN event_id % 10 = 6 AND (100.0 - value) > value
          |             THEN 100.0 - value ELSE value END AS value
+         |      FROM events)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q183_merge_partial_set" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type,
+         |        CASE WHEN event_id % 10 = 8 THEN value + 1000.0 ELSE value END AS value
          |      FROM events)
          |WHERE user_id BETWEEN 2 AND 9
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}

@@ -934,6 +934,13 @@ object Layout {
   /** Matched pairs satisfying `cond` have their target row REPLACED by
     * the source row (`UPDATE SET *`); other matched rows are kept. */
   final case class MatchedUpdateAll(cond: Option[Column] = None) extends MergeMatched
+  /** Matched pairs satisfying `cond` have the ASSIGNED columns replaced
+    * by their expressions — evaluated over the matched pair (target
+    * columns plain, source columns `_src_`-prefixed) — and every other
+    * column kept (`UPDATE SET c = <expr>, …`). Key columns cannot be
+    * assigned (re-keying a keyed rewrite has no sound classification). */
+  final case class MatchedUpdateSet(set: Seq[(String, Column)],
+                                    cond: Option[Column] = None) extends MergeMatched
   /** Matched pairs satisfying `cond` have their target row DELETED. */
   final case class MatchedDelete(cond: Option[Column] = None) extends MergeMatched
 
@@ -1010,6 +1017,25 @@ object Layout {
       try {
         val replacedIns = matched.collect {
           case MatchedUpdateAll(_) => source.join(hitKeys, keyCols, "left_semi")
+          case MatchedUpdateSet(set, c) =>
+            val byName = set.toMap
+            require(set.map(_._1).distinct.size == set.size,
+              s"merge: duplicate assignment targets in ${set.map(_._1)}")
+            val assignedKeys = keyCols.filter(byName.contains)
+            require(assignedKeys.isEmpty,
+              s"merge: cannot assign key column(s) ${assignedKeys.mkString(", ")}")
+            val fields = cand.schema.fields.toSeq
+            val unknown = byName.keySet -- fields.map(_.name).toSet
+            require(unknown.isEmpty, s"merge: no such column(s) ${unknown.mkString(", ")}")
+            // the replacement rows come from the matched PAIRS (both
+            // sides visible to the assignment expressions), cast back
+            // to each column's table type like updateWhere
+            c.foldLeft(pairs)(_.filter(_)).select(fields.map { f =>
+              byName.get(f.name) match {
+                case Some(e) => e.cast(f.dataType).as(f.name)
+                case None    => col(f.name)
+              }
+            }: _*)
         }
         val freshIns =
           if (insertUnmatched)

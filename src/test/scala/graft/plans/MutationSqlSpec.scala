@@ -236,6 +236,27 @@ class MutationSqlSpec extends AnyFunSuite {
     assert(got(1000L) == -2L, "absent key inserted")
   }
 
+  test("MERGE INTO: partial SET over both sides, narrow source; key assignment declines") {
+    val dir = freshDir("sql-merge-pset")
+    (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // a NARROW source (key + a delta column the table doesn't have) is
+    // fine for partial SET — replacement rows are built from the pair
+    Seq((10L, 5L), (20L, 7L)).toDF("k", "d").createOrReplaceTempView("pset_src")
+    spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING pset_src AS s ON t.k = s.k
+         |WHEN MATCHED AND s.d > 6 THEN UPDATE SET v = t.v + s.d""".stripMargin).collect()
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 100)
+    assert(got(20L) == 207L, "assigned from both sides where the condition held")
+    assert(got(10L) == 100L, "condition failed: row kept verbatim")
+    // assigning a key column declines loudly at the rule
+    val ex = intercept[Exception](spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING pset_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET k = s.d""".stripMargin).collect())
+    assert(ex.getMessage.contains("key column"), ex.getMessage)
+  }
+
   test("MERGE INTO: conditional NOT MATCHED insert filters unmatched source rows") {
     val dir = freshDir("sql-merge-cins")
     (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1).write.parquet(dir)
