@@ -127,7 +127,7 @@ object ProfMutation {
         lit("mrg").as("payload"))
       val tMrg = timeMs {
         val s = Layout.merge(spark, mrg, src, Seq("k"),
-          Some(Layout.MatchedUpdateAll(Some(col("_src_v") =!= col("v")))),
+          Seq(Layout.MatchedUpdateAll(Some(col("_src_v") =!= col("v")))),
           insertUnmatched = true)
         println(s"  merge stats: $s")
       }

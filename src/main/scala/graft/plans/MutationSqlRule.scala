@@ -45,9 +45,10 @@ import graft.sources.Layout
   *     a subquery;
   *   - a MERGE outside the keyed shapes: the ON condition must be a
   *     conjunction of `t.k = s.k` equalities on distinct same-named
-  *     columns; at most ONE matched arm, `WHEN MATCHED [AND <cond>]
-  *     THEN UPDATE SET * | UPDATE SET c = <expr>, … | DELETE`
-  *     (assignments may reference both sides; never a key column); at
+  *     columns; matched arms `WHEN MATCHED [AND <cond>] THEN
+  *     UPDATE SET * | UPDATE SET c = <expr>, … | DELETE` (several,
+  *     FIRST-MATCH-WINS; an unconditional arm only last; assignments
+  *     may reference both sides but never a key column); at
   *     most ONE not-matched arm,
   *     `WHEN NOT MATCHED [AND <cond>] THEN INSERT *` (its condition
   *     over SOURCE columns only — an unmatched row has no target
@@ -135,14 +136,13 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
             gateCond(e, "matched")
             Reanchored(reanchorMatchedCond(e, target, source, keys))
           }
-          // the single matched arm, if present
-          val matchedArm: Option[MergeArm] = matched match {
-            case Nil => None
-            case Seq(UpdateStarAction(c)) => Some(ArmUpdateAll(reCond(c)))
-            case Seq(UpdateAction(c, assignments, _))
+          // the matched arms, in clause order (first-match-wins)
+          val arms: Seq[MergeArm] = matched.map {
+            case UpdateStarAction(c) => ArmUpdateAll(reCond(c))
+            case UpdateAction(c, assignments, _)
                 if assignmentsAreStar(assignments, target, source) =>
-              Some(ArmUpdateAll(reCond(c)))
-            case Seq(UpdateAction(c, assignments, _)) =>
+              ArmUpdateAll(reCond(c))
+            case UpdateAction(c, assignments, _) =>
               val keySet = keys.toSet
               val set = assignments.map {
                 case Assignment(t: AttributeReference, _) if keySet.contains(t.name) =>
@@ -154,24 +154,34 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
                   t.name -> Reanchored(reanchorMatchedCond(v, target, source, keys))
                 case other => decline(s"unsupported assignment ${other.sql}")
               }
-              Some(ArmUpdateSet(set, reCond(c)))
-            case Seq(DeleteAction(c)) => Some(ArmDelete(reCond(c)))
-            case acts => decline(s"matched actions ${acts.mkString(", ")}")
+              ArmUpdateSet(set, reCond(c))
+            case DeleteAction(c) => ArmDelete(reCond(c))
+            case other => decline(s"matched action $other")
           }
-          if (matchedArm.isEmpty && !insert) decline("no actionable clauses")
+          if (arms.isEmpty && !insert) decline("no actionable clauses")
+          arms.zipWithIndex.foreach { case (a, i) =>
+            val uncond = a match {
+              case ArmUpdateAll(None) | ArmDelete(None) => true
+              case ArmUpdateSet(_, None)                => true
+              case _                                    => false
+            }
+            if (uncond && i != arms.size - 1)
+              decline(s"matched arm ${i + 1} of ${arms.size} is unconditional - " +
+                "later arms are unreachable")
+          }
           // re-anchor by NAME: source columns keep their plain names on
           // the source frame the verb filters
           val insCondRe = insertCond.map(c => Reanchored(c.transform {
             case a: AttributeReference =>
               org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
           }))
-          matchedArm match {
-            case Some(ArmUpdateAll(None)) if insert && insCondRe.isEmpty =>
+          arms match {
+            case Seq(ArmUpdateAll(None)) if insert && insCondRe.isEmpty =>
               // the exact upsert shape — the one-pass verb, no
-              // matched-pair join
+              // source join in the rewrite
               GraftMergeCommand(dir, source, keys)
-            case arm =>
-              GraftMergeGeneralCommand(dir, source, keys, arm, insert, insCondRe)
+            case as =>
+              GraftMergeGeneralCommand(dir, source, keys, as, insert, insCondRe)
           }
         case None => m
       }
@@ -433,21 +443,21 @@ object MutationSqlRule {
     * condition already re-anchored by name onto the matched-pair frame
     * (target names plain, source non-key names `_src_`-prefixed). */
   final case class GraftMergeGeneralCommand(dir: String, source: LogicalPlan,
-      keys: Seq[String], matched: Option[MergeArm],
+      keys: Seq[String], matched: Seq[MergeArm],
       insertUnmatched: Boolean, insertCond: Option[Reanchored] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = StatsOutput
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(sparkSession: SparkSession): Seq[Row] = {
       def colOf(h: Reanchored) = org.apache.spark.sql.GraftBridge.column(h.e)
-      val arm = matched.map {
+      val arms = matched.map {
         case ArmUpdateAll(c) => Layout.MatchedUpdateAll(c.map(colOf))
         case ArmUpdateSet(set, c) =>
           Layout.MatchedUpdateSet(set.map { case (n, h) => n -> colOf(h) }, c.map(colOf))
         case ArmDelete(c) => Layout.MatchedDelete(c.map(colOf))
       }
       val src = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
-      val s = Layout.merge(sparkSession, dir, src, keys, arm, insertUnmatched,
+      val s = Layout.merge(sparkSession, dir, src, keys, arms, insertUnmatched,
         insertCond.map(colOf))
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
     }

@@ -945,18 +945,24 @@ object Layout {
   final case class MatchedDelete(cond: Option[Column] = None) extends MergeMatched
 
   /** General keyed MERGE — [[upsertKeyed]]'s semantics widened to the
-    * two other shapes real pipelines write next: a CONDITIONAL matched
-    * arm (`WHEN MATCHED AND <cond> THEN UPDATE SET * | DELETE`) and an
-    * optional unmatched-insert arm, on a composite equality key.
+    * full arm matrix real pipelines write: matched arms
+    * (`WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c =
+    * <expr>, … | DELETE`, several arms FIRST-MATCH-WINS with an
+    * unconditional arm only last) and an optional `[AND <cond>]`
+    * unmatched-insert arm, on a composite equality key.
     *
-    * Same classification and commit protocol as [[upsertKeyed]]: files
-    * whose key range provably misses every source key are untouched;
-    * the matched-pair CONDITION is evaluated only over CANDIDATE files
-    * (the snapshot minus provably-missed files — every match lives
-    * there), never a full-table scan; candidates are rewritten with
-    * hit rows dropped; replacement/insert source rows append. The
+    * Row semantics are SQL MERGE's: each matched TARGET row acts
+    * independently (duplicate-key target rows update/delete row by
+    * row), while duplicate SOURCE keys are rejected up front (two
+    * source rows for one target row have no defined winner — the
+    * standard MERGE cardinality error). Same classification and commit
+    * protocol as [[upsertKeyed]]: files whose key range provably misses
+    * every source key are untouched; candidates are rewritten through
+    * ONE per-row left-outer join against the (renamed) source — arm
+    * conditions and assignments see the target columns by name and the
+    * source's through `_src_` — and unmatched inserts append. The
     * unconditional `UPDATE SET *` + insert shape is exactly
-    * [[upsertKeyed]] — prefer it there (one pass, no matched-pair join).
+    * [[upsertKeyed]] — prefer it there (no join in the rewrite).
     *
     * `matched = None` (no WHEN MATCHED clause, insert-if-absent) keeps
     * every target row and rewrites NO file — existing files are
@@ -967,26 +973,33 @@ object Layout {
     * rows insert only where it holds — a condition over SOURCE columns
     * by their plain names (an unmatched row has no target side). */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-            keyCols: Seq[String], matched: Option[MergeMatched],
+            keyCols: Seq[String], matched: Seq[MergeMatched],
             insertUnmatched: Boolean = true,
             insertCond: Option[Column] = None): MutationStats = {
     require(matched.nonEmpty || insertUnmatched,
       "merge: no WHEN MATCHED arm and insertUnmatched=false - the merge is a no-op")
     require(insertCond.isEmpty || insertUnmatched,
       "merge: insertCond given but insertUnmatched=false")
+    // an unconditional arm ends the first-match-wins chain
+    matched.zipWithIndex.foreach { case (m, i) =>
+      require(m.cond.nonEmpty || i == matched.size - 1,
+        s"merge: matched arm ${i + 1} of ${matched.size} is unconditional - " +
+          "later arms are unreachable")
+    }
     val srcPrefix = "_src_"
+    val marker = "_src__matched"
     val nonKey = source.columns.filterNot(keyCols.contains).toSeq
-    val clash = nonKey.map(srcPrefix + _).toSet.intersect(source.columns.toSet)
+    val clash = (nonKey.map(srcPrefix + _) :+ marker).toSet.intersect(source.columns.toSet)
     require(clash.isEmpty,
       s"merge: source column(s) ${clash.mkString(", ")} collide with the $srcPrefix " +
-        "prefix the matched condition references source columns through")
+        "prefix the matched arms reference source columns through")
     val keys = cachedUniqueKeys(source, keyCols, "merge")
     try {
       if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
       val classify = keyedClassifier(source, keys, keyCols)
       // candidate rows: the snapshot minus provably-missed files — every
       // matched (target, source) pair lives in a candidate file, so the
-      // matched-condition join never scans untouched files
+      // per-row merge join never scans untouched files
       val snap = readSnapshot(spark, dir)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1006,49 +1019,62 @@ object Layout {
         if (matched.isEmpty) _ => (snapFiles, Set.empty)
         else _ => (missed, Set.empty)
       val cand = minusFiles(spark, snap, missed)
+      val fields = cand.schema.fields.toSeq
+      matched.foreach {
+        case MatchedUpdateSet(set, _) =>
+          require(set.map(_._1).distinct.size == set.size,
+            s"merge: duplicate assignment targets in ${set.map(_._1)}")
+          val assignedKeys = keyCols.filter(set.map(_._1).toSet)
+          require(assignedKeys.isEmpty,
+            s"merge: cannot assign key column(s) ${assignedKeys.mkString(", ")}")
+          val unknown = set.map(_._1).toSet -- fields.map(_.name).toSet
+          require(unknown.isEmpty, s"merge: no such column(s) ${unknown.mkString(", ")}")
+        case MatchedUpdateAll(_) =>
+          val missing = fields.map(_.name).toSet -- source.columns.toSet
+          require(missing.isEmpty,
+            s"merge: UPDATE SET * needs every table column on the source; " +
+              s"missing ${missing.mkString(", ")}")
+        case MatchedDelete(_) => ()
+      }
       val srcR = nonKey.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcPrefix + c))
-      val pairs = cand.join(srcR, keyCols)
-      val keyC = keyCols.map(col)
-      val matchedKeys = pairs.select(keyC: _*).distinct().cache()
-      val hitKeys = (matched match {
-        case Some(m) => m.cond.fold(matchedKeys)(c => pairs.filter(c).select(keyC: _*).distinct())
-        case None    => keys.limit(0)
-      }).cache()
-      try {
-        val replacedIns = matched.collect {
-          case MatchedUpdateAll(_) => source.join(hitKeys, keyCols, "left_semi")
-          case MatchedUpdateSet(set, c) =>
-            val byName = set.toMap
-            require(set.map(_._1).distinct.size == set.size,
-              s"merge: duplicate assignment targets in ${set.map(_._1)}")
-            val assignedKeys = keyCols.filter(byName.contains)
-            require(assignedKeys.isEmpty,
-              s"merge: cannot assign key column(s) ${assignedKeys.mkString(", ")}")
-            val fields = cand.schema.fields.toSeq
-            val unknown = byName.keySet -- fields.map(_.name).toSet
-            require(unknown.isEmpty, s"merge: no such column(s) ${unknown.mkString(", ")}")
-            // the replacement rows come from the matched PAIRS (both
-            // sides visible to the assignment expressions), cast back
-            // to each column's table type like updateWhere
-            c.foldLeft(pairs)(_.filter(_)).select(fields.map { f =>
-              byName.get(f.name) match {
-                case Some(e) => e.cast(f.dataType).as(f.name)
-                case None    => col(f.name)
-              }
-            }: _*)
+        .withColumn(marker, lit(true))
+      // PER-ROW rewrite — SQL MERGE semantics: each matched TARGET row
+      // acts independently (duplicate-key targets update/delete row by
+      // row; duplicate SOURCE keys were rejected up front), arms fire
+      // first-match-wins per row, null conditions count as false
+      def rewrite(old: DataFrame): DataFrame = {
+        val j = old.join(srcR, keyCols, "left_outer")
+        val isM = col(marker).isNotNull
+        val conds = matched.map(m =>
+          m.cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+        val gates = conds.zipWithIndex.map { case (c, i) =>
+          isM && c && !conds.take(i).reduceOption(_ || _).getOrElse(lit(false))
         }
-        val freshIns =
-          if (insertUnmatched)
-            Some(insertCond.foldLeft(source.join(matchedKeys, keyCols, "left_anti"))(_.filter(_)))
-          else None
-        val extra = (replacedIns, freshIns) match {
-          case (Some(a), Some(b)) => Some(a.unionByName(b))
-          case (a, b)             => a.orElse(b)
-        }
-        mutateFiles(spark, dir, classifyMemo,
-          rewrite = _.join(hitKeys, keyCols, "left_anti"), extra = extra,
-          props = pairKeyProps(keyCols))
-      } finally { matchedKeys.unpersist(); hitKeys.unpersist(); () }
+        val deleteGate = matched.zip(gates)
+          .collect { case (MatchedDelete(_), g) => g }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        j.filter(!deleteGate).select(fields.map { f =>
+          var chain: Column = null
+          def add(g: Column, v: Column): Unit =
+            chain = if (chain == null) when(g, v) else chain.when(g, v)
+          matched.zip(gates).foreach {
+            case (MatchedUpdateAll(_), g) =>
+              if (!keyCols.contains(f.name))
+                add(g, col(srcPrefix + f.name).cast(f.dataType))
+            case (MatchedUpdateSet(set, _), g) =>
+              set.toMap.get(f.name).foreach(e => add(g, e.cast(f.dataType)))
+            case _ => ()
+          }
+          (if (chain == null) col(f.name) else chain.otherwise(col(f.name))).as(f.name)
+        }: _*)
+      }
+      val extra =
+        if (insertUnmatched)
+          Some(insertCond.foldLeft(
+            source.join(cand.select(keyCols.map(col): _*), keyCols, "left_anti"))(_.filter(_)))
+        else None
+      mutateFiles(spark, dir, classifyMemo, rewrite, extra,
+        props = pairKeyProps(keyCols))
     } finally { keys.unpersist(); () }
   }
 

@@ -257,6 +257,34 @@ class MutationSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("key column"), ex.getMessage)
   }
 
+  test("MERGE INTO: multiple matched arms first-match-wins; duplicate-key targets act per ROW") {
+    val dir = freshDir("sql-merge-arms")
+    // duplicate target key 10: rows (10, 3) and (10, 7)
+    ((0L to 9L).map(k => (k, k * 10L)) ++ Seq((10L, 3L), (10L, 7L))).toDF("k", "v")
+      .coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    Seq((10L, 100L), (5L, 500L), (77L, 700L)).toDF("k", "v")
+      .createOrReplaceTempView("arms_src")
+    spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING arms_src AS s ON t.k = s.k
+         |WHEN MATCHED AND t.v < 5 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toSeq.sorted
+    // (10,3) hit the delete arm; (10,7) fell to the update arm — the
+    // SAME source key acting per target row; (5,50) replaced; 77 fresh
+    val expect = ((0L to 9L).filterNot(_ == 5L).map(k => (k, k * 10L)) ++
+      Seq((5L, 500L), (10L, 100L), (77L, 700L))).sorted
+    assert(got == expect, s"got $got")
+    // an unconditional arm before another declines (ours or Spark's check)
+    val ex = intercept[Exception](spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING arms_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN MATCHED AND t.v < 5 THEN DELETE""".stripMargin).collect())
+    assert(ex.getMessage.contains("unreachable") || ex.getMessage.contains("MERGE"),
+      ex.getMessage)
+  }
+
   test("MERGE INTO: conditional NOT MATCHED insert filters unmatched source rows") {
     val dir = freshDir("sql-merge-cins")
     (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1).write.parquet(dir)

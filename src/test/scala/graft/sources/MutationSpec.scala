@@ -352,7 +352,7 @@ class MutationSpec extends AnyFunSuite {
     // taken only when _src_v > t.v (always here), 100..110 NOT inserted
     val src = (90L to 110L).map(k => (k, k + 1000L)).toDF("k", "v")
     val s1 = Layout.merge(spark, dir, src, Seq("k"),
-      Some(Layout.MatchedUpdateAll(Some(col("_src_v") > col("v")))),
+      Seq(Layout.MatchedUpdateAll(Some(col("_src_v") > col("v")))),
       insertUnmatched = false)
     assert(s1.untouchedFiles == 1L && s1.rewrittenFiles == 1L,
       s"key-disjoint 500s file must classify untouched: $s1")
@@ -363,7 +363,7 @@ class MutationSpec extends AnyFunSuite {
     // conditional delete on the target side
     val s2 = Layout.merge(spark, dir,
       (0L to 9L).map(k => (k, 0L)).toDF("k", "v"), Seq("k"),
-      Some(Layout.MatchedDelete(Some(col("v") < 5L))), insertUnmatched = false)
+      Seq(Layout.MatchedDelete(Some(col("v") < 5L))), insertUnmatched = false)
     // s1's rewrite may have split its replacement across several files;
     // only the one(s) holding k 0..9 rewrite here, the rest stab out
     assert(s2.rewrittenFiles >= 1L && s2.droppedFiles == 0L &&
@@ -374,13 +374,13 @@ class MutationSpec extends AnyFunSuite {
     val seqBefore = Manifest.latestSeq(spark, dir)
     val s3 = Layout.merge(spark, dir,
       Seq((9999L, 1L)).toDF("k", "v"), Seq("k"),
-      Some(Layout.MatchedDelete(None)), insertUnmatched = false)
+      Seq(Layout.MatchedDelete()), insertUnmatched = false)
     assert(s3.droppedFiles == 0L && s3.rewrittenFiles == 0L, s"$s3")
     assert(Manifest.latestSeq(spark, dir) == seqBefore, "no-op must not commit")
     // the _src_ prefix collision guard fires loudly
     val ex = intercept[IllegalArgumentException](Layout.merge(spark, dir,
       Seq((1L, 2L, 3L)).toDF("k", "v", "_src_v"), Seq("k"),
-      Some(Layout.MatchedUpdateAll(None))))
+      Seq(Layout.MatchedUpdateAll())))
     assert(ex.getMessage.contains("_src_"))
   }
 
