@@ -137,7 +137,7 @@ object Bench {
     // duplicate-n-gram fractions (one explode for all nine sizes)
     "q177_merge_cond_delete", "q178_merge_multikey", "q179_merge_cond_update",
     "q180_cdc_update_images", "q181_bloom_in100", "q182_gopher_ngram_fracs",
-    "q183_merge_partial_set")
+    "q183_merge_partial_set", "q184_merge_sync")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

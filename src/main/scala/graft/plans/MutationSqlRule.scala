@@ -52,7 +52,11 @@ import graft.sources.Layout
   *     most ONE not-matched arm,
   *     `WHEN NOT MATCHED [AND <cond>] THEN INSERT *` (its condition
   *     over SOURCE columns only — an unmatched row has no target
-  *     side). Conditions must be deterministic and subquery-free. The
+  *     side); `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+  *     UPDATE SET c = <expr>, … | DELETE` arms (target columns only;
+  *     NOTE these make every file a candidate — a full-table rewrite,
+  *     the clause's honest cost). Conditions must be deterministic and
+  *     subquery-free. The
   *     unconditional update-star + insert-star pair lowers onto the
   *     one-pass [[Layout.upsertKeyed]]; every other accepted shape
   *     onto [[Layout.merge]].
@@ -110,7 +114,6 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
               "one WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE, and at most " +
               s"one unconditional WHEN NOT MATCHED THEN INSERT *; got $what")
           if (withSchemaEvolution) decline("WITH SCHEMA EVOLUTION")
-          if (notMatchedBySource.nonEmpty) decline("WHEN NOT MATCHED BY SOURCE clauses")
           val keys = keysOf(cond, target, source).getOrElse(decline(
             s"ON condition ${cond.sql} (need a conjunction of t.k = s.k equalities " +
               "on distinct, same-named columns)"))
@@ -158,17 +161,45 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
             case DeleteAction(c) => ArmDelete(reCond(c))
             case other => decline(s"matched action $other")
           }
-          if (arms.isEmpty && !insert) decline("no actionable clauses")
-          arms.zipWithIndex.foreach { case (a, i) =>
-            val uncond = a match {
-              case ArmUpdateAll(None) | ArmDelete(None) => true
-              case ArmUpdateSet(_, None)                => true
-              case _                                    => false
-            }
-            if (uncond && i != arms.size - 1)
-              decline(s"matched arm ${i + 1} of ${arms.size} is unconditional - " +
-                "later arms are unreachable")
+          // NOT MATCHED BY SOURCE arms act on target rows alone — their
+          // conditions and assignments must not reference the source
+          def targetOnly(e: Expression, what: String): Expression = {
+            if (e.references.exists(source.outputSet.contains))
+              decline(s"$what ${e.sql} references source columns - a NOT MATCHED " +
+                "BY SOURCE row has no source side")
+            gateCond(e, "not-matched-by-source")
+            reanchorMatchedCond(e, target, source, keys)
           }
+          val bySrcArms: Seq[MergeArm] = notMatchedBySource.map {
+            case DeleteAction(c) =>
+              ArmDelete(c.map(e => Reanchored(targetOnly(e, "condition"))))
+            case UpdateAction(c, assignments, _) =>
+              val keySet = keys.toSet
+              val set = assignments.map {
+                case Assignment(t: AttributeReference, _) if keySet.contains(t.name) =>
+                  decline(s"assignment to key column ${t.name}")
+                case Assignment(t: AttributeReference, v)
+                    if target.outputSet.contains(t) =>
+                  t.name -> Reanchored(targetOnly(v, "assignment"))
+                case other => decline(s"unsupported assignment ${other.sql}")
+              }
+              ArmUpdateSet(set, c.map(e => Reanchored(targetOnly(e, "condition"))))
+            case other => decline(s"not-matched-by-source action $other")
+          }
+          if (arms.isEmpty && !insert && bySrcArms.isEmpty) decline("no actionable clauses")
+          def checkReachable(as: Seq[MergeArm], what: String): Unit =
+            as.zipWithIndex.foreach { case (a, i) =>
+              val uncond = a match {
+                case ArmUpdateAll(None) | ArmDelete(None) => true
+                case ArmUpdateSet(_, None)                => true
+                case _                                    => false
+              }
+              if (uncond && i != as.size - 1)
+                decline(s"$what arm ${i + 1} of ${as.size} is unconditional - " +
+                  "later arms are unreachable")
+            }
+          checkReachable(arms, "matched")
+          checkReachable(bySrcArms, "not-matched-by-source")
           // re-anchor by NAME: source columns keep their plain names on
           // the source frame the verb filters
           val insCondRe = insertCond.map(c => Reanchored(c.transform {
@@ -176,12 +207,14 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
               org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
           }))
           arms match {
-            case Seq(ArmUpdateAll(None)) if insert && insCondRe.isEmpty =>
+            case Seq(ArmUpdateAll(None))
+                if insert && insCondRe.isEmpty && bySrcArms.isEmpty =>
               // the exact upsert shape — the one-pass verb, no
               // source join in the rewrite
               GraftMergeCommand(dir, source, keys)
             case as =>
-              GraftMergeGeneralCommand(dir, source, keys, as, insert, insCondRe)
+              GraftMergeGeneralCommand(dir, source, keys, as, insert, insCondRe,
+                bySrcArms)
           }
         case None => m
       }
@@ -444,21 +477,22 @@ object MutationSqlRule {
     * (target names plain, source non-key names `_src_`-prefixed). */
   final case class GraftMergeGeneralCommand(dir: String, source: LogicalPlan,
       keys: Seq[String], matched: Seq[MergeArm],
-      insertUnmatched: Boolean, insertCond: Option[Reanchored] = None)
+      insertUnmatched: Boolean, insertCond: Option[Reanchored] = None,
+      bySource: Seq[MergeArm] = Nil)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = StatsOutput
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(sparkSession: SparkSession): Seq[Row] = {
       def colOf(h: Reanchored) = org.apache.spark.sql.GraftBridge.column(h.e)
-      val arms = matched.map {
+      def armsOf(as: Seq[MergeArm]) = as.map {
         case ArmUpdateAll(c) => Layout.MatchedUpdateAll(c.map(colOf))
         case ArmUpdateSet(set, c) =>
           Layout.MatchedUpdateSet(set.map { case (n, h) => n -> colOf(h) }, c.map(colOf))
         case ArmDelete(c) => Layout.MatchedDelete(c.map(colOf))
       }
       val src = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
-      val s = Layout.merge(sparkSession, dir, src, keys, arms, insertUnmatched,
-        insertCond.map(colOf))
+      val s = Layout.merge(sparkSession, dir, src, keys, armsOf(matched),
+        insertUnmatched, insertCond.map(colOf), armsOf(bySource))
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
     }
   }

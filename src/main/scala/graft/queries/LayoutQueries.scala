@@ -399,6 +399,33 @@ object LayoutQueries {
     })
   }
 
+  /** Clustered events copy SYNCED to a source — the full Delta-style
+    * statement: matched rows take the source version, target rows the
+    * source no longer carries are deleted (`WHEN NOT MATCHED BY SOURCE
+    * THEN DELETE`), fresh source keys insert. The table afterwards IS
+    * the source (even event_ids, value doubled). */
+  private def zEventsMergeSync(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_merge_sync"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_merge_sync").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value", col("value") * 2)
+        .createOrReplaceTempView("graft_q184_src")
+      spark.sql(
+        s"""MERGE INTO parquet.`$out` AS t USING graft_q184_src AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
+      cache += key -> out
+      out
+    })
+  }
+
   /** Events table built in TWO halves through [[Layout.append]]: even
     * event_ids written plain + indexed + committed, odd event_ids
     * APPENDED through the verb (files promoted, index appended
@@ -513,11 +540,12 @@ object LayoutQueries {
   def buildZorder16(spark: SparkSession, dir: String): Unit = {
     zEventsUpdStr(spark, dir); zEventsWidened(spark, dir)
     zEventsMergeDel(spark, dir); zEventsMergeMultikey(spark, dir)
-    zEventsMergeCondUpd(spark, dir); zEventsMergeSet(spark, dir); ()
+    zEventsMergeCondUpd(spark, dir); zEventsMergeSet(spark, dir)
+    zEventsMergeSync(spark, dir); ()
   }
   private val R16Tables = Set("events_upd_str", "events_widened",
     "events_merge_del", "events_merge_multikey", "events_merge_cond_upd",
-    "events_merge_set")
+    "events_merge_set", "events_merge_sync")
   def invalidateZorder16(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R16Tables.contains(k.stripPrefix(s"$dir|"))
@@ -1099,6 +1127,20 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q184
+  /** The events box over the SYNC merge fixture: the table is exactly
+    * the source afterwards — even event_ids with doubled value, odd
+    * event_ids gone (deleted by the BY SOURCE arm). */
+  def q184MergeSync(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsMergeSync(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   // ---------------------------------------------------------------- q171
   /** The events box over the SNAPSHOT of the two-half [[Layout.append]]
     * fixture: the appended half must be fully adopted (promoted files,
@@ -1244,6 +1286,7 @@ object LayoutQueries {
     "q178_merge_multikey"      -> q178MergeMultikey _,
     "q179_merge_cond_update"   -> q179MergeCondUpdate _,
     "q183_merge_partial_set"   -> q183MergePartialSet _,
+    "q184_merge_sync"          -> q184MergeSync _,
     "q137_zorder_events_box"   -> q137ZorderEventsBox _,
     "q138_zorder_lineitem_box" -> q138ZorderLineitemBox _,
     "q141_sql_tf_zorder"       -> q141SqlTfZorder _,
@@ -1414,6 +1457,15 @@ object LayoutQueries {
          |             THEN 100.0 - value ELSE value END AS value
          |      FROM events)
          |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q184_merge_sync" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 2 * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE event_id % 2 = 0
+         |  AND user_id BETWEEN 2 AND 9
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |GROUP BY event_type""".stripMargin,
     "q183_merge_partial_set" ->

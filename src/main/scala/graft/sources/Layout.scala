@@ -971,20 +971,38 @@ object Layout {
     *
     * `insertCond` (`WHEN NOT MATCHED AND <cond>`): unmatched source
     * rows insert only where it holds — a condition over SOURCE columns
-    * by their plain names (an unmatched row has no target side). */
+    * by their plain names (an unmatched row has no target side).
+    *
+    * `notMatchedBySource` (`WHEN NOT MATCHED BY SOURCE [AND <cond>]
+    * THEN UPDATE SET c = <expr>, … | DELETE`): arms over TARGET rows no
+    * source key matches — conditions and assignments reference target
+    * columns only. These arms make EVERY file a candidate (a skipped
+    * file's rows would all be unmatched-by-source), so the sync-table
+    * shape is honestly a FULL-TABLE rewrite — the cost Delta pays for
+    * the same clause. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String], matched: Seq[MergeMatched],
             insertUnmatched: Boolean = true,
-            insertCond: Option[Column] = None): MutationStats = {
-    require(matched.nonEmpty || insertUnmatched,
-      "merge: no WHEN MATCHED arm and insertUnmatched=false - the merge is a no-op")
+            insertCond: Option[Column] = None,
+            notMatchedBySource: Seq[MergeMatched] = Nil): MutationStats = {
+    require(matched.nonEmpty || insertUnmatched || notMatchedBySource.nonEmpty,
+      "merge: no WHEN MATCHED arm, no BY SOURCE arm, insertUnmatched=false - a no-op")
     require(insertCond.isEmpty || insertUnmatched,
       "merge: insertCond given but insertUnmatched=false")
-    // an unconditional arm ends the first-match-wins chain
-    matched.zipWithIndex.foreach { case (m, i) =>
-      require(m.cond.nonEmpty || i == matched.size - 1,
-        s"merge: matched arm ${i + 1} of ${matched.size} is unconditional - " +
-          "later arms are unreachable")
+    // an unconditional arm ends its first-match-wins chain
+    def checkReachable(arms: Seq[MergeMatched], what: String): Unit =
+      arms.zipWithIndex.foreach { case (m, i) =>
+        require(m.cond.nonEmpty || i == arms.size - 1,
+          s"merge: $what arm ${i + 1} of ${arms.size} is unconditional - " +
+            "later arms are unreachable")
+      }
+    checkReachable(matched, "matched")
+    checkReachable(notMatchedBySource, "not-matched-by-source")
+    notMatchedBySource.foreach {
+      case MatchedUpdateAll(_) => throw new IllegalArgumentException(
+        "merge: UPDATE SET * has no meaning for a NOT MATCHED BY SOURCE row - " +
+          "there is no source row to take; use explicit assignments")
+      case _ => ()
     }
     val srcPrefix = "_src_"
     val marker = "_src__matched"
@@ -1004,8 +1022,12 @@ object Layout {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val snapFiles = snap.inputFiles.map(normPath).toSet
+      // a BY SOURCE arm makes EVERY file a candidate: a skipped file's
+      // rows would ALL be unmatched-by-source, exactly the rows the arm
+      // acts on — the sync-table shape is honestly a full-table rewrite
       val missed =
-        if (fs.exists(new org.apache.hadoop.fs.Path(envelopesPath(dir))))
+        if (notMatchedBySource.nonEmpty) Set.empty[String]
+        else if (fs.exists(new org.apache.hadoop.fs.Path(envelopesPath(dir))))
           classify(spark.read.parquet(envelopesPath(dir)))._1.intersect(snapFiles)
         else Set.empty[String]
       // the verb is writer-exclusive and single-threaded between here
@@ -1016,11 +1038,11 @@ object Layout {
       // untouched outright — candidates are read only to detect which
       // source keys already exist
       val classifyMemo: DataFrame => (Set[String], Set[String]) =
-        if (matched.isEmpty) _ => (snapFiles, Set.empty)
+        if (matched.isEmpty && notMatchedBySource.isEmpty) _ => (snapFiles, Set.empty)
         else _ => (missed, Set.empty)
       val cand = minusFiles(spark, snap, missed)
       val fields = cand.schema.fields.toSeq
-      matched.foreach {
+      (matched ++ notMatchedBySource).foreach {
         case MatchedUpdateSet(set, _) =>
           require(set.map(_._1).distinct.size == set.size,
             s"merge: duplicate assignment targets in ${set.map(_._1)}")
@@ -1045,19 +1067,23 @@ object Layout {
       def rewrite(old: DataFrame): DataFrame = {
         val j = old.join(srcR, keyCols, "left_outer")
         val isM = col(marker).isNotNull
-        val conds = matched.map(m =>
-          m.cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
-        val gates = conds.zipWithIndex.map { case (c, i) =>
-          isM && c && !conds.take(i).reduceOption(_ || _).getOrElse(lit(false))
+        def gatesOf(arms: Seq[MergeMatched], side: Column): Seq[Column] = {
+          val conds = arms.map(m =>
+            m.cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+          conds.zipWithIndex.map { case (c, i) =>
+            side && c && !conds.take(i).reduceOption(_ || _).getOrElse(lit(false))
+          }
         }
-        val deleteGate = matched.zip(gates)
+        val armed = matched.zip(gatesOf(matched, isM)) ++
+          notMatchedBySource.zip(gatesOf(notMatchedBySource, !isM))
+        val deleteGate = armed
           .collect { case (MatchedDelete(_), g) => g }
           .reduceOption(_ || _).getOrElse(lit(false))
         j.filter(!deleteGate).select(fields.map { f =>
           var chain: Column = null
           def add(g: Column, v: Column): Unit =
             chain = if (chain == null) when(g, v) else chain.when(g, v)
-          matched.zip(gates).foreach {
+          armed.foreach {
             case (MatchedUpdateAll(_), g) =>
               if (!keyCols.contains(f.name))
                 add(g, col(srcPrefix + f.name).cast(f.dataType))

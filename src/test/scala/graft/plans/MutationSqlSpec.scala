@@ -285,6 +285,34 @@ class MutationSqlSpec extends AnyFunSuite {
       ex.getMessage)
   }
 
+  test("MERGE INTO: NOT MATCHED BY SOURCE arms sync the table; source refs decline") {
+    val dir = freshDir("sql-merge-sync")
+    (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // source: keys 0..49 with new values, plus a fresh 1000
+    ((0L to 49L).map(k => (k, -k)) :+ (1000L, -1000L)).toDF("k", "v")
+      .createOrReplaceTempView("sync_src")
+    spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING sync_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.v >= 900 THEN DELETE""".stripMargin).collect()
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toMap
+    // matched replaced, fresh inserted, unmatched-by-source rows with
+    // v >= 900 (k 90..99) deleted, the rest (k 50..89) kept
+    assert(got.size == 91, s"${got.size}")
+    assert((0L to 49L).forall(k => got(k) == -k) && got(1000L) == -1000L)
+    assert(got(50L) == 500L && !got.contains(95L))
+    // a BY SOURCE condition referencing the source fails loudly —
+    // Spark's own resolution rejects it (the clause scopes to the
+    // target alone) before the rule would decline it
+    val ex = intercept[Exception](spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t USING sync_src AS s ON t.k = s.k
+         |WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""".stripMargin).collect())
+    assert(ex.getMessage.contains("source") || ex.getMessage.contains("MERGE") ||
+      ex.getMessage.contains("cannot be resolved"), ex.getMessage)
+  }
+
   test("MERGE INTO: conditional NOT MATCHED insert filters unmatched source rows") {
     val dir = freshDir("sql-merge-cins")
     (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1).write.parquet(dir)
