@@ -925,11 +925,13 @@ object Layout {
     }
   }
 
-  /** The WHEN MATCHED arm of a [[merge]]. The optional condition is
-    * evaluated per matched (target row, source row) pair: target columns
-    * are referenced by their plain names, source columns through the
-    * `_src_` prefix (`col("_src_value")`); key columns — equal on both
-    * sides by the match — by their plain names. */
+  /** An arm of a [[merge]] — WHEN MATCHED, or (update-set/delete only)
+    * WHEN NOT MATCHED BY SOURCE. The optional condition is evaluated
+    * per row: for matched arms over the (target row, source row) pair —
+    * target columns by their plain names, source columns through the
+    * `_src_` prefix (`col("_src_value")`), key columns (equal on both
+    * sides) by their plain names; for by-source arms over the target
+    * row alone. */
   sealed trait MergeMatched { def cond: Option[Column] }
   /** Matched pairs satisfying `cond` have their target row REPLACED by
     * the source row (`UPDATE SET *`); other matched rows are kept. */
