@@ -785,11 +785,13 @@ object Layout {
     * column, by per-file bloom membership (the point-lookup proof that
     * still refutes when every hull covers every key). FLOAT/DOUBLE/
     * DECIMAL keys stab through truncation toward zero — non-strictly
-    * monotone, so a sound superset; NaN and beyond-long values fall out
-    * conservatively (see the classifier) — leaving NO key type on a
-    * nested-loop path (keys packed inside one integer unit degrade to
-    * candidate-everything, which is the full-rewrite cost, never a
-    * cross product). */
+    * monotone, so a sound superset; NaN (and decimal overflow) views
+    * to NULL and falls out conservatively, while float/double overflow
+    * SATURATES to ±Long.MaxValue — still monotone (see the classifier)
+    * — leaving NO key type on a nested-loop path (keys packed inside
+    * one integer unit degrade to candidate-everything, which is the
+    * full-rewrite cost, never a cross product; unsupported key types
+    * like binary or boolean decline loudly). */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
              keyCol: String): MutationStats =
     upsertKeyed(spark, dir, updates, Seq(keyCol))
@@ -804,13 +806,16 @@ object Layout {
           .readFrom(new java.io.ByteArrayInputStream(bloom)).mightContainLong(hash))
 
   /** [[upsert]] generalized to a COMPOSITE unique key: rows are matched
-    * on equality of EVERY `keyCols` column. File classification stabs on
-    * the FIRST key column only (sound: a file whose `keyCols.head` range
-    * contains no update's first key component cannot hold any composite
-    * match), the rewrite anti-joins on the full key. */
+    * on equality of EVERY `keyCols` column. File classification stabs
+    * EACH key column independently and unions the miss proofs (a file
+    * whose range on ANY key column contains no source key component
+    * cannot hold a composite match) — so a low-cardinality leading key
+    * (`(source, doc_id)`, `(date, id)`) still classifies at file grain
+    * through its selective columns; the rewrite anti-joins on the full
+    * key. */
   def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
                   keyCols: Seq[String]): MutationStats = {
-    val keys = cachedUniqueKeys(updates, keyCols, "upsert")
+    val keys = cachedSourceKeys(updates, keyCols, "upsert", requireUnique = true)
     try
       mutateFiles(spark, dir, keyedClassifier(updates, keys, keyCols),
         rewrite = _.join(keys, keyCols, "left_anti"), extra = Some(updates),
@@ -827,11 +832,14 @@ object Layout {
     else Map.empty
 
   /** Validated, cached key projection of `source`: key columns are
-    * distinct, carry no NULLs, and identify each source row uniquely —
-    * the shared precondition of [[upsertKeyed]] and [[merge]]. The
-    * caller unpersists. */
-  private def cachedUniqueKeys(source: DataFrame, keyCols: Seq[String],
-                               verb: String): DataFrame = {
+    * distinct, carry no NULLs, and — when `requireUnique` (any verb with
+    * a matched or by-source arm: two source rows for one target row have
+    * no defined winner, SQL MERGE's cardinality error) — identify each
+    * source row uniquely. An INSERT-ONLY merge passes `requireUnique =
+    * false`: repeated unmatched source keys legally insert row by row.
+    * The caller unpersists. */
+  private def cachedSourceKeys(source: DataFrame, keyCols: Seq[String],
+                               verb: String, requireUnique: Boolean): DataFrame = {
     require(keyCols.nonEmpty, s"$verb: no key columns")
     require(keyCols.distinct.size == keyCols.size,
       s"$verb: duplicate key columns in $keyCols")
@@ -844,7 +852,7 @@ object Layout {
     def fail(msg: String): Nothing = { keys.unpersist(); throw new IllegalArgumentException(msg) }
     if (nullN != 0L)
       fail(s"$verb: $nullN source rows have a NULL in key ${keyCols.mkString(",")}")
-    if (n != distinctN)
+    if (requireUnique && n != distinctN)
       fail(s"$verb: key ${keyCols.mkString(",")} is not unique in the source " +
         s"($n rows, $distinctN keys)")
     keys
@@ -852,27 +860,32 @@ object Layout {
 
   /** Envelope-index classifier for a KEYED mutation — maps the index to
     * (missed, dropped-whole) file sets, where a "missed" file provably
-    * contains NO source key. Stabs on `keyCols.head` only (sound: a
-    * file whose first-key range contains no source first-key component
-    * cannot hold any composite match); the interval-stab / string-prefix
-    * / bloom machinery is documented on [[upsert]]. Shared by
-    * [[upsertKeyed]] and [[merge]]. */
+    * contains NO source key. Stabs EVERY key column independently and
+    * UNIONS the per-column miss proofs: a composite match needs every
+    * component inside the file, so a file whose range on ANY key column
+    * contains no source component of that column is proven missed — the
+    * classification that keeps `(source, doc_id)` / `(date, id)` merges
+    * at file grain when the leading column is near-constant (its hull
+    * covers every key; the selective column's stab still prunes). The
+    * interval-stab / string-prefix / bloom machinery is documented on
+    * [[upsert]]. Shared by [[upsertKeyed]] and [[merge]]. */
   private def keyedClassifier(source: DataFrame, keys: DataFrame,
                               keyCols: Seq[String]): DataFrame => (Set[String], Set[String]) = {
-    val stabCol = keyCols.head
-    // MONOTONE long view of the stab key type: exact and total for the
+    // MONOTONE long view per key column type: exact and total for the
     // integral/date/timestamp types; for float/double/decimal the view
     // is TRUNCATION toward zero — non-strictly monotone where defined
     // (min <= k <= max implies trunc(min) <= trunc(k) <= trunc(max), so
     // the stab is a sound SUPERSET; collisions only cost candidate
     // I/O — keys packed inside one integer unit degrade to
-    // candidate-everything, still exact). NaN and beyond-±2^63 values
-    // map to NULL and fall out CONSERVATIVELY in [[stabMissed]]: a null
-    // point proves nothing it needs to (any file that could hold such a
-    // key has a NaN/overflowing bound itself, so its own null view
-    // already forces it to the rewrite class). Strings go through
-    // [[stringKeyStab]] instead.
-    val exactLong: Option[Column => Column] = source.schema(stabCol).dataType match {
+    // candidate-everything, still exact). NaN views to NULL and falls
+    // out CONSERVATIVELY in the stab (a null point proves nothing it
+    // needs to; any file that could hold a NaN has a NaN bound itself,
+    // whose own null view forces it to the rewrite class). Float/double
+    // values beyond ±2^63 SATURATE to Long.Max/MinValue under the
+    // non-ANSI cast — still monotone, still a sound superset (only
+    // DECIMAL overflow views to NULL, which is conservative the same
+    // way NaN is). Strings go through [[stringKeyStab]] instead.
+    def exactLongOf(c: String): Option[Column => Column] = source.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType => Some(_.cast("long"))
       case DateType      => Some(c => unix_date(c).cast("long"))
       case TimestampType => Some(c => unix_micros(c))
@@ -881,17 +894,30 @@ object Layout {
       case _: DecimalType => Some(_.cast("long"))
       case _ => None
     }
-    val isString = source.schema(stabCol).dataType == StringType
-    // the stab over a monotone long view `lv` of the key: candidate
-    // (file, key) pairs via the bucketized equi-join. Files whose
-    // bounds view to NULL cannot be proven missed (they stay in the
-    // rewrite class); keys whose view is NULL stab nothing — both the
-    // conservative direction.
-    def stabMissed(valid: DataFrame, lv: Column => Column): Set[String] = {
+    // NO key type may reach a nested-loop plan: types with neither a
+    // monotone long view nor the string machinery (binary, boolean,
+    // struct, …) decline LOUDLY here instead of planning the silent
+    // O(files × keys) `key BETWEEN min/max` broadcast-nested-loop
+    keyCols.foreach { c =>
+      val dt = source.schema(c).dataType
+      require(exactLongOf(c).nonEmpty || dt == StringType,
+        s"keyed mutation: key column '$c' of type ${dt.sql} has no sound file-stab " +
+          "view (supported key types: byte/short/int/long, date, timestamp, " +
+          "float/double, decimal, string) - classification would need an " +
+          "O(files × keys) nested loop. Key the table on a string or numeric " +
+          "surrogate instead.")
+    }
+    // the stab over a monotone long view `lv` of one key column:
+    // candidate (file, key) pairs via the bucketized equi-join. Files
+    // whose bounds view to NULL cannot be proven missed (they stay in
+    // the rewrite class); keys whose view is NULL stab nothing — both
+    // the conservative direction.
+    def stabMissed(stabCol: String, valid: DataFrame, pts0: DataFrame,
+                   lv: Column => Column): Set[String] = {
       val iv = valid.select(col("file"),
         lv(col(s"min_$stabCol")).as("f_start"), lv(col(s"max_$stabCol")).as("f_end"))
         .filter(col("f_start").isNotNull && col("f_end").isNotNull)
-      val pts = keys.select(lv(col(stabCol)).as("k_pt"))
+      val pts = pts0.select(lv(col(stabCol)).as("k_pt"))
         .filter(col("k_pt").isNotNull)
       val stabbed = graft.operators.IntervalJoin.pointInInterval(
         pts, iv, Nil, "k_pt", "f_start", "f_end", stabWidth(iv)).select("file")
@@ -899,29 +925,32 @@ object Layout {
     }
     env => {
       val cols = env.columns.toSeq
-      if (!cols.contains(s"min_$stabCol") || !cols.contains(s"max_$stabCol"))
-        (Set.empty, Set.empty)
-      else {
-        // null key stats (mixed-generation rows) must NOT classify as
-        // miss: restrict the stab to rows whose proof can run
-        val valid = env.filter(col(s"min_$stabCol").isNotNull &&
-          col(s"max_$stabCol").isNotNull)
-        val missed = exactLong match {
-          case Some(lv) => stabMissed(valid, lv)
-          case None if isString =>
-            val ivCols = Seq(col("file"), col(s"min_$stabCol").as("f_min"),
-              col(s"max_$stabCol").as("f_max")) ++
-              (if (cols.contains(s"bloom_$stabCol")) Seq(col(s"bloom_$stabCol").as("f_bloom"))
-               else Nil)
-            val stabbed = stringKeyStab(valid.select(ivCols: _*),
-              keys.select(col(stabCol).as("k_val")))
-            collectFiles(valid) -- collectFiles(stabbed.select("file"))
-          case None =>
-            collectFiles(valid.join(keys,
-              keys(stabCol).between(col(s"min_$stabCol"), col(s"max_$stabCol")), "left_anti"))
+      val perColumn = keyCols.map { stabCol =>
+        if (!cols.contains(s"min_$stabCol") || !cols.contains(s"max_$stabCol"))
+          Set.empty[String]
+        else {
+          // null key stats (mixed-generation rows) must NOT classify as
+          // miss: restrict the stab to rows whose proof can run
+          val valid = env.filter(col(s"min_$stabCol").isNotNull &&
+            col(s"max_$stabCol").isNotNull)
+          // per-column distinct: a composite key's unique rows may carry
+          // few distinct values in ONE column (the low-cardinality
+          // leading key), and stabbing duplicates buys nothing
+          val pts0 = keys.select(col(stabCol)).distinct()
+          exactLongOf(stabCol) match {
+            case Some(lv) => stabMissed(stabCol, valid, pts0, lv)
+            case None => // StringType — the only remaining type after the gate
+              val ivCols = Seq(col("file"), col(s"min_$stabCol").as("f_min"),
+                col(s"max_$stabCol").as("f_max")) ++
+                (if (cols.contains(s"bloom_$stabCol")) Seq(col(s"bloom_$stabCol").as("f_bloom"))
+                 else Nil)
+              val stabbed = stringKeyStab(valid.select(ivCols: _*),
+                pts0.select(col(stabCol).as("k_val")))
+              collectFiles(valid) -- collectFiles(stabbed.select("file"))
+          }
         }
-        (missed, Set.empty)
       }
+      (perColumn.reduce(_ ++ _), Set.empty)
     }
   }
 
@@ -955,9 +984,11 @@ object Layout {
     *
     * Row semantics are SQL MERGE's: each matched TARGET row acts
     * independently (duplicate-key target rows update/delete row by
-    * row), while duplicate SOURCE keys are rejected up front (two
-    * source rows for one target row have no defined winner — the
-    * standard MERGE cardinality error). Same classification and commit
+    * row), while duplicate SOURCE keys are rejected up front whenever a
+    * matched or by-source arm exists (two source rows for one target
+    * row have no defined winner — the standard MERGE cardinality
+    * error); an INSERT-ONLY merge accepts them, inserting each unmatched
+    * source row. Same classification and commit
     * protocol as [[upsertKeyed]]: files whose key range provably misses
     * every source key are untouched; candidates are rewritten through
     * ONE per-row left-outer join against the (renamed) source — arm
@@ -1013,14 +1044,24 @@ object Layout {
     require(clash.isEmpty,
       s"merge: source column(s) ${clash.mkString(", ")} collide with the $srcPrefix " +
         "prefix the matched arms reference source columns through")
-    val keys = cachedUniqueKeys(source, keyCols, "merge")
+    // duplicate SOURCE keys are the MERGE cardinality error only when an
+    // arm acts on matched target rows; an INSERT-ONLY merge (no matched,
+    // no by-source arm) legally inserts repeated unmatched keys row by row
+    val keys = cachedSourceKeys(source, keyCols, "merge",
+      requireUnique = matched.nonEmpty || notMatchedBySource.nonEmpty)
     try {
       if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
+      // PIN the snapshot seq BEFORE classification: the candidate
+      // restriction and the unmatched-insert anti-join are built against
+      // this snapshot, and mutateFiles CASes on exactly pinned.seq + 1 —
+      // a commit interleaving anywhere after this line is a detected
+      // conflict, never a silently-stale classification
+      val pinned = Manifest.info(spark, dir)
       val classify = keyedClassifier(source, keys, keyCols)
       // candidate rows: the snapshot minus provably-missed files — every
       // matched (target, source) pair lives in a candidate file, so the
       // per-row merge join never scans untouched files
-      val snap = readSnapshot(spark, dir)
+      val snap = readSnapshot(spark, dir, Some(pinned.seq))
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val snapFiles = snap.inputFiles.map(normPath).toSet
@@ -1101,8 +1142,9 @@ object Layout {
           Some(insertCond.foldLeft(
             source.join(cand.select(keyCols.map(col): _*), keyCols, "left_anti"))(_.filter(_)))
         else None
+      raceHooks.preMutate()
       mutateFiles(spark, dir, classifyMemo, rewrite, extra,
-        props = pairKeyProps(keyCols))
+        props = pairKeyProps(keyCols), pinned = Some(pinned))
     } finally { keys.unpersist(); () }
   }
 
@@ -1188,19 +1230,22 @@ object Layout {
                           classify: DataFrame => (Set[String], Set[String]),
                           rewrite: DataFrame => DataFrame,
                           extra: Option[DataFrame],
-                          props: Map[String, String] = Map.empty): MutationStats = {
+                          props: Map[String, String] = Map.empty,
+                          pinned: Option[Manifest.Info] = None): MutationStats = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no table at $dir")
     // the manifest is the commit mechanism: bootstrap the first commit
     if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
-    val info = Manifest.info(spark, dir)
     // PIN the snapshot seq this mutation classifies against: the final
     // commit CASes on exactly seq0+1, so ANY interleaved commit turns
-    // into a detected conflict instead of a silent overwrite
+    // into a detected conflict instead of a silent overwrite. A verb
+    // that classified BEFORE calling in (merge) passes its own pinned
+    // info, so the CAS provably covers the snapshot it classified on.
+    val info = pinned.getOrElse(Manifest.info(spark, dir))
     val seq0 = info.seq
     val partCols = info.partSchema.fieldNames.toSeq
-    val snap = readSnapshot(spark, dir)
+    val snap = readSnapshot(spark, dir, Some(seq0))
     val fileMap = snap.inputFiles.map(f => normPath(f) -> f).toMap
     val files = fileMap.keySet
     // STRAY-FILE guard: files appended to the live dir since the last
@@ -1339,7 +1384,13 @@ object Layout {
   private[graft] object raceHooks {
     @volatile var preRetire: () => Unit = () => ()
     @volatile var preCommit: () => Unit = () => ()
-    def reset(): Unit = { preRetire = () => (); preCommit = () => () }
+    /** Fires between a verb's OWN classification and mutateFiles — the
+      * window the merge seq-pinning closes (a commit here must become a
+      * detected conflict, never a silently-stale classification). */
+    @volatile var preMutate: () => Unit = () => ()
+    def reset(): Unit = {
+      preRetire = () => (); preCommit = () => (); preMutate = () => ()
+    }
   }
 
   /** Promote a tmp write's parquet files into the table root, preserving

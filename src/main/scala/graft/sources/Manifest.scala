@@ -101,10 +101,15 @@ object Manifest {
         java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("&")
 
-  private def decodeProps(line: String): Map[String, String] =
+  private def decodeProps(line: String, at: Path): Map[String, String] =
     if (line == "-" || line.isEmpty) Map.empty
     else line.split("&").iterator.map { kv =>
       val i = kv.indexOf('=')
+      // a corrupt/truncated v4 props line must fail as a diagnosable
+      // manifest error, not a StringIndexOutOfBoundsException
+      if (i < 0) throw new IllegalArgumentException(
+        s"Manifest: $at has a malformed props segment '$kv' (no '=') - " +
+          "not a valid graft manifest props line")
       java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
         java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
     }.toMap
@@ -391,7 +396,7 @@ object Manifest {
     val dataSchema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
     val partSchema = DataType.fromJson(lines(2)).asInstanceOf[StructType]
     val (sig, nonce, props, files) =
-      if (v4) (lines(3), lines(4), decodeProps(lines(5)), lines.drop(6))
+      if (v4) (lines(3), lines(4), decodeProps(lines(5), p), lines.drop(6))
       else if (v3) (lines(3), lines(4), Map.empty[String, String], lines.drop(5))
       else if (v2) (lines(3), "-", Map.empty[String, String], lines.drop(4))
       else ("-", "-", Map.empty[String, String], lines.drop(3))
@@ -506,12 +511,18 @@ object Manifest {
           s"${missing.mkString(", ")} not in the m$target schema")
         Some(pairOn)
       } else {
-        val recorded = ((fromSeq + 1) to target).flatMap(s =>
+        // auto-pair ONLY when EVERY commit in the range is a keyed
+        // mutation recording the SAME pair key: a prop-less commit in
+        // the range (deleteWhere, append, compaction) or an unreadable/
+        // vacuumed mid-range manifest means the net diff mixes changes
+        // that pairing would mislabel — e.g. one commit's delete and
+        // another's unrelated same-key insert dressed up as an update
+        val recorded = ((fromSeq + 1) to target).map(s =>
           scala.util.Try(parse(fs, dir, s)).toOption
-            .flatMap(_.props.get(PairKeyProp))).distinct
+            .flatMap(_.props.get(PairKeyProp)))
         recorded match {
-          case Seq(one) =>
-            val k = one.split(',').toSeq
+          case rs if rs.nonEmpty && rs.head.isDefined && rs.forall(_ == rs.head) =>
+            val k = rs.head.get.split(',').toSeq
             if (k.nonEmpty && k.forall(allCols.contains)) Some(k) else None
           case _ => None
         }

@@ -342,6 +342,91 @@ class MutationSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 6)
   }
 
+  test("composite key with a near-constant leading column still classifies at file grain") {
+    val dir = freshDir("graft-ups-lowcard")
+    // the corpus-pipeline composite-key shape: (source, doc_id) where the
+    // LEADING column has 2 distinct values covering every file's hull —
+    // a head-only stab candidates EVERYTHING; the per-column union must
+    // prove the i-disjoint file missed through its second component
+    (0L to 99L).map(i => (if (i % 2 == 0) "web" else "books", i, i))
+      .toDF("src", "i", "v").coalesce(1).write.mode("append").parquet(dir)
+    (500L to 599L).map(i => (if (i % 2 == 0) "web" else "books", i, i))
+      .toDF("src", "i", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("src", "i"))
+    val ups = Seq(("web", 10L, -1L), ("books", 11L, -2L)).toDF("src", "i", "v")
+    val stats = Layout.upsertKeyed(spark, dir, ups, Seq("src", "i"))
+    assert(stats == Layout.MutationStats(0, 1, 1),
+      s"the i-disjoint file must classify untouched despite the covered leading key: $stats")
+    val got = spark.read.parquet(dir).as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("web", 10L)) == -1L && got(("books", 11L)) == -2L)
+    assert(got(("web", 500L)) == 500L && got.size == 200)
+  }
+
+  test("unsupported key types decline loudly instead of planning a nested loop") {
+    val dir = freshDir("graft-ups-badkey")
+    Seq((true, 1L), (false, 2L)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    val ex = intercept[IllegalArgumentException] {
+      Layout.upsert(spark, dir, Seq((true, -1L)).toDF("k", "v"), "k")
+    }
+    assert(ex.getMessage.contains("no sound file-stab view") &&
+      ex.getMessage.contains("surrogate"), ex.getMessage)
+    // binary keys too — and the composite form names the offending column
+    val bdir = freshDir("graft-ups-binkey")
+    Seq((Array[Byte](1), 1L)).toDF("k", "v").coalesce(1).write.parquet(bdir)
+    Layout.writeEnvelopes(spark, bdir, Seq("v"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Layout.upsertKeyed(spark, bdir,
+        Seq((Array[Byte](1), 1L, -1L)).toDF("k", "v", "w").drop("w"), Seq("v", "k"))
+    }
+    assert(ex2.getMessage.contains("'k'"), ex2.getMessage)
+  }
+
+  test("insert-only merge accepts duplicate unmatched source keys (SQL cardinality rule)") {
+    val dir = freshDir("graft-merge-insonly")
+    (0L to 9L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // two source rows with the SAME unmatched key: both insert (no
+    // matched arm exists, so no target row has two source matches)
+    val src = Seq((100L, 1L), (100L, 2L), (5L, -5L)).toDF("k", "v")
+    val stats = Layout.merge(spark, dir, src, Seq("k"),
+      matched = Nil, insertUnmatched = true)
+    assert(stats.rewrittenFiles == 0L, s"insert-only must rewrite nothing: $stats")
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toSeq
+    assert(got.count(_._1 == 100L) == 2, "both duplicate-key rows inserted")
+    assert(got.count(_._1 == 5L) == 1 && got.find(_._1 == 5L).get._2 == 5L,
+      "matched key NOT touched by an insert-only merge")
+    assert(got.size == 12)
+    // with a matched arm the same duplicates are the cardinality error
+    val ex = intercept[IllegalArgumentException](Layout.merge(spark, dir,
+      Seq((100L, 1L), (100L, 2L)).toDF("k", "v"), Seq("k"),
+      Seq(Layout.MatchedUpdateAll())))
+    assert(ex.getMessage.contains("not unique"), ex.getMessage)
+  }
+
+  test("a commit between merge's classification and its moves is a detected conflict") {
+    val dir = freshDir("graft-merge-pin")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    Manifest.write(spark, dir)
+    // the interleaving the seq pinning closes: a foreign commit lands
+    // AFTER merge classified (snapshot + candidate sets built) but
+    // BEFORE mutateFiles moves anything — the pre-move re-check must
+    // see the pinned seq superseded and abort with nothing moved
+    Layout.raceHooks.preMutate = () => { Manifest.write(spark, dir); () }
+    try {
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        Layout.merge(spark, dir, Seq((5L, -5L)).toDF("k", "v"), Seq("k"),
+          Seq(Layout.MatchedUpdateAll()))
+      }
+      assert(ex.getMessage.contains("NOTHING"), ex.getMessage)
+      Layout.raceHooks.reset()
+      assert(Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().toMap
+        .apply(5L) == 5L, "aborted merge changed nothing")
+    } finally Layout.raceHooks.reset()
+  }
+
   test("merge: conditional arms via the Scala API, _src_ columns, key-disjoint files skipped") {
     import org.apache.spark.sql.functions.col
     val dir = freshDir("graft-merge")
