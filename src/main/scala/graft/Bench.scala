@@ -137,7 +137,13 @@ object Bench {
     // duplicate-n-gram fractions (one explode for all nine sizes)
     "q177_merge_cond_delete", "q178_merge_multikey", "q179_merge_cond_update",
     "q180_cdc_update_images", "q181_bloom_in100", "q182_gopher_ngram_fracs",
-    "q183_merge_partial_set", "q184_merge_sync")
+    "q183_merge_partial_set", "q184_merge_sync",
+    // round 17: merge-on-read deletion vectors (snapshot box over the
+    // un-rewritten candidates, row-level CDC of a DV commit, the reified
+    // twin) and the per-column composite-key stab (mutations inside
+    // q185_mut_build17)
+    "q185_dv_delete_box", "q186_dv_cdc_rows", "q187_dv_reified_box",
+    "q188_merge_lowcard_key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -324,6 +330,23 @@ object Bench {
       val (b1, ok1) = once(); val (b2, ok2) = once()
       if (ok1 && ok2) math.min(b1, b2) else -1.0
     }
+    // round-17 build (deletion-vector + low-cardinality-key fixtures):
+    // min-of-two honesty split; q185+ then time serving only.
+    val mutBuild17 = {
+      def once(): (Double, Boolean) = {
+        graft.queries.LayoutQueries.invalidateZorder17(sfDir)
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.queries.LayoutQueries.buildZorder17(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q185_mut_build17 FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (b1, ok1) = once(); val (b2, ok2) = once()
+      if (ok1 && ok2) math.min(b1, b2) else -1.0
+    }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
     val run2 = present.map { n =>
@@ -406,6 +429,7 @@ object Bench {
       ("q151_manifest_build" -> manifestBuild) :+
       ("q167_part_build" -> partBuild15) :+
       ("q175_mut_build16" -> mutBuild16) :+
+      ("q185_mut_build17" -> mutBuild17) :+
       ("q103_index_build" -> annBuild) :+
       ("q35_pair_graph_build" -> pairBuild) :+
       ("q35_cc_label_build" -> labelBuild) :+

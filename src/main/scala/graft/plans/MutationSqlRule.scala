@@ -415,7 +415,15 @@ object MutationSqlRule {
   private val StatsOutput = Seq(
     AttributeReference("dropped_files", LongType, nullable = false)(),
     AttributeReference("rewritten_files", LongType, nullable = false)(),
-    AttributeReference("untouched_files", LongType, nullable = false)())
+    AttributeReference("untouched_files", LongType, nullable = false)(),
+    AttributeReference("dv_files", LongType, nullable = false)())
+
+  /** Session conf picking DELETE's physical strategy: `copy` (default,
+    * rewrite candidate files) or `dv` (merge-on-read deletion vectors —
+    * candidates stay byte-untouched, positions go to a sidecar). Read at
+    * RUN time, so `SET spark.graft.delete.mode=dv` flips the next
+    * `DELETE FROM` without re-planning. */
+  val DeleteModeConf = "spark.graft.delete.mode"
 
   /** Opaque holder keeping a NAME-anchored (deliberately unresolved)
     * expression out of a command's `expressions` traversal: the
@@ -438,8 +446,9 @@ object MutationSqlRule {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = StatsOutput
     override def run(sparkSession: SparkSession): Seq[Row] = {
-      val s = Layout.deleteWhere(sparkSession, dir, box)
-      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
+      val mode = sparkSession.conf.get(DeleteModeConf, "copy")
+      val s = Layout.deleteWhere(sparkSession, dir, box, mode)
+      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
     }
   }
 
@@ -452,7 +461,7 @@ object MutationSqlRule {
     override def run(sparkSession: SparkSession): Seq[Row] = {
       val s = Layout.updateWhere(sparkSession, dir, box,
         set.map { case (n, e) => n -> org.apache.spark.sql.GraftBridge.column(e) })
-      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
+      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
     }
   }
 
@@ -466,7 +475,7 @@ object MutationSqlRule {
     override def run(sparkSession: SparkSession): Seq[Row] = {
       val updates = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
       val s = Layout.upsertKeyed(sparkSession, dir, updates, keys)
-      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
+      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
     }
   }
 
@@ -493,7 +502,7 @@ object MutationSqlRule {
       val src = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
       val s = Layout.merge(sparkSession, dir, src, keys, armsOf(matched),
         insertUnmatched, insertCond.map(colOf), armsOf(bySource))
-      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles))
+      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
     }
   }
 

@@ -534,6 +534,75 @@ object LayoutQueries {
     })
   }
 
+  /** Flat clustered events copy with the q160 box deleted MERGE-ON-READ
+    * ([[Layout.deleteWhere]] `mode = "dv"`): candidate files stay
+    * byte-untouched, the matching positions live in the manifest's
+    * deletion-vector sidecar, and [[Layout.readSnapshot]] filters them —
+    * the trickle-delete economics at 100 TB (no file rewrite). Serves
+    * q185 (snapshot box) and q186 (row-level CDC of the DV commit). */
+  private def zEventsDelDv(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_del_dv"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_del_dv").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts"),
+        Seq("user_id", "ts_us"), 16, out)
+      Layout.deleteWhere(spark, out,
+        Seq(("user_id", 3L, 6L), ("ts_us", EvTsLo, EvTsHi - 1)), mode = "dv")
+      cache += key -> out
+      out
+    })
+  }
+
+  /** [[zEventsDelDv]]'s twin taken one step further: the pending
+    * deletion vector MATERIALIZED by [[Layout.reifyDeletes]] (only the
+    * DV'd files rewrite, the sidecar clears), so the PLAIN read agrees
+    * with the snapshot again. */
+  private def zEventsDelDvReified(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_del_dv_reified"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_del_dv_reified").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts"),
+        Seq("user_id", "ts_us"), 16, out)
+      Layout.deleteWhere(spark, out,
+        Seq(("user_id", 3L, 6L), ("ts_us", EvTsLo, EvTsHi - 1)), mode = "dv")
+      Layout.reifyDeletes(spark, out)
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Events copy clustered BY EVENT_ID (tight per-file event_id hulls)
+    * and merged on the COMPOSITE key (event_type, event_id) whose
+    * LEADING column is near-constant — 5 event types, every file's hull
+    * covers all of them, so a head-only stab would candidate EVERY
+    * file; the per-column union classification must keep the merge at
+    * file grain through the selective second component (MutationSpec
+    * pins the candidate count; this fixture pins exactness). */
+  private def zEventsMergeLowcard(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_merge_lowcard"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_merge_lowcard").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("event_id"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("event_id", "event_type"))
+      ev.filter(col("event_id") % 10 === 7)
+        .withColumn("value", col("value") * 3)
+        .createOrReplaceTempView("graft_q188_src")
+      spark.sql(
+        s"""MERGE INTO parquet.`$out` AS t USING graft_q188_src AS s
+           |ON t.event_type = s.event_type AND t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-16 build (the string-keyed upsert fixture, the widened-table
     * fixture, and the three MERGE-shape fixtures — each a clusterWrite +
     * an SQL merge), its own bench entry so q175+ time serving only. */
@@ -549,6 +618,21 @@ object LayoutQueries {
   def invalidateZorder16(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R16Tables.contains(k.stripPrefix(s"$dir|"))
+    }
+  }
+
+  /** Round-17 build (the deletion-vector fixtures and the
+    * low-cardinality-leading-key composite merge), its own bench entry
+    * so q185+ time serving only. */
+  def buildZorder17(spark: SparkSession, dir: String): Unit = {
+    zEventsDelDv(spark, dir); zEventsDelDvReified(spark, dir)
+    zEventsMergeLowcard(spark, dir); ()
+  }
+  private val R17Tables = Set("events_del_dv", "events_del_dv_reified",
+    "events_merge_lowcard")
+  def invalidateZorder17(dir: String): Unit = lock.synchronized {
+    cache = cache.filterNot { case (k, _) =>
+      R17Tables.contains(k.stripPrefix(s"$dir|"))
     }
   }
 
@@ -576,7 +660,7 @@ object LayoutQueries {
       val suffix = k.stripPrefix(s"$dir|")
       k.startsWith(s"$dir|") && !R13Tables.contains(suffix) &&
         !R14Tables.contains(suffix) && !R15Tables.contains(suffix) &&
-        !R16Tables.contains(suffix)
+        !R16Tables.contains(suffix) && !R17Tables.contains(suffix)
     }
   }
   def invalidateZorder13(dir: String): Unit = lock.synchronized {
@@ -1269,7 +1353,75 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q185
+  /** q160's box over the MERGE-ON-READ deleted copy, read through the
+    * snapshot: the deletion-vector sidecar filters the deleted
+    * positions (`_metadata.row_index` anti-join) while every candidate
+    * file stays byte-untouched — DeletionVectorSpec pins rewritten=0;
+    * this oracle row pins that the DV read is exactly the delete. */
+  def q185DvDeleteBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.readSnapshot(spark, zEventsDelDv(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q186
+  /** ROW-level CDC of the q185 deletion-vector commit: no file moved,
+    * but the per-file DV diff surfaces EXACTLY the newly-marked
+    * positions as `delete` rows — the same delta the q165 copy-on-write
+    * delete produces, so the oracle is the deleted box itself. */
+  def q186DvCdcRows(spark: SparkSession, dir: String): DataFrame = {
+    val path = zEventsDelDv(spark, dir)
+    val toSeq = Manifest.latestSeq(spark, path).get
+    import spark.implicits._
+    Layout.readChangeRows(spark, path, toSeq - 1, Some(toSeq))
+      .groupBy($"_change_type", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q187
+  /** q185's delete MATERIALIZED by [[Layout.reifyDeletes]] and read
+    * PLAINLY: only the DV'd files rewrote, the sidecar cleared, and the
+    * listing read now agrees with the snapshot — the
+    * write-cheap-then-read-cheap lifecycle (DV for the trickle delete,
+    * reify/compaction to reclaim the probe). Same oracle as q160. */
+  def q187DvReifiedBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsDelDvReified(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q188
+  /** The events box over the LOW-CARDINALITY-LEADING-KEY composite
+    * merge fixture — tripled `value` for `event_id % 10 = 7`, matched
+    * on (event_type, event_id) where event_type's hull covers every
+    * file: classification must prune through the second key component
+    * (the round-17 per-column stab union). */
+  def q188MergeLowcardKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsMergeLowcard(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_dv_delete_box"       -> q185DvDeleteBox _,
+    "q186_dv_cdc_rows"         -> q186DvCdcRows _,
+    "q187_dv_reified_box"      -> q187DvReifiedBox _,
+    "q188_merge_lowcard_key"   -> q188MergeLowcardKey _,
     "q165_cdc_delete_rows"     -> q165CdcDeleteRows _,
     "q180_cdc_update_images"   -> q180CdcUpdateImages _,
     "q166_envelope_avg_agg"    -> q166EnvelopeAvgAgg _,
@@ -1324,6 +1476,44 @@ object LayoutQueries {
        |GROUP BY event_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q185_dv_delete_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |  AND NOT (user_id BETWEEN 3 AND 6
+         |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
+    "q186_dv_cdc_rows" ->
+      s"""SELECT 'delete' AS _change_type, event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 3 AND 6
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q187_dv_reified_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |  AND NOT (user_id BETWEEN 3 AND 6
+         |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
+    "q188_merge_lowcard_key" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type,
+         |        CASE WHEN event_id % 10 = 7 THEN value * 3 ELSE value END AS value
+         |      FROM events)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
     "q165_cdc_delete_rows" ->
       s"""SELECT 'delete' AS _change_type, event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,

@@ -206,6 +206,11 @@ object Layout {
                         filesPerPartition: Int, scaling: String = "linear",
                         indexCols: Seq[String] = Nil, parallelism: Int = 1): Unit = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    // pending merge-on-read deletes MATERIALIZE first: the per-leaf
+    // rewrite below reads plain listings, which cannot see deletion
+    // vectors — rewriting without reifying would resurrect deleted rows
+    if (Manifest.latestSeq(spark, dir).nonEmpty &&
+        Manifest.info(spark, dir).dv.nonEmpty) { reifyDeletes(spark, dir); () }
     val (fs, work, retireTarget) = tableLeaves(spark, dir)
     def rewriteLeaf(leaf: org.apache.hadoop.fs.Path): Unit =
       if (fs.listStatus(leaf).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
@@ -246,6 +251,10 @@ object Layout {
                         indexCols: Seq[String] = Nil, parallelism: Int = 1): Long = {
     require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    // same reify-first rule as clusterPartitions: coalesce reads plain
+    // listings and must not resurrect DV-deleted rows
+    if (Manifest.latestSeq(spark, dir).nonEmpty &&
+        Manifest.info(spark, dir).dv.nonEmpty) { reifyDeletes(spark, dir); () }
     val (fs, work, retireTarget) = tableLeaves(spark, dir)
     val rewritten = new java.util.concurrent.atomic.AtomicLong(0L)
     def compactLeaf(leaf: org.apache.hadoop.fs.Path): Unit = {
@@ -631,20 +640,34 @@ object Layout {
       }
     import spark.implicits._
     val blooms = bloomColumns(spark, dir)
+    // pending merge-on-read deletes, when the latest commit names a DV
+    // sidecar: files carrying positions and total deleted positions.
+    // `n_rows` stays the PHYSICAL count (what a plain read serves);
+    // live rows under a snapshot read = n_rows - dv_rows.
+    val (dvFiles, dvRows): (Long, Long) =
+      Manifest.latestSeq(spark, dir).map(_ => Manifest.info(spark, dir).dv) match {
+        case Some(Some(name)) =>
+          val r = spark.read.parquet(Manifest.dvsPath(dir) + "/" + name)
+            .agg(count(lit(1)), sum(size(col("positions")))).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        case _ => (0L, 0L)
+      }
     Seq((dir, files.size.toLong, files.map(_.getLen).sum, nRows,
       Manifest.latestSeq(spark, dir),
       if (idxCols.isEmpty) None else Some(idxCols.mkString(",")),
-      if (blooms.isEmpty) None else Some(blooms.mkString(","))))
+      if (blooms.isEmpty) None else Some(blooms.mkString(",")),
+      dvFiles, dvRows))
       .toDF("path", "n_files", "size_bytes", "n_rows", "manifest_seq",
-        "indexed_columns", "bloom_columns")
+        "indexed_columns", "bloom_columns", "dv_files", "dv_rows")
   }
 
   /** Outcome of a [[deleteWhere]] / [[upsert]]: files dropped whole
     * (index-proven every row affected — never even read), files
     * rewritten (some rows affected), files left untouched (index-proven
-    * no row affected). */
+    * no row affected), and — merge-on-read mode only — files that
+    * gained DELETION-VECTOR positions without being rewritten. */
   final case class MutationStats(droppedFiles: Long, rewrittenFiles: Long,
-                                 untouchedFiles: Long)
+                                 untouchedFiles: Long, dvFiles: Long = 0L)
 
   /** DELETE the rows inside a box (`lo_i <= col_i <= hi_i` on every
     * dimension; a NULL in any boxed column never matches, exactly as in
@@ -673,10 +696,31 @@ object Layout {
     * stray files the guard reports loudly — run [[Manifest.write]] to
     * adopt them, then re-run the delete (still exact: deletion is
     * idempotent). Files a plain `write.mode(append)` added since the
-    * last commit hit the same guard instead of silently surviving. */
+    * last commit hit the same guard instead of silently surviving.
+    *
+    * `mode` picks the physical strategy — results are identical:
+    *   - `"copy"` (default, copy-on-write): candidate files are
+    *     REWRITTEN without the matching rows — the read-optimized
+    *     shape, no per-row filtering afterwards;
+    *   - `"dv"` (merge-on-read DELETION VECTORS): candidate files stay
+    *     byte-untouched and the matching row POSITIONS are recorded in
+    *     a manifest-referenced sidecar that [[readSnapshot]] filters by
+    *     (`_metadata.row_index` anti-join) — a 1-row delete in a 1 GB
+    *     file costs one candidate scan and a tiny sidecar write, never
+    *     a file rewrite (the Delta-DV / Iceberg-positional-delete
+    *     economics for trickle deletes at 100 TB). Drop-whole files are
+    *     still dropped (a metadata-grain retire, no DV needed); later
+    *     rewrites ([[compactPartitions]], [[clusterPartitions]], any
+    *     mutation touching the file, or the explicit [[reifyDeletes]])
+    *     MATERIALIZE pending positions and clear them. NOTE plain
+    *     `spark.read.parquet(dir)` does not see DV deletes — snapshot
+    *     readers are the sanctioned surface, as with [[addColumns]]. */
   def deleteWhere(spark: SparkSession, dir: String,
-                  box: Seq[(String, Any, Any)]): MutationStats = {
+                  box: Seq[(String, Any, Any)],
+                  mode: String = "copy"): MutationStats = {
     require(box.nonEmpty, "deleteWhere: empty box")
+    require(mode == "copy" || mode == "dv",
+      s"deleteWhere: mode must be copy|dv, got '$mode'")
     val cond = box.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
@@ -694,8 +738,185 @@ object Layout {
         }.reduce(_ && _), lit(false))
       (collectFiles(env.filter(miss)), collectFiles(env.filter(full)))
     }
-    mutateFiles(spark, dir, classify,
+    if (mode == "dv") deleteWhereDv(spark, dir, cond, classify)
+    else mutateFiles(spark, dir, classify,
       rewrite = _.filter(!coalesce(cond, lit(false))), extra = None)
+  }
+
+  /** The merge-on-read arm of [[deleteWhere]]: record matching row
+    * POSITIONS in a deletion-vector sidecar instead of rewriting the
+    * candidate files. Work per class: index-proven-miss files untouched;
+    * proven-full files retired whole (metadata grain, never read);
+    * candidates scanned ONCE (raw, `_metadata.row_index` alongside the
+    * predicate) for their matching positions, which merge with the
+    * previous commit's sidecar (per-file `array_union` — re-running the
+    * same delete is idempotent). Commit = write the immutable new
+    * sidecar (invisible until referenced), retire full files, CAS the
+    * manifest naming the sidecar; a loser heals exactly like
+    * [[mutateFiles]]. Cost is independent of candidate FILE SIZE on the
+    * write side — no data file is written at all. */
+  private def deleteWhereDv(spark: SparkSession, dir: String, cond: Column,
+      classify: DataFrame => (Set[String], Set[String])): MutationStats = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no table at $dir")
+    if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
+    val info = Manifest.info(spark, dir)
+    val seq0 = info.seq
+    // RAW snapshot: positions are physical row indexes, so the scan must
+    // see every stored row (rows an earlier DV already deleted that also
+    // match simply re-union — idempotent)
+    val rawSnap = Manifest.readRaw(spark, dir, Some(seq0))
+    val fileMap = rawSnap.inputFiles.map(f => normPath(f) -> f).toMap
+    val files = fileMap.keySet
+    val qualRootStr = normPath(fs.makeQualified(root).toString)
+    val liveNow = Manifest.listLive(spark, dir).map(rel => s"$qualRootStr/$rel").toSet
+    val strays = liveNow -- files
+    require(strays.isEmpty,
+      s"mutation: ${strays.size} file(s) under $dir are not in the committed snapshot " +
+        s"(appended since the last commit, or promoted by a crashed mutation): " +
+        s"${strays.take(3).mkString(", ")}${if (strays.size > 3) ", …" else ""}. " +
+        "Commit them first (Manifest.write) so classification sees them, then re-run.")
+    val envPath = new org.apache.hadoop.fs.Path(envelopesPath(dir))
+    val (missAll, fullAll) =
+      if (!fs.exists(envPath)) (Set.empty[String], Set.empty[String])
+      else classify(spark.read.parquet(envelopesPath(dir)))
+    val untouched = files.intersect(missAll)
+    val dropped = files.intersect(fullAll) -- untouched
+    val partial = files -- untouched -- dropped
+    if (dropped.isEmpty && partial.isEmpty)
+      return MutationStats(0L, 0L, untouched.size.toLong)
+    require(untouched.nonEmpty || partial.nonEmpty,
+      s"mutation would remove every row of $dir; an empty table is not " +
+        "representable in a manifest — keep at least one row or drop the table")
+    val relU = udf((p: String) => Manifest.dvRelPath(qualRootStr, p))
+    // matching positions per candidate file — ONE bounded scan of the
+    // candidates only (miss + full files never open)
+    val newPerFile: Option[DataFrame] =
+      if (partial.isEmpty) None
+      else Some(minusFiles(spark, rawSnap, untouched ++ dropped)
+        .withColumn("__graft_f", relU(col("_metadata.file_path")))
+        .withColumn("__graft_p", col("_metadata.row_index"))
+        .filter(coalesce(cond, lit(false)))
+        .groupBy(col("__graft_f").as("file"))
+        .agg(sort_array(collect_set(col("__graft_p"))).as("positions")))
+    val droppedRelDf = {
+      import spark.implicits._
+      dropped.toSeq.map(_.stripPrefix(qualRootStr + "/")).toDF("file")
+    }
+    // previous sidecar entries survive unless their file drops whole
+    val oldKept: Option[DataFrame] = info.dv.map(n =>
+      spark.read.parquet(Manifest.dvsPath(dir) + "/" + n)
+        .join(droppedRelDf, Seq("file"), "left_anti"))
+    val (sidecar, dvTouched): (Option[String], Long) = {
+      val merged = (oldKept, newPerFile) match {
+        case (Some(o), Some(n)) =>
+          Some(o.select(col("file"), col("positions").as("__p_old"))
+            .join(n.select(col("file"), col("positions").as("__p_new")), Seq("file"), "full_outer")
+            .select(col("file"), sort_array(array_union(
+              coalesce(col("__p_old"), array()),
+              coalesce(col("__p_new"), array()))).as("positions")))
+        case (o, n) => o.orElse(n)
+      }
+      merged match {
+        case None => (None, 0L)
+        case Some(m) =>
+          val cached = m.cache()
+          try {
+            val touched = newPerFile.map(_.count()).getOrElse(0L)
+            if (cached.isEmpty) (None, touched)
+            else {
+              val name = "dv-" + java.util.UUID.randomUUID().toString
+              cached.coalesce(1).write.parquet(Manifest.dvsPath(dir) + "/" + name)
+              (Some(name), touched)
+            }
+          } finally { cached.unpersist(); () }
+      }
+    }
+    // the same pre-move re-check / retire / CAS / heal protocol as
+    // mutateFiles — minus replacements (there are none to write)
+    raceHooks.preRetire()
+    val seqNow = Manifest.latestSeq(spark, dir)
+    def deleteSidecar(): Unit = sidecar.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(Manifest.dvsPath(dir) + "/" + n), true))
+    if (seqNow != Some(seq0)) {
+      deleteSidecar()
+      throw new java.util.ConcurrentModificationException(
+        s"mutation on $dir: another writer committed m${seqNow.getOrElse(-1L)} after " +
+          s"this mutation classified against m$seq0; aborted having moved NOTHING. " +
+          "The table is writer-exclusive per maintenance window: re-read the " +
+          "snapshot and re-run the verb.")
+    }
+    val retiredBase = Manifest.retiredPath(dir)
+    dropped.foreach { f =>
+      val src = new org.apache.hadoop.fs.Path(fileMap(f))
+      if (fs.exists(src) && f.startsWith(qualRootStr + "/")) {
+        val rel = f.stripPrefix(qualRootStr + "/")
+        val dst = new org.apache.hadoop.fs.Path(retiredBase + "/" + rel)
+        fs.mkdirs(dst.getParent)
+        require(!fs.exists(dst), s"mutation: retirement collision at $dst")
+        require(fs.rename(src, dst), s"mutation: could not retire $src")
+      }
+    }
+    val idx = indexedColumns(spark, dir)
+    if (idx.nonEmpty && dropped.nonEmpty)
+      refreshEnvelopesIncremental(spark, dir, idx,
+        removed = dropped, added = Nil, basePath = dir,
+        bloomCols = bloomColumns(spark, dir))
+    raceHooks.preCommit()
+    try Manifest.writeSeq(spark, dir, seq0 + 1,
+      schemas = Some((info.dataSchema, info.partSchema)),
+      dv = sidecar.map(Manifest.DvSet(_)).getOrElse(Manifest.DvClear))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        dropped.foreach { f =>
+          if (f.startsWith(qualRootStr + "/")) {
+            val rel = f.stripPrefix(qualRootStr + "/")
+            val src = new org.apache.hadoop.fs.Path(retiredBase + "/" + rel)
+            val dst = new org.apache.hadoop.fs.Path(fileMap(f))
+            if (fs.exists(src) && !fs.exists(dst)) {
+              fs.mkdirs(dst.getParent)
+              require(fs.rename(src, dst), s"mutation heal: could not un-retire $src")
+            }
+          }
+        }
+        if (idx.nonEmpty && dropped.nonEmpty)
+          refreshEnvelopesIncremental(spark, dir, idx,
+            removed = Set.empty, added = dropped.toSeq.map(fileMap), basePath = dir,
+            bloomCols = bloomColumns(spark, dir))
+        deleteSidecar()
+        throw e
+    }
+    MutationStats(dropped.size.toLong, 0L, untouched.size.toLong, dvTouched)
+  }
+
+  /** MATERIALIZE pending merge-on-read deletes: rewrite exactly the
+    * files the latest commit's deletion-vector sidecar names — reading
+    * them DV-FILTERED, so deleted rows vanish physically — and commit a
+    * DV-free manifest. Every other file is untouched; a table without a
+    * DV is a no-op. [[clusterPartitions]] and [[compactPartitions]] run
+    * this automatically first (their leaf rewrites read plain listings,
+    * which must never resurrect DV-deleted rows); call it directly when
+    * DV probe overhead on the read path should be reclaimed without a
+    * full OPTIMIZE. */
+  def reifyDeletes(spark: SparkSession, dir: String): MutationStats = {
+    if (Manifest.latestSeq(spark, dir).isEmpty)
+      return MutationStats(0L, 0L, 0L)
+    val info = Manifest.info(spark, dir)
+    info.dv match {
+      case None => MutationStats(0L, 0L, info.files.size.toLong)
+      case Some(name) =>
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val qualRootStr = normPath(fs.makeQualified(root).toString)
+        val dvAbs = spark.read.parquet(Manifest.dvsPath(dir) + "/" + name)
+          .select("file").distinct().collect()
+          .map(r => qualRootStr + "/" + r.getString(0)).toSet
+        val allAbs = info.files.map(rel => qualRootStr + "/" + rel).toSet
+        mutateFiles(spark, dir, classify = _ => (allAbs -- dvAbs, Set.empty),
+          rewrite = identity, extra = None, pinned = Some(info),
+          preclassified = Some((allAbs -- dvAbs, Set.empty[String])))
+    }
   }
 
   /** UPDATE the rows inside a box: every row matching `lo_i <= col_i <=
@@ -1061,10 +1282,14 @@ object Layout {
       // candidate rows: the snapshot minus provably-missed files — every
       // matched (target, source) pair lives in a candidate file, so the
       // per-row merge join never scans untouched files
-      val snap = readSnapshot(spark, dir, Some(pinned.seq))
+      // raw plan for file identity; DV-filtered plan for every row read
+      // (a matched pair or an "existing key" must never be a row a
+      // pending deletion vector holds deleted)
+      val rawSnap = Manifest.readRaw(spark, dir, Some(pinned.seq))
+      val snap = Manifest.applyDv(spark, dir, pinned.dv, rawSnap)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val snapFiles = snap.inputFiles.map(normPath).toSet
+      val snapFiles = rawSnap.inputFiles.map(normPath).toSet
       // a BY SOURCE arm makes EVERY file a candidate: a skipped file's
       // rows would ALL be unmatched-by-source, exactly the rows the arm
       // acts on — the sync-table shape is honestly a full-table rewrite
@@ -1080,9 +1305,9 @@ object Layout {
       // (no matched arm) never changes an existing row, so EVERY file is
       // untouched outright — candidates are read only to detect which
       // source keys already exist
-      val classifyMemo: DataFrame => (Set[String], Set[String]) =
-        if (matched.isEmpty && notMatchedBySource.isEmpty) _ => (snapFiles, Set.empty)
-        else _ => (missed, Set.empty)
+      val preclass: (Set[String], Set[String]) =
+        if (matched.isEmpty && notMatchedBySource.isEmpty) (snapFiles, Set.empty)
+        else (missed, Set.empty)
       val cand = minusFiles(spark, snap, missed)
       val fields = cand.schema.fields.toSeq
       (matched ++ notMatchedBySource).foreach {
@@ -1143,8 +1368,9 @@ object Layout {
             source.join(cand.select(keyCols.map(col): _*), keyCols, "left_anti"))(_.filter(_)))
         else None
       raceHooks.preMutate()
-      mutateFiles(spark, dir, classifyMemo, rewrite, extra,
-        props = pairKeyProps(keyCols), pinned = Some(pinned))
+      mutateFiles(spark, dir, _ => preclass, rewrite, extra,
+        props = pairKeyProps(keyCols), pinned = Some(pinned),
+        preclassified = Some(preclass))
     } finally { keys.unpersist(); () }
   }
 
@@ -1231,7 +1457,9 @@ object Layout {
                           rewrite: DataFrame => DataFrame,
                           extra: Option[DataFrame],
                           props: Map[String, String] = Map.empty,
-                          pinned: Option[Manifest.Info] = None): MutationStats = {
+                          pinned: Option[Manifest.Info] = None,
+                          preclassified: Option[(Set[String], Set[String])] = None)
+      : MutationStats = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no table at $dir")
@@ -1245,8 +1473,14 @@ object Layout {
     val info = pinned.getOrElse(Manifest.info(spark, dir))
     val seq0 = info.seq
     val partCols = info.partSchema.fieldNames.toSeq
-    val snap = readSnapshot(spark, dir, Some(seq0))
-    val fileMap = snap.inputFiles.map(f => normPath(f) -> f).toMap
+    // file identity comes from the RAW snapshot plan (a pending
+    // deletion-vector filter adds the sidecar relation, which must not
+    // leak into inputFiles); the REWRITE read below is DV-FILTERED, so
+    // rows a DV holds deleted never resurrect in replacements — any
+    // mutation touching a DV'd file MATERIALIZES its deletes
+    val rawSnap = Manifest.readRaw(spark, dir, Some(seq0))
+    val snap = Manifest.applyDv(spark, dir, info.dv, rawSnap)
+    val fileMap = rawSnap.inputFiles.map(f => normPath(f) -> f).toMap
     val files = fileMap.keySet
     // STRAY-FILE guard: files appended to the live dir since the last
     // commit are invisible to classification — rows matching the
@@ -1262,9 +1496,10 @@ object Layout {
         s"${strays.take(3).mkString(", ")}${if (strays.size > 3) ", …" else ""}. " +
         "Commit them first (Manifest.write) so classification sees them, then re-run.")
     val envPath = new org.apache.hadoop.fs.Path(envelopesPath(dir))
-    val (missAll, fullAll) =
+    val (missAll, fullAll) = preclassified.getOrElse {
       if (!fs.exists(envPath)) (Set.empty[String], Set.empty[String])
       else classify(spark.read.parquet(envelopesPath(dir)))
+    }
     // a re-run after a crash resolves retired paths, which no index row
     // names — they fall to "rewrite", the safe class
     val untouched = files.intersect(missAll)
@@ -1303,14 +1538,44 @@ object Layout {
       val w = r.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
     }
+    // DELETION-VECTOR carry-forward: entries of files this mutation
+    // drops or rewrites MATERIALIZE here (the rewrite read was
+    // DV-filtered), so only untouched files' entries survive. Unchanged
+    // entry set → reuse the old sidecar name; emptied → clear; shrunk →
+    // write a filtered immutable sidecar (invisible until referenced)
+    var newSidecar: Option[String] = None
+    val dvCarry: Manifest.DvCarry = info.dv match {
+      case None => Manifest.DvInherit
+      case Some(name) =>
+        val old = spark.read.parquet(Manifest.dvsPath(dir) + "/" + name)
+        val touchedRelDf = {
+          import spark.implicits._
+          (dropped ++ partial).toSeq.map(_.stripPrefix(qualRootStr + "/")).toDF("file")
+        }
+        val keptDv = old.join(touchedRelDf, Seq("file"), "left_anti").cache()
+        try {
+          val keptN = keptDv.count()
+          if (keptN == old.count()) Manifest.DvInherit
+          else if (keptN == 0L) Manifest.DvClear
+          else {
+            val nm = "dv-" + java.util.UUID.randomUUID().toString
+            keptDv.coalesce(1).write.parquet(Manifest.dvsPath(dir) + "/" + nm)
+            newSidecar = Some(nm)
+            Manifest.DvSet(nm)
+          }
+        } finally { keptDv.unpersist(); () }
+    }
     // 2) RE-CHECK the pinned seq immediately before anything MOVES: a
     //    commit that landed during classification/staging means this
     //    mutation classified against a stale snapshot — abort having
     //    moved NOTHING (only the staged tmp dir is deleted)
     raceHooks.preRetire()
     val seqNow = Manifest.latestSeq(spark, dir)
+    def deleteNewSidecar(): Unit = newSidecar.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(Manifest.dvsPath(dir) + "/" + n), true))
     if (seqNow != Some(seq0)) {
       fs.delete(tmp, true)
+      deleteNewSidecar()
       throw new java.util.ConcurrentModificationException(
         s"mutation on $dir: another writer committed m${seqNow.getOrElse(-1L)} after " +
           s"this mutation classified against m$seq0; aborted having moved NOTHING. " +
@@ -1352,9 +1617,11 @@ object Layout {
     //    retirement collision)
     raceHooks.preCommit()
     try Manifest.writeSeq(spark, dir, seq0 + 1,
-      schemas = Some((info.dataSchema, info.partSchema)), props = props)
+      schemas = Some((info.dataSchema, info.partSchema)), props = props,
+      dv = dvCarry)
     catch {
       case e: java.util.ConcurrentModificationException =>
+        deleteNewSidecar()
         movedIn.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
         (dropped ++ partial).foreach { f =>
           if (f.startsWith(liveRoot + "/")) {

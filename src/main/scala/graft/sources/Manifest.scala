@@ -85,10 +85,79 @@ object Manifest {
   //     key, updateWhere's non-assigned columns), which lets
   //     [[readChangeRows]] pair a delete+insert into
   //     update_preimage/postimage — the Delta CDF convention.
+  // v5: v4 + a DELETION-VECTOR line after the props — "-" or the name of
+  //     a parquet sidecar under `<dir>.dvs/` mapping table-relative file
+  //     path → sorted array of DELETED row positions (the Delta DV /
+  //     Iceberg positional-delete role: a small delete marks positions
+  //     instead of rewriting whole files). [[read]] filters snapshots by
+  //     the commit's DV through `_metadata.row_index`; mutations carry
+  //     surviving entries forward and clear entries of files they
+  //     rewrite; [[vacuum]] deletes sidecars no kept manifest names.
   private val HeaderV1 = "graft-manifest-v1"
   private val HeaderV2 = "graft-manifest-v2"
   private val HeaderV3 = "graft-manifest-v3"
   private val HeaderV4 = "graft-manifest-v4"
+  private val HeaderV5 = "graft-manifest-v5"
+
+  /** How a commit's DELETION-VECTOR reference is derived from the
+    * previous commit: inherited unchanged (the default — a plain
+    * maintenance commit must never silently resurrect deleted rows),
+    * cleared (a rewrite that materialized every deletion), or set to a
+    * freshly written sidecar. */
+  private[graft] sealed trait DvCarry
+  private[graft] case object DvInherit extends DvCarry
+  private[graft] case object DvClear extends DvCarry
+  private[graft] final case class DvSet(name: String) extends DvCarry
+
+  private[graft] def dvsPath(dir: String): String =
+    dir.stripSuffix("/") + ".dvs"
+
+  /** Table-relative spelling of a RESOLVED snapshot file path — live,
+    * retired, or mid-swap backup all map to the manifest's relative
+    * path, which is what DV sidecars key on (a file's deletion vector
+    * must keep applying after the file is retired by a later rewrite,
+    * or time travel would resurrect the deleted rows). */
+  private[graft] def dvRelPath(rootNorm: String, p: String): String = {
+    val n = Layout.normPath(p)
+    val stripped =
+      if (n.startsWith(rootNorm + "/")) n.substring(rootNorm.length + 1)
+      else if (n.startsWith(rootNorm + ".retired/")) n.substring(rootNorm.length + 9)
+      else if (n.startsWith(rootNorm + ".compact-backup/")) n.substring(rootNorm.length + 16)
+      else n
+    // a leaf swap in flight serves `<leaf>.compact-backup/<name>`, which
+    // the manifest (and the DV) names `<leaf>/<name>`
+    stripped.replace(".compact-backup/", "/")
+  }
+
+  /** Filter a snapshot plan by a commit's deletion-vector sidecar: the
+    * (relative file, position) pairs anti-join the scan's
+    * `_metadata.file_path` / `_metadata.row_index` — one broadcast of
+    * the bounded DV table, no shuffle on the data side. Sound across
+    * the retire lifecycle because both sides speak table-relative paths
+    * ([[dvRelPath]]). The steady-state cost is a per-row broadcast-hash
+    * probe, cleared entirely when compaction/reify materializes the
+    * deletes. */
+  private[graft] def applyDv(spark: SparkSession, dir: String, dvName: Option[String],
+                             df: DataFrame): DataFrame = dvName match {
+    case None => df
+    case Some(name) =>
+      import org.apache.spark.sql.functions.{broadcast, col, explode, udf}
+      require(!df.columns.contains("_metadata"),
+        s"Manifest: $dir carries a data column named _metadata - deletion-vector " +
+          "reads need the parquet metadata struct under that name")
+      val fs = fsOf(spark, new Path(dir))
+      val rootNorm = Layout.normPath(fs.makeQualified(new Path(dir)).toString)
+      val relU = udf((p: String) => dvRelPath(rootNorm, p))
+      val dv = spark.read.parquet(dvsPath(dir) + "/" + name)
+        .select(col("file").as("__graft_dv_file"),
+          explode(col("positions")).as("__graft_dv_pos"))
+      df.withColumn("__graft_dv_f", relU(col("_metadata.file_path")))
+        .withColumn("__graft_dv_p", col("_metadata.row_index"))
+        .join(broadcast(dv),
+          col("__graft_dv_f") === col("__graft_dv_file") &&
+            col("__graft_dv_p") === col("__graft_dv_pos"), "left_anti")
+        .drop("__graft_dv_f", "__graft_dv_p")
+  }
 
   /** Commit-props key naming the row-identity columns of a keyed
     * mutation (comma-joined) — the CDC pairing key. */
@@ -219,10 +288,11 @@ object Manifest {
     * re-read the new snapshot and re-run the maintenance verb. */
   def write(spark: SparkSession, dir: String, keep: Int = 0,
             schemas: Option[(StructType, StructType)] = None,
-            props: Map[String, String] = Map.empty): Long = {
+            props: Map[String, String] = Map.empty,
+            dv: DvCarry = DvInherit): Long = {
     require(keep >= 0, s"Manifest.write: keep must be >= 0 (0 = $KeepConf), got $keep")
     val seq = latestSeq(spark, dir).getOrElse(-1L) + 1
-    writeSeq(spark, dir, seq, keep, schemas, props)
+    writeSeq(spark, dir, seq, keep, schemas, props, dv)
   }
 
   /** [[write]] with the target seq fixed by the caller — the CAS arm the
@@ -230,7 +300,8 @@ object Manifest {
   private[graft] def writeSeq(spark: SparkSession, dir: String, seq: Long,
                               keep: Int = 0,
                               schemas: Option[(StructType, StructType)] = None,
-                              props: Map[String, String] = Map.empty): Long = {
+                              props: Map[String, String] = Map.empty,
+                              dv: DvCarry = DvInherit): Long = {
     val k = if (keep == 0) confKeep(spark) else keep
     val fs = fsOf(spark, new Path(dir))
     val root = fs.makeQualified(new Path(dir))
@@ -255,13 +326,24 @@ object Manifest {
         case _ => inferred
       }
     }
+    // the default DV disposition INHERITS the previous commit's sidecar
+    // reference: a plain maintenance commit (append, the stray-guard
+    // remedy, a streaming batch) must never silently resurrect rows a
+    // deletion vector holds deleted
+    val dvName: Option[String] = dv match {
+      case DvSet(n)  => Some(n)
+      case DvClear   => None
+      case DvInherit => latestSeq(spark, dir)
+        .flatMap(s => scala.util.Try(parse(fs, dir, s)).toOption).flatMap(_.dv)
+    }
     val md = new Path(manifestsPath(dir))
     fs.mkdirs(md)
     val nonce = java.util.UUID.randomUUID().toString
     val tmp = new Path(md, s".tmp-m$seq-$nonce")
     val gz = new java.util.zip.GZIPOutputStream(fs.create(tmp, true), 64 * 1024)
-    try gz.write((Seq(HeaderV4, dataSchema.json, partSchema.json,
-      envelopeSignature(fs, dir), nonce, encodeProps(props)) ++ files)
+    try gz.write((Seq(HeaderV5, dataSchema.json, partSchema.json,
+      envelopeSignature(fs, dir), nonce, encodeProps(props),
+      dvName.getOrElse("-")) ++ files)
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally gz.close() // closes the FS stream underneath
     val fin = new Path(md, f"m$seq%020d")
@@ -329,11 +411,15 @@ object Manifest {
   }
 
   /** One committed snapshot's metadata (the files are table-relative).
-    * `nonce` is the committing writer's witness (v3+; `-` before). */
+    * `nonce` is the committing writer's witness (v3+; `-` before);
+    * `dv` names the commit's deletion-vector sidecar under
+    * `<dir>.dvs/` (v5+; None when the snapshot has no pending
+    * merge-on-read deletes). */
   final case class Info(seq: Long, dataSchema: StructType,
                         partSchema: StructType, envelopeSig: String,
                         files: Seq[String], nonce: String = "-",
-                        props: Map[String, String] = Map.empty)
+                        props: Map[String, String] = Map.empty,
+                        dv: Option[String] = None)
 
   /** Parsed metadata of a committed manifest — `seq` defaults to the
     * latest. `envelopeSig == "-"` means no index existed at commit;
@@ -388,19 +474,22 @@ object Manifest {
         try new String(gz.readAllBytes(), StandardCharsets.UTF_8) finally gz.close()
       } else new String(bytes, StandardCharsets.UTF_8)
     val lines = text.split("\n", -1).toSeq
+    val v5 = lines.headOption.contains(HeaderV5)
     val v4 = lines.headOption.contains(HeaderV4)
     val v3 = lines.headOption.contains(HeaderV3)
     val v2 = lines.headOption.contains(HeaderV2)
-    require(v4 || v3 || v2 || lines.headOption.contains(HeaderV1),
+    require(v5 || v4 || v3 || v2 || lines.headOption.contains(HeaderV1),
       s"Manifest: $p is not a graft manifest file")
     val dataSchema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
     val partSchema = DataType.fromJson(lines(2)).asInstanceOf[StructType]
-    val (sig, nonce, props, files) =
-      if (v4) (lines(3), lines(4), decodeProps(lines(5), p), lines.drop(6))
-      else if (v3) (lines(3), lines(4), Map.empty[String, String], lines.drop(5))
-      else if (v2) (lines(3), "-", Map.empty[String, String], lines.drop(4))
-      else ("-", "-", Map.empty[String, String], lines.drop(3))
-    Info(seq, dataSchema, partSchema, sig, files.filter(_.nonEmpty), nonce, props)
+    val (sig, nonce, props, dvName, files) =
+      if (v5) (lines(3), lines(4), decodeProps(lines(5), p),
+        Some(lines(6)).filter(_ != "-"), lines.drop(7))
+      else if (v4) (lines(3), lines(4), decodeProps(lines(5), p), None, lines.drop(6))
+      else if (v3) (lines(3), lines(4), Map.empty[String, String], None, lines.drop(5))
+      else if (v2) (lines(3), "-", Map.empty[String, String], None, lines.drop(4))
+      else ("-", "-", Map.empty[String, String], None, lines.drop(3))
+    Info(seq, dataSchema, partSchema, sig, files.filter(_.nonEmpty), nonce, props, dvName)
   }
 
   /** Read the snapshot a manifest pins — the latest by default, or an
@@ -411,13 +500,28 @@ object Manifest {
     * referenced file is at none of live/backup/retired — that means
     * the snapshot was vacuumed away, not that the table is broken. */
   def read(spark: SparkSession, dir: String, seq: Option[Long] = None): DataFrame = {
+    val m = resolveInfo(spark, dir, seq)
+    applyDv(spark, dir, m.dv, planOver(spark, dir, m, m.files))
+  }
+
+  /** [[read]] WITHOUT the deletion-vector filter — the physical file
+    * set as stored, rows a pending DV holds deleted included. Internal:
+    * the mutation verbs derive file maps and physical row positions
+    * from this plan (a DV-filtered plan carries the sidecar relation,
+    * which must not leak into `inputFiles`). */
+  private[sources] def readRaw(spark: SparkSession, dir: String,
+                               seq: Option[Long] = None): DataFrame = {
+    val m = resolveInfo(spark, dir, seq)
+    planOver(spark, dir, m, m.files)
+  }
+
+  private def resolveInfo(spark: SparkSession, dir: String, seq: Option[Long]): Info = {
     val fs = fsOf(spark, new Path(dir))
     val target = seq.orElse(latestSeq(spark, dir)).getOrElse(
       throw new IllegalArgumentException(
         s"Manifest.read: $dir has no committed manifest - not a snapshot-maintained " +
           "table (read it plainly, or run a maintenance verb that commits manifests)"))
-    val m = parseRetained(fs, dir, target)
-    planOver(spark, dir, m, m.files)
+    parseRetained(fs, dir, target)
   }
 
   /** Rows of the files PRESENT in snapshot `toSeq` (default: latest)
@@ -440,7 +544,9 @@ object Manifest {
       s"Manifest.readChanges: fromSeq $fromSeq is newer than toSeq $target")
     val to = parseRetained(fs, dir, target)
     val from = parseRetained(fs, dir, fromSeq).files.toSet
-    planOver(spark, dir, to, to.files.filterNot(from))
+    // the added files' LIVE content: positions the to-commit's deletion
+    // vector already holds deleted are not "rows added by the range"
+    applyDv(spark, dir, to.dv, planOver(spark, dir, to, to.files.filterNot(from)))
   }
 
   /** ROW-level change-data capture between two committed snapshots — the
@@ -496,8 +602,38 @@ object Manifest {
                else from0.copy(dataSchema = to.dataSchema)
     val fromSet = from.files.toSet
     val toSet = to.files.toSet
-    val added = planOver(spark, dir, to, to.files.filterNot(fromSet))
-    val removed = planOver(spark, dir, from, from.files.filterNot(toSet))
+    // DELETION-VECTOR awareness: a merge-on-read delete moves NO files —
+    // the change lives in the sidecar. Files whose DV entry differs
+    // between the commits join the diff on both sides (old rows minus
+    // old DV vs same rows minus new DV → exactly the newly-marked
+    // positions surface as deletes); each side is then filtered by ITS
+    // OWN commit's DV so already-deleted rows never resurface.
+    val dvChanged: Set[String] =
+      if (from0.dv == to.dv) Set.empty
+      else {
+        import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+        def load(n: Option[String]): DataFrame = n match {
+          case Some(nm) => spark.read.parquet(dvsPath(dir) + "/" + nm)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField("file", StringType),
+              org.apache.spark.sql.types.StructField("positions",
+                org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
+        }
+        load(from0.dv).select(col("file"), col("positions").as("__p_from"))
+          .join(load(to.dv).select(col("file"), col("positions").as("__p_to")),
+            Seq("file"), "full_outer")
+          // sidecars store positions sorted+distinct, so array equality
+          // is canonical; a side missing the file compares as unequal
+          .filter(not(coalesce(col("__p_from") === col("__p_to"), lit(false))))
+          .select("file").collect().map(_.getString(0)).toSet
+      }
+    val common = to.files.filter(f => fromSet.contains(f) && dvChanged.contains(f))
+    val added = applyDv(spark, dir, to.dv,
+      planOver(spark, dir, to, to.files.filterNot(fromSet) ++ common))
+    val removed = applyDv(spark, dir, from0.dv,
+      planOver(spark, dir, from, from.files.filterNot(toSet) ++ common))
     import org.apache.spark.sql.functions.{col, lit, sum, when}
     val ins = added.exceptAll(removed)
     val del = removed.exceptAll(added)
@@ -678,7 +814,16 @@ object Manifest {
     val (youngEnough, dropped) =
       older.partition(s => retainMs > 0 && now - modOf(s) < retainMs)
     val kept = keptByCount ++ youngEnough
-    val referenced: Set[String] = kept.flatMap(s => parse(fs, dir, s).files).toSet
+    val keptInfos = kept.map(s => parse(fs, dir, s))
+    val referenced: Set[String] = keptInfos.flatMap(_.files).toSet
+    // deletion-vector sidecars no kept manifest names go with their
+    // generations (the DV twin of retired-file reclamation)
+    val referencedDv: Set[String] = keptInfos.flatMap(_.dv).toSet
+    val dvd = new Path(dvsPath(dir))
+    if (fs.exists(dvd))
+      fs.listStatus(dvd).filter(_.isDirectory).foreach { s =>
+        if (!referencedDv.contains(s.getPath.getName)) fs.delete(s.getPath, true)
+      }
     val rd = new Path(retiredPath(dir))
     if (fs.exists(rd)) {
       val rdStr = fs.makeQualified(rd).toString

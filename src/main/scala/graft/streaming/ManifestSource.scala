@@ -167,8 +167,15 @@ class ManifestSource(spark: SparkSession, path: String,
       if (onSchemaDrift == "fail") throw new IllegalStateException(msg)
       logWarning(msg)
     }
-    org.apache.spark.sql.GraftBridge.asStreamingRelation(spark, df)
-      .select(pinnedSchema.fieldNames.map(col).toSeq: _*)
+    val projected = df.select(pinnedSchema.fieldNames.map(col).toSeq: _*)
+    // a table with pending merge-on-read deletes reads through a DV
+    // anti-join (two relations) — flipping both streaming would plan a
+    // stream-stream join; materialize such batches like cdc=rows does
+    val hasJoin = projected.queryExecution.analyzed.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty
+    org.apache.spark.sql.GraftBridge.asStreamingRelation(spark,
+      if (hasJoin) projected.localCheckpoint(true) else projected)
   }
 
   /** ROW-level CDC batch: the multiset diff of the commit range

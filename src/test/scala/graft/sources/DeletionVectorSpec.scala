@@ -1,0 +1,232 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read DELETION VECTORS: a small delete records row positions
+  * in a manifest-referenced sidecar instead of rewriting candidate
+  * files. Pins: zero rewrites with byte-identical candidates, exact
+  * snapshot/time-travel reads, position union across repeated DV
+  * deletes, materialization by reify / any copy-mode mutation /
+  * compaction, row-level CDC exactness across DV commits, sidecar
+  * vacuum, and the SQL `spark.graft.delete.mode=dv` surface. */
+class DeletionVectorSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def leafFiles(dir: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+  }
+
+  private def dvSidecars(dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(Manifest.dvsPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  test("dv delete: zero rewrites, candidates byte-identical, snapshot exact, time travel intact") {
+    val dir = freshDir("graft-dv")
+    // A [0,99] partially hit, B [200,299] disjoint (untouched),
+    // C [400,449] entirely inside a second box later (drop-whole)
+    (0L to 99L).map(x => (x, x * 10L)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(x => (x, x * 10L)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val before = leafFiles(dir)
+
+    val stats = Layout.deleteWhere(spark, dir, Seq(("x", 10L, 19L)), mode = "dv")
+    assert(stats == Layout.MutationStats(droppedFiles = 0, rewrittenFiles = 0,
+      untouchedFiles = 1, dvFiles = 1), s"merge-on-read classification: $stats")
+    // NO data file moved or rewrote — byte-identical listing
+    assert(leafFiles(dir) == before, "dv delete must not touch data files")
+    // the snapshot read filters the positions out
+    val snap = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet
+    assert(snap == ((0L to 9L) ++ (20L to 99L) ++ (200L to 299L)).toSet,
+      "exactly the box deleted under the snapshot read")
+    // PLAIN reads still see the raw rows — the documented plain-read caveat
+    assert(spark.read.parquet(dir).count() == 200L)
+    // time travel to the pre-delete commit still serves every row
+    val seqNow = Manifest.latestSeq(spark, dir).get
+    assert(Layout.readSnapshot(spark, dir, Some(seqNow - 1)).count() == 200L)
+    // tableStats surfaces the pending positions
+    val ts = Layout.tableStats(spark, dir).select("dv_files", "dv_rows").head()
+    assert(ts.getLong(0) == 1L && ts.getLong(1) == 10L, ts.toString)
+
+    // a SECOND dv delete unions positions (and re-running is idempotent)
+    val s2 = Layout.deleteWhere(spark, dir, Seq(("x", 15L, 24L)), mode = "dv")
+    assert(s2.rewrittenFiles == 0L && s2.dvFiles == 1L, s"$s2")
+    val snap2 = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet
+    assert(snap2 == ((0L to 9L) ++ (25L to 99L) ++ (200L to 299L)).toSet)
+    val s3 = Layout.deleteWhere(spark, dir, Seq(("x", 15L, 24L)), mode = "dv")
+    assert(Layout.readSnapshot(spark, dir).count() == snap2.size.toLong,
+      s"re-running the same dv delete is idempotent: $s3")
+
+    // drop-whole still works in dv mode: a box covering ALL of file B
+    val s4 = Layout.deleteWhere(spark, dir, Seq(("x", 200L, 299L)), mode = "dv")
+    assert(s4.droppedFiles == 1L && s4.rewrittenFiles == 0L, s"$s4")
+    assert(Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet ==
+      ((0L to 9L) ++ (25L to 99L)).toSet)
+  }
+
+  test("reify materializes: only DV'd files rewrite, DV clears, rows preserved, plain read agrees") {
+    val dir = freshDir("graft-dv-reify")
+    (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    Layout.deleteWhere(spark, dir, Seq(("x", 0L, 4L)), mode = "dv")
+    val before = leafFiles(dir)
+    val expect = ((5L to 99L) ++ (200L to 299L)).toSet
+
+    val stats = Layout.reifyDeletes(spark, dir)
+    assert(stats.rewrittenFiles == 1L && stats.untouchedFiles == 1L, s"$stats")
+    assert(Manifest.info(spark, dir).dv.isEmpty, "reify must clear the DV reference")
+    assert(Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet == expect)
+    // after reify the PLAIN read agrees too (deletes are physical now)
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().map(_._1).toSet == expect)
+    // the untouched file really was untouched
+    val after = leafFiles(dir)
+    assert(before.count { case (n, m) => after.get(n).contains(m) } == 1)
+    // reify again: clean no-op
+    val s2 = Layout.reifyDeletes(spark, dir)
+    assert(s2.rewrittenFiles == 0L, s"$s2")
+  }
+
+  test("any copy-mode mutation on a DV'd file materializes its deletes; other entries carry") {
+    val dir = freshDir("graft-dv-carry")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // DV positions in BOTH files
+    Layout.deleteWhere(spark, dir, Seq(("k", 0L, 1L)), mode = "dv")
+    Layout.deleteWhere(spark, dir, Seq(("k", 200L, 201L)), mode = "dv")
+    assert(Layout.readSnapshot(spark, dir).count() == 196L)
+    // an upsert touching only the first file: its deletes MATERIALIZE in
+    // the rewrite (no resurrection!), the second file's entries carry
+    val stats = Layout.upsert(spark, dir, Seq((50L, -1L)).toDF("k", "v"), "k")
+    assert(stats.rewrittenFiles == 1L && stats.untouchedFiles == 1L, s"$stats")
+    val got = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().toMap
+    assert(!got.contains(0L) && !got.contains(1L), "materialized deletes stay deleted")
+    assert(!got.contains(200L) && !got.contains(201L), "carried DV still filters")
+    assert(got(50L) == -1L && got.size == 196)
+    val dv = Manifest.info(spark, dir).dv
+    assert(dv.nonEmpty, "second file's entries must survive as a filtered sidecar")
+    val entries = spark.read.parquet(Manifest.dvsPath(dir) + "/" + dv.get)
+      .select("file").as[String].collect()
+    assert(entries.length == 1, entries.toSeq.toString)
+  }
+
+  test("compaction auto-reifies: no resurrected rows, DV cleared") {
+    val dir = freshDir("graft-dv-compact")
+    (0 to 999).map(i => (i % 4, i.toLong, i.toLong)).toDF("p", "x", "v")
+      .repartition(6).write.partitionBy("p").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    Layout.deleteWhere(spark, dir, Seq(("x", 0L, 99L)), mode = "dv")
+    assert(Layout.readSnapshot(spark, dir).count() == 900L)
+    Layout.compactPartitions(spark, dir, targetFileBytes = 1L << 30)
+    assert(Manifest.info(spark, dir).dv.isEmpty, "compaction must clear the DV")
+    assert(Layout.readSnapshot(spark, dir).count() == 900L, "no resurrection")
+    assert(spark.read.parquet(dir).count() == 900L)
+  }
+
+  test("row-level CDC is exact across DV commits; reify is CDC-invisible") {
+    val dir = freshDir("graft-dv-cdc")
+    // three commits span the range — keep them all resolvable
+    spark.conf.set(Manifest.KeepConf, "5")
+    (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    Manifest.write(spark, dir)
+    val seq0 = Manifest.latestSeq(spark, dir).get
+    Layout.deleteWhere(spark, dir, Seq(("x", 10L, 14L)), mode = "dv")
+    val seq1 = Manifest.latestSeq(spark, dir).get
+    // the DV commit's row delta is EXACTLY the deleted rows, as deletes
+    val d1 = Layout.readChangeRows(spark, dir, seq0, Some(seq1))
+      .select("_change_type", "x").as[(String, Long)].collect().toSet
+    assert(d1 == (10L to 14L).map(("delete", _)).toSet, d1.toString)
+    // reify: a pure-maintenance rewrite — the (seq1, seq2] delta cancels
+    Layout.reifyDeletes(spark, dir)
+    val seq2 = Manifest.latestSeq(spark, dir).get
+    assert(Layout.readChangeRows(spark, dir, seq1, Some(seq2)).count() == 0L,
+      "materialization must be CDC-invisible")
+    // and the spanning range still reports exactly the deletes once
+    val d2 = Layout.readChangeRows(spark, dir, seq0, Some(seq2))
+      .select("_change_type", "x").as[(String, Long)].collect().toSet
+    assert(d2 == (10L to 14L).map(("delete", _)).toSet, d2.toString)
+    // file-level CDC of the DV commit delivers the file's LIVE rows only
+    val f1 = Layout.readChanges(spark, dir, seq0, Some(seq1))
+    assert(f1.count() == 0L, "a dv-only commit adds no files")
+    spark.conf.unset(Manifest.KeepConf)
+  }
+
+  test("vacuum reclaims sidecars no kept manifest names") {
+    val dir = freshDir("graft-dv-vacuum")
+    (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    Layout.deleteWhere(spark, dir, Seq(("x", 0L, 0L)), mode = "dv")
+    val first = dvSidecars(dir)
+    assert(first.size == 1)
+    // two more commits (keep=2 default) push the first sidecar's
+    // generation out of retention; its sidecar must be reclaimed
+    Layout.deleteWhere(spark, dir, Seq(("x", 1L, 1L)), mode = "dv")
+    Layout.deleteWhere(spark, dir, Seq(("x", 2L, 2L)), mode = "dv")
+    val now = dvSidecars(dir)
+    assert(!now.contains(first.head), s"vacuum must reclaim ${first.head}: $now")
+    assert(Layout.readSnapshot(spark, dir).count() == 97L)
+  }
+
+  test("SQL surface: SET spark.graft.delete.mode=dv routes DELETE FROM to merge-on-read") {
+    val dir = freshDir("graft-dv-sql")
+    (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val before = leafFiles(dir)
+    spark.conf.set(graft.plans.MutationSqlRule.DeleteModeConf, "dv")
+    try {
+      val row = spark.sql(s"DELETE FROM parquet.`$dir` WHERE x BETWEEN 10 AND 19").head()
+      assert(row.getLong(1) == 0L && row.getLong(3) == 1L,
+        s"rewritten=0, dv_files=1 expected: $row")
+      assert(leafFiles(dir) == before, "no data file touched")
+      assert(Layout.readSnapshot(spark, dir).count() == 190L)
+    } finally spark.conf.unset(graft.plans.MutationSqlRule.DeleteModeConf)
+  }
+
+  test("dv delete on a hive-partitioned table keys positions by leaf-relative path") {
+    val dir = freshDir("graft-dv-part")
+    (0 to 999).map(i => (i % 3, i.toLong, i.toLong)).toDF("p", "x", "v")
+      .write.partitionBy("p").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    val stats = Layout.deleteWhere(spark, dir, Seq(("x", 0L, 9L)), mode = "dv")
+    assert(stats.rewrittenFiles == 0L && stats.dvFiles >= 1L, s"$stats")
+    val snap = Layout.readSnapshot(spark, dir)
+    assert(snap.count() == 990L)
+    assert(snap.filter($"x" < 10L).count() == 0L)
+    // partition values survive the DV filter
+    assert(snap.filter($"p" === 1).count() ===
+      (0 to 999).count(i => i % 3 == 1 && i >= 10).toLong)
+  }
+
+  test("no index: dv delete scans everything once but still rewrites nothing") {
+    val dir = freshDir("graft-dv-noidx")
+    (0L to 99L).toDF("x").coalesce(2).write.parquet(dir)
+    val before = leafFiles(dir)
+    val stats = Layout.deleteWhere(spark, dir, Seq(("x", 10L, 19L)), mode = "dv")
+    assert(stats.rewrittenFiles == 0L, s"$stats")
+    assert(leafFiles(dir) == before)
+    assert(Layout.readSnapshot(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((0L to 9L) ++ (20L to 99L)))
+  }
+}
