@@ -394,13 +394,29 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
   /** Re-anchor a matched-arm condition by NAME onto [[Layout.merge]]'s
     * joined matched-pair frame: target columns keep their names, source
     * NON-KEY columns go through the documented `_src_` prefix (key
-    * columns are equal on both sides, so the plain name serves both). */
+    * columns are equal on both sides, so the plain name serves both).
+    * RuntimeReplaceable nodes (BETWEEN and friends) are stripped to
+    * their replacement FIRST: a transformed wrapper whose lazy
+    * replacement mixes re-anchored and original attributes fails
+    * re-analysis with an unresolved-object internal error. */
   private def reanchorMatchedCond(c: Expression, target: LogicalPlan,
                                   source: LogicalPlan, keys: Seq[String]): Expression = {
     val tIds = target.outputSet
     val sIds = source.outputSet
     val keySet = keys.toSet
-    c.transform {
+    def unreplace(e: Expression): Expression = e match {
+      case r: RuntimeReplaceable => unreplace(r.replacement)
+      // BETWEEN's replacement is a With common-subexpression node whose
+      // refs re-analysis cannot resolve once the def's attribute is
+      // re-anchored — inline each ref with its definition's child
+      case w: With =>
+        val byId = w.defs.map(d => d.id -> unreplace(d.child)).toMap
+        unreplace(w.child).transform {
+          case ref: CommonExpressionRef => byId(ref.id)
+        }
+      case other => other.mapChildren(unreplace)
+    }
+    unreplace(c).transform {
       case a: AttributeReference if tIds.contains(a) =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
       case a: AttributeReference if sIds.contains(a) =>

@@ -621,15 +621,48 @@ object LayoutQueries {
     }
   }
 
-  /** Round-17 build (the deletion-vector fixtures and the
-    * low-cardinality-leading-key composite merge), its own bench entry
-    * so q185+ time serving only. */
+  /** Clustered events copy SYNCED with a CONDITIONED by-source arm —
+    * the retention-sync shape: matched rows take the source (even
+    * event_ids, value doubled), and target rows the source no longer
+    * carries are deleted ONLY inside the q137 week
+    * (`WHEN NOT MATCHED BY SOURCE AND t.ts_us BETWEEN … THEN DELETE`);
+    * odd event_ids outside the week SURVIVE — observationally distinct
+    * from q184's full sync. Classification-wise the conditioned arm
+    * lets envelope-refuted files skip (MutationSpec pins the file
+    * counts on a crafted fixture). */
+  private def zEventsMergeSyncCond(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_merge_sync_cond"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_merge_sync_cond").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value", col("value") * 2)
+        .createOrReplaceTempView("graft_q189_src")
+      spark.sql(
+        s"""MERGE INTO parquet.`$out` AS t USING graft_q189_src AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE
+           |  AND t.ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1} THEN DELETE""".stripMargin)
+        .collect()
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Round-17 build (the deletion-vector fixtures, the
+    * low-cardinality-leading-key composite merge, and the conditioned
+    * by-source sync), its own bench entry so q185+ time serving only. */
   def buildZorder17(spark: SparkSession, dir: String): Unit = {
     zEventsDelDv(spark, dir); zEventsDelDvReified(spark, dir)
-    zEventsMergeLowcard(spark, dir); ()
+    zEventsMergeLowcard(spark, dir); zEventsMergeSyncCond(spark, dir); ()
   }
   private val R17Tables = Set("events_del_dv", "events_del_dv_reified",
-    "events_merge_lowcard")
+    "events_merge_lowcard", "events_merge_sync_cond")
   def invalidateZorder17(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R17Tables.contains(k.stripPrefix(s"$dir|"))
@@ -1417,7 +1450,25 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q189
+  /** The no-ts-restriction events box over the CONDITIONED-sync merge
+    * fixture: even event_ids carry the doubled source value everywhere;
+    * odd event_ids are deleted ONLY inside the week the by-source arm's
+    * condition names, surviving outside it — the semantics that
+    * distinguish `WHEN NOT MATCHED BY SOURCE AND <cond>` from q184's
+    * unconditioned sync. */
+  def q189MergeSyncCond(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = spark.read.parquet(zEventsMergeSyncCond(spark, dir))
+    z.filter($"user_id".between(2L, 9L))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_merge_sync_cond"     -> q189MergeSyncCond _,
     "q185_dv_delete_box"       -> q185DvDeleteBox _,
     "q186_dv_cdc_rows"         -> q186DvCdcRows _,
     "q187_dv_reified_box"      -> q187DvReifiedBox _,
@@ -1476,6 +1527,17 @@ object LayoutQueries {
        |GROUP BY event_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q189_merge_sync_cond" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(CASE WHEN event_id % 2 = 0 THEN value * 2
+         |                            ELSE value END * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND NOT (event_id % 2 = 1
+         |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
     "q185_dv_delete_box" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,

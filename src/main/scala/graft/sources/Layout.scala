@@ -1230,10 +1230,14 @@ object Layout {
     * `notMatchedBySource` (`WHEN NOT MATCHED BY SOURCE [AND <cond>]
     * THEN UPDATE SET c = <expr>, … | DELETE`): arms over TARGET rows no
     * source key matches — conditions and assignments reference target
-    * columns only. These arms make EVERY file a candidate (a skipped
-    * file's rows would all be unmatched-by-source), so the sync-table
-    * shape is honestly a FULL-TABLE rewrite — the cost Delta pays for
-    * the same clause. */
+    * columns only. An UNCONDITIONED arm makes EVERY file a candidate (a
+    * skipped file's rows would all be unmatched-by-source), so the bare
+    * sync-table shape is honestly a FULL-TABLE rewrite — the cost Delta
+    * pays for the same clause. When every by-source arm carries a
+    * condition of provable shape (per-column comparisons against
+    * literals — the retention-sync `AND t.ds = :today` pattern), files
+    * whose envelopes REFUTE all the arm conditions classify on the key
+    * stab alone ([[envRefutes]]). */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String], matched: Seq[MergeMatched],
             insertUnmatched: Boolean = true,
@@ -1290,14 +1294,33 @@ object Layout {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val snapFiles = rawSnap.inputFiles.map(normPath).toSet
-      // a BY SOURCE arm makes EVERY file a candidate: a skipped file's
-      // rows would ALL be unmatched-by-source, exactly the rows the arm
-      // acts on — the sync-table shape is honestly a full-table rewrite
+      // BY SOURCE arms act on rows no source key matches — on a skipped
+      // file, EVERY row. An UNCONDITIONED arm therefore makes every file
+      // a candidate (the sync-table shape is honestly a full-table
+      // rewrite — the cost Delta pays for the same clause). When every
+      // by-source arm carries a CONDITION, though, a file whose envelope
+      // REFUTES all the arm conditions cannot be changed by them
+      // ([[envRefutes]] — the retention-sync `AND t.ds = :today` shape),
+      // so it classifies on the key stab alone.
       val missed =
-        if (notMatchedBySource.nonEmpty) Set.empty[String]
-        else if (fs.exists(new org.apache.hadoop.fs.Path(envelopesPath(dir))))
-          classify(spark.read.parquet(envelopesPath(dir)))._1.intersect(snapFiles)
-        else Set.empty[String]
+        if (!fs.exists(new org.apache.hadoop.fs.Path(envelopesPath(dir))))
+          Set.empty[String]
+        else {
+          val env = spark.read.parquet(envelopesPath(dir))
+          val keyMissed = classify(env)._1
+          val bySrcRefuted: Option[Set[String]] =
+            if (notMatchedBySource.isEmpty) Some(snapFiles)
+            else {
+              val envCols = env.columns.toSeq
+              val perArm = notMatchedBySource.map(_.cond.flatMap(envRefutes(envCols, _)))
+              if (perArm.exists(_.isEmpty)) None // some arm unprovable → full candidacy
+              else Some(collectFiles(env.filter(perArm.flatten.reduce(_ && _))))
+            }
+          bySrcRefuted match {
+            case None          => Set.empty[String]
+            case Some(refuted) => keyMissed.intersect(refuted).intersect(snapFiles)
+          }
+        }
       // the verb is writer-exclusive and single-threaded between here
       // and the commit (mutateFiles re-checks the seq before moving
       // anything), so hand mutateFiles the classification it would
@@ -1372,6 +1395,101 @@ object Layout {
         props = pairKeyProps(keyCols), pinned = Some(pinned),
         preclassified = Some(preclass))
     } finally { keys.unpersist(); () }
+  }
+
+  /** Per-file envelope REFUTATION of a target-row condition — the proof
+    * that lets a CONDITIONED `WHEN NOT MATCHED BY SOURCE` arm classify
+    * at file grain: a file whose stats prove no stored row can satisfy
+    * the arm's condition cannot be changed by that arm. Provable
+    * conjunct shapes are `col <cmp> literal` comparisons (either operand
+    * order, BETWEEN included) over indexed columns; refuting ANY single
+    * conjunct refutes the conjunction. Returns None when no conjunct is
+    * provable (the caller falls back to full candidacy — never wrong,
+    * only slower). NULL stats rows and unprovable conjuncts fall out
+    * conservatively (not refuted → the file stays a candidate); an
+    * all-null indexed column refutes every comparison on it (SQL
+    * comparisons reject NULL). Sound on a deletion-vector table too:
+    * stats cover a SUPERSET of the live rows. */
+  private def envRefutes(envCols: Seq[String], cond: Column): Option[Column] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def nameOf(e: ce.Expression): Option[String] = e match {
+      case a: ce.AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    def litOf(e: ce.Expression): Option[Column] = e match {
+      case l if l.resolved && l.foldable && l.deterministic =>
+        Some(org.apache.spark.sql.GraftBridge.column(l))
+      case _ => None
+    }
+    // refutation of `c <cmp> v` from [min_c, max_c] (+ all-null proof)
+    def term(c: String, mk: (Column, Column) => Column, v: Column): Option[Column] =
+      if (!envCols.contains(s"min_$c") || !envCols.contains(s"max_$c")) None
+      else {
+        val range = mk(col(s"min_$c"), col(s"max_$c"))
+        Some(if (envCols.contains(s"nulls_$c")) range || (col(s"nulls_$c") === col("rows"))
+             else range)
+      }
+    def conjunct(e: ce.Expression): Option[Column] = e match {
+      case ce.EqualTo(a, v) => (nameOf(a), litOf(v)) match {
+        case (Some(c), Some(lv)) => term(c, (mn, mx) => mx < lv || mn > lv, lv)
+        case _ => (nameOf(v), litOf(a)) match {
+          case (Some(c), Some(lv)) => term(c, (mn, mx) => mx < lv || mn > lv, lv)
+          case _ => None
+        }
+      }
+      case ce.GreaterThan(a, v) if nameOf(a).nonEmpty && litOf(v).nonEmpty =>
+        term(nameOf(a).get, (_, mx) => mx <= litOf(v).get, litOf(v).get)
+      case ce.GreaterThan(v, a) if nameOf(a).nonEmpty && litOf(v).nonEmpty => // v > a ≡ a < v
+        term(nameOf(a).get, (mn, _) => mn >= litOf(v).get, litOf(v).get)
+      case ce.GreaterThanOrEqual(a, v) if nameOf(a).nonEmpty && litOf(v).nonEmpty =>
+        term(nameOf(a).get, (_, mx) => mx < litOf(v).get, litOf(v).get)
+      case ce.GreaterThanOrEqual(v, a) if nameOf(a).nonEmpty && litOf(v).nonEmpty =>
+        term(nameOf(a).get, (mn, _) => mn > litOf(v).get, litOf(v).get)
+      case ce.LessThan(a, v) if nameOf(a).nonEmpty && litOf(v).nonEmpty =>
+        term(nameOf(a).get, (mn, _) => mn >= litOf(v).get, litOf(v).get)
+      case ce.LessThan(v, a) if nameOf(a).nonEmpty && litOf(v).nonEmpty =>
+        term(nameOf(a).get, (_, mx) => mx <= litOf(v).get, litOf(v).get)
+      case ce.LessThanOrEqual(a, v) if nameOf(a).nonEmpty && litOf(v).nonEmpty =>
+        term(nameOf(a).get, (mn, _) => mn > litOf(v).get, litOf(v).get)
+      case ce.LessThanOrEqual(v, a) if nameOf(a).nonEmpty && litOf(v).nonEmpty =>
+        term(nameOf(a).get, (_, mx) => mx < litOf(v).get, litOf(v).get)
+      case b: ce.Between =>
+        // refute either bound — `a BETWEEN lo AND hi` fails when
+        // max < lo or min > hi
+        (nameOf(b.input), litOf(b.lower), litOf(b.upper)) match {
+          case (Some(c), Some(lo), Some(hi)) =>
+            term(c, (mn, mx) => mx < lo || mn > hi, lo)
+          case _ => None
+        }
+      case _ => None
+    }
+    def split(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    // a Scala-API Column converts to analysis.UnresolvedFunction("=",…)
+    // nodes, not EqualTo — normalize the comparison/conjunction shapes
+    // so both the Column and the SQL-lowered (real-node) paths match
+    def norm(e: ce.Expression): ce.Expression = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.size == 1 && f.arguments.size == 2 && !f.isDistinct =>
+        val a = norm(f.arguments(0)); val b = norm(f.arguments(1))
+        f.nameParts.head.toLowerCase match {
+          case "and"      => ce.And(a, b)
+          case "=" | "==" => ce.EqualTo(a, b)
+          case ">"        => ce.GreaterThan(a, b)
+          case ">="       => ce.GreaterThanOrEqual(a, b)
+          case "<"        => ce.LessThan(a, b)
+          case "<="       => ce.LessThanOrEqual(a, b)
+          case _          => f
+        }
+      case ce.And(l, r) => ce.And(norm(l), norm(r))
+      case other => other
+    }
+    val terms = split(norm(
+      org.apache.spark.sql.GraftBridge.convertedExpression(cond))).flatMap(conjunct)
+    terms.reduceOption(_ || _)
   }
 
   /** Bucket width for an interval stab over `iv(f_start, f_end)`: near

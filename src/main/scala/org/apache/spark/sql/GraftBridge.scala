@@ -9,6 +9,14 @@ object GraftBridge {
   def column(e: Expression): Column       = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression   = classic.ExpressionUtils.expression(c)
 
+  /** The CONVERTED catalyst expression of a Column: a Scala-API Column
+    * wraps a lazy ColumnNode tree (`===` is an internal
+    * UnresolvedFunction node, not an EqualTo), which pattern-matching
+    * extractors cannot see through — this runs the same converter the
+    * analyzer uses, yielding real comparison nodes. */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** The session's stable UUID (`private[sql]`) — collision-free cache
     * keying, unlike an identityHashCode. */
   def sessionUUID(spark: SparkSession): String =

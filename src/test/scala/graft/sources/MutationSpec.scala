@@ -427,6 +427,42 @@ class MutationSpec extends AnyFunSuite {
     } finally Layout.raceHooks.reset()
   }
 
+  test("conditioned BY SOURCE arms classify through envelope refutation; unconditioned stay full") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir("graft-merge-bysrc-env")
+    // file A: ds=1, k 0..99; file B: ds=2, k 200..299 — the retention-
+    // sync shape: the by-source delete is conditioned on ds=1, so file B
+    // (envelope-refuted on ds AND key-stab-missed) must stay untouched
+    (0L to 99L).map(k => (1L, k, k)).toDF("ds", "k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (2L, k, k)).toDF("ds", "k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("ds", "k"))
+    val src = (0L to 49L).map(k => (1L, k, -k)).toDF("ds", "k", "v")
+    val stats = Layout.merge(spark, dir, src, Seq("k"),
+      Seq(Layout.MatchedUpdateAll()), insertUnmatched = false,
+      notMatchedBySource = Seq(Layout.MatchedDelete(Some(col("ds") === 1L))))
+    assert(stats == Layout.MutationStats(0, 1, 1),
+      s"ds=2 file must be envelope-refuted AND key-missed: $stats")
+    val got = spark.read.parquet(dir).select("k", "v").as[(Long, Long)].collect().toMap
+    assert((0L to 49L).forall(k => got(k) == -k), "matched rows updated")
+    assert((50L to 99L).forall(k => !got.contains(k)), "conditioned sync deleted ds=1 leftovers")
+    assert((200L to 299L).forall(k => got(k) == k), "refuted file intact")
+    // an UNCONDITIONED by-source arm keeps the honest full-candidacy
+    val s2 = Layout.merge(spark, dir,
+      spark.read.parquet(dir).select("ds", "k", "v"), Seq("k"),
+      Seq(Layout.MatchedUpdateAll()), insertUnmatched = false,
+      notMatchedBySource = Seq(Layout.MatchedDelete()))
+    assert(s2.untouchedFiles == 0L, s"unconditioned sync must candidate everything: $s2")
+    // an UNPROVABLE condition (expression over the column) also declines
+    // to full candidacy — never a wrong skip
+    val s3 = Layout.merge(spark, dir,
+      Seq((1L, 0L, 0L)).toDF("ds", "k", "v"), Seq("k"),
+      Seq(Layout.MatchedUpdateAll()), insertUnmatched = false,
+      notMatchedBySource = Seq(Layout.MatchedDelete(Some(col("ds") % 2 === 0L))))
+    assert(s3.untouchedFiles == 0L, s"unprovable condition must not skip: $s3")
+  }
+
   test("merge: conditional arms via the Scala API, _src_ columns, key-disjoint files skipped") {
     import org.apache.spark.sql.functions.col
     val dir = freshDir("graft-merge")
