@@ -113,7 +113,26 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
               "ON condition (a conjunction of t.k = s.k on distinct columns), at most " +
               "one WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE, and at most " +
               s"one unconditional WHEN NOT MATCHED THEN INSERT *; got $what")
-          if (withSchemaEvolution) decline("WITH SCHEMA EVOLUTION")
+          // WITH SCHEMA EVOLUTION: source columns absent from the target
+          // (case-insensitive) become NULLABLE metadata-commit additions
+          // ([[Layout.addColumnsIfAbsent]]) before the merge runs; a
+          // same-named column with a DIFFERENT type declines — evolution
+          // is additive only, never a re-type
+          val evolveCols: Seq[(String, String)] =
+            if (!withSchemaEvolution) Nil
+            else {
+              val tgtByName = target.output.map(a => a.name.toLowerCase -> a).toMap
+              source.output.foreach { a =>
+                tgtByName.get(a.name.toLowerCase).foreach { t =>
+                  if (t.dataType != a.dataType)
+                    decline(s"WITH SCHEMA EVOLUTION cannot change column ${t.name} " +
+                      s"from ${t.dataType.sql} to ${a.dataType.sql} - evolution is " +
+                      "additive only (new nullable columns)")
+                }
+              }
+              source.output.filterNot(a => tgtByName.contains(a.name.toLowerCase))
+                .map(a => a.name -> a.dataType.json)
+            }
           val keys = keysOf(cond, target, source).getOrElse(decline(
             s"ON condition ${cond.sql} (need a conjunction of t.k = s.k equalities " +
               "on distinct, same-named columns)"))
@@ -211,10 +230,10 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
                 if insert && insCondRe.isEmpty && bySrcArms.isEmpty =>
               // the exact upsert shape — the one-pass verb, no
               // source join in the rewrite
-              GraftMergeCommand(dir, source, keys)
+              GraftMergeCommand(dir, source, keys, evolveCols)
             case as =>
               GraftMergeGeneralCommand(dir, source, keys, as, insert, insCondRe,
-                bySrcArms)
+                bySrcArms, evolveCols)
           }
         case None => m
       }
@@ -481,14 +500,29 @@ object MutationSqlRule {
     }
   }
 
+  /** Widen `dir` by the evolution columns a `WITH SCHEMA EVOLUTION`
+    * merge carries — (name, DataType json) pairs, added NULLABLE as a
+    * pure metadata commit before the merge runs. */
+  private def applyEvolution(spark: SparkSession, dir: String,
+                             evolveCols: Seq[(String, String)]): Unit =
+    if (evolveCols.nonEmpty) {
+      Layout.addColumnsIfAbsent(spark, dir, evolveCols.map { case (n, j) =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DataType.fromJson(j), nullable = true)
+      })
+      ()
+    }
+
   /** The exact-upsert `MERGE INTO` shape lowered onto
     * [[Layout.upsertKeyed]]. The source plan executes inside the verb
     * (update uniqueness checked there). */
-  final case class GraftMergeCommand(dir: String, source: LogicalPlan, keys: Seq[String])
+  final case class GraftMergeCommand(dir: String, source: LogicalPlan, keys: Seq[String],
+                                     evolveCols: Seq[(String, String)] = Nil)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = StatsOutput
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(sparkSession: SparkSession): Seq[Row] = {
+      applyEvolution(sparkSession, dir, evolveCols)
       val updates = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
       val s = Layout.upsertKeyed(sparkSession, dir, updates, keys)
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
@@ -503,11 +537,12 @@ object MutationSqlRule {
   final case class GraftMergeGeneralCommand(dir: String, source: LogicalPlan,
       keys: Seq[String], matched: Seq[MergeArm],
       insertUnmatched: Boolean, insertCond: Option[Reanchored] = None,
-      bySource: Seq[MergeArm] = Nil)
+      bySource: Seq[MergeArm] = Nil, evolveCols: Seq[(String, String)] = Nil)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = StatsOutput
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(sparkSession: SparkSession): Seq[Row] = {
+      applyEvolution(sparkSession, dir, evolveCols)
       def colOf(h: Reanchored) = org.apache.spark.sql.GraftBridge.column(h.e)
       def armsOf(as: Seq[MergeArm]) = as.map {
         case ArmUpdateAll(c) => Layout.MatchedUpdateAll(c.map(colOf))

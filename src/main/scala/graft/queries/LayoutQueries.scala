@@ -654,15 +654,47 @@ object LayoutQueries {
     })
   }
 
+  /** Clustered events copy merged `WITH SCHEMA EVOLUTION`: the source
+    * proposes `event_id % 10 = 5` rows with a doubled value AND a brand
+    * new `score` column (original value × 10) — the statement widens
+    * the table by `score` as a metadata commit
+    * ([[Layout.addColumnsIfAbsent]]) and then merges, so matched rows
+    * carry the evolved column and every untouched file null-fills it
+    * under the snapshot read. */
+  private def zEventsMergeEvolve(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_merge_evolve"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_merge_evolve").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      ev.filter(col("event_id") % 10 === 5)
+        .withColumn("score", col("value") * 10)
+        .withColumn("value", col("value") * 2)
+        .createOrReplaceTempView("graft_q190_src")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO parquet.`$out` AS t
+           |USING graft_q190_src AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-17 build (the deletion-vector fixtures, the
-    * low-cardinality-leading-key composite merge, and the conditioned
-    * by-source sync), its own bench entry so q185+ time serving only. */
+    * low-cardinality-leading-key composite merge, the conditioned
+    * by-source sync, and the schema-evolution merge), its own bench
+    * entry so q185+ time serving only. */
   def buildZorder17(spark: SparkSession, dir: String): Unit = {
     zEventsDelDv(spark, dir); zEventsDelDvReified(spark, dir)
-    zEventsMergeLowcard(spark, dir); zEventsMergeSyncCond(spark, dir); ()
+    zEventsMergeLowcard(spark, dir); zEventsMergeSyncCond(spark, dir)
+    zEventsMergeEvolve(spark, dir); ()
   }
   private val R17Tables = Set("events_del_dv", "events_del_dv_reified",
-    "events_merge_lowcard", "events_merge_sync_cond")
+    "events_merge_lowcard", "events_merge_sync_cond", "events_merge_evolve")
   def invalidateZorder17(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R17Tables.contains(k.stripPrefix(s"$dir|"))
@@ -1467,7 +1499,25 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q190
+  /** The events box over the SCHEMA-EVOLUTION merge fixture's snapshot:
+    * `event_id % 10 = 5` rows carry the doubled value and the evolved
+    * `score` column; every other row null-fills score (its file was
+    * never rewritten — the widening was a metadata commit). The oracle
+    * reconstructs both relationally. */
+  def q190MergeEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.readSnapshot(spark, zEventsMergeEvolve(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        sum(cents(coalesce($"score", lit(0d)))).as("sum_score_c"),
+        sum(when($"score".isNull, 1L).otherwise(0L)).as("n_unscored"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_merge_evolution"     -> q190MergeEvolution _,
     "q189_merge_sync_cond"     -> q189MergeSyncCond _,
     "q185_dv_delete_box"       -> q185DvDeleteBox _,
     "q186_dv_cdc_rows"         -> q186DvCdcRows _,
@@ -1527,6 +1577,20 @@ object LayoutQueries {
        |GROUP BY event_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q190_merge_evolution" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(CASE WHEN event_id % 10 = 5 THEN value * 2
+         |                            ELSE value END * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_v_c,
+         |  CAST(sum(CAST(round(CASE WHEN event_id % 10 = 5 THEN value * 10
+         |                            ELSE 0 END * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_score_c,
+         |  CAST(sum(CASE WHEN event_id % 10 = 5 THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_unscored
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
     "q189_merge_sync_cond" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(CASE WHEN event_id % 2 = 0 THEN value * 2

@@ -1843,6 +1843,29 @@ object Layout {
     Manifest.write(spark, dir, schemas = Some((widened, info.partSchema)))
   }
 
+  /** [[addColumns]] that SKIPS fields the table already has
+    * (case-insensitive; an existing column with a DIFFERENT type still
+    * fails loudly — only additive evolution is supported). The
+    * `MERGE … WITH SCHEMA EVOLUTION` lowering widens through this, so
+    * re-running the same statement is idempotent. Returns the latest
+    * committed seq. */
+  def addColumnsIfAbsent(spark: SparkSession, dir: String,
+                         newFields: Seq[StructField]): Long = {
+    if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
+    val info = Manifest.info(spark, dir)
+    val byName = (info.dataSchema.fields ++ info.partSchema.fields)
+      .map(f => f.name.toLowerCase -> f).toMap
+    val (present, absent) = newFields.partition(f => byName.contains(f.name.toLowerCase))
+    present.foreach { f =>
+      val ex = byName(f.name.toLowerCase)
+      require(ex.dataType == f.dataType,
+        s"addColumnsIfAbsent: column ${f.name} exists on $dir with type " +
+          s"${ex.dataType.sql}, not ${f.dataType.sql} - schema evolution is " +
+          "additive only (no type changes)")
+    }
+    if (absent.isEmpty) info.seq else addColumns(spark, dir, absent)
+  }
+
   /** APPEND rows to a manifest-maintained table with index + snapshot
     * kept fresh — the library-native INSERT: a plain
     * `write.mode(append)` leaves its files OUTSIDE the committed

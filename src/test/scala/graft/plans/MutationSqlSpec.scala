@@ -329,4 +329,60 @@ class MutationSqlSpec extends AnyFunSuite {
     assert(got.size == 101, s"only the condition-passing unmatched row inserts: ${got.size}")
     assert(got(50L) == -1L && got(2000L) == 5L && !got.contains(1000L))
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns widen the table; type changes decline") {
+    val dir = freshDir("sql-merge-evolve")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    // the source carries every table column PLUS a new `score` column
+    (50L to 109L).map(k => (k, -k, k.toDouble / 2))
+      .toDF("k", "v", "score").createOrReplaceTempView("evolve_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO parquet.`$dir` AS t
+         |USING evolve_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // the table is WIDENED (metadata commit): snapshot readers see score,
+    // old rows null-filled, merged rows carrying the source value
+    val snap = Layout.readSnapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("k", "v", "score"))
+    val got = snap.as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 110)
+    assert(got(10L) == ((10L, None)), "pre-merge rows null-fill the new column")
+    assert(got(60L) == ((-60L, Some(30.0))), "matched rows carry the evolved column")
+    assert(got(105L) == ((-105L, Some(52.5))), "inserted rows carry it too")
+    // re-running the SAME statement is idempotent on the schema
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO parquet.`$dir` AS t
+         |USING evolve_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(Layout.readSnapshot(spark, dir).columns.size == 3)
+    // a TYPE CHANGE is not evolution — it fails loudly, never silently:
+    // either Spark's own star expansion rejects the mismatched source or
+    // our rule's additive gate does, whichever resolution reaches first
+    (0L to 9L).map(k => (k.toString, k)).toDF("k", "v")
+      .createOrReplaceTempView("evolve_retype")
+    intercept[Exception](spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO parquet.`$dir` AS t
+         |USING evolve_retype AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+    // the widening verb itself names the additive-only contract
+    val ex = intercept[IllegalArgumentException](Layout.addColumnsIfAbsent(spark, dir,
+      Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.StringType))))
+    assert(ex.getMessage.contains("additive"), ex.getMessage)
+    // WITHOUT the evolution keyword there is NO silent widening: star
+    // expansion maps the TARGET's columns only (Spark's own semantics),
+    // so the extra source column never reaches the table
+    spark.sql(
+      s"""MERGE INTO parquet.`$dir` AS t
+         |USING (SELECT k, v, score, 1 AS extra FROM evolve_src) AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(Layout.readSnapshot(spark, dir).columns.toSeq == Seq("k", "v", "score"),
+      "no evolution keyword, no widening")
+  }
 }
