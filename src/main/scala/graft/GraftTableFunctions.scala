@@ -75,6 +75,14 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    [, algorithm])` — `propagation` (default) or `stars`; the
   *    ITERATIVE driver loop runs when the query analyzes, the
   *    `graft_heavy_hitters` eagerness trade
+  *  - MAINTENANCE verbs (each runs its side effect at analysis — these
+  *    statements exist to perform it — and returns a one-row summary):
+  *    `graft_compact(path, target_bytes[, parallelism])`,
+  *    `graft_cluster(path, cols_csv, files_per_partition[, scaling,
+  *    index_cols_csv, parallelism])`, `graft_vacuum(path[, keep])`,
+  *    `graft_add_columns(path, ddl)` (additive, nullable — the
+  *    metadata-commit widening), and `graft_reify_deletes(path)`
+  *    (materialize pending deletion vectors)
   */
 object GraftTableFunctions {
 
@@ -281,6 +289,91 @@ object GraftTableFunctions {
     ).queryExecution.analyzed
   }
 
+  // ---------------------------------------------------- maintenance verbs
+  // The SQL face of the table-MAINTENANCE layer (the mutation surface
+  // stopped at DML; OPTIMIZE-style upkeep was Scala-only). Each runs its
+  // verb when the query ANALYZES — the graft_heavy_hitters eagerness
+  // trade, here exactly right: these statements EXIST to perform the
+  // side effect — and returns a one-row summary relation.
+
+  /** `graft_compact(path, target_bytes[, parallelism])` — roll small
+    * files up per leaf ([[graft.sources.Layout.compactPartitions]]);
+    * returns the number of leaves rewritten. */
+  private def compactBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_compact"
+    arity(fn, args, 2, 3)
+    val sp = sess()
+    val n = graft.sources.Layout.compactPartitions(sp, str(fn, args, 0),
+      targetFileBytes = lng(fn, args, 1),
+      parallelism = opt(args, 2)(lng(fn, args, 2)).getOrElse(1L).toInt)
+    import sp.implicits._
+    Seq(n).toDF("rewritten_leaves").queryExecution.analyzed
+  }
+
+  /** `graft_cluster(path, cols_csv, files_per_partition[, scaling
+    * [, index_cols_csv[, parallelism]]])` — per-leaf Z-order OPTIMIZE
+    * ([[graft.sources.Layout.clusterPartitions]]); returns the committed
+    * manifest seq. */
+  private def clusterBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_cluster"
+    arity(fn, args, 3, 6)
+    val sp = sess()
+    val path = str(fn, args, 0)
+    graft.sources.Layout.clusterPartitions(sp, path,
+      cols = csv(str(fn, args, 1)),
+      filesPerPartition = lng(fn, args, 2).toInt,
+      scaling = opt(args, 3)(str(fn, args, 3)).getOrElse("linear"),
+      indexCols = opt(args, 4)(csv(str(fn, args, 4))).getOrElse(Nil),
+      parallelism = opt(args, 5)(lng(fn, args, 5)).getOrElse(1L).toInt)
+    val seq = graft.sources.Manifest.latestSeq(sp, path).getOrElse(-1L)
+    import sp.implicits._
+    Seq(seq).toDF("manifest_seq").queryExecution.analyzed
+  }
+
+  /** `graft_vacuum(path[, keep])` — reclaim retired files and DV
+    * sidecars past the retention window
+    * ([[graft.sources.Manifest.vacuum]]); returns the retained seq
+    * range. */
+  private def vacuumBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_vacuum"
+    arity(fn, args, 1, 2)
+    val sp = sess()
+    val path = str(fn, args, 0)
+    graft.sources.Manifest.vacuum(sp, path, opt(args, 1)(lng(fn, args, 1)).getOrElse(0L).toInt)
+    val seq = graft.sources.Manifest.latestSeq(sp, path).getOrElse(-1L)
+    import sp.implicits._
+    Seq(seq).toDF("latest_seq").queryExecution.analyzed
+  }
+
+  /** `graft_add_columns(path, ddl)` — additive schema evolution as a
+    * metadata commit ([[graft.sources.Layout.addColumnsIfAbsent]]); the
+    * DDL is a comma list like `'score DOUBLE, tag STRING'` (all added
+    * NULLABLE); returns the committed seq. */
+  private def addColumnsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_add_columns"
+    arity(fn, args, 2, 2)
+    val sp = sess()
+    val fields = org.apache.spark.sql.types.StructType.fromDDL(str(fn, args, 1))
+      .fields.toSeq.map(_.copy(nullable = true))
+    val seq = graft.sources.Layout.addColumnsIfAbsent(sp, str(fn, args, 0), fields)
+    import sp.implicits._
+    Seq(seq).toDF("manifest_seq").queryExecution.analyzed
+  }
+
+  /** `graft_reify_deletes(path)` — materialize pending merge-on-read
+    * deletion vectors ([[graft.sources.Layout.reifyDeletes]]); returns
+    * the MutationStats row. */
+  private def reifyBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_reify_deletes"
+    arity(fn, args, 1, 1)
+    val sp = sess()
+    val s = graft.sources.Layout.reifyDeletes(sp, str(fn, args, 0))
+    import sp.implicits._
+    Seq((s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
+      .toDF("dropped_files", "rewritten_files", "untouched_files", "dv_files")
+      .queryExecution.analyzed
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(GraftTableFunctions.getClass.getName, null, name, usage, "", "", "",
       "table_funcs", "4.0.0", "", "built-in")
@@ -336,7 +429,23 @@ object GraftTableFunctions {
       connectedComponentsBuilder(sess) _),
     (new FunctionIdentifier("graft_table_stats"),
       info("graft_table_stats", "graft_table_stats(path)"),
-      tableStatsBuilder(sess) _))
+      tableStatsBuilder(sess) _),
+    (new FunctionIdentifier("graft_compact"),
+      info("graft_compact", "graft_compact(path, target_bytes[, parallelism])"),
+      compactBuilder(sess) _),
+    (new FunctionIdentifier("graft_cluster"),
+      info("graft_cluster",
+        "graft_cluster(path, cols_csv, files_per_partition[, scaling, index_cols_csv, parallelism])"),
+      clusterBuilder(sess) _),
+    (new FunctionIdentifier("graft_vacuum"),
+      info("graft_vacuum", "graft_vacuum(path[, keep])"),
+      vacuumBuilder(sess) _),
+    (new FunctionIdentifier("graft_add_columns"),
+      info("graft_add_columns", "graft_add_columns(path, ddl)"),
+      addColumnsBuilder(sess) _),
+    (new FunctionIdentifier("graft_reify_deletes"),
+      info("graft_reify_deletes", "graft_reify_deletes(path)"),
+      reifyBuilder(sess) _))
 
   /** The [[GraftExtensions]] registration set: builders resolve through
     * `SparkSession.active` (no session exists at injection time — see the

@@ -684,17 +684,41 @@ object LayoutQueries {
     })
   }
 
+  /** [[zEventsCompacted]]'s twin maintained ENTIRELY through SQL: the
+    * small-file partitioned copy rolled up by the `graft_compact` table
+    * function (the maintenance verb surface — the side effect runs when
+    * the statement analyzes, exactly like the Scala call), envelope
+    * index refreshed by the verb from the existing index columns. */
+  private def zEventsCompactedSql(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_compact_sql"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_compact_sql").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+        .withColumn("wk", weekofyear(timestamp_micros(col("ts_us"))))
+        .repartition(12)
+        .write.partitionBy("wk").parquet(out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "wk"))
+      graft.GraftTableFunctions.ensure(spark)
+      spark.sql(s"SELECT rewritten_leaves FROM graft_compact('$out', ${64L << 20}, 3)")
+        .collect()
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-17 build (the deletion-vector fixtures, the
     * low-cardinality-leading-key composite merge, the conditioned
-    * by-source sync, and the schema-evolution merge), its own bench
-    * entry so q185+ time serving only. */
+    * by-source sync, the schema-evolution merge, and the SQL-compacted
+    * copy), its own bench entry so q185+ time serving only. */
   def buildZorder17(spark: SparkSession, dir: String): Unit = {
     zEventsDelDv(spark, dir); zEventsDelDvReified(spark, dir)
     zEventsMergeLowcard(spark, dir); zEventsMergeSyncCond(spark, dir)
-    zEventsMergeEvolve(spark, dir); ()
+    zEventsMergeEvolve(spark, dir); zEventsCompactedSql(spark, dir); ()
   }
   private val R17Tables = Set("events_del_dv", "events_del_dv_reified",
-    "events_merge_lowcard", "events_merge_sync_cond", "events_merge_evolve")
+    "events_merge_lowcard", "events_merge_sync_cond", "events_merge_evolve",
+    "events_compact_sql")
   def invalidateZorder17(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R17Tables.contains(k.stripPrefix(s"$dir|"))
@@ -1516,7 +1540,25 @@ object LayoutQueries {
         sum(when($"score".isNull, 1L).otherwise(0L)).as("n_unscored"))
   }
 
+  // ---------------------------------------------------------------- q191
+  /** q159's box over the copy compacted THROUGH SQL (`graft_compact`,
+    * the maintenance-verb table function) — compaction is layout-only
+    * whichever surface invokes it, so the oracle is the same
+    * original-table SQL, and the auto-prune rule serves the box through
+    * the index the verb refreshed. */
+  def q191SqlCompactBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.EnvelopePruneRule.ensure(spark)
+    val z = spark.read.parquet(zEventsCompactedSql(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_sql_compact_box"     -> q191SqlCompactBox _,
     "q190_merge_evolution"     -> q190MergeEvolution _,
     "q189_merge_sync_cond"     -> q189MergeSyncCond _,
     "q185_dv_delete_box"       -> q185DvDeleteBox _,
@@ -1665,6 +1707,7 @@ object LayoutQueries {
          |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
          |GROUP BY event_type""".stripMargin,
     "q144_envelope_auto_prune"    -> EventsBoxOracle,
+    "q191_sql_compact_box"        -> EventsBoxOracle,
     "q171_append_box"             -> EventsBoxOracle,
     "q173_bloom_lookup" ->
       s"""SELECT event_type, count(*) AS n,

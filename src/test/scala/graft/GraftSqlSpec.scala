@@ -280,4 +280,35 @@ class GraftSqlSpec extends AnyFunSuite {
       Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
     assert(msg.contains("graft_asof_join"))
   }
+
+  test("maintenance verbs in SQL: compact, cluster, vacuum, add_columns, reify_deletes") {
+    GraftTableFunctions.ensure(spark)
+    import graft.sources.{Layout, Manifest}
+    val dir = java.nio.file.Files.createTempDirectory("gtf-maint").resolve("t").toString
+    (0L to 999L).map(x => (x, x % 7)).toDF("x", "g")
+      .repartition(8).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    // compact: 8 small files roll up; stats row reports the rewrite
+    val c = spark.sql(s"SELECT * FROM graft_compact('$dir', ${1L << 30})").head()
+    assert(c.getLong(0) == 1L, s"one leaf rewritten: $c")
+    assert(spark.read.parquet(dir).count() == 1000L)
+    // cluster: Z-order OPTIMIZE through SQL, manifest seq returned
+    val cl = spark.sql(s"SELECT * FROM graft_cluster('$dir', 'x,g', 2)").head()
+    assert(cl.getLong(0) >= 0L)
+    assert(Layout.readSnapshot(spark, dir).count() == 1000L, "layout-only")
+    // add_columns: metadata-commit widening through SQL
+    spark.sql(s"SELECT * FROM graft_add_columns('$dir', 'score DOUBLE')").collect()
+    val snap = Layout.readSnapshot(spark, dir)
+    assert(snap.columns.contains("score") &&
+      snap.filter(snap("score").isNotNull).count() == 0L)
+    // reify_deletes: materialize a dv delete through SQL
+    Layout.deleteWhere(spark, dir, Seq(("x", 0L, 9L)), mode = "dv")
+    val r = spark.sql(s"SELECT * FROM graft_reify_deletes('$dir')").head()
+    assert(r.getLong(1) >= 1L, s"rewritten >= 1: $r")
+    assert(Manifest.info(spark, dir).dv.isEmpty)
+    assert(spark.read.parquet(dir).count() == 990L)
+    // vacuum: retention through SQL; superseded generations reclaimed
+    val v = spark.sql(s"SELECT * FROM graft_vacuum('$dir', 1)").head()
+    assert(v.getLong(0) == Manifest.latestSeq(spark, dir).get)
+  }
 }
