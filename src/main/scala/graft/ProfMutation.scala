@@ -133,5 +133,48 @@ object ProfMutation {
       }
       println(f"rows=$n%-9d merge 5k cond-update: file-grain ${tMrg}%8.1f ms  (upsert same keys ${tUps}%8.1f ms, full rewrite ${tFull2}%8.1f ms)")
     }
+
+    // round 17: DELETION-VECTOR delete cost must be INDEPENDENT of the
+    // candidate file size on the write side — a 10-row delete in a table
+    // of any size writes a tiny sidecar, never a data file: sweep table
+    // size at fixed file count and compare dv vs copy-on-write
+    for (nn <- Seq(2000000L, 8000000L, 32000000L)) {
+      val dvd = mk(s"dv$nn", nn)
+      val tDv = timeMs {
+        val s = Layout.deleteWhere(spark, dvd, Seq(("k", 10000L, 10009L)), mode = "dv")
+        println(s"  dv-delete stats: $s")
+      }
+      val cow = mk(s"cow$nn", nn)
+      val tCow = timeMs {
+        val s = Layout.deleteWhere(spark, cow, Seq(("k", 10000L, 10009L)))
+        println(s"  copy-delete stats: $s")
+      }
+      println(f"rows=$nn%-9d delete 10 rows: dv ${tDv}%8.1f ms  copy ${tCow}%8.1f ms  (${tCow / tDv}%4.1fx)")
+    }
+
+    // round 17: COMPOSITE-key classification with a LOW-CARDINALITY
+    // leading column — 8 distinct sources × 10^5 doc ids, the corpus
+    // shape where a head-only stab candidates EVERYTHING: the
+    // per-column union must classify at file grain through the second
+    // component (only the key-range files rewrite)
+    {
+      val dir = s"$base/lowcard"
+      val df = spark.range(n).select(
+        concat(lit("src-"), pmod($"id", lit(8)).cast("string")).as("source"),
+        $"id".as("doc_id"),
+        sha2(concat($"id".cast("string"), lit("pad")), 256).as("payload"))
+      Layout.clusterWrite(df, Seq("doc_id"), 640, dir)
+      Layout.writeEnvelopes(spark, dir, Seq("source", "doc_id"))
+      val ups = spark.range(20000L, 25000L).select(
+        concat(lit("src-"), pmod($"id", lit(8)).cast("string")).as("source"),
+        $"id".as("doc_id"), lit("upd").as("payload"))
+      val tLc = timeMs {
+        val s = Layout.upsertKeyed(spark, dir, ups, Seq("source", "doc_id"))
+        println(s"  lowcard composite stats: $s")
+        require(s.untouchedFiles > 600,
+          s"per-column stab must keep the merge at file grain, got $s")
+      }
+      println(f"rows=$n%-9d composite (8-source, doc_id) upsert 5k: ${tLc}%8.1f ms (untouched > 600/640 files)")
+    }
   }
 }
