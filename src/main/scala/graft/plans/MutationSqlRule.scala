@@ -460,6 +460,13 @@ object MutationSqlRule {
     * `DELETE FROM` without re-planning. */
   val DeleteModeConf = "spark.graft.delete.mode"
 
+  /** Same toggle for the exact-upsert `MERGE INTO` shape (unconditional
+    * `UPDATE SET *` + `INSERT *`): `dv` marks matched rows' positions
+    * and appends replacements instead of rewriting candidate files. The
+    * general merge shapes (conditional/partial/by-source arms) always
+    * run copy-on-write. */
+  val MergeModeConf = "spark.graft.merge.mode"
+
   /** Opaque holder keeping a NAME-anchored (deliberately unresolved)
     * expression out of a command's `expressions` traversal: the
     * analyzer's CheckAnalysis would otherwise reject attributes that
@@ -524,7 +531,8 @@ object MutationSqlRule {
     override def run(sparkSession: SparkSession): Seq[Row] = {
       applyEvolution(sparkSession, dir, evolveCols)
       val updates = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
-      val s = Layout.upsertKeyed(sparkSession, dir, updates, keys)
+      val mode = sparkSession.conf.get(MergeModeConf, "copy")
+      val s = Layout.upsertKeyed(sparkSession, dir, updates, keys, mode)
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
     }
   }

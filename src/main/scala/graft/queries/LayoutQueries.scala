@@ -707,18 +707,49 @@ object LayoutQueries {
     })
   }
 
-  /** Round-17 build (the deletion-vector fixtures, the
-    * low-cardinality-leading-key composite merge, the conditioned
-    * by-source sync, the schema-evolution merge, and the SQL-compacted
-    * copy), its own bench entry so q185+ time serving only. */
+  /** [[zEventsUpd]]'s twin upserted MERGE-ON-READ through SQL: the same
+    * keyed `MERGE INTO` with `spark.graft.merge.mode=dv` set — matched
+    * rows' positions go to the deletion-vector sidecar, replacements
+    * append as new files, and no candidate file is rewritten. Serves
+    * q192 (snapshot box) and q193 (paired update-image CDC of the DV
+    * upsert commit). */
+  private def zEventsUpdDv(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_upd_dv"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_upd_dv").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      ev.filter(col("event_id") % 10 === 3)
+        .withColumn("value", col("value") * 2)
+        .createOrReplaceTempView("graft_q192_updates")
+      spark.conf.set(graft.plans.MutationSqlRule.MergeModeConf, "dv")
+      try spark.sql(
+        s"""MERGE INTO parquet.`$out` AS t USING graft_q192_updates AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      finally spark.conf.unset(graft.plans.MutationSqlRule.MergeModeConf)
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Round-17 build (the deletion-vector fixtures — delete, reified,
+    * and merge-on-read upsert — the low-cardinality-leading-key
+    * composite merge, the conditioned by-source sync, the
+    * schema-evolution merge, and the SQL-compacted copy), its own bench
+    * entry so q185+ time serving only. */
   def buildZorder17(spark: SparkSession, dir: String): Unit = {
     zEventsDelDv(spark, dir); zEventsDelDvReified(spark, dir)
     zEventsMergeLowcard(spark, dir); zEventsMergeSyncCond(spark, dir)
-    zEventsMergeEvolve(spark, dir); zEventsCompactedSql(spark, dir); ()
+    zEventsMergeEvolve(spark, dir); zEventsCompactedSql(spark, dir)
+    zEventsUpdDv(spark, dir); ()
   }
   private val R17Tables = Set("events_del_dv", "events_del_dv_reified",
     "events_merge_lowcard", "events_merge_sync_cond", "events_merge_evolve",
-    "events_compact_sql")
+    "events_compact_sql", "events_upd_dv")
   def invalidateZorder17(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R17Tables.contains(k.stripPrefix(s"$dir|"))
@@ -1557,7 +1588,42 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q192
+  /** q161's box over the MERGE-ON-READ upserted copy (SQL `MERGE INTO`
+    * under `spark.graft.merge.mode=dv`): matched rows serve from the
+    * appended replacements while their originals sit position-marked in
+    * never-rewritten files — results must equal copy-mode exactly, so
+    * the oracle is q161's. */
+  def q192DvUpsertBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.readSnapshot(spark, zEventsUpdDv(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q193
+  /** ROW-level CDC of the q192 merge-on-read upsert as PAIRED UPDATE
+    * IMAGES: the DV commit's delta pairs each key's marked-position
+    * delete with its appended replacement on the recorded `event_id`
+    * key — preimages are the original `event_id % 10 = 3` rows,
+    * postimages the doubled ones. */
+  def q193DvUpsertCdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = zEventsUpdDv(spark, dir)
+    val toSeq = Manifest.latestSeq(spark, path).get
+    Layout.readChangeRows(spark, path, toSeq - 1, Some(toSeq))
+      .groupBy($"_change_type", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_dv_upsert_box"       -> q192DvUpsertBox _,
+    "q193_dv_upsert_cdc"       -> q193DvUpsertCdc _,
     "q191_sql_compact_box"     -> q191SqlCompactBox _,
     "q190_merge_evolution"     -> q190MergeEvolution _,
     "q189_merge_sync_cond"     -> q189MergeSyncCond _,
@@ -1619,6 +1685,30 @@ object LayoutQueries {
        |GROUP BY event_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q192_dv_upsert_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type,
+         |        CASE WHEN event_id % 10 = 3 THEN value * 2 ELSE value END AS value
+         |      FROM events)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q193_dv_upsert_cdc" ->
+      s"""SELECT 'update_preimage' AS _change_type, event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE event_id % 10 = 3
+         |GROUP BY event_type
+         |UNION ALL
+         |SELECT 'update_postimage' AS _change_type, event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 2 * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE event_id % 10 = 3
+         |GROUP BY event_type""".stripMargin,
     "q190_merge_evolution" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(CASE WHEN event_id % 10 = 5 THEN value * 2

@@ -743,20 +743,35 @@ object Layout {
       rewrite = _.filter(!coalesce(cond, lit(false))), extra = None)
   }
 
-  /** The merge-on-read arm of [[deleteWhere]]: record matching row
-    * POSITIONS in a deletion-vector sidecar instead of rewriting the
-    * candidate files. Work per class: index-proven-miss files untouched;
-    * proven-full files retired whole (metadata grain, never read);
-    * candidates scanned ONCE (raw, `_metadata.row_index` alongside the
-    * predicate) for their matching positions, which merge with the
-    * previous commit's sidecar (per-file `array_union` — re-running the
-    * same delete is idempotent). Commit = write the immutable new
-    * sidecar (invisible until referenced), retire full files, CAS the
-    * manifest naming the sidecar; a loser heals exactly like
-    * [[mutateFiles]]. Cost is independent of candidate FILE SIZE on the
-    * write side — no data file is written at all. */
+  /** The merge-on-read arm of [[deleteWhere]]. See [[mutateDv]]. */
   private def deleteWhereDv(spark: SparkSession, dir: String, cond: Column,
-      classify: DataFrame => (Set[String], Set[String])): MutationStats = {
+      classify: DataFrame => (Set[String], Set[String])): MutationStats =
+    mutateDv(spark, dir, classify,
+      positionsOf = _.filter(coalesce(cond, lit(false)))
+        .select(col("__graft_f").as("file"), col("__graft_p").as("pos")),
+      extra = None, props = Map.empty)
+
+  /** Shared merge-on-read mutation core — the deletion-vector twin of
+    * [[mutateFiles]]: affected rows are MARKED (their positions
+    * recorded in an immutable sidecar the manifest names) instead of
+    * rewritten away. Work per class: index-proven-miss files untouched;
+    * proven-full files retired whole (metadata grain, never read);
+    * candidates scanned ONCE — raw, `_metadata.row_index` alongside the
+    * verb's predicate (`positionsOf` maps the annotated candidate frame
+    * to (file, pos) rows) — and the positions merge with the previous
+    * commit's sidecar (per-file `array_union`: re-running the same verb
+    * is idempotent). `extra` rows (an upsert's replacements) stage to a
+    * tmp sibling and PROMOTE as new files. Commit = stage everything,
+    * re-check the pinned seq, retire full files, promote, refresh the
+    * index incrementally (removed + added files only), CAS the manifest
+    * naming the sidecar; a loser heals exactly like [[mutateFiles]].
+    * Write cost is independent of candidate FILE SIZE — no candidate is
+    * ever rewritten. */
+  private def mutateDv(spark: SparkSession, dir: String,
+      classify: DataFrame => (Set[String], Set[String]),
+      positionsOf: DataFrame => DataFrame,
+      extra: Option[DataFrame],
+      props: Map[String, String]): MutationStats = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no table at $dir")
@@ -784,9 +799,9 @@ object Layout {
     val untouched = files.intersect(missAll)
     val dropped = files.intersect(fullAll) -- untouched
     val partial = files -- untouched -- dropped
-    if (dropped.isEmpty && partial.isEmpty)
+    if (dropped.isEmpty && partial.isEmpty && extra.isEmpty)
       return MutationStats(0L, 0L, untouched.size.toLong)
-    require(untouched.nonEmpty || partial.nonEmpty,
+    require(untouched.nonEmpty || partial.nonEmpty || extra.nonEmpty,
       s"mutation would remove every row of $dir; an empty table is not " +
         "representable in a manifest — keep at least one row or drop the table")
     val relU = udf((p: String) => Manifest.dvRelPath(qualRootStr, p))
@@ -794,12 +809,12 @@ object Layout {
     // candidates only (miss + full files never open)
     val newPerFile: Option[DataFrame] =
       if (partial.isEmpty) None
-      else Some(minusFiles(spark, rawSnap, untouched ++ dropped)
-        .withColumn("__graft_f", relU(col("_metadata.file_path")))
-        .withColumn("__graft_p", col("_metadata.row_index"))
-        .filter(coalesce(cond, lit(false)))
-        .groupBy(col("__graft_f").as("file"))
-        .agg(sort_array(collect_set(col("__graft_p"))).as("positions")))
+      else Some(positionsOf(
+        minusFiles(spark, rawSnap, untouched ++ dropped)
+          .withColumn("__graft_f", relU(col("_metadata.file_path")))
+          .withColumn("__graft_p", col("_metadata.row_index")))
+        .groupBy(col("file"))
+        .agg(sort_array(collect_set(col("pos"))).as("positions")))
     val droppedRelDf = {
       import spark.implicits._
       dropped.toSeq.map(_.stripPrefix(qualRootStr + "/")).toDF("file")
@@ -808,38 +823,54 @@ object Layout {
     val oldKept: Option[DataFrame] = info.dv.map(n =>
       spark.read.parquet(Manifest.dvsPath(dir) + "/" + n)
         .join(droppedRelDf, Seq("file"), "left_anti"))
+    // stage replacement/insert rows fully BEFORE anything moves, same
+    // as mutateFiles (an aborted run deletes the invisible tmp sibling)
+    val partCols = info.partSchema.fieldNames.toSeq
+    val wantCols = (info.dataSchema.fieldNames ++ partCols).toSeq
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir + ".mutate-tmp-" + java.util.UUID.randomUUID().toString)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    extra.foreach { rows =>
+      val w = rows.select(wantCols.map(col): _*).write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+    }
     val (sidecar, dvTouched): (Option[String], Long) = {
-      val merged = (oldKept, newPerFile) match {
-        case (Some(o), Some(n)) =>
-          Some(o.select(col("file"), col("positions").as("__p_old"))
-            .join(n.select(col("file"), col("positions").as("__p_new")), Seq("file"), "full_outer")
-            .select(col("file"), sort_array(array_union(
-              coalesce(col("__p_old"), array()),
-              coalesce(col("__p_new"), array()))).as("positions")))
-        case (o, n) => o.orElse(n)
-      }
-      merged match {
-        case None => (None, 0L)
-        case Some(m) =>
-          val cached = m.cache()
-          try {
-            val touched = newPerFile.map(_.count()).getOrElse(0L)
-            if (cached.isEmpty) (None, touched)
-            else {
-              val name = "dv-" + java.util.UUID.randomUUID().toString
-              cached.coalesce(1).write.parquet(Manifest.dvsPath(dir) + "/" + name)
-              (Some(name), touched)
-            }
-          } finally { cached.unpersist(); () }
+      if (newPerFile.isEmpty && dropped.isEmpty) (info.dv, 0L) // carry unchanged
+      else {
+        val merged = (oldKept, newPerFile) match {
+          case (Some(o), Some(n)) =>
+            Some(o.select(col("file"), col("positions").as("__p_old"))
+              .join(n.select(col("file"), col("positions").as("__p_new")), Seq("file"), "full_outer")
+              .select(col("file"), sort_array(array_union(
+                coalesce(col("__p_old"), array()),
+                coalesce(col("__p_new"), array()))).as("positions")))
+          case (o, n) => o.orElse(n)
+        }
+        merged match {
+          case None => (None, 0L)
+          case Some(m) =>
+            val cached = m.cache()
+            try {
+              val touched = newPerFile.map(_.count()).getOrElse(0L)
+              if (cached.isEmpty) (None, touched)
+              else {
+                val name = "dv-" + java.util.UUID.randomUUID().toString
+                cached.coalesce(1).write.parquet(Manifest.dvsPath(dir) + "/" + name)
+                (Some(name), touched)
+              }
+            } finally { cached.unpersist(); () }
+        }
       }
     }
-    // the same pre-move re-check / retire / CAS / heal protocol as
-    // mutateFiles — minus replacements (there are none to write)
+    val wroteSidecar = sidecar != info.dv
+    // the same pre-move re-check / retire / promote / CAS / heal
+    // protocol as mutateFiles — candidates are never rewritten
     raceHooks.preRetire()
     val seqNow = Manifest.latestSeq(spark, dir)
-    def deleteSidecar(): Unit = sidecar.foreach(n =>
+    def deleteSidecar(): Unit = if (wroteSidecar) sidecar.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(Manifest.dvsPath(dir) + "/" + n), true))
     if (seqNow != Some(seq0)) {
+      fs.delete(tmp, true)
       deleteSidecar()
       throw new java.util.ConcurrentModificationException(
         s"mutation on $dir: another writer committed m${seqNow.getOrElse(-1L)} after " +
@@ -858,17 +889,19 @@ object Layout {
         require(fs.rename(src, dst), s"mutation: could not retire $src")
       }
     }
+    val movedIn = moveTmpIn(fs, root, tmp)
     val idx = indexedColumns(spark, dir)
-    if (idx.nonEmpty && dropped.nonEmpty)
+    if (idx.nonEmpty && (dropped.nonEmpty || movedIn.nonEmpty))
       refreshEnvelopesIncremental(spark, dir, idx,
-        removed = dropped, added = Nil, basePath = dir,
+        removed = dropped, added = movedIn, basePath = dir,
         bloomCols = bloomColumns(spark, dir))
     raceHooks.preCommit()
     try Manifest.writeSeq(spark, dir, seq0 + 1,
-      schemas = Some((info.dataSchema, info.partSchema)),
+      schemas = Some((info.dataSchema, info.partSchema)), props = props,
       dv = sidecar.map(Manifest.DvSet(_)).getOrElse(Manifest.DvClear))
     catch {
       case e: java.util.ConcurrentModificationException =>
+        movedIn.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
         dropped.foreach { f =>
           if (f.startsWith(qualRootStr + "/")) {
             val rel = f.stripPrefix(qualRootStr + "/")
@@ -880,9 +913,10 @@ object Layout {
             }
           }
         }
-        if (idx.nonEmpty && dropped.nonEmpty)
+        if (idx.nonEmpty && (dropped.nonEmpty || movedIn.nonEmpty))
           refreshEnvelopesIncremental(spark, dir, idx,
-            removed = Set.empty, added = dropped.toSeq.map(fileMap), basePath = dir,
+            removed = movedIn.map(normPath).toSet,
+            added = dropped.toSeq.map(fileMap), basePath = dir,
             bloomCols = bloomColumns(spark, dir))
         deleteSidecar()
         throw e
@@ -1014,8 +1048,8 @@ object Layout {
     * full-rewrite cost, never a cross product; unsupported key types
     * like binary or boolean decline loudly). */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
-             keyCol: String): MutationStats =
-    upsertKeyed(spark, dir, updates, Seq(keyCol))
+             keyCol: String, mode: String = "copy"): MutationStats =
+    upsertKeyed(spark, dir, updates, Seq(keyCol), mode)
 
   /** Per-file bloom probe for a pre-hashed value — same construction as
     * [[graft.plans.EnvelopePruneRule]]'s: NULL blooms (legacy index rows,
@@ -1035,13 +1069,27 @@ object Layout {
     * through its selective columns; the rewrite anti-joins on the full
     * key. */
   def upsertKeyed(spark: SparkSession, dir: String, updates: DataFrame,
-                  keyCols: Seq[String]): MutationStats = {
+                  keyCols: Seq[String], mode: String = "copy"): MutationStats = {
+    require(mode == "copy" || mode == "dv",
+      s"upsert: mode must be copy|dv, got '$mode'")
     val keys = cachedSourceKeys(updates, keyCols, "upsert", requireUnique = true)
-    try
-      mutateFiles(spark, dir, keyedClassifier(updates, keys, keyCols),
-        rewrite = _.join(keys, keyCols, "left_anti"), extra = Some(updates),
-        props = pairKeyProps(keyCols))
-    finally { keys.unpersist(); () }
+    try {
+      val classify = keyedClassifier(updates, keys, keyCols)
+      if (mode == "dv")
+        // merge-on-read upsert: matched rows' POSITIONS go to the
+        // deletion-vector sidecar (one left-semi keyed scan of the
+        // candidates), replacements + fresh inserts append as new files
+        // — NO candidate file is rewritten, the trickle-upsert
+        // economics ([[mutateDv]]; same results as copy mode)
+        mutateDv(spark, dir, classify,
+          positionsOf = _.join(keys, keyCols, "left_semi")
+            .select(col("__graft_f").as("file"), col("__graft_p").as("pos")),
+          extra = Some(updates), props = pairKeyProps(keyCols))
+      else
+        mutateFiles(spark, dir, classify,
+          rewrite = _.join(keys, keyCols, "left_anti"), extra = Some(updates),
+          props = pairKeyProps(keyCols))
+    } finally { keys.unpersist(); () }
   }
 
   /** Commit props recording a keyed mutation's row-identity columns for

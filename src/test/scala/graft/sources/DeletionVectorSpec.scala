@@ -15,12 +15,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * vacuum, and the SQL `spark.graft.delete.mode=dv` surface. */
 class DeletionVectorSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // the SQL-surface case needs MutationSqlRule, and extensions are fixed
+  // at session construction — a session an earlier suite built without
+  // them would silently serve DELETE FROM with Spark's stock error.
+  // Force a FRESH session (the MutationSqlSpec pattern; suites in the
+  // forked test JVM run sequentially, so clearing races nothing).
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
   import spark.implicits._
 
   private def freshDir(prefix: String): String =
@@ -217,6 +226,56 @@ class DeletionVectorSpec extends AnyFunSuite {
     // partition values survive the DV filter
     assert(snap.filter($"p" === 1).count() ===
       (0 to 999).count(i => i % 3 == 1 && i >= 10).toLong)
+  }
+
+  test("dv upsert: matched positions marked, replacements appended, zero candidate rewrites") {
+    val dir = freshDir("graft-dv-ups")
+    (0L to 99L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    val before = leafFiles(dir)
+    val updates = ((50L to 59L) ++ (1000L to 1004L)).map(k => (k, -k)).toDF("k", "v")
+    val stats = Layout.upsert(spark, dir, updates, "k", mode = "dv")
+    assert(stats.rewrittenFiles == 0L && stats.dvFiles == 1L &&
+      stats.untouchedFiles == 1L, s"merge-on-read upsert: $stats")
+    // ORIGINAL candidate files byte-identical; replacements are NEW files
+    val after = leafFiles(dir)
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      "no pre-existing file touched")
+    assert(after.size > before.size, "replacements appended as new files")
+    val got = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 205)
+    assert((50L to 59L).forall(k => got(k) == -k), "matched keys replaced")
+    assert((1000L to 1004L).forall(k => got(k) == -k), "new keys inserted")
+    assert((0L to 49L).forall(k => got(k) == k * 10L) &&
+      (200L to 299L).forall(k => got(k) == k * 10L), "everything else intact")
+    // a SECOND dv upsert on the same keys replaces again (positions
+    // union; the first round's appended rows live in new files, which
+    // now classify as candidates and get their own positions)
+    val s2 = Layout.upsert(spark, dir,
+      Seq((55L, 555L)).toDF("k", "v"), "k", mode = "dv")
+    assert(s2.rewrittenFiles == 0L, s"$s2")
+    val got2 = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got2(55L) == 555L && got2.size == 205)
+    // reify materializes the whole history; plain read then agrees
+    Layout.reifyDeletes(spark, dir)
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toMap == got2)
+  }
+
+  test("CDC across a dv upsert pairs update images via the recorded key") {
+    val dir = freshDir("graft-dv-ups-cdc")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    Manifest.write(spark, dir)
+    val seq0 = Manifest.latestSeq(spark, dir).get
+    Layout.upsert(spark, dir,
+      (10L to 14L).map(k => (k, -k)).toDF("k", "v"), "k", mode = "dv")
+    val seq1 = Manifest.latestSeq(spark, dir).get
+    val d = Layout.readChangeRows(spark, dir, seq0, Some(seq1))
+      .select("_change_type", "k", "v").as[(String, Long, Long)].collect().toSet
+    val expect = (10L to 14L).flatMap(k =>
+      Seq(("update_preimage", k, k), ("update_postimage", k, -k))).toSet
+    assert(d == expect, s"paired update images through the DV commit: $d")
   }
 
   test("no index: dv delete scans everything once but still rewrites nothing") {
