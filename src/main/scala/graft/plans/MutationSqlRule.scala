@@ -467,6 +467,10 @@ object MutationSqlRule {
     * run copy-on-write. */
   val MergeModeConf = "spark.graft.merge.mode"
 
+  /** Same toggle for `UPDATE … WHERE`: `dv` marks the matched rows'
+    * positions and appends their updated versions. */
+  val UpdateModeConf = "spark.graft.update.mode"
+
   /** Opaque holder keeping a NAME-anchored (deliberately unresolved)
     * expression out of a command's `expressions` traversal: the
     * analyzer's CheckAnalysis would otherwise reject attributes that
@@ -501,8 +505,10 @@ object MutationSqlRule {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = StatsOutput
     override def run(sparkSession: SparkSession): Seq[Row] = {
+      val mode = sparkSession.conf.get(UpdateModeConf, "copy")
       val s = Layout.updateWhere(sparkSession, dir, box,
-        set.map { case (n, e) => n -> org.apache.spark.sql.GraftBridge.column(e) })
+        set.map { case (n, e) => n -> org.apache.spark.sql.GraftBridge.column(e) },
+        mode)
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
     }
   }

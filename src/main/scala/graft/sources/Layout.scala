@@ -771,12 +771,17 @@ object Layout {
       classify: DataFrame => (Set[String], Set[String]),
       positionsOf: DataFrame => DataFrame,
       extra: Option[DataFrame],
-      props: Map[String, String]): MutationStats = {
+      props: Map[String, String],
+      pinned: Option[Manifest.Info] = None): MutationStats = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no table at $dir")
     if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
-    val info = Manifest.info(spark, dir)
+    // a verb that classified or built its appended rows BEFORE calling
+    // in (updateWhere's dv arm) passes its own pinned info, so the CAS
+    // provably covers the snapshot it read — same contract as
+    // mutateFiles
+    val info = pinned.getOrElse(Manifest.info(spark, dir))
     val seq0 = info.seq
     // RAW snapshot: positions are physical row indexes, so the scan must
     // see every stored row (rows an earlier DV already deleted that also
@@ -830,7 +835,16 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(
       dir + ".mutate-tmp-" + java.util.UUID.randomUUID().toString)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    extra.foreach { rows =>
+    // provable no-op (nothing to drop or mark, and the append is EMPTY
+    // — an updateWhere-dv whose box missed every file): commit nothing,
+    // like every other verb's no-op rule. Checked BY ROWS before
+    // staging: a 0-row write can still leave an empty part file, which
+    // a staged-file probe would mistake for real work
+    val extraLive = extra.filterNot(e =>
+      dropped.isEmpty && partial.isEmpty && e.select(wantCols.map(col): _*).isEmpty)
+    if (dropped.isEmpty && partial.isEmpty && extraLive.isEmpty)
+      return MutationStats(0L, 0L, untouched.size.toLong)
+    extraLive.foreach { rows =>
       val w = rows.select(wantCols.map(col): _*).write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
     }
@@ -969,11 +983,13 @@ object Layout {
     * assignment is, like a constant SET, idempotent; otherwise restore
     * from the retained pre-mutation snapshot). */
   def updateWhere(spark: SparkSession, dir: String, box: Seq[(String, Any, Any)],
-                  set: Seq[(String, Column)]): MutationStats = {
+                  set: Seq[(String, Column)], mode: String = "copy"): MutationStats = {
     require(box.nonEmpty, "updateWhere: empty box")
     require(set.nonEmpty, "updateWhere: no assignments")
     require(set.map(_._1).distinct.size == set.size,
       s"updateWhere: duplicate assignment targets in ${set.map(_._1)}")
+    require(mode == "copy" || mode == "dv",
+      s"updateWhere: mode must be copy|dv, got '$mode'")
     val cond = box.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
@@ -986,10 +1002,13 @@ object Layout {
       val miss = coalesce(boxMiss(cols, box), lit(false))
       (collectFiles(env.filter(miss)), Set.empty)
     }
-    def rewrite(df: DataFrame): DataFrame = {
-      val byName = set.toMap
-      val unknown = byName.keySet -- df.columns.toSet
+    def checkSet(df: DataFrame): Unit = {
+      val unknown = set.map(_._1).toSet -- df.columns.toSet
       require(unknown.isEmpty, s"updateWhere: no such column(s) ${unknown.mkString(", ")}")
+    }
+    def rewrite(df: DataFrame): DataFrame = {
+      checkSet(df)
+      val byName = set.toMap
       val hit = coalesce(cond, lit(false))
       df.select(df.schema.fields.toSeq.map { f =>
         byName.get(f.name) match {
@@ -1004,8 +1023,38 @@ object Layout {
     val info = Manifest.info(spark, dir)
     val identity = (info.dataSchema.fieldNames ++ info.partSchema.fieldNames).toSeq
       .filterNot(set.map(_._1).toSet)
-    mutateFiles(spark, dir, classify, rewrite, extra = None,
-      props = pairKeyProps(identity))
+    if (mode == "dv") {
+      // merge-on-read UPDATE = delete + append: matched rows' positions
+      // go to the sidecar and their UPDATED versions (assignments over
+      // the ORIGINAL row, DV-FILTERED so already-deleted rows never
+      // resurrect as updated copies) append as new files — candidates
+      // stay byte-untouched. Classification runs ONCE here so the
+      // appended-updates read is restricted to candidate files too.
+      val rawSnap = Manifest.readRaw(spark, dir, Some(info.seq))
+      val dvSnap = Manifest.applyDv(spark, dir, info.dv, rawSnap)
+      val envP = new org.apache.hadoop.fs.Path(envelopesPath(dir))
+      val fs = envP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val missed =
+        if (!fs.exists(envP)) Set.empty[String]
+        else classify(spark.read.parquet(envelopesPath(dir)))._1
+      val matchedRows = minusFiles(spark, dvSnap, missed)
+        .filter(coalesce(cond, lit(false)))
+      checkSet(matchedRows)
+      val byName = set.toMap
+      val updated = matchedRows.select(matchedRows.schema.fields.toSeq.map { f =>
+        byName.get(f.name) match {
+          case Some(e) => e.cast(f.dataType).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+      mutateDv(spark, dir, _ => (missed, Set.empty),
+        positionsOf = _.filter(coalesce(cond, lit(false)))
+          .select(col("__graft_f").as("file"), col("__graft_p").as("pos")),
+        extra = Some(updated), props = pairKeyProps(identity),
+        pinned = Some(info))
+    } else
+      mutateFiles(spark, dir, classify, rewrite, extra = None,
+        props = pairKeyProps(identity))
   }
 
   /** UPSERT by unique key into a manifest-maintained parquet table (flat

@@ -262,6 +262,45 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).as[(Long, Long)].collect().toMap == got2)
   }
 
+  test("dv updateWhere: positions marked, updated versions appended, no-op boxes commit nothing") {
+    val dir = freshDir("graft-dv-updw")
+    (0L to 99L).map(x => (x, x * 10L)).toDF("a", "b").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(x => (x, x * 10L)).toDF("a", "b").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("a"))
+    // first delete some rows via DV, then a dv-update over a box that
+    // OVERLAPS them: the already-deleted rows must NOT resurrect as
+    // updated copies (the appended-updates read is DV-filtered)
+    Layout.deleteWhere(spark, dir, Seq(("a", 10L, 12L)), mode = "dv")
+    val before = leafFiles(dir)
+    val stats = Layout.updateWhere(spark, dir, Seq(("a", 10L, 19L)),
+      Seq("b" -> (col("b") + 1L)), mode = "dv")
+    assert(stats.rewrittenFiles == 0L && stats.dvFiles == 1L, s"$stats")
+    assert(before.forall { case (n, m) => leafFiles(dir).get(n).contains(m) },
+      "no pre-existing file touched")
+    val got = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 197, s"3 deleted, none resurrected: ${got.size}")
+    assert((13L to 19L).forall(a => got(a) == a * 10L + 1L), "box rows updated")
+    assert(!got.contains(10L) && !got.contains(11L) && !got.contains(12L))
+    assert(got(9L) == 90L && got(200L) == 2000L, "outside the box untouched")
+    // SQL surface + store-assignment types
+    spark.conf.set(graft.plans.MutationSqlRule.UpdateModeConf, "dv")
+    try {
+      val row = spark.sql(
+        s"UPDATE parquet.`$dir` SET b = b * 2 WHERE a BETWEEN 200 AND 204").head()
+      assert(row.getLong(1) == 0L && row.getLong(3) == 1L, s"$row")
+    } finally spark.conf.unset(graft.plans.MutationSqlRule.UpdateModeConf)
+    val got2 = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().toMap
+    assert((200L to 204L).forall(a => got2(a) == a * 20L))
+    assert(spark.read.parquet(dir).schema("b").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a box provably missing every file is a clean no-op (no commit)
+    val seqBefore = Manifest.latestSeq(spark, dir)
+    val s3 = Layout.updateWhere(spark, dir, Seq(("a", 5000L, 6000L)),
+      Seq("b" -> lit(0L)), mode = "dv")
+    assert(s3.rewrittenFiles == 0L && s3.dvFiles == 0L, s"$s3")
+    assert(Manifest.latestSeq(spark, dir) == seqBefore, "no-op must not commit")
+  }
+
   test("CDC across a dv upsert pairs update images via the recorded key") {
     val dir = freshDir("graft-dv-ups-cdc")
     (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
