@@ -258,6 +258,70 @@ class StreamingManifestSourceSpec extends AnyFunSuite {
     } finally spark.conf.unset(Manifest.KeepConf)
   }
 
+  test("deletion-vector commits stream: cdc=rows ships the marked rows; snapshot batches materialize") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp("manifest-src-dv") + "/t"
+    val cp = tmp("manifest-src-dv-cp")
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+      (0L to 199L).map(x => (x, x % 5)).toDF("x", "y")
+        .repartition(2).write.parquet(dir)
+      Layout.writeEnvelopes(spark, dir, Seq("x"))
+      Manifest.write(spark, dir)
+      // a DV delete BEFORE the stream starts: the earliest snapshot
+      // batch reads through the DV anti-join — two relations the source
+      // must MATERIALIZE (a flipped join would plan stream-stream)
+      Layout.deleteWhere(spark, dir, Seq(("x", 0L, 9L)), mode = "dv")
+      val got = new ConcurrentLinkedQueue[(Long, String)]()
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", dir).option("startingSeq", "earliest").option("cdc", "rows")
+        .load().writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select($"x", $"_change_type").collect()
+            .foreach(r => got.add((r.getLong(0), r.getString(1))))
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        val first = got.asScala.toSeq
+        assert(first.size == 190 && first.forall(_._2 == "insert"),
+          s"the earliest full-snapshot batch is the LATEST snapshot, DV-FILTERED " +
+            s"(190 live rows as inserts), got ${first.size}")
+        got.clear()
+        // a LIVE dv delete: the stream delivers exactly the marked rows
+        Layout.deleteWhere(spark, dir, Seq(("x", 50L, 59L)), mode = "dv")
+        q.processAllAvailable()
+        val dels = got.asScala.toSeq
+        assert(dels.forall(_._2 == "delete") &&
+          dels.map(_._1).sorted == (50L to 59L), s"${dels.take(5)}... (${dels.size})")
+        got.clear()
+        // reify under the live tail: CDC-invisible
+        Layout.reifyDeletes(spark, dir)
+        q.processAllAvailable()
+        assert(got.isEmpty, s"materialization must stream zero rows, got ${got.size}")
+      } finally q.stop()
+      // FILE-mode earliest over a DV'd table: the snapshot batch's plan
+      // carries the DV anti-join — the source must materialize it (a
+      // flipped two-relation join would plan stream-stream) and serve
+      // the live rows
+      Layout.deleteWhere(spark, dir, Seq(("x", 100L, 104L)), mode = "dv")
+      val cp2 = tmp("manifest-src-dv-cp2")
+      val n = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q2 = spark.readStream.format("graft-manifest")
+        .option("path", dir).option("startingSeq", "earliest")
+        .load().writeStream
+        .option("checkpointLocation", cp2)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          n.addAndGet(batch.count()); ()
+        }.start()
+      try {
+        q2.processAllAvailable()
+        assert(n.get == 175L, s"file-mode snapshot batch = DV-filtered live rows: ${n.get}")
+      } finally q2.stop()
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
+
   test("cdc=rows streams a keyed upsert as paired update images") {
     val dir = tmp("manifest-src-rows-images") + "/t"
     spark.conf.set(Manifest.KeepConf, "10")
