@@ -81,8 +81,10 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    `graft_cluster(path, cols_csv, files_per_partition[, scaling,
   *    index_cols_csv, parallelism])`, `graft_vacuum(path[, keep])`,
   *    `graft_add_columns(path, ddl)` (additive, nullable — the
-  *    metadata-commit widening), and `graft_reify_deletes(path)`
-  *    (materialize pending deletion vectors)
+  *    metadata-commit widening), `graft_reify_deletes(path)`
+  *    (materialize pending deletion vectors), and
+  *    `graft_restore(path, seq)` (roll back to a retained snapshot —
+  *    the target generation moves back in physically)
   */
 object GraftTableFunctions {
 
@@ -360,6 +362,19 @@ object GraftTableFunctions {
     Seq(seq).toDF("manifest_seq").queryExecution.analyzed
   }
 
+  /** `graft_restore(path, seq)` — roll the table back to a retained
+    * snapshot ([[graft.sources.Layout.restore]]: the target generation
+    * moves back in physically, its schemas and DV reference
+    * re-commit); returns the NEW committed seq. */
+  private def restoreBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_restore"
+    arity(fn, args, 2, 2)
+    val sp = sess()
+    val seq = graft.sources.Layout.restore(sp, str(fn, args, 0), lng(fn, args, 1))
+    import sp.implicits._
+    Seq(seq).toDF("manifest_seq").queryExecution.analyzed
+  }
+
   /** `graft_reify_deletes(path)` — materialize pending merge-on-read
     * deletion vectors ([[graft.sources.Layout.reifyDeletes]]); returns
     * the MutationStats row. */
@@ -445,7 +460,10 @@ object GraftTableFunctions {
       addColumnsBuilder(sess) _),
     (new FunctionIdentifier("graft_reify_deletes"),
       info("graft_reify_deletes", "graft_reify_deletes(path)"),
-      reifyBuilder(sess) _))
+      reifyBuilder(sess) _),
+    (new FunctionIdentifier("graft_restore"),
+      info("graft_restore", "graft_restore(path, seq)"),
+      restoreBuilder(sess) _))
 
   /** The [[GraftExtensions]] registration set: builders resolve through
     * `SparkSession.active` (no session exists at injection time — see the

@@ -736,20 +736,45 @@ object LayoutQueries {
     })
   }
 
+  /** Clustered events copy DELETED then RESTORED to the pre-delete
+    * snapshot ([[Layout.restore]]): the delete's replacement files
+    * retire back out, the original generation physically returns, and
+    * the table must serve the ORIGINAL rows again — so the oracle is
+    * the plain layout-invariance SQL, the strongest possible rollback
+    * check. */
+  private def zEventsRestored(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_restored"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_restored").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts"),
+        Seq("user_id", "ts_us"), 16, out)
+      Manifest.write(spark, out)
+      val seq0 = Manifest.latestSeq(spark, out).get
+      Layout.deleteWhere(spark, out,
+        Seq(("user_id", 3L, 6L), ("ts_us", EvTsLo, EvTsHi - 1)))
+      Layout.restore(spark, out, seq0)
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-17 build (the deletion-vector fixtures — delete, reified,
     * and merge-on-read upsert — the low-cardinality-leading-key
     * composite merge, the conditioned by-source sync, the
-    * schema-evolution merge, and the SQL-compacted copy), its own bench
-    * entry so q185+ time serving only. */
+    * schema-evolution merge, the SQL-compacted copy, and the
+    * deleted-then-restored copy), its own bench entry so q185+ time
+    * serving only. */
   def buildZorder17(spark: SparkSession, dir: String): Unit = {
     zEventsDelDv(spark, dir); zEventsDelDvReified(spark, dir)
     zEventsMergeLowcard(spark, dir); zEventsMergeSyncCond(spark, dir)
     zEventsMergeEvolve(spark, dir); zEventsCompactedSql(spark, dir)
-    zEventsUpdDv(spark, dir); ()
+    zEventsUpdDv(spark, dir); zEventsRestored(spark, dir); ()
   }
   private val R17Tables = Set("events_del_dv", "events_del_dv_reified",
     "events_merge_lowcard", "events_merge_sync_cond", "events_merge_evolve",
-    "events_compact_sql", "events_upd_dv")
+    "events_compact_sql", "events_upd_dv", "events_restored")
   def invalidateZorder17(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R17Tables.contains(k.stripPrefix(s"$dir|"))
@@ -1621,7 +1646,24 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q194
+  /** The events box over the DELETED-THEN-RESTORED copy: the rollback
+    * must serve exactly the original rows — same oracle as the
+    * untouched table (the restore-correctness contract; RestoreSpec
+    * pins the file moves, schema/DV round trips, and the retention
+    * error). */
+  def q194RestoreBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.readSnapshot(spark, zEventsRestored(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_restore_box"         -> q194RestoreBox _,
     "q192_dv_upsert_box"       -> q192DvUpsertBox _,
     "q193_dv_upsert_cdc"       -> q193DvUpsertCdc _,
     "q191_sql_compact_box"     -> q191SqlCompactBox _,
@@ -1798,6 +1840,7 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin,
     "q144_envelope_auto_prune"    -> EventsBoxOracle,
     "q191_sql_compact_box"        -> EventsBoxOracle,
+    "q194_restore_box"            -> EventsBoxOracle,
     "q171_append_box"             -> EventsBoxOracle,
     "q173_bloom_lookup" ->
       s"""SELECT event_type, count(*) AS n,

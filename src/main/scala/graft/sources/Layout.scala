@@ -1901,6 +1901,79 @@ object Layout {
     moved.result()
   }
 
+  /** RESTORE the table to a RETAINED snapshot — the Delta `RESTORE`
+    * role, the undo for a bad mutation: the target generation is
+    * physically resolved back into the live directory (files the target
+    * names that a later rewrite retired move back in; live files the
+    * target does not name retire out), the target's SCHEMAS and
+    * deletion-vector reference are re-committed, and the envelope index
+    * is REBUILT over its existing columns (one table scan — restore is
+    * the infrequent verb where exactness beats cleverness). History is
+    * append-only: the restore commits a NEW seq, so within the
+    * retention window a restore can itself be undone by restoring
+    * forward again. Writer-exclusive like every maintenance verb;
+    * `seq` must still be retained ([[Manifest.KeepConf]] /
+    * [[Manifest.RetainMsConf]] — the loud retention-contract error
+    * otherwise), and vacuum keeps every file and DV sidecar a retained
+    * manifest references, which is exactly what makes the move-back
+    * possible. Returns the committed seq. */
+  def restore(spark: SparkSession, dir: String, seq: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"restore: no table at $dir")
+    val cur = Manifest.info(spark, dir)
+    if (cur.seq == seq) return cur.seq // already there: no churn
+    val target = Manifest.info(spark, dir, Some(seq))
+    val qualRootStr = normPath(fs.makeQualified(root).toString)
+    // the usual stray guard: files outside the committed snapshot would
+    // silently survive the restore as un-tracked data
+    val liveNow = Manifest.listLive(spark, dir).map(rel => s"$qualRootStr/$rel").toSet
+    val curAbs = cur.files.map(rel => s"$qualRootStr/$rel").toSet
+    val strays = liveNow -- curAbs
+    require(strays.isEmpty,
+      s"restore: ${strays.size} file(s) under $dir are not in the committed snapshot: " +
+        s"${strays.take(3).mkString(", ")}${if (strays.size > 3) ", …" else ""}. " +
+        "Commit them first (Manifest.write), then re-run.")
+    val retiredBase = Manifest.retiredPath(dir)
+    val curSet = cur.files.toSet
+    val tgtSet = target.files.toSet
+    // 1) move the target generation's missing files back in (they are
+    //    retired — vacuum keeps every file a retained manifest names)
+    (target.files.filterNot(curSet)).foreach { rel =>
+      val src = new org.apache.hadoop.fs.Path(retiredBase + "/" + rel)
+      val dst = new org.apache.hadoop.fs.Path(qualRootStr + "/" + rel)
+      require(fs.exists(src),
+        s"restore: m$seq references $rel, which is at neither live nor retired - " +
+          "the generation was vacuumed mid-restore or externally deleted")
+      fs.mkdirs(dst.getParent)
+      require(!fs.exists(dst), s"restore: collision at $dst")
+      require(fs.rename(src, dst), s"restore: could not move $src back in")
+    }
+    // 2) retire the files the target does not name (later generations —
+    //    still resolvable by THEIR manifests while retention lasts, so
+    //    the restore itself is undoable)
+    (cur.files.filterNot(tgtSet)).foreach { rel =>
+      val src = new org.apache.hadoop.fs.Path(qualRootStr + "/" + rel)
+      if (fs.exists(src)) {
+        val dst = new org.apache.hadoop.fs.Path(retiredBase + "/" + rel)
+        fs.mkdirs(dst.getParent)
+        require(!fs.exists(dst), s"restore: retirement collision at $dst")
+        require(fs.rename(src, dst), s"restore: could not retire $src")
+      }
+    }
+    // 3) the index described a different file set — rebuild it whole
+    //    over the columns (and blooms) it already covers
+    val idx = indexedColumns(spark, dir)
+    if (idx.nonEmpty)
+      writeEnvelopes(spark, dir, idx, bloomColumns(spark, dir).filter(idx.contains))
+    // 4) commit the restored state: the TARGET's schemas (a restore
+    //    across an addColumns commit narrows the schema back — that is
+    //    the point of a rollback) and its deletion-vector reference
+    Manifest.write(spark, dir,
+      schemas = Some((target.dataSchema, target.partSchema)),
+      dv = target.dv.map(Manifest.DvSet(_)).getOrElse(Manifest.DvClear))
+  }
+
   /** ADDITIVE SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMNS` for a
     * manifest-maintained table, as a pure METADATA COMMIT: the manifests
     * already carry the data schema, so widening is one new manifest

@@ -429,7 +429,10 @@ object Manifest {
     val fs = fsOf(spark, new Path(dir))
     val target = seq.orElse(latestSeq(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"Manifest.info: $dir has no committed manifest"))
-    parse(fs, dir, target)
+    // an EXPLICIT seq is time travel — resolve it through the retention
+    // contract (a vacuumed seq fails naming the retained range + knobs,
+    // never with a bare FileNotFoundException)
+    if (seq.isDefined) parseRetained(fs, dir, target) else parse(fs, dir, target)
   }
 
   /** [[parse]] with the retention contract spelled out: a missing
