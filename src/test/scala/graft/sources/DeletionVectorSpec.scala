@@ -317,6 +317,23 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(d == expect, s"paired update images through the DV commit: $d")
   }
 
+  test("the DV read plan adds ONE broadcast anti-join and no shuffle") {
+    val dir = freshDir("graft-dv-plan")
+    (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    Layout.deleteWhere(spark, dir, Seq(("x", 0L, 4L)), mode = "dv")
+    val plan = Layout.readSnapshot(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV filter must plan as a broadcast anti-join:\n$plan")
+    // the only exchange is the broadcast of the bounded sidecar — the
+    // data side never shuffles for the filter
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("Broadcast")),
+      s"no data-side shuffle for the DV probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"probe must stay a hash anti-join:\n$plan")
+  }
+
   test("no index: dv delete scans everything once but still rewrites nothing") {
     val dir = freshDir("graft-dv-noidx")
     (0L to 99L).toDF("x").coalesce(2).write.parquet(dir)
