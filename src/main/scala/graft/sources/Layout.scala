@@ -46,6 +46,16 @@ object Layout {
 
   private val ZCol = "__z"
 
+  /** Cap on TOTAL pending deletion-vector positions after a
+    * merge-on-read mutation (sum over the sidecar). Every snapshot read
+    * broadcasts the exploded sidecar, so this bounds the read-side
+    * memory; at the 10M default the broadcast is ~80 MB of longs —
+    * comfortable on any executor. A mutation that would exceed it
+    * declines loudly naming copy mode / reify as the remedy: DVs are
+    * the TRICKLE-mutation tool, not a bulk-rewrite replacement. */
+  val DvMaxPositionsConf = "spark.graft.dv.maxPositions"
+  val DvMaxPositionsDefault = 10000000L
+
   /** Raw long/double view of a column for range scaling. Monotone in the
     * column's natural order per type; strings use a 7-BYTE UTF-8 prefix
     * read as a 56-bit integer — monotone in Spark's binary string order
@@ -866,6 +876,26 @@ object Layout {
             val cached = m.cache()
             try {
               val touched = newPerFile.map(_.count()).getOrElse(0L)
+              // CAPACITY guard: every snapshot read BROADCASTS the
+              // exploded sidecar, so total pending positions must stay
+              // bounded — merge-on-read is the TRICKLE-mutation tool; a
+              // mutation marking a large fraction of the table belongs
+              // on the copy path (or the table needs a reify). Checked
+              // BEFORE anything moves, so the decline is clean.
+              val totalRow = cached.agg(sum(size(col("positions")))).head()
+              val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+              val cap = spark.conf.get(DvMaxPositionsConf,
+                DvMaxPositionsDefault.toString).toLong
+              if (total > cap) {
+                fs.delete(tmp, true)
+                throw new IllegalArgumentException(
+                  s"merge-on-read mutation on $dir would leave $total pending " +
+                    s"deletion-vector positions (cap $cap, $DvMaxPositionsConf): " +
+                    "every snapshot read broadcasts the sidecar, so pending " +
+                    "positions must stay bounded. Use mode=copy for this " +
+                    "mutation, or reifyDeletes/compact first to clear the " +
+                    "backlog (raise the conf only with broadcast headroom).")
+              }
               if (cached.isEmpty) (None, touched)
               else {
                 val name = "dv-" + java.util.UUID.randomUUID().toString

@@ -317,6 +317,34 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(d == expect, s"paired update images through the DV commit: $d")
   }
 
+  test("the pending-positions cap declines bulk merge-on-read mutations loudly") {
+    val dir = freshDir("graft-dv-cap")
+    (0L to 999L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    spark.conf.set(Layout.DvMaxPositionsConf, "100")
+    try {
+      // 500 positions > cap 100: the bulk delete must decline naming the
+      // remedy, leaving the table untouched and uncommitted
+      val ex = intercept[IllegalArgumentException] {
+        Layout.deleteWhere(spark, dir, Seq(("x", 0L, 499L)), mode = "dv")
+      }
+      assert(ex.getMessage.contains("mode=copy") &&
+        ex.getMessage.contains(Layout.DvMaxPositionsConf), ex.getMessage)
+      // bootstrap commit aside, no mutation landed
+      assert(Layout.readSnapshot(spark, dir).count() == 1000L)
+      assert(dvSidecars(dir).isEmpty, "no orphan sidecar")
+      // under the cap the same verb goes through, and the cap counts the
+      // TOTAL including carried positions
+      val s = Layout.deleteWhere(spark, dir, Seq(("x", 0L, 49L)), mode = "dv")
+      assert(s.dvFiles == 1L, s"$s")
+      val ex2 = intercept[IllegalArgumentException] {
+        Layout.deleteWhere(spark, dir, Seq(("x", 50L, 120L)), mode = "dv")
+      }
+      assert(ex2.getMessage.contains("121 pending"), ex2.getMessage)
+      assert(Layout.readSnapshot(spark, dir).count() == 950L, "first delete intact")
+    } finally spark.conf.unset(Layout.DvMaxPositionsConf)
+  }
+
   test("the DV read plan adds ONE broadcast anti-join and no shuffle") {
     val dir = freshDir("graft-dv-plan")
     (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.parquet(dir)
