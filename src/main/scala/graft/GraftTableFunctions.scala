@@ -85,6 +85,9 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    (materialize pending deletion vectors), and
   *    `graft_restore(path, seq)` (roll back to a retained snapshot —
   *    the target generation moves back in physically)
+  *  - `graft_history(path)` — the retained commit history, newest
+  *    first (DESCRIBE HISTORY): exactly the seqs time travel and
+  *    `graft_restore` accept
   */
 object GraftTableFunctions {
 
@@ -362,6 +365,17 @@ object GraftTableFunctions {
     Seq(seq).toDF("manifest_seq").queryExecution.analyzed
   }
 
+  /** `graft_history(path)` — the retained commit history, newest first
+    * ([[graft.sources.Manifest.history]], the DESCRIBE HISTORY role):
+    * seq, commit time, file count, pending DV sidecar, recorded CDC
+    * pair key, schema width — exactly the seqs time travel and
+    * `graft_restore` accept. */
+  private def historyBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_history"
+    arity(fn, args, 1, 1)
+    graft.sources.Manifest.history(sess(), str(fn, args, 0)).queryExecution.analyzed
+  }
+
   /** `graft_restore(path, seq)` — roll the table back to a retained
     * snapshot ([[graft.sources.Layout.restore]]: the target generation
     * moves back in physically, its schemas and DV reference
@@ -463,7 +477,10 @@ object GraftTableFunctions {
       reifyBuilder(sess) _),
     (new FunctionIdentifier("graft_restore"),
       info("graft_restore", "graft_restore(path, seq)"),
-      restoreBuilder(sess) _))
+      restoreBuilder(sess) _),
+    (new FunctionIdentifier("graft_history"),
+      info("graft_history", "graft_history(path)"),
+      historyBuilder(sess) _))
 
   /** The [[GraftExtensions]] registration set: builders resolve through
     * `SparkSession.active` (no session exists at injection time — see the

@@ -786,6 +786,32 @@ object Manifest {
     })
   }
 
+  /** The table's RETAINED commit history, newest first — the DESCRIBE
+    * HISTORY role: one row per still-resolvable manifest with its seq,
+    * commit time (manifest file mtime), file count, deletion-vector
+    * sidecar name (pending merge-on-read deletes), recorded CDC pair
+    * key, and schema width. Exactly the seqs [[read]] /
+    * [[graft.sources.Layout.restore]] accept — what was vacuumed is
+    * gone from the listing, not an error row. Driver-side cost: one
+    * manifests-dir listing + one parse per retained manifest (retention
+    * bounds both). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, new Path(dir))
+    val md = new Path(manifestsPath(dir))
+    val rows: Seq[(Long, java.sql.Timestamp, Long, Option[String], Option[String], Int)] =
+      if (!fs.exists(md)) Nil
+      else fs.listStatus(md).toSeq.filter(_.isFile)
+        .flatMap(s => seqOf(s.getPath.getName).map(_ -> s.getModificationTime))
+        .sortBy(-_._1)
+        .map { case (seq, mtime) =>
+          val m = parse(fs, dir, seq)
+          (seq, new java.sql.Timestamp(mtime), m.files.size.toLong,
+            m.dv, m.props.get(PairKeyProp), m.dataSchema.fields.length)
+        }
+    import spark.implicits._
+    rows.toDF("seq", "committed_at", "n_files", "dv", "cdc_pair_key", "n_columns")
+  }
+
   /** TIME-based retention floor (milliseconds) on top of the `keep`
     * COUNT: vacuum retains max(the newest `keep` manifests, every
     * manifest younger than this). `0` (the default) disables — count-only

@@ -118,4 +118,33 @@ class RestoreSpec extends AnyFunSuite {
     assert(Layout.readSnapshot(spark, dir).as[(Long, Long)].collect()
       .map(_._1).toSet == (20L to 99L).toSet, "one delete undone via SQL")
   }
+
+  test("history lists exactly the retained, restorable generations") {
+    val dir = freshDir("graft-history")
+    spark.conf.set(Manifest.KeepConf, "3")
+    try {
+      (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+      Layout.writeEnvelopes(spark, dir, Seq("k"))
+      Manifest.write(spark, dir)
+      Layout.deleteWhere(spark, dir, Seq(("k", 0L, 9L)), mode = "dv")
+      Layout.deleteWhere(spark, dir, Seq(("k", 10L, 19L)))
+      graft.GraftTableFunctions.ensure(spark)
+      val h = spark.sql(s"SELECT seq, n_files, dv, cdc_pair_key FROM graft_history('$dir')")
+        .collect()
+      assert(h.length == 3, s"keep=3 retains three generations: ${h.length}")
+      assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L), "newest first")
+      // the DV generation carries its sidecar name; the copy delete
+      // cleared it (the touched file materialized the only entries)
+      val bySeq = h.map(r => r.getLong(0) -> r).toMap
+      assert(bySeq(2L).isNullAt(2),
+        "the copy delete rewrote the only DV'd file - no pending DV after")
+      assert(!bySeq(1L).isNullAt(2), "the DV generation names its sidecar")
+      // every listed seq is readable and restorable
+      h.map(_.getLong(0)).foreach { s =>
+        assert(Layout.readSnapshot(spark, dir, Some(s)).count() > 0)
+      }
+      Layout.restore(spark, dir, 0L)
+      assert(Layout.readSnapshot(spark, dir).count() == 100L)
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
 }
