@@ -145,7 +145,7 @@ object Bench {
     "q185_dv_delete_box", "q186_dv_cdc_rows", "q187_dv_reified_box",
     "q188_merge_lowcard_key", "q189_merge_sync_cond", "q190_merge_evolution",
     "q191_sql_compact_box", "q192_dv_upsert_box", "q193_dv_upsert_cdc",
-    "q194_restore_box")
+    "q194_restore_box", "q195_cdc_token_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

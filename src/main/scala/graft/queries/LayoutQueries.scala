@@ -760,21 +760,39 @@ object LayoutQueries {
     })
   }
 
+  /** The DOCUMENTS corpus as a manifest table with a DV-deleted id
+    * range — the table-format layer feeding the LLM-pipeline layer: a
+    * downstream token-accounting job consumes the CDC delta instead of
+    * rescanning the corpus (q195). */
+  private def zDocsDelDv(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|docs_del_dv"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("docs_del_dv").toString
+      Layout.clusterWrite(spark.read.parquet(s"$dir/documents.parquet"),
+        Seq("doc_id"), 4, out)
+      Manifest.write(spark, out)
+      Layout.deleteWhere(spark, out, Seq(("doc_id", 100L, 149L)), mode = "dv")
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-17 build (the deletion-vector fixtures — delete, reified,
-    * and merge-on-read upsert — the low-cardinality-leading-key
-    * composite merge, the conditioned by-source sync, the
-    * schema-evolution merge, the SQL-compacted copy, and the
-    * deleted-then-restored copy), its own bench entry so q185+ time
-    * serving only. */
+    * merge-on-read upsert, and the DV-deleted documents corpus — the
+    * low-cardinality-leading-key composite merge, the conditioned
+    * by-source sync, the schema-evolution merge, the SQL-compacted
+    * copy, and the deleted-then-restored copy), its own bench entry so
+    * q185+ time serving only. */
   def buildZorder17(spark: SparkSession, dir: String): Unit = {
     zEventsDelDv(spark, dir); zEventsDelDvReified(spark, dir)
     zEventsMergeLowcard(spark, dir); zEventsMergeSyncCond(spark, dir)
     zEventsMergeEvolve(spark, dir); zEventsCompactedSql(spark, dir)
-    zEventsUpdDv(spark, dir); zEventsRestored(spark, dir); ()
+    zEventsUpdDv(spark, dir); zEventsRestored(spark, dir)
+    zDocsDelDv(spark, dir); ()
   }
   private val R17Tables = Set("events_del_dv", "events_del_dv_reified",
     "events_merge_lowcard", "events_merge_sync_cond", "events_merge_evolve",
-    "events_compact_sql", "events_upd_dv", "events_restored")
+    "events_compact_sql", "events_upd_dv", "events_restored", "docs_del_dv")
   def invalidateZorder17(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R17Tables.contains(k.stripPrefix(s"$dir|"))
@@ -1662,7 +1680,27 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q195
+  /** INCREMENTAL corpus accounting off the CDC tap — the table-format
+    * layer feeding the training-data layer: a token/char budget tracker
+    * consumes `readChangeRows` of the DV-delete commit (the curation
+    * pass that retired a doc_id range) instead of rescanning the
+    * corpus. The delta is exactly the deleted docs, so the oracle is
+    * the token arithmetic over that range. */
+  def q195CdcTokenDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = zDocsDelDv(spark, dir)
+    val toSeq = Manifest.latestSeq(spark, path).get
+    Layout.readChangeRows(spark, path, toSeq - 1, Some(toSeq))
+      .withColumn("toks", graft.functions.TextFunctions.tokens($"text"))
+      .groupBy($"_change_type")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size($"toks").cast("long")).as("n_tokens"),
+        sum(length($"text").cast("long")).as("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_cdc_token_delta"     -> q195CdcTokenDelta _,
     "q194_restore_box"         -> q194RestoreBox _,
     "q192_dv_upsert_box"       -> q192DvUpsertBox _,
     "q193_dv_upsert_cdc"       -> q193DvUpsertCdc _,
@@ -1841,6 +1879,13 @@ object LayoutQueries {
     "q144_envelope_auto_prune"    -> EventsBoxOracle,
     "q191_sql_compact_box"        -> EventsBoxOracle,
     "q194_restore_box"            -> EventsBoxOracle,
+    "q195_cdc_token_delta" ->
+      s"""SELECT 'delete' AS _change_type, count(*) AS n_docs,
+         |  CAST(sum(len(list_filter(string_split_regex(trim(text),
+         |    '[ \\t\\n\\r\\f\\x0B]+'), t -> t <> ''))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM documents
+         |WHERE doc_id BETWEEN 100 AND 149""".stripMargin,
     "q171_append_box"             -> EventsBoxOracle,
     "q173_bloom_lookup" ->
       s"""SELECT event_type, count(*) AS n,
