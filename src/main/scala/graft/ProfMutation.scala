@@ -33,6 +33,12 @@ object ProfMutation {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
     }
 
+    // `runMain graft.ProfMutation r18` skips the rounds-15..17 sections
+    // (the full sequence is ~15 min; the per-round additions are meant
+    // to be re-measurable on their own)
+    val r18Only = args.contains("r18")
+
+    if (!r18Only) {
     // sweep table size at fixed file count: the file-grain delete's cost
     // is metadata + the affected files; the naive full rewrite's cost is
     // the whole table — the gap must widen with size
@@ -175,6 +181,107 @@ object ProfMutation {
           s"per-column stab must keep the merge at file grain, got $s")
       }
       println(f"rows=$n%-9d composite (8-source, doc_id) upsert 5k: ${tLc}%8.1f ms (untouched > 600/640 files)")
+    }
+    } // !r18Only
+
+    // round 18: the GENERAL merge arm matrix in MERGE-ON-READ mode must
+    // keep the dv economics — flat in table size, zero candidate
+    // rewrites — for the CDC-apply trickle shape (conditional update +
+    // delete arms over a 10-key source)
+    for (nn <- Seq(2000000L, 8000000L, 32000000L)) {
+      val gm = mk(s"gmrg$nn", nn)
+      val src = spark.range(30000L, 30010L).select($"id".as("k"), lit(-3L).as("v"),
+        lit("gm").as("payload"))
+      val tGm = timeMs {
+        val s = Layout.merge(spark, gm, src, Seq("k"),
+          Seq(Layout.MatchedDelete(Some(pmod(col("v"), lit(2L)) === 0L)),
+            Layout.MatchedUpdateSet(Seq("payload" -> lit("gm-upd")))),
+          insertUnmatched = true, mode = "dv")
+        println(s"  dv general-merge stats: $s")
+        require(s.rewrittenFiles == 0L, s"dv merge must rewrite nothing: $s")
+      }
+      val cm = mk(s"cmrg$nn", nn)
+      val tCm = timeMs {
+        val s = Layout.merge(spark, cm, src, Seq("k"),
+          Seq(Layout.MatchedDelete(Some(pmod(col("v"), lit(2L)) === 0L)),
+            Layout.MatchedUpdateSet(Seq("payload" -> lit("gm-upd")))),
+          insertUnmatched = true)
+        println(s"  copy general-merge stats: $s")
+      }
+      println(f"rows=$nn%-9d general merge 10 keys: dv ${tGm}%8.1f ms  copy ${tCm}%8.1f ms  (${tCm / tGm}%4.1fx)")
+    }
+
+    // round 18: the DV READ-side probe state — a broadcast map of
+    // primitive long[] positions — measured at a LARGE synthetic
+    // sidecar: serialized bytes per pending position must sit near 8
+    // (the exploded (path-string, pos) rows it replaced carried the
+    // 50-100-byte relative path on EVERY row, ~0.6-1 GB at the 10M
+    // cap). Also times the snapshot read against the pending sidecar —
+    // the same plan every streaming manifest batch over a DV commit
+    // serves — and the reified read for contrast.
+    {
+      val nn = 8000000L
+      val dir = mk("dvread", nn)
+      spark.conf.set(Layout.DvMaxPositionsConf, "4000000")
+      try {
+        // EVERY OTHER row of the first half: no file is fully covered,
+        // so nothing drops whole — all 2M deletes land as POSITIONS
+        // (a contiguous box would retire interior files at metadata
+        // grain and leave only boundary positions in the sidecar)
+        val src = spark.range(0L, 4000000L, 2L).select($"id".as("k"))
+        val s = Layout.merge(spark, dir, src, Seq("k"),
+          Seq(Layout.MatchedDelete()), insertUnmatched = false, mode = "dv")
+        println(s"  dv bulk-mark stats: $s")
+        val info = graft.sources.Manifest.info(spark, dir)
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val rootNorm = new org.apache.hadoop.fs.Path(
+          fs.makeQualified(root).toString).toUri.getPath
+        val lookup = graft.sources.DvProbe
+          .lookupFor(spark, dir, info.dv.get, rootNorm).value
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        oos.writeObject(lookup); oos.close()
+        val bytes = bos.size().toLong
+        val positions = lookup.totalPositions
+        println(f"dv probe state: $positions%d positions, ${bytes / 1e6}%.1f MB serialized, ${bytes.toDouble / positions}%.2f bytes/position")
+        val tRead = timeMs {
+          val r = Layout.readSnapshot(spark, dir).agg(count(lit(1)), sum($"v")).head()
+          println(s"  dv-filtered read: ${r.getLong(0)} rows")
+        }
+        Layout.reifyDeletes(spark, dir)
+        val tReified = timeMs {
+          val r = Layout.readSnapshot(spark, dir).agg(count(lit(1)), sum($"v")).head()
+          println(s"  reified read: ${r.getLong(0)} rows")
+        }
+        println(f"read w/ 2M-position sidecar: ${tRead}%8.1f ms  reified ${tReified}%8.1f ms  (probe overhead ${tRead / tReified}%4.2fx)")
+      } finally spark.conf.unset(Layout.DvMaxPositionsConf)
+    }
+
+    // round 18: the per-file MATERIALIZE threshold bounds sidecar
+    // growth — repeated trickle deletes into one file region: pending
+    // positions must saw-tooth (grow, then clear when the file crosses
+    // the threshold and rewrites), never grow without bound
+    {
+      val dir = mk("thresh", 8000000L)
+      spark.conf.set(Layout.DvMaterializeThresholdConf, "0.25")
+      try {
+        // ~12.5k rows/file at 640 files: 2k-row slices of ONE file
+        for (i <- 0 until 5) {
+          val lo = i * 2000L
+          val s = Layout.deleteWhere(spark, dir,
+            Seq(("k", lo, lo + 1999L)), mode = "dv")
+          val pending = graft.sources.Manifest.info(spark, dir).dv match {
+            case None => 0L
+            case Some(nm) => spark.read
+              .parquet(graft.sources.Manifest.dvsPath(dir) + "/" + nm)
+              .agg(sum(size($"positions"))).head().getLong(0)
+          }
+          println(f"  slice $i%d: rewritten=${s.rewrittenFiles}%d pending=$pending%d")
+          require(pending < 6500L,
+            s"threshold must bound per-file DV growth, got $pending pending")
+        }
+      } finally spark.conf.unset(Layout.DvMaterializeThresholdConf)
     }
   }
 }

@@ -248,9 +248,27 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** The single root dir when `plan` is a path-based single-root parquet
-    * relation (possibly under a SubqueryAlias); None otherwise. */
+    * relation (possibly under a SubqueryAlias); None otherwise. Also
+    * sees through the engine's OWN deletion-vector read shape — the
+    * probe Filter ([[graft.sources.DvDeleted]]) plus the analyzer's
+    * metadata-restoring Project — which is what a [[graft.GraftCatalog]]
+    * name resolves to on a DV-carrying table: the verbs re-derive DV
+    * semantics from the dir, so extracting it through the filter is
+    * sound. Arbitrary user Projects/Filters (views with real
+    * projections) still decline. */
   private def parquetDir(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(_, child) => parquetDir(child)
+    case f: Filter
+        if f.condition.exists(_.isInstanceOf[graft.sources.DvDeleted]) =>
+      parquetDir(f.child)
+    case p: Project
+        if p.projectList.forall(_.isInstanceOf[AttributeReference]) &&
+           (p.child match {
+             case f: Filter =>
+               f.condition.exists(_.isInstanceOf[graft.sources.DvDeleted])
+             case _ => false
+           }) =>
+      parquetDir(p.child)
     case r: LogicalRelation => r.relation match {
       case h: HadoopFsRelation
           if h.fileFormat.isInstanceOf[ParquetFileFormat] &&
@@ -431,7 +449,10 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
       case w: With =>
         val byId = w.defs.map(d => d.id -> unreplace(d.child)).toMap
         unreplace(w.child).transform {
-          case ref: CommonExpressionRef => byId(ref.id)
+          // a ref bound by an ENCLOSING With scope is absent from this
+          // With's map — leave it for the outer scope's pass (nested
+          // common-subexpression definitions must not throw here)
+          case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
         }
       case other => other.mapChildren(unreplace)
     }
@@ -460,11 +481,12 @@ object MutationSqlRule {
     * `DELETE FROM` without re-planning. */
   val DeleteModeConf = "spark.graft.delete.mode"
 
-  /** Same toggle for the exact-upsert `MERGE INTO` shape (unconditional
-    * `UPDATE SET *` + `INSERT *`): `dv` marks matched rows' positions
-    * and appends replacements instead of rewriting candidate files. The
-    * general merge shapes (conditional/partial/by-source arms) always
-    * run copy-on-write. */
+  /** Same toggle for `MERGE INTO` — BOTH the exact-upsert shape
+    * (unconditional `UPDATE SET *` + `INSERT *`) and the general arm
+    * matrix (conditional/partial-SET/DELETE/by-source arms): `dv` marks
+    * every arm-fired row's position in the sidecar and appends update
+    * images + inserts as new files instead of rewriting candidate
+    * files — the CDC-apply trickle MERGE economics. */
   val MergeModeConf = "spark.graft.merge.mode"
 
   /** Same toggle for `UPDATE … WHERE`: `dv` marks the matched rows'
@@ -565,8 +587,9 @@ object MutationSqlRule {
         case ArmDelete(c) => Layout.MatchedDelete(c.map(colOf))
       }
       val src = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, source)
+      val mode = sparkSession.conf.get(MergeModeConf, "copy")
       val s = Layout.merge(sparkSession, dir, src, keys, armsOf(matched),
-        insertUnmatched, insertCond.map(colOf), armsOf(bySource))
+        insertUnmatched, insertCond.map(colOf), armsOf(bySource), mode)
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
     }
   }

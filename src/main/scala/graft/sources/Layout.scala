@@ -48,13 +48,42 @@ object Layout {
 
   /** Cap on TOTAL pending deletion-vector positions after a
     * merge-on-read mutation (sum over the sidecar). Every snapshot read
-    * broadcasts the exploded sidecar, so this bounds the read-side
-    * memory; at the 10M default the broadcast is ~80 MB of longs —
-    * comfortable on any executor. A mutation that would exceed it
-    * declines loudly naming copy mode / reify as the remedy: DVs are
+    * builds the sidecar ONCE on the driver as a per-file
+    * sorted-positions map and broadcasts it for the codegen'd
+    * binary-search probe ([[Manifest.applyDv]] / [[DvDeleted]]), so
+    * this bounds the read-side memory at 8 BYTES PER POSITION: ~80 MB
+    * of primitive longs at the 10M default plus one map entry per DV'd
+    * file — comfortable on any executor. A mutation that would exceed
+    * it declines loudly naming copy mode / reify as the remedy: DVs are
     * the TRICKLE-mutation tool, not a bulk-rewrite replacement. */
   val DvMaxPositionsConf = "spark.graft.dv.maxPositions"
   val DvMaxPositionsDefault = 10000000L
+
+  /** Per-FILE auto-materialize threshold for merge-on-read mutations
+    * (fraction in (0, 1]; 0 = off, the default): after a DV commit, any
+    * file whose PENDING deleted fraction (sidecar positions / footer
+    * row count) exceeds the threshold is immediately rewritten
+    * DV-FILTERED — a targeted reify of exactly that file, clearing its
+    * sidecar entries — so heavily-deleted files converge to compact
+    * physical form without waiting for compaction, and per-file DV
+    * growth stays bounded. Probing a mostly-deleted file per row is the
+    * worst DV economics; past the threshold the one-time rewrite is
+    * cheaper than every future read. The extra rewrites are reported
+    * honestly in the verb's [[MutationStats.rewrittenFiles]]. */
+  val DvMaterializeThresholdConf = "spark.graft.dv.materializeThreshold"
+
+  /** Bounded OPTIMISTIC RETRY for the mutation verbs (Delta-style): a
+    * CAS loser — either conflict window, both of which abort having
+    * moved nothing (or healed back to nothing) — RE-PINS the new
+    * snapshot, RE-CLASSIFIES, and re-runs, up to this many retries
+    * (default 3; 0 restores fail-fast). Two concurrent trickle writers
+    * therefore serialize into two commits instead of one commit and one
+    * ConcurrentModificationException. Safe for every verb: retry
+    * re-reads the table as the winner left it, so semantics equal
+    * running the verbs back-to-back; when retries exhaust, the last
+    * conflict is rethrown. */
+  val MutationMaxRetriesConf = "spark.graft.mutation.maxRetries"
+  val MutationMaxRetriesDefault = 3
 
   /** Raw long/double view of a column for range scaling. Monotone in the
     * column's natural order per type; strings use a 7-BYTE UTF-8 prefix
@@ -748,9 +777,11 @@ object Layout {
         }.reduce(_ && _), lit(false))
       (collectFiles(env.filter(miss)), collectFiles(env.filter(full)))
     }
-    if (mode == "dv") deleteWhereDv(spark, dir, cond, classify)
-    else mutateFiles(spark, dir, classify,
-      rewrite = _.filter(!coalesce(cond, lit(false))), extra = None)
+    withMutationRetry(spark) {
+      if (mode == "dv") deleteWhereDv(spark, dir, cond, classify)
+      else mutateFiles(spark, dir, classify,
+        rewrite = _.filter(!coalesce(cond, lit(false))), extra = None)
+    }
   }
 
   /** The merge-on-read arm of [[deleteWhere]]. See [[mutateDv]]. */
@@ -819,14 +850,15 @@ object Layout {
     require(untouched.nonEmpty || partial.nonEmpty || extra.nonEmpty,
       s"mutation would remove every row of $dir; an empty table is not " +
         "representable in a manifest — keep at least one row or drop the table")
-    val relU = udf((p: String) => Manifest.dvRelPath(qualRootStr, p))
+    val relC = org.apache.spark.sql.GraftBridge.column(DvRelPathOf(qualRootStr,
+      org.apache.spark.sql.GraftBridge.expression(col("_metadata.file_path"))))
     // matching positions per candidate file — ONE bounded scan of the
     // candidates only (miss + full files never open)
     val newPerFile: Option[DataFrame] =
       if (partial.isEmpty) None
       else Some(positionsOf(
         minusFiles(spark, rawSnap, untouched ++ dropped)
-          .withColumn("__graft_f", relU(col("_metadata.file_path")))
+          .withColumn("__graft_f", relC)
           .withColumn("__graft_p", col("_metadata.row_index")))
         .groupBy(col("file"))
         .agg(sort_array(collect_set(col("pos"))).as("positions")))
@@ -965,7 +997,60 @@ object Layout {
         deleteSidecar()
         throw e
     }
-    MutationStats(dropped.size.toLong, 0L, untouched.size.toLong, dvTouched)
+    // per-file auto-materialize: files the committed sidecar now holds
+    // past the threshold rewrite immediately (their entries clear); the
+    // follow-up commit is atomic on its own — a crash between the two
+    // leaves a valid DV table that any later mutation or reify converges
+    val materialized = autoMaterializeDv(spark, dir)
+    MutationStats(dropped.size.toLong, materialized, untouched.size.toLong, dvTouched)
+  }
+
+  /** The [[DvMaterializeThresholdConf]] pass — a targeted
+    * [[reifyDeletes]] of exactly the files whose pending deleted
+    * fraction exceeds the threshold. Row counts come from parquet
+    * FOOTERS on the driver (metadata-only, bounded by the sidecar's
+    * file list — never a scan). Returns the number of files rewritten. */
+  private def autoMaterializeDv(spark: SparkSession, dir: String): Long = {
+    val thr = spark.conf.get(DvMaterializeThresholdConf, "0").toDouble
+    if (thr <= 0d) return 0L
+    require(thr <= 1d,
+      s"$DvMaterializeThresholdConf must be in (0, 1], got $thr")
+    val info = Manifest.info(spark, dir)
+    info.dv match {
+      case None => 0L
+      case Some(name) =>
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val qualRootStr = normPath(fs.makeQualified(root).toString)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val perFile = spark.read.parquet(Manifest.dvsPath(dir) + "/" + name)
+          .select(col("file"), size(col("positions")).cast("long").as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val over = perFile.filter { case (rel, n) =>
+          val p = new org.apache.hadoop.fs.Path(qualRootStr + "/" + rel)
+          fs.exists(p) && {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val rows = try r.getRecordCount finally r.close()
+            rows > 0L && n.toDouble / rows > thr
+          }
+        }.map(_._1)
+        if (over.isEmpty) 0L
+        else {
+          val overAbs = over.map(rel => qualRootStr + "/" + rel).toSet
+          val allAbs = info.files.map(rel => qualRootStr + "/" + rel).toSet
+          val keepAs = allAbs -- overAbs
+          // this pass runs AFTER the verb's own commit, so a conflict
+          // here must never bubble into the verb-level retry (re-running
+          // the whole verb would double-apply it): lose the race quietly
+          // and leave the backlog — the threshold simply re-fires on the
+          // next mutation
+          try mutateFiles(spark, dir, classify = _ => (keepAs, Set.empty),
+            rewrite = identity, extra = None, pinned = Some(info),
+            preclassified = Some((keepAs, Set.empty[String]))).rewrittenFiles
+          catch { case _: java.util.ConcurrentModificationException => 0L }
+        }
+    }
   }
 
   /** MATERIALIZE pending merge-on-read deletes: rewrite exactly the
@@ -980,6 +1065,7 @@ object Layout {
   def reifyDeletes(spark: SparkSession, dir: String): MutationStats = {
     if (Manifest.latestSeq(spark, dir).isEmpty)
       return MutationStats(0L, 0L, 0L)
+    withMutationRetry(spark) {
     val info = Manifest.info(spark, dir)
     info.dv match {
       case None => MutationStats(0L, 0L, info.files.size.toLong)
@@ -994,6 +1080,7 @@ object Layout {
         mutateFiles(spark, dir, classify = _ => (allAbs -- dvAbs, Set.empty),
           rewrite = identity, extra = None, pinned = Some(info),
           preclassified = Some((allAbs -- dvAbs, Set.empty[String])))
+    }
     }
   }
 
@@ -1050,6 +1137,7 @@ object Layout {
     // an UPDATE's row identity for CDC pairing: the columns it does NOT
     // assign (the update changed nothing else about the row)
     if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
+    withMutationRetry(spark) {
     val info = Manifest.info(spark, dir)
     val identity = (info.dataSchema.fieldNames ++ info.partSchema.fieldNames).toSeq
       .filterNot(set.map(_._1).toSet)
@@ -1085,6 +1173,7 @@ object Layout {
     } else
       mutateFiles(spark, dir, classify, rewrite, extra = None,
         props = pairKeyProps(identity))
+    }
   }
 
   /** UPSERT by unique key into a manifest-maintained parquet table (flat
@@ -1152,7 +1241,7 @@ object Layout {
     require(mode == "copy" || mode == "dv",
       s"upsert: mode must be copy|dv, got '$mode'")
     val keys = cachedSourceKeys(updates, keyCols, "upsert", requireUnique = true)
-    try {
+    try withMutationRetry(spark) {
       val classify = keyedClassifier(updates, keys, keyCols)
       if (mode == "dv")
         // merge-on-read upsert: matched rows' POSITIONS go to the
@@ -1242,19 +1331,23 @@ object Layout {
       case _: DecimalType => Some(_.cast("long"))
       case _ => None
     }
-    // NO key type may reach a nested-loop plan: types with neither a
+    // NO key type may reach a nested-loop plan: a column with neither a
     // monotone long view nor the string machinery (binary, boolean,
-    // struct, …) decline LOUDLY here instead of planning the silent
-    // O(files × keys) `key BETWEEN min/max` broadcast-nested-loop
-    keyCols.foreach { c =>
-      val dt = source.schema(c).dataType
-      require(exactLongOf(c).nonEmpty || dt == StringType,
-        s"keyed mutation: key column '$c' of type ${dt.sql} has no sound file-stab " +
-          "view (supported key types: byte/short/int/long, date, timestamp, " +
-          "float/double, decimal, string) - classification would need an " +
-          "O(files × keys) nested loop. Key the table on a string or numeric " +
-          "surrogate instead.")
-    }
+    // struct, …) simply contributes an EMPTY miss proof — sound, because
+    // the per-column proofs are UNIONED and a composite match needs
+    // every component, so skipping one column only loses pruning power.
+    // Only when NO key column is stab-able (the single-column binary/
+    // boolean key) does classification decline LOUDLY instead of
+    // planning the silent O(files × keys) `key BETWEEN min/max`
+    // broadcast-nested-loop.
+    def stabbable(c: String): Boolean =
+      exactLongOf(c).nonEmpty || source.schema(c).dataType.isInstanceOf[StringType]
+    require(keyCols.exists(stabbable),
+      s"keyed mutation: no key column of ${keyCols.mkString("(", ", ", ")")} has a " +
+        "sound file-stab view (supported: byte/short/int/long, date, timestamp, " +
+        "float/double, decimal, string) - classification would need an " +
+        "O(files × keys) nested loop. Key the table on a string or numeric " +
+        "surrogate, or add one such column to the key.")
     // the stab over a monotone long view `lv` of one key column:
     // candidate (file, key) pairs via the bucketized equi-join. Files
     // whose bounds view to NULL cannot be proven missed (they stay in
@@ -1274,8 +1367,9 @@ object Layout {
     env => {
       val cols = env.columns.toSeq
       val perColumn = keyCols.map { stabCol =>
-        if (!cols.contains(s"min_$stabCol") || !cols.contains(s"max_$stabCol"))
-          Set.empty[String]
+        if (!stabbable(stabCol) ||
+            !cols.contains(s"min_$stabCol") || !cols.contains(s"max_$stabCol"))
+          Set.empty[String] // no stab view / no stats: prove nothing, prune nothing
         else {
           // null key stats (mixed-generation rows) must NOT classify as
           // miss: restrict the stab to rows whose proof can run
@@ -1369,7 +1463,10 @@ object Layout {
             keyCols: Seq[String], matched: Seq[MergeMatched],
             insertUnmatched: Boolean = true,
             insertCond: Option[Column] = None,
-            notMatchedBySource: Seq[MergeMatched] = Nil): MutationStats = {
+            notMatchedBySource: Seq[MergeMatched] = Nil,
+            mode: String = "copy"): MutationStats = {
+    require(mode == "copy" || mode == "dv",
+      s"merge: mode must be copy|dv, got '$mode'")
     require(matched.nonEmpty || insertUnmatched || notMatchedBySource.nonEmpty,
       "merge: no WHEN MATCHED arm, no BY SOURCE arm, insertUnmatched=false - a no-op")
     require(insertCond.isEmpty || insertUnmatched,
@@ -1401,7 +1498,7 @@ object Layout {
     // no by-source arm) legally inserts repeated unmatched keys row by row
     val keys = cachedSourceKeys(source, keyCols, "merge",
       requireUnique = matched.nonEmpty || notMatchedBySource.nonEmpty)
-    try {
+    try withMutationRetry(spark) {
       if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
       // PIN the snapshot seq BEFORE classification: the candidate
       // restriction and the unmatched-insert anti-join are built against
@@ -1478,26 +1575,35 @@ object Layout {
       }
       val srcR = nonKey.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcPrefix + c))
         .withColumn(marker, lit(true))
-      // PER-ROW rewrite — SQL MERGE semantics: each matched TARGET row
-      // acts independently (duplicate-key targets update/delete row by
-      // row; duplicate SOURCE keys were rejected up front), arms fire
-      // first-match-wins per row, null conditions count as false
-      def rewrite(old: DataFrame): DataFrame = {
-        val j = old.join(srcR, keyCols, "left_outer")
-        val isM = col(marker).isNotNull
-        def gatesOf(arms: Seq[MergeMatched], side: Column): Seq[Column] = {
-          val conds = arms.map(m =>
-            m.cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
-          conds.zipWithIndex.map { case (c, i) =>
-            side && c && !conds.take(i).reduceOption(_ || _).getOrElse(lit(false))
-          }
+      // arm FIRING gates over the joined (target row, source row) frame
+      // — SQL MERGE semantics: each matched TARGET row acts
+      // independently (duplicate-key targets update/delete row by row;
+      // duplicate SOURCE keys were rejected up front), arms fire
+      // first-match-wins per row (the gates are mutually exclusive),
+      // null conditions count as false. Pure column expressions — the
+      // same gates drive the copy rewrite and the dv marking.
+      val isM = col(marker).isNotNull
+      def gatesOf(arms: Seq[MergeMatched], side: Column): Seq[Column] = {
+        val conds = arms.map(m =>
+          m.cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+        conds.zipWithIndex.map { case (c, i) =>
+          side && c && !conds.take(i).reduceOption(_ || _).getOrElse(lit(false))
         }
-        val armed = matched.zip(gatesOf(matched, isM)) ++
-          notMatchedBySource.zip(gatesOf(notMatchedBySource, !isM))
-        val deleteGate = armed
-          .collect { case (MatchedDelete(_), g) => g }
-          .reduceOption(_ || _).getOrElse(lit(false))
-        j.filter(!deleteGate).select(fields.map { f =>
+      }
+      val armed = matched.zip(gatesOf(matched, isM)) ++
+        notMatchedBySource.zip(gatesOf(notMatchedBySource, !isM))
+      val deleteGate = armed
+        .collect { case (MatchedDelete(_), g) => g }
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val updateGate = armed.collect {
+        case (MatchedUpdateAll(_), g)    => g
+        case (MatchedUpdateSet(_, _), g) => g
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      val anyArmGate = armed.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+      // the arm-resolved image of one row (chain = first firing arm's
+      // values, else the original row)
+      def imageSelect(j: DataFrame): DataFrame =
+        j.select(fields.map { f =>
           var chain: Column = null
           def add(g: Column, v: Column): Unit =
             chain = if (chain == null) when(g, v) else chain.when(g, v)
@@ -1511,16 +1617,49 @@ object Layout {
           }
           (if (chain == null) col(f.name) else chain.otherwise(col(f.name))).as(f.name)
         }: _*)
-      }
+      def rewrite(old: DataFrame): DataFrame =
+        imageSelect(old.join(srcR, keyCols, "left_outer").filter(!deleteGate))
       val extra =
         if (insertUnmatched)
           Some(insertCond.foldLeft(
             source.join(cand.select(keyCols.map(col): _*), keyCols, "left_anti"))(_.filter(_)))
         else None
-      raceHooks.preMutate()
-      mutateFiles(spark, dir, _ => preclass, rewrite, extra,
-        props = pairKeyProps(keyCols), pinned = Some(pinned),
-        preclassified = Some(preclass))
+      if (mode == "dv") {
+        // merge-on-read for the FULL arm matrix — the CDC-apply trickle
+        // MERGE against a huge table, the workload DVs exist for: every
+        // row any arm fires on is MARKED (position → sidecar; candidates
+        // stay byte-untouched), update arms' images and unmatched
+        // inserts APPEND as new files. Images come from the DV-FILTERED
+        // candidates (rows a pending vector already deleted never
+        // resurrect as updated copies); positions from the RAW scan
+        // (physical row indexes; re-marking an already-deleted row
+        // re-unions — idempotent). Same results as copy mode.
+        val hasUpdateArm = armed.exists {
+          case (MatchedUpdateAll(_), _) | (MatchedUpdateSet(_, _), _) => true
+          case _ => false
+        }
+        val updatedImages: Option[DataFrame] =
+          if (!hasUpdateArm) None
+          else Some(imageSelect(
+            cand.join(srcR, keyCols, "left_outer").filter(updateGate)))
+        val tableCols = fields.map(f => col(f.name))
+        val extraAll = (updatedImages, extra.map(_.select(tableCols: _*))) match {
+          case (Some(u), Some(e)) => Some(u.unionByName(e))
+          case (u, e)             => u.orElse(e)
+        }
+        raceHooks.preMutate()
+        mutateDv(spark, dir, _ => preclass,
+          positionsOf = df => df.join(srcR, keyCols, "left_outer")
+            .filter(anyArmGate)
+            .select(col("__graft_f").as("file"), col("__graft_p").as("pos")),
+          extra = extraAll, props = pairKeyProps(keyCols),
+          pinned = Some(pinned))
+      } else {
+        raceHooks.preMutate()
+        mutateFiles(spark, dir, _ => preclass, rewrite, extra,
+          props = pairKeyProps(keyCols), pinned = Some(pinned),
+          preclassified = Some(preclass))
+      }
     } finally { keys.unpersist(); () }
   }
 
@@ -1889,6 +2028,28 @@ object Layout {
     MutationStats(dropped.size.toLong, partial.size.toLong, untouched.size.toLong)
   }
 
+  /** The [[MutationMaxRetriesConf]] driver: run `body` (a whole verb,
+    * classification included — each attempt re-pins and re-classifies
+    * against the snapshot the winning commit left), retrying on the
+    * detected-conflict ConcurrentModificationException. Both conflict
+    * paths guarantee the table is back in the winner's committed state
+    * before the exception surfaces, which is exactly what makes the
+    * retry sound. */
+  private def withMutationRetry[T](spark: SparkSession)(body: => T): T = {
+    val max = spark.conf.get(MutationMaxRetriesConf,
+      MutationMaxRetriesDefault.toString).toInt
+    require(max >= 0, s"$MutationMaxRetriesConf must be >= 0, got $max")
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case _: java.util.ConcurrentModificationException if attempt < max =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Test seams for the mutation-race specs — invoked at the two points
     * a concurrent writer can interleave with a mutation: after
     * replacements are STAGED (before any file moves) and after moves
@@ -1951,37 +2112,106 @@ object Layout {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"restore: no table at $dir")
+    // HEAL a crashed restore FIRST: its intent marker (written before
+    // any file moved) names the generation whose files may sit
+    // half-moved between live and retired. COMPLETE that restore — the
+    // move loops are idempotent, so finishing is always sound — then
+    // serve the requested one against the healed state. Without this, a
+    // crash mid-restore would leave moved-back files as strays against
+    // the still-latest manifest, and a Manifest.write "adoption" would
+    // commit a MIXED-generation file set with duplicate rows.
+    val intent = restoreIntentPath(dir)
+    if (fs.exists(intent)) {
+      val recorded = {
+        val in = fs.open(intent)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .toList.headOption.getOrElse("") finally in.close()
+        require(line.nonEmpty && line.forall(_.isDigit),
+          s"restore: $intent is not a valid restore-intent marker ('$line') - " +
+            "a crashed restore left an unreadable intent; inspect the table " +
+            "state manually before deleting the marker")
+        line.toLong
+      }
+      performRestore(spark, dir, fs, recorded, healing = true)
+    }
     val cur = Manifest.info(spark, dir)
     if (cur.seq == seq) return cur.seq // already there: no churn
+    performRestore(spark, dir, fs, seq, healing = false)
+  }
+
+  private def restoreIntentPath(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(Manifest.manifestsPath(dir), "restore-intent")
+
+  /** One staged, crash-recoverable restore pass. Protocol: stray guard →
+    * INTENT MARKER (atomic tmp+rename; names the target seq) → moves
+    * (both loops idempotent: a file already at its destination skips) →
+    * index rebuild → commit → marker delete. A crash anywhere after the
+    * marker is healed by [[restore]] completing THIS pass: re-running
+    * the moves converges on the target file set, and the marker only
+    * disappears after the commit that makes the set consistent.
+    * `healing` relaxes the stray guard to the union of the two
+    * generations in flight (their files ARE the half-moved state) and
+    * turns the already-restored case into a marker cleanup instead of a
+    * fresh commit. */
+  private def performRestore(spark: SparkSession, dir: String,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             seq: Long, healing: Boolean): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val cur = Manifest.info(spark, dir)
     val target = Manifest.info(spark, dir, Some(seq))
     val qualRootStr = normPath(fs.makeQualified(root).toString)
+    val intent = restoreIntentPath(dir)
+    val curSet = cur.files.toSet
+    val tgtSet = target.files.toSet
+    // the state already IS the target (file set, schemas, DV) — the
+    // healed-after-commit crash, or a restore to an identical
+    // generation: nothing to move, nothing to commit, no churn; just
+    // clear any staged marker
+    if (curSet == tgtSet && cur.dataSchema == target.dataSchema &&
+        cur.partSchema == target.partSchema && cur.dv == target.dv) {
+      fs.delete(intent, false)
+      return cur.seq
+    }
     // the usual stray guard: files outside the committed snapshot would
-    // silently survive the restore as un-tracked data
+    // silently survive the restore as un-tracked data. While healing,
+    // the half-moved target files are legitimately live — allow exactly
+    // the two generations in flight, nothing else.
     val liveNow = Manifest.listLive(spark, dir).map(rel => s"$qualRootStr/$rel").toSet
-    val curAbs = cur.files.map(rel => s"$qualRootStr/$rel").toSet
-    val strays = liveNow -- curAbs
+    val allowed = (if (healing) curSet ++ tgtSet else curSet)
+      .map(rel => s"$qualRootStr/$rel")
+    val strays = liveNow -- allowed
     require(strays.isEmpty,
       s"restore: ${strays.size} file(s) under $dir are not in the committed snapshot: " +
         s"${strays.take(3).mkString(", ")}${if (strays.size > 3) ", …" else ""}. " +
         "Commit them first (Manifest.write), then re-run.")
+    // stage the INTENT before anything moves (atomic tmp+rename): from
+    // here until the post-commit delete, a crash is healed by re-running
+    // restore, which completes this pass
+    if (!healing) {
+      val tmp = new org.apache.hadoop.fs.Path(intent.getParent, ".restore-intent-tmp")
+      val out = fs.create(tmp, true)
+      try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(intent, false)
+      require(fs.rename(tmp, intent), s"restore: could not stage intent at $intent")
+    }
     val retiredBase = Manifest.retiredPath(dir)
-    val curSet = cur.files.toSet
-    val tgtSet = target.files.toSet
     // 1) move the target generation's missing files back in (they are
-    //    retired — vacuum keeps every file a retained manifest names)
+    //    retired — vacuum keeps every file a retained manifest names);
+    //    a file already live was moved by the crashed pass: skip
     (target.files.filterNot(curSet)).foreach { rel =>
       val src = new org.apache.hadoop.fs.Path(retiredBase + "/" + rel)
       val dst = new org.apache.hadoop.fs.Path(qualRootStr + "/" + rel)
-      require(fs.exists(src),
-        s"restore: m$seq references $rel, which is at neither live nor retired - " +
-          "the generation was vacuumed mid-restore or externally deleted")
-      fs.mkdirs(dst.getParent)
-      require(!fs.exists(dst), s"restore: collision at $dst")
-      require(fs.rename(src, dst), s"restore: could not move $src back in")
+      if (!fs.exists(dst)) {
+        require(fs.exists(src),
+          s"restore: m$seq references $rel, which is at neither live nor retired - " +
+            "the generation was vacuumed mid-restore or externally deleted")
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(src, dst), s"restore: could not move $src back in")
+      }
     }
     // 2) retire the files the target does not name (later generations —
     //    still resolvable by THEIR manifests while retention lasts, so
-    //    the restore itself is undoable)
+    //    the restore itself is undoable); already-retired files skip
     (cur.files.filterNot(tgtSet)).foreach { rel =>
       val src = new org.apache.hadoop.fs.Path(qualRootStr + "/" + rel)
       if (fs.exists(src)) {
@@ -1998,10 +2228,13 @@ object Layout {
       writeEnvelopes(spark, dir, idx, bloomColumns(spark, dir).filter(idx.contains))
     // 4) commit the restored state: the TARGET's schemas (a restore
     //    across an addColumns commit narrows the schema back — that is
-    //    the point of a rollback) and its deletion-vector reference
-    Manifest.write(spark, dir,
+    //    the point of a rollback) and its deletion-vector reference —
+    //    then clear the intent (the pass is complete and consistent)
+    val committed = Manifest.write(spark, dir,
       schemas = Some((target.dataSchema, target.partSchema)),
       dv = target.dv.map(Manifest.DvSet(_)).getOrElse(Manifest.DvClear))
+    fs.delete(intent, false)
+    committed
   }
 
   /** ADDITIVE SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMNS` for a

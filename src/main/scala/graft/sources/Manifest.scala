@@ -130,33 +130,31 @@ object Manifest {
   }
 
   /** Filter a snapshot plan by a commit's deletion-vector sidecar: the
-    * (relative file, position) pairs anti-join the scan's
-    * `_metadata.file_path` / `_metadata.row_index` — one broadcast of
-    * the bounded DV table, no shuffle on the data side. Sound across
-    * the retire lifecycle because both sides speak table-relative paths
-    * ([[dvRelPath]]). The steady-state cost is a per-row broadcast-hash
-    * probe, cleared entirely when compaction/reify materializes the
-    * deletes. */
+    * sidecar loads ONCE on the driver as a per-file SORTED-positions
+    * map (bounded by the mutation-side capacity cap — 8 bytes per
+    * position, ~80 MB at the 10M default), broadcasts, and a codegen'd
+    * binary-search filter ([[DvDeleted]]) probes
+    * `_metadata.file_path` / `_metadata.row_index` per row — a plain
+    * Filter over the scan: no join, no shuffle, the whole-stage codegen
+    * span intact. Sound across the retire lifecycle because the probe
+    * resolves scan paths to table-relative ([[dvRelPath]], cached per
+    * distinct file per thread). Cleared entirely when compaction/reify
+    * materializes the deletes. */
   private[graft] def applyDv(spark: SparkSession, dir: String, dvName: Option[String],
                              df: DataFrame): DataFrame = dvName match {
     case None => df
     case Some(name) =>
-      import org.apache.spark.sql.functions.{broadcast, col, explode, udf}
+      import org.apache.spark.sql.functions.{col, not}
       require(!df.columns.contains("_metadata"),
         s"Manifest: $dir carries a data column named _metadata - deletion-vector " +
           "reads need the parquet metadata struct under that name")
       val fs = fsOf(spark, new Path(dir))
       val rootNorm = Layout.normPath(fs.makeQualified(new Path(dir)).toString)
-      val relU = udf((p: String) => dvRelPath(rootNorm, p))
-      val dv = spark.read.parquet(dvsPath(dir) + "/" + name)
-        .select(col("file").as("__graft_dv_file"),
-          explode(col("positions")).as("__graft_dv_pos"))
-      df.withColumn("__graft_dv_f", relU(col("_metadata.file_path")))
-        .withColumn("__graft_dv_p", col("_metadata.row_index"))
-        .join(broadcast(dv),
-          col("__graft_dv_f") === col("__graft_dv_file") &&
-            col("__graft_dv_p") === col("__graft_dv_pos"), "left_anti")
-        .drop("__graft_dv_f", "__graft_dv_p")
+      val lookup = DvProbe.lookupFor(spark, dir, name, rootNorm)
+      val deleted = org.apache.spark.sql.GraftBridge.column(DvDeleted(lookup,
+        org.apache.spark.sql.GraftBridge.expression(col("_metadata.file_path")),
+        org.apache.spark.sql.GraftBridge.expression(col("_metadata.row_index"))))
+      df.filter(not(deleted))
   }
 
   /** Commit-props key naming the row-identity columns of a keyed

@@ -168,9 +168,11 @@ class ManifestSource(spark: SparkSession, path: String,
       logWarning(msg)
     }
     val projected = df.select(pinnedSchema.fieldNames.map(col).toSeq: _*)
-    // a table with pending merge-on-read deletes reads through a DV
-    // anti-join (two relations) — flipping both streaming would plan a
-    // stream-stream join; materialize such batches like cdc=rows does
+    // DV-carrying tables read through a single-relation probe FILTER
+    // since round 18 (no join — the batch plan streams directly); the
+    // guard below stays as a defensive net for any future multi-relation
+    // read shape, where flipping both relations streaming would plan a
+    // stream-stream join
     val hasJoin = projected.queryExecution.analyzed.collectFirst {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.nonEmpty

@@ -301,6 +301,82 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(Manifest.latestSeq(spark, dir) == seqBefore, "no-op must not commit")
   }
 
+  test("dv GENERAL merge: full arm matrix marks positions, appends images, rewrites nothing") {
+    import Layout.{MatchedDelete, MatchedUpdateSet}
+    def build(prefix: String): String = {
+      val dir = freshDir(prefix)
+      (0L to 99L).map(k => (k, k * 10L, "old")).toDF("k", "v", "tag")
+        .coalesce(1).write.mode("append").parquet(dir)
+      (200L to 299L).map(k => (k, k * 10L, "old")).toDF("k", "v", "tag")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Layout.writeEnvelopes(spark, dir, Seq("k"))
+      dir
+    }
+    val source = ((10L to 19L) ++ (500L to 504L)).map(k => (k, -k, "new")).toDF("k", "v", "tag")
+    def runMerge(dir: String, mode: String) = Layout.merge(spark, dir, source, Seq("k"),
+      matched = Seq(
+        MatchedDelete(Some(col("v") === lit(100L))),            // k=10 deletes
+        MatchedUpdateSet(Seq("v" -> col("_src_v"), "tag" -> lit("upd")),
+          Some(col("k") >= lit(15L)))),                          // k in [15,19] updates
+      insertUnmatched = true,
+      insertCond = Some(col("k") >= lit(502L)),                  // 502-504 insert
+      notMatchedBySource = Seq(
+        MatchedDelete(Some(col("k") === lit(250L)))),            // one by-source delete
+      mode = mode)
+    // copy mode is the oracle for dv mode — identical results
+    val cDir = build("graft-dv-gm-copy"); runMerge(cDir, "copy")
+    val dDir = build("graft-dv-gm-dv")
+    val before = leafFiles(dDir)
+    val stats = runMerge(dDir, "dv")
+    assert(stats.rewrittenFiles == 0L && stats.droppedFiles == 0L &&
+      stats.dvFiles >= 1L, s"merge-on-read general merge: $stats")
+    assert(before.forall { case (n, m) => leafFiles(dDir).get(n).contains(m) },
+      "no pre-existing file touched")
+    val want = Layout.readSnapshot(spark, cDir)
+      .as[(Long, Long, String)].collect().toSet
+    val got = Layout.readSnapshot(spark, dDir)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == want, s"dv and copy agree:\n extra=${got -- want}\n missing=${want -- got}")
+    // spot semantics: 10 deleted, 11-14 match no arm (kept), 15-19
+    // updated, 250 by-source-deleted, 502-504 inserted, 500-501 filtered
+    val byK = got.map(r => r._1 -> r).toMap
+    assert(!byK.contains(10L) && !byK.contains(250L))
+    assert(byK(11L) == ((11L, 110L, "old")))
+    assert(byK(15L) == ((15L, -15L, "upd")))
+    assert(byK(502L) == ((502L, -502L, "new")) && !byK.contains(500L))
+    // CDC across the dv merge delivers paired update images + deletes
+    val seq1 = Manifest.latestSeq(spark, dDir).get
+    val d = Layout.readChangeRows(spark, dDir, seq1 - 1, Some(seq1))
+      .select("_change_type", "k").as[(String, Long)].collect()
+    val byType = d.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byType("update_preimage") == (15L to 19L) &&
+      byType("update_postimage") == (15L to 19L), s"paired update images: $byType")
+    assert(byType("delete").sorted == Seq(10L, 250L), s"deletes: $byType")
+    assert(byType("insert") == (502L to 504L), s"inserts: $byType")
+    // reify converges; plain read agrees with the snapshot
+    Layout.reifyDeletes(spark, dDir)
+    assert(spark.read.parquet(dDir).as[(Long, Long, String)].collect().toSet == want)
+    // SQL surface: the general-merge command honors the mode conf
+    val sDir = build("graft-dv-gm-sql")
+    val beforeS = leafFiles(sDir)
+    source.createOrReplaceTempView("dv_gm_src")
+    spark.conf.set(graft.plans.MutationSqlRule.MergeModeConf, "dv")
+    try {
+      val row = spark.sql(
+        s"""MERGE INTO parquet.`$sDir` AS t USING dv_gm_src AS s ON t.k = s.k
+           |WHEN MATCHED AND t.v = 100 THEN DELETE
+           |WHEN MATCHED AND t.k >= 15 THEN UPDATE SET v = s.v, tag = 'upd'
+           |WHEN NOT MATCHED AND s.k >= 502 THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.k = 250 THEN DELETE""".stripMargin).head()
+      assert(row.getLong(1) == 0L && row.getLong(3) >= 1L,
+        s"rewritten=0, dv positions recorded: $row")
+    } finally spark.conf.unset(graft.plans.MutationSqlRule.MergeModeConf)
+    assert(beforeS.forall { case (n, m) => leafFiles(sDir).get(n).contains(m) },
+      "SQL dv merge touched no pre-existing file")
+    assert(Layout.readSnapshot(spark, sDir)
+      .as[(Long, Long, String)].collect().toSet == want, "SQL dv merge agrees")
+  }
+
   test("CDC across a dv upsert pairs update images via the recorded key") {
     val dir = freshDir("graft-dv-ups-cdc")
     (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
@@ -315,6 +391,30 @@ class DeletionVectorSpec extends AnyFunSuite {
     val expect = (10L to 14L).flatMap(k =>
       Seq(("update_preimage", k, k), ("update_postimage", k, -k))).toSet
     assert(d == expect, s"paired update images through the DV commit: $d")
+  }
+
+  test("per-file materialize threshold: heavily-deleted files rewrite, light ones stay DV'd") {
+    val dir = freshDir("graft-dv-thresh")
+    (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    spark.conf.set(Layout.DvMaterializeThresholdConf, "0.3")
+    try {
+      // 40% of file A deleted > 30% threshold: A materializes in the
+      // same verb call (its sidecar entries clear); B never probed
+      val s1 = Layout.deleteWhere(spark, dir, Seq(("x", 0L, 39L)), mode = "dv")
+      assert(s1.rewrittenFiles == 1L && s1.dvFiles == 1L, s"$s1")
+      assert(Manifest.info(spark, dir).dv.isEmpty,
+        "the only DV'd file materialized - sidecar cleared")
+      assert(Layout.readSnapshot(spark, dir).count() == 160L)
+      assert(spark.read.parquet(dir).count() == 160L,
+        "materialized file is physically compact")
+      // 10% of file B < threshold: stays merge-on-read, zero rewrites
+      val s2 = Layout.deleteWhere(spark, dir, Seq(("x", 200L, 209L)), mode = "dv")
+      assert(s2.rewrittenFiles == 0L && s2.dvFiles == 1L, s"$s2")
+      assert(Manifest.info(spark, dir).dv.nonEmpty, "light delete stays DV'd")
+      assert(Layout.readSnapshot(spark, dir).count() == 150L)
+    } finally spark.conf.unset(Layout.DvMaterializeThresholdConf)
   }
 
   test("the pending-positions cap declines bulk merge-on-read mutations loudly") {
@@ -345,21 +445,41 @@ class DeletionVectorSpec extends AnyFunSuite {
     } finally spark.conf.unset(Layout.DvMaxPositionsConf)
   }
 
-  test("the DV read plan adds ONE broadcast anti-join and no shuffle") {
+  test("the DV read plan is ONE codegen'd filter over the scan - no join, no shuffle") {
     val dir = freshDir("graft-dv-plan")
     (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.parquet(dir)
     Layout.writeEnvelopes(spark, dir, Seq("x"))
     Layout.deleteWhere(spark, dir, Seq(("x", 0L, 4L)), mode = "dv")
-    val plan = Layout.readSnapshot(spark, dir).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"DV filter must plan as a broadcast anti-join:\n$plan")
-    // the only exchange is the broadcast of the bounded sidecar — the
-    // data side never shuffles for the filter
-    assert(!plan.linesIterator.exists(l =>
-      l.contains("Exchange") && !l.contains("Broadcast")),
-      s"no data-side shuffle for the DV probe:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"probe must stay a hash anti-join:\n$plan")
+    val snap = Layout.readSnapshot(spark, dir)
+    val plan = snap.queryExecution.executedPlan.toString
+    // the probe is a broadcast-map binary search inside a plain Filter:
+    // 8 bytes/position read-side (not exploded path-string rows), and
+    // the data side never joins or shuffles at all
+    assert(plan.contains("graft_dv_deleted"),
+      s"DV filter must plan as the codegen'd probe expression:\n$plan")
+    assert(!plan.contains("Join"), s"DV probe must not plan a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"DV probe must not shuffle:\n$plan")
+    // codegen'd operators print with the `*(n)` stage prefix — the
+    // probe filter must carry it (a CodegenFallback would print bare)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_dv_deleted") && l.trim.matches("""^[+:|\-\s]*\*\(\d+\) Filter.*""")),
+      s"DV probe must stay inside whole-stage codegen:\n$plan")
+    assert(snap.as[(Long, Long)].collect().map(_._1).sorted.toSeq == (5L to 99L),
+      "probe filters exactly the recorded positions")
+  }
+
+  test("stats-only aggregates never answer from the index through a pending DV") {
+    val dir = freshDir("graft-dv-aggguard")
+    (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x", "v"))
+    Layout.deleteWhere(spark, dir, Seq(("x", 0L, 9L)), mode = "dv")
+    // the envelope index still describes all 100 physical rows; the
+    // probe filter references _metadata, which no envelope covers, so
+    // EnvelopeAggRule must decline and the aggregate must count LIVE rows
+    val r = Layout.readSnapshot(spark, dir)
+      .agg(count(lit(1)).as("n"), sum($"v").as("s")).head()
+    assert(r.getLong(0) == 90L, s"count must see live rows only, got ${r.getLong(0)}")
+    assert(r.getLong(1) == (10L to 99L).sum, s"sum must see live rows only")
   }
 
   test("no index: dv delete scans everything once but still rewrites nothing") {

@@ -370,17 +370,27 @@ class MutationSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException] {
       Layout.upsert(spark, dir, Seq((true, -1L)).toDF("k", "v"), "k")
     }
-    assert(ex.getMessage.contains("no sound file-stab view") &&
+    assert(ex.getMessage.contains("sound file-stab view") &&
       ex.getMessage.contains("surrogate"), ex.getMessage)
-    // binary keys too — and the composite form names the offending column
+    // a COMPOSITE key with one unsupported component still runs: the
+    // unsupported column contributes an empty miss proof (sound — the
+    // per-column proofs are unioned) and classification prunes through
+    // the stab-able column alone
     val bdir = freshDir("graft-ups-binkey")
-    Seq((Array[Byte](1), 1L)).toDF("k", "v").coalesce(1).write.parquet(bdir)
+    Seq((Array[Byte](1), 1L, 10L), (Array[Byte](2), 2L, 20L))
+      .toDF("k", "v", "w").coalesce(1).write.mode("append").parquet(bdir)
+    Seq((Array[Byte](3), 100L, 30L))
+      .toDF("k", "v", "w").coalesce(1).write.mode("append").parquet(bdir)
     Layout.writeEnvelopes(spark, bdir, Seq("v"))
-    val ex2 = intercept[IllegalArgumentException] {
-      Layout.upsertKeyed(spark, bdir,
-        Seq((Array[Byte](1), 1L, -1L)).toDF("k", "v", "w").drop("w"), Seq("v", "k"))
-    }
-    assert(ex2.getMessage.contains("'k'"), ex2.getMessage)
+    val stats = Layout.upsertKeyed(spark, bdir,
+      Seq((Array[Byte](1), 1L, -1L)).toDF("k", "v", "w"), Seq("v", "k"))
+    assert(stats.untouchedFiles == 1L && stats.rewrittenFiles == 1L,
+      s"the v-disjoint file must classify untouched through the long component: $stats")
+    val got = spark.read.parquet(bdir).select($"k", $"v", $"w")
+      .as[(Array[Byte], Long, Long)].collect()
+      .map(r => (r._1.toSeq, r._2) -> r._3).toMap
+    assert(got((Seq[Byte](1), 1L)) == -1L && got((Seq[Byte](2), 2L)) == 20L &&
+      got((Seq[Byte](3), 100L)) == 30L && got.size == 3)
   }
 
   test("insert-only merge accepts duplicate unmatched source keys (SQL cardinality rule)") {
@@ -415,6 +425,7 @@ class MutationSpec extends AnyFunSuite {
     // BEFORE mutateFiles moves anything — the pre-move re-check must
     // see the pinned seq superseded and abort with nothing moved
     Layout.raceHooks.preMutate = () => { Manifest.write(spark, dir); () }
+    spark.conf.set(Layout.MutationMaxRetriesConf, "0") // pin fail-fast
     try {
       val ex = intercept[java.util.ConcurrentModificationException] {
         Layout.merge(spark, dir, Seq((5L, -5L)).toDF("k", "v"), Seq("k"),
@@ -424,7 +435,10 @@ class MutationSpec extends AnyFunSuite {
       Layout.raceHooks.reset()
       assert(Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().toMap
         .apply(5L) == 5L, "aborted merge changed nothing")
-    } finally Layout.raceHooks.reset()
+    } finally {
+      Layout.raceHooks.reset()
+      spark.conf.unset(Layout.MutationMaxRetriesConf)
+    }
   }
 
   test("conditioned BY SOURCE arms classify through envelope refutation; unconditioned stay full") {
@@ -549,6 +563,7 @@ class MutationSpec extends AnyFunSuite {
         assert(winnerDone.await(60, TimeUnit.SECONDS))
       ()
     }
+    spark.conf.set(Layout.MutationMaxRetriesConf, "0") // pin the fail-fast contract
     try {
       val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Layout.MutationStats]]()
       def run(name: String, lo: Long, hi: Long): Thread = {
@@ -576,6 +591,57 @@ class MutationSpec extends AnyFunSuite {
       Layout.deleteWhere(spark, dir, Seq(("k", 200L, 209L)))
       val after = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet
       assert(after == ((10L to 99L) ++ (210L to 299L)).toSet)
+    } finally {
+      Layout.raceHooks.reset()
+      spark.conf.unset(Layout.MutationMaxRetriesConf)
+    }
+  }
+
+  test("optimistic retry: the conflict loser re-pins, re-classifies, and commits (both writers land)") {
+    import java.util.concurrent.{CountDownLatch, CyclicBarrier, TimeUnit}
+    val dir = freshDir("graft-race-retry")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    Manifest.write(spark, dir)
+    // same deterministic worst case as the fail-fast test — both FIRST
+    // attempts classify against the same snapshot, the loser holds at
+    // the pre-move re-check until the winner committed — but with the
+    // default retries the loser's SECOND attempt (hook disarmed for it)
+    // re-pins the winner's snapshot and commits
+    val barrier = new CyclicBarrier(2)
+    val winnerDone = new CountDownLatch(1)
+    val firstAttempt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    firstAttempt.add("graft-winner"); firstAttempt.add("graft-loser")
+    Layout.raceHooks.preRetire = () => {
+      if (firstAttempt.remove(Thread.currentThread().getName)) {
+        barrier.await(60, TimeUnit.SECONDS)
+        if (Thread.currentThread().getName == "graft-loser")
+          assert(winnerDone.await(60, TimeUnit.SECONDS))
+      }
+      ()
+    }
+    try {
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Layout.MutationStats]]()
+      def run(name: String, lo: Long, hi: Long): Thread = {
+        val t = new Thread(() => {
+          try results.put(name, Right(Layout.deleteWhere(spark, dir, Seq(("k", lo, hi)))))
+          catch { case e: Throwable => results.put(name, Left(e)) }
+        }, name)
+        t.start(); t
+      }
+      val w = run("graft-winner", 0L, 9L)
+      new Thread(() => { w.join(); winnerDone.countDown() }).start()
+      val l = run("graft-loser", 200L, 209L)
+      w.join(120000); l.join(120000)
+      assert(results.get("graft-winner").isRight, s"winner: ${results.get("graft-winner")}")
+      assert(results.get("graft-loser").isRight,
+        s"loser must RETRY and commit: ${results.get("graft-loser")}")
+      // BOTH mutations applied — serialized commits, no error
+      val got = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet
+      assert(got == ((10L to 99L) ++ (210L to 299L)).toSet, "both writers landed")
+      assert(Manifest.listLive(spark, dir).size ==
+        Manifest.info(spark, dir).files.size, "no strays either way")
     } finally Layout.raceHooks.reset()
   }
 
@@ -602,6 +668,7 @@ class MutationSpec extends AnyFunSuite {
       finally { in.close(); out.close() }
       ()
     }
+    spark.conf.set(Layout.MutationMaxRetriesConf, "0") // pin fail-fast
     try {
       val ex = intercept[java.util.ConcurrentModificationException](
         Layout.deleteWhere(spark, dir, Seq(("k", 0L, 9L))))
@@ -618,6 +685,9 @@ class MutationSpec extends AnyFunSuite {
       assert(stats.rewrittenFiles == 1L && stats.untouchedFiles >= 1L, s"$stats")
       val after = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet
       assert(after == ((10L to 99L) ++ (200L to 299L)).toSet)
-    } finally Layout.raceHooks.reset()
+    } finally {
+      Layout.raceHooks.reset()
+      spark.conf.unset(Layout.MutationMaxRetriesConf)
+    }
   }
 }

@@ -119,6 +119,66 @@ class RestoreSpec extends AnyFunSuite {
       .map(_._1).toSet == (20L to 99L).toSet, "one delete undone via SQL")
   }
 
+  test("a crash mid-restore heals: the intent marker completes the interrupted pass") {
+    val dir = freshDir("graft-restore-crash")
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+      (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+      (200L to 299L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+      Layout.writeEnvelopes(spark, dir, Seq("k"))
+      Manifest.write(spark, dir)
+      val seq0 = Manifest.latestSeq(spark, dir).get
+      Layout.deleteWhere(spark, dir, Seq(("k", 0L, 49L)))
+      assert(Layout.readSnapshot(spark, dir).count() == 150L)
+
+      // manufacture the half-restored state a crash between the marker
+      // and the commit leaves: intent staged, ONE target file already
+      // moved back from retired to live
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val intent = new org.apache.hadoop.fs.Path(
+        Manifest.manifestsPath(dir), "restore-intent")
+      val out = fs.create(intent, true)
+      out.write(seq0.toString.getBytes("UTF-8")); out.close()
+      val target = Manifest.info(spark, dir, Some(seq0))
+      val curSet = Manifest.info(spark, dir).files.toSet
+      val toMove = target.files.filterNot(curSet).head
+      val retired = new org.apache.hadoop.fs.Path(
+        Manifest.retiredPath(dir) + "/" + toMove)
+      val live = new org.apache.hadoop.fs.Path(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(dir)) + "/" + toMove)
+      assert(fs.rename(retired, live), "test setup: simulate the half-move")
+
+      // the moved-back file is a stray against the latest manifest — a
+      // mutation verb still refuses (writer-exclusive contract intact)
+      val exStray = intercept[IllegalArgumentException] {
+        Layout.deleteWhere(spark, dir, Seq(("k", 60L, 69L)))
+      }
+      assert(exStray.getMessage.contains("not in the committed snapshot"))
+
+      // restore HEALS: it completes the recorded pass (to seq0), then
+      // serves the requested restore — here the same target, so the
+      // heal's commit is the answer and the marker is gone
+      val healed = Layout.restore(spark, dir, seq0)
+      assert(!fs.exists(intent), "intent cleared after the healing commit")
+      assert(Manifest.latestSeq(spark, dir).contains(healed))
+      assert(Layout.readSnapshot(spark, dir).count() == 200L, "restore completed exactly")
+      assert(spark.read.parquet(dir).count() == 200L, "no duplicate generations live")
+
+      // and a crash AFTER the commit but BEFORE the marker delete: the
+      // heal recognizes the already-restored state and only cleans up
+      val out2 = fs.create(intent, true)
+      out2.write(healed.toString.getBytes("UTF-8")); out2.close()
+      val before = Manifest.latestSeq(spark, dir).get
+      Layout.deleteWhere(spark, dir, Seq(("k", 0L, 4L))) // next verb unaffected…
+      assert(fs.exists(intent), "marker still staged")
+      val again = Layout.restore(spark, dir, before)
+      assert(!fs.exists(intent), "post-commit crash heals to a marker cleanup")
+      assert(Layout.readSnapshot(spark, dir).count() == 200L)
+      assert(again == Manifest.latestSeq(spark, dir).get)
+    } finally spark.conf.unset(Manifest.KeepConf)
+  }
+
   test("history lists exactly the retained, restorable generations") {
     val dir = freshDir("graft-history")
     spark.conf.set(Manifest.KeepConf, "3")

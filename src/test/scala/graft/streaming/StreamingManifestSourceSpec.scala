@@ -269,8 +269,8 @@ class StreamingManifestSourceSpec extends AnyFunSuite {
       Layout.writeEnvelopes(spark, dir, Seq("x"))
       Manifest.write(spark, dir)
       // a DV delete BEFORE the stream starts: the earliest snapshot
-      // batch reads through the DV anti-join — two relations the source
-      // must MATERIALIZE (a flipped join would plan stream-stream)
+      // batch reads through the DV probe filter (a plain
+      // single-relation plan since round 18) and must serve live rows
       Layout.deleteWhere(spark, dir, Seq(("x", 0L, 9L)), mode = "dv")
       val got = new ConcurrentLinkedQueue[(Long, String)]()
       val q = spark.readStream.format("graft-manifest")
@@ -302,9 +302,8 @@ class StreamingManifestSourceSpec extends AnyFunSuite {
         assert(got.isEmpty, s"materialization must stream zero rows, got ${got.size}")
       } finally q.stop()
       // FILE-mode earliest over a DV'd table: the snapshot batch's plan
-      // carries the DV anti-join — the source must materialize it (a
-      // flipped two-relation join would plan stream-stream) and serve
-      // the live rows
+      // carries the DV probe filter — a single relation that streams
+      // directly — and must serve the live rows
       Layout.deleteWhere(spark, dir, Seq(("x", 100L, 104L)), mode = "dv")
       val cp2 = tmp("manifest-src-dv-cp2")
       val n = new java.util.concurrent.atomic.AtomicLong(0L)
