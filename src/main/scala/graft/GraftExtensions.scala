@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a rule-planted SkippingFileIndex anyway, but first shot is cleaner)
     e.injectOptimizerRule(session => new graft.plans.EnvelopeAggRule(session))
     e.injectOptimizerRule(session => new graft.plans.EnvelopePruneRule(session))
+    // named-table surface: GraftCatalog registrations resolve to fresh
+    // manifest-snapshot reads (before MutationSqlRule, so DML over a
+    // name lowers onto the verbs like DML over a path)
+    e.injectResolutionRule(session => new graft.plans.GraftCatalogRule(session))
     // SQL mutation surface: DELETE FROM / MERGE INTO over a path-based
     // parquet table lower onto the file-grain verbs (deleteWhere/upsert)
     e.injectResolutionRule(session => new graft.plans.MutationSqlRule(session))

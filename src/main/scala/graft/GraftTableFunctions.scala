@@ -1,11 +1,12 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftshim.GraftSqlShim
-import org.apache.spark.sql.types.{BooleanType, StringType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
 /** Table-valued SQL functions over the [[GraftSql]] dispatch cores — the
   * PURE-SQL face of the whole-operator verbs: `spark.sql` text alone
@@ -75,8 +76,9 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *    [, algorithm])` — `propagation` (default) or `stars`; the
   *    ITERATIVE driver loop runs when the query analyzes, the
   *    `graft_heavy_hitters` eagerness trade
-  *  - MAINTENANCE verbs (each runs its side effect at analysis — these
-  *    statements exist to perform it — and returns a one-row summary):
+  *  - MAINTENANCE verbs (each lowers to a RunnableCommand — the side
+  *    effect runs at EXECUTION, so EXPLAIN or re-analysis never
+  *    mutates the table — and returns a one-row summary):
   *    `graft_compact(path, target_bytes[, parallelism])`,
   *    `graft_cluster(path, cols_csv, files_per_partition[, scaling,
   *    index_cols_csv, parallelism])`, `graft_vacuum(path[, keep])`,
@@ -118,6 +120,12 @@ object GraftTableFunctions {
   private def bool(fn: String, args: Seq[Expression], i: Int): Boolean =
     if (args(i).dataType == BooleanType) lit(fn, args, i).asInstanceOf[Boolean]
     else str(fn, args, i).toBoolean
+
+  /** A table PATH argument: a [[GraftCatalog]]-registered name resolves
+    * to its directory; a real path passes through unchanged. */
+  private def path(fn: String, sess: () => SparkSession,
+                   args: Seq[Expression], i: Int): String =
+    GraftCatalog.resolve(sess(), str(fn, args, i))
 
   private def opt[T](args: Seq[Expression], i: Int)(f: => T): Option[T] =
     if (i < args.size) Some(f) else None
@@ -186,7 +194,7 @@ object GraftTableFunctions {
   private def readHealedBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_read_healed"
     arity(fn, args, 1, 1)
-    graft.sources.Layout.readHealed(sess(), str(fn, args, 0)).queryExecution.analyzed
+    graft.sources.Layout.readHealed(sess(), path(fn, sess, args, 0)).queryExecution.analyzed
   }
 
   /** The sanctioned CROSS-PROCESS reader for manifest-maintained tables:
@@ -196,7 +204,7 @@ object GraftTableFunctions {
   private def readSnapshotBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_read_snapshot"
     arity(fn, args, 1, 2)
-    graft.sources.Layout.readSnapshot(sess(), str(fn, args, 0),
+    graft.sources.Layout.readSnapshot(sess(), path(fn, sess, args, 0),
       opt(args, 1)(lng(fn, args, 1))).queryExecution.analyzed
   }
 
@@ -205,7 +213,7 @@ object GraftTableFunctions {
   private def readChangesBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_read_changes"
     arity(fn, args, 2, 3)
-    graft.sources.Layout.readChanges(sess(), str(fn, args, 0),
+    graft.sources.Layout.readChanges(sess(), path(fn, sess, args, 0),
       lng(fn, args, 1), opt(args, 2)(lng(fn, args, 2))).queryExecution.analyzed
   }
 
@@ -215,7 +223,7 @@ object GraftTableFunctions {
   private def readChangeRowsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_read_change_rows"
     arity(fn, args, 2, 3)
-    graft.sources.Layout.readChangeRows(sess(), str(fn, args, 0),
+    graft.sources.Layout.readChangeRows(sess(), path(fn, sess, args, 0),
       lng(fn, args, 1), opt(args, 2)(lng(fn, args, 2))).queryExecution.analyzed
   }
 
@@ -226,7 +234,7 @@ object GraftTableFunctions {
   private def tableStatsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_table_stats"
     arity(fn, args, 1, 1)
-    graft.sources.Layout.tableStats(sess(), str(fn, args, 0)).queryExecution.analyzed
+    graft.sources.Layout.tableStats(sess(), path(fn, sess, args, 0)).queryExecution.analyzed
   }
 
   private def connectedComponentsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
@@ -257,7 +265,7 @@ object GraftTableFunctions {
       s"$fn takes a path then (col, lo, hi) triples, got ${args.size} arguments")
     val box = (1 until args.size by 3).map(i =>
       (str(fn, args, i), boxVal(fn, args, i + 1), boxVal(fn, args, i + 2)))
-    GraftSql.prunedReadDf(sess(), path = str(fn, args, 0), box = box
+    GraftSql.prunedReadDf(sess(), path = path(fn, sess, args, 0), box = box
     ).queryExecution.analyzed
   }
 
@@ -296,10 +304,18 @@ object GraftTableFunctions {
 
   // ---------------------------------------------------- maintenance verbs
   // The SQL face of the table-MAINTENANCE layer (the mutation surface
-  // stopped at DML; OPTIMIZE-style upkeep was Scala-only). Each runs its
-  // verb when the query ANALYZES — the graft_heavy_hitters eagerness
-  // trade, here exactly right: these statements EXIST to perform the
-  // side effect — and returns a one-row summary relation.
+  // stopped at DML; OPTIMIZE-style upkeep was Scala-only). Each lowers
+  // to a [[GraftMaintenanceCommand]] — the side effect runs at
+  // EXECUTION, like DELETE/UPDATE/MERGE: `spark.sql(...)` still
+  // performs it immediately (commands execute eagerly at DataFrame
+  // creation), but EXPLAIN, view resolution, or any re-analysis of the
+  // statement no longer mutates the table. (The graft_heavy_hitters
+  // analysis-eagerness precedent is right for read-only TVFs; these
+  // verbs commit manifests and move files, so an accidental analysis
+  // must stay a no-op.)
+
+  private def longAttr(n: String): Attribute =
+    AttributeReference(n, LongType, nullable = false)()
 
   /** `graft_compact(path, target_bytes[, parallelism])` — roll small
     * files up per leaf ([[graft.sources.Layout.compactPartitions]]);
@@ -307,12 +323,12 @@ object GraftTableFunctions {
   private def compactBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_compact"
     arity(fn, args, 2, 3)
-    val sp = sess()
-    val n = graft.sources.Layout.compactPartitions(sp, str(fn, args, 0),
-      targetFileBytes = lng(fn, args, 1),
-      parallelism = opt(args, 2)(lng(fn, args, 2)).getOrElse(1L).toInt)
-    import sp.implicits._
-    Seq(n).toDF("rewritten_leaves").queryExecution.analyzed
+    val raw = str(fn, args, 0)
+    val bytes = lng(fn, args, 1)
+    val par = opt(args, 2)(lng(fn, args, 2)).getOrElse(1L).toInt
+    GraftMaintenanceCommand(fn, Seq(longAttr("rewritten_leaves")), sp =>
+      Seq(Row(graft.sources.Layout.compactPartitions(sp, GraftCatalog.resolve(sp, raw),
+        targetFileBytes = bytes, parallelism = par))))
   }
 
   /** `graft_cluster(path, cols_csv, files_per_partition[, scaling
@@ -322,17 +338,17 @@ object GraftTableFunctions {
   private def clusterBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_cluster"
     arity(fn, args, 3, 6)
-    val sp = sess()
-    val path = str(fn, args, 0)
-    graft.sources.Layout.clusterPartitions(sp, path,
-      cols = csv(str(fn, args, 1)),
-      filesPerPartition = lng(fn, args, 2).toInt,
-      scaling = opt(args, 3)(str(fn, args, 3)).getOrElse("linear"),
-      indexCols = opt(args, 4)(csv(str(fn, args, 4))).getOrElse(Nil),
-      parallelism = opt(args, 5)(lng(fn, args, 5)).getOrElse(1L).toInt)
-    val seq = graft.sources.Manifest.latestSeq(sp, path).getOrElse(-1L)
-    import sp.implicits._
-    Seq(seq).toDF("manifest_seq").queryExecution.analyzed
+    val raw = str(fn, args, 0)
+    val cols = csv(str(fn, args, 1))
+    val fpp = lng(fn, args, 2).toInt
+    val scaling = opt(args, 3)(str(fn, args, 3)).getOrElse("linear")
+    val indexCols = opt(args, 4)(csv(str(fn, args, 4))).getOrElse(Nil)
+    val par = opt(args, 5)(lng(fn, args, 5)).getOrElse(1L).toInt
+    GraftMaintenanceCommand(fn, Seq(longAttr("manifest_seq")), { sp =>
+      val path = GraftCatalog.resolve(sp, raw)
+      graft.sources.Layout.clusterPartitions(sp, path, cols, fpp, scaling, indexCols, par)
+      Seq(Row(graft.sources.Manifest.latestSeq(sp, path).getOrElse(-1L)))
+    })
   }
 
   /** `graft_vacuum(path[, keep])` — reclaim retired files and DV
@@ -342,12 +358,13 @@ object GraftTableFunctions {
   private def vacuumBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_vacuum"
     arity(fn, args, 1, 2)
-    val sp = sess()
-    val path = str(fn, args, 0)
-    graft.sources.Manifest.vacuum(sp, path, opt(args, 1)(lng(fn, args, 1)).getOrElse(0L).toInt)
-    val seq = graft.sources.Manifest.latestSeq(sp, path).getOrElse(-1L)
-    import sp.implicits._
-    Seq(seq).toDF("latest_seq").queryExecution.analyzed
+    val raw = str(fn, args, 0)
+    val keep = opt(args, 1)(lng(fn, args, 1)).getOrElse(0L).toInt
+    GraftMaintenanceCommand(fn, Seq(longAttr("latest_seq")), { sp =>
+      val path = GraftCatalog.resolve(sp, raw)
+      graft.sources.Manifest.vacuum(sp, path, keep)
+      Seq(Row(graft.sources.Manifest.latestSeq(sp, path).getOrElse(-1L)))
+    })
   }
 
   /** `graft_add_columns(path, ddl)` — additive schema evolution as a
@@ -357,12 +374,12 @@ object GraftTableFunctions {
   private def addColumnsBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_add_columns"
     arity(fn, args, 2, 2)
-    val sp = sess()
+    val raw = str(fn, args, 0)
     val fields = org.apache.spark.sql.types.StructType.fromDDL(str(fn, args, 1))
       .fields.toSeq.map(_.copy(nullable = true))
-    val seq = graft.sources.Layout.addColumnsIfAbsent(sp, str(fn, args, 0), fields)
-    import sp.implicits._
-    Seq(seq).toDF("manifest_seq").queryExecution.analyzed
+    GraftMaintenanceCommand(fn, Seq(longAttr("manifest_seq")), sp =>
+      Seq(Row(graft.sources.Layout.addColumnsIfAbsent(sp,
+        GraftCatalog.resolve(sp, raw), fields))))
   }
 
   /** `graft_history(path)` — the retained commit history, newest first
@@ -373,7 +390,7 @@ object GraftTableFunctions {
   private def historyBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_history"
     arity(fn, args, 1, 1)
-    graft.sources.Manifest.history(sess(), str(fn, args, 0)).queryExecution.analyzed
+    graft.sources.Manifest.history(sess(), path(fn, sess, args, 0)).queryExecution.analyzed
   }
 
   /** `graft_restore(path, seq)` — roll the table back to a retained
@@ -383,10 +400,10 @@ object GraftTableFunctions {
   private def restoreBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_restore"
     arity(fn, args, 2, 2)
-    val sp = sess()
-    val seq = graft.sources.Layout.restore(sp, str(fn, args, 0), lng(fn, args, 1))
-    import sp.implicits._
-    Seq(seq).toDF("manifest_seq").queryExecution.analyzed
+    val raw = str(fn, args, 0)
+    val seq = lng(fn, args, 1)
+    GraftMaintenanceCommand(fn, Seq(longAttr("manifest_seq")), sp =>
+      Seq(Row(graft.sources.Layout.restore(sp, GraftCatalog.resolve(sp, raw), seq))))
   }
 
   /** `graft_reify_deletes(path)` — materialize pending merge-on-read
@@ -395,12 +412,26 @@ object GraftTableFunctions {
   private def reifyBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_reify_deletes"
     arity(fn, args, 1, 1)
-    val sp = sess()
-    val s = graft.sources.Layout.reifyDeletes(sp, str(fn, args, 0))
-    import sp.implicits._
-    Seq((s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
-      .toDF("dropped_files", "rewritten_files", "untouched_files", "dv_files")
-      .queryExecution.analyzed
+    val raw = str(fn, args, 0)
+    GraftMaintenanceCommand(fn,
+      Seq(longAttr("dropped_files"), longAttr("rewritten_files"),
+        longAttr("untouched_files"), longAttr("dv_files")), { sp =>
+      val s = graft.sources.Layout.reifyDeletes(sp, GraftCatalog.resolve(sp, raw))
+      Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
+    })
+  }
+
+  /** A maintenance verb lowered to a leaf command: the side effect runs
+    * in `run` — at EXECUTION — so EXPLAIN / view resolution / plan
+    * re-analysis of a maintenance statement performs nothing.
+    * `spark.sql` executes commands eagerly at DataFrame creation, so
+    * the statement's user-visible timing is unchanged; all verbs stay
+    * idempotent regardless. */
+  final case class GraftMaintenanceCommand(verb: String,
+      override val output: Seq[Attribute],
+      @transient body: SparkSession => Seq[Row]) extends LeafRunnableCommand {
+    override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+    override def simpleString(maxFields: Int): String = s"GraftMaintenanceCommand($verb)"
   }
 
   private def info(name: String, usage: String): ExpressionInfo =

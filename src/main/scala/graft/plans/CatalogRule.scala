@@ -1,0 +1,31 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.GraftCatalog
+import graft.sources.Manifest
+
+/** Resolves single-part relation names registered through
+  * [[GraftCatalog]] to a FRESH manifest-snapshot read — injected as a
+  * resolution rule by [[graft.GraftExtensions]], so `spark.table("t")`,
+  * `FROM t`, and the DML statements ([[MutationSqlRule]] fires after
+  * the relation resolves) all take names. Spark's own resolution runs
+  * first: a session-catalog table or temp view with the same name is
+  * already resolved by the time this rule sees the plan, so
+  * registrations can never shadow real catalog objects. Resolution is
+  * per-QUERY — the name binds to the latest committed manifest at
+  * analysis time (deletion vectors applied), never to a cached plan. */
+class GraftCatalogRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+      GraftCatalog.dirOf(session, u.multipartIdentifier.head) match {
+        case Some(dir) =>
+          SubqueryAlias(u.multipartIdentifier.head,
+            Manifest.read(session, dir).queryExecution.analyzed)
+        case None => u
+      }
+  }
+}

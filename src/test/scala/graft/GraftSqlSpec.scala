@@ -311,4 +311,24 @@ class GraftSqlSpec extends AnyFunSuite {
     val v = spark.sql(s"SELECT * FROM graft_vacuum('$dir', 1)").head()
     assert(v.getLong(0) == Manifest.latestSeq(spark, dir).get)
   }
+
+  test("EXPLAIN on a maintenance verb performs NO side effect (execution-time commands)") {
+    GraftTableFunctions.ensure(spark)
+    import graft.sources.{Layout, Manifest}
+    val dir = java.nio.file.Files.createTempDirectory("gtf-explain").resolve("t").toString
+    (0L to 99L).map(x => (x, x)).toDF("x", "v").repartition(4).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    Manifest.write(spark, dir)
+    val seq0 = Manifest.latestSeq(spark, dir).get
+    // EXPLAIN analyzes (and plans) the statement — the verb must not run
+    val explained = spark.sql(
+      s"EXPLAIN SELECT * FROM graft_compact('$dir', ${1L << 30})").head().getString(0)
+    assert(explained.contains("GraftMaintenanceCommand(graft_compact)"), explained)
+    assert(Manifest.latestSeq(spark, dir).contains(seq0), "EXPLAIN committed nothing")
+    assert(spark.read.parquet(dir).inputFiles.length == 4, "EXPLAIN moved nothing")
+    // the same statement EXECUTED performs the verb
+    val c = spark.sql(s"SELECT * FROM graft_compact('$dir', ${1L << 30})").head()
+    assert(c.getLong(0) == 1L, s"one leaf rewritten: $c")
+    assert(Manifest.latestSeq(spark, dir).get > seq0, "execution committed")
+  }
 }

@@ -1,0 +1,107 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftCatalog
+import graft.sources.{Layout, Manifest}
+
+/** [[GraftCatalog]] + [[GraftCatalogRule]]: session-scoped named tables
+  * over manifest snapshots — `spark.table`, SQL reads, DML, and the
+  * path-taking TVFs all speak the name; a name never serves a stale
+  * plan; real catalog objects (temp views) win over registrations. */
+class CatalogSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  test("a registered name reads the LATEST snapshot, fresh per query") {
+    val dir = freshDir("graft-cat-read")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    GraftCatalog.register(spark, "cat_events", dir)
+    assert(Manifest.latestSeq(spark, dir).nonEmpty, "register bootstraps the manifest")
+    assert(spark.table("cat_events").count() == 100L)
+    assert(spark.sql("SELECT count(*) AS n FROM cat_events").head().getLong(0) == 100L)
+    // a mutation commits; the NAME serves the new snapshot on the next
+    // query — no stale-plan caching
+    Layout.deleteWhere(spark, dir, Seq(("k", 0L, 9L)))
+    assert(spark.table("cat_events").count() == 90L, "name re-resolves per query")
+    // qualified column references through the alias work
+    assert(spark.sql(
+      "SELECT max(cat_events.k) AS m FROM cat_events").head().getLong(0) == 99L)
+  }
+
+  test("DML through a name lowers onto the verbs - including over a DV-carrying table") {
+    val dir = freshDir("graft-cat-dml")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    GraftCatalog.register(spark, "cat_dml", dir)
+    // DELETE through the name — file-grain stats row proves the verb ran
+    val row = spark.sql("DELETE FROM cat_dml WHERE k BETWEEN 0 AND 9").head()
+    assert(row.getLong(1) == 1L && row.getLong(2) == 1L,
+      s"one file rewritten, one untouched: $row")
+    assert(spark.table("cat_dml").count() == 190L)
+    // put a DV on the table: the name now resolves through the probe
+    // filter, and DML must still see through it to the dir
+    Layout.deleteWhere(spark, dir, Seq(("k", 10L, 14L)), mode = "dv")
+    assert(Manifest.info(spark, dir).dv.nonEmpty)
+    assert(spark.table("cat_dml").count() == 185L, "name read applies the DV")
+    Seq((20L, -20L), (1000L, -1L)).toDF("k", "v").createOrReplaceTempView("cat_dml_src")
+    val m = spark.sql(
+      """MERGE INTO cat_dml AS t USING cat_dml_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(m.getLong(1) >= 1L, s"merge through the name over a DV table: $m")
+    val got = spark.table("cat_dml").as[(Long, Long)].collect().toMap
+    assert(got(20L) == -20L && got(1000L) == -1L && !got.contains(10L))
+    // UPDATE through the name too
+    spark.sql("UPDATE cat_dml SET v = v + 1 WHERE k BETWEEN 30 AND 31").collect()
+    val got2 = spark.table("cat_dml").as[(Long, Long)].collect().toMap
+    assert(got2(30L) == 31L && got2(31L) == 32L)
+  }
+
+  test("temp views win over registrations; unregister unbinds; TVFs take names") {
+    val dir = freshDir("graft-cat-tvf")
+    (0L to 49L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    GraftCatalog.register(spark, "cat_tvf", dir)
+    // a temp view with the same name shadows the registration
+    Seq((1L, 1L)).toDF("k", "v").createOrReplaceTempView("cat_tvf")
+    assert(spark.table("cat_tvf").count() == 1L, "temp view wins")
+    spark.catalog.dropTempView("cat_tvf")
+    assert(spark.table("cat_tvf").count() == 50L, "registration serves again")
+    // path-taking TVFs accept the name
+    graft.GraftTableFunctions.ensure(spark)
+    val st = spark.sql("SELECT n_files FROM graft_table_stats('cat_tvf')").head()
+    assert(st.getLong(0) == 1L, s"$st")
+    assert(spark.sql("SELECT seq FROM graft_history('cat_tvf')").count() >= 1L)
+    val c = spark.sql(s"SELECT * FROM graft_compact('cat_tvf', ${1L << 30})").head()
+    assert(c.getLong(0) <= 1L) // single file: nothing (or one leaf) to roll up
+    // SET-based registration works too (pure SQL, no Scala call)
+    val dir2 = freshDir("graft-cat-sql")
+    (0L to 9L).toDF("x").write.parquet(dir2)
+    Manifest.write(spark, dir2)
+    spark.sql(s"SET ${GraftCatalog.Prefix}cat_sql=$dir2")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_sql").head().getLong(0) == 10L)
+    // unregister unbinds: the name falls through to Spark's own error
+    GraftCatalog.unregister(spark, "cat_tvf")
+    val ex = intercept[Exception](spark.table("cat_tvf").collect())
+    assert(ex.getMessage.contains("cat_tvf"), ex.getMessage)
+  }
+}
