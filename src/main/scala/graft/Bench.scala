@@ -145,7 +145,11 @@ object Bench {
     "q185_dv_delete_box", "q186_dv_cdc_rows", "q187_dv_reified_box",
     "q188_merge_lowcard_key", "q189_merge_sync_cond", "q190_merge_evolution",
     "q191_sql_compact_box", "q192_dv_upsert_box", "q193_dv_upsert_cdc",
-    "q194_restore_box", "q195_cdc_token_delta")
+    "q194_restore_box", "q195_cdc_token_delta",
+    // round 18: the merge-on-read GENERAL merge (full arm matrix), the
+    // auto-materialize-threshold delete, and the catalog-named read
+    // (mutations inside q196_mut_build18)
+    "q196_dv_general_merge", "q197_dv_threshold_box", "q198_named_table_box")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -349,6 +353,23 @@ object Bench {
       val (b1, ok1) = once(); val (b2, ok2) = once()
       if (ok1 && ok2) math.min(b1, b2) else -1.0
     }
+    // round-18 build (dv general merge, threshold delete, named copy):
+    // min-of-two honesty split; q196+ then time serving only.
+    val mutBuild18 = {
+      def once(): (Double, Boolean) = {
+        graft.queries.LayoutQueries.invalidateZorder18(sfDir)
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.queries.LayoutQueries.buildZorder18(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q196_mut_build18 FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (b1, ok1) = once(); val (b2, ok2) = once()
+      if (ok1 && ok2) math.min(b1, b2) else -1.0
+    }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
     val run2 = present.map { n =>
@@ -432,6 +453,7 @@ object Bench {
       ("q167_part_build" -> partBuild15) :+
       ("q175_mut_build16" -> mutBuild16) :+
       ("q185_mut_build17" -> mutBuild17) :+
+      ("q196_mut_build18" -> mutBuild18) :+
       ("q103_index_build" -> annBuild) :+
       ("q35_pair_graph_build" -> pairBuild) :+
       ("q35_cc_label_build" -> labelBuild) :+

@@ -686,9 +686,10 @@ object LayoutQueries {
 
   /** [[zEventsCompacted]]'s twin maintained ENTIRELY through SQL: the
     * small-file partitioned copy rolled up by the `graft_compact` table
-    * function (the maintenance verb surface — the side effect runs when
-    * the statement analyzes, exactly like the Scala call), envelope
-    * index refreshed by the verb from the existing index columns. */
+    * function (the maintenance verb surface — a RunnableCommand since
+    * round 18, so the side effect runs when the statement EXECUTES,
+    * exactly like DML), envelope index refreshed by the verb from the
+    * existing index columns. */
   private def zEventsCompactedSql(spark: SparkSession, dir: String): String = lock.synchronized {
     val key = s"$dir|events_compact_sql"
     cache.getOrElse(key, {
@@ -777,6 +778,81 @@ object LayoutQueries {
     })
   }
 
+  /** Clustered events copy merged through the FULL ARM MATRIX in
+    * MERGE-ON-READ mode (`spark.graft.merge.mode=dv`, round 18): the
+    * conditional matched arms fire per row — `event_id % 10 = 1` rows
+    * with `user_id` in [0,4] take the doubled source value, the rest of
+    * the matched rows DELETE — while every position lands in the
+    * deletion-vector sidecar and the update images append as new files;
+    * no candidate file is rewritten (the CDC-apply trickle-MERGE
+    * economics). Results must equal copy mode exactly, so the oracle is
+    * pure relational arithmetic over the original events. */
+  private def zEventsMergeDvArms(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_merge_dv_arms"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_merge_dv_arms").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "event_id"))
+      ev.filter(col("event_id") % 10 === 1)
+        .withColumn("value", col("value") * 2)
+        .createOrReplaceTempView("graft_q196_src")
+      spark.conf.set(graft.plans.MutationSqlRule.MergeModeConf, "dv")
+      try spark.sql(
+        s"""MERGE INTO parquet.`$out` AS t USING graft_q196_src AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED AND t.user_id BETWEEN 0 AND 4 THEN UPDATE SET value = s.value
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      finally spark.conf.unset(graft.plans.MutationSqlRule.MergeModeConf)
+      cache += key -> out
+      out
+    })
+  }
+
+  /** [[zEventsDelDv]]'s twin under the per-file AUTO-MATERIALIZE
+    * threshold (round 18): files whose pending deleted fraction exceeds
+    * 20% rewrite DV-filtered inside the same verb call, lighter files
+    * keep their sidecar entries — semantics identical either way (the
+    * oracle is q185's), with per-file DV growth bounded. */
+  private def zEventsDelDvThresh(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_del_dv_thresh"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_del_dv_thresh").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts"),
+        Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us"))
+      spark.conf.set(Layout.DvMaterializeThresholdConf, "0.2")
+      try Layout.deleteWhere(spark, out,
+        Seq(("user_id", 3L, 6L), ("ts_us", EvTsLo, EvTsHi - 1)), mode = "dv")
+      finally spark.conf.unset(Layout.DvMaterializeThresholdConf)
+      cache += key -> out
+      out
+    })
+  }
+
+  /** Clustered events copy served through a [[graft.GraftCatalog]] NAME
+    * (round 18): the fixture registers `graft_events_r18` → the table
+    * dir, and the query is PURE SQL over the name — the resolution rule
+    * binds it to a fresh manifest snapshot per query. Layout-invariant,
+    * so the oracle is the plain events SQL. */
+  private def zEventsNamed(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_named"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_named").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts"),
+        Seq("user_id", "ts_us"), 16, out)
+      Manifest.write(spark, out)
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-17 build (the deletion-vector fixtures — delete, reified,
     * merge-on-read upsert, and the DV-deleted documents corpus — the
     * low-cardinality-leading-key composite merge, the conditioned
@@ -796,6 +872,21 @@ object LayoutQueries {
   def invalidateZorder17(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R17Tables.contains(k.stripPrefix(s"$dir|"))
+    }
+  }
+
+  /** Round-18 build (the merge-on-read GENERAL-merge fixture, the
+    * auto-materialize-threshold delete, and the catalog-named copy),
+    * its own bench entry so q196+ time serving only. */
+  def buildZorder18(spark: SparkSession, dir: String): Unit = {
+    zEventsMergeDvArms(spark, dir); zEventsDelDvThresh(spark, dir)
+    zEventsNamed(spark, dir); ()
+  }
+  private val R18Tables = Set("events_merge_dv_arms", "events_del_dv_thresh",
+    "events_named")
+  def invalidateZorder18(dir: String): Unit = lock.synchronized {
+    cache = cache.filterNot { case (k, _) =>
+      R18Tables.contains(k.stripPrefix(s"$dir|"))
     }
   }
 
@@ -823,7 +914,8 @@ object LayoutQueries {
       val suffix = k.stripPrefix(s"$dir|")
       k.startsWith(s"$dir|") && !R13Tables.contains(suffix) &&
         !R14Tables.contains(suffix) && !R15Tables.contains(suffix) &&
-        !R16Tables.contains(suffix) && !R17Tables.contains(suffix)
+        !R16Tables.contains(suffix) && !R17Tables.contains(suffix) &&
+        !R18Tables.contains(suffix)
     }
   }
   def invalidateZorder13(dir: String): Unit = lock.synchronized {
@@ -1699,7 +1791,60 @@ object LayoutQueries {
         sum(length($"text").cast("long")).as("n_chars"))
   }
 
+  // ---------------------------------------------------------------- q196
+  /** The events box over the MERGE-ON-READ GENERAL-merge fixture: the
+    * full arm matrix (conditional UPDATE SET / DELETE, first-match-wins)
+    * ran as a trickle mutation — positions in the sidecar, images
+    * appended, zero candidate rewrites — and the snapshot must serve
+    * exactly the copy-mode semantics the oracle reconstructs. */
+  def q196DvGeneralMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.readSnapshot(spark, zEventsMergeDvArms(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q197
+  /** q185's box over the AUTO-MATERIALIZE-threshold delete: files past
+    * 20% pending deletion rewrote inside the verb, the rest stayed
+    * merge-on-read — observationally identical to q185 (same oracle),
+    * which is exactly the point: the threshold changes the physical
+    * layout's convergence, never the answer. */
+  def q197DvThresholdBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.readSnapshot(spark, zEventsDelDvThresh(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q198
+  /** The events box spoken ENTIRELY through a registered table NAME —
+    * `FROM graft_events_r18` in pure SQL, resolved by the catalog rule
+    * to a fresh manifest snapshot. Layout-invariant: same oracle as the
+    * plain box. */
+  def q198NamedTableBox(spark: SparkSession, dir: String): DataFrame = {
+    val out = zEventsNamed(spark, dir)
+    graft.GraftCatalog.register(spark, "graft_events_r18", out)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_events_r18
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_dv_general_merge"    -> q196DvGeneralMerge _,
+    "q197_dv_threshold_box"    -> q197DvThresholdBox _,
+    "q198_named_table_box"     -> q198NamedTableBox _,
     "q195_cdc_token_delta"     -> q195CdcTokenDelta _,
     "q194_restore_box"         -> q194RestoreBox _,
     "q192_dv_upsert_box"       -> q192DvUpsertBox _,
@@ -1824,6 +1969,28 @@ object LayoutQueries {
          |  AND NOT (user_id BETWEEN 3 AND 6
          |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
          |GROUP BY event_type""".stripMargin,
+    "q196_dv_general_merge" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type,
+         |        CASE WHEN event_id % 10 = 1 THEN value * 2 ELSE value END AS value
+         |      FROM events
+         |      WHERE NOT (event_id % 10 = 1 AND user_id NOT BETWEEN 0 AND 4))
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q197_dv_threshold_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |  AND NOT (user_id BETWEEN 3 AND 6
+         |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
+         |GROUP BY event_type""".stripMargin,
+    "q198_named_table_box"        -> EventsBoxOracle,
     "q186_dv_cdc_rows" ->
       s"""SELECT 'delete' AS _change_type, event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
