@@ -149,7 +149,8 @@ object Bench {
     // round 18: the merge-on-read GENERAL merge (full arm matrix), the
     // auto-materialize-threshold delete, and the catalog-named read
     // (mutations inside q196_mut_build18)
-    "q196_dv_general_merge", "q197_dv_threshold_box", "q198_named_table_box")
+    "q196_dv_general_merge", "q197_dv_threshold_box", "q198_named_table_box",
+    "q199_sql_insert_box")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.GraftCatalog
@@ -19,13 +19,20 @@ import graft.sources.Manifest
   * per-QUERY — the name binds to the latest committed manifest at
   * analysis time (deletion vectors applied), never to a cached plan. */
 class GraftCatalogRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def resolved(name: String): Option[LogicalPlan] =
+    GraftCatalog.dirOf(session, name).map(dir =>
+      SubqueryAlias(name, Manifest.read(session, dir).queryExecution.analyzed))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    // INSERT's target is a FIELD of the statement, not a child — the
+    // generic traversal never visits it (the same special case the
+    // analyzer's own ResolveRelations carries)
+    case i @ InsertIntoStatement(u: UnresolvedRelation, _, _, _, _, _, _)
+        if u.multipartIdentifier.size == 1 =>
+      resolved(u.multipartIdentifier.head)
+        .map(r => i.copy(table = r)).getOrElse(i)
     case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
-      GraftCatalog.dirOf(session, u.multipartIdentifier.head) match {
-        case Some(dir) =>
-          SubqueryAlias(u.multipartIdentifier.head,
-            Manifest.read(session, dir).queryExecution.analyzed)
-        case None => u
-      }
+      resolved(u.multipartIdentifier.head).getOrElse(u)
   }
 }

@@ -237,6 +237,38 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
           }
         case None => m
       }
+    // INSERT INTO a MANIFEST-maintained table lowers onto Layout.append
+    // (manifest-committed, index refreshed, snapshot-visible) — stock
+    // Spark would write files straight past the manifest, leaving them
+    // invisible to snapshot readers and loudly rejected by the next
+    // mutation's stray guard. Gated on the ManifestFileIndex read shape
+    // (a GraftCatalog name or graft_read_snapshot target): plain
+    // ``parquet.`dir` `` inserts keep their stock behavior untouched.
+    case InsertIntoStatement(rel, partitionSpec, userCols, query,
+        overwrite, _, byName) if rel.resolved && query.resolved =>
+      manifestDir(rel) match {
+        case Some(dir) =>
+          def decline(what: String): Nothing = throw new UnsupportedOperationException(
+            s"graft INSERT INTO $dir: $what. Use plain INSERT INTO (all columns, " +
+              "no static partition spec) - it appends through the manifest " +
+              "(Layout.append) - or the Scala Layout verbs for anything else.")
+          if (overwrite)
+            decline("INSERT OVERWRITE is not supported on a manifest-maintained " +
+              "table (an empty table is not representable; rewrite via the " +
+              "mutation verbs or clusterPartitions instead)")
+          if (partitionSpec.exists(_._2.nonEmpty))
+            decline("static PARTITION specs are not supported - partition values " +
+              "come from the rows (the append is hive-partitioned automatically)")
+          if (userCols.nonEmpty)
+            decline("a column list is not supported - append needs every table " +
+              "column (old files cannot be rewritten to default-fill the rest)")
+          val colOrder = rel.output.map(_.name)
+          if (!byName && query.output.size != colOrder.size)
+            decline(s"the query produces ${query.output.size} columns, the table " +
+              s"has ${colOrder.size}")
+          GraftAppendCommand(dir, query, if (byName) Nil else colOrder)
+        case None => plan
+      }
     case _ => plan
   }
 
@@ -277,6 +309,25 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ => None
     }
     case _ => None
+  }
+
+  /** Like [[parquetDir]], but ONLY for the engine's own
+    * manifest-snapshot read shape ([[ManifestFileIndex]] at the root) —
+    * the gate for intercepting statements Spark otherwise handles
+    * itself (INSERT), where a plain path-based parquet relation must
+    * keep its stock behavior. */
+  private def manifestDir(plan: LogicalPlan): Option[String] = {
+    def rooted(p: LogicalPlan): Boolean = p match {
+      case SubqueryAlias(_, child) => rooted(child)
+      case f: Filter => rooted(f.child)
+      case pr: Project => rooted(pr.child)
+      case r: LogicalRelation => r.relation match {
+        case h: HadoopFsRelation => h.location.isInstanceOf[ManifestFileIndex]
+        case _ => false
+      }
+      case _ => false
+    }
+    if (rooted(plan)) parquetDir(plan) else None
   }
 
   /** Translate a DELETE predicate into the verbs' box form — a closed
@@ -591,6 +642,25 @@ object MutationSqlRule {
       val s = Layout.merge(sparkSession, dir, src, keys, armsOf(matched),
         insertUnmatched, insertCond.map(colOf), armsOf(bySource), mode)
       Seq(Row(s.droppedFiles, s.rewrittenFiles, s.untouchedFiles, s.dvFiles))
+    }
+  }
+
+  /** `INSERT INTO` a manifest-maintained table lowered onto
+    * [[Layout.append]] — manifest-committed, envelope index refreshed,
+    * snapshot-visible, the next mutation's stray guard satisfied.
+    * `colOrder` non-empty = positional SQL semantics (the query's
+    * columns are renamed to the table's, in relation-output order);
+    * empty = BY NAME (append validates the names itself). */
+  final case class GraftAppendCommand(dir: String, query: LogicalPlan,
+                                      colOrder: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("manifest_seq", LongType, nullable = false)())
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(sparkSession: SparkSession): Seq[Row] = {
+      val df = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, query)
+      val rows = if (colOrder.isEmpty) df else df.toDF(colOrder: _*)
+      Seq(Row(Layout.append(sparkSession, dir, rows)))
     }
   }
 

@@ -853,6 +853,35 @@ object LayoutQueries {
     })
   }
 
+  /** Clustered events copy extended through SQL `INSERT INTO <name>`
+    * (round 18): the statement lowers onto [[Layout.append]] — the new
+    * rows land manifest-committed and index-refreshed, visible to the
+    * snapshot the name serves. The inserted rows are a derived slice of
+    * the original events (`event_id % 100 = 0`, value ×10, ids shifted
+    * out of range), so the oracle is a UNION ALL over the plain
+    * events. */
+  private def zEventsInserted(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_inserted"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_inserted").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us"))
+      Manifest.write(spark, out)
+      graft.GraftCatalog.register(spark, "graft_events_r199", out)
+      ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") * 10)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+        .createOrReplaceTempView("graft_q199_src")
+      val order = spark.table("graft_events_r199").columns.map(c => s"`$c`")
+      spark.sql(s"INSERT INTO graft_events_r199 " +
+        s"SELECT ${order.mkString(", ")} FROM graft_q199_src").collect()
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-17 build (the deletion-vector fixtures — delete, reified,
     * merge-on-read upsert, and the DV-deleted documents corpus — the
     * low-cardinality-leading-key composite merge, the conditioned
@@ -880,10 +909,10 @@ object LayoutQueries {
     * its own bench entry so q196+ time serving only. */
   def buildZorder18(spark: SparkSession, dir: String): Unit = {
     zEventsMergeDvArms(spark, dir); zEventsDelDvThresh(spark, dir)
-    zEventsNamed(spark, dir); ()
+    zEventsNamed(spark, dir); zEventsInserted(spark, dir); ()
   }
   private val R18Tables = Set("events_merge_dv_arms", "events_del_dv_thresh",
-    "events_named")
+    "events_named", "events_inserted")
   def invalidateZorder18(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R18Tables.contains(k.stripPrefix(s"$dir|"))
@@ -1841,7 +1870,23 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q199
+  /** The events box over the SQL-INSERTED named table: `INSERT INTO
+    * <name>` lowered onto the manifest-committing append — the snapshot
+    * must serve the original rows PLUS the inserted derived slice, and
+    * the oracle reconstructs both relationally. */
+  def q199SqlInsertBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = Layout.readSnapshot(spark, zEventsInserted(spark, dir))
+    z.filter($"user_id".between(2L, 9L) && $"ts_us".between(EvTsLo, EvTsHi - 1))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("sum_v_c"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_sql_insert_box"      -> q199SqlInsertBox _,
     "q196_dv_general_merge"    -> q196DvGeneralMerge _,
     "q197_dv_threshold_box"    -> q197DvThresholdBox _,
     "q198_named_table_box"     -> q198NamedTableBox _,
@@ -1991,6 +2036,17 @@ object LayoutQueries {
          |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
          |GROUP BY event_type""".stripMargin,
     "q198_named_table_box"        -> EventsBoxOracle,
+    "q199_sql_insert_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, ts, event_type, value FROM events
+         |      UNION ALL
+         |      SELECT user_id, ts, event_type, value * 10 AS value
+         |      FROM events WHERE event_id % 100 = 0)
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
     "q186_dv_cdc_rows" ->
       s"""SELECT 'delete' AS _change_type, event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,

@@ -77,6 +77,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(got2(30L) == 31L && got2(31L) == 32L)
   }
 
+  test("INSERT INTO a named table appends through the manifest; plain paths keep stock behavior") {
+    val dir = freshDir("graft-cat-ins")
+    (0L to 49L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    GraftCatalog.register(spark, "cat_ins", dir)
+    val seq0 = Manifest.latestSeq(spark, dir).get
+    // positional INSERT lowers onto Layout.append: manifest commits,
+    // snapshot sees the rows, the index stays fresh
+    val r = spark.sql("INSERT INTO cat_ins VALUES (100, -1), (101, -2)").head()
+    assert(r.getLong(0) == seq0 + 1, s"append committed a manifest: $r")
+    assert(spark.table("cat_ins").count() == 52L)
+    // the appended rows are in the COMMITTED snapshot: the next mutation
+    // passes the stray guard and classifies over them
+    val s = Layout.deleteWhere(spark, dir, Seq(("k", 100L, 101L)))
+    assert(s.rewrittenFiles + s.droppedFiles >= 1L, s"$s")
+    assert(spark.table("cat_ins").count() == 50L)
+    // INSERT OVERWRITE and column lists decline loudly
+    val ex = intercept[Exception](
+      spark.sql("INSERT OVERWRITE cat_ins VALUES (1, 1)"))
+    assert(ex.getMessage.contains("INSERT OVERWRITE"), ex.getMessage)
+    val ex2 = intercept[Exception](
+      spark.sql("INSERT INTO cat_ins (k) VALUES (7)"))
+    assert(ex2.getMessage.contains("column list"), ex2.getMessage)
+    // a PLAIN path-based parquet INSERT is untouched: Spark's own
+    // behavior (its stock error here) — the lowering is gated on the
+    // ManifestFileIndex read shape, never widened to arbitrary paths
+    val plain = freshDir("graft-cat-plain")
+    (0L to 9L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(plain)
+    val ex3 = intercept[Exception](
+      spark.sql(s"INSERT INTO parquet.`$plain` VALUES (100, -1)"))
+    assert(!ex3.getMessage.contains("graft INSERT"),
+      s"plain paths must keep Spark's stock handling: ${ex3.getMessage}")
+    assert(spark.read.parquet(plain).count() == 10L, "no stray write happened")
+  }
+
   test("temp views win over registrations; unregister unbinds; TVFs take names") {
     val dir = freshDir("graft-cat-tvf")
     (0L to 49L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
