@@ -255,6 +255,17 @@ object ProfMutation {
           println(s"  reified read: ${r.getLong(0)} rows")
         }
         println(f"read w/ 2M-position sidecar: ${tRead}%8.1f ms  reified ${tReified}%8.1f ms  (probe overhead ${tRead / tReified}%4.2fx)")
+        // TRICKLE shape — the case the round-18 scan SPLIT exists for:
+        // one file of 640 carries a handful of positions, so the probe
+        // runs on that file alone and the read must cost ~the reified
+        // read, not the bulk-probe read above
+        val s2 = Layout.deleteWhere(spark, dir, Seq(("k", 100000L, 100009L)), mode = "dv")
+        println(s"  trickle dv stats: $s2")
+        val tTrickle = timeMs {
+          val r = Layout.readSnapshot(spark, dir).agg(count(lit(1)), sum($"v")).head()
+          println(s"  trickle dv read: ${r.getLong(0)} rows")
+        }
+        println(f"read w/ trickle sidecar (1 of 640 files probed): ${tTrickle}%8.1f ms  (reified ${tReified}%8.1f ms)")
       } finally spark.conf.unset(Layout.DvMaxPositionsConf)
     }
 

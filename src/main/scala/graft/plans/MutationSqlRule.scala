@@ -301,13 +301,39 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
              case _ => false
            }) =>
       parquetDir(p.child)
-    case r: LogicalRelation => r.relation match {
-      case h: HadoopFsRelation
-          if h.fileFormat.isInstanceOf[ParquetFileFormat] &&
-             h.location.rootPaths.size == 1 && h.bucketSpec.isEmpty =>
-        Some(h.location.rootPaths.head.toString)
-      case _ => None
-    }
+    // the SPLIT deletion-vector read (round 18): clean files plain UNION
+    // DV'd files probed — every branch (modulo the analyzer's alignment
+    // Projects) must resolve to the SAME dir and the probe must be
+    // present somewhere (arbitrary user unions never qualify; DELETE
+    // FROM a real union is not valid SQL anyway)
+    case u: Union
+        if u.exists {
+          case f: Filter => f.condition.exists(_.isInstanceOf[graft.sources.DvDeleted])
+          case _ => false
+        } =>
+      def branch(p: LogicalPlan): Option[String] = p match {
+        case SubqueryAlias(_, c) => branch(c)
+        case pr: Project
+            if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+          branch(pr.child)
+        case f: Filter
+            if f.condition.exists(_.isInstanceOf[graft.sources.DvDeleted]) =>
+          branch(f.child)
+        case r: LogicalRelation => relationDir(r)
+        case _ => None
+      }
+      val dirs = u.children.map(branch)
+      if (dirs.forall(_.isDefined) && dirs.flatten.distinct.size == 1) dirs.head
+      else None
+    case r: LogicalRelation => relationDir(r)
+    case _ => None
+  }
+
+  private def relationDir(r: LogicalRelation): Option[String] = r.relation match {
+    case h: HadoopFsRelation
+        if h.fileFormat.isInstanceOf[ParquetFileFormat] &&
+           h.location.rootPaths.size == 1 && h.bucketSpec.isEmpty =>
+      Some(h.location.rootPaths.head.toString)
     case _ => None
   }
 
@@ -317,12 +343,19 @@ class MutationSqlRule(session: SparkSession) extends Rule[LogicalPlan]
     * itself (INSERT), where a plain path-based parquet relation must
     * keep its stock behavior. */
   private def manifestDir(plan: LogicalPlan): Option[String] = {
+    def manifestRooted(fi: org.apache.spark.sql.execution.datasources.FileIndex): Boolean =
+      fi match {
+        case _: ManifestFileIndex => true
+        case s: SkippingFileIndex => manifestRooted(s.base)
+        case _ => false
+      }
     def rooted(p: LogicalPlan): Boolean = p match {
       case SubqueryAlias(_, child) => rooted(child)
       case f: Filter => rooted(f.child)
       case pr: Project => rooted(pr.child)
+      case u: Union => u.children.forall(rooted)
       case r: LogicalRelation => r.relation match {
-        case h: HadoopFsRelation => h.location.isInstanceOf[ManifestFileIndex]
+        case h: HadoopFsRelation => manifestRooted(h.location)
         case _ => false
       }
       case _ => false

@@ -51,6 +51,10 @@ final class DvLookup(val rootNorm: String,
     s
   }
 
+  /** The table-relative files carrying a vector — the read path SPLITS
+    * its scan on this set so clean files never pay the probe. */
+  def relFiles: Array[String] = files
+
   /** Is physical row `pos` of the file scanned at `path` deleted?
     * Called from generated code — one clone per distinct file per
     * thread (the incoming UTF8String may point into a reused buffer). */

@@ -2347,7 +2347,7 @@ object Layout {
   /** The snapshot minus a file set — a delegating skip over the
     * snapshot's own FileIndex, so only the remaining files open and
     * partition columns stay alive. */
-  private def minusFiles(spark: SparkSession, df: DataFrame, skip: Set[String]): DataFrame = {
+  private[sources] def minusFiles(spark: SparkSession, df: DataFrame, skip: Set[String]): DataFrame = {
     if (skip.isEmpty) return df
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val pruned = df.queryExecution.analyzed.transform {

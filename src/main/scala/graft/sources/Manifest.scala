@@ -154,7 +154,23 @@ object Manifest {
       val deleted = org.apache.spark.sql.GraftBridge.column(DvDeleted(lookup,
         org.apache.spark.sql.GraftBridge.expression(col("_metadata.file_path")),
         org.apache.spark.sql.GraftBridge.expression(col("_metadata.row_index"))))
-      df.filter(not(deleted))
+      // SPLIT the scan on the sidecar's file set: files with no pending
+      // vector read PLAIN — no metadata-column materialization, no
+      // per-row probe — and only the DV'd files pay the filter. At scale
+      // a trickle-mutated table has vectors on a fraction of its files,
+      // so the probe cost tracks the PENDING set, not the table. Two
+      // disjoint delegating skips over the same snapshot index: no extra
+      // I/O, no listing, no shuffle, and any later minusFiles restriction
+      // (the mutation verbs' candidate pruning) applies to both sides.
+      val dvRel = lookup.value.relFiles.toSet
+      val (dvd, clean) = df.inputFiles.map(Layout.normPath)
+        .partition(f => dvRel.contains(dvRelPath(rootNorm, f)))
+      if (dvd.isEmpty) df // defensive: a sidecar only names marked files
+      else {
+        val probed = Layout.minusFiles(spark, df, clean.toSet).filter(not(deleted))
+        if (clean.isEmpty) probed
+        else Layout.minusFiles(spark, df, dvd.toSet).unionByName(probed)
+      }
   }
 
   /** Commit-props key naming the row-identity columns of a keyed

@@ -468,6 +468,32 @@ class DeletionVectorSpec extends AnyFunSuite {
       "probe filters exactly the recorded positions")
   }
 
+  test("the DV read SPLITS on the sidecar's file set: clean files never pay the probe") {
+    val dir = freshDir("graft-dv-split")
+    (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    (400L to 499L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("x"))
+    // positions land in ONE file; the other two files stay clean
+    Layout.deleteWhere(spark, dir, Seq(("x", 10L, 19L)), mode = "dv")
+    val snap = Layout.readSnapshot(spark, dir)
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), s"split plan expected:\n$plan")
+    // exactly ONE probe filter (the DV'd side); the clean side carries
+    // neither the probe nor the metadata materialization
+    assert(plan.sliding("graft_dv_deleted".length).count(_ == "graft_dv_deleted") == 2,
+      s"one Filter spelling the probe once in condition + once in scan bookkeeping:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"split adds no shuffle and no join:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2, s"two disjoint scans (clean + probed), got $scans:\n$plan")
+    assert(snap.as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      ((0L to 9L) ++ (20L to 99L) ++ (200L to 299L) ++ (400L to 499L)),
+      "split serves exactly the live rows")
+    // a box query over the split still prunes and answers exactly
+    assert(snap.filter($"x".between(0L, 25L)).count() == 16L)
+  }
+
   test("stats-only aggregates never answer from the index through a pending DV") {
     val dir = freshDir("graft-dv-aggguard")
     (0L to 99L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.parquet(dir)
