@@ -72,6 +72,18 @@ object Layout {
     * honestly in the verb's [[MutationStats.rewrittenFiles]]. */
   val DvMaterializeThresholdConf = "spark.graft.dv.materializeThreshold"
 
+  /** Minimum CLEAN (vector-free) file count for the deletion-vector
+    * read's scan SPLIT ([[Manifest.applyDv]]): with at least this many
+    * clean files the read plans two disjoint scans — clean files plain,
+    * only DV'd files probed — so the per-row probe cost tracks the
+    * PENDING set, not the table (the 100 TB shape: vectors on 0.1% of
+    * files leave 99.9% of the scan untouched). Below it the single
+    * probe-everywhere scan is cheaper: the split's extra scan node is a
+    * fixed per-job cost that dominates exactly when the clean side is
+    * small enough for the probe to be cheap anyway. */
+  val DvSplitMinCleanFilesConf = "spark.graft.dv.splitMinCleanFiles"
+  val DvSplitMinCleanFilesDefault = 32
+
   /** Bounded OPTIMISTIC RETRY for the mutation verbs (Delta-style): a
     * CAS loser — either conflict window, both of which abort having
     * moved nothing (or healed back to nothing) — RE-PINS the new

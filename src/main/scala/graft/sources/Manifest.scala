@@ -141,7 +141,7 @@ object Manifest {
     * distinct file per thread). Cleared entirely when compaction/reify
     * materializes the deletes. */
   private[graft] def applyDv(spark: SparkSession, dir: String, dvName: Option[String],
-                             df: DataFrame): DataFrame = dvName match {
+                             df: DataFrame, split: Boolean = true): DataFrame = dvName match {
     case None => df
     case Some(name) =>
       import org.apache.spark.sql.functions.{col, not}
@@ -154,6 +154,7 @@ object Manifest {
       val deleted = org.apache.spark.sql.GraftBridge.column(DvDeleted(lookup,
         org.apache.spark.sql.GraftBridge.expression(col("_metadata.file_path")),
         org.apache.spark.sql.GraftBridge.expression(col("_metadata.row_index"))))
+      if (!split) return df.filter(not(deleted))
       // SPLIT the scan on the sidecar's file set: files with no pending
       // vector read PLAIN — no metadata-column materialization, no
       // per-row probe — and only the DV'd files pay the filter. At scale
@@ -162,15 +163,19 @@ object Manifest {
       // disjoint delegating skips over the same snapshot index: no extra
       // I/O, no listing, no shuffle, and any later minusFiles restriction
       // (the mutation verbs' candidate pruning) applies to both sides.
+      // `split = false` callers (the CDC diffs) read BOUNDED changed-file
+      // subsets that are mostly DV'd by construction — there the split's
+      // extra scan node buys nothing, so they keep one-scan plans.
       val dvRel = lookup.value.relFiles.toSet
       val (dvd, clean) = df.inputFiles.map(Layout.normPath)
         .partition(f => dvRel.contains(dvRelPath(rootNorm, f)))
+      val minClean = spark.conf.get(Layout.DvSplitMinCleanFilesConf,
+        Layout.DvSplitMinCleanFilesDefault.toString).toInt
       if (dvd.isEmpty) df // defensive: a sidecar only names marked files
-      else {
-        val probed = Layout.minusFiles(spark, df, clean.toSet).filter(not(deleted))
-        if (clean.isEmpty) probed
-        else Layout.minusFiles(spark, df, dvd.toSet).unionByName(probed)
-      }
+      else if (clean.isEmpty) df.filter(not(deleted))
+      else if (clean.length < minClean) df.filter(not(deleted))
+      else Layout.minusFiles(spark, df, dvd.toSet).unionByName(
+        Layout.minusFiles(spark, df, clean.toSet).filter(not(deleted)))
   }
 
   /** Commit-props key naming the row-identity columns of a keyed
@@ -562,8 +567,10 @@ object Manifest {
     val to = parseRetained(fs, dir, target)
     val from = parseRetained(fs, dir, fromSeq).files.toSet
     // the added files' LIVE content: positions the to-commit's deletion
-    // vector already holds deleted are not "rows added by the range"
-    applyDv(spark, dir, to.dv, planOver(spark, dir, to, to.files.filterNot(from)))
+    // vector already holds deleted are not "rows added by the range".
+    // split=false: this is a BOUNDED changed-file read — one-scan plan
+    applyDv(spark, dir, to.dv, planOver(spark, dir, to, to.files.filterNot(from)),
+      split = false)
   }
 
   /** ROW-level change-data capture between two committed snapshots — the
@@ -647,10 +654,13 @@ object Manifest {
           .select("file").collect().map(_.getString(0)).toSet
       }
     val common = to.files.filter(f => fromSet.contains(f) && dvChanged.contains(f))
+    // split=false on both sides: the diff reads BOUNDED changed-file
+    // subsets (mostly DV'd by construction), where the snapshot read's
+    // scan split would only add plan nodes to an already-small read
     val added = applyDv(spark, dir, to.dv,
-      planOver(spark, dir, to, to.files.filterNot(fromSet) ++ common))
+      planOver(spark, dir, to, to.files.filterNot(fromSet) ++ common), split = false)
     val removed = applyDv(spark, dir, from0.dv,
-      planOver(spark, dir, from, from.files.filterNot(toSet) ++ common))
+      planOver(spark, dir, from, from.files.filterNot(toSet) ++ common), split = false)
     import org.apache.spark.sql.functions.{col, lit, sum, when}
     val ins = added.exceptAll(removed)
     val del = removed.exceptAll(added)

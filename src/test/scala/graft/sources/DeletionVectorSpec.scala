@@ -474,7 +474,9 @@ class DeletionVectorSpec extends AnyFunSuite {
     (200L to 299L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
     (400L to 499L).map(x => (x, x)).toDF("x", "v").coalesce(1).write.mode("append").parquet(dir)
     Layout.writeEnvelopes(spark, dir, Seq("x"))
-    // positions land in ONE file; the other two files stay clean
+    // positions land in ONE file; the other two files stay clean (the
+    // adaptive gate defaults to 32 clean files — force the split here)
+    spark.conf.set(Layout.DvSplitMinCleanFilesConf, "1")
     Layout.deleteWhere(spark, dir, Seq(("x", 10L, 19L)), mode = "dv")
     val snap = Layout.readSnapshot(spark, dir)
     val plan = snap.queryExecution.executedPlan.toString
@@ -492,6 +494,13 @@ class DeletionVectorSpec extends AnyFunSuite {
       "split serves exactly the live rows")
     // a box query over the split still prunes and answers exactly
     assert(snap.filter($"x".between(0L, 25L)).count() == 16L)
+    // below the gate the read keeps the single probe-everywhere scan
+    spark.conf.unset(Layout.DvSplitMinCleanFilesConf)
+    val gated = Layout.readSnapshot(spark, dir)
+    val gatedPlan = gated.queryExecution.executedPlan.toString
+    assert(!gatedPlan.contains("Union"),
+      s"2 clean files < the 32-file gate: one scan expected:\n$gatedPlan")
+    assert(gated.count() == 290L, "gated plan serves the same rows")
   }
 
   test("stats-only aggregates never answer from the index through a pending DV") {
