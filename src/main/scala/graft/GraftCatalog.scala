@@ -53,10 +53,15 @@ object GraftCatalog {
   def unregister(spark: SparkSession, name: String): Unit =
     spark.conf.unset(key(name))
 
-  /** The directory a registered name points at, if any. */
+  /** The directory a registered name points at, if any. Looks up the
+    * canonical (lowercased) key first, then the verbatim spelling — a
+    * pure-SQL registration (`SET spark.graft.table.MixedCase=dir`)
+    * stores its key verbatim, and a name that resolved when registered
+    * must keep resolving when queried. */
   def dirOf(spark: SparkSession, name: String): Option[String] =
     if (!name.matches(NamePattern)) None
     else spark.conf.getOption(key(name))
+      .orElse(spark.conf.getOption(Prefix + name))
 
   /** Resolve a TVF's path-or-name argument: a registered name maps to
     * its directory, anything else (in particular anything with a path

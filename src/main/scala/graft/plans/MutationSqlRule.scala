@@ -683,7 +683,16 @@ object MutationSqlRule {
     * snapshot-visible, the next mutation's stray guard satisfied.
     * `colOrder` non-empty = positional SQL semantics (the query's
     * columns are renamed to the table's, in relation-output order);
-    * empty = BY NAME (append validates the names itself). */
+    * empty = BY NAME (append validates the names itself).
+    *
+    * Store assignment: query columns whose type differs from the
+    * table's are CAST to the table's type under ANSI store-assignment
+    * rules before the append — `INSERT INTO t VALUES (1, 2)` into
+    * BIGINT columns writes longs, exactly as stock INSERT output
+    * resolution would; a cast ANSI store assignment forbids (string →
+    * int would be fine, struct mismatch would not) declines loudly
+    * instead of writing parquet files whose physical types diverge
+    * from the pinned manifest schema. */
   final case class GraftAppendCommand(dir: String, query: LogicalPlan,
                                       colOrder: Seq[String])
       extends LeafRunnableCommand {
@@ -693,8 +702,37 @@ object MutationSqlRule {
     override def run(sparkSession: SparkSession): Seq[Row] = {
       val df = org.apache.spark.sql.GraftBridge.ofRows(sparkSession, query)
       val rows = if (colOrder.isEmpty) df else df.toDF(colOrder: _*)
-      Seq(Row(Layout.append(sparkSession, dir, rows)))
+      Seq(Row(Layout.append(sparkSession, dir,
+        castToTableTypes(sparkSession, dir, rows))))
     }
+  }
+
+  /** ANSI store-assignment cast of `rows` onto the table's column types
+    * (name-matched; names themselves are validated by
+    * [[Layout.append]]). Identity when every dtype already matches. */
+  private def castToTableTypes(spark: SparkSession, dir: String,
+                               rows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val info = graft.sources.Manifest.info(spark, dir)
+    val target = (info.dataSchema.fields ++ info.partSchema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    if (rows.schema.fields.forall(f => target.get(f.name).forall(_ == f.dataType)))
+      return rows
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val cols = rows.schema.fields.map { f =>
+      target.get(f.name) match {
+        case Some(t) if t != f.dataType =>
+          require(Cast.canANSIStoreAssign(f.dataType, t),
+            s"INSERT INTO $dir: column ${f.name} has type ${f.dataType.sql} but the " +
+              s"table pins ${t.sql}, and ANSI store assignment does not allow that " +
+              "cast - cast the value explicitly or evolve the table schema first")
+          org.apache.spark.sql.GraftBridge.column(Cast(
+            org.apache.spark.sql.GraftBridge.expression(rows(s"`${f.name}`")),
+            t, tz, EvalMode.ANSI)).as(f.name)
+        case _ => rows(s"`${f.name}`")
+      }
+    }
+    rows.select(cols.toSeq: _*)
   }
 
   // NOTE: no live-session `ensure` — analyzer resolution rules are fixed

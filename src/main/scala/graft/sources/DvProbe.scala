@@ -176,27 +176,44 @@ case class DvRelPathOf(rootNorm: String, child: Expression)
   * (application, sidecar path, root) and bounded LRU — re-planning a
   * snapshot read (the streaming manifest source replans every batch)
   * reuses the broadcast instead of re-reading and re-shipping the
-  * sidecar. Evicted entries are NOT destroyed: a live plan may still
-  * hold the handle; the driver-side map is released and executors GC
-  * blocks when the broadcast object goes unreachable. */
+  * sidecar. Capacity is `spark.graft.dv.probeCacheSize` (default 4) —
+  * size it to the number of DV-carrying tables a job cycles over (a
+  * multi-table streaming topology re-reading >capacity sidecars pays a
+  * driver-side rebuild per cycle; [[rebuildCount]] counts them for
+  * exactly that diagnosis). Evicted entries are NOT destroyed: a live
+  * plan may still hold the handle; the driver-side map is released and
+  * executors GC blocks when the broadcast object goes unreachable. */
 private[graft] object DvProbe {
 
-  private val MaxCached = 4
+  val ProbeCacheSizeConf = "spark.graft.dv.probeCacheSize"
+  val ProbeCacheSizeDefault = 4
+
+  @volatile private var maxCached = ProbeCacheSizeDefault
   private val cache =
     new java.util.LinkedHashMap[String, Broadcast[DvLookup]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Broadcast[DvLookup]]): Boolean =
-        size() > MaxCached
+        size() > maxCached
     }
+
+  private val rebuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Sidecar loads that MISSED the cache (the first load of each
+    * sidecar included) — steady state for an N-table topology with
+    * `probeCacheSize >= N` is one per distinct sidecar. */
+  def rebuildCount: Long = rebuilds.get()
 
   def lookupFor(spark: SparkSession, dir: String, name: String,
                 rootNorm: String): Broadcast[DvLookup] = {
     val sidecar = Manifest.dvsPath(dir) + "/" + name
     val key = spark.sparkContext.applicationId + ":" + sidecar + ":" + rootNorm
+    maxCached = math.max(1,
+      spark.conf.get(ProbeCacheSizeConf, ProbeCacheSizeDefault.toString).toInt)
     cache.synchronized {
       val hit = cache.get(key)
       if (hit != null) return hit
     }
+    rebuilds.incrementAndGet()
     // bounded by the mutation-side capacity guard (DvMaxPositionsConf):
     // total positions never exceed the cap, so the driver-side build is
     // metadata-scale by construction
@@ -216,7 +233,12 @@ private[graft] object DvProbe {
     val bc = spark.sparkContext.broadcast(new DvLookup(rootNorm, files, positions))
     cache.synchronized {
       val raced = cache.get(key)
-      if (raced != null) raced else { cache.put(key, bc); bc }
+      if (raced != null) {
+        // the loser's broadcast was never handed to any plan — destroy
+        // it, or its driver + executor blocks leak for the app lifetime
+        bc.destroy()
+        raced
+      } else { cache.put(key, bc); bc }
     }
   }
 }

@@ -1019,9 +1019,14 @@ object Layout {
 
   /** The [[DvMaterializeThresholdConf]] pass — a targeted
     * [[reifyDeletes]] of exactly the files whose pending deleted
-    * fraction exceeds the threshold. Row counts come from parquet
-    * FOOTERS on the driver (metadata-only, bounded by the sidecar's
-    * file list — never a scan). Returns the number of files rewritten. */
+    * fraction exceeds the threshold. Per-file row counts come from the
+    * `.envelopes` index when one exists (its `rows` column is exact and
+    * already maintained incrementally — one metadata-scale read covers
+    * the whole pending set); only UNINDEXED files fall back to parquet
+    * footer reads, and those run in PARALLEL — a wide pending set on
+    * object storage must never serialize thousands of ~50 ms footer
+    * opens into the tail of every mutation. Returns the number of
+    * files rewritten. */
   private def autoMaterializeDv(spark: SparkSession, dir: String): Long = {
     val thr = spark.conf.get(DvMaterializeThresholdConf, "0").toDouble
     if (thr <= 0d) return 0L
@@ -1038,29 +1043,64 @@ object Layout {
         val perFile = spark.read.parquet(Manifest.dvsPath(dir) + "/" + name)
           .select(col("file"), size(col("positions")).cast("long").as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1))
-        val over = perFile.filter { case (rel, n) =>
+        // files are immutable (UUID-named, moved in whole), so an
+        // indexed row count can never be stale for a live file
+        val indexedRows: Map[String, Long] = {
+          val envPath = new org.apache.hadoop.fs.Path(envelopesPath(dir))
+          if (!fs.exists(envPath)) Map.empty
+          else spark.read.parquet(envelopesPath(dir))
+            .groupBy(col("file")).agg(min(col("rows")).as("rows"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        def footerRows(rel: String): Long = {
           val p = new org.apache.hadoop.fs.Path(qualRootStr + "/" + rel)
-          fs.exists(p) && {
+          if (!fs.exists(p)) -1L
+          else {
             val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            val rows = try r.getRecordCount finally r.close()
-            rows > 0L && n.toDouble / rows > thr
+            try r.getRecordCount finally r.close()
           }
+        }
+        val unknown = perFile.collect {
+          case (rel, _) if !indexedRows.contains(qualRootStr + "/" + rel) => rel
+        }
+        val footered: Map[String, Long] =
+          if (unknown.isEmpty) Map.empty
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(16, unknown.length))
+            try unknown.map(rel =>
+              rel -> pool.submit(new java.util.concurrent.Callable[Long] {
+                override def call(): Long = footerRows(rel)
+              })).map { case (rel, f) => rel -> f.get() }.toMap
+            finally pool.shutdown()
+          }
+        val over = perFile.filter { case (rel, n) =>
+          val rows = indexedRows.getOrElse(qualRootStr + "/" + rel, footered(rel))
+          rows > 0L && n.toDouble / rows > thr
         }.map(_._1)
         if (over.isEmpty) 0L
         else {
           val overAbs = over.map(rel => qualRootStr + "/" + rel).toSet
           val allAbs = info.files.map(rel => qualRootStr + "/" + rel).toSet
           val keepAs = allAbs -- overAbs
-          // this pass runs AFTER the verb's own commit, so a conflict
-          // here must never bubble into the verb-level retry (re-running
-          // the whole verb would double-apply it): lose the race quietly
-          // and leave the backlog — the threshold simply re-fires on the
-          // next mutation
+          // this pass runs AFTER the verb's own commit, so NO failure
+          // here may bubble into the verb-level retry (re-running the
+          // whole verb would double-apply a non-idempotent mutation):
+          // conflicts, stray-file guards, footer/FS errors — all lose
+          // quietly and leave the backlog; the threshold simply
+          // re-fires on the next mutation
           try mutateFiles(spark, dir, classify = _ => (keepAs, Set.empty),
             rewrite = identity, extra = None, pinned = Some(info),
             preclassified = Some((keepAs, Set.empty[String]))).rewrittenFiles
-          catch { case _: java.util.ConcurrentModificationException => 0L }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[graft] autoMaterializeDv on $dir: follow-up rewrite failed " +
+                  s"(${e.getClass.getSimpleName}: ${e.getMessage}); the verb's own " +
+                  "commit stands and the threshold re-fires on the next mutation")
+              0L
+          }
         }
     }
   }
