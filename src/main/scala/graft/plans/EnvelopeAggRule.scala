@@ -2,10 +2,11 @@ package graft.plans
 
 import scala.util.control.NonFatal
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -119,6 +120,8 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
     // whole-file include/exclude, decided over the index)
     var aliasEdge = Map.empty[ExprId, ExprId]
     val conjuncts = Seq.newBuilder[Expression]
+    var sawDataFilter = false
+    var dvBc: Broadcast[graft.sources.DvLookup] = null
     var rel: LogicalRelation = null
     var node = agg.child
     var depth = 0
@@ -136,8 +139,26 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
           child
         case f: Filter if f.condition.deterministic &&
             !f.condition.exists(_.isInstanceOf[PlanExpression[_]]) =>
-          conjuncts ++= splitConjunctivePredicates(f.condition)
+          // peel the deletion-vector read probe ([[Manifest.applyDv]]'s
+          // single-scan shape) out of the conjunction — the optimizer
+          // may have combined it with pushed-down data filters — and
+          // record the broadcast sidecar: count(*) stays
+          // index-answerable as physical rows minus the sidecar's
+          // pending positions (gated below)
+          splitConjunctivePredicates(f.condition).foreach {
+            case Not(d: graft.sources.DvDeleted) =>
+              if (dvBc != null && (dvBc ne d.lookup)) return None
+              dvBc = d.lookup
+            case other =>
+              conjuncts += other
+              sawDataFilter = true
+          }
           f.child
+        // applyDv's SPLIT shape: clean files scanned plain unioned with
+        // DV'd files scanned through the probe — count(*)-only, handled
+        // whole (a data filter above the union cannot bind names through
+        // it, so that shape declines)
+        case u: Union if !sawDataFilter => return rewriteDvUnionCount(agg, u)
         case _ => return None
       }
     }
@@ -221,6 +242,21 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
                            _: RwSum | _: RwAvg => true
                       case _ => false }) return None // nothing to save
 
+    // ---- deletion-vector gate: with a DV present only count(*) (plus
+    // literals and grouping columns) stays index-answerable — visible
+    // rows per file = physical rows − pending positions, both known at
+    // metadata scale. EVERYTHING ELSE DECLINES: a deleted row can hold
+    // the extremum (min/max), contribute to sum/avg, or carry the nulls
+    // of count(c) — none reconstructible from the sidecar. Grouping and
+    // per-file-constant filters stay sound because a file's rows —
+    // deleted ones included — share the constant, so whole-file
+    // include/exclude and group assignment carry the file's pending
+    // count with it.
+    if (dvBc != null && !rws.forall {
+      case RwCount | _: RwGroup | _: RwLit => true
+      case _ => false
+    }) return None
+
     // ---- index gates: existence, coverage, exact file-set match
     val envDir = Layout.envelopesPath(dir)
     val envPath = new org.apache.hadoop.fs.Path(envDir)
@@ -297,6 +333,21 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
     val current = gateLocation.inputFiles.map(Layout.normPath).toSet
     if (meta.files != current) return None
 
+    // DV soundness: the sidecar must speak THIS table (same root) and
+    // name only files of the scanned snapshot — then every pending
+    // position subtracts a physical row some index row counted, exactly
+    // once (positions are distinct per file and < the file's row count
+    // by construction on the mutation side)
+    val dvPending: Map[String, Long] =
+      if (dvBc == null) Map.empty
+      else {
+        val lk = dvBc.value
+        if (Layout.normPath(dir) != lk.rootNorm) return None
+        val m = lk.pendingByFile.map { case (rf, n) => (lk.rootNorm + "/" + rf) -> n }.toMap
+        if (!m.keySet.subsetOf(current)) return None
+        m
+      }
+
     // ---- soundness probe: a mixed-generation index (rows appended with
     // fewer indexed columns — parquet reads the missing stats as NULL)
     // would silently drop those files' contributions; require every
@@ -342,9 +393,19 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
     }
     // duplicate rows for a file (replayed appendEnvelopes) carry identical
     // envelopes — min() collapses them to the single true value
-    val perFile = env.groupBy(col("file"))
+    val perFileRaw = env.groupBy(col("file"))
       .agg(min(col(needed.head)).as(needed.head),
         needed.tail.map(c => min(col(c)).as(c)): _*)
+    // pending deleted positions per file (0 for clean files) — the map
+    // is metadata-scale (bounded by the sidecar capacity cap) and rides
+    // the closure of a one-column UDF over the index frame
+    val perFile =
+      if (dvBc == null) perFileRaw
+      else {
+        val m = dvPending
+        perFileRaw.withColumn("__dv_pending",
+          udf((f: String) => m.getOrElse(f, 0L)).apply(col("file")))
+      }
     // per-file-uniform filter, evaluated BY SPARK over the index rows
     // with each column reference bound to the file's constant (min_c)
     val kept =
@@ -354,8 +415,10 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
           GraftBridge.expression(perFile(s"min_${baseName(ar.exprId).get}"))
       }).reduce(And)))
     val groupCols = groupNames.map(g => col(s"min_$g"))
+    val visibleRows: Column =
+      if (dvBc == null) col("rows") else col("rows") - col("__dv_pending")
     val outCols: Seq[Column] = rws.collect {
-      case RwCount       => coalesce(sum(col("rows")), lit(0L))
+      case RwCount       => coalesce(sum(visibleRows), lit(0L))
       case RwCountCol(c) => coalesce(sum(col("rows") - col(s"nulls_$c")), lit(0L))
       case RwMin(c)      => min(col(s"min_$c"))
       case RwMax(c)      => max(col(s"max_$c"))
@@ -394,6 +457,121 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
     }
     logInfo(s"graft envelope agg: $dir aggregate answered from the .envelopes index " +
       s"(${meta.files.size} files, groups=${groupNames.mkString(",")})")
+    Some(Project(projList, newPlan))
+  }
+
+  /** `count(*)` over [[graft.sources.Manifest.applyDv]]'s SPLIT plan —
+    * `Union(clean files scanned plain, DV'd files scanned through the
+    * probe filter)` — answered from the index: the two branches
+    * PARTITION the snapshot's file set (each side a delegating skip
+    * over the same listing), so visible rows = Σ physical rows over the
+    * combined set − Σ pending sidecar positions. Count-only by
+    * construction: grouping or data filters cannot bind names through
+    * the Union here, and every non-count aggregate needs the deleted
+    * rows' values. Gated exactly like the single-scan path: index
+    * file-set equality over the COMBINED branches, sidecar root match,
+    * sidecar files ⊆ scanned files. */
+  private def rewriteDvUnionCount(agg: Aggregate, u: Union): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.nonEmpty) return None
+    if (u.children.size != 2) return None
+    def nonNullLit(e: Expression): Boolean = e match {
+      case l: Literal => l.value != null
+      case _ => false
+    }
+    val rws: Seq[Rw] = agg.aggregateExpressions.map {
+      case a @ Alias(child, _) => child match {
+        case l: Literal => RwLit(a)
+        case AggregateExpression(Count(cs), _, false, None, _)
+            if cs.isEmpty || cs.forall(nonNullLit) => RwCount
+        case _ => return None
+      }
+      case _ => return None
+    }
+    if (!rws.contains(RwCount)) return None
+
+    // each branch: deterministic Projects over (at most) one DV probe
+    // filter over a parquet relation
+    def branch(p0: LogicalPlan)
+        : Option[(LogicalRelation, Option[Broadcast[graft.sources.DvLookup]])] = {
+      var dv: Broadcast[graft.sources.DvLookup] = null
+      var node = p0
+      var depth = 0
+      while (depth <= 8) {
+        node match {
+          case r: LogicalRelation => return Some((r, Option(dv)))
+          case Project(pl, c) if pl.forall(_.deterministic) => node = c
+          case Filter(Not(d: graft.sources.DvDeleted), c) if dv == null =>
+            dv = d.lookup; node = c
+          case _ => return None
+        }
+        depth += 1
+      }
+      None
+    }
+    val (relA, dvA) = branch(u.children.head).getOrElse(return None)
+    val (relB, dvB) = branch(u.children(1)).getOrElse(return None)
+    val dvBc = (dvA, dvB) match {
+      case (Some(d), None) => d
+      case (None, Some(d)) => d
+      case _ => return None // both-or-neither probed is not the split shape
+    }
+    def fsrOf(r: LogicalRelation): Option[HadoopFsRelation] = r.relation match {
+      case h: HadoopFsRelation if !r.isStreaming && h.bucketSpec.isEmpty &&
+          h.fileFormat.isInstanceOf[ParquetFileFormat] &&
+          h.location.rootPaths.size == 1 => Some(h)
+      case _ => None
+    }
+    val fsrA = fsrOf(relA).getOrElse(return None)
+    val fsrB = fsrOf(relB).getOrElse(return None)
+    val dir = fsrA.location.rootPaths.head.toString
+    if (Layout.normPath(fsrB.location.rootPaths.head.toString) != Layout.normPath(dir))
+      return None
+    if (dir.endsWith(".envelopes")) return None
+
+    val envDir = Layout.envelopesPath(dir)
+    val envPath = new org.apache.hadoop.fs.Path(envDir)
+    val fs = envPath.getFileSystem(session.sparkContext.hadoopConfiguration)
+    if (!fs.exists(envPath)) return None
+    val sig = fs.listStatus(envPath).filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+    val meta = indexMeta(session, dir, envDir, sig)
+    if (!meta.schema.fields.exists(f => f.name == "rows" && f.dataType == LongType))
+      return None
+
+    // the branches' listings are taken AS SKIPPED (not unwrapped to the
+    // base): together they must reproduce the snapshot's exact file set
+    val current = (fsrA.location.inputFiles ++ fsrB.location.inputFiles)
+      .map(Layout.normPath).toSet
+    if (meta.files != current) return None
+    val lk = dvBc.value
+    if (Layout.normPath(dir) != lk.rootNorm) return None
+    val pending = lk.pendingByFile.map { case (rf, n) => (lk.rootNorm + "/" + rf) -> n }.toMap
+    if (!pending.keySet.subsetOf(current)) return None
+
+    val env = GraftBridge.ofRows(session, meta.plan)
+    val perFile = env.groupBy(col("file")).agg(min(col("rows")).as("rows"))
+      .withColumn("__dv_pending",
+        udf((f: String) => pending.getOrElse(f, 0L)).apply(col("file")))
+    val outCols: Seq[Column] = rws.collect {
+      case RwCount => coalesce(sum(col("rows") - col("__dv_pending")), lit(0L))
+    }
+    val replaced = perFile.agg(outCols.head, outCols.tail: _*)
+    val newPlan = replaced.queryExecution.analyzed
+    val newOut = newPlan.output
+    var aggIdx = -1
+    val projList: Seq[NamedExpression] = agg.aggregateExpressions.zip(rws).map {
+      case (_, RwLit(ne)) => ne
+      case (orig, _) =>
+        aggIdx += 1
+        val n = newOut(aggIdx)
+        if (n.dataType != orig.dataType || (n.nullable && !orig.toAttribute.nullable))
+          return None
+        Alias(n, orig.name)(exprId = orig.exprId,
+          qualifier = orig.toAttribute.qualifier)
+    }
+    logInfo(s"graft envelope agg: $dir DV-split count(*) answered from the " +
+      s".envelopes index (${meta.files.size} files, ${pending.size} DV'd)")
     Some(Project(projList, newPlan))
   }
 }

@@ -904,6 +904,32 @@ object LayoutQueries {
     }
   }
 
+  /** [[zEventsDelDv]] with the `.envelopes` index present and the
+    * deletion vector GUARANTEED live (round 19): the box delete
+    * drop-wholes interior files (index refreshed incrementally) and
+    * leaves positions on the boundary files — the fixture asserts the
+    * sidecar survived, so q200's metadata-only count provably exercises
+    * the DV-aware path (physical rows − pending positions), not the
+    * plain index count. */
+  private def zEventsDelDvIdx(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_del_dv_idx"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_del_dv_idx").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      Layout.clusterWrite(
+        raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts"),
+        Seq("user_id", "ts_us"), 16, out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us"))
+      Layout.deleteWhere(spark, out,
+        Seq(("user_id", 3L, 6L), ("ts_us", EvTsLo, EvTsHi - 1)), mode = "dv")
+      require(Manifest.info(spark, out).dv.isDefined,
+        "zEventsDelDvIdx: the dv delete left no live sidecar - the fixture " +
+          "no longer exercises the DV-aware metadata count")
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-18 build (the merge-on-read GENERAL-merge fixture, the
     * auto-materialize-threshold delete, and the catalog-named copy),
     * its own bench entry so q196+ time serving only. */
@@ -916,6 +942,18 @@ object LayoutQueries {
   def invalidateZorder18(dir: String): Unit = lock.synchronized {
     cache = cache.filterNot { case (k, _) =>
       R18Tables.contains(k.stripPrefix(s"$dir|"))
+    }
+  }
+
+  /** Round-19 build (the indexed live-DV fixture), its own bench entry
+    * so q200+ time serving only. */
+  def buildZorder19(spark: SparkSession, dir: String): Unit = {
+    zEventsDelDvIdx(spark, dir); ()
+  }
+  private val R19Tables = Set("events_del_dv_idx")
+  def invalidateZorder19(dir: String): Unit = lock.synchronized {
+    cache = cache.filterNot { case (k, _) =>
+      R19Tables.contains(k.stripPrefix(s"$dir|"))
     }
   }
 
@@ -1885,7 +1923,34 @@ object LayoutQueries {
         countDistinct($"user_id").as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q200
+  /** `count(*)` over a LIVE-DV indexed table answered ENTIRELY from
+    * metadata (round 19): visible rows = the envelope index's physical
+    * row counts − the sidecar's pending positions, both metadata-scale
+    * — the [[graft.plans.EnvelopeAggRule]] DV extension. The query
+    * REQUIRES the metadata-only plan (no scan outside `.envelopes`
+    * survives optimization), so a regression back to a data scan fails
+    * CORRECTNESS, not just bench; the oracle pins the subtraction is
+    * exactly the deleted box. */
+  def q200DvCountMeta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    graft.plans.EnvelopeAggRule.ensure(spark)
+    val out = zEventsDelDvIdx(spark, dir)
+    val df = Layout.readSnapshot(spark, out).agg(count(lit(1)).as("n"))
+    val dataScans = df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation
+          if !r.relation.isInstanceOf[HadoopFsRelation] ||
+            !r.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+              .forall(_.toString.endsWith(".envelopes")) => r
+    }
+    require(dataScans.isEmpty,
+      s"q200: expected a metadata-only DV count plan, found data scans in:\n" +
+        df.queryExecution.optimizedPlan)
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_dv_count_meta"       -> q200DvCountMeta _,
     "q199_sql_insert_box"      -> q199SqlInsertBox _,
     "q196_dv_general_merge"    -> q196DvGeneralMerge _,
     "q197_dv_threshold_box"    -> q197DvThresholdBox _,
@@ -2036,6 +2101,10 @@ object LayoutQueries {
          |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
          |GROUP BY event_type""".stripMargin,
     "q198_named_table_box"        -> EventsBoxOracle,
+    "q200_dv_count_meta" ->
+      s"""SELECT count(*) AS n FROM events
+         |WHERE NOT (user_id BETWEEN 3 AND 6
+         |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})""".stripMargin,
     "q199_sql_insert_box" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,

@@ -55,6 +55,23 @@ final class DvLookup(val rootNorm: String,
     * its scan on this set so clean files never pay the probe. */
   def relFiles: Array[String] = files
 
+  /** (table-relative file, pending deleted positions) pairs — positions
+    * are DISTINCT per file by construction (the mutation side writes
+    * `collect_set` and merges with `array_union`), so the count is the
+    * exact number of logically-deleted rows in that file. This is what
+    * lets [[graft.plans.EnvelopeAggRule]] answer `count(*)` on a
+    * DV-carrying table from metadata: visible rows = physical rows
+    * (envelope index) − pending positions (here). */
+  def pendingByFile: Array[(String, Long)] = {
+    val out = new Array[(String, Long)](files.length)
+    var i = 0
+    while (i < files.length) {
+      out(i) = (files(i), positions(i).length.toLong)
+      i += 1
+    }
+    out
+  }
+
   /** Is physical row `pos` of the file scanned at `path` deleted?
     * Called from generated code — one clone per distinct file per
     * thread (the incoming UTF8String may point into a reused buffer). */
