@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest-snapshot reads (before MutationSqlRule, so DML over a
     // name lowers onto the verbs like DML over a path)
     e.injectResolutionRule(session => new graft.plans.GraftCatalogRule(session))
+    // SQL DDL for the named-table surface: CREATE TABLE ... USING graft
+    // LOCATION / CTAS / DROP TABLE rewrite to RunnableCommands at PARSE
+    // time (the Delta pattern — 'graft' is not a DataSource class, so
+    // the statements must never reach session-catalog provider lookup)
+    e.injectParser((session, parser) =>
+      new graft.plans.GraftSqlParser(session, parser))
     // SQL mutation surface: DELETE FROM / MERGE INTO over a path-based
     // parquet table lower onto the file-grain verbs (deleteWhere/upsert)
     e.injectResolutionRule(session => new graft.plans.MutationSqlRule(session))

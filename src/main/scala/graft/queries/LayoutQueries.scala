@@ -1949,7 +1949,50 @@ object LayoutQueries {
     df
   }
 
+  // ---------------------------------------------------------------- q201
+  /** The events box through a name created by SQL DDL (round 19):
+    * `CREATE TABLE … USING graft LOCATION` is intercepted at PARSE time
+    * (the provider is not a DataSource class) and lowers onto a
+    * registering RunnableCommand; the SELECT then resolves the name to
+    * a fresh manifest snapshot. Layout-invariant — same oracle as the
+    * plain box. */
+  def q201DdlNamedBox(spark: SparkSession, dir: String): DataFrame = {
+    val out = zEventsNamed(spark, dir)
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS graft_events_ddl19 USING graft LOCATION '$out'")
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_events_ddl19
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q202
+  /** q155's time travel in STANDARD SQL over a NAME (round 19): `FROM
+    * <name> VERSION AS OF <seq>` — the catalog rule resolves the name
+    * and plans over exactly the first commit's retained file set, so
+    * the query sees even user_ids only (rows appended by commit 2
+    * invisible). Same oracle as q155. */
+  def q202SqlVersionAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val path = zEventsIncr(spark, dir)
+    graft.GraftCatalog.register(spark, "graft_events_incr19", path)
+    val firstSeq = Manifest.latestSeq(spark, path).get - 1
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM graft_events_incr19 VERSION AS OF $firstSeq
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_ddl_named_box"       -> q201DdlNamedBox _,
+    "q202_sql_version_as_of"   -> q202SqlVersionAsOf _,
     "q200_dv_count_meta"       -> q200DvCountMeta _,
     "q199_sql_insert_box"      -> q199SqlInsertBox _,
     "q196_dv_general_merge"    -> q196DvGeneralMerge _,
@@ -2101,6 +2144,16 @@ object LayoutQueries {
          |           AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1})
          |GROUP BY event_type""".stripMargin,
     "q198_named_table_box"        -> EventsBoxOracle,
+    "q201_ddl_named_box"          -> EventsBoxOracle,
+    "q202_sql_version_as_of" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND user_id % 2 = 0
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
     "q200_dv_count_meta" ->
       s"""SELECT count(*) AS n FROM events
          |WHERE NOT (user_id BETWEEN 3 AND 6

@@ -229,6 +229,35 @@ object Manifest {
   private[graft] def isManifested(spark: SparkSession, dir: String): Boolean =
     fsOf(spark, new Path(dir)).exists(new Path(manifestsPath(dir)))
 
+  /** The LATEST committed seq as of wall-clock `tsMillis` — commit time
+    * is the manifest file's modification time, set by the atomic
+    * commit rename (monotone in seq: commits serialize through the
+    * CAS). `TIMESTAMP AS OF` resolution for retained history; a
+    * timestamp OLDER than every retained commit fails naming the
+    * earliest retained commit and both retention knobs — the same
+    * retention contract as an explicitly vacuumed seq. */
+  def seqAtTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val md = new Path(manifestsPath(dir))
+    val fs = fsOf(spark, md)
+    val committed: Seq[(Long, Long)] =
+      if (!fs.exists(md)) Nil
+      else fs.listStatus(md).toSeq.filter(_.isFile)
+        .flatMap(s => seqOf(s.getPath.getName).map(_ -> s.getModificationTime))
+    require(committed.nonEmpty,
+      s"Manifest: $dir has no committed manifest - not a snapshot-maintained table")
+    val at = committed.filter(_._2 <= tsMillis)
+    if (at.isEmpty) {
+      val (eSeq, eMs) = committed.minBy(_._1)
+      throw new IllegalArgumentException(
+        s"Manifest: no commit of $dir at or before ${new java.sql.Timestamp(tsMillis)} " +
+          s"is retained - the earliest retained commit is m$eSeq at " +
+          s"${new java.sql.Timestamp(eMs)}. Raise $KeepConf (generation count) or " +
+          s"$RetainMsConf (time floor) before committing if readers time-travel " +
+          "this far back.")
+    }
+    at.maxBy(_._1)._1
+  }
+
   /** [[listData]] for callers outside this object — the mutation verbs'
     * stray-file guard compares this against the committed snapshot. */
   private[sources] def listLive(spark: SparkSession, dir: String): Seq[String] = {

@@ -59,14 +59,27 @@ class ManifestSourceProvider extends StreamSourceProvider with DataSourceRegiste
 
   override def shortName(): String = "graft-manifest"
 
-  private def pathOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-manifest source requires .option(\"path\", <table dir>)"))
+  /** The table dir: a path, or a [[graft.GraftCatalog]]-registered NAME
+    * (`.load("docs")` / `.option("path", "docs")`) — resolved HERE, at
+    * stream construction, so the binding is fixed for the run (a
+    * re-registration mid-stream never re-points a running query). */
+  private def pathOf(sqlContext: SQLContext,
+                     parameters: Map[String, String]): String = {
+    val raw = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest source requires .option(\"path\", <table dir or " +
+        "registered name>)"))
+    if (raw.contains('/')) raw
+    else graft.GraftCatalog.dirOf(sqlContext.sparkSession, raw).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-manifest source: '$raw' is neither a path nor a registered " +
+          "graft table name (GraftCatalog.register, CREATE TABLE ... USING " +
+          "graft, or a spark.graft.catalog.registry entry)"))
+  }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
-    val m = Manifest.info(sqlContext.sparkSession, pathOf(parameters))
+    val m = Manifest.info(sqlContext.sparkSession, pathOf(sqlContext, parameters))
     val base = StructType(m.dataSchema.fields ++ m.partSchema.fields)
     val s =
       if (parameters.getOrElse("cdc", "files") == "rows")
@@ -79,7 +92,7 @@ class ManifestSourceProvider extends StreamSourceProvider with DataSourceRegiste
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new ManifestSource(sqlContext.sparkSession, pathOf(parameters),
+    new ManifestSource(sqlContext.sparkSession, pathOf(sqlContext, parameters),
       parameters.getOrElse("startingSeq", "latest"),
       parameters.getOrElse("onRewrite", "redeliver"),
       parameters.getOrElse("onSchemaDrift", "warn"),

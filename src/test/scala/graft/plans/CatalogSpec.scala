@@ -139,4 +139,151 @@ class CatalogSpec extends AnyFunSuite {
     val ex = intercept[Exception](spark.table("cat_tvf").collect())
     assert(ex.getMessage.contains("cat_tvf"), ex.getMessage)
   }
+
+  private def withRegistry[T](body: String => T): T = {
+    val reg = Files.createTempDirectory("graft-cat-reg").resolve("registry").toString
+    spark.conf.set(GraftCatalog.RegistryConf, reg)
+    try body(reg)
+    finally spark.conf.unset(GraftCatalog.RegistryConf)
+  }
+
+  test("SQL DDL: CREATE/DROP TABLE USING graft; a FRESH session resolves via the registry") {
+    withRegistry { reg =>
+      val dir = freshDir("graft-cat-ddl")
+      (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+      spark.sql(s"CREATE TABLE cat_ddl USING graft LOCATION '$dir'")
+      assert(spark.table("cat_ddl").count() == 100L)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.cat_ddl").head().getLong(0) == 100L,
+        "the graft.-qualified form reads too")
+      // duplicate CREATE errors; IF NOT EXISTS is a no-op
+      val dup = intercept[Exception](
+        spark.sql(s"CREATE TABLE cat_ddl USING graft LOCATION '$dir'"))
+      assert(dup.getMessage.contains("already registered"), dup.getMessage)
+      spark.sql(s"CREATE TABLE IF NOT EXISTS cat_ddl USING graft LOCATION '$dir'")
+      // a column list declines loudly (schema is the manifest's)
+      val cols = intercept[Exception](
+        spark.sql(s"CREATE TABLE cat_ddl_c (k BIGINT) USING graft LOCATION '$dir'"))
+      assert(cols.getMessage.contains("column list"), cols.getMessage)
+      // a FRESH session configured with the same registry resolves the
+      // name registered by THIS one — the persistence story
+      val s2 = spark.newSession()
+      s2.conf.set(GraftCatalog.RegistryConf, reg)
+      assert(s2.table("cat_ddl").count() == 100L, "fresh session resolves via registry")
+      assert(s2.sql("SELECT count(*) AS n FROM cat_ddl").head().getLong(0) == 100L)
+      // INSERT through the DDL-created name applies ANSI store-assignment
+      // casts: integer literals land in the BIGINT columns as longs
+      spark.sql("INSERT INTO cat_ddl VALUES (1000, 1)")
+      assert(spark.table("cat_ddl").count() == 101L)
+      assert(spark.table("cat_ddl").schema.fields.forall(
+        _.dataType == org.apache.spark.sql.types.LongType))
+      assert(spark.table("cat_ddl").where($"k" === 1000L).head().getLong(1) == 1L)
+      // a cast ANSI store assignment forbids declines loudly
+      val bad = intercept[Exception](
+        spark.sql("INSERT INTO cat_ddl VALUES (named_struct('a', 1), 2)"))
+      assert(bad.getMessage.contains("store assignment") ||
+        bad.getMessage.contains("cannot be cast"), bad.getMessage)
+      // PURGE declines loudly (external semantics: data never deleted)
+      val purge = intercept[Exception](spark.sql("DROP TABLE cat_ddl PURGE"))
+      assert(purge.getMessage.contains("PURGE"), purge.getMessage)
+      // DROP unregisters everywhere (registry included), data untouched
+      spark.sql("DROP TABLE cat_ddl")
+      assert(GraftCatalog.dirOf(spark, "cat_ddl").isEmpty)
+      val s3 = spark.newSession()
+      s3.conf.set(GraftCatalog.RegistryConf, reg)
+      val gone = intercept[Exception](s3.table("cat_ddl").collect())
+      assert(gone.getMessage.contains("cat_ddl"), gone.getMessage)
+      assert(spark.read.parquet(dir).count() == 101L, "DROP never deletes data")
+      // DROP of something never registered keeps Spark's stock error
+      val stock = intercept[Exception](spark.sql("DROP TABLE cat_never_was"))
+      assert(stock.getMessage.contains("cat_never_was"), stock.getMessage)
+      spark.sql("DROP TABLE IF EXISTS cat_never_was") // stock no-op path intact
+    }
+  }
+
+  test("SQL DDL: CTAS writes, commits the first manifest, registers; occupied LOCATION declines") {
+    withRegistry { _ =>
+      val dir = freshDir("graft-cat-ctas")
+      spark.sql(s"CREATE TABLE cat_ctas USING graft LOCATION '$dir' " +
+        "AS SELECT id AS k, id * 2 AS v FROM range(50)")
+      assert(spark.table("cat_ctas").count() == 50L)
+      assert(Manifest.latestSeq(spark, dir).nonEmpty, "CTAS commits the first manifest")
+      // the snapshot is mutation-ready right away
+      spark.sql("DELETE FROM cat_ctas WHERE k BETWEEN 0 AND 9").collect()
+      assert(spark.table("cat_ctas").count() == 40L)
+      // a second CTAS into the SAME occupied location declines loudly
+      val occ = intercept[Exception](
+        spark.sql(s"CREATE TABLE cat_ctas2 USING graft LOCATION '$dir' " +
+          "AS SELECT 1 AS one"))
+      assert(occ.getMessage.contains("already"), occ.getMessage)
+      spark.sql("DROP TABLE cat_ctas")
+    }
+  }
+
+  test("time travel over names: VERSION AS OF, TIMESTAMP AS OF, the asOf reader option, retention errors") {
+    val dir = freshDir("graft-cat-tt")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    GraftCatalog.register(spark, "cat_tt", dir)
+    val seq0 = Manifest.latestSeq(spark, dir).get
+    spark.sql("INSERT INTO cat_tt SELECT k + 1000, v FROM cat_tt").collect()
+    assert(spark.table("cat_tt").count() == 200L)
+    // VERSION AS OF the first commit sees 100 rows
+    assert(spark.sql(s"SELECT count(*) AS n FROM cat_tt VERSION AS OF $seq0")
+      .head().getLong(0) == 100L)
+    // the reader-option spelling
+    assert(spark.read.option("asOf", seq0).table("cat_tt").count() == 100L)
+    // TIMESTAMP AS OF now = the latest snapshot
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM cat_tt TIMESTAMP AS OF current_timestamp()")
+      .head().getLong(0) == 200L)
+    // a timestamp before every retained commit fails naming the knobs
+    val early = intercept[Exception](spark.sql(
+      "SELECT * FROM cat_tt TIMESTAMP AS OF '1999-01-01'").collect())
+    assert(early.getMessage.contains("earliest retained commit"), early.getMessage)
+    // a VACUUMED seq fails naming the retained range and both knobs
+    spark.conf.set("spark.graft.manifest.keep", "2")
+    try {
+      spark.sql("INSERT INTO cat_tt VALUES (5000, 5000)").collect()
+      spark.sql("INSERT INTO cat_tt VALUES (5001, 5001)").collect()
+      val vac = intercept[Exception](spark.sql(
+        s"SELECT * FROM cat_tt VERSION AS OF $seq0").collect())
+      assert(vac.getMessage.contains("not retained") &&
+        vac.getMessage.contains("spark.graft.manifest"), vac.getMessage)
+    } finally spark.conf.unset("spark.graft.manifest.keep")
+    // garbage version strings fail with the graft-aware message
+    val nan = intercept[Exception](spark.sql(
+      "SELECT * FROM cat_tt VERSION AS OF 'abc'").collect())
+    assert(nan.getMessage.contains("manifest seq"), nan.getMessage)
+  }
+
+  test("readStream.table(name) routes to the graft-manifest source, not a batch snapshot") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import scala.jdk.CollectionConverters._
+    val dir = freshDir("graft-cat-stream")
+    val cp = Files.createTempDirectory("graft-cat-stream-cp").toString
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+      (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+      Manifest.write(spark, dir)
+      GraftCatalog.register(spark, "cat_stream", dir)
+      val got = new ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.table("cat_stream").writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select($"k").collect().foreach(r => got.add(r.getLong(0)))
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(got.size == 100, s"earliest = the full snapshot as batch 0: ${got.size}")
+        // a committed append flows as the next batch (it IS a stream)
+        Layout.append(spark, dir, Seq((1000L, 1L)).toDF("k", "v"))
+        q.processAllAvailable()
+        assert(got.asScala.toSeq.sorted.lastOption.contains(1000L) &&
+          got.size == 101, s"delta after commit: ${got.size}")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset(Manifest.KeepConf)
+      GraftCatalog.unregister(spark, "cat_stream")
+    }
+  }
 }

@@ -406,4 +406,55 @@ class StreamingManifestSourceSpec extends AnyFunSuite {
       } finally { qw.stop(); qf.stop() }
     } finally spark.conf.unset(Manifest.KeepConf)
   }
+
+  test("the source takes a registered NAME; a DV commit mid-stream streams its deleted rows") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp("manifest-src-name") + "/t"
+    val cp = tmp("manifest-src-name-cp")
+    spark.conf.set(Manifest.KeepConf, "10")
+    try {
+      (1 to 300).map(i => (i.toLong, (i % 7).toLong)).toDF("x", "y")
+        .coalesce(1).write.parquet(dir)
+      Manifest.write(spark, dir)
+      graft.GraftCatalog.register(spark, "stream_name_t", dir)
+      val got = new ConcurrentLinkedQueue[(Long, String)]()
+      // the NAME, not the path — resolved at stream construction and
+      // fixed for the run; cdc=rows so the mid-stream DV commit delivers
+      // exactly its deleted rows
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", "stream_name_t")
+        .option("startingSeq", "earliest").option("cdc", "rows")
+        .load().writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select($"x", $"_change_type").collect()
+            .foreach(r => got.add((r.getLong(0), r.getString(1))))
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(got.size == 300 && got.asScala.forall(_._2 == "insert"),
+          s"first batch = full snapshot as inserts, got ${got.size}")
+        got.clear()
+        // merge-on-read delete mid-stream: no file is rewritten, yet the
+        // stream must deliver exactly the 50 deleted rows as 'delete'
+        val s = Layout.deleteWhere(spark, dir, Seq(("x", 1L, 50L)), mode = "dv")
+        assert(s.dvFiles == 1L && s.rewrittenFiles == 0L, s"$s")
+        q.processAllAvailable()
+        val rows = got.asScala.toSeq
+        assert(rows.size == 50 && rows.forall(_._2 == "delete") &&
+          rows.map(_._1).sorted == (1L to 50L), s"got $rows")
+      } finally q.stop()
+      // an unregistered bare name fails loudly, naming the surfaces
+      val ex = intercept[Exception] {
+        spark.readStream.format("graft-manifest")
+          .option("path", "never_registered_name").load()
+      }
+      assert(ex.getMessage.contains("neither a path nor a registered"),
+        ex.getMessage)
+    } finally {
+      spark.conf.unset(Manifest.KeepConf)
+      graft.GraftCatalog.unregister(spark, "stream_name_t")
+    }
+  }
 }
