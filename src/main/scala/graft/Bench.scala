@@ -150,7 +150,11 @@ object Bench {
     // auto-materialize-threshold delete, and the catalog-named read
     // (mutations inside q196_mut_build18)
     "q196_dv_general_merge", "q197_dv_threshold_box", "q198_named_table_box",
-    "q199_sql_insert_box")
+    "q199_sql_insert_box",
+    // round 19: DV-aware metadata count (no data scan), the SQL-DDL
+    // named read, and VERSION AS OF over a name (fixture inside
+    // q200_mut_build19; q201/q202 reuse round-18/14 tables)
+    "q200_dv_count_meta", "q201_ddl_named_box", "q202_sql_version_as_of")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -371,6 +375,23 @@ object Bench {
       val (b1, ok1) = once(); val (b2, ok2) = once()
       if (ok1 && ok2) math.min(b1, b2) else -1.0
     }
+    // round-19 build (the indexed live-DV fixture): min-of-two honesty
+    // split; q200 then times the metadata count serving only.
+    val mutBuild19 = {
+      def once(): (Double, Boolean) = {
+        graft.queries.LayoutQueries.invalidateZorder19(sfDir)
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.queries.LayoutQueries.buildZorder19(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q200_mut_build19 FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (b1, ok1) = once(); val (b2, ok2) = once()
+      if (ok1 && ok2) math.min(b1, b2) else -1.0
+    }
     val present = headline.filter(all.contains)
     val run1 = present.map(n => n -> timeOnce(n)).toMap
     val run2 = present.map { n =>
@@ -455,6 +476,7 @@ object Bench {
       ("q175_mut_build16" -> mutBuild16) :+
       ("q185_mut_build17" -> mutBuild17) :+
       ("q196_mut_build18" -> mutBuild18) :+
+      ("q200_mut_build19" -> mutBuild19) :+
       ("q103_index_build" -> annBuild) :+
       ("q35_pair_graph_build" -> pairBuild) :+
       ("q35_cc_label_build" -> labelBuild) :+

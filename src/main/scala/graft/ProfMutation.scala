@@ -33,12 +33,14 @@ object ProfMutation {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
     }
 
-    // `runMain graft.ProfMutation r18` skips the rounds-15..17 sections
-    // (the full sequence is ~15 min; the per-round additions are meant
-    // to be re-measurable on their own)
+    // `runMain graft.ProfMutation r18` skips the rounds-15..17 sections;
+    // `r19` runs only the round-19 additions (the full sequence is
+    // ~15 min; the per-round additions are meant to be re-measurable on
+    // their own)
     val r18Only = args.contains("r18")
+    val r19Only = args.contains("r19")
 
-    if (!r18Only) {
+    if (!r18Only && !r19Only) {
     // sweep table size at fixed file count: the file-grain delete's cost
     // is metadata + the affected files; the naive full rewrite's cost is
     // the whole table — the gap must widen with size
@@ -184,6 +186,7 @@ object ProfMutation {
     }
     } // !r18Only
 
+    if (!r19Only) {
     // round 18: the GENERAL merge arm matrix in MERGE-ON-READ mode must
     // keep the dv economics — flat in table size, zero candidate
     // rewrites — for the CDC-apply trickle shape (conditional update +
@@ -293,6 +296,76 @@ object ProfMutation {
             s"threshold must bound per-file DV growth, got $pending pending")
         }
       } finally spark.conf.unset(Layout.DvMaterializeThresholdConf)
+    }
+    } // !r19Only
+
+    // round 19: the materialize-threshold pass at a WIDE pending set.
+    // An every-16th-key merge-delete marks positions in EVERY file of a
+    // 1024-file table, so the pass must price 1024 files — per-file row
+    // counts now come from the `.envelopes` index (one metadata-scale
+    // read) instead of 1024 serial driver footer opens. Measured as the
+    // delta between two identical trickle deletes, threshold on vs off.
+    {
+      val dir = s"$base/wide"
+      val df = spark.range(4000000L).select($"id".as("k"),
+        pmod(hash($"id" * 7L), lit(1 << 20)).cast("long").as("v"),
+        sha2(concat($"id".cast("string"), lit("pad")), 256).as("payload"))
+      Layout.clusterWrite(df, Seq("k"), 1024, dir)
+      Layout.writeEnvelopes(spark, dir, Seq("k"))
+      spark.conf.set(Layout.DvMaxPositionsConf, "4000000")
+      try {
+        val src = spark.range(0L, 4000000L, 16L).select($"id".as("k"))
+        val s = Layout.merge(spark, dir, src, Seq("k"),
+          Seq(Layout.MatchedDelete()), insertUnmatched = false, mode = "dv")
+        println(s"  wide dv mark stats: $s (sidecar names every file)")
+        val widthRow = {
+          val nm = graft.sources.Manifest.info(spark, dir).dv.get
+          spark.read.parquet(graft.sources.Manifest.dvsPath(dir) + "/" + nm)
+            .agg(countDistinct($"file"), sum(size($"positions"))).head()
+        }
+        println(s"  pending set: ${widthRow.getLong(0)} files, ${widthRow.getLong(1)} positions")
+        require(widthRow.getLong(0) >= 1000L, "fixture must be a >=1k-file pending set")
+        def trickle(lo: Long): Double = timeMs {
+          Layout.deleteWhere(spark, dir, Seq(("k", lo, lo + 9L)), mode = "dv"); ()
+        }
+        val tOff = trickle(1000001L) // threshold off: no pass at all
+        spark.conf.set(Layout.DvMaterializeThresholdConf, "0.9") // pass runs, nothing crosses
+        val tOn = try trickle(2000001L)
+        finally spark.conf.unset(Layout.DvMaterializeThresholdConf)
+        println(f"trickle delete on the 1024-file pending set: threshold OFF ${tOff}%8.1f ms  ON ${tOn}%8.1f ms  (pass cost ${tOn - tOff}%6.1f ms — one .envelopes read, no footer opens)")
+      } finally spark.conf.unset(Layout.DvMaxPositionsConf)
+    }
+
+    // round 19: DvProbe broadcast-cache sizing. A topology cycling
+    // reads over MORE DV tables than the cache holds re-reads and
+    // re-broadcasts a sidecar per cycle; sizing the conf to the table
+    // count makes the steady state zero rebuilds.
+    {
+      val dirs = (0 until 6).map { i =>
+        val d = s"$base/cache$i"
+        spark.range(200000L).select($"id".as("k"), lit(i.toLong).as("v"),
+          lit("c").as("payload")).coalesce(4).write.parquet(d)
+        Layout.deleteWhere(spark, d, Seq(("k", 0L, 99L)), mode = "dv")
+        d
+      }
+      def cycle(): Unit = dirs.foreach { d =>
+        Layout.readSnapshot(spark, d).agg(count(lit(1))).head(); ()
+      }
+      def rebuildsOver(n: Int)(body: => Unit): Long = {
+        val before = graft.sources.DvProbe.rebuildCount
+        (0 until n).foreach(_ => body)
+        graft.sources.DvProbe.rebuildCount - before
+      }
+      spark.conf.set(graft.sources.DvProbe.ProbeCacheSizeConf, "4")
+      cycle() // populate at capacity 4
+      val thrash = rebuildsOver(3)(cycle())
+      spark.conf.set(graft.sources.DvProbe.ProbeCacheSizeConf, "8")
+      cycle() // repopulate at capacity 8
+      val steady = rebuildsOver(3)(cycle())
+      spark.conf.unset(graft.sources.DvProbe.ProbeCacheSizeConf)
+      println(s"dv probe cache, 6 tables x 3 cycles: capacity 4 -> $thrash rebuilds, capacity 8 -> $steady rebuilds")
+      require(steady == 0L, s"sized cache must rebuild nothing, got $steady")
+      require(thrash > 0L, s"undersized cache must thrash, got $thrash")
     }
   }
 }

@@ -82,7 +82,13 @@ private[graft] object DirSwap {
     recover(spark, dir, retireTo)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"DirSwap: no table at $dir")
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    // UNIQUE staging name: two writers racing a swap (the optimistic-
+    // mutation model lets both reach their index refresh before either
+    // commits) must never clobber each other's in-flight Spark write —
+    // the loser's swap may still fail at the renames, but a staging
+    // collision corrupting the WINNER's output cannot happen
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir + ".compact-tmp-" + java.util.UUID.randomUUID().toString)
     val backup = new org.apache.hadoop.fs.Path(dir + ".compact-backup")
     write(rewrite(spark.read.parquet(dir)), tmp.toString)
     require(fs.rename(live, backup), s"DirSwap: could not move $live aside")
@@ -100,14 +106,23 @@ private[graft] object DirSwap {
               retireTo: Option[String] = None): Unit = {
     val live = new org.apache.hadoop.fs.Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
     val backup = new org.apache.hadoop.fs.Path(dir + ".compact-backup")
     if (fs.exists(backup)) {
       if (fs.exists(live)) retireOrDelete(fs, backup, retireTo)
       else require(fs.rename(backup, live),
         s"DirSwap.recover: could not restore $backup to $live")
     }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // staging leftovers: the legacy fixed name and any crashed run's
+    // UUID-suffixed tmp. A CONCURRENT writer's live staging can match
+    // too — deleting it fails that writer's swap, never this one's, and
+    // callers racing swaps (the envelope refresh) treat a failed
+    // refresh as stale-but-safe
+    val parent = live.getParent
+    val leafPrefix = live.getName + ".compact-tmp"
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).foreach { s =>
+        if (s.getPath.getName.startsWith(leafPrefix)) fs.delete(s.getPath, true)
+      }
     ()
   }
 

@@ -533,25 +533,50 @@ object Layout {
     * fresh stats over `added` only — O(index rows + new-file bytes),
     * never a table scan. The index dir is rewritten through the
     * crash-safe [[graft.operators.DirSwap]] like the streaming sink's
-    * index compaction. */
+    * index compaction.
+    *
+    * CONCURRENCY: the optimistic-mutation model lets two writers reach
+    * their refresh before either commits, and a dir swap is
+    * single-writer — so refreshes serialize per table within the JVM,
+    * and ANY refresh failure (a cross-process collision, an FS error)
+    * degrades to a loudly-logged no-op rather than failing the verb:
+    * the index is auxiliary by design — unindexed files are never
+    * skipped, the prune rule re-applies the filter, the agg rule's
+    * exact-file-set gate declines on mismatch, the verbs classify
+    * unindexed files conservatively — so a stale index costs pruning
+    * power, never answers; the next refresh or writeEnvelopes heals. */
+  private val envRefreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def refreshEnvelopesIncremental(spark: SparkSession, dir: String,
       cols: Seq[String], removed: Set[String], added: Seq[String],
       basePath: String, bloomCols: Seq[String] = Nil): Unit = {
-    // basePath keeps hive partition columns alive when reading the new
-    // files as an explicit list, so partition-column stats stay indexed
-    val newStats =
-      if (added.isEmpty) None
-      else Some(envelopeStats(
-        spark.read.option("basePath", basePath).parquet(added: _*), cols, bloomCols))
-    val removedDf = { import spark.implicits._; removed.toSeq.toDF("rfile") }
-    graft.operators.DirSwap.swapRewrite(spark, envelopesPath(dir))(env => {
-      val kept = env.join(removedDf,
-        normPathUdf(env("file")) === removedDf("rfile"), "left_anti")
-      // allowMissingColumns: an old-generation index may lack columns
-      // the fresh stats carry (e.g. sum_) or vice versa — the union
-      // fills NULLs, and the agg rule's soundness probe handles them
-      newStats.fold(kept)(ns => kept.unionByName(ns, allowMissingColumns = true))
-    })((d, out) => d.coalesce(1).write.mode("overwrite").parquet(out))
+    val lock = envRefreshLocks.computeIfAbsent(normPath(dir), _ => new Object)
+    lock.synchronized {
+      try {
+        // basePath keeps hive partition columns alive when reading the new
+        // files as an explicit list, so partition-column stats stay indexed
+        val newStats =
+          if (added.isEmpty) None
+          else Some(envelopeStats(
+            spark.read.option("basePath", basePath).parquet(added: _*), cols, bloomCols))
+        val removedDf = { import spark.implicits._; removed.toSeq.toDF("rfile") }
+        graft.operators.DirSwap.swapRewrite(spark, envelopesPath(dir))(env => {
+          val kept = env.join(removedDf,
+            normPathUdf(env("file")) === removedDf("rfile"), "left_anti")
+          // allowMissingColumns: an old-generation index may lack columns
+          // the fresh stats carry (e.g. sum_) or vice versa — the union
+          // fills NULLs, and the agg rule's soundness probe handles them
+          newStats.fold(kept)(ns => kept.unionByName(ns, allowMissingColumns = true))
+        })((d, out) => d.coalesce(1).write.mode("overwrite").parquet(out))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] envelope index refresh on $dir failed " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); the index is " +
+              "STALE-BUT-SAFE (every consumer gates or reads unindexed files " +
+              "conservatively) - the next refresh or writeEnvelopes heals it")
+      }
+    }
   }
 
 
@@ -984,9 +1009,13 @@ object Layout {
         removed = dropped, added = movedIn, basePath = dir,
         bloomCols = bloomColumns(spark, dir))
     raceHooks.preCommit()
+    // intended set, not the live listing — see mutateFiles' commit note
+    val intended = (files -- dropped).toSeq.map(Manifest.dvRelPath(qualRootStr, _)) ++
+      movedIn.map(Manifest.dvRelPath(qualRootStr, _))
     try Manifest.writeSeq(spark, dir, seq0 + 1,
       schemas = Some((info.dataSchema, info.partSchema)), props = props,
-      dv = sidecar.map(Manifest.DvSet(_)).getOrElse(Manifest.DvClear))
+      dv = sidecar.map(Manifest.DvSet(_)).getOrElse(Manifest.DvClear),
+      filesOverride = Some(intended))
     catch {
       case e: java.util.ConcurrentModificationException =>
         movedIn.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
@@ -2043,18 +2072,21 @@ object Layout {
       refreshEnvelopesIncremental(spark, dir, idx,
         removed = dropped ++ partial, added = movedIn, basePath = dir,
         bloomCols = bloomColumns(spark, dir))
-    // 5) COMMIT as a CAS on exactly seq0+1 — a writer that slipped in
-    //    between the re-check and here makes this throw, and the loser
-    //    HEALS: promoted files deleted, originals un-retired, the
-    //    incremental index refresh inverted — the table returns to the
-    //    state the winning commit describes (exact when the winner moved
-    //    no data files; two overlapping mutations are outside the
-    //    writer-exclusive contract and die earlier, on the re-check or a
-    //    retirement collision)
+    // 5) COMMIT as a CAS on exactly seq0+1, naming this mutation's
+    //    INTENDED file set (pinned snapshot − retired + promoted) — the
+    //    live listing is a race: a concurrent loser's in-flight
+    //    promotions would be captured and then healed away, leaving the
+    //    winning manifest referencing deleted files. A writer that
+    //    slipped in between the re-check and here makes this throw, and
+    //    the loser HEALS: promoted files deleted, originals un-retired,
+    //    the incremental index refresh inverted — the table returns to
+    //    the state the winning commit describes
     raceHooks.preCommit()
+    val intended = untouched.toSeq.map(Manifest.dvRelPath(liveRoot, _)) ++
+      movedIn.map(Manifest.dvRelPath(liveRoot, _))
     try Manifest.writeSeq(spark, dir, seq0 + 1,
       schemas = Some((info.dataSchema, info.partSchema)), props = props,
-      dv = dvCarry)
+      dv = dvCarry, filesOverride = Some(intended))
     catch {
       case e: java.util.ConcurrentModificationException =>
         deleteNewSidecar()
@@ -2393,7 +2425,29 @@ object Layout {
       refreshEnvelopesIncremental(spark, dir, idx,
         removed = Set.empty, added = moved, basePath = dir,
         bloomCols = bloomColumns(spark, dir))
-    Manifest.write(spark, dir, schemas = Some((info.dataSchema, info.partSchema)))
+    // commit the INTENDED file set (snapshot + promoted) — never the
+    // live listing, which can capture a concurrent mutation's in-flight
+    // (heal-doomed) promotions. Two concurrent appends CAS-race the
+    // same seq; the loser re-reads the winner's snapshot and re-commits
+    // winner's files + its own — both appends land, no re-staging.
+    val qualRootStr = normPath(fs.makeQualified(root).toString)
+    val movedRel = moved.map(Manifest.dvRelPath(qualRootStr, _))
+    val max = spark.conf.get(MutationMaxRetriesConf,
+      MutationMaxRetriesDefault.toString).toInt
+    var base = info
+    var attempt = 0
+    while (true) {
+      try return Manifest.writeSeq(spark, dir, base.seq + 1,
+        schemas = Some((info.dataSchema, info.partSchema)),
+        filesOverride = Some(base.files ++ movedRel))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= max) throw e
+          attempt += 1
+          base = Manifest.info(spark, dir)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The snapshot minus a file set — a delegating skip over the

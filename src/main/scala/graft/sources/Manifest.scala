@@ -344,17 +344,26 @@ object Manifest {
   }
 
   /** [[write]] with the target seq fixed by the caller — the CAS arm the
-    * race spec drives deterministically (two writers, same seq). */
+    * race spec drives deterministically (two writers, same seq).
+    *
+    * `filesOverride`: the EXACT relative file set to commit, instead of
+    * the live listing. The mutation verbs pass their intended set
+    * (pinned snapshot − retired + promoted) because the live listing is
+    * a RACE under optimistic concurrency: a concurrent loser's
+    * in-flight promotions are visible on disk at this writer's commit
+    * instant but will be healed away when that loser's CAS fails — a
+    * manifest that captured them would reference deleted files. */
   private[graft] def writeSeq(spark: SparkSession, dir: String, seq: Long,
                               keep: Int = 0,
                               schemas: Option[(StructType, StructType)] = None,
                               props: Map[String, String] = Map.empty,
-                              dv: DvCarry = DvInherit): Long = {
+                              dv: DvCarry = DvInherit,
+                              filesOverride: Option[Seq[String]] = None): Long = {
     val k = if (keep == 0) confKeep(spark) else keep
     val fs = fsOf(spark, new Path(dir))
     val root = fs.makeQualified(new Path(dir))
     require(fs.exists(root), s"Manifest.write: no table at $dir")
-    val files = listData(fs, root).sorted
+    val files = filesOverride.map(_.sorted).getOrElse(listData(fs, root).sorted)
     require(files.nonEmpty, s"Manifest.write: no data files under $dir")
     // When the caller passes no schemas, footer inference decides — but a
     // table WIDENED by Layout.addColumns has old files without the new

@@ -690,4 +690,60 @@ class MutationSpec extends AnyFunSuite {
       spark.conf.unset(Layout.MutationMaxRetriesConf)
     }
   }
+
+  test("TWO SESSIONS, shared dir: racing writers serialize through the filesystem CAS, both commit") {
+    import java.util.concurrent.{CyclicBarrier, TimeUnit}
+    // unlike the raceHooks tests above, NOTHING is choreographed here:
+    // two independent SparkSessions (own SessionState/conf, as two
+    // processes would have) fire the same verb at the same barrier tick
+    // against one directory. The manifest CAS is a FILESYSTEM primitive
+    // (create-if-absent hard link locally, rename + nonce read-back on
+    // HDFS-likes — README documents the object-store matrix), so
+    // serialization owes nothing to in-process state; the conflict loser
+    // retries under the default maxRetries and both mutations land.
+    val dir = freshDir("graft-race-2session")
+    (0L to 99L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    (200L to 299L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeEnvelopes(spark, dir, Seq("k"))
+    spark.conf.set(Manifest.KeepConf, "5") // retain all three generations
+    val seq0 = Manifest.write(spark, dir)
+    val sessionA = spark.newSession()
+    val sessionB = spark.newSession()
+    assert((sessionA ne spark) && (sessionA ne sessionB))
+    // session confs are independent (the point of the two-session
+    // setup) — each writer's vacuum must retain all three generations
+    sessionA.conf.set(Manifest.KeepConf, "5")
+    sessionB.conf.set(Manifest.KeepConf, "5")
+    val barrier = new CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Layout.MutationStats]]()
+    def run(name: String, s: SparkSession, lo: Long, hi: Long): Thread = {
+      val t = new Thread(() => {
+        try {
+          barrier.await(60, TimeUnit.SECONDS)
+          results.put(name, Right(Layout.deleteWhere(s, dir, Seq(("k", lo, hi)))))
+        } catch { case e: Throwable => results.put(name, Left(e)) }
+      }, name)
+      t.start(); t
+    }
+    val a = run("session-a", sessionA, 0L, 9L)
+    val b = run("session-b", sessionB, 200L, 209L)
+    a.join(120000); b.join(120000)
+    assert(results.get("session-a").isRight, s"A: ${results.get("session-a")}")
+    assert(results.get("session-b").isRight, s"B: ${results.get("session-b")}")
+    // both mutations applied, regardless of who won the CAS first
+    val got = Layout.readSnapshot(spark, dir).as[(Long, Long)].collect().map(_._1).toSet
+    assert(got == ((10L to 99L) ++ (210L to 299L)).toSet, "both sessions' deletes landed")
+    // retention history shows BOTH generations on top of the base commit
+    val seqs = Manifest.history(spark, dir).select("seq").collect().map(_.getLong(0)).toSet
+    assert(seqs.contains(seq0) && seqs.contains(seq0 + 1) && seqs.contains(seq0 + 2),
+      s"expected seqs $seq0..${seq0 + 2} retained, got $seqs")
+    // and every retained snapshot still resolves (no torn generation —
+    // a manifest must never have captured the loser's healed-away files)
+    assert(Manifest.read(spark, dir, Some(seq0)).count() == 200L)
+    assert(Manifest.read(spark, dir, Some(seq0 + 1)).count() == 190L)
+    assert(Manifest.read(spark, dir, Some(seq0 + 2)).count() == 180L)
+    assert(Manifest.listLive(spark, dir).size ==
+      Manifest.info(spark, dir).files.size, "no strays either way")
+    spark.conf.unset(Manifest.KeepConf)
+  }
 }
