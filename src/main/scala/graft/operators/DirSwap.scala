@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * maintenance primitive behind online compaction of append-accumulated
   * tables (the streaming near-dup sketch, the ANN `codes` index).
   *
-  * Swap order: write `<dir>.compact-tmp` → rename live to
+  * Swap order: write `<dir>.compact-tmp/<uuid>` → rename live to
   * `<dir>.compact-backup` → rename tmp to live → delete backup. A crash
   * at ANY point leaves a complete copy under either the live or the
   * backup name (never delete-before-rename), and [[recover]] — run at
@@ -82,18 +82,29 @@ private[graft] object DirSwap {
     recover(spark, dir, retireTo)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"DirSwap: no table at $dir")
-    // UNIQUE staging name: two writers racing a swap (the optimistic-
-    // mutation model lets both reach their index refresh before either
-    // commits) must never clobber each other's in-flight Spark write —
-    // the loser's swap may still fail at the renames, but a staging
-    // collision corrupting the WINNER's output cannot happen
+    // UNIQUE staging name UNDER a fixed-named staging dir: two writers
+    // racing a swap (the optimistic-mutation model lets both reach
+    // their index refresh before either commits) must never clobber
+    // each other's in-flight Spark write — the loser's swap may still
+    // fail at the renames, but a staging collision corrupting the
+    // WINNER's output cannot happen. The fixed PARENT keeps [[recover]]
+    // at two existence probes (a UUID-suffixed SIBLING would force an
+    // O(entries) listing of the table's parent — for the envelope
+    // index that parent is the table dir itself, a million entries at
+    // scale) and keeps readHealed's `.compact-tmp`-suffix walk exact.
+    val staging = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
     val tmp = new org.apache.hadoop.fs.Path(
-      dir + ".compact-tmp-" + java.util.UUID.randomUUID().toString)
+      staging, java.util.UUID.randomUUID().toString)
     val backup = new org.apache.hadoop.fs.Path(dir + ".compact-backup")
     write(rewrite(spark.read.parquet(dir)), tmp.toString)
     require(fs.rename(live, backup), s"DirSwap: could not move $live aside")
     require(fs.rename(tmp, live), s"DirSwap: could not promote $tmp")
     retireOrDelete(fs, backup, retireTo)
+    // tidy the now-empty staging dir; non-empty (a concurrent writer's
+    // in-flight staging) fails the non-recursive delete and is left for
+    // that writer's swap or the next recover
+    try { fs.delete(staging, false); () }
+    catch { case _: java.io.IOException => () }
     ()
   }
 
@@ -112,17 +123,14 @@ private[graft] object DirSwap {
       else require(fs.rename(backup, live),
         s"DirSwap.recover: could not restore $backup to $live")
     }
-    // staging leftovers: the legacy fixed name and any crashed run's
-    // UUID-suffixed tmp. A CONCURRENT writer's live staging can match
-    // too — deleting it fails that writer's swap, never this one's, and
-    // callers racing swaps (the envelope refresh) treat a failed
-    // refresh as stale-but-safe
-    val parent = live.getParent
-    val leafPrefix = live.getName + ".compact-tmp"
-    if (parent != null && fs.exists(parent))
-      fs.listStatus(parent).foreach { s =>
-        if (s.getPath.getName.startsWith(leafPrefix)) fs.delete(s.getPath, true)
-      }
+    // staging leftovers: one fixed name covers both a crashed run's
+    // UUID-child staging dir and the legacy flat-dir staging — one
+    // existence probe, never a listing of the parent. A CONCURRENT
+    // writer's live staging is inside too — deleting it fails that
+    // writer's swap, never this one's, and callers racing swaps (the
+    // envelope refresh) treat a failed refresh as stale-but-safe
+    val staging = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    if (fs.exists(staging)) fs.delete(staging, true)
     ()
   }
 
