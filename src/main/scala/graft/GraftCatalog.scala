@@ -165,4 +165,13 @@ object GraftCatalog {
   def resolve(spark: SparkSession, pathOrName: String): String =
     if (pathOrName.contains('/')) pathOrName
     else dirOf(spark, pathOrName).getOrElse(pathOrName)
+
+  /** Every resolvable registration — the persisted registry overlaid
+    * with this session's conf entries (conf wins on a collision,
+    * matching [[dirOf]]'s lookup order). Keys are as stored:
+    * [[register]] lowercases; a pure-SQL `SET` keeps its spelling. */
+  def registrations(spark: SparkSession): Map[String, String] =
+    registryNames(spark) ++ spark.conf.getAll.collect {
+      case (k, v) if k.startsWith(Prefix) => k.stripPrefix(Prefix) -> v
+    }
 }

@@ -382,6 +382,26 @@ object GraftTableFunctions {
         GraftCatalog.resolve(sp, raw), fields))))
   }
 
+  /** `graft_tables()` — every resolvable named-table registration
+    * (session-scoped and warehouse-registry-persisted;
+    * [[GraftCatalog.registrations]]) with its directory and latest
+    * committed seq (−1 when the directory is missing or unmanifested —
+    * listing is a catalog read, never a failure). The SHOW TABLES role
+    * for the graft catalog. */
+  private def tablesBuilder(sess: () => SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_tables"
+    arity(fn, args, 0, 0)
+    val sp = sess()
+    val rows = GraftCatalog.registrations(sp).toSeq.sortBy(_._1).map { case (n, d) =>
+      val seq =
+        try graft.sources.Manifest.latestSeq(sp, d).getOrElse(-1L)
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      (n, d, seq)
+    }
+    import sp.implicits._
+    rows.toDF("name", "dir", "latest_seq").queryExecution.analyzed
+  }
+
   /** `graft_history(path)` — the retained commit history, newest first
     * ([[graft.sources.Manifest.history]], the DESCRIBE HISTORY role):
     * seq, commit time, file count, pending DV sidecar, recorded CDC
@@ -511,7 +531,10 @@ object GraftTableFunctions {
       restoreBuilder(sess) _),
     (new FunctionIdentifier("graft_history"),
       info("graft_history", "graft_history(path)"),
-      historyBuilder(sess) _))
+      historyBuilder(sess) _),
+    (new FunctionIdentifier("graft_tables"),
+      info("graft_tables", "graft_tables()"),
+      tablesBuilder(sess) _))
 
   /** The [[GraftExtensions]] registration set: builders resolve through
     * `SparkSession.active` (no session exists at injection time — see the

@@ -2,12 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.GraftCatalog
 import graft.sources.Manifest
@@ -145,7 +145,66 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "semantics - DROP unregisters the name and never deletes data; " +
           "drop the directory explicitly if that is intended")
       GraftDropTableCommand(name, ifExists)
+    case a @ AddColumns(t: UnresolvedTable, colsToAdd) =>
+      registeredGraftName(t.multipartIdentifier) match {
+        case None => a
+        case Some(name) =>
+          val fields = colsToAdd.map { c =>
+            def decline(what: String, why: String): Nothing =
+              throw new UnsupportedOperationException(
+                s"ALTER TABLE $name ADD COLUMNS: $what is not supported - $why")
+            if (c.path.nonEmpty)
+              decline(s"nested field '${c.name.mkString(".")}'",
+                "graft columns are top-level (the manifest pins a flat data schema)")
+            if (c.position.nonEmpty)
+              decline("FIRST/AFTER", "new columns append (the manifest pins column order)")
+            if (c.`default`.nonEmpty)
+              decline("DEFAULT",
+                "existing files null-fill a new column; a non-null default would be " +
+                  "a table rewrite, not a metadata commit")
+            if (c.comment.nonEmpty)
+              decline(s"COMMENT on ${c.colName}",
+                "the manifest stores column names and types only")
+            if (!c.nullable)
+              decline(s"${c.colName} NOT NULL", "existing files null-fill it")
+            StructField(c.colName, c.dataType, nullable = true)
+          }
+          GraftAddColumnsCommand(name, fields)
+      }
+    // every OTHER ALTER verb on a registered graft name would otherwise
+    // fall through to a confusing TABLE_OR_VIEW_NOT_FOUND from the
+    // session catalog — decline with the graft story instead
+    case other: AlterTableCommand =>
+      other.table match {
+        case t: UnresolvedTable =>
+          registeredGraftName(t.multipartIdentifier).foreach { name =>
+            throw new UnsupportedOperationException(
+              s"${t.commandName} on graft table $name: only ADD COLUMNS is " +
+                "supported - graft schema evolution is additive (a drop/rename/" +
+                "retype would rewrite data files; comments and properties are " +
+                "not stored). Roll a widening back with graft_restore")
+          }
+          other
+        case _ => other
+      }
     case other => other
+  }
+
+  /** The graft registration a (possibly `graft.`-qualified) multipart
+    * name resolves to — None when unregistered, or when a real catalog
+    * object or temp view shadows the single-part spelling (those keep
+    * Spark's stock behavior, like the DROP TABLE interception). */
+  private def registeredGraftName(parts: Seq[String]): Option[String] = {
+    val name = parts match {
+      case Seq(n) => n
+      case Seq(ns, n) if ns.equalsIgnoreCase("graft") => n
+      case _ => return None
+    }
+    if (GraftCatalog.dirOf(session, name).isEmpty) None
+    else if (parts.size == 1 &&
+      (session.catalog.tableExists(name) ||
+        session.sessionState.catalog.isTempView(Seq(name)))) None
+    else Some(name)
   }
 }
 
@@ -207,6 +266,22 @@ final case class GraftCreateTableAsSelectCommand(name: String, location: String,
     if (GraftCatalog.registryPath(spark).isDefined)
       GraftCatalog.registerPersistent(spark, name, location)
     else GraftCatalog.register(spark, name, location)
+    Nil
+  }
+}
+
+/** `ALTER TABLE <name> ADD COLUMNS (…)` on a graft-registered name —
+  * additive schema evolution as a pure metadata commit
+  * ([[graft.sources.Layout.addColumns]]: one new manifest naming the
+  * SAME file set with the fields appended; old files null-fill). */
+final case class GraftAddColumnsCommand(name: String, fields: Seq[StructField])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.dirOf(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $name ADD COLUMNS: no graft registration (it may have " +
+          "been dropped since the statement was parsed)"))
+    graft.sources.Layout.addColumns(spark, dir, fields)
     Nil
   }
 }

@@ -882,6 +882,37 @@ object LayoutQueries {
     })
   }
 
+  /** [[zEventsWidened]]'s twin built ENTIRELY through SQL (round 19):
+    * the even half written + first manifest, the table registered by
+    * `CREATE TABLE … USING graft`, widened by `ALTER TABLE … ADD
+    * COLUMNS (bonus DOUBLE)` (a pure metadata commit lowered onto
+    * [[Layout.addColumns]] at parse time), and the odd half — bonus =
+    * value×10 — appended by `INSERT INTO` the name. Serves q203. */
+  private def zEventsAltered(spark: SparkSession, dir: String): String = lock.synchronized {
+    val key = s"$dir|events_altered"
+    cache.getOrElse(key, {
+      val out = TextQueries.newTempDir("graft-zorder").resolve("events_altered").toString
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
+      ev.filter(col("event_id") % 2 === 0).write.parquet(out)
+      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us"))
+      Manifest.write(spark, out)
+      // DROP first: a cache-invalidated rebuild must re-bind the name to
+      // the fresh directory (IF NOT EXISTS would keep the stale binding)
+      spark.sql("DROP TABLE IF EXISTS graft_events_alter19")
+      spark.sql(s"CREATE TABLE graft_events_alter19 USING graft LOCATION '$out'")
+      spark.sql("ALTER TABLE graft_events_alter19 ADD COLUMNS (bonus DOUBLE)").collect()
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("bonus", col("value") * 10)
+        .createOrReplaceTempView("graft_q203_src")
+      val order = spark.table("graft_events_alter19").columns.map(c => s"`$c`")
+      spark.sql(s"INSERT INTO graft_events_alter19 " +
+        s"SELECT ${order.mkString(", ")} FROM graft_q203_src").collect()
+      cache += key -> out
+      out
+    })
+  }
+
   /** Round-17 build (the deletion-vector fixtures — delete, reified,
     * merge-on-read upsert, and the DV-deleted documents corpus — the
     * low-cardinality-leading-key composite merge, the conditioned
@@ -1990,7 +2021,60 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q203
+  /** q176's widened box with the WHOLE lifecycle in SQL (round 19):
+    * CREATE TABLE … USING graft, `ALTER TABLE … ADD COLUMNS` (parse-time
+    * interception → [[Layout.addColumns]] metadata commit), INSERT INTO
+    * the widened shape, SELECT through the name. Old files serve the
+    * new column as NULL; the oracle reconstructs bonus relationally
+    * from the append parity — same oracle as q176. */
+  def q203SqlAlterBox(spark: SparkSession, dir: String): DataFrame = {
+    zEventsAltered(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  CAST(sum(CAST(round(coalesce(bonus, 0.0d) * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_bonus_c,
+         |  CAST(sum(CASE WHEN bonus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old
+         |FROM graft_events_alter19
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND ts_us BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q204
+  /** `graft_tables()` — the SHOW TABLES role (round 19): two fresh
+    * registrations with known commit counts listed with their latest
+    * seq, filtered to this query's own names (the catalog is shared
+    * across the verify session). Golden VALUES oracle — the listing is
+    * catalog state, not table data. */
+  def q204GraftTables(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftTableFunctions.ensure(spark)
+    lock.synchronized {
+      val key = s"$dir|tables_reg"
+      cache.getOrElse(key, {
+        val base = TextQueries.newTempDir("graft-zorder")
+        val a = base.resolve("reg_a").toString
+        val b = base.resolve("reg_b").toString
+        spark.range(5L).toDF("id").coalesce(1).write.parquet(a)
+        spark.range(5L).toDF("id").coalesce(1).write.parquet(b)
+        Manifest.write(spark, a) // seq 0
+        Manifest.write(spark, b) // seq 0
+        Layout.append(spark, b, spark.range(5L, 8L).toDF("id")) // seq 1
+        graft.GraftCatalog.register(spark, "graft_q204_a", a)
+        graft.GraftCatalog.register(spark, "graft_q204_b", b)
+        cache += key -> base.toString
+        base.toString
+      })
+    }
+    spark.sql(
+      """SELECT name, latest_seq FROM graft_tables()
+        |WHERE name LIKE 'graft_q204%' ORDER BY name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_sql_alter_box"       -> q203SqlAlterBox _,
+    "q204_graft_tables"        -> q204GraftTables _,
     "q201_ddl_named_box"       -> q201DdlNamedBox _,
     "q202_sql_version_as_of"   -> q202SqlVersionAsOf _,
     "q200_dv_count_meta"       -> q200DvCountMeta _,
@@ -2145,6 +2229,21 @@ object LayoutQueries {
          |GROUP BY event_type""".stripMargin,
     "q198_named_table_box"        -> EventsBoxOracle,
     "q201_ddl_named_box"          -> EventsBoxOracle,
+    "q203_sql_alter_box" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+         |  CAST(sum(CAST(round(CASE WHEN event_id % 2 = 1 THEN value * 10
+         |                            ELSE 0 END * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_bonus_c,
+         |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old
+         |FROM events
+         |WHERE user_id BETWEEN 2 AND 9
+         |  AND epoch_us(ts) BETWEEN $EvTsLo AND ${EvTsHi - 1}
+         |GROUP BY event_type""".stripMargin,
+    "q204_graft_tables" ->
+      """SELECT * FROM (VALUES ('graft_q204_a', CAST(0 AS BIGINT)),
+        |                      ('graft_q204_b', CAST(1 AS BIGINT)))
+        |  AS t(name, latest_seq) ORDER BY name""".stripMargin,
     "q202_sql_version_as_of" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,

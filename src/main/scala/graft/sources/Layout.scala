@@ -2312,11 +2312,14 @@ object Layout {
       writeEnvelopes(spark, dir, idx, bloomColumns(spark, dir).filter(idx.contains))
     // 4) commit the restored state: the TARGET's schemas (a restore
     //    across an addColumns commit narrows the schema back — that is
-    //    the point of a rollback) and its deletion-vector reference —
-    //    then clear the intent (the pass is complete and consistent)
-    val committed = Manifest.write(spark, dir,
+    //    the point of a rollback), its deletion-vector reference, and
+    //    its EXACT file set (never the live listing — a concurrent
+    //    writer's in-flight, heal-doomed promotions must not be
+    //    captured) — then clear the intent (the pass is complete)
+    val committed = Manifest.writeSeq(spark, dir, cur.seq + 1,
       schemas = Some((target.dataSchema, target.partSchema)),
-      dv = target.dv.map(Manifest.DvSet(_)).getOrElse(Manifest.DvClear))
+      dv = target.dv.map(Manifest.DvSet(_)).getOrElse(Manifest.DvClear),
+      filesOverride = Some(target.files))
     fs.delete(intent, false)
     committed
   }
@@ -2344,20 +2347,30 @@ object Layout {
                  newFields: Seq[StructField]): Long = {
     require(newFields.nonEmpty, "addColumns: no fields to add")
     if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
-    val info = Manifest.info(spark, dir)
-    val existing = (info.dataSchema.fieldNames ++ info.partSchema.fieldNames)
-      .map(_.toLowerCase).toSet
-    val dupNew = newFields.groupBy(_.name.toLowerCase).filter(_._2.size > 1).keys
-    require(dupNew.isEmpty, s"addColumns: duplicate new column(s) ${dupNew.mkString(", ")}")
-    newFields.foreach { f =>
-      require(!existing.contains(f.name.toLowerCase),
-        s"addColumns: column ${f.name} already exists on $dir")
-      require(f.nullable,
-        s"addColumns: ${f.name} must be nullable - existing files null-fill it " +
-          "(a non-null default would be a table rewrite, not a metadata commit)")
+    // re-pin and re-check per attempt: a CAS loss means another writer
+    // committed (possibly its own widening) — the existence checks and
+    // the widened schema must be recomputed against the winner's state
+    withMutationRetry(spark) {
+      val info = Manifest.info(spark, dir)
+      val existing = (info.dataSchema.fieldNames ++ info.partSchema.fieldNames)
+        .map(_.toLowerCase).toSet
+      val dupNew = newFields.groupBy(_.name.toLowerCase).filter(_._2.size > 1).keys
+      require(dupNew.isEmpty, s"addColumns: duplicate new column(s) ${dupNew.mkString(", ")}")
+      newFields.foreach { f =>
+        require(!existing.contains(f.name.toLowerCase),
+          s"addColumns: column ${f.name} already exists on $dir")
+        require(f.nullable,
+          s"addColumns: ${f.name} must be nullable - existing files null-fill it " +
+            "(a non-null default would be a table rewrite, not a metadata commit)")
+      }
+      val widened = StructType(info.dataSchema.fields ++ newFields)
+      // a pure metadata commit names the PINNED snapshot's file set —
+      // never the live listing, which can capture a concurrent writer's
+      // in-flight, heal-doomed promotions
+      Manifest.writeSeq(spark, dir, info.seq + 1,
+        schemas = Some((widened, info.partSchema)),
+        filesOverride = Some(info.files))
     }
-    val widened = StructType(info.dataSchema.fields ++ newFields)
-    Manifest.write(spark, dir, schemas = Some((widened, info.partSchema)))
   }
 
   /** [[addColumns]] that SKIPS fields the table already has

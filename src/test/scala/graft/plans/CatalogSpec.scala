@@ -286,4 +286,68 @@ class CatalogSpec extends AnyFunSuite {
       GraftCatalog.unregister(spark, "cat_stream")
     }
   }
+
+  test("ALTER TABLE ADD COLUMNS widens through the metadata commit; other ALTER verbs decline graft-aware") {
+    val dir = freshDir("graft-cat-alter")
+    (0L to 9L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Manifest.write(spark, dir)
+    GraftCatalog.register(spark, "cat_alter", dir)
+    try {
+      spark.sql("ALTER TABLE cat_alter ADD COLUMNS (score DOUBLE, tag STRING)").collect()
+      val t = spark.table("cat_alter")
+      assert(t.columns.toSeq == Seq("k", "v", "score", "tag"))
+      assert(t.filter($"score".isNull && $"tag".isNull).count() == 10L,
+        "old files null-fill metadata-committed columns")
+      // the widened shape is live for DML immediately
+      spark.sql("UPDATE cat_alter SET score = CAST(k AS DOUBLE) WHERE k BETWEEN 0 AND 2")
+      assert(spark.table("cat_alter").filter($"score".isNotNull).count() == 3L)
+      // unsupported ADD COLUMNS shapes decline loudly at parse time
+      for (bad <- Seq(
+        "ALTER TABLE cat_alter ADD COLUMNS (nn BIGINT NOT NULL)",
+        "ALTER TABLE cat_alter ADD COLUMNS (d BIGINT DEFAULT 7)",
+        "ALTER TABLE cat_alter ADD COLUMNS (p BIGINT FIRST)",
+        "ALTER TABLE cat_alter ADD COLUMNS (c BIGINT COMMENT 'x')")) {
+        val e = intercept[UnsupportedOperationException](spark.sql(bad))
+        assert(e.getMessage.contains("not supported"), s"$bad -> ${e.getMessage}")
+      }
+      // every other ALTER verb: a graft-aware decline, not TABLE_NOT_FOUND
+      for (bad <- Seq(
+        "ALTER TABLE cat_alter DROP COLUMN v",
+        "ALTER TABLE cat_alter RENAME COLUMN v TO w",
+        "ALTER TABLE cat_alter SET TBLPROPERTIES ('a'='b')")) {
+        val e = intercept[UnsupportedOperationException](spark.sql(bad))
+        assert(e.getMessage.contains("only ADD COLUMNS"), s"$bad -> ${e.getMessage}")
+      }
+      // an UNREGISTERED name keeps Spark's stock resolution error
+      val stock = intercept[Exception](
+        spark.sql("ALTER TABLE cat_alter_nope ADD COLUMNS (x BIGINT)"))
+      assert(!stock.isInstanceOf[UnsupportedOperationException])
+    } finally GraftCatalog.unregister(spark, "cat_alter")
+  }
+
+  test("graft_tables lists registrations with their latest seq") {
+    graft.GraftTableFunctions.ensure(spark)
+    val a = freshDir("graft-cat-lsa")
+    val b = freshDir("graft-cat-lsb")
+    (0L to 4L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(a)
+    (0L to 4L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(b)
+    Manifest.write(spark, a)
+    Manifest.write(spark, b)
+    Layout.append(spark, b, Seq((9L, 9L)).toDF("k", "v"))
+    GraftCatalog.register(spark, "cat_ls_a", a)
+    GraftCatalog.register(spark, "cat_ls_b", b)
+    try {
+      val got = spark.sql(
+        """SELECT name, latest_seq FROM graft_tables()
+          |WHERE name LIKE 'cat_ls_%' ORDER BY name""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("cat_ls_a", Manifest.latestSeq(spark, a).get),
+        ("cat_ls_b", Manifest.latestSeq(spark, b).get)))
+      assert(Manifest.latestSeq(spark, b).get == Manifest.latestSeq(spark, a).get + 1,
+        "b carries the extra append commit")
+    } finally {
+      GraftCatalog.unregister(spark, "cat_ls_a")
+      GraftCatalog.unregister(spark, "cat_ls_b")
+    }
+  }
 }

@@ -746,4 +746,24 @@ class MutationSpec extends AnyFunSuite {
       Manifest.info(spark, dir).files.size, "no strays either way")
     spark.conf.unset(Manifest.KeepConf)
   }
+
+  test("addColumns commits the pinned file set, never the live listing") {
+    // a stray parquet file on disk at commit time — exactly what a
+    // concurrent writer's in-flight (heal-doomed) promotion looks
+    // like — must NOT be captured by a metadata-only commit; adopting
+    // strays stays the explicit Manifest.write(listing) path
+    val dir = freshDir("graft-addcols-pinned")
+    (0L to 9L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Manifest.write(spark, dir)
+    val pinned = Manifest.info(spark, dir).files.toSet
+    (100L to 109L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir) // the stray
+    Layout.addColumns(spark, dir, Seq(org.apache.spark.sql.types.StructField(
+      "w", org.apache.spark.sql.types.LongType, nullable = true)))
+    val after = Manifest.info(spark, dir)
+    assert(after.files.toSet == pinned,
+      s"metadata commit captured the live listing: ${after.files.toSet -- pinned}")
+    assert(after.dataSchema.fieldNames.contains("w"))
+    assert(Layout.readSnapshot(spark, dir).count() == 10L)
+  }
 }
