@@ -2442,16 +2442,22 @@ object Layout {
     // live listing, which can capture a concurrent mutation's in-flight
     // (heal-doomed) promotions. Two concurrent appends CAS-race the
     // same seq; the loser re-reads the winner's snapshot and re-commits
-    // winner's files + its own — both appends land, no re-staging.
+    // winner's files + its own — both appends land, no re-staging. The
+    // schemas re-pin with the retry too: committing the ORIGINAL pin
+    // would silently un-widen a table a concurrent addColumns (or
+    // schema-evolving merge) just widened — the appended files carry a
+    // subset of any widened schema and null-fill, so the winner's
+    // schemas are always the sound ones to carry forward.
     val qualRootStr = normPath(fs.makeQualified(root).toString)
     val movedRel = moved.map(Manifest.dvRelPath(qualRootStr, _))
     val max = spark.conf.get(MutationMaxRetriesConf,
       MutationMaxRetriesDefault.toString).toInt
+    raceHooks.preCommit()
     var base = info
     var attempt = 0
     while (true) {
       try return Manifest.writeSeq(spark, dir, base.seq + 1,
-        schemas = Some((info.dataSchema, info.partSchema)),
+        schemas = Some((base.dataSchema, base.partSchema)),
         filesOverride = Some(base.files ++ movedRel))
       catch {
         case e: java.util.ConcurrentModificationException =>

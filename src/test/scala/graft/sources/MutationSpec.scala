@@ -747,6 +747,31 @@ class MutationSpec extends AnyFunSuite {
     spark.conf.unset(Manifest.KeepConf)
   }
 
+  test("append racing a concurrent widening carries the winner's schema on retry") {
+    // the CAS loser re-pins files AND schemas: committing the original
+    // pin would silently un-widen the table the winner just widened
+    val dir = freshDir("graft-append-widen-race")
+    (0L to 9L).map(k => (k, k)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Manifest.write(spark, dir)
+    Layout.raceHooks.preCommit = () => {
+      Layout.raceHooks.reset() // interleave exactly once
+      Layout.addColumns(spark, dir, Seq(org.apache.spark.sql.types.StructField(
+        "w", org.apache.spark.sql.types.LongType, nullable = true)))
+      ()
+    }
+    try {
+      val seq = Layout.append(spark, dir, (10L to 14L).map(k => (k, k)).toDF("k", "v"))
+      val fin = Manifest.info(spark, dir)
+      assert(fin.seq == seq, "the retried append is the latest commit")
+      assert(fin.dataSchema.fieldNames.contains("w"),
+        "the retried append must carry the winner's widened schema forward")
+      val t = Layout.readSnapshot(spark, dir)
+      assert(t.count() == 15L, "both the widening and the append landed")
+      assert(t.columns.contains("w") && t.filter(col("w").isNull).count() == 15L,
+        "every file null-fills the metadata-committed column")
+    } finally Layout.raceHooks.reset()
+  }
+
   test("addColumns commits the pinned file set, never the live listing") {
     // a stray parquet file on disk at commit time — exactly what a
     // concurrent writer's in-flight (heal-doomed) promotion looks
