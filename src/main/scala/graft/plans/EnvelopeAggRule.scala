@@ -540,9 +540,16 @@ class EnvelopeAggRule(session: SparkSession) extends Rule[LogicalPlan]
       return None
 
     // the branches' listings are taken AS SKIPPED (not unwrapped to the
-    // base): together they must reproduce the snapshot's exact file set
-    val current = (fsrA.location.inputFiles ++ fsrB.location.inputFiles)
-      .map(Layout.normPath).toSet
+    // base): together they must PARTITION the snapshot's exact file set.
+    // Disjointness is load-bearing, not cosmetic: a user-built
+    // `readSnapshot(t).union(spark.read.parquet(t))` has both branches
+    // carrying the FULL set — their union still equals the index's, but
+    // the true count is 2·rows − pending, not rows − pending. Only the
+    // applyDv split (clean ⊎ DV'd) passes both gates.
+    val filesA = fsrA.location.inputFiles.map(Layout.normPath).toSet
+    val filesB = fsrB.location.inputFiles.map(Layout.normPath).toSet
+    if (filesA.exists(filesB.contains)) return None
+    val current = filesA ++ filesB
     if (meta.files != current) return None
     val lk = dvBc.value
     if (Layout.normPath(dir) != lk.rootNorm) return None

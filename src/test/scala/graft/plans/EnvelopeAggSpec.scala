@@ -421,6 +421,23 @@ class EnvelopeAggSpec extends AnyFunSuite {
     } finally spark.conf.unset(Layout.DvSplitMinCleanFilesConf)
   }
 
+  test("dv table: an OVERLAPPING union (snapshot ∪ plain read) declines — branches must partition") {
+    // both branches carry the FULL file set, so their union equals the
+    // index's and the sidecar subsets it — only the disjointness gate
+    // tells this (true count 2·rows − pending) from the applyDv split
+    // (rows − pending); a rewrite here would halve the answer
+    val dir = dvTable()
+    withRule(true) {
+      def q() = Layout.readSnapshot(spark, dir)
+        .unionByName(spark.read.parquet(dir))
+        .agg(count(lit(1)).as("n"))
+      assert(!firesIndexOnly(q()),
+        s"overlapping union must NOT be index-answered:\n${q().queryExecution.optimizedPlan}")
+      assert(q().collect().head.getLong(0) == 3900L + 4000L)
+      sameRows(() => q())
+    }
+  }
+
   test("dv table: min/max/count(c)/sum decline — a deleted extremum is never index-answered") {
     val dir = dvTable()
     withRule(true) {
