@@ -154,7 +154,11 @@ object Bench {
     // round 19: DV-aware metadata count (no data scan), the SQL-DDL
     // named read, and VERSION AS OF over a name (fixture inside
     // q200_mut_build19; q201/q202 reuse round-18/14 tables)
-    "q200_dv_count_meta", "q201_ddl_named_box", "q202_sql_version_as_of")
+    "q200_dv_count_meta", "q201_ddl_named_box", "q202_sql_version_as_of",
+    // round 19 (optimization round): the two declared round-19 queries the
+    // interrupted build round left un-benched — the ALTER TABLE lifecycle
+    // box and the graft_tables() listing (fixtures inside q200_mut_build19)
+    "q203_sql_alter_box", "q204_graft_tables")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -67,13 +67,21 @@ object Pipeline {
           .sortWithinPartitions(col("ts_ns")),
         eventsPath, "graft_rows_events", partitionCols = Seq("event_type"))
       val stored = spark.read.parquet(eventsPath)
-      val counts = scala.collection.mutable.Map[String, Long](
-        "events" -> nEvents)
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      counts.put("events", nEvents)
       // later analytics may read the tables earlier ones wrote (runFrom) —
       // e.g. the tracer unions the stored consensus + p2p tables instead of
-      // re-running both machines
-      var written = Map.empty[String, DataFrame]
-      analytics.foreach { a =>
+      // re-running both machines. The DEPENDENCY graph is exactly that:
+      // TracerEvents reads its siblings' stored tables, everything else is
+      // self-contained — so the independent analytics run CONCURRENTLY
+      // from a small driver pool (guide §2.6: the pipeline is ~90 small
+      // jobs whose barriers leave most cores idle; overlapping job chains
+      // back-fills them) and the tracer runs after, seeing the same
+      // `written` map the sequential loop gave it. Each sink's observed
+      // metric name is already unique per (run, table), and the captured-
+      // metric map is concurrent, so counts stay exact under the pool.
+      val writtenMap = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      def runOne(a: Analytic, written: Map[String, DataFrame]): Unit = {
         // per-run tracker: the analytic registers any frames it persists
         // for its sinks' plans; released once all its tables are on disk
         // (repeated or CONCURRENT runs in one session must neither pin
@@ -81,15 +89,35 @@ object Pipeline {
         val tracker = new FrameTracker
         a.runFrom(stored, written, tracker).foreach { case (table, df) =>
           val path = s"$warehouse/$table"
-          counts(table) = writeCounted(df, path, s"graft_rows_$table")
+          counts.put(table, writeCounted(df, path, s"graft_rows_$table"))
           // the read-back is LAZY (schema comes from the footer, no job) —
           // downstream consumers via `written` plan against the stored
           // table, not this analytic's live DAG
-          written += table -> spark.read.parquet(path)
+          writtenMap.put(table, spark.read.parquet(path))
+          ()
         }
         tracker.release()
       }
-      counts.toMap
+      val (dependent, independent) = analytics.partition(_ == Analytics.TracerEvents)
+      if (independent.sizeIs <= 1) independent.foreach(runOne(_, Map.empty))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(independent.size, 4))
+        try {
+          val fs = independent.map(a =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = runOne(a, Map.empty)
+            }))
+          fs.foreach { f =>
+            try { f.get(); () }
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          }
+        } finally pool.shutdown()
+      }
+      dependent.foreach { a =>
+        runOne(a, scala.jdk.CollectionConverters.MapHasAsScala(writtenMap).asScala.toMap)
+      }
+      scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap
     } finally spark.listenerManager.unregister(metricListener)
   }
 

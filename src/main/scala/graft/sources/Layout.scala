@@ -1300,15 +1300,6 @@ object Layout {
              keyCol: String, mode: String = "copy"): MutationStats =
     upsertKeyed(spark, dir, updates, Seq(keyCol), mode)
 
-  /** Per-file bloom probe for a pre-hashed value — same construction as
-    * [[graft.plans.EnvelopePruneRule]]'s: NULL blooms (legacy index rows,
-    * empty files) answer "might contain", the safe direction. */
-  private[graft] val bloomMightContain =
-    udf((bloom: Array[Byte], hash: Long) =>
-      bloom == null ||
-        org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bloom)).mightContainLong(hash))
-
   /** [[upsert]] generalized to a COMPOSITE unique key: rows are matched
     * on equality of EVERY `keyCols` column. File classification stabs
     * EACH key column independently and unions the miss proofs (a file
@@ -1899,10 +1890,39 @@ object Layout {
     val exact = graft.operators.IntervalJoin.pointInInterval(
       pts, iv, Nil, "k_pt", "f_start", "f_end", stabWidth(iv.select("file", "f_start", "f_end")))
       .filter(col("k_val") >= col("f_min") && col("k_val") <= col("f_max"))
-    if (hasBloom)
-      exact.filter(bloomMightContain(col("f_bloom"), xxhash64(col("k_val"))))
-    else exact
+    if (hasBloom) {
+      // Probe per FILE, not per pair: the worst-case fixture (key
+      // interleaves across files, every file's range covers every key)
+      // yields |keys| × |files| exact pairs, and the old per-pair filter
+      // re-parsed the ~24 KB serialized sketch for EVERY pair
+      // (BloomFilter.readFrom walks the bit array through a
+      // DataInputStream — ~60 µs per call; measured 11.5–13.2 s of the
+      // string-upsert's 12–16 s total at sf0.1, ProfBuilds updstr).
+      // Grouping the stabbed keys per file and deserializing each file's
+      // bloom ONCE is the guide-§4.5 amortization; the pair set emitted
+      // is pointwise identical (same membership test per (file, key)).
+      val probed = exact
+        .groupBy(col("file"))
+        .agg(collect_list(struct(col("k_val"), xxhash64(col("k_val")).as("__k_h"))).as("__ks"))
+        .join(iv.select(col("file"), col("f_bloom")), Seq("file"))
+        .select(col("file"), explode(bloomKeepKeys(col("f_bloom"), col("__ks"))).as("k_val"))
+      probed
+    } else exact.select(col("file"), col("k_val"))
   }
+
+  /** One-deserialization bloom probe over a file's whole candidate-key
+    * batch: keys whose pre-computed xxhash64 the sketch might contain
+    * survive; a NULL bloom (legacy index row, empty file) keeps every
+    * key — the safe direction (a false positive only keeps a pair). */
+  private[graft] val bloomKeepKeys =
+    udf((bloom: Array[Byte], ks: Seq[org.apache.spark.sql.Row]) => {
+      if (bloom == null) ks.map(_.getString(0))
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bloom))
+        ks.collect { case r if bf.mightContainLong(r.getLong(1)) => r.getString(0) }
+      }
+    })
 
   private def collectFiles(env: DataFrame): Set[String] =
     env.select("file").distinct().collect().map(r => normPath(r.getString(0))).toSet

@@ -699,9 +699,7 @@ object Manifest {
       planOver(spark, dir, to, to.files.filterNot(fromSet) ++ common), split = false)
     val removed = applyDv(spark, dir, from0.dv,
       planOver(spark, dir, from, from.files.filterNot(toSet) ++ common), split = false)
-    import org.apache.spark.sql.functions.{col, lit, sum, when}
-    val ins = added.exceptAll(removed)
-    val del = removed.exceptAll(added)
+    import org.apache.spark.sql.functions.{abs, col, lit, sum, when}
     val allCols = (to.dataSchema.fieldNames ++ to.partSchema.fieldNames).toSet
     // pairing key: the caller's, or — when every keyed commit in the
     // range recorded the SAME `cdcPairKey` — the recorded one
@@ -728,8 +726,30 @@ object Manifest {
           case _ => None
         }
       }
-    val labeled = ins.withColumn("_change_type", lit("insert"))
-      .unionByName(del.withColumn("_change_type", lit("delete")))
+    // The two-sided multiset diff in ONE aggregation pass. The previous
+    // shape — `added.exceptAll(removed)` UNION `removed.exceptAll(added)`
+    // — let Spark's RewriteExceptAll expand each exceptAll into its own
+    // union+aggregate, so BOTH change-file scans were evaluated twice and
+    // the union shuffled+aggregated twice. The signed-count aggregate
+    // below is the same construction evaluated once: +1 per added row,
+    // −1 per removed row, group by every column, keep non-zero nets, emit
+    // |net| copies labelled by the sign (ReplicateRows — the identical
+    // generator RewriteExceptAll plants — streams the copies; per-row
+    // multiplicity is never materialized as an array). Row-for-row equal
+    // to the old plan: exceptAll's own semantics are max(l−r, 0) copies,
+    // which is exactly the positive (resp. negative) part of the net.
+    val vc = "__graft_cdc_mult"
+    require(!allCols.contains(vc),
+      s"Manifest.readChangeRows: column name $vc is reserved by the CDC diff")
+    val signed = added.withColumn(vc, lit(1L)).union(removed.withColumn(vc, lit(-1L)))
+    val dataCols = added.columns.toSeq
+    val labeled = org.apache.spark.sql.GraftBridge.replicateRows(
+      signed.groupBy(dataCols.map(col): _*).agg(sum(col(vc)).as(vc))
+        .filter(col(vc) =!= 0L)
+        .withColumn("_change_type",
+          when(col(vc) > 0L, lit("insert")).otherwise(lit("delete")))
+        .withColumn(vc, abs(col(vc))),
+      vc)
     key match {
       case None => labeled
       case Some(k) =>

@@ -46,6 +46,36 @@ object GraftBridge {
     execution.datasources.LogicalRelation(rel)
   }
 
+  /** An independent session FORK (confs, temp views, injected rules all
+    * copied, then isolated) — `cloneSession()` is `private[sql]`. Lets a
+    * driver-side task pool run conf-scoped work (e.g. a fixture build
+    * that toggles `spark.graft.merge.mode`) without racing the shared
+    * session's conf. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Emit each input row `timesCol` times (a LONG column; rows with a
+    * non-positive count emit nothing) and drop the count column — the
+    * streaming row-replication node Spark's own RewriteExceptAll plants
+    * ([[catalyst.expressions.ReplicateRows]] under a Generate), exposed
+    * so a caller computing a SIGNED multiset diff in ONE aggregation can
+    * expand net multiplicities without materializing per-row arrays
+    * (`explode(sequence(...))` would buffer a row's whole multiplicity). */
+  def replicateRows(df: DataFrame, timesCol: String): DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    val times = analyzed.output.find(_.name == timesCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"replicateRows: no column '$timesCol' in ${analyzed.output.map(_.name)}"))
+    require(times.dataType == types.LongType,
+      s"replicateRows: '$timesCol' must be LONG, got ${times.dataType.sql}")
+    val rest = analyzed.output.filterNot(_.exprId == times.exprId)
+    val gen = catalyst.plans.logical.Generate(
+      catalyst.expressions.ReplicateRows(times +: rest),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Nil, analyzed)
+    ofRows(df.sparkSession, catalyst.plans.logical.Project(rest, gen))
+  }
+
   /** Re-flag a batch relation plan as STREAMING — what a V1
     * `Source.getBatch` must return (the engine asserts isStreaming;
     * `FileStreamSource` builds its relations the same way). Also flips
