@@ -191,9 +191,18 @@ object Bench {
       val d = "/root/testdata/sf0.001"
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))) d else sfDir
     }
-    headline.foreach { name =>
-      try all(name)(spark, warmDir).count()
-      catch { case _: Throwable => }
+    // SPARK_GRAFT_WARM_PASSES (default 1 — the methodology every round has
+    // used): how many untimed passes of the headline set fill the caches
+    // before timing. The knob exists because round 19's warmup
+    // investigation needed it (OPTIMIZATION_r19.md): a 3-pass run measured
+    // NO serving-side improvement over 1 pass, so the default stays 1 and
+    // per-entry numbers remain directly comparable across rounds.
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "1").toInt
+    (1 to warmPasses).foreach { _ =>
+      headline.foreach { name =>
+        try all(name)(spark, warmDir).count()
+        catch { case _: Throwable => }
+      }
     }
 
     // Two timed iterations, min per query: single-shot numbers on a shared

@@ -29,6 +29,49 @@ object ProfBuilds {
     }
     // warm JIT/codegen once, like Bench's warmup
     t("zorderBuild warm") { LayoutQueries.buildZorder(spark, dir) }
+    if (args.contains("drift")) {
+      val all = SparkEntry.queries
+      val probe = Seq("q132_sql_tf_interval", "q122_sql_asof", "q31_rollup",
+        "q140_sql_tf_sessionize", "q130_sql_tf_heavy_hitters")
+      def time(tag: String): Unit = probe.foreach { n =>
+        val t0 = System.nanoTime()
+        all(n)(spark, dir).count()
+        System.err.println(f"[drift] $tag $n%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      }
+      probe.foreach(n => try { all(n)(spark, dir).count(); () } catch { case _: Throwable => })
+      time("t0-fresh    ")
+      time("t0-fresh    ")
+      LayoutQueries.buildZorder(spark, dir)
+      time("t1-zorder   ")
+      LayoutQueries.buildZorder14(spark, dir)
+      LayoutQueries.buildZorder15(spark, dir)
+      time("t2-build1415")
+      LayoutQueries.buildZorder16(spark, dir)
+      LayoutQueries.buildZorder17(spark, dir)
+      time("t3-build1617")
+      LayoutQueries.buildZorder18(spark, dir)
+      LayoutQueries.buildZorder19(spark, dir)
+      time("t4-build1819")
+      time("t4-build1819")
+      spark.stop(); return
+    }
+    if (args.contains("clones")) {
+      val all = SparkEntry.queries
+      val probe = Seq("q132_sql_tf_interval", "q31_rollup", "q130_sql_tf_heavy_hitters")
+      def timeMin(tag: String): Unit = probe.foreach { n =>
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); all(n)(spark, dir).count(); (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println(f"[clones] $tag $n%-28s min ${ts.min}%7.3f s")
+      }
+      (1 to 4).foreach(_ => probe.foreach(n => all(n)(spark, dir).count()))
+      timeMin("pre ")
+      val clones = (1 to 6).map(_ => org.apache.spark.sql.GraftBridge.cloneSession(spark))
+      clones.foreach(s => s.sql("SELECT 1").count()) // force session state init
+      timeMin("post")
+      timeMin("post")
+      spark.stop(); return
+    }
     if (args.contains("updstr")) {
       import org.apache.spark.sql.functions._
       import graft.sources.{Layout, Tables}
