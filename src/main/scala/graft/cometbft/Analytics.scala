@@ -56,6 +56,17 @@ trait Analytic {
   def runFrom(events: DataFrame, stored: Map[String, DataFrame],
               tracker: FrameTracker): Seq[(String, DataFrame)] =
     run(events, tracker)
+
+  /** Names of the sibling ANALYTICS whose stored tables [[runFrom]]
+    * consumes. The pipeline schedules this analytic only after every
+    * named sibling (that is enabled in the run) has written its tables —
+    * the dependency is DECLARED here instead of hardcoded by object
+    * identity in the scheduler, so a future analytic that reads stored
+    * siblings cannot silently land in the independent pool and recompute
+    * (or diverge from) its inputs. A named sibling that is NOT enabled
+    * in the run is simply absent from `stored` and [[runFrom]] falls
+    * back to computing — the historical behavior. */
+  def dependsOn: Set[String] = Set.empty
 }
 
 object Analytics {
@@ -665,6 +676,7 @@ object Analytics {
     * re-sorted by timestamp. */
   object TracerEvents extends Analytic {
     val name = "tracer_events"
+    override val dependsOn: Set[String] = Set("consensus_steps", "p2p_messages")
     def run(events: DataFrame): Seq[(String, DataFrame)] =
       runFrom(events, Map.empty, new FrameTracker)
     /** The consensus and p2p sides come from the sibling analytics'

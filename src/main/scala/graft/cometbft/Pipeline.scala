@@ -71,15 +71,20 @@ object Pipeline {
       counts.put("events", nEvents)
       // later analytics may read the tables earlier ones wrote (runFrom) —
       // e.g. the tracer unions the stored consensus + p2p tables instead of
-      // re-running both machines. The DEPENDENCY graph is exactly that:
-      // TracerEvents reads its siblings' stored tables, everything else is
-      // self-contained — so the independent analytics run CONCURRENTLY
-      // from a small driver pool (guide §2.6: the pipeline is ~90 small
-      // jobs whose barriers leave most cores idle; overlapping job chains
-      // back-fills them) and the tracer runs after, seeing the same
-      // `written` map the sequential loop gave it. Each sink's observed
-      // metric name is already unique per (run, table), and the captured-
-      // metric map is concurrent, so counts stay exact under the pool.
+      // re-running both machines. The DEPENDENCY graph is DECLARED on the
+      // trait (`Analytic.dependsOn`, the analytic names whose stored
+      // tables runFrom consumes — no more identity-hardcoded split), and
+      // scheduling is by completion future: every analytic's work chains
+      // on its dependencies' futures (CompletableFuture composition, so a
+      // waiting dependent never occupies a pool thread), independents
+      // start immediately, and a dependent starts the moment its LAST
+      // dependency lands instead of after the whole independent pool
+      // drains (guide §2.6: the pipeline is ~90 small jobs whose barriers
+      // leave most cores idle; overlapping job chains back-fills them,
+      // and the tracer now overlaps the straggling independents too).
+      // Each sink's observed metric name is already unique per
+      // (run, table), and the captured-metric map is concurrent, so
+      // counts stay exact under the pool.
       val writtenMap = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
       def runOne(a: Analytic, written: Map[String, DataFrame]): Unit = {
         // per-run tracker: the analytic registers any frames it persists
@@ -87,7 +92,9 @@ object Pipeline {
         // (repeated or CONCURRENT runs in one session must neither pin
         // events-sized blocks nor unpersist each other's)
         val tracker = new FrameTracker
-        a.runFrom(stored, written, tracker).foreach { case (table, df) =>
+        try {
+        val tables = a.runFrom(stored, written, tracker)
+        def writeOne(table: String, df: DataFrame): Unit = {
           val path = s"$warehouse/$table"
           counts.put(table, writeCounted(df, path, s"graft_rows_$table"))
           // the read-back is LAZY (schema comes from the footer, no job) —
@@ -96,26 +103,75 @@ object Pipeline {
           writtenMap.put(table, spark.read.parquet(path))
           ()
         }
-        tracker.release()
+        tables.headOption.foreach { case (t, df) => writeOne(t, df) }
+        val rest = tables.drop(1)
+        // a multi-table analytic's remaining sinks are independent jobs
+        // over frames the FIRST write already materialized (the tracked
+        // persists), so they overlap on their own small pool — the
+        // network-latency analytic alone is five sinks / ~36 small jobs,
+        // the pipeline's measured critical path
+        if (rest.sizeIs <= 1) rest.foreach { case (t, df) => writeOne(t, df) }
+        else {
+          val sinkPool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(rest.size, 3))
+          try {
+            val fs = rest.map { case (t, df) =>
+              sinkPool.submit(new java.util.concurrent.Callable[Unit] {
+                override def call(): Unit = writeOne(t, df)
+              })
+            }
+            // collect every outcome (no sink left writing), then rethrow
+            val errs = fs.flatMap(f => scala.util.Try(f.get()).failed.toOption)
+            errs.headOption.foreach {
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
+              case e => throw e
+            }
+          } finally sinkPool.shutdown()
+        }
+        } finally tracker.release()
       }
-      val (dependent, independent) = analytics.partition(_ == Analytics.TracerEvents)
-      if (independent.sizeIs <= 1) independent.foreach(runOne(_, Map.empty))
+      if (analytics.sizeIs <= 1) analytics.foreach(runOne(_, Map.empty))
       else {
+        val byName = analytics.map(_.name).toSet
+        val done = analytics.map(a =>
+          a.name -> new java.util.concurrent.CompletableFuture[Unit]).toMap
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(independent.size, 4))
+          math.min(analytics.size, 8))
         try {
-          val fs = independent.map(a =>
-            pool.submit(new java.util.concurrent.Callable[Unit] {
-              override def call(): Unit = runOne(a, Map.empty)
-            }))
-          fs.foreach { f =>
-            try { f.get(); () }
-            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          analytics.foreach { a =>
+            // a declared dependency that is NOT enabled in this run is
+            // skipped: runFrom sees it absent from `written` and falls
+            // back to computing — the historical sequential behavior
+            val deps = a.dependsOn.intersect(byName).toSeq.map(done(_))
+            val gate = java.util.concurrent.CompletableFuture.allOf(deps: _*)
+            gate.whenCompleteAsync((_, depErr) => {
+              val f = done(a.name)
+              if (depErr != null)
+                f.completeExceptionally(new IllegalStateException(
+                  s"${a.name}: a dependency analytic failed", depErr))
+              else try {
+                val written =
+                  if (a.dependsOn.isEmpty) Map.empty[String, DataFrame]
+                  else scala.jdk.CollectionConverters
+                    .MapHasAsScala(writtenMap).asScala.toMap
+                runOne(a, written)
+                f.complete(()); ()
+              } catch { case t: Throwable => f.completeExceptionally(t); () }
+            }, pool)
           }
+          // await EVERY outcome before rethrowing: no analytic is still
+          // writing when the listener is unregistered (a failure used to
+          // propagate while in-flight siblings kept writing, each then
+          // stalling 30s in awaitObservedMetric on a background thread)
+          val failures = analytics.flatMap { a =>
+            try { done(a.name).get(); None }
+            catch {
+              case e: java.util.concurrent.ExecutionException => Some(e.getCause)
+              case e: Throwable => Some(e)
+            }
+          }
+          failures.headOption.foreach(throw _)
         } finally pool.shutdown()
-      }
-      dependent.foreach { a =>
-        runOne(a, scala.jdk.CollectionConverters.MapHasAsScala(writtenMap).asScala.toMap)
       }
       scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toMap
     } finally spark.listenerManager.unregister(metricListener)

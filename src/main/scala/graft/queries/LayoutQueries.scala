@@ -292,7 +292,7 @@ object LayoutQueries {
         .withColumn("wk", weekofyear(timestamp_micros(col("ts_us"))))
         .write.partitionBy("wk").parquet(out)
       Layout.clusterPartitions(spark, out, Seq("user_id", "ts_us"),
-        filesPerPartition = 4, indexCols = Seq("wk"))
+        filesPerPartition = 4, indexCols = Seq("wk"), parallelism = 3)
       Layout.deleteWhere(spark, out,
         Seq(("user_id", 3L, 6L), ("ts_us", EvTsLo, EvTsHi - 1)))
       out
@@ -494,9 +494,10 @@ object LayoutQueries {
       val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
         .withColumn("ev_key",
           concat(lit("ev-"), lpad(col("event_id").cast("string"), 10, "0")))
-      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out)
-      Layout.writeEnvelopes(spark, out, Seq("user_id", "ts_us", "ev_key"),
-        bloomCols = Seq("ev_key"))
+      // one envelope build: the wider key-column index rides the
+      // clusterWrite itself instead of a second full stats scan
+      Layout.clusterWrite(ev, Seq("user_id", "ts_us"), 16, out,
+        indexCols = Seq("ev_key"), bloomCols = Seq("ev_key"))
       val updates = ev.filter(col("event_id") % 10 === 3)
         .withColumn("value", col("value") * 2)
       Layout.upsert(spark, out, updates, "ev_key")
@@ -579,8 +580,10 @@ object LayoutQueries {
       val out = TextQueries.newTempDir("graft-zorder").resolve("events_merge_lowcard").toString
       val raw = spark.read.parquet(s"$dir/events.parquet")
       val ev = raw.withColumn("ts_us", Tables.tsToMicros(raw, "ts")).drop("ts")
-      Layout.clusterWrite(ev, Seq("event_id"), 16, out)
-      Layout.writeEnvelopes(spark, out, Seq("event_id", "event_type"))
+      // one envelope build (see zEventsUpdStr): event_type stats ride
+      // the clusterWrite's index pass
+      Layout.clusterWrite(ev, Seq("event_id"), 16, out,
+        indexCols = Seq("event_type"))
       ev.filter(col("event_id") % 10 === 7)
         .withColumn("value", col("value") * 3)
         .createOrReplaceTempView("graft_q188_src")

@@ -97,6 +97,16 @@ object Layout {
   val MutationMaxRetriesConf = "spark.graft.mutation.maxRetries"
   val MutationMaxRetriesDefault = 3
 
+  /** Salt-group count for the string-key bloom refinement's per-file
+    * batch probe ([[stringKeyStab]]): each (file, salt) aggregation
+    * buffer holds ~|file's stabbed keys| / salts keys, bounding the
+    * batch that the one-deserialization probe builds in memory (the
+    * unsalted batch was O(|keys|) per file in the full-candidate worst
+    * case). Raise it for merges whose key sets are huge relative to
+    * executor memory; the sketch parses at most `salts` times per file
+    * either way. */
+  val BloomProbeBatchesConf = "spark.graft.bloom.probeBatches"
+
   /** Raw long/double view of a column for range scaling. Monotone in the
     * column's natural order per type; strings use a 7-BYTE UTF-8 prefix
     * read as a 56-bit integer — monotone in Spark's binary string order
@@ -218,11 +228,19 @@ object Layout {
     * refresh the `<dir>.envelopes` skipping index over the same columns
     * ([[writeEnvelopes]]) so [[prunedRead]] — and the
     * [[graft.plans.EnvelopePruneRule]] auto-pruning of plain
-    * `read.filter` scans — work out of the box. */
+    * `read.filter` scans — work out of the box.
+    *
+    * `indexCols`/`bloomCols` widen the index beyond the clustering
+    * columns IN THE SAME build (callers that need key-column stats used
+    * to follow this with a second full [[writeEnvelopes]] over the wider
+    * set, discarding the one just written — a repeated full scan of the
+    * fresh table for an index the first pass could have produced). */
   def clusterWrite(df: DataFrame, cols: Seq[String], numPartitions: Int, dir: String,
-                   scaling: String = "linear"): Unit = {
+                   scaling: String = "linear", indexCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Unit = {
     cluster(df, cols, numPartitions, scaling).write.mode("overwrite").parquet(dir)
-    writeEnvelopes(df.sparkSession, dir, cols)
+    writeEnvelopes(df.sparkSession, dir,
+      (cols ++ indexCols).distinct, bloomCols = bloomCols)
   }
 
   /** Per-leaf-partition OPTIMIZE: rewrite EVERY leaf directory of a
@@ -1891,7 +1909,7 @@ object Layout {
       pts, iv, Nil, "k_pt", "f_start", "f_end", stabWidth(iv.select("file", "f_start", "f_end")))
       .filter(col("k_val") >= col("f_min") && col("k_val") <= col("f_max"))
     if (hasBloom) {
-      // Probe per FILE, not per pair: the worst-case fixture (key
+      // Probe per FILE BATCH, not per pair: the worst-case fixture (key
       // interleaves across files, every file's range covers every key)
       // yields |keys| × |files| exact pairs, and the old per-pair filter
       // re-parsed the ~24 KB serialized sketch for EVERY pair
@@ -1899,10 +1917,20 @@ object Layout {
       // DataInputStream — ~60 µs per call; measured 11.5–13.2 s of the
       // string-upsert's 12–16 s total at sf0.1, ProfBuilds updstr).
       // Grouping the stabbed keys per file and deserializing each file's
-      // bloom ONCE is the guide-§4.5 amortization; the pair set emitted
-      // is pointwise identical (same membership test per (file, key)).
+      // bloom once per batch is the guide-§4.5 amortization; the pair set
+      // emitted is pointwise identical (same membership test per
+      // (file, key), unioned over the salt groups). The deterministic
+      // key-hash SALT bounds the aggregation buffer: one unsalted group
+      // held ALL of a file's stabbed keys in memory — O(|keys|) per group
+      // in the full-candidate worst case, an executor OOM at scales past
+      // the bench fixtures. Expected batch size is |file's keys| / salts;
+      // the sketch still parses at most `salts` times per file instead of
+      // once per pair.
+      val salts = math.max(1, iv0.sparkSession.conf
+        .getOption(BloomProbeBatchesConf).getOrElse("16").toInt)
       val probed = exact
-        .groupBy(col("file"))
+        .groupBy(col("file"),
+          pmod(xxhash64(col("k_val")), lit(salts.toLong)).as("__salt"))
         .agg(collect_list(struct(col("k_val"), xxhash64(col("k_val")).as("__k_h"))).as("__ks"))
         .join(iv.select(col("file"), col("f_bloom")), Seq("file"))
         .select(col("file"), explode(bloomKeepKeys(col("f_bloom"), col("__ks"))).as("k_val"))

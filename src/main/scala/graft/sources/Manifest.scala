@@ -743,8 +743,13 @@ object Manifest {
       s"Manifest.readChangeRows: column name $vc is reserved by the CDC diff")
     val signed = added.withColumn(vc, lit(1L)).union(removed.withColumn(vc, lit(-1L)))
     val dataCols = added.columns.toSeq
+    // backtick-quoted references throughout: a plain col(name) resolves
+    // through the expression parser, so a legal parquet column name
+    // containing a dot would parse as a nested-field access and break
+    // (or mis-group) the diff — the old exceptAll diff was name-agnostic
+    def bq(n: String) = col("`" + n.replace("`", "``") + "`")
     val labeled = org.apache.spark.sql.GraftBridge.replicateRows(
-      signed.groupBy(dataCols.map(col): _*).agg(sum(col(vc)).as(vc))
+      signed.groupBy(dataCols.map(bq): _*).agg(sum(col(vc)).as(vc))
         .filter(col(vc) =!= 0L)
         .withColumn("_change_type",
           when(col(vc) > 0L, lit("insert")).otherwise(lit("delete")))
@@ -764,10 +769,10 @@ object Manifest {
         // when the recorded key is a row identity. NULL key components
         // keep plain labels (a NULL never equals the other side's key).
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(k.map(col): _*)
+        val w = Window.partitionBy(k.map(bq): _*)
         val d = sum(when(col("_change_type") === "delete", 1).otherwise(0)).over(w)
         val i = sum(when(col("_change_type") === "insert", 1).otherwise(0)).over(w)
-        val paired = d === 1 && i === 1 && k.map(col(_).isNotNull).reduce(_ && _)
+        val paired = d === 1 && i === 1 && k.map(bq(_).isNotNull).reduce(_ && _)
         labeled.withColumn("_change_type",
           when(paired && col("_change_type") === "delete", lit("update_preimage"))
             .when(paired && col("_change_type") === "insert", lit("update_postimage"))
