@@ -459,7 +459,13 @@ object CorpusOps {
                          isTarget: Column, budgetTokens: Long, salt: String,
                          buckets: Int = 1 << 18): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
+    // the weights table feeds TWO consumers — the 1-row mass aggregate
+    // and the final keep projection — and the scoring join + per-doc
+    // aggregate above it would otherwise evaluate once under EACH
+    // (importanceWeights' checkpoint covers only the feature cache);
+    // materialize the per-doc frame once (doc-count-sized, never tokens)
     val weights = importanceWeights(docs, idCol, textCol, isTarget, buckets)
+      .stageCheckpoint()
     val scale = weights
       .agg(sum(dec(col("n_tokens")) * dec(col("score_ppm"))).as("mass"))
       .select(
@@ -565,7 +571,12 @@ object CorpusOps {
     * global-order cumulative exactly. */
   def budgetSelect(docs: DataFrame, idCol: String, tokenCount: Column,
                    score: Column, budgetTokens: Long): DataFrame = {
+    // scored feeds both the class-offset aggregate and the join back:
+    // without a materialization the score/tokenCount expressions (often
+    // a full tokenize of the text) evaluate TWICE — once per subtree.
+    // The staged frame is 3 narrow columns per document.
     val scored = docs.select(col(idCol), score.as("score"), tokenCount.as("n_tokens"))
+      .stageCheckpoint()
     val wBefore = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val classOffsets = scored

@@ -1330,7 +1330,7 @@ object Layout {
                   keyCols: Seq[String], mode: String = "copy"): MutationStats = {
     require(mode == "copy" || mode == "dv",
       s"upsert: mode must be copy|dv, got '$mode'")
-    val keys = cachedSourceKeys(updates, keyCols, "upsert", requireUnique = true)
+    val (keys, _) = cachedSourceKeys(updates, keyCols, "upsert", requireUnique = true)
     try withMutationRetry(spark) {
       val classify = keyedClassifier(updates, keys, keyCols)
       if (mode == "dv")
@@ -1364,9 +1364,14 @@ object Layout {
     * no defined winner, SQL MERGE's cardinality error) — identify each
     * source row uniquely. An INSERT-ONLY merge passes `requireUnique =
     * false`: repeated unmatched source keys legally insert row by row.
-    * The caller unpersists. */
+    * The caller unpersists. Returns the keys frame AND the exact source
+    * row count the validation already computed — the verbs use it to
+    * pick the source-side join strategy from a KNOWN count instead of
+    * Spark's size estimate (which, for a filtered scan of a huge table,
+    * is the unfiltered file size — so the planner would never broadcast
+    * a trickle-CDC source against table-sized candidates). */
   private def cachedSourceKeys(source: DataFrame, keyCols: Seq[String],
-                               verb: String, requireUnique: Boolean): DataFrame = {
+                               verb: String, requireUnique: Boolean): (DataFrame, Long) = {
     require(keyCols.nonEmpty, s"$verb: no key columns")
     require(keyCols.distinct.size == keyCols.size,
       s"$verb: duplicate key columns in $keyCols")
@@ -1382,8 +1387,17 @@ object Layout {
     if (requireUnique && n != distinctN)
       fail(s"$verb: key ${keyCols.mkString(",")} is not unique in the source " +
         s"($n rows, $distinctN keys)")
-    keys
+    (keys, n)
   }
+
+  /** Row ceiling under which a merge BROADCASTS its source side into the
+    * candidate-rewrite joins (explicit hint from the exact validated
+    * count — guide §3.1: estimates after filters are unreliable, so a
+    * trickle-CDC source filtered out of a huge table would otherwise
+    * sort-merge-join, shuffling every candidate row). Size it to
+    * executor broadcast headroom; 0 disables the hint. */
+  val MergeBroadcastSourceRowsConf = "spark.graft.merge.broadcastSourceRows"
+  val MergeBroadcastSourceRowsDefault = 2000000L
 
   /** Envelope-index classifier for a KEYED mutation — maps the index to
     * (missed, dropped-whole) file sets, where a "missed" file provably
@@ -1586,7 +1600,7 @@ object Layout {
     // duplicate SOURCE keys are the MERGE cardinality error only when an
     // arm acts on matched target rows; an INSERT-ONLY merge (no matched,
     // no by-source arm) legally inserts repeated unmatched keys row by row
-    val keys = cachedSourceKeys(source, keyCols, "merge",
+    val (keys, srcRows) = cachedSourceKeys(source, keyCols, "merge",
       requireUnique = matched.nonEmpty || notMatchedBySource.nonEmpty)
     try withMutationRetry(spark) {
       if (Manifest.latestSeq(spark, dir).isEmpty) Manifest.write(spark, dir)
@@ -1663,8 +1677,18 @@ object Layout {
               s"missing ${missing.mkString(", ")}")
         case MatchedDelete(_) => ()
       }
-      val srcR = nonKey.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcPrefix + c))
+      val srcR0 = nonKey.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcPrefix + c))
         .withColumn(marker, lit(true))
+      // source-side join strategy from the KNOWN row count (validated
+      // above), not the planner's estimate: the candidate-rewrite joins
+      // below put srcR on the build side, so a provably-small source
+      // broadcasts and the (table-sized) candidate side is never
+      // shuffled — the trickle-CDC merge shape at 100 TB. Estimates
+      // can't deliver this: a filtered source of a huge table estimates
+      // at the unfiltered scan size.
+      val bcastCap = spark.conf.getOption(MergeBroadcastSourceRowsConf)
+        .map(_.toLong).getOrElse(MergeBroadcastSourceRowsDefault)
+      val srcR = if (bcastCap > 0 && srcRows <= bcastCap) broadcast(srcR0) else srcR0
       // arm FIRING gates over the joined (target row, source row) frame
       // — SQL MERGE semantics: each matched TARGET row acts
       // independently (duplicate-key targets update/delete row by row;
