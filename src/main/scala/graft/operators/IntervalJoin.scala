@@ -97,6 +97,22 @@ object IntervalJoin {
       .intersect(intervals.columns.filterNot(keys.contains).toSet)
     require(overlap.isEmpty, s"non-key columns must be disjoint, both sides have: ${overlap.mkString(",")}")
 
+    val iv = clampedIntervalCells(points, intervals, pointTs, startCol, endCol, bucketWidth)
+    val pt = points.filter(col(pointTs).isNotNull)
+      .withColumn("__cell", floorDiv(pointTs, bucketWidth))
+
+    val contained = col(startCol) <= col(pointTs) && col(pointTs) <= col(endCol)
+    pt.join(iv, keys :+ "__cell").filter(contained).drop("__cell")
+  }
+
+  /** The interval side of [[pointInInterval]], replicated to its clamped
+    * cell range: validity-filtered, pre-pruned to the observed point-time
+    * range, exploded to one row per `__cell`. Shared by the inner and the
+    * LEFT-outer formulations so the replication semantics are defined
+    * once. */
+  private def clampedIntervalCells(
+      points: DataFrame, intervals: DataFrame, pointTs: String,
+      startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
     // Observed point-time range: the only cells where a pair can meet.
     // One bounded 1-row aggregate (the medianSpanWidth pattern); an empty
     // or all-null point side yields an empty inner result regardless.
@@ -111,7 +127,7 @@ object IntervalJoin {
         if (rangeRow.isNullAt(0)) (0L, -1L) else (rangeRow.getLong(0), rangeRow.getLong(1))
       }
 
-    val iv = intervals
+    intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull && col(startCol) <= col(endCol))
       // no point exists outside [minTs, maxTs] → intervals fully outside
       // can't match; survivors replicate only across the clamped range
@@ -120,35 +136,30 @@ object IntervalJoin {
         explode(cellSeq(
           floorDiv(greatest(col(startCol), lit(minTs)), bucketWidth),
           floorDiv(least(col(endCol), lit(maxTs)), bucketWidth))))
-    val pt = points.filter(col(pointTs).isNotNull)
-      .withColumn("__cell", floorDiv(pointTs, bucketWidth))
-
-    val contained = col(startCol) <= col(pointTs) && col(pointTs) <= col(endCol)
-    pt.join(iv, keys :+ "__cell").filter(contained).drop("__cell")
   }
 
   /** Left-outer [[pointInInterval]]: every point row is preserved;
-    * uncovered points carry null interval columns. Composed as
-    * `matched ∪ (points LEFT ANTI matched-ids)` — the anti join is an
-    * equi-join on `pointId` (broadcastable when the matched id set is
-    * small, AQE-planned otherwise), so the outer shape adds no new wide
-    * operator beyond the inner join's.
+    * uncovered points carry null interval columns. A DIRECT left-outer
+    * join: points land in exactly ONE cell each (only intervals
+    * replicate), so `pt LEFT OUTER iv ON keys ∧ cell ∧ contained` emits
+    * the inner pairs plus exactly one null-extended row per uncovered
+    * point — no second evaluation of the matched subtree, no anti join,
+    * no union (the previous `matched ∪ (points ANTI matched-ids)`
+    * composition computed the whole join twice: once for the output,
+    * once under the anti join's build side).
     *
-    * @param pointId a column UNIQUE per point row (contract — with
-    *                duplicate ids, an unmatched row sharing an id with a
-    *                matched one would be wrongly dropped). Uniqueness is
-    *                the caller's to guarantee; it is not re-counted here.
-    *                NULL is a legal id for AT MOST ONE row: the anti join
-    *                is null-safe (`<=>`), so a matched NULL-id point does
-    *                not re-emit null-extended — which also means two
-    *                NULL-id rows would collide like any duplicate id.
+    * @param pointId a column UNIQUE per point row (contract — uniqueness
+    *                is the caller's to guarantee and is relied on by the
+    *                rewrite-rule routing; the direct join itself no
+    *                longer distinguishes rows by id, so a duplicate or
+    *                repeated-NULL id can no longer drop rows).
     * @param innerFilter extra JOIN-CONDITION predicate over the matched
     *                rows (strict-bound re-filters, residual conjuncts of
-    *                a naive LEFT join): applied BEFORE the unmatched-set
-    *                computation, so a point whose every candidate fails
-    *                it null-extends — outer-join-condition semantics,
-    *                which a post-filter on the outer OUTPUT could not
-    *                express (it would drop the null-extended rows).
+    *                a naive LEFT join): a conjunct of the outer join
+    *                condition, so a point whose every candidate fails it
+    *                null-extends — semantics a post-filter on the outer
+    *                OUTPUT could not express (it would drop the
+    *                null-extended rows).
     */
   def pointInIntervalLeft(
       points: DataFrame,
@@ -163,18 +174,27 @@ object IntervalJoin {
   ): DataFrame = {
     require(points.columns.contains(pointId), s"pointId $pointId must be a points column")
     require(!keys.contains(pointId), "pointId must not be a join key")
-    val matchedAll = pointInInterval(points, intervals, keys, pointTs, startCol, endCol, bucketWidth)
-    val matched = innerFilter.map(matchedAll.filter).getOrElse(matchedAll)
-    val ivCols = matched.columns.filterNot(points.columns.contains)
-    // groupBy, not distinct(): a Deduplicate node injected AFTER
-    // ReplaceDeduplicateWithAggregate (the IntervalRewriteRule outer
-    // path) would reach the planner unreplaced; the aggregate is what
-    // the optimizer turns distinct into anyway — same physical plan
-    val matchedIds = matched.groupBy(col(pointId)).agg(count(lit(1)).as("__n")).drop("__n")
-    val unmatched = antiByIdNullSafe(points, matchedIds, pointId)
-      .select(points.columns.toSeq.map(col) ++
-        ivCols.toSeq.map(c => lit(null).cast(matched.schema(c).dataType).as(c)): _*)
-    matched.unionByName(unmatched)
+    requireWidth(bucketWidth, "bucketWidth")
+    requireNoReserved(points, "points"); requireNoReserved(intervals, "intervals")
+    val overlap = points.columns.filterNot(keys.contains).toSet
+      .intersect(intervals.columns.filterNot(keys.contains).toSet)
+    require(overlap.isEmpty, s"non-key columns must be disjoint, both sides have: ${overlap.mkString(",")}")
+
+    val iv = clampedIntervalCells(points, intervals, pointTs, startCol, endCol, bucketWidth)
+    // NO isNotNull pre-filter on the point side (unlike the inner join):
+    // a null-ts point gets a null __cell, matches nothing, and is
+    // preserved null-extended — the left-outer contract.
+    val pt = points.withColumn("__cell", floorDiv(pointTs, bucketWidth))
+    val contained = iv(startCol) <= pt(pointTs) && pt(pointTs) <= iv(endCol)
+    val cond0 = (keys.map(k => pt(k) === iv(k)) :+
+      (pt("__cell") === iv("__cell")) :+ contained).reduce(_ && _)
+    val cond = innerFilter.map(cond0 && _).getOrElse(cond0)
+    val ptRest = points.columns.filterNot(keys.contains)
+    val ivRest = intervals.columns.filterNot(keys.contains)
+    // column order pinned to the previous composition's: keys (from the
+    // preserved side), point rest, interval rest
+    pt.join(iv, cond, "left_outer")
+      .select(keys.map(k => pt(k)) ++ ptRest.map(c => pt(c)) ++ ivRest.map(c => iv(c)): _*)
   }
 
   /** Interval-preserved outer [[pointInInterval]] (a RIGHT OUTER in the

@@ -33,17 +33,24 @@ object TextQueries {
   // ---------------------------------------------------------------- q21
   /** Quality scoring: exact scaled-integer character-class and stopword
     * ratios plus a composite keep/drop flag. */
+  /** The q21 feature columns over a frame that already has `toks` /
+    * `n_tokens` — shared verbatim by q21 and the fused q38 so the two can
+    * never drift. */
+  private def qualityCols(df: DataFrame): DataFrame = df
+    .withColumn("alpha_ppm", ppm(charClassCount(col("text"), "[a-z]"), length(col("text")).cast("long")))
+    .withColumn("space_ppm", ppm(charClassCount(col("text"), "[ ]"), length(col("text")).cast("long")))
+    .withColumn("digit_ppm", ppm(charClassCount(col("text"), "[0-9]"), length(col("text")).cast("long")))
+    .withColumn("stopword_ppm", ppm(vocabHits(col("toks"), stopwords("en")), col("n_tokens")))
+    .withColumn("quality_ok",
+      col("alpha_ppm") >= 500000L && col("n_tokens") >= 5L && col("digit_ppm") <= 100000L)
+
+  private def withToks(df: DataFrame): DataFrame = df
+    .withColumn("toks", tokens(col("text")))
+    .withColumn("n_tokens", size(col("toks")).cast("long"))
+
   def q21QualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).documents
-      .withColumn("toks", tokens($"text"))
-      .withColumn("n_tokens", size($"toks").cast("long"))
-      .withColumn("alpha_ppm", ppm(charClassCount($"text", "[a-z]"), length($"text").cast("long")))
-      .withColumn("space_ppm", ppm(charClassCount($"text", "[ ]"), length($"text").cast("long")))
-      .withColumn("digit_ppm", ppm(charClassCount($"text", "[0-9]"), length($"text").cast("long")))
-      .withColumn("stopword_ppm", ppm(vocabHits($"toks", stopwords("en")), $"n_tokens"))
-      .withColumn("quality_ok",
-        $"alpha_ppm" >= 500000L && $"n_tokens" >= 5L && $"digit_ppm" <= 100000L)
+    qualityCols(withToks(Tables(spark, dir).documents))
       .select($"doc_id", $"n_tokens", $"alpha_ppm", $"space_ppm", $"digit_ppm",
         $"stopword_ppm", $"quality_ok")
   }
@@ -51,21 +58,24 @@ object TextQueries {
   // ---------------------------------------------------------------- q22
   /** Language-ID heuristic: CJK-codepoint check, then stopword-hit argmax
     * with fixed precedence (en > de > fr > es). */
+  /** The q22 lang-id columns over a frame that already has `toks` —
+    * shared verbatim by q22 and the fused q38. */
+  private def langIdCols(df: DataFrame): DataFrame = df
+    .withColumn("hits_en", vocabHits(col("toks"), stopwords("en")).cast("long"))
+    .withColumn("hits_de", vocabHits(col("toks"), stopwords("de")).cast("long"))
+    .withColumn("hits_fr", vocabHits(col("toks"), stopwords("fr")).cast("long"))
+    .withColumn("hits_es", vocabHits(col("toks"), stopwords("es")).cast("long"))
+    .withColumn("pred_lang",
+      when(hasCjk(col("text")), "zh")
+        .when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr") && col("hits_en") >= col("hits_es") && col("hits_en") > 0, "en")
+        .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es") && col("hits_de") > 0, "de")
+        .when(col("hits_fr") >= col("hits_es") && col("hits_fr") > 0, "fr")
+        .when(col("hits_es") > 0, "es")
+        .otherwise("unknown"))
+
   def q22LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).documents
-      .withColumn("toks", tokens($"text"))
-      .withColumn("hits_en", vocabHits($"toks", stopwords("en")).cast("long"))
-      .withColumn("hits_de", vocabHits($"toks", stopwords("de")).cast("long"))
-      .withColumn("hits_fr", vocabHits($"toks", stopwords("fr")).cast("long"))
-      .withColumn("hits_es", vocabHits($"toks", stopwords("es")).cast("long"))
-      .withColumn("pred_lang",
-        when(hasCjk($"text"), "zh")
-          .when($"hits_en" >= $"hits_de" && $"hits_en" >= $"hits_fr" && $"hits_en" >= $"hits_es" && $"hits_en" > 0, "en")
-          .when($"hits_de" >= $"hits_fr" && $"hits_de" >= $"hits_es" && $"hits_de" > 0, "de")
-          .when($"hits_fr" >= $"hits_es" && $"hits_fr" > 0, "fr")
-          .when($"hits_es" > 0, "es")
-          .otherwise("unknown"))
+    langIdCols(withToks(Tables(spark, dir).documents))
       .select($"doc_id", $"lang", $"pred_lang", $"hits_en", $"hits_de", $"hits_fr", $"hits_es")
   }
 
@@ -291,12 +301,23 @@ object TextQueries {
     * documents scan and the joins are on doc_id. */
   def q38CorpusClean(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val quality = q21QualityScore(spark, dir)
-      .select($"doc_id", $"n_tokens", $"stopword_ppm", $"quality_ok")
-    val lang  = q22LangId(spark, dir).select($"doc_id", $"pred_lang")
-    val keeps = q23ExactDedup(spark, dir).select($"keep_id".as("doc_id"))
-    quality.join(lang, "doc_id").join(keeps, "doc_id")
-      .filter($"quality_ok" && $"pred_lang" === "en")
+    // One scan instead of three: q21's quality gate, q22's lang-id argmax
+    // and q23's canonical-keep rule all derive from the same documents
+    // row, so the composition-by-join (3 text scans, tokens computed
+    // twice, 2 doc_id shuffles) collapses to one projection + one window
+    // over the content hash. Row-for-row equal to the joined form: each
+    // doc_id is unique in documents, so the doc_id inner joins were pure
+    // column concat, and `keeps` membership (q23's keep_id = min(doc_id)
+    // per md5 group) is exactly `doc_id == min(doc_id) OVER (PARTITION BY
+    // md5(text))`. The feature expressions are q21/q22's own column
+    // builders (qualityCols/langIdCols), so the three queries cannot
+    // drift. Oracle-verified identical (rows, schema, hash).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"__h")
+    langIdCols(qualityCols(withToks(Tables(spark, dir).documents)))
+      .withColumn("__h", md5($"text"))
+      .withColumn("__keep_id", min($"doc_id").over(w))
+      .filter($"doc_id" === $"__keep_id" &&
+        $"quality_ok" && $"pred_lang" === "en")
       .select($"doc_id", $"n_tokens", $"stopword_ppm", $"pred_lang")
   }
 
