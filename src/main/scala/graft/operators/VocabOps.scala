@@ -365,6 +365,10 @@ object VocabOps {
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      // consumed twice (the df derivation below + the join back): without
+      // a materialization the explode+aggregate over the full token
+      // stream evaluates once under each consumer
+      .stageCheckpoint()
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_ppm").desc, col("tok").asc)

@@ -150,6 +150,11 @@ object RelOpsQueries {
       Tables.tsToMicros(raw, "o_orderdate").as("o_us"))
     val d = o.groupBy($"cust", $"o_us".as("prev_us"))
       .agg(max($"ok").as("prev_ok"), count(lit(1)).as("n_prev_day"))
+      // the operator consumes its right side TWICE (per-chunk snapshot
+      // aggregate + in-chunk union rows), so the per-day aggregate would
+      // evaluate once under each — materialize it once (q113's spans
+      // pattern; |cust×day| rows, narrower than the orders scan)
+      .stageCheckpoint()
     AsOfJoin
       .backwardChunked(o, d, Seq("cust"), leftTs = "o_us", rightTs = "prev_us",
         chunkWidth = 90L * 86400L * 1000000L, strict = true)
@@ -181,6 +186,9 @@ object RelOpsQueries {
       Tables.tsToMicros(raw, "o_orderdate").as("o_us"))
     val d = o.groupBy($"cust", $"o_us".as("next_us"))
       .agg(max($"ok").as("next_ok"), count(lit(1)).as("n_next_day"))
+      // materialized once — q115's comment; the forward variant consumes
+      // the right side twice the same way
+      .stageCheckpoint()
     AsOfJoin
       .forwardChunked(o, d, Seq("cust"), leftTs = "o_us", rightTs = "next_us",
         chunkWidth = 90L * 86400L * 1000000L, strict = true)
@@ -242,6 +250,7 @@ object RelOpsQueries {
       Tables.tsToMicros(raw, "o_orderdate").as("o_us"))
     val d = o.groupBy($"cust", $"o_us".as("prev_us"))
       .agg(max($"ok").as("prev_ok"), count(lit(1)).as("n_prev_day"))
+      .stageCheckpoint() // consumed twice by the operator — q115's comment
     AsOfJoin
       .backwardChunked(o, d, Seq("cust"), leftTs = "o_us", rightTs = "prev_us",
         chunkWidth = 90L * 86400L * 1000000L, strict = true,
