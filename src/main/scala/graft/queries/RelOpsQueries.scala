@@ -248,9 +248,13 @@ object RelOpsQueries {
     val raw = Tables(spark, dir).orders
     val o = raw.select($"o_custkey".as("cust"), $"o_orderkey".as("ok"),
       Tables.tsToMicros(raw, "o_orderdate").as("o_us"))
+    // NOT stage-checkpointed (unlike q115/q117): under the LEFT join the
+    // unreferenced window/payload columns prune out of a count-style
+    // action entirely, so the twice-consumed aggregate is already cheap —
+    // an eager materialization would force computing the payloads the
+    // pruned plan never needs (measured 0.20 → 0.45 s when tried).
     val d = o.groupBy($"cust", $"o_us".as("prev_us"))
       .agg(max($"ok").as("prev_ok"), count(lit(1)).as("n_prev_day"))
-      .stageCheckpoint() // consumed twice by the operator — q115's comment
     AsOfJoin
       .backwardChunked(o, d, Seq("cust"), leftTs = "o_us", rightTs = "prev_us",
         chunkWidth = 90L * 86400L * 1000000L, strict = true,
